@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the engine.
+  *
+  * Settings are chosen for the local[32] test harness but with the
+  * 1000-executor posture in mind: AQE on (runtime shuffle coalescing +
+  * skew-join splitting), UTC session timezone (reproduces the reference's
+  * `datetime.fromtimestamp` on a UTC cluster — see
+  * reference `spark-jobs/sparkify_etl.py:146-149`), and shuffle
+  * partitions sized to the local core count rather than the 200 default.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", master: String = ""): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+    if (master.nonEmpty) b.master(master) else b
+  }
+
+  /** Session for local runs and tests. */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(appName, s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

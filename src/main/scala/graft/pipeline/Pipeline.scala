@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.schemas.Schemas
+import graft.transforms.Transforms._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Job surface matching the reference's two execution modes
+  * (EP1 batch: `spark-jobs/sparkify_etl.py`; EP2/EP3 incremental:
+  * `spark-jobs/sparkify_etl_1.py` / `_2.py`), expressed as a library +
+  * CLI rather than Airflow orchestration.
+  *
+  * Paths are Hadoop-FS URIs — local paths in tests, `gs://` in prod; the
+  * engine code is storage-agnostic.
+  */
+object Pipeline {
+
+  /** Full batch ETL (EP1): raw JSON under `input`, star-schema Parquet
+    * under `output`.
+    *
+    * Keeps the reference's write-then-reread materialization barrier for
+    * songs/artists: the fact table is built from the on-disk dimension
+    * tables, decoupling stage outputs (reference `sparkify_etl.py:173-176`).
+    */
+  def runFullBatch(spark: SparkSession, input: String, output: String): Unit = {
+    val songData = spark.read.schema(Schemas.songData).json(s"${input}song_data/*/*/*/*.json")
+
+    songsTable(songData).write
+      .mode("overwrite")
+      .partitionBy("year")
+      .parquet(s"${output}songs_table.parquet")
+
+    artistsTable(songData).write
+      .mode("overwrite")
+      .parquet(s"${output}artists_table.parquet")
+
+    val logData = spark.read.schema(Schemas.logData).json(s"${input}log_data/*/*/*.json")
+    val events = nextSongEvents(logData)
+
+    usersTable(events).write
+      .mode("overwrite")
+      .parquet(s"${output}users_table.parquet")
+
+    val withTs = withStartTime(events)
+    val time = timeTable(withTs)
+    time.write
+      .mode("overwrite")
+      .partitionBy("year")
+      .parquet(s"${output}time_table.parquet")
+
+    // Materialization barrier: fact is built from on-disk dims.
+    val songs = spark.read.parquet(s"${output}songs_table.parquet")
+    val artists = spark.read.parquet(s"${output}artists_table.parquet")
+
+    songplaysTable(withTs, songs, artists, time).write
+      .mode("overwrite")
+      .partitionBy("year")
+      .parquet(s"${output}songplays_table.parquet")
+  }
+
+  /** Incremental per-file ETL (EP2/EP3): processes exactly one raw log
+    * file, producing users + time tables only (reference
+    * `sparkify_etl_1.py` / `_2.py`).
+    *
+    * @param singleFileOutput  `coalesce(1)` per table for single-part
+    *                          loads (the `_2.py` variant). `coalesce`
+    *                          (shuffle-free) rather than `repartition`,
+    *                          as in the reference; at large scale prefer
+    *                          `singleFileOutput=false` and let AQE size
+    *                          output files.
+    * @param partitionTimeByMonth hive `month=MM/` layout (the `_1.py` /
+    *                          partition-aware load variant).
+    */
+  def runIncremental(
+      spark: SparkSession,
+      rawFile: String,
+      output: String,
+      singleFileOutput: Boolean = true,
+      partitionTimeByMonth: Boolean = false
+  ): Unit = {
+    val logData = spark.read.schema(Schemas.logData).json(rawFile)
+    val events = nextSongEvents(logData)
+
+    val users = usersTable(events)
+    val usersOut = if (singleFileOutput) users.coalesce(1) else users
+    usersOut.write.mode("overwrite").parquet(s"${output}users_table.parquet")
+
+    val time = timeTable(withStartTime(events))
+    val timeOut = if (singleFileOutput) time.coalesce(1) else time
+    val writer = timeOut.write.mode("overwrite")
+    (if (partitionTimeByMonth) writer.partitionBy("month") else writer)
+      .parquet(s"${output}time_table.parquet")
+  }
+
+  /** Convenience: read one of the produced tables back. */
+  def readTable(spark: SparkSession, output: String, name: String): DataFrame =
+    spark.read.parquet(s"$output$name.parquet")
+}
+
+/** CLI entry — parity with the reference job surface:
+  * `--bucket` (batch) or `--bucket --raw_file_name` (incremental).
+  */
+object PipelineRunner {
+  def main(args: Array[String]): Unit = {
+    val opts = args
+      .sliding(2, 2)
+      .collect { case Array(k, v) => k.stripPrefix("--") -> v }
+      .toMap
+    val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))
+    val spark = graft.GraftSession.local("graft-pipeline")
+    opts.get("raw_file_name") match {
+      case Some(f) =>
+        Pipeline.runIncremental(
+          spark,
+          s"${bucket}raw/$f",
+          s"${bucket}transformed/",
+          singleFileOutput = opts.getOrElse("coalesce", "true").toBoolean,
+          partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean
+        )
+      case None =>
+        Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")
+    }
+    spark.stop()
+  }
+}

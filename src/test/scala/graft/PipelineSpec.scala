@@ -1,0 +1,175 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.schemas.Schemas
+import graft.transforms.Transforms._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** End-to-end + semantic-corner tests on reference-shaped JSON fixtures
+  * (FIXTURES.md §A). Fixtures are authored inline and written to a temp
+  * dir so the suite is self-contained.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  // --- fixtures ------------------------------------------------------
+  // ts values (epoch millis): 1542241826796.0 → 2018-11-15 00:30:26 UTC
+  // Includes: non-NextSong pages; empty + null userId; level change for
+  // user 26 (free → paid, latest wins); user 7 with a TIED max ts (two
+  // rows kept); events with no matching song; two events with identical
+  // second-truncated start_time; ts values spanning two years.
+  val songJson: Seq[String] = Seq(
+    """{"artist_id":"ARX1","artist_latitude":null,"artist_longitude":null,"artist_location":"NYC","artist_name":"The Examples","song_id":"SOX1","title":"Test Song","duration":221.17,"year":2019}""",
+    """{"artist_id":"ARX1","artist_latitude":null,"artist_longitude":null,"artist_location":"NYC","artist_name":"The Examples","song_id":"SOX2","title":"Second Song","duration":100.5,"year":2018}""",
+    """{"artist_id":"ARX2","artist_latitude":"40.7","artist_longitude":"-74.0","artist_location":"LA","artist_name":"No Plays","song_id":"SOX3","title":"Unplayed","duration":50.0,"year":2017}"""
+  )
+
+  def logLine(
+      user: String,
+      ts: Double,
+      song: String = null,
+      artist: String = null,
+      length: java.lang.Double = null,
+      page: String = "NextSong",
+      level: String = "free",
+      session: Int = 1
+  ): String = {
+    def s(v: String) = if (v == null) "null" else "\"" + v + "\""
+    def d(v: java.lang.Double) = if (v == null) "null" else v.toString
+    s"""{"artist":${s(artist)},"auth":"Logged In","firstName":"F$user","gender":"F","itemInSession":1,"lastName":"L$user","length":${d(
+        length
+      )},"level":"$level","location":"NYC","method":"PUT","page":"$page","registration":1.5E12,"sessionId":$session,"song":${s(
+        song
+      )},"status":200,"ts":$ts,"userAgent":"Moz","userId":${s(user)}}"""
+  }
+
+  val t0 = 1542241826796.0 // 2018-11-15 00:30:26.796 UTC
+  val logJson: Seq[String] = Seq(
+    // user 26: level change, latest (t0+2000) wins with level=paid
+    logLine("26", t0, "Test Song", "The Examples", 221.17, level = "free"),
+    logLine("26", t0 + 2000, "Second Song", "The Examples", 100.5, level = "paid"),
+    // user 7: tied max ts — BOTH rows must survive the argmax
+    logLine("7", t0 + 5000, "Test Song", "The Examples", 221.17),
+    logLine("7", t0 + 5000, null, null, null),
+    // empty + null userId: filtered from users
+    logLine("", t0 + 7000),
+    s"""{"artist":null,"auth":"Logged In","firstName":null,"gender":null,"itemInSession":1,"lastName":null,"length":null,"level":"free","location":null,"method":"PUT","page":"NextSong","registration":null,"sessionId":9,"song":null,"status":200,"ts":${t0 + 8000},"userAgent":null,"userId":null}""",
+    // same second-truncated start_time as the t0 row (796 vs 900 millis)
+    logLine("31", t0 + 0.104e3 - 0.104e3 + 104, "Test Song", "The Examples", 221.17),
+    // non-NextSong page: excluded everywhere
+    logLine("26", t0 + 9000, page = "Home"),
+    // a 2019 event (different year partition)
+    logLine("42", 1546304461000.0) // 2019-01-01 01:01:01 UTC
+  )
+
+  lazy val dirs: (String, String) = {
+    val root: Path = Files.createTempDirectory("graft-fixture")
+    val in = root.resolve("raw")
+    val out = root.resolve("transformed")
+    val songDir = in.resolve("song_data/A/B/C")
+    Files.createDirectories(songDir)
+    songJson.zipWithIndex.foreach { case (j, i) =>
+      Files.writeString(songDir.resolve(s"s$i.json"), j)
+    }
+    val logDir = in.resolve("log_data/2018/11")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("events.json"), logJson.mkString("\n"))
+    (in.toString + "/", out.toString + "/")
+  }
+
+  lazy val ran: Unit = Pipeline.runFullBatch(spark, dirs._1, dirs._2)
+  def table(name: String): DataFrame = { ran; Pipeline.readTable(spark, dirs._2, name) }
+
+  // --- specs ---------------------------------------------------------
+
+  test("songs_table: 5 columns, one row per song, year-partitioned") {
+    val songs = table("songs_table")
+    assert(songs.columns.sorted.toSeq == Seq("artist_id", "duration", "song_id", "title", "year"))
+    assert(songs.count() == 3)
+    val parts = new java.io.File(dirs._2 + "songs_table.parquet").listFiles()
+    assert(parts.exists(_.getName == "year=2019"), "hive year= layout expected")
+  }
+
+  test("artists_table: distinct across duplicate artist rows") {
+    val artists = table("artists_table")
+    assert(artists.count() == 2)
+    assert(artists.columns.toSet == Set("artist_id", "name", "location", "latitude", "longitude"))
+  }
+
+  test("users_table: latest-wins, ties kept, null/empty userId dropped") {
+    val users = table("users_table").collect()
+    val byUser = users.groupBy(_.getAs[String]("user_id"))
+    assert(!byUser.contains("") && !byUser.contains(null), "empty/null userId filtered")
+    assert(byUser("26").length == 1 && byUser("26").head.getAs[String]("level") == "paid")
+    assert(byUser("7").length == 2, "tied max ts keeps both rows")
+    assert(byUser.keySet == Set("26", "7", "31", "42"))
+  }
+
+  test("time_table: distinct second-truncated UTC start_time + calendar dims") {
+    val time = table("time_table")
+    val rows = time.collect().map(r => r.getAs[java.sql.Timestamp]("start_time") -> r).toMap
+    // t0=...826796ms and t0+104=...826900ms truncate to the same second
+    // => one row for 2018-11-15 00:30:26
+    val expected = java.sql.Timestamp.valueOf("2018-11-15 00:30:26")
+    assert(rows.contains(expected), s"second truncation: ${rows.keys.toSeq.sortBy(_.getTime).mkString(",")}")
+    val r = rows(expected)
+    assert(r.getAs[Int]("hour") == 0 && r.getAs[Int]("day") == 15 && r.getAs[Int]("week") == 46)
+    assert(r.getAs[Int]("month") == 11 && r.getAs[Int]("year") == 2018)
+    assert(r.getAs[Int]("weekday") == 5) // 2018-11-15 is a Thursday; Spark dayofweek 1=Sunday
+    // distinct NextSong ts seconds: 26(x2),28,31,31(user7 tie → same ts),33,34, 2019 → count distinct seconds
+    assert(time.count() == time.select("start_time").distinct().count())
+  }
+
+  test("songplays_table: row per NextSong event, join semantics, year/month via time join") {
+    val sp = table("songplays_table")
+    val nextSongCount = 8 // 9 log lines minus 1 Home page
+    assert(sp.count() == nextSongCount, "left joins never drop events")
+    val matched = sp.filter("song_id is not null").collect()
+    // events matching (song,artist,length): 26@t0 (221.17), 26@t0+2s (100.5), 7 first row, 31 → 4
+    assert(matched.length == 4)
+    assert(matched.forall(r => r.getAs[String]("artist_id") == "ARX1"))
+    val r2019 = sp.filter("year = 2019").collect()
+    assert(r2019.length == 1 && r2019.head.getAs[Int]("month") == 1)
+    assert(sp.columns.contains("songplay_id"))
+  }
+
+  test("full-outer songs⟗artists keeps artists with no songs (J1 coalesced key)") {
+    val songs = table("songs_table")
+    val artists = table("artists_table")
+    val dim = songs
+      .join(artists, Seq("artist_id"), "full")
+      .select("song_id", "title", "artist_id", "name", "duration")
+    assert(dim.filter("artist_id = 'ARX2'").count() == 1)
+    assert(dim.columns.count(_ == "artist_id") == 1, "USING join coalesces the key")
+  }
+
+  test("incremental job: coalesce(1) single part + month partitioning") {
+    val root = Files.createTempDirectory("graft-incr").toString + "/"
+    Pipeline.runIncremental(
+      spark,
+      dirs._1 + "log_data/2018/11/events.json",
+      root,
+      singleFileOutput = true,
+      partitionTimeByMonth = true
+    )
+    val userParts = new java.io.File(root + "users_table.parquet")
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(userParts.length == 1, "coalesce(1) → exactly one part file")
+    val timeDirs = new java.io.File(root + "time_table.parquet").listFiles().map(_.getName)
+    assert(timeDirs.exists(_.startsWith("month=")), s"month= hive dirs, got ${timeDirs.mkString(",")}")
+  }
+
+  test("case-insensitive resolution: userID resolves against userId column") {
+    import org.apache.spark.sql.functions.col
+    val logDf = spark.read.schema(Schemas.logData).json(dirs._1 + "log_data/*/*/*.json")
+    // must not throw (spark.sql.caseSensitive=false default)
+    assert(logDf.select(col("userID")).columns.head == "userID")
+  }
+}
