@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY §2) expressed over the driver
+  * testdata tables, each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Oracle-compat notes (why queries look the way they do):
+  *   - Money aggregates use an integer-cents pattern
+  *     `sum(floor(x * 100))`: double→decimal casts round differently in
+  *     Spark (string-repr HALF_UP) vs DuckDB (binary half-even), while
+  *     `floor` on a double is a pure IEEE-754 op — bit-identical in both
+  *     engines — and integer sums are order-independent, so results are
+  *     deterministic under any partitioning.
+  *   - `l_quantity` is integer-valued; double sums of integers < 2^53
+  *     are exact and order-independent, so summed raw.
+  *   - Averages divide two exact values (long cents / long count) — one
+  *     IEEE division, identical in both engines.
+  *   - Spark `dayofweek` is 1=Sunday; DuckDB's is 0=Sunday (oracle adds 1).
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long and convert
+    * to a microsecond timestamp with integral `div` (a double division
+    * would lose precision: epoch-nanos ≈ 1.7e18 > 2^53). DuckDB performs
+    * the same ns→µs truncation when casting, so oracles agree.
+    */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def cents(c: Column): Column = floor(c * 100)
+
+  /** TPC-H Q1-style pricing summary (A-class aggregations; F1 filter).
+    * Scale: partial aggregation map-side; 6-group output — shuffle is a
+    * few KB regardless of input size.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+          .as("sum_charge_cents"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / (count(lit(1)) * 100))
+          .as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** Equality filter + projection (F1/P1) with predicate pushdown to the
+    * parquet scan.
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value", "props")
+
+  /** Latest-event-per-user with ties kept (A3/F2 argmax semantics):
+    * `max(ts) over (partition by user_id)` then self-filter — NOT
+    * row_number, which would drop tied rows. One shuffle on user_id.
+    */
+  def q3UsersLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.withColumn("max_ts", max(col("ts")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("ts") === col("max_ts") && col("user_id").isNotNull)
+      .select(
+        col("user_id"),
+        col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value")
+      )
+  }
+
+  /** Time dimension (C1-C6 + A2): distinct second-truncated timestamps
+    * with calendar parts — the reference's time_table over `events.ts`.
+    */
+  def q4TimeDims(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(date_trunc("second", col("ts")).as("start_time"))
+      .distinct()
+      .select(
+        col("start_time"),
+        hour(col("start_time")).as("hour"),
+        dayofmonth(col("start_time")).as("day"),
+        weekofyear(col("start_time")).as("week"),
+        month(col("start_time")).as("month"),
+        year(col("start_time")).as("year"),
+        dayofweek(col("start_time")).as("weekday")
+      )
+
+  /** distinct() dedup-all-columns (A1). */
+  def q5Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("mktsegment"), col("c_nationkey").as("nationkey"))
+      .distinct()
+
+  /** Full-outer USING-column join (J1): key coalesced, no duplicate
+    * column. At scale: sort-merge on the shuffled key; AQE handles skew.
+    */
+  def q6JoinFullUsing(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+    orders.join(cust, Seq("custkey"), "full")
+  }
+
+  /** Left join on a multi-column condition including exact Double
+    * equality (J2 semantics: `length == duration`). The dim is the
+    * max-quantity-per-part table, so double-equality matches really
+    * occur. Build side is small → broadcast.
+    */
+  def q7JoinLeftMulti(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val dim = li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(max(col("l_quantity")).as("max_qty"))
+    li.join(
+      broadcast(dim),
+      li("l_partkey") === dim("pk") && li("l_quantity") === dim("max_qty"),
+      "left"
+    ).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_partkey"),
+      col("l_quantity"),
+      col("max_qty")
+    )
+  }
+
+  /** Left USING-column join (J3): fact ⟕ dim picking up attributes. */
+  def q8JoinLeftUsing(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(orders, Seq("orderkey"), "left")
+  }
+
+  /** Global top-k: orderBy + limit with a deterministic tiebreak.
+    * Spark executes as TakeOrderedAndProject — per-partition top-k then
+    * a k-row merge on the driver; no full sort at 100 TB.
+    */
+  def q9TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  /** Ranking window: top-3 orders per customer (row_number with a
+    * deterministic order). One shuffle on custkey.
+    */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Sessionization: new session when the gap to the previous event of
+    * the same user exceeds 30 minutes (lag + running sum). The
+    * second-granularity gap uses epoch-seconds longs so both engines
+    * compare identical integers.
+    */
+  def q11Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev_s").isNull || col("ts").cast("long") - col("prev_s") > 1800, 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .select("event_id", "user_id", "session_seq")
+  }
+
+  /** Star join: revenue per nation for one region (dims broadcast;
+    * single shuffle for the final group-by). The canonical 100 TB shape:
+    * fact scans stay distributed, every dim ships to executors once.
+    */
+  def q12StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION ALL composition. */
+  def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    custNations
+      .intersect(suppNations)
+      .withColumn("side", lit("both"))
+      .unionAll(custNations.except(suppNations).withColumn("side", lit("cust_only")))
+  }
+
+  /** ROLLUP grouping sets (beyond the reference — §2.4 extension). */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Semi-structured JSON extraction from the events `props` column. */
+  def q15JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Aggregate statistics incl. distinct-count per group. */
+  def q16AggStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(cents(col("value"))).as("sum_value_cents")
+      )
+}
