@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,17 @@ object SparkEntry {
     "q13_setops" -> (CoreQueries.q13SetOps _),
     "q14_rollup" -> (CoreQueries.q14Rollup _),
     "q15_json_extract" -> (CoreQueries.q15JsonExtract _),
-    "q16_agg_stats" -> (CoreQueries.q16AggStats _)
+    "q16_agg_stats" -> (CoreQueries.q16AggStats _),
+    "q17_dedup_exact" -> (TextQueries.q17DedupExact _),
+    "q18_text_stats" -> (TextQueries.q18TextStats _),
+    "q19_lang_id" -> (TextQueries.q19LangId _),
+    "q20_fingerprint" -> (TextQueries.q20Fingerprint _),
+    "q21_ngram_jaccard" -> (TextQueries.q21NgramJaccard _),
+    "q22_minhash_lsh" -> (TextQueries.q22MinHashLsh _),
+    "q23_simhash" -> (TextQueries.q23SimHash _),
+    "q24_knn_brute" -> (VectorQueries.q24KnnBrute _),
+    "q25_near_dup_cosine" -> (VectorQueries.q25NearDupCosine _),
+    "q26_ivf_ann" -> (VectorQueries.q26IvfAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,6 +142,120 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q18_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(t) AS stopword_ratio,
+        |  CAST(CASE WHEN len(t) >= 10 AND CAST(len(list_filter(t, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(t) > 0.0
+        |       THEN 1.0 ELSE 0.5 END AS DOUBLE) AS quality_score
+        |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t FROM documents)""".stripMargin,
+    "q19_lang_id" ->
+      """SELECT doc_id, declared_lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted_lang,
+        |  CAST(s_en AS INTEGER) AS score_en
+        |FROM (SELECT doc_id, lang AS declared_lang,
+        |    len(list_filter(t, x -> x IN ('the','a','and','of'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','los','de'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','les','de'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und'))) AS s_de
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t FROM documents))""".stripMargin,
+    "q20_fingerprint" ->
+      """SELECT doc_id, md5(norm) AS md5_fingerprint,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(norm, '\s+'),
+        |                     s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fingerprint
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents)""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |       ELSE [] END AS shingles FROM tk),
+        |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+        |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
+    "q22_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh0 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |       ELSE [] END AS shingles FROM tk),
+        |sh AS (SELECT doc_id, shingles,
+        |    list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS sh_ints
+        |  FROM sh0 WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(sh_ints, x -> ((i*2+3)*x + i*97 + 11) % 2147483647))) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, bb.band AS band,
+        |    array_to_string(list_transform(sig[bb.band*4+1 : bb.band*4+4], x -> CAST(x AS VARCHAR)), '_') AS band_key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b
+        |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3""".stripMargin,
+    "q23_simhash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 28), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h ->
+        |           CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+        |         (acc, v) -> acc + v) > 0
+        |    THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |  (acc, v) -> acc + v) AS simhash
+        |FROM (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |        s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS th FROM documents)""".stripMargin,
+    "q24_knn_brute" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |scored AS (SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q_emb, emb), p -> p[1]*p[2])), (a,v) -> a+v) / (q_nrm * nrm) AS cosine
+        |  FROM q, n WHERE vec_id >= 5)
+        |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "q25_near_dup_cosine" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.30""".stripMargin,
+    "q26_ivf_ann" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cluster FROM assigned WHERE vec_id < 5)
+        |SELECT query_id, cluster, vec_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+        |  SELECT q.query_id, q.cluster, a.vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) DESC,
+        |      a.vec_id ASC) AS rank
+        |  FROM q JOIN assigned a ON q.cluster = a.cluster WHERE a.vec_id >= 5)
+        |WHERE rank <= 5""".stripMargin
   )
 }

