@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,9 @@ object SparkEntry {
     "q23_simhash" -> (TextQueries.q23SimHash _),
     "q24_knn_brute" -> (VectorQueries.q24KnnBrute _),
     "q25_near_dup_cosine" -> (VectorQueries.q25NearDupCosine _),
-    "q26_ivf_ann" -> (VectorQueries.q26IvfAnn _)
+    "q26_ivf_ann" -> (VectorQueries.q26IvfAnn _),
+    "q27_multimodal_decode" -> (MultimodalQueries.q27MultimodalDecode _),
+    "q28_multimodal_features" -> (MultimodalQueries.q28MultimodalFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +258,34 @@ object SparkEntry {
         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) DESC,
         |      a.vec_id ASC) AS rank
         |  FROM q JOIN assigned a ON q.cluster = a.cluster WHERE a.vec_id >= 5)
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+    "q27_multimodal_decode" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    md5(text) AS h FROM documents),
+        |dec AS (SELECT asset_id, media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |    h AS content_md5,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'w')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS width,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'h')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS height,
+        |    CAST(1 + CAST(concat('0x', substr(md5(concat(h, 'f')), 1, 7)) AS BIGINT) % 240 AS INTEGER) AS n_frames
+        |  FROM a)
+        |SELECT asset_id, media_type, byte_len, content_md5, width, height, n_frames,
+        |  CAST(CASE WHEN media_type = 'video' THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS BIGINT) AS n_sampled
+        |FROM dec""".stripMargin,
+    "q28_multimodal_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        |dec AS (SELECT asset_id, h AS content_md5,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'w')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS width,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'h')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS height
+        |  FROM a)
+        |SELECT asset_id,
+        |  CAST(greatest(CAST(floor(width / 2) AS INTEGER), 1) AS INTEGER) AS width,
+        |  CAST(greatest(CAST(floor(height / 2) AS INTEGER), 1) AS INTEGER) AS height,
+        |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '0')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f0,
+        |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '1')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f1,
+        |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
+        |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
+        |FROM dec""".stripMargin
   )
 }
