@@ -25,8 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** The documents file is small enough to arrive as one input split,
+    * which would serialize every CPU-heavy per-row stage onto one core.
+    * Spread it across the cluster explicitly — on a real 100 TB corpus
+    * the scan is already thousands of splits and this repartition is a
+    * no-op by construction (cheap round-robin of a few MB here).
+    */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Whitespace tokens — matches DuckDB `regexp_split_to_array(text,'\s+')`. */
   private def tokens(c: Column): Column = split(c, "\\s+")
@@ -150,9 +158,12 @@ object TextQueries {
     * left off here because the oracle must see identical semantics.
     */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle stage feeds both join sides — persist so the
+    // HOF-heavy tokenize+shingle subtree computes once.
     val sh = withShingles(docs(spark, dir))
       .select(col("doc_id"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
+      .persist()
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
@@ -181,10 +192,15 @@ object TextQueries {
     val nHashes = 16
     val bandRows = 4
     val p = lit(2147483647L)
+    // Signature subtree is referenced by both band sides AND both
+    // verification joins — without persist Spark recomputes the
+    // md5+minhash HOF chain four times.
     val sh = withShingles(docs(spark, dir))
       .select(col("doc_id"), col("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sh_ints", transform(col("shingles"), s => h28(s)))
+      .persist()
+    val sigDf = sh
       .withColumn(
         "sig",
         transform(
@@ -192,7 +208,7 @@ object TextQueries {
           i => array_min(transform(col("sh_ints"), x => ((i * 2 + 3) * x + i * 97 + 11) % p))
         )
       )
-    val bands = sh.select(
+    val bands = sigDf.select(
       col("doc_id"),
       explode(
         transform(
@@ -211,6 +227,8 @@ object TextQueries {
         )
       ).as("bk")
     ).select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+      // both self-join sides read the band table: materialize it once
+      .persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     val cand = a
