@@ -207,9 +207,9 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
-        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |  CAST(len(list_intersect(sa.sh_ints, sb.sh_ints)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh_ints, sb.sh_ints))) AS jaccard
         |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b
-        |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3""".stripMargin,
+        |WHERE CAST(len(list_intersect(sa.sh_ints, sb.sh_ints)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh_ints, sb.sh_ints))) >= 0.3""".stripMargin,
     "q23_simhash" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 28), b ->

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Native codegen'd dot product over two `array<double>` columns.
+  *
+  * Replaces the higher-order-function form
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0d, (acc, v) => acc + v)`,
+  * which executes as an interpreted CodegenFallback chain with one lambda
+  * frame per element. The generated code is a tight primitive loop inside
+  * whole-stage codegen — same sequential IEEE fold, bit-identical result.
+  *
+  * Null semantics: null input array → null (NullIntolerant-style via
+  * BinaryExpression's default nullSafeEval dispatch); arrays are assumed
+  * to have no null elements (embedding vectors), matching the HOF form's
+  * behavior on such data. Lengths are folded to the shorter side, which
+  * mirrors zip_with-then-multiply on equal-length inputs.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<double> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}"
+      )
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API surface for the engine's native functions. */
+object GraftFunctions {
+
+  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+
+  /** Register into an existing session (local/test path). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs =>
+        MinHashSignature(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()
+        ),
+      "built-in"
+    )
+  }
+
+  /** Column-API forms; require [[register]] (or the extensions class)
+    * to have run against the session first.
+    */
+  def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def graft_minhash(shingleInts: Column, nHashes: Int): Column =
+    call_function("graft_minhash", shingleInts, org.apache.spark.sql.functions.lit(nHashes))
+}
+
+/** SparkSessionExtensions installer for cluster deployments:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        GraftFunctions.dotInfo,
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))
+      )
+    )
+}

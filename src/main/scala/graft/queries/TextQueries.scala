@@ -195,19 +195,18 @@ object TextQueries {
     // Signature subtree is referenced by both band sides AND both
     // verification joins — without persist Spark recomputes the
     // md5+minhash HOF chain four times.
+    graft.functions.GraftFunctions.register(spark)
     val sh = withShingles(docs(spark, dir))
       .select(col("doc_id"), col("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sh_ints", transform(col("shingles"), s => h28(s)))
       .persist()
+    // graft_minhash == the HOF form
+    //   transform(sequence(0,15), i -> array_min(transform(sh_ints,
+    //     x -> ((2i+3)x + 97i + 11) mod p)))
+    // as a single codegen'd two-level loop (same values, same oracle).
     val sigDf = sh
-      .withColumn(
-        "sig",
-        transform(
-          sequence(lit(0), lit(nHashes - 1)),
-          i => array_min(transform(col("sh_ints"), x => ((i * 2 + 3) * x + i * 97 + 11) % p))
-        )
-      )
+      .withColumn("sig", graft.functions.GraftFunctions.graft_minhash(col("sh_ints"), nHashes))
     val bands = sigDf.select(
       col("doc_id"),
       explode(
@@ -236,10 +235,12 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sets = sh.select(col("doc_id"), col("shingles"))
+    // Verify on the int-hashed shingle sets: long equality beats string
+    // equality in the intersect/union loops; the oracle mirrors this.
+    val sets = sh.select(col("doc_id"), col("sh_ints"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_ints").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_ints").as("sh_b")), Seq("doc_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

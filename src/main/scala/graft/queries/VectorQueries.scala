@@ -20,16 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (bit-identical to the
+    * interpreted `aggregate(zip_with(...))` HOF form it replaces).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.graft_dot(a, b)
 
   /** Embeddings with the L2 norm precomputed per vector. */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read
       .parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+  }
 
   /** Brute-force cosine top-10 for query vectors (vec_id < 5): the
     * exactness baseline every ANN variant is judged against.
