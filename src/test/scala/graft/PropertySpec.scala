@@ -1,0 +1,126 @@
+package graft
+
+import graft.transforms.Transforms
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Property-based invariants from SURVEY §5.3, driven by generated log
+  * events: users-table grain, time-table functional dependency, and
+  * songplays row preservation.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Manual property driver (the scalatest/scalacheck bridge isn't in
+    * the offline cache): run the block over 10 seeded samples.
+    */
+  private def forAllSamples[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 10).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-prop-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private val schema = graft.schemas.Schemas.logData
+
+  private def mkRow(
+      user: String,
+      ts: Double,
+      page: String,
+      level: String
+  ): Row =
+    Row(
+      null, "auth", s"F$user", "F", 1, s"L$user", null, level, "loc", "PUT",
+      page, null, 1, null, 200, ts, "UA", user
+    )
+
+  private val eventGen: Gen[(String, Double, String, String)] = for {
+    user <- Gen.oneOf("1", "2", "3", "4", "5", "")
+    tsOff <- Gen.choose(0L, 100L)
+    page <- Gen.frequency(8 -> Gen.const("NextSong"), 2 -> Gen.const("Home"))
+    level <- Gen.oneOf("free", "paid")
+  } yield (user, 1.5423e12 + tsOff * 1000.0, page, level)
+
+  test("users table: one user_id per group modulo max-ts ties; level from a max-ts row") {
+    forAllSamples(Gen.listOfN(60, eventGen)) { evs =>
+      val rows = evs.map { case (u, ts, p, l) => mkRow(u, ts, p, l) }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val next = Transforms.nextSongEvents(df)
+      val users = Transforms.usersTable(next).collect()
+      val byUser = users.groupBy(_.getAs[String]("user_id"))
+      // no empty/null users
+      assert(!byUser.keySet.exists(u => u == null || u.isEmpty))
+      val nextRows = next.collect()
+      byUser.foreach { case (u, rs) =>
+        val userEvents = nextRows.filter(_.getAs[String]("userId") == u)
+        val maxTs = userEvents.map(_.getAs[Double]("ts")).max
+        val tieCount = userEvents.count(_.getAs[Double]("ts") == maxTs)
+        assert(rs.length == tieCount, s"user $u keeps exactly the max-ts ties")
+        val levelsAtMax = userEvents
+          .filter(_.getAs[Double]("ts") == maxTs)
+          .map(_.getAs[String]("level"))
+          .toSet
+        assert(rs.forall(r => levelsAtMax.contains(r.getAs[String]("level"))))
+      }
+    }
+  }
+
+  test("time table: distinct start_time; dims are pure functions of it") {
+    forAllSamples(Gen.listOfN(40, eventGen)) { evs =>
+      val rows = evs.map { case (u, ts, p, l) => mkRow(u, ts, p, l) }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val time = Transforms.timeTable(Transforms.withStartTime(Transforms.nextSongEvents(df)))
+      val collected = time.collect()
+      val starts = collected.map(_.getAs[java.sql.Timestamp]("start_time"))
+      assert(starts.length == starts.distinct.length, "distinct start_time")
+      collected.foreach { r =>
+        val st = r.getAs[java.sql.Timestamp]("start_time").toInstant.atZone(java.time.ZoneOffset.UTC)
+        assert(r.getAs[Int]("hour") == st.getHour)
+        assert(r.getAs[Int]("day") == st.getDayOfMonth)
+        assert(r.getAs[Int]("month") == st.getMonthValue)
+        assert(r.getAs[Int]("year") == st.getYear)
+      }
+    }
+  }
+
+  test("songplays: row count equals NextSong event count (left joins drop nothing)") {
+    forAllSamples(Gen.listOfN(50, eventGen)) { evs =>
+      val rows = evs.map { case (u, ts, p, l) => mkRow(u, ts, p, l) }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val next = Transforms.withStartTime(Transforms.nextSongEvents(df))
+      val emptySongs = spark.createDataFrame(
+        java.util.List.of[Row](),
+        StructType(
+          Seq(
+            StructField("song_id", StringType),
+            StructField("title", StringType),
+            StructField("artist_id", StringType),
+            StructField("year", IntegerType),
+            StructField("duration", DoubleType)
+          )
+        )
+      )
+      val emptyArtists = spark.createDataFrame(
+        java.util.List.of[Row](),
+        StructType(
+          Seq(
+            StructField("artist_id", StringType),
+            StructField("name", StringType),
+            StructField("location", StringType),
+            StructField("latitude", StringType),
+            StructField("longitude", StringType)
+          )
+        )
+      )
+      val time = Transforms.timeTable(next)
+      val sp = Transforms.songplaysTable(next, emptySongs, emptyArtists, time)
+      assert(sp.count() == next.count())
+    }
+  }
+}
