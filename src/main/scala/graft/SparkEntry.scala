@@ -47,7 +47,10 @@ object SparkEntry {
     "q25_near_dup_cosine" -> (VectorQueries.q25NearDupCosine _),
     "q26_ivf_ann" -> (VectorQueries.q26IvfAnn _),
     "q27_multimodal_decode" -> (MultimodalQueries.q27MultimodalDecode _),
-    "q28_multimodal_features" -> (MultimodalQueries.q28MultimodalFeatures _)
+    "q28_multimodal_features" -> (MultimodalQueries.q28MultimodalFeatures _),
+    "q29_asof_join" -> (CoreQueries.q29AsofJoin _),
+    "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
+    "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +289,22 @@ object SparkEntry {
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '1')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f1,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
-        |FROM dec""".stripMargin
+        |FROM dec""".stripMargin,
+    "q29_asof_join" ->
+      """SELECT e.event_id, e.user_id, r.o_orderdate AS asof_o_orderdate, r.last_order_price
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS last_order_price
+        |   FROM orders GROUP BY 1, 2) r
+        |ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""".stripMargin,
+    // q30_approx_distinct: intentionally no oracle (sketch internals
+    // differ across engines) -> driver's rows-only check.
+    "q31_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v
+        |      FROM e, (SELECT unnest(range(0, 64)) AS pos) t)
+        |SELECT label, pos,
+        |  CAST(sum(CAST(floor(v * 1073741824) AS BIGINT)) AS DOUBLE) / (count(*) * CAST(1073741824 AS DOUBLE)) AS centroid,
+        |  count(*) AS n
+        |FROM x GROUP BY label, pos""".stripMargin
   )
 }

@@ -239,6 +239,34 @@ object CoreQueries {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
 
+  /** As-of join (point-in-time-correct lookup): each event picks up the
+    * user's most recent order as of the event time — DuckDB's native
+    * ASOF JOIN is the oracle. See [[graft.operators.AsOfJoin]] for the
+    * single-shuffle composition.
+    */
+  def q29AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("last_order_price"))
+    graft.operators.AsOfJoin
+      .asofJoin(ev, ord, "user_id", "ts", "o_orderdate")
+      .select("event_id", "user_id", "asof_o_orderdate", "last_order_price")
+  }
+
+  /** Sketch aggregation: approximate distinct counts (HLL++). No SQL
+    * oracle — sketch internals differ across engines — so the driver
+    * records the weaker rows-only check for this one.
+    */
+  def q30ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        count(lit(1)).as("n")
+      )
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

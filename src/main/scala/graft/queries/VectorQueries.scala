@@ -67,6 +67,21 @@ object VectorQueries {
       .select("label", "id_a", "id_b", "cosine")
   }
 
+  /** Per-label centroid of the embedding vectors, via posexplode +
+    * integer-scaled exact sums (sum(floor(v·2^30)) is order-independent;
+    * the final division has exact operands — deterministic under any
+    * partitioning, mirrored by the oracle).
+    */
+  def q31LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(floor(col("v") * 1073741824L)).cast("double") / (count(lit(1)) * lit(1073741824.0)))
+          .as("centroid"),
+        count(lit(1)).as("n")
+      )
+
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.
