@@ -49,6 +49,7 @@ object SparkEntry {
     "q27_multimodal_decode" -> (MultimodalQueries.q27MultimodalDecode _),
     "q28_multimodal_features" -> (MultimodalQueries.q28MultimodalFeatures _),
     "q29_asof_join" -> (CoreQueries.q29AsofJoin _),
+    "q32_dedup_apply" -> (TextQueries.q32DedupApply _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
     "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
   )
@@ -298,6 +299,22 @@ object SparkEntry {
         |ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""".stripMargin,
     // q30_approx_distinct: intentionally no oracle (sketch internals
     // differ across engines) -> driver's rows-only check.
+    "q32_dedup_apply" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |       ELSE [] END AS shingles FROM tk),
+        |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM keep_exact)
+        |  AND doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v

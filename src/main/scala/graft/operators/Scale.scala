@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out techniques as reusable operators: bucketed co-located
+  * joins (shuffle elimination for repeated big-big joins) and salted
+  * joins (hot-key skew mitigation beyond what AQE's skew-split covers).
+  */
+object Scale {
+
+  /** Write a DataFrame as a bucketed+sorted table. Joins between tables
+    * bucketed on the same key with the same bucket count plan as
+    * SortMergeJoin with NO Exchange on either side — the shuffle is paid
+    * once at write time and amortized over every subsequent join, the
+    * core trick for repeated fact-fact joins at 100 TB.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two bucketed tables (read back by name). */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String,
+      joinType: String = "inner"
+  ): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Salted inner equi-join for skewed keys. The left (large, skewed)
+    * side gets a deterministic salt from its non-key columns; the right
+    * side is replicated `salts` times. Result equals the plain join, but
+    * each hot key spreads over `salts` reducers.
+    *
+    * Prefer AQE's skew-split when it applies (sort-merge joins); salting
+    * still wins for skewed hash aggregations and broadcast-ineligible
+    * plans, so the engine exposes it explicitly.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int
+  ): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts))
+    )
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft
+      .join(saltedRight, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}
+
+/** End-to-end deduplication facade over the documents shape: exact and
+  * near-duplicate removal with a deterministic keep rule.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical content. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Near-dup removal given a pair table (doc_a < doc_b): drop every doc
+    * that appears as the larger id of a near-dup pair. Deterministic and
+    * one pass — the transitive-closure variant (connected components)
+    * would iterate label propagation; the greedy rule is the common
+    * training-data-pipeline choice and keeps ≥1 doc per dup cluster.
+    */
+  def dropNearDups(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String
+  ): DataFrame =
+    docs.join(
+      pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol),
+      "left_anti"
+    )
+}

@@ -250,6 +250,19 @@ object TextQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** End-to-end dedup application: exact dedup (keep min id per
+    * identical text) then greedy near-dup removal (drop the larger id of
+    * every Jaccard≥0.5 pair) — the library facade
+    * [[graft.operators.Dedup]] driven by the q21 pair table.
+    */
+  def q32DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = q21NgramJaccard(spark, dir)
+    graft.operators.Dedup
+      .dropNearDups(graft.operators.Dedup.dedupExact(d, "doc_id", "text"), pairs, "doc_id")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Scale-technique specs: bucketed joins eliminate the shuffle; salted
+  * joins preserve plain-join results.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-scale-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans without Exchange") {
+    val wh = Files.createTempDirectory("graft-bucket").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    li.write
+      .mode("overwrite")
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$wh/li_b")
+      .format("parquet")
+      .saveAsTable("li_b")
+    orders
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$wh/ord_b")
+      .format("parquet")
+      .saveAsTable("ord_b")
+
+    // At this fixture scale Catalyst correctly prefers a broadcast
+    // join; disable it to expose the co-located sort-merge path that a
+    // big-big join would take at 100 TB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan"
+      )
+      assert(joined.count() == li.count(), "inner join on FK keeps every lineitem")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join result equals the plain join") {
+    val li = spark.read
+      .parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val orders = spark.read
+      .parquet(s"$sf/orders.parquet")
+      .select(
+        org.apache.spark.sql.functions.col("o_orderkey").as("l_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice")
+      )
+    val plain = li.join(orders, Seq("l_orderkey"))
+    val salted = Scale.saltedJoin(li, orders, "l_orderkey", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
