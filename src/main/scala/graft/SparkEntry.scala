@@ -182,27 +182,28 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fingerprint
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents)""".stripMargin,
     "q21_ngram_jaccard" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
         |sh AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 3
-        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |       ELSE [] END AS shingles FROM tk),
-        |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
         |  CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
         |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
     "q22_minhash_lsh" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        |sh0 AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 3
-        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |       ELSE [] END AS shingles FROM tk),
-        |sh AS (SELECT doc_id, shingles,
-        |    list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS sh_ints
-        |  FROM sh0 WHERE len(shingles) > 0),
-        |sig AS (SELECT doc_id, shingles,
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id, sh_ints FROM (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk) WHERE len(sh_ints) > 0),
+        |sig AS (SELECT doc_id,
         |    list_transform(range(0, 16), i -> list_min(list_transform(sh_ints, x -> ((i*2+3)*x + i*97 + 11) % 2147483647))) AS sig
         |  FROM sh),
         |bands AS (SELECT doc_id, bb.band AS band,
@@ -300,12 +301,14 @@ object SparkEntry {
     // q30_approx_distinct: intentionally no oracle (sketch internals
     // differ across engines) -> driver's rows-only check.
     "q32_dedup_apply" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
         |sh AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 3
-        |       THEN list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |       ELSE [] END AS shingles FROM tk),
-        |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

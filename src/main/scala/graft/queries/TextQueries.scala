@@ -121,32 +121,45 @@ object TextQueries {
     )
   }
 
-  /** Word-3-gram shingle sets per doc (distinct), used by the Jaccard and
-    * MinHash operators. Shingles are built positionally with 1-indexed
-    * element_at to mirror DuckDB list indexing.
+  /** Distinct word-3-gram shingle HASHES per doc, used by the Jaccard
+    * and MinHash operators. Tokens are hashed once (28-bit md5 ints) and
+    * 3-grams combine arithmetically — one md5 per token instead of one
+    * md5 over every built shingle string, and downstream joins compare
+    * longs, not strings. The polynomial combine keeps every intermediate
+    * < 2^45 (no overflow in either engine); the oracle mirrors the exact
+    * op order.
+    *
+    * Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short texts
+    * short-circuit to an empty array.
     */
   private def withShingles(d: DataFrame): DataFrame = {
+    val p = lit(2147483647L)
     val toks = tokens(col("text"))
-    // Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short texts
-    // must short-circuit to an empty array rather than sequence(1, size-2).
-    d.withColumn(
-      "shingles",
-      when(
-        size(toks) >= 3,
+    // Shape matters here: an element_at(i)/element_at(i+1)/element_at(i+2)
+    // formulation re-references the token-hash array per ELEMENT, and
+    // when Catalyst pushes a downstream predicate through the projection
+    // it inlines the whole md5-transform into each reference — turning
+    // 300 hashes/row into ~270k/row. zip_with over three slices
+    // references the array exactly three times per ROW under any
+    // predicate pushdown. The cheap token-count pre-filter replaces the
+    // empty-shingles guard (tokens>=3 ⟺ shingles non-empty).
+    d.filter(size(toks) >= 3)
+      .withColumn("__th", transform(toks, t => h28(t)))
+      .withColumn(
+        "sh_ints",
         array_distinct(
-          transform(
-            sequence(lit(1), size(toks) - 2),
-            i =>
-              concat_ws(
-                " ",
-                element_at(toks, i),
-                element_at(toks, i + 1),
-                element_at(toks, i + 2)
-              )
+          zip_with(
+            zip_with(
+              slice(col("__th"), lit(1), size(col("__th")) - 2),
+              slice(col("__th"), lit(2), size(col("__th")) - 2),
+              (a, b) => (a * 8191 + b) % p
+            ),
+            slice(col("__th"), lit(3), size(col("__th")) - 2),
+            (ab, c) => (ab * 8191 + c) % p
           )
         )
-      ).otherwise(array().cast("array<string>"))
-    )
+      )
+      .drop("__th")
   }
 
   /** Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, generated
@@ -161,10 +174,10 @@ object TextQueries {
     // The shingle stage feeds both join sides — persist so the
     // HOF-heavy tokenize+shingle subtree computes once.
     val sh = withShingles(docs(spark, dir))
-      .select(col("doc_id"), col("shingles"))
-      .withColumn("n_sh", size(col("shingles")))
+      .select(col("doc_id"), col("sh_ints"))
+      .withColumn("n_sh", size(col("sh_ints")))
       .persist()
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
     val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -197,9 +210,8 @@ object TextQueries {
     // md5+minhash HOF chain four times.
     graft.functions.GraftFunctions.register(spark)
     val sh = withShingles(docs(spark, dir))
-      .select(col("doc_id"), col("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sh_ints", transform(col("shingles"), s => h28(s)))
+      .select(col("doc_id"), col("sh_ints"))
+      .filter(size(col("sh_ints")) > 0)
       .persist()
     // graft_minhash == the HOF form
     //   transform(sequence(0,15), i -> array_min(transform(sh_ints,
