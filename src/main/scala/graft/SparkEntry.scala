@@ -50,6 +50,8 @@ object SparkEntry {
     "q28_multimodal_features" -> (MultimodalQueries.q28MultimodalFeatures _),
     "q29_asof_join" -> (CoreQueries.q29AsofJoin _),
     "q32_dedup_apply" -> (TextQueries.q32DedupApply _),
+    "q33_cube" -> (CoreQueries.q33Cube _),
+    "q34_top_terms" -> (TextQueries.q34TopTerms _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
     "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
   )
@@ -292,6 +294,18 @@ object SparkEntry {
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
         |FROM dec""".stripMargin,
+    "q33_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q34_top_terms" ->
+      """SELECT lang, token, df, rk FROM (
+        |  SELECT lang, token, df,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, token ASC) AS INTEGER) AS rk
+        |  FROM (SELECT lang, token, count(*) AS df FROM (
+        |      SELECT doc_id, lang, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS token
+        |      FROM documents) GROUP BY lang, token))
+        |WHERE rk <= 5""".stripMargin,
     "q29_asof_join" ->
       """SELECT e.event_id, e.user_id, r.o_orderdate AS asof_o_orderdate, r.last_order_price
         |FROM events e ASOF LEFT JOIN

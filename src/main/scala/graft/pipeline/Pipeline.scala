@@ -69,13 +69,20 @@ object Pipeline {
     *                          output files.
     * @param partitionTimeByMonth hive `month=MM/` layout (the `_1.py` /
     *                          partition-aware load variant).
+    * @param dynamicPartitionOverwrite replace only the month partitions
+    *                          present in THIS file instead of the whole
+    *                          table (the 100 TB incremental mode: the
+    *                          reference's STATIC overwrite rewrites the
+    *                          entire table every run, which does not
+    *                          survive a large accumulated history).
     */
   def runIncremental(
       spark: SparkSession,
       rawFile: String,
       output: String,
       singleFileOutput: Boolean = true,
-      partitionTimeByMonth: Boolean = false
+      partitionTimeByMonth: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false
   ): Unit = {
     val logData = spark.read.schema(Schemas.logData).json(rawFile)
     val events = nextSongEvents(logData)
@@ -86,7 +93,12 @@ object Pipeline {
 
     val time = timeTable(withStartTime(events))
     val timeOut = if (singleFileOutput) time.coalesce(1) else time
-    val writer = timeOut.write.mode("overwrite")
+    val writer = timeOut.write
+      .mode("overwrite")
+      .option(
+        "partitionOverwriteMode",
+        if (dynamicPartitionOverwrite) "dynamic" else "static"
+      )
     (if (partitionTimeByMonth) writer.partitionBy("month") else writer)
       .parquet(s"${output}time_table.parquet")
   }

@@ -226,6 +226,15 @@ object CoreQueries {
       .unionAll(custNations.except(suppNations).withColumn("side", lit("cust_only")))
   }
 
+  /** CUBE grouping sets: all 2^2 grouping combinations in one pass. */
+  def q33Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_cents")
+      )
+
   /** ROLLUP grouping sets (beyond the reference — §2.4 extension). */
   def q14Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

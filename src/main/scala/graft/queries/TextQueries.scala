@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the `documents` table: exact dedup,
@@ -260,6 +261,23 @@ object TextQueries {
       )
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Top-5 terms per language by document frequency: explode tokens →
+    * distinct (doc, token) → count per (lang, token) → ranked window.
+    * The 100 TB shape: one explode-side shuffle keyed by (lang, token)
+    * with map-side partial counts, then a tiny per-lang top-k.
+    */
+  def q34TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("lang"), col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("token").asc)
+    tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "token", "df", "rk")
   }
 
   /** End-to-end dedup application: exact dedup (keep min id per
