@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // S11 parity: fewer GCS metadata ops on commit when running
+      // against gs:// paths (no-op on local FS).
+      .config("spark.hadoop.fs.gs.implicit.dir.repair.enable", "false")
     if (master.nonEmpty) b.master(master) else b
   }
 

@@ -51,6 +51,7 @@ object SparkEntry {
     "q29_asof_join" -> (CoreQueries.q29AsofJoin _),
     "q32_dedup_apply" -> (TextQueries.q32DedupApply _),
     "q33_cube" -> (CoreQueries.q33Cube _),
+    "q35_rh_lsh_ann" -> (VectorQueries.q35RhLshAnn _),
     "q34_top_terms" -> (TextQueries.q34TopTerms _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
     "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
@@ -294,6 +295,27 @@ object SparkEntry {
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
         |FROM dec""".stripMargin,
+    "q35_rh_lsh_ann" ->
+      """WITH planes AS (SELECT list_transform(range(0, 6), j -> list_transform(range(0, 64), d ->
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))), 1, 7)) AS BIGINT) % 2 = 1
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) AS pl),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, emb, nrm,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(emb, pl[j+1]), p -> p[1]*p[2])), (a,v) -> a+v) > 0
+        |           THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a,v) -> a+v) AS BIGINT) AS bucket
+        |  FROM n, planes),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM b WHERE vec_id < 5)
+        |SELECT query_id, bucket, vec_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+        |  SELECT q.query_id, q.bucket, c.vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * c.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS rank
+        |  FROM q JOIN b c ON q.bucket = c.bucket WHERE c.vec_id >= 5)
+        |WHERE rank <= 5""".stripMargin,
     "q33_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

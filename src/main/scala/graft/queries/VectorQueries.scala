@@ -82,6 +82,54 @@ object VectorQueries {
         count(lit(1)).as("n")
       )
 
+  /** Deterministic Rademacher hyperplanes for the RH-LSH variant: sign
+    * of plane (j, d) = parity of the 28-bit md5 int of "j_d" — the same
+    * construction the DuckDB oracle evaluates in SQL, so both engines
+    * hold the identical plane matrix. Computed once driver-side and
+    * shipped as a literal (it is data-independent).
+    */
+  private lazy val rhPlanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    (0 until 6).map { j =>
+      (0 until 64).map { d => if (h28(s"${j}_${d}") % 2 == 1) 1.0 else -1.0 }
+    }
+  }
+
+  /** Random-hyperplane (SimHash-for-cosine) LSH ANN: bucket = 6 sign
+    * bits of plane projections; queries search only their bucket. The
+    * LSH counterpart to the IVF variant below — candidate volume drops
+    * to the bucket's occupancy (~N/64 for random data; planes are
+    * data-independent so no training pass).
+    */
+  def q35RhLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val planesLit = typedLit(rhPlanes)
+    val bucket = aggregate(
+      transform(
+        sequence(lit(0), lit(5)),
+        j =>
+          when(dot(col("emb"), element_at(planesLit, (j + 1).cast("int"))) > 0,
+            pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      ),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+    val withBucket = e.withColumn("bucket", bucket)
+    val q = withBucket
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("bucket"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(withBucket.filter(col("vec_id") >= 5), Seq("bucket"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("query_id", "bucket", "vec_id", "rank", "cosine")
+  }
+
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.
