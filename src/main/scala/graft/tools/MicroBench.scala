@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Microbenchmark: native codegen expressions vs the interpreted
+  * higher-order-function forms they replace.
+  * Usage: runMain graft.tools.MicroBench [sfDir]
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local("graft-microbench")
+    graft.functions.GraftFunctions.register(spark)
+
+    val e = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(spark.range(0, 50).toDF("rep"))
+      .persist()
+    e.count()
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[micro] $label%-28s $s%8.3f s")
+      s
+    }
+
+    val hofDot = aggregate(
+      zip_with(col("emb"), col("emb"), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+    val a = time("dot: HOF fold")(
+      e.select(sum(hofDot)).collect()
+    )
+    val b = time("dot: graft_dot native")(
+      e.select(sum(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb")))).collect()
+    )
+
+    val ints = e.withColumn("xs", transform(col("emb"), v => (abs(v) * 1e6).cast("long") % 268435456))
+      .persist()
+    ints.count()
+    val p = lit(2147483647L)
+    val hofMinhash = transform(
+      sequence(lit(0), lit(15)),
+      i => array_min(transform(col("xs"), x => ((i * 2 + 3) * x + i * 97 + 11) % p))
+    )
+    val c = time("minhash: HOF nested")(
+      ints.select(sum(element_at(hofMinhash, 1))).collect()
+    )
+    val d = time("minhash: graft_minhash")(
+      ints
+        .select(sum(element_at(graft.functions.GraftFunctions.graft_minhash(col("xs"), 16), 1)))
+        .collect()
+    )
+    println(f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx")
+    spark.stop()
+  }
+}
