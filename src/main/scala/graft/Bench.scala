@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest SF: the first execution of each plan shape
+    // pays JIT + codegen compilation (measured ~4s on the first window
+    // query, 0.6s steady-state) — irrelevant on a long-lived cluster,
+    // so keep it out of the timed numbers.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
+    }
     // Force FULL evaluation with the noop sink: a count() would let
     // Catalyst prune per-row compute out of pure-projection queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
