@@ -52,6 +52,7 @@ object SparkEntry {
     "q32_dedup_apply" -> (TextQueries.q32DedupApply _),
     "q33_cube" -> (CoreQueries.q33Cube _),
     "q35_rh_lsh_ann" -> (VectorQueries.q35RhLshAnn _),
+    "q36_dedup_components" -> (TextQueries.q36DedupComponents _),
     "q34_top_terms" -> (TextQueries.q34TopTerms _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
     "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
@@ -295,6 +296,28 @@ object SparkEntry {
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
         |FROM dec""".stripMargin,
+    "q36_dedup_components" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "q35_rh_lsh_ann" ->
       """WITH planes AS (SELECT list_transform(range(0, 6), j -> list_transform(range(0, 64), d ->
         |    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))), 1, 7)) AS BIGINT) % 2 = 1

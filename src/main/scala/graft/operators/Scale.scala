@@ -79,6 +79,52 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over a near-dup pair table (doc_a < doc_b):
+    * returns (id, component) where component is the minimum doc id
+    * reachable through pair edges — the transitive-closure dup cluster,
+    * vs. [[dropNearDups]]'s one-hop greedy rule.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * graph-diameter rounds (dup clusters are shallow in practice). The
+    * driver loop only CONTROLS iteration — labels/edges stay
+    * distributed; per-round cost is one join + one groupBy on the edge
+    * relation, and the loop exits when a round changes nothing.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
+        )
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup removal given a pair table (doc_a < doc_b): drop every doc
     * that appears as the larger id of a near-dup pair. Deterministic and
     * one pass — the transitive-closure variant (connected components)

@@ -293,6 +293,15 @@ object TextQueries {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** Transitive dup clusters: connected components over the q21 pair
+    * graph — each clustered doc mapped to the minimum doc id of its
+    * component (the representative a keep-one rule would retain).
+    */
+  def q36DedupComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .connectedComponents(q21NgramJaccard(spark, dir).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
