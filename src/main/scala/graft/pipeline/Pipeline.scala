@@ -126,7 +126,8 @@ object PipelineRunner {
           s"${bucket}raw/$f",
           s"${bucket}transformed/",
           singleFileOutput = opts.getOrElse("coalesce", "true").toBoolean,
-          partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean
+          partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean,
+          dynamicPartitionOverwrite = opts.getOrElse("dynamic_overwrite", "false").toBoolean
         )
       case None =>
         Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")
