@@ -53,6 +53,9 @@ object SparkEntry {
     "q33_cube" -> (CoreQueries.q33Cube _),
     "q35_rh_lsh_ann" -> (VectorQueries.q35RhLshAnn _),
     "q36_dedup_components" -> (TextQueries.q36DedupComponents _),
+    "q37_running_total" -> (CoreQueries.q37RunningTotal _),
+    "q38_lead_lag" -> (CoreQueries.q38LeadLag _),
+    "q39_pivot" -> (CoreQueries.q39Pivot _),
     "q34_top_terms" -> (TextQueries.q34TopTerms _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
     "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
@@ -296,6 +299,28 @@ object SparkEntry {
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '2')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f2,
         |  CAST(CAST(concat('0x', substr(md5(concat(content_md5, '3')), 1, 7)) AS BIGINT) AS DOUBLE) / CAST(268435456 AS DOUBLE) AS f3
         |FROM dec""".stripMargin,
+    "q37_running_total" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders""".stripMargin,
+    "q38_lead_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', prev_date, o_orderdate) AS INTEGER) AS days_since_prev,
+        |  CAST(date_diff('day', o_orderdate, next_date) AS INTEGER) AS days_until_next
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+        |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+        |  FROM orders)""".stripMargin,
+    "q39_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q36_dedup_components" ->
       """WITH RECURSIVE tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),

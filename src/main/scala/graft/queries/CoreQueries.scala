@@ -276,6 +276,44 @@ object CoreQueries {
         count(lit(1)).as("n")
       )
 
+  /** Running total per customer with the default RANGE frame (peers of
+    * equal orderdate share the running value in both engines, so the
+    * result is deterministic even with date ties).
+    */
+  def q37RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    t(spark, dir, "orders")
+      .withColumn("running_cents", sum(cents(col("o_totalprice"))).over(w))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "running_cents")
+  }
+
+  /** lead/lag navigation: gap in days to the customer's previous and
+    * next order (deterministic total order via the orderkey tiebreak).
+    */
+  def q38LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"),
+        datediff(col("next_date"), col("o_orderdate")).as("days_until_next")
+      )
+  }
+
+  /** Pivot: event counts per user spread into one column per event
+    * type (explicit value list → conditional-aggregation equivalent).
+    */
+  def q39Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na
+      .fill(0L)
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
