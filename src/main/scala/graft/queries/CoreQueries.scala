@@ -121,8 +121,11 @@ object CoreQueries {
 
   /** Left join on a multi-column condition including exact Double
     * equality (J2 semantics: `length == duration`). The dim is the
-    * max-quantity-per-part table, so double-equality matches really
-    * occur. Build side is small → broadcast.
+    * max-quantity-per-part table — it SCALES with `part`, so no
+    * broadcast hint: under the size threshold Catalyst broadcasts on
+    * its own, above it the join degrades safely to shuffle (and AQE
+    * upgrades SMJ→BHJ at runtime when the built side turns out small).
+    * A forced hint would OOM at 100 TB and AQE never demotes hints.
     */
   def q7JoinLeftMulti(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -130,7 +133,7 @@ object CoreQueries {
       .groupBy(col("l_partkey").as("pk"))
       .agg(max(col("l_quantity")).as("max_qty"))
     li.join(
-      broadcast(dim),
+      dim,
       li("l_partkey") === dim("pk") && li("l_quantity") === dim("max_qty"),
       "left"
     ).select(
@@ -195,9 +198,14 @@ object CoreQueries {
       .select("event_id", "user_id", "session_seq")
   }
 
-  /** Star join: revenue per nation for one region (dims broadcast;
-    * single shuffle for the final group-by). The canonical 100 TB shape:
-    * fact scans stay distributed, every dim ships to executors once.
+  /** Star join: revenue per nation for one region. The canonical 100 TB
+    * shape: fact scans stay distributed; dims under
+    * `autoBroadcastJoinThreshold` ship to executors once WITHOUT
+    * explicit hints — region/nation always qualify, customer only while
+    * it fits, and above threshold the planner falls back to a shuffled
+    * join that AQE can still upgrade at runtime. Forced `broadcast()`
+    * hints are deliberately absent: they bypass the size check and AQE
+    * never demotes them, which OOMs on unbounded dims at scale.
     */
   def q12StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -206,9 +214,9 @@ object CoreQueries {
     val orders = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
-      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
-      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
         sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),

@@ -139,13 +139,23 @@ object VectorQueries {
     val cent = e
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cent_id").asc)
+    // Assignment is an AGGREGATION, not a window: a row_number over
+    // `partition by vec_id` on the post-cross-join relation would
+    // shuffle N×K rows each carrying the 64-double vector. max_by with
+    // partial (map-side) aggregation collapses to N rows BEFORE the
+    // shuffle; the struct ordering key (c_cos desc ⇒ max, then
+    // -cent_id ⇒ smallest cent_id) reproduces the deterministic
+    // argmax-with-tiebreak the oracle's row_number expresses.
     val assigned = e
       .join(broadcast(cent), expr("true"), "cross")
       .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cluster"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
     val queries = assigned
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("cluster"))

@@ -31,10 +31,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
-  test("q12: star join broadcasts every dimension (fact side never shuffles pre-agg)") {
+  test("q12: dims auto-broadcast under the size threshold (no hints in the query)") {
+    // The query carries NO broadcast() hints — at this sf every dim sits
+    // under autoBroadcastJoinThreshold so Catalyst must pick BHJ on its
+    // own, and the fact side's only shuffle is the final group-by. Above
+    // threshold the same query degrades safely (AQE may re-upgrade),
+    // which a forced hint would forbid.
     val plan = planOf(CoreQueries.q12StarJoin(spark, sf))
-    assert(plan.split("BroadcastHashJoin").length >= 5, s"4 broadcast joins expected:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), "no SMJ in the dim-join chain")
+    assert(plan.split("BroadcastHashJoin").length >= 5, s"dims should auto-broadcast at this sf:\n$plan")
+    assert(
+      plan.split("Exchange hashpartitioning").length == 2,
+      s"only the final groupBy may shuffle the fact side:\n$plan"
+    )
+  }
+
+  test("q26: IVF assignment is an aggregation — no window above the centroid cross join") {
+    val plan = planOf(queries.VectorQueries.q26IvfAnn(spark, sf))
+    // Count actual Window exec nodes ("Window [" — WindowGroupLimit is a
+    // top-k pushdown helper, not a window shuffle, and doesn't count).
+    assert(
+      plan.split("Window \\[").length == 2,
+      s"exactly one Window (the per-query top-k) expected:\n$plan"
+    )
+    assert(plan.contains("max_by"), s"argmax assignment should plan as max_by aggregate:\n$plan")
   }
 
   test("q9: top-k plans as TakeOrderedAndProject, not a global sort") {
