@@ -101,6 +101,15 @@ object GraftFunctions {
         ),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs =>
+        SimHash(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()
+        ),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -110,6 +119,9 @@ object GraftFunctions {
 
   def graft_minhash(shingleInts: Column, nHashes: Int): Column =
     call_function("graft_minhash", shingleInts, org.apache.spark.sql.functions.lit(nHashes))
+
+  def graft_simhash(tokenHashes: Column, nBits: Int): Column =
+    call_function("graft_simhash", tokenHashes, org.apache.spark.sql.functions.lit(nBits))
 }
 
 /** SparkSessionExtensions installer for cluster deployments:

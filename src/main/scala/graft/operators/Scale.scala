@@ -86,10 +86,18 @@ object Dedup {
     *
     * Iterative min-label propagation: each round every node adopts the
     * smallest label among itself and its neighbors; converges in
-    * graph-diameter rounds (dup clusters are shallow in practice). The
-    * driver loop only CONTROLS iteration — labels/edges stay
-    * distributed; per-round cost is one join + one groupBy on the edge
-    * relation, and the loop exits when a round changes nothing.
+    * graph-diameter rounds (dup clusters are shallow in practice —
+    * large-star/small-star would cut rounds further on deep graphs).
+    * The driver loop only CONTROLS iteration — labels/edges stay
+    * distributed.
+    *
+    * Per round, exactly ONE distributed job: the new label table is
+    * materialized via eager `localCheckpoint`, which both cuts plan
+    * lineage (otherwise it grows linearly in rounds — replanning cost
+    * and eventual stack overflows on deep iteration) and lets the
+    * convergence check — a `changed` flag folded into the propagation
+    * select — run as a cheap scan of the checkpointed blocks instead of
+    * re-executing the round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -100,26 +108,27 @@ object Dedup {
       .select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .persist()
-    var changed = 1L
-    while (changed > 0) {
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .join(
+          labels.withColumnRenamed("id", "nid").withColumnRenamed("comp", "ncomp0"),
+          col("dst") === col("nid")
+        )
         .groupBy(col("src"))
-        .agg(min(col("comp")).as("ncomp"))
+        .agg(min(col("ncomp0")).as("ncomp"))
       val next = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("ncomp"), col("comp"))).cast("long").as("changed")
         )
-        .persist()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint() // eager: the round's one job; lineage cut here
+      val changedRow = next.agg(sum(col("changed"))).first()
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      labels = next.drop("changed")
     }
     edges.unpersist()
     labels

@@ -54,7 +54,38 @@ object MicroBench {
         .select(sum(element_at(graft.functions.GraftFunctions.graft_minhash(col("xs"), 16), 1)))
         .collect()
     )
-    println(f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx")
+
+    def bitAt(h: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(h / pow(lit(2.0), b)).cast("long") % 2
+    val hofSimhash = aggregate(
+      zip_with(
+        transform(
+          sequence(lit(0), lit(27)),
+          bb =>
+            when(
+              aggregate(
+                col("xs"),
+                lit(0L),
+                (acc, h) => acc + when(bitAt(h, bb) === 1, lit(1L)).otherwise(lit(-1L))
+              ) > 0,
+              lit(1L)
+            ).otherwise(lit(0L))
+        ),
+        sequence(lit(0), lit(27)),
+        (bit, i) => bit * pow(lit(2.0), i).cast("long")
+      ),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+    val g = time("simhash: HOF nested")(
+      ints.select(sum(hofSimhash)).collect()
+    )
+    val h = time("simhash: graft_simhash")(
+      ints.select(sum(graft.functions.GraftFunctions.graft_simhash(col("xs"), 28))).collect()
+    )
+    println(
+      f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx"
+    )
     spark.stop()
   }
 }
