@@ -382,8 +382,18 @@ object SparkEntry {
         |  (SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS last_order_price
         |   FROM orders GROUP BY 1, 2) r
         |ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""".stripMargin,
-    // q30_approx_distinct: intentionally no oracle (sketch internals
-    // differ across engines) -> driver's rows-only check.
+    // q30: exact counts hash-compare directly; the HLL++ estimates are
+    // folded into the same hash as relative-error flags the oracle
+    // asserts as literal TRUE (sketch VALUES are engine-specific, the
+    // 5%-of-exact bound is not).
+    "q30_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q32_dedup_apply" ->
       """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),

@@ -82,9 +82,13 @@ object Pipeline {
       output: String,
       singleFileOutput: Boolean = true,
       partitionTimeByMonth: Boolean = false,
-      dynamicPartitionOverwrite: Boolean = false
+      dynamicPartitionOverwrite: Boolean = false,
+      failFast: Boolean = false
   ): Unit = {
-    val logData = spark.read.schema(Schemas.logData).json(rawFile)
+    val logData = spark.read
+      .schema(Schemas.logData)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(rawFile)
     val events = nextSongEvents(logData)
 
     val users = usersTable(events)
@@ -101,6 +105,47 @@ object Pipeline {
       )
     (if (partitionTimeByMonth) writer.partitionBy("month") else writer)
       .parquet(s"${output}time_table.parquet")
+  }
+
+  /** Incremental run with the reference DAG's failure path (reference
+    * `dags/sparkify_dag.py:137-143`: a `TriggerRule.ONE_FAILED` task
+    * moves the raw file out of `raw/` when the Spark job fails): any
+    * exception quarantines the raw file under `${bucket}failed/` via a
+    * Hadoop FS rename — a same-filesystem metadata move, no byte copy —
+    * so the next scheduler tick doesn't re-feed a poisoned input.
+    * Returns true on success, false when the file was quarantined.
+    */
+  def runIncrementalQuarantined(
+      spark: SparkSession,
+      bucket: String,
+      rawFileName: String,
+      singleFileOutput: Boolean = true,
+      partitionTimeByMonth: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false,
+      failFast: Boolean = false
+  ): Boolean = {
+    val rawPath = s"${bucket}raw/$rawFileName"
+    try {
+      runIncremental(
+        spark,
+        rawPath,
+        s"${bucket}transformed/",
+        singleFileOutput,
+        partitionTimeByMonth,
+        dynamicPartitionOverwrite,
+        failFast
+      )
+      true
+    } catch {
+      case e: Throwable =>
+        val src = new org.apache.hadoop.fs.Path(rawPath)
+        val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val failedDir = new org.apache.hadoop.fs.Path(s"${bucket}failed/")
+        fs.mkdirs(failedDir)
+        fs.rename(src, new org.apache.hadoop.fs.Path(failedDir, rawFileName))
+        System.err.println(s"[pipeline] quarantined $rawFileName -> failed/: ${e.getMessage}")
+        false
+    }
   }
 
   /** Convenience: read one of the produced tables back. */
@@ -121,13 +166,14 @@ object PipelineRunner {
     val spark = graft.GraftSession.local("graft-pipeline")
     opts.get("raw_file_name") match {
       case Some(f) =>
-        Pipeline.runIncremental(
+        Pipeline.runIncrementalQuarantined(
           spark,
-          s"${bucket}raw/$f",
-          s"${bucket}transformed/",
+          bucket,
+          f,
           singleFileOutput = opts.getOrElse("coalesce", "true").toBoolean,
           partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean,
-          dynamicPartitionOverwrite = opts.getOrElse("dynamic_overwrite", "false").toBoolean
+          dynamicPartitionOverwrite = opts.getOrElse("dynamic_overwrite", "false").toBoolean,
+          failFast = opts.getOrElse("fail_fast", "false").toBoolean
         )
       case None =>
         Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")

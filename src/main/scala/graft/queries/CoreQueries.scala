@@ -271,17 +271,33 @@ object CoreQueries {
       .select("event_id", "user_id", "asof_o_orderdate", "last_order_price")
   }
 
-  /** Sketch aggregation: approximate distinct counts (HLL++). No SQL
-    * oracle — sketch internals differ across engines — so the driver
-    * records the weaker rows-only check for this one.
+  /** Sketch aggregation: approximate distinct counts (HLL++). Raw
+    * sketch estimates are engine-specific, so the checkable surface
+    * splits in two inside ONE hashed comparison: the exact counts
+    * hash-match the oracle directly, and each estimate is validated as a
+    * relative-error flag (|approx−exact|/exact ≤ 5%, with rsd=0.01 —
+    * a 5σ bound; HLL++ is deterministic for fixed input, so the flag is
+    * stable across runs) that the oracle asserts as literal TRUE.
     */
   def q30ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n_parts"),
+        col("n_orders"),
+        col("n"),
+        (abs(col("ap") - col("n_parts")).cast("double") / col("n_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("ao") - col("n_orders")).cast("double") / col("n_orders") <= 0.05)
+          .as("orders_within_5pct")
       )
 
   /** Running total per customer with the default RANGE frame (peers of

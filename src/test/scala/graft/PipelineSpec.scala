@@ -166,6 +166,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(timeDirs.exists(_.startsWith("month=")), s"month= hive dirs, got ${timeDirs.mkString(",")}")
   }
 
+  test("incremental failure quarantines the raw file under failed/") {
+    val root = Files.createTempDirectory("graft-quar").toString + "/"
+    val rawDir = java.nio.file.Paths.get(root, "raw")
+    Files.createDirectories(rawDir)
+    Files.writeString(rawDir.resolve("bad.json"), "{this is not json at all")
+    val ok = Pipeline.runIncrementalQuarantined(spark, root, "bad.json", failFast = true)
+    assert(!ok, "malformed input must report failure")
+    assert(!Files.exists(rawDir.resolve("bad.json")), "raw file removed from raw/")
+    assert(
+      Files.exists(java.nio.file.Paths.get(root, "failed", "bad.json")),
+      "raw file moved to failed/"
+    )
+  }
+
+  test("incremental success leaves the raw file in raw/ (no quarantine)") {
+    val root = Files.createTempDirectory("graft-quar-ok").toString + "/"
+    val rawDir = java.nio.file.Paths.get(root, "raw")
+    Files.createDirectories(rawDir)
+    Files.writeString(rawDir.resolve("events.json"), logJson.mkString("\n"))
+    val ok = Pipeline.runIncrementalQuarantined(spark, root, "events.json", failFast = true)
+    assert(ok)
+    assert(Files.exists(rawDir.resolve("events.json")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "failed", "events.json")))
+  }
+
   test("case-insensitive resolution: userID resolves against userId column") {
     import org.apache.spark.sql.functions.col
     val logDf = spark.read.schema(Schemas.logData).json(dirs._1 + "log_data/*/*/*.json")
