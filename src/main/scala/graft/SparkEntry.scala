@@ -58,7 +58,15 @@ object SparkEntry {
     "q39_pivot" -> (CoreQueries.q39Pivot _),
     "q34_top_terms" -> (TextQueries.q34TopTerms _),
     "q30_approx_distinct" -> (CoreQueries.q30ApproxDistinct _),
-    "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _)
+    "q31_label_centroids" -> (VectorQueries.q31LabelCentroids _),
+    "q40_range_join" -> (CoreQueries.q40RangeJoin _),
+    "q41_tfidf" -> (TextQueries.q41Tfidf _),
+    "q42_stratified_sample" -> (TextQueries.q42StratifiedSample _),
+    "q43_quantize" -> (VectorQueries.q43Quantize _),
+    "q44_profile" -> (CoreQueries.q44Profile _),
+    "q45_histogram" -> (CoreQueries.q45Histogram _),
+    "q46_exact_median" -> (CoreQueries.q46ExactMedian _),
+    "q47_sliding_window" -> (CoreQueries.q47SlidingWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,6 +420,82 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM keep_exact)
         |  AND doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin,
+    "q40_range_join" ->
+      """WITH p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ces FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, count(*) AS n_clicks, min(p.es - c.ces) AS min_gap_s
+        |FROM p JOIN c ON c.ces BETWEEN p.es - 600 AND p.es
+        |GROUP BY p.event_id""".stripMargin,
+    "q41_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, score, rk FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) DESC, tf.token ASC)
+        |      AS INTEGER) AS rk
+        |  FROM tf JOIN dfreq USING (token), n)
+        |WHERE rk <= 3""".stripMargin,
+    "q42_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat(lang, '_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 25 ELSE 10 END""".stripMargin,
+    "q43_quantize" ->
+      """SELECT vec_id,
+        |  list_min(emb) AS q_min,
+        |  list_max(emb) AS q_max,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(0 AS BIGINT)
+        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(emb,
+        |              v -> least(CAST(floor(((v - list_min(emb)) * 255) / (list_max(emb) - list_min(emb))) AS BIGINT), 255))),
+        |            (a, b) -> a + b) END AS q_checksum,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(emb,
+        |              v -> abs(v - (list_min(emb) +
+        |                (CAST(least(CAST(floor(((v - list_min(emb)) * 255) / (list_max(emb) - list_min(emb))) AS BIGINT), 255) AS DOUBLE)
+        |                 * (list_max(emb) - list_min(emb))) / 255)))),
+        |            (a, b) -> a + b) / 64 END AS mean_abs_err
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)""".stripMargin,
+    "q44_profile" ->
+      """SELECT 'o_orderstatus' AS column_name, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders""".stripMargin,
+    "q45_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q46_exact_median" ->
+      """SELECT l_returnflag, cnt AS n, l_quantity AS median_qty FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
+    "q47_sliding_window" ->
+      """SELECT ws AS window_start, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+        |             value
+        |      FROM events)
+        |GROUP BY ws""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v

@@ -279,16 +279,28 @@ object CoreQueries {
     * a 5σ bound; HLL++ is deterministic for fixed input, so the flag is
     * stable across runs) that the oracle asserts as literal TRUE.
     */
-  def q30ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+  def q30ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // The sketches and the exact counts run as SEPARATE aggregations
+    // joined on the 3-row group key: mixing approx_count_distinct with
+    // multi-column countDistinct in one agg routes the (large, rsd=0.01)
+    // HLL buffer through the multi-distinct Expand rewrite, which copies
+    // the sketch per expanded input row — measured 83 s vs 5 s at sf0.1.
+    val li = t(spark, dir, "lineitem")
+    val exact = li
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n")
       )
+    val approx = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao")
+      )
+    exact
+      .join(approx, Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
         col("n_parts"),
@@ -299,6 +311,7 @@ object CoreQueries {
         (abs(col("ao") - col("n_orders")).cast("double") / col("n_orders") <= 0.05)
           .as("orders_within_5pct")
       )
+  }
 
   /** Running total per customer with the default RANGE frame (peers of
     * equal orderdate share the running value in both engines, so the
@@ -337,6 +350,106 @@ object CoreQueries {
       .count()
       .na
       .fill(0L)
+
+  /** Range (interval) join with NO equi key: for each purchase event,
+    * count click events — from ANY user — in the trailing 10-minute
+    * window, plus the gap to the nearest one. Spark would plan the bare
+    * range predicate as a nested-loop/cartesian join;
+    * [[graft.operators.RangeJoin]] turns it into a bucketed equi join
+    * (15-minute buckets, ≤2 replicas per interval) that shuffles by
+    * bucket and stays distributed at any scale. Second-granularity
+    * epoch longs keep the window arithmetic exact in both engines.
+    */
+  def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").cast("long").as("es"))
+      .withColumn("lo", col("es") - 600)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("ts").cast("long").as("ces"))
+    graft.operators.RangeJoin
+      .rangeJoin(purchases, clicks, "lo", "es", "ces", 900L)
+      .groupBy(col("event_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        min(col("es") - col("ces")).as("min_gap_s")
+      )
+  }
+
+  /** Column profiling (data-quality audit): row count, null count and
+    * distinct count for four orders columns in ONE scan — the
+    * multi-`countDistinct` plans as a single Expand+aggregate, then
+    * `stack` pivots the scalar row into one row per column. The
+    * one-pass shape matters at 100 TB: the naive per-column
+    * UNION ALL would scan the fact table once per column.
+    */
+  def q44Profile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("null_status"),
+        countDistinct(col("o_orderstatus")).as("dist_status"),
+        sum(col("o_orderpriority").isNull.cast("long")).as("null_priority"),
+        countDistinct(col("o_orderpriority")).as("dist_priority"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        countDistinct(col("o_custkey")).as("dist_custkey"),
+        sum(col("o_totalprice").isNull.cast("long")).as("null_price"),
+        countDistinct(col("o_totalprice")).as("dist_price")
+      )
+      .selectExpr(
+        """stack(4,
+          |  'o_orderstatus',   n, null_status,   dist_status,
+          |  'o_orderpriority', n, null_priority, dist_priority,
+          |  'o_custkey',       n, null_custkey,  dist_custkey,
+          |  'o_totalprice',    n, null_price,    dist_price
+          |) as (column_name, n, n_null, n_distinct)""".stripMargin
+      )
+
+  /** Fixed-width histogram over order totals: bin index is exact
+    * integer math (`floor(price / 50000)`); counts and cents sums are
+    * order-independent. One partial-agg shuffle of #bins rows.
+    */
+  def q45Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents")
+      )
+
+  /** Exact per-group lower median via rank arithmetic (NOT
+    * percentile/median built-ins, whose interpolation rules differ
+    * across engines): the value at row_number `(n+1) div 2` when
+    * ordered by value. Rank ties within equal values can land in any
+    * order but the VALUE at a given rank is unique, so the result is
+    * deterministic. One shuffle on the group key; per-group sort.
+    */
+  def q46ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2")) // integral div: `/` on longs is double division
+      .select(col("l_returnflag"), col("cnt").as("n"), col("l_quantity").as("median_qty"))
+  }
+
+  /** Sliding event-time windows (1 h length, 30 min hop) via Spark's
+    * `window()` — each event lands in exactly two windows, expanded
+    * map-side (an Expand, not a join), then one keyed partial-agg
+    * shuffle. The batch twin of the streaming windowed aggregation in
+    * [[graft.streaming.StreamingPipeline]].
+    */
+  def q47SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_cents")
+      )
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value_cents"))
 
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =

@@ -338,6 +338,54 @@ object TextQueries {
       .connectedComponents(q21NgramJaccard(spark, dir).select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("comp").as("component"))
 
+  /** TF-IDF top-3 terms per document. The idf factor is kept in its
+    * RATIONAL form `(N+1)/(df+1)` — one IEEE division both engines
+    * compute bit-identically — rather than `ln` of it, whose libm
+    * rounding is engine-dependent; `ln` is monotone so the ranking is
+    * the same either way.
+    *
+    * Scale: explode → (doc,token) tf agg [shuffle 1], token df agg over
+    * the tf table [shuffle 2, partial map-side], tf⋈df on token, corpus
+    * size joined as a broadcast scalar (never a driver collect), per-doc
+    * top-k window [shuffle 3]. All shuffles keyed and partial-agg'd; no
+    * global sort.
+    */
+  def q41Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        col("tf") * ((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "token", "tf", "df", "score", "rk")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * through a 28-bit md5 hash of `lang_docId` mod 100 — no RNG, so the
+    * sample is reproducible on any cluster/partitioning, and the whole
+    * operator is a pure filter (pushdown-friendly, zero shuffle).
+    * The same construction extends to train/validation/test splits
+    * (disjoint hash ranges).
+    */
+  def q42StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "es", 25)
+      .otherwise(10)
+    d.filter(pmod(h28(concat_ws("_", col("lang"), col("doc_id"))), lit(100)) < rate)
+      .select("doc_id", "lang")
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

@@ -130,6 +130,40 @@ object VectorQueries {
       .select("query_id", "bucket", "vec_id", "rank", "cosine")
   }
 
+  /** Int8 scalar quantization of the embedding column (the standard
+    * 4× storage shrink for ANN indexes): per-vector min/max range,
+    * `q = min(floor((v−mn)·255/span), 255)`, plus a reconstruction-error
+    * audit. Exactness: quantized codes are integer results of floor on
+    * IEEE expressions both engines evaluate in the same op order, so
+    * `q_checksum` (sequential integer fold) is exact; the error fold is
+    * the same sequential-double pattern as the cosine scores. Pure
+    * per-row projection — zero shuffle at any scale.
+    */
+  def q43Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+    val mn = array_min(col("emb"))
+    val mx = array_max(col("emb"))
+    val span = mx - mn
+    def q(v: Column): Column = least(floor(((v - mn) * 255) / span), lit(255L))
+    e.select(
+      col("vec_id"),
+      mn.as("q_min"),
+      mx.as("q_max"),
+      when(span === 0, lit(0L))
+        .otherwise(aggregate(col("emb"), lit(0L), (acc, v) => acc + q(v)))
+        .as("q_checksum"),
+      when(span === 0, lit(0.0))
+        .otherwise(
+          aggregate(
+            col("emb"),
+            lit(0.0),
+            (acc, v) => acc + abs(v - (mn + (q(v).cast("double") * span) / 255))
+          ) / 64
+        )
+        .as("mean_abs_err")
+    )
+  }
+
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness + plan shape for the bucketed range join: it must equal
+  * the naive range-predicate join (including negative values, where
+  * floor-division bucketing matters) while planning as an EQUI join on
+  * the bucket key rather than a cartesian/nested-loop product.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-rangejoin-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("bucketed range join equals the naive range-predicate join") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 20L),   // spans two 7-wide buckets
+      (2L, 15L, 15L),   // degenerate single-point interval
+      (3L, 100L, 140L), // spans many buckets
+      (4L, -25L, -5L)   // negative range: floor division, not truncation
+    ).toDF("lid", "lo", "hi")
+    val right =
+      Seq(9L, 10L, 15L, 20L, 21L, 120L, -10L, -26L, -5L).toDF("v")
+
+    val got = RangeJoin
+      .rangeJoin(left, right, "lo", "hi", "v", 7L)
+      .select("lid", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = left
+      .crossJoin(right)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("lid", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+    assert(got == want, s"bucketed=$got naive=$want")
+    assert(want.contains((4L, -10L)), "negative-bucket match expected in the fixture")
+    assert(!got.contains((4L, -26L)), "out-of-range value sharing a bucket must be filtered")
+  }
+
+  test("q40 plans as a bucket equi join — no cartesian or nested-loop join") {
+    val plan = queries.CoreQueries
+      .q40RangeJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+    assert(plan.contains("__bucket"), s"bucket key expected in the join:\n$plan")
+  }
+}
