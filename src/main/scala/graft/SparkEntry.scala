@@ -66,7 +66,12 @@ object SparkEntry {
     "q44_profile" -> (CoreQueries.q44Profile _),
     "q45_histogram" -> (CoreQueries.q45Histogram _),
     "q46_exact_median" -> (CoreQueries.q46ExactMedian _),
-    "q47_sliding_window" -> (CoreQueries.q47SlidingWindow _)
+    "q47_sliding_window" -> (CoreQueries.q47SlidingWindow _),
+    "q48_pack" -> (TextQueries.q48Pack _),
+    "q49_redact" -> (TextQueries.q49Redact _),
+    "q50_repetition" -> (TextQueries.q50Repetition _),
+    "q51_approx_quantile" -> (CoreQueries.q51ApproxQuantile _),
+    "q52_vocab_map" -> (TextQueries.q52VocabMap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -496,6 +501,45 @@ object SparkEntry {
         |             value
         |      FROM events)
         |GROUP BY ws""".stripMargin,
+    "q48_pack" ->
+      """SELECT doc_id, lang, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin FROM (
+        |  SELECT doc_id, lang, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+        |    sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+        |      OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)""".stripMargin,
+    "q49_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier|part)\b')) AS INTEGER) AS n_matches,
+        |  CAST(length(regexp_replace(text, '\b(customer|supplier|part)\b', '<ENT>', 'g')) AS INTEGER) AS redacted_len,
+        |  md5(regexp_replace(text, '\b(customer|supplier|part)\b', '<ENT>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+    "q50_repetition" ->
+      """WITH th AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(th)),
+        |    i -> (th[i] * 8191 + th[i+1]) % 2147483647)) AS bigram
+        |  FROM th WHERE len(th) >= 2),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, max(cnt) AS max_rep,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS rep_ratio
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    "q51_approx_quantile" ->
+      """SELECT l_returnflag, cnt AS n, l_quantity AS median_qty, TRUE AS median_within_1 FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
+    "q52_vocab_map" ->
+      """WITH inst AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |vocab AS (SELECT token, TRUE AS in_vocab FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df FROM inst GROUP BY token)
+        |  ORDER BY df DESC, token ASC LIMIT 30)
+        |SELECT i.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM inst i LEFT JOIN vocab v ON i.token = v.token
+        |GROUP BY i.doc_id""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v

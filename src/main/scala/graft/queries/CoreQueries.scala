@@ -436,6 +436,26 @@ object CoreQueries {
       .select(col("l_returnflag"), col("cnt").as("n"), col("l_quantity").as("median_qty"))
   }
 
+  /** Approximate percentile sketch with an in-hash error bound (the
+    * q30 pattern): the exact rank-arithmetic median is the hashed
+    * truth; `percentile_approx`'s estimate — engine-specific sketch
+    * internals — is validated as a within-1-quantity-unit flag the
+    * oracle asserts as literal TRUE.
+    */
+  def q51ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val approx = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("ap_med"))
+    q46ExactMedian(spark, dir)
+      .join(approx, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        col("median_qty"),
+        (abs(col("ap_med") - col("median_qty")) <= 1.0).as("median_within_1")
+      )
+  }
+
   /** Sliding event-time windows (1 h length, 30 min hop) via Spark's
     * `window()` — each event lands in exactly two windows, expanded
     * map-side (an Expand, not a join), then one keyed partial-agg

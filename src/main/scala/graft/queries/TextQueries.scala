@@ -386,6 +386,107 @@ object TextQueries {
       .select("doc_id", "lang")
   }
 
+  /** Approximate sequence packing for training batches: within each
+    * language shard, documents (ordered by doc_id) are assigned to
+    * 2048-token bins by their starting offset in the running token
+    * count — `bin = (cumsum − n_tok) div 2048`, the standard
+    * one-pass distributed approximation of greedy packing (exact greedy
+    * is inherently sequential). Integer window arithmetic only; one
+    * shuffle on the shard key.
+    */
+  def q48Pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tok"),
+        expr("(cum - n_tok) div 2048").as("bin")
+      )
+  }
+
+  /** Entity redaction (the PII-scrubbing shape: detect → count →
+    * replace → fingerprint): counts and replaces whole-word entity
+    * mentions in one codegen'd projection. The regex is
+    * dialect-portable (plain alternation + word boundaries, identical
+    * semantics in Java regex and RE2).
+    */
+  def q49Redact(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|supplier|part)\\b"
+    val redacted = regexp_replace(col("text"), pat, "<ENT>")
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_matches"),
+      length(redacted).as("redacted_len"),
+      md5(redacted).as("redacted_md5")
+    )
+  }
+
+  /** Repetition detection (quality signal): per-document most-frequent
+    * word bigram and its share of all bigram instances. Bigrams combine
+    * 28-bit token hashes arithmetically (no per-bigram md5, longs not
+    * strings downstream); the count is an explode + (doc, bigram)
+    * groupBy + per-doc argmax — all keyed shuffles, no data-dependent
+    * blowup.
+    */
+  def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val p = lit(2147483647L)
+    val toks = tokens(col("text"))
+    val bi = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .withColumn("__th", transform(toks, t => h28(t)))
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("__th"), lit(1), size(col("__th")) - 1),
+            slice(col("__th"), lit(2), size(col("__th")) - 1),
+            (a, b) => (a * 8191 + b) % p
+          )
+        ).as("bigram")
+      )
+    bi.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("max_rep")
+      )
+      .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_bigrams"))
+  }
+
+  /** Vocabulary mapping with OOV accounting: the top-30 tokens by
+    * document frequency (deterministic df-desc/token-asc order) form
+    * the vocab — a global top-k (TakeOrderedAndProject, k rows on the
+    * driver), which is BOUNDED by construction and therefore a
+    * legitimate broadcast build side; per-document OOV rates come from
+    * one left join against it. The df aggregation is the only
+    * input-sized shuffle.
+    */
+  def q52VocabMap(spark: SparkSession, dir: String): DataFrame = {
+    val inst = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = inst
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(30)
+      .select(col("token"), lit(true).as("in_vocab"))
+    inst
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("in_vocab").isNull.cast("long")).as("n_oov")
+      )
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
