@@ -91,6 +91,84 @@ object StreamingPipeline {
       )
   }
 
+  case class SessionSummary(
+      user_id: Long,
+      session_seq: Long,
+      start_sec: Long,
+      end_sec: Long,
+      n_events: Long
+  )
+  case class OpenSession(sessionSeq: Long, startSec: Long, lastSec: Long, n: Long)
+
+  /** Carries the watermarked timestamp COLUMN through to the state
+    * operator — EventTimeTimeout requires it in the child plan, so the
+    * epoch-seconds view is derived inside the state function instead of
+    * in a projection that would drop the watermark tag.
+    */
+  case class SessionEventTs(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
+  /** Closed-session emission with EventTimeTimeout: sessions end either
+    * because a later event of the same user arrives past the 30-minute
+    * gap (closed inline) or because the WATERMARK passes the session's
+    * idle deadline (closed by the state-store timeout — the piece
+    * [[sessionize]]'s NoTimeout variant can't do: reaping idle users
+    * without waiting for their next event). State per user is one small
+    * struct; the watermark bounds both state size and timeout latency.
+    */
+  def sessionWindows(
+      events: DataFrame
+  )(implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[SessionEventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rowsTs: Iterator[SessionEventTs], state: GroupState[OpenSession]) => {
+          val rows = rowsTs.map(e =>
+            SessionEvent(e.event_id, e.user_id, Math.floorDiv(e.ts.getTime, 1000L))
+          )
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionSummary(uid, st.sessionSeq, st.startSec, st.lastSec, st.n))
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+            var open = state.getOption
+            rows.toSeq.sortBy(e => (e.tsSec, e.event_id)).foreach { e =>
+              open = open match {
+                case Some(st) if e.tsSec - st.lastSec > 1800 =>
+                  out += SessionSummary(uid, st.sessionSeq, st.startSec, st.lastSec, st.n)
+                  Some(OpenSession(st.sessionSeq + 1, e.tsSec, e.tsSec, 1))
+                case Some(st) =>
+                  Some(st.copy(lastSec = e.tsSec, n = st.n + 1))
+                case None =>
+                  Some(OpenSession(1L, e.tsSec, e.tsSec, 1))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // Idle deadline: 30 min past the last event, in event time.
+              state.setTimeoutTimestamp((st.lastSec + 1800) * 1000)
+            }
+            out.iterator
+          }
+        }
+      )
+  }
+
+  /** Streaming exact deduplication (ingest-time dedup for a training
+    * corpus): drops re-deliveries of the same key while the watermark
+    * allows them to still arrive; state for keys older than the
+    * watermark is reaped, so state size is bounded by the late-data
+    * horizon instead of growing with the stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -71,6 +71,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream and batch sessionization agree")
   }
 
+  test("event-time-timeout sessions: closed by gap or by watermark, none invented") {
+    val events = StreamingPipeline.readEvents(spark, streamDir)
+    val q = StreamingPipeline
+      .sessionWindows(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_windows")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark
+      .sql("SELECT user_id, session_seq, start_sec, end_sec, n_events FROM session_windows")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // Batch truth: session summaries from q11's assignments + event ts.
+    import org.apache.spark.sql.functions._
+    val ev = queries.CoreQueries.events(spark, eventsDir)
+    val maxTs = ev.agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
+    val batchSessions = queries.CoreQueries
+      .q11Sessionize(spark, eventsDir)
+      .join(ev.select(col("event_id"), col("ts").cast("long").as("tsSec")), "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("tsSec")).as("start_sec"),
+        max(col("tsSec")).as("end_sec"),
+        count(lit(1)).as("n_events")
+      )
+    val lastSeq = batchSessions
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("last_seq"))
+    // Expected: every non-final session (closed inline by its successor),
+    // plus final sessions whose idle deadline precedes the watermark
+    // (maxTs - 10 min) and are closed by the state timeout.
+    val expected = batchSessions
+      .join(lastSeq, "user_id")
+      .filter(
+        col("session_seq") =!= col("last_seq") ||
+          (col("end_sec") + 1800) < (lit(maxTs) - 600)
+      )
+      .select("user_id", "session_seq", "start_sec", "end_sec", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(emitted == expected, s"missing=${expected -- emitted} extra=${emitted -- expected}")
+  }
+
+  test("streaming dedup: re-delivered file contributes no duplicate rows") {
+    val d = Files.createTempDirectory("graft-dedup-stream")
+    // The same events file delivered twice (re-upload / at-least-once).
+    Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      d.resolve("events-0.parquet")
+    )
+    Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      d.resolve("events-0-redelivered.parquet")
+    )
+    val events = StreamingPipeline.readEvents(spark, d.toString)
+    val q = StreamingPipeline
+      .dedupStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT count(*) FROM dedup_stream").collect()(0).getLong(0)
+    val distinct =
+      spark.sql("SELECT count(DISTINCT event_id) FROM dedup_stream").collect()(0).getLong(0)
+    assert(n == 1000L, s"each event exactly once, got $n")
+    assert(distinct == n)
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
