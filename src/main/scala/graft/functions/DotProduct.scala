@@ -128,7 +128,7 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
@@ -136,4 +136,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        (exprs: Seq[Expression]) =>
+          MinHashSignature(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+        (exprs: Seq[Expression]) =>
+          SimHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+  }
 }

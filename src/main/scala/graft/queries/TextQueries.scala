@@ -201,33 +201,58 @@ object TextQueries {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  /** Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, generated
-    * through an inverted shingle index (explode → equi-join on shingle →
-    * per-pair intersection counts) — never a cross join.
+  /** Parameterized near-dup pair builder over the inverted shingle
+    * index (explode → equi-join on shingle → per-pair intersection
+    * counts) — never a cross join.
     *
-    * 100 TB posture: candidate volume is Σ df(shingle)²; a df-cap filter
-    * (drop shingles with df > K) bounds it with a small recall loss —
-    * left off here because the oracle must see identical semantics.
+    * `dfCap` is the 100 TB candidate-volume knob: candidate pairs cost
+    * Σ df(shingle)², so dropping shingles with document frequency above
+    * the cap (a left-semi join against the under-cap shingle set) bounds
+    * the self-join quadratically at a bounded recall cost — ultra-common
+    * shingles are exactly the ones that contribute candidates least
+    * likely to verify. `DedupSpec` proves cap ≥ max-df is lossless and a
+    * tight cap only ever removes pairs.
+    */
+  private[graft] def nearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.5,
+      dfCap: Option[Long] = None
+  ): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val invAll = sh.select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
+    val inv = dfCap match {
+      case Some(cap) =>
+        val underCap = invAll
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select("shingle")
+        invAll.join(underCap, Seq("shingle"), "left_semi")
+      case None => invAll
+    }
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+  }
+
+  /** Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5. Uncapped
+    * (`dfCap = None`) because the DuckDB oracle must see identical
+    * semantics; the capped variant is spec-verified instead.
     */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), {
-        val sh = shingleTable(spark, dir)
-        val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
-        val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
-        val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-        a.join(b, Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .withColumn(
-            "jaccard",
-            col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
-          )
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "n_shared", "jaccard")
-          .localCheckpoint()
-      }
+      (System.identityHashCode(spark), dir),
+      nearDupPairs(spark, dir).localCheckpoint()
     )
 
   /** MinHash signatures (16 universal-hash functions over 28-bit shingle
