@@ -152,5 +152,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SimHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       )
     )
+    // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

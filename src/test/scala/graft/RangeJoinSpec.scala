@@ -46,6 +46,45 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.contains((4L, -26L)), "out-of-range value sharing a bucket must be filtered")
   }
 
+  test("optimizer rule rewrites a naive range-predicate join to the bucketed form") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L), (2L, 50L, 90L), (3L, -25L, -5L))
+      .toDF("lid", "lo", "hi")
+    val values = Seq(9L, 10L, 15L, 20L, 60L, 89L, -10L, -26L).toDF("v")
+    def naive = values.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+
+    val before = naive.queryExecution.executedPlan.toString
+    assert(
+      before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"),
+      s"without the rule Spark nested-loops this join:\n$before"
+    )
+    val expected = naive
+      .select("lid", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "16")
+    try {
+      val after = naive.queryExecution.executedPlan.toString
+      assert(
+        !after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rule should have rewritten to an equi join:\n$after"
+      )
+      assert(after.contains("__graft_bucket"), s"bucket key expected:\n$after")
+      val got = naive
+        .select("lid", "v")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected, s"rewrite changed results: got=$got want=$expected")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
   test("q40 plans as a bucket equi join — no cartesian or nested-loop join") {
     val plan = queries.CoreQueries
       .q40RangeJoin(spark, "/root/testdata/sf0.001")
