@@ -419,21 +419,31 @@ object CoreQueries {
         sum(cents(col("o_totalprice"))).as("sum_cents")
       )
 
-  /** Exact per-group lower median via rank arithmetic (NOT
-    * percentile/median built-ins, whose interpolation rules differ
-    * across engines): the value at row_number `(n+1) div 2` when
-    * ordered by value. Rank ties within equal values can land in any
-    * order but the VALUE at a given rank is unique, so the result is
-    * deterministic. One shuffle on the group key; per-group sort.
+  /** Exact per-group lower median — the value at rank `(n+1) div 2` —
+    * WITHOUT sorting whole groups: a row_number window partitioned by
+    * the group key would place each group's entire membership on one
+    * task (3 tasks sorting everything at 100 TB). Instead the input
+    * collapses to a per-(group, value) HISTOGRAM with map-side partial
+    * counts — shuffle volume is #groups × #distinct values — and the
+    * median is read off the tiny histogram's cumulative counts: the
+    * value whose cumulative range covers the target rank. Identical
+    * result to the rank definition (and to the SQL oracle, which keeps
+    * the row_number formulation); no engine-specific interpolation.
     */
   def q46ExactMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    t(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .filter(col("rn") === expr("(cnt + 1) div 2")) // integral div: `/` on longs is double division
-      .select(col("l_returnflag"), col("cnt").as("n"), col("l_quantity").as("median_qty"))
+    val hist = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("target", expr("(n + 1) div 2")) // integral div: `/` on longs is double division
+      .filter(col("cum") - col("cnt") < col("target") && col("target") <= col("cum"))
+      .select(col("l_returnflag"), col("n"), col("l_quantity").as("median_qty"))
   }
 
   /** Approximate percentile sketch with an in-hash error bound (the
