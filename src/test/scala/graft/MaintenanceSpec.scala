@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-maint-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("compact rewrites many small files into the size-targeted count, preserving data") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(50).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 50, s"fixture should start fragmented, got $before files")
+
+    val n = Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1, s"1 GiB target must compact to a single file, got $n")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == docs.count())
+    assert(
+      after.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    )
+    assert(!new java.io.File(dir + ".__compact_tmp").exists(), "temp dir cleaned up")
+    assert(!new java.io.File(dir + ".__compact_old").exists(), "old dir cleaned up")
+  }
+
+  test("incrementalDedup drops cross-batch and in-batch duplicates via the hash index") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-incr-dedup").toString + "/index.parquet"
+
+    val batch1 = Seq(
+      (1L, "alpha text"),
+      (2L, "beta text"),
+      (3L, "alpha text") // in-batch dup of 1 → keep-min drops it
+    ).toDF("doc_id", "text")
+    val acc1 = Maintenance
+      .incrementalDedup(spark, batch1, "doc_id", "text", index)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(acc1 == Set(1L, 2L), s"first batch keeps min-id uniques, got $acc1")
+
+    val batch2 = Seq(
+      (4L, "alpha text"), // already in the corpus → dropped
+      (5L, "gamma text") // new → accepted
+    ).toDF("doc_id", "text")
+    val acc2 = Maintenance
+      .incrementalDedup(spark, batch2, "doc_id", "text", index)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(acc2 == Set(5L), s"second batch only accepts unseen content, got $acc2")
+
+    val indexRows = spark.read.parquet(index).distinct().count()
+    assert(indexRows == 3L, s"index holds one row per unique text, got $indexRows")
+  }
+}

@@ -46,6 +46,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.contains((4L, -26L)), "out-of-range value sharing a bucket must be filtered")
   }
 
+  test("property: bucketed == naive on random intervals/values/widths") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      intervals <- Gen.listOfN(
+        25,
+        for {
+          lo <- Gen.chooseNum(-1000L, 1000L)
+          len <- Gen.chooseNum(0L, 300L)
+        } yield (lo, lo + len)
+      )
+      values <- Gen.listOfN(60, Gen.chooseNum(-1100L, 1100L))
+      width <- Gen.chooseNum(1L, 400L)
+    } yield (intervals, values, width)
+    (1 to 5).foreach { i =>
+      val (intervals, values, width) =
+        gen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val l = intervals.zipWithIndex
+        .map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+        .toDF("lid", "lo", "hi")
+      val r = values.toDF("v")
+      val got = RangeJoin
+        .rangeJoin(l, r, "lo", "hi", "v", width)
+        .select("lid", "v")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .sorted
+        .toSeq
+      val want = l
+        .crossJoin(r)
+        .where($"v" >= $"lo" && $"v" <= $"hi")
+        .select("lid", "v")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .sorted
+        .toSeq
+      assert(got == want, s"seed=${7 + i} width=$width")
+    }
+  }
+
   test("optimizer rule rewrites a naive range-predicate join to the bucketed form") {
     import spark.implicits._
     val intervals = Seq((1L, 10L, 20L), (2L, 50L, 90L), (3L, -25L, -5L))
