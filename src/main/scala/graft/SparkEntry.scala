@@ -71,7 +71,8 @@ object SparkEntry {
     "q49_redact" -> (TextQueries.q49Redact _),
     "q50_repetition" -> (TextQueries.q50Repetition _),
     "q51_approx_quantile" -> (CoreQueries.q51ApproxQuantile _),
-    "q52_vocab_map" -> (TextQueries.q52VocabMap _)
+    "q52_vocab_map" -> (TextQueries.q52VocabMap _),
+    "q53_sql_surface" -> (CoreQueries.q53SqlSurface _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -540,6 +541,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
         |FROM inst i LEFT JOIN vocab v ON i.token = v.token
         |GROUP BY i.doc_id""".stripMargin,
+    "q53_sql_surface" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v

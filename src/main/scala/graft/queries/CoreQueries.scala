@@ -481,6 +481,32 @@ object CoreQueries {
       )
       .select(col("window.start").as("window_start"), col("n"), col("sum_value_cents"))
 
+  /** The SQL API surface: the same engine queried through `spark.sql`
+    * over registered views (TPC-H Q3's shape on the available columns) —
+    * users of the reference can keep writing SQL verbatim. Catalyst
+    * plans it identically to the DataFrame form: dims under threshold
+    * broadcast, one group-by shuffle, TakeOrderedAndProject for the
+    * top-k.
+    */
+  def q53SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_orderdate,
+        |  sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS revenue_cents
+        |FROM graft_customer
+        |JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin
+    )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -59,6 +59,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(asSet(back) == asSet(sample))
   }
 
+  test("parquet mergeSchema reads evolving schemas (added column null-filled)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "x").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "x", "y").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "x", "y"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("y")), "old rows null-fill the new column")
+    assert(byId(2L).getDouble(merged.columns.indexOf("y")) == 9.5)
+  }
+
   test("CSV failFast surfaces malformed rows; permissive nulls them") {
     val dir = Files.createTempDirectory("graft-csv-bad")
     Files.writeString(dir.resolve("part.csv"), "event_id,user_id\n1,2\nnot_a_long,3\n")
