@@ -110,6 +110,11 @@ object GraftFunctions {
         ),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize",
+      exprs => Quantize(exprs(0)),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -122,6 +127,8 @@ object GraftFunctions {
 
   def graft_simhash(tokenHashes: Column, nBits: Int): Column =
     call_function("graft_simhash", tokenHashes, org.apache.spark.sql.functions.lit(nBits))
+
+  def graft_quantize(vec: Column): Column = call_function("graft_quantize", vec)
 }
 
 /** SparkSessionExtensions installer for cluster deployments:
@@ -150,6 +157,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
         (exprs: Seq[Expression]) =>
           SimHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_quantize"),
+        new ExpressionInfo(classOf[Quantize].getName, "graft_quantize"),
+        (exprs: Seq[Expression]) => Quantize(exprs(0))
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

@@ -139,30 +139,22 @@ object VectorQueries {
     * the same sequential-double pattern as the cosine scores. Pure
     * per-row projection — zero shuffle at any scale.
     */
-  def q43Quantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
-    val mn = array_min(col("emb"))
-    val mx = array_max(col("emb"))
-    val span = mx - mn
-    def q(v: Column): Column = least(floor(((v - mn) * 255) / span), lit(255L))
-    e.select(
-      col("vec_id"),
-      mn.as("q_min"),
-      mx.as("q_max"),
-      when(span === 0, lit(0L))
-        .otherwise(aggregate(col("emb"), lit(0L), (acc, v) => acc + q(v)))
-        .as("q_checksum"),
-      when(span === 0, lit(0.0))
-        .otherwise(
-          aggregate(
-            col("emb"),
-            lit(0.0),
-            (acc, v) => acc + abs(v - (mn + (q(v).cast("double") * span) / 255))
-          ) / 64
-        )
-        .as("mean_abs_err")
-    )
-  }
+  def q43Quantize(spark: SparkSession, dir: String): DataFrame =
+    // One compiled two-pass loop per row ([[graft.functions.Quantize]]):
+    // the HOF formulation re-evaluated array_min/array_max inside every
+    // lambda element reference (optimizer inlining), interpreted.
+    emb(spark, dir)
+      .select(
+        col("vec_id"),
+        graft.functions.GraftFunctions.graft_quantize(col("emb")).as("q")
+      )
+      .select(
+        col("vec_id"),
+        col("q.q_min").as("q_min"),
+        col("q.q_max").as("q_max"),
+        col("q.q_checksum").as("q_checksum"),
+        col("q.mean_abs_err").as("mean_abs_err")
+      )
 
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),

@@ -50,6 +50,51 @@ class SimHashSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("native") == r.getAs[Long]("hof"), r.toString))
   }
 
+  test("graft_quantize equals the HOF range-quantize chain exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Seq(0.0, 0.5, 1.0, -3.25, 7.5),
+      Seq(2.5, 2.5, 2.5), // constant vector: span 0 → zero checksum/err
+      Seq(1e-9, -1e-9, 0.0),
+      Seq.empty[Double] // empty: null range, zero checksum/err
+    ).toDF("emb")
+    val mn = array_min(col("emb"))
+    val mx = array_max(col("emb"))
+    val span = mx - mn
+    def q(v: org.apache.spark.sql.Column) = least(floor(((v - mn) * 255) / span), lit(255L))
+    val out = df
+      .select(
+        GraftFunctions.graft_quantize(col("emb")).as("n"),
+        mn.as("h_min"),
+        mx.as("h_max"),
+        when(span === 0, lit(0L))
+          .otherwise(aggregate(col("emb"), lit(0L), (acc, v) => acc + q(v)))
+          .as("h_checksum"),
+        when(span === 0, lit(0.0))
+          .otherwise(
+            aggregate(
+              col("emb"),
+              lit(0.0),
+              (acc, v) => acc + abs(v - (mn + (q(v).cast("double") * span) / 255))
+            ) / 64
+          )
+          .as("h_err")
+      )
+      .collect()
+    out.foreach { r =>
+      val s = r.getStruct(0)
+      assert(Option(s.get(0)) == Option(r.get(1)), s"q_min: $r")
+      assert(Option(s.get(1)) == Option(r.get(2)), s"q_max: $r")
+      assert(s.getLong(2) == r.getLong(3), s"checksum: $r")
+      assert(
+        java.lang.Double.doubleToLongBits(s.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        s"err: $r"
+      )
+    }
+  }
+
   test("all three native functions resolve through the session registry") {
     GraftFunctions.register(spark)
     val row = spark
