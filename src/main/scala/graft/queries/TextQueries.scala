@@ -201,6 +201,21 @@ object TextQueries {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Exploded (doc, token) instances feed three independent queries
+    * (q34 top terms, q41 TF-IDF, q52 vocab/OOV) — same
+    * materialize-once lifecycle as [[shingleTable]].
+    */
+  private val tokenCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def tokenInstances(spark: SparkSession, dir: String): DataFrame =
+    tokenCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir),
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+        .localCheckpoint()
+    )
+
   /** Parameterized near-dup pair builder over the inverted shingle
     * index (explode → equi-join on shingle → per-pair intersection
     * counts) — never a cross join.
@@ -330,9 +345,9 @@ object TextQueries {
     * with map-side partial counts, then a tiny per-lang top-k.
     */
   def q34TopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val tf = d
-      .select(col("lang"), col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+    val tf = tokenInstances(spark, dir)
+      .select(col("lang"), col("doc_id"), col("token"))
+      .distinct()
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("token").asc)
@@ -376,13 +391,11 @@ object TextQueries {
     * global sort.
     */
   def q41Tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val tf = d
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tokenInstances(spark, dir)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = d.agg(count(lit(1)).as("n_docs"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
@@ -494,8 +507,7 @@ object TextQueries {
     * input-sized shuffle.
     */
   def q52VocabMap(spark: SparkSession, dir: String): DataFrame = {
-    val inst = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val inst = tokenInstances(spark, dir).select(col("doc_id"), col("token"))
     val vocab = inst
       .groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
