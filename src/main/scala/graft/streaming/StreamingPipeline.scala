@@ -169,6 +169,42 @@ object StreamingPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval join (the streaming twin of the batch
+    * bucketed range join): purchases joined to the clicks of the
+    * trailing 10 minutes. Structured Streaming REFUSES a stream-stream
+    * join without an equality predicate ("not supported") — the
+    * [[graft.operators.RangeJoin]] bucket construction supplies one:
+    * purchase intervals explode into covering 15-minute buckets, clicks
+    * hash to their single bucket, and the join keys on the bucket with
+    * the exact interval as the residual predicate. Watermarks on both
+    * time columns plus the two-sided time condition keep the join state
+    * bounded to the late-data horizon.
+    */
+  def intervalJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn(
+        "p_bucket",
+        explode(
+          sequence(
+            floor((unix_seconds(col("p_ts")) - 600) / 900),
+            floor(unix_seconds(col("p_ts")) / 900)
+          )
+        )
+      )
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withColumn("c_bucket", floor(unix_seconds(col("c_ts")) / 900))
+    p.join(
+      c,
+      expr(
+        "p_bucket = c_bucket AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"
+      )
+    ).drop("p_bucket", "c_bucket")
+  }
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -148,6 +148,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(distinct == n)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val events = StreamingPipeline.readEvents(spark, streamDir)
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+    val clicks = events.filter(col("event_type") === "click")
+    val q = StreamingPipeline
+      .intervalJoinStream(purchases, clicks)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("interval_join")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT count(*) FROM interval_join").collect()(0).getLong(0)
+    val ev = queries.CoreQueries.events(spark, eventsDir)
+    val batch = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"))
+      .join(
+        ev.filter(col("event_type") === "click").select(col("ts").as("c_ts")),
+        expr("c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts")
+      )
+      .count()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed > 0, "fixture should produce interval matches")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
