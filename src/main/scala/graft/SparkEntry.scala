@@ -72,7 +72,10 @@ object SparkEntry {
     "q50_repetition" -> (TextQueries.q50Repetition _),
     "q51_approx_quantile" -> (CoreQueries.q51ApproxQuantile _),
     "q52_vocab_map" -> (TextQueries.q52VocabMap _),
-    "q53_sql_surface" -> (CoreQueries.q53SqlSurface _)
+    "q53_sql_surface" -> (CoreQueries.q53SqlSurface _),
+    "q54_decontaminate" -> (TextQueries.q54Decontaminate _),
+    "q55_chunk" -> (TextQueries.q55Chunk _),
+    "q56_heavy_hitters" -> (TextQueries.q56HeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -553,6 +556,37 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q54_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle,
+        |  CAST(concat('0x', substr(md5(concat('ev_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval
+        |  FROM sh)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / t.n_sh AS containment
+        |FROM (SELECT * FROM inv WHERE NOT is_eval) t
+        |JOIN (SELECT * FROM inv WHERE is_eval) e ON t.shingle = e.shingle
+        |GROUP BY t.doc_id, e.doc_id, t.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / t.n_sh >= 0.5""".stripMargin,
+    "q55_chunk" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n, unnest(range(0, (len(t) - 1) // 48 + 1)) AS i FROM tk)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(least(64, n - i * 48) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    "q56_heavy_hitters" ->
+      """WITH e AS (SELECT token, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+        |  GROUP BY token)
+        |SELECT token, cnt, CAST(rk AS INTEGER) AS rank, TRUE AS est_within_1pct
+        |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk FROM e)
+        |WHERE rk <= 10""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v

@@ -524,6 +524,101 @@ object TextQueries {
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** Training/eval decontamination: flag training documents whose
+    * word-3-gram shingles are substantially CONTAINED in some eval-set
+    * document (containment |A∩B|/|A|, the standard contamination
+    * metric — asymmetric, unlike Jaccard: a short eval prompt pasted
+    * into a long training doc still scores high). The eval set is a
+    * deterministic ~10% hash split of doc ids, so the split is
+    * reproducible on any partitioning.
+    *
+    * Scale: the same inverted shingle index as q21 — candidates come
+    * from an equi-join on shingle hash (train side ⋈ eval side), never
+    * a cross join, and the eval side of a real decontamination run is
+    * tiny (benchmarks, not corpora), so at 100 TB the eval index is a
+    * broadcast build side and the train side never shuffles.
+    */
+  def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val isEval = pmod(h28(concat_ws("_", lit("ev"), col("doc_id"))), lit(10)) === 0
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
+    val train = inv
+      .filter(!isEval)
+      .select(col("doc_id").as("train_doc"), col("n_sh").as("n_train"), col("shingle"))
+    val eval_ = inv
+      .filter(isEval)
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    train
+      .join(eval_, Seq("shingle"))
+      .groupBy(col("train_doc"), col("eval_doc"), col("n_train"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment", col("n_shared").cast("double") / col("n_train"))
+      .filter(col("containment") >= 0.5)
+      .select("train_doc", "eval_doc", "n_shared", "containment")
+  }
+
+  /** Overlapping fixed-size chunking (the RAG / context-window prep
+    * shape): 64-token chunks on a 48-token stride, so consecutive
+    * chunks overlap by 16 tokens. Pure per-row explode of arithmetic
+    * offsets — no shuffle, no UDF; chunk text is fingerprinted (md5)
+    * rather than re-emitted, so the output stays narrow.
+    */
+  def q55Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val size_ = 64
+    val stride = 48
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .select(
+        col("doc_id"),
+        col("t"),
+        col("n"),
+        explode(sequence(lit(0), expr(s"(n - 1) div $stride"))).as("i")
+      )
+      .select(
+        col("doc_id"),
+        col("i").cast("int").as("chunk_idx"),
+        least(lit(size_), col("n") - col("i") * stride).cast("int").as("n_chunk_tokens"),
+        md5(array_join(slice(col("t"), col("i") * stride + 1, lit(size_)), " ")).as("chunk_md5")
+      )
+  }
+
+  /** Heavy hitters: top-10 tokens by instance count. The exact counts
+    * (one keyed agg with map-side partials + a bounded global top-k)
+    * hash-match the oracle; alongside them, Spark's `approx_top_k`
+    * frequent-items sketch (mergeable, one pass, fixed memory — the
+    * 100 TB path when the token domain no longer fits an exact agg) is
+    * validated with the q30 pattern: each sketch estimate must land
+    * within 1% of corpus size of the exact count, a flag the oracle
+    * asserts as literal TRUE.
+    */
+  def q56HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val inst = tokenInstances(spark, dir).select(col("token"))
+    val exact = inst.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val top = exact
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(w).cast("int"))
+    val sketch = inst
+      .agg(expr("approx_top_k(token, 200, 100000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est"))
+    val total = inst.agg(count(lit(1)).as("n_total"))
+    top
+      .join(sketch, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("token"),
+        col("cnt"),
+        col("rank"),
+        coalesce(
+          abs(col("est") - col("cnt")).cast("double") <= col("n_total").cast("double") / 100,
+          lit(false)
+        ).as("est_within_1pct")
+      )
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the chunking / decontamination / heavy-hitter
+  * operators beyond the oracle hash-match: coverage and overlap of the
+  * chunk grid, split-disjointness and recomputed containment for
+  * decontamination, and the sketch-vs-exact bound for heavy hitters.
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-textops-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("q55 chunk grid: contiguous indices, correct sizes, full coverage") {
+    val docTok = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val chunks = queries.TextQueries
+      .q55Chunk(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docTok.keySet, "every document must be chunked")
+    chunks.foreach { case (doc, rows) =>
+      val n = docTok(doc)
+      val byIdx = rows.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0 until byIdx.length), s"doc $doc: gap in chunk indices")
+      assert(byIdx.length == (n - 1) / 48 + 1, s"doc $doc: wrong chunk count for n=$n")
+      byIdx.foreach { case (_, i, len) =>
+        assert(len == math.min(64, n - i * 48), s"doc $doc chunk $i: bad length $len (n=$n)")
+      }
+      // stride 48 + size 64 ⇒ chunk i covers tokens [48i+1, 48i+len]; the
+      // grid covers [1, n] with 16-token overlaps between full chunks.
+      val covered = byIdx.flatMap { case (_, i, len) => (48 * i + 1) to (48 * i + len) }.toSet
+      assert(covered == (1 to n).toSet, s"doc $doc: chunk grid does not cover all tokens")
+    }
+  }
+
+  test("q54 decontamination: split disjoint, containment recomputable from raw text") {
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"ev_$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 10 == 0
+    }
+    val rows = queries.TextQueries.q54Decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture should contain cross-split near-dups")
+    val texts = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    def shingles(t: String): Set[(String, String, String)] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.length == 3).map { case Seq(a, b, c) => (a, b, c) }.toSet
+    rows.foreach { r =>
+      val (train, eval_) = (r.getLong(0), r.getLong(1))
+      assert(!isEval(train), s"train doc $train hashed into the eval split")
+      assert(isEval(eval_), s"eval doc $eval_ not in the eval split")
+      val (sa, sb) = (shingles(texts(train)), shingles(texts(eval_)))
+      val contain = (sa intersect sb).size.toDouble / sa.size
+      assert(math.abs(contain - r.getDouble(3)) < 1e-9, s"pair ($train,$eval_): containment mismatch")
+      assert(contain >= 0.5)
+    }
+  }
+
+  test("q56 heavy hitters: ranks 1..10, counts descending, sketch within bound") {
+    val rows = queries.TextQueries
+      .q56HeavyHitters(spark, sf)
+      .orderBy(col("rank"))
+      .collect()
+    assert(rows.map(_.getInt(2)).toSeq == (1 to rows.length), "ranks must be 1..k")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    assert(rows.forall(_.getBoolean(3)), "every sketch estimate must be within the 1% bound")
+  }
+}
