@@ -75,7 +75,8 @@ object SparkEntry {
     "q53_sql_surface" -> (CoreQueries.q53SqlSurface _),
     "q54_decontaminate" -> (TextQueries.q54Decontaminate _),
     "q55_chunk" -> (TextQueries.q55Chunk _),
-    "q56_heavy_hitters" -> (TextQueries.q56HeavyHitters _)
+    "q56_heavy_hitters" -> (TextQueries.q56HeavyHitters _),
+    "q57_zorder" -> (CoreQueries.q57Zorder _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -580,6 +581,16 @@ object SparkEntry {
         |  CAST(least(64, n - i * 48) AS INTEGER) AS n_chunk_tokens,
         |  md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    "q57_zorder" ->
+      """WITH mm AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+        |    min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem),
+        |q AS (SELECT l_orderkey, l_linenumber,
+        |    ((l_partkey - pmn) * 255) // greatest(1, pmx - pmn) AS qx,
+        |    ((l_suppkey - smn) * 255) // greatest(1, smx - smn) AS qy
+        |  FROM lineitem, mm)
+        |SELECT l_orderkey, l_linenumber, CAST(list_sum(list_transform(range(0, 8),
+        |    b -> ((qx >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) + ((qy >> b) & 1) * (CAST(2 AS BIGINT) << (2*b)))) AS BIGINT) AS zval
+        |FROM q""".stripMargin,
     "q56_heavy_hitters" ->
       """WITH e AS (SELECT token, count(*) AS cnt
         |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators for long-lived parquet datasets — the
@@ -77,5 +77,150 @@ object Maintenance {
       .mode("append")
       .parquet(indexPath)
     accepted.drop("__h")
+  }
+
+  /** 2-D Morton (z-order) value: interleave the low `bits` bits of the
+    * min/max-normalized values of two integer columns. Pure integer
+    * arithmetic (`div`, shift, mask) — codegen'd, exact in any engine,
+    * no floating point anywhere.
+    */
+  def zValue(x: Column, y: Column, xMin: Column, xMax: Column, yMin: Column, yMax: Column, bits: Int = 8): Column = {
+    val top = (1L << bits) - 1
+    // floor(scaled/range) here is exact: scaled < 2^53 so both operands
+    // are exact doubles, the true quotient is k − m/range for integers
+    // k,m, and 1/range ≥ 2^-31 is orders of magnitude larger than the
+    // 0.5-ulp division error at quotient ≤ 2^bits — the floor can never
+    // land on the wrong side. Equals integer `div` / DuckDB `//`.
+    def q(c: Column, mn: Column, mx: Column): Column = {
+      val scaled = (c.cast("long") - mn.cast("long")) * top
+      val range = greatest(lit(1L), mx.cast("long") - mn.cast("long"))
+      floor(scaled / range)
+    }
+    val qx = q(x, xMin, xMax)
+    val qy = q(y, yMin, yMax)
+    (0 until bits)
+      .map { b =>
+        shiftright(qx, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+          shiftright(qy, b).bitwiseAND(lit(1L)) * lit(2L << (2 * b))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Z-order clustering rewrite: sort a dataset along the Morton curve
+    * of two columns and write `nFiles` range-partitioned files. Rows
+    * close in BOTH dimensions land in the same file, so per-file
+    * min/max stats become tight on BOTH columns at once — a predicate
+    * on either column then prunes most files ([[fileStats]] +
+    * [[prunedRead]]), where a single-column sort would only ever prune
+    * on that one column. This is the data-layout half of data skipping;
+    * at 100 TB it is the difference between scanning a corpus and
+    * scanning a slice.
+    *
+    * Min/max for the normalization come from one 1-row aggregate
+    * (a bounded driver value, not a data collect).
+    */
+  def zorderWrite(
+      spark: SparkSession,
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      outPath: String,
+      nFiles: Int,
+      bits: Int = 8
+  ): Unit = {
+    val mm = df
+      .agg(min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"), min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx"))
+      .head()
+    val z = zValue(
+      col(xCol),
+      col(yCol),
+      lit(mm.getLong(0)),
+      lit(mm.getLong(1)),
+      lit(mm.getLong(2)),
+      lit(mm.getLong(3)),
+      bits
+    )
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(outPath)
+  }
+
+  /** Per-file min/max statistics for long-typed columns, read from
+    * parquet FOOTERS — no data pages are touched, so building the
+    * skipping index over a 100 TB dataset costs one footer read per
+    * file, distributed over the cluster (`spark.parallelize` over the
+    * file list, one footer per task — never a driver loop over
+    * thousands of files). Returns (file, column, min_value, max_value).
+    *
+    * Footer statistics are written by every parquet writer Spark ships;
+    * this is the same information engines' data-skipping indexes (and
+    * table formats' manifests) persist.
+    */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs
+      .listStatus(fsPath)
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString)
+    val wanted = cols.toSet
+    spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, files.length))
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          val perCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          blocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              val name = c.getPath.toDotString
+              if (wanted.contains(name)) {
+                val st = c.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                  val cur = perCol.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                  perCol(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+                }
+              }
+            }
+          }
+          perCol.toSeq.map { case (c, (mn, mx)) => (f, c, mn, mx) }
+        } finally reader.close()
+      }
+      .toDF("file", "column", "min_value", "max_value")
+  }
+
+  /** Data-skipping read: list only the files whose footer [min,max]
+    * range on `pruneCol` overlaps [lo,hi], read just those, and apply
+    * the residual filter. The stats table is one short row per
+    * (file, column) — bounded driver state, exactly what any skipping
+    * index materializes.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      path: String,
+      pruneCol: String,
+      lo: Long,
+      hi: Long
+  ): (DataFrame, Int, Int) = {
+    val stats = fileStats(spark, path, Seq(pruneCol))
+      .filter(col("column") === pruneCol)
+      .select("file", "min_value", "max_value")
+      .collect()
+    val keep = stats.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val df = spark.read
+      .parquet(keep.toIndexedSeq: _*)
+      .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
+    (df, keep.length, stats.length)
   }
 }

@@ -507,6 +507,32 @@ object CoreQueries {
     )
   }
 
+  /** Z-order (Morton) values over (l_partkey, l_suppkey): the sort key
+    * [[graft.operators.Maintenance.zorderWrite]] clusters files by, so
+    * per-file min/max footer stats stay tight on BOTH columns and a
+    * predicate on either prunes most files. The min/max normalization
+    * scalars arrive via a 1-row broadcast join (never a driver
+    * collect); the z-value itself is pure integer bit arithmetic in one
+    * codegen'd projection. ZorderSpec proves the layout actually prunes.
+    */
+  def q57Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val mm = li.agg(
+      min(col("l_partkey")).as("pmn"),
+      max(col("l_partkey")).as("pmx"),
+      min(col("l_suppkey")).as("smn"),
+      max(col("l_suppkey")).as("smx")
+    )
+    li.crossJoin(broadcast(mm))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        graft.operators.Maintenance
+          .zValue(col("l_partkey"), col("l_suppkey"), col("pmn"), col("pmx"), col("smn"), col("smx"), 8)
+          .as("zval")
+      )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
