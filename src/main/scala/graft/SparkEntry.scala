@@ -76,7 +76,8 @@ object SparkEntry {
     "q54_decontaminate" -> (TextQueries.q54Decontaminate _),
     "q55_chunk" -> (TextQueries.q55Chunk _),
     "q56_heavy_hitters" -> (TextQueries.q56HeavyHitters _),
-    "q57_zorder" -> (CoreQueries.q57Zorder _)
+    "q57_zorder" -> (CoreQueries.q57Zorder _),
+    "q58_kmeans" -> (VectorQueries.q58KMeans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -591,6 +592,23 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, CAST(list_sum(list_transform(range(0, 8),
         |    b -> ((qx >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) + ((qy >> b) & 1) * (CAST(2 AS BIGINT) << (2*b)))) AS BIGINT) AS zval
         |FROM q""".stripMargin,
+    "q58_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT vec_id, cid, v,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,x) -> a+x) AS dist
+        |  FROM e, c0),
+        |a1 AS (SELECT vec_id, cid AS cluster, v FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+        |x1 AS (SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x FROM a1),
+        |m1 AS (SELECT cluster, pos, CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS DOUBLE) / (count(*) * 1048576.0) AS cv
+        |  FROM x1 GROUP BY cluster, pos),
+        |c1 AS (SELECT cluster AS cid, list(cv ORDER BY pos) AS cv FROM m1 GROUP BY cluster),
+        |d2 AS (SELECT a1.vec_id, a1.cluster AS cluster_iter1, c1.cid,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a1.v, c1.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,x) -> a+x) AS dist
+        |  FROM a1, c1)
+        |SELECT vec_id, cluster_iter1, cid AS cluster_iter2 FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1""".stripMargin,
     "q56_heavy_hitters" ->
       """WITH e AS (SELECT token, count(*) AS cnt
         |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)

@@ -156,6 +156,59 @@ object VectorQueries {
         col("q.mean_abs_err").as("mean_abs_err")
       )
 
+  /** Distributed k-means (2 Lloyd iterations, K=4) — the clustering
+    * pass semantic dedup and IVF index training build on. Every stage
+    * is the at-scale shape: centroids live in a K-row broadcast (never
+    * more driver state than K×d); assignment is a broadcast cross join
+    * collapsed by `min_by` partial aggregation BEFORE its shuffle (the
+    * q26 pattern — a window here would shuffle N×K wide rows); the
+    * centroid update is one keyed agg over posexploded dims.
+    *
+    * Cross-engine determinism: squared-L2 via the sequential
+    * zip-with/fold both engines evaluate identically; centroid means
+    * use integer-scaled exact sums (`sum(floor(v·2^20))` is
+    * order-independent, the final division has exact operands — the
+    * q31 construction), so iteration-2 assignments are bit-stable under
+    * any partitioning and the oracle can replay both iterations in SQL.
+    */
+  def q58KMeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val scale = 1048576L // 2^20: float24-bit mantissa × 2^20 stays exact
+    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+
+    val c0 = e.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+    val a1 = e
+      .join(broadcast(c0), expr("true"), "cross")
+      .withColumn("dist", sqDist(col("emb"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cluster"),
+        first(col("emb")).as("emb")
+      )
+    val c1 = a1
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(floor(col("v") * scale)).cast("long").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", col("s").cast("double") / (col("n") * lit(scale.toDouble)))
+      .groupBy(col("cluster"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))), s => s.getField("cv"))
+          .as("cent_emb")
+      )
+      .select(col("cluster").as("cent_id"), col("cent_emb"))
+    a1.join(broadcast(c1), expr("true"), "cross")
+      .withColumn("dist", sqDist(col("emb"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("cluster")).as("cluster_iter1"),
+        min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cluster_iter2")
+      )
+      .select(col("vec_id"), col("cluster_iter1"), col("cluster_iter2"))
+  }
+
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.
