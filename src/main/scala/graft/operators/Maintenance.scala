@@ -79,6 +79,19 @@ object Maintenance {
     accepted.drop("__h")
   }
 
+  /** Keyed snapshot upsert (MERGE-into-parquet): rows of `updates`
+    * replace same-key rows of `snapshot`; everything else survives.
+    * One hash-keyed left-anti join + a union — the updates side is
+    * typically a day's batch (broadcast-eligible), and when both sides
+    * are bucketed by the key ([[Scale.writeBucketed]]) the anti join is
+    * shuffle-free. Idempotent by construction: re-applying the same
+    * batch is a no-op (MaintenanceSpec proves it).
+    */
+  def upsert(snapshot: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      snapshot.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    )
+
   /** 2-D Morton (z-order) value: interleave the low `bits` bits of the
     * min/max-normalized values of two integer columns. Pure integer
     * arithmetic (`div`, shift, mask) — codegen'd, exact in any engine,

@@ -205,6 +205,17 @@ object StreamingPipeline {
     ).drop("p_bucket", "c_bucket")
   }
 
+  /** Stream-static enrichment: each streaming event picks up its
+    * dimension attributes from a static (batch) table keyed by
+    * `user_id`. Stateless — no watermark or state store involved; the
+    * static side is re-resolved every micro-batch (so a dim table
+    * refreshed on disk is picked up live) and Catalyst broadcasts it
+    * under the auto threshold — no forced hint, AQE keeps the choice
+    * honest when the dim outgrows it.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("user_id"), "left")
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -61,4 +61,21 @@ class MaintenanceSpec extends AnyFunSuite {
     val indexRows = spark.read.parquet(index).distinct().count()
     assert(indexRows == 3L, s"index holds one row per unique text, got $indexRows")
   }
+
+  test("upsert replaces same-key rows, keeps the rest, and is idempotent") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
+    val updates = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("id", "name", "v")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    val once = Maintenance.upsert(snapshot, updates, Seq("id"))
+    assert(
+      rows(once) == Set((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)),
+      "updates replace same-key rows; unmatched snapshot and new rows survive"
+    )
+    val twice = Maintenance.upsert(once, updates, Seq("id"))
+    assert(rows(twice) == rows(once), "re-applying the same batch is a no-op")
+  }
 }

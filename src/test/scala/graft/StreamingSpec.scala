@@ -176,6 +176,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed > 0, "fixture should produce interval matches")
   }
 
+  test("stream-static enrichment matches the batch left join") {
+    import org.apache.spark.sql.functions._
+    val dim = spark.read
+      .parquet(s"$eventsDir/events.parquet")
+      .select(col("user_id"))
+      .distinct()
+      .filter(col("user_id").isNotNull && pmod(col("user_id"), lit(2)) === 0) // partial dim: left join must keep misses
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    val events = StreamingPipeline.readEvents(spark, streamDir)
+    val q = StreamingPipeline
+      .enrichStream(events, dim)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enriched")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .sql("SELECT event_id, segment FROM enriched")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val batch = StreamingPipeline
+      .enrichStream(spark.read.parquet(s"$eventsDir/events.parquet"), dim)
+      .select(col("event_id"), col("segment"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(streamed == batch, "stream-static enrichment agrees with the batch join")
+    assert(streamed.exists(_._2 == -1L), "fixture must exercise the miss (null) path")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
