@@ -115,6 +115,11 @@ object GraftFunctions {
       exprs => Quantize(exprs(0)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomContains(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]]),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -129,6 +134,15 @@ object GraftFunctions {
     call_function("graft_simhash", tokenHashes, org.apache.spark.sql.functions.lit(nBits))
 
   def graft_quantize(vec: Column): Column = call_function("graft_quantize", vec)
+
+  /** Membership probe against a pre-built bloom filter (see
+    * [[BloomContains]]); the serialized bits travel as a binary literal.
+    */
+  def graft_bloom_contains(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    call_function("graft_bloom_contains", key, org.apache.spark.sql.functions.lit(out.toByteArray))
+  }
 }
 
 /** SparkSessionExtensions installer for cluster deployments:
@@ -164,6 +178,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_quantize"),
         new ExpressionInfo(classOf[Quantize].getName, "graft_quantize"),
         (exprs: Seq[Expression]) => Quantize(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (exprs: Seq[Expression]) =>
+          BloomContains(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]])
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

@@ -56,7 +56,8 @@ object Maintenance {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      indexPath: String
+      indexPath: String,
+      bloomFpp: Double = 0.0
   ): DataFrame = {
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val indexExists = {
@@ -64,9 +65,26 @@ object Maintenance {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     val fresh =
-      if (indexExists)
-        hashed.join(spark.read.parquet(indexPath), Seq("__h"), "left_anti")
-      else hashed
+      if (indexExists) {
+        val index = spark.read.parquet(indexPath)
+        if (bloomFpp > 0.0) {
+          // Bloom pre-filter (Spark's runtime-filter pattern as a library
+          // op): rows whose hash is DEFINITELY not in the corpus skip the
+          // exact anti-join entirely — only might-contain rows (true dups
+          // + an fpp-sized sliver) consult the index, so the join's probe
+          // side shrinks from |batch| to ≈|dups|. False positives are
+          // re-checked exactly below; false negatives cannot occur, so
+          // semantics are identical to the plain anti-join (spec-proved).
+          // The bloom is sized from the index row count — one cheap
+          // column-pruned count over the 1-column index table.
+          graft.functions.GraftFunctions.register(spark)
+          val bf = index.stat.bloomFilter("__h", math.max(index.count(), 1024L), bloomFpp)
+          val probe = graft.functions.GraftFunctions.graft_bloom_contains(col("__h"), bf)
+          hashed
+            .filter(!probe)
+            .unionByName(hashed.filter(probe).join(index, Seq("__h"), "left_anti"))
+        } else hashed.join(index, Seq("__h"), "left_anti")
+      } else hashed
     val accepted = Dedup
       .dedupExact(fresh, idCol, textCol)
       .localCheckpoint() // settle survivors BEFORE the index grows
