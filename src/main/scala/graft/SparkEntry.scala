@@ -77,7 +77,10 @@ object SparkEntry {
     "q55_chunk" -> (TextQueries.q55Chunk _),
     "q56_heavy_hitters" -> (TextQueries.q56HeavyHitters _),
     "q57_zorder" -> (CoreQueries.q57Zorder _),
-    "q58_kmeans" -> (VectorQueries.q58KMeans _)
+    "q58_kmeans" -> (VectorQueries.q58KMeans _),
+    "q59_window_suite" -> (CoreQueries.q59WindowSuite _),
+    "q60_semi_anti" -> (CoreQueries.q60SemiAnti _),
+    "q61_gap_fill" -> (CoreQueries.q61GapFill _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -592,6 +595,33 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, CAST(list_sum(list_transform(range(0, 8),
         |    b -> ((qx >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) + ((qy >> b) & 1) * (CAST(2 AS BIGINT) << (2*b)))) AS BIGINT) AS zval
         |FROM q""".stripMargin,
+    "q59_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q60_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_orders' AS side FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS side FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""".stripMargin,
+    "q61_gap_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value FROM events WHERE user_id IS NOT NULL),
+        |hourly AS (SELECT user_id, h, count(*) AS n_ev,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM e GROUP BY user_id, h),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span)
+        |SELECT g.user_id, g.h, coalesce(n_ev, 0) AS n_ev,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ff
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
     "q58_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),

@@ -533,6 +533,73 @@ object CoreQueries {
       )
   }
 
+  /** Distribution-analytic window suite: ntile quartiles, percent_rank,
+    * cume_dist, first/last value — one partition-keyed sort, every
+    * function sharing the same window frame. The ratio functions return
+    * single IEEE divisions of exact rank/count operands, so results are
+    * engine-portable. Deterministic total order via (o_orderdate,
+    * o_orderkey).
+    */
+  def q59WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      last(col("o_orderkey")).over(wAll).as("last_ok")
+    )
+  }
+
+  /** Semi/anti join surface (EXISTS / NOT EXISTS): customers split by
+    * whether they have orders. Both joins build on the orders side
+    * key-distinct — never materializing the match multiplicity.
+    */
+  def q60SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_orders").as("side"))
+      .unionByName(
+        c.join(o, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), lit("no_orders").as("side"))
+      )
+  }
+
+  /** Time-series gap filling + forward fill (the resampling shape):
+    * per-user hourly activity grid between the user's first and last
+    * hour, missing hours filled with zero counts and the last seen
+    * hourly cents carried forward. The grid is an arithmetic
+    * `sequence` explode — its size is bounded by each key's time span,
+    * never by the corpus; the fill is one keyed left join plus an
+    * ignoreNulls running window on the same partitioning.
+    */
+  def q61GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).filter(col("user_id").isNotNull)
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_ev"), sum(cents(col("value"))).cast("long").as("cents"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val wFf = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq("user_id", "h"), "left")
+      .select(
+        col("user_id"),
+        col("h"),
+        coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+        last(col("cents"), ignoreNulls = true).over(wFf).as("cents_ff")
+      )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
