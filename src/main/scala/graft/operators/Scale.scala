@@ -134,6 +134,73 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014) — converges in O(log² n) rounds regardless of
+    * graph DIAMETER, where [[connectedComponents]]' min-label
+    * propagation needs diameter rounds. Dup clusters are shallow, so
+    * propagation is the default there; this is the escalation for deep
+    * or adversarial graphs (long chains), and returns identical labels.
+    *
+    * Each round is two keyed groupBy+join stages (large-star hooks
+    * every node's larger neighbors to its neighborhood min; small-star
+    * re-hooks the smaller ones), one union-groupBy convergence check on
+    * the DISTINCT edge set, and one `localCheckpoint` lineage cut. At
+    * the fixpoint the edge set is a star per component centered on its
+    * minimum id.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    var e = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v")
+      )
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      // Large-star: over BOTH directions, m(u) = min({u} ∪ Γ(u));
+      // emit (v, m(u)) for every neighbor v > u.
+      val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = nb
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nb
+        .join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: direct each edge to its larger endpoint,
+      // m(u) = min(N⁻(u) ∪ {u}); emit (n, m) for n ∈ N⁻(u) ∪ {u}, n ≠ m.
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mS = dir
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ss = dir
+        .join(mS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("n"), col("m"))
+        .unionAll(mS.filter(col("u") =!= col("m")).select(col("u").as("n"), col("m")))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // One-job symmetric-difference check on the two distinct edge sets.
+      converged = ss
+        .unionAll(e)
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1)
+        .isEmpty
+      e = ss
+    }
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** Near-dup removal given a pair table (doc_a < doc_b): drop every doc
     * that appears as the larger id of a near-dup pair. Deterministic and
     * one pass — the transitive-closure variant (connected components)

@@ -40,4 +40,41 @@ class DedupSpec extends AnyFunSuite {
     val strict = pairSet(queries.TextQueries.nearDupPairs(spark, sf, threshold = 0.7))
     assert(strict.subsetOf(loose))
   }
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id", "comp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def ccBoth(pairs: Seq[(Long, Long)]): (Set[(Long, Long)], Set[(Long, Long)]) = {
+    import spark.implicits._
+    val df = pairs.toDF("doc_a", "doc_b")
+    (labels(operators.Dedup.connectedComponents(df)),
+      labels(operators.Dedup.connectedComponentsStar(df)))
+  }
+
+  test("star CC equals label propagation on the real near-dup graph") {
+    val pairs = queries.TextQueries.nearDupPairs(spark, sf)
+    val prop = labels(operators.Dedup.connectedComponents(pairs))
+    val star = labels(operators.Dedup.connectedComponentsStar(pairs))
+    assert(prop.nonEmpty && star == prop)
+  }
+
+  test("star CC handles a deep chain (diameter >> log² n)") {
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val (prop, star) = ccBoth(chain)
+    assert(star == prop)
+    assert(star == (1L to 60L).map(i => (i, 1L)).toSet, "one component labeled by its minimum")
+  }
+
+  test("star CC equals label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 80
+      val edges = (0 until 120).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val (prop, star) = ccBoth(edges)
+      assert(star == prop, "star and propagation labels must agree")
+    }
+  }
 }
