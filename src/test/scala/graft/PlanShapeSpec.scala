@@ -65,4 +65,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(queries.VectorQueries.q24KnnBrute(spark, sf))
     assert(plan.contains("graft_dot"), s"native expression expected:\n$plan")
   }
+
+  test("q55: chunking is a pure projection — no keyed shuffle") {
+    // The only allowed Exchange is docs()' gated round-robin
+    // repartition (a local under-parallelism fix, off at corpus scale);
+    // the chunk grid itself must never hash- or range-shuffle.
+    val plan = planOf(queries.TextQueries.q55Chunk(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"), s"chunk grid must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"chunk grid must not sort-shuffle:\n$plan")
+  }
+
+  test("q57: z-values shuffle nothing but the 1-row min/max aggregate") {
+    val plan = planOf(CoreQueries.q57Zorder(spark, sf))
+    // The only exchanges allowed are the scalar min/max agg (single
+    // partition) and its broadcast — the lineitem side itself never
+    // hash-shuffles.
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), s"fact side must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"min/max scalars must arrive by broadcast:\n$plan")
+  }
+
+  test("q60: plans as semi and anti joins, never an inner join + distinct") {
+    val plan = planOf(CoreQueries.q60SemiAnti(spark, sf))
+    assert(plan.contains("LeftSemi"), s"semi join expected:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti join expected:\n$plan")
+  }
+
+  test("q58: k-means assignment aggregates before shuffling — no window, N-row shuffles only") {
+    val plan = planOf(queries.VectorQueries.q58KMeans(spark, sf))
+    assert(!plan.contains("Window ["), s"assignment must not be a window:\n$plan")
+    assert(plan.contains("min_by"), s"argmin assignment should plan as min_by aggregate:\n$plan")
+  }
 }
