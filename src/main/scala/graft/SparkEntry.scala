@@ -80,7 +80,10 @@ object SparkEntry {
     "q58_kmeans" -> (VectorQueries.q58KMeans _),
     "q59_window_suite" -> (CoreQueries.q59WindowSuite _),
     "q60_semi_anti" -> (CoreQueries.q60SemiAnti _),
-    "q61_gap_fill" -> (CoreQueries.q61GapFill _)
+    "q61_gap_fill" -> (CoreQueries.q61GapFill _),
+    "q62_grouping_sets" -> (CoreQueries.q62GroupingSets _),
+    "q63_session_window" -> (CoreQueries.q63SessionWindow _),
+    "q64_dq_checks" -> (CoreQueries.q64DqChecks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -622,6 +625,35 @@ object SparkEntry {
         |  last_value(cents IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ff
         |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
+    "q62_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())""".stripMargin,
+    "q63_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, epoch_us(CAST(ts AS TIMESTAMP)) AS es
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT user_id, ts, es,
+        |      CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |             OR es - lag(es) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM e))
+        |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_ev
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q64_dq_checks" ->
+      """SELECT 'orders_orphan_custkey' AS check_name,
+        |  (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS n_violations
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |UNION ALL SELECT 'customer_dup_custkey',
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1))
+        |UNION ALL SELECT 'events_null_user',
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL)
+        |UNION ALL SELECT 'events_negative_value',
+        |  (SELECT count(*) FROM events WHERE value < 0)""".stripMargin,
     "q58_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),

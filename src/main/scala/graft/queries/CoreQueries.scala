@@ -600,6 +600,82 @@ object CoreQueries {
       )
   }
 
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands) with
+    * per-column grouping flags — the SQL surface, since the DataFrame
+    * API only exposes rollup/cube. One Expand + one keyed agg.
+    */
+  def q62GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        |""".stripMargin
+    )
+  }
+
+  /** Sessionization via Spark's NATIVE `session_window` operator (the
+    * declarative twin of q11's lag+running-sum construction and the
+    * streaming sessionizer): 30-minute-gap sessions per user with the
+    * engine-managed merge. Session end = last event + gap; a gap of
+    * EXACTLY 30 minutes starts a new session (end-exclusive window),
+    * which the oracle mirrors with a `>=` gap test.
+    */
+  def q63SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_ev")
+      )
+
+  /** Data-quality constraint suite (what a training pipeline runs
+    * before accepting a snapshot): referential integrity via anti
+    * joins, key uniqueness, null-rate, and domain checks — one small
+    * keyed job per constraint, unioned into a (check, n_violations)
+    * report. Every check is output-bounded (violation counts), so the
+    * report is driver-safe at any corpus size.
+    */
+  def q64DqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val lineitem = t(spark, dir, "lineitem")
+    val ev = events(spark, dir)
+    def check(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), coalesce(col("n"), lit(0L)).as("n_violations"))
+    Seq(
+      check(
+        "orders_orphan_custkey",
+        orders
+          .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+      ),
+      check(
+        "lineitem_orphan_orderkey",
+        lineitem
+          .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+      ),
+      check(
+        "customer_dup_custkey",
+        customer
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(count(lit(1)).as("n"))
+      ),
+      check("events_null_user", ev.agg(sum(col("user_id").isNull.cast("long")).as("n"))),
+      check("events_negative_value", ev.agg(sum((col("value") < 0).cast("long")).as("n")))
+    ).reduce(_ unionByName _)
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
