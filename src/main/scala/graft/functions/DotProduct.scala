@@ -120,6 +120,11 @@ object GraftFunctions {
       exprs => BloomContains(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]]),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2",
+      exprs => SquaredL2(exprs(0), exprs(1)),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -134,6 +139,8 @@ object GraftFunctions {
     call_function("graft_simhash", tokenHashes, org.apache.spark.sql.functions.lit(nBits))
 
   def graft_quantize(vec: Column): Column = call_function("graft_quantize", vec)
+
+  def graft_l2(a: Column, b: Column): Column = call_function("graft_l2", a, b)
 
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.
@@ -178,6 +185,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_quantize"),
         new ExpressionInfo(classOf[Quantize].getName, "graft_quantize"),
         (exprs: Seq[Expression]) => Quantize(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_l2"),
+        new ExpressionInfo(classOf[SquaredL2].getName, "graft_l2"),
+        (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))
       )
     )
     e.injectFunction(

@@ -176,8 +176,11 @@ object VectorQueries {
     val scale = 1048576L // 2^20: float24-bit mantissa × 2^20 stays exact
     val e = emb(spark, dir).select(col("vec_id"), col("emb"))
 
+    // Native codegen'd squared-L2 ([[graft.functions.SquaredL2]]) —
+    // bit-identical to the `aggregate(zip_with(...))` fold it replaces
+    // (DotProductSpec), compiled instead of interpreted.
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+      graft.functions.GraftFunctions.graft_l2(a, b)
 
     val c0 = e.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     val a1 = e

@@ -83,8 +83,20 @@ object MicroBench {
     val h = time("simhash: graft_simhash")(
       ints.select(sum(graft.functions.GraftFunctions.graft_simhash(col("xs"), 28))).collect()
     )
+    val hofL2 = aggregate(
+      zip_with(col("emb"), col("emb2"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+    val e2 = e.withColumn("emb2", reverse(col("emb")))
+    val i2 = time("l2: HOF fold")(
+      e2.select(sum(hofL2)).collect()
+    )
+    val j2 = time("l2: graft_l2 native")(
+      e2.select(sum(graft.functions.GraftFunctions.graft_l2(col("emb"), col("emb2")))).collect()
+    )
     println(
-      f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx"
+      f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx l2=${i2 / j2}%.1fx"
     )
     spark.stop()
   }

@@ -35,6 +35,32 @@ class DotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_l2 matches the HOF squared-diff fold bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map(_ => (Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5))) :+
+      ((Seq.empty[Double], Seq.empty[Double]))
+    val df = rows.toDF("a", "b")
+    val out = df
+      .withColumn("native", GraftFunctions.graft_l2(col("a"), col("b")))
+      .withColumn(
+        "hof",
+        aggregate(
+          zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, v) => acc + v
+        )
+      )
+      .collect()
+    out.foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("hof"))
+      )
+    }
+  }
+
   test("null array propagates null") {
     GraftFunctions.register(spark)
     val row = spark
