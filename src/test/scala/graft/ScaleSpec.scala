@@ -69,4 +69,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("bucket pruning: an equality filter on the bucket key scans one bucket") {
+    val wh = Files.createTempDirectory("graft-bucket-prune").toString
+    spark.read
+      .parquet(s"$sf/orders.parquet")
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "o_custkey")
+      .option("path", s"$wh/ord_p")
+      .format("parquet")
+      .saveAsTable("ord_p")
+    val someKey = spark.read.parquet(s"$sf/orders.parquet").select("o_custkey").head().getLong(0)
+    // autoBucketedScan downgrades bucketed reads for scan-only plans (no
+    // exchange to eliminate) — turn it off so the filter goes through the
+    // bucketed scan and its bucket pruning, which is the point here.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("ord_p").filter(org.apache.spark.sql.functions.col("o_custkey") === someKey)
+      val plan = q.queryExecution.executedPlan.toString
+      // Spark's scan reports bucket pruning as "SelectedBucketsCount: 1 out of 8".
+      assert(
+        plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning must reach the scan:\n$plan"
+      )
+      val expected = spark.read
+        .parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_custkey") === someKey)
+        .count()
+      assert(q.count() == expected)
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
 }
