@@ -83,7 +83,8 @@ object SparkEntry {
     "q61_gap_fill" -> (CoreQueries.q61GapFill _),
     "q62_grouping_sets" -> (CoreQueries.q62GroupingSets _),
     "q63_session_window" -> (CoreQueries.q63SessionWindow _),
-    "q64_dq_checks" -> (CoreQueries.q64DqChecks _)
+    "q64_dq_checks" -> (CoreQueries.q64DqChecks _),
+    "q65_outliers" -> (CoreQueries.q65Outliers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -654,6 +655,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM events WHERE user_id IS NULL)
         |UNION ALL SELECT 'events_negative_value',
         |  (SELECT count(*) FROM events WHERE value < 0)""".stripMargin,
+    "q65_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM e GROUP BY event_type),
+        |f AS (SELECT e.event_type,
+        |    CASE WHEN (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) * (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+        |           > (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 4
+        |         THEN 1 ELSE 0 END AS fl
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n, CAST(sum(fl) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY event_type""".stripMargin,
     "q58_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),

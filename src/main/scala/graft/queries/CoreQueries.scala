@@ -676,6 +676,29 @@ object CoreQueries {
     ).reduce(_ unionByName _)
   }
 
+  /** Per-group outlier detection (2σ rule) with exact distributed
+    * statistics: per event_type, mean/variance come from integer sums
+    * of cents and squared cents — order-independent under any
+    * partitioning (never a double sum) — and the per-row flag
+    * `(c−μ)² > 4σ²` is a fixed sequence of IEEE ops both engines
+    * evaluate identically. Two keyed aggs + one broadcast-eligible
+    * stats join; outputs are group-bounded counts. Int64 headroom:
+    * Σc² ≤ n·(56e3)² stays under 2^63 past 10^10 rows.
+    */
+  def q65Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), cents(col("value")).cast("long").as("c"))
+    val stats = ev
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+    val mu = col("s1").cast("double") / col("n")
+    val varr = col("s2").cast("double") / col("n") - mu * mu
+    val cd = col("c").cast("double")
+    ev.join(stats, Seq("event_type"))
+      .withColumn("fl", ((cd - mu) * (cd - mu) > varr * 4).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("fl")).as("n_outliers"))
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
