@@ -84,7 +84,8 @@ object SparkEntry {
     "q62_grouping_sets" -> (CoreQueries.q62GroupingSets _),
     "q63_session_window" -> (CoreQueries.q63SessionWindow _),
     "q64_dq_checks" -> (CoreQueries.q64DqChecks _),
-    "q65_outliers" -> (CoreQueries.q65Outliers _)
+    "q65_outliers" -> (CoreQueries.q65Outliers _),
+    "q66_weighted_sample" -> (TextQueries.q66WeightedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -655,6 +656,10 @@ object SparkEntry {
         |  (SELECT count(*) FROM events WHERE user_id IS NULL)
         |UNION ALL SELECT 'events_negative_value',
         |  (SELECT count(*) FROM events WHERE value < 0)""".stripMargin,
+    "q66_weighted_sample" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
+        |      < least(10000, n_chars * 5)""".stripMargin,
     "q65_outliers" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
         |st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2

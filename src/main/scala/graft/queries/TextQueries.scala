@@ -619,6 +619,22 @@ object TextQueries {
       )
   }
 
+  /** Deterministic weighted (importance) sampling — the data-curation
+    * pass that keeps documents with probability proportional to a
+    * quality weight (here `min(1, n_chars/2000)`). The keep test is
+    * PURE INTEGER arithmetic: P·10⁴ = min(10⁴, n_chars·5) exactly, and
+    * the per-doc coin is the 28-bit md5 hash mod 10⁴ — reproducible on
+    * any cluster/partitioning (q42's construction, weight-scaled).
+    * Zero shuffle; at 100 TB this is a pushdown-friendly filter.
+    */
+  def q66WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(
+        pmod(h28(concat_ws("_", lit("ws"), col("doc_id"))), lit(10000)) <
+          least(lit(10000L), col("n_chars") * 5)
+      )
+      .select("doc_id", "n_chars", "lang")
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
