@@ -249,9 +249,15 @@ object Maintenance {
       .select("file", "min_value", "max_value")
       .collect()
     val keep = stats.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
-    val df = spark.read
-      .parquet(keep.toIndexedSeq: _*)
-      .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
+    val df =
+      if (keep.isEmpty)
+        // No file can match: keep the dataset's schema but read nothing
+        // (the false predicate prunes every file at planning time).
+        spark.read.parquet(path).where(lit(false))
+      else
+        spark.read
+          .parquet(keep.toIndexedSeq: _*)
+          .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
     (df, keep.length, stats.length)
   }
 }

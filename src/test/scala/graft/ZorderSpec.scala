@@ -85,6 +85,13 @@ class ZorderSpec extends AnyFunSuite {
     assert(zSupp <= nFiles / 2, s"z-order should prune most files on y (got $zSupp/$nFiles)")
   }
 
+  test("pruned read with a range outside every file returns empty, not an error") {
+    val (df, kept, total) = operators.Maintenance.prunedRead(spark, zPath, "l_partkey", -100L, -1L)
+    assert(kept == 0 && total == nFiles)
+    assert(df.isEmpty)
+    assert(df.columns.contains("l_partkey"), "schema preserved on the empty path")
+  }
+
   test("pruned read equals the full-scan filter") {
     val mm = spark.read.parquet(s"$sf/lineitem.parquet").agg(min("l_partkey"), max("l_partkey")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 16)
