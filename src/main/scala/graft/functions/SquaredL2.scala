@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * interpreted HOF form
   * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0d, (acc, v) => acc + v)`
   * with a tight primitive loop inside whole-stage codegen; identical
-  * sequential IEEE fold order, bit-identical result (DotProduct's
-  * contract, same construction).
+  * sequential IEEE fold order, bit-identical result on equal-length
+  * inputs (DotProduct's contract, same construction). Like graft_dot,
+  * mismatched lengths fold over the shorter side — the HOF form
+  * instead yields null from zip_with's null padding, so callers feed
+  * fixed-dimension embedding columns (the only intended input).
   */
 case class SquaredL2(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -57,7 +57,8 @@ object Maintenance {
       idCol: String,
       textCol: String,
       indexPath: String,
-      bloomFpp: Double = 0.0
+      bloomFpp: Double = 0.0,
+      indexSizeHint: Option[Long] = None
   ): DataFrame = {
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val indexExists = {
@@ -74,15 +75,28 @@ object Maintenance {
           // + an fpp-sized sliver) consult the index, so the join's probe
           // side shrinks from |batch| to ≈|dups|. False positives are
           // re-checked exactly below; false negatives cannot occur, so
-          // semantics are identical to the plain anti-join (spec-proved).
-          // The bloom is sized from the index row count — one cheap
-          // column-pruned count over the 1-column index table.
+          // semantics are identical to the plain anti-join (spec-proved,
+          // incl. null text). Sizing comes from `indexSizeHint` when the
+          // ingest loop maintains a row count (at real scale it should —
+          // the fallback count() is an extra 1-column index scan).
           graft.functions.GraftFunctions.register(spark)
-          val bf = index.stat.bloomFilter("__h", math.max(index.count(), 1024L), bloomFpp)
-          val probe = graft.functions.GraftFunctions.graft_bloom_contains(col("__h"), bf)
-          hashed
+          val n = indexSizeHint.getOrElse(index.count())
+          val bf = index.stat.bloomFilter("__h", math.max(n, 1024L), bloomFpp)
+          // NULL-safe split: a null text gives a null hash, the probe
+          // evaluates null, and a bare filter pair would drop the row
+          // from BOTH branches. Nulls are routed to the exact join,
+          // which (like the bloomFpp=0 path) keeps them — null never
+          // matches the index.
+          val probe = coalesce(
+            graft.functions.GraftFunctions.graft_bloom_contains(col("__h"), bf),
+            lit(true)
+          )
+          // The two branches would otherwise each recompute the batch
+          // (and its hashes); settle it once.
+          val settled = hashed.localCheckpoint()
+          settled
             .filter(!probe)
-            .unionByName(hashed.filter(probe).join(index, Seq("__h"), "left_anti"))
+            .unionByName(settled.filter(probe).join(index, Seq("__h"), "left_anti"))
         } else hashed.join(index, Seq("__h"), "left_anti")
       } else hashed
     val accepted = Dedup
@@ -104,6 +118,11 @@ object Maintenance {
     * are bucketed by the key ([[Scale.writeBucketed]]) the anti join is
     * shuffle-free. Idempotent by construction: re-applying the same
     * batch is a no-op (MaintenanceSpec proves it).
+    *
+    * Contract (SQL MERGE's cardinality rule): `updates` must hold at
+    * most one row per key — a replayed CDC batch with duplicate keys
+    * should be reduced to keep-latest upstream, else both rows land in
+    * the snapshot.
     */
   def upsert(snapshot: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.unionByName(
@@ -111,9 +130,11 @@ object Maintenance {
     )
 
   /** 2-D Morton (z-order) value: interleave the low `bits` bits of the
-    * min/max-normalized values of two integer columns. Pure integer
-    * arithmetic (`div`, shift, mask) — codegen'd, exact in any engine,
-    * no floating point anywhere.
+    * min/max-normalized values of two integer columns. Integer-exact
+    * under the precondition `(max − min) · (2^bits − 1) < 2^53` (any
+    * realistic key domain; for full-range 64-bit hash keys, pre-quantize
+    * before calling): within it the floor-division below lands exactly
+    * on the integer quotient (see comment), matching DuckDB's `//`.
     */
   def zValue(x: Column, y: Column, xMin: Column, xMax: Column, yMin: Column, yMax: Column, bits: Int = 8): Column = {
     val top = (1L << bits) - 1
@@ -159,9 +180,20 @@ object Maintenance {
       nFiles: Int,
       bits: Int = 8
   ): Unit = {
+    // Cast inside the agg so int-typed keys don't ClassCastException on
+    // Row.getLong (it does not widen).
     val mm = df
-      .agg(min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"), min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx"))
+      .agg(
+        min(col(xCol).cast("long")).as("xmn"),
+        max(col(xCol).cast("long")).as("xmx"),
+        min(col(yCol).cast("long")).as("ymn"),
+        max(col(yCol).cast("long")).as("ymx")
+      )
       .head()
+    if (mm.isNullAt(0)) { // empty input: write the empty dataset as-is
+      df.write.mode("overwrite").parquet(outPath)
+      return
+    }
     val z = zValue(
       col(xCol),
       col(yCol),
@@ -191,27 +223,54 @@ object Maintenance {
     * this is the same information engines' data-skipping indexes (and
     * table formats' manifests) persist.
     */
-  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
-    import spark.implicits._
+  private def listParquet(spark: SparkSession, path: String): Seq[String] = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs
-      .listStatus(fsPath)
+    fs.listStatus(fsPath)
       .map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
       .map(_.toString)
+      .toSeq
+  }
+
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = listParquet(spark, path)
     val wanted = cols.toSet
+    // Ship the SESSION's Hadoop configuration to the footer-reading
+    // tasks (Configuration is a Writable): a default Configuration()
+    // would lack the session's filesystem settings (credentials,
+    // endpoints) on any non-local store.
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(baos)
+      spark.sparkContext.hadoopConfiguration.write(dos)
+      dos.close()
+      baos.toByteArray
+    }
+    val bcConf = spark.sparkContext.broadcast(confBytes)
     spark.sparkContext
-      .parallelize(files.toSeq, math.max(1, files.length))
+      .parallelize(files, math.max(1, files.length))
       .flatMap { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(
+          new java.io.DataInputStream(new java.io.ByteArrayInputStream(bcConf.value))
+        )
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(f), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks
+          // A (file, column) stats row is emitted ONLY when every row
+          // group bounds the column — a block with missing stats makes
+          // the file's range unknown, and emitting a partial range would
+          // let prunedRead silently skip in-range rows. (An all-null
+          // block counts as bounded: it holds no values to range over.)
+          var nBlocks = 0
           val perCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          val coveredBlocks = scala.collection.mutable.Map.empty[String, Int]
           blocks.forEach { b =>
+            nBlocks += 1
             b.getColumns.forEach { c =>
               val name = c.getPath.toDotString
               if (wanted.contains(name)) {
@@ -221,21 +280,30 @@ object Maintenance {
                   val mx = st.genericGetMax.asInstanceOf[Number].longValue()
                   val cur = perCol.getOrElse(name, (Long.MaxValue, Long.MinValue))
                   perCol(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+                  coveredBlocks(name) = coveredBlocks.getOrElse(name, 0) + 1
+                } else if (st != null && !st.isEmpty && st.getNumNulls == b.getRowCount) {
+                  coveredBlocks(name) = coveredBlocks.getOrElse(name, 0) + 1
                 }
               }
             }
           }
-          perCol.toSeq.map { case (c, (mn, mx)) => (f, c, mn, mx) }
+          perCol.toSeq.collect {
+            case (c, (mn, mx)) if coveredBlocks.getOrElse(c, 0) == nBlocks => (f, c, mn, mx)
+          }
         } finally reader.close()
       }
       .toDF("file", "column", "min_value", "max_value")
   }
 
-  /** Data-skipping read: list only the files whose footer [min,max]
-    * range on `pruneCol` overlaps [lo,hi], read just those, and apply
-    * the residual filter. The stats table is one short row per
-    * (file, column) — bounded driver state, exactly what any skipping
-    * index materializes.
+  /** Data-skipping read: skip only the files whose footer [min,max]
+    * range on `pruneCol` provably excludes [lo,hi]; read the rest and
+    * apply the residual filter. CONSERVATIVE by construction — a file
+    * with unknown stats (non-stats writer, partial row-group stats) is
+    * always read, so skipping can never lose rows. The stats table is
+    * one short row per (file, column) — bounded driver state, exactly
+    * what any skipping index materializes.
+    *
+    * Returns (dataframe, filesRead, filesTotal).
     */
   def prunedRead(
       spark: SparkSession,
@@ -244,20 +312,33 @@ object Maintenance {
       lo: Long,
       hi: Long
   ): (DataFrame, Int, Int) = {
-    val stats = fileStats(spark, path, Seq(pruneCol))
+    val allFiles = listParquet(spark, path)
+    val ranges = fileStats(spark, path, Seq(pruneCol))
       .filter(col("column") === pruneCol)
       .select("file", "min_value", "max_value")
       .collect()
-    val keep = stats.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val keep = allFiles.filter { f =>
+      ranges.get(f) match {
+        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case None => true // unknown stats: must read
+      }
+    }
     val df =
       if (keep.isEmpty)
         // No file can match: keep the dataset's schema but read nothing
         // (the false predicate prunes every file at planning time).
         spark.read.parquet(path).where(lit(false))
       else
+        // Pin the DATASET-level schema: a kept subset might omit every
+        // file that carries some column (schema evolution), and the
+        // residual filter must still resolve — missing columns read as
+        // null and the filter rejects those rows.
         spark.read
-          .parquet(keep.toIndexedSeq: _*)
+          .schema(spark.read.parquet(path).schema)
+          .parquet(keep: _*)
           .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
-    (df, keep.length, stats.length)
+    (df, keep.length, allFiles.length)
   }
 }

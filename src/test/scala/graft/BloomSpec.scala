@@ -68,4 +68,26 @@ class BloomSpec extends AnyFunSuite {
     assert(bloomed == exact, "bloom path must be semantics-preserving")
     assert(exact.nonEmpty, "fixture should accept some fresh rows in batch 2")
   }
+
+  test("bloom path keeps null-text rows exactly like the exact path") {
+    import spark.implicits._
+    // null text → null hash → null probe; the split must route the row
+    // to the exact join (which keeps it), not drop it from both branches.
+    val batch1 = Seq((1L, "seen text")).toDF("doc_id", "text")
+    val batch2 = Seq((2L, "seen text"), (3L, null.asInstanceOf[String]), (4L, "new text"))
+      .toDF("doc_id", "text")
+    def run(fpp: Double): Set[Long] = {
+      val index = Files.createTempDirectory("graft-bloom-null").toString + "/index.parquet"
+      Maintenance.incrementalDedup(spark, batch1, "doc_id", "text", index, fpp).count()
+      Maintenance
+        .incrementalDedup(spark, batch2, "doc_id", "text", index, fpp)
+        .select("doc_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+    }
+    val exact = run(0.0)
+    assert(exact.contains(3L), "exact path keeps the null-text row")
+    assert(run(0.01) == exact, "bloom path must agree, including the null-text row")
+  }
 }

@@ -85,6 +85,34 @@ class ZorderSpec extends AnyFunSuite {
     assert(zSupp <= nFiles / 2, s"z-order should prune most files on y (got $zSupp/$nFiles)")
   }
 
+  test("zorderWrite accepts int-typed key columns") {
+    import spark.implicits._
+    val out = s"/tmp/graft-zint-${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = (0 until 100).map(i => (i, i * 7 % 100)).toDF("a", "b") // IntegerType keys
+    operators.Maintenance.zorderWrite(spark, df, "a", "b", out, 4)
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
+  test("a file with no stats for the prune column is always read (conservative)") {
+    val dir = s"/tmp/graft-nostat-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(s"$sf/lineitem.parquet").repartition(4).write.parquet(dir)
+    // Append a file that lacks l_partkey entirely (schema evolution):
+    // its footer carries no stats for the prune column, so pruning must
+    // treat its range as unknown and keep it for ANY predicate.
+    spark.read
+      .parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(dir)
+    val (df, kept, total) =
+      operators.Maintenance.prunedRead(spark, dir, "l_partkey", -100L, -1L)
+    assert(total == 5)
+    assert(kept == 1, "impossible range prunes every file WITH stats; the stats-less one stays")
+    assert(df.isEmpty, "the stats-less file's rows read l_partkey as null and fail the filter")
+  }
+
   test("pruned read with a range outside every file returns empty, not an error") {
     val (df, kept, total) = operators.Maintenance.prunedRead(spark, zPath, "l_partkey", -100L, -1L)
     assert(kept == 0 && total == nFiles)
