@@ -129,6 +129,65 @@ object Maintenance {
       snapshot.join(updates.select(keys.map(col): _*), keys, "left_anti")
     )
 
+  /** Snapshot diff: classify every key as `added`, `removed`, or
+    * `changed` between two dataset versions (the audit step before
+    * promoting a new corpus snapshot). One full-outer keyed join;
+    * non-key columns are compared via a row fingerprint (md5 of the
+    * canonical JSON struct) so the join carries two short columns, not
+    * both full rows. Unchanged keys are dropped — output is bounded by
+    * the churn, not the corpus.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    def fp(df: DataFrame): DataFrame = {
+      val nonKey = df.columns.filterNot(keys.contains).sorted.map(col)
+      df.select(keys.map(col) :+ md5(to_json(struct(nonKey: _*))).as("__fp"): _*)
+    }
+    val o = fp(oldDf).withColumnRenamed("__fp", "__fp_old")
+    val n = fp(newDf).withColumnRenamed("__fp", "__fp_new")
+    o.join(n, keys, "full_outer")
+      .withColumn(
+        "change",
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+      )
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
+  /** Retention enforcement on a hive-partitioned layout: delete the
+    * partition DIRECTORIES whose `k=v` values the predicate marks
+    * expired — a metadata/filesystem operation, no data scan or
+    * rewrite, which is what makes TTL viable on a 100 TB table. Nested
+    * partition levels are walked depth-first and a directory is removed
+    * when the predicate expires its accumulated `k=v` path.
+    *
+    * Returns the deleted partition paths.
+    */
+  def expirePartitions(
+      spark: SparkSession,
+      path: String,
+      expired: Map[String, String] => Boolean
+  ): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: org.apache.hadoop.fs.Path, spec: Map[String, String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          val Array(k, v) = name.split("=", 2)
+          val childSpec = spec + (k -> v)
+          if (expired(childSpec)) {
+            fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          } else walk(st.getPath, childSpec)
+        }
+      }
+    walk(root, Map.empty)
+    deleted.toSeq
+  }
+
   /** 2-D Morton (z-order) value: interleave the low `bits` bits of the
     * min/max-normalized values of two integer columns. Integer-exact
     * under the precondition `(max − min) · (2^bits − 1) < 2^53` (any

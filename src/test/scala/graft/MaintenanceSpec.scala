@@ -78,4 +78,36 @@ class MaintenanceSpec extends AnyFunSuite {
     val twice = Maintenance.upsert(once, updates, Seq("id"))
     assert(rows(twice) == rows(once), "re-applying the same batch is a no-op")
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
+    val v2 = Seq((2L, "b", 21), (3L, "c", 30), (4L, "d", 40)).toDF("id", "name", "v")
+    val diff = Maintenance
+      .snapshotDiff(v1, v2, Seq("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(diff == Set((1L, "removed"), (2L, "changed"), (4L, "added")))
+  }
+
+  test("expirePartitions deletes only the expired month directories, no data rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-expire").toString + "/t"
+    Seq((2023, 11, 1L), (2023, 12, 2L), (2024, 1, 3L), (2024, 2, 4L))
+      .toDF("year", "month", "v")
+      .write
+      .partitionBy("year", "month")
+      .parquet(dir)
+    val deleted = Maintenance.expirePartitions(
+      spark,
+      dir,
+      spec =>
+        spec.contains("month") && // only expire at the leaf level
+          (spec("year").toInt * 100 + spec("month").toInt) < 202401
+    )
+    assert(deleted.length == 2, s"two months predate the cutoff, got $deleted")
+    val left = spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 4L), "surviving partitions read back intact")
+  }
 }
