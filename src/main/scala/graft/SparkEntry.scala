@@ -85,7 +85,8 @@ object SparkEntry {
     "q63_session_window" -> (CoreQueries.q63SessionWindow _),
     "q64_dq_checks" -> (CoreQueries.q64DqChecks _),
     "q65_outliers" -> (CoreQueries.q65Outliers _),
-    "q66_weighted_sample" -> (TextQueries.q66WeightedSample _)
+    "q66_weighted_sample" -> (TextQueries.q66WeightedSample _),
+    "q67_multimodal_patches" -> (MultimodalQueries.q67MultimodalPatches _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -660,6 +661,14 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q67_multimodal_patches" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(substring(text, 1, 64)) AS patch0_md5,
+        |  md5(substring(text, 65, 64)) AS patch1_md5,
+        |  md5(substring(text, 129, 64)) AS patch2_md5,
+        |  octet_length(encode(text)) = length(text) AS ascii_ok
+        |FROM documents""".stripMargin,
     "q65_outliers" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
         |st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2

@@ -35,6 +35,30 @@ object MultimodalQueries {
       )
   }
 
+  /** Byte-window patch fingerprints over the binary payload column —
+    * REAL distributed byte-level ops (binary substring + md5), not the
+    * decode stub: the chunk/dedup primitive for opaque media blobs
+    * (content-defined patches would swap the fixed offsets for a
+    * rolling-hash cut, same plumbing). Pure projection, zero shuffle.
+    *
+    * The oracle slices VARCHAR (DuckDB cannot slice BLOBs), which
+    * matches byte offsets only for ASCII payloads — `ascii_ok` asserts
+    * that precondition in-band (oracle expects literal TRUE), so a
+    * future non-ASCII corpus fails loudly instead of silently.
+    */
+  def q67MultimodalPatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val payload = encode(col("text"), "UTF-8")
+    d.select(
+      col("doc_id"),
+      length(payload).as("byte_len"),
+      md5(substring(payload, 1, 64)).as("patch0_md5"),
+      md5(substring(payload, 65, 64)).as("patch1_md5"),
+      md5(substring(payload, 129, 64)).as("patch2_md5"),
+      (length(payload) === length(col("text"))).as("ascii_ok")
+    )
+  }
+
   /** Feature extraction + resize over the decoded assets. */
   def q28MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val dec = Multimodal.resize(Multimodal.features(Multimodal.decode(assets(spark, dir))))
