@@ -123,4 +123,49 @@ class PropertySpec extends AnyFunSuite {
       assert(sp.count() == next.count())
     }
   }
+
+  test("zValue: equal iff quantized cells equal; bounded by 4^bits; corners map to extremes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bits = 6
+    val pointGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, for {
+        x <- Gen.choose(-5000L, 5000L)
+        y <- Gen.choose(0L, 999L)
+      } yield (x, y))
+    forAllSamples(pointGen) { pts =>
+      val df = pts.toDF("x", "y")
+      val (xmn, xmx) = (pts.map(_._1).min, pts.map(_._1).max)
+      val (ymn, ymx) = (pts.map(_._2).min, pts.map(_._2).max)
+      val rows = df
+        .select(
+          col("x"),
+          col("y"),
+          operators.Maintenance
+            .zValue(col("x"), col("y"), lit(xmn), lit(xmx), lit(ymn), lit(ymx), bits)
+            .as("z")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def quant(v: Long, mn: Long, mx: Long): Long =
+        (v - mn) * ((1L << bits) - 1) / math.max(1L, mx - mn)
+      rows.foreach { case (x, y, z) =>
+        assert(z >= 0 && z < (1L << (2 * bits)), s"z out of range: $z")
+      }
+      // z equality ⟺ quantized-cell equality (the clustering contract)
+      rows.groupBy { case (x, y, _) => (quant(x, xmn, xmx), quant(y, ymn, ymx)) }.foreach {
+        case (_, grp) => assert(grp.map(_._3).distinct.length == 1, "same cell, different z")
+      }
+      assert(
+        rows.groupBy(_._3).forall { case (_, grp) =>
+          grp.map { case (x, y, _) => (quant(x, xmn, xmx), quant(y, ymn, ymx)) }.distinct.length == 1
+        },
+        "same z, different cell"
+      )
+      // corner points occupy the extremes of the curve
+      val zOf = rows.map { case (x, y, z) => (x, y) -> z }.toMap
+      if (zOf.contains((xmn, ymn))) assert(zOf((xmn, ymn)) == 0L)
+      if (zOf.contains((xmx, ymx))) assert(zOf((xmx, ymx)) == (1L << (2 * bits)) - 1)
+    }
+  }
 }
