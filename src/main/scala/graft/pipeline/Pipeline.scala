@@ -21,10 +21,20 @@ object Pipeline {
     * songs/artists: the fact table is built from the on-disk dimension
     * tables, decoupling stage outputs (reference `sparkify_etl.py:173-176`).
     */
+  /** Cluster rows by their partition value before a `partitionBy`
+    * write: each hive partition is then produced by one task instead of
+    * by EVERY task — at 100 TB that is #partitions output files versus
+    * #tasks × #partitions small files (and a compaction job later). AQE
+    * coalesces the clustering shuffle; if one partition is huge, salt
+    * the repartition with a second column to split it.
+    */
+  private def clusteredBy(df: org.apache.spark.sql.DataFrame, c: String) =
+    df.repartition(org.apache.spark.sql.functions.col(c))
+
   def runFullBatch(spark: SparkSession, input: String, output: String): Unit = {
     val songData = spark.read.schema(Schemas.songData).json(s"${input}song_data/*/*/*/*.json")
 
-    songsTable(songData).write
+    clusteredBy(songsTable(songData), "year").write
       .mode("overwrite")
       .partitionBy("year")
       .parquet(s"${output}songs_table.parquet")
@@ -42,7 +52,7 @@ object Pipeline {
 
     val withTs = withStartTime(events)
     val time = timeTable(withTs)
-    time.write
+    clusteredBy(time, "year").write
       .mode("overwrite")
       .partitionBy("year")
       .parquet(s"${output}time_table.parquet")
@@ -51,7 +61,7 @@ object Pipeline {
     val songs = spark.read.parquet(s"${output}songs_table.parquet")
     val artists = spark.read.parquet(s"${output}artists_table.parquet")
 
-    songplaysTable(withTs, songs, artists, time).write
+    clusteredBy(songplaysTable(withTs, songs, artists, time), "year").write
       .mode("overwrite")
       .partitionBy("year")
       .parquet(s"${output}songplays_table.parquet")

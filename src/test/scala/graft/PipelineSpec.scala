@@ -94,6 +94,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(songs.count() == 3)
     val parts = new java.io.File(dirs._2 + "songs_table.parquet").listFiles()
     assert(parts.exists(_.getName == "year=2019"), "hive year= layout expected")
+    // clusteredBy(year) before partitionBy: each hive partition is
+    // written by ONE task — exactly one part file per year directory.
+    parts.filter(_.getName.startsWith("year=")).foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: expected 1 part file per partition, got $n")
+    }
   }
 
   test("artists_table: distinct across duplicate artist rows") {
