@@ -139,7 +139,7 @@ object Maintenance {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     def fp(df: DataFrame): DataFrame = {
-      val nonKey = df.columns.filterNot(keys.contains).sorted.map(col)
+      val nonKey = df.columns.filterNot(keys.contains).sorted.toIndexedSeq.map(col)
       df.select(keys.map(col) :+ md5(to_json(struct(nonKey: _*))).as("__fp"): _*)
     }
     val o = fp(oldDf).withColumnRenamed("__fp", "__fp_old")
@@ -333,7 +333,7 @@ object Maintenance {
             b.getColumns.forEach { c =>
               val name = c.getPath.toDotString
               if (wanted.contains(name)) {
-                val st = c.getStatistics
+                val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
                 if (st != null && st.hasNonNullValue) {
                   val mn = st.genericGetMin.asInstanceOf[Number].longValue()
                   val mx = st.genericGetMax.asInstanceOf[Number].longValue()

@@ -55,7 +55,7 @@ object Scale {
   ): DataFrame = {
     val saltedLeft = left.withColumn(
       "__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salts))
     )
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
