@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, MultimodalQueries, TextQueries, TypedQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -86,7 +86,8 @@ object SparkEntry {
     "q64_dq_checks" -> (CoreQueries.q64DqChecks _),
     "q65_outliers" -> (CoreQueries.q65Outliers _),
     "q66_weighted_sample" -> (TextQueries.q66WeightedSample _),
-    "q67_multimodal_patches" -> (MultimodalQueries.q67MultimodalPatches _)
+    "q67_multimodal_patches" -> (MultimodalQueries.q67MultimodalPatches _),
+    "q68_typed_agg" -> (TypedQueries.q68TypedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,6 +662,12 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q68_typed_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / (sum(CAST(l_quantity AS BIGINT)) * 100) AS avg_price_per_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q67_multimodal_patches" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
