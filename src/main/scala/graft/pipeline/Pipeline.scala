@@ -164,7 +164,11 @@ object Pipeline {
 }
 
 /** CLI entry — parity with the reference job surface:
-  * `--bucket` (batch) or `--bucket --raw_file_name` (incremental).
+  * `--bucket` (batch) or `--bucket --raw_file_name` (incremental),
+  * plus the table-maintenance verbs a scheduled operator of the same
+  * pipeline runs: `--maintenance compact --path P [--target_mb N]` and
+  * `--maintenance expire --path P --before YYYYMM` (month-partitioned
+  * retention, the layout `--partition_month` writes).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -172,21 +176,41 @@ object PipelineRunner {
       .sliding(2, 2)
       .collect { case Array(k, v) => k.stripPrefix("--") -> v }
       .toMap
-    val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))
     val spark = graft.GraftSession.local("graft-pipeline")
-    opts.get("raw_file_name") match {
-      case Some(f) =>
-        Pipeline.runIncrementalQuarantined(
+    opts.get("maintenance") match {
+      case Some("compact") =>
+        val path = opts.getOrElse("path", sys.error("--path required"))
+        val target = opts.getOrElse("target_mb", "128").toLong * 1024 * 1024
+        val n = graft.operators.Maintenance.compact(spark, path, target)
+        println(s"[maintenance] compacted $path -> $n file(s)")
+      case Some("expire") =>
+        val path = opts.getOrElse("path", sys.error("--path required"))
+        val before = opts.getOrElse("before", sys.error("--before YYYYMM required")).toInt
+        val deleted = graft.operators.Maintenance.expirePartitions(
           spark,
-          bucket,
-          f,
-          singleFileOutput = opts.getOrElse("coalesce", "true").toBoolean,
-          partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean,
-          dynamicPartitionOverwrite = opts.getOrElse("dynamic_overwrite", "false").toBoolean,
-          failFast = opts.getOrElse("fail_fast", "false").toBoolean
+          path,
+          spec =>
+            spec.contains("month") &&
+              spec("year").toInt * 100 + spec("month").toInt < before
         )
+        println(s"[maintenance] expired ${deleted.length} partition(s)")
+      case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
-        Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")
+        val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))
+        opts.get("raw_file_name") match {
+          case Some(f) =>
+            Pipeline.runIncrementalQuarantined(
+              spark,
+              bucket,
+              f,
+              singleFileOutput = opts.getOrElse("coalesce", "true").toBoolean,
+              partitionTimeByMonth = opts.getOrElse("partition_month", "false").toBoolean,
+              dynamicPartitionOverwrite = opts.getOrElse("dynamic_overwrite", "false").toBoolean,
+              failFast = opts.getOrElse("fail_fast", "false").toBoolean
+            )
+          case None =>
+            Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")
+        }
     }
     spark.stop()
   }
