@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-duplicate detection: a corpus-wide MinHash index
+  * maintained on parquet, so each ingest batch probes for near-dups
+  * against everything ever accepted WITHOUT recomputing the corpus —
+  * the cross-snapshot twin of [[Maintenance.incrementalDedup]] (which
+  * is exact-hash only).
+  *
+  * State = one (doc_id, sig) row per indexed document: the 16-minima
+  * MinHash signature (the same `graft_minhash` family as the q22 LSH
+  * query), NOT the shingle sets — signatures are a fixed 128 bytes per
+  * doc at any document size. Candidates come from banded-LSH key
+  * equality (4 bands × 4 rows, band keys recomputed from signatures on
+  * both sides — never stored), and verification is the standard
+  * unbiased MinHash estimate: the fraction of agreeing signature
+  * components. Every step is a keyed join or projection; batch×corpus
+  * work is bounded by band collisions, exactly as in the one-shot q22.
+  */
+object NearDupIndex {
+
+  private val nHashes = 16
+  private val bandRows = 4
+
+  /** (doc_id, sig) from raw documents (id + text columns). */
+  def signatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = graft.queries.TextQueries
+      .withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    sh.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.graft_minhash(col("sh_ints"), nHashes).as("sig")
+    )
+  }
+
+  /** Banded LSH keys recomputed from a signature table. */
+  private def bands(sigs: DataFrame): DataFrame =
+    sigs
+      .select(
+        col("doc_id"),
+        col("sig"),
+        explode(
+          transform(
+            sequence(lit(0), lit(nHashes / bandRows - 1)),
+            b =>
+              struct(
+                b.as("band"),
+                array_join(
+                  transform(slice(col("sig"), b * bandRows + 1, lit(bandRows)), x => x.cast("string")),
+                  "_"
+                ).as("band_key")
+              )
+          )
+        ).as("bk")
+      )
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_key"))
+
+  /** Near-dup pairs between two signature tables via band collision +
+    * signature-agreement estimate ≥ `threshold`. `a.doc_id < b.doc_id`
+    * is NOT imposed (callers pass disjoint sides); exact-id pairs are
+    * excluded.
+    */
+  private def pairsBetween(a: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
+    val ab = bands(a).select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("band_key"))
+    val bb = bands(b).select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("band_key"))
+    ab.join(bb, Seq("band", "band_key"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / nHashes
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Probe a batch against the index (and itself), then add the batch's
+    * signatures to the index. Returns near-dup pairs with `doc_a` from
+    * the batch and `doc_b` from the corpus-so-far-or-batch
+    * (batch-internal pairs keep `doc_a < doc_b`).
+    */
+  def update(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexPath: String,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sigs = signatures(batch, idCol, textCol).localCheckpoint()
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val vsCorpus =
+      if (indexExists) pairsBetween(sigs, spark.read.parquet(indexPath), threshold)
+      else spark.emptyDataFrame
+    val inBatch = pairsBetween(sigs, sigs, threshold).filter(col("doc_a") < col("doc_b"))
+    val out =
+      if (indexExists) vsCorpus.unionByName(inBatch) else inBatch
+    val settled = out.localCheckpoint() // settle BEFORE the index grows
+    sigs.write.mode("append").parquet(indexPath)
+    settled
+  }
+}

@@ -138,7 +138,7 @@ object TextQueries {
     * Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short texts
     * short-circuit to an empty array.
     */
-  private def withShingles(d: DataFrame): DataFrame = {
+  private[graft] def withShingles(d: DataFrame): DataFrame = {
     val p = lit(2147483647L)
     val toks = tokens(col("text"))
     // Shape matters here: an element_at(i)/element_at(i+1)/element_at(i+2)

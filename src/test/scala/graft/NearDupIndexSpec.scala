@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.NearDupIndex
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental near-dup index: batch-internal pairs on first contact,
+  * cross-snapshot pairs on later batches, no false flags on unrelated
+  * text, and fixed-size signature state.
+  */
+class NearDupIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-neardup-index-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen astronauts " +
+      "carefully measure gravitational anomalies near the southern observatory plateau"
+  private val variant = base.replace("lazy", "sleepy") // near-dup of base
+  private val other =
+    "completely unrelated text about parquet footers bloom filters and the " +
+      "gentle art of distributed systems debugging at four in the morning exactly"
+
+  test("cross-snapshot and in-batch near-dups detected; unrelated text not flagged") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-neardup-index").toString + "/sigs.parquet"
+
+    val r1 = NearDupIndex
+      .update(spark, Seq((1L, base), (2L, other)).toDF("doc_id", "text"), index)
+      .collect()
+    assert(r1.isEmpty, "batch 1 holds no near-dups")
+
+    val r2 = NearDupIndex
+      .update(spark, Seq((3L, variant), (4L, variant + " postscript"), (5L, "tiny new thing entirely"))
+        .toDF("doc_id", "text"), index)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = r2.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((3L, 1L)), s"variant must hit the indexed base doc, got ${pairs.mkString(",")}")
+    assert(pairs.contains((3L, 4L)), "the two in-batch variants must pair with each other")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated text must not be flagged")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "indexed unrelated text must not be flagged")
+    r2.foreach { case (_, _, est) => assert(est >= 0.5 && est <= 1.0) }
+
+    // state is one signature row per doc ever seen
+    assert(spark.read.parquet(index).count() == 5L)
+  }
+}
