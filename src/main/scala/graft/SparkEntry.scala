@@ -87,7 +87,9 @@ object SparkEntry {
     "q65_outliers" -> (CoreQueries.q65Outliers _),
     "q66_weighted_sample" -> (TextQueries.q66WeightedSample _),
     "q67_multimodal_patches" -> (MultimodalQueries.q67MultimodalPatches _),
-    "q68_typed_agg" -> (TypedQueries.q68TypedAgg _)
+    "q68_typed_agg" -> (TypedQueries.q68TypedAgg _),
+    "q69_rank_dense" -> (CoreQueries.q69RankDense _),
+    "q70_collect" -> (CoreQueries.q70Collect _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -662,6 +664,20 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q69_rank_dense" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(rank() OVER w AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)""".stripMargin,
+    "q70_collect" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  list_sort(list(o_orderkey))[1] AS first_key,
+        |  list_sort(list(o_orderkey))[-1] AS last_key,
+        |  CAST(count(*) AS INTEGER) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q68_typed_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)

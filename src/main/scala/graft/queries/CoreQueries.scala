@@ -699,6 +699,44 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), sum(col("fl")).as("n_outliers"))
   }
 
+  /** rank vs dense_rank vs row_number on TIED keys (same orderdate per
+    * customer): the three ranking semantics differ exactly on ties, so
+    * emitting all three over a tie-bearing order pins each one's
+    * contract. row_number gets a deterministic tiebreak; rank/dense_rank
+    * are functions of the (tied) sort key alone.
+    */
+  def q69RankDense(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val byDateTb = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_orderdate"),
+      rank().over(byDate).cast("int").as("rk"),
+      dense_rank().over(byDate).cast("int").as("drk"),
+      row_number().over(byDateTb).cast("int").as("rn")
+    )
+  }
+
+  /** Deterministic collection aggregation: per customer, the sorted
+    * order-key list (joined to a string — engine-portable and safe to
+    * hash) plus first/last elements and size. `collect_list` alone is
+    * partition-order-dependent; `array_sort` makes it a pure function
+    * of the group — the only way a collected array is comparable
+    * across engines or even across runs.
+    */
+  def q70Collect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
+      .select(
+        col("o_custkey"),
+        array_join(transform(col("ks"), k => k.cast("string")), ",").as("order_keys"),
+        element_at(col("ks"), 1).as("first_key"),
+        element_at(col("ks"), -1).as("last_key"),
+        size(col("ks")).as("n_orders")
+      )
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
