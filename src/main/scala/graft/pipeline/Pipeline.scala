@@ -161,6 +161,22 @@ object Pipeline {
   /** Convenience: read one of the produced tables back. */
   def readTable(spark: SparkSession, output: String, name: String): DataFrame =
     spark.read.parquet(s"$output$name.parquet")
+
+  /** Write with ZERO-extra-scan row accounting: `observe` piggybacks
+    * the count on the write job itself, so the pipeline can record
+    * rows-written (the audit number every ingest ledger wants) without
+    * the classic `df.count(); df.write` double scan — at 100 TB that
+    * double scan is a second pass over the input.
+    */
+  def writeCounted(df: DataFrame, path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    obs.get("n").asInstanceOf[Long]
+  }
 }
 
 /** CLI entry — parity with the reference job surface:

@@ -79,6 +79,14 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows(twice) == rows(once), "re-applying the same batch is a no-op")
   }
 
+  test("writeCounted returns the written row count from the write job itself") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-observed").toString + "/t"
+    val n = graft.pipeline.Pipeline.writeCounted((1 to 137).toDF("v"), out)
+    assert(n == 137L)
+    assert(spark.read.parquet(out).count() == 137L)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     import spark.implicits._
     val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")

@@ -61,6 +61,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q10: per-group top-k gets the WindowGroupLimit pushdown") {
+    // Spark rewrites `row_number over w <= k` into a group-limit that
+    // drops rows BEFORE the window sort — per-partition state is k rows,
+    // not the whole group. The filter shape must keep qualifying.
+    val plan = planOf(CoreQueries.q10WindowRank(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"group-limit pushdown expected:\n$plan")
+  }
+
   test("q24: brute-force ANN keeps the native dot product in the plan") {
     val plan = planOf(queries.VectorQueries.q24KnnBrute(spark, sf))
     assert(plan.contains("graft_dot"), s"native expression expected:\n$plan")
