@@ -155,6 +155,26 @@ object Maintenance {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** Schema drift between two dataset versions: columns added, removed,
+    * or type-changed (the check an ingest gate runs before accepting a
+    * snapshot whose producer may have evolved). Pure metadata — schemas
+    * come from footers, no data scan.
+    */
+  def schemaDiff(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
+    import spark.implicits._
+    def fields(p: String): Map[String, String] =
+      spark.read.parquet(p).schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val o = fields(oldPath)
+    val n = fields(newPath)
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added", null: String, n(c))) ++
+        (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed", o(c), null: String)) ++
+        (o.keySet & n.keySet).toSeq.sorted.collect {
+          case c if o(c) != n(c) => (c, "type_changed", o(c), n(c))
+        }
+    rows.toDF("column", "change", "old_type", "new_type")
+  }
+
   /** Retention enforcement on a hive-partitioned layout: delete the
     * partition DIRECTORIES whose `k=v` values the predicate marks
     * expired — a metadata/filesystem operation, no data scan or

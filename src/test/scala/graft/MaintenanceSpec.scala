@@ -99,6 +99,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(diff == Set((1L, "removed"), (2L, "changed"), (4L, "added")))
   }
 
+  test("schemaDiff reports added, removed, and type-changed columns from metadata only") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-schemadiff").toString
+    Seq((1L, "x", 1.0)).toDF("id", "name", "score").write.parquet(s"$d/v1")
+    Seq((1L, 1, true)).toDF("id", "score", "fresh").write.parquet(s"$d/v2")
+    val diff = Maintenance
+      .schemaDiff(spark, s"$d/v1", s"$d/v2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(diff == Set(("fresh", "added"), ("name", "removed"), ("score", "type_changed")))
+  }
+
   test("expirePartitions deletes only the expired month directories, no data rewrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-expire").toString + "/t"
