@@ -89,7 +89,8 @@ object SparkEntry {
     "q67_multimodal_patches" -> (MultimodalQueries.q67MultimodalPatches _),
     "q68_typed_agg" -> (TypedQueries.q68TypedAgg _),
     "q69_rank_dense" -> (CoreQueries.q69RankDense _),
-    "q70_collect" -> (CoreQueries.q70Collect _)
+    "q70_collect" -> (CoreQueries.q70Collect _),
+    "q71_funnel" -> (CoreQueries.q71Funnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -664,6 +665,21 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q71_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    printf('%020d_%012d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN k END) AS vk FROM e GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(CASE WHEN event_type = 'click' AND k > vk
+        |        AND CAST(substr(k, 1, 20) AS BIGINT) <= CAST(substr(vk, 1, 20) AS BIGINT) + 3600000000 THEN k END) AS ck
+        |  FROM e JOIN v USING (user_id) GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase' AND k > ck
+        |        AND CAST(substr(k, 1, 20) AS BIGINT) <= CAST(substr(ck, 1, 20) AS BIGINT) + 3600000000 THEN k END) AS pk
+        |  FROM e JOIN c USING (user_id) GROUP BY e.user_id),
+        |s AS (SELECT CASE WHEN pk IS NOT NULL THEN 3 WHEN ck IS NOT NULL THEN 2
+        |             WHEN vk IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+        |SELECT CAST(stage AS INTEGER) AS stage, count(*) AS n_users FROM s GROUP BY stage""".stripMargin,
     "q69_rank_dense" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         |  CAST(rank() OVER w AS INTEGER) AS rk,

@@ -741,6 +741,66 @@ object CoreQueries {
         size(col("ks")).as("n_orders")
       )
 
+  /** Funnel analysis (view → click within 1 h → purchase within 1 h):
+    * how many users reach each sequential stage, each step strictly
+    * AFTER the previous one and inside its conversion window. Event
+    * order uses a zero-padded `(epoch_µs, event_id)` string key —
+    * totally ordered, tie-deterministic in both engines, and the µs
+    * prefix parses back out for the window test. Three keyed
+    * aggregations + two same-key joins (the shuffle is reused); output
+    * is ≤4 rows.
+    */
+  def q71Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        format_string("%020d_%012d", unix_micros(col("ts")), col("event_id")).as("k")
+      )
+    val v = e
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("k"))).as("vk"))
+    val c = e
+      .join(v, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(
+          when(
+            col("event_type") === "click" && col("k") > col("vk") &&
+              substring(col("k"), 1, 20).cast("long") <=
+              substring(col("vk"), 1, 20).cast("long") + 3600000000L,
+            col("k")
+          )
+        ).as("ck")
+      )
+    val p = e
+      .join(c, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(
+          when(
+            col("event_type") === "purchase" && col("k") > col("ck") &&
+              substring(col("k"), 1, 20).cast("long") <=
+              substring(col("ck"), 1, 20).cast("long") + 3600000000L,
+            col("k")
+          )
+        ).as("pk")
+      )
+    v.join(c, Seq("user_id"))
+      .join(p, Seq("user_id"))
+      .select(
+        when(col("pk").isNotNull, 3)
+          .when(col("ck").isNotNull, 2)
+          .when(col("vk").isNotNull, 1)
+          .otherwise(0)
+          .cast("int")
+          .as("stage")
+      )
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
