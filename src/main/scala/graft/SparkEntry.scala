@@ -90,7 +90,8 @@ object SparkEntry {
     "q68_typed_agg" -> (TypedQueries.q68TypedAgg _),
     "q69_rank_dense" -> (CoreQueries.q69RankDense _),
     "q70_collect" -> (CoreQueries.q70Collect _),
-    "q71_funnel" -> (CoreQueries.q71Funnel _)
+    "q71_funnel" -> (CoreQueries.q71Funnel _),
+    "q72_retention" -> (CoreQueries.q72Retention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -665,6 +666,15 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q72_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events WHERE user_id IS NOT NULL),
+        |signup AS (SELECT user_id, min(week) AS cohort_week FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT cohort_week, week - cohort_week AS weeks_since, count(DISTINCT user_id) AS n_users
+        |FROM activity JOIN signup USING (user_id)
+        |WHERE week >= cohort_week
+        |GROUP BY cohort_week, weeks_since""".stripMargin,
     "q71_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    printf('%020d_%012d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS k

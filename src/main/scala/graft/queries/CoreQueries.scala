@@ -801,6 +801,30 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort retention: users bucketed by signup week, counted as
+    * retained in week k if they have ANY event k weeks after signup.
+    * Weeks are integer epoch-week numbers (µs div a constant — exact in
+    * both engines). Shape: one distinct (user, week) agg, one per-user
+    * min, one keyed join, one count-distinct grid — all user-keyed
+    * shuffles; the output grid is #cohorts × #weeks, corpus-independent.
+    */
+  def q72Retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = 604800000000L // µs per week
+    val e = events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), expr(s"unix_micros(ts) div $wk").as("week"))
+    val signup = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val activity = e.select(col("user_id"), col("week")).distinct()
+    activity
+      .join(signup, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
