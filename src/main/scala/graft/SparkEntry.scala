@@ -91,7 +91,8 @@ object SparkEntry {
     "q69_rank_dense" -> (CoreQueries.q69RankDense _),
     "q70_collect" -> (CoreQueries.q70Collect _),
     "q71_funnel" -> (CoreQueries.q71Funnel _),
-    "q72_retention" -> (CoreQueries.q72Retention _)
+    "q72_retention" -> (CoreQueries.q72Retention _),
+    "q73_percentiles" -> (CoreQueries.q73Percentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -666,6 +667,16 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q73_percentiles" ->
+      """WITH s AS (SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(cnt) AS n,
+        |  min(CASE WHEN rn = (cnt + 3) // 4 THEN l_quantity END) AS p25,
+        |  min(CASE WHEN rn = (cnt + 1) // 2 THEN l_quantity END) AS p50,
+        |  min(CASE WHEN rn = (19 * cnt + 19) // 20 THEN l_quantity END) AS p95
+        |FROM s GROUP BY l_returnflag""".stripMargin,
     "q72_retention" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
         |  FROM events WHERE user_id IS NOT NULL),

@@ -825,6 +825,35 @@ object CoreQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Exact multi-percentiles (p25/p50/p95) per group via the q46 value
+    * histogram: one (group, value) agg, a tiny cumulative window over
+    * the histogram, and ceil-rank integer arithmetic — no
+    * engine-specific interpolation anywhere, and whole groups never
+    * land on one task (the histogram is #distinct-values rows, not
+    * #rows). Ranks: ceil(p·n) computed as integral `div`s.
+    */
+  def q73Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def at(target: Column): Column =
+      min(when(col("cum") - col("cnt") < target && target <= col("cum"), col("l_quantity")))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        at(expr("(n + 3) div 4")).as("p25"),
+        at(expr("(n + 1) div 2")).as("p50"),
+        at(expr("(19 * n + 19) div 20")).as("p95")
+      )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
