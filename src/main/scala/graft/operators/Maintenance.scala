@@ -404,18 +404,20 @@ object Maintenance {
         case None => true // unknown stats: must read
       }
     }
+    // The DATASET-level schema must be the UNION across files
+    // (mergeSchema): plain inference reads one footer, and if that file
+    // omits a column under schema evolution the residual filter would
+    // not resolve. With the pinned union schema, files lacking the
+    // column read it as null and the filter rejects those rows.
+    val unionSchema = spark.read.option("mergeSchema", "true").parquet(path).schema
     val df =
       if (keep.isEmpty)
-        // No file can match: keep the dataset's schema but read nothing
+        // No file can match: keep the schema but read nothing
         // (the false predicate prunes every file at planning time).
-        spark.read.parquet(path).where(lit(false))
+        spark.read.schema(unionSchema).parquet(path).where(lit(false))
       else
-        // Pin the DATASET-level schema: a kept subset might omit every
-        // file that carries some column (schema evolution), and the
-        // residual filter must still resolve — missing columns read as
-        // null and the filter rejects those rows.
         spark.read
-          .schema(spark.read.parquet(path).schema)
+          .schema(unionSchema)
           .parquet(keep: _*)
           .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
     (df, keep.length, allFiles.length)

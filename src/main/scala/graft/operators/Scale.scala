@@ -38,6 +38,27 @@ object Scale {
   ): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Skew report for a join/aggregation key: per-key counts for the
+    * top-k heaviest keys plus the skew ratio (max key count ÷ mean key
+    * count). The number that tells you whether [[saltedJoin]] (or AQE's
+    * skew split) is needed BEFORE the 2 a.m. straggler does. One keyed
+    * agg + a bounded top-k — safe at any scale.
+    */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      max(col("cnt")).as("max_cnt"),
+      avg(col("cnt")).as("mean_cnt"),
+      count(lit(1)).as("n_keys")
+    )
+    counts
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .withColumn("skew_ratio", col("max_cnt") / col("mean_cnt"))
+      .select(col(key), col("cnt"), col("n_keys"), col("skew_ratio"))
+  }
+
   /** Salted inner equi-join for skewed keys. The left (large, skewed)
     * side gets a deterministic salt from its non-key columns; the right
     * side is replicated `salts` times. Result equals the plain join, but

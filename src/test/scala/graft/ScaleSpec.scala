@@ -70,6 +70,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skewReport surfaces the hot key and a >1 skew ratio on skewed data") {
+    import spark.implicits._
+    val skewed = ((1 to 1000).map(_ => 7L) ++ (1L to 100L)).toDF("k")
+    val rows = Scale.skewReport(skewed, "k", topK = 3).collect()
+    assert(rows.head.getLong(0) == 7L, "hot key must rank first")
+    assert(rows.head.getLong(1) == 1001L)
+    assert(rows.head.getDouble(3) > 10.0, "skew ratio must flag the hot key")
+  }
+
   test("bucket pruning: an equality filter on the bucket key scans one bucket") {
     val wh = Files.createTempDirectory("graft-bucket-prune").toString
     spark.read
