@@ -689,7 +689,7 @@ object SparkEntry {
     "q71_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    printf('%020d_%012d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS k
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
         |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN k END) AS vk FROM e GROUP BY user_id),
         |c AS (SELECT e.user_id, min(CASE WHEN event_type = 'click' AND k > vk
         |        AND CAST(substr(k, 1, 20) AS BIGINT) <= CAST(substr(vk, 1, 20) AS BIGINT) + 3600000000 THEN k END) AS ck

@@ -389,7 +389,8 @@ object Maintenance {
       path: String,
       pruneCol: String,
       lo: Long,
-      hi: Long
+      hi: Long,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None
   ): (DataFrame, Int, Int) = {
     val allFiles = listParquet(spark, path)
     val ranges = fileStats(spark, path, Seq(pruneCol))
@@ -409,7 +410,13 @@ object Maintenance {
     // omits a column under schema evolution the residual filter would
     // not resolve. With the pinned union schema, files lacking the
     // column read it as null and the filter rejects those rows.
-    val unionSchema = spark.read.option("mergeSchema", "true").parquet(path).schema
+    // mergeSchema inference touches every footer — a table property,
+    // not a query property — so callers issuing many pruned reads
+    // should derive it once (e.g. alongside their stats index) and pass
+    // `schemaHint`.
+    val unionSchema = schemaHint.getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
     val df =
       if (keep.isEmpty)
         // No file can match: keep the schema but read nothing

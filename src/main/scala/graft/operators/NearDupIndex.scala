@@ -96,12 +96,11 @@ object NearDupIndex {
       val p = new org.apache.hadoop.fs.Path(indexPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val vsCorpus =
-      if (indexExists) pairsBetween(sigs, spark.read.parquet(indexPath), threshold)
-      else spark.emptyDataFrame
     val inBatch = pairsBetween(sigs, sigs, threshold).filter(col("doc_a") < col("doc_b"))
     val out =
-      if (indexExists) vsCorpus.unionByName(inBatch) else inBatch
+      if (indexExists)
+        pairsBetween(sigs, spark.read.parquet(indexPath), threshold).unionByName(inBatch)
+      else inBatch
     val settled = out.localCheckpoint() // settle BEFORE the index grows
     sigs.write.mode("append").parquet(indexPath)
     settled

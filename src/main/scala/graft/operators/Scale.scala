@@ -57,6 +57,9 @@ object Scale {
       .crossJoin(broadcast(stats))
       .withColumn("skew_ratio", col("max_cnt") / col("mean_cnt"))
       .select(col(key), col("cnt"), col("n_keys"), col("skew_ratio"))
+      // the join does not preserve the limit's order — re-impose the
+      // ranking the contract promises
+      .orderBy(col("cnt").desc, col(key).asc)
   }
 
   /** Salted inner equi-join for skewed keys. The left (large, skewed)

@@ -106,7 +106,13 @@ object Pipeline {
     usersOut.write.mode("overwrite").parquet(s"${output}users_table.parquet")
 
     val time = timeTable(withStartTime(events))
-    val timeOut = if (singleFileOutput) time.coalesce(1) else time
+    // At-scale month-partitioned mode clusters by the partition column
+    // like the full-batch writes (one file per month, not per task);
+    // singleFileOutput already collapses to one file and skips it.
+    val timeOut =
+      if (singleFileOutput) time.coalesce(1)
+      else if (partitionTimeByMonth) clusteredBy(time, "month")
+      else time
     val writer = timeOut.write
       .mode("overwrite")
       .option(
@@ -183,8 +189,9 @@ object Pipeline {
   * `--bucket` (batch) or `--bucket --raw_file_name` (incremental),
   * plus the table-maintenance verbs a scheduled operator of the same
   * pipeline runs: `--maintenance compact --path P [--target_mb N]` and
-  * `--maintenance expire --path P --before YYYYMM` (month-partitioned
-  * retention, the layout `--partition_month` writes).
+  * `--maintenance expire --path P --before YYYYMM` — retention for
+  * `year=` and `year=/month=` layouts (the full-batch writes; a
+  * `month=`-only layout carries no year and is refused).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -206,8 +213,21 @@ object PipelineRunner {
           spark,
           path,
           spec =>
-            spec.contains("month") &&
-              spec("year").toInt * 100 + spec("month").toInt < before
+            (spec.get("year"), spec.get("month")) match {
+              // year=/month= nested layout: expire by year-month
+              case (Some(y), Some(m)) => y.toInt * 100 + m.toInt < before
+              // year=-only layout (full-batch writes): expire a whole
+              // year when even its December predates the cutoff; else
+              // recurse (a month level, if present, decides per month)
+              case (Some(y), None) => y.toInt * 100 + 12 < before
+              // month=-only layout carries no year — a YYYYMM cutoff
+              // cannot be applied to it; refuse loudly over guessing
+              case _ =>
+                sys.error(
+                  "expire needs a year= (optionally month=) layout; " +
+                    "month=-only layouts carry no year to compare against"
+                )
+            }
         )
         println(s"[maintenance] expired ${deleted.length} partition(s)")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")

@@ -751,8 +751,12 @@ object CoreQueries {
     * is ≤4 rows.
     */
   def q71Funnel(spark: SparkSession, dir: String): DataFrame = {
+    // ts/event_id null guards pin cross-engine behavior: Spark's
+    // format_string renders a null arg as the TEXT "null" (which sorts
+    // before digits), DuckDB's printf null-propagates — a null-ts event
+    // would become the min key in one engine and vanish in the other.
     val e = events(spark, dir)
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_id").isNotNull)
       .select(
         col("user_id"),
         col("event_type"),
@@ -803,8 +807,11 @@ object CoreQueries {
 
   /** Cohort retention: users bucketed by signup week, counted as
     * retained in week k if they have ANY event k weeks after signup.
-    * Weeks are integer epoch-week numbers (µs div a constant — exact in
-    * both engines). Shape: one distinct (user, week) agg, one per-user
+    * Weeks are integer epoch-week numbers via FLOOR division —
+    * `floor(a/b)` (exact here: quotient magnitude ≈ 2800, see the q57
+    * bound) matches DuckDB's floor-semantics `//` for pre-1970
+    * timestamps too, where Spark's `div` would truncate toward zero.
+    * Shape: one distinct (user, week) agg, one per-user
     * min, one keyed join, one count-distinct grid — all user-keyed
     * shuffles; the output grid is #cohorts × #weeks, corpus-independent.
     */
@@ -812,7 +819,11 @@ object CoreQueries {
     val wk = 604800000000L // µs per week
     val e = events(spark, dir)
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), col("event_type"), expr(s"unix_micros(ts) div $wk").as("week"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        floor(unix_micros(col("ts")) / wk).cast("long").as("week")
+      )
     val signup = e
       .filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
