@@ -155,6 +155,53 @@ object Maintenance {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** Incremental aggregate maintenance (materialized-rollup refresh):
+    * fold one batch's partial SUM/COUNT aggregates into a persistent
+    * per-key state table — the batch twin of a streaming stateful agg,
+    * and the only way a 100 TB rollup stays cheap: each refresh costs
+    * the BATCH size plus the (key-bounded) state size, never a rescan
+    * of history. Works for any algebraic aggregate decomposable into
+    * sums (count, sum, mean = sum/count, …). State is swapped in via
+    * the temp-dir + rename pattern (see [[compact]]), so a crashed
+    * refresh never leaves half-written state, and re-running a FAILED
+    * refresh is safe; the method is NOT idempotent across successful
+    * re-application of the same batch (state ingests it twice) — feed
+    * it each batch exactly once, e.g. from `foreachBatch` with its
+    * batchId dedup.
+    *
+    * Returns the refreshed state (key columns, summed columns, `n`).
+    */
+  def refreshAggregate(
+      spark: SparkSession,
+      batch: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      statePath: String
+  ): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("n")
+    val partial = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val fsPath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldAggs = (sumCols :+ "n").map(c => sum(col(c)).as(c))
+    val merged =
+      if (fs.exists(fsPath))
+        spark.read
+          .parquet(statePath)
+          .unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(foldAggs.head, foldAggs.tail: _*)
+      else partial
+    val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(fsPath)) {
+      fs.rename(fsPath, old)
+      fs.rename(tmp, fsPath)
+      fs.delete(old, true)
+    } else fs.rename(tmp, fsPath)
+    spark.read.parquet(statePath)
+  }
+
   /** Schema drift between two dataset versions: columns added, removed,
     * or type-changed (the check an ingest gate runs before accepting a
     * snapshot whose producer may have evolved). Pure metadata — schemas

@@ -99,6 +99,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(diff == Set((1L, "removed"), (2L, "changed"), (4L, "added")))
   }
 
+  test("refreshAggregate over two batches equals the one-shot aggregate of their union") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-refresh").toString + "/rollup.parquet"
+    val b1 = Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("k", "v")
+    val b2 = Seq(("a", 1L), ("c", 2L)).toDF("k", "v")
+    Maintenance.refreshAggregate(spark, b1, Seq("k"), Seq("v"), state).count()
+    val after = Maintenance
+      .refreshAggregate(spark, b2, Seq("k"), Seq("v"), state)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(after == Set(("a", 16L, 3L), ("b", 7L, 1L), ("c", 2L, 1L)))
+    assert(!new java.io.File(state + ".__refresh_tmp").exists())
+    assert(!new java.io.File(state + ".__refresh_old").exists())
+  }
+
   test("schemaDiff reports added, removed, and type-changed columns from metadata only") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-schemadiff").toString
