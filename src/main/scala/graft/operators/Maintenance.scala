@@ -164,10 +164,14 @@ object Maintenance {
     * sums (count, sum, mean = sum/count, …). State is swapped in via
     * the temp-dir + rename pattern (see [[compact]]), so a crashed
     * refresh never leaves half-written state, and re-running a FAILED
-    * refresh is safe; the method is NOT idempotent across successful
-    * re-application of the same batch (state ingests it twice) — feed
-    * it each batch exactly once, e.g. from `foreachBatch` with its
-    * batchId dedup.
+    * refresh is safe.
+    *
+    * Exactly-once across RETRIES: pass `appliedId` (e.g. the streaming
+    * `foreachBatch` batchId). The id marker is written INTO the tmp
+    * state before the rename, so state and marker swap atomically —
+    * a retry after a successful swap sees its own id and becomes a
+    * no-op, a retry after a crash mid-write re-runs cleanly. Without
+    * an id, re-applying the same batch double-ingests it.
     *
     * Returns the refreshed state (key columns, summed columns, `n`).
     */
@@ -176,12 +180,24 @@ object Maintenance {
       batch: DataFrame,
       keys: Seq[String],
       sumCols: Seq[String],
-      statePath: String
+      statePath: String,
+      appliedId: Option[Long] = None
   ): DataFrame = {
-    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("n")
-    val partial = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val fsPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerOf(dir: org.apache.hadoop.fs.Path) = new org.apache.hadoop.fs.Path(dir, "_applied_id")
+    def readMarker(): Option[Long] = {
+      val m = markerOf(fsPath)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      } else None
+    }
+    if (appliedId.isDefined && fs.exists(fsPath) && readMarker() == appliedId)
+      return spark.read.parquet(statePath) // retry of an applied batch: no-op
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("n")
+    val partial = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val foldAggs = (sumCols :+ "n").map(c => sum(col(c)).as(c))
     val merged =
       if (fs.exists(fsPath))
@@ -194,6 +210,11 @@ object Maintenance {
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    appliedId.foreach { id =>
+      val out = fs.create(markerOf(tmp), true)
+      try out.write(id.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     if (fs.exists(fsPath)) {
       fs.rename(fsPath, old)
       fs.rename(tmp, fsPath)

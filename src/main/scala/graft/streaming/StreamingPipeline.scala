@@ -216,6 +216,34 @@ object StreamingPipeline {
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, Seq("user_id"), "left")
 
+  /** Streaming materialized rollup: every micro-batch folds its
+    * per-event-type value sums into the persistent rollup state via
+    * [[graft.operators.Maintenance.refreshAggregate]], keyed by the
+    * `foreachBatch` batchId — the atomically-swapped id marker makes a
+    * retried batch a no-op, so the rollup is exactly-once end to end
+    * (engine-tracked input files + idempotent state fold).
+    */
+  def incrementalRollup(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    readEvents(spark, rawDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Maintenance.refreshAggregate(
+          spark,
+          batch.select(col("event_type"), floor(col("value") * 100).cast("long").as("cents")),
+          Seq("event_type"),
+          Seq("cents"),
+          statePath,
+          appliedId = Some(batchId)
+        )
+        ()
+      }
+      .start()
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -115,6 +115,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(state + ".__refresh_old").exists())
   }
 
+  test("refreshAggregate with an appliedId makes a retried batch a no-op") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-refresh-id").toString + "/rollup.parquet"
+    val b = Seq(("a", 10L)).toDF("k", "v")
+    Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(7L)).count()
+    val retried = Maintenance
+      .refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(7L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(retried == Set(("a", 10L, 1L)), "same id must not double-ingest")
+    val next = Maintenance
+      .refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(8L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(next == Set(("a", 20L, 2L)), "a new id applies normally")
+  }
+
   test("schemaDiff reports added, removed, and type-changed columns from metadata only") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-schemadiff").toString

@@ -243,6 +243,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB == 2000L, s"restart must add exactly batch B's rows, got $afterB")
   }
 
+  test("streaming rollup state equals the batch aggregate of all delivered files") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft-rollup-src")
+    val cp = Files.createTempDirectory("graft-rollup-cp").toString
+    val state = Files.createTempDirectory("graft-rollup-state").toString + "/rollup.parquet"
+    Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      d.resolve("f1.parquet")
+    )
+    val q = StreamingPipeline.incrementalRollup(spark, d.toString, state, cp)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read
+      .parquet(state)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = spark.read
+      .parquet(s"$eventsDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(floor(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want, "rollup state must equal the one-shot batch aggregate")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
