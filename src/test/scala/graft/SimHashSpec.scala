@@ -101,12 +101,26 @@ class SimHashSpec extends AnyFunSuite {
       .sql(
         """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
           |       graft_minhash(array(5L, 9L), 2) AS m,
-          |       graft_simhash(array(5L, 9L), 28) AS s""".stripMargin
+          |       graft_simhash(array(5L, 9L), 28) AS s,
+          |       graft_l2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS l,
+          |       graft_quantize(array(0.0d, 1.0d)).q_max AS qm""".stripMargin
       )
       .collect()(0)
     assert(row.getDouble(0) == 11.0)
     assert(row.getSeq[Long](1).length == 2)
     assert(row.getLong(2) >= 0L)
+    assert(row.getDouble(3) == 25.0)
+    assert(row.getDouble(4) == 1.0)
+    // graft_bloom_contains takes a serialized filter as a binary literal;
+    // exercise the SQL-registered form through the Column API that emits it
+    import spark.implicits._
+    val bf = Seq(1L, 2L).toDF("k").stat.bloomFilter("k", 100, 0.01)
+    val hits = Seq(1L, 99L)
+      .toDF("k")
+      .select(graft.functions.GraftFunctions.graft_bloom_contains(org.apache.spark.sql.functions.col("k"), bf))
+      .collect()
+      .map(_.getBoolean(0))
+    assert(hits(0), "inserted key must hit")
   }
 
   test("extensions installer wires without error (cluster deploy path)") {
