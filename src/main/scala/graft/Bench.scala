@@ -26,17 +26,28 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the per-query line compact; the raw
+    // nanosecond noise below 1ms is measurement jitter anyway.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL of stdout; with 73 queries the
+    // single full line is ~2KB and its head gets truncated (BENCH_r01/r02
+    // recorded parsed:null). Print the full line first for humans /
+    // bench_out.json, then a SHORT summary line LAST so a complete JSON
+    // object always survives tail truncation.
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(full)
     // sbt prefixes every stdout line with "[info] ", which breaks the
-    // driver's JSON parse (BENCH_r01 recorded parsed:null). Write the
-    // same line to a file the driver can read verbatim.
+    // driver's JSON parse. Write the full line to a file the driver (or a
+    // human) can read verbatim.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    println(short)
     spark.stop()
   }
 }

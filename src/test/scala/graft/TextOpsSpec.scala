@@ -75,6 +75,32 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("materializeFeatures: parquet-backed feature tables give identical results") {
+    import queries.TextQueries
+    def snap(): Map[String, Set[String]] = Map(
+      "q21" -> TextQueries.q21NgramJaccard(spark, sf).collect().map(_.toString).toSet,
+      "q41" -> TextQueries.q41Tfidf(spark, sf).collect().map(_.toString).toSet,
+      "q52" -> TextQueries.q52VocabMap(spark, sf).collect().map(_.toString).toSet,
+      "q54" -> TextQueries.q54Decontaminate(spark, sf).collect().map(_.toString).toSet
+    )
+    TextQueries.clearFeatureMemo()
+    val viaCheckpoint = snap()
+    val state = java.nio.file.Files.createTempDirectory("graft-feat-").toString
+    TextQueries.clearFeatureMemo()
+    val (shPath, tokPath) = TextQueries.materializeFeatures(spark, sf, state)
+    // The memo now points at the parquet reads — prove it by checking the
+    // physical plan scans the state dir, not the documents table.
+    assert(new java.io.File(shPath).exists() && new java.io.File(tokPath).exists())
+    // (q41 still scans documents.parquet once — the corpus-size count —
+    // but the token instances must come from the durable table.)
+    val plan = TextQueries.q41Tfidf(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains(state), s"q41 should scan the materialized token table under $state:\n$plan")
+    val viaParquet = snap()
+    assert(viaParquet == viaCheckpoint, "durable path must be result-identical")
+    viaCheckpoint.foreach { case (q, s) => assert(s.nonEmpty, s"$q fixture empty") }
+    TextQueries.clearFeatureMemo()
+  }
+
   test("q56 heavy hitters: ranks 1..10, counts descending, sketch within bound") {
     val rows = queries.TextQueries
       .q56HeavyHitters(spark, sf)
