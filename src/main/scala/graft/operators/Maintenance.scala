@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  /** Hadoop `FileSystem.rename` signals failure by returning false, not
+    * throwing — an unchecked call can silently strand or delete data.
+    */
+  private def renameOrFail(fs: HFs, from: HPath, to: HPath): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+
+  /** Crash recovery for the two-rename swap, run on ENTRY before any
+    * read of `target`: a leftover `old` with `target` missing means a
+    * prior run died between the two renames — the accumulated state is
+    * stranded in `old`, and proceeding without restoring it would
+    * silently rebuild from scratch. `old` alongside an intact `target`
+    * is garbage from a crash after the second rename; drop it so the
+    * upcoming `rename(target, old)` cannot fail on collision.
+    */
+  private def recoverSwap(fs: HFs, target: HPath, old: HPath): Unit =
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) renameOrFail(fs, old, target)
+      else if (!fs.delete(old, true))
+        throw new java.io.IOException(s"cannot clear stale swap dir $old")
+    }
+
+  /** Atomically (up to the rename pair) move `tmp` into `target`. Every
+    * rename is checked; the final delete of `old` is best-effort — at
+    * that point `target` is already the new state, and a leftover `old`
+    * is cleaned by [[recoverSwap]] on the next run.
+    */
+  private def swapInto(fs: HFs, tmp: HPath, target: HPath, old: HPath): Unit =
+    if (fs.exists(target)) {
+      renameOrFail(fs, target, old)
+      renameOrFail(fs, tmp, target)
+      fs.delete(old, true)
+    } else renameOrFail(fs, tmp, target)
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ~`targetFileBytes` files. Incremental pipelines (one file per run,
     * `coalesce(1)` loads) accumulate thousands of small files; every
@@ -28,15 +65,15 @@ object Maintenance {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__compact_old")
+    // Restore state stranded by a prior crash BEFORE reading the input.
+    recoverSwap(fs, fsPath, old)
     val bytes = fs.getContentSummary(fsPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path.__compact_old")
     spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(fsPath, old)
-    fs.rename(tmp, fsPath)
-    fs.delete(old, true)
+    swapInto(fs, tmp, fsPath, old)
 
     fs.listStatus(fsPath).count(_.getPath.getName.endsWith(".parquet"))
   }
@@ -164,7 +201,9 @@ object Maintenance {
     * sums (count, sum, mean = sum/count, …). State is swapped in via
     * the temp-dir + rename pattern (see [[compact]]), so a crashed
     * refresh never leaves half-written state, and re-running a FAILED
-    * refresh is safe.
+    * refresh is safe — including a crash BETWEEN the swap's two
+    * renames: entry-time recovery restores the state stranded in the
+    * `.__refresh_old` dir before anything is read or merged.
     *
     * Exactly-once across RETRIES: pass `appliedId` (e.g. the streaming
     * `foreachBatch` batchId). The id marker is written INTO the tmp
@@ -185,6 +224,13 @@ object Maintenance {
   ): DataFrame = {
     val fsPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old")
+    // Restore state stranded by a crash between the swap's two renames
+    // BEFORE the marker/existence checks — otherwise a retry would see
+    // no state, skip the marker, and rebuild from this batch alone,
+    // silently discarding the accumulated rollup.
+    recoverSwap(fs, fsPath, old)
     def markerOf(dir: org.apache.hadoop.fs.Path) = new org.apache.hadoop.fs.Path(dir, "_applied_id")
     def readMarker(): Option[Long] = {
       val m = markerOf(fsPath)
@@ -207,19 +253,13 @@ object Maintenance {
           .groupBy(keys.map(col): _*)
           .agg(foldAggs.head, foldAggs.tail: _*)
       else partial
-    val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
     appliedId.foreach { id =>
       val out = fs.create(markerOf(tmp), true)
       try out.write(id.toString.getBytes("UTF-8"))
       finally out.close()
     }
-    if (fs.exists(fsPath)) {
-      fs.rename(fsPath, old)
-      fs.rename(tmp, fsPath)
-      fs.delete(old, true)
-    } else fs.rename(tmp, fsPath)
+    swapInto(fs, tmp, fsPath, old)
     spark.read.parquet(statePath)
   }
 

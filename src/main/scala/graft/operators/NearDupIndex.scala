@@ -82,6 +82,14 @@ object NearDupIndex {
     * signatures to the index. Returns near-dup pairs with `doc_a` from
     * the batch and `doc_b` from the corpus-so-far-or-batch
     * (batch-internal pairs keep `doc_a < doc_b`).
+    *
+    * Idempotent on the INDEX: signatures are anti-joined against the
+    * already-indexed doc_ids before the append, so a retried/replayed
+    * batch cannot double-append — without this, every future probe
+    * would emit duplicate band collisions against the doubled rows. A
+    * re-indexed doc keeps its original signature (ids are assumed to
+    * name immutable documents). The anti-join probes one short column
+    * of the index — the same cost class as the probe join itself.
     */
   def update(
       spark: SparkSession,
@@ -102,7 +110,11 @@ object NearDupIndex {
         pairsBetween(sigs, spark.read.parquet(indexPath), threshold).unionByName(inBatch)
       else inBatch
     val settled = out.localCheckpoint() // settle BEFORE the index grows
-    sigs.write.mode("append").parquet(indexPath)
+    val toAppend =
+      if (indexExists)
+        sigs.join(spark.read.parquet(indexPath).select("doc_id"), Seq("doc_id"), "left_anti")
+      else sigs
+    toAppend.write.mode("append").parquet(indexPath)
     settled
   }
 }

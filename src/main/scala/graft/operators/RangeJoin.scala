@@ -30,6 +30,16 @@ object RangeJoin {
   /** Inner range join: rows `(l, r)` with `r(valueCol) ∈ [l(loCol), l(hiCol)]`.
     * Column names must be disjoint between the two sides.
     */
+  /** Exact long floor-division: `div` truncates toward zero, so subtract
+    * 1 on an inexact negative division. All-integer — `floor(c / w)`
+    * goes through a double and mis-buckets magnitudes above 2^53 (e.g.
+    * full-range 64-bit hash keys), silently dropping matches.
+    */
+  private def floorDiv(colName: String, w: Long): org.apache.spark.sql.Column =
+    expr(
+      s"(`$colName` div ${w}L) - (CASE WHEN `$colName` % ${w}L != 0 AND `$colName` < 0 THEN 1 ELSE 0 END)"
+    )
+
   def rangeJoin(
       left: DataFrame,
       right: DataFrame,
@@ -39,12 +49,11 @@ object RangeJoin {
       bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
     val lb = left.withColumn(
       "__bucket",
-      explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w)))
+      explode(sequence(floorDiv(loCol, bucketWidth), floorDiv(hiCol, bucketWidth)))
     )
-    val rb = right.withColumn("__bucket", floor(col(valueCol) / w))
+    val rb = right.withColumn("__bucket", floorDiv(valueCol, bucketWidth))
     lb.join(rb, Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bucket")

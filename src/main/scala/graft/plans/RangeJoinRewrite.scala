@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a pure range-predicate inner join
   * (`r.v BETWEEN l.lo AND l.hi`, no equi keys) into the bucketed
@@ -24,10 +24,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * nothing, as in the original predicate).
   *
   * Scope guards (all must hold, otherwise the join is left untouched):
-  *   - inner join whose condition is exactly one lower + one upper
-  *     bound conjunct (`>=`/`<=` in either operand orientation);
+  *   - the condition is exactly one lower + one upper bound conjunct
+  *     (`>=`/`<=` in either operand orientation);
+  *   - the join type keeps the EXPLODED (interval) side non-preserved:
+  *     inner joins in either orientation; left outer / left semi / left
+  *     anti only when the value side is the left ("events with an
+  *     optional window match"); right outer only when the value side is
+  *     the right. A preserved interval side would emit one null-padded
+  *     (or kept) row PER covering bucket instead of one per interval
+  *     row, so full outer — and the wrong orientations — are declined.
+  *     Match-existence is unchanged by the rewrite, so semi/anti
+  *     semantics are exact; the value side is never duplicated (one
+  *     bucket per row), so preserved-value-side outer joins are exact.
   *   - the bounded value and both bounds are `LongType` (integer bucket
-  *     math is exact; callers convert time to epoch seconds/days);
+  *     math is exact for the FULL long range — floor division is done
+  *     in integer arithmetic, never through a double, so 64-bit hash
+  *     keys above 2^53 bucket correctly; callers convert time to epoch
+  *     seconds/days);
   *   - value references only one side, both bounds only the other.
   *
   * Enabled by setting `spark.graft.rangeJoin.bucketWidth` (positive
@@ -76,15 +89,36 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def bucketOf(e: Expression, w: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Cast(Literal(w), DoubleType)))
+  /** Exact `floorDiv(e, w)` for longs: `e div w` truncates toward zero,
+    * so subtract 1 when the division was inexact and the operand
+    * negative (w is validated positive). All-integer arithmetic — a
+    * double `Floor(Divide(...))` loses ulps above 2^53 and can bucket a
+    * full-range 64-bit key differently on the value and interval sides,
+    * silently dropping matches.
+    */
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val wl = Literal(w)
+    val q = IntegralDivide(e, wl)
+    val inexactNeg =
+      And(Not(EqualTo(Remainder(e, wl), Literal(0L))), LessThan(e, Literal(0L)))
+    Subtract(q, If(inexactNeg, Literal(1L), Literal(0L)))
+  }
+
+  /** The exploded interval side must not be row-preserved by the join. */
+  private def orientationOk(jt: JoinType, vOnLeft: Boolean): Boolean = jt match {
+    case Inner                           => true
+    case LeftOuter | LeftSemi | LeftAnti => vOnLeft
+    case RightOuter                      => !vOnLeft
+    case _                               => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = scala.util.Try(conf.getConfString(WidthConf, "0").toLong).getOrElse(0L)
     if (width <= 0) plan
     else
       plan.transform {
-        case j @ Join(l, r, Inner, Some(cond), _) if extract(cond, l, r).isDefined =>
+        case j @ Join(l, r, jt, Some(cond), _)
+            if extract(cond, l, r).exists { case (_, vOnLeft) => orientationOk(jt, vOnLeft) } =>
           val (RangePred(v, lo, hi), vOnLeft) = extract(cond, l, r).get
           val (valueSide, intervalSide) = if (vOnLeft) (l, r) else (r, l)
 
@@ -120,7 +154,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             And(EqualTo(bucketL, bucketAlias.toAttribute), cond)
           Project(
             j.output,
-            Join(newL, newR, Inner, Some(newCond), JoinHint.NONE)
+            Join(newL, newR, jt, Some(newCond), JoinHint.NONE)
           )
       }
   }

@@ -134,6 +134,42 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(next == Set(("a", 20L, 2L)), "a new id applies normally")
   }
 
+  test("refreshAggregate recovers state stranded by a crash between the swap renames") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-refresh-crash").toString + "/rollup.parquet"
+    val b1 = Seq(("a", 10L), ("b", 7L)).toDF("k", "v")
+    Maintenance.refreshAggregate(spark, b1, Seq("k"), Seq("v"), state, appliedId = Some(1L)).count()
+    // Simulate a crash between rename(state, old) and rename(tmp, state):
+    // the accumulated state sits in .__refresh_old, statePath is gone.
+    val f = new java.io.File(state)
+    assert(f.renameTo(new java.io.File(state + ".__refresh_old")))
+    val after = Maintenance
+      .refreshAggregate(spark, Seq(("a", 1L)).toDF("k", "v"), Seq("k"), Seq("v"), state, appliedId = Some(2L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(after == Set(("a", 11L, 2L), ("b", 7L, 1L)), "stranded history must be restored, not discarded")
+    // And a marker retry across the crash still dedupes: replay batch 2.
+    val retried = Maintenance
+      .refreshAggregate(spark, Seq(("a", 1L)).toDF("k", "v"), Seq("k"), Seq("v"), state, appliedId = Some(2L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(retried == after, "retry of the applied batch must be a no-op after recovery")
+  }
+
+  test("compact recovers a dataset stranded in .__compact_old by a prior crash") {
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(10).write.parquet(dir)
+    val rows = docs.count()
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".__compact_old")))
+    val n = Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).count() == rows, "recovered dataset must be complete")
+    assert(!new java.io.File(dir + ".__compact_old").exists())
+  }
+
   test("schemaDiff reports added, removed, and type-changed columns from metadata only") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-schemadiff").toString

@@ -48,4 +48,20 @@ class NearDupIndexSpec extends AnyFunSuite {
     // state is one signature row per doc ever seen
     assert(spark.read.parquet(index).count() == 5L)
   }
+
+  test("a replayed batch does not double-append signatures to the index") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-neardup-replay").toString + "/sigs.parquet"
+    val batch = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    NearDupIndex.update(spark, batch, index).collect()
+    NearDupIndex.update(spark, batch, index).collect() // retry/replay
+    val rows = spark.read.parquet(index).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L), s"index must hold one row per doc, got $rows")
+    // A later probe sees each indexed doc once — one collision per pair.
+    val r = NearDupIndex
+      .update(spark, Seq((3L, variant)).toDF("doc_id", "text"), index)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((3L, 1L)), s"exactly one pair expected, got ${r.mkString(",")}")
+  }
 }

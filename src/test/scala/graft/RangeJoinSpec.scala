@@ -126,6 +126,97 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketing is exact above 2^53 (no double rounding in floor division)") {
+    import spark.implicits._
+    // Full-range keys: doubles have 512-ulp spacing here, so any double
+    // division in the bucketing would compute approximate bucket ids.
+    val base = (1L << 62) - 3
+    val left = Seq(
+      (1L, base - 2, base + 2),
+      (2L, base + 3, base + 3),
+      (3L, -base - 2, -base + 2)
+    ).toDF("lid", "lo", "hi")
+    val right =
+      Seq(base - 3, base - 2, base, base + 2, base + 3, base + 4, -base, -base - 3).toDF("v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(left.crossJoin(right).filter($"v" >= $"lo" && $"v" <= $"hi"))
+    Seq(1L, 3L, 7L, 1024L).foreach { w =>
+      val got = pairs(RangeJoin.rangeJoin(left, right, "lo", "hi", "v", w))
+      assert(got == want, s"width=$w: got=$got want=$want")
+    }
+  }
+
+  test("optimizer rule rewrites left-outer / semi / anti with the value side preserved") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L), (2L, 50L, 90L), (3L, -25L, -5L))
+      .toDF("lid", "lo", "hi")
+    val values = Seq(9L, 10L, 15L, 20L, 60L, 89L, -10L, -26L, 999L).toDF("v")
+    // Value side LEFT, intervals right: the exploded side is non-preserved.
+    def outer = values.join(intervals, $"v" >= $"lo" && $"v" <= $"hi", "left_outer")
+    def semi = values.join(intervals, $"v" >= $"lo" && $"v" <= $"hi", "left_semi")
+    def anti = values.join(intervals, $"v" >= $"lo" && $"v" <= $"hi", "left_anti")
+    def outerRows = outer
+      .select($"v", $"lid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+      .sorted
+    def vs(df: org.apache.spark.sql.DataFrame) =
+      df.select("v").collect().map(_.getLong(0)).toSeq.sorted
+    val (wantOuter, wantSemi, wantAnti) = (outerRows, vs(semi), vs(anti))
+    assert(wantOuter.exists(_._2.isEmpty), "fixture needs an unmatched value row")
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "16")
+    try {
+      Seq(("outer", outer), ("semi", semi), ("anti", anti)).foreach { case (n, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(
+          !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"$n should be bucket-rewritten:\n$plan"
+        )
+        assert(plan.contains("__graft_bucket"), s"$n: bucket key expected:\n$plan")
+      }
+      assert(outerRows == wantOuter, "left-outer rewrite changed results")
+      assert(vs(semi) == wantSemi, "left-semi rewrite changed results")
+      assert(vs(anti) == wantAnti, "left-anti rewrite changed results")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
+  test("optimizer rule declines joins that would preserve the exploded interval side") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L), (2L, 50L, 90L)).toDF("lid", "lo", "hi")
+    val values = Seq(9L, 15L, 60L, 999L).toDF("v")
+    // Intervals LEFT and preserved: a bucket rewrite would emit one
+    // null-padded row per covering bucket — must stay untouched.
+    def badOuter = intervals.join(values, $"v" >= $"lo" && $"v" <= $"hi", "left_outer")
+    val want = badOuter
+      .select($"lid", $"v")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+      .sorted
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "16")
+    try {
+      val plan = badOuter.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bucket"), s"must not rewrite a preserved interval side:\n$plan")
+      val got = badOuter
+        .select($"lid", $"v")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSeq
+        .sorted
+      assert(got == want)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
   test("q40 plans as a bucket equi join — no cartesian or nested-loop join") {
     val plan = queries.CoreQueries
       .q40RangeJoin(spark, "/root/testdata/sf0.001")
