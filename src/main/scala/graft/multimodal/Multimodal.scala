@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * per-row work is codegen'd; frame explosion is a lateral view, not a
   * driver loop.
   *
-  * Real-decode integration point: replace [[fakeDecode]] with a
-  * `mapPartitions` over payload batches calling into a native library
-  * (JNI/FFI), one codec context per partition — the stub preserves that
-  * batch-per-partition shape in [[decodeBatched]].
+  * Two decode paths: [[decode]] is the columnar stub (codegen-friendly,
+  * used by the oracle queries), and [[decodeBatched]] is the REAL
+  * `mapPartitions` integration point — one codec context per partition,
+  * actual PNG / RIFF-WAVE header parsing from payload bytes, stub
+  * fallback for unrecognized containers so the two paths agree on the
+  * synthetic corpus. A production build swaps the header parsers for a
+  * native (JNI/FFI) codec behind the same per-partition context.
   */
 object Multimodal {
 
@@ -68,15 +71,130 @@ object Multimodal {
         col("meta.content_md5")
       )
 
-  /** Batched decode preserving the partition-at-a-time shape a native
-    * codec needs (one codec context per partition). Deterministic stub
-    * payload→row mapping, identical results to [[decode]]'s metadata.
+  /** One decoded row — the `mapPartitions` output record. For audio,
+    * `width`/`height` carry channels/bits-per-sample and `n_frames` is
+    * sample frames (the audio meaning of "frame").
     */
-  def decodeBatched(assets: DataFrame): DataFrame = {
-    // A real codec would do: assets.toDF.mapPartitions { rows => init
-    // codec once; rows.map(decodeWithCodec) }. The stub keeps the plan
-    // columnar instead — same schema, same values, no JVM boundary.
-    decode(assets)
+  final case class DecodedAsset(
+      asset_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      byte_len: Int,
+      content_md5: String
+  )
+
+  /** The per-partition "codec context": real container-header parsers
+    * (PNG IHDR, RIFF/WAVE fmt+data) plus a reused digest instance —
+    * the stand-in for the native handle a JNI/FFI codec would open once
+    * per partition. Payloads that are not a recognized container fall
+    * back to the deterministic stub, bit-identical to [[fakeDecode]].
+    */
+  private final class CodecContext {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    private def md5Hex(b: Array[Byte]): String = {
+      md.reset()
+      md.digest(b).map("%02x".format(_)).mkString
+    }
+    private def h28(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).take(7), 16)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      b.length >= o + 4 && t.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(o + i) == c }
+
+    /** PNG: 8-byte signature, then the IHDR chunk (len + "IHDR" +
+      * width/height as big-endian u32). Still images: one frame.
+      */
+    private def parsePng(p: Array[Byte]): Option[(Int, Int, Int)] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (p.length < 24 || !p.take(8).sameElements(sig) || !tag(p, 12, "IHDR")) None
+      else Some((be32(p, 16).toInt, be32(p, 20).toInt, 1))
+    }
+
+    /** RIFF/WAVE: walk the chunk list for `fmt ` (channels, block align,
+      * bits/sample) and `data` (payload size). Sample frames =
+      * dataSize / blockAlign. Chunks are word-aligned (odd sizes pad).
+      */
+    private def parseWav(p: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (p.length < 12 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, blockAlign, bits)
+      var dataSize: Option[Long] = None
+      while (o + 8 <= p.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val size = le32(p, o + 4)
+        if (tag(p, o, "fmt ") && o + 8 + 16 <= p.length)
+          fmt = Some((le16(p, o + 10), le16(p, o + 20), le16(p, o + 22)))
+        else if (tag(p, o, "data")) dataSize = Some(size)
+        o += 8 + size.toInt + (size.toInt & 1)
+      }
+      for {
+        (channels, blockAlign, bits) <- fmt
+        d <- dataSize
+        if blockAlign > 0
+      } yield (channels, bits, (d / blockAlign).toInt)
+    }
+
+    /** Stub fallback — value-identical to the columnar [[fakeDecode]]:
+      * same md5-hex string concatenations, same 28-bit hash, same
+      * modular ranges.
+      */
+    private def fake(p: Array[Byte]): (Int, Int, Int, String) = {
+      val h = md5Hex(p)
+      ((16 + h28(h + "w") % 1024).toInt, (16 + h28(h + "h") % 1024).toInt, (1 + h28(h + "f") % 240).toInt, h)
+    }
+
+    def decodeOne(id: Long, mediaType: String, p: Array[Byte]): DecodedAsset = {
+      val parsed = parsePng(p).orElse(parseWav(p))
+      val (w, hgt, nf, hash) = parsed match {
+        case Some((a, b, f)) => (a, b, f, md5Hex(p))
+        case None            => fake(p)
+      }
+      DecodedAsset(id, mediaType, p, w, hgt, nf, p.length, hash)
+    }
+  }
+
+  /** Batched decode: the real `mapPartitions` path — one
+    * [[CodecContext]] opened per PARTITION (not per row), rows streamed
+    * through it. Recognized containers (PNG, RIFF/WAVE) are decoded
+    * from their actual header bytes; anything else falls back to the
+    * deterministic stub, so on a stub-only corpus this is
+    * value-identical to the columnar [[decode]] (MultimodalSpec proves
+    * both properties). Payloads never leave the executors; the
+    * per-partition context is where a JNI/FFI codec handle would live.
+    *
+    * `ctxProbe` is a test hook invoked once per opened context.
+    */
+  def decodeBatched(assets: DataFrame, ctxProbe: () => Unit = () => ()): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        ctxProbe()
+        val ctx = new CodecContext
+        rows.map { case (id, mt, p) => ctx.decodeOne(id, mt, p) }
+      }
+      .toDF()
+      .select(
+        col("asset_id"),
+        col("media_type"),
+        col("payload"),
+        col("width"),
+        col("height"),
+        col("n_frames"),
+        col("byte_len"),
+        col("content_md5")
+      )
   }
 
   /** Fake feature extraction: a deterministic 4-dim embedding in [0,1)
