@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) vector index on parquet — the vector
+  * twin of [[NearDupIndex]]: build once, probe every query batch
+  * against durable state, append new vectors incrementally. This is
+  * what makes ANN viable on a 100 TB embedding corpus: the expensive
+  * part (assigning every vector to a coarse centroid) is paid once and
+  * persisted, and a probe reads ONLY the partitions of the probed
+  * clusters.
+  *
+  * Layout under `indexPath`:
+  *   - `centroids/`   — K rows `(cent_id, cent_emb, cent_nrm)`: tiny,
+  *     always broadcast.
+  *   - `assignments/` — one row per indexed vector
+  *     `(vec_id, emb, nrm, cluster)`, hive-partitioned BY CLUSTER, so
+  *     a probe's `cluster IN (...)` filter becomes partition pruning —
+  *     the scan never touches unprobed clusters' files.
+  *
+  * Determinism contract (same as q26): cosine via the codegen'd
+  * sequential-fold [[graft.functions.DotProduct]]; argmax ties broken
+  * toward the smaller cent_id; assignment is a `max_by` partial
+  * aggregate, collapsing N×K before any shuffle.
+  */
+object VectorIndex {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graft_dot(a, b)
+
+  private def withNorm(vectors: DataFrame): DataFrame =
+    vectors.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  private def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors
+      .join(broadcast(centroids), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cluster"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
+
+  /** Build the index from `(vec_id, emb)` vectors. Centroids are the
+    * caller-designated seed rows (`isCentroid`, e.g. a deterministic
+    * id rule or a k-means result's medoids) — the coarse quantizer is
+    * pluggable; the index machinery is the point here.
+    */
+  def build(
+      spark: SparkSession,
+      vectors: DataFrame,
+      indexPath: String,
+      isCentroid: Column
+  ): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = withNorm(vectors.select(col("vec_id"), col("emb")))
+    val cent = v
+      .filter(isCentroid)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
+    cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centR = spark.read.parquet(s"$indexPath/centroids")
+    assignTo(v, centR).write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/assignments")
+  }
+
+  /** Append a batch of new vectors, assigned against the EXISTING
+    * centroids (the IVF contract: the coarse quantizer is frozen
+    * between rebuilds). Idempotent: already-indexed vec_ids are
+    * anti-joined away, so a replayed batch cannot double-append.
+    */
+  def append(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val existing = spark.read.parquet(s"$indexPath/assignments").select("vec_id")
+    val fresh = withNorm(batch.select(col("vec_id"), col("emb")))
+      .join(existing, Seq("vec_id"), "left_anti")
+    assignTo(fresh, cent).write
+      .mode("append")
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/assignments")
+  }
+
+  /** Top-`topK` cosine neighbors for each `(query_id, emb)` row,
+    * searching the `nProbe` nearest clusters per query. The probed
+    * cluster ids are a BOUNDED set (|queries| × nProbe — queries are
+    * few by construction, like any ANN serving batch), so collecting
+    * them to drive partition pruning is the legitimate
+    * bounded-build-side pattern, not a data-sized driver collect.
+    */
+  def query(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexPath: String,
+      topK: Int = 10,
+      nProbe: Int = 1
+  ): DataFrame = {
+    require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
+    graft.functions.GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("emb")))
+      .select(col("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cent_id").asc)
+    val probes = q
+      .join(broadcast(cent), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cluster"))
+    // Bounded collect: the distinct probed clusters gate the scan so
+    // parquet partition pruning skips every unprobed cluster directory.
+    val probedClusters = probes.select("cluster").distinct().collect().map(_.getLong(0))
+    val asgnRaw = spark.read.parquet(s"$indexPath/assignments")
+    // Hive partition-value inference may type `cluster=` dirs as INT; the
+    // probe literals must match that type EXACTLY — a cast on the column
+    // side would sit above the scan and defeat partition pruning.
+    val typedProbes: Seq[Any] = asgnRaw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedClusters.map(_.toInt).toSeq
+      case org.apache.spark.sql.types.LongType    => probedClusters.toSeq
+      case _                                      => probedClusters.map(_.toString).toSeq
+    }
+    val candidates = asgnRaw
+      .filter(col("cluster").isin(typedProbes: _*))
+      .withColumn("cluster", col("cluster").cast("long"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    probes
+      .join(candidates, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select("query_id", "cluster", "vec_id", "rank", "cosine")
+  }
+}

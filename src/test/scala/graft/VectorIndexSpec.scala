@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.VectorIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persistent IVF index: exact when probing every cluster, partition-
+  * pruned when probing few, recall monotone in nProbe, idempotent
+  * appends.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-vecindex-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vectors: DataFrame =
+    spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  private def freshIndex(): String = {
+    val p = Files.createTempDirectory("graft-vecindex").toString + "/ivf"
+    VectorIndex.build(spark, vectors, p, isCentroid = col("vec_id") % 100 === 0)
+    p
+  }
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.graft_dot(a, b)
+
+  test("probing all clusters equals exact brute-force top-k") {
+    val idx = freshIndex()
+    val nClusters =
+      spark.read.parquet(s"$idx/centroids").count().toInt
+    val queries = vectors.filter(col("vec_id") < 3)
+    val got = VectorIndex
+      .query(spark, queries, idx, topK = 5, nProbe = nClusters)
+      .select("query_id", "vec_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+
+    graft.functions.GraftFunctions.register(spark)
+    val e = vectors.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val q = e
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    val want = broadcast(q)
+      .join(e, expr("true"), "cross")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == want, "full-probe IVF must be exact")
+    assert(got.nonEmpty)
+  }
+
+  test("a probe reads only the probed clusters' partitions") {
+    val idx = freshIndex()
+    val res = VectorIndex.query(spark, vectors.filter(col("vec_id") === 3), idx, topK = 5, nProbe = 1)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"assignments scan must carry a cluster partition filter:\n$plan"
+    )
+    val clusters = res.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.size == 1, s"nProbe=1 must search one cluster, got $clusters")
+  }
+
+  test("recall (sum of returned cosines) is monotone in nProbe") {
+    val idx = freshIndex()
+    val queries = vectors.filter(col("vec_id") < 3)
+    def score(nProbe: Int): Double = VectorIndex
+      .query(spark, queries, idx, topK = 5, nProbe = nProbe)
+      .agg(sum("cosine"))
+      .collect()(0)
+      .getDouble(0)
+    val s1 = score(1)
+    val s3 = score(3)
+    assert(s3 >= s1 - 1e-12, s"probing more clusters must not lose neighbors: $s1 -> $s3")
+  }
+
+  test("append assigns against frozen centroids and is idempotent on replay") {
+    import spark.implicits._
+    val idx = freshIndex()
+    val before = spark.read.parquet(s"$idx/assignments").count()
+    // A new vector: the direction of an existing one, rescaled (same
+    // cosine geometry, so it must land in that vector's cluster).
+    val donor = vectors.filter(col("vec_id") === 7).select("emb").collect()(0).getSeq[Double](0)
+    val batch = Seq((100000L, donor.map(_ * 2.0))).toDF("vec_id", "emb")
+    VectorIndex.append(spark, batch, idx)
+    VectorIndex.append(spark, batch, idx) // replay
+    val asg = spark.read.parquet(s"$idx/assignments")
+    assert(asg.count() == before + 1, "replayed append must not double-insert")
+    val donorCluster =
+      asg.filter(col("vec_id") === 7).select(col("cluster").cast("long")).collect()(0).getLong(0)
+    val newCluster =
+      asg.filter(col("vec_id") === 100000L).select(col("cluster").cast("long")).collect()(0).getLong(0)
+    assert(newCluster == donorCluster, "scaled copy must join its donor's cluster")
+    // and the appended vector is immediately searchable
+    val hit = VectorIndex
+      .query(spark, batch, idx, topK = 1, nProbe = 1)
+      .collect()(0)
+    assert(hit.getLong(2) == 7L, s"nearest neighbor of the scaled copy must be its donor, got $hit")
+  }
+}
