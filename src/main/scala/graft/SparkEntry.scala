@@ -92,7 +92,11 @@ object SparkEntry {
     "q70_collect" -> (CoreQueries.q70Collect _),
     "q71_funnel" -> (CoreQueries.q71Funnel _),
     "q72_retention" -> (CoreQueries.q72Retention _),
-    "q73_percentiles" -> (CoreQueries.q73Percentiles _)
+    "q73_percentiles" -> (CoreQueries.q73Percentiles _),
+    "q74_bigram_lm" -> (TextQueries.q74BigramLm _),
+    "q75_dedup_report" -> (TextQueries.q75DedupReport _),
+    "q76_pq_codes" -> (VectorQueries.q76PqCodes _),
+    "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,6 +671,67 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('ws_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10000
         |      < least(10000, n_chars * 5)""".stripMargin,
+    "q74_bigram_lm" ->
+      """WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM tk WHERE len(t) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT b.w1, b.w2, b.c12, u.c1, CAST(b.c12 AS DOUBLE) / u.c1 AS p_cond
+        |FROM big b JOIN uni u ON b.w1 = u.w1 WHERE b.c12 >= 3""".stripMargin,
+    "q75_dedup_report" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |d AS (SELECT doc_id, lang FROM documents),
+        |per_lang AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1),
+        |np AS (SELECT d.lang, count(*) AS n_pairs FROM pairs p JOIN d ON p.doc_a = d.doc_id GROUP BY 1),
+        |dd AS (SELECT d.lang, count(*) AS n_dup_docs FROM
+        |  (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs))
+        |  u JOIN d ON u.doc_id = d.doc_id GROUP BY 1)
+        |SELECT pl.lang, pl.n_docs, coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(dd.n_dup_docs, 0) AS n_dup_docs,
+        |  CAST(coalesce(dd.n_dup_docs, 0) AS DOUBLE) / pl.n_docs AS dup_rate
+        |FROM per_lang pl LEFT JOIN np ON pl.lang = np.lang LEFT JOIN dd ON pl.lang = dd.lang""".stripMargin,
+    "q76_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, c.cent_id, unnest([0, 1, 2, 3]) AS s,
+        |    unnest(list_transform([0, 1, 2, 3], sx ->
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(list_zip(e.v[sx*16+1 : sx*16+16], c.cv[sx*16+1 : sx*16+16]),
+        |          p -> (p[1]-p[2])*(p[1]-p[2]))), (a,x) -> a+x))) AS dist
+        |  FROM e, c),
+        |r AS (SELECT vec_id, s, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) AS rn FROM d)
+        |SELECT vec_id,
+        |  min(CASE WHEN s = 0 THEN cent_id END) AS code0,
+        |  min(CASE WHEN s = 1 THEN cent_id END) AS code1,
+        |  min(CASE WHEN s = 2 THEN cent_id END) AS code2,
+        |  min(CASE WHEN s = 3 THEN cent_id END) AS code3
+        |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "q77_mix_rebalance" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |rates AS (SELECT lang,
+        |    least(1000000, CAST(floor(
+        |      CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+        |           WHEN lang = 'es' THEN CAST(0.3 AS DOUBLE)
+        |           WHEN lang = 'fr' THEN CAST(0.2 AS DOUBLE)
+        |           ELSE CAST(0.1 AS DOUBLE) END
+        |      * (SELECT count(*) FROM d) * 1000000.0 / count(*)) AS BIGINT)) AS keep_ppm
+        |  FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, r.keep_ppm
+        |FROM d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
+        |      < r.keep_ppm""".stripMargin,
     "q73_percentiles" ->
       """WITH s AS (SELECT l_returnflag, l_quantity,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,

@@ -711,6 +711,106 @@ object TextQueries {
       )
       .select("doc_id", "n_chars", "lang")
 
+  /** Bigram language-model counts: c(w1,w2), the bigram-first count
+    * c(w1) = Σ_w c(w1,w), and the conditional probability
+    * p(w2|w1) = c(w1,w2)/c(w1) — the count-table prep for n-gram LM
+    * scoring / perplexity filtering. Bigrams come from zip_with over
+    * two slices (three array references per ROW — the q21 shape that
+    * survives predicate pushdown), and everything downstream is two
+    * keyed count aggregations plus a broadcastable join on w1. The
+    * division has exact integer operands — bit-identical cross-engine.
+    * `c12 >= 3` bounds the output to repeated bigrams.
+    */
+  def q74BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("bg.w1"), col("bg.w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big
+      .join(uni, Seq("w1"))
+      .filter(col("c12") >= 3)
+      .withColumn("p_cond", col("c12").cast("double") / col("c1"))
+      .select("w1", "w2", "c12", "c1", "p_cond")
+  }
+
+  /** Per-language deduplication report over the q21 near-dup pair
+    * graph: document counts, pair counts (attributed to doc_a's
+    * language), distinct documents involved in any pair, and the dup
+    * rate. The corpus-health dashboard a dedup pipeline publishes —
+    * everything is a keyed count over the (already bounded) pair table
+    * joined to a two-column doc projection; output is one row per
+    * language.
+    */
+  def q75DedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val pairs = q21NgramJaccard(spark, dir)
+    val perLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nPairs = pairs
+      .join(d.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDupDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .join(d, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+    perLang
+      .join(nPairs, Seq("lang"), "left")
+      .join(nDupDocs, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        (coalesce(col("n_dup_docs"), lit(0L)).cast("double") / col("n_docs")).as("dup_rate")
+      )
+  }
+
+  /** Training-mixture rebalancing: sample each language down to a
+    * target share of the corpus (en 40% / es 30% / fr 20% / de 10%).
+    * Per-language keep rate = min(1, target·N_total/n_lang), applied as
+    * a PURE INTEGER hash test (rate scaled to ppm, q42's construction) —
+    * deterministic under any partitioning. The rate table is one tiny
+    * aggregate cross-joined as a broadcast scalar; the sample itself is
+    * a pushdown-friendly filter, zero extra shuffle at 100 TB.
+    */
+  def q77MixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val target = when(col("lang") === "en", 0.4)
+      .when(col("lang") === "es", 0.3)
+      .when(col("lang") === "fr", 0.2)
+      .otherwise(0.1)
+    val rates = d
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+      .withColumn(
+        "keep_ppm",
+        least(
+          lit(1000000L),
+          floor(target * col("n_total") * lit(1000000.0) / col("n_lang")).cast("long")
+        )
+      )
+      .select(col("lang"), col("keep_ppm"))
+    d.join(broadcast(rates), Seq("lang"))
+      .filter(
+        pmod(h28(concat_ws("_", col("lang"), col("doc_id"))), lit(1000000)) < col("keep_ppm")
+      )
+      .select("doc_id", "lang", "keep_ppm")
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

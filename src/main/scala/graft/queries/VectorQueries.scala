@@ -212,6 +212,45 @@ object VectorQueries {
       .select(col("vec_id"), col("cluster_iter1"), col("cluster_iter2"))
   }
 
+  /** Product quantization codes: the 64-dim vector splits into 4
+    * subspaces of 16 dims; each subvector is assigned to the nearest of
+    * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the
+    * smaller centroid id. Output is 4 small codes per vector — the
+    * 64-double → 4-byte compression a 100 TB ANN index stores instead
+    * of raw embeddings. One broadcast cross join against the 4 seed
+    * rows, then a `min_by` partial aggregate per subspace (the q26
+    * agg-before-shuffle shape: N×4 collapses to N map-side). Distances
+    * are the codegen'd sequential-fold [[graft.functions.SquaredL2]] —
+    * bit-identical to the oracle's list_reduce fold.
+    */
+  def q76PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val nSub = 4
+    val subDim = 16
+    def sqDist(a: Column, b: Column): Column =
+      graft.functions.GraftFunctions.graft_l2(a, b)
+    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+    val cents = e
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+    val joined = e.join(broadcast(cents), expr("true"), "cross")
+    val withD = (0 until nSub).foldLeft(joined) { (df, s) =>
+      df.withColumn(
+        s"d$s",
+        sqDist(
+          slice(col("emb"), s * subDim + 1, subDim),
+          slice(col("cemb"), s * subDim + 1, subDim)
+        )
+      )
+    }
+    val codeAggs = (0 until nSub).map { s =>
+      min_by(col("cent_id"), struct(col(s"d$s"), col("cent_id"))).as(s"code$s")
+    }
+    withD
+      .groupBy(col("vec_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id") +: (0 until nSub).map(s => col(s"code$s")): _*)
+  }
+
   /** IVF-style ANN: deterministic "centroids" (vec_id % 100 == 0),
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.
