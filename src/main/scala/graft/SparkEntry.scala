@@ -96,7 +96,8 @@ object SparkEntry {
     "q74_bigram_lm" -> (TextQueries.q74BigramLm _),
     "q75_dedup_report" -> (TextQueries.q75DedupReport _),
     "q76_pq_codes" -> (VectorQueries.q76PqCodes _),
-    "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _)
+    "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _),
+    "q78_gopher_quality" -> (TextQueries.q78GopherQuality _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -732,6 +733,26 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q78_gopher_quality" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS INTEGER) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INTEGER) AS n_alpha,
+        |    CAST(len(list_filter(t, w -> w IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS n_stop
+        |  FROM tk)
+        |SELECT doc_id, n AS n_words,
+        |  CAST(sum_len AS DOUBLE) / n AS mean_word_len,
+        |  CAST(n_alpha AS DOUBLE) / n AS alpha_frac,
+        |  n_stop,
+        |  (n >= 50 AND n <= 100000) AS pass_word_count,
+        |  (sum_len >= CAST(n AS BIGINT) * 3 AND sum_len <= CAST(n AS BIGINT) * 10) AS pass_word_len,
+        |  (n_alpha * 10 >= n * 8) AS pass_alpha,
+        |  (n_stop >= 2) AS pass_stop,
+        |  (n >= 50 AND n <= 100000
+        |    AND sum_len >= CAST(n AS BIGINT) * 3 AND sum_len <= CAST(n AS BIGINT) * 10
+        |    AND n_alpha * 10 >= n * 8 AND n_stop >= 2) AS keep
+        |FROM m""".stripMargin,
     "q73_percentiles" ->
       """WITH s AS (SELECT l_returnflag, l_quantity,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,

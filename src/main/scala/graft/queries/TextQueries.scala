@@ -811,6 +811,37 @@ object TextQueries {
       .select("doc_id", "lang", "keep_ppm")
   }
 
+  /** Gopher-style quality-rule filter (Rae et al. 2021, published
+    * heuristics): word-count bounds, mean-word-length bounds,
+    * alphabetic-word fraction, minimum stop-word evidence — each as an
+    * explicit per-rule flag plus the composite keep decision. Every
+    * rule is evaluated in PURE INTEGER arithmetic (`3n ≤ Σlen ≤ 10n`
+    * instead of a double mean compare), so flags are bit-stable across
+    * engines; the reported ratios are single exact divisions. Pure
+    * per-row projection — zero shuffle, pushdown-friendly at 100 TB.
+    */
+  def q78GopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+    docs(spark, dir).select(
+      col("doc_id"),
+      n.as("n_words"),
+      (sumLen.cast("double") / n).as("mean_word_len"),
+      (nAlpha.cast("double") / n).as("alpha_frac"),
+      nStop.cast("int").as("n_stop"),
+      (n >= 50 && n <= 100000).as("pass_word_count"),
+      (sumLen >= n.cast("long") * 3 && sumLen <= n.cast("long") * 10).as("pass_word_len"),
+      (nAlpha * 10 >= n * 8).as("pass_alpha"),
+      (nStop >= 2).as("pass_stop"),
+      (n >= 50 && n <= 100000 &&
+        sumLen >= n.cast("long") * 3 && sumLen <= n.cast("long") * 10 &&
+        nAlpha * 10 >= n * 8 && nStop >= 2).as("keep")
+    )
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

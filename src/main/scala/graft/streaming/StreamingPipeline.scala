@@ -244,6 +244,79 @@ object StreamingPipeline {
       }
       .start()
 
+  /** One micro-batch of the streaming dedup ingest loop, exactly-once
+    * by construction: every effect is an OVERWRITE of a batch-keyed
+    * partition directory, and the accepted set is recomputed against
+    * the index EXCLUDING this batch's own partition — so a retry after
+    * a crash at ANY point (corpus written / index written / neither)
+    * recomputes the identical accepted set and overwrites both
+    * partitions to the identical state. No marker file needed; the
+    * batch id IS the idempotence key.
+    *
+    * Corpus layout: `corpusPath/ingest_batch=<id>/...` (accepted docs);
+    * index layout: `indexPath/ingest_batch=<id>/...` (one `__h` row per
+    * accepted content hash). Both read back as ordinary partitioned
+    * parquet. Returns the number of accepted documents.
+    */
+  def dedupIngestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      indexPath: String,
+      batchId: Long
+  ): Long = {
+    val hashed = batch.withColumn("__h", md5(col("text")))
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val fresh =
+      if (indexExists) {
+        val prior = spark.read
+          .parquet(indexPath)
+          .filter(col("ingest_batch").cast("long") =!= batchId)
+          .select("__h")
+        hashed.join(prior, Seq("__h"), "left_anti")
+      } else hashed
+    // Settle the accepted set BEFORE any effect so the two writes see
+    // the same rows even though the index is mutating underneath.
+    val accepted = graft.operators.Dedup.dedupExact(fresh, "doc_id", "text").localCheckpoint()
+    accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+    accepted
+      .select(col("__h"))
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexPath/ingest_batch=$batchId")
+    accepted.count()
+  }
+
+  /** Streaming exact-dedup ingest: each arriving documents file is
+    * deduped against everything ever accepted (cross-snapshot
+    * content-hash index) and appended to the corpus — the 100 TB ingest
+    * loop as an engine-managed stream (exactly-once file tracking +
+    * idempotent batch-keyed partition overwrites).
+    */
+  def dedupIngest(
+      spark: SparkSession,
+      rawDir: String,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      docsSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docsSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIngestBatch(spark, batch, corpusPath, indexPath, batchId)
+        ()
+      }
+      .start()
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -273,6 +273,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "rollup state must equal the one-shot batch aggregate")
   }
 
+  test("dedup ingest batches: cross-batch dedup, replay-idempotent, crash-recomputable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dedup-ingest").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def corpusIds: Seq[Long] =
+      spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val b0 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    StreamingPipeline.dedupIngestBatch(spark, b0, corpus, index, 0L)
+    assert(corpusIds == Seq(1L, 2L), "in-batch dup keeps min id")
+
+    val b1 = Seq((4L, "bb"), (5L, "cc"), (6L, "cc")).toDF("doc_id", "text")
+    val n1 = StreamingPipeline.dedupIngestBatch(spark, b1, corpus, index, 1L)
+    assert(n1 == 1L && corpusIds == Seq(1L, 2L, 5L), "cross-batch dup dropped via the index")
+
+    StreamingPipeline.dedupIngestBatch(spark, b1, corpus, index, 1L) // replay
+    assert(corpusIds == Seq(1L, 2L, 5L), "replayed batch must change nothing")
+
+    // Crash simulation: a prior attempt of batch 2 wrote the INDEX
+    // partition but died before the corpus write. The retry must still
+    // accept the doc — the accepted set excludes the batch's own index
+    // partition, so the half-applied attempt is invisible to it.
+    val b2 = Seq((7L, "dd")).toDF("doc_id", "text")
+    b2.withColumn("__h", org.apache.spark.sql.functions.md5($"text"))
+      .select("__h")
+      .write
+      .parquet(s"$index/ingest_batch=2")
+    val n2 = StreamingPipeline.dedupIngestBatch(spark, b2, corpus, index, 2L)
+    assert(n2 == 1L && corpusIds == Seq(1L, 2L, 5L, 7L), "retry after mid-batch crash must land the doc")
+  }
+
+  test("streaming dedup ingest end-to-end: files stream in, corpus stays dup-free") {
+    val root = Files.createTempDirectory("graft-dedup-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    val docsSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)
+      )
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      """{"doc_id":1,"text":"alpha"}
+        |{"doc_id":2,"text":"beta"}""".stripMargin
+    )
+    val q1 = StreamingPipeline.dedupIngest(spark, raw, s"$root/corpus", s"$root/index", s"$root/ckpt", docsSchema)
+    q1.awaitTermination(60000)
+    // A later file re-delivers one known text and brings one new one.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      """{"doc_id":3,"text":"alpha"}
+        |{"doc_id":4,"text":"gamma"}""".stripMargin
+    )
+    val q2 = StreamingPipeline.dedupIngest(spark, raw, s"$root/corpus", s"$root/index", s"$root/ckpt", docsSchema)
+    q2.awaitTermination(60000)
+    val rows = spark.read
+      .parquet(s"$root/corpus")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(rows == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")), s"got $rows")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
