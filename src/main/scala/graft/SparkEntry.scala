@@ -97,7 +97,8 @@ object SparkEntry {
     "q75_dedup_report" -> (TextQueries.q75DedupReport _),
     "q76_pq_codes" -> (VectorQueries.q76PqCodes _),
     "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _),
-    "q78_gopher_quality" -> (TextQueries.q78GopherQuality _)
+    "q78_gopher_quality" -> (TextQueries.q78GopherQuality _),
+    "q79_semantic_dedup" -> (VectorQueries.q79SemanticDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -733,6 +734,22 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q79_semantic_dedup" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |drops AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.995)
+        |SELECT s.vec_id, s.cluster FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+        |WHERE d.vec_id IS NULL""".stripMargin,
     "q78_gopher_quality" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
         |m AS (SELECT doc_id,

@@ -212,6 +212,45 @@ object VectorQueries {
       .select(col("vec_id"), col("cluster_iter1"), col("cluster_iter2"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely (the q26 IVF assignment — broadcast
+    * argmax, `max_by` partial agg), then inside each cluster drop the
+    * larger-id vector of every pair with cosine ≥ 0.995. Pairing is
+    * blocked BY CLUSTER — the published trick that makes embedding
+    * dedup feasible at corpus scale: candidate volume is Σ cluster², a
+    * K-th of the all-pairs cross join, and each cluster's pairs
+    * co-locate under one join key. Output: the kept vectors with their
+    * cluster (the deduplicated corpus manifest).
+    */
+  def q79SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cent = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
+    val assigned = e
+      .join(broadcast(cent), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cluster"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val drops = a
+      .join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= 0.995
+      )
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of
     * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the

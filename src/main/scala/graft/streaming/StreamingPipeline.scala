@@ -317,6 +317,39 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming NEAR-dup monitoring: each arriving documents file probes
+    * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])
+    * and appends detected near-dup pairs to a telemetry sink before the
+    * batch's signatures join the index. Index appends are idempotent
+    * (anti-join on doc_id inside `update`), so a replayed file cannot
+    * double-index; the pair sink is additive telemetry, partitioned by
+    * batch so a replay overwrites its own partition rather than
+    * appending duplicates.
+    */
+  def nearDupIngest(
+      spark: SparkSession,
+      rawDir: String,
+      indexPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      docsSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docsSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.NearDupIndex
+          .update(spark, batch, indexPath)
+          .write
+          .mode("overwrite")
+          .parquet(s"$pairsPath/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.

@@ -338,6 +338,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")), s"got $rows")
   }
 
+  test("streaming near-dup ingest flags cross-file near-dups via the persistent index") {
+    val root = Files.createTempDirectory("graft-neardup-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    val docsSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)
+      )
+    )
+    val base =
+      "the quick brown fox jumps over the lazy dog while seventeen astronauts " +
+        "carefully measure gravitational anomalies near the southern observatory plateau"
+    def run(): Unit = {
+      val q = StreamingPipeline
+        .nearDupIngest(spark, raw, s"$root/index", s"$root/pairs", s"$root/ckpt", docsSchema)
+      q.awaitTermination(60000)
+    }
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"$base"}"""
+    )
+    run()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":2,"text":"${base.replace("lazy", "sleepy")}"}"""
+    )
+    run()
+    val pairs = spark.read
+      .parquet(s"$root/pairs")
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((2L, 1L)), s"the second file's variant must hit the indexed base doc, got $pairs")
+    assert(spark.read.parquet(s"$root/index").count() == 2, "one signature row per doc")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
