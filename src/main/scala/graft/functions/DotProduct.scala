@@ -125,6 +125,11 @@ object GraftFunctions {
       exprs => SquaredL2(exprs(0), exprs(1)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => ShingleHashes(exprs(0)),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -141,6 +146,8 @@ object GraftFunctions {
   def graft_quantize(vec: Column): Column = call_function("graft_quantize", vec)
 
   def graft_l2(a: Column, b: Column): Column = call_function("graft_l2", a, b)
+
+  def graft_shingles(tokens: Column): Column = call_function("graft_shingles", tokens)
 
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.
@@ -200,6 +207,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
         (exprs: Seq[Expression]) =>
           BloomContains(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]])
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_shingles"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+        (exprs: Seq[Expression]) => ShingleHashes(exprs(0))
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

@@ -139,16 +139,31 @@ object TextQueries {
     * short-circuit to an empty array.
     */
   private[graft] def withShingles(d: DataFrame): DataFrame = {
+    // The shingle stage is the native codegen'd
+    // [[graft.functions.ShingleHashes]] (`graft_shingles`): one compiled
+    // pass hashing each token and rolling the 3-gram window, replacing
+    // the five-operator interpreted HOF chain (see [[withShinglesHof]],
+    // kept for the equivalence spec). Being a single expression subtree
+    // it is also immune to the predicate-pushdown inlining trap the HOF
+    // form had to dodge with zip_with-over-slices. The cheap token-count
+    // pre-filter replaces the empty-shingles guard (tokens>=3 ⟺
+    // shingles non-empty).
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val toks = tokens(col("text"))
+    d.filter(size(toks) >= 3)
+      .withColumn("sh_ints", graft.functions.GraftFunctions.graft_shingles(toks))
+  }
+
+  /** The interpreted HOF form of [[withShingles]] — the reference
+    * semantics the native expression must match bit-for-bit
+    * (TextOpsSpec) and the shape the DuckDB oracle mirrors in SQL.
+    * zip_with over three slices (not element_at-per-index) because a
+    * pushed-down predicate inlines projected expressions into every
+    * reference — the measured 11× trap documented in SCALE.md.
+    */
+  private[graft] def withShinglesHof(d: DataFrame): DataFrame = {
     val p = lit(2147483647L)
     val toks = tokens(col("text"))
-    // Shape matters here: an element_at(i)/element_at(i+1)/element_at(i+2)
-    // formulation re-references the token-hash array per ELEMENT, and
-    // when Catalyst pushes a downstream predicate through the projection
-    // it inlines the whole md5-transform into each reference — turning
-    // 300 hashes/row into ~270k/row. zip_with over three slices
-    // references the array exactly three times per ROW under any
-    // predicate pushdown. The cheap token-count pre-filter replaces the
-    // empty-shingles guard (tokens>=3 ⟺ shingles non-empty).
     d.filter(size(toks) >= 3)
       .withColumn("__th", transform(toks, t => h28(t)))
       .withColumn(

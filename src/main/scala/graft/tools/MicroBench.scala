@@ -95,8 +95,25 @@ object MicroBench {
     val j2 = time("l2: graft_l2 native")(
       e2.select(sum(graft.functions.GraftFunctions.graft_l2(col("emb"), col("emb2")))).collect()
     )
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .crossJoin(spark.range(0, 20).toDF("rep"))
+      .persist()
+    docs.count()
+    val k1 = time("shingles: HOF chain")(
+      graft.queries.TextQueries
+        .withShinglesHof(docs)
+        .select(sum(size(col("sh_ints"))))
+        .collect()
+    )
+    val k2 = time("shingles: graft_shingles")(
+      graft.queries.TextQueries
+        .withShingles(docs)
+        .select(sum(size(col("sh_ints"))))
+        .collect()
+    )
     println(
-      f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx l2=${i2 / j2}%.1fx"
+      f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx l2=${i2 / j2}%.1fx shingles=${k1 / k2}%.1fx"
     )
     spark.stop()
   }

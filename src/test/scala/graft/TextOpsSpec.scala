@@ -75,6 +75,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_shingles is bit-identical to the HOF shingle chain") {
+    import queries.TextQueries
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("doc_id"), col("sh_ints"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+    val native = rows(TextQueries.withShingles(d))
+    val hof = rows(TextQueries.withShinglesHof(d))
+    assert(native.keySet == hof.keySet)
+    // Exact element order too: both dedup to first-occurrence order.
+    native.foreach { case (id, sh) =>
+      assert(sh == hof(id), s"doc $id: native and HOF shingles differ")
+    }
+    assert(native.nonEmpty && native.values.exists(_.nonEmpty))
+    // Edge cases: under 3 tokens → row filtered in both forms.
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(rows(TextQueries.withShingles(tiny)).keySet == Set(2L))
+    assert(rows(TextQueries.withShinglesHof(tiny)).keySet == Set(2L))
+  }
+
   test("materializeFeatures: parquet-backed feature tables give identical results") {
     import queries.TextQueries
     def snap(): Map[String, Set[String]] = Map(
