@@ -188,10 +188,12 @@ object Pipeline {
 /** CLI entry — parity with the reference job surface:
   * `--bucket` (batch) or `--bucket --raw_file_name` (incremental),
   * plus the table-maintenance verbs a scheduled operator of the same
-  * pipeline runs: `--maintenance compact --path P [--target_mb N]` and
+  * pipeline runs: `--maintenance compact --path P [--target_mb N]`,
   * `--maintenance expire --path P --before YYYYMM` — retention for
   * `year=` and `year=/month=` layouts (the full-batch writes; a
-  * `month=`-only layout carries no year and is refused).
+  * `month=`-only layout carries no year and is refused) — and
+  * `--maintenance materialize_features --data D --state S` (durable
+  * shared text-feature tables).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -230,6 +232,13 @@ object PipelineRunner {
             }
         )
         println(s"[maintenance] expired ${deleted.length} partition(s)")
+      case Some("materialize_features") =>
+        // Durable parquet barrier for the shared text-feature tables —
+        // the scheduled twin of the per-session memo (SCALE.md).
+        val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val (sh, tok) = graft.queries.TextQueries.materializeFeatures(spark, data, state)
+        println(s"[maintenance] materialized features: $sh , $tok")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))
