@@ -98,7 +98,8 @@ object SparkEntry {
     "q76_pq_codes" -> (VectorQueries.q76PqCodes _),
     "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _),
     "q78_gopher_quality" -> (TextQueries.q78GopherQuality _),
-    "q79_semantic_dedup" -> (VectorQueries.q79SemanticDedup _)
+    "q79_semantic_dedup" -> (VectorQueries.q79SemanticDedup _),
+    "q80_dup_ngram_frac" -> (TextQueries.q80DupNgramFrac _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -734,6 +735,17 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q80_dup_ngram_frac" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |m AS (SELECT doc_id, CAST(len(th) - 2 AS INTEGER) AS n_3grams,
+        |    CAST(len(list_distinct(list_transform(range(1, len(th) - 1),
+        |      i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))) AS INTEGER) AS n_distinct
+        |  FROM tk WHERE len(th) >= 3)
+        |SELECT doc_id, n_3grams, n_distinct,
+        |  CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_3grams AS dup_frac,
+        |  (n_distinct * 10 >= n_3grams * 7) AS pass_dup_ngram
+        |FROM m""".stripMargin,
     "q79_semantic_dedup" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm

@@ -261,9 +261,12 @@ object TextQueries {
       .select(col("doc_id"), col("sh_ints"))
       .withColumn("n_sh", size(col("sh_ints")))
 
+  // (doc_id, token) only — q34 computes its own lang-aware aggregate, so
+  // the shared table stays two narrow columns (smaller checkpoint blocks
+  // / parquet files than carrying an unused lang per instance).
   private def tokenInstancesDf(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
 
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     featureMemo.getOrElseUpdate(
@@ -438,7 +441,8 @@ object TextQueries {
     * only this one aggregate from it.
     */
   def q34TopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val tf = tokenInstancesDf(spark, dir)
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("token").asc)
@@ -855,6 +859,30 @@ object TextQueries {
         sumLen >= n.cast("long") * 3 && sumLen <= n.cast("long") * 10 &&
         nAlpha * 10 >= n * 8 && nStop >= 2).as("keep")
     )
+  }
+
+  /** Duplicate-3-gram fraction (the Gopher repetition rule family):
+    * `1 − distinct/total` word-3-grams per document — high values mark
+    * boilerplate / looping generations. Total 3-grams is `n_tokens − 2`
+    * arithmetically; distinct comes from the same native
+    * `graft_shingles` the near-dup operators use, so the metric is free
+    * where shingles are already computed. The flag applies the
+    * published ≤ 0.3 cut in pure integer arithmetic
+    * (`10·distinct ≥ 7·total`). Zero shuffle.
+    */
+  def q80DupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = withShingles(docs(spark, dir))
+    shingled
+      .select(
+        col("doc_id"),
+        (size(tokens(col("text"))) - 2).as("n_3grams"),
+        size(col("sh_ints")).as("n_distinct")
+      )
+      .withColumn(
+        "dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_3grams")
+      )
+      .withColumn("pass_dup_ngram", col("n_distinct") * 10 >= col("n_3grams") * 7)
   }
 
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.

@@ -124,6 +124,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingles equals the HOF chain on random token arrays (incl. unicode)") {
+    import spark.implicits._
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("naïve", "日本語", "Ω≈ç√", "a-b_c.d", "x", "the")
+    )
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      ts <- Gen.listOfN(n, tokenGen)
+    } yield ts.mkString(" ")
+    forAllSamples(Gen.listOfN(20, docGen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "sh_ints")
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+          .toMap
+      val native = rows(queries.TextQueries.withShingles(d))
+      val hof = rows(queries.TextQueries.withShinglesHof(d))
+      assert(native == hof, "native and HOF shingles must agree exactly")
+    }
+  }
+
   test("zValue: equal iff quantized cells equal; bounded by 4^bits; corners map to extremes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
