@@ -99,7 +99,9 @@ object SparkEntry {
     "q77_mix_rebalance" -> (TextQueries.q77MixRebalance _),
     "q78_gopher_quality" -> (TextQueries.q78GopherQuality _),
     "q79_semantic_dedup" -> (VectorQueries.q79SemanticDedup _),
-    "q80_dup_ngram_frac" -> (TextQueries.q80DupNgramFrac _)
+    "q80_dup_ngram_frac" -> (TextQueries.q80DupNgramFrac _),
+    "q81_fixed_sample" -> (TextQueries.q81FixedSample _),
+    "q82_bm25" -> (TextQueries.q82Bm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -735,6 +737,43 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q81_fixed_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x', substr(md5(concat('fs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) ASC,
+        |      doc_id ASC) AS rk
+        |  FROM documents) WHERE rk <= 30""".stripMargin,
+    "q82_bm25" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl FROM tk),
+        |inst AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM inst
+        |  WHERE token IN ('spark', 'table') GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    max(CASE WHEN token = 'spark' THEN tf END) AS tf_a,
+        |    max(CASE WHEN token = 'table' THEN tf END) AS tf_b
+        |  FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM dl) AS n_docs,
+        |    (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+        |    (SELECT df FROM dfq WHERE token = 'spark') AS df_a,
+        |    (SELECT df FROM dfq WHERE token = 'table') AS df_b)
+        |SELECT w.doc_id,
+        |  coalesce(w.tf_a, 0) AS tf_a,
+        |  coalesce(w.tf_b, 0) AS tf_b,
+        |  (CASE WHEN w.tf_a IS NOT NULL THEN
+        |     ((CAST(s.n_docs AS DOUBLE) - s.df_a + CAST(0.5 AS DOUBLE)) / (s.df_a + CAST(0.5 AS DOUBLE)))
+        |     * (w.tf_a * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |     / (w.tf_a + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        |   ELSE CAST(0.0 AS DOUBLE) END
+        |  + CASE WHEN w.tf_b IS NOT NULL THEN
+        |     ((CAST(s.n_docs AS DOUBLE) - s.df_b + CAST(0.5 AS DOUBLE)) / (s.df_b + CAST(0.5 AS DOUBLE)))
+        |     * (w.tf_b * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |     / (w.tf_b + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        |   ELSE CAST(0.0 AS DOUBLE) END) AS bm25
+        |FROM wide w JOIN dl d ON w.doc_id = d.doc_id, stats s""".stripMargin,
     "q80_dup_ngram_frac" ->
       """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),

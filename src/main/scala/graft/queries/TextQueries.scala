@@ -885,6 +885,82 @@ object TextQueries {
       .withColumn("pass_dup_ngram", col("n_distinct") * 10 >= col("n_3grams") * 7)
   }
 
+  /** Fixed-SIZE deterministic stratified sample: exactly
+    * `min(30, n_lang)` documents per language, chosen as the smallest
+    * per-doc hashes (doc_id tiebreak) — the reservoir-sampling
+    * equivalent with zero RNG state, reproducible on any
+    * partitioning / cluster size. Complements rate-based q42 when the
+    * downstream contract is an exact count (eval sets, human-review
+    * batches). Scale shape: the `row_number ≤ k` window plans with a
+    * PARTIAL `WindowGroupLimit` — each map task keeps at most k rows
+    * per language BEFORE the shuffle, so the sort never sees the
+    * corpus, only ≤ k·tasks rows per stratum.
+    */
+  def q81FixedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = h28(concat_ws("_", lit("fs"), col("doc_id")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 30)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** BM25 relevance scoring for a fixed two-term query — the classic
+    * retrieval ranking over the corpus. Uses the RATIONAL idf variant
+    * `(N − df + 0.5)/(df + 0.5)` (no libm `ln`, whose last-ulp
+    * behavior differs across engines — same reasoning as q41's
+    * rational idf); ranking order is preserved since ln is monotone.
+    * Every arithmetic step is a fixed IEEE op sequence mirrored by the
+    * oracle: per-term tf via keyed counts, doc length and corpus
+    * averages as exact-integer divisions, the per-term score chain
+    * evaluated in one deterministic expression, and the two term
+    * scores added in fixed order (never a row-order-dependent sum).
+    * Scale: term filter prunes the explode to query-term instances
+    * only; corpus stats are 1-row broadcast scalars.
+    */
+  def q82Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "table")
+    val d = docs(spark, dir)
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val inst = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = inst.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val wide = tf
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("token") === terms(0), col("tf"))).as("tf_a"),
+        max(when(col("token") === terms(1), col("tf"))).as("tf_b")
+      )
+    val dfreq = tf
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val stats = dl
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .crossJoin(broadcast(dfreq.filter(col("token") === terms(0)).select(col("df").as("df_a"))))
+      .crossJoin(broadcast(dfreq.filter(col("token") === terms(1)).select(col("df").as("df_b"))))
+    def score(tfc: Column, dfc: Column, dlc: Column, nDocs: Column, sumDl: Column): Column = {
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val idf = (nDocs.cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
+      val avgdl = sumDl.cast("double") / nDocs
+      val norm = tfc + k1 * (lit(1.0) - b + b * (dlc.cast("double") / avgdl))
+      idf * (tfc * (k1 + lit(1.0))) / norm
+    }
+    dl.join(wide, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"),
+        (when(col("tf_a").isNotNull, score(col("tf_a"), col("df_a"), col("dl"), col("n_docs"), col("sum_dl")))
+          .otherwise(lit(0.0)) +
+          when(col("tf_b").isNotNull, score(col("tf_b"), col("df_b"), col("dl"), col("n_docs"), col("sum_dl")))
+            .otherwise(lit(0.0))).as("bm25")
+      )
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
