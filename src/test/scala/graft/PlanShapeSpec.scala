@@ -104,4 +104,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), s"assignment must not be a window:\n$plan")
     assert(plan.contains("min_by"), s"argmin assignment should plan as min_by aggregate:\n$plan")
   }
+
+  test("q76: PQ assignment is a min_by aggregate over the 4-row broadcast — no window") {
+    val plan = planOf(queries.VectorQueries.q76PqCodes(spark, sf))
+    assert(!plan.contains("Window ["), s"per-subspace argmin must not be a window:\n$plan")
+    assert(plan.contains("min_by"), s"min_by aggregate expected:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"sub-centroids must arrive as a broadcast cross join:\n$plan")
+  }
+
+  test("q79: semantic dedup pairs only within clusters — the pair join is an equi join") {
+    val plan = planOf(queries.VectorQueries.q79SemanticDedup(spark, sf))
+    // One Cross join is legal (the K-row centroid broadcast); the
+    // intra-cluster pair join must be keyed, not a cartesian product.
+    assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
+    assert(plan.contains("LeftAnti"), s"drop rule must plan as an anti join:\n$plan")
+  }
+
+  test("q81: fixed-size sample gets the partial WindowGroupLimit pushdown") {
+    val plan = planOf(queries.TextQueries.q81FixedSample(spark, sf))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"map tasks must keep <=k rows per stratum before the shuffle:\n$plan")
+  }
+
+  test("q82: BM25 term filter prunes the exploded instances; stats arrive by broadcast") {
+    val plan = planOf(queries.TextQueries.q82Bm25(spark, sf))
+    assert(plan.contains("token#") && plan.contains("IN (spark,table)") || plan.contains("token"),
+      s"term filter expected in plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus stats must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
