@@ -101,7 +101,8 @@ object SparkEntry {
     "q79_semantic_dedup" -> (VectorQueries.q79SemanticDedup _),
     "q80_dup_ngram_frac" -> (TextQueries.q80DupNgramFrac _),
     "q81_fixed_sample" -> (TextQueries.q81FixedSample _),
-    "q82_bm25" -> (TextQueries.q82Bm25 _)
+    "q82_bm25" -> (TextQueries.q82Bm25 _),
+    "q83_winnowing" -> (TextQueries.q83Winnowing _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -737,6 +738,19 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q83_winnowing" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sq AS (SELECT doc_id, list_transform(range(1, len(th) - 1),
+        |    i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647) AS sh_seq
+        |  FROM tk WHERE len(th) >= 6),
+        |fp AS (SELECT doc_id, list_distinct(list_transform(range(1, len(sh_seq) - 2),
+        |    i -> list_aggregate(sh_seq[i:i+3], 'min'))) AS fps FROM sq)
+        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+        |  CAST(list_aggregate(fps, 'min') AS BIGINT) AS fp_min,
+        |  CAST(list_aggregate(fps, 'max') AS BIGINT) AS fp_max,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
+        |FROM fp""".stripMargin,
     "q81_fixed_sample" ->
       """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -961,6 +961,53 @@ object TextQueries {
       )
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): over the POSITIONAL 3-gram hash sequence, each sliding
+    * window of 4 selects its minimum; the distinct selected values are
+    * the document's fingerprints. Winnowing guarantees any match of
+    * length ≥ w+k−1 shares a fingerprint while sampling only ~2/(w+1)
+    * of positions — the copy-detection primitive between exact hashing
+    * and MinHash. Output is the per-doc fingerprint summary (count,
+    * min/max, checksum) — scalars, so the oracle hashes them directly;
+    * all arithmetic is the 28-bit integer domain shared with q20/q21.
+    */
+  def q83Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val p = lit(2147483647L)
+    val toks = tokens(col("text"))
+    // ≥6 tokens ⟺ ≥4 shingles ⟺ at least one window.
+    docs(spark, dir)
+      .filter(size(toks) >= 6)
+      .withColumn("__th", transform(toks, t => h28(t)))
+      .withColumn(
+        "sh_seq",
+        zip_with(
+          zip_with(
+            slice(col("__th"), lit(1), size(col("__th")) - 2),
+            slice(col("__th"), lit(2), size(col("__th")) - 2),
+            (a, b) => (a * 8191 + b) % p
+          ),
+          slice(col("__th"), lit(3), size(col("__th")) - 2),
+          (ab, c) => (ab * 8191 + c) % p
+        )
+      )
+      .withColumn(
+        "fps",
+        array_distinct(
+          transform(
+            sequence(lit(1), size(col("sh_seq")) - 3),
+            i => array_min(slice(col("sh_seq"), i, lit(4)))
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum")
+      )
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
