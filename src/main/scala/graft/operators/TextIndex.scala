@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted text index on parquet — the text twin of
+  * [[VectorIndex]]: posting lists bucketed by token hash so a query
+  * reads ONLY its terms' buckets, plus a doc-stats table for BM25
+  * length normalization. Build once, search every batch, append new
+  * documents incrementally.
+  *
+  * Layout under `indexPath`:
+  *   - `postings/` — `(token, doc_id, tf)` hive-partitioned by
+  *     `bucket = h28(token) mod nBuckets`: a search's
+  *     `bucket IN (...)` filter becomes partition pruning, and the
+  *     token equality prunes further inside the bucket (footer stats).
+  *   - `docs/` — `(doc_id, dl)` document lengths; corpus aggregates
+  *     (N, Σdl) are recomputed from it at search time — one tiny agg
+  *     that stays consistent under appends with no stored counters.
+  *
+  * Scoring is [[graft.queries.TextQueries.bm25Score]] — the identical
+  * expression shape q82 evaluates directly, so index-served scores are
+  * bit-identical to the from-scratch computation (TextIndexSpec).
+  */
+object TextIndex {
+
+  private val nBuckets = 64
+
+  private def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  private def bucketOf(token: Column): Column = pmod(h28(token), lit(nBuckets))
+
+  private def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+
+  /** Build the index from `(doc_id, text)` documents. */
+  def build(spark: SparkSession, docs: DataFrame, indexPath: String): Unit = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), size(split(col("text"), "\\s+")).as("dl"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexPath/docs")
+    tokenize(d)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Append new documents; already-indexed doc_ids are anti-joined away
+    * so replays are idempotent (the [[NearDupIndex]] contract).
+    */
+  def append(spark: SparkSession, docs: DataFrame, indexPath: String): Unit = {
+    val existing = spark.read.parquet(s"$indexPath/docs").select("doc_id")
+    val fresh = docs
+      .select(col("doc_id"), col("text"))
+      .join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // settle before the two writes
+    fresh
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("dl"))
+      .write
+      .mode("append")
+      .parquet(s"$indexPath/docs")
+    tokenize(fresh)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .write
+      .mode("append")
+      .partitionBy("bucket")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** BM25-ranked top-`topK` documents for a bag-of-terms query. Reads
+    * only the terms' posting buckets (partition pruning; term buckets
+    * are computed driver-side — |terms| md5s, not a data scan). Term
+    * scores accumulate in sorted-term order — a FIXED fold, never a
+    * row-order-dependent double sum.
+    */
+  def search(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      topK: Int = 10
+  ): DataFrame = {
+    require(terms.nonEmpty, "at least one term")
+    val sorted = terms.distinct.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketId(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % nBuckets
+    }
+    val buckets = sorted.map(bucketId).distinct
+    val postingsRaw = spark.read.parquet(s"$indexPath/postings")
+    // Match the inferred partition-value type exactly (see VectorIndex:
+    // a column-side cast would sit above the scan and defeat pruning).
+    val typedBuckets: Seq[Any] = postingsRaw.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case org.apache.spark.sql.types.LongType    => buckets
+      case _                                      => buckets.map(_.toString)
+    }
+    val postings = postingsRaw
+      .filter(col("bucket").isin(typedBuckets: _*))
+      .filter(col("token").isin(sorted: _*))
+      .select("token", "doc_id", "tf")
+    val docsT = spark.read.parquet(s"$indexPath/docs")
+    val stats = docsT.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wideAggs = sorted.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("tf"))).as(s"tf_$i")
+    }
+    val wide = postings.groupBy(col("doc_id")).agg(wideAggs.head, wideAggs.tail: _*)
+    val dfCols = sorted.zipWithIndex.map { case (t, i) =>
+      first(when(col("token") === t, col("df")), ignoreNulls = true).as(s"df_$i")
+    }
+    val dfWide = dfreq.agg(dfCols.head, dfCols.tail: _*)
+    val scored = wide
+      .join(docsT, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfWide))
+    val total = sorted.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      acc + when(
+        col(s"tf_$i").isNotNull,
+        graft.queries.TextQueries
+          .bm25Score(col(s"tf_$i"), col(s"df_$i"), col("dl"), col("n_docs"), col("sum_dl"))
+      ).otherwise(lit(0.0))
+    }
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    scored
+      .withColumn("bm25", total)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "bm25", "rank")
+  }
+}

@@ -919,6 +919,26 @@ object TextQueries {
     * Scale: term filter prunes the explode to query-term instances
     * only; corpus stats are 1-row broadcast scalars.
     */
+  /** The shared BM25 per-term score chain (k1=1.2, b=0.75, rational
+    * idf) — ONE expression shape used by q82 and by
+    * [[graft.operators.TextIndex.search]], so index-served scores are
+    * bit-identical to the direct computation (TextIndexSpec).
+    */
+  private[graft] def bm25Score(
+      tfc: Column,
+      dfc: Column,
+      dlc: Column,
+      nDocs: Column,
+      sumDl: Column
+  ): Column = {
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val idf = (nDocs.cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
+    val avgdl = sumDl.cast("double") / nDocs
+    val norm = tfc + k1 * (lit(1.0) - b + b * (dlc.cast("double") / avgdl))
+    idf * (tfc * (k1 + lit(1.0))) / norm
+  }
+
   def q82Bm25(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "table")
     val d = docs(spark, dir)
@@ -940,14 +960,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .crossJoin(broadcast(dfreq.filter(col("token") === terms(0)).select(col("df").as("df_a"))))
       .crossJoin(broadcast(dfreq.filter(col("token") === terms(1)).select(col("df").as("df_b"))))
-    def score(tfc: Column, dfc: Column, dlc: Column, nDocs: Column, sumDl: Column): Column = {
-      val k1 = lit(1.2)
-      val b = lit(0.75)
-      val idf = (nDocs.cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5))
-      val avgdl = sumDl.cast("double") / nDocs
-      val norm = tfc + k1 * (lit(1.0) - b + b * (dlc.cast("double") / avgdl))
-      idf * (tfc * (k1 + lit(1.0))) / norm
-    }
+    val score = bm25Score _
     dl.join(wide, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.TextIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persistent inverted index: index-served BM25 is bit-identical to the
+  * direct q82 computation, probes prune to the terms' buckets, and
+  * appends are idempotent.
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-textindex-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshIndex(): String = {
+    val p = Files.createTempDirectory("graft-textindex").toString + "/inv"
+    TextIndex.build(spark, spark.read.parquet(s"$sf/documents.parquet"), p)
+    p
+  }
+
+  test("index-served BM25 equals the direct computation bit-for-bit") {
+    val idx = freshIndex()
+    val got = TextIndex
+      .search(spark, idx, Seq("spark", "table"), topK = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+    val want = queries.TextQueries
+      .q82Bm25(spark, sf)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("bm25")))
+      .toSeq
+    assert(got.map(_._1) == want.map(_._1), "ranking must match the direct computation")
+    got.zip(want).foreach { case ((id, s1), (_, s2)) =>
+      assert(s1 == s2, s"doc $id: index-served score $s1 != direct $s2")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("a search reads only the query terms' posting buckets") {
+    val idx = freshIndex()
+    val plan = TextIndex
+      .search(spark, idx, Seq("spark"), topK = 5)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(
+      plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"postings scan must carry a bucket partition filter:\n$plan"
+    )
+  }
+
+  test("append is idempotent and newly indexed docs are searchable") {
+    import spark.implicits._
+    val idx = freshIndex()
+    val nPostings = spark.read.parquet(s"$idx/postings").count()
+    val nDocs = spark.read.parquet(s"$idx/docs").count()
+    val batch = Seq((900001L, "zzyzx zzyzx zzyzx unique marker")).toDF("doc_id", "text")
+    TextIndex.append(spark, batch, idx)
+    TextIndex.append(spark, batch, idx) // replay
+    assert(spark.read.parquet(s"$idx/docs").count() == nDocs + 1, "replay must not re-add the doc")
+    val postingsAfter = spark.read.parquet(s"$idx/postings")
+    assert(postingsAfter.filter(col("doc_id") === 900001L).count() == 3, "3 distinct tokens indexed once")
+    assert(postingsAfter.count() == nPostings + 3)
+    val hit = TextIndex.search(spark, idx, Seq("zzyzx"), topK = 1).collect()(0)
+    assert(hit.getLong(0) == 900001L, s"appended doc must be the top hit, got $hit")
+  }
+}
