@@ -102,7 +102,9 @@ object SparkEntry {
     "q80_dup_ngram_frac" -> (TextQueries.q80DupNgramFrac _),
     "q81_fixed_sample" -> (TextQueries.q81FixedSample _),
     "q82_bm25" -> (TextQueries.q82Bm25 _),
-    "q83_winnowing" -> (TextQueries.q83Winnowing _)
+    "q83_winnowing" -> (TextQueries.q83Winnowing _),
+    "q84_pagerank" -> (TextQueries.q84PageRank _),
+    "q85_ann_recall" -> (VectorQueries.q85AnnRecall _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -738,6 +740,60 @@ object SparkEntry {
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
+    "q85_ann_recall" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |brute AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q_emb, emb), p -> p[1]*p[2])), (a,v) -> a+v) / (q_nrm * nrm) DESC,
+        |    vec_id ASC) AS rank
+        |  FROM q, n WHERE vec_id >= 5) WHERE rank <= 10),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |qa AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cluster FROM assigned WHERE vec_id < 5),
+        |approx AS (SELECT query_id, vec_id FROM (
+        |  SELECT qa.query_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY qa.query_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(qa.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (qa.q_nrm * a.nrm) DESC,
+        |      a.vec_id ASC) AS rank
+        |  FROM qa JOIN assigned a ON qa.cluster = a.cluster WHERE a.vec_id >= 5) WHERE rank <= 10)
+        |SELECT b.query_id, CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / 10 AS recall_at_10
+        |FROM brute b LEFT JOIN approx ap ON b.query_id = ap.query_id AND b.vec_id = ap.vec_id
+        |GROUP BY b.query_id""".stripMargin,
+    "q84_pagerank" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |r1 AS (SELECT e.dst AS src,
+        |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+        |      (CAST(CAST(sum(CAST(floor(CAST(1.0 AS DOUBLE) / d.deg * 1073741824.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824.0) AS r
+        |  FROM edges e JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS src,
+        |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+        |      (CAST(CAST(sum(CAST(floor(r1.r / d.deg * 1073741824.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824.0) AS r
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.src GROUP BY e.dst)
+        |SELECT r1.src AS doc_id, r1.r AS rank_iter1, r2.r AS rank_iter2
+        |FROM r1 JOIN r2 ON r1.src = r2.src""".stripMargin,
     "q83_winnowing" ->
       """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),

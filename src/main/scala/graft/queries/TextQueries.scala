@@ -1021,6 +1021,45 @@ object TextQueries {
       )
   }
 
+  /** PageRank (2 iterations, damping 0.85) over the undirected near-dup
+    * pair graph — ranks the "centers" of duplicate clusters, the doc
+    * you keep when collapsing a cluster by authority instead of min-id.
+    * Determinism at any partitioning: each node's outgoing contribution
+    * `r/deg` is integer-scaled (`floor(x·2^30)`) BEFORE the incoming
+    * sum, so the only aggregation is an order-independent long sum and
+    * every remaining step is a fixed IEEE op chain the oracle mirrors.
+    * Scale: two keyed joins + keyed sums per iteration over the
+    * (bounded) pair graph; degrees computed once.
+    */
+  def q84PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val s = 1073741824L // 2^30
+    val pairs = q21NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // both iterations + degrees read the edge list
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    def iterate(ranks: DataFrame): DataFrame =
+      edges
+        .join(ranks, Seq("src"))
+        .join(deg, Seq("src"))
+        .select(
+          col("dst"),
+          floor(col("r") / col("deg") * lit(s.toDouble)).cast("long").as("contrib")
+        )
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(
+          col("dst").as("src"),
+          (lit(0.15) + lit(0.85) * (col("in_sum").cast("double") / lit(s.toDouble))).as("r")
+        )
+    val r0 = deg.select(col("src"), lit(1.0).as("r"))
+    val r1 = iterate(r0)
+    val r2 = iterate(r1)
+    r1.select(col("src").as("doc_id"), col("r").as("rank_iter1"))
+      .join(r2.select(col("src").as("doc_id"), col("r").as("rank_iter2")), Seq("doc_id"))
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming

@@ -294,7 +294,26 @@ object VectorQueries {
     * assign all vectors to their nearest centroid (broadcast argmin),
     * then answer each query (vec_id < 5) from its probe cluster only.
     */
-  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, 5)
+
+  /** ANN quality evaluation: recall@10 of the IVF probe against the
+    * exact brute-force top-10, per query — the harness that justifies
+    * an approximate index before it replaces the exact path. Hits are
+    * counted with an integer 0/1 sum (order-independent); recall is
+    * one exact division.
+    */
+  def q85AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = q24KnnBrute(spark, dir).select(col("query_id"), col("vec_id"))
+    val approx = ivfAnn(spark, dir, 10).select(col("query_id"), col("vec_id"))
+    brute
+      .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_10", col("n_hits").cast("double") / 10)
+  }
+
+  private def ivfAnn(spark: SparkSession, dir: String, topK: Int): DataFrame = {
     val e = emb(spark, dir)
     val cent = e
       .filter(col("vec_id") % 100 === 0)
@@ -324,7 +343,7 @@ object VectorQueries {
       .join(assigned.filter(col("vec_id") >= 5), Seq("cluster"))
       .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= topK)
       .select("query_id", "cluster", "vec_id", "rank", "cosine")
   }
 }
