@@ -103,7 +103,8 @@ class SimHashSpec extends AnyFunSuite {
           |       graft_minhash(array(5L, 9L), 2) AS m,
           |       graft_simhash(array(5L, 9L), 28) AS s,
           |       graft_l2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS l,
-          |       graft_quantize(array(0.0d, 1.0d)).q_max AS qm""".stripMargin
+          |       graft_quantize(array(0.0d, 1.0d)).q_max AS qm,
+          |       graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c')) AS sh""".stripMargin
       )
       .collect()(0)
     assert(row.getDouble(0) == 11.0)
@@ -111,6 +112,8 @@ class SimHashSpec extends AnyFunSuite {
     assert(row.getLong(2) >= 0L)
     assert(row.getDouble(3) == 25.0)
     assert(row.getDouble(4) == 1.0)
+    // 4 windows of 3 tokens, but (a,b,c) repeats — distinct keeps 3.
+    assert(row.getSeq[Long](5).length == 3)
     // graft_bloom_contains takes a serialized filter as a binary literal;
     // exercise the SQL-registered form through the Column API that emits it
     import spark.implicits._
