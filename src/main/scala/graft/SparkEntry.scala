@@ -104,7 +104,8 @@ object SparkEntry {
     "q82_bm25" -> (TextQueries.q82Bm25 _),
     "q83_winnowing" -> (TextQueries.q83Winnowing _),
     "q84_pagerank" -> (TextQueries.q84PageRank _),
-    "q85_ann_recall" -> (VectorQueries.q85AnnRecall _)
+    "q85_ann_recall" -> (VectorQueries.q85AnnRecall _),
+    "q86_curation" -> (TextQueries.q86Curation _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -739,6 +740,46 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, r.keep_ppm
         |FROM d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(concat(d.lang, '_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
+        |      < r.keep_ppm""".stripMargin,
+    "q86_curation" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS INTEGER) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INTEGER) AS n_alpha,
+        |    CAST(len(list_filter(t, w -> w IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS n_stop
+        |  FROM tk),
+        |qk AS (SELECT doc_id FROM m WHERE n >= 50 AND n <= 100000
+        |  AND sum_len >= CAST(n AS BIGINT) * 3 AND sum_len <= CAST(n AS BIGINT) * 10
+        |  AND n_alpha * 10 >= n * 8 AND n_stop >= 2),
+        |kept1 AS (SELECT d.* FROM documents d JOIN qk ON d.doc_id = qk.doc_id),
+        |keepmin AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5(text)),
+        |kept2 AS (SELECT k.* FROM kept1 k JOIN keepmin km ON k.doc_id = km.doc_id),
+        |th AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM th),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |kept3 AS (SELECT doc_id, lang, n_chars FROM kept2
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+        |rates AS (SELECT lang,
+        |    least(1000000, CAST(floor(
+        |      CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+        |           WHEN lang = 'es' THEN CAST(0.3 AS DOUBLE)
+        |           WHEN lang = 'fr' THEN CAST(0.2 AS DOUBLE)
+        |           ELSE CAST(0.1 AS DOUBLE) END
+        |      * (SELECT count(*) FROM kept3) * 1000000.0 / count(*)) AS BIGINT)) AS keep_ppm
+        |  FROM kept3 GROUP BY lang)
+        |SELECT k.doc_id, k.lang, k.n_chars
+        |FROM kept3 k JOIN rates r ON k.lang = r.lang
+        |WHERE CAST(concat('0x', substr(md5(concat('mx_', k.lang, '_', CAST(k.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000000
         |      < r.keep_ppm""".stripMargin,
     "q85_ann_recall" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

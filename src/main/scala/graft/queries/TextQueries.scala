@@ -1060,6 +1060,53 @@ object TextQueries {
       .join(r2.select(col("src").as("doc_id"), col("r").as("rank_iter2")), Seq("doc_id"))
   }
 
+  /** The full corpus-curation pipeline in one statement — the
+    * end-to-end flow a training-data team runs, composed from the
+    * library's stages: Gopher quality rules (q78) → exact dedup
+    * keep-min among survivors (q17's rule) → greedy near-dup drop
+    * against the corpus pair graph (q21/q32's rule) → target-share
+    * mixture rebalance over what remains (q77's construction, its own
+    * hash salt, rates from SURVIVOR counts so the output mix is the
+    * target mix of the curated — not raw — corpus). Every stage is a
+    * filter/keyed-join over the operators already proven individually;
+    * the oracle replays the identical four stages in SQL.
+    */
+  def q86Curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val qualityKept = q78GopherQuality(spark, dir).filter(col("keep")).select("doc_id")
+    val kept1 = d.join(qualityKept, Seq("doc_id"), "left_semi")
+    val kept2 = graft.operators.Dedup.dedupExact(kept1, "doc_id", "text")
+    val kept3 = graft.operators.Dedup
+      .dropNearDups(kept2, q21NgramJaccard(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      // Three queries/stages read the survivor set (counts + total +
+      // final filter) — settle it once.
+      .localCheckpoint()
+    val target = when(col("lang") === "en", 0.4)
+      .when(col("lang") === "es", 0.3)
+      .when(col("lang") === "fr", 0.2)
+      .otherwise(0.1)
+    val rates = kept3
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .crossJoin(broadcast(kept3.agg(count(lit(1)).as("n_total"))))
+      .withColumn(
+        "keep_ppm",
+        least(
+          lit(1000000L),
+          floor(target * col("n_total") * lit(1000000.0) / col("n_lang")).cast("long")
+        )
+      )
+      .select(col("lang"), col("keep_ppm"))
+    kept3
+      .join(broadcast(rates), Seq("lang"))
+      .filter(
+        pmod(h28(concat_ws("_", lit("mx"), col("lang"), col("doc_id"))), lit(1000000)) <
+          col("keep_ppm")
+      )
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** SimHash: 32-bit fingerprint from weighted token-hash bit votes.
     * bit b set ⇔ Σ_tokens count·(bit b of h28(token) ? 1 : −1) > 0.
     * Output is the fingerprint per doc (bigint) — self-join hamming
