@@ -217,6 +217,51 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: the optimizer rule preserves inner and left-outer results on random data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      intervals <- Gen.listOfN(15, for {
+        lo <- Gen.chooseNum(-500L, 500L)
+        len <- Gen.chooseNum(0L, 200L)
+      } yield (lo, lo + len))
+      values <- Gen.listOfN(40, Gen.chooseNum(-600L, 600L))
+      width <- Gen.chooseNum(1L, 300L)
+    } yield (intervals, values, width)
+    (1 to 3).foreach { s =>
+      val (intervals, values, width) = gen.pureApply(Gen.Parameters.default, Seed(31L + s))
+      val l = intervals.zipWithIndex.map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+        .toDF("lid", "lo", "hi")
+      val r = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vid", "v")
+      def inner = r.join(l, $"v" >= $"lo" && $"v" <= $"hi")
+      def louter = r.join(l, $"v" >= $"lo" && $"v" <= $"hi", "left_outer")
+      def innerRows = inner
+        .select($"vid", $"lid")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .sorted
+        .toSeq
+      def louterRows = louter
+        .select($"vid", $"lid")
+        .collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sorted
+        .toSeq
+      val (wantI, wantL) = (innerRows, louterRows)
+      spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, width.toString)
+      try {
+        assert(inner.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+        assert(innerRows == wantI, s"seed=${31 + s} width=$width inner mismatch")
+        assert(louterRows == wantL, s"seed=${31 + s} width=$width left-outer mismatch")
+      } finally {
+        spark.experimental.extraOptimizations = Nil
+        spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      }
+    }
+  }
+
   test("q40 plans as a bucket equi join — no cartesian or nested-loop join") {
     val plan = queries.CoreQueries
       .q40RangeJoin(spark, "/root/testdata/sf0.001")
