@@ -105,7 +105,8 @@ object SparkEntry {
     "q83_winnowing" -> (TextQueries.q83Winnowing _),
     "q84_pagerank" -> (TextQueries.q84PageRank _),
     "q85_ann_recall" -> (VectorQueries.q85AnnRecall _),
-    "q86_curation" -> (TextQueries.q86Curation _)
+    "q86_curation" -> (TextQueries.q86Curation _),
+    "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -896,6 +897,26 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_3grams AS dup_frac,
         |  (n_distinct * 10 >= n_3grams * 7) AS pass_dup_ngram
         |FROM m""".stripMargin,
+    "q87_dup_span_cross" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |pos AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |      THEN list_transform(range(1, len(th) - 1),
+        |        i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647)
+        |      ELSE [] END) AS h FROM tk),
+        |spans AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |cnt AS (SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN s.mn <> s.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        |  FROM pos p JOIN spans s USING (h) GROUP BY p.doc_id),
+        |base AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) - 2 AS INTEGER) AS n_3grams
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_3grams,
+        |  coalesce(c.n_cross, CAST(0 AS BIGINT)) AS n_cross,
+        |  CASE WHEN b.n_3grams > 0
+        |       THEN CAST(coalesce(c.n_cross, CAST(0 AS BIGINT)) AS DOUBLE) / b.n_3grams
+        |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
+        |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
+        |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
     "q79_semantic_dedup" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm

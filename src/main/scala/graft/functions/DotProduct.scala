@@ -130,6 +130,11 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs(0)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles_pos",
+      exprs => ShingleHashes(exprs(0), positional = true),
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -148,6 +153,9 @@ object GraftFunctions {
   def graft_l2(a: Column, b: Column): Column = call_function("graft_l2", a, b)
 
   def graft_shingles(tokens: Column): Column = call_function("graft_shingles", tokens)
+
+  def graft_shingles_pos(tokens: Column): Column =
+    call_function("graft_shingles_pos", tokens)
 
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.

@@ -23,29 +23,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * construction (TextQueries/SparkEntry cite the shared formula); all
   * intermediates stay < 2^45.
   */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+case class ShingleHashes(child: Expression, positional: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"graft_shingles requires array<string>, got ${other.catalogString}"
+        s"$prettyName requires array<string>, got ${other.catalogString}"
       )
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String =
+    if (positional) "graft_shingles_pos" else "graft_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData])
+    if (positional) ShingleHashes.computePositional(input.asInstanceOf[ArrayData])
+    else ShingleHashes.compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (positional) "computePositional" else "compute"
     nullSafeCodeGen(
       ctx,
       ev,
-      xs => s"${ev.value} = graft.functions.ShingleHashes.compute($xs);"
+      xs => s"${ev.value} = graft.functions.ShingleHashes.$method($xs);"
     )
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -63,18 +68,9 @@ object ShingleHashes {
   def compute(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      // Same construction as Spark's md5() + conv(substr(...,1,7),16,10):
-      // lowercase hex of the UTF-8 bytes, first 7 nibbles as an int.
-      val hex = org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(xs.getUTF8String(i).getBytes)
-      th(i) = java.lang.Long.parseLong(hex.substring(0, 7), 16)
-      i += 1
-    }
+    val th = tokenHashes(xs, n)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
+    var i = 0
     while (i <= n - 3) {
       seen.add(((th(i) * 8191 + th(i + 1)) % P * 8191 + th(i + 2)) % P)
       i += 1
@@ -84,5 +80,36 @@ object ShingleHashes {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Positional variant: one hash PER 3-gram position, duplicates kept,
+    * document order preserved — the substring-level dedup signal
+    * (cross-doc span detection needs every occurrence, not the set).
+    */
+  def computePositional(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val th = tokenHashes(xs, n)
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      out(i) = ((th(i) * 8191 + th(i + 1)) % P * 8191 + th(i + 2)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Same construction as Spark's md5() + conv(substr(...,1,7),16,10):
+  // lowercase hex of the UTF-8 bytes, first 7 nibbles as an int.
+  private def tokenHashes(xs: ArrayData, n: Int): Array[Long] = {
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(xs.getUTF8String(i).getBytes)
+      th(i) = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      i += 1
+    }
+    th
   }
 }

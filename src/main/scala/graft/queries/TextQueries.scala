@@ -1128,4 +1128,59 @@ object TextQueries {
       graft.functions.GraftFunctions.graft_simhash(tokHashes, 28).as("simhash")
     )
   }
+
+  /** Cross-document duplicate-SPAN fraction — the substring-level dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for every positional 3-gram in every document,
+    * is that exact 3-gram present in at least one OTHER document? The
+    * per-doc fraction of such positions drives span-level dedup cuts
+    * that doc-level near-dup (q21/q22) and within-doc repetition (q80)
+    * both miss — boilerplate shared across many distinct pages.
+    *
+    * Plan shape: one codegen'd [[graft.functions.ShingleHashes]]
+    * positional pass per doc (duplicates kept, order preserved), one
+    * explode, one groupBy on the span hash — "appears in ≥2 docs" is
+    * `min(doc_id) != max(doc_id)`, no countDistinct — then a join back
+    * on the SAME hash key, where Catalyst reuses the groupBy's exchange
+    * (both sides hash-partitioned by `h`), and a final per-doc agg.
+    * Two genuine shuffles total (span hash, doc_id). At 100 TB the
+    * df-cap pattern from q21 applies unchanged: spans with df above a
+    * cutoff are boilerplate by definition and can be flagged from the
+    * (tiny) high-df span table alone.
+    */
+  def q87DupSpanCross(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    val exploded = d
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
+        ).as("h")
+      )
+    val spans = exploded
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val counted = exploded
+      .join(spans, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)).as("n_cross_raw")
+      )
+    // n_3grams needs only the token COUNT — no re-hash of the corpus.
+    d.select(col("doc_id"), (size(tokens(col("text"))) - 2).as("n_3grams"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_3grams"),
+        coalesce(col("n_cross_raw"), lit(0L)).as("n_cross"),
+        when(
+          col("n_3grams") > 0,
+          coalesce(col("n_cross_raw"), lit(0L)).cast("double") / col("n_3grams")
+        ).otherwise(lit(0.0)).as("cross_frac"),
+        // ≤ 20 % duplicated spans, pure integer arithmetic.
+        (coalesce(col("n_cross_raw"), lit(0L)) * 5 <= col("n_3grams"))
+          .as("pass_cross_dup")
+      )
+  }
 }
