@@ -106,7 +106,8 @@ object SparkEntry {
     "q84_pagerank" -> (TextQueries.q84PageRank _),
     "q85_ann_recall" -> (VectorQueries.q85AnnRecall _),
     "q86_curation" -> (TextQueries.q86Curation _),
-    "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _)
+    "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _),
+    "q88_sketch_quantiles" -> (CoreQueries.q88SketchQuantiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -917,6 +918,19 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q88_sketch_quantiles" ->
+      """WITH hist AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v END) AS p50,
+        |  min(CASE WHEN cum - cnt < (19 * n + 19) // 20 AND (19 * n + 19) // 20 <= cum THEN v END) AS p95,
+        |  min(CASE WHEN cum - cnt < (99 * n + 99) // 100 AND (99 * n + 99) // 100 <= cum THEN v END) AS p99,
+        |  true AS ok_p50, true AS ok_p95, true AS ok_p99
+        |FROM s GROUP BY l_returnflag""".stripMargin,
     "q79_semantic_dedup" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm

@@ -135,6 +135,30 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs(0), positional = true),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tdigest",
+      exprs => {
+        // SQL numeric literals arrive as Decimal, Column-API lits as
+        // primitives — accept both.
+        def asDouble(e: Expression): Double = e.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number                             => n.doubleValue()
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_tdigest expects numeric literals, got $other"
+            )
+        }
+        TDigestAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs(0),
+            org.apache.spark.sql.types.DoubleType
+          ),
+          exprs.drop(2).map(asDouble),
+          asDouble(exprs(1))
+        )
+      },
+      "built-in"
+    )
   }
 
   /** Column-API forms; require [[register]] (or the extensions class)
@@ -156,6 +180,20 @@ object GraftFunctions {
 
   def graft_shingles_pos(tokens: Column): Column =
     call_function("graft_shingles_pos", tokens)
+
+  /** Mergeable t-digest quantile sketch (see [[TDigestAgg]]); returns
+    * `array<double>` of estimates at `probs`.
+    */
+  def graft_tdigest(
+      value: Column,
+      probs: Seq[Double],
+      compression: Double = TDigest.DefaultCompression
+  ): Column =
+    call_function(
+      "graft_tdigest",
+      (value +: org.apache.spark.sql.functions.lit(compression) +:
+        probs.map(org.apache.spark.sql.functions.lit(_))): _*
+    )
 
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.

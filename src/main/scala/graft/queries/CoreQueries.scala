@@ -866,6 +866,68 @@ object CoreQueries {
       )
   }
 
+  /** Sketch-vs-exact quantiles: per-group p50/p95/p99 computed exactly
+    * via the q73 value-histogram rank arithmetic, PLUS in-band proof
+    * that the [[graft.functions.TDigestAgg]] mergeable t-digest lands
+    * within ±2 % of target rank — the q30 pattern (the oracle can't run
+    * the sketch, so the sketch's contract travels as boolean flags the
+    * oracle asserts as literal `true`; the sketch's own rank error with
+    * δ=300 is ≈0.5 %, a 4× margin). Two aggregates over one scan
+    * lineage: the exact path shuffles the (group, value) histogram, the
+    * sketch path shuffles ~2 KB digests per group — at unbounded value
+    * cardinality (where the histogram trick degrades to a sort) the
+    * digest column is the only scalable plan, which is why the flags
+    * matter.
+    */
+  def q88SketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+    val hist = li.groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def at(target: Column): Column =
+      min(when(col("cum") - col("cnt") < target && target <= col("cum"), col("v")))
+    val exact = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        at(expr("(n + 1) div 2")).as("p50"),
+        at(expr("(19 * n + 19) div 20")).as("p95"),
+        at(expr("(99 * n + 99) div 100")).as("p99"),
+        // rank windows at target ± 2 %, ceil via integral div, capped at n
+        at(expr("(48 * n + 99) div 100")).as("lo50"),
+        at(expr("least(n, (52 * n + 99) div 100)")).as("hi50"),
+        at(expr("(93 * n + 99) div 100")).as("lo95"),
+        at(expr("least(n, (97 * n + 99) div 100)")).as("hi95"),
+        at(expr("(97 * n + 99) div 100")).as("lo99"),
+        at(expr("n")).as("hi99")
+      )
+    val est = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.GraftFunctions
+          .graft_tdigest(col("v"), Seq(0.5, 0.95, 0.99))
+          .as("qs")
+      )
+    exact
+      .join(est, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        col("p50"),
+        col("p95"),
+        col("p99"),
+        (col("qs")(0) >= col("lo50") && col("qs")(0) <= col("hi50")).as("ok_p50"),
+        (col("qs")(1) >= col("lo95") && col("qs")(1) <= col("hi95")).as("ok_p95"),
+        (col("qs")(2) >= col("lo99") && col("qs")(2) <= col("hi99")).as("ok_p99")
+      )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
