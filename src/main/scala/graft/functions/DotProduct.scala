@@ -137,27 +137,32 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tdigest",
-      exprs => {
-        // SQL numeric literals arrive as Decimal, Column-API lits as
-        // primitives — accept both.
-        def asDouble(e: Expression): Double = e.eval() match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case n: Number                             => n.doubleValue()
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_tdigest expects numeric literals, got $other"
-            )
-        }
-        TDigestAgg(
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            exprs(0),
-            org.apache.spark.sql.types.DoubleType
-          ),
-          exprs.drop(2).map(asDouble),
-          asDouble(exprs(1))
-        )
-      },
+      buildTDigest,
       "built-in"
+    )
+  }
+
+  /** `graft_tdigest(value, compression, p1, p2, …)` builder shared by
+    * the temp-function and extensions registration paths. SQL numeric
+    * literals arrive as Decimal, Column-API lits as primitives —
+    * accept both.
+    */
+  private[functions] val buildTDigest: Seq[Expression] => Expression = { exprs =>
+    def asDouble(e: Expression): Double = e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number                             => n.doubleValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_tdigest expects numeric literals, got $other"
+        )
+    }
+    TDigestAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0),
+        org.apache.spark.sql.types.DoubleType
+      ),
+      exprs.drop(2).map(asDouble),
+      asDouble(exprs(1))
     )
   }
 
@@ -260,6 +265,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_shingles"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
         (exprs: Seq[Expression]) => ShingleHashes(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_shingles_pos"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles_pos"),
+        (exprs: Seq[Expression]) => ShingleHashes(exprs(0), positional = true)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_tdigest"),
+        new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
+        GraftFunctions.buildTDigest
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

@@ -104,7 +104,8 @@ class SimHashSpec extends AnyFunSuite {
           |       graft_simhash(array(5L, 9L), 28) AS s,
           |       graft_l2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS l,
           |       graft_quantize(array(0.0d, 1.0d)).q_max AS qm,
-          |       graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c')) AS sh""".stripMargin
+          |       graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c')) AS sh,
+          |       graft_shingles_pos(array('a', 'b', 'c', 'a', 'b', 'c')) AS shp""".stripMargin
       )
       .collect()(0)
     assert(row.getDouble(0) == 11.0)
@@ -114,6 +115,9 @@ class SimHashSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 1.0)
     // 4 windows of 3 tokens, but (a,b,c) repeats — distinct keeps 3.
     assert(row.getSeq[Long](5).length == 3)
+    // positional form keeps all 4 window hashes; window 0 == window 3
+    val shp = row.getSeq[Long](6)
+    assert(shp.length == 4 && shp(0) == shp(3) && shp.toSet == row.getSeq[Long](5).toSet)
     // graft_bloom_contains takes a serialized filter as a binary literal;
     // exercise the SQL-registered form through the Column API that emits it
     import spark.implicits._
