@@ -1137,16 +1137,18 @@ object TextQueries {
     * that doc-level near-dup (q21/q22) and within-doc repetition (q80)
     * both miss — boilerplate shared across many distinct pages.
     *
-    * Plan shape: one codegen'd [[graft.functions.ShingleHashes]]
-    * positional pass per doc (duplicates kept, order preserved), one
-    * explode, one groupBy on the span hash — "appears in ≥2 docs" is
-    * `min(doc_id) != max(doc_id)`, no countDistinct — then a join back
-    * on the SAME hash key, where Catalyst reuses the groupBy's exchange
-    * (both sides hash-partitioned by `h`), and a final per-doc agg.
-    * Two genuine shuffles total (span hash, doc_id). At 100 TB the
-    * df-cap pattern from q21 applies unchanged: spans with df above a
-    * cutoff are boilerplate by definition and can be flagged from the
-    * (tiny) high-df span table alone.
+    * Plan shape: ONE codegen'd [[graft.functions.ShingleHashes]]
+    * positional pass over the corpus (duplicates kept, order
+    * preserved), one explode, then an unordered window over the span
+    * hash — "appears in ≥2 docs" is `min(doc_id) != max(doc_id)` over
+    * the hash partition, no countDistinct — and a final per-doc agg.
+    * Two shuffles (span hash, doc_id) and exactly one feature pass:
+    * the groupBy-then-join-back alternative re-explodes the whole
+    * corpus, because its two exchanges differ (one carries a partial
+    * agg) and can never be reused. At 100 TB the df-cap pattern from
+    * q21 applies unchanged: spans with df above a cutoff are
+    * boilerplate by definition and can be pre-flagged from the (tiny)
+    * high-df span table alone.
     */
   def q87DupSpanCross(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1158,11 +1160,10 @@ object TextQueries {
           graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
         ).as("h")
       )
-    val spans = exploded
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val wh = Window.partitionBy(col("h"))
     val counted = exploded
-      .join(spans, "h")
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)).as("n_cross_raw")

@@ -93,6 +93,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"min/max scalars must arrive by broadcast:\n$plan")
   }
 
+  test("q87: one feature pass — single explode, window min/max, no countDistinct") {
+    val plan = planOf(queries.TextQueries.q87DupSpanCross(spark, sf))
+    // The corpus-wide positional shingle pass must run exactly once;
+    // a groupBy-then-join-back shape would explode the corpus twice
+    // (its two exchanges differ, so they can never be reused).
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 explode, got $explodes:\n$plan")
+    // "appears in >=2 docs" is min!=max over the hash window, never a
+    // distinct-count expand.
+    assert(plan.contains("Window"), s"span stats must be a window over h:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+  }
+
+  test("q88: sketch path shuffles digests as partial aggregates, no extra sort") {
+    val plan = planOf(CoreQueries.q88SketchQuantiles(spark, sf))
+    // The t-digest aggregate must run as ObjectHashAggregate partial +
+    // final (digest bytes cross the shuffle), not fall back to a
+    // SortAggregate over raw rows.
+    assert(plan.contains("ObjectHashAggregate"), s"tdigest must ObjectHashAggregate:\n$plan")
+  }
+
   test("q60: plans as semi and anti joins, never an inner join + distinct") {
     val plan = planOf(CoreQueries.q60SemiAnti(spark, sf))
     assert(plan.contains("LeftSemi"), s"semi join expected:\n$plan")
