@@ -47,6 +47,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 1000L, s"all sf0.001 events counted, got $total")
   }
 
+  test("t-digest aggregate runs in a streaming group-by (state-store safe buffers)") {
+    // The TypedImperativeAggregate's byte-serialized buffer must
+    // survive the streaming state store across micro-batches, and the
+    // final estimates must match the batch digest within sketch bounds.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val events = StreamingPipeline.readEvents(spark, streamDir)
+    val q = events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.graft_tdigest(col("value"), Seq(0.5)).as("qs"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tdig_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .sql("SELECT event_type, qs[0] AS p50 FROM tdig_stream")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(streamed.nonEmpty)
+    val batch = spark.read
+      .parquet(s"$eventsDir/events.parquet")
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .collect()
+      .groupBy(_.getString(0))
+    for ((et, p50) <- streamed) {
+      val sorted = batch(et).map(_.getDouble(1)).sorted
+      val rank = sorted.count(_ <= p50).toDouble / sorted.length
+      assert(math.abs(rank - 0.5) <= 0.02, s"$et streamed p50 rank=$rank")
+    }
+  }
+
   test("stateful sessionization matches the batch q11 semantics") {
     val events = StreamingPipeline.readEvents(spark, streamDir)
     val q = StreamingPipeline

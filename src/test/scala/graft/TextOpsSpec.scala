@@ -46,6 +46,38 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 chunk grid is lossless: stride-prefix reassembly rebuilds every document") {
+    // Overlapping chunks (size 64, stride 48) must still be a lossless
+    // representation: concatenating each chunk's first `stride` tokens
+    // (the last chunk truncates naturally) re-derives the original
+    // token sequence for EVERY document — the packing/training consumer
+    // can always reconstruct the corpus from chunks alone.
+    val stride = 48
+    val base = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+    val rebuilt = base
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(expr(s"sequence(0, (n - 1) div $stride)")).as("i")
+      )
+      .select(
+        col("doc_id"),
+        col("t"),
+        col("i"),
+        slice(col("t"), col("i") * stride + 1, lit(stride)).as("piece")
+      )
+      .groupBy(col("doc_id"), col("t"))
+      .agg(
+        flatten(array_sort(collect_list(struct(col("i"), col("piece"))))
+          .getField("piece")).as("rt")
+      )
+    val bad = rebuilt.filter(col("rt") =!= col("t")).count()
+    assert(bad == 0, s"$bad documents failed chunk reassembly")
+  }
+
   test("q54 decontamination: split disjoint, containment recomputable from raw text") {
     def isEval(id: Long): Boolean = {
       val md = java.security.MessageDigest
