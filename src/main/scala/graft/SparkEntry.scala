@@ -107,7 +107,8 @@ object SparkEntry {
     "q85_ann_recall" -> (VectorQueries.q85AnnRecall _),
     "q86_curation" -> (TextQueries.q86Curation _),
     "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _),
-    "q88_sketch_quantiles" -> (CoreQueries.q88SketchQuantiles _)
+    "q88_sketch_quantiles" -> (CoreQueries.q88SketchQuantiles _),
+    "q89_incremental_distinct" -> (TextQueries.q89IncrementalDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -918,6 +919,14 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q89_incremental_distinct" ->
+      """WITH inst AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_instances,
+        |  true AS within_bound
+        |FROM inst GROUP BY lang""".stripMargin,
     "q88_sketch_quantiles" ->
       """WITH hist AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, count(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),

@@ -222,6 +222,79 @@ object Maintenance {
       statePath: String,
       appliedId: Option[Long] = None
   ): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("n")
+    val partial = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val foldAggs = (sumCols :+ "n").map(c => sum(col(c)).as(c))
+    foldState(spark, statePath, appliedId, partial) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(keys.map(col): _*)
+        .agg(foldAggs.head, foldAggs.tail: _*)
+    }
+  }
+
+  /** Incremental DISTINCT-cardinality maintenance: fold one batch's
+    * per-key HLL sketches (Spark's datasketches-backed
+    * `hll_sketch_agg`) into a persistent state table — the sketch twin
+    * of [[refreshAggregate]], for the one aggregate sums can't carry.
+    * Exact incremental distinct-count state would have to persist the
+    * full value SET per key (unbounded, and at 10^10+ tokens per
+    * language it dwarfs the telemetry it feeds); HLL register state is
+    * a few KB per key, union is register-wise max (associative,
+    * commutative, idempotent — replay-safe by algebra on top of the
+    * applied-id marker), and the estimate stays within ~1.6 % rsd at
+    * lgK=12. Crash-safety and exactly-once semantics are EXACTLY
+    * [[refreshAggregate]]'s: same entry-time recovery, marker, and
+    * atomic two-rename swap, via the shared fold.
+    *
+    * State schema: keys…, `sk` (serialized sketch), `n` (row count).
+    * Read estimates back with [[cardinalityEstimates]].
+    */
+  def refreshCardinality(
+      spark: SparkSession,
+      batch: DataFrame,
+      keys: Seq[String],
+      distinctCol: String,
+      statePath: String,
+      appliedId: Option[Long] = None,
+      lgConfigK: Int = 12
+  ): DataFrame = {
+    val partial = batch
+      .groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"hll_sketch_agg($distinctCol, $lgConfigK)").as("sk"),
+        count(lit(1)).as("n")
+      )
+    foldState(spark, statePath, appliedId, partial) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(keys.map(col): _*)
+        .agg(expr("hll_union_agg(sk, true)").as("sk"), sum(col("n")).as("n"))
+    }
+  }
+
+  /** Per-key distinct-count estimates from a [[refreshCardinality]]
+    * state table: keys…, `estimate` (long), `n` (exact row count).
+    */
+  def cardinalityEstimates(spark: SparkSession, statePath: String): DataFrame = {
+    val state = spark.read.parquet(statePath)
+    val keys = state.columns.filterNot(Set("sk", "n"))
+    state.select(
+      keys.map(col) :+ expr("hll_sketch_estimate(sk)").as("estimate") :+ col("n"): _*
+    )
+  }
+
+  /** Shared exactly-once state fold: entry-time crash recovery, the
+    * applied-id no-op check, `fold(old, partial)` when state exists,
+    * and the atomic marker+swap. See [[refreshAggregate]] for the full
+    * semantics contract.
+    */
+  private def foldState(
+      spark: SparkSession,
+      statePath: String,
+      appliedId: Option[Long],
+      partial: DataFrame
+  )(fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val fsPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
@@ -242,16 +315,8 @@ object Maintenance {
     }
     if (appliedId.isDefined && fs.exists(fsPath) && readMarker() == appliedId)
       return spark.read.parquet(statePath) // retry of an applied batch: no-op
-    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("n")
-    val partial = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val foldAggs = (sumCols :+ "n").map(c => sum(col(c)).as(c))
     val merged =
-      if (fs.exists(fsPath))
-        spark.read
-          .parquet(statePath)
-          .unionByName(partial)
-          .groupBy(keys.map(col): _*)
-          .agg(foldAggs.head, foldAggs.tail: _*)
+      if (fs.exists(fsPath)) fold(spark.read.parquet(statePath), partial)
       else partial
     merged.write.mode("overwrite").parquet(tmp.toString)
     appliedId.foreach { id =>

@@ -1129,6 +1129,55 @@ object TextQueries {
     )
   }
 
+  /** Incremental distinct-cardinality telemetry, END-TO-END through the
+    * persistent maintenance loop: the corpus arrives as two batches
+    * (split by doc_id parity), each folded into
+    * [[graft.operators.Maintenance.refreshCardinality]]'s on-disk HLL
+    * state with an applied-id marker — and the second batch is then
+    * REPLAYED, which must no-op. The oracle makes that replay claim
+    * falsifiable: `n_instances` comes from the state table's exact row
+    * counter, so a double-applied batch inflates it and breaks the
+    * hash against DuckDB's direct count. The sketch estimate itself is
+    * validated with the q30 in-band pattern (≤5 % flag, ~3σ at lgK=12's
+    * 1.6 % rsd; at this vocabulary the sketch is still in exact coupon
+    * mode, so the margin is enormous). Per-batch cost at 100 TB is the
+    * batch scan plus a few KB of register state per key — the only
+    * shape under which "distinct tokens ever seen per language" is
+    * maintainable at all (the exact alternative persists the full
+    * token SET per key).
+    */
+  def q89IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val inst = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-card")
+      .resolve("state")
+      .toString
+    val even = inst.filter(col("doc_id") % 2 === 0)
+    val odd = inst.filter(col("doc_id") % 2 === 1)
+    graft.operators.Maintenance
+      .refreshCardinality(spark, even, Seq("lang"), "token", statePath, Some(1L))
+    graft.operators.Maintenance
+      .refreshCardinality(spark, odd, Seq("lang"), "token", statePath, Some(2L))
+    // replay of an applied batch — exactly-once means this is a no-op
+    graft.operators.Maintenance
+      .refreshCardinality(spark, odd, Seq("lang"), "token", statePath, Some(2L))
+    val est = graft.operators.Maintenance.cardinalityEstimates(spark, statePath)
+    val exact = inst
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("n_tokens"))
+    exact
+      .join(est, "lang")
+      .select(
+        col("lang"),
+        col("n_tokens"),
+        col("n").as("n_instances"),
+        (abs(
+          col("estimate").cast("double") / col("n_tokens") - 1.0
+        ) <= 0.05).as("within_bound")
+      )
+  }
+
   /** Cross-document duplicate-SPAN fraction — the substring-level dedup
     * signal (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): for every positional 3-gram in every document,

@@ -134,6 +134,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(next == Set(("a", 20L, 2L)), "a new id applies normally")
   }
 
+  test("refreshCardinality: incremental sketch state matches one-shot distinct; replay no-ops") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-card-spec").toString + "/card.parquet"
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 20000).map(i => (s"k${i % 3}", s"tok${rnd.nextInt(5000)}"))
+    val (b1, b2) = rows.splitAt(12000)
+    Maintenance
+      .refreshCardinality(spark, b1.toDF("k", "t"), Seq("k"), "t", state, Some(1L))
+      .count()
+    Maintenance
+      .refreshCardinality(spark, b2.toDF("k", "t"), Seq("k"), "t", state, Some(2L))
+      .count()
+    // replay of batch 2 must leave the state byte-identical in effect
+    Maintenance
+      .refreshCardinality(spark, b2.toDF("k", "t"), Seq("k"), "t", state, Some(2L))
+      .count()
+    val got = Maintenance
+      .cardinalityEstimates(spark, state)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exact = rows.groupBy(_._1)
+    for ((k, (est, n)) <- got) {
+      assert(n == exact(k).size.toLong, s"$k exact row counter (replay must not inflate)")
+      val distinct = exact(k).map(_._2).distinct.size.toDouble
+      assert(math.abs(est / distinct - 1.0) <= 0.05, s"$k est=$est exact=$distinct")
+    }
+    assert(got.keySet == exact.keySet)
+  }
+
   test("refreshAggregate recovers state stranded by a crash between the swap renames") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft-refresh-crash").toString + "/rollup.parquet"
