@@ -108,6 +108,30 @@ class TDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("property: quantiles are monotone in p and bounded by [min, max] on any shape") {
+    val shapes: Seq[(String, scala.util.Random => Double)] = Seq(
+      ("uniform", r => r.nextDouble() * 100),
+      ("gaussian", r => r.nextGaussian() * 5 + 10),
+      ("lognormal", r => math.exp(r.nextGaussian())),
+      ("bimodal", r => if (r.nextBoolean()) r.nextGaussian() else r.nextGaussian() + 1000),
+      ("constant", _ => 7.0),
+      ("two-point", r => if (r.nextInt(10) == 0) 1e9 else 0.0)
+    )
+    val probs = (0 to 20).map(_ / 20.0)
+    for (((name, draw), seedOff) <- shapes.zipWithIndex; n <- Seq(5, 1000, 30000)) {
+      val rnd = new scala.util.Random(100 + seedOff)
+      val xs = Array.fill(n)(draw(rnd))
+      val d = new TDigest(300.0)
+      xs.foreach(d.add(_))
+      val qs = probs.map(d.quantile)
+      qs.sliding(2).foreach { case Seq(a, b) =>
+        assert(a <= b, s"$name n=$n: quantiles must be monotone ($a > $b)")
+      }
+      assert(qs.head >= xs.min && qs.last <= xs.max, s"$name n=$n: out of range")
+      assert(d.quantile(0.0) == xs.min && d.quantile(1.0) == xs.max, s"$name n=$n: extremes")
+    }
+  }
+
   test("graft_tdigest is callable from SQL and casts integer inputs") {
     GraftFunctions.register(spark)
     import spark.implicits._
