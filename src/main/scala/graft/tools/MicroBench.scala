@@ -115,6 +115,44 @@ object MicroBench {
     println(
       f"[micro] speedup dot=${a / b}%.1fx minhash=${c / d}%.1fx simhash=${g / h}%.1fx l2=${i2 / j2}%.1fx shingles=${k1 / k2}%.1fx"
     )
+
+    // Quantiles at UNBOUNDED value cardinality (every row distinct):
+    // the regime where the exact histogram trick degrades to a
+    // full sort and a mergeable sketch is the only O(state) plan.
+    val vals = spark
+      .range(0, 20000000)
+      .select(
+        (col("id") % 8).cast("string").as("g"),
+        (sin(col("id").cast("double")) * 1e9).as("v")
+      )
+      .persist()
+    vals.count()
+    val s1 = time("quantile: exact sort")(
+      vals
+        .withColumn(
+          "rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+          )
+        )
+        .withColumn(
+          "cnt",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+        )
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("g"), col("v"))
+        .collect()
+    )
+    val s2 = time("quantile: approx_percentile")(
+      vals.groupBy(col("g")).agg(percentile_approx(col("v"), lit(0.5), lit(10000))).collect()
+    )
+    val s3 = time("quantile: graft_tdigest")(
+      vals
+        .groupBy(col("g"))
+        .agg(graft.functions.GraftFunctions.graft_tdigest(col("v"), Seq(0.5)))
+        .collect()
+    )
+    println(f"[micro] quantile speedup vs sort: approx=${s1 / s2}%.1fx tdigest=${s1 / s3}%.1fx")
     spark.stop()
   }
 }
