@@ -148,13 +148,23 @@ object GraftFunctions {
     * accept both.
     */
   private[functions] val buildTDigest: Seq[Expression] => Expression = { exprs =>
-    def asDouble(e: Expression): Double = e.eval() match {
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case n: Number                             => n.doubleValue()
-      case other =>
+    if (exprs.length < 3)
+      throw new IllegalArgumentException(
+        s"graft_tdigest(value, compression, p1[, p2, …]) needs at least 3 arguments, got ${exprs.length}"
+      )
+    def asDouble(e: Expression): Double = {
+      if (!e.foldable)
         throw new IllegalArgumentException(
-          s"graft_tdigest expects numeric literals, got $other"
+          s"graft_tdigest compression/probabilities must be literals, got ${e.sql}"
         )
+      e.eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number                             => n.doubleValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_tdigest expects numeric literals, got $other"
+          )
+      }
     }
     TDigestAgg(
       org.apache.spark.sql.catalyst.expressions.Cast(

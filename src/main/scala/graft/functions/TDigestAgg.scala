@@ -33,12 +33,24 @@ final class TDigest(val compression: Double) extends Serializable {
   private[functions] var lo: Double = Double.PositiveInfinity
   private[functions] var hi: Double = Double.NegativeInfinity
 
-  private var tmpM = new Array[Double](TDigest.TmpCap)
-  private var tmpW = new Array[Double](TDigest.TmpCap)
+  // Unmerged buffer grows geometrically to TmpCap: a fresh buffer costs
+  // ~1 KB, not 32 KB — per-group in-memory state must stay near the
+  // serialized size or a high-cardinality groupBy pays 16× for nothing.
+  private var tmpM = new Array[Double](TDigest.TmpInit)
+  private var tmpW = new Array[Double](TDigest.TmpInit)
   private var tmpN = 0
 
   def add(v: Double, w: Double = 1.0): Unit = {
-    if (tmpN == tmpM.length) compress()
+    // NaN never sorts or compares; folding one into a centroid mean
+    // would silently poison every estimate for the group — drop it,
+    // matching the null-input treatment.
+    if (java.lang.Double.isNaN(v)) return
+    if (tmpN == tmpM.length) {
+      if (tmpM.length < TDigest.TmpCap) {
+        tmpM = java.util.Arrays.copyOf(tmpM, tmpM.length * 2)
+        tmpW = java.util.Arrays.copyOf(tmpW, tmpW.length * 2)
+      } else compress()
+    }
     tmpM(tmpN) = v
     tmpW(tmpN) = w
     tmpN += 1
@@ -167,9 +179,11 @@ final class TDigest(val compression: Double) extends Serializable {
 
 object TDigest {
 
-  /** Unmerged-buffer capacity: large enough to amortize the sort,
-    * small enough to keep per-group update state bounded.
+  /** Unmerged-buffer start size and cap: the buffer doubles from
+    * TmpInit up to TmpCap, so tiny groups stay ~1 KB while big groups
+    * still amortize the compress sort.
     */
+  val TmpInit = 64
   val TmpCap = 2048
 
   val DefaultCompression = 300.0

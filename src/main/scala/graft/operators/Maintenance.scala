@@ -259,17 +259,26 @@ object Maintenance {
       appliedId: Option[Long] = None,
       lgConfigK: Int = 12
   ): DataFrame = {
+    require(
+      !keys.exists(Set("sk", "n")),
+      "refreshCardinality reserves the state column names 'sk' and 'n'"
+    )
+    // call_function, not expr(s"..."): column names with spaces/dashes
+    // must not go through the SQL parser.
     val partial = batch
       .groupBy(keys.map(col): _*)
       .agg(
-        expr(s"hll_sketch_agg($distinctCol, $lgConfigK)").as("sk"),
+        call_function("hll_sketch_agg", col(distinctCol), lit(lgConfigK)).as("sk"),
         count(lit(1)).as("n")
       )
     foldState(spark, statePath, appliedId, partial) { (old, p) =>
       old
         .unionByName(p)
         .groupBy(keys.map(col): _*)
-        .agg(expr("hll_union_agg(sk, true)").as("sk"), sum(col("n")).as("n"))
+        .agg(
+          call_function("hll_union_agg", col("sk"), lit(true)).as("sk"),
+          sum(col("n")).as("n")
+        )
     }
   }
 
@@ -280,7 +289,8 @@ object Maintenance {
     val state = spark.read.parquet(statePath)
     val keys = state.columns.filterNot(Set("sk", "n"))
     state.select(
-      keys.map(col) :+ expr("hll_sketch_estimate(sk)").as("estimate") :+ col("n"): _*
+      keys.map(col) :+
+        call_function("hll_sketch_estimate", col("sk")).as("estimate") :+ col("n"): _*
     )
   }
 

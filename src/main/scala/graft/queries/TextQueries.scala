@@ -1162,7 +1162,24 @@ object TextQueries {
     // replay of an applied batch — exactly-once means this is a no-op
     graft.operators.Maintenance
       .refreshCardinality(spark, odd, Seq("lang"), "token", statePath, Some(2L))
-    val est = graft.operators.Maintenance.cardinalityEstimates(spark, statePath)
+    // The estimate table is ONE ROW PER LANGUAGE (bounded, like the
+    // per-file stats index) — materialize it and drop the scratch
+    // state dir now, instead of leaking a /tmp dir per invocation and
+    // handing consumers a lazy plan over deleted files. (The demo
+    // query pins state to a driver-local tmp path because the driver
+    // contract runs local[*]; the Maintenance API itself takes any
+    // Hadoop-FS path — a cluster deployment passes a shared one.)
+    val estRows = graft.operators.Maintenance
+      .cardinalityEstimates(spark, statePath)
+      .select(col("lang"), col("estimate"), col("n"))
+      .collect()
+      .toIndexedSeq
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(java.nio.file.Paths.get(statePath).getParent.toFile)
+    val est = {
+      import spark.implicits._
+      estRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toDF("lang", "estimate", "n")
+    }
     val exact = inst
       .groupBy(col("lang"))
       .agg(countDistinct(col("token")).as("n_tokens"))

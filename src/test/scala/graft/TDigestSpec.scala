@@ -12,9 +12,6 @@ class TDigestSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
-  private def exactQuantile(sorted: Array[Double], p: Double): Double =
-    sorted(math.min(sorted.length - 1, math.max(0, math.ceil(p * sorted.length).toInt - 1)))
-
   test("single-pass digest tracks exact quantiles within 1% of rank") {
     val rnd = new scala.util.Random(42)
     val xs = Array.fill(50000)(rnd.nextDouble() * 1000.0)
@@ -81,6 +78,14 @@ class TDigestSpec extends AnyFunSuite {
     Seq(1.0, 2.0, 3.0).foreach(few.add(_))
     assert(few.quantile(0.0) == 1.0)
     assert(few.quantile(1.0) == 3.0)
+  }
+
+  test("NaN inputs are dropped, not folded into centroids") {
+    val d = new TDigest(300.0)
+    Seq(1.0, Double.NaN, 2.0, 3.0, Double.NaN).foreach(d.add(_))
+    assert(d.totalWeight == 3.0)
+    assert(d.quantile(0.0) == 1.0 && d.quantile(1.0) == 3.0)
+    assert(!d.quantile(0.5).isNaN)
   }
 
   test("graft_tdigest in a grouped agg is partition-layout invariant within bounds") {
