@@ -108,7 +108,8 @@ object SparkEntry {
     "q86_curation" -> (TextQueries.q86Curation _),
     "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _),
     "q88_sketch_quantiles" -> (CoreQueries.q88SketchQuantiles _),
-    "q89_incremental_distinct" -> (TextQueries.q89IncrementalDistinct _)
+    "q89_incremental_distinct" -> (TextQueries.q89IncrementalDistinct _),
+    "q90_multimodal_curation" -> (MultimodalQueries.q90MultimodalCuration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -919,6 +920,29 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q90_multimodal_curation" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    md5(text) AS h FROM documents),
+        |dec AS (SELECT asset_id, media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'w')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS width,
+        |    CAST(16 + CAST(concat('0x', substr(md5(concat(h, 'h')), 1, 7)) AS BIGINT) % 1024 AS INTEGER) AS height,
+        |    md5(substring(text, 1, 64)) AS patch0
+        |  FROM a),
+        |surv AS (SELECT * FROM dec WHERE width >= 32 AND height >= 32 AND byte_len >= 200),
+        |keep AS (SELECT patch0, min_by(media_type, asset_id) AS ktype, min_by(byte_len, asset_id) AS kbytes
+        |  FROM surv GROUP BY patch0),
+        |tot AS (SELECT media_type, count(*) AS n_total FROM dec GROUP BY 1),
+        |q AS (SELECT media_type, count(*) AS n_quality FROM surv GROUP BY 1),
+        |k AS (SELECT ktype AS media_type, count(*) AS n_kept, CAST(sum(kbytes) AS BIGINT) AS kept_bytes
+        |  FROM keep GROUP BY 1)
+        |SELECT t.media_type, t.n_total,
+        |  coalesce(q.n_quality, CAST(0 AS BIGINT)) AS n_quality,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  coalesce(k.kept_bytes, CAST(0 AS BIGINT)) AS kept_bytes
+        |FROM tot t LEFT JOIN q ON t.media_type = q.media_type
+        |LEFT JOIN k ON t.media_type = k.media_type""".stripMargin,
     "q89_incremental_distinct" ->
       """WITH inst AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
         |  FROM documents)

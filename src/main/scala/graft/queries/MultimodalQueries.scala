@@ -59,6 +59,46 @@ object MultimodalQueries {
     )
   }
 
+  /** End-to-end multimodal curation — the q86 composition for opaque
+    * media blobs: decode (stub codec) → quality gate on decoded
+    * dimensions and payload size → exact dedup on the leading byte
+    * patch fingerprint (min-asset_id representative, q17's rule) →
+    * per-media-type report. One scan feeds every stage (decode keeps
+    * the payload, so the patch hash rides the same projection); the
+    * only shuffles are the fingerprint groupBy and three tiny keyed
+    * counts. Dedup is cross-media-type on purpose: a shared byte
+    * prefix is the same leading content whatever the container says.
+    */
+  def q90MultimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val dec = Multimodal
+      .decode(assets(spark, dir))
+      .withColumn("patch0_md5", md5(substring(col("payload"), 1, 64)))
+    val survivors = dec.filter(
+      col("width") >= 32 && col("height") >= 32 && col("byte_len") >= 200
+    )
+    val keepers = survivors
+      .groupBy(col("patch0_md5"))
+      .agg(
+        min_by(col("media_type"), col("asset_id")).as("ktype"),
+        min_by(col("byte_len"), col("asset_id")).as("kbytes")
+      )
+    val total = dec.groupBy(col("media_type")).agg(count(lit(1)).as("n_total"))
+    val quality = survivors.groupBy(col("media_type")).agg(count(lit(1)).as("n_quality"))
+    val kept = keepers
+      .groupBy(col("ktype").as("media_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("kbytes")).as("kept_bytes"))
+    total
+      .join(quality, Seq("media_type"), "left")
+      .join(kept, Seq("media_type"), "left")
+      .select(
+        col("media_type"),
+        col("n_total"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_bytes"), lit(0L)).as("kept_bytes")
+      )
+  }
+
   /** Feature extraction + resize over the decoded assets. */
   def q28MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val dec = Multimodal.resize(Multimodal.features(Multimodal.decode(assets(spark, dir))))
