@@ -317,6 +317,42 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming distinct-cardinality telemetry: each arriving documents
+    * file folds its per-language token sketches into the persistent
+    * [[graft.operators.Maintenance.refreshCardinality]] HLL state,
+    * keyed by the streaming batchId as the applied-id — so the
+    * foreachBatch at-least-once contract composes with the fold's
+    * marker into exactly-once: a replayed batch (restart before the
+    * checkpoint commit) no-ops instead of inflating the row counter,
+    * and the sketch union is idempotent by algebra besides. The state
+    * answers "distinct tokens ever seen per language" at any moment
+    * for a few KB per key — corpus-growth telemetry that would
+    * otherwise need a full rescan per refresh.
+    */
+  def cardinalityIngest(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      docsSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docsSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val inst = batch.select(
+          col("lang"),
+          explode(split(col("text"), "\\s+")).as("token")
+        )
+        graft.operators.Maintenance
+          .refreshCardinality(spark, inst, Seq("lang"), "token", statePath, Some(batchId))
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
     * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])
     * and appends detected near-dup pairs to a telemetry sink before the

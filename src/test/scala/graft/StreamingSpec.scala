@@ -374,6 +374,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")), s"got $rows")
   }
 
+  test("streaming cardinality ingest: sketch state tracks distinct tokens exactly-once") {
+    val root = Files.createTempDirectory("graft-card-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    val docsSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)
+      )
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      """{"doc_id":1,"lang":"en","text":"a b c"}
+        |{"doc_id":2,"lang":"de","text":"x y"}""".stripMargin
+    )
+    val state = s"$root/card.parquet"
+    StreamingPipeline
+      .cardinalityIngest(spark, raw, state, s"$root/ckpt", docsSchema)
+      .awaitTermination(60000)
+    // second file overlaps en's vocabulary and adds one new token
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      """{"doc_id":3,"lang":"en","text":"b c d"}""".stripMargin
+    )
+    StreamingPipeline
+      .cardinalityIngest(spark, raw, state, s"$root/ckpt", docsSchema)
+      .awaitTermination(60000)
+    // restart with NO new files: replay window must not inflate anything
+    StreamingPipeline
+      .cardinalityIngest(spark, raw, state, s"$root/ckpt", docsSchema)
+      .awaitTermination(60000)
+    val got = graft.operators.Maintenance
+      .cardinalityEstimates(spark, state)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // at this size the HLL is in exact coupon mode: estimates are exact
+    assert(got == Map("en" -> (4L, 6L), "de" -> (2L, 2L)), s"got $got")
+  }
+
   test("streaming near-dup ingest flags cross-file near-dups via the persistent index") {
     val root = Files.createTempDirectory("graft-neardup-stream").toString
     val raw = s"$root/raw"
