@@ -109,7 +109,9 @@ object SparkEntry {
     "q87_dup_span_cross" -> (TextQueries.q87DupSpanCross _),
     "q88_sketch_quantiles" -> (CoreQueries.q88SketchQuantiles _),
     "q89_incremental_distinct" -> (TextQueries.q89IncrementalDistinct _),
-    "q90_multimodal_curation" -> (MultimodalQueries.q90MultimodalCuration _)
+    "q90_multimodal_curation" -> (MultimodalQueries.q90MultimodalCuration _),
+    "q91_mad_outliers" -> (CoreQueries.q91MadOutliers _),
+    "q92_collocations" -> (TextQueries.q92Collocations _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -920,6 +922,38 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q92_collocations" ->
+      """WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM tk WHERE len(t) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |u1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |u2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM bg)
+        |SELECT b.w1, b.w2, b.c12, u1.c1, u2.c2,
+        |  CAST(b.c12 * t.nn AS DOUBLE) / (u1.c1 * u2.c2) AS lift
+        |FROM big b JOIN u1 USING (w1) JOIN u2 USING (w2), tot t
+        |WHERE b.c12 >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q91_mad_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |m1 AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        |med AS (SELECT event_type, min(CASE WHEN rn = (cnt + 1) // 2 THEN c END) AS med
+        |  FROM m1 GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.c, med.med, abs(e.c - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |m2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |mad AS (SELECT event_type, min(CASE WHEN rn = (cnt + 1) // 2 THEN dev END) AS mad
+        |  FROM m2 GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(d.med) AS med_cents, max(mad.mad) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
     "q90_multimodal_curation" ->
       """WITH a AS (SELECT doc_id AS asset_id, text,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -928,6 +928,65 @@ object CoreQueries {
       )
   }
 
+  /** Exact per-group median of `valCol` via the q46/q73 value-histogram
+    * rank arithmetic: the window runs over the (group, value) histogram
+    * (#distinct values rows), never over raw rows partitioned by a
+    * low-cardinality key.
+    */
+  private def exactMedianOf(df: DataFrame, group: String, valCol: String, as: String): DataFrame = {
+    val hist = df.groupBy(col(group), col(valCol)).agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy(col(group))
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(group))))
+      .groupBy(col(group))
+      .agg(
+        min(
+          when(
+            col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+              expr("(n + 1) div 2") <= col("cum"),
+            col(valCol)
+          )
+        ).as(as)
+      )
+  }
+
+  /** Robust outliers via MEDIAN ABSOLUTE DEVIATION — the q65 z-score's
+    * robust twin: mean/std are themselves dragged by the outliers they
+    * hunt, while median and MAD are 50 %-breakdown estimators. Exact
+    * integer-cents arithmetic throughout (no doubles anywhere): the
+    * histogram-median machinery runs twice (values, then absolute
+    * deviations), each a #distinct-values histogram — so the usual
+    * "exact median needs a sort" cost never appears, and the two
+    * 5-row median tables come back by broadcast. Cut: dev > 3·MAD.
+    */
+  def q91MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).cast("long").as("c"))
+    val med = exactMedianOf(e, "event_type", "c", "med")
+    val d = e
+      .join(med, "event_type")
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = exactMedianOf(
+      d.select(col("event_type"), col("dev")),
+      "event_type",
+      "dev",
+      "mad"
+    )
+    d.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers")
+      )
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

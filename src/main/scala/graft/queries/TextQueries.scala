@@ -763,6 +763,49 @@ object TextQueries {
       .select("w1", "w2", "c12", "c1", "p_cond")
   }
 
+  /** Collocation extraction by PMI-style LIFT — the corpus-linguistics
+    * companion to q74's conditional bigram LM: score each bigram by
+    * `c12·N / (c1·c2)` (observed over expected-under-independence) and
+    * keep the top 25 above a minimum count. The classic log-PMI is a
+    * monotone transform of lift, so the RANKING is identical while the
+    * score stays one exact-integer-product division (libm `ln` differs
+    * in last-ulp across engines — q41/q82's reasoning). All products
+    * stay far below 2^63 at any realistic vocabulary. Plan: the q74
+    * bigram explode, three keyed counts, a 1-row broadcast total, and
+    * a TakeOrderedAndProject top-k — never a global sort.
+    */
+  def q92Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("bg.w1"), col("bg.w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val u1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val u2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = bigrams.agg(count(lit(1)).as("nn"))
+    big
+      .join(u1, Seq("w1"))
+      .join(u2, Seq("w2"))
+      .crossJoin(tot)
+      .filter(col("c12") >= 5)
+      .withColumn(
+        "lift",
+        (col("c12") * col("nn")).cast("double") / (col("c1") * col("c2"))
+      )
+      .select("w1", "w2", "c12", "c1", "c2", "lift")
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
   /** Per-language deduplication report over the q21 near-dup pair
     * graph: document counts, pair counts (attributed to doc_a's
     * language), distinct documents involved in any pair, and the dup
