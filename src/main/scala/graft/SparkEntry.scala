@@ -111,7 +111,8 @@ object SparkEntry {
     "q89_incremental_distinct" -> (TextQueries.q89IncrementalDistinct _),
     "q90_multimodal_curation" -> (MultimodalQueries.q90MultimodalCuration _),
     "q91_mad_outliers" -> (CoreQueries.q91MadOutliers _),
-    "q92_collocations" -> (TextQueries.q92Collocations _)
+    "q92_collocations" -> (TextQueries.q92Collocations _),
+    "q93_containment" -> (TextQueries.q93Containment _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -922,6 +923,22 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q93_containment" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh
+        |  WHERE len(sh_ints) >= 5)
+        |SELECT a.doc_id AS contained, b.doc_id AS container,
+        |  a.n_sh AS n_sh_contained, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / a.n_sh AS containment
+        |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / a.n_sh >= 0.6""".stripMargin,
     "q92_collocations" ->
       """WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
         |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM tk WHERE len(t) >= 2),

@@ -361,6 +361,38 @@ object TextQueries {
       nearDupPairs(spark, dir).localCheckpoint()
     )
 
+  /** Asymmetric CONTAINMENT (|A∩B| / |A|, directed) — the dedup-family
+    * member symmetric Jaccard cannot replace: a short document quoted
+    * wholesale inside a much longer one scores near-zero Jaccard (the
+    * union is dominated by the long side) but containment ≈ 1 in the
+    * contained direction. The quote/subset/boilerplate-extraction
+    * signal for corpus curation. Same inverted-shingle-index shape as
+    * q21 (one shuffle on the shingle key), directed pairs instead of
+    * ordered ones; tiny shingle sets are floored out (n_sh ≥ 5) so a
+    * 3-shingle doc can't be "80 % contained" by chance. The q21 df-cap
+    * escalation applies unchanged at corpus scale.
+    */
+  def q93Containment(spark: SparkSession, dir: String): DataFrame = {
+    val inv = shingleTable(spark, dir)
+      .filter(col("n_sh") >= 5)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
+    val a = inv.select(col("doc_id").as("contained"), col("n_sh").as("n_a"), col("shingle"))
+    val b = inv.select(col("doc_id").as("container"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("contained") =!= col("container"))
+      .groupBy(col("contained"), col("container"), col("n_a"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment", col("n_shared").cast("double") / col("n_a"))
+      .filter(col("containment") >= 0.6)
+      .select(
+        col("contained"),
+        col("container"),
+        col("n_a").as("n_sh_contained"),
+        col("n_shared"),
+        col("containment")
+      )
+  }
+
   /** MinHash signatures (16 universal-hash functions over 28-bit shingle
     * hashes) + banded LSH (4 bands × 4 rows) + exact-Jaccard
     * verification of band-collision candidates.
