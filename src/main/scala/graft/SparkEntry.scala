@@ -934,7 +934,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh
         |  WHERE len(sh_ints) >= 5)
         |SELECT a.doc_id AS contained, b.doc_id AS container,
-        |  a.n_sh AS n_sh_contained, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(a.n_sh AS INTEGER) AS n_sh_contained, CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(count(*) AS DOUBLE) / a.n_sh AS containment
         |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh
@@ -943,11 +943,11 @@ object SparkEntry {
       """WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
         |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM tk WHERE len(t) >= 2),
         |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |u1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-        |u2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
-        |tot AS (SELECT count(*) AS nn FROM bg)
+        |u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |u2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM big)
         |SELECT b.w1, b.w2, b.c12, u1.c1, u2.c2,
-        |  CAST(b.c12 * t.nn AS DOUBLE) / (u1.c1 * u2.c2) AS lift
+        |  CAST(b.c12 AS DOUBLE) * t.nn / (CAST(u1.c1 AS DOUBLE) * u2.c2) AS lift
         |FROM big b JOIN u1 USING (w1) JOIN u2 USING (w2), tot t
         |WHERE b.c12 >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
@@ -991,7 +991,8 @@ object SparkEntry {
         |SELECT t.media_type, t.n_total,
         |  coalesce(q.n_quality, CAST(0 AS BIGINT)) AS n_quality,
         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-        |  coalesce(k.kept_bytes, CAST(0 AS BIGINT)) AS kept_bytes
+        |  coalesce(k.kept_bytes, CAST(0 AS BIGINT)) AS kept_bytes,
+        |  (SELECT bool_and(octet_length(CAST(text AS BLOB)) = length(text)) FROM documents) AS ascii_ok
         |FROM tot t LEFT JOIN q ON t.media_type = q.media_type
         |LEFT JOIN k ON t.media_type = k.media_type""".stripMargin,
     "q89_incremental_distinct" ->

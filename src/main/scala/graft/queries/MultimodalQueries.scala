@@ -73,6 +73,17 @@ object MultimodalQueries {
     val dec = Multimodal
       .decode(assets(spark, dir))
       .withColumn("patch0_md5", md5(substring(col("payload"), 1, 64)))
+    // Same VARCHAR-slice-vs-byte-slice dependence as q67: the oracle
+    // slices text characters, Spark slices payload bytes — identical
+    // only for ASCII. Carry the precondition in-band (q67's rule) so a
+    // non-ASCII corpus fails on an explicit flag, not a hash mismatch.
+    val asciiOk = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .agg(
+        bool_and(
+          length(encode(col("text"), "UTF-8")) === length(col("text"))
+        ).as("ascii_ok")
+      )
     val survivors = dec.filter(
       col("width") >= 32 && col("height") >= 32 && col("byte_len") >= 200
     )
@@ -90,12 +101,14 @@ object MultimodalQueries {
     total
       .join(quality, Seq("media_type"), "left")
       .join(kept, Seq("media_type"), "left")
+      .crossJoin(asciiOk)
       .select(
         col("media_type"),
         col("n_total"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_bytes"), lit(0L)).as("kept_bytes")
+        coalesce(col("kept_bytes"), lit(0L)).as("kept_bytes"),
+        col("ascii_ok")
       )
   }
 

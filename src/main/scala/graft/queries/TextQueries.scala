@@ -772,9 +772,14 @@ object TextQueries {
     * division has exact integer operands — bit-identical cross-engine.
     * `c12 >= 3` bounds the output to repeated bigrams.
     */
-  def q74BigramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Bigram pair counts (w1, w2, c12) — ONE corpus explode; every
+    * marginal a consumer needs (left/right unigram totals, the grand
+    * total) is a rollup of this table, never a re-explode. Shared by
+    * q74 and q92.
+    */
+  private def bigramCounts(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val bigrams = docs(spark, dir)
+    docs(spark, dir)
       .filter(size(toks) >= 2)
       .select(
         explode(
@@ -786,8 +791,15 @@ object TextQueries {
         ).as("bg")
       )
       .select(col("bg.w1"), col("bg.w2"))
-    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+  }
+
+  def q74BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val big = bigramCounts(spark, dir)
+    // c1 = Σ_w2 c12: a rollup of `big`, so the corpus explode runs once
+    // and Catalyst reuses big's exchange for the rollup.
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     big
       .join(uni, Seq("w1"))
       .filter(col("c12") >= 3)
@@ -800,30 +812,20 @@ object TextQueries {
     * `c12·N / (c1·c2)` (observed over expected-under-independence) and
     * keep the top 25 above a minimum count. The classic log-PMI is a
     * monotone transform of lift, so the RANKING is identical while the
-    * score stays one exact-integer-product division (libm `ln` differs
-    * in last-ulp across engines — q41/q82's reasoning). All products
-    * stay far below 2^63 at any realistic vocabulary. Plan: the q74
-    * bigram explode, three keyed counts, a 1-row broadcast total, and
-    * a TakeOrderedAndProject top-k — never a global sort.
+    * score stays a double-space product ratio mirrored op-for-op by
+    * the oracle (libm `ln` differs in last-ulp across engines —
+    * q41/q82's reasoning; the products are computed in DOUBLE because
+    * at corpus scale `c1·c2` of a frequent pair overflows int64, where
+    * Spark wraps silently and DuckDB errors — counts below 2^53 make
+    * the double products exact anyway). Plan: ONE bigram explode —
+    * both marginals and the grand total are rollups of the pair-count
+    * table — then a TakeOrderedAndProject top-k, never a global sort.
     */
   def q92Collocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = docs(spark, dir)
-      .filter(size(toks) >= 2)
-      .select(
-        explode(
-          zip_with(
-            slice(toks, lit(1), size(toks) - 1),
-            slice(toks, lit(2), size(toks) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2"))
-          )
-        ).as("bg")
-      )
-      .select(col("bg.w1"), col("bg.w2"))
-    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val u1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val u2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val tot = bigrams.agg(count(lit(1)).as("nn"))
+    val big = bigramCounts(spark, dir)
+    val u1 = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val u2 = big.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = big.agg(sum(col("c12")).as("nn"))
     big
       .join(u1, Seq("w1"))
       .join(u2, Seq("w2"))
@@ -831,7 +833,7 @@ object TextQueries {
       .filter(col("c12") >= 5)
       .withColumn(
         "lift",
-        (col("c12") * col("nn")).cast("double") / (col("c1") * col("c2"))
+        col("c12").cast("double") * col("nn") / (col("c1").cast("double") * col("c2"))
       )
       .select("w1", "w2", "c12", "c1", "c2", "lift")
       .orderBy(col("lift").desc, col("w1"), col("w2"))

@@ -31,9 +31,12 @@ object StressCorpus {
           " "
         ).as("text"),
         col("lang"),
-        col("source"),
-        col("n_chars")
+        col("source")
       )
+      // n_chars must describe the REWRITTEN text, or every
+      // length-dependent gate in the stress run exercises the wrong
+      // selectivity.
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write
       .mode("overwrite")
       .parquet(s"$out/documents.parquet")
