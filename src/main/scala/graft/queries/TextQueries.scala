@@ -791,6 +791,11 @@ object TextQueries {
         ).as("bg")
       )
       .select(col("bg.w1"), col("bg.w2"))
+      // Explicit on BOTH keys so every downstream join branch pushes
+      // the SAME filters here and the exchanges canonicalize equal —
+      // otherwise each marginal join re-explodes the corpus (q87's
+      // lesson). Split tokens are never null; this is plan hygiene.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
   }

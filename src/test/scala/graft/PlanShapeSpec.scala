@@ -114,6 +114,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), s"tdigest must ObjectHashAggregate:\n$plan")
   }
 
+  test("q74/q92: bigram marginals are rollups — exactly one corpus explode each") {
+    // The marginals sit ABOVE the pair-count exchange, so ReuseExchange
+    // dedupes every consumer onto one explode. AQE applies that reuse
+    // at runtime; disable it here so the static rule makes the
+    // property visible in the plan string.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (
+        (name, df) <- Seq(
+          "q74" -> queries.TextQueries.q74BigramLm(spark, sf),
+          "q92" -> queries.TextQueries.q92Collocations(spark, sf)
+        )
+      ) {
+        val plan = planOf(df)
+        val explodes = "Generate explode".r.findAllIn(plan).length
+        assert(explodes == 1, s"$name: expected exactly 1 explode, got $explodes:\n$plan")
+        assert(plan.contains("ReusedExchange"), s"$name: marginals must reuse the exchange:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q60: plans as semi and anti joins, never an inner join + distinct") {
     val plan = planOf(CoreQueries.q60SemiAnti(spark, sf))
     assert(plan.contains("LeftSemi"), s"semi join expected:\n$plan")
