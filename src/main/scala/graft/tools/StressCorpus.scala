@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * (plain replication would instead grow candidate-pair volume
   * quadratically, benchmarking a 95 %-duplicate corpus nobody curates).
   *
+  * Scope: the token rewrite targets HASH-based operators (dedup,
+  * near-dup, spans, winnowing, fingerprints) — their per-shingle df
+  * and candidate structure scale honestly. It deliberately breaks
+  * token-IDENTITY-based stages (stopword/quality rules): every token
+  * is novel, so a Gopher-style gate rejects everything and an
+  * end-to-end curation "measurement" on this corpus would be
+  * meaningless. Don't use it for those.
+  *
   * Usage: runMain graft.tools.StressCorpus <srcSfDir> <outDir> [reps]
   * Then e.g.: runMain graft.Verify <outDir> /tmp/vout_stress \
   *   q17_dedup_exact,q21_ngram_jaccard,q22_minhash_lsh,...
