@@ -44,6 +44,73 @@ object Scale {
     * skew split) is needed BEFORE the 2 a.m. straggler does. One keyed
     * agg + a bounded top-k — safe at any scale.
     */
+  /** Sharded corpus EXPORT — the final stage of a curation pipeline:
+    * training jobs want shards that are stable across re-runs, roughly
+    * balanced, internally ordered, and described by a manifest the
+    * reader can trust without listing files. Two modes, because the
+    * two desirable contracts genuinely conflict:
+    *
+    *  - `"hash"` (default): `shard = pmod(xxhash64(key), n)` — a pure
+    *    function of the DATA, so the same corpus exports identical
+    *    shard contents under ANY input partitioning (spec-asserted).
+    *    Shard key-ranges overlap; readers address shards by number.
+    *  - `"range"`: `repartitionByRange` + within-shard sort — shard
+    *    key-ranges are DISJOINT and ordered (manifest min/max enable
+    *    key-pruned reads), but Spark picks bounds by SAMPLING the
+    *    input, so boundary placement is only stable for a fixed input
+    *    layout. This is the industry-standard tradeoff (every sampled
+    *    range partitioner shares it); don't use it when byte-stable
+    *    re-exports are the contract.
+    *
+    * Both sort within shards by the key and hive-partition on `shard=`
+    * so a reader prunes to its assignment. The manifest (per-shard
+    * count/min/max) is computed from what actually LANDED, not from
+    * the plan, and written next to the data. Never a global
+    * one-task sort at any size.
+    */
+  def exportShards(
+      df: DataFrame,
+      orderCol: String,
+      nShards: Int,
+      path: String,
+      mode: String = "hash"
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val withShard = mode match {
+      case "hash" =>
+        df.withColumn(
+            "shard",
+            pmod(xxhash64(col(orderCol)), lit(nShards.toLong)).cast("int")
+          )
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col(orderCol))
+      case "range" =>
+        df.repartitionByRange(nShards, col(orderCol))
+          .sortWithinPartitions(col(orderCol))
+          .withColumn(
+            "shard",
+            org.apache.spark.sql.functions.spark_partition_id()
+          )
+      case other =>
+        throw new IllegalArgumentException(s"exportShards mode must be hash|range, got $other")
+    }
+    withShard.write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    // manifest from what actually landed — not from the plan
+    val manifest = spark.read
+      .parquet(path)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(orderCol)).as("min_key"),
+        max(col(orderCol)).as("max_key")
+      )
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path.__manifest")
+    spark.read.parquet(s"$path.__manifest")
+  }
+
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(
