@@ -38,12 +38,6 @@ object Scale {
   ): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
-  /** Skew report for a join/aggregation key: per-key counts for the
-    * top-k heaviest keys plus the skew ratio (max key count ÷ mean key
-    * count). The number that tells you whether [[saltedJoin]] (or AQE's
-    * skew split) is needed BEFORE the 2 a.m. straggler does. One keyed
-    * agg + a bounded top-k — safe at any scale.
-    */
   /** Sharded corpus EXPORT — the final stage of a curation pipeline:
     * training jobs want shards that are stable across re-runs, roughly
     * balanced, internally ordered, and described by a manifest the
@@ -52,8 +46,12 @@ object Scale {
     *
     *  - `"hash"` (default): `shard = pmod(xxhash64(key), n)` — a pure
     *    function of the DATA, so the same corpus exports identical
-    *    shard contents under ANY input partitioning (spec-asserted).
-    *    Shard key-ranges overlap; readers address shards by number.
+    *    shard CONTENTS under ANY input partitioning (spec-asserted);
+    *    with a UNIQUE key the within-shard sort is total and the
+    *    export is byte-stable too (duplicate keys leave tie order
+    *    layout-dependent — use `doc_id`, not a value column, when
+    *    byte-stability is the contract). Shard key-ranges overlap;
+    *    readers address shards by number.
     *  - `"range"`: `repartitionByRange` + within-shard sort — shard
     *    key-ranges are DISJOINT and ordered (manifest min/max enable
     *    key-pruned reads), but Spark picks bounds by SAMPLING the
@@ -62,11 +60,19 @@ object Scale {
     *    range partitioner shares it); don't use it when byte-stable
     *    re-exports are the contract.
     *
-    * Both sort within shards by the key and hive-partition on `shard=`
-    * so a reader prunes to its assignment. The manifest (per-shard
-    * count/min/max) is computed from what actually LANDED, not from
-    * the plan, and written next to the data. Never a global
-    * one-task sort at any size.
+    * Both branches sort within shards by `(shard, key)` — the leading
+    * shard column satisfies the partitioned writer's required
+    * ordering, so the writer inserts NO extra sort (one sort per row,
+    * plan-guaranteed within-shard key order; sorting by the key alone
+    * would make the writer re-sort by `shard` and leave the key order
+    * to sort-stability luck). Output is hive-partitioned on `shard=`
+    * so a reader prunes to its assignment. The manifest enumerates
+    * ALL `nShards` rows — an empty shard appears with `n_rows = 0`
+    * and null min/max, so "directory missing" always means lost data,
+    * never ambiguity — is computed from what actually LANDED, and is
+    * swapped in via tmp + rename: a crash between the data write and
+    * the manifest write leaves the manifest ABSENT (detectable), not
+    * stale. Never a global one-task sort at any size.
     */
   def exportShards(
       df: DataFrame,
@@ -86,11 +92,11 @@ object Scale {
           .sortWithinPartitions(col("shard"), col(orderCol))
       case "range" =>
         df.repartitionByRange(nShards, col(orderCol))
-          .sortWithinPartitions(col(orderCol))
           .withColumn(
             "shard",
             org.apache.spark.sql.functions.spark_partition_id()
           )
+          .sortWithinPartitions(col("shard"), col(orderCol))
       case other =>
         throw new IllegalArgumentException(s"exportShards mode must be hash|range, got $other")
     }
@@ -98,8 +104,9 @@ object Scale {
       .mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
-    // manifest from what actually landed — not from the plan
-    val manifest = spark.read
+    // manifest from what actually landed — not from the plan — with
+    // every shard id present (empty shards as explicit zero rows)
+    val landed = spark.read
       .parquet(path)
       .groupBy(col("shard"))
       .agg(
@@ -107,10 +114,28 @@ object Scale {
         min(col(orderCol)).as("min_key"),
         max(col(orderCol)).as("max_key")
       )
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path.__manifest")
-    spark.read.parquet(s"$path.__manifest")
+    val manifest = spark
+      .range(0, nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(landed, Seq("shard"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+    val tmp = s"$path.__manifest_tmp"
+    val fin = s"$path.__manifest"
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(fin), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(fin)))
+      throw new java.io.IOException(s"manifest rename failed: $tmp -> $fin")
+    spark.read.parquet(fin)
   }
 
+  /** Skew report for a join/aggregation key: per-key counts for the
+    * top-k heaviest keys plus the skew ratio (max key count ÷ mean key
+    * count). The number that tells you whether [[saltedJoin]] (or AQE's
+    * skew split) is needed BEFORE the 2 a.m. straggler does. One keyed
+    * agg + a bounded top-k — safe at any scale.
+    */
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(

@@ -32,8 +32,12 @@ class ContractSpec extends AnyFunSuite {
       "lineitem", "events", "documents", "embeddings"
     )
     // every FROM/JOIN target must be a known table or a CTE defined in
-    // the same statement
-    val fromPat = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    // the same statement; the negative lookahead skips the FROM inside
+    // EXTRACT(x FROM col) / SUBSTRING(s FROM n) / TRIM(... FROM s),
+    // whose operand is immediately followed by ')' or an argument
+    // \b blocks backtracking from shortening the identifier to dodge
+    // the lookahead
+    val fromPat = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\b(?!\\s*[,)])".r
     // with or without a column list: `name AS (` / `name(a, b) AS (`
     val ctePat = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
     for ((name, sql) <- SparkEntry.oracleSql) {
