@@ -112,7 +112,8 @@ object SparkEntry {
     "q90_multimodal_curation" -> (MultimodalQueries.q90MultimodalCuration _),
     "q91_mad_outliers" -> (CoreQueries.q91MadOutliers _),
     "q92_collocations" -> (TextQueries.q92Collocations _),
-    "q93_containment" -> (TextQueries.q93Containment _)
+    "q93_containment" -> (TextQueries.q93Containment _),
+    "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -923,6 +924,17 @@ object SparkEntry {
         |       ELSE CAST(0 AS DOUBLE) END AS cross_frac,
         |  (coalesce(c.n_cross, CAST(0 AS BIGINT)) * 5 <= b.n_3grams) AS pass_cross_dup
         |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin,
+    "q94_quantile_bins" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |b AS (SELECT event_type, c, CAST((cum - 1) * 10 // n + 1 AS BIGINT) AS bin FROM s)
+        |SELECT e.event_id, e.event_type, e.c, b.bin
+        |FROM e JOIN b USING (event_type, c)""".stripMargin,
     "q93_containment" ->
       """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),

@@ -987,6 +987,36 @@ object CoreQueries {
       )
   }
 
+  /** Equi-depth quantile binning (decile discretization) — the
+    * FEATURIZATION twin of the quantile reports: every row is labeled
+    * with its per-group decile, the standard preprocessing for
+    * rank-normalized features and calibration buckets. Bin boundaries
+    * come from the same #distinct-values histogram as q46/q73 (never a
+    * per-group row sort); the (group, value) → bin map is then joined
+    * back to the rows — ties share a bin by construction, and the bin
+    * index `((cum−1)·10 div n) + 1` is pure integer arithmetic.
+    */
+  def q94QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), cents(col("value")).cast("long").as("c"))
+    val hist = e.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .select(
+        col("event_type"),
+        col("c"),
+        (expr("(cum - 1) * 10 div n") + 1).as("bin")
+      )
+    e.join(bins, Seq("event_type", "c"))
+      .select(col("event_id"), col("event_type"), col("c"), col("bin"))
+  }
+
   /** Aggregate statistics incl. distinct-count per group. */
   def q16AggStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
