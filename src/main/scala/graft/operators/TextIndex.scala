@@ -130,11 +130,18 @@ object TextIndex {
           .bm25Score(col(s"tf_$i"), col(s"df_$i"), col("dl"), col("n_docs"), col("sum_dl"))
       ).otherwise(lit(0.0))
     }
-    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-    scored
+    // orderBy+limit plans TakeOrderedAndProject — per-partition top-K
+    // heaps merged on one reducer, never a full-corpus global sort (a
+    // global row_number window would sort every scored doc on a single
+    // partition; WindowGroupLimit only pre-prunes, the final sort
+    // remains). Rank is then a window over the <=topK survivors only.
+    val top = scored
       .withColumn("bm25", total)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    top
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .select("doc_id", "bm25", "rank")
   }
 }

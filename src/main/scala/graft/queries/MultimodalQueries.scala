@@ -101,7 +101,7 @@ object MultimodalQueries {
     total
       .join(quality, Seq("media_type"), "left")
       .join(kept, Seq("media_type"), "left")
-      .crossJoin(asciiOk)
+      .crossJoin(broadcast(asciiOk))
       .select(
         col("media_type"),
         col("n_total"),

@@ -834,7 +834,7 @@ object TextQueries {
     big
       .join(u1, Seq("w1"))
       .join(u2, Seq("w2"))
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .filter(col("c12") >= 5)
       .withColumn(
         "lift",

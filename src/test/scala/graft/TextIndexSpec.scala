@@ -59,6 +59,23 @@ class TextIndexSpec extends AnyFunSuite {
     )
   }
 
+  test("search top-k plans as TakeOrderedAndProject, never a full-corpus single-partition sort") {
+    val idx = freshIndex()
+    val qe = TextIndex.search(spark, idx, Seq("spark", "table"), topK = 5).queryExecution
+    val plan = qe.executedPlan.toString
+    // The scored corpus must reach the driver through a per-partition
+    // top-k heap merge; the only remaining window sorts <=topK rows.
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k heap expected:\n$plan")
+    // Parents print before children: the rank window must sit ABOVE the
+    // TakeOrderedAndProject (its input is the <=topK survivors), never
+    // below it (which would be the old full-corpus global sort).
+    val wIdx = plan.indexOf("Window [")
+    assert(
+      wIdx >= 0 && wIdx < plan.indexOf("TakeOrderedAndProject"),
+      s"rank window must consume the limited rows:\n$plan"
+    )
+  }
+
   test("append is idempotent and newly indexed docs are searchable") {
     import spark.implicits._
     val idx = freshIndex()

@@ -78,6 +78,20 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(clusters.size == 1, s"nProbe=1 must search one cluster, got $clusters")
   }
 
+  test("per-query top-k windows get the WindowGroupLimit pushdown") {
+    val idx = freshIndex()
+    val plan = VectorIndex
+      .query(spark, vectors.filter(col("vec_id") < 3), idx, topK = 5, nProbe = 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    // `row_number over (partition by query_id) <= k` must rewrite to a
+    // group limit so map tasks keep k rows per query before the window
+    // sort — a candidate set is |probed clusters| rows deep, and the
+    // pre-shuffle prune is what bounds it at corpus scale.
+    assert(plan.contains("WindowGroupLimit"), s"group-limit pushdown expected:\n$plan")
+  }
+
   test("recall (sum of returned cosines) is monotone in nProbe") {
     val idx = freshIndex()
     val queries = vectors.filter(col("vec_id") < 3)
