@@ -113,7 +113,8 @@ object SparkEntry {
     "q91_mad_outliers" -> (CoreQueries.q91MadOutliers _),
     "q92_collocations" -> (TextQueries.q92Collocations _),
     "q93_containment" -> (TextQueries.q93Containment _),
-    "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _)
+    "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _),
+    "q95_semantic_dedup_capped" -> (VectorQueries.q95SemanticDedupCapped _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1168,6 +1169,36 @@ object SparkEntry {
         |SELECT label, pos,
         |  CAST(sum(CAST(floor(v * 1073741824) AS BIGINT)) AS DOUBLE) / (count(*) * CAST(1073741824 AS DOUBLE)) AS centroid,
         |  count(*) AS n
-        |FROM x GROUP BY label, pos""".stripMargin
+        |FROM x GROUP BY label, pos""".stripMargin,
+    "q95_semantic_dedup_capped" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |sizes AS (SELECT cluster, count(*) AS cn,
+        |    greatest(count(*) // ((count(*) + 39) // 40), 1) AS stride
+        |  FROM assigned GROUP BY cluster),
+        |ws AS (SELECT a.vec_id, a.emb, a.nrm, a.cluster, s.cn, s.stride FROM assigned a JOIN sizes s USING (cluster)),
+        |seeds AS (SELECT cluster, vec_id AS seed_id, emb AS seed_emb, nrm AS seed_nrm FROM ws
+        |  WHERE cn > 40 AND (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) % stride = 0 OR vec_id = cluster)),
+        |subbed AS (SELECT vec_id, cluster, coalesce(sub0, CAST(-2 AS BIGINT)) AS sub, emb, nrm FROM (
+        |  SELECT w.vec_id, w.cluster, w.emb, w.nrm, s.seed_id AS sub0,
+        |    row_number() OVER (PARTITION BY w.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(w.emb, s.seed_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (w.nrm * s.seed_nrm) DESC,
+        |        s.seed_id ASC) AS srn
+        |  FROM ws w LEFT JOIN seeds s ON w.cluster = s.cluster WHERE w.cn > 40) WHERE srn = 1),
+        |blocked AS (SELECT vec_id, cluster, sub, emb, nrm FROM subbed
+        |  UNION ALL SELECT vec_id, cluster, CAST(-1 AS BIGINT) AS sub, emb, nrm FROM ws WHERE cn <= 40),
+        |drops AS (SELECT DISTINCT b.vec_id FROM blocked a JOIN blocked b
+        |  ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.995)
+        |SELECT s.vec_id, s.cluster, s.sub FROM blocked s LEFT JOIN drops d ON s.vec_id = d.vec_id
+        |WHERE d.vec_id IS NULL""".stripMargin
   )
 }

@@ -86,6 +86,24 @@ object VectorIndex {
       .parquet(s"$indexPath/assignments")
   }
 
+  /** Rows per cluster — the skew observable. A probe's cost is LINEAR
+    * in the probed clusters' sizes (|queries| × cluster rows — there is
+    * no Σ cluster² path here, unlike SemDeDup pairing), but one
+    * collapsed mega-cluster still concentrates every probe that lands
+    * on it onto one partition's worth of candidates. Operators watch
+    * this histogram and escalate by rebuilding with more centroids (or
+    * sub-seeding the oversized cluster with
+    * [[graft.queries.VectorQueries.semanticBlocksOn]]'s hash-stride
+    * rule) when max(n)/median(n) drifts. One small agg over the
+    * cluster-partitioned parquet — footer-driven, no full scan of the
+    * vectors themselves.
+    */
+  def clusterStats(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read
+      .parquet(s"$indexPath/assignments")
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+
   /** Top-`topK` cosine neighbors for each `(query_id, emb)` row,
     * searching the `nProbe` nearest clusters per query. The probed
     * cluster ids are a BOUNDED set (|queries| × nProbe — queries are

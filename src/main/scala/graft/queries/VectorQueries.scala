@@ -222,20 +222,15 @@ object VectorQueries {
     * co-locate under one join key. Output: the kept vectors with their
     * cluster (the deduplicated corpus manifest).
     */
-  def q79SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cent = e
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
-    val assigned = e
-      .join(broadcast(cent), expr("true"), "cross")
-      .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cluster"),
-        first(col("emb")).as("emb"),
-        first(col("nrm")).as("nrm")
-      )
+  def q79SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOn(emb(spark, dir))
+
+  /** Uncapped SemDeDup over a `(vec_id, emb, nrm)` frame — q79's exact
+    * semantics, parameterized for ClusterGuardSpec's capped-vs-uncapped
+    * containment proof.
+    */
+  def semanticDedupOn(e: DataFrame): DataFrame = {
+    val assigned = coarseAssign(e)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     val drops = a
@@ -250,6 +245,116 @@ object VectorQueries {
       .join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
+
+  /** The q79/q26 coarse IVF assignment over a `(vec_id, emb, nrm)`
+    * frame: nearest of the deterministic centroids (vec_id % 100 == 0)
+    * by cosine, ties toward the smaller cent_id, as a `max_by` partial
+    * aggregate.
+    */
+  private def coarseAssign(e: DataFrame): DataFrame = {
+    val cent = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
+    e.join(broadcast(cent), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cluster"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+  }
+
+  /** Cluster-size guard for semantic dedup — the q21 df-cap escalation,
+    * vector edition. Within-cluster pairing is Σ cluster², so one skewed
+    * mega-cluster (embedding collapse, boilerplate) degenerates toward
+    * all-pairs. Clusters larger than `cap` are re-blocked one level
+    * down: ceil(n/cap) sub-seeds are hash-sampled from the members
+    * (`h28(vec_id) % stride == 0`, stride ≈ cap — a deterministic
+    * expected-spacing rule that needs NO per-cluster sort), the
+    * cluster's own centroid is always a seed (so the seed set cannot be
+    * empty), and members re-assign to their nearest sub-seed by cosine
+    * (the same broadcast `max_by` argmax as the coarse pass — seed
+    * volume is Σ ceil(n/cap), bounded by the caller's cap choice
+    * exactly like K is in the coarse pass). Small clusters keep
+    * `sub = -1`; the rare seedless block falls back to `sub = -2`
+    * (full within-cluster pairing, correctness before budget).
+    *
+    * Recall contract (ClusterGuardSpec): blocking only REMOVES candidate
+    * pairs, so capped drops ⊆ uncapped drops; exact-duplicate vectors
+    * have identical cosines to every seed and identical tie-breaks, so
+    * they always co-assign and exact-dup pairs are never lost. A
+    * near-identical (≥0.995) pair can split across sub-seeds near a
+    * decision boundary — the standard SemDeDup recall/budget trade.
+    *
+    * Returns `(vec_id, cluster, sub, emb, nrm)` — one row per input
+    * vector (blocking is a partition of the corpus, ClusterGuardSpec).
+    */
+  def semanticBlocksOn(e: DataFrame, cap: Int): DataFrame = {
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val assigned = coarseAssign(e)
+    // Cluster sizes, wanted sub-block count, and the hash-sampling
+    // stride — pure integer arithmetic (div, not /: no double rounding).
+    val sizes = assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_sub", expr(s"(n + ${cap - 1}) div $cap"))
+      .withColumn("stride", greatest(expr("n div n_sub"), lit(1L)))
+    val withSize = assigned.join(broadcast(sizes), Seq("cluster"))
+    val small = withSize
+      .filter(col("n") <= cap)
+      .select(col("vec_id"), col("cluster"), lit(-1L).as("sub"), col("emb"), col("nrm"))
+    val big = withSize.filter(col("n") > cap)
+    val h28 = conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10).cast("long")
+    val seeds = big
+      .filter(pmod(h28, col("stride")) === 0 || col("vec_id") === col("cluster"))
+      .select(col("cluster"), col("vec_id").as("seed_id"), col("emb").as("seed_emb"), col("nrm").as("seed_nrm"))
+    // Left join: a member with no seed row (possible only if the
+    // cluster's centroid landed elsewhere under an exact-duplicate tie
+    // AND every hash sample missed) must survive with a fallback block,
+    // never vanish through an inner join.
+    val sub = big
+      .join(broadcast(seeds), Seq("cluster"), "left")
+      .withColumn("s_cos", dot(col("emb"), col("seed_emb")) / (col("nrm") * col("seed_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("cluster")).as("cluster"),
+        max_by(col("seed_id"), struct(col("s_cos"), -col("seed_id"))).as("sub0"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+      .select(col("vec_id"), col("cluster"), coalesce(col("sub0"), lit(-2L)).as("sub"), col("emb"), col("nrm"))
+    sub.unionByName(small)
+  }
+
+  /** Semantic dedup with the cluster-size guard: q79's drop rule, but
+    * pairs are generated within `(cluster, sub)` blocks so the
+    * candidate volume is Σ block² ≲ N·cap instead of Σ cluster².
+    */
+  def semanticDedupCappedOn(e: DataFrame, cap: Int): DataFrame = {
+    val blocked = semanticBlocksOn(e, cap)
+    val a = blocked.select(col("cluster"), col("sub"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = blocked.select(col("cluster"), col("sub"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val drops = a
+      .join(b, Seq("cluster", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= 0.995
+      )
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    blocked
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("sub"))
+  }
+
+  /** q79 under a cap that splits every cluster at this corpus (~100
+    * members per cluster, cap 40 → 3 sub-blocks each) — the guarded
+    * path is oracle-checked end to end, not just spec'd on synthetic
+    * data.
+    */
+  def q95SemanticDedupCapped(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupCappedOn(emb(spark, dir), 40)
 
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of

@@ -78,6 +78,15 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(clusters.size == 1, s"nProbe=1 must search one cluster, got $clusters")
   }
 
+  test("clusterStats accounts for every indexed vector") {
+    val idx = freshIndex()
+    val stats = VectorIndex.clusterStats(spark, idx)
+    val total = stats.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == vectors.count(), "histogram must cover the whole index")
+    assert(stats.count() == spark.read.parquet(s"$idx/centroids").count(),
+      "every centroid's cluster is non-empty at this corpus")
+  }
+
   test("per-query top-k windows get the WindowGroupLimit pushdown") {
     val idx = freshIndex()
     val plan = VectorIndex
