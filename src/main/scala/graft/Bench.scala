@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional durable-feature mode (SPARK_GRAFT_FEATURES_DIR): write the
+    // shared text-feature tables to parquet once, untimed, and bench
+    // every consumer against the disk-backed read — proving the durable
+    // path at bench scale, not just in TextOpsSpec. Default mode keeps
+    // the localCheckpoint memo.
+    sys.env.get("SPARK_GRAFT_FEATURES_DIR").foreach { fdir =>
+      graft.queries.TextQueries.materializeFeatures(spark, sfDir, fdir)
+    }
     // Warmup at the smallest SF: the first execution of each plan shape
     // pays JIT + codegen compilation (measured ~4s on the first window
     // query, 0.6s steady-state) — irrelevant on a long-lived cluster,

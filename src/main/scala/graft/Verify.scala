@@ -16,6 +16,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional durable-feature mode: materialize the shared text-feature
+    // tables (shingles, token instances) to parquet under the given dir
+    // and run every consumer from the disk-backed tables — the cluster
+    // posture. Results must be hash-identical to the default
+    // localCheckpoint-memo path (proved per-round by running the driver
+    // compare in both modes).
+    sys.env.get("SPARK_GRAFT_FEATURES_DIR").foreach { fdir =>
+      queries.TextQueries.materializeFeatures(spark, sfDir, fdir)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
