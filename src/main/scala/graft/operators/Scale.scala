@@ -179,6 +179,64 @@ object Scale {
       .join(saltedRight, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** PageRank to convergence — the parameterized generalization of the
+    * fixed-2-iteration q84. `edges` must list every node as a `src`
+    * (i.e. the undirected expansion q84 builds: each pair contributes
+    * both directions), so there are no dangling nodes and the rank mass
+    * fixed point is exactly n (Σr = 0.15·n + 0.85·Σr ⇒ Σr = n, which
+    * ScaleSpec asserts).
+    *
+    * Each round is one keyed join + aggregate; contributions are
+    * integer-scaled (`floor(r/deg · 2^30)`) before the incoming sum so
+    * the result is order/partitioning-independent (q84's determinism
+    * contract). The convergence probe is a 1-row max-delta aggregate per
+    * round — a bounded action, and the per-round `localCheckpoint`
+    * truncates the growing lineage that would otherwise make round i
+    * re-execute rounds 1..i-1 (the q36 connected-components pattern; on
+    * a cluster, checkpoint to durable storage instead).
+    *
+    * Returns (ranks `(src, r)`, roundsRun, converged).
+    */
+  def pageRank(
+      edges: DataFrame,
+      maxIters: Int,
+      tol: Double,
+      damping: Double = 0.85
+  ): (DataFrame, Int, Boolean) = {
+    require(maxIters > 0 && tol >= 0.0, "maxIters must be positive, tol non-negative")
+    val s = 1073741824L // 2^30
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    def iterate(ranks: DataFrame): DataFrame =
+      e.join(ranks, Seq("src"))
+        .join(deg, Seq("src"))
+        .select(
+          col("dst"),
+          floor(col("r") / col("deg") * lit(s.toDouble)).cast("long").as("contrib")
+        )
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(
+          col("dst").as("src"),
+          (lit(1 - damping) + lit(damping) * (col("in_sum").cast("double") / lit(s.toDouble))).as("r")
+        )
+    var ranks = deg.select(col("src"), lit(1.0).as("r")).localCheckpoint()
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (rounds < maxIters && delta > tol) {
+      val next = iterate(ranks).localCheckpoint()
+      val probe = ranks
+        .join(next.select(col("src"), col("r").as("r2")), Seq("src"))
+        .agg(max(abs(col("r") - col("r2"))))
+        .collect()(0)
+      // Empty graph: the max over zero rows is null — converged trivially.
+      delta = if (probe.isNullAt(0)) 0.0 else probe.getDouble(0)
+      ranks = next
+      rounds += 1
+    }
+    (ranks, rounds, delta <= tol)
+  }
 }
 
 /** End-to-end deduplication facade over the documents shape: exact and

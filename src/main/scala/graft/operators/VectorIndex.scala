@@ -86,6 +86,77 @@ object VectorIndex {
       .parquet(s"$indexPath/assignments")
   }
 
+  /** Data-aware coarse quantizer: `iters` Lloyd rounds of k-means over
+    * `(vec_id, emb)`, then the MEDOID of each cluster — the corpus
+    * member nearest its final mean — so the result plugs straight into
+    * [[build]]'s `isCentroid` as `col("vec_id").isin(medoids: _*)`.
+    * Beats the deterministic id-rule quantizer on recall@nProbe because
+    * centroids sit where the data is (VectorIndexSpec measures both).
+    *
+    * Scale shape: each round is the q58 Lloyd step — one broadcast
+    * cross join + `min_by` partial aggregate (N×k collapses map-side),
+    * then an integer-scaled per-dimension mean (exact long sums —
+    * order-independent, so the medoid choice is deterministic across
+    * runs and partitionings). Driver state is k centroids × dim doubles
+    * per round (bounded), never a data-sized collect; the corpus is
+    * re-scanned per round from its durable source rather than pinned.
+    */
+  def kmeansMedoids(
+      spark: SparkSession,
+      vectors: DataFrame,
+      k: Int,
+      iters: Int = 2
+  ): Seq[Long] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val scale = 1048576L // 2^20: float 24-bit mantissa x 2^20 stays exact
+    val e = vectors.select(col("vec_id"), col("emb"))
+    def sqDist(a: Column, b: Column): Column =
+      graft.functions.GraftFunctions.graft_l2(a, b)
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      e.join(broadcast(cents.toDF("cent_id", "cent_emb")), expr("true"), "cross")
+        .withColumn("dist", sqDist(col("emb"), col("cent_emb")))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cluster"),
+          min_by(col("dist"), struct(col("dist"), col("cent_id"))).as("dist"),
+          first(col("emb")).as("emb")
+        )
+    var cents: Seq[(Long, Seq[Double])] = e
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("v") * scale)).cast("long").as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", col("s").cast("double") / (col("n") * lit(scale.toDouble)))
+        .groupBy(col("cluster"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))), s => s.getField("cv"))
+            .as("cent_emb")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    }
+    // Medoid: the member nearest its cluster's FINAL mean (one more
+    // assignment pass against the refreshed centroids), ties toward the
+    // smaller vec_id. One k-row collect.
+    assign(cents)
+      .groupBy(col("cluster"))
+      .agg(min_by(col("vec_id"), struct(col("dist"), col("vec_id"))).as("medoid"))
+      .select("medoid")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+      .sorted
+  }
+
   /** Rows per cluster — the skew observable. A probe's cost is LINEAR
     * in the probed clusters' sizes (|queries| × cluster rows — there is
     * no Σ cluster² path here, unlike SemDeDup pairing), but one

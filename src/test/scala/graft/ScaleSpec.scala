@@ -17,6 +17,32 @@ class ScaleSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("pageRank at 2 fixed rounds reproduces q84; with tol it converges and conserves mass") {
+    import org.apache.spark.sql.functions._
+    val pairs = queries.TextQueries.q21NgramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Consistency with the oracle-checked fixed-iteration query.
+    val (r2, rounds2, _) = Scale.pageRank(edges, maxIters = 2, tol = 0.0)
+    assert(rounds2 == 2)
+    val want = queries.TextQueries
+      .q84PageRank(spark, sf)
+      .select(col("doc_id").as("src"), col("rank_iter2").as("want"))
+    val mismatches = r2
+      .join(want, Seq("src"), "full_outer")
+      .filter(col("r").isNull || col("want").isNull || col("r") =!= col("want"))
+      .count()
+    assert(mismatches == 0, "2-round library ranks must equal q84's rank_iter2 exactly")
+    // Convergence: bounded rounds, converged flag, and the Σr = n fixed
+    // point (damping mass balance) within the integer-scaling slack.
+    val (rc, rounds, converged) = Scale.pageRank(edges, maxIters = 50, tol = 1e-7)
+    assert(converged && rounds < 50, s"expected convergence before 50 rounds, ran $rounds")
+    val row = rc.agg(count(lit(1)).cast("double"), sum(col("r"))).collect()(0)
+    val (n, mass) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(mass - n) < 1e-3 * n, s"rank mass must stay ~n: n=$n sum=$mass")
+  }
+
   test("bucketed co-located join plans without Exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

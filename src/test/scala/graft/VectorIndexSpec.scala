@@ -114,6 +114,36 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(s3 >= s1 - 1e-12, s"probing more clusters must not lose neighbors: $s1 -> $s3")
   }
 
+  test("k-means medoid quantizer: recall@10 at nProbe=1 meets or beats the id-rule seeds") {
+    val qs = vectors.filter(col("vec_id") < 5)
+    graft.functions.GraftFunctions.register(spark)
+    val e = vectors.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val q = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    val brute = broadcast(q)
+      .join(e, expr("true"), "cross")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id")
+    def recall(idx: String): Double = {
+      val approx = VectorIndex.query(spark, qs, idx, topK = 10, nProbe = 1).select("query_id", "vec_id")
+      approx.join(brute, Seq("query_id", "vec_id")).count().toDouble / brute.count()
+    }
+    val rDet = recall(freshIndex())
+    val medoids = VectorIndex.kmeansMedoids(spark, vectors, k = 5, iters = 2)
+    assert(medoids.size == 5 && medoids.distinct.size == 5, s"5 distinct medoids expected: $medoids")
+    val p = Files.createTempDirectory("graft-vecindex-km").toString + "/ivf"
+    VectorIndex.build(spark, vectors, p, isCentroid = col("vec_id").isin(medoids: _*))
+    val rMed = recall(p)
+    info(f"recall@10 nProbe=1 — id-rule seeds: $rDet%.3f, k-means medoids: $rMed%.3f")
+    assert(rMed >= rDet, f"data-aware quantizer must not lose recall: $rMed%.3f < $rDet%.3f")
+    assert(rMed > 0.3, f"medoid recall floor: $rMed%.3f")
+  }
+
   test("append assigns against frozen centroids and is idempotent on replay") {
     import spark.implicits._
     val idx = freshIndex()
