@@ -1171,9 +1171,11 @@ object SparkEntry {
         |  count(*) AS n
         |FROM x GROUP BY label, pos""".stripMargin,
     "q95_semantic_dedup_capped" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      """WITH n0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
         |  FROM embeddings),
+        |rep AS (SELECT emb, min(vec_id) AS rep_id FROM n0 GROUP BY emb),
+        |n AS (SELECT n0.vec_id, n0.emb, n0.nrm FROM n0 JOIN rep r ON n0.emb = r.emb WHERE n0.vec_id = r.rep_id),
         |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
         |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
         |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
@@ -1181,12 +1183,15 @@ object SparkEntry {
         |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
         |        c.cent_id ASC) AS arn
         |  FROM n, cent c) WHERE arn = 1),
-        |sizes AS (SELECT cluster, count(*) AS cn,
-        |    greatest(count(*) // ((count(*) + 39) // 40), 1) AS stride
+        |sizes AS (SELECT cluster, count(*) AS cn, (count(*) + 39) // 40 AS n_sub,
+        |    greatest(count(*) // ((count(*) + 39) // 40) // 4, 1) AS cand_stride
         |  FROM assigned GROUP BY cluster),
-        |ws AS (SELECT a.vec_id, a.emb, a.nrm, a.cluster, s.cn, s.stride FROM assigned a JOIN sizes s USING (cluster)),
-        |seeds AS (SELECT cluster, vec_id AS seed_id, emb AS seed_emb, nrm AS seed_nrm FROM ws
-        |  WHERE cn > 40 AND (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) % stride = 0 OR vec_id = cluster)),
+        |ws AS (SELECT a.vec_id, a.emb, a.nrm, a.cluster, s.cn, s.n_sub, s.cand_stride FROM assigned a JOIN sizes s USING (cluster)),
+        |cand AS (SELECT *, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h FROM ws
+        |  WHERE cn > 40),
+        |seeds AS (SELECT cluster, vec_id AS seed_id, emb AS seed_emb, nrm AS seed_nrm FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS srk FROM cand
+        |  WHERE h % cand_stride = 0 OR vec_id = cluster) WHERE srk <= n_sub),
         |subbed AS (SELECT vec_id, cluster, coalesce(sub0, CAST(-2 AS BIGINT)) AS sub, emb, nrm FROM (
         |  SELECT w.vec_id, w.cluster, w.emb, w.nrm, s.seed_id AS sub0,
         |    row_number() OVER (PARTITION BY w.vec_id

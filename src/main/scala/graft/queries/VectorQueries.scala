@@ -268,53 +268,107 @@ object VectorQueries {
   /** Cluster-size guard for semantic dedup — the q21 df-cap escalation,
     * vector edition. Within-cluster pairing is Σ cluster², so one skewed
     * mega-cluster (embedding collapse, boilerplate) degenerates toward
-    * all-pairs. Clusters larger than `cap` are re-blocked one level
-    * down: ceil(n/cap) sub-seeds are hash-sampled from the members
-    * (`h28(vec_id) % stride == 0`, stride ≈ cap — a deterministic
-    * expected-spacing rule that needs NO per-cluster sort), the
-    * cluster's own centroid is always a seed (so the seed set cannot be
-    * empty), and members re-assign to their nearest sub-seed by cosine
-    * (the same broadcast `max_by` argmax as the coarse pass — seed
-    * volume is Σ ceil(n/cap), bounded by the caller's cap choice
-    * exactly like K is in the coarse pass). Small clusters keep
-    * `sub = -1`; the rare seedless block falls back to `sub = -2`
-    * (full within-cluster pairing, correctness before budget).
+    * all-pairs. Two layers:
+    *
+    * 1. **Exact-duplicate pre-pass.** Identical embeddings are grouped
+    *    by the full vector value (exact — no hash-collision risk) and
+    *    reduced to their smallest-id REPRESENTATIVE before any seeding.
+    *    This is what makes the guard robust to total embedding collapse:
+    *    without it, identical vectors have cosine 1.0 to EVERY sub-seed,
+    *    every tie-break picks the same seed, and the whole mass lands in
+    *    one sub-block — Σ block² degenerates to n² exactly in the
+    *    scenario the guard exists for. With it, an n-member identical
+    *    group contributes ONE row to seeding and pairing (its members
+    *    are trivial ≥0.995 drops — cosine is exactly 1.0 — handled
+    *    directly by [[semanticDedupCappedOn]]). O(n) groupBy with
+    *    map-side combine; the join-back ships only the rep_id.
+    *
+    * 2. **Hash-sampled sub-seeding with a guaranteed seed count.**
+    *    Representative clusters larger than `cap` are re-blocked one
+    *    level down. Seed selection is two-stage so the seed COUNT is
+    *    deterministic, not merely expected: a hash-sampled candidate
+    *    pool (`h28(vec_id) % candStride == 0`, candStride sized for an
+    *    expected 4·ceil(n/cap) candidates, plus the cluster's own
+    *    centroid), then a rank window per cluster keeps exactly the
+    *    ceil(n/cap) candidates with the smallest `(h28, vec_id)`. A
+    *    bare expected-spacing rule misses ALL samples with probability
+    *    ≈ e^(−n_sub) — over 13% for a cluster that needs only a 2-way
+    *    split — leaving the centroid as the lone seed and the cluster
+    *    unsplit; the candidate window closes that hole, and it only
+    *    ever sorts the O(n/cap) candidate rows per cluster, never the
+    *    cluster itself. Members re-assign to their nearest seed by
+    *    cosine (the same `max_by` argmax as the coarse pass). Small
+    *    clusters keep `sub = -1`; the (now astronomically rare)
+    *    seedless block falls back to `sub = -2` (full within-cluster
+    *    pairing, correctness before budget).
+    *
+    * Cost honesty at 100 TB: the seed volume is Σ ceil(n/cap) — LINEAR
+    * in the distinct-embedding count, not bounded by a constant like the
+    * coarse pass's K — and the re-assignment argmax inside one oversized
+    * cluster is n·ceil(n/cap) ≈ n²/cap: still quadratic in the cluster,
+    * just a cap-fold smaller constant (the PAIRING budget after
+    * re-blocking is the N·cap bound; the re-blocking itself is the
+    * n²/cap step). Both joins are therefore keyed equi joins on
+    * `cluster` with NO forced broadcast — AQE broadcasts when the seed
+    * side is actually small and falls back to a co-located shuffle join
+    * when it isn't, so an adversarial corpus cannot OOM the driver. For
+    * clusters so large that even n²/cap is unacceptable, recurse (apply
+    * the guard again with the sub as the cluster) or train a proper
+    * quantizer ([[graft.operators.VectorIndex.kmeansMedoids]]).
     *
     * Recall contract (ClusterGuardSpec): blocking only REMOVES candidate
     * pairs, so capped drops ⊆ uncapped drops; exact-duplicate vectors
-    * have identical cosines to every seed and identical tie-breaks, so
-    * they always co-assign and exact-dup pairs are never lost. A
-    * near-identical (≥0.995) pair can split across sub-seeds near a
+    * collapse to one representative, so exact-dup pairs are never lost.
+    * A near-identical (≥0.995) pair can split across sub-seeds near a
     * decision boundary — the standard SemDeDup recall/budget trade.
     *
-    * Returns `(vec_id, cluster, sub, emb, nrm)` — one row per input
-    * vector (blocking is a partition of the corpus, ClusterGuardSpec).
+    * Returns `(vec_id, cluster, sub, emb, nrm, rep_id)` — one row per
+    * input vector (blocking is a partition of the corpus,
+    * ClusterGuardSpec); non-representatives inherit their
+    * representative's block so exact duplicates always co-assign.
     */
   def semanticBlocksOn(e: DataFrame, cap: Int): DataFrame = {
     require(cap > 1, s"cap must exceed 1, got $cap")
-    val assigned = coarseAssign(e)
-    // Cluster sizes, wanted sub-block count, and the hash-sampling
-    // stride — pure integer arithmetic (div, not /: no double rounding).
+    // Exact-dup pre-pass: representative = min vec_id per identical
+    // embedding. Grouping on the full array is exact; at corpus scale
+    // the min() partial-aggregates map-side, so even a total-collapse
+    // group costs one combiner row per input partition.
+    val reps = e.groupBy(col("emb")).agg(min(col("vec_id")).as("rep_id"))
+    val withRep = e.join(reps, Seq("emb"))
+    val repRows = withRep
+      .filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val assigned = coarseAssign(repRows)
+    // Cluster sizes (over representatives), wanted sub-block count, and
+    // the hash-sampling stride — pure integer arithmetic (div, not /:
+    // no double rounding).
     val sizes = assigned
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
       .withColumn("n_sub", expr(s"(n + ${cap - 1}) div $cap"))
-      .withColumn("stride", greatest(expr("n div n_sub"), lit(1L)))
-    val withSize = assigned.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("cand_stride", greatest(expr("n div n_sub div 4"), lit(1L)))
+    val withSize = assigned.join(sizes, Seq("cluster"))
     val small = withSize
       .filter(col("n") <= cap)
       .select(col("vec_id"), col("cluster"), lit(-1L).as("sub"), col("emb"), col("nrm"))
     val big = withSize.filter(col("n") > cap)
     val h28 = conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10).cast("long")
+    // Candidate pool (expected 4·n_sub rows per cluster) → rank window
+    // keeps exactly n_sub seeds. The window's input is the PRUNED pool,
+    // so the per-cluster sort is over O(n/cap) rows, not the cluster.
+    val wSeed = Window.partitionBy(col("cluster")).orderBy(col("__h"), col("vec_id"))
     val seeds = big
-      .filter(pmod(h28, col("stride")) === 0 || col("vec_id") === col("cluster"))
+      .withColumn("__h", h28)
+      .filter(pmod(col("__h"), col("cand_stride")) === 0 || col("vec_id") === col("cluster"))
+      .withColumn("__srk", row_number().over(wSeed))
+      .filter(col("__srk") <= col("n_sub"))
       .select(col("cluster"), col("vec_id").as("seed_id"), col("emb").as("seed_emb"), col("nrm").as("seed_nrm"))
     // Left join: a member with no seed row (possible only if the
     // cluster's centroid landed elsewhere under an exact-duplicate tie
     // AND every hash sample missed) must survive with a fallback block,
     // never vanish through an inner join.
     val sub = big
-      .join(broadcast(seeds), Seq("cluster"), "left")
+      .join(seeds, Seq("cluster"), "left")
       .withColumn("s_cos", dot(col("emb"), col("seed_emb")) / (col("nrm") * col("seed_nrm")))
       .groupBy(col("vec_id"))
       .agg(
@@ -324,17 +378,33 @@ object VectorQueries {
         first(col("nrm")).as("nrm")
       )
       .select(col("vec_id"), col("cluster"), coalesce(col("sub0"), lit(-2L)).as("sub"), col("emb"), col("nrm"))
-    sub.unionByName(small)
+    val blockedReps = sub.unionByName(small).withColumn("rep_id", col("vec_id"))
+    // Non-representatives inherit their representative's block: exact
+    // duplicates co-assign by construction (they ARE the same point).
+    val nonReps = withRep
+      .filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("rep_id"), col("emb"), col("nrm"))
+      .join(
+        blockedReps.select(col("vec_id").as("rep_id"), col("cluster"), col("sub")),
+        Seq("rep_id")
+      )
+      .select(col("vec_id"), col("cluster"), col("sub"), col("emb"), col("nrm"), col("rep_id"))
+    blockedReps.unionByName(nonReps)
   }
 
   /** Semantic dedup with the cluster-size guard: q79's drop rule, but
-    * pairs are generated within `(cluster, sub)` blocks so the
-    * candidate volume is Σ block² ≲ N·cap instead of Σ cluster².
+    * pairs are generated within `(cluster, sub)` blocks over
+    * REPRESENTATIVES only, so the candidate volume is Σ block² ≲ N·cap
+    * instead of Σ cluster² — and an identical-embedding group of any
+    * size contributes one candidate row, not n². Non-representatives
+    * drop directly: each is identical to its smaller-id representative
+    * (cosine exactly 1.0 ≥ 0.995), so the pair verdict needs no join.
     */
   def semanticDedupCappedOn(e: DataFrame, cap: Int): DataFrame = {
     val blocked = semanticBlocksOn(e, cap)
-    val a = blocked.select(col("cluster"), col("sub"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = blocked.select(col("cluster"), col("sub"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val repRows = blocked.filter(col("vec_id") === col("rep_id"))
+    val a = repRows.select(col("cluster"), col("sub"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = repRows.select(col("cluster"), col("sub"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     val drops = a
       .join(b, Seq("cluster", "sub"))
       .filter(col("id_a") < col("id_b"))
@@ -343,7 +413,9 @@ object VectorQueries {
       )
       .select(col("id_b").as("vec_id"))
       .distinct()
-    blocked
+    // Kept set = representatives minus pair drops (every
+    // non-representative is an exact dup of a smaller id and drops).
+    repRows
       .join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"), col("sub"))
   }

@@ -31,14 +31,18 @@ class ClusterGuardSpec extends AnyFunSuite {
     * within 0.15 rad of unit x, so ALL of them assign to cluster 0 —
     * one mega-cluster of ~400 vectors plus a singleton cluster. Member
     * angles are spread deterministically so some pairs clear the 0.995
-    * cosine bar (angle <= ~0.1 rad) and some don't.
+    * cosine bar (angle <= ~0.1 rad) and some don't. The modulus is
+    * PRIME (997) so member angles are pairwise distinct — the planted
+    * dupPairs are the only identical vectors, and the exact-dup
+    * pre-pass collapses exactly those (the all-identical case has its
+    * own test below).
     */
   private def corpus: DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     def vec(theta: Double): Seq[Double] =
       Seq(math.cos(theta), math.sin(theta), 0.0, 0.0)
-    def theta(i: Long): Double = 0.15 * ((i * 37) % 100) / 100.0
+    def theta(i: Long): Double = 0.15 * ((i * 37) % 997) / 997.0
     val members = (1L to 399L)
       .filterNot(_ % 100 == 0)
       .map(i => (i, vec(theta(i))))
@@ -69,21 +73,60 @@ class ClusterGuardSpec extends AnyFunSuite {
     assert(worst < 1.0, s"every oversized cluster must actually split, worst block fraction $worst")
   }
 
+  /** Candidate pairs over the rows that actually enter the pair join —
+    * representatives only, the exact input of semanticDedupCappedOn.
+    */
+  private def pairs(df: DataFrame, keys: String*): Long = df
+    .filter(col("vec_id") === col("rep_id"))
+    .groupBy(keys.map(col): _*)
+    .agg(count(lit(1)).as("n"))
+    .agg(sum(expr("n * (n - 1) div 2")))
+    .collect()(0)
+    .getLong(0)
+
   test("the candidate-pair budget drops by at least half on the mega-cluster") {
     val e = corpus
     val blocks = VectorQueries.semanticBlocksOn(e, cap)
-    def pairs(df: DataFrame, keys: String*): Long = df
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(expr("n * (n - 1) div 2")))
-      .collect()(0)
-      .getLong(0)
     val capped = pairs(blocks, "cluster", "sub")
     val uncapped = pairs(blocks, "cluster")
     assert(
       capped * 2 <= uncapped,
       s"guarded pairing must at least halve the budget: $capped vs $uncapped"
     )
+  }
+
+  test("total embedding collapse: identical vectors reduce to one representative, not one n² block") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // The adversarial case the guard exists for: a mega-cluster whose
+    // vectors are IDENTICAL. Cosine to every sub-seed is 1.0, every
+    // tie-break picks the same seed — without the exact-dup pre-pass the
+    // whole mass lands in ONE sub-block and Σ block² is n² again.
+    val collapsed = (0L to 399L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0)))
+    val other = Seq((100L, Seq(0.0, 1.0, 0.0, 0.0))) // second centroid, distinct
+    val e = (collapsed.filterNot(_._1 == 100L) ++ other)
+      .toDF("vec_id", "emb")
+      .withColumn(
+        "nrm",
+        sqrt(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb")))
+      )
+    val n = e.count()
+    val blocks = VectorQueries.semanticBlocksOn(e, cap).cache()
+    assert(blocks.count() == n, "blocking still partitions the corpus")
+    val candidatePairs = pairs(blocks, "cluster", "sub")
+    assert(
+      candidatePairs <= n * cap,
+      s"collapse must not regenerate n² pairing: $candidatePairs > ${n * cap}"
+    )
+    // 399 identical vectors -> 1 representative -> zero intra-block pairs.
+    assert(candidatePairs == 0, s"identical group must collapse to one rep, got $candidatePairs pairs")
+    val kept = VectorQueries.semanticDedupCappedOn(e, cap)
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept == Set(0L, 100L), s"only the min-id representative of each point survives: $kept")
+    blocks.unpersist()
   }
 
   test("capped drops are a subset of uncapped drops — blocking only removes candidates") {

@@ -164,6 +164,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"drop rule must plan as an anti join:\n$plan")
   }
 
+  test("q95: capped pair join is keyed on (cluster, sub); seed assignment is an aggregate, not a window") {
+    val plan = planOf(queries.VectorQueries.q95SemanticDedupCapped(spark, sf))
+    // The K-row centroid broadcast cross join is the only legal
+    // cartesian shape (BroadcastNestedLoopJoin); the pair join and both
+    // guard joins must be keyed.
+    assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
+    assert(plan.contains("LeftAnti"), s"drop rule must plan as an anti join:\n$plan")
+    // Coarse assignment and sub-seed re-assignment are max_by argmax
+    // AGGREGATES (partial agg collapses N×K before the shuffle) — a
+    // window there would shuffle N×seeds wide rows. The ONLY window
+    // allowed is the seed-rank selection, which runs over the pruned
+    // O(n/cap) candidate pool, never the corpus.
+    assert(plan.contains("max_by"), s"argmax assignment should plan as max_by aggregate:\n$plan")
+    // The blocking subtree prints once per consumer (pair sides + anti
+    // join), so count SHAPES, not instances: every window node must be
+    // the seed-rank row_number — none may sit on the corpus-sized path.
+    val windows = "Window \\[\\w+\\(\\)".r.findAllIn(plan).toSeq
+    val seedRank = "Window \\[row_number\\(\\) windowspecdefinition\\(cluster".r.findAllIn(plan).toSeq
+    assert(
+      windows.nonEmpty && windows.length == seedRank.length,
+      s"every window must be the seed-rank over the candidate pool:\n$plan"
+    )
+  }
+
   test("q81: fixed-size sample gets the partial WindowGroupLimit pushdown") {
     val plan = planOf(queries.TextQueries.q81FixedSample(spark, sf))
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
