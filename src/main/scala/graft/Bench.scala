@@ -14,9 +14,21 @@ object Bench {
     // shared text-feature tables to parquet once, untimed, and bench
     // every consumer against the disk-backed read — proving the durable
     // path at bench scale, not just in TextOpsSpec. Default mode keeps
-    // the localCheckpoint memo.
-    sys.env.get("SPARK_GRAFT_FEATURES_DIR").foreach { fdir =>
+    // the localCheckpoint memo (rebuilt per rep, see evictMemo below).
+    val featuresDir = sys.env.get("SPARK_GRAFT_FEATURES_DIR")
+    featuresDir.foreach { fdir =>
       graft.queries.TextQueries.materializeFeatures(spark, sfDir, fdir)
+    }
+    // Memo policy: the session-keyed feature memo is EVICTED before
+    // every timed rep, uniformly for all queries. Without this, a rep
+    // can measure a lookup of state a previous rep materialized — q21's
+    // memoized pair table made its min-of-3 a 150x cache-hit artifact
+    // (per-rep 1.65/0.011/0.011 s). In durable-feature mode the memo is
+    // re-pointed at the parquet tables instead (lazy reads — each rep
+    // honestly re-reads the durable copy, which is the 100 TB shape).
+    def evictMemo(): Unit = {
+      graft.queries.TextQueries.clearFeatureMemo()
+      featuresDir.foreach(fdir => graft.queries.TextQueries.pointFeaturesAt(spark, sfDir, fdir))
     }
     // Warmup at the smallest SF: the first execution of each plan shape
     // pays JIT + codegen compilation (measured ~4s on the first window
@@ -28,22 +40,34 @@ object Bench {
     }
     // Force FULL evaluation with the noop sink: a count() would let
     // Catalyst prune per-row compute out of pure-projection queries.
-    // Each query runs REPS times and the MIN is reported: a single-shot
-    // measurement cannot distinguish a plan regression from a noisy
-    // co-tenant window (BENCH_r03 recorded a phantom 2.6x slowdown from
-    // machine contention; an idle re-run of the same commit was 51 s vs
-    // the driver's 127 s). Min-of-3 is the standard noise floor.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+    // Each query runs REPS times and the MIN over SUCCESSFUL reps is
+    // reported: a single-shot measurement cannot distinguish a plan
+    // regression from a noisy co-tenant window (BENCH_r03 recorded a
+    // phantom 2.6x slowdown from machine contention; an idle re-run of
+    // the same commit was 51 s vs the driver's 127 s). A rep that
+    // throws is recorded as failed — never as a (fast) elapsed time.
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+      .toOption.map(_.max(1)).getOrElse {
+        System.err.println("[bench] malformed SPARK_GRAFT_BENCH_REPS, using 3")
+        3
       }
-      name -> times
-    }
-    val results = perRep.map { case (name, ts) => name -> ts.min }.toMap
+    val perRep: Seq[(String, Seq[Option[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          evictMemo()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        name -> times
+      }
+    val results = perRep.flatMap { case (name, ts) =>
+      val good = ts.flatten
+      if (good.nonEmpty) Some(name -> good.min) else None
+    }.toMap
+    val failed = perRep.collect { case (name, ts) if ts.flatten.isEmpty => name }
     // 3-decimal rounding keeps the per-query line compact; the raw
     // nanosecond noise below 1ms is measurement jitter anyway.
     def r3(v: Double): String = f"$v%.3f"
@@ -51,18 +75,25 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Cold/warm split: rep 1 pays OS page-cache and block-manager
+    // population on top of the query; later reps are the long-lived-
+    // cluster steady state. Both sums are published so either envelope
+    // can be graded. (The memo is evicted before EVERY rep, so the
+    // spread is I/O and JIT residue — never a memoized-result hit.)
+    val totalCold = perRep.flatMap(_._2.headOption.flatten).sum
     // Per-rep raw timings go to bench_out.json only (the stdout line
     // stays compact); min-of-reps is what the driver grades on.
     val repsJson = perRep.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(_.map(r3).getOrElse("null")).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"per_rep":$repsJson,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"policy":"evict_memo_between_reps","total_cold":${r3(totalCold)},"failed":$failedJson,"queries":$qs,"per_rep":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; with 73 queries the
     // single full line is ~2KB and its head gets truncated (BENCH_r01/r02
     // recorded parsed:null). Print the full line first for humans /
     // bench_out.json, then a SHORT summary line LAST so a complete JSON
     // object always survives tail truncation.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(full)
     // sbt prefixes every stdout line with "[info] ", which breaks the
     // driver's JSON parse. Write the full line to a file the driver (or a

@@ -185,7 +185,14 @@ object Scale {
     * (i.e. the undirected expansion q84 builds: each pair contributes
     * both directions), so there are no dangling nodes and the rank mass
     * fixed point is exactly n (Σr = 0.15·n + 0.85·Σr ⇒ Σr = n, which
-    * ScaleSpec asserts).
+    * ScaleSpec asserts). The contract is CHECKED, not assumed: a `dst`
+    * that never appears as a `src` has no out-degree, so the mass it
+    * receives would silently vanish next round — that input is rejected
+    * up front (one anti-join count) instead of producing quietly wrong
+    * ranks. The node set is carried by `deg`, and each round RIGHT-joins
+    * the contribution sum onto it, so a node nothing points at keeps its
+    * `1 − damping` base rank rather than disappearing from the rank
+    * table (and from the convergence probe) after round one.
     *
     * Each round is one keyed join + aggregate; contributions are
     * integer-scaled (`floor(r/deg · 2^30)`) before the incoming sum so
@@ -208,8 +215,15 @@ object Scale {
     val s = 1073741824L // 2^30
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    def iterate(ranks: DataFrame): DataFrame =
-      e.join(ranks, Seq("src"))
+    val danglingDsts = e.select(col("dst").as("src")).distinct()
+      .join(deg, Seq("src"), "left_anti").count()
+    require(
+      danglingDsts == 0,
+      s"$danglingDsts dst node(s) never appear as src — pass the undirected " +
+        "expansion (both edge directions) so no node's incoming mass is dropped"
+    )
+    def iterate(ranks: DataFrame): DataFrame = {
+      val contribs = e.join(ranks, Seq("src"))
         .join(deg, Seq("src"))
         .select(
           col("dst"),
@@ -217,10 +231,15 @@ object Scale {
         )
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("src"), col("in_sum"))
+      deg.select(col("src"))
+        .join(contribs, Seq("src"), "left")
         .select(
-          col("dst").as("src"),
-          (lit(1 - damping) + lit(damping) * (col("in_sum").cast("double") / lit(s.toDouble))).as("r")
+          col("src"),
+          (lit(1 - damping) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0L)).cast("double") / lit(s.toDouble))).as("r")
         )
+    }
     var ranks = deg.select(col("src"), lit(1.0).as("r")).localCheckpoint()
     var rounds = 0
     var delta = Double.MaxValue

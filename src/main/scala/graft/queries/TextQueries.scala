@@ -300,11 +300,22 @@ object TextQueries {
     val tokPath = s"$statePath/tokens"
     shingleTableDf(spark, dir).write.mode("overwrite").parquet(shPath)
     tokenInstancesDf(spark, dir).write.mode("overwrite").parquet(tokPath)
+    pointFeaturesAt(spark, dir, statePath)
+    (shPath, tokPath)
+  }
+
+  /** Re-point this session's memo at an EXISTING durable feature state
+    * (no rewrite): drops any memoized entries for `dir` — including
+    * localCheckpoint'd intermediates like q21's pair table — and
+    * installs lazy parquet reads for the shared tables. Bench calls
+    * this between timed reps so no rep can hit materialized memo state
+    * while the durable-feature mode stays durable.
+    */
+  def pointFeaturesAt(spark: SparkSession, dir: String, statePath: String): Unit = {
     val sk = sessionKey(spark)
     featureMemo.invalidate(sk, dir)
-    featureMemo.put((sk, dir, "shingles"), spark.read.parquet(shPath))
-    featureMemo.put((sk, dir, "tokens"), spark.read.parquet(tokPath))
-    (shPath, tokPath)
+    featureMemo.put((sk, dir, "shingles"), spark.read.parquet(s"$statePath/shingles"))
+    featureMemo.put((sk, dir, "tokens"), spark.read.parquet(s"$statePath/tokens"))
   }
 
   /** Parameterized near-dup pair builder over the inverted shingle

@@ -164,27 +164,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"drop rule must plan as an anti join:\n$plan")
   }
 
-  test("q95: capped pair join is keyed on (cluster, sub); seed assignment is an aggregate, not a window") {
+  test("q95: pair join keyed on (cluster, sub); blocking aggregates, windows only on bounded inputs") {
+    import org.apache.spark.sql.functions._
+    // Pairing side (post-barrier — the blocked table is checkpointed,
+    // so q95's executed plan starts there): the pair join must be a
+    // keyed equi join on (cluster, sub), the drop rule an anti join,
+    // and nothing may be cartesian.
     val plan = planOf(queries.VectorQueries.q95SemanticDedupCapped(spark, sf))
-    // The K-row centroid broadcast cross join is the only legal
-    // cartesian shape (BroadcastNestedLoopJoin); the pair join and both
-    // guard joins must be keyed.
     assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
     assert(plan.contains("LeftAnti"), s"drop rule must plan as an anti join:\n$plan")
-    // Coarse assignment and sub-seed re-assignment are max_by argmax
-    // AGGREGATES (partial agg collapses N×K before the shuffle) — a
-    // window there would shuffle N×seeds wide rows. The ONLY window
-    // allowed is the seed-rank selection, which runs over the pruned
-    // O(n/cap) candidate pool, never the corpus.
-    assert(plan.contains("max_by"), s"argmax assignment should plan as max_by aggregate:\n$plan")
-    // The blocking subtree prints once per consumer (pair sides + anti
-    // join), so count SHAPES, not instances: every window node must be
-    // the seed-rank row_number — none may sit on the corpus-sized path.
-    val windows = "Window \\[\\w+\\(\\)".r.findAllIn(plan).toSeq
-    val seedRank = "Window \\[row_number\\(\\) windowspecdefinition\\(cluster".r.findAllIn(plan).toSeq
     assert(
-      windows.nonEmpty && windows.length == seedRank.length,
-      s"every window must be the seed-rank over the candidate pool:\n$plan"
+      "Join \\[cluster#\\d+L, sub#\\d+L\\]".r.findAllIn(plan).nonEmpty,
+      s"pair join must be keyed on (cluster, sub):\n$plan"
+    )
+    // Blocking side (pre-barrier): coarse assignment and sub-seed
+    // re-assignment are max_by argmax AGGREGATES (partial agg collapses
+    // N×K before the shuffle) — a window there would shuffle N×seeds
+    // wide rows. The only windows allowed are the seed-rank row_number
+    // (over the pruned O(n/cap) candidate pool) and the exact-dup
+    // rep-min (one corpus shuffle, unordered frame).
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb"))))
+    val bplan = planOf(queries.VectorQueries.semanticBlocksOn(e, 40))
+    assert(!bplan.contains("CartesianProduct"), s"no cartesian in blocking:\n$bplan")
+    assert(bplan.contains("max_by"), s"argmax assignment should plan as max_by aggregate:\n$bplan")
+    val windows = "Window \\[\\w+\\(".r.findAllIn(bplan).length
+    val seedRank = "Window \\[row_number\\(\\) windowspecdefinition\\(cluster".r.findAllIn(bplan).length
+    val repMin = "Window \\[min\\(vec_id".r.findAllIn(bplan).length
+    assert(
+      windows > 0 && windows == seedRank + repMin,
+      s"only the seed-rank and rep-min windows are allowed:\n$bplan"
     )
   }
 

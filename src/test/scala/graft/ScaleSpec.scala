@@ -43,6 +43,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(mass - n) < 1e-3 * n, s"rank mass must stay ~n: n=$n sum=$mass")
   }
 
+  test("pageRank keeps src-only nodes at the base rank and rejects dst-only edge lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1 <-> 2 plus a directed 3 -> 1: nothing points back at 3. Before
+    // the right-join onto the node set, 3 vanished from the rank table
+    // after round one (groupBy(dst) rebuilt ranks from receivers only)
+    // with no convergence-probe signal.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    // Deltas contract by ~damping per round, so 1e-4 needs ~60 rounds.
+    val (r, _, converged) = Scale.pageRank(edges, maxIters = 100, tol = 1e-4)
+    assert(converged)
+    val ranks = r.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L), s"src-only node must not vanish: $ranks")
+    assert(math.abs(ranks(3L) - 0.15) < 1e-12, s"base rank expected for 3, got ${ranks(3L)}")
+    // A dst that never appears as src has no out-degree: its incoming
+    // mass would silently evaporate. That input is rejected up front.
+    val bad = Seq((1L, 2L), (2L, 1L), (1L, 9L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](Scale.pageRank(bad, 2, 0.0))
+    assert(ex.getMessage.contains("undirected"), ex.getMessage)
+  }
+
   test("bucketed co-located join plans without Exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
