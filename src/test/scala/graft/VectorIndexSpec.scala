@@ -115,11 +115,18 @@ class VectorIndexSpec extends AnyFunSuite {
   }
 
   test("k-means medoid quantizer: recall@10 at nProbe=1 meets or beats the id-rule seeds") {
-    val qs = vectors.filter(col("vec_id") < 5)
+    // NEUTRAL query ids: none is an id-rule centroid (vec_id % 100) and
+    // none seeds the k-means run below. The previous query set (0..4)
+    // contained id-rule centroid 0 AND was exactly the old first-k-ids
+    // k-means seed set, so both recalls measured a query-is-centroid
+    // artifact (a cell centered ON the query trivially holds its
+    // neighbors) instead of quantizer quality.
+    val queryIds = Seq(7L, 23L, 57L, 211L, 333L)
+    val qs = vectors.filter(col("vec_id").isin(queryIds: _*))
     graft.functions.GraftFunctions.register(spark)
     val e = vectors.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val q = e
-      .filter(col("vec_id") < 5)
+      .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     val brute = broadcast(q)
@@ -142,6 +149,23 @@ class VectorIndexSpec extends AnyFunSuite {
     info(f"recall@10 nProbe=1 — id-rule seeds: $rDet%.3f, k-means medoids: $rMed%.3f")
     assert(rMed >= rDet, f"data-aware quantizer must not lose recall: $rMed%.3f < $rDet%.3f")
     assert(rMed > 0.3, f"medoid recall floor: $rMed%.3f")
+  }
+
+  test("kmeansMedoids returns min(k, corpus) distinct medoids even when Lloyd empties a cluster") {
+    import spark.implicits._
+    // Two distinct points, 20 rows, k=3: at least two seeds are
+    // identical vectors, so min_by's tie-break starves one centroid of
+    // members EVERY round — the shrink case. The reserve top-up must
+    // keep the returned id count at k, deterministically.
+    val rows = (0L until 20L).map(i => (i, if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0)))
+    val df = rows.toDF("vec_id", "emb")
+    val ms = VectorIndex.kmeansMedoids(spark, df, k = 3, iters = 2)
+    assert(ms.size == 3 && ms.distinct.size == 3, s"3 distinct medoid ids expected: $ms")
+    assert(ms == VectorIndex.kmeansMedoids(spark, df, k = 3, iters = 2), "deterministic under re-run")
+    // Fewer corpus rows than k: min(k, corpus) is all of them.
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "emb")
+    val tm = VectorIndex.kmeansMedoids(spark, tiny, k = 5, iters = 2)
+    assert(tm == Seq(1L, 2L), s"min(k, corpus) medoids for a tiny corpus: $tm")
   }
 
   test("append assigns against frozen centroids and is idempotent on replay") {
