@@ -49,12 +49,20 @@ object VectorIndex {
     * caller-designated seed rows (`isCentroid`, e.g. a deterministic
     * id rule or a k-means result's medoids) — the coarse quantizer is
     * pluggable; the index machinery is the point here.
+    *
+    * `maxOverMedian` arms the skew guard: after the initial write, any
+    * cluster larger than `bound × median(cluster size)` is split by
+    * [[rebalance]] (the [[graft.queries.VectorQueries.semanticBlocksOn]]
+    * sub-seed rule, promoted to first-class centroids), so one
+    * collapsed mega-cluster cannot concentrate every probe that lands
+    * on it onto one partition's worth of candidates.
     */
   def build(
       spark: SparkSession,
       vectors: DataFrame,
       indexPath: String,
-      isCentroid: Column
+      isCentroid: Column,
+      maxOverMedian: Option[Double] = None
   ): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val v = withNorm(vectors.select(col("vec_id"), col("emb")))
@@ -67,6 +75,103 @@ object VectorIndex {
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexPath/assignments")
+    maxOverMedian.foreach(bound => rebalance(spark, indexPath, bound))
+  }
+
+  /** Skew escalation — the operator playbook [[clusterStats]] points
+    * at, as one callable step: every cluster whose size exceeds
+    * `maxOverMedian × median(cluster size)` is re-blocked by the
+    * semanticBlocksOn seed rule (hash-sampled candidate pool → rank
+    * window keeps exactly ceil(n/cap) seeds; the cluster's own centroid
+    * always remains a seed), members re-assign to their nearest seed by
+    * cosine, the sampled seeds are PROMOTED to first-class centroids,
+    * and only the affected partitions are rewritten (explicit directory
+    * replace — not atomic; pause probes or snapshot the index dir for
+    * an online rebuild). Probe semantics are preserved: a full probe
+    * after a rebalance is still exactly brute force (VectorIndexSpec),
+    * and `append` keeps working because new seeds are ordinary centroid
+    * rows. Returns the number of clusters split (0 = nothing oversized,
+    * making the call idempotent in the fixed-point sense).
+    *
+    * Bounded driver state: the stats histogram (one row per cluster)
+    * and the centroid id set — never member vectors.
+    */
+  def rebalance(
+      spark: SparkSession,
+      indexPath: String,
+      maxOverMedian: Double
+  ): Int = {
+    require(maxOverMedian >= 1.0, s"maxOverMedian must be >= 1, got $maxOverMedian")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val stats = clusterStats(spark, indexPath).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (stats.isEmpty) return 0
+    val sorted = stats.map(_._2).sorted
+    val median = sorted(sorted.length / 2)
+    val cap = math.max((median * maxOverMedian).toLong, 1L)
+    val over = stats.filter(_._2 > cap)
+    if (over.isEmpty) return 0
+    val overIds = over.map(_._1).toSeq
+    val asgnRaw = spark.read.parquet(s"$indexPath/assignments")
+    val typedOver: Seq[Any] = asgnRaw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => overIds.map(_.toInt)
+      case org.apache.spark.sql.types.LongType    => overIds
+      case _                                      => overIds.map(_.toString)
+    }
+    val members = asgnRaw
+      .filter(col("cluster").isin(typedOver: _*))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster").cast("long").as("cluster"))
+    val centsAll = spark.read.parquet(s"$indexPath/centroids")
+    // Per-cluster split parameters come from the already-collected
+    // histogram — no second pass over the data.
+    val sizeDf = over.toSeq.map { case (c, n) =>
+      val nSub = (n + cap - 1) / cap
+      (c, nSub, math.max(n / nSub / 4, 1L))
+    }.toDF("cluster", "n_sub", "cand_stride")
+    val h28 = conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10).cast("long")
+    val wSeed = Window.partitionBy(col("cluster")).orderBy(col("__h"), col("vec_id"))
+    // Sampled seeds must not collide with an existing centroid id (a
+    // centroid vector can sit in an oversized cluster): anti-join them
+    // out — the original centroid participates via centSeeds below,
+    // keeping its cluster id so the retained block needs no new dir.
+    val newSeeds = members
+      .join(broadcast(sizeDf), Seq("cluster"))
+      .join(centsAll.select(col("cent_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("__h", h28)
+      .filter(pmod(col("__h"), col("cand_stride")) === 0)
+      .withColumn("__srk", row_number().over(wSeed))
+      .filter(col("__srk") <= col("n_sub"))
+      .select(col("cluster"), col("vec_id").as("seed_id"), col("emb").as("seed_emb"), col("nrm").as("seed_nrm"))
+    val centSeeds = centsAll
+      .filter(col("cent_id").isin(overIds: _*))
+      .select(col("cent_id").as("cluster"), col("cent_id").as("seed_id"), col("cent_emb").as("seed_emb"), col("cent_nrm").as("seed_nrm"))
+    val allSeeds = newSeeds.unionByName(centSeeds)
+    val reassigned = members
+      .join(allSeeds, Seq("cluster"))
+      .withColumn("s_cos", dot(col("emb"), col("seed_emb")) / (col("nrm") * col("seed_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("seed_id"), struct(col("s_cos"), -col("seed_id"))).as("new_cluster"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm")
+      )
+      .select(col("vec_id"), col("emb"), col("nrm"), col("new_cluster").as("cluster"))
+      .localCheckpoint() // read-own-output barrier before touching the dirs
+    val promoted = newSeeds
+      .select(col("seed_id").as("cent_id"), col("seed_emb").as("cent_emb"), col("seed_nrm").as("cent_nrm"))
+      .localCheckpoint()
+    // Replace the oversized partitions wholesale: dynamic partition
+    // overwrite would leave a stale dir behind if every member left its
+    // original cluster, so the affected `cluster=` dirs are deleted
+    // explicitly and the re-blocked rows appended.
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(java.net.URI.create(indexPath), spark.sparkContext.hadoopConfiguration)
+    overIds.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/assignments/cluster=$c"), true)
+    }
+    reassigned.write.mode("append").partitionBy("cluster").parquet(s"$indexPath/assignments")
+    promoted.write.mode("append").parquet(s"$indexPath/centroids")
+    over.length
   }
 
   /** Append a batch of new vectors, assigned against the EXISTING

@@ -168,6 +168,56 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(tm == Seq(1L, 2L), s"min(k, corpus) medoids for a tiny corpus: $tm")
   }
 
+  test("skew guard: build(maxOverMedian) splits the mega-cluster, probes stay exact") {
+    import spark.implicits._
+    // Three id-rule centroids: unit-x, unit-y, unit-z. Every member sits
+    // within 0.15 rad of unit-x, so the unguarded index is one
+    // ~297-member mega-cluster plus two singletons — every probe that
+    // lands on it scans the whole corpus.
+    def vec(theta: Double) = Seq(math.cos(theta), math.sin(theta), 0.0, 0.0)
+    val rows = (1L to 299L)
+      .filterNot(_ % 100 == 0)
+      .map(i => (i, vec(0.15 * ((i * 37) % 997) / 997.0))) ++
+      Seq((0L, vec(0.0)), (100L, Seq(0.0, 1.0, 0.0, 0.0)), (200L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val df = rows.toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-vecindex-rb").toString + "/ivf"
+    VectorIndex.build(spark, df, p, isCentroid = col("vec_id") % 100 === 0, maxOverMedian = Some(20.0))
+    val stats = VectorIndex.clusterStats(spark, p).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == df.count(), s"rebalance must not lose or duplicate vectors: $stats")
+    assert(stats.size > 3, s"the mega-cluster must actually split: $stats")
+    // median size pre-split is 1 (two singletons + mega), so cap = 20;
+    // cosine Voronoi cells of hash-sampled seeds are not exactly even —
+    // allow 3x, which still bounds probe candidates at ~cap, not ~n.
+    assert(stats.values.max <= 60, s"probe candidates must be bounded after rebuild: $stats")
+    // A full probe of the rebalanced index is still exactly brute force.
+    graft.functions.GraftFunctions.register(spark)
+    val e = df.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val queryIds = Seq(7L, 23L, 200L)
+    val got = VectorIndex
+      .query(spark, df.filter(col("vec_id").isin(queryIds: _*)), p, topK = 5, nProbe = stats.size)
+      .select("query_id", "vec_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val q = e
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    val want = broadcast(q)
+      .join(e, expr("true"), "cross")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == want, "full-probe after rebalance must be exact")
+    // Fixed point: nothing is oversized any more, so a second pass is a no-op.
+    assert(VectorIndex.rebalance(spark, p, 20.0) == 0, "second rebalance must be a no-op")
+  }
+
   test("append assigns against frozen centroids and is idempotent on replay") {
     import spark.implicits._
     val idx = freshIndex()
