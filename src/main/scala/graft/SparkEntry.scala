@@ -114,7 +114,8 @@ object SparkEntry {
     "q92_collocations" -> (TextQueries.q92Collocations _),
     "q93_containment" -> (TextQueries.q93Containment _),
     "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _),
-    "q95_semantic_dedup_capped" -> (VectorQueries.q95SemanticDedupCapped _)
+    "q95_semantic_dedup_capped" -> (VectorQueries.q95SemanticDedupCapped _),
+    "q96_ivf_index_probe" -> (VectorQueries.q96IvfIndexProbe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1204,6 +1205,26 @@ object SparkEntry {
         |  ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
         |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.995)
         |SELECT s.vec_id, s.cluster, s.sub FROM blocked s LEFT JOIN drops d ON s.vec_id = d.vec_id
-        |WHERE d.vec_id IS NULL""".stripMargin
+        |WHERE d.vec_id IS NULL""".stripMargin,
+    "q96_ivf_index_probe" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cluster FROM assigned WHERE vec_id < 5)
+        |SELECT query_id, cluster, vec_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+        |  SELECT q.query_id, q.cluster, a.vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) DESC,
+        |      a.vec_id ASC) AS rank
+        |  FROM q JOIN assigned a ON q.cluster = a.cluster WHERE a.vec_id <> q.query_id)
+        |WHERE rank <= 10""".stripMargin
   )
 }

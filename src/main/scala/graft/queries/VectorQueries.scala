@@ -437,6 +437,45 @@ object VectorQueries {
   def q95SemanticDedupCapped(spark: SparkSession, dir: String): DataFrame =
     semanticDedupCappedOn(emb(spark, dir), 40)
 
+  /** The persistent IVF index exercised END-TO-END as an oracle query:
+    * [[graft.operators.VectorIndex.build]] writes centroids plus
+    * cluster-partitioned assignments to scratch parquet,
+    * [[graft.operators.VectorIndex.query]] probes the nearest cluster
+    * per query vector through the partition-pruned scan, and the
+    * bounded result (|queries| × topK = 50 rows) is materialized before
+    * the scratch dir is deleted (the q89 scratch-state pattern). The
+    * oracle replays the same assignment + probe rule in SQL, so this
+    * green row checks the DURABLE path — parquet round-trip (float →
+    * double widening is exact, so cosines are bit-stable across the
+    * write/read), typed partition pruning, frozen-centroid probe — not
+    * just an in-memory plan. Probe rule parity: with nProbe = 1 and the
+    * query present in the index, the probed cluster is the query's own
+    * assignment (both are the argmax-cosine centroid, ties toward the
+    * smaller cent_id), and candidates exclude only the query itself.
+    */
+  def q96IvfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vectors = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-q96")
+      .resolve("ivf")
+      .toString
+    graft.operators.VectorIndex.build(spark, vectors, idxPath, col("vec_id") % 100 === 0)
+    val rows = graft.operators.VectorIndex
+      .query(spark, vectors.filter(col("vec_id") < 5), idxPath, topK = 10, nProbe = 1)
+      .select(col("query_id"), col("cluster"), col("vec_id"), col("rank"), col("cosine"))
+      .collect()
+      .toIndexedSeq
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(java.nio.file.Paths.get(idxPath).getParent.toFile)
+    import spark.implicits._
+    rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toDF("query_id", "cluster", "vec_id", "rank", "cosine")
+  }
+
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of
     * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the
