@@ -193,15 +193,26 @@ object Pipeline {
   * `year=` and `year=/month=` layouts (the full-batch writes; a
   * `month=`-only layout carries no year and is refused) — and
   * `--maintenance materialize_features --data D --state S` (durable
-  * shared text-feature tables).
+  * shared text-feature tables), and
+  * `--maintenance rebalance_vector_index --path P [--max_over_median N]`
+  * (IVF skew escalation — split clusters above N× the median size).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local("graft-pipeline")
+    run(args, spark)
+    spark.stop()
+  }
+
+  /** The CLI body against a caller-owned session (main wraps it with
+    * session lifecycle; tests drive verbs without losing the shared
+    * session to the final stop()).
+    */
+  def run(args: Array[String], spark: org.apache.spark.sql.SparkSession): Unit = {
     val opts = args
       .sliding(2, 2)
       .collect { case Array(k, v) => k.stripPrefix("--") -> v }
       .toMap
-    val spark = graft.GraftSession.local("graft-pipeline")
     opts.get("maintenance") match {
       case Some("compact") =>
         val path = opts.getOrElse("path", sys.error("--path required"))
@@ -239,6 +250,14 @@ object PipelineRunner {
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val (sh, tok) = graft.queries.TextQueries.materializeFeatures(spark, data, state)
         println(s"[maintenance] materialized features: $sh , $tok")
+      case Some("rebalance_vector_index") =>
+        // Skew escalation for a persistent IVF index: split clusters
+        // above --max_over_median x median(cluster size). The scheduled
+        // response when clusterStats drifts (VectorIndex.rebalance).
+        val path = opts.getOrElse("path", sys.error("--path <index dir> required"))
+        val bound = opts.getOrElse("max_over_median", "8").toDouble
+        val split = graft.operators.VectorIndex.rebalance(spark, path, bound)
+        println(s"[maintenance] rebalanced $path: $split cluster(s) split")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))
@@ -257,6 +276,5 @@ object PipelineRunner {
             Pipeline.runFullBatch(spark, s"${bucket}raw/", s"${bucket}transformed/")
         }
     }
-    spark.stop()
   }
 }

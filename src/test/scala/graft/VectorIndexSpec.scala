@@ -218,6 +218,26 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.rebalance(spark, p, 20.0) == 0, "second rebalance must be a no-op")
   }
 
+  test("maintenance CLI verb rebalance_vector_index drives the same split") {
+    import spark.implicits._
+    def vec(theta: Double) = Seq(math.cos(theta), math.sin(theta), 0.0, 0.0)
+    val rows = (1L to 299L)
+      .filterNot(_ % 100 == 0)
+      .map(i => (i, vec(0.15 * ((i * 37) % 997) / 997.0))) ++
+      Seq((0L, vec(0.0)), (100L, Seq(0.0, 1.0, 0.0, 0.0)), (200L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val df = rows.toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-vecindex-cli").toString + "/ivf"
+    VectorIndex.build(spark, df, p, isCentroid = col("vec_id") % 100 === 0)
+    val before = VectorIndex.clusterStats(spark, p).agg(max("n")).collect()(0).getLong(0)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "rebalance_vector_index", "--path", p, "--max_over_median", "20"),
+      spark
+    )
+    val after = VectorIndex.clusterStats(spark, p).agg(max("n"), sum("n")).collect()(0)
+    assert(after.getLong(0) <= 60 && after.getLong(0) < before, s"CLI must split the mega-cluster: $before -> ${after.getLong(0)}")
+    assert(after.getLong(1) == df.count(), "no vectors lost through the CLI path")
+  }
+
   test("append assigns against frozen centroids and is idempotent on replay") {
     import spark.implicits._
     val idx = freshIndex()
