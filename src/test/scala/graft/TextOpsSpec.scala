@@ -153,6 +153,17 @@ class TextOpsSpec extends AnyFunSuite {
     val viaParquet = snap()
     assert(viaParquet == viaCheckpoint, "durable path must be result-identical")
     viaCheckpoint.foreach { case (q, s) => assert(s.nonEmpty, s"$q fixture empty") }
+    // The pair table is durable too: after the bench's evict→re-point
+    // cycle, q21 must SCAN the state dir (no localCheckpoint rebuild)
+    // and still match.
+    TextQueries.clearFeatureMemo()
+    TextQueries.pointFeaturesAt(spark, sf, state)
+    val q21Plan = TextQueries.q21NgramJaccard(spark, sf).queryExecution.executedPlan.toString
+    assert(q21Plan.contains(s"$state/pairs"), s"q21 should scan the durable pair table:\n$q21Plan")
+    assert(
+      TextQueries.q21NgramJaccard(spark, sf).collect().map(_.toString).toSet == viaCheckpoint("q21"),
+      "durable pair table must be result-identical"
+    )
     TextQueries.clearFeatureMemo()
   }
 
