@@ -301,6 +301,57 @@ object VectorIndex {
     (medoids ++ reserve.map(_._1).filterNot(got).take(k - medoids.size)).sorted
   }
 
+  /** Assign a batch to the index's FROZEN centroids (the append rule)
+    * without writing anything: `(vec_id, emb, nrm, cluster)`. The
+    * blocking primitive ingest-time dedup shares with [[append]].
+    */
+  def assignBatch(spark: SparkSession, batch: DataFrame, indexPath: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = withNorm(batch.select(col("vec_id"), col("emb")))
+    assignTo(v, spark.read.parquet(s"$indexPath/centroids"))
+  }
+
+  /** Batch-vs-index near-duplicate pairs — the incremental SemDeDup
+    * primitive: assign each batch `(vec_id, emb)` to its nearest
+    * centroid (broadcast argmax, same rule as [[build]]), scan ONLY the
+    * assigned clusters' partitions (the probed-cluster set is bounded
+    * by K, so the typed-literal partition prune applies), and return
+    * `(vec_id, dup_of, cosine)` for every indexed neighbor at
+    * `cosine >= minCosine`. Indexed rows whose vec_id appears in the
+    * batch itself are excluded, so a REPLAYED batch (whose survivors
+    * were already appended) probes exactly the pre-batch index — the
+    * property streaming ingest needs for exactly-once acceptance.
+    */
+  def probePairs(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexPath: String,
+      minCosine: Double
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = withNorm(batch.select(col("vec_id"), col("emb")))
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val assigned = assignTo(v, cent)
+    // Bounded collect: distinct probed clusters <= K centroids.
+    val probed = assigned.select("cluster").distinct().collect().map(_.getLong(0))
+    val asgnRaw = spark.read.parquet(s"$indexPath/assignments")
+    val typedProbes: Seq[Any] = asgnRaw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt).toSeq
+      case org.apache.spark.sql.types.LongType    => probed.toSeq
+      case _                                      => probed.map(_.toString).toSeq
+    }
+    val candidates = asgnRaw
+      .filter(col("cluster").isin(typedProbes: _*))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .join(v.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("cluster"), col("vec_id").as("dup_of"), col("emb").as("i_emb"), col("nrm").as("i_nrm"))
+    assigned
+      .join(candidates, Seq("cluster"))
+      .withColumn("cosine", dot(col("emb"), col("i_emb")) / (col("nrm") * col("i_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_id"), col("dup_of"), col("cosine"))
+  }
+
   /** Rows per cluster — the skew observable. A probe's cost is LINEAR
     * in the probed clusters' sizes (|queries| × cluster rows — there is
     * no Σ cluster² path here, unlike SemDeDup pairing), but one

@@ -386,6 +386,109 @@ object StreamingPipeline {
       }
       .start()
 
+  /** One batch of streaming SEMANTIC dedup (SemDeDup at ingest): drop
+    * every batch vector with an indexed neighbor at cosine ≥ `minCos`
+    * ([[graft.operators.VectorIndex.probePairs]] — partition-pruned,
+    * excludes the batch's own vec_ids so a replay probes the pre-batch
+    * index), resolve within-batch duplicates by pairing inside the
+    * INDEX's cluster blocking (the frozen quantizer is the natural
+    * SemDeDup blocking here; a per-file batch is bounded, so the
+    * intra-batch Σ cluster² is too), append the survivors to the index
+    * (idempotent by vec_id), and overwrite the batch's telemetry
+    * partition with the dropped pairs — `dup_of` is the strongest
+    * indexed neighbor, or the smaller-id batch survivor for
+    * within-batch drops.
+    *
+    * Exactly-once acceptance: every step is deterministic given the
+    * pre-batch index, the probe cannot see the batch's own appended
+    * rows, the append anti-joins already-indexed ids, and both sinks
+    * are batch-keyed overwrites — so a replay after a crash at ANY
+    * point converges to identical index and telemetry.
+    *
+    * Contract: the index (its coarse quantizer) is built beforehand —
+    * the frozen-quantizer IVF append model. Returns accepted count.
+    */
+  def semanticDedupIngestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexPath: String,
+      dropsPath: String,
+      batchId: Long,
+      minCos: Double = 0.995
+  ): Long = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.graft_dot(a, b)
+    val v = batch.select(col("vec_id"), col("emb"))
+    val indexDrops = graft.operators.VectorIndex
+      .probePairs(spark, v, indexPath, minCos)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("dup_of"), struct(col("cosine"), -col("dup_of"))).as("dup_of"),
+        max(col("cosine")).as("cosine")
+      )
+    val fresh = v.join(indexDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+    val assigned = graft.operators.VectorIndex.assignBatch(spark, fresh, indexPath)
+    val aSide = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val bSide = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val batchDrops = aSide
+      .join(bSide, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= minCos)
+      .groupBy(col("id_b"))
+      .agg(
+        max_by(col("id_a"), struct(col("cosine"), -col("id_a"))).as("dup_of"),
+        max(col("cosine")).as("cosine")
+      )
+      .select(col("id_b").as("vec_id"), col("dup_of"), col("cosine"))
+    // Settle the accepted set BEFORE any effect (the dedupIngestBatch
+    // rule): both the append and the telemetry write must see the same
+    // rows even though the index mutates underneath.
+    val accepted = fresh
+      .join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    graft.operators.VectorIndex.append(spark, accepted, indexPath)
+    indexDrops
+      .select(col("vec_id"), col("dup_of"), col("cosine"))
+      .unionByName(batchDrops)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dropsPath/ingest_batch=$batchId")
+    accepted.count()
+  }
+
+  /** Streaming semantic-dedup ingest: each arriving embeddings file is
+    * SemDeDup'd against the persistent IVF index and within itself,
+    * survivors join the index — the embedding twin of [[dedupIngest]]
+    * (exact text) and [[nearDupIngest]] (MinHash text), completing the
+    * ingest-side dedup family over the engine's durable indexes.
+    */
+  def semanticDedupIngest(
+      spark: SparkSession,
+      rawDir: String,
+      indexPath: String,
+      dropsPath: String,
+      checkpoint: String,
+      embSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(embSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticDedupIngestBatch(
+          spark,
+          batch.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+          indexPath,
+          dropsPath,
+          batchId
+        )
+        ()
+      }
+      .start()
+
   /** Incremental star-schema maintenance: the reference's per-file
     * users/time pipeline as a `foreachBatch` stream — every new file in
     * `rawDir` updates the tables, with engine-managed file tracking.
