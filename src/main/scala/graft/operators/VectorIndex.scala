@@ -87,7 +87,12 @@ object VectorIndex {
     * cosine, the sampled seeds are PROMOTED to first-class centroids,
     * and only the affected partitions are rewritten (explicit directory
     * replace — not atomic; pause probes or snapshot the index dir for
-    * an online rebuild). Probe semantics are preserved: a full probe
+    * an online rebuild). Writes are crash-ordered so every intermediate
+    * state stays probeable: promoted centroids land before any dir is
+    * touched (an extra centroid over an empty dir only degrades recall;
+    * assignment rows under a centroid-less cluster id would be
+    * invisible to every probe), and a crash mid-replace re-runs to the
+    * same fixed point. Probe semantics are preserved: a full probe
     * after a rebalance is still exactly brute force (VectorIndexSpec),
     * and `append` keeps working because new seeds are ordinary centroid
     * rows. Returns the number of clusters split (0 = nothing oversized,
@@ -160,6 +165,15 @@ object VectorIndex {
     val promoted = newSeeds
       .select(col("seed_id").as("cent_id"), col("seed_emb").as("cent_emb"), col("seed_nrm").as("cent_nrm"))
       .localCheckpoint()
+    // Crash-ordering: the promoted centroids land FIRST. A centroid
+    // whose `cluster=` dir is empty or missing is harmless (a probe
+    // that selects it finds zero candidates — degraded recall, nothing
+    // lost), whereas assignment rows whose cluster id is absent from
+    // centroids/ would be invisible to EVERY probe. With this order,
+    // any crash point leaves the index probeable: before the deletes
+    // the old mega-cluster still answers in full; between delete and
+    // append a re-run recomputes from the surviving members.
+    promoted.write.mode("append").parquet(s"$indexPath/centroids")
     // Replace the oversized partitions wholesale: dynamic partition
     // overwrite would leave a stale dir behind if every member left its
     // original cluster, so the affected `cluster=` dirs are deleted
@@ -170,7 +184,6 @@ object VectorIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/assignments/cluster=$c"), true)
     }
     reassigned.write.mode("append").partitionBy("cluster").parquet(s"$indexPath/assignments")
-    promoted.write.mode("append").parquet(s"$indexPath/centroids")
     over.length
   }
 
@@ -222,8 +235,10 @@ object VectorIndex {
     * cross join + `min_by` partial aggregate (N×k collapses map-side),
     * then an integer-scaled per-dimension mean (exact long sums —
     * order-independent, so the medoid choice is deterministic across
-    * runs and partitionings). The candidate pull is a TakeOrdered of 2k
-    * rows; driver state is k centroids × dim doubles per round
+    * runs and partitionings). The candidate pull is a TakeOrdered of
+    * max(4k, 32) rows (a global orderBy+limit rather than a sample()
+    * precisely so the pool is deterministic across runs and
+    * partitionings); driver state is k centroids × dim doubles per round
     * (bounded), never a data-sized collect; the corpus is re-scanned
     * per round from its durable source rather than pinned.
     */

@@ -396,8 +396,11 @@ object StreamingPipeline {
     * intra-batch Σ cluster² is too), append the survivors to the index
     * (idempotent by vec_id), and overwrite the batch's telemetry
     * partition with the dropped pairs — `dup_of` is the strongest
-    * indexed neighbor, or the smaller-id batch survivor for
-    * within-batch drops.
+    * indexed neighbor, or for within-batch drops the strongest
+    * SMALLER-ID batch near-neighbor. NB the latter is the greedy
+    * pairwise rule (same as q32): in a chain a~b~c with a≁c, c's
+    * `dup_of` is b, which itself dropped to a — `dup_of` names the
+    * nearest cause, not the transitive surviving representative.
     *
     * Exactly-once acceptance: every step is deterministic given the
     * pre-batch index, the probe cannot see the batch's own appended

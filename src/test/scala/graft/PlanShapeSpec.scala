@@ -200,6 +200,35 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("probePairs: partition-pruned candidate scan, broadcast centroid argmax, no cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The ingest-time probe must keep the two properties that bound it
+    // at corpus scale: candidates come off the cluster-partitioned
+    // parquet through a PartitionFilters prune (a regression to a full
+    // index scan fails here), and the batch-to-centroid assignment is a
+    // broadcast cross join collapsed by a max_by partial aggregate —
+    // mirroring the locks VectorIndexSpec holds on query().
+    val p = java.nio.file.Files.createTempDirectory("graft-plan-probepairs").toString + "/ivf"
+    val vectors = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    graft.operators.VectorIndex.build(spark, vectors, p, col("vec_id") % 100 === 0)
+    val donor = vectors.filter(col("vec_id") === 7).select("emb").collect()(0).getSeq[Double](0)
+    val batch = Seq((999999L, donor.map(_ * 2.0))).toDF("vec_id", "emb")
+    val plan = planOf(graft.operators.VectorIndex.probePairs(spark, batch, p, 0.9))
+    assert(
+      plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"candidate scan must partition-prune on the probed clusters:\n$plan"
+    )
+    assert(plan.contains("max_by"), s"centroid argmax must plan as a max_by aggregate:\n$plan")
+    assert(
+      plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"centroids must arrive as a broadcast cross join:\n$plan"
+    )
+    assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
+  }
+
   test("q81: fixed-size sample gets the partial WindowGroupLimit pushdown") {
     val plan = planOf(queries.TextQueries.q81FixedSample(spark, sf))
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),

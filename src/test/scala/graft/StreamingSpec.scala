@@ -453,6 +453,125 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/index").count() == 2, "one signature row per doc")
   }
 
+  test("semantic dedup ingest batches: index dups, greedy chain, replay-idempotent, crash-recomputable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-semdedup-ingest").toString
+    val (idx, drops) = (s"$root/ivf", s"$root/drops")
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // 2-D unit vectors; minCos = 0.99 is an 8.1-degree radius, so the
+    // geometry below has >=0.005 cosine margin on every decision.
+    val base = Seq((0L, vec(0)), (1L, vec(10)), (100L, vec(90)), (101L, vec(80)))
+      .toDF("vec_id", "emb")
+    graft.operators.VectorIndex.build(spark, base, idx, isCentroid = col("vec_id") % 100 === 0)
+    def indexedIds: Seq[Long] =
+      spark.read.parquet(s"$idx/assignments").select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    def dropsOf(batchId: Long): Set[(Long, Long)] =
+      spark.read
+        .parquet(s"$drops/ingest_batch=$batchId")
+        .select("vec_id", "dup_of")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+
+    // Batch 0: 200 dups indexed vector 0 (cos 2 deg = .9994; the weaker
+    // neighbor 1 at cos 8 deg also passes — dup_of must pick the
+    // strongest). 201/202/203 are a within-batch chain: 201~202 (4 deg)
+    // and 202~203 (5 deg) pass, 201~203 (9 deg) does not.
+    val b0 = Seq((200L, vec(2)), (201L, vec(44)), (202L, vec(40)), (203L, vec(35)))
+      .toDF("vec_id", "emb")
+    val n0 = StreamingPipeline.semanticDedupIngestBatch(spark, b0, idx, drops, 0L, minCos = 0.99)
+    assert(n0 == 1L, s"only 201 survives batch 0, got $n0")
+    assert(indexedIds == Seq(0L, 1L, 100L, 101L, 201L))
+    // The greedy contract, pinned: dup_of is the strongest SMALLER-ID
+    // batch near-neighbor, so 203's dup_of is 202 — itself a dropped
+    // row, not the transitive survivor 201 (the q32 rule).
+    assert(dropsOf(0L) == Set((200L, 0L), (202L, 201L), (203L, 202L)), s"got ${dropsOf(0L)}")
+
+    // Batch 1: 300 is a CROSS-BATCH dup of batch-0 survivor 201 via the
+    // persistent index (cos 2 deg); 301 is fresh in the other cluster.
+    val b1 = Seq((300L, vec(42)), (301L, vec(60))).toDF("vec_id", "emb")
+    val n1 = StreamingPipeline.semanticDedupIngestBatch(spark, b1, idx, drops, 1L, minCos = 0.99)
+    assert(n1 == 1L && indexedIds == Seq(0L, 1L, 100L, 101L, 201L, 301L))
+    assert(dropsOf(1L) == Set((300L, 201L)), s"got ${dropsOf(1L)}")
+
+    // Replay of an applied batch: the probe excludes the batch's own
+    // vec_ids (so 301 does not collide with its indexed copy), the
+    // append anti-joins it away, the telemetry overwrite is identical —
+    // index and telemetry converge to the same state, accepted count
+    // and all (the exactly-once contract).
+    val nReplay = StreamingPipeline.semanticDedupIngestBatch(spark, b1, idx, drops, 1L, minCos = 0.99)
+    assert(nReplay == 1L, "replay reports the same accepted count")
+    assert(indexedIds == Seq(0L, 1L, 100L, 101L, 201L, 301L), "replayed batch must not grow the index")
+    assert(dropsOf(1L) == Set((300L, 201L)), "replayed telemetry is identical")
+
+    // Crash between the index append and the telemetry write: a prior
+    // attempt of batch 2 appended its survivor (400) and died. The
+    // retry must recompute to the same state — 400 not double-indexed,
+    // 401 still dropped against the PRE-batch index, telemetry written.
+    val b2 = Seq((400L, vec(20)), (401L, vec(2))).toDF("vec_id", "emb")
+    graft.operators.VectorIndex.append(spark, Seq((400L, vec(20))).toDF("vec_id", "emb"), idx)
+    val n2 = StreamingPipeline.semanticDedupIngestBatch(spark, b2, idx, drops, 2L, minCos = 0.99)
+    assert(n2 == 1L, s"retry accepts exactly the survivor, got $n2")
+    assert(indexedIds == Seq(0L, 1L, 100L, 101L, 201L, 301L, 400L), "no double-insert after the crash retry")
+    assert(dropsOf(2L) == Set((401L, 0L)), s"got ${dropsOf(2L)}")
+  }
+
+  test("streaming semantic dedup ingest end-to-end: cross-file dups drop via the persistent index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-semdedup-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    def js(deg: Double) = s"[${vec(deg).mkString(",")}]"
+    val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
+    graft.operators.VectorIndex.build(spark, base, s"$root/ivf", isCentroid = col("vec_id") % 100 === 0)
+    val embSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+        )
+      )
+    )
+    def run(): Unit =
+      StreamingPipeline
+        .semanticDedupIngest(spark, raw, s"$root/ivf", s"$root/drops", s"$root/ckpt", embSchema)
+        .awaitTermination(60000)
+    // File 1: two fresh vectors, far from the base and each other
+    // (default minCos 0.995 is a 5.7-degree radius).
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"vec_id":10,"embedding":${js(30)}}
+         |{"vec_id":11,"embedding":${js(60)}}""".stripMargin
+    )
+    run()
+    // File 2: 12 is a 1-degree variant of file 1's vector 10 (cross-FILE
+    // semantic dup, detectable only through the durable index); 13 is new.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"vec_id":12,"embedding":${js(31)}}
+         |{"vec_id":13,"embedding":${js(70)}}""".stripMargin
+    )
+    run()
+    val ids = spark.read
+      .parquet(s"$root/ivf/assignments")
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(ids == Set(0L, 100L, 10L, 11L, 13L), s"corpus must stay semantically dup-free, got $ids")
+    val drops = spark.read
+      .parquet(s"$root/drops")
+      .select("vec_id", "dup_of")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(drops == Set((12L, 10L)), s"the cross-file dup must be the only drop, got $drops")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"

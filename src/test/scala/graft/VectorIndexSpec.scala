@@ -238,6 +238,96 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(after.getLong(1) == df.count(), "no vectors lost through the CLI path")
   }
 
+  test("probePairs finds indexed near-dups and excludes the batch's own ids") {
+    import spark.implicits._
+    val idx = freshIndex()
+    val donor = vectors.filter(col("vec_id") === 7).select("emb").collect()(0).getSeq[Double](0)
+    // A rescaled copy of vector 7: cosine exactly 1.0 with its donor.
+    val copy = Seq((999999L, donor.map(_ * 2.0))).toDF("vec_id", "emb")
+    val pairs = graft.operators.VectorIndex
+      .probePairs(spark, copy, idx, minCosine = 0.9999)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((999999L, 7L)), s"copy must hit its donor: ${pairs.toSeq}")
+    assert(math.abs(pairs(0)._3 - 1.0) < 1e-12, s"cosine of a rescaled copy is 1.0: ${pairs.toSeq}")
+    // Replay shape: when the batch carries an already-indexed vec_id,
+    // that id's own indexed row must be invisible as a candidate — the
+    // probe sees exactly the PRE-batch index. With the donor in the
+    // batch, the copy has no 0.9999-neighbor left.
+    val replayBatch = Seq(
+      (7L, donor),
+      (999999L, donor.map(_ * 2.0))
+    ).toDF("vec_id", "emb")
+    val replayPairs = graft.operators.VectorIndex
+      .probePairs(spark, replayBatch, idx, minCosine = 0.9999)
+      .count()
+    assert(replayPairs == 0, "batch ids must be excluded from the candidate side")
+  }
+
+  test("probePairs partition-prunes on an int-typed cluster column") {
+    import spark.implicits._
+    // Small synthetic index: hive partition-value inference types the
+    // `cluster=` dirs as INT, so the typed-literal path (and the
+    // probed-cluster collect) must handle a non-long partition column.
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (1L, vec(10)), (100L, vec(90)), (101L, vec(80))).toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-probepairs-int").toString + "/ivf"
+    graft.operators.VectorIndex.build(spark, base, p, isCentroid = col("vec_id") % 100 === 0)
+    val ct = spark.read.parquet(s"$p/assignments").schema("cluster").dataType
+    assert(ct == org.apache.spark.sql.types.IntegerType, s"fixture must exercise the int-typed path, got $ct")
+    val batch = Seq((200L, vec(2))).toDF("vec_id", "emb")
+    val pairs = graft.operators.VectorIndex.probePairs(spark, batch, p, minCosine = 0.99)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 200 at 2 deg: cos vs 0 deg = .9994, vs 10 deg = .9903 — both pass
+    // 0.99; the strongest is chosen downstream, here both rows surface.
+    assert(got == Set((200L, 0L), (200L, 1L)), s"got $got")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"assignments scan must carry a cluster partition filter:\n$plan"
+    )
+  }
+
+  test("a centroid with an empty cluster dir (crash between rebalance writes) degrades gracefully") {
+    import spark.implicits._
+    // rebalance appends promoted centroids BEFORE touching assignment
+    // dirs, so the observable crash state is a centroid whose cluster
+    // dir does not exist yet. Every read path must stay correct: a
+    // full-width probe is still exact, and append() can later create
+    // the dir, making the centroid live.
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (1L, vec(10)), (100L, vec(90)), (101L, vec(80))).toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-orphan-cent").toString + "/ivf"
+    graft.operators.VectorIndex.build(spark, base, p, isCentroid = col("vec_id") % 100 === 0)
+    // Orphan centroid at 45 deg — nearest for mid-angle queries — with
+    // no cluster=500 dir anywhere.
+    Seq((500L, vec(45), 1.0))
+      .toDF("cent_id", "cent_emb", "cent_nrm")
+      .write
+      .mode("append")
+      .parquet(s"$p/centroids")
+    // nProbe over every centroid (incl. the orphan) is still exact.
+    val got = graft.operators.VectorIndex
+      .query(spark, Seq((1000L, vec(12))).toDF("vec_id", "emb"), p, topK = 2, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set((1L, 1), (0L, 2)), s"orphan centroid must not distort results: $got")
+    // A probe that lands ONLY on the orphan returns empty — degraded
+    // recall, never an error or a wrong row.
+    val onlyOrphan = graft.operators.VectorIndex
+      .query(spark, Seq((1001L, vec(45))).toDF("vec_id", "emb"), p, topK = 2, nProbe = 1)
+    assert(onlyOrphan.count() == 0, "empty-cluster probe must return no rows")
+    // append() then creates the dir: the orphan becomes a live cluster.
+    graft.operators.VectorIndex.append(spark, Seq((501L, vec(44))).toDF("vec_id", "emb"), p)
+    val revived = graft.operators.VectorIndex
+      .query(spark, Seq((1001L, vec(45))).toDF("vec_id", "emb"), p, topK = 2, nProbe = 1)
+      .collect()
+      .map(_.getLong(2))
+      .toSet
+    assert(revived == Set(501L), s"recovered centroid must serve its appended member: $revived")
+  }
+
   test("append assigns against frozen centroids and is idempotent on replay") {
     import spark.implicits._
     val idx = freshIndex()
