@@ -81,19 +81,35 @@ object Bench {
     // can be graded. (The memo is evicted before EVERY rep, so the
     // spread is I/O and JIT residue — never a memoized-result hit.)
     val totalCold = perRep.flatMap(_._2.headOption.flatten).sum
+    // Contention self-identification: spread = max/min over a query's
+    // successful reps. Queries here share no state across reps (the
+    // memo is evicted), so steady-state spread is I/O + JIT residue —
+    // at most ~2x, concentrated in rep 1. A run where max_spread >> 2
+    // across many stateless queries is contaminated by co-tenants (the
+    // BENCH_r03/r05 signature: driver reps growing monotonically 2-6x
+    // late in the run, none of it reproducible idle) and should be
+    // judged on min-of-reps only, or re-run idle.
+    val spreads: Map[String, Double] = perRep.flatMap { case (name, ts) =>
+      val good = ts.flatten
+      if (good.size >= 2 && good.min > 0) Some(name -> good.max / good.min) else None
+    }.toMap
+    val maxSpread = if (spreads.nonEmpty) spreads.values.max else 1.0
+    val spreadJson = spreads.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     // Per-rep raw timings go to bench_out.json only (the stdout line
     // stays compact); min-of-reps is what the driver grades on.
     val repsJson = perRep.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(_.map(r3).getOrElse("null")).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"policy":"evict_memo_between_reps","total_cold":${r3(totalCold)},"failed":$failedJson,"queries":$qs,"per_rep":$repsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"policy":"evict_memo_between_reps","total_cold":${r3(totalCold)},"max_spread":${r3(maxSpread)},"failed":$failedJson,"queries":$qs,"spread":$spreadJson,"per_rep":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; with 73 queries the
     // single full line is ~2KB and its head gets truncated (BENCH_r01/r02
     // recorded parsed:null). Print the full line first for humans /
     // bench_out.json, then a SHORT summary line LAST so a complete JSON
     // object always survives tail truncation.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"max_spread":${r3(maxSpread)},"sf":"$sfDir"}"""
     println(full)
     // sbt prefixes every stdout line with "[info] ", which breaks the
     // driver's JSON parse. Write the full line to a file the driver (or a

@@ -115,7 +115,8 @@ object SparkEntry {
     "q93_containment" -> (TextQueries.q93Containment _),
     "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _),
     "q95_semantic_dedup_capped" -> (VectorQueries.q95SemanticDedupCapped _),
-    "q96_ivf_index_probe" -> (VectorQueries.q96IvfIndexProbe _)
+    "q96_ivf_index_probe" -> (VectorQueries.q96IvfIndexProbe _),
+    "q97_semantic_dedup_ingest" -> (VectorQueries.q97SemanticDedupIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1225,6 +1226,60 @@ object SparkEntry {
         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, a.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * a.nrm) DESC,
         |      a.vec_id ASC) AS rank
         |  FROM q JOIN assigned a ON q.cluster = a.cluster WHERE a.vec_id <> q.query_id)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+    "q97_semantic_dedup_ingest" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm FROM n WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, emb, nrm, cluster FROM (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(n.emb, c.cent_emb), p -> p[1]*p[2])), (a,v) -> a+v) / (n.nrm * c.cent_nrm) DESC,
+        |        c.cent_id ASC) AS arn
+        |  FROM n, cent c) WHERE arn = 1),
+        |idx0 AS (SELECT * FROM assigned WHERE vec_id % 5 <= 2),
+        |b0 AS (SELECT * FROM assigned WHERE vec_id % 5 = 3),
+        |id0 AS (SELECT vec_id, dup_of, cosine FROM (
+        |  SELECT b.vec_id, i.vec_id AS dup_of,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) DESC,
+        |      i.vec_id ASC) AS rn
+        |  FROM b0 b JOIN idx0 i ON b.cluster = i.cluster
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) >= 0.35) WHERE rn = 1),
+        |f0 AS (SELECT * FROM b0 WHERE vec_id NOT IN (SELECT vec_id FROM id0)),
+        |bd0 AS (SELECT vec_id, dup_of, cosine FROM (
+        |  SELECT b.vec_id, a.vec_id AS dup_of,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) DESC,
+        |      a.vec_id ASC) AS rn
+        |  FROM f0 b JOIN f0 a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.35) WHERE rn = 1),
+        |idx1 AS (SELECT * FROM idx0 UNION ALL
+        |  SELECT * FROM f0 WHERE vec_id NOT IN (SELECT vec_id FROM bd0)),
+        |b1 AS (SELECT * FROM assigned WHERE vec_id % 5 = 4),
+        |id1 AS (SELECT vec_id, dup_of, cosine FROM (
+        |  SELECT b.vec_id, i.vec_id AS dup_of,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) DESC,
+        |      i.vec_id ASC) AS rn
+        |  FROM b1 b JOIN idx1 i ON b.cluster = i.cluster
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.emb, i.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (b.nrm * i.nrm) >= 0.35) WHERE rn = 1),
+        |f1 AS (SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM id1)),
+        |bd1 AS (SELECT vec_id, dup_of, cosine FROM (
+        |  SELECT b.vec_id, a.vec_id AS dup_of,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) DESC,
+        |      a.vec_id ASC) AS rn
+        |  FROM f1 b JOIN f1 a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.35) WHERE rn = 1)
+        |SELECT CAST(0 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM id0
+        |UNION ALL SELECT CAST(0 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM bd0
+        |UNION ALL SELECT CAST(1 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM id1
+        |UNION ALL SELECT CAST(1 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM bd1""".stripMargin
   )
 }

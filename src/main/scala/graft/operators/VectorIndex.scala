@@ -195,10 +195,23 @@ object VectorIndex {
   def append(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val cent = spark.read.parquet(s"$indexPath/centroids")
-    val existing = spark.read.parquet(s"$indexPath/assignments").select("vec_id")
     val fresh = withNorm(batch.select(col("vec_id"), col("emb")))
+    appendAssigned(spark, assignTo(fresh, cent), indexPath)
+  }
+
+  /** [[append]] for rows that ALREADY carry their assignment
+    * `(vec_id, emb, nrm, cluster)` — the ingest path computes the
+    * assignment once for its within-batch pairing and must not pay the
+    * centroid cross join a second time to index the survivors. Same
+    * idempotence contract: already-indexed vec_ids are anti-joined
+    * away, so a replayed batch cannot double-append.
+    */
+  def appendAssigned(spark: SparkSession, assigned: DataFrame, indexPath: String): Unit = {
+    val existing = spark.read.parquet(s"$indexPath/assignments").select("vec_id")
+    assigned
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
       .join(existing, Seq("vec_id"), "left_anti")
-    assignTo(fresh, cent).write
+      .write
       .mode("append")
       .partitionBy("cluster")
       .parquet(s"$indexPath/assignments")

@@ -195,7 +195,10 @@ object Pipeline {
   * `--maintenance materialize_features --data D --state S` (durable
   * shared text-feature tables), and
   * `--maintenance rebalance_vector_index --path P [--max_over_median N]`
-  * (IVF skew escalation — split clusters above N× the median size).
+  * (IVF skew escalation — split clusters above N× the median size), and
+  * `--maintenance semantic_dedup_ingest --raw R --index I --drops D
+  * --checkpoint C [--min_cos X]` (drain arriving embedding JSON files
+  * through streaming SemDeDup against the persistent IVF index).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -258,6 +261,30 @@ object PipelineRunner {
         val bound = opts.getOrElse("max_over_median", "8").toDouble
         val split = graft.operators.VectorIndex.rebalance(spark, path, bound)
         println(s"[maintenance] rebalanced $path: $split cluster(s) split")
+      case Some("semantic_dedup_ingest") =>
+        // Streaming SemDeDup over arriving embedding files: probe the
+        // persistent IVF index, drop near-dups, append survivors —
+        // the scheduled twin of dedup/near-dup ingest
+        // (StreamingPipeline.semanticDedupIngest). Embedding JSON shape:
+        // {"vec_id": long, "embedding": [double, ...]}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val index = opts.getOrElse("index", sys.error("--index <ivf dir> required"))
+        val drops = opts.getOrElse("drops", sys.error("--drops <telemetry dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val minCos = opts.getOrElse("min_cos", "0.995").toDouble
+        val embSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "embedding",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+            )
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .semanticDedupIngest(spark, raw, index, drops, ckpt, embSchema, minCos)
+          .awaitTermination()
+        println(s"[maintenance] semantic dedup ingest drained $raw into $index")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))

@@ -476,6 +476,51 @@ object VectorQueries {
       .toDF("query_id", "cluster", "vec_id", "rank", "cosine")
   }
 
+  /** Streaming SEMANTIC dedup ingest exercised END-TO-END as an oracle
+    * query — the q96 scratch-state pattern applied to
+    * [[graft.streaming.StreamingPipeline.semanticDedupIngestBatch]]:
+    * build a scratch IVF index from the `vec_id % 5 <= 2` slice of the
+    * corpus (id-rule centroids, the q26/q96 quantizer), ingest the
+    * `% 5 == 3` slice as batch 0 and the `% 5 == 4` slice as batch 1,
+    * and return the drops telemetry of both batches. Batch 1 probes the
+    * POST-batch-0 index, so the oracle replays the full sequential
+    * contract: assignment to frozen centroids, cluster-blocked probe
+    * against the index as of each batch, strongest-neighbor `dup_of`
+    * (ties toward the smaller id), the greedy smaller-id within-batch
+    * rule, and survivors joining the index between batches. minCos 0.35
+    * sits inside the fixture's cosine distribution (max pairwise 0.513)
+    * so both batches produce index drops AND within-batch drops, and
+    * several batch-1 `dup_of`s point at batch-0 SURVIVORS — the
+    * cross-batch property that distinguishes ingest dedup from one-shot
+    * SemDeDup. The result is bounded (53 drop rows at sf0.01); the
+    * scratch dirs are deleted after materialization.
+    */
+  def q97SemanticDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vectors = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q97")
+    val idxPath = root.resolve("ivf").toString
+    val dropsPath = root.resolve("drops").toString
+    graft.operators.VectorIndex
+      .build(spark, vectors.filter(col("vec_id") % 5 <= 2), idxPath, col("vec_id") % 100 === 0)
+    graft.streaming.StreamingPipeline
+      .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 3), idxPath, dropsPath, 0L, minCos = 0.35)
+    graft.streaming.StreamingPipeline
+      .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 4), idxPath, dropsPath, 1L, minCos = 0.35)
+    val rows = spark.read
+      .parquet(dropsPath)
+      .select(col("ingest_batch").cast("long").as("ingest_batch"), col("vec_id"), col("dup_of"), col("cosine"))
+      .collect()
+      .toIndexedSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toDF("ingest_batch", "vec_id", "dup_of", "cosine")
+  }
+
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of
     * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the

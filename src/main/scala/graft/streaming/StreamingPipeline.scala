@@ -422,6 +422,12 @@ object StreamingPipeline {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.GraftFunctions.graft_dot(a, b)
     val v = batch.select(col("vec_id"), col("emb"))
+    // Each intermediate below is PINNED (localCheckpoint) before the
+    // next step consumes it: every set is bounded by the batch size,
+    // the probe/pair subtrees execute exactly once per batch instead of
+    // once per downstream action, and the settle-before-effect rule is
+    // structural — the telemetry written after the index append cannot
+    // re-probe the mutated index, because it reads the pinned rows.
     val indexDrops = graft.operators.VectorIndex
       .probePairs(spark, v, indexPath, minCos)
       .groupBy(col("vec_id"))
@@ -429,8 +435,11 @@ object StreamingPipeline {
         max_by(col("dup_of"), struct(col("cosine"), -col("dup_of"))).as("dup_of"),
         max(col("cosine")).as("cosine")
       )
+      .localCheckpoint()
     val fresh = v.join(indexDrops.select("vec_id"), Seq("vec_id"), "left_anti")
-    val assigned = graft.operators.VectorIndex.assignBatch(spark, fresh, indexPath)
+    // One assignment pass serves both the within-batch pairing and the
+    // survivor append (appendAssigned skips the second cross join).
+    val assigned = graft.operators.VectorIndex.assignBatch(spark, fresh, indexPath).localCheckpoint()
     val aSide = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val bSide = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     val batchDrops = aSide
@@ -444,13 +453,9 @@ object StreamingPipeline {
         max(col("cosine")).as("cosine")
       )
       .select(col("id_b").as("vec_id"), col("dup_of"), col("cosine"))
-    // Settle the accepted set BEFORE any effect (the dedupIngestBatch
-    // rule): both the append and the telemetry write must see the same
-    // rows even though the index mutates underneath.
-    val accepted = fresh
-      .join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
       .localCheckpoint()
-    graft.operators.VectorIndex.append(spark, accepted, indexPath)
+    val accepted = assigned.join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+    graft.operators.VectorIndex.appendAssigned(spark, accepted, indexPath)
     indexDrops
       .select(col("vec_id"), col("dup_of"), col("cosine"))
       .unionByName(batchDrops)
@@ -472,7 +477,8 @@ object StreamingPipeline {
       indexPath: String,
       dropsPath: String,
       checkpoint: String,
-      embSchema: StructType
+      embSchema: StructType,
+      minCos: Double = 0.995
   ): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(embSchema)
@@ -486,7 +492,8 @@ object StreamingPipeline {
           batch.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
           indexPath,
           dropsPath,
-          batchId
+          batchId,
+          minCos
         )
         ()
       }

@@ -572,6 +572,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(drops == Set((12L, 10L)), s"the cross-file dup must be the only drop, got $drops")
   }
 
+  test("maintenance CLI verb semantic_dedup_ingest drains a raw dir through the index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-semdedup-cli").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
+    graft.operators.VectorIndex.build(spark, base, s"$root/ivf", isCentroid = col("vec_id") % 100 === 0)
+    // 10 is a 1-degree variant of indexed vector 0 (drops at the 0.995
+    // default); 11 is fresh.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"vec_id":10,"embedding":[${vec(1).mkString(",")}]}
+         |{"vec_id":11,"embedding":[${vec(45).mkString(",")}]}""".stripMargin
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "semantic_dedup_ingest",
+        "--raw", raw,
+        "--index", s"$root/ivf",
+        "--drops", s"$root/drops",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    val ids = spark.read
+      .parquet(s"$root/ivf/assignments")
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(ids == Set(0L, 100L, 11L), s"CLI ingest must drop the dup and append the survivor, got $ids")
+    val drops = spark.read
+      .parquet(s"$root/drops")
+      .select("vec_id", "dup_of")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(drops == Set((10L, 0L)), s"got $drops")
+  }
+
   test("incremental foreachBatch pipeline writes users+time tables") {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
