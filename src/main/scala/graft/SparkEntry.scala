@@ -116,7 +116,9 @@ object SparkEntry {
     "q94_quantile_bins" -> (CoreQueries.q94QuantileBins _),
     "q95_semantic_dedup_capped" -> (VectorQueries.q95SemanticDedupCapped _),
     "q96_ivf_index_probe" -> (VectorQueries.q96IvfIndexProbe _),
-    "q97_semantic_dedup_ingest" -> (VectorQueries.q97SemanticDedupIngest _)
+    "q97_semantic_dedup_ingest" -> (VectorQueries.q97SemanticDedupIngest _),
+    "q98_semi_hard_negatives" -> (VectorQueries.q98SemiHardNegatives _),
+    "q99_hybrid_rrf" -> (VectorQueries.q99HybridRrf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1280,6 +1282,71 @@ object SparkEntry {
         |SELECT CAST(0 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM id0
         |UNION ALL SELECT CAST(0 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM bd0
         |UNION ALL SELECT CAST(1 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM id1
-        |UNION ALL SELECT CAST(1 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM bd1""".stripMargin
+        |UNION ALL SELECT CAST(1 AS BIGINT) AS ingest_batch, vec_id, dup_of, cosine FROM bd1""".stripMargin,
+    "q98_semi_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, q.q_label, c.vec_id, c.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * c.nrm) AS cosine
+        |  FROM q, n c WHERE c.vec_id >= 5),
+        |pos AS (SELECT query_id, pos_id, pos_cos FROM (
+        |  SELECT query_id, vec_id AS pos_id, cosine AS pos_cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine ASC, vec_id ASC) AS rn
+        |  FROM scored WHERE label = q_label) WHERE rn = 1)
+        |SELECT query_id, pos_id, pos_cos, neg_id, neg_label, CAST(rank AS INTEGER) AS rank, neg_cos FROM (
+        |  SELECT s.query_id, p.pos_id, p.pos_cos, s.vec_id AS neg_id, s.label AS neg_label, s.cosine AS neg_cos,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id ASC) AS rank
+        |  FROM scored s JOIN pos p ON s.query_id = p.query_id
+        |  WHERE s.label <> s.q_label AND s.cosine < p.pos_cos AND s.cosine >= p.pos_cos - CAST(0.1 AS DOUBLE))
+        |WHERE rank <= 5""".stripMargin,
+    "q99_hybrid_rrf" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl FROM tk),
+        |inst AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM inst
+        |  WHERE token IN ('spark', 'table') GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    max(CASE WHEN token = 'spark' THEN tf END) AS tf_a,
+        |    max(CASE WHEN token = 'table' THEN tf END) AS tf_b
+        |  FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM dl) AS n_docs,
+        |    (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+        |    (SELECT df FROM dfq WHERE token = 'spark') AS df_a,
+        |    (SELECT df FROM dfq WHERE token = 'table') AS df_b),
+        |bm AS (SELECT w.doc_id,
+        |  (CASE WHEN w.tf_a IS NOT NULL THEN
+        |     ((CAST(s.n_docs AS DOUBLE) - s.df_a + CAST(0.5 AS DOUBLE)) / (s.df_a + CAST(0.5 AS DOUBLE)))
+        |     * (w.tf_a * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |     / (w.tf_a + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        |   ELSE CAST(0.0 AS DOUBLE) END
+        |  + CASE WHEN w.tf_b IS NOT NULL THEN
+        |     ((CAST(s.n_docs AS DOUBLE) - s.df_b + CAST(0.5 AS DOUBLE)) / (s.df_b + CAST(0.5 AS DOUBLE)))
+        |     * (w.tf_b * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |     / (w.tf_b + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        |   ELSE CAST(0.0 AS DOUBLE) END) AS bm25
+        |FROM wide w JOIN dl d ON w.doc_id = d.doc_id, stats s),
+        |ttop AS (SELECT doc_id, CAST(rn AS INTEGER) AS t_rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn FROM bm) WHERE rn <= 20),
+        |vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT emb AS q_emb, nrm AS q_nrm FROM vn WHERE vec_id = 0),
+        |vtop AS (SELECT doc_id, CAST(rn AS INTEGER) AS v_rank FROM (
+        |  SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2])), (x,y) -> x+y) / (q.q_nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS rn
+        |  FROM vn c, qv q WHERE c.vec_id <> 0) WHERE rn <= 20)
+        |SELECT doc_id, t_rank, v_rank, rrf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT doc_id, t_rank, v_rank, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank FROM (
+        |    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.t_rank, v.v_rank,
+        |      (CASE WHEN t.t_rank IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + t.t_rank) ELSE CAST(0.0 AS DOUBLE) END
+        |       + CASE WHEN v.v_rank IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + v.v_rank) ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+        |    FROM ttop t FULL JOIN vtop v ON t.doc_id = v.doc_id))
+        |WHERE rank <= 10""".stripMargin
   )
 }

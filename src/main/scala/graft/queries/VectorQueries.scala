@@ -521,6 +521,103 @@ object VectorQueries {
       .toDF("ingest_batch", "vec_id", "dup_of", "cosine")
   }
 
+  /** Semi-hard negative mining for contrastive training (the FaceNet
+    * selection rule, Schroff et al. 2015, in cosine space): for each
+    * anchor (vec_id < 5), find its HARDEST POSITIVE — the same-label
+    * candidate with the minimum cosine, i.e. the pair a metric-learning
+    * loss struggles most to pull together — then emit the top-5
+    * different-label candidates inside the semi-hard band
+    * `pos_cos - 0.1 <= cos < pos_cos`: negatives currently ranked
+    * correctly but within the margin, the ones that actually produce
+    * gradient. Scale shape: one broadcast of the (few) anchors over a
+    * single candidate scan (the q24 pattern), the hardest-positive
+    * aggregate is a min_by partial agg (no window over the scored
+    * relation), and the band filter prunes before the per-anchor top-k
+    * window. All cosine arithmetic is the bit-deterministic sequential
+    * fold; the margin subtraction is one IEEE op mirrored by the oracle.
+    */
+  def q98SemiHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q)
+      .join(e.filter(col("vec_id") >= 5), expr("true"), "cross")
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+    val hardestPos = scored
+      .filter(col("label") === col("q_label"))
+      .groupBy(col("query_id"))
+      .agg(
+        min_by(col("vec_id"), struct(col("cosine"), col("vec_id"))).as("pos_id"),
+        min(col("cosine")).as("pos_cos")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .filter(col("label") =!= col("q_label"))
+      .join(broadcast(hardestPos), Seq("query_id"))
+      .filter(col("cosine") < col("pos_cos") && col("cosine") >= col("pos_cos") - lit(0.1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("query_id"),
+        col("pos_id"),
+        col("pos_cos"),
+        col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        col("rank"),
+        col("cosine").as("neg_cos")
+      )
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the BM25 top-20 for the fixed term query (exactly
+    * [[graft.queries.TextQueries.q82Bm25]]'s scoring — embeddings row i
+    * is the embedding of document i) with the cosine top-20 for query
+    * vector 0, by `rrf = Σ 1/(60 + rank)` over the lists a document
+    * appears in. The standard lexical+semantic serving pattern, and the
+    * retrieval twin of the recall harness q85. Scale shape: each side's
+    * top-k is an `orderBy().limit()` — TakeOrderedAndProject, never a
+    * global window over the corpus-sized score relation; ranks are then
+    * assigned on the ≤20-row results and fused with a full-outer join
+    * over ≤40 rows. RRF doubles are deterministic: 1/(60+r) divides
+    * exact integer operands, and the two list terms add in a fixed
+    * order, mirrored by the oracle.
+    */
+  def q99HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val wT = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val textTop = TextQueries
+      .q82Bm25(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("t_rank", row_number().over(wT))
+      .select(col("doc_id"), col("t_rank"))
+    val e = emb(spark, dir)
+    val qv = e
+      .filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val wV = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    val vecTop = e
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("v_rank", row_number().over(wV))
+      .select(col("doc_id"), col("v_rank"))
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    textTop
+      .join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(60) + col("t_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("v_rank")), lit(0.0))
+      )
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"), col("t_rank"), col("v_rank"), col("rrf"), col("rank"))
+  }
+
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of
     * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the

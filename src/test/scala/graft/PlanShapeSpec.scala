@@ -229,6 +229,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
   }
 
+  test("q98: hardest-positive is a min_by aggregate; band filter precedes the top-k window") {
+    val plan = planOf(queries.VectorQueries.q98SemiHardNegatives(spark, sf))
+    assert(plan.contains("min_by"), s"hardest positive must plan as a min_by aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"anchors must broadcast, never cartesian:\n$plan")
+    // The per-anchor top-5 gets the group-limit pushdown, so only the
+    // in-band negatives reach the window sort.
+    assert(plan.contains("WindowGroupLimit"), s"group-limit pushdown expected:\n$plan")
+  }
+
+  test("q99: both retrieval arms take top-k via TakeOrderedAndProject, not corpus-wide windows") {
+    val plan = planOf(queries.VectorQueries.q99HybridRrf(spark, sf))
+    // Two arms, two global top-20s: each must plan as a distributed
+    // TakeOrdered (map-side k rows), never a single-partition window
+    // sort over the corpus-sized score relation. The only windows left
+    // are the rank assignments over the <=20-row results.
+    assert(
+      "TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"both arms must TakeOrdered:\n$plan"
+    )
+    assert(plan.contains("FullOuter"), s"fusion must be a full-outer join:\n$plan")
+  }
+
   test("q81: fixed-size sample gets the partial WindowGroupLimit pushdown") {
     val plan = planOf(queries.TextQueries.q81FixedSample(spark, sf))
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
