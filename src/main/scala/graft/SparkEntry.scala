@@ -118,7 +118,8 @@ object SparkEntry {
     "q96_ivf_index_probe" -> (VectorQueries.q96IvfIndexProbe _),
     "q97_semantic_dedup_ingest" -> (VectorQueries.q97SemanticDedupIngest _),
     "q98_semi_hard_negatives" -> (VectorQueries.q98SemiHardNegatives _),
-    "q99_hybrid_rrf" -> (VectorQueries.q99HybridRrf _)
+    "q99_hybrid_rrf" -> (VectorQueries.q99HybridRrf _),
+    "q100_label_noise" -> (VectorQueries.q100LabelNoise _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1347,6 +1348,31 @@ object SparkEntry {
         |      (CASE WHEN t.t_rank IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + t.t_rank) ELSE CAST(0.0 AS DOUBLE) END
         |       + CASE WHEN v.v_rank IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + v.v_rank) ELSE CAST(0.0 AS DOUBLE) END) AS rrf
         |    FROM ttop t FULL JOIN vtop v ON t.doc_id = v.doc_id))
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+    "q100_label_noise" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |x AS (SELECT label, CAST(t.pos AS INTEGER) AS pos, emb[t.pos + 1] AS v
+        |  FROM n, (SELECT unnest(range(0, 64)) AS pos) t),
+        |cm AS (SELECT label, pos,
+        |    CAST(sum(CAST(floor(v * 1073741824) AS BIGINT)) AS DOUBLE) / (count(*) * CAST(1073741824 AS DOUBLE)) AS cv
+        |  FROM x GROUP BY label, pos),
+        |cent AS (SELECT label AS c_label, list(cv ORDER BY pos ASC) AS cent FROM cm GROUP BY label),
+        |centn AS (SELECT c_label, cent,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(cent, cent), p -> p[1]*p[2])), (a,v) -> a+v)) AS c_nrm
+        |  FROM cent),
+        |scored AS (SELECT e.vec_id, e.label, c.c_label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e.emb, c.cent), p -> p[1]*p[2])), (x,y) -> x+y) / (e.nrm * c.c_nrm) AS c_cos
+        |  FROM n e, centn c),
+        |self AS (SELECT vec_id, label, c_cos AS cos_self FROM scored WHERE label = c_label),
+        |alt AS (SELECT vec_id, alt_label, cos_alt FROM (
+        |  SELECT vec_id, c_label AS alt_label, c_cos AS cos_alt,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_label ASC) AS rn
+        |  FROM scored WHERE label <> c_label) WHERE rn = 1)
+        |SELECT label, vec_id, CAST(rank AS INTEGER) AS rank, cos_self, alt_label, cos_alt FROM (
+        |  SELECT s.label, s.vec_id, s.cos_self, a.alt_label, a.cos_alt,
+        |    row_number() OVER (PARTITION BY s.label ORDER BY s.cos_self ASC, s.vec_id ASC) AS rank
+        |  FROM self s JOIN alt a ON s.vec_id = a.vec_id) WHERE rank <= 5""".stripMargin
   )
 }

@@ -618,6 +618,56 @@ object VectorQueries {
       .select(col("doc_id"), col("t_rank"), col("v_rank"), col("rrf"), col("rank"))
   }
 
+  /** Label-noise mining (confident-learning-style, cf. Northcutt et al.
+    * 2021): per label, the 5 members LEAST similar to their own label
+    * centroid — the mislabel/outlier candidates a curation pass sends
+    * to review — each annotated with the label whose centroid it is
+    * actually closest to (`alt_label`). Centroids are the q31
+    * integer-scaled exact means (order-independent long sums, so the
+    * centroid doubles are bit-identical across engines and
+    * partitionings), assembled per label into an array; cosines are the
+    * sequential-fold dot against a 10-row broadcast. Scale shape: one
+    * posexplode aggregate for the centroids (rows = labels × dims), one
+    * corpus scan scored against the broadcast centroid table with the
+    * alt-label argmax as a max_by partial aggregate, and the per-label
+    * bottom-5 as a WindowGroupLimit-eligible ranking window.
+    */
+  def q100LabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(floor(col("v") * 1073741824L)).cast("double") / (count(lit(1)) * lit(1073741824.0)))
+          .as("cv")
+      )
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))), s => s.getField("cv"))
+          .as("cent")
+      )
+      .select(col("label").as("c_label"), col("cent"), sqrt(dot(col("cent"), col("cent"))).as("c_nrm"))
+    val scored = e
+      .join(broadcast(cents), expr("true"), "cross")
+      .withColumn("c_cos", dot(col("emb"), col("cent")) / (col("nrm") * col("c_nrm")))
+    val self = scored
+      .filter(col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("c_cos").as("cos_self"))
+    val alt = scored
+      .filter(col("label") =!= col("c_label"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_label"), struct(col("c_cos"), -col("c_label"))).as("alt_label"),
+        max(col("c_cos")).as("cos_alt")
+      )
+    val w = Window.partitionBy(col("label")).orderBy(col("cos_self").asc, col("vec_id").asc)
+    self
+      .join(alt, Seq("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("vec_id"), col("rank"), col("cos_self"), col("alt_label"), col("cos_alt"))
+  }
+
   /** Product quantization codes: the 64-dim vector splits into 4
     * subspaces of 16 dims; each subvector is assigned to the nearest of
     * 4 seed sub-centroids (vec_id < 4) by squared L2, ties toward the

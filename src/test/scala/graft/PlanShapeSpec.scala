@@ -251,6 +251,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"fusion must be a full-outer join:\n$plan")
   }
 
+  test("q100: alt-label argmax is a max_by aggregate; centroids broadcast; bottom-5 group-limited") {
+    val plan = planOf(queries.VectorQueries.q100LabelNoise(spark, sf))
+    assert(plan.contains("max_by"), s"alt-label argmax must plan as a max_by aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"centroid table must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"per-label bottom-5 needs the group-limit pushdown:\n$plan")
+  }
+
   test("q81: fixed-size sample gets the partial WindowGroupLimit pushdown") {
     val plan = planOf(queries.TextQueries.q81FixedSample(spark, sf))
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
