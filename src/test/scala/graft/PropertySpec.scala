@@ -147,6 +147,83 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("probePairs matches a reference cluster-blocked scan; ingest replay is a fixed point") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Random 3-dim grid vectors (no zero vectors — a zero norm makes
+    // cosine NaN, which is a data-contract violation, not a case the
+    // operator defines). Even ids form the index (ids % 4 == 0 are the
+    // centroids), odd ids arrive as the ingest batch.
+    val compGen = Gen.choose(-4, 4).map(_ / 2.0)
+    val vecGen = Gen.listOfN(3, compGen).suchThat(_.exists(_ != 0.0))
+    val corpusGen = for {
+      n <- Gen.choose(8, 20)
+      vs <- Gen.listOfN(n, vecGen)
+      minCos <- Gen.oneOf(0.3, 0.7, 0.9)
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, minCos)
+
+    def dotRef(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def nrmRef(a: Seq[Double]): Double = math.sqrt(dotRef(a, a))
+
+    forAllSamples(corpusGen) { case (corpus, minCos) =>
+      val base = corpus.filter(_._1 % 2 == 0)
+      val batch = corpus.filter(_._1 % 2 == 1)
+      val cents = base.filter(_._1 % 4 == 0)
+      def assign(v: Seq[Double]): Long =
+        cents
+          .map { case (cid, cv) => (dotRef(v, cv) / (nrmRef(v) * nrmRef(cv)), cid) }
+          .sortBy { case (cos, cid) => (-cos, cid) }
+          .head
+          ._2
+      // Reference: every indexed vector in the batch vector's assigned
+      // cluster at cosine >= minCos (batch ids excluded by id split).
+      val want = (for {
+        (bid, bv) <- batch
+        (iid, iv) <- base
+        if assign(iv) == assign(bv)
+        cos = dotRef(bv, iv) / (nrmRef(bv) * nrmRef(iv))
+        if cos >= minCos
+      } yield (bid, iid, cos)).toSet
+
+      val root = java.nio.file.Files.createTempDirectory("graft-prop-ivf").toString
+      val idx = s"$root/ivf"
+      graft.operators.VectorIndex
+        .build(spark, base.toDF("vec_id", "emb"), idx, isCentroid = col("vec_id") % 4 === 0)
+      val got = graft.operators.VectorIndex
+        .probePairs(spark, batch.toDF("vec_id", "emb"), idx, minCos)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"probePairs must equal the reference scan (minCos=$minCos):\n got=$got\nwant=$want")
+
+      // Replay fixed point: applying the same ingest batch twice leaves
+      // index assignments, telemetry, and the accepted count unchanged.
+      def indexRows: Set[(Long, Long)] =
+        spark.read
+          .parquet(s"$idx/assignments")
+          .select(col("vec_id"), col("cluster").cast("long"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+      def dropRows: Set[(Long, Long, Double)] =
+        spark.read
+          .parquet(s"$root/drops/ingest_batch=0")
+          .select("vec_id", "dup_of", "cosine")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      val n1 = graft.streaming.StreamingPipeline
+        .semanticDedupIngestBatch(spark, batch.toDF("vec_id", "emb"), idx, s"$root/drops", 0L, minCos)
+      val (i1, d1) = (indexRows, dropRows)
+      val n2 = graft.streaming.StreamingPipeline
+        .semanticDedupIngestBatch(spark, batch.toDF("vec_id", "emb"), idx, s"$root/drops", 0L, minCos)
+      assert(n2 == n1, s"replay accepted count must match: $n1 vs $n2")
+      assert(indexRows == i1, "replay must not change index assignments")
+      assert(dropRows == d1, "replay must not change telemetry")
+    }
+  }
+
   test("zValue: equal iff quantized cells equal; bounded by 4^bits; corners map to extremes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
