@@ -572,6 +572,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(drops == Set((12L, 10L)), s"the cross-file dup must be the only drop, got $drops")
   }
 
+  test("semantic dedup ingest: an empty batch is a no-op with empty telemetry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-semdedup-empty").toString
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
+    graft.operators.VectorIndex.build(spark, base, s"$root/ivf", isCentroid = col("vec_id") % 100 === 0)
+    val before = spark.read.parquet(s"$root/ivf/assignments").count()
+    // Streams deliver empty micro-batches routinely (idle trigger
+    // firings, filtered-out files) — the ingest must not throw on the
+    // empty probed-cluster set, must not touch the index, and must
+    // still overwrite its telemetry partition (so a replayed empty
+    // batch stays idempotent too).
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    val n = StreamingPipeline.semanticDedupIngestBatch(spark, empty, s"$root/ivf", s"$root/drops", 0L, minCos = 0.99)
+    assert(n == 0L, "empty batch accepts nothing")
+    assert(spark.read.parquet(s"$root/ivf/assignments").count() == before, "index untouched")
+    assert(
+      spark.read.parquet(s"$root/drops/ingest_batch=0").count() == 0,
+      "telemetry partition exists and is empty"
+    )
+  }
+
   test("maintenance CLI verb semantic_dedup_ingest drains a raw dir through the index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
