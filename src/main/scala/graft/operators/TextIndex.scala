@@ -46,6 +46,11 @@ object TextIndex {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("token")))
+      // Co-locate each bucket before the partitioned write: one
+      // postings-row shuffle buys ~one file per bucket dir instead of
+      // shuffle-partitions × 64 tiny files (the VectorIndex.build
+      // file-count rule).
+      .repartition(col("bucket"))
       .write
       .mode("overwrite")
       .partitionBy("bucket")
@@ -70,6 +75,7 @@ object TextIndex {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("token")))
+      .repartition(col("bucket")) // ~one file per touched bucket dir (see build)
       .write
       .mode("append")
       .partitionBy("bucket")

@@ -71,7 +71,15 @@ object VectorIndex {
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
     cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
     val centR = spark.read.parquet(s"$indexPath/centroids")
-    assignTo(v, centR).write
+    // Co-locate each cluster's rows before the partitioned write: one
+    // N-row shuffle buys ~one file per cluster dir instead of
+    // shuffle-partitions × clusters tiny files (measured 10k files for
+    // 316 clusters without it — at warehouse scale that is millions of
+    // files per build). Cluster-size skew is bounded by the
+    // maxOverMedian/rebalance guard, so no writer task degenerates.
+    assignTo(v, centR)
+      .repartition(col("cluster"))
+      .write
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexPath/assignments")
@@ -183,7 +191,12 @@ object VectorIndex {
     overIds.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/assignments/cluster=$c"), true)
     }
-    reassigned.write.mode("append").partitionBy("cluster").parquet(s"$indexPath/assignments")
+    reassigned
+      .repartition(col("cluster"))
+      .write
+      .mode("append")
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/assignments")
     over.length
   }
 
@@ -211,6 +224,7 @@ object VectorIndex {
     assigned
       .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
       .join(existing, Seq("vec_id"), "left_anti")
+      .repartition(col("cluster")) // ~one file per touched cluster dir (see build)
       .write
       .mode("append")
       .partitionBy("cluster")
