@@ -140,6 +140,11 @@ object GraftFunctions {
       buildTDigest,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmax_cos",
+      ArgmaxCosine.build,
+      "built-in"
+    )
   }
 
   /** `graft_tdigest(value, compression, p1, p2, …)` builder shared by
@@ -208,6 +213,26 @@ object GraftFunctions {
       "graft_tdigest",
       (value +: org.apache.spark.sql.functions.lit(compression) +:
         probs.map(org.apache.spark.sql.functions.lit(_))): _*
+    )
+
+  /** Argmax-cosine coarse assignment against a bounded centroid set
+    * (see [[ArgmaxCosine]]); the centroid matrix is evaluated once at
+    * plan build and never enters the expression tree.
+    */
+  def graft_argmax_cos(
+      emb: Column,
+      nrm: Column,
+      centIds: Seq[Long],
+      centEmbs: Seq[Seq[Double]],
+      centNrms: Seq[Double]
+  ): Column =
+    call_function(
+      "graft_argmax_cos",
+      emb,
+      nrm,
+      org.apache.spark.sql.functions.typedLit(centIds),
+      org.apache.spark.sql.functions.typedLit(centEmbs),
+      org.apache.spark.sql.functions.typedLit(centNrms)
     )
 
   /** Membership probe against a pre-built bloom filter (see
@@ -289,6 +314,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_tdigest"),
         new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
         GraftFunctions.buildTDigest
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_argmax_cos"),
+        new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
+        ArgmaxCosine.build
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

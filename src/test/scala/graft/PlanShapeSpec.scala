@@ -200,31 +200,35 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
-  test("probePairs: partition-pruned candidate scan, broadcast centroid argmax, no cartesian") {
+  test("probePairs: partition-pruned candidate scan, fold-literal centroid argmax, no cartesian") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // The ingest-time probe must keep the two properties that bound it
     // at corpus scale: candidates come off the cluster-partitioned
     // parquet through a PartitionFilters prune (a regression to a full
     // index scan fails here), and the batch-to-centroid assignment is a
-    // broadcast cross join collapsed by a max_by partial aggregate —
-    // mirroring the locks VectorIndexSpec holds on query().
+    // per-row fold over the bounded centroid literal — NO join node may
+    // exist on the centroid side (a regression back to the N×K
+    // cross-join row materialization fails here).
     val p = java.nio.file.Files.createTempDirectory("graft-plan-probepairs").toString + "/ivf"
     val vectors = spark.read
       .parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     graft.operators.VectorIndex.build(spark, vectors, p, col("vec_id") % 100 === 0)
-    val donor = vectors.filter(col("vec_id") === 7).select("emb").collect()(0).getSeq[Double](0)
-    val batch = Seq((999999L, donor.map(_ * 2.0))).toDF("vec_id", "emb")
+    // The batch must come off a real scan: a local Seq relation would
+    // constant-fold the assignment expression out of the plan.
+    val batch = vectors
+      .filter(col("vec_id") === 7)
+      .select((col("vec_id") + 999992L).as("vec_id"), transform(col("emb"), _ * 2.0).as("emb"))
     val plan = planOf(graft.operators.VectorIndex.probePairs(spark, batch, p, 0.9))
     assert(
       plan.contains("PartitionFilters: [isnotnull(cluster"),
       s"candidate scan must partition-prune on the probed clusters:\n$plan"
     )
-    assert(plan.contains("max_by"), s"centroid argmax must plan as a max_by aggregate:\n$plan")
+    assert(plan.contains("graft_argmax_cos"), s"centroid argmax must be the native expression:\n$plan")
     assert(
-      plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
-      s"centroids must arrive as a broadcast cross join:\n$plan"
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not materialize N×K rows via a cross join:\n$plan"
     )
     assert(!plan.contains("CartesianProduct"), s"no cartesian pair generation:\n$plan")
   }
