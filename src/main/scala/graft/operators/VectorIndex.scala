@@ -55,15 +55,29 @@ object VectorIndex {
       .sortBy(_._1)
     require(cents.nonEmpty, "index has no centroids")
     vectors
+      // One row per vec_id, whatever the caller delivers (producer
+      // retries can repeat an id inside a single batch/corpus) — the
+      // one-row-per-vector index invariant lives HERE, exactly as the
+      // old cross-join shape's groupBy(vec_id) enforced it, with the
+      // same N-row shuffle profile.
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
       .withColumn(
         "cluster",
-        graft.functions.GraftFunctions.graft_argmax_cos(
-          col("emb"),
-          col("nrm"),
-          cents.map(_._1).toSeq,
-          cents.map(_._2).toSeq,
-          cents.map(_._3).toSeq
-        )
+        // Zero-norm (or NaN-component) embeddings make every cosine
+        // NaN; the argmax would return the -1 sentinel and the row
+        // would land under a centroid-less `cluster=-1` dir, invisible
+        // to every probe — fail loudly instead of losing data silently.
+        when(
+          col("nrm") > 0,
+          graft.functions.GraftFunctions.graft_argmax_cos(
+            col("emb"),
+            col("nrm"),
+            cents.map(_._1).toSeq,
+            cents.map(_._2).toSeq,
+            cents.map(_._3).toSeq
+          )
+        ).otherwise(raise_error(concat(lit("zero-norm embedding vec_id="), col("vec_id").cast("string"))))
       )
       .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
   }
@@ -122,8 +136,10 @@ object VectorIndex {
     * state stays probeable: promoted centroids land before any dir is
     * touched (an extra centroid over an empty dir only degrades recall;
     * assignment rows under a centroid-less cluster id would be
-    * invisible to every probe), and a crash mid-replace re-runs to the
-    * same fixed point. Probe semantics are preserved: a full probe
+    * invisible to every probe), and a retry after a crash ADOPTS any
+    * centroids the crashed attempt promoted — they re-enter as seeds
+    * for their current cluster, so orphans are healed by the rewrite
+    * rather than accumulated across attempts. Probe semantics are preserved: a full probe
     * after a rebalance is still exactly brute force (VectorIndexSpec),
     * and `append` keeps working because new seeds are ordinary centroid
     * rows. Returns the number of clusters split (0 = nothing oversized,
@@ -178,9 +194,24 @@ object VectorIndex {
       .withColumn("__srk", row_number().over(wSeed))
       .filter(col("__srk") <= col("n_sub"))
       .select(col("cluster"), col("vec_id").as("seed_id"), col("emb").as("seed_emb"), col("nrm").as("seed_nrm"))
-    val centSeeds = centsAll
-      .filter(col("cent_id").isin(overIds: _*))
-      .select(col("cent_id").as("cluster"), col("cent_id").as("seed_id"), col("cent_emb").as("seed_emb"), col("cent_nrm").as("seed_nrm"))
+    // Seeds drawn from the centroid table: the oversized cluster's own
+    // centroid, PLUS any centroid whose vector currently sits inside an
+    // oversized cluster — in particular seeds promoted by a previous
+    // rebalance attempt that crashed before the member rewrite.
+    // Re-seeding those ADOPTS the orphans (this run's rewrite creates
+    // their dirs) instead of excluding them and accumulating
+    // member-less centroids across retries. The duplicate row when a
+    // centroid is a member of its own cluster carries identical values
+    // (same doubles through both parquet paths) and distinct() folds it.
+    val centSeeds = members
+      .join(centsAll.select(col("cent_id").as("vec_id")), Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("seed_id"), col("emb").as("seed_emb"), col("nrm").as("seed_nrm"))
+      .unionByName(
+        centsAll
+          .filter(col("cent_id").isin(overIds: _*))
+          .select(col("cent_id").as("cluster"), col("cent_id").as("seed_id"), col("cent_emb").as("seed_emb"), col("cent_nrm").as("seed_nrm"))
+      )
+      .distinct()
     val allSeeds = newSeeds.unionByName(centSeeds)
     val reassigned = members
       .join(allSeeds, Seq("cluster"))
@@ -392,11 +423,24 @@ object VectorIndex {
       batch: DataFrame,
       indexPath: String,
       minCosine: Double
+  ): DataFrame =
+    probePairsAssigned(spark, assignBatch(spark, batch, indexPath), indexPath, minCosine)
+
+  /** [[probePairs]] for a batch that ALREADY carries its assignment
+    * `(vec_id, emb, nrm, cluster)` — the ingest path assigns once and
+    * shares that frame between this probe, the within-batch pairing,
+    * and the survivor append, rather than paying the argmax (and the
+    * centroid read) per consumer. The batch's own vec_ids are still
+    * excluded from the candidate side, so a replayed batch probes
+    * exactly the pre-batch index.
+    */
+  def probePairsAssigned(
+      spark: SparkSession,
+      assigned: DataFrame,
+      indexPath: String,
+      minCosine: Double
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val v = withNorm(batch.select(col("vec_id"), col("emb")))
-    val cent = spark.read.parquet(s"$indexPath/centroids")
-    val assigned = assignTo(v, cent)
     // Bounded collect: distinct probed clusters <= K centroids.
     val probed = assigned.select("cluster").distinct().collect().map(_.getLong(0))
     val asgnRaw = spark.read.parquet(s"$indexPath/assignments")
@@ -408,7 +452,7 @@ object VectorIndex {
     val candidates = asgnRaw
       .filter(col("cluster").isin(typedProbes: _*))
       .withColumn("cluster", col("cluster").cast("long"))
-      .join(v.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("cluster"), col("vec_id").as("dup_of"), col("emb").as("i_emb"), col("nrm").as("i_nrm"))
     assigned
       .join(candidates, Seq("cluster"))

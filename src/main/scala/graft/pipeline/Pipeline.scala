@@ -272,17 +272,8 @@ object PipelineRunner {
         val drops = opts.getOrElse("drops", sys.error("--drops <telemetry dir> required"))
         val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
         val minCos = opts.getOrElse("min_cos", "0.995").toDouble
-        val embSchema = org.apache.spark.sql.types.StructType(
-          Seq(
-            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField(
-              "embedding",
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
-            )
-          )
-        )
         graft.streaming.StreamingPipeline
-          .semanticDedupIngest(spark, raw, index, drops, ckpt, embSchema, minCos)
+          .semanticDedupIngest(spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos)
           .awaitTermination()
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")

@@ -458,18 +458,17 @@ object VectorQueries {
     val vectors = spark.read
       .parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idxPath = java.nio.file.Files
-      .createTempDirectory("graft-q96")
-      .resolve("ivf")
-      .toString
-    graft.operators.VectorIndex.build(spark, vectors, idxPath, col("vec_id") % 100 === 0)
-    val rows = graft.operators.VectorIndex
-      .query(spark, vectors.filter(col("vec_id") < 5), idxPath, topK = 10, nProbe = 1)
-      .select(col("query_id"), col("cluster"), col("vec_id"), col("rank"), col("cosine"))
-      .collect()
-      .toIndexedSeq
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(java.nio.file.Paths.get(idxPath).getParent.toFile)
+    val root = java.nio.file.Files.createTempDirectory("graft-q96")
+    val rows =
+      try {
+        val idxPath = root.resolve("ivf").toString
+        graft.operators.VectorIndex.build(spark, vectors, idxPath, col("vec_id") % 100 === 0)
+        graft.operators.VectorIndex
+          .query(spark, vectors.filter(col("vec_id") < 5), idxPath, topK = 10, nProbe = 1)
+          .select(col("query_id"), col("cluster"), col("vec_id"), col("rank"), col("cosine"))
+          .collect()
+          .toIndexedSeq
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     import spark.implicits._
     rows
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
@@ -501,20 +500,22 @@ object VectorQueries {
       .parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val root = java.nio.file.Files.createTempDirectory("graft-q97")
-    val idxPath = root.resolve("ivf").toString
-    val dropsPath = root.resolve("drops").toString
-    graft.operators.VectorIndex
-      .build(spark, vectors.filter(col("vec_id") % 5 <= 2), idxPath, col("vec_id") % 100 === 0)
-    graft.streaming.StreamingPipeline
-      .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 3), idxPath, dropsPath, 0L, minCos = 0.35)
-    graft.streaming.StreamingPipeline
-      .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 4), idxPath, dropsPath, 1L, minCos = 0.35)
-    val rows = spark.read
-      .parquet(dropsPath)
-      .select(col("ingest_batch").cast("long").as("ingest_batch"), col("vec_id"), col("dup_of"), col("cosine"))
-      .collect()
-      .toIndexedSeq
-    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    val rows =
+      try {
+        val idxPath = root.resolve("ivf").toString
+        val dropsPath = root.resolve("drops").toString
+        graft.operators.VectorIndex
+          .build(spark, vectors.filter(col("vec_id") % 5 <= 2), idxPath, col("vec_id") % 100 === 0)
+        graft.streaming.StreamingPipeline
+          .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 3), idxPath, dropsPath, 0L, minCos = 0.35)
+        graft.streaming.StreamingPipeline
+          .semanticDedupIngestBatch(spark, vectors.filter(col("vec_id") % 5 === 4), idxPath, dropsPath, 1L, minCos = 0.35)
+        spark.read
+          .parquet(dropsPath)
+          .select(col("ingest_batch").cast("long").as("ingest_batch"), col("vec_id"), col("dup_of"), col("cosine"))
+          .collect()
+          .toIndexedSeq
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     import spark.implicits._
     rows
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

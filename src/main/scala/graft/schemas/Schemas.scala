@@ -54,4 +54,16 @@ object Schemas {
       StructField("userId", StringType)
     )
   )
+
+  /** Embedding-ingest JSON shape (`{"vec_id": long, "embedding":
+    * [double, ...]}`) — the streaming semantic-dedup source read by
+    * `StreamingPipeline.semanticDedupIngest` and the
+    * `--maintenance semantic_dedup_ingest` CLI verb.
+    */
+  val embeddingIngest: StructType = StructType(
+    Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))
+    )
+  )
 }

@@ -424,24 +424,24 @@ object StreamingPipeline {
     val v = batch.select(col("vec_id"), col("emb"))
     // Each intermediate below is PINNED (localCheckpoint) before the
     // next step consumes it: every set is bounded by the batch size,
-    // the probe/pair subtrees execute exactly once per batch instead of
-    // once per downstream action, and the settle-before-effect rule is
+    // each subtree executes exactly once per batch instead of once per
+    // downstream action, and the settle-before-effect rule is
     // structural — the telemetry written after the index append cannot
     // re-probe the mutated index, because it reads the pinned rows.
+    // ONE assignment pass (argmax + centroid read) serves the index
+    // probe, the within-batch pairing, AND the survivor append.
+    val assigned = graft.operators.VectorIndex.assignBatch(spark, v, indexPath).localCheckpoint()
     val indexDrops = graft.operators.VectorIndex
-      .probePairs(spark, v, indexPath, minCos)
+      .probePairsAssigned(spark, assigned, indexPath, minCos)
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("dup_of"), struct(col("cosine"), -col("dup_of"))).as("dup_of"),
         max(col("cosine")).as("cosine")
       )
       .localCheckpoint()
-    val fresh = v.join(indexDrops.select("vec_id"), Seq("vec_id"), "left_anti")
-    // One assignment pass serves both the within-batch pairing and the
-    // survivor append (appendAssigned skips the second cross join).
-    val assigned = graft.operators.VectorIndex.assignBatch(spark, fresh, indexPath).localCheckpoint()
-    val aSide = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val bSide = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val fresh = assigned.join(indexDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+    val aSide = fresh.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val bSide = fresh.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     val batchDrops = aSide
       .join(bSide, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
@@ -454,7 +454,7 @@ object StreamingPipeline {
       )
       .select(col("id_b").as("vec_id"), col("dup_of"), col("cosine"))
       .localCheckpoint()
-    val accepted = assigned.join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+    val accepted = fresh.join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
     graft.operators.VectorIndex.appendAssigned(spark, accepted, indexPath)
     indexDrops
       .select(col("vec_id"), col("dup_of"), col("cosine"))

@@ -527,18 +527,9 @@ class StreamingSpec extends AnyFunSuite {
     def js(deg: Double) = s"[${vec(deg).mkString(",")}]"
     val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
     graft.operators.VectorIndex.build(spark, base, s"$root/ivf", isCentroid = col("vec_id") % 100 === 0)
-    val embSchema = org.apache.spark.sql.types.StructType(
-      Seq(
-        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(
-          "embedding",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
-        )
-      )
-    )
     def run(): Unit =
       StreamingPipeline
-        .semanticDedupIngest(spark, raw, s"$root/ivf", s"$root/drops", s"$root/ckpt", embSchema)
+        .semanticDedupIngest(spark, raw, s"$root/ivf", s"$root/drops", s"$root/ckpt", graft.schemas.Schemas.embeddingIngest)
         .awaitTermination(60000)
     // File 1: two fresh vectors, far from the base and each other
     // (default minCos 0.995 is a 5.7-degree radius).

@@ -328,6 +328,86 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(revived == Set(501L), s"recovered centroid must serve its appended member: $revived")
   }
 
+  test("duplicate vec_ids within one build or batch collapse to a single index row") {
+    import spark.implicits._
+    // Producer retries can repeat an id INSIDE one delivery; the
+    // one-row-per-vector invariant must hold at the assignment layer,
+    // not rely on upstream hygiene.
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (0L, vec(0)), (1L, vec(10)), (100L, vec(90)))
+      .toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-dupid").toString + "/ivf"
+    graft.operators.VectorIndex.build(spark, base, p, isCentroid = col("vec_id") % 100 === 0)
+    val ids = spark.read.parquet(s"$p/assignments").select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 100L), s"build must collapse in-corpus duplicate ids: ${ids.toSeq}")
+    graft.operators.VectorIndex
+      .append(spark, Seq((7L, vec(20)), (7L, vec(20))).toDF("vec_id", "emb"), p)
+    val n7 = spark.read.parquet(s"$p/assignments").filter(col("vec_id") === 7).count()
+    assert(n7 == 1, s"append must collapse in-batch duplicate ids, got $n7 rows")
+  }
+
+  test("a zero-norm embedding fails loudly instead of landing in an unreachable cluster") {
+    import spark.implicits._
+    // All-NaN cosines would send the row to the -1 sentinel cluster —
+    // indexed but invisible to every probe. That is silent data loss;
+    // the assignment layer must reject it instead.
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-zeronorm").toString + "/ivf"
+    graft.operators.VectorIndex.build(spark, base, p, isCentroid = col("vec_id") % 100 === 0)
+    val e = intercept[Exception] {
+      graft.operators.VectorIndex
+        .append(spark, Seq((9L, Seq(0.0, 0.0))).toDF("vec_id", "emb"), p)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(
+      messages(e).exists(_.contains("zero-norm embedding vec_id=9")),
+      s"expected the zero-norm rejection, got: $e"
+    )
+    assert(
+      spark.read.parquet(s"$p/assignments").filter(col("vec_id") === 9).count() == 0,
+      "the rejected vector must not be indexed"
+    )
+  }
+
+  test("rebalance adopts centroids promoted by a crashed earlier attempt") {
+    import spark.implicits._
+    // Crash state: a prior rebalance appended promoted centroids and
+    // died before the member rewrite — the promoted ids are centroids
+    // whose vectors still sit inside the mega cluster. The retry must
+    // re-seed them (adoption: their dirs get created) rather than
+    // exclude them and leave member-less centroids behind.
+    def vec(theta: Double) = Seq(math.cos(theta), math.sin(theta), 0.0, 0.0)
+    val rows = (1L to 299L)
+      .filterNot(_ % 100 == 0)
+      .map(i => (i, vec(0.15 * ((i * 37) % 997) / 997.0))) ++
+      Seq((0L, vec(0.0)), (100L, Seq(0.0, 1.0, 0.0, 0.0)), (200L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val df = rows.toDF("vec_id", "emb")
+    val p = Files.createTempDirectory("graft-adopt").toString + "/ivf"
+    graft.operators.VectorIndex.build(spark, df, p, isCentroid = col("vec_id") % 100 === 0)
+    // Simulate the crashed attempt: member 7 was promoted to a
+    // centroid, no member rewrite happened.
+    val emb7 = rows.find(_._1 == 7L).get._2
+    val nrm7 = math.sqrt(emb7.map(x => x * x).sum)
+    Seq((7L, emb7, nrm7))
+      .toDF("cent_id", "cent_emb", "cent_nrm")
+      .write
+      .mode("append")
+      .parquet(s"$p/centroids")
+    assert(graft.operators.VectorIndex.rebalance(spark, p, 20.0) >= 1, "mega cluster must split")
+    val stats = graft.operators.VectorIndex
+      .clusterStats(spark, p)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(stats.values.sum == df.count(), s"no vectors lost: $stats")
+    assert(stats.contains(7L) && stats(7L) >= 1, s"the orphan centroid must be adopted: $stats")
+    val centIds = spark.read.parquet(s"$p/centroids").select("cent_id").collect().map(_.getLong(0)).toSet
+    val memberless = centIds.filterNot(stats.contains)
+    assert(memberless.isEmpty, s"no member-less centroids may remain after the retry: $memberless")
+  }
+
   test("append assigns against frozen centroids and is idempotent on replay") {
     import spark.implicits._
     val idx = freshIndex()
