@@ -119,7 +119,10 @@ object SparkEntry {
     "q97_semantic_dedup_ingest" -> (VectorQueries.q97SemanticDedupIngest _),
     "q98_semi_hard_negatives" -> (VectorQueries.q98SemiHardNegatives _),
     "q99_hybrid_rrf" -> (VectorQueries.q99HybridRrf _),
-    "q100_label_noise" -> (VectorQueries.q100LabelNoise _)
+    "q100_label_noise" -> (VectorQueries.q100LabelNoise _),
+    "q101_dup_extents" -> (TextQueries.q101DupExtents _),
+    "q102_source_reputation" -> (TextQueries.q102SourceReputation _),
+    "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1373,6 +1376,60 @@ object SparkEntry {
         |SELECT label, vec_id, CAST(rank AS INTEGER) AS rank, cos_self, alt_label, cos_alt FROM (
         |  SELECT s.label, s.vec_id, s.cos_self, a.alt_label, a.cos_alt,
         |    row_number() OVER (PARTITION BY s.label ORDER BY s.cos_self ASC, s.vec_id ASC) AS rank
-        |  FROM self s JOIN alt a ON s.vec_id = a.vec_id) WHERE rank <= 5""".stripMargin
+        |  FROM self s JOIN alt a ON s.vec_id = a.vec_id) WHERE rank <= 5""".stripMargin,
+    "q101_dup_extents" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |px AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |    THEN list_transform(range(1, len(th) - 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER),
+        |            'h': (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647})
+        |    ELSE [] END) AS u FROM tk),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM px),
+        |spans AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN spans s USING (h) WHERE s.mn <> s.mx),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+        |ext AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(sp AS INTEGER) AS start_pos, CAST(ep + 2 AS INTEGER) AS end_pos,
+        |  CAST(ep + 3 - sp AS BIGINT) AS n_tokens
+        |FROM ext WHERE ep + 3 - sp >= 5""".stripMargin,
+    "q102_source_reputation" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |px AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |    THEN list_transform(range(1, len(th) - 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER),
+        |            'h': (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647})
+        |    ELSE [] END) AS u FROM tk),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM px),
+        |spans AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN spans s USING (h) WHERE s.mn <> s.mx),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+        |ext AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (SELECT doc_id, CAST(sum(ep + 3 - sp) AS BIGINT) AS dup_toks
+        |  FROM ext WHERE ep + 3 - sp >= 5 GROUP BY doc_id),
+        |d AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    n_chars < 200 AS is_short FROM documents)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p.dup_toks IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+        |  CAST(sum(coalesce(p.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(d.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN d.is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(coalesce(p.dup_toks, 0)) AS DOUBLE) / sum(d.n_toks) AS dup_burden,
+        |  (sum(coalesce(p.dup_toks, 0)) * 20 <= sum(d.n_toks) * 13
+        |   AND sum(CASE WHEN d.is_short THEN 1 ELSE 0 END) * 2 <= count(*)) AS keep_source
+        |FROM d LEFT JOIN perdoc p USING (doc_id) GROUP BY d.source""".stripMargin,
+    "q103_shuffle_manifest" ->
+      """SELECT doc_id, shard, CAST(rk AS INTEGER) AS rk, CAST(cum_chars AS BIGINT) AS cum_chars FROM (
+        |  SELECT doc_id,
+        |    CAST(h % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rk,
+        |    sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum_chars
+        |  FROM (SELECT doc_id, n_chars,
+        |      CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |    FROM documents))""".stripMargin
   )
 }

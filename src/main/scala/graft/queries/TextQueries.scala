@@ -1356,4 +1356,138 @@ object TextQueries {
           .as("pass_cross_dup")
       )
   }
+
+  /** Positions whose 3-gram shingle also occurs in at least one OTHER
+    * document — the duplicated-position table shared by q101/q102. Same
+    * single-pass shape as q87 (one positional explode, window
+    * `min(doc_id) != max(doc_id)` over the span hash, never a
+    * countDistinct Expand), but POSITION-PRESERVING: `posexplode` keeps
+    * the token index so downstream can reason about spans, not counts.
+    */
+  private def dupPositions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val exploded = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(
+          graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
+        ).as(Seq("pos", "h"))
+      )
+    val wh = Window.partitionBy(col("h"))
+    exploded
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal per-doc duplicated extents: consecutive duplicated 3-gram
+    * positions merged into islands via the classic `pos - row_number`
+    * trick. A 3-gram at position p covers tokens [p, p+2], so an island
+    * of shingle positions [sp, ep] is the token extent [sp, ep+2] —
+    * `n_tokens = ep + 3 - sp`. Integer arithmetic only.
+    */
+  private def dupExtents(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPositions(spark, dir)
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_sh"))
+      .select(
+        col("doc_id"),
+        col("start_pos"),
+        (col("end_sh") + 2).as("end_pos"),
+        (col("end_sh") + 3 - col("start_pos")).cast("long").as("n_tokens")
+      )
+  }
+
+  /** Exact-substring dedup extents (Lee et al. 2022: cut the duplicated
+    * SPAN, keep the document): maximal runs of cross-doc-duplicated
+    * 3-gram positions, reported as inclusive token extents
+    * `[start_pos, end_pos]` of ≥ 5 tokens. q87 reports the per-doc
+    * duplicated-position FRACTION; this is the actionable span list a
+    * span-level cleaner feeds to `substring`-style cuts.
+    *
+    * Scale: candidate volume is the duplicated-position count (≤ corpus
+    * shingle instances, df-cappable per q21); the island merge is a
+    * per-doc window whose state is ONE row (the running rank), and the
+    * extent agg groups on (doc_id, grp) — rows at that point are only
+    * the duplicated positions, a small fraction of the corpus.
+    */
+  def q101DupExtents(spark: SparkSession, dir: String): DataFrame =
+    dupExtents(spark, dir).filter(col("n_tokens") >= 5)
+
+  /** Source(domain)-reputation curation (the RefinedWeb/CCNet-style
+    * domain gate): per `source`, how much of its token volume sits
+    * inside cross-doc duplicated extents (boilerplate burden), how many
+    * of its docs are trivially short, and a keep/drop verdict. Domain
+    * gates are the cheapest high-leverage curation step at corpus
+    * scale — one decision removes millions of documents.
+    *
+    * Determinism: integer sums + exactly one IEEE division for the
+    * published ratio; the verdict compares integers (`dup·20 ≤ tok·13`
+    * ⇔ burden ≤ 0.65, `short·2 ≤ docs` ⇔ short-frac ≤ 0.5). Scale: the
+    * extent table is q101's (bounded); everything after is two keyed
+    * aggs (doc_id, source) over short rows.
+    */
+  def q102SourceReputation(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dupExtents(spark, dir)
+      .filter(col("n_tokens") >= 5)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("dup_toks"))
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      (col("n_chars") < 200).as("is_short")
+    )
+    d.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dup_toks").isNotNull, 1L).otherwise(0L)).as("n_docs_with_dup"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_short"), 1L).otherwise(0L)).as("n_short")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_docs_with_dup"),
+        col("dup_tokens"),
+        col("n_tokens"),
+        col("n_short"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_burden"),
+        (col("dup_tokens") * 20 <= col("n_tokens") * 13 &&
+          col("n_short") * 2 <= col("n_docs")).as("keep_source")
+      )
+  }
+
+  /** Deterministic global-shuffle manifest — the training-order step of
+    * a data pipeline: every doc gets a pseudo-random 28-bit position
+    * hash, lands in one of 8 shards by hash mod, and receives a stable
+    * within-shard rank plus an exact cumulative char budget (what a
+    * pack-planner reads to cut token-budgeted files). Reproducible
+    * under ANY input partitioning: the order is a pure function of
+    * doc_id (hash, then doc_id as the collision tiebreak), never of
+    * arrival order.
+    *
+    * Scale: one shuffle (shard key) + a per-shard sort — the
+    * `Scale.exportShards` shape with the manifest (not the payload) as
+    * output; shard count on a real corpus is thousands, keeping the
+    * per-shard sort bounded. The cumulative sum is an integer running
+    * window (exact, order-fixed), never a float accumulation.
+    */
+  def q103ShuffleManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.select(
+      col("doc_id"),
+      col("n_chars"),
+      h28(concat(lit("gs_"), col("doc_id").cast("string"))).as("h")
+    ).withColumn("shard", (col("h") % 8).cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .select(col("doc_id"), col("shard"), col("rk"), col("cum_chars"))
+  }
 }

@@ -106,6 +106,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
   }
 
+  test("q101: one positional pass — single posexplode, no countDistinct Expand") {
+    // Same contract as q87: the corpus-wide positional shingle pass runs
+    // exactly once, and the >=2-docs test is window min!=max, never an
+    // Expand. The extra island/extent stages must not re-explode.
+    val plan = planOf(queries.TextQueries.q101DupExtents(spark, sf))
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 posexplode, got $explodes:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+  }
+
+  test("q103: the manifest shuffles once, on the shard key") {
+    // One hash exchange (the shard window); the per-doc hash and the
+    // running char budget are computed inside that partition — a global
+    // sort or a second keyed exchange would not survive 100 TB.
+    val plan = planOf(queries.TextQueries.q103ShuffleManifest(spark, sf))
+    assert(
+      plan.split("Exchange hashpartitioning").length == 2,
+      s"exactly one hash shuffle (shard) expected:\n$plan"
+    )
+    assert(!plan.contains("Exchange rangepartitioning"), s"no global sort allowed:\n$plan")
+  }
+
   test("q88: sketch path shuffles digests as partial aggregates, no extra sort") {
     val plan = planOf(CoreQueries.q88SketchQuantiles(spark, sf))
     // The t-digest aggregate must run as ObjectHashAggregate partial +

@@ -177,4 +177,125 @@ class TextOpsSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
     assert(rows.forall(_.getBoolean(3)), "every sketch estimate must be within the 1% bound")
   }
+
+  /** Crafted corpus for the span-extent operators: doc texts with known
+    * shared runs, written as a `documents.parquet` dir so the queries
+    * read it like any sf dir. n_chars is set EXPLICITLY (the operators
+    * read the column, not the text length).
+    */
+  private def craftedCorpus(
+      docs: Seq[(Long, String, String, Long)]
+  ): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-extents").toString
+    docs
+      .map { case (id, text, source, nChars) => (id, text, "en", source, nChars) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q101: maximal extents of a crafted shared run, short runs filtered") {
+    // Docs 1 and 2 share the exact 7-token run X1..X7 at different
+    // offsets; docs 3 and 4 share only the 3-token run Y1..Y3 (one
+    // duplicated 3-gram => a 3-token extent, below the 5-token floor).
+    val dir = craftedCorpus(
+      Seq(
+        (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6", "s1", 300L),
+        (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7", "s1", 300L),
+        (3L, "c1 c2 c3 Y1 Y2 Y3 c4 c5 c6 c7 c8 c9 c10 c11", "s2", 300L),
+        (4L, "d1 d2 d3 d4 Y1 Y2 Y3 d5 d6 d7 d8 d9 d10 d11", "s2", 300L)
+      )
+    )
+    val ext = queries.TextQueries
+      .q101DupExtents(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    // The 7-token run: doc 1 has duplicated 3-gram positions 3..7 (an
+    // island of 5) => token extent [3, 9]; doc 2 positions 2..6 => [2, 8].
+    assert(
+      ext.toSeq == Seq((1L, 3, 9, 7L), (2L, 2, 8, 7L)),
+      s"expected exactly the two 7-token extents, got: ${ext.toSeq}"
+    )
+    // Every reported extent satisfies the arithmetic contract.
+    ext.foreach { case (_, sp, ep, n) =>
+      assert(n == ep - sp + 1 && n >= 5, s"bad extent ($sp,$ep,$n)")
+    }
+  }
+
+  test("q102: source gate follows the integer rules on a crafted split corpus") {
+    // Source "spam": 12 of 14 tokens sit inside the shared run (burden
+    // 6/7 > 0.65 => drop). Source "good": unique text, zero burden, but
+    // one of its two docs is short — short*2 <= n_docs holds => keep.
+    val run = (1 to 12).map(i => s"X$i").mkString(" ")
+    val dir = craftedCorpus(
+      Seq(
+        (1L, s"a1 $run a2", "spam", 300L),
+        (2L, s"b1 $run b2", "spam", 300L),
+        (3L, "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10", "good", 300L),
+        (4L, "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10", "good", 100L)
+      )
+    )
+    val rows = queries.TextQueries
+      .q102SourceReputation(spark, dir)
+      .collect()
+      .map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getBoolean(7))
+      )
+      .toMap
+    val (nd, ndd, dt, nt, ns, burden, keep) = rows("spam")
+    assert((nd, ndd, ns) == (2L, 2L, 0L), s"spam counts: ${rows("spam")}")
+    assert(dt == 24L && nt == 28L, s"spam 12-token extent per doc: ${rows("spam")}")
+    assert(burden == 24.0 / 28.0 && !keep, s"spam must fail the burden gate: ${rows("spam")}")
+    val (gd, gdd, gdt, gnt, gns, gburden, gkeep) = rows("good")
+    assert((gd, gdd, gdt, gnt, gns) == (2L, 0L, 0L, 20L, 1L), s"good counts: ${rows("good")}")
+    assert(gburden == 0.0 && gkeep, s"good must keep: ${rows("good")}")
+  }
+
+  test("q103: manifest is a deterministic permutation with exact shard budgets") {
+    val m = queries.TextQueries
+      .q103ShuffleManifest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(m.map(_._1).toSet == docs.keySet, "every doc appears exactly once")
+    // Recompute the hash rule independently (md5-prefix, mod 8).
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"gs_$id".getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+        .take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    m.foreach { case (id, shard, _, _) =>
+      assert(shard == (h(id) % 8).toInt, s"doc $id shard mismatch")
+    }
+    m.groupBy(_._2).foreach { case (shard, rows) =>
+      val inOrder = rows.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq == (1 to rows.length), s"shard $shard ranks not contiguous")
+      // Within-shard order is (hash, doc_id) ascending and cum_chars is
+      // the exact integer prefix sum of n_chars in that order.
+      val expectOrder = rows.map(_._1).sortBy(id => (h(id), id))
+      assert(inOrder.map(_._1).toSeq == expectOrder.toSeq, s"shard $shard order not hash-stable")
+      val prefix = expectOrder.scanLeft(0L)((acc, id) => acc + docs(id)).tail
+      assert(inOrder.map(_._4).toSeq == prefix.toSeq, s"shard $shard cum_chars wrong")
+    }
+    // Reproducible: a second run returns byte-identical rows.
+    val again = queries.TextQueries
+      .q103ShuffleManifest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(m.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "manifest must be deterministic")
+  }
 }
