@@ -268,4 +268,63 @@ class PropertySpec extends AnyFunSuite {
       if (zOf.contains((xmx, ymx))) assert(zOf((xmx, ymx)) == (1L << (2 * bits)) - 1)
     }
   }
+
+  /** Brute-force reference for q101: 3-gram triples compared as token
+    * tuples (no hashing — collision-free by construction), duplicated =
+    * the triple occurs in ≥ 2 distinct docs, islands merged by a linear
+    * scan. The engine's 28-bit + rolling hash is separately proved
+    * bit-identical to the HOF chain; with a 5-token vocab (≤125 distinct
+    * triples) hash collisions are not a factor.
+    */
+  private def refExtents(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] = {
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").toSeq
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(p => (id, p, (t(p), t(p + 1), t(p + 2))))
+    }
+    val docsOfGram = grams.groupBy(_._3).map { case (g, rs) => g -> rs.map(_._1).toSet }
+    grams
+      .filter { case (_, _, g) => docsOfGram(g).size >= 2 }
+      .groupBy(_._1)
+      .flatMap { case (id, rs) =>
+        val islands = rs.map(_._2).sorted.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (s, e) :: rest if p == e + 1 => (s, p) :: rest
+            case _ => (p, p) :: acc
+          }
+        }
+        islands.map { case (s, e) => (id, s, e + 2, (e + 3 - s).toLong) }
+      }
+      .filter(_._4 >= 5)
+      .toSet
+  }
+
+  test("q101 extents match the brute-force reference on random small-vocab corpora") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(3, 7)
+      texts <- Gen.listOfN(k, docGen)
+    } yield texts
+    forAllSamples(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-extprop").toString
+      docs
+        .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = queries.TextQueries
+        .q101DupExtents(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got == refExtents(docs), s"corpus=$texts")
+    }
+  }
 }
