@@ -122,7 +122,8 @@ object SparkEntry {
     "q100_label_noise" -> (VectorQueries.q100LabelNoise _),
     "q101_dup_extents" -> (TextQueries.q101DupExtents _),
     "q102_source_reputation" -> (TextQueries.q102SourceReputation _),
-    "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _)
+    "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _),
+    "q104_span_clean" -> (TextQueries.q104SpanClean _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1430,6 +1431,32 @@ object SparkEntry {
         |    sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum_chars
         |  FROM (SELECT doc_id, n_chars,
         |      CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
-        |    FROM documents))""".stripMargin
+        |    FROM documents))""".stripMargin,
+    "q104_span_clean" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM tk),
+        |px AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |    THEN list_transform(range(1, len(th) - 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER),
+        |            'h': (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647})
+        |    ELSE [] END) AS u FROM th),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM px),
+        |spans AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN spans s USING (h) WHERE s.mn <> s.mx),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+        |ext AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM isl GROUP BY doc_id, grp),
+        |extf AS (SELECT doc_id, sp, ep + 2 AS ee FROM ext WHERE ep + 3 - sp >= 5),
+        |toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': ts[i]})) AS u FROM tk)),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |    EXISTS (SELECT 1 FROM extf e
+        |            WHERE e.doc_id = t.doc_id AND t.pos >= e.sp AND t.pos <= e.ee) AS covered
+        |  FROM toks t)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (covered) AS BIGINT) AS n_removed_tokens,
+        |  coalesce(array_to_string(list(tok ORDER BY pos ASC) FILTER (WHERE NOT covered), ' '), '') AS clean_text
+        |FROM cov GROUP BY doc_id""".stripMargin
   )
 }

@@ -1463,6 +1463,48 @@ object TextQueries {
       )
   }
 
+  /** Span-level cleaning — the ACT step to q101's detect step (Lee et
+    * al.: cut the duplicated substring, keep the document): rebuild each
+    * doc's text with every token inside a ≥ 5-token duplicated extent
+    * removed, plus the exact removed-token count. Adjacent islands can
+    * OVERLAP by 1-2 tokens in token space (islands are maximal in
+    * shingle-position space; a 2-position gap still overlaps through the
+    * 3-gram width), so the removed count comes from the per-token
+    * membership test, never from summing extent lengths.
+    *
+    * Shape: q101's extent pass, extents collected per doc (sorted array
+    * — deterministic independent of agg order), one join back to the
+    * corpus on doc_id, then a codegen'd per-row lambda filter. The
+    * extent array is a plain join attribute, not an inlined projected
+    * expression, so the per-element reference is safe (see the
+    * CollapseProject trap in SCALE.md). Per-doc cost is
+    * O(tokens × extents-in-THIS-doc).
+    */
+  def q104SpanClean(spark: SparkSession, dir: String): DataFrame = {
+    val ext = dupExtents(spark, dir)
+      .filter(col("n_tokens") >= 5)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("start_pos"), col("end_pos")))).as("exts")
+      )
+    val d = docs(spark, dir)
+    val toks = tokens(col("text"))
+    val kept = filter(
+      toks,
+      (t, i) =>
+        coalesce(
+          !exists(col("exts"), x => i >= x("start_pos") && i <= x("end_pos")),
+          lit(true)
+        )
+    )
+    d.join(ext, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (size(toks) - size(kept)).cast("long").as("n_removed_tokens"),
+        array_join(kept, " ").as("clean_text")
+      )
+  }
+
   /** Deterministic global-shuffle manifest — the training-order step of
     * a data pipeline: every doc gets a pseudo-random 28-bit position
     * hash, lands in one of 8 shards by hash mod, and receives a stable

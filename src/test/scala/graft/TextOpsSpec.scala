@@ -256,6 +256,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(gburden == 0.0 && gkeep, s"good must keep: ${rows("good")}")
   }
 
+  test("q104: span cleaning cuts exactly the covered tokens, counting overlaps once") {
+    // Doc 1 is two shared runs back to back: D1..D5 (shared with doc 2)
+    // and E1..E5 (shared with doc 3), with the seam 3-gram D5-E1-E2 also
+    // shared (doc 4). Its islands are shingle positions [0,2] and [4,7]
+    // => token extents [0,4] and [4,9], which OVERLAP at token 4 — the
+    // removed count must be 10 (every token), never the 11 the extent
+    // lengths sum to. Doc 4's only extent is 3 tokens (< 5) => untouched.
+    val dir = craftedCorpus(
+      Seq(
+        (1L, "D1 D2 D3 D4 D5 E1 E2 E3 E4 E5", "s", 300L),
+        (2L, "b1 D1 D2 D3 D4 D5 b2 b3 b4 b5", "s", 300L),
+        (3L, "c1 E1 E2 E3 E4 E5 c2 c3 c4 c5", "s", 300L),
+        (4L, "x1 D5 E1 E2 x2", "s", 300L)
+      )
+    )
+    val got = queries.TextQueries
+      .q104SpanClean(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == ((10L, "")), s"doc 1 must be fully cut, counted once: ${got(1L)}")
+    assert(got(2L) == ((5L, "b1 b2 b3 b4 b5")), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((5L, "c1 c2 c3 c4 c5")), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((0L, "x1 D5 E1 E2 x2")), s"doc 4 below the 5-token floor: ${got(4L)}")
+  }
+
   test("q103: manifest is a deterministic permutation with exact shard budgets") {
     val m = queries.TextQueries
       .q103ShuffleManifest(spark, sf)
