@@ -148,6 +148,85 @@ object Maintenance {
     accepted.drop("__h")
   }
 
+  /** Incremental duplicated-span extents — the persistent-state twin of
+    * the batch q101 operator, so a new crawl batch gets its span-level
+    * dedup cuts WITHOUT a corpus-wide recompute. State is the corpus's
+    * distinct positional-3-gram hash set; a batch position is duplicated
+    * iff its hash is already in the state (some prior-corpus doc has it)
+    * or ≥ 2 distinct batch docs share it — for batch docs this is
+    * EXACTLY the full-recompute rule over prior ∪ batch, because prior
+    * docs are disjoint from batch docs (PropertySpec proves the
+    * equivalence on random corpora). Returns the batch docs' extents
+    * (`doc_id, start_pos, end_pos, n_tokens`, ≥ minTokens).
+    *
+    * Exactly-once: the probe runs against the PRE-batch state and the
+    * extents settle (localCheckpoint) before the state fold mutates
+    * anything; the fold itself is [[refreshAggregate]]'s marker + atomic
+    * two-rename swap. A crash before the swap recomputes identical
+    * extents; a retry of an applied batch returns EMPTY (its extents
+    * were produced by the first application — the batch-keyed telemetry
+    * rule of the streaming ingest family). Contract: each doc is
+    * delivered in exactly one batch (same as [[incrementalDedup]]).
+    *
+    * 100 TB: per-batch work is batch shingles (window over the batch's
+    * own hashes) + one left-semi probe into the state. The fold rewrites
+    * the state (distinct of old ∪ batch) — refreshAggregate's shape; when
+    * the hash table outgrows a single rewrite, hive-partition the state
+    * by a hash prefix and swap only the partitions receiving new hashes.
+    */
+  def incrementalDupSpans(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      statePath: String,
+      appliedId: Option[Long] = None,
+      minTokens: Int = 5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fsPath = new HPath(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Heal a crash stranded between the fold's two renames BEFORE any
+    // read — same entry rule as foldState.
+    recoverSwap(fs, fsPath, new HPath(s"$statePath.__refresh_old"))
+    if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId) {
+      import spark.implicits._
+      return Seq
+        .empty[(Long, Int, Int, Long)]
+        .toDF("doc_id", "start_pos", "end_pos", "n_tokens")
+    }
+    val pos = batch
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(
+          graft.functions.GraftFunctions.graft_shingles_pos(split(col(textCol), "\\s+"))
+        ).as(Seq("pos", "h"))
+      )
+      .localCheckpoint() // one shingle pass serves probe + within-batch + fold
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val withinDup = pos
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+    val stateDup =
+      if (fs.exists(fsPath))
+        pos
+          .join(spark.read.parquet(statePath), Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+      else withinDup.limit(0)
+    // A position can be dup BOTH ways — distinct before the island merge.
+    val dup = withinDup.unionByName(stateDup).distinct()
+    val extents = Dedup
+      .extentsFromDupPositions(dup)
+      .filter(col("n_tokens") >= minTokens)
+      .localCheckpoint() // settle BEFORE the state fold mutates the index
+    foldState(spark, statePath, appliedId, pos.select(col("h")).distinct()) { (old, p) =>
+      old.unionByName(p).distinct()
+    }
+    extents
+  }
+
   /** Keyed snapshot upsert (MERGE-into-parquet): rows of `updates`
     * replace same-key rows of `snapshot`; everything else survives.
     * One hash-keyed left-anti join + a union — the updates side is
@@ -294,6 +373,19 @@ object Maintenance {
     )
   }
 
+  /** The `_applied_id` exactly-once marker of a state dir, if present.
+    * (Parquet readers ignore `_`-prefixed files, so the marker rides
+    * inside the state dir and swaps atomically with it.)
+    */
+  private def readAppliedId(fs: HFs, dir: HPath): Option[Long] = {
+    val m = new HPath(dir, "_applied_id")
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    } else None
+  }
+
   /** Shared exactly-once state fold: entry-time crash recovery, the
     * applied-id no-op check, `fold(old, partial)` when state exists,
     * and the atomic marker+swap. See [[refreshAggregate]] for the full
@@ -315,15 +407,7 @@ object Maintenance {
     // silently discarding the accumulated rollup.
     recoverSwap(fs, fsPath, old)
     def markerOf(dir: org.apache.hadoop.fs.Path) = new org.apache.hadoop.fs.Path(dir, "_applied_id")
-    def readMarker(): Option[Long] = {
-      val m = markerOf(fsPath)
-      if (fs.exists(m)) {
-        val in = fs.open(m)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-        finally in.close()
-      } else None
-    }
-    if (appliedId.isDefined && fs.exists(fsPath) && readMarker() == appliedId)
+    if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId)
       return spark.read.parquet(statePath) // retry of an applied batch: no-op
     val merged =
       if (fs.exists(fsPath)) fold(spark.read.parquet(statePath), partial)

@@ -263,6 +263,32 @@ object Scale {
   */
 object Dedup {
 
+  /** Maximal islands of consecutive duplicated shingle positions merged
+    * into inclusive token extents: input `(doc_id, pos)` — the positions
+    * whose 3-gram shingle is duplicated — output
+    * `(doc_id, start_pos, end_pos, n_tokens)` where a 3-gram at position
+    * p covers tokens [p, p+2]. The classic `pos - row_number` island
+    * trick; integer arithmetic only. Shared by the batch extent query
+    * (q101/q104) and [[Maintenance.incrementalDupSpans]]; per-doc window
+    * state is one running rank, and only duplicated positions (a small
+    * corpus fraction) reach it.
+    */
+  def extentsFromDupPositions(dup: DataFrame): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    dup
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_sh"))
+      .select(
+        col("doc_id"),
+        col("start_pos"),
+        (col("end_sh") + 2).as("end_pos"),
+        (col("end_sh") + 3 - col("start_pos")).cast("long").as("n_tokens")
+      )
+  }
+
   /** Exact dedup: keep the smallest id per identical content. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = docs

@@ -198,7 +198,10 @@ object Pipeline {
   * (IVF skew escalation — split clusters above N× the median size), and
   * `--maintenance semantic_dedup_ingest --raw R --index I --drops D
   * --checkpoint C [--min_cos X]` (drain arriving embedding JSON files
-  * through streaming SemDeDup against the persistent IVF index).
+  * through streaming SemDeDup against the persistent IVF index), and
+  * `--maintenance dup_spans --batch B --state S --out O
+  * [--applied_id N] [--min_tokens K]` (incremental span-level dedup
+  * against the persistent span-hash state).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -276,6 +279,31 @@ object PipelineRunner {
           .semanticDedupIngest(spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos)
           .awaitTermination()
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
+      case Some("dup_spans") =>
+        // Incremental span-level dedup: probe one batch of documents
+        // against the persistent span-hash state, emit the batch's
+        // duplicated extents as parquet, fold the batch's hashes in
+        // (Maintenance.incrementalDupSpans — exactly-once via
+        // --applied_id). Batch parquet shape: (doc_id, text).
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <extents dir> required"))
+        val applied = opts.get("applied_id").map(_.toLong)
+        val minTokens = opts.getOrElse("min_tokens", "5").toInt
+        graft.operators.Maintenance
+          .incrementalDupSpans(
+            spark,
+            spark.read.parquet(batchPath),
+            "doc_id",
+            "text",
+            state,
+            applied,
+            minTokens
+          )
+          .write
+          .mode("overwrite")
+          .parquet(out)
+        println(s"[maintenance] dup spans: $batchPath probed against $state -> $out")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))

@@ -1381,25 +1381,12 @@ object TextQueries {
       .select(col("doc_id"), col("pos"))
   }
 
-  /** Maximal per-doc duplicated extents: consecutive duplicated 3-gram
-    * positions merged into islands via the classic `pos - row_number`
-    * trick. A 3-gram at position p covers tokens [p, p+2], so an island
-    * of shingle positions [sp, ep] is the token extent [sp, ep+2] —
-    * `n_tokens = ep + 3 - sp`. Integer arithmetic only.
+  /** Maximal per-doc duplicated extents: the island merge lives in
+    * [[graft.operators.Dedup.extentsFromDupPositions]] (shared with the
+    * incremental span index).
     */
-  private def dupExtents(spark: SparkSession, dir: String): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPositions(spark, dir)
-      .withColumn("grp", col("pos") - row_number().over(wd))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_sh"))
-      .select(
-        col("doc_id"),
-        col("start_pos"),
-        (col("end_sh") + 2).as("end_pos"),
-        (col("end_sh") + 3 - col("start_pos")).cast("long").as("n_tokens")
-      )
-  }
+  private def dupExtents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.extentsFromDupPositions(dupPositions(spark, dir))
 
   /** Exact-substring dedup extents (Lee et al. 2022: cut the duplicated
     * SPAN, keep the document): maximal runs of cross-doc-duplicated

@@ -232,4 +232,96 @@ class MaintenanceSpec extends AnyFunSuite {
     val left = spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).toSet
     assert(left == Set(3L, 4L), "surviving partitions read back intact")
   }
+
+  test("incrementalDupSpans: cross-batch spans via state; replay returns empty, state untouched") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-spans").toString + "/spans"
+    def ext(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // Batch 0: docs 1/2 share the 7-token run X1..X7 — within-batch dup.
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    val e0 = ext(Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L)))
+    assert(e0 == Set((1L, 3, 9, 7L), (2L, 2, 8, 7L)), s"within-batch extents: $e0")
+    // Batch 1: doc 10 shares the run ONLY with the prior corpus — the
+    // state probe must find it; doc 11 is fresh.
+    val b1 = Seq(
+      (10L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7"),
+      (11L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12 d13 d14")
+    ).toDF("doc_id", "text")
+    val e1 = ext(Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L)))
+    assert(e1 == Set((10L, 1, 7, 7L)), s"cross-batch extent via state: $e1")
+    val hashesAfterB1 =
+      spark.read.parquet(state).collect().map(_.getLong(0)).toSet
+    // Replay of batch 1: empty output (its extents were already
+    // produced), and the state fold no-ops.
+    val replay = ext(Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L)))
+    assert(replay.isEmpty, s"replayed batch must emit nothing: $replay")
+    assert(
+      spark.read.parquet(state).collect().map(_.getLong(0)).toSet == hashesAfterB1,
+      "replay must leave the state byte-equal"
+    )
+    // Batch 2 sees batch 1's spans through the state (d-run now shared).
+    val b2 = Seq((20L, "e1 d1 d2 d3 d4 d5 d6 d7 e2 e3 e4 e5 e6 e7")).toDF("doc_id", "text")
+    val e2 = ext(Maintenance.incrementalDupSpans(spark, b2, "doc_id", "text", state, Some(2L)))
+    assert(e2 == Set((20L, 1, 7, 7L)), s"state must have folded batch 1's hashes: $e2")
+  }
+
+  test("dup_spans CLI verb: batch probed, extents written, state folded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-cli").toString
+    Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text").write.parquet(s"$root/batch0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "dup_spans",
+        "--batch", s"$root/batch0",
+        "--state", s"$root/spans",
+        "--out", s"$root/ext0",
+        "--applied_id", "0"
+      ),
+      spark
+    )
+    val ext = spark.read
+      .parquet(s"$root/ext0")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(ext == Set((1L, 3, 9, 7L), (2L, 2, 8, 7L)), s"CLI extents: $ext")
+    assert(spark.read.parquet(s"$root/spans").count() > 0, "state folded")
+  }
+
+  test("incrementalDupSpans recovers state stranded by a crash between the swap renames") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-crash").toString
+    val state = s"$root/spans"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+    // Simulate the crash window: state renamed aside, new state not yet
+    // in place.
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(
+      fs.rename(
+        new org.apache.hadoop.fs.Path(state),
+        new org.apache.hadoop.fs.Path(s"$state.__refresh_old")
+      )
+    )
+    // The next batch must heal on entry and still see batch 0's spans.
+    val b1 = Seq((10L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val e1 = Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e1 == Set((10L, 1, 7, 7L)), s"recovered state must serve the probe: $e1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state.__refresh_old")), "old dir cleaned")
+  }
 }

@@ -327,4 +327,40 @@ class PropertySpec extends AnyFunSuite {
       assert(got == refExtents(docs), s"corpus=$texts")
     }
   }
+
+  test("incrementalDupSpans equals the full-recompute rule on random corpus splits") {
+    // The incremental contract: probing the batch against the
+    // prior-corpus span-hash state + the within-batch min!=max rule is
+    // EXACTLY the one-shot rule over prior ∪ batch, restricted to the
+    // batch's docs. Random small-vocab corpora make the cross/within
+    // interactions dense.
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(4, 8)
+      texts <- Gen.listOfN(k, docGen)
+      split <- Gen.choose(1, k - 1)
+    } yield (texts, split)
+    forAllSamples(corpusGen) { case (texts, split) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val (base, batch) = docs.splitAt(split)
+      val state = java.nio.file.Files.createTempDirectory("graft-spanprop").toString + "/spans"
+      operators.Maintenance
+        .incrementalDupSpans(spark, base.toDF("doc_id", "text"), "doc_id", "text", state, Some(0L))
+      val inc = operators.Maintenance
+        .incrementalDupSpans(spark, batch.toDF("doc_id", "text"), "doc_id", "text", state, Some(1L))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      val batchIds = batch.map(_._1).toSet
+      assert(
+        inc == refExtents(docs).filter(e => batchIds(e._1)),
+        s"base=$base batch=$batch"
+      )
+    }
+  }
 }
