@@ -123,7 +123,8 @@ object SparkEntry {
     "q101_dup_extents" -> (TextQueries.q101DupExtents _),
     "q102_source_reputation" -> (TextQueries.q102SourceReputation _),
     "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _),
-    "q104_span_clean" -> (TextQueries.q104SpanClean _)
+    "q104_span_clean" -> (TextQueries.q104SpanClean _),
+    "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1457,6 +1458,32 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(count(*) FILTER (covered) AS BIGINT) AS n_removed_tokens,
         |  coalesce(array_to_string(list(tok ORDER BY pos ASC) FILTER (WHERE NOT covered), ' '), '') AS clean_text
-        |FROM cov GROUP BY doc_id""".stripMargin
+        |FROM cov GROUP BY doc_id""".stripMargin,
+    "q105_incremental_spans" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |px AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |    THEN list_transform(range(1, len(th) - 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER),
+        |            'h': (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647})
+        |    ELSE [] END) AS u FROM tk),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM px),
+        |s0 AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos WHERE doc_id % 2 = 0 GROUP BY h),
+        |d0 AS (SELECT p.doc_id, p.pos FROM pos p JOIN s0 USING (h)
+        |  WHERE p.doc_id % 2 = 0 AND s0.mn <> s0.mx),
+        |su AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |d1 AS (SELECT p.doc_id, p.pos FROM pos p JOIN su USING (h)
+        |  WHERE p.doc_id % 2 = 1 AND su.mn <> su.mx),
+        |i0 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d0),
+        |x0 AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM i0 GROUP BY doc_id, grp),
+        |i1 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d1),
+        |x1 AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM i1 GROUP BY doc_id, grp)
+        |SELECT CAST(0 AS BIGINT) AS ingest_batch, doc_id, CAST(sp AS INTEGER) AS start_pos,
+        |  CAST(ep + 2 AS INTEGER) AS end_pos, CAST(ep + 3 - sp AS BIGINT) AS n_tokens
+        |FROM x0 WHERE ep + 3 - sp >= 5
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, CAST(sp AS INTEGER), CAST(ep + 2 AS INTEGER),
+        |  CAST(ep + 3 - sp AS BIGINT)
+        |FROM x1 WHERE ep + 3 - sp >= 5""".stripMargin
   )
 }

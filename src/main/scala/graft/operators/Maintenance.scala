@@ -150,29 +150,33 @@ object Maintenance {
 
   /** Incremental duplicated-span extents — the persistent-state twin of
     * the batch q101 operator, so a new crawl batch gets its span-level
-    * dedup cuts WITHOUT a corpus-wide recompute. State is the corpus's
-    * distinct positional-3-gram hash set; a batch position is duplicated
-    * iff its hash is already in the state (some prior-corpus doc has it)
-    * or ≥ 2 distinct batch docs share it — for batch docs this is
-    * EXACTLY the full-recompute rule over prior ∪ batch, because prior
-    * docs are disjoint from batch docs (PropertySpec proves the
-    * equivalence on random corpora). Returns the batch docs' extents
-    * (`doc_id, start_pos, end_pos, n_tokens`, ≥ minTokens).
+    * dedup cuts WITHOUT a corpus-wide recompute. State is one row per
+    * distinct corpus span hash with min/max doc attribution
+    * (`h, mn_doc, mx_doc` — the q87 span-stat shape); a batch position
+    * is duplicated iff some OTHER doc holds its hash: a state row whose
+    * attribution isn't solely this doc, or ≥ 2 distinct batch docs
+    * sharing it. For doc-disjoint batches this is EXACTLY the
+    * full-recompute rule over prior ∪ batch restricted to the batch
+    * (PropertySpec proves it on random corpora). Returns the batch
+    * docs' extents (`doc_id, start_pos, end_pos, n_tokens`, ≥ minTokens).
     *
-    * Exactly-once: the probe runs against the PRE-batch state and the
-    * extents settle (localCheckpoint) before the state fold mutates
-    * anything; the fold itself is [[refreshAggregate]]'s marker + atomic
-    * two-rename swap. A crash before the swap recomputes identical
-    * extents; a retry of an applied batch returns EMPTY (its extents
-    * were produced by the first application — the batch-keyed telemetry
-    * rule of the streaming ingest family). Contract: each doc is
-    * delivered in exactly one batch (same as [[incrementalDedup]]).
+    * Exactly-once and replay: the extents settle (localCheckpoint)
+    * before the state fold mutates anything, and the fold is
+    * [[refreshAggregate]]'s marker + atomic two-rename swap (a retry of
+    * an applied batch skips the rewrite). Because the probe excludes
+    * self-attributed hashes, a REPLAYED batch probing the post-fold
+    * state recomputes extents IDENTICAL to its first run — so a caller
+    * writing them as a batch-keyed overwrite converges under any
+    * crash/retry (the streaming ingest family's rule), with no
+    * "already applied" special case. Same mechanism makes a re-crawled
+    * unchanged doc in a LATER batch not duplicate against itself.
     *
     * 100 TB: per-batch work is batch shingles (window over the batch's
-    * own hashes) + one left-semi probe into the state. The fold rewrites
-    * the state (distinct of old ∪ batch) — refreshAggregate's shape; when
-    * the hash table outgrows a single rewrite, hive-partition the state
-    * by a hash prefix and swap only the partitions receiving new hashes.
+    * own hashes) + one keyed probe join into the state (batch side
+    * small → AQE broadcasts it). The fold rewrites the state —
+    * refreshAggregate's shape; when the hash table outgrows a single
+    * rewrite, hive-partition the state by a hash prefix and swap only
+    * the partitions receiving new hashes.
     */
   def incrementalDupSpans(
       spark: SparkSession,
@@ -189,12 +193,6 @@ object Maintenance {
     // Heal a crash stranded between the fold's two renames BEFORE any
     // read — same entry rule as foldState.
     recoverSwap(fs, fsPath, new HPath(s"$statePath.__refresh_old"))
-    if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId) {
-      import spark.implicits._
-      return Seq
-        .empty[(Long, Int, Int, Long)]
-        .toDF("doc_id", "start_pos", "end_pos", "n_tokens")
-    }
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -212,7 +210,10 @@ object Maintenance {
     val stateDup =
       if (fs.exists(fsPath))
         pos
-          .join(spark.read.parquet(statePath), Seq("h"), "left_semi")
+          .join(spark.read.parquet(statePath), Seq("h"))
+          // Some OTHER doc holds the hash — a row attributed solely to
+          // this doc (its own prior/replayed contribution) is not a dup.
+          .filter(col("mn_doc") =!= col("doc_id") || col("mx_doc") =!= col("doc_id"))
           .select(col("doc_id"), col("pos"))
       else withinDup.limit(0)
     // A position can be dup BOTH ways — distinct before the island merge.
@@ -221,8 +222,14 @@ object Maintenance {
       .extentsFromDupPositions(dup)
       .filter(col("n_tokens") >= minTokens)
       .localCheckpoint() // settle BEFORE the state fold mutates the index
-    foldState(spark, statePath, appliedId, pos.select(col("h")).distinct()) { (old, p) =>
-      old.unionByName(p).distinct()
+    val partial = pos
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
+    foldState(spark, statePath, appliedId, partial) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(col("h"))
+        .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
     }
     extents
   }

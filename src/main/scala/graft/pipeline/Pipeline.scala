@@ -201,7 +201,10 @@ object Pipeline {
   * through streaming SemDeDup against the persistent IVF index), and
   * `--maintenance dup_spans --batch B --state S --out O
   * [--applied_id N] [--min_tokens K]` (incremental span-level dedup
-  * against the persistent span-hash state).
+  * against the persistent span-hash state), and
+  * `--maintenance span_dedup_ingest --raw R --state S --out O
+  * --checkpoint C [--min_tokens K]` (drain arriving document JSON
+  * files through streaming span-level dedup).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -279,6 +282,21 @@ object PipelineRunner {
           .semanticDedupIngest(spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos)
           .awaitTermination()
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
+      case Some("span_dedup_ingest") =>
+        // Streaming span-level dedup over arriving document JSON files:
+        // per-file extents against the persistent span-hash state,
+        // batch-keyed telemetry, hashes folded in
+        // (StreamingPipeline.spanDedupIngest). Document JSON shape:
+        // {"doc_id": long, "text": string}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <extents dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val minTokens = opts.getOrElse("min_tokens", "5").toInt
+        graft.streaming.StreamingPipeline
+          .spanDedupIngest(spark, raw, state, out, ckpt, graft.schemas.Schemas.documentIngest, minTokens)
+          .awaitTermination()
+        println(s"[maintenance] span dedup ingest drained $raw against $state")
       case Some("dup_spans") =>
         // Incremental span-level dedup: probe one batch of documents
         // against the persistent span-hash state, emit the batch's

@@ -1492,6 +1492,41 @@ object TextQueries {
       )
   }
 
+  /** Incremental span-level dedup, oracle-checked end to end: the
+    * corpus splits into two batches by doc_id parity and ingests through
+    * [[graft.operators.Maintenance.incrementalDupSpans]] against a
+    * scratch span-hash state. Batch 0's extents follow the within-batch
+    * rule alone; batch 1's follow the full prior ∪ batch rule via the
+    * durable state — exactly what the DuckDB oracle replays as two
+    * differently-scoped copies of the q101 pipeline. Like q96/q97, the
+    * bench number times BOTH ingests including the state folds — the
+    * durable path is the thing under test.
+    */
+  def q105IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q105")
+    val rows =
+      try {
+        val state = root.resolve("spans").toString
+        def ingest(parity: Int, id: Long): IndexedSeq[(Long, Long, Int, Int, Long)] =
+          graft.operators.Maintenance
+            .incrementalDupSpans(
+              spark,
+              d.filter(col("doc_id") % 2 === parity),
+              "doc_id",
+              "text",
+              state,
+              Some(id)
+            )
+            .collect()
+            .toIndexedSeq
+            .map(r => (id, r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        ingest(0, 0L) ++ ingest(1, 1L)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("ingest_batch", "doc_id", "start_pos", "end_pos", "n_tokens")
+  }
+
   /** Deterministic global-shuffle manifest — the training-order step of
     * a data pipeline: every doc gets a pseudo-random 28-bit position
     * hash, lands in one of 8 shards by hash mod, and receives a stable

@@ -66,4 +66,16 @@ object Schemas {
       StructField("embedding", ArrayType(DoubleType))
     )
   )
+
+  /** Document-ingest JSON shape (`{"doc_id": long, "text": string}`) —
+    * the streaming span-dedup source read by
+    * `StreamingPipeline.spanDedupIngest` and the
+    * `--maintenance span_dedup_ingest` CLI verb.
+    */
+  val documentIngest: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)
+    )
+  )
 }

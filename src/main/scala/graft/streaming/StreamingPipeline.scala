@@ -465,6 +465,82 @@ object StreamingPipeline {
     accepted.count()
   }
 
+  /** One batch of streaming SPAN-level dedup: the batch's documents are
+    * probed against the persistent span-hash state
+    * ([[graft.operators.Maintenance.incrementalDupSpans]] — the
+    * within-batch min≠max rule plus other-doc-attributed state rows),
+    * the batch's duplicated extents land as a batch-keyed telemetry
+    * overwrite, and the batch's hashes fold into the state under the
+    * batch-id marker. Replay-safe end to end: a replayed batch
+    * recomputes IDENTICAL extents against the post-fold state (the
+    * probe excludes self-attributed hashes) while the fold no-ops on
+    * its marker, so the overwrite converges under any crash/retry. An
+    * empty micro-batch writes its (empty) telemetry partition and never
+    * touches the state — idle trigger firings must not rewrite a
+    * corpus-scale hash table. Returns the number of extent rows.
+    */
+  def spanDedupIngestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      statePath: String,
+      extentsPath: String,
+      batchId: Long,
+      minTokens: Int = 5
+  ): Long = {
+    val part = s"$extentsPath/ingest_batch=$batchId"
+    if (batch.isEmpty) {
+      import spark.implicits._
+      Seq
+        .empty[(Long, Int, Int, Long)]
+        .toDF("doc_id", "start_pos", "end_pos", "n_tokens")
+        .write
+        .mode("overwrite")
+        .parquet(part)
+      return 0L
+    }
+    val ext = graft.operators.Maintenance
+      .incrementalDupSpans(spark, batch, "doc_id", "text", statePath, Some(batchId), minTokens)
+    // `ext` is pinned inside incrementalDupSpans — the write and the
+    // count read the settled rows, not a recompute.
+    ext.write.mode("overwrite").parquet(part)
+    ext.count()
+  }
+
+  /** Streaming span-level dedup ingest: each arriving documents file
+    * gets its duplicated-span extents against the persistent span-hash
+    * state and folds its hashes in — the SUBSTRING-level member of the
+    * ingest dedup family (exact [[dedupIngest]] / MinHash
+    * [[nearDupIngest]] / semantic [[semanticDedupIngest]] / span),
+    * feeding a span cleaner instead of dropping whole docs.
+    */
+  def spanDedupIngest(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      extentsPath: String,
+      checkpoint: String,
+      docSchema: StructType,
+      minTokens: Int = 5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spanDedupIngestBatch(
+          spark,
+          batch.select(col("doc_id"), col("text")),
+          statePath,
+          extentsPath,
+          batchId,
+          minTokens
+        )
+        ()
+      }
+      .start()
+
   /** Streaming semantic-dedup ingest: each arriving embeddings file is
     * SemDeDup'd against the persistent IVF index and within itself,
     * survivors join the index — the embedding twin of [[dedupIngest]]

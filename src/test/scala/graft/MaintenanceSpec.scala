@@ -233,7 +233,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(left == Set(3L, 4L), "surviving partitions read back intact")
   }
 
-  test("incrementalDupSpans: cross-batch spans via state; replay returns empty, state untouched") {
+  test("incrementalDupSpans: cross-batch spans via state; replay recomputes identically, state untouched") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft-spans").toString + "/spans"
     def ext(df: org.apache.spark.sql.DataFrame) =
@@ -253,20 +253,35 @@ class MaintenanceSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val e1 = ext(Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L)))
     assert(e1 == Set((10L, 1, 7, 7L)), s"cross-batch extent via state: $e1")
-    val hashesAfterB1 =
-      spark.read.parquet(state).collect().map(_.getLong(0)).toSet
-    // Replay of batch 1: empty output (its extents were already
-    // produced), and the state fold no-ops.
+    val stateAfterB1 = spark.read
+      .parquet(state)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // Replay of batch 1: the post-fold state attributes batch 1's own
+    // hashes to their docs, so the probe recomputes IDENTICAL extents
+    // (batch-keyed overwrite convergence) and the state fold no-ops.
     val replay = ext(Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L)))
-    assert(replay.isEmpty, s"replayed batch must emit nothing: $replay")
+    assert(replay == e1, s"replayed batch must recompute identical extents: $replay")
     assert(
-      spark.read.parquet(state).collect().map(_.getLong(0)).toSet == hashesAfterB1,
+      spark.read
+        .parquet(state)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == stateAfterB1,
       "replay must leave the state byte-equal"
     )
     // Batch 2 sees batch 1's spans through the state (d-run now shared).
     val b2 = Seq((20L, "e1 d1 d2 d3 d4 d5 d6 d7 e2 e3 e4 e5 e6 e7")).toDF("doc_id", "text")
     val e2 = ext(Maintenance.incrementalDupSpans(spark, b2, "doc_id", "text", state, Some(2L)))
     assert(e2 == Set((20L, 1, 7, 7L)), s"state must have folded batch 1's hashes: $e2")
+    // A re-crawled UNCHANGED doc in a later batch must not duplicate
+    // against its own prior contribution (self-attributed state rows
+    // are excluded from the probe).
+    val b3 = Seq((30L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12")).toDF("doc_id", "text")
+    assert(ext(Maintenance.incrementalDupSpans(spark, b3, "doc_id", "text", state, Some(3L))).isEmpty)
+    val again = ext(Maintenance.incrementalDupSpans(spark, b3, "doc_id", "text", state, Some(4L)))
+    assert(again.isEmpty, s"re-crawled unchanged doc must not self-dup: $again")
   }
 
   test("dup_spans CLI verb: batch probed, extents written, state folded") {

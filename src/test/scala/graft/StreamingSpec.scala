@@ -563,6 +563,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(drops == Set((12L, 10L)), s"the cross-file dup must be the only drop, got $drops")
   }
 
+  test("streaming span dedup ingest end-to-end: cross-file spans detected via the state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spandedup-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    def run(): Unit =
+      StreamingPipeline
+        .spanDedupIngest(spark, raw, s"$root/spans", s"$root/ext", s"$root/ckpt", graft.schemas.Schemas.documentIngest)
+        .awaitTermination(60000)
+    // File 1: docs 1/2 share the 7-token X-run — a within-batch extent.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"}
+         |{"doc_id":2,"text":"b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7"}""".stripMargin
+    )
+    run()
+    // File 2: doc 10 shares the run ONLY with file 1's corpus — a
+    // cross-FILE span, detectable only through the durable state.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":10,"text":"c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7"}
+         |{"doc_id":11,"text":"d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"}""".stripMargin
+    )
+    run()
+    val ext = spark.read
+      .parquet(s"$root/ext")
+      .select(col("ingest_batch").cast("long"), col("doc_id"), col("start_pos"), col("end_pos"), col("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(
+      ext == Set((0L, 1L, 3, 9, 7L), (0L, 2L, 2, 8, 7L), (1L, 10L, 1, 7, 7L)),
+      s"per-batch extents: $ext"
+    )
+    // Restart against the same checkpoint: no files left, nothing changes.
+    run()
+    assert(
+      spark.read.parquet(s"$root/ext").count() == 3,
+      "restart with a drained source must add nothing"
+    )
+  }
+
+  test("span dedup ingest: an empty batch writes empty telemetry, never touches the state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spandedup-empty").toString
+    // Seed the state with one applied batch.
+    StreamingPipeline.spanDedupIngestBatch(
+      spark,
+      Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text"),
+      s"$root/spans",
+      s"$root/ext",
+      0L
+    )
+    val stateFiles = new java.io.File(s"$root/spans").listFiles().map(_.getName).toSet
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val n = StreamingPipeline.spanDedupIngestBatch(spark, empty, s"$root/spans", s"$root/ext", 1L)
+    assert(n == 0L, "empty batch yields no extents")
+    assert(
+      spark.read.parquet(s"$root/ext/ingest_batch=1").count() == 0,
+      "telemetry partition exists and is empty"
+    )
+    assert(
+      new java.io.File(s"$root/spans").listFiles().map(_.getName).toSet == stateFiles,
+      "an idle firing must not rewrite the corpus-scale state"
+    )
+  }
+
+  test("maintenance CLI verb span_dedup_ingest drains a raw dir against the state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spandedup-cli").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"}
+         |{"doc_id":2,"text":"b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7"}""".stripMargin
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "span_dedup_ingest",
+        "--raw", raw,
+        "--state", s"$root/spans",
+        "--out", s"$root/ext",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    val ext = spark.read
+      .parquet(s"$root/ext")
+      .select("doc_id", "start_pos", "end_pos", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(ext == Set((1L, 3, 9, 7L), (2L, 2, 8, 7L)), s"CLI extents: $ext")
+    assert(spark.read.parquet(s"$root/spans").count() > 0, "state folded")
+  }
+
   test("semantic dedup ingest: an empty batch is a no-op with empty telemetry") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
