@@ -1461,11 +1461,13 @@ object TextQueries {
     *
     * Shape: q101's extent pass, extents collected per doc (sorted array
     * — deterministic independent of agg order), one join back to the
-    * corpus on doc_id, then a codegen'd per-row lambda filter. The
-    * extent array is a plain join attribute, not an inlined projected
-    * expression, so the per-element reference is safe (see the
-    * CollapseProject trap in SCALE.md). Per-doc cost is
-    * O(tokens × extents-in-THIS-doc).
+    * corpus on doc_id, then a per-row lambda filter (an interpreted
+    * HOF, like every Spark higher-order function — acceptable here
+    * because the work is O(tokens × extents-in-THIS-doc) and `exists`
+    * over the null extent array of an extent-free doc short-circuits).
+    * The extent array is a plain join attribute, not an inlined
+    * projected expression, so the per-element reference is safe (see
+    * the CollapseProject trap in SCALE.md).
     */
   def q104SpanClean(spark: SparkSession, dir: String): DataFrame = {
     val ext = dupExtents(spark, dir)

@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
   }
 
+  test("q104/q105: extent consumers keep the single-pass contract — no Expand") {
+    // q104 adds an extent agg + a doc_id join back over ONE positional
+    // pass; q105 runs two differently-scoped passes (one per ingest
+    // batch) but may never re-explode within a batch or plan a
+    // countDistinct Expand. (q105 executes eagerly against a scratch
+    // state, so the lock here is on q104's composed plan.)
+    val plan = planOf(queries.TextQueries.q104SpanClean(spark, sf))
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 posexplode in q104, got $explodes:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+  }
+
   test("q103: the manifest shuffles once, on the shard key") {
     // One hash exchange (the shard window); the per-doc hash and the
     // running char budget are computed inside that partition — a global
