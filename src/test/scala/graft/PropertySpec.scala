@@ -328,6 +328,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q104 cleaning equals the reference mask on random small-vocab corpora") {
+    // Reference cleaner: mask every token covered by a >=5-token
+    // reference extent, rejoin the rest — catches both the overlap
+    // double-count trap and any extent/array-index off-by-one.
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(3, 7)
+      texts <- Gen.listOfN(k, docGen)
+    } yield texts
+    forAllSamples(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-cleanprop").toString
+      docs
+        .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val extByDoc = refExtents(docs).groupBy(_._1)
+      val want = docs.map { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        val covered = extByDoc
+          .getOrElse(id, Set.empty)
+          .flatMap { case (_, sp, ep, _) => sp to ep }
+        val kept = toks.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+        id -> (covered.count(_ < toks.length).toLong, kept.mkString(" "))
+      }.toMap
+      val got = queries.TextQueries
+        .q104SpanClean(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      assert(got == want, s"corpus=$texts")
+    }
+  }
+
   test("incrementalDupSpans equals the full-recompute rule on random corpus splits") {
     // The incremental contract: probing the batch against the
     // prior-corpus span-hash state + the within-batch min!=max rule is
