@@ -198,8 +198,9 @@ object TextQueries {
     * loss) rather than hold executor blocks. That path is first-class
     * here: [[materializeFeatures]] writes the shingle + token tables
     * under a state dir and swaps the memo entries to parquet reads, so
-    * every consumer (q21/q22/q32/q34/q36/q41/q52/q54/q56) transparently
-    * runs from durable storage.
+    * every consumer (q21/q22/q32/q34/q36/q41/q52/q54/q56, and the
+    * span-extent family q101/q102/q104) transparently runs from
+    * durable storage.
     *
     * Memo hygiene: keys are `(sessionUUID, dir, kind)` — a stopped
     * session's UUID never collides with a new one (unlike
@@ -308,6 +309,11 @@ object TextQueries {
     val pairsPath = s"$statePath/pairs"
     nearDupPairs(spark, dir).write.mode("overwrite").parquet(pairsPath)
     featureMemo.put((sessionKey(spark), dir, "pairs"), spark.read.parquet(pairsPath))
+    // Fourth shared feature: the duplicated-position table feeding the
+    // span-extent family (q101/q102/q104).
+    val posPath = s"$statePath/dup_positions"
+    dupPositionsDf(spark, dir).write.mode("overwrite").parquet(posPath)
+    featureMemo.put((sessionKey(spark), dir, "dup_positions"), spark.read.parquet(posPath))
     (shPath, tokPath)
   }
 
@@ -329,6 +335,9 @@ object TextQueries {
       .get(java.net.URI.create(pairsPath), spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(pairsPath)))
       featureMemo.put((sk, dir, "pairs"), spark.read.parquet(pairsPath))
+    val posPath = s"$statePath/dup_positions"
+    if (fs.exists(new org.apache.hadoop.fs.Path(posPath)))
+      featureMemo.put((sk, dir, "dup_positions"), spark.read.parquet(posPath))
   }
 
   /** Parameterized near-dup pair builder over the inverted shingle
@@ -1358,13 +1367,13 @@ object TextQueries {
   }
 
   /** Positions whose 3-gram shingle also occurs in at least one OTHER
-    * document — the duplicated-position table shared by q101/q102. Same
-    * single-pass shape as q87 (one positional explode, window
+    * document — the duplicated-position table shared by q101/q102/q104.
+    * Same single-pass shape as q87 (one positional explode, window
     * `min(doc_id) != max(doc_id)` over the span hash, never a
     * countDistinct Expand), but POSITION-PRESERVING: `posexplode` keeps
     * the token index so downstream can reason about spans, not counts.
     */
-  private def dupPositions(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupPositionsDf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val exploded = docs(spark, dir)
       .select(
@@ -1380,6 +1389,17 @@ object TextQueries {
       .filter(col("mn") =!= col("mx"))
       .select(col("doc_id"), col("pos"))
   }
+
+  /** [[dupPositionsDf]] through the shared feature memo — three extent
+    * consumers (q101/q102/q104) pay the corpus-wide positional pass
+    * once per (session, dir), and [[materializeFeatures]] pins it to
+    * parquet in durable mode like the shingle/token tables.
+    */
+  private def dupPositions(spark: SparkSession, dir: String): DataFrame =
+    featureMemo.getOrElseUpdate(
+      (sessionKey(spark), dir, "dup_positions"),
+      dupPositionsDf(spark, dir).localCheckpoint()
+    )
 
   /** Maximal per-doc duplicated extents: the island merge lives in
     * [[graft.operators.Dedup.extentsFromDupPositions]] (shared with the

@@ -106,25 +106,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
   }
 
-  test("q101: one positional pass — single posexplode, no countDistinct Expand") {
+  test("q101: one positional pass — single posexplode in the shared feature, none in consumers") {
     // Same contract as q87: the corpus-wide positional shingle pass runs
-    // exactly once, and the >=2-docs test is window min!=max, never an
-    // Expand. The extra island/extent stages must not re-explode.
-    val plan = planOf(queries.TextQueries.q101DupExtents(spark, sf))
-    val explodes = "Generate posexplode".r.findAllIn(plan).length
-    assert(explodes == 1, s"expected exactly 1 posexplode, got $explodes:\n$plan")
-    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+    // exactly once and the >=2-docs test is window min!=max, never an
+    // Expand — asserted on the FEATURE TABLE's plan, because the
+    // extent consumers ride it through the session memo (their own
+    // plans start from the materialized table and must not re-explode).
+    val feature = planOf(queries.TextQueries.dupPositionsDf(spark, sf))
+    val explodes = "Generate posexplode".r.findAllIn(feature).length
+    assert(explodes == 1, s"expected exactly 1 posexplode in the feature pass, got $explodes:\n$feature")
+    assert(!feature.contains("Expand"), s"no Expand (countDistinct) allowed:\n$feature")
+    val q101 = planOf(queries.TextQueries.q101DupExtents(spark, sf))
+    assert(
+      !q101.contains("Generate posexplode"),
+      s"q101 must ride the shared dup-position table, not re-explode:\n$q101"
+    )
   }
 
   test("q104/q105: extent consumers keep the single-pass contract — no Expand") {
-    // q104 adds an extent agg + a doc_id join back over ONE positional
-    // pass; q105 runs two differently-scoped passes (one per ingest
-    // batch) but may never re-explode within a batch or plan a
-    // countDistinct Expand. (q105 executes eagerly against a scratch
-    // state, so the lock here is on q104's composed plan.)
+    // q104 adds an extent agg + a doc_id join back over the SHARED
+    // dup-position table — its own plan must not re-explode the corpus
+    // (the feature pass's single-explode property is locked in the q101
+    // test) nor plan a countDistinct Expand. q105 executes eagerly
+    // against a scratch state, so its per-batch shape is covered by the
+    // same feature-pass lock.
     val plan = planOf(queries.TextQueries.q104SpanClean(spark, sf))
-    val explodes = "Generate posexplode".r.findAllIn(plan).length
-    assert(explodes == 1, s"expected exactly 1 posexplode in q104, got $explodes:\n$plan")
+    assert(
+      !plan.contains("Generate posexplode"),
+      s"q104 must ride the shared dup-position table, not re-explode:\n$plan"
+    )
     assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
   }
 
