@@ -150,6 +150,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), s"no global sort allowed:\n$plan")
   }
 
+  test("global: no query ever plans a CartesianProduct") {
+    // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
+    // broadcast() of provably small relations (centroids, 1-row
+    // scalars, query batches) — the documented pattern. A
+    // CartesianProduct (both sides partitioned, every pair
+    // materialized) anywhere in the 105-query surface is a scale bug,
+    // whatever the test-sf row counts happen to be. Building the plans
+    // runs the few eagerly-executing queries (q89/q96/q97/q105) at
+    // this smallest sf — acceptable for a whole-surface guard.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try planOf(fn(spark, sf))
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q88: sketch path shuffles digests as partial aggregates, no extra sort") {
     val plan = planOf(CoreQueries.q88SketchQuantiles(spark, sf))
     // The t-digest aggregate must run as ObjectHashAggregate partial +
