@@ -310,6 +310,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/spans").count() > 0, "state folded")
   }
 
+  test("incrementalDupSpans: a shingle-free batch yields nothing and loses no state") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-spans-short").toString + "/spans"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+    val before = spark.read
+      .parquet(state)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // Docs below the 3-token shingle floor contribute zero positions —
+    // the probe, the island merge, and the state fold must all be
+    // no-op-safe on the empty frame, and the accumulated state must
+    // survive the empty-partial rewrite.
+    val shorts = Seq((50L, "x y"), (51L, "")).toDF("doc_id", "text")
+    val ext = Maintenance
+      .incrementalDupSpans(spark, shorts, "doc_id", "text", state, Some(1L))
+      .collect()
+    assert(ext.isEmpty, s"shingle-free batch must yield no extents: ${ext.toSeq}")
+    assert(
+      spark.read
+        .parquet(state)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == before,
+      "state must survive an empty-partial fold"
+    )
+    // And the state still serves the next real batch.
+    val b2 = Seq((60L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3")).toDF("doc_id", "text")
+    val e2 = Maintenance
+      .incrementalDupSpans(spark, b2, "doc_id", "text", state, Some(2L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e2 == Set((60L, 1, 7, 7L)), s"state must still serve probes: $e2")
+  }
+
   test("incrementalDupSpans recovers state stranded by a crash between the swap renames") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-crash").toString
