@@ -124,7 +124,8 @@ object SparkEntry {
     "q102_source_reputation" -> (TextQueries.q102SourceReputation _),
     "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _),
     "q104_span_clean" -> (TextQueries.q104SpanClean _),
-    "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _)
+    "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _),
+    "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1484,6 +1485,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), doc_id, CAST(sp AS INTEGER), CAST(ep + 2 AS INTEGER),
         |  CAST(ep + 3 - sp AS BIGINT)
-        |FROM x1 WHERE ep + 3 - sp >= 5""".stripMargin
+        |FROM x1 WHERE ep + 3 - sp >= 5""".stripMargin,
+    "q106_lm_surprisal" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tk WHERE len(t) >= 2),
+        |wc AS (SELECT doc_id,
+        |    count(*) OVER (PARTITION BY w1, w2) AS c12,
+        |    count(*) OVER (PARTITION BY w1) AS c1
+        |  FROM bg),
+        |db AS (SELECT doc_id,
+        |    CAST(sum(length(bin(c1 // c12)) - 1) AS BIGINT) AS surprisal_bits,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, surprisal_bits, n_bigrams,
+        |  CAST(surprisal_bits AS DOUBLE) / n_bigrams AS avg_bits,
+        |  surprisal_bits * 5 <= n_bigrams * 22 AS keep_doc
+        |FROM db""".stripMargin
   )
 }

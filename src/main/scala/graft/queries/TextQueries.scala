@@ -845,6 +845,59 @@ object TextQueries {
       .select("w1", "w2", "c12", "c1", "p_cond")
   }
 
+  /** LM-perplexity quality gate (the CCNet-style filter) in EXACT
+    * integer arithmetic: score each doc by the summed surprisal of its
+    * bigrams under the corpus's own bigram LM, where per-bigram
+    * surprisal is the INTEGER bit count `floor(log2(c1 div c12))` —
+    * computed as `length(bin(c1 div c12)) - 1`, identical in both
+    * engines, instead of a floating log whose last ulp differs across
+    * libm implementations (q92's ln-vs-lift reasoning taken one step
+    * further: here even the monotone-transform dodge is unavailable
+    * because scores are SUMMED, so the score itself must be exact).
+    * Within 1 bit/token of true log2 perplexity — the same decision
+    * quality for a keep/drop gate, with a hash-stable oracle. Docs
+    * under 2 tokens have no bigrams and are not scored.
+    *
+    * Plan shape: ONE bigram explode; both count lookups are unordered
+    * WINDOWS over the instance table (count over (w1,w2) and (w1)) —
+    * the groupBy-then-join-back alternative would re-explode the corpus
+    * (q87's lesson, and q106's plan lock). Three keyed shuffles total.
+    * At 100 TB, memory per window partition is one count — bounded by
+    * key cardinality, not corpus size; an ultra-hot bigram's partition
+    * is just its instance rows, which AQE splits.
+    */
+  def q106LmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val inst = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val wB = Window.partitionBy(col("w1"), col("w2"))
+    val wU = Window.partitionBy(col("w1"))
+    inst
+      .withColumn("c12", count(lit(1)).over(wB))
+      .withColumn("c1", count(lit(1)).over(wU))
+      .withColumn("bits", (length(bin(expr("c1 div c12"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits")).as("surprisal_bits"), count(lit(1)).as("n_bigrams"))
+      .select(
+        col("doc_id"),
+        col("surprisal_bits"),
+        col("n_bigrams"),
+        (col("surprisal_bits").cast("double") / col("n_bigrams")).as("avg_bits"),
+        (col("surprisal_bits") * 5 <= col("n_bigrams") * 22).as("keep_doc")
+      )
+  }
+
   /** Collocation extraction by PMI-style LIFT — the corpus-linguistics
     * companion to q74's conditional bigram LM: score each bigram by
     * `c12·N / (c1·c2)` (observed over expected-under-independence) and

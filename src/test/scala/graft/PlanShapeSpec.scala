@@ -150,6 +150,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), s"no global sort allowed:\n$plan")
   }
 
+  test("q106: one bigram explode — counts are windows, never a join-back") {
+    // Both LM count lookups (c12 over (w1,w2), c1 over (w1)) must plan
+    // as unordered windows over the single exploded instance table; a
+    // groupBy-then-join-back would re-explode the corpus per marginal
+    // (q87's lesson).
+    val plan = planOf(queries.TextQueries.q106LmSurprisal(spark, sf))
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 explode, got $explodes:\n$plan")
+    assert(plan.split("Window \\[").length == 3, s"two count windows expected:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row
