@@ -183,6 +183,61 @@ object Pipeline {
       .parquet(path)
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** End-to-end corpus curation — the engine's training-data operators
+    * composed into ONE runnable job over a documents dir:
+    * LM-surprisal quality gate (q106's integer rule) → span-level
+    * cleaning (q104: duplicated extents cut from the text) → exact
+    * dedup on the CLEANED text (two docs differing only in boilerplate
+    * collapse) → deterministic shuffle-manifest assignment (q103's
+    * hash rule), written shard-partitioned with each shard clustered
+    * into one task's output. Every stage is an oracle-checked query's
+    * rule; this is the composition a platform user actually schedules.
+    * Returns (input docs, curated docs) — the second from the write
+    * itself ([[writeCounted]]'s observe trick), no second scan.
+    */
+  def curateCorpus(
+      spark: SparkSession,
+      dataDir: String,
+      outDir: String,
+      shards: Int = 8
+  ): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(shards > 0, "shards must be positive")
+    val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+    val gate = graft.queries.TextQueries
+      .q106LmSurprisal(spark, dataDir)
+      .filter(col("keep_doc"))
+      .select("doc_id")
+    val cleaned = graft.queries.TextQueries
+      .q104SpanClean(spark, dataDir)
+      .select(col("doc_id"), col("clean_text"))
+    val kept = docs
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(gate, Seq("doc_id"), "left_semi")
+      .join(cleaned, Seq("doc_id"))
+    val deduped = graft.operators.Dedup.dedupExact(kept, "doc_id", "clean_text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    val manifest = deduped
+      .withColumn(
+        "__h",
+        conv(substring(md5(concat(lit("gs_"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long")
+      )
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("clean_text").as("text"), col("lang"), col("source"), col("shard"), col("rk"))
+    val obs = org.apache.spark.sql.Observation()
+    clusteredBy(manifest, "shard")
+      .observe(obs, count(lit(1)).as("n"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+    (docs.count(), obs.get("n").asInstanceOf[Long])
+  }
 }
 
 /** CLI entry — parity with the reference job surface:
@@ -204,7 +259,10 @@ object Pipeline {
   * against the persistent span-hash state), and
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
-  * files through streaming span-level dedup).
+  * files through streaming span-level dedup), and
+  * `--maintenance curate --data D --out O [--shards N]` (one-command
+  * corpus curation: quality gate → span clean → dedup → shard
+  * manifest).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -282,6 +340,15 @@ object PipelineRunner {
           .semanticDedupIngest(spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos)
           .awaitTermination()
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
+      case Some("curate") =>
+        // One-command corpus curation: quality gate -> span clean ->
+        // exact dedup on cleaned text -> shard manifest
+        // (Pipeline.curateCorpus; each stage is an oracle-checked rule).
+        val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <dir> required"))
+        val shards = opts.getOrElse("shards", "8").toInt
+        val (nIn, nOut) = Pipeline.curateCorpus(spark, data, out, shards)
+        println(s"[maintenance] curated $data: $nIn -> $nOut docs in $out")
       case Some("span_dedup_ingest") =>
         // Streaming span-level dedup over arriving document JSON files:
         // per-file extents against the persistent span-hash state,

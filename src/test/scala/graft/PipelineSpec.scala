@@ -203,4 +203,60 @@ class PipelineSpec extends AnyFunSuite {
     // must not throw (spark.sql.caseSensitive=false default)
     assert(logDf.select(col("userID")).columns.head == "userID")
   }
+
+  test("curateCorpus composes gate/clean/dedup/manifest exactly as the declared rules") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-curate").toString + "/curated"
+    val (nIn, nOut) = Pipeline.curateCorpus(spark, sf, out, shards = 4)
+    // Recompose the expected survivor set from the oracle-checked
+    // queries the job claims to apply.
+    val keep = queries.TextQueries
+      .q106LmSurprisal(spark, sf)
+      .filter(col("keep_doc"))
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val clean = queries.TextQueries
+      .q104SpanClean(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    val expected = clean.view
+      .filterKeys(keep)
+      .toSeq
+      .groupBy(_._2)
+      .map { case (_, ds) => ds.map(_._1).min }
+      .toSet
+    val got = spark.read.parquet(out)
+    val gotRows = got
+      .select("doc_id", "text", "shard", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(nIn == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(nOut == gotRows.length.toLong, "observed count equals written rows")
+    assert(gotRows.map(_._1).toSet == expected, "survivors = gate ∩ min-id-per-clean-text")
+    gotRows.foreach { case (id, text, _, _) =>
+      assert(text == clean(id), s"doc $id text must be the q104 cleaned text")
+    }
+    // Shard layout: hive dirs, ranks contiguous per shard.
+    gotRows.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"shard $shard ranks")
+    }
+    assert(
+      new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("shard=")) > 0,
+      "shard-partitioned layout"
+    )
+    // CLI verb smoke: same job reachable from the runner surface.
+    val out2 = Files.createTempDirectory("graft-curate-cli").toString + "/curated"
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "curate", "--data", sf, "--out", out2, "--shards", "4"),
+      spark
+    )
+    assert(
+      spark.read.parquet(out2).count() == gotRows.length.toLong,
+      "CLI curate must produce the same corpus"
+    )
+  }
 }
