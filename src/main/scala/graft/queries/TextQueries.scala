@@ -1575,7 +1575,12 @@ object TextQueries {
     * durable state — exactly what the DuckDB oracle replays as two
     * differently-scoped copies of the q101 pipeline. Like q96/q97, the
     * bench number times BOTH ingests including the state folds — the
-    * durable path is the thing under test.
+    * durable path is the thing under test. The collect here is the
+    * demo-query's materialization (results must outlive the scratch
+    * state's cleanup; ~2-20k short rows at test sf) — the OPERATOR
+    * itself returns a DataFrame and never collects; production drives
+    * [[graft.operators.Maintenance.incrementalDupSpans]] /
+    * `spanDedupIngest` directly with parquet sinks.
     */
   def q105IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
