@@ -130,12 +130,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // test) nor plan a countDistinct Expand. q105 executes eagerly
     // against a scratch state, so its per-batch shape is covered by the
     // same feature-pass lock.
-    val plan = planOf(queries.TextQueries.q104SpanClean(spark, sf))
-    assert(
-      !plan.contains("Generate posexplode"),
-      s"q104 must ride the shared dup-position table, not re-explode:\n$plan"
-    )
-    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+    for (
+      (name, df) <- Seq(
+        "q102" -> queries.TextQueries.q102SourceReputation(spark, sf),
+        "q104" -> queries.TextQueries.q104SpanClean(spark, sf)
+      )
+    ) {
+      val plan = planOf(df)
+      assert(
+        !plan.contains("Generate posexplode"),
+        s"$name must ride the shared dup-position table, not re-explode:\n$plan"
+      )
+      assert(!plan.contains("Expand"), s"$name: no Expand (countDistinct) allowed:\n$plan")
+    }
   }
 
   test("q103: the manifest shuffles once, on the shard key") {
