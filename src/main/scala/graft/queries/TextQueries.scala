@@ -858,17 +858,29 @@ object TextQueries {
     * quality for a keep/drop gate, with a hash-stable oracle. Docs
     * under 2 tokens have no bigrams and are not scored.
     *
-    * Plan shape: ONE bigram explode; both count lookups are unordered
-    * WINDOWS over the instance table (count over (w1,w2) and (w1)) —
-    * the groupBy-then-join-back alternative would re-explode the corpus
-    * (q87's lesson, and q106's plan lock). Three keyed shuffles total.
-    * At 100 TB, memory per window partition is one count — bounded by
-    * key cardinality, not corpus size; an ultra-hot bigram's partition
-    * is just its instance rows, which AQE splits.
+    * Plan shape — built for Zipf-skewed token keys: ONE bigram explode
+    * feeding a `(doc_id, w1, w2)` pre-aggregation (bounded per doc by
+    * its own vocabulary), from which the `(w1,w2)→c12` and `w1→c1`
+    * count tables are ROLLUPS joined back at the per-doc grain. A
+    * count WINDOW over `(w1)` would put every instance of a head
+    * unigram — "the" is 5-7 % of natural-language tokens — into ONE
+    * window partition, i.e. one task buffering terabytes at 100 TB;
+    * WindowExec materializes the partition buffer and AQE never splits
+    * a window partition (OptimizeSkewedJoin applies to joins only, and
+    * skew-coalescing merges small partitions — it cannot split a
+    * single key). The shapes here are all skew-safe: the
+    * pre-aggregation spreads head tokens across doc_ids, each rollup
+    * carries map-side partial aggregation (a task's shuffle rows are
+    * bounded by its distinct keys, not its instances), and the
+    * join-back — one row per key on the dict side — is exactly the
+    * shape AQE's skewed-join rule CAN split. Exchange reuse keeps the
+    * corpus explode single-execution: every branch rides the
+    * `(doc_id,w1,w2)` aggregate's exchange (plan-locked, like
+    * q74/q92's marginal rollups).
     */
   def q106LmSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val inst = docs(spark, dir)
+    val perDoc = docs(spark, dir)
       .filter(size(toks) >= 2)
       .select(
         col("doc_id"),
@@ -881,14 +893,25 @@ object TextQueries {
         ).as("bg")
       )
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val wB = Window.partitionBy(col("w1"), col("w2"))
-    val wU = Window.partitionBy(col("w1"))
-    inst
-      .withColumn("c12", count(lit(1)).over(wB))
-      .withColumn("c1", count(lit(1)).over(wU))
+      // Explicit on BOTH keys so every join branch pushes the SAME
+      // inferred filters here and the exchanges canonicalize equal
+      // (bigramCounts' lesson — the uni join would otherwise infer
+      // isnotnull(w1) alone and re-explode the corpus). Split tokens
+      // are never null; this is plan hygiene.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val pair = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    val uni = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    perDoc
+      .join(pair, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
       .withColumn("bits", (length(bin(expr("c1 div c12"))) - 1).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("bits")).as("surprisal_bits"), count(lit(1)).as("n_bigrams"))
+      .agg(
+        sum(col("cnt") * col("bits")).as("surprisal_bits"),
+        sum(col("cnt")).as("n_bigrams")
+      )
       .select(
         col("doc_id"),
         col("surprisal_bits"),

@@ -157,16 +157,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), s"no global sort allowed:\n$plan")
   }
 
-  test("q106: one bigram explode — counts are windows, never a join-back") {
-    // Both LM count lookups (c12 over (w1,w2), c1 over (w1)) must plan
-    // as unordered windows over the single exploded instance table; a
-    // groupBy-then-join-back would re-explode the corpus per marginal
-    // (q87's lesson).
-    val plan = planOf(queries.TextQueries.q106LmSurprisal(spark, sf))
-    val explodes = "Generate explode".r.findAllIn(plan).length
-    assert(explodes == 1, s"expected exactly 1 explode, got $explodes:\n$plan")
-    assert(plan.split("Window \\[").length == 3, s"two count windows expected:\n$plan")
-    assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+  test("q106: one bigram explode via exchange reuse — no count window on a raw token key") {
+    // The LM count tables (c12 over (w1,w2), c1 over (w1)) must be
+    // ROLLUPS of the (doc_id,w1,w2) pre-aggregation joined back — a
+    // count window partitioned on a Zipf-skewed unigram key buffers
+    // every instance of a head token in ONE task (WindowExec
+    // materializes the partition, and AQE cannot split a window
+    // partition — its skew rule applies to joins only). The explode
+    // must still run exactly once: every branch rides the pre-agg's
+    // exchange (AQE applies the reuse at runtime; disable it so the
+    // static rule makes the property visible, as in q74/q92).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(queries.TextQueries.q106LmSurprisal(spark, sf))
+      val explodes = "Generate explode".r.findAllIn(plan).length
+      assert(explodes == 1, s"expected exactly 1 explode, got $explodes:\n$plan")
+      assert(plan.contains("ReusedExchange"), s"count rollups must reuse the pre-agg exchange:\n$plan")
+      assert(!plan.contains("Window ["), s"no count window on a Zipf-skewed token key:\n$plan")
+      assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("global: no query ever plans a CartesianProduct") {
