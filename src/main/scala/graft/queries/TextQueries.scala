@@ -1394,37 +1394,20 @@ object TextQueries {
     * that doc-level near-dup (q21/q22) and within-doc repetition (q80)
     * both miss — boilerplate shared across many distinct pages.
     *
-    * Plan shape: ONE codegen'd [[graft.functions.ShingleHashes]]
-    * positional pass over the corpus (duplicates kept, order
-    * preserved), one explode, then an unordered window over the span
-    * hash — "appears in ≥2 docs" is `min(doc_id) != max(doc_id)` over
-    * the hash partition, no countDistinct — and a final per-doc agg.
-    * Two shuffles (span hash, doc_id) and exactly one feature pass:
-    * the groupBy-then-join-back alternative re-explodes the whole
-    * corpus, because its two exchanges differ (one carries a partial
-    * agg) and can never be reused. At 100 TB the df-cap pattern from
-    * q21 applies unchanged: spans with df above a cutoff are
-    * boilerplate by definition and can be pre-flagged from the (tiny)
-    * high-df span table alone.
+    * Plan shape: a per-doc COUNT over the shared duplicated-position
+    * table ([[dupPositions]] — one corpus-wide positional pass serving
+    * q87/q101/q102/q104 through the session memo, hot spans routed
+    * around the window by the df-cap pre-flag) joined back to a
+    * token-count projection of the corpus. A duplicated POSITION is
+    * exactly what q87's numerator counts, so the fraction is a rollup
+    * of the feature table — q87 pays two short keyed aggs, never its
+    * own explode.
     */
   def q87DupSpanCross(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val d = docs(spark, dir)
-    val exploded = d
-      .select(
-        col("doc_id"),
-        explode(
-          graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
-        ).as("h")
-      )
-    val wh = Window.partitionBy(col("h"))
-    val counted = exploded
-      .withColumn("mn", min(col("doc_id")).over(wh))
-      .withColumn("mx", max(col("doc_id")).over(wh))
+    val counted = dupPositions(spark, dir)
       .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)).as("n_cross_raw")
-      )
+      .agg(count(lit(1)).as("n_cross_raw"))
     // n_3grams needs only the token COUNT — no re-hash of the corpus.
     d.select(col("doc_id"), (size(tokens(col("text"))) - 2).as("n_3grams"))
       .join(counted, Seq("doc_id"), "left")
@@ -1442,28 +1425,75 @@ object TextQueries {
       )
   }
 
+  /** Instance-df cap for the span-hash window in [[dupPositionsOf]]:
+    * spans with more occurrences than this are the Zipf head
+    * (boilerplate shared by many pages) and are routed around the
+    * window through the broadcast pre-flag. 1024 instance rows ≈ a few
+    * hundred KB of window buffer — comfortably one task. */
+  private[graft] val SpanDfCap = 1024
+
   /** Positions whose 3-gram shingle also occurs in at least one OTHER
-    * document — the duplicated-position table shared by q101/q102/q104.
-    * Same single-pass shape as q87 (one positional explode, window
-    * `min(doc_id) != max(doc_id)` over the span hash, never a
-    * countDistinct Expand), but POSITION-PRESERVING: `posexplode` keeps
-    * the token index so downstream can reason about spans, not counts.
+    * document — the duplicated-position table shared by
+    * q87/q101/q102/q104. POSITION-PRESERVING: `posexplode` keeps the
+    * token index so downstream can reason about spans, not counts.
+    *
+    * Hot-key posture (the q21 df-cap pattern wired in): a bare window
+    * over the span hash puts EVERY instance of an ultra-hot span — a
+    * boilerplate 3-gram shared by millions of pages — into ONE window
+    * partition, and AQE cannot split a window partition (its skew rule
+    * applies to joins only). So the pass splits on instance df:
+    *   1. a per-hash stats aggregate (map-side partial combine — a
+    *      task's hot-key instances collapse to one row BEFORE the
+    *      shuffle, so this pass is skew-safe by construction) keeps the
+    *      high-df slice with its EXACT min/max doc attribution;
+    *   2. instances of a high-df span never reach the window: their
+    *      cross-doc verdict is already decided by the broadcast row
+    *      (`mn_doc != mx_doc`), making the split EXACT for every input,
+    *      not an approximation above the cap;
+    *   3. everything else flows through the window as before, whose
+    *      partitions are now ≤ dfCap rows by construction.
+    * The broadcast side is the Zipf head: ≤ instances/dfCap rows in the
+    * adversarial bound, MBs in practice; raise dfCap if it ever
+    * outgrows the driver. Cost: the corpus positional pass runs for
+    * the stats aggregate and once per consumer branch (the broadcast
+    * exchange is reused across both, plan-locked) — the price of
+    * bounding the window buffer; the memo/durable-feature layer still
+    * means ONE materialization serves all downstream consumers.
     */
-  private[graft] def dupPositionsDf(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val exploded = docs(spark, dir)
+  private[graft] def dupPositionsOf(d: DataFrame, dfCap: Int = SpanDfCap): DataFrame = {
+    val exploded = d
       .select(
         col("doc_id"),
         posexplode(
           graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
         ).as(Seq("pos", "h"))
       )
+    val hot = exploded
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("mn_doc"),
+        max(col("doc_id")).as("mx_doc")
+      )
+      .filter(col("df") > dfCap)
+      .select(col("h"), (col("mn_doc") =!= col("mx_doc")).as("hot_dup"))
+    val flagged = exploded.join(broadcast(hot), Seq("h"), "left")
     val wh = Window.partitionBy(col("h"))
-    exploded
+    val cold = flagged
+      .filter(col("hot_dup").isNull)
       .withColumn("mn", min(col("doc_id")).over(wh))
       .withColumn("mx", max(col("doc_id")).over(wh))
       .filter(col("mn") =!= col("mx"))
       .select(col("doc_id"), col("pos"))
+    val hotPos = flagged
+      .filter(col("hot_dup") === true)
+      .select(col("doc_id"), col("pos"))
+    cold.unionByName(hotPos)
+  }
+
+  private[graft] def dupPositionsDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    dupPositionsOf(docs(spark, dir))
   }
 
   /** [[dupPositionsDf]] through the shared feature memo — three extent

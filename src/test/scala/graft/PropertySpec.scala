@@ -328,6 +328,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dup positions: the df-cap hot/cold split is exact at any cap") {
+    // The high-df pre-flag must be a pure routing decision, never a
+    // semantic one: with a tiny cap (df > 2 — most spans in a 5-token
+    // vocabulary are hot) the hot path carries the bulk of the corpus,
+    // and the result must still be IDENTICAL to the pure-window path
+    // (cap = MaxValue), including the single-doc mega-repeat case where
+    // a hot span is NOT a cross-doc duplicate.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 20)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(3, 7)
+      texts <- Gen.listOfN(k, docGen)
+    } yield texts
+    forAllSamples(corpusGen) { texts =>
+      // One doc is a mega-repeat of a single 3-gram: its span is hot at
+      // any cap but must never be flagged (no OTHER doc holds it).
+      val all = texts :+ Seq.fill(12)("z").mkString(" ")
+      val d = all.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }
+        .toDF("doc_id", "text")
+      def posSet(cap: Int) = queries.TextQueries
+        .dupPositionsOf(d, cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .toSet
+      val capped = posSet(2)
+      val pureWindow = posSet(Int.MaxValue)
+      assert(capped == pureWindow, s"corpus=$all")
+      assert(!capped.exists(_._1 == all.length.toLong), "mega-repeat doc must not self-dup")
+    }
+  }
+
   test("q104 cleaning equals the reference mask on random small-vocab corpora") {
     // Reference cleaner: mask every token covered by a >=5-token
     // reference extent, rejoin the rest — catches both the overlap

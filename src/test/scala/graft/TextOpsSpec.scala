@@ -324,4 +324,24 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(m.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "manifest must be deterministic")
   }
+
+  test("dup positions: an ultra-hot boilerplate 3-gram bypasses the window, exactly") {
+    // 2000 docs share ONE boilerplate 3-gram (df = 2000 >> cap = 64);
+    // every other shingle is doc-unique. With the df-cap split the hot
+    // span's instances never enter a window partition (the cold side's
+    // max per-hash df is the doc-unique 1), yet the result must be
+    // EXACTLY the duplicated position set: position 2 in every doc.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = 2000
+    val d = (1 to n)
+      .map(i => (i.toLong, s"u${i}a u${i}b boiler plate row u${i}c"))
+      .toDF("doc_id", "text")
+    val got = queries.TextQueries
+      .dupPositionsOf(d, 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(got == (1 to n).map(i => (i.toLong, 2)).toSet, s"got ${got.size} rows")
+  }
 }
