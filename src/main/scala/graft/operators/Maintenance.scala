@@ -117,6 +117,10 @@ object Maintenance {
           // ingest loop maintains a row count (at real scale it should —
           // the fallback count() is an extra 1-column index scan).
           graft.functions.GraftFunctions.register(spark)
+          // And on the batch's own session: inside foreachBatch the
+          // batch belongs to a per-stream clone whose registry snapshot
+          // may predate this call on the outer session.
+          graft.functions.GraftFunctions.register(batch.sparkSession)
           val n = indexSizeHint.getOrElse(index.count())
           val bf = index.stat.bloomFilter("__h", math.max(n, 1024L), bloomFpp)
           // NULL-safe split: a null text gives a null hash, the probe
@@ -173,10 +177,16 @@ object Maintenance {
     *
     * 100 TB: per-batch work is batch shingles (window over the batch's
     * own hashes) + one keyed probe join into the state (batch side
-    * small → AQE broadcasts it). The fold rewrites the state —
-    * refreshAggregate's shape; when the hash table outgrows a single
-    * rewrite, hive-partition the state by a hash prefix and swap only
-    * the partitions receiving new hashes.
+    * small → AQE broadcasts it, and the state scan PARTITION-PRUNES to
+    * the batch's hash-prefix buckets). The fold is the hash-prefix
+    * PARTITIONED protocol ([[foldStatePartitionedByHash]]): only the
+    * partitions receiving the batch's hashes are rewritten, so
+    * per-batch write cost scales with |batch ∪ touched partitions|,
+    * never |state| — the property that keeps continuous span ingest
+    * O(corpus) instead of O(corpus²) over a crawl. A legacy
+    * unpartitioned state is migrated by one full partitioned rewrite
+    * on its next fold; `stateBuckets` applies to NEW state only (the
+    * count is pinned in the state's `_buckets` file thereafter).
     */
   def incrementalDupSpans(
       spark: SparkSession,
@@ -185,14 +195,28 @@ object Maintenance {
       textCol: String,
       statePath: String,
       appliedId: Option[Long] = None,
-      minTokens: Int = 5
+      minTokens: Int = 5,
+      stateBuckets: Int = 64
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // And on the batch's own session: inside foreachBatch the batch
+    // DataFrame belongs to a per-stream CLONE whose function-registry
+    // snapshot may predate this call on the outer session — analysis
+    // of the shingle expression runs against the clone.
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Heal a crash stranded between the fold's two renames BEFORE any
-    // read — same entry rule as foldState.
+    // Heal any crash-stranded state BEFORE any read: the pre-partition
+    // protocol's whole-dir strand (`.__refresh_old`, kept for states
+    // created before the partitioned fold) and the partitioned
+    // protocol's tmp/old dirs.
     recoverSwap(fs, fsPath, new HPath(s"$statePath.__refresh_old"))
+    recoverPartitionedFold(
+      fs,
+      fsPath,
+      new HPath(s"$statePath.__pfold_tmp"),
+      new HPath(s"$statePath.__pfold_old")
+    )
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -201,6 +225,23 @@ object Maintenance {
         ).as(Seq("pos", "h"))
       )
       .localCheckpoint() // one shingle pass serves probe + within-batch + fold
+    val stateExists = fs.exists(fsPath)
+    val partitioned = stateExists && fs.exists(new HPath(fsPath, "_buckets"))
+    val nb = stateBucketsOf(fs, fsPath, stateBuckets)
+    // The batch's hash-prefix bucket set: tiny (≤ buckets), computed
+    // once off the checkpointed shingle table, and shared by the probe
+    // prune and the fold's dirty-partition selection.
+    val batchHps: Option[Seq[Int]] =
+      if (partitioned)
+        Some(
+          pos
+            .select(pmod(col("h"), lit(nb.toLong)).cast("int").as("hp"))
+            .distinct()
+            .collect()
+            .map(_.getInt(0))
+            .toSeq
+        )
+      else None
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val withinDup = pos
       .withColumn("mn", min(col("doc_id")).over(wh))
@@ -208,14 +249,21 @@ object Maintenance {
       .filter(col("mn") =!= col("mx"))
       .select(col("doc_id"), col("pos"))
     val stateDup =
-      if (fs.exists(fsPath))
+      if (stateExists) {
+        val st0 = spark.read.parquet(statePath)
+        // Partition-prune the probe to the batch's buckets: a small
+        // batch reads a sliver of the state, not all of it.
+        val st = batchHps match {
+          case Some(hps) => st0.filter(col("hp").isin(hps: _*)).drop("hp")
+          case None => st0
+        }
         pos
-          .join(spark.read.parquet(statePath), Seq("h"))
+          .join(st, Seq("h"))
           // Some OTHER doc holds the hash — a row attributed solely to
           // this doc (its own prior/replayed contribution) is not a dup.
           .filter(col("mn_doc") =!= col("doc_id") || col("mx_doc") =!= col("doc_id"))
           .select(col("doc_id"), col("pos"))
-      else withinDup.limit(0)
+      } else withinDup.limit(0)
     // A position can be dup BOTH ways — distinct before the island merge.
     val dup = withinDup.unionByName(stateDup).distinct()
     val extents = Dedup
@@ -225,11 +273,12 @@ object Maintenance {
     val partial = pos
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
-    foldState(spark, statePath, appliedId, partial) { (old, p) =>
-      old
-        .unionByName(p)
-        .groupBy(col("h"))
-        .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+    foldStatePartitionedByHash(spark, statePath, appliedId, partial, stateBuckets, batchHps) {
+      (old, p) =>
+        old
+          .unionByName(p)
+          .groupBy(col("h"))
+          .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
     }
     extents
   }
@@ -427,6 +476,230 @@ object Maintenance {
     }
     swapInto(fs, tmp, fsPath, old)
     spark.read.parquet(statePath)
+  }
+
+  // ──────────────── hash-prefix-partitioned state fold ────────────────
+  //
+  // The span-hash state is O(corpus shingle instances) — by far the
+  // largest state in the repo — so refreshAggregate's full-state
+  // rewrite makes continuous span ingest O(corpus²) over a crawl. The
+  // partitioned fold keeps the state hive-partitioned by a hash prefix
+  // (`hp = pmod(h, buckets)`) and rewrites ONLY the partitions the
+  // batch's hashes land in: per-batch write cost scales with
+  // |batch ∪ touched partitions|, never |state|. (A batch with more
+  // distinct hashes than buckets still touches everything — the bound
+  // is the honest one, not magic — but micro-batches and trickle
+  // ingest, the continuous-crawl shape, touch a subset; size `buckets`
+  // so state/buckets fits one task's rewrite.)
+  //
+  // Commit protocol (all under `statePath.__pfold_tmp` / `.__pfold_old`):
+  //   1. write the merged DIRTY partitions (hive `hp=` dirs), the
+  //      `_buckets` pin, and the `_applied_id` marker into tmp;
+  //   2. write `_commit` into tmp LAST — its presence is the point of
+  //      no return (before it, recovery discards tmp; after it,
+  //      recovery ROLLS FORWARD);
+  //   3. per dirty partition: rename state/hp aside into old/, rename
+  //      tmp/hp into state/ — each step idempotent on re-entry;
+  //   4. finalize the marker (rename from tmp), delete old, delete tmp.
+  // A crash at ANY point re-enters through [[recoverPartitionedFold]],
+  // which completes or discards deterministically. The one gap — a
+  // crash after the swaps but before the marker finalize is COMPLETED
+  // by recovery, and a crash that loses only the marker re-runs the
+  // batch, which is safe because the span fold (min/mn, max/mx per h)
+  // is IDEMPOTENT, unlike refreshAggregate's sums (which is why that
+  // fold keeps the atomic whole-dir swap instead).
+  //
+  // The state dir also carries `_buckets` (bucket count pinned at
+  // creation — later calls ignore their parameter) so the partition
+  // function can never drift, and the root `_applied_id` marker works
+  // exactly as in [[foldState]]. A legacy unpartitioned state (no
+  // `_buckets`) is migrated by one full partitioned rewrite.
+
+  private def listHpDirs(fs: HFs, dir: HPath): Seq[HPath] =
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("hp="))
+        .map(_.getPath)
+        .toSeq
+
+  private def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readTextFile(fs: HFs, p: HPath): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    }
+
+  private def deleteOrFail(fs: HFs, p: HPath): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"cannot delete $p")
+
+  /** Complete a committed partitioned fold — idempotent: safe to re-run
+    * from any crash point after `_commit` exists in tmp.
+    */
+  private def rollForwardPartitioned(fs: HFs, state: HPath, tmp: HPath, old: HPath): Unit = {
+    val commit = readTextFile(fs, new HPath(tmp, "_commit"))
+      .getOrElse(throw new java.io.IOException(s"rollForward without $tmp/_commit"))
+    val hasId = commit.contains("id") && !commit.contains("noid")
+    if (commit.startsWith("full")) {
+      // First write or legacy migration: atomic whole-dir swap — the
+      // markers ride inside tmp, so they flip with the data.
+      if (fs.exists(state)) {
+        deleteOrFail(fs, old)
+        renameOrFail(fs, state, old)
+      }
+      renameOrFail(fs, tmp, state)
+      fs.delete(new HPath(state, "_commit"), false)
+      deleteOrFail(fs, old)
+    } else {
+      fs.mkdirs(old)
+      listHpDirs(fs, tmp).foreach { hpDir =>
+        val st = new HPath(state, hpDir.getName)
+        val ol = new HPath(old, hpDir.getName)
+        if (fs.exists(st) && fs.exists(ol))
+          throw new java.io.IOException(
+            s"pfold invariant violated: both $st and $ol exist — refusing to guess"
+          )
+        if (fs.exists(st)) renameOrFail(fs, st, ol)
+        renameOrFail(fs, hpDir, st)
+      }
+      // Marker finalize, driven by the COMMIT record (not tmp contents)
+      // so a re-entry after the finalize cannot un-finalize: with an id
+      // the tmp marker is renamed in (skip if already done); without
+      // one the stale root marker is dropped, mirroring the whole-dir
+      // swap's replace semantics.
+      val tmpId = new HPath(tmp, "_applied_id")
+      val stId = new HPath(state, "_applied_id")
+      if (hasId) {
+        if (fs.exists(tmpId)) {
+          fs.delete(stId, false)
+          renameOrFail(fs, tmpId, stId)
+        }
+      } else fs.delete(stId, false)
+      val tmpB = new HPath(tmp, "_buckets")
+      val stB = new HPath(state, "_buckets")
+      if (!fs.exists(stB) && fs.exists(tmpB)) renameOrFail(fs, tmpB, stB)
+      // old before tmp: tmp/_commit is the roll-forward flag, so it
+      // must be the last thing to disappear.
+      deleteOrFail(fs, old)
+      deleteOrFail(fs, tmp)
+    }
+  }
+
+  /** Entry-time crash recovery for the partitioned fold protocol: a
+    * committed tmp rolls FORWARD, an uncommitted tmp is discarded (the
+    * state was never touched before the commit record), and orphaned
+    * aside-partitions (a full-mode crash after its dir swap) are
+    * restored where the state is missing them.
+    */
+  private def recoverPartitionedFold(fs: HFs, state: HPath, tmp: HPath, old: HPath): Unit =
+    if (fs.exists(tmp)) {
+      if (fs.exists(new HPath(tmp, "_commit"))) rollForwardPartitioned(fs, state, tmp, old)
+      else {
+        deleteOrFail(fs, tmp)
+        restoreOldPartitions(fs, state, old)
+      }
+    } else {
+      // A full-mode crash right after its dir swap leaves the commit
+      // record inside the state and the previous state stranded aside.
+      if (fs.exists(state)) fs.delete(new HPath(state, "_commit"), false)
+      restoreOldPartitions(fs, state, old)
+    }
+
+  private def restoreOldPartitions(fs: HFs, state: HPath, old: HPath): Unit =
+    if (fs.exists(old)) {
+      listHpDirs(fs, old).foreach { d =>
+        val st = new HPath(state, d.getName)
+        if (!fs.exists(st)) renameOrFail(fs, d, st)
+      }
+      deleteOrFail(fs, old)
+    }
+
+  /** The pinned bucket count of a partitioned state dir, or `default`
+    * for a state that doesn't exist yet.
+    */
+  private def stateBucketsOf(fs: HFs, state: HPath, default: Int): Int =
+    readTextFile(fs, new HPath(state, "_buckets")).map(_.trim.toInt).getOrElse(default)
+
+  /** Exactly-once partitioned state fold over a hash-keyed state
+    * (`h` + payload columns). `fold(oldDirty, partial)` sees ONLY the
+    * dirty partitions' rows; the fold must be per-`h` and
+    * non-contracting (every dirty partition keeps ≥ its old rows —
+    * true for the span min/max fold) and IDEMPOTENT (re-applying the
+    * same partial must be a no-op — min/max is; sums are not, use
+    * [[foldState]] for those).
+    */
+  private def foldStatePartitionedByHash(
+      spark: SparkSession,
+      statePath: String,
+      appliedId: Option[Long],
+      partial: DataFrame,
+      buckets: Int,
+      dirtyHint: Option[Seq[Int]]
+  )(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val fsPath = new HPath(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"$statePath.__pfold_tmp")
+    val old = new HPath(s"$statePath.__pfold_old")
+    recoverPartitionedFold(fs, fsPath, tmp, old)
+    if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId)
+      return // retry of an applied batch: no-op
+    val stateExists = fs.exists(fsPath)
+    val nb = stateBucketsOf(fs, fsPath, buckets)
+    val hpOf = pmod(col("h"), lit(nb.toLong)).cast("int")
+    val legacy = stateExists && !fs.exists(new HPath(fsPath, "_buckets"))
+    val full = !stateExists || legacy
+    val dirty = dirtyHint.getOrElse(
+      partial.select(hpOf.as("hp")).distinct().collect().map(_.getInt(0)).toSeq
+    )
+    if (dirty.isEmpty) {
+      // Empty partial: nothing to fold. With no state yet, write
+      // nothing at all (an empty state ≡ no state for every probe, and
+      // a zero-row partitioned write would leave a schema-less dir);
+      // with existing state, only the marker advances. A crash between
+      // delete and rename loses just the marker; the re-run re-applies
+      // an idempotent fold.
+      if (stateExists) appliedId.foreach { id =>
+        val mk = new HPath(fsPath, "_applied_id")
+        val mkTmp = new HPath(fsPath, "_applied_id.__tmp")
+        writeTextFile(fs, mkTmp, id.toString)
+        fs.delete(mk, false)
+        renameOrFail(fs, mkTmp, mk)
+      }
+      return
+    }
+    val merged =
+      if (!stateExists) partial
+      else if (legacy) fold(spark.read.parquet(statePath), partial)
+      else
+        fold(
+          spark.read.parquet(statePath).filter(col("hp").isin(dirty: _*)).drop("hp"),
+          partial
+        )
+    merged
+      .withColumn("hp", hpOf)
+      // One writer task per hp group — never #tasks × #partitions files
+      // (Pipeline.clusteredBy's rule).
+      .repartition(col("hp"))
+      .write
+      .partitionBy("hp")
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
+    appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
+    writeTextFile(
+      fs,
+      new HPath(tmp, "_commit"),
+      (if (full) "full" else "partial") + (if (appliedId.isDefined) " id" else " noid")
+    )
+    rollForwardPartitioned(fs, fsPath, tmp, old)
   }
 
   /** Schema drift between two dataset versions: columns added, removed,

@@ -102,6 +102,10 @@ object VectorIndex {
       maxOverMedian: Option[Double] = None
   ): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    // Also on the input's own session: inside foreachBatch the batch
+    // DataFrame belongs to a per-stream CLONE whose function registry
+    // snapshot may predate this call on the outer session.
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = withNorm(vectors.select(col("vec_id"), col("emb")))
     val cent = v
       .filter(isCentroid)
@@ -261,6 +265,7 @@ object VectorIndex {
     */
   def append(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(batch.sparkSession) // foreachBatch clone
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val fresh = withNorm(batch.select(col("vec_id"), col("emb")))
     appendAssigned(spark, assignTo(fresh, cent), indexPath)
@@ -331,6 +336,7 @@ object VectorIndex {
   ): Seq[Long] = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(vectors.sparkSession) // foreachBatch clone
     import spark.implicits._
     val scale = 1048576L // 2^20: float 24-bit mantissa x 2^20 stays exact
     val e = vectors.select(col("vec_id"), col("emb"))
@@ -403,6 +409,7 @@ object VectorIndex {
     */
   def assignBatch(spark: SparkSession, batch: DataFrame, indexPath: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(batch.sparkSession) // foreachBatch clone
     val v = withNorm(batch.select(col("vec_id"), col("emb")))
     assignTo(v, spark.read.parquet(s"$indexPath/centroids"))
   }
@@ -441,6 +448,7 @@ object VectorIndex {
       minCosine: Double
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(assigned.sparkSession) // foreachBatch clone
     // Bounded collect: distinct probed clusters <= K centroids.
     val probed = assigned.select("cluster").distinct().collect().map(_.getLong(0))
     val asgnRaw = spark.read.parquet(s"$indexPath/assignments")
@@ -495,6 +503,7 @@ object VectorIndex {
   ): DataFrame = {
     require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(queries.sparkSession) // foreachBatch clone
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val q = withNorm(queries.select(col("vec_id").as("query_id"), col("emb")))
       .select(col("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))

@@ -379,4 +379,160 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e1 == Set((10L, 1, 7, 7L)), s"recovered state must serve the probe: $e1")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state.__refresh_old")), "old dir cleaned")
   }
+
+  // ─────────────── hash-prefix-partitioned span-state fold ───────────────
+
+  private def hpSnapshot(state: String): Map[String, Set[(String, Long, Long)]] = {
+    val root = new java.io.File(state)
+    root
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("hp="))
+      .map { d =>
+        d.getName -> d
+          .listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .toSet
+      }
+      .toMap
+  }
+
+  private def stateRows(state: String): Set[(Long, Long, Long)] =
+    spark.read
+      .parquet(state)
+      .select("h", "mn_doc", "mx_doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("incrementalDupSpans: a small batch rewrites ONLY its touched hash-prefix partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-part").toString
+    val state = s"$root/spans"
+    // Wide-vocab corpus: ~1400 distinct shingles spread over all 64
+    // buckets, so the state has many partitions to leave untouched.
+    val corpus = (1 to 50)
+      .map(i => (i.toLong, (1 to 30).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, corpus, "doc_id", "text", state, Some(0L))
+    assert(new java.io.File(s"$state/_buckets").exists(), "bucket pin written")
+    val before = hpSnapshot(state)
+    assert(before.size > 32, s"corpus should populate most buckets, got ${before.size}")
+    // One 5-token doc: 3 shingle hashes -> at most 3 touched buckets.
+    val batch = Seq((1000L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, batch, "doc_id", "text", state, Some(1L))
+    val after = hpSnapshot(state)
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty && changed.size <= 3, s"3 hashes may touch <=3 buckets: $changed")
+    // Untouched partitions keep their exact physical files (same name,
+    // length, mtime) — the fold never read or rewrote them.
+    (before.keySet -- changed).foreach { k =>
+      assert(before(k) == after(k), s"untouched partition $k was rewritten")
+    }
+    // And the folded state equals a one-shot build over corpus ∪ batch.
+    val oneShot = s"$root/oneshot"
+    Maintenance.incrementalDupSpans(
+      spark,
+      corpus.unionByName(batch),
+      "doc_id",
+      "text",
+      oneShot,
+      Some(0L)
+    )
+    assert(stateRows(state) == stateRows(oneShot), "partition-fold must equal full-fold")
+  }
+
+  test("incrementalDupSpans: a crash between partition swaps rolls forward on the next batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-pcrash").toString
+    val state = s"$root/spans"
+    val replica = s"$root/replica"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    val b1 = Seq((10L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "e1 c2 c3 c4 c5 c6 c7 e2 e3 e4 e5 e6 e7")).toDF("doc_id", "text")
+    def ingest(st: String, df: org.apache.spark.sql.DataFrame, id: Long) =
+      Maintenance
+        .incrementalDupSpans(spark, df, "doc_id", "text", st, Some(id))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    ingest(state, b0, 0L)
+    ingest(replica, b0, 0L)
+    // Snapshot the pre-b1 content, apply b1, then fabricate the crash
+    // window for one partition b1 changed: its OLD content sits aside in
+    // .__pfold_old, its NEW content is still pending in .__pfold_tmp
+    // (commit written, swap half-done), the root marker not yet
+    // finalized.
+    val refDir = s"$root/ref"
+    org.apache.commons.io.FileUtils
+      .copyDirectory(new java.io.File(state), new java.io.File(refDir))
+    ingest(state, b1, 1L)
+    ingest(replica, b1, 1L)
+    val refSnap = hpSnapshot(refDir)
+    val curSnap = hpSnapshot(state)
+    val changed = refSnap.keySet.intersect(curSnap.keySet).filter(k => refSnap(k) != curSnap(k))
+    assert(changed.nonEmpty, "b1 must change at least one pre-existing partition")
+    val k = changed.head
+    val tmp = new java.io.File(s"$state.__pfold_tmp")
+    val old = new java.io.File(s"$state.__pfold_old")
+    assert(tmp.mkdirs() && old.mkdirs())
+    // New content back into tmp (pending), old content aside in old.
+    assert(new java.io.File(s"$state/$k").renameTo(new java.io.File(tmp, k)))
+    org.apache.commons.io.FileUtils
+      .copyDirectory(new java.io.File(s"$refDir/$k"), new java.io.File(old, k))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$state/_buckets"),
+      java.nio.file.Paths.get(s"$state.__pfold_tmp/_buckets")
+    )
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$state.__pfold_tmp/_applied_id"), "1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__pfold_tmp/_commit"),
+      "partial id"
+    )
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$state/_applied_id"), "0")
+    // Next batch must roll the crashed fold forward on entry and then
+    // behave exactly like the uncrashed replica.
+    val e2 = ingest(state, b2, 2L)
+    val e2ref = ingest(replica, b2, 2L)
+    assert(e2 == e2ref && e2.nonEmpty, s"post-recovery extents must match the replica: $e2 vs $e2ref")
+    assert(stateRows(state) == stateRows(replica), "recovered state must equal the replica")
+    assert(!tmp.exists() && !old.exists(), "tmp/old cleaned after roll-forward")
+  }
+
+  test("incrementalDupSpans: a legacy unpartitioned state migrates on its next fold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-legacy").toString
+    val state = s"$root/spans"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    // Fabricate the pre-partition layout: bare (h, mn_doc, mx_doc)
+    // parquet at the state root, no _buckets pin — what the old
+    // whole-rewrite fold wrote.
+    val scratch = s"$root/scratch"
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", scratch, Some(0L))
+    spark.read
+      .parquet(scratch)
+      .select("h", "mn_doc", "mx_doc")
+      .write
+      .parquet(state)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$state/_applied_id"), "0")
+    val b1 = Seq((10L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val e1 = Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e1 == Set((10L, 1, 7, 7L)), s"legacy state must serve the cross-batch probe: $e1")
+    assert(new java.io.File(s"$state/_buckets").exists(), "state migrated to the partitioned layout")
+    assert(hpSnapshot(state).nonEmpty, "hp= partitions written")
+    val replica = s"$root/replica"
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", replica, Some(0L))
+    Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", replica, Some(1L))
+    assert(stateRows(state) == stateRows(replica), "migrated state must equal the replica")
+  }
 }

@@ -426,9 +426,16 @@ class PropertySpec extends AnyFunSuite {
     forAllSamples(corpusGen) { case (texts, split) =>
       val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
       val (base, batch) = docs.splitAt(split)
-      val state = java.nio.file.Files.createTempDirectory("graft-spanprop").toString + "/spans"
+      val root = java.nio.file.Files.createTempDirectory("graft-spanprop").toString
+      val state = s"$root/spans"
+      // 4 buckets: small enough that random hashes collide per bucket,
+      // exercising the partitioned fold's read-merge-swap on non-trivial
+      // partitions.
       operators.Maintenance
-        .incrementalDupSpans(spark, base.toDF("doc_id", "text"), "doc_id", "text", state, Some(0L))
+        .incrementalDupSpans(
+          spark, base.toDF("doc_id", "text"), "doc_id", "text", state, Some(0L),
+          stateBuckets = 4
+        )
       val inc = operators.Maintenance
         .incrementalDupSpans(spark, batch.toDF("doc_id", "text"), "doc_id", "text", state, Some(1L))
         .collect()
@@ -439,6 +446,22 @@ class PropertySpec extends AnyFunSuite {
         inc == refExtents(docs).filter(e => batchIds(e._1)),
         s"base=$base batch=$batch"
       )
+      // Partition-fold ≡ full-fold at the STATE level too: the
+      // incrementally folded state must equal a one-shot build over the
+      // whole corpus.
+      val oneShot = s"$root/oneshot"
+      operators.Maintenance
+        .incrementalDupSpans(
+          spark, docs.toDF("doc_id", "text"), "doc_id", "text", oneShot, Some(0L),
+          stateBuckets = 4
+        )
+      def rows(p: String) = spark.read
+        .parquet(p)
+        .select("h", "mn_doc", "mx_doc")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows(state) == rows(oneShot), s"state fold drift: base=$base batch=$batch")
     }
   }
 }
