@@ -198,7 +198,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast() of provably small relations (centroids, 1-row
     // scalars, query batches) — the documented pattern. A
     // CartesianProduct (both sides partitioned, every pair
-    // materialized) anywhere in the 105-query surface is a scale bug,
+    // materialized) anywhere in the whole declared query surface is a scale bug,
     // whatever the test-sf row counts happen to be. Building the plans
     // runs the few eagerly-executing queries (q89/q96/q97/q105) at
     // this smallest sf — acceptable for a whole-surface guard.
