@@ -161,7 +161,14 @@ object Maintenance {
     * attribution isn't solely this doc, or ≥ 2 distinct batch docs
     * sharing it. For doc-disjoint batches this is EXACTLY the
     * full-recompute rule over prior ∪ batch restricted to the batch
-    * (PropertySpec proves it on random corpora). Returns the batch
+    * (PropertySpec proves it on random corpora). The disjointness is a
+    * CONTRACT, not a convenience: re-using a doc_id with CHANGED text
+    * makes the self-attribution exclusion treat the doc's prior
+    * contribution as "its own", silently suppressing cross-VERSION
+    * duplicate spans (an unchanged re-crawl is fine — that exclusion
+    * is exactly what makes it not self-dup). Ingest loops that may
+    * rewrite a document must assign fresh ids (e.g. key by
+    * (url, crawl_ts)); the CLI verbs state the same constraint. Returns the batch
     * docs' extents (`doc_id, start_pos, end_pos, n_tokens`, ≥ minTokens).
     *
     * Exactly-once and replay: the extents settle (localCheckpoint)
@@ -248,22 +255,34 @@ object Maintenance {
       .withColumn("mx", max(col("doc_id")).over(wh))
       .filter(col("mn") =!= col("mx"))
       .select(col("doc_id"), col("pos"))
-    val stateDup =
-      if (stateExists) {
-        val st0 = spark.read.parquet(statePath)
-        // Partition-prune the probe to the batch's buckets: a small
-        // batch reads a sliver of the state, not all of it.
-        val st = batchHps match {
-          case Some(hps) => st0.filter(col("hp").isin(hps: _*)).drop("hp")
-          case None => st0
-        }
-        pos
-          .join(st, Seq("h"))
-          // Some OTHER doc holds the hash — a row attributed solely to
-          // this doc (its own prior/replayed contribution) is not a dup.
-          .filter(col("mn_doc") =!= col("doc_id") || col("mx_doc") =!= col("doc_id"))
-          .select(col("doc_id"), col("pos"))
-      } else withinDup.limit(0)
+    val stateDup = {
+      // Partition-prune the probe to the batch's buckets — as EXPLICIT
+      // leaf-dir paths, not a filter over the discovered table: partition
+      // discovery lists every hp= dir (thousands at a realistic bucket
+      // count) and would cost more than the probe itself for a small
+      // batch.
+      val st: Option[DataFrame] =
+        if (!stateExists) None
+        else
+          batchHps match {
+            case Some(hps) =>
+              val paths = hps
+                .map(hp => s"$statePath/hp=$hp")
+                .filter(p => fs.exists(new HPath(p)))
+              if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+            case None => Some(spark.read.parquet(statePath))
+          }
+      st match {
+        case Some(state) =>
+          pos
+            .join(state, Seq("h"))
+            // Some OTHER doc holds the hash — a row attributed solely to
+            // this doc (its own prior/replayed contribution) is not a dup.
+            .filter(col("mn_doc") =!= col("doc_id") || col("mx_doc") =!= col("doc_id"))
+            .select(col("doc_id"), col("pos"))
+        case None => withinDup.limit(0)
+      }
+    }
     // A position can be dup BOTH ways — distinct before the island merge.
     val dup = withinDup.unionByName(stateDup).distinct()
     val extents = Dedup
@@ -678,11 +697,16 @@ object Maintenance {
     val merged =
       if (!stateExists) partial
       else if (legacy) fold(spark.read.parquet(statePath), partial)
-      else
-        fold(
-          spark.read.parquet(statePath).filter(col("hp").isin(dirty: _*)).drop("hp"),
-          partial
-        )
+      else {
+        // Dirty partitions as EXPLICIT leaf-dir paths: partition
+        // discovery over the whole layout would list every hp= dir and
+        // dominate a small batch's fold.
+        val paths = dirty
+          .map(hp => s"$statePath/hp=$hp")
+          .filter(p => fs.exists(new HPath(p)))
+        if (paths.isEmpty) partial
+        else fold(spark.read.parquet(paths: _*), partial)
+      }
     merged
       .withColumn("hp", hpOf)
       // One writer task per hp group — never #tasks × #partitions files
