@@ -189,7 +189,12 @@ object Scale {
     * that never appears as a `src` has no out-degree, so the mass it
     * receives would silently vanish next round — that input is rejected
     * up front (one anti-join count) instead of producing quietly wrong
-    * ranks. The node set is carried by `deg`, and each round RIGHT-joins
+    * ranks. That check is one extra pass over the edge list; at 100 TB
+    * a caller whose edges come from a producer that already guarantees
+    * the expansion (q84's builder does) can skip it with
+    * `checkContract = false` — correctness then rests on the caller's
+    * guarantee, which is the honest trade at that scale, not a silent
+    * one. The node set is carried by `deg`, and each round RIGHT-joins
     * the contribution sum onto it, so a node nothing points at keeps its
     * `1 − damping` base rank rather than disappearing from the rank
     * table (and from the convergence probe) after round one.
@@ -209,19 +214,22 @@ object Scale {
       edges: DataFrame,
       maxIters: Int,
       tol: Double,
-      damping: Double = 0.85
+      damping: Double = 0.85,
+      checkContract: Boolean = true
   ): (DataFrame, Int, Boolean) = {
     require(maxIters > 0 && tol >= 0.0, "maxIters must be positive, tol non-negative")
     val s = 1073741824L // 2^30
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val danglingDsts = e.select(col("dst").as("src")).distinct()
-      .join(deg, Seq("src"), "left_anti").count()
-    require(
-      danglingDsts == 0,
-      s"$danglingDsts dst node(s) never appear as src — pass the undirected " +
-        "expansion (both edge directions) so no node's incoming mass is dropped"
-    )
+    if (checkContract) {
+      val danglingDsts = e.select(col("dst").as("src")).distinct()
+        .join(deg, Seq("src"), "left_anti").count()
+      require(
+        danglingDsts == 0,
+        s"$danglingDsts dst node(s) never appear as src — pass the undirected " +
+          "expansion (both edge directions) so no node's incoming mass is dropped"
+      )
+    }
     def iterate(ranks: DataFrame): DataFrame = {
       val contribs = e.join(ranks, Seq("src"))
         .join(deg, Seq("src"))
