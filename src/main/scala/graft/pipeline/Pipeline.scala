@@ -195,15 +195,23 @@ object Pipeline {
     * rule; this is the composition a platform user actually schedules.
     * Returns (input docs, curated docs) — the second from the write
     * itself ([[writeCounted]]'s observe trick), no second scan.
+    *
+    * `minKeepTokens` drops docs whose CLEANED text falls below the
+    * floor (default 1 = drop empty): a doc that span-cleaning cut
+    * entirely would otherwise collapse with every other fully-cut doc
+    * into one empty-text "document" in the exact-dedup stage and ship
+    * an empty doc into the training corpus.
     */
   def curateCorpus(
       spark: SparkSession,
       dataDir: String,
       outDir: String,
-      shards: Int = 8
+      shards: Int = 8,
+      minKeepTokens: Int = 1
   ): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(shards > 0, "shards must be positive")
+    require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
     val docs = spark.read.parquet(s"$dataDir/documents.parquet")
     val gate = graft.queries.TextQueries
       .q106LmSurprisal(spark, dataDir)
@@ -216,6 +224,12 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"))
       .join(gate, Seq("doc_id"), "left_semi")
       .join(cleaned, Seq("doc_id"))
+      // split("") yields [""] — the length guard makes the floor honest
+      // for the fully-cut (empty clean_text) case at any minKeepTokens.
+      .filter(
+        length(trim(col("clean_text"))) > 0 &&
+          size(split(trim(col("clean_text")), "\\s+")) >= minKeepTokens
+      )
     val deduped = graft.operators.Dedup.dedupExact(kept, "doc_id", "clean_text")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
@@ -260,9 +274,10 @@ object Pipeline {
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
   * files through streaming span-level dedup), and
-  * `--maintenance curate --data D --out O [--shards N]` (one-command
-  * corpus curation: quality gate → span clean → dedup → shard
-  * manifest).
+  * `--maintenance curate --data D --out O [--shards N]
+  * [--min_keep_tokens K]` (one-command corpus curation: quality gate →
+  * span clean → min-token floor (drops fully-cut/empty docs) → dedup →
+  * shard manifest).
   */
 object PipelineRunner {
   def main(args: Array[String]): Unit = {
@@ -342,19 +357,24 @@ object PipelineRunner {
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
       case Some("curate") =>
         // One-command corpus curation: quality gate -> span clean ->
-        // exact dedup on cleaned text -> shard manifest
-        // (Pipeline.curateCorpus; each stage is an oracle-checked rule).
+        // min-token floor -> exact dedup on cleaned text -> shard
+        // manifest (Pipeline.curateCorpus; each stage is an
+        // oracle-checked rule).
         val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <dir> required"))
         val shards = opts.getOrElse("shards", "8").toInt
-        val (nIn, nOut) = Pipeline.curateCorpus(spark, data, out, shards)
+        val minKeep = opts.getOrElse("min_keep_tokens", "1").toInt
+        val (nIn, nOut) = Pipeline.curateCorpus(spark, data, out, shards, minKeep)
         println(s"[maintenance] curated $data: $nIn -> $nOut docs in $out")
       case Some("span_dedup_ingest") =>
         // Streaming span-level dedup over arriving document JSON files:
         // per-file extents against the persistent span-hash state,
         // batch-keyed telemetry, hashes folded in
         // (StreamingPipeline.spanDedupIngest). Document JSON shape:
-        // {"doc_id": long, "text": string}.
+        // {"doc_id": long, "text": string}. Same doc-disjointness
+        // constraint as dup_spans: a re-used doc_id with changed text
+        // silently loses its cross-version duplicate spans — give
+        // re-crawled documents fresh ids.
         val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <extents dir> required"))
@@ -370,6 +390,11 @@ object PipelineRunner {
         // duplicated extents as parquet, fold the batch's hashes in
         // (Maintenance.incrementalDupSpans — exactly-once via
         // --applied_id). Batch parquet shape: (doc_id, text).
+        // CONSTRAINT: exact for doc-disjoint batches. Re-using a
+        // doc_id with CHANGED text makes the self-attribution
+        // exclusion silently suppress that doc's cross-version
+        // duplicate spans — re-crawls that may rewrite a doc must
+        // assign a fresh doc_id (e.g. (url, crawl_ts) keyed).
         val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <extents dir> required"))

@@ -225,6 +225,7 @@ class PipelineSpec extends AnyFunSuite {
       .toMap
     val expected = clean.view
       .filterKeys(keep)
+      .filter { case (_, t) => t.trim.nonEmpty } // the min-token floor
       .toSeq
       .groupBy(_._2)
       .map { case (_, ds) => ds.map(_._1).min }
@@ -258,5 +259,32 @@ class PipelineSpec extends AnyFunSuite {
       spark.read.parquet(out2).count() == gotRows.length.toLong,
       "CLI curate must produce the same corpus"
     )
+  }
+
+  test("curateCorpus drops docs whose text span-cleaning cut entirely") {
+    // Docs 1/2 are identical 12-token texts: every position sits in a
+    // cross-doc duplicated extent, so q104 cleans both to "". Without
+    // the min-token floor they would collapse into ONE empty-text
+    // "document" that ships into the curated corpus (the round-6
+    // advice finding). Doc 3 is unique and must be the sole survivor.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-curate-empty").toString
+    val boiler = (1 to 12).map(i => s"x$i").mkString(" ")
+    val uniq = (1 to 12).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, boiler, "en", "s"),
+      (2L, boiler, "en", "s"),
+      (3L, uniq, "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft-curate-empty-out").toString + "/curated"
+    val (nIn, nOut) = Pipeline.curateCorpus(spark, dir, out, shards = 2)
+    assert(nIn == 3L && nOut == 1L, s"only the unique doc survives: $nIn -> $nOut")
+    val rows = spark.read.parquet(out).select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(3L), "fully-cut docs dropped")
+    assert(rows.head.getString(1) == uniq, "survivor keeps its text")
   }
 }
