@@ -185,15 +185,19 @@ object Maintenance {
     * 100 TB: per-batch work is batch shingles (window over the batch's
     * own hashes) + one keyed probe join into the state (batch side
     * small → AQE broadcasts it, and the state scan PARTITION-PRUNES to
-    * the batch's hash-prefix buckets). The fold is the hash-prefix
-    * PARTITIONED protocol ([[foldStatePartitionedByHash]]): only the
-    * partitions receiving the batch's hashes are rewritten, so
-    * per-batch write cost scales with |batch ∪ touched partitions|,
-    * never |state| — the property that keeps continuous span ingest
-    * O(corpus) instead of O(corpus²) over a crawl. A legacy
-    * unpartitioned state is migrated by one full partitioned rewrite
-    * on its next fold; `stateBuckets` applies to NEW state only (the
-    * count is pinned in the state's `_buckets` file thereafter).
+    * the batch's hash-prefix buckets). The fold is the SEGMENTED
+    * hash-prefix-partitioned protocol ([[foldStatePartitionedByHash]]):
+    * the batch's partial rows are APPENDED as one new segment per
+    * touched partition — existing state is never read or rewritten on
+    * the hot path, so per-batch write cost is O(batch partial) however
+    * large the state grows; size-tiered compaction (`maxStateSegments`)
+    * bounds segment fan-out at O(log state) write amplification. This
+    * is what keeps continuous span ingest O(corpus) instead of
+    * O(corpus²) over a crawl. A legacy unpartitioned state is migrated
+    * by one full partitioned rewrite on its next fold, and a
+    * pre-segment partitioned state by in-place metadata renames at
+    * entry; `stateBuckets` applies to NEW state only (the count is
+    * pinned in the state's `_buckets` file thereafter).
     */
   def incrementalDupSpans(
       spark: SparkSession,
@@ -203,7 +207,8 @@ object Maintenance {
       statePath: String,
       appliedId: Option[Long] = None,
       minTokens: Int = 5,
-      stateBuckets: Int = 64
+      stateBuckets: Int = 64,
+      maxStateSegments: Int = 8
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // And on the batch's own session: inside foreachBatch the batch
@@ -224,6 +229,12 @@ object Maintenance {
       new HPath(s"$statePath.__pfold_tmp"),
       new HPath(s"$statePath.__pfold_old")
     )
+    // BEFORE the probe: a crash mid-migration leaves an hp dir holding
+    // both bare files and seg= subdirs, which no reader can open — the
+    // idempotent re-run must finish the renames first. Also sweep
+    // staging dirs stranded by a crashed append job.
+    ensureSegmented(fs, fsPath)
+    dropStaleStaging(fs, fsPath)
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -269,7 +280,12 @@ object Maintenance {
               val paths = hps
                 .map(hp => s"$statePath/hp=$hp")
                 .filter(p => fs.exists(new HPath(p)))
-              if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+              if (paths.isEmpty) None
+              else
+                // basePath so discovery accepts hp= leaf dirs whose
+                // children are seg= partition dirs; only the listed
+                // leaf dirs are read (the prune stays physical).
+                Some(spark.read.option("basePath", statePath).parquet(paths: _*))
             case None => Some(spark.read.parquet(statePath))
           }
       st match {
@@ -292,12 +308,19 @@ object Maintenance {
     val partial = pos
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
-    foldStatePartitionedByHash(spark, statePath, appliedId, partial, stateBuckets, batchHps) {
-      (old, p) =>
-        old
-          .unionByName(p)
-          .groupBy(col("h"))
-          .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+    foldStatePartitionedByHash(
+      spark,
+      statePath,
+      appliedId,
+      partial,
+      stateBuckets,
+      batchHps,
+      maxStateSegments
+    ) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(col("h"))
+        .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
     }
     extents
   }
@@ -497,42 +520,63 @@ object Maintenance {
     spark.read.parquet(statePath)
   }
 
-  // ──────────────── hash-prefix-partitioned state fold ────────────────
+  // ──────────── segmented hash-prefix-partitioned state fold ────────────
   //
   // The span-hash state is O(corpus shingle instances) — by far the
   // largest state in the repo — so refreshAggregate's full-state
   // rewrite makes continuous span ingest O(corpus²) over a crawl. The
-  // partitioned fold keeps the state hive-partitioned by a hash prefix
-  // (`hp = pmod(h, buckets)`) and rewrites ONLY the partitions the
-  // batch's hashes land in: per-batch write cost scales with
-  // |batch ∪ touched partitions|, never |state|. (A batch with more
-  // distinct hashes than buckets still touches everything — the bound
-  // is the honest one, not magic — but micro-batches and trickle
-  // ingest, the continuous-crawl shape, touch a subset; size `buckets`
-  // so state/buckets fits one task's rewrite.)
+  // state is hive-partitioned by a hash prefix (`hp = pmod(h,
+  // buckets)`) and, within each partition, SEGMENTED (`seg=` subdirs):
+  // a batch fold APPENDS its partial rows as one new segment per
+  // touched partition and never rewrites existing data — per-batch
+  // write cost is O(|batch partial|), independent of state size. The
+  // measured reason the dirty-partition REWRITE protocol wasn't
+  // enough: shingle hashes are uniform, so any realistic batch dirties
+  // every bucket and "rewrite only dirty partitions" degenerates to a
+  // full-state rewrite (SCALE.md's SpanStress run: a 2,000-doc batch
+  // touched 64 of 64 buckets).
   //
-  // Commit protocol (all under `statePath.__pfold_tmp` / `.__pfold_old`):
-  //   1. write the merged DIRTY partitions (hive `hp=` dirs), the
-  //      `_buckets` pin, and the `_applied_id` marker into tmp;
-  //   2. write `_commit` into tmp LAST — its presence is the point of
-  //      no return (before it, recovery discards tmp; after it,
-  //      recovery ROLLS FORWARD);
-  //   3. per dirty partition: rename state/hp aside into old/, rename
-  //      tmp/hp into state/ — each step idempotent on re-entry;
-  //   4. finalize the marker (rename from tmp), delete old, delete tmp.
-  // A crash at ANY point re-enters through [[recoverPartitionedFold]],
-  // which completes or discards deterministically. The one gap — a
-  // crash after the swaps but before the marker finalize is COMPLETED
-  // by recovery, and a crash that loses only the marker re-runs the
-  // batch, which is safe because the span fold (min/mn, max/mx per h)
-  // is IDEMPOTENT, unlike refreshAggregate's sums (which is why that
-  // fold keeps the atomic whole-dir swap instead).
+  // What makes append-only sound is the fold's ALGEBRA: min/mn, max/mx
+  // per h is associative, commutative, and IDEMPOTENT, so the state's
+  // semantic content is the fold over ALL segment rows (merge-on-read)
+  // and duplicate or superseded rows are harmless. Consequences:
+  //   - The probe needs no pre-aggregation: a position is duplicated
+  //     iff ANY state row attributes its hash beyond the probing doc —
+  //     the row-level predicate plus the downstream distinct() is
+  //     exact over multi-segment rows.
+  //   - A replayed batch overwrites its own (hp, seg=b<id>) partitions
+  //     with identical content (dynamic partition overwrite), so
+  //     retries converge from ANY crash point without a staging dir;
+  //     the root `_applied_id` marker (advanced only after the append)
+  //     short-circuits retries of applied batches.
+  //   - Compaction is crash-safe with NO protocol: write the merged
+  //     segment first, then delete the inputs — any interleaving of
+  //     crashes leaves duplicate rows whose fold is unchanged, and the
+  //     next compaction sweeps the leftovers.
+  //
+  // Segment growth is bounded by size-tiered compaction (the LSM
+  // rule): when a touched partition holds more than `maxSegments`
+  // segments, merge every segment except those larger than the sum of
+  // all smaller ones ("settled" base segments). A byte is therefore
+  // rewritten only when the accumulated smaller segments rival it —
+  // O(log(state/batch)) write amplification — and the settled-segment
+  // count is itself O(log state), which bounds the probe's per-hash
+  // row fan-out.
+  //
+  // The `.__pfold_tmp`/`.__pfold_old` two-phase protocol survives for
+  // the two whole-layout transitions only — first write and legacy
+  // unpartitioned migration — and [[recoverPartitionedFold]] still
+  // heals crashes of the pre-segment dirty-rewrite protocol (states
+  // written before segmentation). A pre-segment partitioned state
+  // (bare parquet files in its hp= dirs) is migrated in place by
+  // metadata renames into `seg=base0` on entry, guarded by the
+  // `_segmented` marker — readers never see a mixed directory because
+  // the migration completes before any probe.
   //
   // The state dir also carries `_buckets` (bucket count pinned at
   // creation — later calls ignore their parameter) so the partition
   // function can never drift, and the root `_applied_id` marker works
-  // exactly as in [[foldState]]. A legacy unpartitioned state (no
-  // `_buckets`) is migrated by one full partitioned rewrite.
+  // exactly as in [[foldState]].
 
   private def listHpDirs(fs: HFs, dir: HPath): Seq[HPath] =
     if (!fs.exists(dir)) Seq.empty
@@ -647,6 +691,121 @@ object Maintenance {
   private def stateBucketsOf(fs: HFs, state: HPath, default: Int): Int =
     readTextFile(fs, new HPath(state, "_buckets")).map(_.trim.toInt).getOrElse(default)
 
+  private def listSegDirs(fs: HFs, hpDir: HPath): Seq[HPath] =
+    if (!fs.exists(hpDir)) Seq.empty
+    else
+      fs.listStatus(hpDir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+        .map(_.getPath)
+        .toSeq
+
+  /** Advance the root `_applied_id` marker via tmp+rename. A crash
+    * between delete and rename loses just the marker; the re-run
+    * re-applies an idempotent fold.
+    */
+  private def advanceRootMarker(fs: HFs, state: HPath, id: Long): Unit = {
+    val mk = new HPath(state, "_applied_id")
+    val mkTmp = new HPath(state, "_applied_id.__tmp")
+    writeTextFile(fs, mkTmp, id.toString)
+    fs.delete(mk, false)
+    renameOrFail(fs, mkTmp, mk)
+  }
+
+  /** In-place migration of a pre-segment partitioned state: move each
+    * hp= dir's bare parquet files into a `seg=base0` subdir (metadata
+    * renames only). Idempotent — a crash mid-way leaves some dirs
+    * migrated and some not, and the re-run moves the rest; the
+    * `_segmented` marker is written only after every dir is clean, so
+    * a crash before it just re-scans. MUST complete before any probe
+    * reads the hp dirs: a directory holding both data files and
+    * partition subdirs is unreadable.
+    */
+  private def ensureSegmented(fs: HFs, state: HPath): Unit =
+    if (fs.exists(state) && fs.exists(new HPath(state, "_buckets")) &&
+      !fs.exists(new HPath(state, "_segmented"))) {
+      listHpDirs(fs, state).foreach { hp =>
+        val bare = fs
+          .listStatus(hp)
+          .filter(st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".")
+          )
+        if (bare.nonEmpty) {
+          val base = new HPath(hp, "seg=base0")
+          fs.mkdirs(base)
+          bare.foreach(f => renameOrFail(fs, f.getPath, new HPath(base, f.getPath.getName)))
+        }
+      }
+      writeTextFile(fs, new HPath(state, "_segmented"), "1")
+    }
+
+  /** Drop crash-stranded Spark staging dirs (`.spark-staging-*`) from a
+    * dead dynamic-overwrite job. Dot-prefixed, so readers already
+    * ignore them; this just stops them accumulating. Single-writer
+    * contract means no live job can own one at entry.
+    */
+  private def dropStaleStaging(fs: HFs, state: HPath): Unit =
+    if (fs.exists(state))
+      fs.listStatus(state)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".spark-staging"))
+        .foreach(st => fs.delete(st.getPath, true))
+
+  /** Size-tiered compaction of one hp partition: merge every segment
+    * except those larger than the sum of all smaller ones. Crash-safe
+    * by fold idempotence — the merged segment is written BEFORE the
+    * inputs are deleted, and any crash point leaves duplicate rows
+    * whose per-h fold is unchanged (the next compaction sweeps them).
+    */
+  private def compactSegments(
+      spark: SparkSession,
+      fs: HFs,
+      state: HPath,
+      hp: Int,
+      maxSegments: Int
+  )(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val hpDir = new HPath(state, s"hp=$hp")
+    val segs = listSegDirs(fs, hpDir)
+      .map(p => (p, fs.getContentSummary(p).getLength))
+      .sortBy(-_._2)
+    if (segs.length <= maxSegments) return
+    // Peel off settled segments: each is larger than everything below
+    // it combined, so merging it now would be premature rewrite.
+    var tail = segs.toList
+    while (tail.nonEmpty && tail.head._2 > tail.tail.map(_._2).sum) tail = tail.tail
+    if (tail.length < 2) return
+    val victims = tail.map(_._1)
+    val merged = {
+      val all = spark.read
+        .option("basePath", hpDir.toString)
+        .parquet(victims.map(_.toString): _*)
+        .select(col("h"), col("mn_doc"), col("mx_doc"))
+      fold(all, all.limit(0))
+    }
+    val nextC = segs
+      .map(_._1.getName.stripPrefix("seg="))
+      .collect { case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+      .maxOption
+      .getOrElse(-1) + 1
+    merged
+      .coalesce(1)
+      .write
+      .parquet(new HPath(hpDir, s"seg=c$nextC").toString)
+    victims.foreach(v => deleteOrFail(fs, v))
+  }
+
+  /** The semantic content of a span-hash state dir — one row per hash
+    * with its global min/max doc attribution, folded across segments
+    * (and valid on every layout generation: unpartitioned, partitioned,
+    * segmented). This is the full-state reader; probes inside
+    * [[incrementalDupSpans]] never need it because the row-level
+    * attribution predicate is exact over raw segment rows.
+    */
+  def spanStateView(spark: SparkSession, statePath: String): DataFrame =
+    spark.read
+      .parquet(statePath)
+      .groupBy(col("h"))
+      .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+
   /** Exactly-once partitioned state fold over a hash-keyed state
     * (`h` + payload columns). `fold(oldDirty, partial)` sees ONLY the
     * dirty partitions' rows; the fold must be per-`h` and
@@ -661,7 +820,8 @@ object Maintenance {
       appliedId: Option[Long],
       partial: DataFrame,
       buckets: Int,
-      dirtyHint: Option[Seq[Int]]
+      dirtyHint: Option[Seq[Int]],
+      maxSegments: Int = 8
   )(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -682,48 +842,57 @@ object Maintenance {
       // Empty partial: nothing to fold. With no state yet, write
       // nothing at all (an empty state ≡ no state for every probe, and
       // a zero-row partitioned write would leave a schema-less dir);
-      // with existing state, only the marker advances. A crash between
-      // delete and rename loses just the marker; the re-run re-applies
-      // an idempotent fold.
-      if (stateExists) appliedId.foreach { id =>
-        val mk = new HPath(fsPath, "_applied_id")
-        val mkTmp = new HPath(fsPath, "_applied_id.__tmp")
-        writeTextFile(fs, mkTmp, id.toString)
-        fs.delete(mk, false)
-        renameOrFail(fs, mkTmp, mk)
-      }
+      // with existing state, only the marker advances.
+      if (stateExists) appliedId.foreach(advanceRootMarker(fs, fsPath, _))
       return
     }
-    val merged =
-      if (!stateExists) partial
-      else if (legacy) fold(spark.read.parquet(statePath), partial)
-      else {
-        // Dirty partitions as EXPLICIT leaf-dir paths: partition
-        // discovery over the whole layout would list every hp= dir and
-        // dominate a small batch's fold.
-        val paths = dirty
-          .map(hp => s"$statePath/hp=$hp")
-          .filter(p => fs.exists(new HPath(p)))
-        if (paths.isEmpty) partial
-        else fold(spark.read.parquet(paths: _*), partial)
-      }
-    merged
-      .withColumn("hp", hpOf)
-      // One writer task per hp group — never #tasks × #partitions files
-      // (Pipeline.clusteredBy's rule).
-      .repartition(col("hp"))
-      .write
-      .partitionBy("hp")
-      .mode("overwrite")
-      .parquet(tmp.toString)
-    writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
-    appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
-    writeTextFile(
-      fs,
-      new HPath(tmp, "_commit"),
-      (if (full) "full" else "partial") + (if (appliedId.isDefined) " id" else " noid")
-    )
-    rollForwardPartitioned(fs, fsPath, tmp, old)
+    if (full) {
+      // Whole-layout transition (first write / legacy unpartitioned
+      // migration): the two-phase tmp + commit + swap protocol. The
+      // merged state lands as one `seg=base0` segment per partition.
+      val merged = if (!stateExists) partial else fold(spark.read.parquet(statePath), partial)
+      merged
+        .withColumn("hp", hpOf)
+        .withColumn("seg", lit("base0"))
+        // One writer task per hp group — never #tasks × #partitions
+        // files (Pipeline.clusteredBy's rule).
+        .repartition(col("hp"))
+        .write
+        .partitionBy("hp", "seg")
+        .mode("overwrite")
+        .parquet(tmp.toString)
+      writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
+      writeTextFile(fs, new HPath(tmp, "_segmented"), "1")
+      appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
+      writeTextFile(
+        fs,
+        new HPath(tmp, "_commit"),
+        "full" + (if (appliedId.isDefined) " id" else " noid")
+      )
+      rollForwardPartitioned(fs, fsPath, tmp, old)
+    } else {
+      // Segment APPEND — the steady-state path: one new `seg=b<id>`
+      // per touched partition via dynamic partition overwrite, so a
+      // replayed batch overwrites its own segments with identical
+      // content and converges from any crash point. Existing segments
+      // are never read or rewritten; per-batch write cost is the
+      // partial's size. The marker advances only after the append.
+      ensureSegmented(fs, fsPath) // states written before segmentation
+      val segName = appliedId
+        .map(id => s"b$id")
+        .getOrElse("u" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      partial
+        .withColumn("hp", hpOf)
+        .withColumn("seg", lit(segName))
+        .repartition(col("hp"))
+        .write
+        .partitionBy("hp", "seg")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(statePath)
+      appliedId.foreach(advanceRootMarker(fs, fsPath, _))
+      dirty.foreach(hp => compactSegments(spark, fs, fsPath, hp, maxSegments)(fold))
+    }
   }
 
   /** Schema drift between two dataset versions: columns added, removed,

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.tools.SpanStress <corpusParquetDir> <batchSfDir> [batchRows]`
   *   — the incremental span index: one-shot state build over a large
-  *   corpus, a batch probed against that state, then the partitioned
-  *   fold's headline property measured directly: a MICRO batch's fold
-  *   cost against the same state via (a) the hash-prefix-partitioned
-  *   protocol (touched partitions only) vs (b) a legacy full-rewrite
-  *   migration fold of identical state content. The claim under test is
-  *   "per-batch cost scales with batch ∪ touched partitions, not state".
+  *   corpus, a batch probed against that state, then the segmented
+  *   fold's headline property measured directly: per-batch WRITE BYTES.
+  *   The trickle fold is timed against a half-size and a full-size
+  *   state (append cost must stay flat as state doubles, and must beat
+  *   a legacy full-rewrite migration fold of identical content); the
+  *   realistic batch reports bytes appended vs total state bytes — the
+  *   O(batch)-not-O(state) claim, measured as bytes because at this sf
+  *   seconds are overhead-dominated.
   *
   * `runMain graft.tools.SpanStress zipf <corpusParquetDir>`
   *   — the hot-key window bound: every corpus doc gets the SAME
@@ -57,6 +59,23 @@ object SpanStress {
         .toMap
   }
 
+  private def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else f.listFiles().map(dirBytes).sum
+
+  /** Bytes held by a batch's appended segments (`seg=b<id>` dirs). */
+  private def segBytes(state: String, id: Long): Long = {
+    val root = new java.io.File(state)
+    if (!root.exists()) 0L
+    else
+      root
+        .listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("hp="))
+        .map(d => dirBytes(new java.io.File(d, s"seg=b$id")))
+        .sum
+  }
+
   private def ingest(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("/tmp/sf_stress")
     val batchSf = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -74,10 +93,10 @@ object SpanStress {
     def trickle(id: Long) =
       Seq((id, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
     // The scaling claim, measured directly: fold the SAME trickle doc
-    // into a half-size and a full-size state. The partitioned fold's
-    // cost must stay flat (bytes ∝ touched partitions, not state);
+    // into a half-size and a full-size state. The segmented append's
+    // cost (seconds AND bytes) must stay flat as the state doubles;
     // the legacy full-rewrite (the migration fold on an unpartitioned
-    // copy of identical content) must grow with the state.
+    // copy of identical semantic content) must grow with the state.
     val sizes = Seq(("half", corpus.filter(col("doc_id") % 2 === 0)), ("full", corpus))
     val results = sizes.map { case (label, c) =>
       val state = s"$root/spans_$label"
@@ -94,39 +113,49 @@ object SpanStress {
       }
       val after = hpMtimes(state)
       val touched = (before.keySet ++ after.keySet).count(k => before.get(k) != after.get(k))
+      val appended = segBytes(state, 1L)
       val legacy = s"$root/legacy_$label"
-      spark.read.parquet(state).select("h", "mn_doc", "mx_doc").write.parquet(legacy)
+      val legacyBytes = {
+        graft.operators.Maintenance
+          .spanStateView(spark, state)
+          .write
+          .parquet(legacy)
+        dirBytes(new java.io.File(legacy))
+      }
       val (_, tFull) = timed {
         graft.operators.Maintenance
           .incrementalDupSpans(spark, trickle(30000001L), "doc_id", "text", legacy, Some(1L))
           .count()
       }
       println(
-        f"[span-stress] $label%-4s trickle fold: partitioned $tPart%.2f s (touched $touched of ${after.size}), full rewrite $tFull%.2f s"
+        f"[span-stress] $label%-4s trickle fold: append $tPart%.2f s / ${appended / 1024}%d KiB (touched $touched of ${after.size} partitions), full rewrite $tFull%.2f s / ${legacyBytes / 1024}%d KiB state"
       )
-      (label, tPart, tFull)
+      (tPart, appended, tFull, legacyBytes)
     }
-    val (_, pHalf, fHalf) = results.head
-    val (_, pFull, fFull) = results.last
+    val (pHalf, aHalf, fHalf, lHalf) = results.head
+    val (pFull, aFull, fFull, lFull) = results.last
     println(
-      f"[span-stress] state 2x => partitioned fold ${pFull / pHalf}%.2f x (flat is 1.0), full rewrite ${fFull / fHalf}%.2f x (grows with state)"
+      f"[span-stress] state 2x => append ${pFull / pHalf}%.2f x time / ${aFull.toDouble / math.max(aHalf, 1)}%.2f x bytes (flat is 1.0); full rewrite ${fFull / fHalf}%.2f x time / ${lFull.toDouble / math.max(lHalf, 1)}%.2f x bytes (grows with state)"
     )
     // Headline batch: realistic ingest volume against the full state.
+    // Bytes are the honest metric at this sf (seconds are fixed-cost
+    // dominated): the append writes the batch's partial, never the
+    // state — and the batch touching EVERY partition no longer matters,
+    // because touching a partition now means adding one segment to it.
     val state = s"$root/spans_full"
     val batch = spark.read
       .parquet(s"$batchSf/documents.parquet")
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       .limit(batchRows)
-    val before = hpMtimes(state)
+    val stateBytesBefore = dirBytes(new java.io.File(state))
     val (e1, tBatch) = timed(
       graft.operators.Maintenance
         .incrementalDupSpans(spark, batch, "doc_id", "text", state, Some(2L))
     )
     val nExt = e1.count()
-    val after = hpMtimes(state)
-    val touched = (before.keySet ++ after.keySet).count(k => before.get(k) != after.get(k))
+    val appended = segBytes(state, 2L)
     println(
-      f"[span-stress] batch ingest ($batchRows docs vs full state): $tBatch%.1f s, extents=$nExt, touched $touched of ${after.size} partitions"
+      f"[span-stress] batch ingest ($batchRows docs vs full state): $tBatch%.1f s, extents=$nExt, wrote ${appended / 1024}%d KiB vs ${stateBytesBefore / 1024}%d KiB state (${100.0 * appended / math.max(stateBytesBefore, 1)}%.1f%%)"
     )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()

@@ -382,30 +382,42 @@ class MaintenanceSpec extends AnyFunSuite {
 
   // ─────────────── hash-prefix-partitioned span-state fold ───────────────
 
+  /** Per-hp physical snapshot: every parquet file under the partition
+    * (recursing into seg= subdirs) as (relative path, length, mtime).
+    */
   private def hpSnapshot(state: String): Map[String, Set[(String, Long, Long)]] = {
+    def walk(d: java.io.File, prefix: String): Seq[(String, Long, Long)] =
+      d.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) walk(f, s"$prefix${f.getName}/")
+        else if (f.getName.endsWith(".parquet")) Seq((prefix + f.getName, f.length(), f.lastModified()))
+        else Seq.empty
+      }
     val root = new java.io.File(state)
     root
       .listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("hp="))
-      .map { d =>
-        d.getName -> d
-          .listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getName, f.length(), f.lastModified()))
-          .toSet
-      }
+      .map(d => d.getName -> walk(d, "").toSet)
       .toMap
   }
 
+  /** The state's SEMANTIC content — the per-h fold across segments.
+    * Physical rows are per-segment partials under the append protocol,
+    * so equality claims are made on this view.
+    */
   private def stateRows(state: String): Set[(Long, Long, Long)] =
-    spark.read
-      .parquet(state)
-      .select("h", "mn_doc", "mx_doc")
+    Maintenance
+      .spanStateView(spark, state)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
 
-  test("incrementalDupSpans: a small batch rewrites ONLY its touched hash-prefix partitions") {
+  private def segDirs(state: String, hp: String): Set[String] = {
+    val d = new java.io.File(s"$state/$hp")
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("seg=")).map(_.getName).toSet
+  }
+
+  test("incrementalDupSpans: a batch APPENDS segments — existing state files are never touched") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-part").toString
     val state = s"$root/spans"
@@ -416,6 +428,7 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     Maintenance.incrementalDupSpans(spark, corpus, "doc_id", "text", state, Some(0L))
     assert(new java.io.File(s"$state/_buckets").exists(), "bucket pin written")
+    assert(new java.io.File(s"$state/_segmented").exists(), "segment marker written")
     val before = hpSnapshot(state)
     assert(before.size > 32, s"corpus should populate most buckets, got ${before.size}")
     // One 5-token doc: 3 shingle hashes -> at most 3 touched buckets.
@@ -424,10 +437,21 @@ class MaintenanceSpec extends AnyFunSuite {
     val after = hpSnapshot(state)
     val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
     assert(changed.nonEmpty && changed.size <= 3, s"3 hashes may touch <=3 buckets: $changed")
-    // Untouched partitions keep their exact physical files (same name,
-    // length, mtime) — the fold never read or rewrote them.
-    (before.keySet -- changed).foreach { k =>
-      assert(before(k) == after(k), s"untouched partition $k was rewritten")
+    // The append-only contract, stronger than don't-rewrite-untouched:
+    // EVERY pre-existing file survives byte-identical (name, length,
+    // mtime) — touched partitions only GAIN a seg=b1 segment.
+    before.foreach { case (k, files) =>
+      assert(
+        files.subsetOf(after.getOrElse(k, Set.empty)),
+        s"partition $k lost or rewrote pre-existing files"
+      )
+    }
+    changed.foreach { k =>
+      val newFiles = after(k) -- before.getOrElse(k, Set.empty)
+      assert(
+        newFiles.nonEmpty && newFiles.forall(_._1.startsWith("seg=b1/")),
+        s"touched partition $k must gain exactly a seg=b1 segment: $newFiles"
+      )
     }
     // And the folded state equals a one-shot build over corpus ∪ batch.
     val oneShot = s"$root/oneshot"
@@ -439,7 +463,161 @@ class MaintenanceSpec extends AnyFunSuite {
       oneShot,
       Some(0L)
     )
-    assert(stateRows(state) == stateRows(oneShot), "partition-fold must equal full-fold")
+    assert(stateRows(state) == stateRows(oneShot), "append-fold must equal full-fold")
+  }
+
+  test("incrementalDupSpans: tiered compaction bounds segment count, preserves the state view") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-compact").toString
+    val state = s"$root/spans"
+    // A narrow shared vocabulary so every batch lands in the SAME few
+    // buckets and the seg count there climbs past the threshold.
+    def b(id: Long) = Seq((id, s"k1 k2 k3 k4 k5 k6 k7 v$id")).toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, b(0), "doc_id", "text", state, Some(0L), maxStateSegments = 3)
+    (1L to 8L).foreach { i =>
+      Maintenance
+        .incrementalDupSpans(spark, b(i), "doc_id", "text", state, Some(i), maxStateSegments = 3)
+    }
+    val segCounts = hpSnapshot(state).keySet.map(k => segDirs(state, k).size)
+    // Tiered rule: ≤ maxSegments plus O(log) settled segments — at this
+    // size nothing can settle past a handful.
+    assert(segCounts.max <= 5, s"compaction must bound segment fan-out: $segCounts")
+    // Semantic equality with a one-shot build over all nine batches.
+    val oneShot = s"$root/oneshot"
+    val all = (0L to 8L).map(i => (i, s"k1 k2 k3 k4 k5 k6 k7 v$i")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, all, "doc_id", "text", oneShot, Some(0L))
+    assert(stateRows(state) == stateRows(oneShot), "compacted state must equal full-fold")
+    // And the state still serves probes: a new doc sharing the k-run
+    // gets its cross-batch extent.
+    val e = Maintenance
+      .incrementalDupSpans(
+        spark,
+        Seq((100L, "z0 k1 k2 k3 k4 k5 k6 k7 z1 z2")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(9L),
+        maxStateSegments = 3
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e == Set((100L, 1, 7, 7L)), s"compacted state must serve the probe: $e")
+  }
+
+  test("incrementalDupSpans: a crash between compaction write and cleanup converges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-ccrash").toString
+    val state = s"$root/spans"
+    def b(id: Long) = Seq((id, s"k1 k2 k3 k4 k5 k6 k7 v$id")).toDF("doc_id", "text")
+    (0L to 3L).foreach { i =>
+      Maintenance
+        .incrementalDupSpans(spark, b(i), "doc_id", "text", state, Some(i), maxStateSegments = 99)
+    }
+    val viewBefore = stateRows(state)
+    // Fabricate the crash: a compacted segment fully written, the input
+    // segments NOT yet deleted — duplicate rows with an identical fold.
+    val hp = hpSnapshot(state).keys.find(k => segDirs(state, k).size >= 3).get
+    val hpDir = s"$state/$hp"
+    Maintenance
+      .spanStateView(spark, hpDir)
+      .coalesce(1)
+      .write
+      .parquet(s"$hpDir/seg=c0")
+    assert(stateRows(state) == viewBefore, "duplicate compacted rows must not change the view")
+    // The next fold (threshold now exceeded) sweeps the leftovers.
+    Maintenance
+      .incrementalDupSpans(spark, b(4L), "doc_id", "text", state, Some(4L), maxStateSegments = 2)
+    assert(
+      segDirs(state, hp).size <= 3,
+      s"sweep must merge the duplicate segment away: ${segDirs(state, hp)}"
+    )
+    val oneShot = s"$root/oneshot"
+    val all = (0L to 4L).map(i => (i, s"k1 k2 k3 k4 k5 k6 k7 v$i")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, all, "doc_id", "text", oneShot, Some(0L))
+    assert(stateRows(state) == stateRows(oneShot), "swept state must equal full-fold")
+  }
+
+  test("incrementalDupSpans: a replay after a half-appended crash converges to the replica") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-acrash").toString
+    val state = s"$root/spans"
+    val replica = s"$root/replica"
+    val b0 = (1 to 20)
+      .map(i => (i.toLong, (1 to 10).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = Seq((100L, "y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", replica, Some(0L))
+    Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L))
+    Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", replica, Some(1L))
+    // Fabricate the crash window: one of b1's appended segments lost,
+    // the root marker rolled back to the previous batch — exactly what
+    // a crash between the append job's partition commits leaves.
+    val touched = hpSnapshot(state).keys.filter(k => segDirs(state, k).contains("seg=b1")).toSeq
+    assert(touched.nonEmpty, "b1 must have appended at least one segment")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$state/${touched.head}/seg=b1"))
+    // Through the Hadoop fs, not java.nio — the local fs keeps a .crc
+    // sidecar that an out-of-band overwrite would invalidate.
+    val hfs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = hfs.create(new org.apache.hadoop.fs.Path(s"$state/_applied_id"), true)
+    mk.write("0".getBytes("UTF-8"))
+    mk.close()
+    // The replay overwrites b1's (hp, seg=b1) partitions with identical
+    // content — dynamic partition overwrite — and converges.
+    val e = Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val eRef = Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", replica, Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e == eRef, s"replayed extents must match the (no-op replayed) replica: $e vs $eRef")
+    assert(stateRows(state) == stateRows(replica), "replayed state must equal the replica")
+  }
+
+  test("incrementalDupSpans: a pre-segment partitioned state migrates in place on entry") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-v2").toString
+    val state = s"$root/spans"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 X5 X6 X7 a4 a5 a6"),
+      (2L, "b1 b2 X1 X2 X3 X4 X5 X6 X7 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+    // Fabricate the pre-segment layout: hoist every segment's files to
+    // its hp= dir, drop the seg dirs and the _segmented marker — what
+    // the dirty-rewrite fold used to write.
+    hpSnapshot(state).keys.foreach { k =>
+      val hpDir = new java.io.File(s"$state/$k")
+      var i = 0
+      segDirs(state, k).foreach { seg =>
+        new java.io.File(hpDir, seg).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          assert(f.renameTo(new java.io.File(hpDir, s"v2_$i.parquet")))
+          i += 1
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(hpDir, seg))
+      }
+    }
+    assert(new java.io.File(s"$state/_segmented").delete())
+    val b1 = Seq((10L, "c1 X1 X2 X3 X4 X5 X6 X7 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val e1 = Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e1 == Set((10L, 1, 7, 7L)), s"migrated state must serve the cross-batch probe: $e1")
+    assert(new java.io.File(s"$state/_segmented").exists(), "migration re-marked")
+    val replica = s"$root/replica"
+    Maintenance.incrementalDupSpans(spark, b0, "doc_id", "text", replica, Some(0L))
+    Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", replica, Some(1L))
+    assert(stateRows(state) == stateRows(replica), "migrated state must equal the replica")
   }
 
   test("incrementalDupSpans: a crash between partition swaps rolls forward on the next batch") {

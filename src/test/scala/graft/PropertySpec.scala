@@ -455,9 +455,10 @@ class PropertySpec extends AnyFunSuite {
           spark, docs.toDF("doc_id", "text"), "doc_id", "text", oneShot, Some(0L),
           stateBuckets = 4
         )
-      def rows(p: String) = spark.read
-        .parquet(p)
-        .select("h", "mn_doc", "mx_doc")
+      // Physical rows are per-segment partials under the append
+      // protocol — equality is on the folded (merge-on-read) view.
+      def rows(p: String) = operators.Maintenance
+        .spanStateView(spark, p)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
