@@ -168,7 +168,17 @@ object Maintenance {
     * duplicate spans (an unchanged re-crawl is fine — that exclusion
     * is exactly what makes it not self-dup). Ingest loops that may
     * rewrite a document must assign fresh ids (e.g. key by
-    * (url, crawl_ts)); the CLI verbs state the same constraint. Returns the batch
+    * (url, crawl_ts)); the CLI verbs state the same constraint.
+    * `checkDocIdReuse = true` turns the contract into an enforced
+    * AUDIT GATE: if any batch doc_id already appears in the state's
+    * attribution (and the batch is not a marker-identified replay of
+    * itself), the call fails listing offenders before anything is
+    * probed or folded. The check costs a two-column scan of the FULL
+    * state (a reused doc's prior shingles can live in any bucket, so
+    * it cannot partition-prune) — an audit-schedule cost, not a
+    * hot-path one — and it cannot tell a changed re-crawl from an
+    * intentionally re-sent unchanged doc: callers doing the latter
+    * should leave it off. Returns the batch
     * docs' extents (`doc_id, start_pos, end_pos, n_tokens`, ≥ minTokens).
     *
     * Exactly-once and replay: the extents settle (localCheckpoint)
@@ -208,7 +218,8 @@ object Maintenance {
       appliedId: Option[Long] = None,
       minTokens: Int = 5,
       stateBuckets: Int = 64,
-      maxStateSegments: Int = 8
+      maxStateSegments: Int = 8,
+      checkDocIdReuse: Boolean = false
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // And on the batch's own session: inside foreachBatch the batch
@@ -244,6 +255,30 @@ object Maintenance {
       )
       .localCheckpoint() // one shingle pass serves probe + within-batch + fold
     val stateExists = fs.exists(fsPath)
+    if (checkDocIdReuse && stateExists &&
+      !(appliedId.isDefined && readAppliedId(fs, fsPath) == appliedId)) {
+      // Audit gate: any batch doc_id already holding attribution in the
+      // state means a prior contribution this batch would silently
+      // self-exclude against. Two-column state scan + one join against
+      // the (distinct, typically broadcast-small) batch id set.
+      val batchIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val reused = spark.read
+        .parquet(statePath)
+        .select(explode(array(col("mn_doc"), col("mx_doc"))).as("doc_id"))
+        .distinct()
+        .join(batchIds, Seq("doc_id"), "left_semi")
+        .limit(20)
+        .collect()
+        .map(_.getLong(0))
+        .sorted
+      require(
+        reused.isEmpty,
+        s"checkDocIdReuse: batch re-uses ${reused.length}${if (reused.length == 20) "+" else ""} " +
+          s"doc_id(s) already attributed in the span state (${reused.mkString(", ")}) — " +
+          "a changed-text re-ingest under an old id silently loses its cross-version " +
+          "duplicate spans; assign fresh ids (e.g. key by (url, crawl_ts))"
+      )
+    }
     val partitioned = stateExists && fs.exists(new HPath(fsPath, "_buckets"))
     val nb = stateBucketsOf(fs, fsPath, stateBuckets)
     // The batch's hash-prefix bucket set: tiny (≤ buckets), computed

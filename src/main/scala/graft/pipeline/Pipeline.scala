@@ -269,8 +269,9 @@ object Pipeline {
   * --checkpoint C [--min_cos X]` (drain arriving embedding JSON files
   * through streaming SemDeDup against the persistent IVF index), and
   * `--maintenance dup_spans --batch B --state S --out O
-  * [--applied_id N] [--min_tokens K]` (incremental span-level dedup
-  * against the persistent span-hash state), and
+  * [--applied_id N] [--min_tokens K] [--check_doc_reuse true]`
+  * (incremental span-level dedup against the persistent span-hash
+  * state; the optional audit gate fails on re-used doc_ids), and
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
   * files through streaming span-level dedup), and
@@ -395,11 +396,15 @@ object PipelineRunner {
         // exclusion silently suppress that doc's cross-version
         // duplicate spans — re-crawls that may rewrite a doc must
         // assign a fresh doc_id (e.g. (url, crawl_ts) keyed).
+        // --check_doc_reuse true enforces it: the run fails listing
+        // offenders (costs a two-column full-state scan — audit
+        // schedule, not hot path).
         val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <extents dir> required"))
         val applied = opts.get("applied_id").map(_.toLong)
         val minTokens = opts.getOrElse("min_tokens", "5").toInt
+        val checkReuse = opts.getOrElse("check_doc_reuse", "false").toBoolean
         graft.operators.Maintenance
           .incrementalDupSpans(
             spark,
@@ -408,7 +413,8 @@ object PipelineRunner {
             "text",
             state,
             applied,
-            minTokens
+            minTokens,
+            checkDocIdReuse = checkReuse
           )
           .write
           .mode("overwrite")

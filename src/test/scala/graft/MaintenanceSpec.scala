@@ -582,6 +582,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stateRows(state) == stateRows(replica), "replayed state must equal the replica")
   }
 
+  test("incrementalDupSpans: checkDocIdReuse fails a re-used id, passes replays and fresh ids") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-reuse").toString
+    val state = s"$root/spans"
+    val b0 = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6"),
+      (2L, "b1 b2 b3 b4 b5 b6")
+    ).toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L), checkDocIdReuse = true)
+    // A replay of the applied batch is marker-identified — not reuse.
+    Maintenance
+      .incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L), checkDocIdReuse = true)
+    // A fresh-id batch passes.
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((10L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(1L),
+      checkDocIdReuse = true
+    )
+    // Re-using id 2 under a NEW batch id (the changed-text re-crawl
+    // shape) fails, naming the offender.
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.incrementalDupSpans(
+        spark,
+        Seq((2L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(2L),
+        checkDocIdReuse = true
+      )
+    }
+    assert(ex.getMessage.contains("2"), s"offending id named: ${ex.getMessage}")
+    // Off by default: the same call without the gate proceeds.
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((2L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(2L)
+    )
+  }
+
   test("incrementalDupSpans: a pre-segment partitioned state migrates in place on entry") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-v2").toString
