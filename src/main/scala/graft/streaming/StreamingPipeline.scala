@@ -474,7 +474,9 @@ object StreamingPipeline {
     * batch-id marker. Replay-safe end to end: a replayed batch
     * recomputes IDENTICAL extents against the post-fold state (the
     * probe excludes self-attributed hashes) while the fold no-ops on
-    * its marker, so the overwrite converges under any crash/retry. An
+    * its marker — or, after a crash that lost the marker, idempotently
+    * re-overwrites its own appended `seg=b<id>` segments with the same
+    * content — so the overwrite converges under any crash/retry. An
     * empty micro-batch writes its (empty) telemetry partition and never
     * touches the state — idle trigger firings must not rewrite a
     * corpus-scale hash table. Returns the number of extent rows.
