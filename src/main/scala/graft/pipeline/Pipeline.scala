@@ -266,8 +266,10 @@ object Pipeline {
   * `--maintenance rebalance_vector_index --path P [--max_over_median N]`
   * (IVF skew escalation — split clusters above N× the median size), and
   * `--maintenance semantic_dedup_ingest --raw R --index I --drops D
-  * --checkpoint C [--min_cos X]` (drain arriving embedding JSON files
-  * through streaming SemDeDup against the persistent IVF index), and
+  * --checkpoint C [--min_cos X] [--resolve_survivors true]` (drain
+  * arriving embedding JSON files through streaming SemDeDup against
+  * the persistent IVF index; the optional flag resolves each drop's
+  * `dup_of` chain to the surviving representative), and
   * `--maintenance dup_spans --batch B --state S --out O
   * [--applied_id N] [--min_tokens K] [--check_doc_reuse true]`
   * (incremental span-level dedup against the persistent span-hash
@@ -347,13 +349,19 @@ object PipelineRunner {
         // the scheduled twin of dedup/near-dup ingest
         // (StreamingPipeline.semanticDedupIngest). Embedding JSON shape:
         // {"vec_id": long, "embedding": [double, ...]}.
+        // --resolve_survivors true adds a `survivor` column to the drop
+        // telemetry: dup_of chased through the batch's drop chain to the
+        // row that was actually kept.
         val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
         val index = opts.getOrElse("index", sys.error("--index <ivf dir> required"))
         val drops = opts.getOrElse("drops", sys.error("--drops <telemetry dir> required"))
         val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
         val minCos = opts.getOrElse("min_cos", "0.995").toDouble
+        val resolve = opts.getOrElse("resolve_survivors", "false").toBoolean
         graft.streaming.StreamingPipeline
-          .semanticDedupIngest(spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos)
+          .semanticDedupIngest(
+            spark, raw, index, drops, ckpt, graft.schemas.Schemas.embeddingIngest, minCos, resolve
+          )
           .awaitTermination()
         println(s"[maintenance] semantic dedup ingest drained $raw into $index")
       case Some("curate") =>

@@ -401,6 +401,13 @@ object StreamingPipeline {
     * pairwise rule (same as q32): in a chain a~b~c with a≁c, c's
     * `dup_of` is b, which itself dropped to a — `dup_of` names the
     * nearest cause, not the transitive surviving representative.
+    * `resolveSurvivors = true` adds a `survivor` column with exactly
+    * that representative: `dup_of` followed through the batch's drop
+    * chain until it names a row that was actually kept (an indexed
+    * vector or an accepted batch row). The chain is acyclic — every
+    * hop strictly decreases the id — and batch-bounded, so resolution
+    * is a few keyed joins over the pinned drop table (one round per
+    * longest-chain hop; chains are near-always length ≤ 2).
     *
     * Exactly-once acceptance: every step is deterministic given the
     * pre-batch index, the probe cannot see the batch's own appended
@@ -417,7 +424,8 @@ object StreamingPipeline {
       indexPath: String,
       dropsPath: String,
       batchId: Long,
-      minCos: Double = 0.995
+      minCos: Double = 0.995,
+      resolveSurvivors: Boolean = false
   ): Long = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.GraftFunctions.graft_dot(a, b)
@@ -456,10 +464,39 @@ object StreamingPipeline {
       .localCheckpoint()
     val accepted = fresh.join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
     graft.operators.VectorIndex.appendAssigned(spark, accepted, indexPath)
-    indexDrops
+    val telemetry0 = indexDrops
       .select(col("vec_id"), col("dup_of"), col("cosine"))
       .unionByName(batchDrops)
-      .write
+    val telemetry =
+      if (!resolveSurvivors) telemetry0
+      else {
+        // Pointer-chase dup_of through the within-batch drop chain.
+        // Index drops are already terminal (their dup_of is an indexed
+        // survivor), so the mapping is batchDrops alone; the id-strictly-
+        // decreases invariant makes it acyclic and the loop terminate.
+        val m = batchDrops
+          .select(col("vec_id").as("s_from"), col("dup_of").as("s_to"))
+          .localCheckpoint()
+        var t = telemetry0.withColumn("survivor", col("dup_of")).localCheckpoint()
+        var hop = true
+        while (hop) {
+          val stepped = t
+            .join(m, t("survivor") === m("s_from"), "left")
+            .select(
+              col("vec_id"),
+              col("dup_of"),
+              col("cosine"),
+              coalesce(col("s_to"), col("survivor")).as("survivor")
+            )
+            .localCheckpoint()
+          // 1-row probe, not a collect of the table: one more round only
+          // while some survivor still names a dropped row.
+          hop = stepped.join(m, stepped("survivor") === m("s_from"), "left_semi").count() > 0
+          t = stepped
+        }
+        t
+      }
+    telemetry.write
       .mode("overwrite")
       .parquet(s"$dropsPath/ingest_batch=$batchId")
     accepted.count()
@@ -556,7 +593,8 @@ object StreamingPipeline {
       dropsPath: String,
       checkpoint: String,
       embSchema: StructType,
-      minCos: Double = 0.995
+      minCos: Double = 0.995,
+      resolveSurvivors: Boolean = false
   ): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(embSchema)
@@ -571,7 +609,8 @@ object StreamingPipeline {
           indexPath,
           dropsPath,
           batchId,
-          minCos
+          minCos,
+          resolveSurvivors
         )
         ()
       }

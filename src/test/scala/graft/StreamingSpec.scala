@@ -517,6 +517,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(dropsOf(2L) == Set((401L, 0L)), s"got ${dropsOf(2L)}")
   }
 
+  test("semantic dedup ingest: resolveSurvivors names the transitive survivor, not the chain hop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-semdedup-surv").toString
+    val (idx, drops) = (s"$root/ivf", s"$root/drops")
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = Seq((0L, vec(0)), (100L, vec(90))).toDF("vec_id", "emb")
+    graft.operators.VectorIndex.build(spark, base, idx, isCentroid = col("vec_id") % 100 === 0)
+    // 200 dups the indexed 0 (terminal already); 201/202/203 form the
+    // greedy chain of the pinned contract test: 203->202->201, with 201
+    // the actual survivor.
+    val b0 = Seq((200L, vec(2)), (201L, vec(44)), (202L, vec(40)), (203L, vec(35)))
+      .toDF("vec_id", "emb")
+    val n = StreamingPipeline
+      .semanticDedupIngestBatch(spark, b0, idx, drops, 0L, minCos = 0.99, resolveSurvivors = true)
+    assert(n == 1L)
+    val rows = spark.read
+      .parquet(s"$drops/ingest_batch=0")
+      .select("vec_id", "dup_of", "survivor")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // dup_of keeps the greedy nearest-cause contract; survivor resolves
+    // the chain: 203's cause is 202 (dropped) but its survivor is 201.
+    assert(
+      rows == Set((200L, 0L, 0L), (202L, 201L, 201L), (203L, 202L, 201L)),
+      s"got $rows"
+    )
+  }
+
   test("streaming semantic dedup ingest end-to-end: cross-file dups drop via the persistent index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
