@@ -243,9 +243,10 @@ object Maintenance {
     // BEFORE the probe: a crash mid-migration leaves an hp dir holding
     // both bare files and seg= subdirs, which no reader can open — the
     // idempotent re-run must finish the renames first. Also sweep
-    // staging dirs stranded by a crashed append job.
+    // staging stranded by a crashed append (pre-commit garbage).
     ensureSegmented(fs, fsPath)
     dropStaleStaging(fs, fsPath)
+    deleteOrFail(fs, new HPath(s"$statePath.__append_tmp"))
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -579,11 +580,12 @@ object Maintenance {
   //     iff ANY state row attributes its hash beyond the probing doc —
   //     the row-level predicate plus the downstream distinct() is
   //     exact over multi-segment rows.
-  //   - A replayed batch overwrites its own (hp, seg=b<id>) partitions
-  //     with identical content (dynamic partition overwrite), so
-  //     retries converge from ANY crash point without a staging dir;
-  //     the root `_applied_id` marker (advanced only after the append)
-  //     short-circuits retries of applied batches.
+  //   - A replayed batch replaces its own `seg=b<id>` dirs with
+  //     identical content (the append writes to a fresh tmp and moves
+  //     each segment in with a delete+rename pair), so retries
+  //     converge from ANY crash point; the root `_applied_id` marker
+  //     (advanced only after the append) short-circuits retries of
+  //     applied batches.
   //   - Compaction is crash-safe with NO protocol: write the merged
   //     segment first, then delete the inputs — any interleaving of
   //     crashes leaves duplicate rows whose fold is unchanged, and the
@@ -774,10 +776,10 @@ object Maintenance {
       writeTextFile(fs, new HPath(state, "_segmented"), "1")
     }
 
-  /** Drop crash-stranded Spark staging dirs (`.spark-staging-*`) from a
-    * dead dynamic-overwrite job. Dot-prefixed, so readers already
-    * ignore them; this just stops them accumulating. Single-writer
-    * contract means no live job can own one at entry.
+  /** Drop crash-stranded Spark staging dirs (`.spark-staging-*`) left
+    * by a dead write job. Dot-prefixed, so readers already ignore
+    * them; this just stops them accumulating. Single-writer contract
+    * means no live job can own one at entry.
     */
   private def dropStaleStaging(fs: HFs, state: HPath): Unit =
     if (fs.exists(state))
@@ -840,6 +842,58 @@ object Maintenance {
       .parquet(statePath)
       .groupBy(col("h"))
       .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+
+  /** Full compaction of a segmented span-hash state: merge EVERY
+    * partition's segments down to one (`--maintenance
+    * span_state_compact`). The inline size-tiered compaction keeps
+    * ingest amortized; this is the read-optimize pass an operator runs
+    * before an analysis phase — probe fan-out drops to one row per
+    * hash and per-partition file counts to the size-targeted minimum.
+    * Same crash-safety-by-idempotence as the inline pass: each
+    * partition's merged segment is fully written before its inputs are
+    * deleted, so any crash leaves duplicate rows with an unchanged
+    * fold, swept by re-running. Skips partitions already at one
+    * segment (an idempotent second run is metadata-only). Returns
+    * (partitions compacted, partitions total).
+    */
+  def compactSpanState(spark: SparkSession, statePath: String): (Int, Int) = {
+    val fsPath = new HPath(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionedFold(
+      fs,
+      fsPath,
+      new HPath(s"$statePath.__pfold_tmp"),
+      new HPath(s"$statePath.__pfold_old")
+    )
+    ensureSegmented(fs, fsPath)
+    dropStaleStaging(fs, fsPath)
+    require(
+      fs.exists(new HPath(fsPath, "_buckets")),
+      s"$statePath is not a partitioned span state (no _buckets pin)"
+    )
+    val hpDirs = listHpDirs(fs, fsPath)
+    var compacted = 0
+    hpDirs.foreach { hpDir =>
+      val segs = listSegDirs(fs, hpDir)
+      if (segs.length > 1) {
+        val merged = spark.read
+          .option("basePath", hpDir.toString)
+          .parquet(segs.map(_.toString): _*)
+          .select(col("h"), col("mn_doc"), col("mx_doc"))
+          .groupBy(col("h"))
+          .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+        val nextC = segs
+          .map(_.getName.stripPrefix("seg="))
+          .collect { case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+          .maxOption
+          .getOrElse(-1) + 1
+        merged.coalesce(1).write.parquet(new HPath(hpDir, s"seg=c$nextC").toString)
+        segs.foreach(s => deleteOrFail(fs, s))
+        compacted += 1
+      }
+    }
+    (compacted, hpDirs.length)
+  }
 
   /** Exactly-once partitioned state fold over a hash-keyed state
     * (`h` + payload columns). `fold(oldDirty, partial)` sees ONLY the
@@ -907,24 +961,40 @@ object Maintenance {
       rollForwardPartitioned(fs, fsPath, tmp, old)
     } else {
       // Segment APPEND — the steady-state path: one new `seg=b<id>`
-      // per touched partition via dynamic partition overwrite, so a
-      // replayed batch overwrites its own segments with identical
-      // content and converges from any crash point. Existing segments
-      // are never read or rewritten; per-batch write cost is the
-      // partial's size. The marker advances only after the append.
+      // per touched partition. The partial is written to a FRESH tmp
+      // dir (plain commit — no dynamic-overwrite machinery, which
+      // costs an existing-partition discovery plus a staged serial
+      // commit, measured at ~1 s of pure overhead on a small batch)
+      // and each segment is then moved in with a delete+rename pair:
+      // idempotent, so a replayed batch replaces its own segments with
+      // identical content and converges from any crash point (a stale
+      // tmp is pre-commit garbage, deleted on entry). Existing
+      // segments are never read or rewritten; per-batch write cost is
+      // the partial's size. The marker advances only after the append.
       ensureSegmented(fs, fsPath) // states written before segmentation
       val segName = appliedId
         .map(id => s"b$id")
         .getOrElse("u" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      val tmpA = new HPath(s"$statePath.__append_tmp")
+      deleteOrFail(fs, tmpA)
       partial
         .withColumn("hp", hpOf)
         .withColumn("seg", lit(segName))
         .repartition(col("hp"))
         .write
         .partitionBy("hp", "seg")
-        .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
-        .parquet(statePath)
+        .parquet(tmpA.toString)
+      // Idempotent move-in: a replay deletes and replaces its own
+      // segment; a crash mid-loop converges on the replay.
+      listHpDirs(fs, tmpA).foreach { hpDir =>
+        val stHp = new HPath(fsPath, hpDir.getName)
+        fs.mkdirs(stHp)
+        val segDst = new HPath(stHp, s"seg=$segName")
+        deleteOrFail(fs, segDst)
+        renameOrFail(fs, new HPath(hpDir, s"seg=$segName"), segDst)
+      }
+      deleteOrFail(fs, tmpA)
       appliedId.foreach(advanceRootMarker(fs, fsPath, _))
       dirty.foreach(hp => compactSegments(spark, fs, fsPath, hp, maxSegments)(fold))
     }

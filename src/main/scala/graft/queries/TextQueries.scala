@@ -1649,7 +1649,12 @@ object TextQueries {
               "doc_id",
               "text",
               state,
-              Some(id)
+              Some(id),
+              // Buckets sized to the scratch state (the SCALE.md rule:
+              // state/buckets ≈ one task's partition) — a test-sf state
+              // is a few MB, so 8, not the 100 TB default; extents and
+              // the oracle are bucket-count-independent.
+              stateBuckets = 8
             )
             .collect()
             .toIndexedSeq
