@@ -274,6 +274,8 @@ object Pipeline {
   * [--applied_id N] [--min_tokens K] [--check_doc_reuse true]`
   * (incremental span-level dedup against the persistent span-hash
   * state; the optional audit gate fails on re-used doc_ids), and
+  * `--maintenance span_state_compact --state S` (read-optimize a
+  * segmented span state: merge every partition's segments to one), and
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
   * files through streaming span-level dedup), and
@@ -428,6 +430,13 @@ object PipelineRunner {
           .mode("overwrite")
           .parquet(out)
         println(s"[maintenance] dup spans: $batchPath probed against $state -> $out")
+      case Some("span_state_compact") =>
+        // Read-optimize a segmented span-hash state: merge every
+        // partition's segments down to one (Maintenance.compactSpanState
+        // — crash-safe by fold idempotence, idempotent to re-run).
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val (done, total) = graft.operators.Maintenance.compactSpanState(spark, state)
+        println(s"[maintenance] span state compact: $done of $total partitions merged in $state")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))

@@ -582,6 +582,49 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stateRows(state) == stateRows(replica), "replayed state must equal the replica")
   }
 
+  test("compactSpanState merges every partition to one segment, preserves view and probes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-fullcompact").toString
+    val state = s"$root/spans"
+    def b(id: Long) = Seq((id, s"k1 k2 k3 k4 k5 k6 k7 v$id")).toDF("doc_id", "text")
+    // High maxStateSegments so the inline tiered pass never fires and
+    // segments genuinely accumulate.
+    (0L to 5L).foreach { i =>
+      Maintenance
+        .incrementalDupSpans(spark, b(i), "doc_id", "text", state, Some(i), maxStateSegments = 99)
+    }
+    assert(
+      hpSnapshot(state).keys.exists(k => segDirs(state, k).size > 1),
+      "fixture must accumulate multi-segment partitions"
+    )
+    val viewBefore = stateRows(state)
+    val (done, total) = Maintenance.compactSpanState(spark, state)
+    assert(done > 0 && done <= total, s"some partitions merged: $done of $total")
+    assert(
+      hpSnapshot(state).keys.forall(k => segDirs(state, k).size == 1),
+      "every partition at one segment"
+    )
+    assert(stateRows(state) == viewBefore, "compaction must not change the state view")
+    // Idempotent re-run: nothing left to merge, files untouched.
+    val snap = hpSnapshot(state)
+    val (done2, _) = Maintenance.compactSpanState(spark, state)
+    assert(done2 == 0 && hpSnapshot(state) == snap, "second run is metadata-only")
+    // The compacted state still serves probes and accepts appends.
+    val e = Maintenance
+      .incrementalDupSpans(
+        spark,
+        Seq((100L, "z0 k1 k2 k3 k4 k5 k6 k7 z1 z2")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(6L)
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e == Set((100L, 1, 7, 7L)), s"compacted state must serve the probe: $e")
+  }
+
   test("incrementalDupSpans: checkDocIdReuse fails a re-used id, passes replays and fresh ids") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-reuse").toString
