@@ -125,7 +125,8 @@ object SparkEntry {
     "q103_shuffle_manifest" -> (TextQueries.q103ShuffleManifest _),
     "q104_span_clean" -> (TextQueries.q104SpanClean _),
     "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _),
-    "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _)
+    "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _),
+    "q107_frozen_lm_gate" -> (TextQueries.q107FrozenLmGate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1498,6 +1499,26 @@ object SparkEntry {
         |    CAST(sum(length(bin(c1 // c12)) - 1) AS BIGINT) AS surprisal_bits,
         |    CAST(count(*) AS BIGINT) AS n_bigrams
         |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, surprisal_bits, n_bigrams,
+        |  CAST(surprisal_bits AS DOUBLE) / n_bigrams AS avg_bits,
+        |  surprisal_bits * 5 <= n_bigrams * 22 AS keep_doc
+        |FROM db""".stripMargin,
+    "q107_frozen_lm_gate" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tk WHERE len(t) >= 2),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1),
+        |sc AS (SELECT n.doc_id,
+        |    CASE WHEN p.c12 IS NULL THEN 22 ELSE length(bin(u.c1 // p.c12)) - 1 END AS bits
+        |  FROM bg n
+        |  LEFT JOIN pair p ON n.w1 = p.w1 AND n.w2 = p.w2
+        |  LEFT JOIN uni u ON n.w1 = u.w1
+        |  WHERE n.doc_id % 2 = 1),
+        |db AS (SELECT doc_id,
+        |    CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, surprisal_bits, n_bigrams,
         |  CAST(surprisal_bits AS DOUBLE) / n_bigrams AS avg_bits,
         |  surprisal_bits * 5 <= n_bigrams * 22 AS keep_doc

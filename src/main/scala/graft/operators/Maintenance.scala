@@ -14,7 +14,7 @@ object Maintenance {
   /** Hadoop `FileSystem.rename` signals failure by returning false, not
     * throwing — an unchecked call can silently strand or delete data.
     */
-  private def renameOrFail(fs: HFs, from: HPath, to: HPath): Unit =
+  private[operators] def renameOrFail(fs: HFs, from: HPath, to: HPath): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"rename failed: $from -> $to")
 
@@ -26,7 +26,7 @@ object Maintenance {
     * is garbage from a crash after the second rename; drop it so the
     * upcoming `rename(target, old)` cannot fail on collision.
     */
-  private def recoverSwap(fs: HFs, target: HPath, old: HPath): Unit =
+  private[operators] def recoverSwap(fs: HFs, target: HPath, old: HPath): Unit =
     if (fs.exists(old)) {
       if (!fs.exists(target)) renameOrFail(fs, old, target)
       else if (!fs.delete(old, true))
@@ -38,7 +38,7 @@ object Maintenance {
     * that point `target` is already the new state, and a leftover `old`
     * is cleaned by [[recoverSwap]] on the next run.
     */
-  private def swapInto(fs: HFs, tmp: HPath, target: HPath, old: HPath): Unit =
+  private[operators] def swapInto(fs: HFs, tmp: HPath, target: HPath, old: HPath): Unit =
     if (fs.exists(target)) {
       renameOrFail(fs, target, old)
       renameOrFail(fs, tmp, target)

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frozen-statistics LM quality model — the incremental twin of the
+  * q106 corpus-relative surprisal gate. A production curation loop
+  * cannot recompute corpus statistics per crawl batch: it trains
+  * ("freezes") the bigram model on a reference corpus on a schedule
+  * and scores every incoming batch against those frozen tables, the
+  * CCNet posture of a served quality model. The gate rule is q106's,
+  * bit for bit: per-bigram surprisal is the exact integer
+  * `floor(log2(c1 div c12))` (`length(bin(..)) - 1`), a doc keeps iff
+  * `surprisal_bits * 5 <= n_bigrams * 22` (avg ≤ 4.4 bits). The one
+  * extra decision a frozen model forces is out-of-vocabulary bigrams:
+  * a bigram absent from the model scores `oovBits` (default 22 — the
+  * keep threshold's numerator bound, so pure-OOV text is rejected,
+  * the conservative crawl-gate default).
+  *
+  * Model state: `pair/` (w1, w2, c12) and `uni/` (w1, c1) parquet
+  * under one model dir, written via tmp + atomic dir swap (a crashed
+  * build never leaves a half-written model; the previous model stays
+  * servable until the swap). Scoring is two keyed dict joins (1 row
+  * per key on the model side) — the q106 de-skew shape: no count
+  * window on a raw token key, and a Zipf-head join key is exactly
+  * what AQE's skewed-join rule CAN split. Docs with fewer than two
+  * tokens have no bigrams and are absent from the gate's output
+  * (q106's contract) — callers gating a corpus treat absent as
+  * not-kept.
+  */
+object QualityModel {
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  /** Build (freeze) the model from a reference corpus: bigram pair
+    * counts and left-unigram totals. One bigram explode + two rollup
+    * aggregates (map-side partial combine bounds each task's shuffle
+    * rows by its distinct keys); the write is the whole model — this
+    * is the scheduled retrain, not a per-batch path.
+    */
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String
+  ): Unit = {
+    val fsPath = new HPath(modelPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"$modelPath.__build_tmp")
+    val old = new HPath(s"$modelPath.__build_old")
+    Maintenance.recoverSwap(fs, fsPath, old)
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new java.io.IOException(s"cannot clear stale build tmp $tmp")
+    val pair = bigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c12"))
+    pair.write.parquet(new HPath(tmp, "pair").toString)
+    // Derive uni from the written pair table (a read-back barrier, not
+    // a second corpus pass): c1 = total occurrences of w1 as a bigram
+    // head — exactly q106's rollup.
+    spark.read
+      .parquet(new HPath(tmp, "pair").toString)
+      .groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+      .write
+      .parquet(new HPath(tmp, "uni").toString)
+    Maintenance.swapInto(fs, tmp, fsPath, old)
+  }
+
+  /** Score a batch against a frozen model. Output per doc (≥ 2
+    * tokens): `doc_id, surprisal_bits, n_bigrams, avg_bits, keep_doc`
+    * — q106's exact columns and rule, with OOV bigrams scoring
+    * `oovBits`.
+    */
+  def gate(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      oovBits: Int = 22
+  ): DataFrame = {
+    val fsPath = new HPath(modelPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.recoverSwap(fs, fsPath, new HPath(s"$modelPath.__build_old"))
+    val pair = spark.read.parquet(new HPath(fsPath, "pair").toString)
+    val uni = spark.read.parquet(new HPath(fsPath, "uni").toString)
+    bigrams(batch, idCol, textCol)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn(
+        "bits",
+        when(col("c12").isNull, lit(oovBits.toLong))
+          .otherwise((length(bin(expr("c1 div c12"))) - 1).cast("long"))
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt") * col("bits")).as("surprisal_bits"),
+        sum(col("cnt")).as("n_bigrams")
+      )
+      .select(
+        col("doc_id"),
+        col("surprisal_bits"),
+        col("n_bigrams"),
+        (col("surprisal_bits").cast("double") / col("n_bigrams")).as("avg_bits"),
+        (col("surprisal_bits") * 5 <= col("n_bigrams") * 22).as("keep_doc")
+      )
+  }
+
+  /** Per-doc bigram counts — q106's grain: `(doc_id, w1, w2, cnt)`,
+    * bounded per doc by its length.
+    */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    docs
+      .filter(size(toks) >= 2)
+      .select(
+        col(idCol).as("doc_id"),
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -297,6 +297,42 @@ object Dedup {
       )
   }
 
+  /** Span-level cleaning: cut every token covered by a duplicated
+    * extent, keep the doc. `extents` is `(doc_id, start_pos, end_pos,
+    * …)` (inclusive token positions — [[extentsFromDupPositions]]'s
+    * shape, already min-token-filtered by the caller); docs with no
+    * extents pass through untouched (left join + the coalesce). The
+    * per-token HOF is O(tokens × extents-in-doc) — extents per doc are
+    * few after the island merge, and the alternative (posexplode +
+    * range join + re-agg) shuffles the whole corpus twice. Returns
+    * `(doc_id, n_removed_tokens, clean_text)`. Shared by the batch
+    * q104 query and the incremental curation path.
+    */
+  def spanClean(docs: DataFrame, idCol: String, textCol: String, extents: DataFrame): DataFrame = {
+    val ext = extents
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("start_pos"), col("end_pos")))).as("exts")
+      )
+      .withColumnRenamed("doc_id", idCol)
+    val toks = split(col(textCol), "\\s+")
+    val kept = filter(
+      toks,
+      (t, i) =>
+        coalesce(
+          !exists(col("exts"), x => i >= x("start_pos") && i <= x("end_pos")),
+          lit(true)
+        )
+    )
+    docs
+      .join(ext, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        (size(toks) - size(kept)).cast("long").as("n_removed_tokens"),
+        array_join(kept, " ").as("clean_text")
+      )
+  }
+
   /** Exact dedup: keep the smallest id per identical content. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = docs

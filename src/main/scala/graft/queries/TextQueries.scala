@@ -1595,30 +1595,13 @@ object TextQueries {
     * projected expression, so the per-element reference is safe (see
     * the CollapseProject trap in SCALE.md).
     */
-  def q104SpanClean(spark: SparkSession, dir: String): DataFrame = {
-    val ext = dupExtents(spark, dir)
-      .filter(col("n_tokens") >= 5)
-      .groupBy(col("doc_id"))
-      .agg(
-        sort_array(collect_list(struct(col("start_pos"), col("end_pos")))).as("exts")
-      )
-    val d = docs(spark, dir)
-    val toks = tokens(col("text"))
-    val kept = filter(
-      toks,
-      (t, i) =>
-        coalesce(
-          !exists(col("exts"), x => i >= x("start_pos") && i <= x("end_pos")),
-          lit(true)
-        )
+  def q104SpanClean(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.spanClean(
+      docs(spark, dir),
+      "doc_id",
+      "text",
+      dupExtents(spark, dir).filter(col("n_tokens") >= 5)
     )
-    d.join(ext, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        (size(toks) - size(kept)).cast("long").as("n_removed_tokens"),
-        array_join(kept, " ").as("clean_text")
-      )
-  }
 
   /** Incremental span-level dedup, oracle-checked end to end: the
     * corpus splits into two batches by doc_id parity and ingests through
@@ -1663,6 +1646,40 @@ object TextQueries {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     import spark.implicits._
     rows.toDF("ingest_batch", "doc_id", "start_pos", "end_pos", "n_tokens")
+  }
+
+  /** Frozen-LM quality gate, oracle-checked end to end: the corpus
+    * splits by doc_id parity — even docs are the REFERENCE corpus the
+    * model is built (frozen) from, odd docs are the incoming batch
+    * scored against it ([[graft.operators.QualityModel]]). This is the
+    * production posture q106 cannot model: the gate a crawl loop runs
+    * uses statistics trained on a schedule, not recomputed per batch,
+    * so unseen (OOV) bigrams must score a deterministic penalty (22
+    * bits — the keep threshold's numerator bound). Rule and integer
+    * surprisal are q106's exactly; DuckDB replays the frozen split
+    * with the same left joins. Like q105/q96, the query exercises the
+    * DURABLE path: the model is built to a scratch dir and the gate
+    * reads it back from parquet.
+    */
+  def q107FrozenLmGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q107")
+    val rows =
+      try {
+        val model = root.resolve("lm").toString
+        graft.operators.QualityModel
+          .build(spark, d.filter(col("doc_id") % 2 === 0), "doc_id", "text", model)
+        // Demo-query materialization (bounded: one short row per odd
+        // doc) — results must outlive the scratch model's cleanup; the
+        // OPERATOR returns a DataFrame and never collects.
+        graft.operators.QualityModel
+          .gate(spark, d.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("doc_id", "surprisal_bits", "n_bigrams", "avg_bits", "keep_doc")
   }
 
   /** Deterministic global-shuffle manifest — the training-order step of

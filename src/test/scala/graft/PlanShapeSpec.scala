@@ -200,8 +200,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // CartesianProduct (both sides partitioned, every pair
     // materialized) anywhere in the whole declared query surface is a scale bug,
     // whatever the test-sf row counts happen to be. Building the plans
-    // runs the few eagerly-executing queries (q89/q96/q97/q105) at
-    // this smallest sf — acceptable for a whole-surface guard.
+    // runs the few eagerly-executing queries (q89/q96/q97/q105/q107)
+    // at this smallest sf — acceptable for a whole-surface guard.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try planOf(fn(spark, sf))
