@@ -252,6 +252,68 @@ object Pipeline {
       .parquet(outDir)
     (docs.count(), obs.get("n").asInstanceOf[Long])
   }
+
+  /** INCREMENTAL corpus curation — [[curateCorpus]] as a crawl loop
+    * runs it, one batch at a time against persistent state instead of
+    * corpus-wide recomputes: frozen-LM quality gate
+    * ([[graft.operators.QualityModel.gate]] — the model retrains on a
+    * schedule via `build_quality_model`, never per batch) → span-level
+    * clean against the durable span-hash state
+    * ([[graft.operators.Maintenance.incrementalDupSpans]]) → min-token
+    * floor → cross-batch exact dedup against the hash index with the
+    * batch's docs landing as a batch-keyed partition
+    * (`StreamingPipeline.dedupIngestBatch`'s own-partition-excluding
+    * probe). Every stage is either deterministic, marker-guarded, or a
+    * batch-keyed overwrite, so a replay of the same `batchId` after a
+    * crash at ANY point converges to identical states and output —
+    * the composition inherits each member's exactly-once contract.
+    *
+    * On a FIRST batch (empty span state, empty index) with a model
+    * frozen from the batch itself, the surviving (doc_id, text) set
+    * equals [[curateCorpus]]'s batch computation exactly (spec-proved)
+    * — the incremental path is the batch rule, not an approximation
+    * of it. Same doc-disjointness contract as `dup_spans` across
+    * batches. Returns (batch docs, accepted docs).
+    */
+  def curateIngest(
+      spark: SparkSession,
+      batch: DataFrame,
+      modelPath: String,
+      spanStatePath: String,
+      dedupIndexPath: String,
+      outDir: String,
+      batchId: Long,
+      minKeepTokens: Int = 1
+  ): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
+    val nIn = batch.count()
+    // Span extents come from the RAW batch, before the gate — matching
+    // the batch rule, where q104's extents see the whole corpus: a doc
+    // the quality gate rejects still proves its spans are boilerplate,
+    // both for this batch's cleaning and (via the state fold) for
+    // every future batch.
+    val ext = graft.operators.Maintenance
+      .incrementalDupSpans(spark, batch, "doc_id", "text", spanStatePath, Some(batchId))
+    val keep = graft.operators.QualityModel
+      .gate(spark, batch, "doc_id", "text", modelPath)
+      .filter(col("keep_doc"))
+      .select(col("doc_id"))
+    // Settled once: two consumers (clean, output join).
+    val gated = batch.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+    val cleaned = graft.operators.Dedup
+      .spanClean(gated, "doc_id", "text", ext)
+      .filter(
+        length(trim(col("clean_text"))) > 0 &&
+          size(split(trim(col("clean_text")), "\\s+")) >= minKeepTokens
+      )
+    val docsOut = gated
+      .drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    val accepted = graft.streaming.StreamingPipeline
+      .dedupIngestBatch(spark, docsOut, outDir, dedupIndexPath, batchId)
+    (nIn, accepted)
+  }
 }
 
 /** CLI entry — parity with the reference job surface:
@@ -276,6 +338,13 @@ object Pipeline {
   * state; the optional audit gate fails on re-used doc_ids), and
   * `--maintenance span_state_compact --state S` (read-optimize a
   * segmented span state: merge every partition's segments to one), and
+  * `--maintenance build_quality_model --data D --model M` (freeze the
+  * LM quality model from a reference corpus), and
+  * `--maintenance curate_ingest --batch B --model M --span_state S
+  * --index I --out O --applied_id N [--min_keep_tokens K]`
+  * (incremental curation of one crawl batch: frozen-LM gate → span
+  * clean vs the durable state → floor → cross-batch exact dedup;
+  * replay of the same applied_id converges), and
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
   * files through streaming span-level dedup), and
@@ -430,6 +499,46 @@ object PipelineRunner {
           .mode("overwrite")
           .parquet(out)
         println(s"[maintenance] dup spans: $batchPath probed against $state -> $out")
+      case Some("build_quality_model") =>
+        // Freeze the LM quality model from a reference corpus — the
+        // scheduled retrain feeding curate_ingest's gate
+        // (QualityModel.build; tmp + atomic swap, prior model servable
+        // until the swap).
+        val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        graft.operators.QualityModel.build(
+          spark,
+          spark.read.parquet(s"$data/documents.parquet"),
+          "doc_id",
+          "text",
+          model
+        )
+        println(s"[maintenance] quality model frozen from $data into $model")
+      case Some("curate_ingest") =>
+        // Incremental curation of one crawl batch against persistent
+        // state (Pipeline.curateIngest): frozen-LM gate -> span clean
+        // vs the durable span-hash state -> min-token floor ->
+        // cross-batch exact dedup. Batch parquet shape: (doc_id, text,
+        // ...); exactly-once via --applied_id (replays converge); same
+        // doc-disjointness contract as dup_spans.
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        val spanState = opts.getOrElse("span_state", sys.error("--span_state <dir> required"))
+        val index = opts.getOrElse("index", sys.error("--index <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <dir> required"))
+        val applied = opts.getOrElse("applied_id", sys.error("--applied_id <n> required")).toLong
+        val minKeep = opts.getOrElse("min_keep_tokens", "1").toInt
+        val (nIn, nOut) = Pipeline.curateIngest(
+          spark,
+          spark.read.parquet(batchPath),
+          model,
+          spanState,
+          index,
+          out,
+          applied,
+          minKeep
+        )
+        println(s"[maintenance] curate ingest batch $applied: $nIn -> $nOut docs into $out")
       case Some("span_state_compact") =>
         // Read-optimize a segmented span-hash state: merge every
         // partition's segments down to one (Maintenance.compactSpanState

@@ -287,4 +287,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == Set(3L), "fully-cut docs dropped")
     assert(rows.head.getString(1) == uniq, "survivor keeps its text")
   }
+
+  test("curateIngest first batch equals curateCorpus; replay converges; dups drop cross-batch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-curate-ingest").toString
+    val (model, spans, index, out) = (s"$root/lm", s"$root/spans", s"$root/index", s"$root/out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // Model frozen from the batch itself + empty states: the
+    // incremental composition must reproduce the BATCH rule exactly.
+    graft.operators.QualityModel.build(spark, docs, "doc_id", "text", model)
+    val (nIn, nOut) = Pipeline.curateIngest(spark, docs, model, spans, index, out, batchId = 0L)
+    val batchOut = Files.createTempDirectory("graft-curate-batch").toString + "/curated"
+    val (_, nBatch) = Pipeline.curateCorpus(spark, sf, batchOut, shards = 4)
+    def keyset(p: String) = spark.read
+      .parquet(p)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val inc = keyset(s"$out/ingest_batch=0")
+    assert(nIn == docs.count() && nOut == nBatch, s"counts must match: $nOut vs $nBatch")
+    assert(inc == keyset(batchOut), "first-batch incremental curation ≡ the batch rule")
+    // Replay of the applied batch converges to identical output.
+    val (_, nReplay) = Pipeline.curateIngest(spark, docs, model, spans, index, out, batchId = 0L)
+    assert(nReplay == nOut && keyset(s"$out/ingest_batch=0") == inc, "replay is idempotent")
+    // Batch 1 re-sends the same texts under fresh ids: the frozen gate
+    // passes the same docs, span cleaning yields the same clean text,
+    // and the cross-batch hash index drops every one — zero accepted.
+    val b1 = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val (n1, a1) = Pipeline.curateIngest(spark, b1, model, spans, index, out, batchId = 1L)
+    assert(n1 == nIn && a1 == 0L, s"identical re-crawl must fully dedup cross-batch: $a1")
+  }
 }
