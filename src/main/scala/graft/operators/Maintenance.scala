@@ -825,6 +825,9 @@ object Maintenance {
       .getOrElse(-1) + 1
     merged
       .coalesce(1)
+      // Sort AFTER the coalesce (it concatenates, breaking per-run
+      // order) — h-sorted like every segment write.
+      .sortWithinPartitions(col("h"))
       .write
       .parquet(new HPath(hpDir, s"seg=c$nextC").toString)
     victims.foreach(v => deleteOrFail(fs, v))
@@ -887,7 +890,11 @@ object Maintenance {
           .collect { case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
           .maxOption
           .getOrElse(-1) + 1
-        merged.coalesce(1).write.parquet(new HPath(hpDir, s"seg=c$nextC").toString)
+        merged
+          .coalesce(1)
+          .sortWithinPartitions(col("h")) // h-sorted like every segment write
+          .write
+          .parquet(new HPath(hpDir, s"seg=c$nextC").toString)
         segs.foreach(s => deleteOrFail(fs, s))
         compacted += 1
       }
@@ -944,8 +951,13 @@ object Maintenance {
         .withColumn("hp", hpOf)
         .withColumn("seg", lit("base0"))
         // One writer task per hp group — never #tasks × #partitions
-        // files (Pipeline.clusteredBy's rule).
+        // files (Pipeline.clusteredBy's rule) — and h-sorted within
+        // each file: the writer sorts on partition columns anyway, so
+        // appending h costs nothing and buys tight row-group stats —
+        // a trickle probe's pushed In(h, …) filter then prunes row
+        // groups instead of scanning the bucket.
         .repartition(col("hp"))
+        .sortWithinPartitions(col("hp"), col("seg"), col("h"))
         .write
         .partitionBy("hp", "seg")
         .mode("overwrite")
@@ -981,6 +993,9 @@ object Maintenance {
         .withColumn("hp", hpOf)
         .withColumn("seg", lit(segName))
         .repartition(col("hp"))
+        // h-sorted files (see the full-mode write): tight row-group
+        // stats for trickle-probe pruning, at zero extra sort cost.
+        .sortWithinPartitions(col("hp"), col("seg"), col("h"))
         .write
         .partitionBy("hp", "seg")
         .mode("overwrite")
