@@ -465,4 +465,49 @@ class PropertySpec extends AnyFunSuite {
       assert(rows(state) == rows(oneShot), s"state fold drift: base=$base batch=$batch")
     }
   }
+
+  test("curateIngest on a first batch equals curateCorpus on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Small alphabet + duplicated texts: plenty of cross-doc spans,
+    // exact dups, and gate-threshold variety. The anchor claim is that
+    // the incremental composition (frozen self-model gate → span clean
+    // vs empty state → floor → first-batch dedup) IS the batch rule.
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = for {
+      n <- Gen.choose(0, 16)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(5, 9)
+      texts <- Gen.listOfN(k, docGen)
+      dupOf <- Gen.choose(0, k - 1) // force one exact duplicate
+    } yield texts :+ texts(dupOf)
+    forAllSamples(corpusGen) { texts =>
+      val root = java.nio.file.Files.createTempDirectory("graft-curprop").toString
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "en", "s") }
+      docs
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write
+        .parquet(s"$root/documents.parquet")
+      val d = spark.read.parquet(s"$root/documents.parquet").select("doc_id", "text")
+      operators.QualityModel.build(spark, d, "doc_id", "text", s"$root/lm")
+      val (_, nInc) = pipeline.Pipeline
+        .curateIngest(spark, d, s"$root/lm", s"$root/spans", s"$root/index", s"$root/out", 0L)
+      val (_, nBatch) = pipeline.Pipeline.curateCorpus(spark, root, s"$root/curated", shards = 2)
+      def keyset(p: String) = spark.read
+        .parquet(p)
+        .select("doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSet
+      assert(nInc == nBatch, s"counts drift on $texts: $nInc vs $nBatch")
+      if (nBatch > 0L)
+        assert(
+          keyset(s"$root/out/ingest_batch=0") == keyset(s"$root/curated"),
+          s"survivor drift on $texts"
+        )
+    }
+  }
 }

@@ -60,6 +60,20 @@ class QualityModelSpec extends AnyFunSuite {
     assert(short == 0L, "sub-bigram docs are absent from the gate output")
   }
 
+  test("an empty or sub-bigram reference corpus builds a servable all-OOV model") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-qm-empty").toString
+    val model = s"$root/lm"
+    // Reference with no bigrams at all: every doc below two tokens.
+    val ref = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    QualityModel.build(spark, ref, "doc_id", "text", model)
+    val out = QualityModel
+      .gate(spark, Seq((10L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(out.length == 1, "empty model still scores")
+    assert(out(0).getLong(1) == 44L && !out(0).getBoolean(4), "all bigrams OOV, rejected")
+  }
+
   test("a crash between the build's swap renames recovers on next use; rebuild replaces") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-qm-crash").toString
