@@ -851,23 +851,23 @@ object Maintenance {
     * span_state_compact`). The inline size-tiered compaction keeps
     * ingest amortized; this is the read-optimize pass an operator runs
     * before an analysis phase — probe fan-out drops to one row per
-    * hash and per-partition file counts to the size-targeted minimum.
-    * Same crash-safety-by-idempotence as the inline pass: each
-    * partition's merged segment is fully written before its inputs are
-    * deleted, so any crash leaves duplicate rows with an unchanged
-    * fold, swept by re-running. Skips partitions already at one
-    * segment (an idempotent second run is metadata-only). Returns
-    * (partitions compacted, partitions total).
+    * hash and per-partition file counts to one. ONE distributed job
+    * (fold the whole state, one writer task per partition) through the
+    * full-mode two-phase commit — never a driver loop of
+    * one-job-per-partition, which at a realistic bucket count is
+    * thousands of serially scheduled jobs. The root `_applied_id`
+    * marker is carried through the swap, so the exactly-once contract
+    * of the LAST ingest batch survives compaction. A state already at
+    * one segment per partition returns without rewriting (metadata
+    * listing only). Returns (partitions that had segments to merge,
+    * partitions total).
     */
   def compactSpanState(spark: SparkSession, statePath: String): (Int, Int) = {
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverPartitionedFold(
-      fs,
-      fsPath,
-      new HPath(s"$statePath.__pfold_tmp"),
-      new HPath(s"$statePath.__pfold_old")
-    )
+    val tmp = new HPath(s"$statePath.__pfold_tmp")
+    val old = new HPath(s"$statePath.__pfold_old")
+    recoverPartitionedFold(fs, fsPath, tmp, old)
     ensureSegmented(fs, fsPath)
     dropStaleStaging(fs, fsPath)
     require(
@@ -875,31 +875,29 @@ object Maintenance {
       s"$statePath is not a partitioned span state (no _buckets pin)"
     )
     val hpDirs = listHpDirs(fs, fsPath)
-    var compacted = 0
-    hpDirs.foreach { hpDir =>
-      val segs = listSegDirs(fs, hpDir)
-      if (segs.length > 1) {
-        val merged = spark.read
-          .option("basePath", hpDir.toString)
-          .parquet(segs.map(_.toString): _*)
-          .select(col("h"), col("mn_doc"), col("mx_doc"))
-          .groupBy(col("h"))
-          .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
-        val nextC = segs
-          .map(_.getName.stripPrefix("seg="))
-          .collect { case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
-          .maxOption
-          .getOrElse(-1) + 1
-        merged
-          .coalesce(1)
-          .sortWithinPartitions(col("h")) // h-sorted like every segment write
-          .write
-          .parquet(new HPath(hpDir, s"seg=c$nextC").toString)
-        segs.foreach(s => deleteOrFail(fs, s))
-        compacted += 1
-      }
-    }
-    (compacted, hpDirs.length)
+    val multi = hpDirs.count(d => listSegDirs(fs, d).length > 1)
+    if (multi == 0) return (0, hpDirs.length)
+    val nb = stateBucketsOf(fs, fsPath, 64)
+    val appliedId = readAppliedId(fs, fsPath)
+    spanStateView(spark, statePath)
+      .withColumn("hp", pmod(col("h"), lit(nb.toLong)).cast("int"))
+      .withColumn("seg", lit("c0"))
+      .repartition(col("hp"))
+      .sortWithinPartitions(col("hp"), col("seg"), col("h"))
+      .write
+      .partitionBy("hp", "seg")
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
+    writeTextFile(fs, new HPath(tmp, "_segmented"), "1")
+    appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
+    writeTextFile(
+      fs,
+      new HPath(tmp, "_commit"),
+      "full" + (if (appliedId.isDefined) " id" else " noid")
+    )
+    rollForwardPartitioned(fs, fsPath, tmp, old)
+    (multi, hpDirs.length)
   }
 
   /** Exactly-once partitioned state fold over a hash-keyed state

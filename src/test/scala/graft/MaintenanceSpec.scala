@@ -609,6 +609,11 @@ class MaintenanceSpec extends AnyFunSuite {
     val snap = hpSnapshot(state)
     val (done2, _) = Maintenance.compactSpanState(spark, state)
     assert(done2 == 0 && hpSnapshot(state) == snap, "second run is metadata-only")
+    // The exactly-once marker survives the rewrite: a replay of the
+    // LAST ingest batch stays a fold no-op (no segment re-appended).
+    Maintenance
+      .incrementalDupSpans(spark, b(5L), "doc_id", "text", state, Some(5L), maxStateSegments = 99)
+    assert(hpSnapshot(state) == snap, "replay after compaction must not re-append")
     // The compacted state still serves probes and accepts appends.
     val e = Maintenance
       .incrementalDupSpans(
