@@ -345,6 +345,10 @@ object Pipeline {
   * (incremental curation of one crawl batch: frozen-LM gate → span
   * clean vs the durable state → floor → cross-batch exact dedup;
   * replay of the same applied_id converges), and
+  * `--maintenance curate_stream --raw R --model M --span_state S
+  * --index I --out O --checkpoint C [--min_keep_tokens K]` (drain
+  * arriving document JSON files through the same composition,
+  * engine-tracked exactly-once), and
   * `--maintenance span_dedup_ingest --raw R --state S --out O
   * --checkpoint C [--min_tokens K]` (drain arriving document JSON
   * files through streaming span-level dedup), and
@@ -539,6 +543,27 @@ object PipelineRunner {
           minKeep
         )
         println(s"[maintenance] curate ingest batch $applied: $nIn -> $nOut docs into $out")
+      case Some("curate_stream") =>
+        // Streaming curation over arriving document JSON files: the
+        // curate_ingest composition per micro-batch, foreachBatch ids
+        // keying every stage's exactly-once machinery
+        // (StreamingPipeline.curateIngestStream). Document JSON shape:
+        // {"doc_id": long, "text": string}; same doc-disjointness
+        // contract as dup_spans across files.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        val spanState = opts.getOrElse("span_state", sys.error("--span_state <dir> required"))
+        val index = opts.getOrElse("index", sys.error("--index <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val minKeep = opts.getOrElse("min_keep_tokens", "1").toInt
+        graft.streaming.StreamingPipeline
+          .curateIngestStream(
+            spark, raw, model, spanState, index, out, ckpt,
+            graft.schemas.Schemas.documentIngest, minKeep
+          )
+          .awaitTermination()
+        println(s"[maintenance] curate stream drained $raw into $out")
       case Some("span_state_compact") =>
         // Read-optimize a segmented span-hash state: merge every
         // partition's segments down to one (Maintenance.compactSpanState

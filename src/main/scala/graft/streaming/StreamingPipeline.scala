@@ -580,6 +580,54 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming CURATION: each arriving documents file runs the full
+    * incremental curation composition
+    * ([[graft.pipeline.Pipeline.curateIngest]] — frozen-LM gate → span
+    * clean vs the durable span-hash state → min-token floor →
+    * cross-batch exact dedup), with the `foreachBatch` batchId keying
+    * every stage's exactly-once machinery. The capstone of the ingest
+    * family: where dedupIngest/nearDupIngest/semanticDedupIngest/
+    * spanDedupIngest each maintain ONE durable index, this maintains
+    * all the curation state and emits training-ready batches.
+    * The quality model retrains OUTSIDE the stream
+    * (`build_quality_model` on a schedule) — the stream only reads it.
+    */
+  def curateIngestStream(
+      spark: SparkSession,
+      rawDir: String,
+      modelPath: String,
+      spanStatePath: String,
+      dedupIndexPath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      minKeepTokens: Int = 1
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // An idle trigger firing curates nothing and must touch
+        // nothing — every stage's state stays as-is and no empty
+        // output partition is written.
+        if (!batch.isEmpty)
+          graft.pipeline.Pipeline.curateIngest(
+            spark,
+            batch.select(col("doc_id"), col("text")),
+            modelPath,
+            spanStatePath,
+            dedupIndexPath,
+            outDir,
+            batchId,
+            minKeepTokens
+          )
+        ()
+      }
+      .start()
+
   /** Streaming semantic-dedup ingest: each arriving embeddings file is
     * SemDeDup'd against the persistent IVF index and within itself,
     * survivors join the index — the embedding twin of [[dedupIngest]]

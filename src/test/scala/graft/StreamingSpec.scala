@@ -593,6 +593,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(drops == Set((12L, 10L)), s"the cross-file dup must be the only drop, got $drops")
   }
 
+  test("streaming curation end-to-end: gate, cross-file span clean, cross-file dedup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    // Model frozen from a reference whose vocabulary covers the stream:
+    // u/v/w tokens seen often (low surprisal); z tokens absent (OOV).
+    val ref = (1 to 10)
+      .map(i => (i.toLong, "u1 u2 u3 u4 u5 u6 u7 u8 v1 v2 w1 w2"))
+      .toDF("doc_id", "text")
+    graft.operators.QualityModel.build(spark, ref, "doc_id", "text", s"$root/lm")
+    def run(): Unit =
+      StreamingPipeline
+        .curateIngestStream(
+          spark, raw, s"$root/lm", s"$root/spans", s"$root/index", s"$root/out",
+          s"$root/ckpt", graft.schemas.Schemas.documentIngest
+        )
+        .awaitTermination(60000)
+    // File 1: doc 100 is in-vocab and unique (survives); doc 101 is
+    // pure OOV (gate rejects).
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":100,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"}
+         |{"doc_id":101,"text":"z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"}""".stripMargin
+    )
+    run()
+    // File 2: doc 200 re-sends doc 100's text — every span is in the
+    // durable state, the clean text empties, the floor drops it. Doc
+    // 201 embeds doc 100's FULL text as its prefix (cross-FILE span,
+    // detectable only through the durable state) with an in-model tail
+    // — one OOV bigram (w2,u1) out of 13 keeps it under the gate's
+    // 4.4-bit average, and the cleaned doc is exactly the tail.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":200,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"}
+         |{"doc_id":201,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2 w1 w2 u1 u2"}""".stripMargin
+    )
+    run()
+    val out = spark.read
+      .parquet(s"$root/out")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(out.keySet == Set(100L, 201L), s"gate + cross-file curation survivors: ${out.keySet}")
+    assert(out(100L) == "u1 u2 u3 u4 u5 u6 u7 u8 v1 v2", "unique in-vocab doc intact")
+    assert(
+      out(201L) == "w1 w2 u1 u2",
+      s"cross-file shared prefix cut, exact tail kept: '${out(201L)}'"
+    )
+    // Drained-source restart adds nothing.
+    run()
+    assert(
+      spark.read.parquet(s"$root/out").count() == 2L,
+      "restart on a drained source must not re-curate"
+    )
+  }
+
   test("streaming span dedup ingest end-to-end: cross-file spans detected via the state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
