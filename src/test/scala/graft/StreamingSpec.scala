@@ -720,6 +720,37 @@ class StreamingSpec extends AnyFunSuite {
     )
   }
 
+  test("maintenance CLI verb curate_stream drains a raw dir through the curation states") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-cli-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    val ref = (1 to 10)
+      .map(i => (i.toLong, "u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"))
+      .toDF("doc_id", "text")
+    graft.operators.QualityModel.build(spark, ref, "doc_id", "text", s"$root/lm")
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":100,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"}
+         |{"doc_id":101,"text":"z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"}""".stripMargin
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "curate_stream",
+        "--raw", raw,
+        "--model", s"$root/lm",
+        "--span_state", s"$root/spans",
+        "--index", s"$root/index",
+        "--out", s"$root/out",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/out").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(100L), s"in-vocab unique doc curated, OOV doc gated out: $out")
+    assert(spark.read.parquet(s"$root/spans").count() > 0, "span state folded")
+  }
+
   test("maintenance CLI verb span_dedup_ingest drains a raw dir against the state") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spandedup-cli").toString
