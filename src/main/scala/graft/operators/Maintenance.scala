@@ -247,6 +247,7 @@ object Maintenance {
     ensureSegmented(fs, fsPath)
     dropStaleStaging(fs, fsPath)
     deleteOrFail(fs, new HPath(s"$statePath.__append_tmp"))
+    deleteOrFail(fs, new HPath(s"$statePath.__compact_seg_tmp"))
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -256,8 +257,18 @@ object Maintenance {
       )
       .localCheckpoint() // one shingle pass serves probe + within-batch + fold
     val stateExists = fs.exists(fsPath)
-    if (checkDocIdReuse && stateExists &&
-      !(appliedId.isDefined && readAppliedId(fs, fsPath) == appliedId)) {
+    // A replay is identified by the root marker OR by the batch's own
+    // seg=b<id> dirs surviving a crash that lost the marker (append
+    // done, advanceRootMarker not) — without the second check, the
+    // audit gate would see the batch's own attribution in the state
+    // and permanently wedge the documented idempotent re-append. The
+    // bucket listing only runs on the (audit-schedule) gated path.
+    def isReplay = appliedId.isDefined && (
+      readAppliedId(fs, fsPath) == appliedId ||
+        listHpDirs(fs, fsPath)
+          .exists(hp => fs.exists(new HPath(hp, s"seg=b${appliedId.get}")))
+    )
+    if (checkDocIdReuse && stateExists && !isReplay) {
       // Audit gate: any batch doc_id already holding attribution in the
       // state means a prior contribution this batch would silently
       // self-exclude against. Two-column state scan + one join against
@@ -315,7 +326,15 @@ object Maintenance {
             case Some(hps) =>
               val paths = hps
                 .map(hp => s"$statePath/hp=$hp")
-                .filter(p => fs.exists(new HPath(p)))
+                // Non-EMPTY dirs only: a crash between the append's
+                // mkdirs and its segment rename leaves a childless hp=
+                // dir, and a read over nothing but such dirs cannot
+                // infer a schema. One listing per touched bucket —
+                // already the probe's own cost scale.
+                .filter { p =>
+                  val hp = new HPath(p)
+                  fs.exists(hp) && fs.listStatus(hp).nonEmpty
+                }
               if (paths.isEmpty) None
               else
                 // basePath so discovery accepts hp= leaf dirs whose
@@ -787,49 +806,77 @@ object Maintenance {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(".spark-staging"))
         .foreach(st => fs.delete(st.getPath, true))
 
-  /** Size-tiered compaction of one hp partition: merge every segment
-    * except those larger than the sum of all smaller ones. Crash-safe
-    * by fold idempotence — the merged segment is written BEFORE the
-    * inputs are deleted, and any crash point leaves duplicate rows
-    * whose per-h fold is unchanged (the next compaction sweeps them).
+  /** Size-tiered compaction over the DIRTY partitions, as ONE Spark
+    * job: per over-threshold partition, merge every segment except
+    * those larger than the sum of all smaller ones ("settled" —
+    * merging them now would be premature rewrite; the peel gives
+    * O(log state/batch) write amplification). Uniform shingle hashes
+    * mean a realistic batch crosses the threshold in EVERY bucket on
+    * the same ingest — a per-partition job loop would schedule
+    * #buckets serial jobs right on the ingest path, so all victims are
+    * read, folded, and written in one pass (one writer task per
+    * partition), then moved in segment-by-segment before the inputs
+    * are deleted. Crash-safe by fold idempotence: any crash point
+    * leaves duplicate rows whose per-h fold is unchanged, swept by the
+    * next compaction.
     */
-  private def compactSegments(
+  private def compactDirtySegments(
       spark: SparkSession,
       fs: HFs,
       state: HPath,
-      hp: Int,
-      maxSegments: Int
-  )(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val hpDir = new HPath(state, s"hp=$hp")
-    val segs = listSegDirs(fs, hpDir)
-      .map(p => (p, fs.getContentSummary(p).getLength))
-      .sortBy(-_._2)
-    if (segs.length <= maxSegments) return
-    // Peel off settled segments: each is larger than everything below
-    // it combined, so merging it now would be premature rewrite.
-    var tail = segs.toList
-    while (tail.nonEmpty && tail.head._2 > tail.tail.map(_._2).sum) tail = tail.tail
-    if (tail.length < 2) return
-    val victims = tail.map(_._1)
-    val merged = {
-      val all = spark.read
-        .option("basePath", hpDir.toString)
-        .parquet(victims.map(_.toString): _*)
-        .select(col("h"), col("mn_doc"), col("mx_doc"))
-      fold(all, all.limit(0))
+      dirty: Seq[Int],
+      maxSegments: Int,
+      hpOf: Column
+  ): Unit = {
+    val plans = dirty.flatMap { hp =>
+      val hpDir = new HPath(state, s"hp=$hp")
+      val segs = listSegDirs(fs, hpDir)
+        .map(p => (p, fs.getContentSummary(p).getLength))
+        .sortBy(-_._2)
+      if (segs.length <= maxSegments) None
+      else {
+        var tail = segs.toList
+        while (tail.nonEmpty && tail.head._2 > tail.tail.map(_._2).sum) tail = tail.tail
+        if (tail.length < 2) None
+        else {
+          val nextC = segs
+            .map(_._1.getName.stripPrefix("seg="))
+            .collect {
+              case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
+            }
+            .maxOption
+            .getOrElse(-1) + 1
+          Some((hp, tail.map(_._1), nextC))
+        }
+      }
     }
-    val nextC = segs
-      .map(_._1.getName.stripPrefix("seg="))
-      .collect { case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
-      .maxOption
-      .getOrElse(-1) + 1
-    merged
-      .coalesce(1)
-      // Sort AFTER the coalesce (it concatenates, breaking per-run
-      // order) — h-sorted like every segment write.
-      .sortWithinPartitions(col("h"))
+    if (plans.isEmpty) return
+    // One segment name valid for every partition: past the max c-index
+    // seen anywhere.
+    val segName = s"c${plans.map(_._3).max}"
+    val victims = plans.flatMap(_._2)
+    val tmpC = new HPath(s"$state.__compact_seg_tmp")
+    deleteOrFail(fs, tmpC)
+    spark.read
+      .option("basePath", state.toString)
+      .parquet(victims.map(_.toString): _*)
+      .select(col("h"), col("mn_doc"), col("mx_doc"))
+      .groupBy(col("h"))
+      .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+      .withColumn("hp", hpOf)
+      .withColumn("seg", lit(segName))
+      .repartition(col("hp"))
+      .sortWithinPartitions(col("hp"), col("seg"), col("h"))
       .write
-      .parquet(new HPath(hpDir, s"seg=c$nextC").toString)
+      .partitionBy("hp", "seg")
+      .mode("overwrite")
+      .parquet(tmpC.toString)
+    listHpDirs(fs, tmpC).foreach { hpDir =>
+      val segDst = new HPath(new HPath(state, hpDir.getName), s"seg=$segName")
+      deleteOrFail(fs, segDst)
+      renameOrFail(fs, new HPath(hpDir, s"seg=$segName"), segDst)
+    }
+    deleteOrFail(fs, tmpC)
     victims.foreach(v => deleteOrFail(fs, v))
   }
 
@@ -1009,7 +1056,7 @@ object Maintenance {
       }
       deleteOrFail(fs, tmpA)
       appliedId.foreach(advanceRootMarker(fs, fsPath, _))
-      dirty.foreach(hp => compactSegments(spark, fs, fsPath, hp, maxSegments)(fold))
+      compactDirtySegments(spark, fs, fsPath, dirty, maxSegments, hpOf)
     }
   }
 

@@ -108,9 +108,21 @@ object QualityModel {
       )
   }
 
-  /** Per-doc bigram counts — q106's grain: `(doc_id, w1, w2, cnt)`,
-    * bounded per doc by its length.
+  /** Per-doc bigram counts — the `(doc_id, w1, w2, cnt)` grain, bounded
+    * per doc by its length. THE single definition of the bigram rule:
+    * q106's corpus-relative gate and this frozen gate both build on it,
+    * which is what makes the spec'd "self-model gate ≡ q106 bit for
+    * bit" claim structural rather than a coincidence of two copies.
+    * (The isNotNull filter on both keys is plan hygiene — split tokens
+    * are never null — so every join branch infers the same filters and
+    * the exchanges canonicalize equal; see q106's plan lock.)
     */
+  private[graft] def perDocBigramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = bigrams(docs, idCol, textCol)
+
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), "\\s+")
     docs

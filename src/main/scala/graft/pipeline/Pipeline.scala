@@ -287,20 +287,26 @@ object Pipeline {
   ): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
-    val nIn = batch.count()
+    // Settle the raw batch ONCE: the count, the span probe's shingles,
+    // the gate's bigrams, and the survivor join would otherwise each
+    // re-evaluate the source — inside a foreachBatch that is four
+    // re-reads of the micro-batch's files per batch.
+    val settled = batch.localCheckpoint()
+    val nIn = settled.count()
     // Span extents come from the RAW batch, before the gate — matching
     // the batch rule, where q104's extents see the whole corpus: a doc
     // the quality gate rejects still proves its spans are boilerplate,
     // both for this batch's cleaning and (via the state fold) for
     // every future batch.
     val ext = graft.operators.Maintenance
-      .incrementalDupSpans(spark, batch, "doc_id", "text", spanStatePath, Some(batchId))
+      .incrementalDupSpans(spark, settled, "doc_id", "text", spanStatePath, Some(batchId))
     val keep = graft.operators.QualityModel
-      .gate(spark, batch, "doc_id", "text", modelPath)
+      .gate(spark, settled, "doc_id", "text", modelPath)
       .filter(col("keep_doc"))
       .select(col("doc_id"))
-    // Settled once: two consumers (clean, output join).
-    val gated = batch.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+    // Also settled: the gate's dict joins would otherwise re-run for
+    // each of its two consumers (clean, output join).
+    val gated = settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
     val cleaned = graft.operators.Dedup
       .spanClean(gated, "doc_id", "text", ext)
       .filter(

@@ -879,28 +879,14 @@ object TextQueries {
     * q74/q92's marginal rollups).
     */
   def q106LmSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val perDoc = docs(spark, dir)
-      .filter(size(toks) >= 2)
-      .select(
-        col("doc_id"),
-        explode(
-          zip_with(
-            slice(toks, lit(1), size(toks) - 1),
-            slice(toks, lit(2), size(toks) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2"))
-          )
-        ).as("bg")
-      )
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      // Explicit on BOTH keys so every join branch pushes the SAME
-      // inferred filters here and the exchanges canonicalize equal
-      // (bigramCounts' lesson — the uni join would otherwise infer
-      // isnotnull(w1) alone and re-explode the corpus). Split tokens
-      // are never null; this is plan hygiene.
-      .filter(col("w1").isNotNull && col("w2").isNotNull)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
+    // The bigram grain is THE shared definition
+    // (QualityModel.perDocBigramCounts) — the frozen gate (q107) builds
+    // on the same expression tree, which is what makes its spec'd
+    // "self-model ≡ q106" equivalence structural. The isNotNull plan
+    // hygiene lives there too (every join branch pushes the SAME
+    // inferred filters; exchanges canonicalize equal).
+    val perDoc = graft.operators.QualityModel
+      .perDocBigramCounts(docs(spark, dir), "doc_id", "text")
     val pair = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
     val uni = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     perDoc

@@ -407,7 +407,12 @@ object StreamingPipeline {
     * vector or an accepted batch row). The chain is acyclic — every
     * hop strictly decreases the id — and batch-bounded, so resolution
     * is a few keyed joins over the pinned drop table (one round per
-    * longest-chain hop; chains are near-always length ≤ 2).
+    * longest-chain hop; chains are near-always length ≤ 2). The flag
+    * is part of the TELEMETRY SCHEMA: keep it stable for the lifetime
+    * of a `dropsPath` — toggling it mid-stream writes partitions with
+    * and without the `survivor` column under one dataset, and a plain
+    * read then resolves an arbitrary footer's schema (read such mixed
+    * telemetry with `mergeSchema=true`, or point a new dropsPath).
     *
     * Exactly-once acceptance: every step is deterministic given the
     * pre-batch index, the probe cannot see the batch's own appended

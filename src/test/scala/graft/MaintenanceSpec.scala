@@ -678,6 +678,70 @@ class MaintenanceSpec extends AnyFunSuite {
     )
   }
 
+  test("checkDocIdReuse: a crash-window replay (appended segments, lost marker) still passes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-reuse-crash").toString
+    val state = s"$root/spans"
+    val b0 = Seq((1L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L), checkDocIdReuse = true)
+    Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L), checkDocIdReuse = true)
+    // Fabricate the crash window: b1's segments are in, but the marker
+    // rolled back — the gate must recognize the seg=b1 dirs as this
+    // batch's own prior attempt, not as doc_id reuse.
+    val hfs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = hfs.create(new org.apache.hadoop.fs.Path(s"$state/_applied_id"), true)
+    mk.write("0".getBytes("UTF-8"))
+    mk.close()
+    // Must not throw — the documented idempotent re-append.
+    Maintenance
+      .incrementalDupSpans(spark, b1, "doc_id", "text", state, Some(1L), checkDocIdReuse = true)
+    // And a genuinely re-used id still fails.
+    intercept[IllegalArgumentException] {
+      Maintenance.incrementalDupSpans(
+        spark,
+        Seq((1L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(9L),
+        checkDocIdReuse = true
+      )
+    }
+  }
+
+  test("incrementalDupSpans: childless hp dirs from a mkdirs-then-crash never break the probe") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-emptyhp").toString
+    val state = s"$root/spans"
+    val b0 = Seq((1L, "a1 a2 a3 a4 a5 a6"), (2L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text")
+    val e0 = Maintenance
+      .incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e0.nonEmpty, "fixture must produce extents")
+    // Fabricate the crash: every populated bucket loses its segments
+    // but keeps the (now childless) hp= dir — the worst case, where
+    // every path the probe prunes to is empty.
+    hpSnapshot(state).keys.foreach { k =>
+      segDirs(state, k).foreach { seg =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$state/$k/$seg"))
+      }
+    }
+    // The replay must not throw (schema inference over empty dirs) and
+    // still recomputes its within-batch extents.
+    val e1 = Maintenance
+      .incrementalDupSpans(spark, b0, "doc_id", "text", state, Some(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e1 == e0, s"probe over childless dirs must fall back cleanly: $e1 vs $e0")
+  }
+
   test("incrementalDupSpans: a pre-segment partitioned state migrates in place on entry") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-v2").toString
