@@ -263,6 +263,12 @@ object Maintenance {
     // audit gate would see the batch's own attribution in the state
     // and permanently wedge the documented idempotent re-append. The
     // bucket listing only runs on the (audit-schedule) gated path.
+    // KNOWN LIMIT: re-running a HISTORICAL applied_id after later
+    // batches can false-positive once compaction has merged its
+    // segments away (the evidence is gone, and attribution can't
+    // distinguish "this batch's own prior rows" from reuse) — the
+    // re-append itself stays safe and idempotent; run backfill
+    // re-runs with the gate off.
     def isReplay = appliedId.isDefined && (
       readAppliedId(fs, fsPath) == appliedId ||
         listHpDirs(fs, fsPath)
@@ -274,9 +280,13 @@ object Maintenance {
       // self-exclude against. Two-column state scan + one join against
       // the (distinct, typically broadcast-small) batch id set.
       val batchIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      // Cast the STATE side too: a corpus ingested with int-typed ids
+      // builds int-typed attribution, and the collect below reads long.
       val reused = spark.read
         .parquet(statePath)
-        .select(explode(array(col("mn_doc"), col("mx_doc"))).as("doc_id"))
+        .select(
+          explode(array(col("mn_doc").cast("long"), col("mx_doc").cast("long"))).as("doc_id")
+        )
         .distinct()
         .join(batchIds, Seq("doc_id"), "left_semi")
         .limit(20)
@@ -642,13 +652,13 @@ object Maintenance {
         .map(_.getPath)
         .toSeq
 
-  private def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
+  private[operators] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def readTextFile(fs: HFs, p: HPath): Option[String] =
+  private[operators] def readTextFile(fs: HFs, p: HPath): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -656,7 +666,7 @@ object Maintenance {
       finally in.close()
     }
 
-  private def deleteOrFail(fs: HFs, p: HPath): Unit =
+  private[operators] def deleteOrFail(fs: HFs, p: HPath): Unit =
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"cannot delete $p")
 

@@ -17,26 +17,39 @@ import org.apache.spark.sql.functions._
   * keep threshold's numerator bound, so pure-OOV text is rejected,
   * the conservative crawl-gate default).
   *
-  * Model state: `pair/` (w1, w2, c12) and `uni/` (w1, c1) parquet
-  * under one model dir, written via tmp + atomic dir swap (a crashed
-  * build never leaves a half-written model; the previous model stays
-  * servable until the swap). Scoring is two keyed dict joins (1 row
-  * per key on the model side) — the q106 de-skew shape: no count
-  * window on a raw token key, and a Zipf-head join key is exactly
-  * what AQE's skewed-join rule CAN split. Docs with fewer than two
-  * tokens have no bigrams and are absent from the gate's output
-  * (q106's contract) — callers gating a corpus treat absent as
-  * not-kept.
+  * Model state is VERSIONED because the model dir has a concurrent
+  * reader (a curation stream's gate) and a scheduled writer (the
+  * retrain): each build writes an immutable `v<n>/` dir (`pair/` +
+  * `uni/` parquet) and then atomically advances the `_current` pointer
+  * file — readers resolve the pointer and serve an immutable
+  * directory, so there is no rename-swap window in which a reader can
+  * see a moving or half-deleted model (the flaw of a swap-in-place
+  * layout), and a crashed build leaves only an orphan version dir that
+  * the next build overwrites. The previous version is retained through
+  * the pointer flip for readers that resolved it mid-batch; older ones
+  * are pruned. Scoring is two keyed dict joins (1 row per key on the
+  * model side) — the q106 de-skew shape: no count window on a raw
+  * token key, and a Zipf-head join key is exactly what AQE's
+  * skewed-join rule CAN split. Docs with fewer than two tokens have
+  * no bigrams and are absent from the gate's output (q106's
+  * contract) — callers gating a corpus treat absent as not-kept.
   */
 object QualityModel {
 
   private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  private def currentVersion(fs: HFs, model: HPath): Option[Int] =
+    Maintenance.readTextFile(fs, new HPath(model, "_current")).map(_.trim.toInt)
 
   /** Build (freeze) the model from a reference corpus: bigram pair
     * counts and left-unigram totals. One bigram explode + two rollup
     * aggregates (map-side partial combine bounds each task's shuffle
     * rows by its distinct keys); the write is the whole model — this
-    * is the scheduled retrain, not a per-batch path.
+    * is the scheduled retrain, not a per-batch path. Builds are
+    * single-writer (a schedule, not a loop); readers are concurrent
+    * and never blocked: the new version becomes visible only at the
+    * pointer flip.
     */
   def build(
       spark: SparkSession,
@@ -47,31 +60,52 @@ object QualityModel {
   ): Unit = {
     val fsPath = new HPath(modelPath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new HPath(s"$modelPath.__build_tmp")
-    val old = new HPath(s"$modelPath.__build_old")
-    Maintenance.recoverSwap(fs, fsPath, old)
-    if (fs.exists(tmp) && !fs.delete(tmp, true))
-      throw new java.io.IOException(s"cannot clear stale build tmp $tmp")
+    fs.mkdirs(fsPath)
+    val cur = currentVersion(fs, fsPath)
+    val next = cur.getOrElse(0) + 1
+    val vDir = new HPath(fsPath, s"v$next")
+    // An orphan v<next> is a crashed build's half-written output — the
+    // pointer never advanced, no reader can hold it.
+    Maintenance.deleteOrFail(fs, vDir)
     val pair = bigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c12"))
-    pair.write.parquet(new HPath(tmp, "pair").toString)
+    pair.write.parquet(new HPath(vDir, "pair").toString)
     // Derive uni from the written pair table (a read-back barrier, not
     // a second corpus pass): c1 = total occurrences of w1 as a bigram
     // head — exactly q106's rollup.
     spark.read
-      .parquet(new HPath(tmp, "pair").toString)
+      .parquet(new HPath(vDir, "pair").toString)
       .groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"))
       .write
-      .parquet(new HPath(tmp, "uni").toString)
-    Maintenance.swapInto(fs, tmp, fsPath, old)
+      .parquet(new HPath(vDir, "uni").toString)
+    // Atomic pointer flip: tmp + rename. Readers that resolved the
+    // previous version keep an immutable dir; new readers get v<next>.
+    val ptr = new HPath(fsPath, "_current")
+    val ptrTmp = new HPath(fsPath, "_current.__tmp")
+    Maintenance.writeTextFile(fs, ptrTmp, next.toString)
+    fs.delete(ptr, false)
+    Maintenance.renameOrFail(fs, ptrTmp, ptr)
+    // Retain v<next> and its predecessor (mid-batch readers); prune
+    // older versions and any legacy swap-layout leftovers.
+    fs.listStatus(fsPath)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toInt < next - 1) ||
+        n == "pair" || n == "uni"
+      }
+      .foreach(p => Maintenance.deleteOrFail(fs, p))
   }
 
   /** Score a batch against a frozen model. Output per doc (≥ 2
     * tokens): `doc_id, surprisal_bits, n_bigrams, avg_bits, keep_doc`
     * — q106's exact columns and rule, with OOV bigrams scoring
-    * `oovBits`.
+    * `oovBits`. READ-ONLY: resolves the `_current` pointer to an
+    * immutable version dir and never mutates the model layout (a
+    * legacy swap-layout model — bare `pair/`+`uni/`, no pointer — is
+    * served as-is until the next build versions it).
     */
   def gate(
       spark: SparkSession,
@@ -83,9 +117,14 @@ object QualityModel {
   ): DataFrame = {
     val fsPath = new HPath(modelPath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Maintenance.recoverSwap(fs, fsPath, new HPath(s"$modelPath.__build_old"))
-    val pair = spark.read.parquet(new HPath(fsPath, "pair").toString)
-    val uni = spark.read.parquet(new HPath(fsPath, "uni").toString)
+    val serveFrom = currentVersion(fs, fsPath) match {
+      case Some(v) => new HPath(fsPath, s"v$v")
+      case None =>
+        if (fs.exists(new HPath(fsPath, "pair"))) fsPath // legacy layout
+        else throw new java.io.FileNotFoundException(s"no quality model at $modelPath")
+    }
+    val pair = spark.read.parquet(new HPath(serveFrom, "pair").toString)
+    val uni = spark.read.parquet(new HPath(serveFrom, "uni").toString)
     bigrams(batch, idCol, textCol)
       .join(pair, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")

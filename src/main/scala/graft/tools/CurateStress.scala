@@ -27,50 +27,32 @@ import org.apache.spark.sql.functions._
   *   dedup probe is one keyed anti-join.
   */
 object CurateStress {
-  private def timed[A](body: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = body
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("ingest"))
       ingest(args.lift(1).getOrElse("/tmp/sf_stress"), args.lift(2).map(_.toInt).getOrElse(2000))
     else batch(args)
 
-  private def session() = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession
-      .builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
-
   private def ingest(corpusDir: String, batchRows: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = session()
+    val spark = StressUtil.session()
     val root = java.nio.file.Files.createTempDirectory("curate-ingest-stress").toString
     val (model, spans, index, out) = (s"$root/lm", s"$root/spans", s"$root/index", s"$root/out")
     val docs = spark.read
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val n = docs.count()
-    val (_, tModel) = timed(
+    val (_, tModel) = StressUtil.timed(
       graft.operators.QualityModel.build(spark, docs, "doc_id", "text", model)
     )
     println(f"[curate-ingest] model freeze over $n docs: $tModel%.1f s (the scheduled retrain)")
-    val ((in0, out0), t0) = timed(
+    val ((in0, out0), t0) = StressUtil.timed(
       graft.pipeline.Pipeline.curateIngest(spark, docs, model, spans, index, out, 0L)
     )
     println(f"[curate-ingest] backfill batch ($in0 docs, empty states): $t0%.1f s, accepted $out0")
     // Re-crawl-shaped steady-state batch: corpus docs under fresh ids —
     // in-vocab for the frozen gate, worst case for both dedup stages.
     val b1 = docs.limit(batchRows).select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
-    val ((in1, out1), t1) = timed(
+    val ((in1, out1), t1) = StressUtil.timed(
       graft.pipeline.Pipeline.curateIngest(spark, b1, model, spans, index, out, 1L)
     )
     println(
@@ -83,24 +65,32 @@ object CurateStress {
   private def batch(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("/tmp/sf_stress")
     val shards = args.lift(1).map(_.toInt).getOrElse(64)
-    val spark = session()
+    val spark = StressUtil.session()
     val out = java.nio.file.Files.createTempDirectory("curate-stress").toString + "/curated"
     val nDocs = spark.read.parquet(s"$corpusDir/documents.parquet").count()
     println(s"[curate-stress] corpus docs: $nDocs, shards: $shards")
-    val (nKeep, tGate) = timed(
+    // Evict the session feature memo before EVERY stage so each timed
+    // number includes its own materialization — without this, the
+    // composed run silently rides the dup-position tables the
+    // standalone q104 timing just built, and the printed composed
+    // figure understates a cold run.
+    graft.queries.TextQueries.clearFeatureMemo()
+    val (nKeep, tGate) = StressUtil.timed(
       graft.queries.TextQueries
         .q106LmSurprisal(spark, corpusDir)
         .filter(col("keep_doc"))
         .count()
     )
     println(f"[curate-stress] stage q106 LM gate alone: $tGate%.1f s, keeps $nKeep of $nDocs")
-    val (nClean, tClean) = timed(
+    graft.queries.TextQueries.clearFeatureMemo()
+    val (nClean, tClean) = StressUtil.timed(
       graft.queries.TextQueries.q104SpanClean(spark, corpusDir).count()
     )
     println(
       f"[curate-stress] stage q104 span clean alone (incl. dup-position materialization): $tClean%.1f s, $nClean docs"
     )
-    val ((in, out2), tAll) = timed(
+    graft.queries.TextQueries.clearFeatureMemo()
+    val ((in, out2), tAll) = StressUtil.timed(
       graft.pipeline.Pipeline.curateCorpus(spark, corpusDir, out, shards)
     )
     println(

@@ -26,27 +26,9 @@ import org.apache.spark.sql.functions._
   *   measured cost of the skew.
   */
 object SpanStress {
-  private def timed[A](body: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = body
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("zipf")) zipf(args.lift(1).getOrElse("/tmp/sf_stress"))
     else ingest(args)
-  }
-
-  private def session() = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession
-      .builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
   }
 
   private def hpMtimes(p: String): Map[String, Long] = {
@@ -80,7 +62,7 @@ object SpanStress {
     val corpusDir = args.headOption.getOrElse("/tmp/sf_stress")
     val batchSf = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val batchRows = args.lift(2).map(_.toInt).getOrElse(2000)
-    val spark = session()
+    val spark = StressUtil.session()
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("span-stress").toString
     val corpus = spark.read
@@ -100,13 +82,13 @@ object SpanStress {
     val sizes = Seq(("half", corpus.filter(col("doc_id") % 2 === 0)), ("full", corpus))
     val results = sizes.map { case (label, c) =>
       val state = s"$root/spans_$label"
-      val (e0, tBase) = timed(
+      val (e0, tBase) = StressUtil.timed(
         graft.operators.Maintenance
           .incrementalDupSpans(spark, c, "doc_id", "text", state, Some(0L))
       )
       println(f"[span-stress] $label%-4s base ingest (builds state): $tBase%.1f s, extents=${e0.count()}")
       val before = hpMtimes(state)
-      val (_, tPart) = timed {
+      val (_, tPart) = StressUtil.timed {
         graft.operators.Maintenance
           .incrementalDupSpans(spark, trickle(30000000L), "doc_id", "text", state, Some(1L))
           .count()
@@ -122,7 +104,7 @@ object SpanStress {
           .parquet(legacy)
         dirBytes(new java.io.File(legacy))
       }
-      val (_, tFull) = timed {
+      val (_, tFull) = StressUtil.timed {
         graft.operators.Maintenance
           .incrementalDupSpans(spark, trickle(30000001L), "doc_id", "text", legacy, Some(1L))
           .count()
@@ -148,7 +130,7 @@ object SpanStress {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       .limit(batchRows)
     val stateBytesBefore = dirBytes(new java.io.File(state))
-    val (e1, tBatch) = timed(
+    val (e1, tBatch) = StressUtil.timed(
       graft.operators.Maintenance
         .incrementalDupSpans(spark, batch, "doc_id", "text", state, Some(2L))
     )
@@ -162,7 +144,7 @@ object SpanStress {
   }
 
   private def zipf(corpusDir: String): Unit = {
-    val spark = session()
+    val spark = StressUtil.session()
     graft.functions.GraftFunctions.register(spark)
     val boiler = "the quick brown fox jumps over the lazy dog end"
     val d = spark.read
@@ -190,11 +172,11 @@ object SpanStress {
     println(
       s"[span-stress] max window-partition rows: pure=$maxDf (grows with corpus), df-cap split=$maxCold (<= $cap at ANY corpus size)"
     )
-    val (capped, tCapped) = timed(
+    val (capped, tCapped) = StressUtil.timed(
       graft.queries.TextQueries.dupPositionsOf(d, cap).count()
     )
     println(f"[span-stress] df-cap split (hot spans bypass the window): $tCapped%.1f s, $capped rows")
-    val (pure, tPure) = timed(
+    val (pure, tPure) = StressUtil.timed(
       graft.queries.TextQueries.dupPositionsOf(d, Int.MaxValue).count()
     )
     println(

@@ -74,30 +74,32 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 44L && !out(0).getBoolean(4), "all bigrams OOV, rejected")
   }
 
-  test("a crash between the build's swap renames recovers on next use; rebuild replaces") {
+  test("versioned model: crashed build invisible, rebuild flips pointer, prior version retained") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-qm-crash").toString
     val model = s"$root/lm"
     val ref = Seq((1L, "x y x y")).toDF("doc_id", "text")
     QualityModel.build(spark, ref, "doc_id", "text", model)
-    // Crash window: model renamed aside, new model not yet in place.
-    val fs = new org.apache.hadoop.fs.Path(model)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(
-      fs.rename(
-        new org.apache.hadoop.fs.Path(model),
-        new org.apache.hadoop.fs.Path(s"$model.__build_old")
-      )
-    )
+    // Crashed retrain: a half-written v2 exists, pointer still at v1 —
+    // readers must keep serving v1 and never touch the layout.
+    assert(new java.io.File(s"$model/v1").exists() && new java.io.File(s"$model/_current").exists())
+    assert(new java.io.File(s"$model/v2").mkdirs(), "fabricate the orphan version")
     val out = QualityModel
       .gate(spark, Seq((2L, "x y")).toDF("doc_id", "text"), "doc_id", "text", model)
       .collect()
-    assert(out.length == 1, "gate recovers the stranded model on entry")
-    // A rebuild atomically replaces the recovered model.
+    assert(out.length == 1 && out(0).getBoolean(4), "gate serves the pointed version")
+    assert(new java.io.File(s"$model/v2").exists(), "reader never mutates the model dir")
+    // The next build overwrites the orphan and flips the pointer; the
+    // previous version survives for readers that resolved it mid-batch.
     QualityModel.build(spark, Seq((1L, "p q p q")).toDF("doc_id", "text"), "doc_id", "text", model)
     val out2 = QualityModel
       .gate(spark, Seq((3L, "p q")).toDF("doc_id", "text"), "doc_id", "text", model)
       .collect()
     assert(out2.length == 1 && out2(0).getBoolean(4), "rebuilt model serves the new vocabulary")
+    assert(new java.io.File(s"$model/v1").exists(), "predecessor retained through the flip")
+    // A third build prunes v1 (older than the retained predecessor).
+    QualityModel.build(spark, Seq((1L, "r s r s")).toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(!new java.io.File(s"$model/v1").exists(), "older versions pruned")
+    assert(new java.io.File(s"$model/v2").exists(), "immediate predecessor retained")
   }
 }
