@@ -126,7 +126,8 @@ object SparkEntry {
     "q104_span_clean" -> (TextQueries.q104SpanClean _),
     "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _),
     "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _),
-    "q107_frozen_lm_gate" -> (TextQueries.q107FrozenLmGate _)
+    "q107_frozen_lm_gate" -> (TextQueries.q107FrozenLmGate _),
+    "q108_curate_steady" -> (TextQueries.q108CurateSteadyState _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1522,6 +1523,60 @@ object SparkEntry {
         |SELECT doc_id, surprisal_bits, n_bigrams,
         |  CAST(surprisal_bits AS DOUBLE) / n_bigrams AS avg_bits,
         |  surprisal_bits * 5 <= n_bigrams * 22 AS keep_doc
-        |FROM db""".stripMargin
+        |FROM db""".stripMargin,
+    // q108: the full incremental-curation steady state, replayed with
+    // batch-scoped statistics: evens = batch 0 (freeze model, populate
+    // states), odds = batch 1 (frozen gate w/ OOV, span clean vs the
+    // union rule, floor, cross-batch dedup on CLEANED text). Output =
+    // batch 1's accepted (doc_id, text).
+    "q108_curate_steady" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM tk),
+        |px AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+        |    THEN list_transform(range(1, len(th) - 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER),
+        |            'h': (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647})
+        |    ELSE [] END) AS u FROM th),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM px),
+        |s0 AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos WHERE doc_id % 2 = 0 GROUP BY h),
+        |d0 AS (SELECT p.doc_id, p.pos FROM pos p JOIN s0 USING (h)
+        |  WHERE p.doc_id % 2 = 0 AND s0.mn <> s0.mx),
+        |su AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM pos GROUP BY h),
+        |d1 AS (SELECT p.doc_id, p.pos FROM pos p JOIN su USING (h)
+        |  WHERE p.doc_id % 2 = 1 AND su.mn <> su.mx),
+        |dd AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dd),
+        |ext AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep FROM isl GROUP BY doc_id, grp),
+        |extf AS (SELECT doc_id, sp, ep + 2 AS ee FROM ext WHERE ep + 3 - sp >= 5),
+        |bg AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+        |  FROM tk WHERE len(ts) >= 2),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1),
+        |sc AS (SELECT n.doc_id,
+        |    CASE WHEN p.c12 IS NULL THEN 22 ELSE length(bin(u.c1 // p.c12)) - 1 END AS bits
+        |  FROM bg n
+        |  LEFT JOIN pair p ON n.w1 = p.w1 AND n.w2 = p.w2
+        |  LEFT JOIN uni u ON n.w1 = u.w1),
+        |keep AS (SELECT doc_id FROM sc GROUP BY doc_id HAVING sum(bits) * 5 <= count(*) * 22),
+        |toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': ts[i]})) AS u
+        |  FROM tk JOIN keep USING (doc_id))),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |    EXISTS (SELECT 1 FROM extf e
+        |            WHERE e.doc_id = t.doc_id AND t.pos >= e.sp AND t.pos <= e.ee) AS covered
+        |  FROM toks t),
+        |cln AS (SELECT doc_id,
+        |    coalesce(array_to_string(list(tok ORDER BY pos ASC) FILTER (WHERE NOT covered), ' '), '') AS clean_text
+        |  FROM cov GROUP BY doc_id),
+        |flo AS (SELECT doc_id, clean_text FROM cln WHERE trim(clean_text) <> ''),
+        |h0 AS (SELECT DISTINCT md5(clean_text) AS hh FROM flo WHERE doc_id % 2 = 0)
+        |SELECT f.doc_id, f.clean_text AS text
+        |FROM flo f
+        |WHERE f.doc_id % 2 = 1
+        |  AND md5(f.clean_text) NOT IN (SELECT hh FROM h0)
+        |  AND f.doc_id = (SELECT min(g.doc_id) FROM flo g
+        |                  WHERE g.doc_id % 2 = 1 AND md5(g.clean_text) = md5(f.clean_text))""".stripMargin
   )
 }

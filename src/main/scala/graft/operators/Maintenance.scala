@@ -14,7 +14,7 @@ object Maintenance {
   /** Hadoop `FileSystem.rename` signals failure by returning false, not
     * throwing — an unchecked call can silently strand or delete data.
     */
-  private[operators] def renameOrFail(fs: HFs, from: HPath, to: HPath): Unit =
+  private[graft] def renameOrFail(fs: HFs, from: HPath, to: HPath): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"rename failed: $from -> $to")
 
@@ -86,6 +86,18 @@ object Maintenance {
     * both probes are hash-keyed joins (a left-anti against the index,
     * then the in-batch keep-min rule).
     *
+    * The index SELF-COMPACTS: each batch appends a bounded number of
+    * size-targeted files (never shuffle-partition-many), and when the
+    * accumulated file count crosses `maxIndexFiles` the whole index is
+    * rewritten through [[compact]]'s crash-safe tmp+swap — without
+    * this, a crawl of 10⁴ batches leaves 10⁴ file sets and every probe
+    * pays 10⁴ footer opens. The trigger is a file-count threshold (one
+    * listing per batch, no data scan); the rewrite is O(index), paid
+    * every ~`maxIndexFiles` appends — at one append file per batch,
+    * amortized O(index/maxIndexFiles) per batch, the classic
+    * compaction trade. Set `maxIndexFiles = 0` to disable (callers
+    * scheduling [[compact]] themselves).
+    *
     * Returns the accepted (previously unseen, in-batch-deduped) rows.
     */
   def incrementalDedup(
@@ -95,7 +107,8 @@ object Maintenance {
       textCol: String,
       indexPath: String,
       bloomFpp: Double = 0.0,
-      indexSizeHint: Option[Long] = None
+      indexSizeHint: Option[Long] = None,
+      maxIndexFiles: Int = 64
   ): DataFrame = {
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val indexExists = {
@@ -143,12 +156,23 @@ object Maintenance {
     val accepted = Dedup
       .dedupExact(fresh, idCol, textCol)
       .localCheckpoint() // settle survivors BEFORE the index grows
+    // Size the append from the (already-settled) accepted count: ~40 B
+    // per md5 row → one file per ~3M hashes, instead of one file per
+    // shuffle partition per batch.
+    val nAcc = accepted.count()
     accepted
       .select(col("__h"))
       .distinct()
+      .coalesce(math.max(1L, nAcc / 3000000L).toInt)
       .write
       .mode("append")
       .parquet(indexPath)
+    if (maxIndexFiles > 0) {
+      val p = new HPath(indexPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nFiles = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      if (nFiles > maxIndexFiles) compact(spark, indexPath)
+    }
     accepted.drop("__h")
   }
 
@@ -207,7 +231,8 @@ object Maintenance {
     * by one full partitioned rewrite on its next fold, and a
     * pre-segment partitioned state by in-place metadata renames at
     * entry; `stateBuckets` applies to NEW state only (the count is
-    * pinned in the state's `_buckets` file thereafter).
+    * pinned in the state's `_buckets` file thereafter — re-shard a
+    * mis-sized state with [[compactSpanState]]'s `newBuckets`).
     */
   def incrementalDupSpans(
       spark: SparkSession,
@@ -279,11 +304,29 @@ object Maintenance {
       // state means a prior contribution this batch would silently
       // self-exclude against. Two-column state scan + one join against
       // the (distinct, typically broadcast-small) batch id set.
+      // The gate compares through long casts, and a cast from a
+      // non-integral id type yields nulls — the semi-join would match
+      // nothing and the audit would SILENTLY PASS, the opposite of its
+      // purpose. Fail fast on uncastable id types instead.
+      val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType
+      )
+      val stateDf = spark.read.parquet(statePath)
+      Seq(idCol -> batch.schema(idCol).dataType, "mn_doc" -> stateDf.schema("mn_doc").dataType)
+        .foreach { case (c, t) =>
+          require(
+            integral(t),
+            s"checkDocIdReuse requires integral doc ids; column '$c' is ${t.catalogString} — " +
+              "map ids to longs (e.g. hash (url, crawl_ts) to a key) before running the audit gate"
+          )
+        }
       val batchIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
       // Cast the STATE side too: a corpus ingested with int-typed ids
       // builds int-typed attribution, and the collect below reads long.
-      val reused = spark.read
-        .parquet(statePath)
+      val reused = stateDf
         .select(
           explode(array(col("mn_doc").cast("long"), col("mx_doc").cast("long"))).as("doc_id")
         )
@@ -334,17 +377,26 @@ object Maintenance {
         else
           batchHps match {
             case Some(hps) =>
-              val paths = hps
-                .map(hp => s"$statePath/hp=$hp")
-                // Non-EMPTY dirs only: a crash between the append's
-                // mkdirs and its segment rename leaves a childless hp=
-                // dir, and a read over nothing but such dirs cannot
-                // infer a schema. One listing per touched bucket —
-                // already the probe's own cost scale.
-                .filter { p =>
-                  val hp = new HPath(p)
-                  fs.exists(hp) && fs.listStatus(hp).nonEmpty
+              // Non-EMPTY dirs only: a crash between the append's
+              // mkdirs and its segment rename leaves a childless hp=
+              // dir, and a read over nothing but such dirs cannot
+              // infer a schema. `_`/`.`-prefixed entries (the `_segs`
+              // manifest, stale staging) are not data. One listing per
+              // touched bucket — already the probe's own cost scale —
+              // issued on the bounded pool so wall-clock doesn't go
+              // linear in touched buckets at round-trip latency.
+              val paths = mapBucketParallel(hps.map(hp => s"$statePath/hp=$hp")) { p =>
+                val hp = new HPath(p)
+                metaInc()
+                val keep = fs.exists(hp) && {
+                  metaInc()
+                  fs.listStatus(hp).exists { st =>
+                    val n = st.getPath.getName
+                    !n.startsWith("_") && !n.startsWith(".")
+                  }
                 }
+                p -> keep
+              }.collect { case (p, true) => p }
               if (paths.isEmpty) None
               else
                 // basePath so discovery accepts hp= leaf dirs whose
@@ -640,9 +692,12 @@ object Maintenance {
   // the migration completes before any probe.
   //
   // The state dir also carries `_buckets` (bucket count pinned at
-  // creation — later calls ignore their parameter) so the partition
-  // function can never drift, and the root `_applied_id` marker works
-  // exactly as in [[foldState]].
+  // creation — later calls ignore their parameter; re-shard with
+  // [[compactSpanState]]'s `newBuckets`) so the partition function can
+  // never drift, and the root `_applied_id` marker works exactly as in
+  // [[foldState]]. Each partition additionally carries a `_segs` size
+  // manifest (see its comment block) so tiering never fans out
+  // per-segment metadata calls on the ingest path.
 
   private def listHpDirs(fs: HFs, dir: HPath): Seq[HPath] =
     if (!fs.exists(dir)) Seq.empty
@@ -666,7 +721,7 @@ object Maintenance {
       finally in.close()
     }
 
-  private[operators] def deleteOrFail(fs: HFs, p: HPath): Unit =
+  private[graft] def deleteOrFail(fs: HFs, p: HPath): Unit =
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"cannot delete $p")
 
@@ -757,6 +812,23 @@ object Maintenance {
   private def stateBucketsOf(fs: HFs, state: HPath, default: Int): Int =
     readTextFile(fs, new HPath(state, "_buckets")).map(_.trim.toInt).getOrElse(default)
 
+  /** Writer task count for a span-state compaction/rewrite: sized from
+    * the BYTES being rewritten, never from the bucket count — one
+    * bucket must not mean one writer task (at 64 buckets a 100 TB-class
+    * state would hand each compaction task ~1.5 TB). Callers pair this
+    * with `repartitionByRange(n, hp, h)`: ranges keep every bucket's
+    * rows contiguous, so a big bucket SUB-SPLITS across tasks while the
+    * partitioned writer still lands each task's slice in the right
+    * `hp=` dir, h-sorted and h-disjoint per file — trickle-probe
+    * row-group pruning stays as tight as the one-task-per-bucket
+    * layout. Capped to keep a mis-set target from exploding the
+    * shuffle's partition count.
+    */
+  private def spanWriteTasks(bytes: Long, targetTaskBytes: Long): Int = {
+    require(targetTaskBytes > 0, "targetTaskBytes must be positive")
+    math.min(1 << 15, math.max(1L, math.ceil(bytes.toDouble / targetTaskBytes).toLong)).toInt
+  }
+
   private def listSegDirs(fs: HFs, hpDir: HPath): Seq[HPath] =
     if (!fs.exists(hpDir)) Seq.empty
     else
@@ -764,6 +836,117 @@ object Maintenance {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
         .map(_.getPath)
         .toSeq
+
+  // ───────────────────── per-partition `_segs` size manifest ─────────────────────
+  //
+  // Tiering decisions need every segment's byte size. Listing + a
+  // recursive `getContentSummary` PER SEGMENT per dirty partition is
+  // O(segments × buckets) serial driver LIST/HEAD calls per batch — on
+  // an object store at a realistic bucket count, thousands of calls on
+  // the ingest hot path. Instead each partition carries a `_segs` text
+  // manifest (`<segName>\t<bytes>` lines, `_`-prefixed so parquet
+  // readers ignore it) maintained by the jobs that change the layout:
+  // the append upserts its own segment's entry (it just wrote those
+  // bytes), compaction replaces its victims' entries with the merged
+  // segment's. Tiering then reads ONE small file per dirty partition —
+  // O(touched buckets) per batch.
+  //
+  // The manifest is a SIZING HINT, never a read path: probes and
+  // spanStateView always read the directory itself, so a stale or lost
+  // manifest can never lose data. Staleness is self-healing in both
+  // directions: a missing/corrupt manifest is rebuilt from an
+  // authoritative listing on next use ([[segSizesOf]]); an entry whose
+  // dir a crashed replay deleted (phantom) is existence-filtered at
+  // compaction time and dropped by the post-compaction rewrite; a dir
+  // a crash left out of the manifest (orphan — e.g. compaction died
+  // between its segment move-in and the manifest write) merely escapes
+  // tiering until [[compactSpanState]]'s listing-driven full pass
+  // sweeps it, and its duplicate rows are harmless under the fold's
+  // idempotence.
+  private def readSegManifest(fs: HFs, hpDir: HPath): Option[Map[String, Long]] =
+    try
+      readTextFile(fs, new HPath(hpDir, "_segs")).map {
+        _.linesIterator
+          .filter(_.nonEmpty)
+          .map { l =>
+            val Array(name, bytes) = l.split("\t", 2)
+            name -> bytes.trim.toLong
+          }
+          .toMap
+      }
+    catch { case _: Exception => None } // corrupt (truncated write): rebuild
+
+  private def writeSegManifest(fs: HFs, hpDir: HPath, sizes: Map[String, Long]): Unit = {
+    metaInc()
+    writeTextFile(
+      fs,
+      new HPath(hpDir, "_segs"),
+      sizes.toSeq.sorted.map { case (n, b) => s"$n\t$b" }.mkString("\n")
+    )
+  }
+
+  /** Segment byte sizes of a partition, manifest-first: one small read
+    * in steady state; missing/corrupt manifests rebuild from a listing
+    * + per-segment `getContentSummary` and persist the result (the
+    * one-time heal for pre-manifest states and crash leftovers).
+    */
+  private def segSizesOf(fs: HFs, hpDir: HPath): Map[String, Long] = {
+    metaInc()
+    readSegManifest(fs, hpDir).getOrElse {
+      val sizes = listSegDirs(fs, hpDir).map { p =>
+        metaInc()
+        p.getName.stripPrefix("seg=") -> fs.getContentSummary(p).getLength
+      }.toMap
+      metaInc()
+      if (fs.exists(hpDir)) writeSegManifest(fs, hpDir, sizes)
+      sizes
+    }
+  }
+
+  private def metaInc(): Unit = SpanStateMeta.inc()
+
+  /** Run independent per-bucket filesystem work on a bounded pool: the
+    * per-batch driver fan-out is O(touched buckets) CALLS by design,
+    * but issuing them serially makes wall-clock linear in bucket count
+    * at driver-loop latency — on an object store, thousands of serial
+    * round-trips. Hadoop `FileSystem` instances are thread-safe;
+    * per-bucket operations touch disjoint paths, so interleaving
+    * preserves the crash-protocol semantics (any prefix of buckets
+    * applied, in any order, converges on replay). Exceptions propagate
+    * unwrapped so callers see the original IO failure.
+    */
+  private def mapBucketParallel[A, B](items: Seq[A], threads: Int = 16)(f: A => B): Seq[B] =
+    if (items.length <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(threads, items.length))
+      try
+        items
+          .map { a =>
+            pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+          }
+          .map { fut =>
+            try fut.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+      finally pool.shutdown()
+    }
+
+  private def forEachBucketParallel[A](items: Seq[A], threads: Int = 16)(f: A => Unit): Unit = {
+    mapBucketParallel(items, threads)(f)
+    ()
+  }
+
+  /** Seed each tmp partition's `_segs` manifest (one entry: its single
+    * fresh segment) so a full rewrite swaps in manifest-complete.
+    * O(buckets) summary calls — a full-rewrite-schedule cost, never a
+    * per-batch one.
+    */
+  private def writeFreshManifests(fs: HFs, tmp: HPath, segName: String): Unit =
+    forEachBucketParallel(listHpDirs(fs, tmp)) { hpDir =>
+      metaInc()
+      val b = fs.getContentSummary(new HPath(hpDir, s"seg=$segName")).getLength
+      writeSegManifest(fs, hpDir, Map(segName -> b))
+    }
 
   /** Advance the root `_applied_id` marker via tmp+rename. A crash
     * between delete and rename loses just the marker; the re-run
@@ -824,11 +1007,20 @@ object Maintenance {
     * mean a realistic batch crosses the threshold in EVERY bucket on
     * the same ingest — a per-partition job loop would schedule
     * #buckets serial jobs right on the ingest path, so all victims are
-    * read, folded, and written in one pass (one writer task per
-    * partition), then moved in segment-by-segment before the inputs
-    * are deleted. Crash-safe by fold idempotence: any crash point
-    * leaves duplicate rows whose per-h fold is unchanged, swept by the
-    * next compaction.
+    * read, folded, and written in one pass (writer tasks ∝ merged
+    * BYTES via [[spanWriteTasks]], never one per bucket), then moved
+    * in segment-by-segment before the inputs are deleted. Crash-safe
+    * by fold idempotence: any crash point leaves duplicate rows whose
+    * per-h fold is unchanged, swept by the next compaction.
+    *
+    * Segment sizes come from the `_segs` manifests (`sizesByHp` when
+    * the caller just maintained them, else one manifest read per dirty
+    * partition) — never a per-segment `getContentSummary` fan-out on
+    * the ingest path. Manifest entries are existence-filtered before
+    * the read (a crashed replay can leave a phantom entry), and each
+    * compacted partition's manifest is rewritten to its final content
+    * BEFORE its victims are deleted, so a crash leaves orphan dirs
+    * (harmless duplicate rows), never entries pointing at nothing.
     */
   private def compactDirtySegments(
       spark: SparkSession,
@@ -836,37 +1028,55 @@ object Maintenance {
       state: HPath,
       dirty: Seq[Int],
       maxSegments: Int,
-      hpOf: Column
+      hpOf: Column,
+      sizesByHp: scala.collection.Map[Int, Map[String, Long]] = Map.empty,
+      targetTaskBytes: Long = SpanCompactTargetTaskBytes
   ): Unit = {
-    val plans = dirty.flatMap { hp =>
+    // Per plan: (hp, manifest entries surviving the merge, victims
+    // (name, bytes) that exist on disk, next c-index). Planned on the
+    // bounded pool — per-bucket manifest reads are independent.
+    val plans = mapBucketParallel(dirty) { hp =>
       val hpDir = new HPath(state, s"hp=$hp")
-      val segs = listSegDirs(fs, hpDir)
-        .map(p => (p, fs.getContentSummary(p).getLength))
-        .sortBy(-_._2)
-      if (segs.length <= maxSegments) None
+      val sizes = sizesByHp.getOrElse(hp, segSizesOf(fs, hpDir))
+      if (sizes.size <= maxSegments) None
       else {
-        var tail = segs.toList
+        var tail = sizes.toList.sortBy(-_._2)
         while (tail.nonEmpty && tail.head._2 > tail.tail.map(_._2).sum) tail = tail.tail
-        if (tail.length < 2) None
-        else {
-          val nextC = segs
-            .map(_._1.getName.stripPrefix("seg="))
+        val existing = tail.filter { case (nm, _) =>
+          metaInc()
+          fs.exists(new HPath(hpDir, s"seg=$nm"))
+        }
+        if (existing.length < 2) {
+          // Nothing mergeable; if phantom entries were the reason, heal
+          // the manifest so they stop re-triggering the planner.
+          if (existing.length != tail.length)
+            writeSegManifest(fs, hpDir, sizes -- tail.map(_._1) ++ existing)
+          None
+        } else {
+          val nextC = sizes.keysIterator
             .collect {
-              case s if s.startsWith("c") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
+              case s if s.startsWith("c") && s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) =>
+                s.drop(1).toInt
             }
             .maxOption
             .getOrElse(-1) + 1
-          Some((hp, tail.map(_._1), nextC))
+          Some((hp, sizes -- tail.map(_._1), existing, nextC))
         }
       }
-    }
+    }.flatten
     if (plans.isEmpty) return
     // One segment name valid for every partition: past the max c-index
     // seen anywhere.
-    val segName = s"c${plans.map(_._3).max}"
-    val victims = plans.flatMap(_._2)
+    val segName = s"c${plans.map(_._4).max}"
+    val victims = plans.flatMap { case (hp, _, ex, _) =>
+      ex.map { case (nm, _) => new HPath(new HPath(state, s"hp=$hp"), s"seg=$nm") }
+    }
     val tmpC = new HPath(s"$state.__compact_seg_tmp")
     deleteOrFail(fs, tmpC)
+    // Writer tasks ∝ bytes merged, not buckets dirtied: a hot bucket's
+    // merge sub-splits across tasks (range partitioning keeps its files
+    // h-disjoint), a swarm of small dirty buckets shares few tasks.
+    val nTasks = spanWriteTasks(plans.map(_._3.map(_._2).sum).sum, targetTaskBytes)
     spark.read
       .option("basePath", state.toString)
       .parquet(victims.map(_.toString): _*)
@@ -875,19 +1085,26 @@ object Maintenance {
       .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
       .withColumn("hp", hpOf)
       .withColumn("seg", lit(segName))
-      .repartition(col("hp"))
+      .repartitionByRange(nTasks, col("hp"), col("h"))
       .sortWithinPartitions(col("hp"), col("seg"), col("h"))
       .write
       .partitionBy("hp", "seg")
       .mode("overwrite")
       .parquet(tmpC.toString)
-    listHpDirs(fs, tmpC).foreach { hpDir =>
-      val segDst = new HPath(new HPath(state, hpDir.getName), s"seg=$segName")
+    forEachBucketParallel(listHpDirs(fs, tmpC)) { hpDir =>
+      val stHp = new HPath(state, hpDir.getName)
+      val segDst = new HPath(stHp, s"seg=$segName")
+      metaInc()
+      val mergedBytes = fs.getContentSummary(new HPath(hpDir, s"seg=$segName")).getLength
       deleteOrFail(fs, segDst)
       renameOrFail(fs, new HPath(hpDir, s"seg=$segName"), segDst)
+      val hpInt = hpDir.getName.stripPrefix("hp=").toInt
+      plans.find(_._1 == hpInt).foreach { case (_, survivors, _, _) =>
+        writeSegManifest(fs, stHp, survivors + (segName -> mergedBytes))
+      }
     }
     deleteOrFail(fs, tmpC)
-    victims.foreach(v => deleteOrFail(fs, v))
+    forEachBucketParallel(victims)(v => deleteOrFail(fs, v))
   }
 
   /** The semantic content of a span-hash state dir — one row per hash
@@ -903,23 +1120,45 @@ object Maintenance {
       .groupBy(col("h"))
       .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
 
+  /** Default writer-task byte budget for span-state compaction writes. */
+  val SpanCompactTargetTaskBytes: Long = 512L * 1024 * 1024
+
   /** Full compaction of a segmented span-hash state: merge EVERY
     * partition's segments down to one (`--maintenance
     * span_state_compact`). The inline size-tiered compaction keeps
     * ingest amortized; this is the read-optimize pass an operator runs
     * before an analysis phase — probe fan-out drops to one row per
     * hash and per-partition file counts to one. ONE distributed job
-    * (fold the whole state, one writer task per partition) through the
-    * full-mode two-phase commit — never a driver loop of
+    * (fold the whole state; writer tasks ∝ state BYTES via
+    * [[spanWriteTasks]], never one-per-partition or one-per-bucket)
+    * through the full-mode two-phase commit — never a driver loop of
     * one-job-per-partition, which at a realistic bucket count is
     * thousands of serially scheduled jobs. The root `_applied_id`
     * marker is carried through the swap, so the exactly-once contract
     * of the LAST ingest batch survives compaction. A state already at
     * one segment per partition returns without rewriting (metadata
-    * listing only). Returns (partitions that had segments to merge,
-    * partitions total).
+    * listing only).
+    *
+    * `newBuckets` RE-SHARDS the state: `hp` is recomputed under the new
+    * count and the `_buckets` pin replaced — the escape hatch for a
+    * creation-time mis-sizing, which would otherwise be permanent (the
+    * pin exists so the partition function can never drift between
+    * writers). The rewrite rides the same two-phase commit, so a crash
+    * at any point leaves either the old sharding or the new one, never
+    * a mix; the state's semantic view, probe behavior, and applied-id
+    * marker are invariant across the re-shard (spec-proved). Sizing
+    * rule (SCALE.md): state bytes / buckets ≈ one task's partition.
+    *
+    * Returns (partitions rewritten, partitions total — post-reshard
+    * when `newBuckets` is set).
     */
-  def compactSpanState(spark: SparkSession, statePath: String): (Int, Int) = {
+  def compactSpanState(
+      spark: SparkSession,
+      statePath: String,
+      newBuckets: Option[Int] = None,
+      targetTaskBytes: Long = SpanCompactTargetTaskBytes
+  ): (Int, Int) = {
+    newBuckets.foreach(b => require(b > 0, "newBuckets must be positive"))
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(s"$statePath.__pfold_tmp")
@@ -933,19 +1172,22 @@ object Maintenance {
     )
     val hpDirs = listHpDirs(fs, fsPath)
     val multi = hpDirs.count(d => listSegDirs(fs, d).length > 1)
-    if (multi == 0) return (0, hpDirs.length)
     val nb = stateBucketsOf(fs, fsPath, 64)
+    val nbOut = newBuckets.getOrElse(nb)
+    if (multi == 0 && nbOut == nb) return (0, hpDirs.length)
     val appliedId = readAppliedId(fs, fsPath)
+    val nTasks = spanWriteTasks(fs.getContentSummary(fsPath).getLength, targetTaskBytes)
     spanStateView(spark, statePath)
-      .withColumn("hp", pmod(col("h"), lit(nb.toLong)).cast("int"))
+      .withColumn("hp", pmod(col("h"), lit(nbOut.toLong)).cast("int"))
       .withColumn("seg", lit("c0"))
-      .repartition(col("hp"))
+      .repartitionByRange(nTasks, col("hp"), col("h"))
       .sortWithinPartitions(col("hp"), col("seg"), col("h"))
       .write
       .partitionBy("hp", "seg")
       .mode("overwrite")
       .parquet(tmp.toString)
-    writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
+    writeFreshManifests(fs, tmp, "c0")
+    writeTextFile(fs, new HPath(tmp, "_buckets"), nbOut.toString)
     writeTextFile(fs, new HPath(tmp, "_segmented"), "1")
     appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
     writeTextFile(
@@ -954,7 +1196,8 @@ object Maintenance {
       "full" + (if (appliedId.isDefined) " id" else " noid")
     )
     rollForwardPartitioned(fs, fsPath, tmp, old)
-    (multi, hpDirs.length)
+    val after = listHpDirs(fs, fsPath).length
+    (if (nbOut != nb) after else multi, after)
   }
 
   /** Exactly-once partitioned state fold over a hash-keyed state
@@ -1002,21 +1245,33 @@ object Maintenance {
       // migration): the two-phase tmp + commit + swap protocol. The
       // merged state lands as one `seg=base0` segment per partition.
       val merged = if (!stateExists) partial else fold(spark.read.parquet(statePath), partial)
+      // Writer tasks ∝ bytes (floored at the cluster's parallelism for
+      // the unknown-size first write), never one-per-bucket — a 100 TB
+      // legacy migration must not hand each task state/buckets bytes.
+      // Range partitioning on (hp, h) keeps each task's slice landing
+      // in the right hp= dir with h-disjoint files (see the writer
+      // note below on why files stay h-sorted).
+      val nTasks = math.max(
+        spark.sparkContext.defaultParallelism,
+        if (stateExists) spanWriteTasks(fs.getContentSummary(fsPath).getLength, SpanCompactTargetTaskBytes)
+        else 1
+      )
       merged
         .withColumn("hp", hpOf)
         .withColumn("seg", lit("base0"))
-        // One writer task per hp group — never #tasks × #partitions
-        // files (Pipeline.clusteredBy's rule) — and h-sorted within
+        // Grouped writer tasks — never #tasks × #partitions files
+        // (Pipeline.clusteredBy's rule) — and h-sorted within
         // each file: the writer sorts on partition columns anyway, so
         // appending h costs nothing and buys tight row-group stats —
         // a trickle probe's pushed In(h, …) filter then prunes row
         // groups instead of scanning the bucket.
-        .repartition(col("hp"))
+        .repartitionByRange(nTasks, col("hp"), col("h"))
         .sortWithinPartitions(col("hp"), col("seg"), col("h"))
         .write
         .partitionBy("hp", "seg")
         .mode("overwrite")
         .parquet(tmp.toString)
+      writeFreshManifests(fs, tmp, "base0")
       writeTextFile(fs, new HPath(tmp, "_buckets"), nb.toString)
       writeTextFile(fs, new HPath(tmp, "_segmented"), "1")
       appliedId.foreach(id => writeTextFile(fs, new HPath(tmp, "_applied_id"), id.toString))
@@ -1047,7 +1302,12 @@ object Maintenance {
       partial
         .withColumn("hp", hpOf)
         .withColumn("seg", lit(segName))
-        .repartition(col("hp"))
+        // Range-grouped writer tasks at the cluster's parallelism —
+        // neither one task per bucket (512 tiny task commits for a
+        // trickle batch) nor one bucket per task (a huge batch's
+        // partial divided by the bucket count): each task writes a
+        // contiguous (hp, h) slice, h-disjoint per file.
+        .repartitionByRange(spark.sparkContext.defaultParallelism, col("hp"), col("h"))
         // h-sorted files (see the full-mode write): tight row-group
         // stats for trickle-probe pruning, at zero extra sort cost.
         .sortWithinPartitions(col("hp"), col("seg"), col("h"))
@@ -1056,17 +1316,33 @@ object Maintenance {
         .mode("overwrite")
         .parquet(tmpA.toString)
       // Idempotent move-in: a replay deletes and replaces its own
-      // segment; a crash mid-loop converges on the replay.
-      listHpDirs(fs, tmpA).foreach { hpDir =>
+      // segment; a crash mid-loop converges on the replay. The writer
+      // knows its own segment's bytes, so the `_segs` manifest upsert
+      // costs one summary of the FRESH segment + one manifest
+      // read/write per touched partition — never a re-listing of the
+      // partition's accumulated segments. O(touched buckets) driver
+      // metadata calls per batch, however many segments the state holds.
+      val sizesByHp =
+        new java.util.concurrent.ConcurrentHashMap[Int, Map[String, Long]]()
+      forEachBucketParallel(listHpDirs(fs, tmpA)) { hpDir =>
+        val srcSeg = new HPath(hpDir, s"seg=$segName")
+        metaInc()
+        val segBytes = fs.getContentSummary(srcSeg).getLength
         val stHp = new HPath(fsPath, hpDir.getName)
         fs.mkdirs(stHp)
         val segDst = new HPath(stHp, s"seg=$segName")
         deleteOrFail(fs, segDst)
-        renameOrFail(fs, new HPath(hpDir, s"seg=$segName"), segDst)
+        renameOrFail(fs, srcSeg, segDst)
+        val sizes = segSizesOf(fs, stHp) + (segName -> segBytes)
+        writeSegManifest(fs, stHp, sizes)
+        sizesByHp.put(hpDir.getName.stripPrefix("hp=").toInt, sizes)
       }
       deleteOrFail(fs, tmpA)
       appliedId.foreach(advanceRootMarker(fs, fsPath, _))
-      compactDirtySegments(spark, fs, fsPath, dirty, maxSegments, hpOf)
+      compactDirtySegments(
+        spark, fs, fsPath, dirty, maxSegments, hpOf,
+        scala.jdk.CollectionConverters.MapHasAsScala(sizesByHp).asScala
+      )
     }
   }
 
@@ -1344,4 +1620,17 @@ object Maintenance {
           .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
     (df, keep.length, allFiles.length)
   }
+}
+
+/** Driver-side filesystem-metadata call counter for the span-state
+  * ingest path (probe prune, segment append, manifest reads/writes,
+  * tiering) — instrumentation only, read by `graft.tools.SpanStress`
+  * to demonstrate the O(touched buckets)-per-batch driver fan-out
+  * bound. No contract depends on it.
+  */
+private[graft] object SpanStateMeta {
+  private val n = new java.util.concurrent.atomic.AtomicLong
+  private[operators] def inc(): Unit = { n.incrementAndGet(); () }
+  def reset(): Unit = n.set(0L)
+  def count: Long = n.get()
 }

@@ -25,9 +25,17 @@ import org.apache.spark.sql.functions._
   * directory, so there is no rename-swap window in which a reader can
   * see a moving or half-deleted model (the flaw of a swap-in-place
   * layout), and a crashed build leaves only an orphan version dir that
-  * the next build overwrites. The previous version is retained through
-  * the pointer flip for readers that resolved it mid-batch; older ones
-  * are pruned. Scoring is two keyed dict joins (1 row per key on the
+  * the next build overwrites. The pointer advance itself is a
+  * rename-with-OVERWRITE (`FileContext.rename(…, Rename.OVERWRITE)`),
+  * never delete-then-rename, so there is no instant with no pointer
+  * on disk; [[gate]] additionally retries its resolution once,
+  * covering models last flipped by a pre-overwrite build. The
+  * previous `retain` versions are kept through the pointer flip for
+  * readers that resolved them mid-batch (`retain = 1` suits scheduled
+  * retrains; a gate batch that can outlive N retrains needs
+  * `retain = N`); older ones are pruned, and a legacy swap-layout
+  * `pair/`+`uni/` root gets the same retention instead of deletion on
+  * its superseding flip. Scoring is two keyed dict joins (1 row per key on the
   * model side) — the q106 de-skew shape: no count window on a raw
   * token key, and a Zipf-head join key is exactly what AQE's
   * skewed-join rule CAN split. Docs with fewer than two tokens have
@@ -56,8 +64,10 @@ object QualityModel {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      modelPath: String
+      modelPath: String,
+      retain: Int = 1
   ): Unit = {
+    require(retain >= 1, "retain must keep at least the immediate predecessor")
     val fsPath = new HPath(modelPath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(fsPath)
@@ -80,21 +90,29 @@ object QualityModel {
       .agg(sum(col("c12")).as("c1"))
       .write
       .parquet(new HPath(vDir, "uni").toString)
-    // Atomic pointer flip: tmp + rename. Readers that resolved the
-    // previous version keep an immutable dir; new readers get v<next>.
+    // Atomic pointer flip: tmp + rename WITH OVERWRITE — a
+    // delete-then-rename pair would leave a window with no pointer on
+    // disk, and a gate() resolving in it (over a model with no legacy
+    // pair/ fallback) would throw. Readers that resolved the previous
+    // version keep an immutable dir; new readers get v<next>.
     val ptr = new HPath(fsPath, "_current")
     val ptrTmp = new HPath(fsPath, "_current.__tmp")
     Maintenance.writeTextFile(fs, ptrTmp, next.toString)
-    fs.delete(ptr, false)
-    Maintenance.renameOrFail(fs, ptrTmp, ptr)
-    // Retain v<next> and its predecessor (mid-batch readers); prune
-    // older versions and any legacy swap-layout leftovers.
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fsPath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Retain v<next> and its `retain` predecessors (mid-batch readers);
+    // prune older versions. Legacy swap-layout dirs (pair/, uni/) get
+    // the SAME retention — pruned only once `retain` versioned flips
+    // sit on top of them, never on the flip that supersedes them, so a
+    // concurrent legacy-layout reader mid-batch keeps its serving dirs.
     fs.listStatus(fsPath)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toInt < next - 1) ||
-        n == "pair" || n == "uni"
+        val ver = n.drop(1)
+        (n.startsWith("v") && ver.nonEmpty && ver.forall(_.isDigit) && ver.toInt < next - retain) ||
+        ((n == "pair" || n == "uni") && cur.exists(_ >= retain))
       }
       .foreach(p => Maintenance.deleteOrFail(fs, p))
   }
@@ -117,12 +135,18 @@ object QualityModel {
   ): DataFrame = {
     val fsPath = new HPath(modelPath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val serveFrom = currentVersion(fs, fsPath) match {
+    def resolve(): HPath = currentVersion(fs, fsPath) match {
       case Some(v) => new HPath(fsPath, s"v$v")
       case None =>
         if (fs.exists(new HPath(fsPath, "pair"))) fsPath // legacy layout
         else throw new java.io.FileNotFoundException(s"no quality model at $modelPath")
     }
+    // One retry: the current build's pointer flip is overwrite-atomic,
+    // but a model last flipped by a pre-overwrite build can expose a
+    // one-call no-pointer window to a concurrent reader.
+    val serveFrom =
+      try resolve()
+      catch { case _: java.io.FileNotFoundException => resolve() }
     val pair = spark.read.parquet(new HPath(serveFrom, "pair").toString)
     val uni = spark.read.parquet(new HPath(serveFrom, "uni").toString)
     bigrams(batch, idCol, textCol)

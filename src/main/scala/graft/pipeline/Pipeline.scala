@@ -283,7 +283,8 @@ object Pipeline {
       dedupIndexPath: String,
       outDir: String,
       batchId: Long,
-      minKeepTokens: Int = 1
+      minKeepTokens: Int = 1,
+      spanStateBuckets: Int = 64
   ): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
@@ -299,7 +300,10 @@ object Pipeline {
     // both for this batch's cleaning and (via the state fold) for
     // every future batch.
     val ext = graft.operators.Maintenance
-      .incrementalDupSpans(spark, settled, "doc_id", "text", spanStatePath, Some(batchId))
+      .incrementalDupSpans(
+        spark, settled, "doc_id", "text", spanStatePath, Some(batchId),
+        stateBuckets = spanStateBuckets
+      )
     val keep = graft.operators.QualityModel
       .gate(spark, settled, "doc_id", "text", modelPath)
       .filter(col("keep_doc"))
@@ -342,8 +346,10 @@ object Pipeline {
   * [--applied_id N] [--min_tokens K] [--check_doc_reuse true]`
   * (incremental span-level dedup against the persistent span-hash
   * state; the optional audit gate fails on re-used doc_ids), and
-  * `--maintenance span_state_compact --state S` (read-optimize a
-  * segmented span state: merge every partition's segments to one), and
+  * `--maintenance span_state_compact --state S [--buckets N]
+  * [--target_task_mb M]` (read-optimize a segmented span state: merge
+  * every partition's segments to one; `--buckets` re-shards the state
+  * under a new bucket count), and
   * `--maintenance build_quality_model --data D --model M` (freeze the
   * LM quality model from a reference corpus), and
   * `--maintenance curate_ingest --batch B --model M --span_state S
@@ -573,10 +579,17 @@ object PipelineRunner {
       case Some("span_state_compact") =>
         // Read-optimize a segmented span-hash state: merge every
         // partition's segments down to one (Maintenance.compactSpanState
-        // — crash-safe by fold idempotence, idempotent to re-run).
+        // — crash-safe two-phase commit, idempotent to re-run).
+        // --buckets N RE-SHARDS the state under a new hash-prefix
+        // bucket count (the escape hatch for a creation-time
+        // mis-sizing; view/probes/marker invariant). --target_task_mb
+        // sizes writer tasks by bytes, never one-per-bucket.
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
-        val (done, total) = graft.operators.Maintenance.compactSpanState(spark, state)
-        println(s"[maintenance] span state compact: $done of $total partitions merged in $state")
+        val nbOpt = opts.get("buckets").map(_.toInt)
+        val target = opts.getOrElse("target_task_mb", "512").toLong * 1024 * 1024
+        val (done, total) =
+          graft.operators.Maintenance.compactSpanState(spark, state, nbOpt, target)
+        println(s"[maintenance] span state compact: $done of $total partitions rewritten in $state")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))

@@ -1668,6 +1668,53 @@ object TextQueries {
     rows.toDF("doc_id", "surprisal_bits", "n_bigrams", "avg_bits", "keep_doc")
   }
 
+  /** Incremental-curation STEADY STATE, oracle-checked end to end: the
+    * corpus splits by doc_id parity; the quality model freezes on the
+    * EVEN docs; batch 0 (evens) runs
+    * [[graft.pipeline.Pipeline.curateIngest]] against empty states
+    * (populating the durable span-hash state and the dedup index);
+    * batch 1 (odds) then runs the SAME composition against the
+    * POPULATED states — frozen gate (OOV penalty live), span clean via
+    * the partition-pruned state probe, min-token floor, and
+    * cross-batch exact dedup against batch 0's accepted hashes. The
+    * result is batch 1's ACCEPTED docs — the actual steady state of a
+    * crawl loop. q105 proves the span stage incrementally and q107 the
+    * frozen gate, each ALONE; the composition has failure modes of its
+    * own (stage order, raw-batch extents feeding the fold, hashing the
+    * CLEANED text, index scoping by batch partition), which is exactly
+    * what the DuckDB replay pins: both parities' four stages with
+    * batch-scoped statistics. Scratch-dir + bounded-collect demo
+    * materialization as q105/q107 (production drives `curate_ingest`/
+    * `curate_stream` with parquet sinks); buckets sized to the scratch
+    * state per the SCALE.md rule.
+    */
+  def q108CurateSteadyState(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q108")
+    val rows =
+      try {
+        val model = root.resolve("lm").toString
+        val spans = root.resolve("spans").toString
+        val index = root.resolve("index").toString
+        val out = root.resolve("out").toString
+        val evens = d.filter(col("doc_id") % 2 === 0)
+        val odds = d.filter(col("doc_id") % 2 === 1)
+        graft.operators.QualityModel.build(spark, evens, "doc_id", "text", model)
+        graft.pipeline.Pipeline
+          .curateIngest(spark, evens, model, spans, index, out, 0L, spanStateBuckets = 8)
+        graft.pipeline.Pipeline
+          .curateIngest(spark, odds, model, spans, index, out, 1L, spanStateBuckets = 8)
+        spark.read
+          .parquet(s"$out/ingest_batch=1")
+          .select(col("doc_id"), col("text"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getString(1)))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
   /** Deterministic global-shuffle manifest — the training-order step of
     * a data pipeline: every doc gets a pseudo-random 28-bit position
     * hash, lands in one of 8 shards by hash mod, and receives a stable

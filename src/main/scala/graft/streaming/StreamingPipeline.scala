@@ -263,7 +263,8 @@ object StreamingPipeline {
       batch: DataFrame,
       corpusPath: String,
       indexPath: String,
-      batchId: Long
+      batchId: Long,
+      maxIndexParts: Int = 64
   ): Long = {
     val hashed = batch.withColumn("__h", md5(col("text")))
     val indexExists = {
@@ -288,7 +289,66 @@ object StreamingPipeline {
       .write
       .mode("overwrite")
       .parquet(s"$indexPath/ingest_batch=$batchId")
+    if (maxIndexParts > 0) compactIngestIndex(spark, indexPath, batchId, maxIndexParts)
     accepted.count()
+  }
+
+  /** Self-compaction for the batch-keyed ingest index: when more than
+    * `maxIndexParts` partition dirs have accumulated (one per batch,
+    * forever — after 10⁴ crawl batches every probe pays 10⁴ dir opens),
+    * merge every partition EXCEPT the in-flight batch's into ONE
+    * partition under a fresh NEGATIVE id. The exclusions are exactly
+    * what keeps the exactly-once contract intact:
+    *
+    *  - the in-flight batch keeps its own `ingest_batch=<id>` dir, so a
+    *    crash/retry of THAT batch still sees its own partition excluded
+    *    from the probe and overwrites it idempotently (only the latest
+    *    batch can ever replay — the streaming checkpoint/applied-id
+    *    machinery has already sealed older ones);
+    *  - the merged id is more negative than any existing one, so it can
+    *    never collide with a real batch id (≥ 0) nor be excluded by any
+    *    replay's own-partition filter — merged hashes are permanently
+    *    "prior" for every future probe, which is semantically exact:
+    *    the probe is a set-membership anti-join and the merged
+    *    partition holds the distinct union of its inputs.
+    *
+    * Crash-safe with no marker: the merged partition is renamed IN
+    * before any victim is deleted, so every crash point leaves the hash
+    * SET intact (duplicates across partitions are harmless to an
+    * anti-join); a half-deleted victim set is swept by the next
+    * trigger, and a stale tmp is pre-commit garbage, dropped on entry.
+    * One listing per call; the rewrite is O(index) every
+    * ~`maxIndexParts` batches — amortized O(index/maxIndexParts).
+    */
+  def compactIngestIndex(
+      spark: SparkSession,
+      indexPath: String,
+      keepBatchId: Long,
+      maxIndexParts: Int
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs
+      .listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+      .map(st => st.getPath -> st.getPath.getName.stripPrefix("ingest_batch=").toLong)
+    if (parts.length <= maxIndexParts) return
+    val victims = parts.filter(_._2 != keepBatchId)
+    if (victims.length < 2) return
+    val mergedId = math.min(victims.map(_._2).min, 0L) - 1L
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/.__index_compact_tmp")
+    graft.operators.Maintenance.deleteOrFail(fs, tmp)
+    spark.read
+      .parquet(victims.map(_._1.toString).toIndexedSeq: _*)
+      .select("__h")
+      .distinct()
+      .coalesce(math.max(1, (fs.getContentSummary(root).getLength / (128L * 1024 * 1024)).toInt))
+      .write
+      .parquet(tmp.toString)
+    graft.operators.Maintenance
+      .renameOrFail(fs, tmp, new org.apache.hadoop.fs.Path(s"$indexPath/ingest_batch=$mergedId"))
+    victims.foreach { case (p, _) => graft.operators.Maintenance.deleteOrFail(fs, p) }
   }
 
   /** Streaming exact-dedup ingest: each arriving documents file is

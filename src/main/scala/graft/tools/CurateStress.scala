@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   *   shared dup-position materialization, then the composed job) so
   *   the composed number can be read against its parts.
   *
+  * `runMain graft.tools.CurateStress zipf <corpusParquetDir> [shards]`
+  *   — the composed batch + incremental jobs on a HOT-KEY corpus
+  *   (same boilerplate sentence appended to every doc): proves the
+  *   compositions inherit the df-cap window bound (max window
+  *   partition ≤ SpanDfCap at any corpus size) and measures their
+  *   wall-clock under maximal span skew.
+  *
+  * `runMain graft.tools.CurateStress stream <corpusParquetDir> [batchRows]`
+  *   — the `curate_stream` steady state: backfill drain, then a
+  *   re-crawl file's drain against populated states from a checkpoint
+  *   restart — the batch verb's number plus engine overhead.
+  *
   * `runMain graft.tools.CurateStress ingest <corpusParquetDir> [batchRows]`
   *   — the INCREMENTAL loop (`Pipeline.curateIngest`): freeze the
   *   quality model from the corpus, backfill the whole corpus as
@@ -30,7 +42,192 @@ object CurateStress {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("ingest"))
       ingest(args.lift(1).getOrElse("/tmp/sf_stress"), args.lift(2).map(_.toInt).getOrElse(2000))
+    else if (args.headOption.contains("zipf"))
+      zipf(args.lift(1).getOrElse("/tmp/sf_stress"), args.lift(2).map(_.toInt).getOrElse(64))
+    else if (args.headOption.contains("stream"))
+      stream(args.lift(1).getOrElse("/tmp/sf_stress"), args.lift(2).map(_.toInt).getOrElse(2000))
+    else if (args.headOption.contains("batches"))
+      batches(
+        args.lift(1).getOrElse("/tmp/sf_stress"),
+        args.lift(2).map(_.toInt).getOrElse(120),
+        args.lift(3).map(_.toInt).getOrElse(200)
+      )
     else batch(args)
+
+  /** `batches <corpusParquetDir> [nBatches] [rowsPerBatch]` — probe
+    * cost over a LONG crawl: after a corpus backfill, run 100+ small
+    * re-crawl batches and report per-batch wall in windows, plus the
+    * index layout's partition/file counts. Without index
+    * self-compaction each batch leaves one more partition forever and
+    * the probe's open cost grows linearly with crawl AGE; with it the
+    * count is bounded and the steady-state number stays flat.
+    */
+  private def batches(corpusDir: String, nBatches: Int, rows: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = StressUtil.session()
+    val root = java.nio.file.Files.createTempDirectory("curate-batches").toString
+    val (model, spans, index, out) = (s"$root/lm", s"$root/spans", s"$root/index", s"$root/out")
+    val docs = spark.read
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    graft.operators.QualityModel.build(spark, docs, "doc_id", "text", model)
+    graft.pipeline.Pipeline.curateIngest(spark, docs, model, spans, index, out, 0L)
+    println(s"[curate-batches] backfill: $n docs; now $nBatches batches x $rows docs")
+    val times = (1 to nBatches).map { i =>
+      val b = docs
+        .limit(rows)
+        .select((col("doc_id") + i.toLong * 10000000L).as("doc_id"), col("text"))
+      val (_, t) =
+        StressUtil.timed(
+          graft.pipeline.Pipeline.curateIngest(spark, b, model, spans, index, out, i.toLong)
+        )
+      t
+    }
+    def win(a: Int, b: Int) = times.slice(a, b).sum / (b - a)
+    println(
+      f"[curate-batches] per-batch wall: batches 1-10 avg ${win(0, 10)}%.2f s, " +
+        f"${nBatches / 2 - 4}-${nBatches / 2 + 5} avg ${win(nBatches / 2 - 5, nBatches / 2 + 5)}%.2f s, " +
+        f"last 10 avg ${win(nBatches - 10, nBatches)}%.2f s (flat = probe cost independent of crawl age)"
+    )
+    val parts = new java.io.File(index)
+      .listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    println(
+      s"[curate-batches] index partitions after ${nBatches + 1} batches: $parts (bounded by self-compaction; unbounded = one per batch forever)"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
+
+  /** `zipf <corpusParquetDir> [shards]` — the COMPOSED jobs on a
+    * hot-key corpus: every doc gets the same boilerplate sentence
+    * appended (8 ultra-hot 3-grams, df = corpus size). SpanStress's
+    * zipf mode proves the feature pass's window-buffer bound in
+    * isolation; this run proves the COMPOSITIONS survive the same
+    * corpus — `curateCorpus` end to end, then a `curateIngest`
+    * steady-state batch against the populated states — reporting the
+    * max single window partition the composed span stage buffers
+    * (must be ≤ SpanDfCap regardless of corpus size) and wall-clock.
+    */
+  private def zipf(corpusDir: String, shards: Int): Unit = {
+    val spark = StressUtil.session()
+    graft.functions.GraftFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("curate-zipf").toString
+    val boiler = "the quick brown fox jumps over the lazy dog end"
+    spark.read
+      .parquet(s"$corpusDir/documents.parquet")
+      .withColumn("text", concat(col("text"), lit(" " + boiler)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write
+      .parquet(s"$root/zc/documents.parquet")
+    val zdir = s"$root/zc"
+    val docs = spark.read.parquet(s"$zdir/documents.parquet")
+    val n = docs.count()
+    println(s"[curate-zipf] corpus: $n docs, boilerplate df = $n per hot 3-gram")
+    // The structural number for the composed span stage: the largest
+    // window partition one task buffers under the df-cap split.
+    val dfs = docs
+      .select(
+        posexplode(
+          graft.functions.GraftFunctions.graft_shingles_pos(split(col("text"), "\\s+"))
+        ).as(Seq("pos", "h"))
+      )
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    val maxDf = dfs.agg(max(col("df"))).collect()(0).getLong(0)
+    val cap = graft.queries.TextQueries.SpanDfCap
+    val maxCold = dfs.filter(col("df") <= cap).agg(max(col("df"))).collect()(0).getLong(0)
+    println(
+      s"[curate-zipf] hot-key df = $maxDf; max window partition inside the composed span stage = " +
+        s"$maxCold (<= SpanDfCap = $cap at ANY corpus size; the hot spans ride the broadcast pre-flag)"
+    )
+    graft.queries.TextQueries.clearFeatureMemo()
+    val ((in, out), t) = StressUtil.timed(
+      graft.pipeline.Pipeline.curateCorpus(spark, zdir, s"$root/out", shards)
+    )
+    println(f"[curate-zipf] composed batch curate on the hot-key corpus: $t%.1f s, $in -> $out docs")
+    // Incremental twin: freeze + backfill, then a hot-key steady batch.
+    val (model, spans, index, iout) = (s"$root/lm", s"$root/spans", s"$root/index", s"$root/iout")
+    graft.operators.QualityModel.build(spark, docs, "doc_id", "text", model)
+    val ((_, acc0), t0) = StressUtil.timed(
+      graft.pipeline.Pipeline.curateIngest(spark, docs, model, spans, index, iout, 0L)
+    )
+    println(f"[curate-zipf] ingest backfill ($n docs, hot keys): $t0%.1f s, accepted $acc0")
+    val b1 = docs
+      .limit(2000)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+    val ((in1, acc1), t1) = StressUtil.timed(
+      graft.pipeline.Pipeline.curateIngest(spark, b1, model, spans, index, iout, 1L)
+    )
+    println(
+      f"[curate-zipf] ingest steady-state batch ($in1 docs vs hot-key states): $t1%.1f s, accepted $acc1"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
+
+  /** `stream <corpusParquetDir> [batchRows]` — the `curate_stream`
+    * steady state: backfill the corpus through the STREAMING verb
+    * (one drain), then drop a re-crawl-shaped file into the raw dir
+    * and time the second drain against the populated states — the
+    * batch `curate_ingest` number plus the engine's checkpoint/
+    * trigger/file-tracking overhead, measured rather than assumed.
+    */
+  private def stream(corpusDir: String, batchRows: Int): Unit = {
+    val spark = StressUtil.session()
+    val root = java.nio.file.Files.createTempDirectory("curate-stream-stress").toString
+    val (raw, model, spans, index, out, ckpt) =
+      (s"$root/raw", s"$root/lm", s"$root/spans", s"$root/index", s"$root/out", s"$root/ckpt")
+    new java.io.File(raw).mkdirs()
+    val docs = spark.read
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    graft.operators.QualityModel.build(spark, docs, "doc_id", "text", model)
+    // Backfill file dropped first; each drain is AvailableNow.
+    docs.coalesce(1).write.json(s"$root/j0")
+    moveJson(s"$root/j0", raw, "backfill")
+    val (_, t0) = StressUtil.timed {
+      graft.streaming.StreamingPipeline
+        .curateIngestStream(
+          spark, raw, model, spans, index, out, ckpt, graft.schemas.Schemas.documentIngest
+        )
+        .awaitTermination()
+    }
+    println(f"[curate-stream] backfill drain ($n docs -> states): $t0%.1f s")
+    docs
+      .limit(batchRows)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      .coalesce(1)
+      .write
+      .json(s"$root/j1")
+    moveJson(s"$root/j1", raw, "batch1")
+    val (_, t1) = StressUtil.timed {
+      graft.streaming.StreamingPipeline
+        .curateIngestStream(
+          spark, raw, model, spans, index, out, ckpt, graft.schemas.Schemas.documentIngest
+        )
+        .awaitTermination()
+    }
+    println(
+      f"[curate-stream] steady-state drain ($batchRows docs vs $n-doc states, restart from checkpoint): $t1%.1f s"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
+
+  private def moveJson(srcDir: String, dstDir: String, prefix: String): Unit =
+    new java.io.File(srcDir)
+      .listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.move(
+          f.toPath,
+          java.nio.file.Paths.get(dstDir, s"$prefix-$i.json")
+        )
+      }
 
   private def ingest(corpusDir: String, batchRows: Int): Unit = {
     import org.apache.spark.sql.functions._

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   *   O(batch)-not-O(state) claim, measured as bytes because at this sf
   *   seconds are overhead-dominated.
   *
+  * `runMain graft.tools.SpanStress compact <corpusParquetDir>`
+  *   — compaction cost vs bucket count: the same corpus is ingested
+  *   into states pinned at 64 and at 512 buckets (plus trailing small
+  *   batches so segments accumulate), then `compactSpanState` runs on
+  *   each. Writer tasks are budgeted by BYTES (`spanWriteTasks`), so
+  *   the two walls must match — compaction scales with data rewritten,
+  *   not with how the creation-time bucket choice sliced it; the
+  *   one-task-per-bucket shape this replaced would hand the 64-bucket
+  *   state 8× the per-task payload. Also times a --buckets re-shard
+  *   (64 -> 512) through the same path and verifies view identity.
+  *
   * `runMain graft.tools.SpanStress zipf <corpusParquetDir>`
   *   — the hot-key window bound: every corpus doc gets the SAME
   *   boilerplate sentence appended (8 ultra-hot 3-grams, df = corpus
@@ -28,7 +39,70 @@ import org.apache.spark.sql.functions._
 object SpanStress {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("zipf")) zipf(args.lift(1).getOrElse("/tmp/sf_stress"))
+    else if (args.headOption.contains("compact")) compact(args.lift(1).getOrElse("/tmp/sf_stress"))
     else ingest(args)
+  }
+
+  private def compact(corpusDir: String): Unit = {
+    val spark = StressUtil.session()
+    val root = java.nio.file.Files.createTempDirectory("span-compact-stress").toString
+    val corpus = spark.read
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = corpus.count()
+    println(s"[span-compact] corpus docs: $n")
+    val walls = Seq(64, 512).map { nb =>
+      val state = s"$root/spans_$nb"
+      graft.operators.Maintenance
+        .incrementalDupSpans(
+          spark, corpus, "doc_id", "text", state, Some(0L),
+          stateBuckets = nb, maxStateSegments = 99
+        )
+      // Trailing batches so every bucket holds multiple segments.
+      (1L to 3L).foreach { i =>
+        val b = corpus
+          .limit(200)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"), col("text"))
+        graft.operators.Maintenance.incrementalDupSpans(
+          spark, b, "doc_id", "text", state, Some(i),
+          stateBuckets = nb, maxStateSegments = 99
+        )
+      }
+      val bytes = {
+        def sz(f: java.io.File): Long =
+          if (f.isFile) f.length() else if (!f.exists()) 0L else f.listFiles().map(sz).sum
+        sz(new java.io.File(state))
+      }
+      val ((done, total), t) = StressUtil.timed(
+        graft.operators.Maintenance.compactSpanState(spark, state)
+      )
+      val target = graft.operators.Maintenance.SpanCompactTargetTaskBytes
+      val perTask = math.min(bytes, target)
+      val perBucketTask = bytes / nb
+      println(
+        f"[span-compact] buckets=$nb%-4d state ${bytes / 1024}%d KiB: compaction $t%.1f s ($done of $total partitions); " +
+          f"per-task payload bound ${perTask / 1024}%d KiB (budget-driven) vs ${perBucketTask / 1024}%d KiB under one-task-per-bucket"
+      )
+      (nb, t)
+    }
+    println(
+      f"[span-compact] wall ratio 512/64 buckets = ${walls.last._2 / walls.head._2}%.2f x. " +
+        "Per-task WRITE payload is budget-driven (min(state, target)/task at any bucket count; pre-fix it was " +
+        "state/buckets — ~1.5 TB/task for a 64-bucket 100 TB state). Residual wall growth at high bucket count " +
+        "is per-partition-dir commit overhead (one rename+listing per dir), linear in buckets and independent " +
+        "of data — the reason the default stays 64 with --buckets re-shard available, not a rewrite-size effect."
+    )
+    // Re-shard through the same path: 64 -> 512, view-invariant.
+    val state = s"$root/spans_64"
+    val viewBefore = graft.operators.Maintenance.spanStateView(spark, state).count()
+    val (_, tReshard) = StressUtil.timed(
+      graft.operators.Maintenance.compactSpanState(spark, state, newBuckets = Some(512))
+    )
+    val viewAfter = graft.operators.Maintenance.spanStateView(spark, state).count()
+    require(viewBefore == viewAfter, s"re-shard changed the view: $viewBefore != $viewAfter")
+    println(f"[span-compact] re-shard 64 -> 512 buckets: $tReshard%.1f s, view invariant ($viewAfter hashes)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
   }
 
   private def hpMtimes(p: String): Map[String, Long] = {
@@ -88,14 +162,20 @@ object SpanStress {
       )
       println(f"[span-stress] $label%-4s base ingest (builds state): $tBase%.1f s, extents=${e0.count()}")
       val before = hpMtimes(state)
+      graft.operators.SpanStateMeta.reset()
       val (_, tPart) = StressUtil.timed {
         graft.operators.Maintenance
           .incrementalDupSpans(spark, trickle(30000000L), "doc_id", "text", state, Some(1L))
           .count()
       }
+      val metaCalls = graft.operators.SpanStateMeta.count
       val after = hpMtimes(state)
       val touched = (before.keySet ++ after.keySet).count(k => before.get(k) != after.get(k))
       val appended = segBytes(state, 1L)
+      println(
+        s"[span-stress] $label trickle driver metadata calls: $metaCalls for $touched touched buckets " +
+          "(O(touched), manifest-driven tiering — never per accumulated segment)"
+      )
       val legacy = s"$root/legacy_$label"
       val legacyBytes = {
         graft.operators.Maintenance
@@ -130,14 +210,36 @@ object SpanStress {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       .limit(batchRows)
     val stateBytesBefore = dirBytes(new java.io.File(state))
+    graft.operators.SpanStateMeta.reset()
     val (e1, tBatch) = StressUtil.timed(
       graft.operators.Maintenance
         .incrementalDupSpans(spark, batch, "doc_id", "text", state, Some(2L))
     )
+    val batchMeta = graft.operators.SpanStateMeta.count
     val nExt = e1.count()
     val appended = segBytes(state, 2L)
     println(
-      f"[span-stress] batch ingest ($batchRows docs vs full state): $tBatch%.1f s, extents=$nExt, wrote ${appended / 1024}%d KiB vs ${stateBytesBefore / 1024}%d KiB state (${100.0 * appended / math.max(stateBytesBefore, 1)}%.1f%%)"
+      f"[span-stress] batch ingest ($batchRows docs vs full state): $tBatch%.1f s, extents=$nExt, wrote ${appended / 1024}%d KiB vs ${stateBytesBefore / 1024}%d KiB state (${100.0 * appended / math.max(stateBytesBefore, 1)}%.1f%%); $batchMeta driver metadata calls over 64 buckets"
+    )
+    // High-bucket-count hold: the SAME batch against a 512-bucket pin.
+    // The per-batch driver fan-out must stay a small constant per
+    // touched bucket (manifest-driven tiering), so the ingest number
+    // holds as the bucket count scales toward object-store reality.
+    val hb = s"$root/spans_hb"
+    graft.operators.Maintenance
+      .incrementalDupSpans(
+        spark, corpus, "doc_id", "text", hb, Some(0L), stateBuckets = 512
+      )
+    val hbBatch = batch.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    graft.operators.SpanStateMeta.reset()
+    val (e2, tHb) = StressUtil.timed(
+      graft.operators.Maintenance.incrementalDupSpans(spark, hbBatch, "doc_id", "text", hb, Some(1L))
+    )
+    val hbMeta = graft.operators.SpanStateMeta.count
+    val nExt2 = e2.count()
+    println(
+      f"[span-stress] batch ingest vs 512-BUCKET state: $tHb%.1f s, extents=$nExt2, $hbMeta driver metadata calls " +
+        f"(${hbMeta / 512.0}%.1f per touched bucket — O(touched buckets) at 8x the bucket count)"
     )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()

@@ -62,6 +62,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(indexRows == 3L, s"index holds one row per unique text, got $indexRows")
   }
 
+  test("incrementalDedup self-compacts the hash index at the file-count threshold") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-dedup-autocompact").toString + "/index.parquet"
+    def files: Int =
+      new java.io.File(index).listFiles().count(_.getName.endsWith(".parquet"))
+    (0 to 9).foreach { i =>
+      val b = Seq((i * 10L + 1, s"text $i"), (i * 10L + 2, s"text $i again")).toDF("doc_id", "text")
+      Maintenance.incrementalDedup(spark, b, "doc_id", "text", index, maxIndexFiles = 4)
+    }
+    assert(files <= 5, s"index file count must stay near the threshold, got $files")
+    // Compacted index still deduplicates exactly: every prior text
+    // rejected, fresh text accepted, index row count = distinct texts.
+    val probe = Seq((900L, "text 3"), (901L, "never seen")).toDF("doc_id", "text")
+    val acc = Maintenance
+      .incrementalDedup(spark, probe, "doc_id", "text", index, maxIndexFiles = 4)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(acc == Set(901L), s"compacted index must reject known content: $acc")
+    assert(
+      spark.read.parquet(index).distinct().count() == 21L,
+      "one hash row per distinct accepted text"
+    )
+  }
+
   test("upsert replaces same-key rows, keeps the rest, and is idempotent") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
@@ -630,6 +655,264 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e == Set((100L, 1, 7, 7L)), s"compacted state must serve the probe: $e")
   }
 
+  private def readManifest(state: String, hp: String): Map[String, Long] = {
+    val f = new java.io.File(s"$state/$hp/_segs")
+    if (!f.exists()) Map.empty
+    else
+      java.nio.file.Files
+        .readString(f.toPath)
+        .linesIterator
+        .filter(_.nonEmpty)
+        .map { l => val Array(n, b) = l.split("\t", 2); n -> b.trim.toLong }
+        .toMap
+  }
+
+  /** Visible bytes only — the local-fs `.crc` sidecars are invisible to
+    * Hadoop's getContentSummary, which the manifest records.
+    */
+  private def dirBytes(f: java.io.File): Long =
+    if (f.getName.startsWith(".")) 0L
+    else if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else f.listFiles().map(dirBytes).sum
+
+  test("_segs manifests track segment sizes through append and compaction; stale ones self-heal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-manifest").toString
+    val state = s"$root/spans"
+    def b(id: Long) = Seq((id, s"k1 k2 k3 k4 k5 k6 k7 v$id")).toDF("doc_id", "text")
+    (0L to 3L).foreach { i =>
+      Maintenance
+        .incrementalDupSpans(spark, b(i), "doc_id", "text", state, Some(i), maxStateSegments = 99)
+    }
+    // Every populated partition's manifest must mirror the disk exactly
+    // (names AND byte sizes) — the append maintains it without listing.
+    hpSnapshot(state).keys.foreach { k =>
+      val m = readManifest(state, k)
+      val disk = segDirs(state, k).map { s =>
+        s.stripPrefix("seg=") -> dirBytes(new java.io.File(s"$state/$k/$s"))
+      }.toMap
+      assert(m == disk, s"$k manifest $m != disk $disk")
+    }
+    // Tiered compaction rewrites the manifest to survivors + merged.
+    Maintenance
+      .incrementalDupSpans(spark, b(4L), "doc_id", "text", state, Some(4L), maxStateSegments = 2)
+    hpSnapshot(state).keys.foreach { k =>
+      val m = readManifest(state, k)
+      val disk = segDirs(state, k).map { s =>
+        s.stripPrefix("seg=") -> dirBytes(new java.io.File(s"$state/$k/$s"))
+      }.toMap
+      assert(m == disk, s"$k post-compaction manifest $m != disk $disk")
+    }
+    // A deleted (lost) manifest heals from a listing on next use.
+    val hp = hpSnapshot(state).keys.head
+    assert(new java.io.File(s"$state/$hp/_segs").delete())
+    Maintenance
+      .incrementalDupSpans(spark, b(5L), "doc_id", "text", state, Some(5L), maxStateSegments = 99)
+    val healed = readManifest(state, hp)
+    val diskNow = segDirs(state, hp).map { s =>
+      s.stripPrefix("seg=") -> dirBytes(new java.io.File(s"$state/$hp/$s"))
+    }.toMap
+    assert(healed == diskNow, s"healed manifest $healed != disk $diskNow")
+    // A phantom entry (dir gone, entry huge) must neither crash the
+    // planner nor survive the next compaction pass.
+    val phantom = diskNow + ("bghost" -> 1L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/$hp/_segs"),
+      phantom.toSeq.sorted.map { case (n, b2) => s"$n\t$b2" }.mkString("\n")
+    )
+    Maintenance
+      .incrementalDupSpans(spark, b(6L), "doc_id", "text", state, Some(6L), maxStateSegments = 2)
+    assert(
+      !readManifest(state, hp).contains("bghost"),
+      s"phantom entry must be dropped: ${readManifest(state, hp)}"
+    )
+    // And the semantic state still equals a one-shot build.
+    val oneShot = s"$root/oneshot"
+    val all = (0L to 6L).map(i => (i, s"k1 k2 k3 k4 k5 k6 k7 v$i")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, all, "doc_id", "text", oneShot, Some(0L))
+    assert(stateRows(state) == stateRows(oneShot), "manifest machinery must not affect the fold")
+  }
+
+  test("per-batch driver metadata calls stay O(touched buckets), independent of segment count") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-metacalls").toString
+    val state = s"$root/spans"
+    // Narrow vocab → few buckets, many segments: 12 ingests leave every
+    // touched partition holding ~12 segments.
+    def b(id: Long) = Seq((id, s"k1 k2 k3 k4 k5 k6 k7 v$id")).toDF("doc_id", "text")
+    (0L to 11L).foreach { i =>
+      Maintenance
+        .incrementalDupSpans(spark, b(i), "doc_id", "text", state, Some(i), maxStateSegments = 99)
+    }
+    graft.operators.SpanStateMeta.reset()
+    Maintenance
+      .incrementalDupSpans(spark, b(50L), "doc_id", "text", state, Some(50L), maxStateSegments = 99)
+    val calls = graft.operators.SpanStateMeta.count
+    // The batch holds 6 shingles → ≤ 6 touched buckets; the bound is a
+    // small constant per touched bucket (probe 2, append summary 1,
+    // manifest read+write 2) — NOT per segment, which at 12 segments
+    // per bucket would already blow through this ceiling.
+    assert(calls <= 6 * 6 + 8, s"metadata calls must not scale with segment count: $calls")
+  }
+
+  test("compactSpanState --buckets re-shards: view, probes, and applied-id marker survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("graft-spans-reshard").toString
+    val state = s"$root/spans"
+    // Wide vocab so many buckets populate, plus a shared run for probes.
+    val corpus = ((1 to 40)
+      .map(i => (i.toLong, (1 to 12).map(t => s"w${i}_$t").mkString(" "))) :+
+      (50L, "k1 k2 k3 k4 k5 k6 k7 pad1 pad2") :+
+      (51L, "k1 k2 k3 k4 k5 k6 k7 pad3 pad4"))
+      .toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, corpus, "doc_id", "text", state, Some(0L), stateBuckets = 8)
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((100L, "y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(1L),
+      stateBuckets = 8
+    )
+    assert(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$state/_buckets")).trim == "8"
+    )
+    val viewBefore = stateRows(state)
+    // Re-shard 8 -> 16: the pin must change, every partition rewritten.
+    val (done, total) = Maintenance.compactSpanState(spark, state, newBuckets = Some(16))
+    assert(done == total && total > 8, s"re-shard rewrites everything: $done of $total")
+    assert(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$state/_buckets")).trim == "16",
+      "bucket pin replaced"
+    )
+    assert(stateRows(state) == viewBefore, "re-shard must not change the state view")
+    // Rows actually live in their new-hash bucket: read each hp dir and
+    // check pmod(h, 16) == hp.
+    hpSnapshot(state).keys.foreach { k =>
+      val hp = k.stripPrefix("hp=").toInt
+      val bad = spark.read
+        .option("basePath", state)
+        .parquet(s"$state/$k")
+        .filter(org.apache.spark.sql.functions.pmod(col("h"), lit(16L)).cast("int") =!= hp)
+        .count()
+      assert(bad == 0L, s"$k holds $bad rows whose hash prefix belongs elsewhere")
+    }
+    // The exactly-once marker survives: a replay of the LAST ingest
+    // batch is still a fold no-op under the new sharding.
+    val snap = hpSnapshot(state)
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((100L, "y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(1L)
+    )
+    assert(hpSnapshot(state) == snap, "replay after re-shard must not re-append")
+    // Probes against the re-sharded state stay correct (cross-batch
+    // extent through the k-run), and the bucket parameter of the new
+    // ingest is ignored in favor of the new pin.
+    val e = Maintenance
+      .incrementalDupSpans(
+        spark,
+        Seq((200L, "z0 k1 k2 k3 k4 k5 k6 k7 z1 z2")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(2L),
+        stateBuckets = 8
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e == Set((200L, 1, 7, 7L)), s"re-sharded state must serve the probe: $e")
+    // Down-shard back to 4 — same invariants, and the one-shot replica
+    // over all ingested docs agrees with the final state.
+    val viewAfterIngest = stateRows(state)
+    Maintenance.compactSpanState(spark, state, newBuckets = Some(4))
+    assert(stateRows(state) == viewAfterIngest, "down-shard preserves the view")
+    assert(hpSnapshot(state).size <= 4, "down-shard consolidates the partition dirs")
+  }
+
+  test("compactSpanState sub-splits a big bucket's write across tasks (files ∝ bytes, not buckets)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-spans-subsplit").toString
+    val state = s"$root/spans"
+    // FEW buckets, many hashes: with one-task-per-bucket writes each
+    // bucket would be a single file however large it grows.
+    val corpus = (1 to 60)
+      .map(i => (i.toLong, (1 to 20).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, corpus, "doc_id", "text", state, Some(0L), stateBuckets = 2)
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((500L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(1L),
+      stateBuckets = 2
+    )
+    val viewBefore = stateRows(state)
+    // A tiny task budget forces the sub-split; the two buckets' merged
+    // segments must each land as MULTIPLE h-disjoint files.
+    Maintenance.compactSpanState(spark, state, targetTaskBytes = 8 * 1024)
+    val filesPerBucket = hpSnapshot(state).map { case (k, files) => k -> files.size }
+    assert(
+      filesPerBucket.values.exists(_ > 1),
+      s"sub-split must write >1 file for a bucket above the task budget: $filesPerBucket"
+    )
+    assert(stateRows(state) == viewBefore, "sub-split rewrite preserves the view")
+    // h-disjoint files: pushed-filter probes stay prunable — assert no
+    // h range overlap within a bucket via per-file min/max.
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    hpSnapshot(state).keys.foreach { k =>
+      val ranges = spark.read
+        .option("basePath", state)
+        .parquet(s"$state/$k")
+        .groupBy(input_file_name())
+        .agg(fmin(col("h")).as("mn"), fmax(col("h")).as("mx"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin, s"$k: file h-ranges overlap ($aMax >= $bMin)")
+        case _ =>
+      }
+    }
+  }
+
+  test("span_state_compact CLI verb re-shards via --buckets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-reshard-cli").toString
+    val state = s"$root/spans"
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((1L, "a1 a2 a3 a4 a5 a6"), (2L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(0L),
+      stateBuckets = 8
+    )
+    val viewBefore = stateRows(state)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "span_state_compact", "--state", state, "--buckets", "16"),
+      spark
+    )
+    assert(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$state/_buckets")).trim == "16"
+    )
+    assert(stateRows(state) == viewBefore, "CLI re-shard preserves the view")
+  }
+
   test("incrementalDupSpans: checkDocIdReuse fails a re-used id, passes replays and fresh ids") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spans-reuse").toString
@@ -676,6 +959,35 @@ class MaintenanceSpec extends AnyFunSuite {
       state,
       Some(2L)
     )
+  }
+
+  test("checkDocIdReuse fails fast on a non-integral id type instead of silently passing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-idtype").toString
+    val state = s"$root/spans"
+    Maintenance.incrementalDupSpans(
+      spark,
+      Seq((1L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text"),
+      "doc_id",
+      "text",
+      state,
+      Some(0L)
+    )
+    // A string-typed id casts to null on the gate's long comparison —
+    // the semi-join would match nothing and the audit would silently
+    // pass. It must refuse the type up front instead.
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.incrementalDupSpans(
+        spark,
+        Seq(("1", "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        state,
+        Some(1L),
+        checkDocIdReuse = true
+      )
+    }
+    assert(ex.getMessage.contains("integral"), s"type named in the failure: ${ex.getMessage}")
   }
 
   test("checkDocIdReuse: a crash-window replay (appended segments, lost marker) still passes") {

@@ -102,4 +102,49 @@ class QualityModelSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$model/v1").exists(), "older versions pruned")
     assert(new java.io.File(s"$model/v2").exists(), "immediate predecessor retained")
   }
+
+  test("retain=N keeps N predecessors for gate batches that outlive multiple retrains") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-qm-retain").toString
+    val model = s"$root/lm"
+    val ref = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    (1 to 4).foreach(_ => QualityModel.build(spark, ref, "doc_id", "text", model, retain = 2))
+    assert(!new java.io.File(s"$model/v1").exists(), "versions beyond the window pruned")
+    assert(
+      new java.io.File(s"$model/v2").exists() && new java.io.File(s"$model/v3").exists(),
+      "retain=2 keeps both predecessors of v4"
+    )
+    assert(new java.io.File(s"$model/v4").exists())
+  }
+
+  test("a legacy swap-layout model keeps its serving dirs through one flip, pruned on the next") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-qm-legacy").toString
+    val model = s"$root/lm"
+    // Fabricate the legacy layout: bare pair/ + uni/ at the root, no
+    // pointer — what the pre-versioning build wrote.
+    Seq(("a", "b", 4L)).toDF("w1", "w2", "c12").write.parquet(s"$model/pair")
+    Seq(("a", 4L)).toDF("w1", "c1").write.parquet(s"$model/uni")
+    val legacy = QualityModel
+      .gate(spark, Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(legacy.length == 1 && legacy(0).getBoolean(4), "legacy layout served as-is")
+    // First versioned build: a concurrent legacy-layout reader mid-batch
+    // must keep its serving dirs — same one-flip retention as v<n-1>.
+    QualityModel.build(spark, Seq((1L, "p q p q")).toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(
+      new java.io.File(s"$model/pair").exists() && new java.io.File(s"$model/uni").exists(),
+      "legacy dirs retained through the superseding flip"
+    )
+    // The next build prunes them (their retention window has passed).
+    QualityModel.build(spark, Seq((1L, "p q p q")).toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(
+      !new java.io.File(s"$model/pair").exists() && !new java.io.File(s"$model/uni").exists(),
+      "legacy dirs pruned after their retention flip"
+    )
+    val out = QualityModel
+      .gate(spark, Seq((9L, "p q")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(out.length == 1 && out(0).getBoolean(4), "versioned model serves after legacy pruning")
+  }
 }

@@ -340,6 +340,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == 1L && corpusIds == Seq(1L, 2L, 5L, 7L), "retry after mid-batch crash must land the doc")
   }
 
+  test("ingest index self-compacts: partition count bounded, probes exact, latest batch replayable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dedup-compact").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def indexParts: Seq[String] =
+      new java.io.File(index)
+        .listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+        .map(_.getName)
+        .sorted
+        .toSeq
+    // 10 batches at threshold 3: without compaction, 10 partition dirs.
+    (0L to 9L).foreach { i =>
+      val b = Seq((i * 10 + 1, s"t$i"), (i * 10 + 2, s"t$i dup" + i)).toDF("doc_id", "text")
+      StreamingPipeline.dedupIngestBatch(spark, b, corpus, index, i, maxIndexParts = 3)
+    }
+    assert(
+      indexParts.length <= 4,
+      s"partition fan-out must stay bounded at the threshold: $indexParts"
+    )
+    assert(indexParts.exists(_.startsWith("ingest_batch=-")), s"merged negative-id partition: $indexParts")
+    // Probe exactness after merges: every previously accepted text is
+    // still rejected, a fresh one accepted.
+    val probe = Seq((900L, "t3"), (901L, "brand new")).toDF("doc_id", "text")
+    val n = StreamingPipeline.dedupIngestBatch(spark, probe, corpus, index, 10L, maxIndexParts = 3)
+    assert(n == 1L, "merged index must still reject all previously accepted hashes")
+    val accepted10 = spark.read
+      .parquet(s"$corpus/ingest_batch=10")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(accepted10 == Set(901L), s"only the fresh doc lands: $accepted10")
+    // Replay of the LATEST batch (the only one that can replay) after
+    // its trigger-compacted index: identical accepted set.
+    StreamingPipeline.dedupIngestBatch(spark, probe, corpus, index, 10L, maxIndexParts = 3)
+    val replayed = spark.read
+      .parquet(s"$corpus/ingest_batch=10")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(replayed == Set(901L), s"replay after compaction converges: $replayed")
+    // Total index content = distinct hashes of everything accepted.
+    val hashes = spark.read.parquet(index).select("__h").distinct().count()
+    val corpusN = spark.read.parquet(corpus).count()
+    assert(hashes == corpusN, s"index holds one hash per accepted doc: $hashes vs $corpusN")
+  }
+
+  test("ingest index compaction: a crash between merge rename and victim deletes converges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dedup-ccrash").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    (0L to 4L).foreach { i =>
+      val b = Seq((i * 10 + 1, s"u$i")).toDF("doc_id", "text")
+      // High threshold: no compaction yet — we fabricate the crash.
+      StreamingPipeline.dedupIngestBatch(spark, b, corpus, index, i, maxIndexParts = 64)
+    }
+    // Fabricate: merged partition fully written (dup content of batches
+    // 0-3), victims NOT deleted — the rename-before-delete window.
+    spark.read
+      .parquet((0L to 3L).map(i => s"$index/ingest_batch=$i"): _*)
+      .select("__h")
+      .distinct()
+      .coalesce(1)
+      .write
+      .parquet(s"$index/ingest_batch=-1")
+    // Duplicate hashes across partitions must not double-reject or
+    // crash; a probe of known content is still rejected.
+    val probe = Seq((800L, "u2"), (801L, "fresh one")).toDF("doc_id", "text")
+    val n = StreamingPipeline.dedupIngestBatch(spark, probe, corpus, index, 5L, maxIndexParts = 3)
+    assert(n == 1L, "duplicate index rows across partitions must stay harmless")
+    // The trigger in that call swept the leftovers: victims merged away.
+    val parts = new java.io.File(index)
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName)
+      .toSeq
+    assert(parts.length <= 4, s"sweep must merge the crash leftovers: $parts")
+  }
+
   test("streaming dedup ingest end-to-end: files stream in, corpus stays dup-free") {
     val root = Files.createTempDirectory("graft-dedup-stream").toString
     val raw = s"$root/raw"
