@@ -350,8 +350,9 @@ object Pipeline {
   * [--target_task_mb M]` (read-optimize a segmented span state: merge
   * every partition's segments to one; `--buckets` re-shards the state
   * under a new bucket count), and
-  * `--maintenance build_quality_model --data D --model M` (freeze the
-  * LM quality model from a reference corpus), and
+  * `--maintenance build_quality_model --data D --model M [--retain N]`
+  * (freeze the LM quality model from a reference corpus; keep N
+  * predecessor versions for gate batches that outlive retrains), and
   * `--maintenance curate_ingest --batch B --model M --span_state S
   * --index I --out O --applied_id N [--min_keep_tokens K]`
   * (incremental curation of one crawl batch: frozen-LM gate → span
@@ -518,16 +519,18 @@ object PipelineRunner {
       case Some("build_quality_model") =>
         // Freeze the LM quality model from a reference corpus — the
         // scheduled retrain feeding curate_ingest's gate
-        // (QualityModel.build; tmp + atomic swap, prior model servable
-        // until the swap).
+        // (QualityModel.build; immutable version dir + overwrite-rename
+        // pointer flip, --retain N predecessors kept for readers).
         val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
         val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        val retain = opts.getOrElse("retain", "1").toInt
         graft.operators.QualityModel.build(
           spark,
           spark.read.parquet(s"$data/documents.parquet"),
           "doc_id",
           "text",
-          model
+          model,
+          retain
         )
         println(s"[maintenance] quality model frozen from $data into $model")
       case Some("curate_ingest") =>
