@@ -1200,6 +1200,54 @@ object Maintenance {
     (if (nbOut != nb) after else multi, after)
   }
 
+  /** Sizing snapshot of a segmented span-hash state — the observable
+    * an operator reads BEFORE deciding a `--buckets` re-shard (the
+    * span-state twin of `skewReport`/`clusterStats`). Byte sizes come
+    * from the `_segs` manifests (one small read per bucket on the
+    * bounded pool, healed from a listing where missing) — pure
+    * metadata, no data scan. `recommendedBuckets` applies the SCALE.md
+    * rule (state bytes / one compaction task's byte budget), floored
+    * at 1; a state whose pinned count is far from it is the re-shard
+    * signal.
+    */
+  final case class SpanStateReport(
+      buckets: Int,
+      totalBytes: Long,
+      maxBucketBytes: Long,
+      p50BucketBytes: Long,
+      maxSegments: Int,
+      recommendedBuckets: Int
+  )
+
+  def spanStateReport(
+      spark: SparkSession,
+      statePath: String,
+      targetTaskBytes: Long = SpanCompactTargetTaskBytes
+  ): SpanStateReport = {
+    require(targetTaskBytes > 0, "targetTaskBytes must be positive")
+    val fsPath = new HPath(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      fs.exists(new HPath(fsPath, "_buckets")),
+      s"$statePath is not a partitioned span state (no _buckets pin)"
+    )
+    val nb = stateBucketsOf(fs, fsPath, 64)
+    val perBucket = mapBucketParallel(listHpDirs(fs, fsPath)) { hpDir =>
+      val sizes = segSizesOf(fs, hpDir)
+      (sizes.values.sum, sizes.size)
+    }
+    val bytes = perBucket.map(_._1).sorted
+    val total = bytes.sum
+    SpanStateReport(
+      buckets = nb,
+      totalBytes = total,
+      maxBucketBytes = bytes.lastOption.getOrElse(0L),
+      p50BucketBytes = if (bytes.isEmpty) 0L else bytes(bytes.length / 2),
+      maxSegments = perBucket.map(_._2).maxOption.getOrElse(0),
+      recommendedBuckets = math.max(1L, math.ceil(total.toDouble / targetTaskBytes).toLong).toInt
+    )
+  }
+
   /** Exactly-once partitioned state fold over a hash-keyed state
     * (`h` + payload columns). `fold(oldDirty, partial)` sees ONLY the
     * dirty partitions' rows; the fold must be per-`h` and

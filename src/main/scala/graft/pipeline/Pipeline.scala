@@ -350,6 +350,8 @@ object Pipeline {
   * [--target_task_mb M]` (read-optimize a segmented span state: merge
   * every partition's segments to one; `--buckets` re-shards the state
   * under a new bucket count), and
+  * `--maintenance span_state_report --state S [--target_task_mb M]`
+  * (manifest-driven sizing snapshot + re-shard recommendation), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -579,6 +581,21 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] curate stream drained $raw into $out")
+      case Some("span_state_report") =>
+        // Sizing snapshot of a span state from its _segs manifests —
+        // pure metadata (Maintenance.spanStateReport); prints the
+        // re-shard recommendation under the SCALE.md sizing rule.
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val target = opts.getOrElse("target_task_mb", "512").toLong * 1024 * 1024
+        val r = graft.operators.Maintenance.spanStateReport(spark, state, target)
+        println(
+          s"[maintenance] span state report: buckets=${r.buckets} totalKiB=${r.totalBytes / 1024} " +
+            s"maxBucketKiB=${r.maxBucketBytes / 1024} p50BucketKiB=${r.p50BucketBytes / 1024} " +
+            s"maxSegments=${r.maxSegments} recommendedBuckets=${r.recommendedBuckets}" +
+            (if (r.recommendedBuckets > 2 * r.buckets || r.buckets > 2 * r.recommendedBuckets)
+               s" -- consider span_state_compact --buckets ${r.recommendedBuckets}"
+             else "")
+        )
       case Some("span_state_compact") =>
         // Read-optimize a segmented span-hash state: merge every
         // partition's segments down to one (Maintenance.compactSpanState

@@ -756,6 +756,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(calls <= 6 * 6 + 8, s"metadata calls must not scale with segment count: $calls")
   }
 
+  test("spanStateReport reads sizes from manifests and recommends the SCALE-rule bucket count") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spans-report").toString
+    val state = s"$root/spans"
+    val corpus = (1 to 30)
+      .map(i => (i.toLong, (1 to 15).map(t => s"r${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    Maintenance
+      .incrementalDupSpans(spark, corpus, "doc_id", "text", state, Some(0L), stateBuckets = 8)
+    val diskTotal = hpSnapshot(state).keys.map { k =>
+      segDirs(state, k).map(s => dirBytes(new java.io.File(s"$state/$k/$s"))).sum
+    }.sum
+    val r = Maintenance.spanStateReport(spark, state)
+    assert(r.buckets == 8)
+    assert(r.totalBytes == diskTotal, s"manifest total ${r.totalBytes} != disk $diskTotal")
+    assert(r.maxBucketBytes >= r.p50BucketBytes && r.maxSegments >= 1)
+    // The recommendation follows the byte budget: a tiny budget asks
+    // for ~one bucket per budget-chunk of state.
+    val fine = Maintenance.spanStateReport(spark, state, targetTaskBytes = 4096)
+    assert(
+      fine.recommendedBuckets == math.ceil(diskTotal / 4096.0).toInt,
+      s"recommendation must follow bytes/budget: ${fine.recommendedBuckets}"
+    )
+    // CLI smoke.
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "span_state_report", "--state", state),
+      spark
+    )
+  }
+
   test("compactSpanState --buckets re-shards: view, probes, and applied-id marker survive") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
