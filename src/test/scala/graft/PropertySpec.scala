@@ -466,6 +466,96 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span-state re-shard preserves the view and the incremental rule on random corpora") {
+    // A --buckets re-shard between two ingests must be invisible to
+    // both the state's semantic view and the batch-extent rule: the
+    // partition function changes, the content and probes must not.
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.choose(4, 8)
+      texts <- Gen.listOfN(k, docGen)
+      split <- Gen.choose(1, k - 1)
+      nb2 <- Gen.oneOf(1, 2, 3, 5, 9)
+    } yield (texts, split, nb2)
+    forAllSamples(corpusGen) { case (texts, split, nb2) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val (base, batch) = docs.splitAt(split)
+      val root = java.nio.file.Files.createTempDirectory("graft-reshardprop").toString
+      val state = s"$root/spans"
+      def rows(p: String) = operators.Maintenance
+        .spanStateView(spark, p)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      operators.Maintenance
+        .incrementalDupSpans(
+          spark, base.toDF("doc_id", "text"), "doc_id", "text", state, Some(0L),
+          stateBuckets = 4
+        )
+      val viewBefore = rows(state)
+      operators.Maintenance.compactSpanState(spark, state, newBuckets = Some(nb2))
+      assert(rows(state) == viewBefore, s"re-shard to $nb2 changed the view: base=$base")
+      val inc = operators.Maintenance
+        .incrementalDupSpans(spark, batch.toDF("doc_id", "text"), "doc_id", "text", state, Some(1L))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      val batchIds = batch.map(_._1).toSet
+      assert(
+        inc == refExtents(docs).filter(e => batchIds(e._1)),
+        s"post-reshard incremental rule drift: base=$base batch=$batch nb2=$nb2"
+      )
+    }
+  }
+
+  test("ingest-index self-compaction never changes accepted sets on random batch sequences") {
+    // Aggressive compaction (threshold 2 — triggering on almost every
+    // batch) must be invisible to the dedup semantics: the accepted
+    // corpus equals an uncompacted replica's on any batch sequence.
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val textGen = for {
+      n <- Gen.choose(1, 4)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val seqGen = for {
+      nb <- Gen.choose(5, 7)
+      batches <- Gen.listOfN(nb, Gen.listOfN(3, textGen))
+    } yield batches
+    forAllSamples(seqGen) { batches =>
+      val root = java.nio.file.Files.createTempDirectory("graft-idxprop").toString
+      def corpusSet(p: String) = spark.read
+        .parquet(p)
+        .select("doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSet
+      batches.zipWithIndex.foreach { case (texts, i) =>
+        val df = texts.zipWithIndex
+          .map { case (t, j) => (i * 100L + j, t) }
+          .toDF("doc_id", "text")
+        val nA = streaming.StreamingPipeline
+          .dedupIngestBatch(spark, df, s"$root/a/corpus", s"$root/a/index", i.toLong, maxIndexParts = 2)
+        val nB = streaming.StreamingPipeline
+          .dedupIngestBatch(spark, df, s"$root/b/corpus", s"$root/b/index", i.toLong, maxIndexParts = 64)
+        assert(nA == nB, s"accept count drift at batch $i on $batches")
+      }
+      assert(
+        corpusSet(s"$root/a/corpus") == corpusSet(s"$root/b/corpus"),
+        s"compaction changed the accepted corpus on $batches"
+      )
+      val partsA = new java.io.File(s"$root/a/index")
+        .listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      assert(partsA <= 3, s"threshold-2 index must stay bounded, got $partsA")
+    }
+  }
+
   test("curateIngest on a first batch equals curateCorpus on random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
