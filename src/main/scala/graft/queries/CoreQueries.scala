@@ -26,17 +26,37 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long and convert
-    * to a microsecond timestamp with integral `div` (a double division
-    * would lose precision: epoch-nanos ≈ 1.7e18 > 2^53). DuckDB performs
-    * the same ns→µs truncation when casting, so oracles agree.
+  /** Normalizes the events `ts` column to a session-TZ TIMESTAMP
+    * regardless of how the parquet was written. Generators have shipped
+    * it three ways:
+    *   - TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
+    *     read as long (`nanosAsLong`) and convert with integral `div`
+    *     (a double division would lose precision: epoch-nanos ≈ 1.7e18
+    *     > 2^53). DuckDB performs the same ns→µs truncation when
+    *     casting, so oracles agree.
+    *   - TIMESTAMP(MICROS) without tz metadata → TIMESTAMP_NTZ in
+    *     Spark but plain TIMESTAMP in DuckDB; cast to the session-TZ
+    *     type (UTC session ⇒ identical epoch) so downstream
+    *     `unix_micros`/watermark/window code sees one type.
+    *   - tz-adjusted TIMESTAMP → already the target type.
     */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type ${other.catalogString}; " +
+            "expected epoch-nanos BIGINT or a timestamp"
+        )
+    }
+
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   private def cents(c: Column): Column = floor(c * 100)

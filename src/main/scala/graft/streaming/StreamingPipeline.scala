@@ -18,13 +18,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingPipeline {
 
-  /** Events schema as the streaming source sees it (ts arrives as
-    * epoch-nanos long — same nanos workaround as the batch reader).
+  /** Default events schema for the streaming source when the directory
+    * is still empty at stream start (generators currently write `ts` as
+    * µs timestamps without tz metadata → TIMESTAMP_NTZ). A file stream
+    * needs an explicit schema; when files already exist we probe the
+    * real footer schema instead, so epoch-nanos-long archives keep
+    * working — `CoreQueries.normalizeEventTs` handles either shape.
     */
   val eventsRawSchema: StructType = StructType(
     Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -35,10 +39,14 @@ object StreamingPipeline {
   /** File-source stream over an events parquet directory. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema =
+      try {
+        val s = spark.read.parquet(dir).schema
+        if (s.fieldNames.contains("ts")) s else eventsRawSchema
+      } catch { case _: Exception => eventsRawSchema } // empty dir at start
+    graft.queries.CoreQueries.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir)
+    )
   }
 
   /** Windowed aggregation with a watermark: 5-minute tumbling windows
