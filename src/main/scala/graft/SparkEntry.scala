@@ -127,7 +127,8 @@ object SparkEntry {
     "q105_incremental_spans" -> (TextQueries.q105IncrementalSpans _),
     "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _),
     "q107_frozen_lm_gate" -> (TextQueries.q107FrozenLmGate _),
-    "q108_curate_steady" -> (TextQueries.q108CurateSteadyState _)
+    "q108_curate_steady" -> (TextQueries.q108CurateSteadyState _),
+    "q109_schema_drift" -> (CoreQueries.q109SchemaDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1577,6 +1578,22 @@ object SparkEntry {
         |WHERE f.doc_id % 2 = 1
         |  AND md5(f.clean_text) NOT IN (SELECT hh FROM h0)
         |  AND f.doc_id = (SELECT min(g.doc_id) FROM flo g
-        |                  WHERE g.doc_id % 2 = 1 AND md5(g.clean_text) = md5(f.clean_text))""".stripMargin
+        |                  WHERE g.doc_id % 2 = 1 AND md5(g.clean_text) = md5(f.clean_text))""".stripMargin,
+    // q109: schema-drift replay — the three generator versions' column
+    // visibility rules applied directly over documents (v1 = %3==0
+    // predates source and quality; v2 = %3==1 predates quality; v3 =
+    // %3==2 has both). Integer-cents quality sum per the money pattern.
+    "q109_schema_drift" ->
+      """WITH ev AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS source,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CASE WHEN doc_id % 3 = 2 THEN n_chars / 100.0 ELSE NULL END AS quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(floor(quality * 100)) AS BIGINT) AS q_cents,
+        |  count(source) AS with_source,
+        |  min(doc_id) AS id_lo, max(doc_id) AS id_hi
+        |FROM ev GROUP BY lang""".stripMargin
   )
 }

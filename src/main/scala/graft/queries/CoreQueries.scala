@@ -1048,4 +1048,93 @@ object CoreQueries {
         max(col("value")).as("max_value"),
         sum(cents(col("value"))).as("sum_value_cents")
       )
+
+  /** Schema-drift ingestion, oracle-checked end to end
+    * ([[graft.sources.Drift]]): three "generator versions" of the
+    * documents corpus are written to scratch parquet batches with
+    * drifting schemas — v1 (doc_id % 3 == 0) narrow with INT ids and
+    * char counts and NO source column; v2 (== 1) widened to BIGINT
+    * with source; v3 (== 2) adds a derived `quality` double plus a
+    * `crawler` column the target drops — then read back through
+    * `Drift.readConformed` (one scan per distinct schema, lossless
+    * upcasts, null-fill for predated columns) and aggregated per lang.
+    * The DuckDB oracle replays the drift rules directly over
+    * `documents`, so null-fill (`with_source` counts only v2/v3 rows),
+    * quality scoping (v3 only), and id widening are all hash-checked.
+    * Money-pattern integer cents keep the quality sum engine-exact.
+    * Demo INT ids are safe at test SFs (require-guarded); the OPERATOR
+    * never narrows — conform rejects lossy casts.
+    */
+  def q109SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = t(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft-q109")
+    val rows =
+      try {
+        d.agg(max(col("doc_id"))).collect().headOption.foreach { r =>
+          require(r.isNullAt(0) || r.getLong(0) <= Int.MaxValue, "demo INT batch needs int-range ids")
+        }
+        d.filter(col("doc_id") % 3 === 0)
+          .select(
+            col("doc_id").cast("int").as("doc_id"),
+            col("lang"),
+            col("n_chars").cast("int").as("n_chars")
+          )
+          .write
+          .parquet(root.resolve("batch=0").toString)
+        d.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write
+          .parquet(root.resolve("batch=1").toString)
+        d.filter(col("doc_id") % 3 === 2)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("source"),
+            col("n_chars"),
+            (col("n_chars") / lit(100.0)).as("quality"),
+            lit("v3").as("crawler")
+          )
+          .write
+          .parquet(root.resolve("batch=2").toString)
+        val target = StructType(
+          Seq(
+            StructField("doc_id", LongType),
+            StructField("lang", StringType),
+            StructField("source", StringType),
+            StructField("n_chars", LongType),
+            StructField("quality", DoubleType)
+          )
+        )
+        // Demo-query materialization (bounded: one row per lang) —
+        // results must outlive the scratch dir; the OPERATOR returns a
+        // DataFrame and never collects.
+        graft.sources.Drift
+          .readConformed(spark, root.toString, target)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(floor(col("quality") * 100)).cast("long").as("q_cents"),
+            count(col("source")).as("with_source"),
+            min(col("doc_id")).as("id_lo"),
+            max(col("doc_id")).as("id_hi")
+          )
+          .collect()
+          .toIndexedSeq
+          .map { r =>
+            (
+              r.getString(0),
+              r.getLong(1),
+              r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getLong(4),
+              r.getLong(5),
+              r.getLong(6)
+            )
+          }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("lang", "n_docs", "sum_chars", "q_cents", "with_source", "id_lo", "id_hi")
+  }
 }
