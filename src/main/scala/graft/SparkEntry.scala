@@ -128,7 +128,9 @@ object SparkEntry {
     "q106_lm_surprisal" -> (TextQueries.q106LmSurprisal _),
     "q107_frozen_lm_gate" -> (TextQueries.q107FrozenLmGate _),
     "q108_curate_steady" -> (TextQueries.q108CurateSteadyState _),
-    "q109_schema_drift" -> (CoreQueries.q109SchemaDrift _)
+    "q109_schema_drift" -> (CoreQueries.q109SchemaDrift _),
+    "q110_sequence_packing" -> (TextQueries.q110SequencePacking _),
+    "q111_pack_slices" -> (TextQueries.q111PackSlices _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1594,6 +1596,43 @@ object SparkEntry {
         |  CAST(sum(floor(quality * 100)) AS BIGINT) AS q_cents,
         |  count(source) AS with_source,
         |  min(doc_id) AS id_lo, max(doc_id) AS id_hi
-        |FROM ev GROUP BY lang""".stripMargin
+        |FROM ev GROUP BY lang""".stripMargin,
+    // q110: concat-then-chunk sequence packing over the q103 shuffle
+    // order. The oracle may use one global cumsum window (DuckDB runs
+    // at test sf); the ENGINE never does — two-pass prefix, plan-locked.
+    "q110_sequence_packing" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT doc_id, shard, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin,
+    // q111: the first 3 packs materialized with per-position doc
+    // provenance; replay = global cumsum + per-doc token unnest.
+    "q111_pack_slices" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM tk),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |ux AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': ts[i]})) AS u
+        |  FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ux)
+        |SELECT (start_tok + pos) // 2048 AS pack_id,
+        |  (start_tok + pos) % 2048 AS pos_in_pack,
+        |  doc_id, tok AS token
+        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin
   )
 }

@@ -1742,4 +1742,114 @@ object TextQueries {
       .withColumn("cum_chars", sum(col("n_chars")).over(w))
       .select(col("doc_id"), col("shard"), col("rk"), col("cum_chars"))
   }
+
+  /** Sequence-packing manifest (GPT-style concat-then-chunk): documents
+    * are laid out in the q103 deterministic shuffle order (shard, then
+    * (h, doc_id) within shard), their whitespace-token streams
+    * concatenated, and the stream chunked into fixed `budget`-token
+    * training sequences; a doc may straddle a pack boundary. The
+    * manifest maps every doc to its global token offset and the pack
+    * range it lands in — what a training-data loader actually needs to
+    * materialize pack k without touching any other pack.
+    *
+    * Scale shape: the global prefix sum is TWO passes, never a global
+    * window — (1) a within-shard running sum (window partitioned by
+    * shard: thousands of bounded partitions on a real corpus, same
+    * contract as q103), (2) per-shard totals (one row per shard)
+    * prefix-summed on the driver and broadcast-joined back as shard
+    * offsets. The driver state is O(shards) longs — the q103/export
+    * manifest bound, documented alongside the other bounded collects.
+    * A single `Window.orderBy` over the corpus (WindowExec on ONE task
+    * holding 100 TB of rows) is the shape this replaces; PlanShapeSpec
+    * locks its absence.
+    */
+  /** The packing layout both q110 and q111 share: per-doc GLOBAL token
+    * offsets in the q103 shuffle order via the two-pass prefix —
+    * within-shard running sum, then per-shard totals prefixed on the
+    * driver (bounded collect: one long per shard) broadcast back.
+    * Returns (doc_id, shard, start_tok, n_toks, end_tok).
+    */
+  private def packingLayout(spark: SparkSession, dir: String, nShards: Int): DataFrame = {
+    val base = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"),
+        h28(concat(lit("gs_"), col("doc_id").cast("string"))).as("h")
+      )
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val withCum = base.withColumn("cum", sum(col("n_toks")).over(w))
+    // Pass 2: per-shard totals → driver prefix → broadcast offsets.
+    // Bounded collect: one row per shard (8 here, thousands at scale).
+    val totals = withCum
+      .groupBy(col("shard"))
+      .agg(max(col("cum")).as("tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (s, tot)) => (s, acc + tot, acc) }
+      .drop(1)
+      .map { case (s, _, off) => (s, off) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("shard", "shard_off"))
+    withCum
+      .join(offDf, Seq("shard"))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        (col("shard_off") + col("cum") - col("n_toks")).as("start_tok"),
+        col("n_toks"),
+        (col("shard_off") + col("cum")).as("end_tok")
+      )
+  }
+
+  def q110SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    packingLayout(spark, dir, nShards = 8)
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack")
+      )
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  }
+
+  /** Pack MATERIALIZATION (q110's loader-side counterpart): build the
+    * first three 2048-token training sequences as (pack_id,
+    * pos_in_pack, doc_id, token) rows — the proof that a loader can
+    * materialize pack k in ISOLATION. The manifest prunes the corpus
+    * to the docs overlapping the requested pack window BEFORE any text
+    * is exploded (`start_tok < packs·budget` on the layout, a
+    * straddling doc contributes exactly its in-window prefix), so the
+    * exploded volume is O(requested packs · budget) tokens no matter
+    * the corpus size. Output provenance (doc_id per position) is what
+    * an attribution/contamination audit reads back.
+    */
+  def q111PackSlices(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val nPacks = 3L
+    val window = budget * nPacks
+    val sel = packingLayout(spark, dir, nShards = 8)
+      .filter(col("start_tok") < window)
+      .select(col("doc_id"), col("start_tok"))
+    sel
+      .join(docs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("start_tok"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token"))
+      )
+      .withColumn("gpos", col("start_tok") + col("pos"))
+      .filter(col("gpos") < window)
+      .select(
+        expr(s"gpos div $budget").as("pack_id"),
+        (col("gpos") % budget).as("pos_in_pack"),
+        col("doc_id"),
+        col("token")
+      )
+  }
 }

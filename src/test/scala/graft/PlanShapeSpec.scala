@@ -193,6 +193,47 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q110: packing prefix sum is two-pass — no global window, offsets broadcast") {
+    // The global token offset must come from a shard-partitioned
+    // running sum plus driver-prefixed per-shard offsets. A single
+    // Window.orderBy over the corpus (one task materializing every
+    // row) anywhere in the plan is the scale bug this query exists to
+    // avoid.
+    val df = queries.TextQueries.q110SequencePacking(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the packing plan")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"shard offsets must broadcast-join back:\n$plan")
+  }
+
+  test("q111: pack window prunes before the explode; no global window") {
+    // Materializing pack k must explode only the docs overlapping the
+    // pack window (the manifest prune), never the corpus: one explode,
+    // fed by the pruned join, and the same no-unpartitioned-window
+    // contract as q110.
+    val df = queries.TextQueries.q111PackSlices(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the pack-slice plan")
+    val plan = planOf(df)
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 explode:\n$plan")
+    // the explode's input must already be joined against the pruned
+    // manifest — i.e. the join sits BELOW the Generate in the plan tree
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(
+      gen.exists(_.child.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty),
+      "explode must consume the manifest-pruned join, not the raw corpus"
+    )
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row

@@ -600,4 +600,38 @@ class PropertySpec extends AnyFunSuite {
         )
     }
   }
+
+  test("q110 packing manifest tiles the token stream exactly") {
+    // The concat-then-chunk contract: doc offsets are contiguous in the
+    // (shard, h, doc_id) order with no gaps or overlaps, the stream's
+    // total length is the sum of doc lengths, and every doc's pack
+    // range is exactly the budget-chunk interval its offsets dictate.
+    val B = 2048L
+    val rows = graft.queries.TextQueries
+      .q110SequencePacking(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("start_tok"),
+          r.getAs[Long]("n_toks"),
+          r.getAs[Long]("first_pack"),
+          r.getAs[Long]("last_pack"),
+          r.getAs[Long]("n_packs")
+        )
+      )
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.head._1 == 0L, "stream starts at offset 0")
+    rows.sliding(2).foreach {
+      case Array((s1, n1, _, _, _), (s2, _, _, _, _)) =>
+        assert(s2 == s1 + n1, s"gap/overlap at offset $s2 (prev $s1+$n1)")
+      case _ => ()
+    }
+    rows.foreach { case (s, n, fp, lp, np) =>
+      assert(n >= 1L, "whitespace split yields at least one token")
+      assert(fp == s / B, s"first_pack: $fp vs ${s / B}")
+      assert(lp == (s + n - 1) / B, s"last_pack: $lp vs ${(s + n - 1) / B}")
+      assert(np == lp - fp + 1)
+    }
+  }
 }
