@@ -80,6 +80,15 @@ object Drift {
     * batches with (possibly) drifting schemas, conformed to `target`.
     * One scan per distinct footer schema; a root containing parquet
     * files directly is treated as a single batch.
+    *
+    * Batch-dir schemas come from the `_schemas` manifest when one
+    * exists ([[writeSchemaManifest]] — the ingest job maintains it, so
+    * plan-time driver work is ONE small file read however many batches
+    * the archive holds); dirs the manifest doesn't list (appended
+    * since) fall back to a footer read each, so a stale manifest is a
+    * slow plan, never a wrong one. (A manifest entry that MISSTATES a
+    * batch's schema fails at scan time — parquet rejects the
+    * mismatched expected schema — it cannot silently mis-conform.)
     */
   def readConformed(
       spark: SparkSession,
@@ -92,22 +101,85 @@ object Drift {
     val subdirs = fs
       .listStatus(rootPath)
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
-      .map(_.getPath.toString)
+      .map(_.getPath.getName)
       .sorted
-    val batches = if (subdirs.isEmpty) Seq(root) else subdirs.toSeq
-    // Footer read per batch dir (schema only — no data): group by the
-    // schema fingerprint so the PLAN scales with generator versions,
-    // not with batch count.
-    val byVersion: Seq[(StructType, Seq[String])] = batches
-      .map(b => (spark.read.parquet(b).schema, b))
-      .groupBy(_._1)
-      .map { case (s, bs) => (s, bs.map(_._2)) }
-      .toSeq
-      .sortBy(_._2.head)
+    val manifest = readSchemaManifest(fs, rootPath)
+    // Group by the normalized DDL string: a manifest-sourced schema and
+    // a footer-sourced one for the same version must land in ONE group
+    // (StructType equality is metadata-sensitive; DDL is not).
+    val byVersion: Seq[Seq[String]] =
+      if (subdirs.isEmpty) Seq(Seq(root))
+      else
+        subdirs.toSeq
+          .map { name =>
+            val ddl = manifest
+              .get(name)
+              .getOrElse(spark.read.parquet(s"$root/$name").schema)
+              .toDDL
+            (ddl, s"$root/$name")
+          }
+          .groupBy(_._1)
+          .values
+          .map(_.map(_._2))
+          .toSeq
+          .sortBy(_.head)
     byVersion
-      .map { case (_, dirs) =>
-        conform(spark.read.parquet(dirs: _*), target, allowLossy)
-      }
+      .map(dirs => conform(spark.read.parquet(dirs: _*), target, allowLossy))
       .reduce(_.unionByName(_))
+  }
+
+  private val ManifestFile = "_schemas/manifest.tsv"
+
+  /** Scans every batch dir's footer ONCE and records `<dirname> TAB
+    * <schema DDL>` lines under `_schemas/` — after which
+    * [[readConformed]]'s plan-time driver cost is one manifest read,
+    * not a footer read per batch. Idempotent full refresh; an ingest
+    * job appends its own line instead (any writer that just wrote the
+    * batch already knows the schema). Batch dir names must not contain
+    * tabs or newlines (enforced).
+    */
+  def writeSchemaManifest(spark: SparkSession, root: String): Int = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs
+      .listStatus(rootPath)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+      .sorted
+      .map { name =>
+        require(
+          !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"batch dir name '$name' contains manifest delimiters"
+        )
+        s"$name\t${spark.read.parquet(s"$root/$name").schema.toDDL}"
+      }
+    val tmp = new HPath(rootPath, s"$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename-with-overwrite: readers see the old or new manifest, never
+    // a partial one (same protocol as QualityModel's pointer flip)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new HPath(rootPath, ManifestFile), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    entries.length
+  }
+
+  private def readSchemaManifest(fs: FileSystem, rootPath: HPath): Map[String, StructType] = {
+    val p = new HPath(rootPath, ManifestFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator
+        .filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('\t')
+          line.substring(0, i) -> StructType.fromDDL(line.substring(i + 1))
+        }
+        .toMap
+    }
   }
 }

@@ -122,6 +122,26 @@ class DriftSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
+  test("schema manifest: one plan-time file read replaces per-batch footers; stale stays correct") {
+    val root = writeBatches() // 4 batch dirs, 3 distinct schemas
+    assert(Drift.writeSchemaManifest(spark, root) == 4)
+    // manifest-served read: identical values and identical plan shape
+    val out = Drift.readConformed(spark, root, target)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    val scans = "Scan parquet".r.findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(scans == 3, "manifest-served read keeps one scan per version")
+    // stale manifest: a batch appended AFTER the manifest (v1's schema
+    // again) must footer-probe and MERGE into v1's scan group — the
+    // normalized-DDL key joins manifest- and footer-sourced schemas
+    Seq((5, "e")).toDF("id", "name").write.parquet(s"$root/b4")
+    val out2 = Drift.readConformed(spark, root, target)
+    assert(out2.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val scans2 = "Scan parquet".r.findAllIn(out2.queryExecution.executedPlan.toString).length
+    assert(scans2 == 3, "stale-manifest fallback merges same-version batches into one scan")
+    // refresh picks up the new batch
+    assert(Drift.writeSchemaManifest(spark, root) == 5)
+  }
+
   test("q109 schema-drift query returns per-lang rows") {
     val out = queries.CoreQueries.q109SchemaDrift(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
