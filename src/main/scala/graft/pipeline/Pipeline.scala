@@ -352,6 +352,9 @@ object Pipeline {
   * under a new bucket count), and
   * `--maintenance span_state_report --state S [--target_task_mb M]`
   * (manifest-driven sizing snapshot + re-shard recommendation), and
+  * `--maintenance drift_manifest --root R` (refresh a drifting
+  * archive's `_schemas` manifest so `Drift.readConformed` plans from
+  * one file read instead of per-batch footers), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -610,6 +613,15 @@ object PipelineRunner {
         val (done, total) =
           graft.operators.Maintenance.compactSpanState(spark, state, nbOpt, target)
         println(s"[maintenance] span state compact: $done of $total partitions rewritten in $state")
+      case Some("drift_manifest") =>
+        // Refresh a drifting archive's `_schemas` manifest
+        // (Drift.writeSchemaManifest): after this, readConformed's
+        // plan-time driver cost is one small file read instead of a
+        // footer read per batch dir — the scheduled twin of the ingest
+        // job appending its own line.
+        val root = opts.getOrElse("root", sys.error("--root <archive dir> required"))
+        val n = graft.sources.Drift.writeSchemaManifest(spark, root)
+        println(s"[maintenance] drift manifest for $root: $n batch dir(s) recorded")
       case Some(other) => sys.error(s"unknown --maintenance verb: $other")
       case None =>
         val bucket = opts.getOrElse("bucket", sys.error("--bucket required"))

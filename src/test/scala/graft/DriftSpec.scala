@@ -142,6 +142,17 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.writeSchemaManifest(spark, root) == 5)
   }
 
+  test("drift_manifest CLI verb writes the manifest") {
+    val root = writeBatches()
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "drift_manifest", "--root", root),
+      spark
+    )
+    val out = Drift.readConformed(spark, root, target)
+    val scans = "Scan parquet".r.findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(scans == 3 && out.count() == 4)
+  }
+
   test("q109 schema-drift query returns per-lang rows") {
     val out = queries.CoreQueries.q109SchemaDrift(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
