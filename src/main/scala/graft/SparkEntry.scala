@@ -130,7 +130,8 @@ object SparkEntry {
     "q108_curate_steady" -> (TextQueries.q108CurateSteadyState _),
     "q109_schema_drift" -> (CoreQueries.q109SchemaDrift _),
     "q110_sequence_packing" -> (TextQueries.q110SequencePacking _),
-    "q111_pack_slices" -> (TextQueries.q111PackSlices _)
+    "q111_pack_slices" -> (TextQueries.q111PackSlices _),
+    "q112_pack_ingest" -> (TextQueries.q112PackIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1633,6 +1634,25 @@ object SparkEntry {
         |SELECT (start_tok + pos) // 2048 AS pack_id,
         |  (start_tok + pos) % 2048 AS pos_in_pack,
         |  doc_id, tok AS token
-        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin
+        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin,
+    // q112: incremental packing steady state — batch 1 (odds) laid out
+    // after batch 0 (evens): the odds' within-batch cumsum shifted by
+    // the evens' grand total.
+    "q112_pack_ingest" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |t0 AS (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS tot FROM b WHERE doc_id % 2 = 0),
+        |g AS (SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      + (SELECT tot FROM t0) AS cum
+        |  FROM b WHERE doc_id % 2 = 1)
+        |SELECT doc_id, shard, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin
   )
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Sequence packing (GPT-style concat-then-chunk) as a first-class
+  * operator: documents are laid out in the deterministic shuffle order
+  * (hash shard, then (hash, id) within shard), their whitespace-token
+  * streams concatenated, and the stream chunked into fixed
+  * `budget`-token training sequences. [[layout]]/[[manifest]] are the
+  * batch form (q110/q111 delegate here); [[packIngest]] is the
+  * INCREMENTAL form — the ingest-family member that lets a crawl loop
+  * emit pack manifests batch by batch against a persistent offset
+  * state, so the pack space grows append-only and already-emitted
+  * packs never move.
+  *
+  * Scale shape (both forms): the global prefix sum is two passes — a
+  * within-shard integer running sum (bounded window partitions) plus
+  * per-shard totals prefix-summed on the driver (O(shards) longs) and
+  * broadcast-joined back. Never a corpus-wide `Window.orderBy`.
+  */
+object Packing {
+
+  private def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Per-doc GLOBAL token offsets over `df` in the shuffle order.
+    * Returns (<idCol>, shard, start_tok, n_toks, end_tok); offsets
+    * start at `base` (0 for the batch form; the state's running total
+    * for the incremental form).
+    */
+  def layout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      base: Long = 0L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val prepared = df
+      .select(
+        col(idCol),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_toks"),
+        h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
+      )
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
+    // Pass 2: per-shard totals → driver prefix → broadcast offsets.
+    // Bounded collect: one row per shard (8 at test sf, thousands at
+    // scale — a few KB of longs).
+    val totals = withCum
+      .groupBy(col("shard"))
+      .agg(max(col("cum")).as("tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals
+      .scanLeft((0, base, base)) { case ((_, acc, _), (s, tot)) => (s, acc + tot, acc) }
+      .drop(1)
+      .map { case (s, _, off) => (s, off) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("shard", "shard_off"))
+    withCum
+      .join(offDf, Seq("shard"))
+      .select(
+        col(idCol),
+        col("shard"),
+        (col("shard_off") + col("cum") - col("n_toks")).as("start_tok"),
+        col("n_toks"),
+        (col("shard_off") + col("cum")).as("end_tok")
+      )
+  }
+
+  /** The packing manifest over a layout: pack range per doc. */
+  def manifest(lay: DataFrame, idCol: String, budget: Long): DataFrame =
+    lay
+      .select(
+        col(idCol),
+        col("shard"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack")
+      )
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+
+  /** Incremental packing: lay out ONE batch after everything already
+    * packed, against a persistent offset state. Batch K's tokens start
+    * at the state's running total (batch-major stream order: the
+    * within-batch order is the shuffle order, batches append in
+    * arrival order), so already-emitted pack ids are immutable — a
+    * loader can consume pack k the moment `k < total_after/budget`.
+    *
+    * State = `stateDir/bases/applied_id=<id>/` parquet rows
+    * (applied_id, base, total_after) — O(1) rows per applied batch,
+    * bytes-tiny. Replay convergence: an appliedId that already has a
+    * base row REUSES it (recompute-identical manifest); one that
+    * doesn't derives base = max(total_after) over prior rows and then
+    * records itself. Both crash windows converge: manifest-written/
+    * base-lost replays derive the same base (the batch's own row is
+    * absent either way); base-written/manifest-lost replays read the
+    * recorded base. Single-applier discipline as the rest of the
+    * ingest family (one crawl loop owns a state).
+    *
+    * Returns the batch's manifest (caller sinks it; the ingest CLI
+    * writes `out/pack_batch=<id>`).
+    */
+  def packIngest(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      appliedId: Long,
+      budget: Long = 2048L,
+      nShards: Int = 8
+  ): DataFrame = {
+    val basesRoot = new HPath(stateDir, "bases")
+    val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
+    val priorBases: Seq[(Long, Long, Long)] =
+      if (!fs.exists(basesRoot)) Seq.empty
+      else
+        spark.read
+          .option("basePath", basesRoot.toString)
+          .parquet(basesRoot.toString)
+          .select(col("applied_id").cast("long"), col("base"), col("total_after"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = priorBases.find(_._1 == appliedId) match {
+      case Some((_, b, _)) => b // replay: the recorded base, bit-identical rerun
+      case None            => priorBases.map(_._3).maxOption.getOrElse(0L)
+    }
+    val lay = layout(batch, idCol, textCol, nShards, base).localCheckpoint()
+    val batchTotal = lay
+      .agg(coalesce(max(col("end_tok")), lit(base)))
+      .collect()
+      .head
+      .getLong(0)
+    // Record (idempotent overwrite of the batch's OWN partition) only
+    // after the layout is pinned; any crash before this line replays
+    // to the same base.
+    import spark.implicits._
+    Seq((base, batchTotal))
+      .toDF("base", "total_after")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(ownDir.toString)
+    manifest(lay, idCol, budget)
+  }
+}

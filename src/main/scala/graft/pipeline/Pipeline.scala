@@ -355,6 +355,10 @@ object Pipeline {
   * `--maintenance drift_manifest --root R` (refresh a drifting
   * archive's `_schemas` manifest so `Drift.readConformed` plans from
   * one file read instead of per-batch footers), and
+  * `--maintenance pack_ingest --batch B --state S --out O
+  * --applied_id N [--budget T] [--shards K]` (incremental sequence
+  * packing: the batch's docs laid out after everything already packed;
+  * emitted pack ids never move), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -521,6 +525,34 @@ object PipelineRunner {
           .mode("overwrite")
           .parquet(out)
         println(s"[maintenance] dup spans: $batchPath probed against $state -> $out")
+      case Some("pack_ingest") =>
+        // Incremental sequence packing: lay one batch of documents out
+        // after everything already packed (Packing.packIngest — the
+        // persistent offset state makes emitted pack ids immutable),
+        // write the batch's manifest under out/pack_batch=<id>.
+        // Batch parquet shape: (doc_id, text). Replay of the same
+        // --applied_id converges (recorded base reused).
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
+        val applied = opts.getOrElse("applied_id", sys.error("--applied_id <N> required")).toLong
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        graft.operators.Packing
+          .packIngest(
+            spark,
+            spark.read.parquet(batchPath),
+            "doc_id",
+            "text",
+            state,
+            applied,
+            budget,
+            shards
+          )
+          .write
+          .mode("overwrite")
+          .parquet(s"$out/pack_batch=$applied")
+        println(s"[maintenance] pack ingest: $batchPath appended to $state -> $out/pack_batch=$applied")
       case Some("build_quality_model") =>
         // Freeze the LM quality model from a reference corpus — the
         // scheduled retrain feeding curate_ingest's gate

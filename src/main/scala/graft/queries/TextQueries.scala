@@ -1763,59 +1763,50 @@ object TextQueries {
     * holding 100 TB of rows) is the shape this replaces; PlanShapeSpec
     * locks its absence.
     */
-  /** The packing layout both q110 and q111 share: per-doc GLOBAL token
-    * offsets in the q103 shuffle order via the two-pass prefix —
-    * within-shard running sum, then per-shard totals prefixed on the
-    * driver (bounded collect: one long per shard) broadcast back.
-    * Returns (doc_id, shard, start_tok, n_toks, end_tok).
+  /** The packing layout both q110 and q111 share ([[graft.operators.Packing.layout]]):
+    * per-doc GLOBAL token offsets in the q103 shuffle order via the
+    * two-pass prefix. Returns (doc_id, shard, start_tok, n_toks,
+    * end_tok).
     */
-  private def packingLayout(spark: SparkSession, dir: String, nShards: Int): DataFrame = {
-    val base = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_toks"),
-        h28(concat(lit("gs_"), col("doc_id").cast("string"))).as("h")
-      )
-      .withColumn("shard", (col("h") % nShards).cast("int"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    val withCum = base.withColumn("cum", sum(col("n_toks")).over(w))
-    // Pass 2: per-shard totals → driver prefix → broadcast offsets.
-    // Bounded collect: one row per shard (8 here, thousands at scale).
-    val totals = withCum
-      .groupBy(col("shard"))
-      .agg(max(col("cum")).as("tot"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = totals
-      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (s, tot)) => (s, acc + tot, acc) }
-      .drop(1)
-      .map { case (s, _, off) => (s, off) }
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("shard", "shard_off"))
-    withCum
-      .join(offDf, Seq("shard"))
-      .select(
-        col("doc_id"),
-        col("shard"),
-        (col("shard_off") + col("cum") - col("n_toks")).as("start_tok"),
-        col("n_toks"),
-        (col("shard_off") + col("cum")).as("end_tok")
-      )
-  }
+  private def packingLayout(spark: SparkSession, dir: String, nShards: Int): DataFrame =
+    graft.operators.Packing
+      .layout(docs(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text", nShards)
 
-  def q110SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
-    packingLayout(spark, dir, nShards = 8)
-      .select(
-        col("doc_id"),
-        col("shard"),
-        col("start_tok"),
-        col("n_toks"),
-        expr(s"start_tok div $budget").as("first_pack"),
-        expr(s"(end_tok - 1) div $budget").as("last_pack")
-      )
-      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  def q110SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.manifest(packingLayout(spark, dir, nShards = 8), "doc_id", 2048L)
+
+  /** Incremental packing STEADY STATE, oracle-checked end to end
+    * ([[graft.operators.Packing.packIngest]]): the corpus splits by
+    * parity; batch 0 (evens) packs against an empty state (recording
+    * its running total), batch 1 (odds) then packs AFTER it — its
+    * offsets start at batch 0's total, so batch-0 pack ids are
+    * immutable the moment they are emitted (the append-only pack-space
+    * contract a training loader relies on). Output = batch 1's
+    * manifest; DuckDB replays it as the odds' within-batch cumsum
+    * shifted by the evens' grand total. Scratch-dir + bounded-collect
+    * demo materialization as q105/q107/q108 (production drives the
+    * `pack_ingest` CLI with parquet sinks).
+    */
+  def q112PackIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q112")
+    val rows =
+      try {
+        val state = root.resolve("packstate").toString
+        // batch 0: effects only (state row); its manifest is not the output
+        graft.operators.Packing
+          .packIngest(spark, d.filter(col("doc_id") % 2 === 0), "doc_id", "text", state, 0L)
+          .count()
+        graft.operators.Packing
+          .packIngest(spark, d.filter(col("doc_id") % 2 === 1), "doc_id", "text", state, 1L)
+          .collect()
+          .toIndexedSeq
+          .map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+          )
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("doc_id", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs")
   }
 
   /** Pack MATERIALIZATION (q110's loader-side counterpart): build the

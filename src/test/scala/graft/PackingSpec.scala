@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental sequence packing: append-only offset contract, replay
+  * convergence, and both crash windows of the base-recording protocol.
+  */
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-packing-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, (0 to i % 7).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+
+  private def manifestRows(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select(col("doc_id"), col("start_tok"), col("n_toks"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+
+  test("batches append: batch 1 starts at batch 0's total; the union tiles the stream") {
+    val root = Files.createTempDirectory("graft-pack").toString
+    val b0 = Packing.packIngest(spark, corpus(0 until 40), "doc_id", "text", s"$root/st", 0L)
+    val m0 = manifestRows(b0)
+    val t0 = m0.map(_._3).sum
+    assert(m0.head._2 == 0L)
+    val b1 = Packing.packIngest(spark, corpus(40 until 90), "doc_id", "text", s"$root/st", 1L)
+    val m1 = manifestRows(b1)
+    assert(m1.head._2 == t0, s"batch 1 must start at batch 0's total $t0, got ${m1.head._2}")
+    val all = m0 ++ m1
+    all.sliding(2).foreach {
+      case Seq((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1, "gap/overlap across batches")
+      case _                            => ()
+    }
+  }
+
+  test("replay of an applied id reuses the recorded base — bit-identical manifest") {
+    val root = Files.createTempDirectory("graft-pack-replay").toString
+    Packing.packIngest(spark, corpus(0 until 30), "doc_id", "text", s"$root/st", 0L).count()
+    val first = manifestRows(
+      Packing.packIngest(spark, corpus(30 until 60), "doc_id", "text", s"$root/st", 1L)
+    )
+    // a later batch lands, THEN batch 1 replays (crash-retry after
+    // others progressed): its base row pins the original offsets
+    Packing.packIngest(spark, corpus(60 until 80), "doc_id", "text", s"$root/st", 2L).count()
+    val replayed = manifestRows(
+      Packing.packIngest(spark, corpus(30 until 60), "doc_id", "text", s"$root/st", 1L)
+    )
+    assert(replayed == first, "replay must not move batch 1's offsets")
+  }
+
+  test("crash window: base row lost after manifest — replay derives the same base") {
+    val root = Files.createTempDirectory("graft-pack-crash").toString
+    Packing.packIngest(spark, corpus(0 until 25), "doc_id", "text", s"$root/st", 0L).count()
+    val first = manifestRows(
+      Packing.packIngest(spark, corpus(25 until 50), "doc_id", "text", s"$root/st", 1L)
+    )
+    // simulate the crash-before-base-record window: delete batch 1's row
+    val basesDir = new java.io.File(s"$root/st/bases/applied_id=1")
+    assert(basesDir.exists)
+    org.apache.commons.io.FileUtils.deleteDirectory(basesDir)
+    val replayed = manifestRows(
+      Packing.packIngest(spark, corpus(25 until 50), "doc_id", "text", s"$root/st", 1L)
+    )
+    assert(replayed == first, "derived base (max prior total) must equal the lost recorded base")
+  }
+
+  test("empty batch records base = total and moves nothing") {
+    val root = Files.createTempDirectory("graft-pack-empty").toString
+    Packing.packIngest(spark, corpus(0 until 20), "doc_id", "text", s"$root/st", 0L).count()
+    val empty = Packing.packIngest(
+      spark,
+      corpus(0 until 0),
+      "doc_id",
+      "text",
+      s"$root/st",
+      1L
+    )
+    assert(empty.count() == 0)
+    val next = manifestRows(
+      Packing.packIngest(spark, corpus(20 until 40), "doc_id", "text", s"$root/st", 2L)
+    )
+    val t0 = manifestRows(
+      Packing.packIngest(spark, corpus(0 until 20), "doc_id", "text", s"$root/st", 0L)
+    ).map(_._3).sum
+    assert(next.head._2 == t0, "an empty batch must not shift the stream")
+  }
+
+  test("pack_ingest CLI verb writes the batch-keyed manifest") {
+    val root = Files.createTempDirectory("graft-pack-cli").toString
+    corpus(0 until 15).write.parquet(s"$root/b0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_ingest",
+        "--batch", s"$root/b0",
+        "--state", s"$root/st",
+        "--out", s"$root/manifests",
+        "--applied_id", "0"
+      ),
+      spark
+    )
+    val m = spark.read.parquet(s"$root/manifests/pack_batch=0")
+    assert(m.count() == 15)
+    assert(m.columns.toSet.contains("first_pack"))
+  }
+}
