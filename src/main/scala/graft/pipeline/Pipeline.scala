@@ -359,6 +359,9 @@ object Pipeline {
   * --applied_id N [--budget T] [--shards K]` (incremental sequence
   * packing: the batch's docs laid out after everything already packed;
   * emitted pack ids never move), and
+  * `--maintenance pack_stream --raw R --state S --out O --checkpoint C
+  * [--budget T] [--shards K]` (the same per arriving document JSON
+  * file, engine-tracked exactly-once), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -616,6 +619,24 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] curate stream drained $raw into $out")
+      case Some("pack_stream") =>
+        // Streaming incremental packing over arriving document JSON
+        // files: packIngest per micro-batch, manifests batch-keyed
+        // (StreamingPipeline.packIngestStream). Document JSON shape:
+        // {"doc_id": long, "text": string}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        graft.streaming.StreamingPipeline
+          .packIngestStream(
+            spark, raw, state, out, ckpt,
+            graft.schemas.Schemas.documentIngest, budget, shards
+          )
+          .awaitTermination()
+        println(s"[maintenance] pack stream drained $raw into $out")
       case Some("span_state_report") =>
         // Sizing snapshot of a span state from its _segs manifests —
         // pure metadata (Maintenance.spanStateReport); prints the

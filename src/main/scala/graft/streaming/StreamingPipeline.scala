@@ -701,6 +701,52 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming incremental packing: each arriving document file is laid
+    * out after everything already packed
+    * ([[graft.operators.Packing.packIngest]] keyed by the foreachBatch
+    * id — replay-convergent), its manifest written batch-keyed. Emitted
+    * pack ids never move, so a training loader can tail `outDir` and
+    * consume packs while the crawl still ingests. Idle trigger firings
+    * touch nothing (no state row, no output partition). Typically fed
+    * by `curate_stream`'s accepted output — curation emits clean docs,
+    * packing turns them into training sequences.
+    */
+  def packIngestStream(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      budget: Long = 2048L,
+      nShards: Int = 8
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Packing
+            .packIngest(
+              spark,
+              batch.select(col("doc_id"), col("text")),
+              "doc_id",
+              "text",
+              statePath,
+              batchId,
+              budget,
+              nShards
+            )
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/pack_batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming semantic-dedup ingest: each arriving embeddings file is
     * SemDeDup'd against the persistent IVF index and within itself,
     * survivors join the index — the embedding twin of [[dedupIngest]]

@@ -940,4 +940,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.count() == 1)
     assert(users.collect()(0).getAs[String]("user_id") == "7")
   }
+
+  test("pack stream: arriving files pack after everything already packed; drained restart adds nothing") {
+    val root = Files.createTempDirectory("graft-pack-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_stream",
+        "--raw", raw,
+        "--state", s"$root/st",
+        "--out", s"$root/m",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"a b"}
+         |{"doc_id":2,"text":"c d e"}
+         |{"doc_id":3,"text":"f g h i"}""".stripMargin
+    )
+    run()
+    val b0 = spark.read.parquet(s"$root/m/pack_batch=0")
+    assert(b0.count() == 3)
+    // second file arrives; a NEW run against the same checkpoint packs
+    // it as batch 1, offset past batch 0's 9 tokens
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":10,"text":"x y z"}
+         |{"doc_id":11,"text":"p q"}""".stripMargin
+    )
+    run()
+    val all = spark.read
+      .option("basePath", s"$root/m")
+      .parquet(s"$root/m")
+      .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("start_tok"), org.apache.spark.sql.functions.col("n_toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(all.length == 5)
+    assert(all.head._2 == 0L)
+    all.sliding(2).foreach {
+      case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1, "stream tiling broken")
+      case _                              => ()
+    }
+    val b1Min = spark.read
+      .parquet(s"$root/m/pack_batch=1")
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("start_tok")))
+      .collect()
+      .head
+      .getLong(0)
+    assert(b1Min == 9L, "batch 1 must start at batch 0's total")
+    // drained restart: nothing arrives, nothing changes
+    run()
+    assert(
+      spark.read.option("basePath", s"$root/m").parquet(s"$root/m").count() == 5,
+      "restart with a drained source must add nothing"
+    )
+  }
 }
