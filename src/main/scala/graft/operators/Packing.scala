@@ -105,6 +105,17 @@ object Packing {
     * recorded base. Single-applier discipline as the rest of the
     * ingest family (one crawl loop owns a state).
     *
+    * The state SELF-COMPACTS: past `compactEvery` per-batch dirs, all
+    * known rows (previous consolidation + every per-batch dir) are
+    * rewritten as one versioned `compact_v<n>` dir BEFORE the
+    * per-batch dirs and older versions are deleted. A base, once
+    * recorded, never changes, so every crash point leaves a superset
+    * of AGREEING rows — and the state read stays O(1) files however
+    * long the crawl runs. (Measured: without this, per-batch wall
+    * drifts up with crawl age from the base-file open fan-out alone —
+    * CurateStress pack mode.) Both layouts are read via EXPLICIT path
+    * lists (never a root glob), so they coexist without name games.
+    *
     * Returns the batch's manifest (caller sinks it; the ingest CLI
     * writes `out/pack_batch=<id>`).
     */
@@ -116,21 +127,60 @@ object Packing {
       stateDir: String,
       appliedId: Long,
       budget: Long = 2048L,
-      nShards: Int = 8
+      nShards: Int = 8,
+      compactEvery: Int = 64
   ): DataFrame = {
+    require(appliedId >= 0L, "appliedId must be non-negative")
     val basesRoot = new HPath(stateDir, "bases")
     val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
-    val priorBases: Seq[(Long, Long, Long)] =
+    def batchDirs(): Seq[String] =
       if (!fs.exists(basesRoot)) Seq.empty
       else
-        spark.read
-          .option("basePath", basesRoot.toString)
-          .parquet(basesRoot.toString)
-          .select(col("applied_id").cast("long"), col("base"), col("total_after"))
-          .collect()
+        fs.listStatus(basesRoot)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("applied_id="))
+          .map(_.getPath.toString)
           .toIndexedSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def compactVersions(): Seq[(Int, HPath)] =
+      if (!fs.exists(basesRoot)) Seq.empty
+      else
+        fs.listStatus(basesRoot)
+          .map(_.getPath)
+          .flatMap { p =>
+            val n = p.getName
+            if (n.startsWith("compact_v") && n.drop("compact_v".length).forall(_.isDigit))
+              Some((n.drop("compact_v".length).toInt, p))
+            else None
+          }
+          .toIndexedSeq
+          .sortBy(_._1)
+    def readRows(): Seq[(Long, Long, Long)] = {
+      val dirs = batchDirs()
+      val fromDirs =
+        if (dirs.isEmpty) Seq.empty
+        else
+          spark.read
+            .option("basePath", basesRoot.toString)
+            .parquet(dirs: _*)
+            .select(col("applied_id").cast("long"), col("base"), col("total_after"))
+            .collect()
+            .toIndexedSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val fromCompact = compactVersions().lastOption match {
+        case None => Seq.empty
+        case Some((_, p)) =>
+          spark.read
+            .parquet(p.toString)
+            .select(col("applied_id"), col("base"), col("total_after"))
+            .collect()
+            .toIndexedSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      // duplicates across layouts agree (a recorded base is immutable);
+      // keep one row per id
+      (fromCompact ++ fromDirs).groupBy(_._1).map(_._2.head).toIndexedSeq
+    }
+    val priorBases = readRows()
     val base = priorBases.find(_._1 == appliedId) match {
       case Some((_, b, _)) => b // replay: the recorded base, bit-identical rerun
       case None            => priorBases.map(_._3).maxOption.getOrElse(0L)
@@ -151,6 +201,23 @@ object Packing {
       .write
       .mode("overwrite")
       .parquet(ownDir.toString)
+    // Self-compaction: new consolidated version FIRST (all rows, own
+    // included), then per-batch dirs, then older versions — every
+    // crash point keeps the full agreeing row set readable.
+    val dirsNow = batchDirs()
+    if (dirsNow.length > compactEvery) {
+      val versions = compactVersions()
+      val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
+      val allRows = readRows()
+      allRows
+        .toDF("applied_id", "base", "total_after")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(new HPath(basesRoot, s"compact_v$next").toString)
+      dirsNow.foreach(d => fs.delete(new HPath(d), true))
+      versions.foreach { case (_, p) => fs.delete(p, true) }
+    }
     manifest(lay, idCol, budget)
   }
 }

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *   re-crawl file's drain against populated states from a checkpoint
   *   restart — the batch verb's number plus engine overhead.
   *
+  * `runMain graft.tools.CurateStress pack <corpusParquetDir> [nBatches] [rowsPerBatch]`
+  *   — incremental packing over a long crawl: per-batch wall windows
+  *   must stay flat as the pack space ages (layout O(batch), offset
+  *   state tiny).
+  *
   * `runMain graft.tools.CurateStress ingest <corpusParquetDir> [batchRows]`
   *   — the INCREMENTAL loop (`Pipeline.curateIngest`): freeze the
   *   quality model from the corpus, backfill the whole corpus as
@@ -52,7 +57,61 @@ object CurateStress {
         args.lift(2).map(_.toInt).getOrElse(120),
         args.lift(3).map(_.toInt).getOrElse(200)
       )
+    else if (args.headOption.contains("pack"))
+      pack(
+        args.lift(1).getOrElse("/tmp/sf_stress"),
+        args.lift(2).map(_.toInt).getOrElse(120),
+        args.lift(3).map(_.toInt).getOrElse(200)
+      )
     else batch(args)
+
+  /** `pack <corpusParquetDir> [nBatches] [rowsPerBatch]` — incremental
+    * packing over a LONG crawl: backfill the corpus as batch 0, then
+    * run 100+ small batches through `Packing.packIngest` (manifest
+    * written batch-keyed, as the CLI does). The claim under test:
+    * per-batch wall is FLAT as the pack space ages — the layout is
+    * O(batch) and the offset-state read is a scan of tiny
+    * one-row-per-batch files, never the manifests.
+    */
+  private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = StressUtil.session()
+    val root = java.nio.file.Files.createTempDirectory("pack-batches").toString
+    val docs = spark.read
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    graft.operators.Packing
+      .packIngest(spark, docs, "doc_id", "text", s"$root/st", 0L)
+      .write
+      .mode("overwrite")
+      .parquet(s"$root/m/pack_batch=0")
+    println(s"[pack-batches] backfill: $n docs; now $nBatches batches x $rows docs")
+    val times = (1 to nBatches).map { i =>
+      val b = docs
+        .limit(rows)
+        .select((col("doc_id") + i.toLong * 10000000L).as("doc_id"), col("text"))
+      val (_, t) = StressUtil.timed {
+        graft.operators.Packing
+          .packIngest(spark, b, "doc_id", "text", s"$root/st", i.toLong)
+          .write
+          .mode("overwrite")
+          .parquet(s"$root/m/pack_batch=$i")
+      }
+      t
+    }
+    def win(a: Int, b: Int) = times.slice(a, b).sum / (b - a)
+    val stateKiB = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(s"$root/st")) / 1024
+    println(
+      f"[pack-batches] per-batch wall: batches 1-10 avg ${win(0, 10)}%.2f s, " +
+        f"${nBatches / 2 - 4}-${nBatches / 2 + 5} avg ${win(nBatches / 2 - 5, nBatches / 2 + 5)}%.2f s, " +
+        f"last 10 avg ${win(nBatches - 10, nBatches)}%.2f s (flat = cost independent of pack-space age); " +
+        f"offset state after ${nBatches + 1} batches: $stateKiB KiB"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
 
   /** `batches <corpusParquetDir> [nBatches] [rowsPerBatch]` — probe
     * cost over a LONG crawl: after a corpus backfill, run 100+ small

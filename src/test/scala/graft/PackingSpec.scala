@@ -96,6 +96,32 @@ class PackingSpec extends AnyFunSuite {
     assert(next.head._2 == t0, "an empty batch must not shift the stream")
   }
 
+  test("offset state self-compacts; replay of a consolidated id still pins its base") {
+    val root = Files.createTempDirectory("graft-pack-compact").toString
+    val st = s"$root/st"
+    def ingest(id: Long, ids: Range) =
+      Packing.packIngest(spark, corpus(ids), "doc_id", "text", st, id, compactEvery = 5)
+    val firsts = (0 until 12).map { i =>
+      manifestRows(ingest(i.toLong, (i * 10) until (i * 10 + 10)))
+    }
+    val dirCount = new java.io.File(s"$st/bases")
+      .listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("applied_id="))
+    assert(dirCount <= 6, s"per-batch dirs must stay bounded by compaction, got $dirCount")
+    assert(
+      new java.io.File(s"$st/bases").listFiles().exists(_.getName.startsWith("compact_v")),
+      "consolidated version expected"
+    )
+    // replay an id whose row lives only in the consolidation
+    val replay0 = manifestRows(ingest(0L, 0 until 10))
+    assert(replay0 == firsts.head, "consolidated base must pin the replayed manifest")
+    // crash window: per-batch dirs survive a compaction (deletes lost)
+    // — duplicated agreeing rows must not confuse the next batch
+    val t11 = firsts.flatten.map(_._3).sum
+    val next = manifestRows(ingest(12L, 120 until 130))
+    assert(next.head._2 == t11, "duplicate agreeing rows must not move the stream")
+  }
+
   test("pack_ingest CLI verb writes the batch-keyed manifest") {
     val root = Files.createTempDirectory("graft-pack-cli").toString
     corpus(0 until 15).write.parquet(s"$root/b0")
