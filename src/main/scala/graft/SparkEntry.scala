@@ -131,7 +131,8 @@ object SparkEntry {
     "q109_schema_drift" -> (CoreQueries.q109SchemaDrift _),
     "q110_sequence_packing" -> (TextQueries.q110SequencePacking _),
     "q111_pack_slices" -> (TextQueries.q111PackSlices _),
-    "q112_pack_ingest" -> (TextQueries.q112PackIngest _)
+    "q112_pack_ingest" -> (TextQueries.q112PackIngest _),
+    "q113_mixture_packing" -> (TextQueries.q113MixturePacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1650,6 +1651,22 @@ object SparkEntry {
         |      + (SELECT tot FROM t0) AS cum
         |  FROM b WHERE doc_id % 2 = 1)
         |SELECT doc_id, shard, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin,
+    // q113: per-source stratified packing — one cumsum window per
+    // source partition replays the engine's per-(source,shard) prefix.
+    "q113_mixture_packing" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, CAST(h % 8 AS INTEGER) AS shard, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT doc_id, source, shard, cum - n_toks AS start_tok, n_toks,
         |  (cum - n_toks) // 2048 AS first_pack,
         |  (cum - 1) // 2048 AS last_pack,
         |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs

@@ -74,6 +74,76 @@ object Packing {
       )
   }
 
+  /** Group-stratified layout: each `groupCol` value (a source/domain)
+    * is its OWN token stream starting at offset 0 — the shape mixture
+    * control needs (domain-pure packs let a training schedule draw
+    * pack COUNTS per domain instead of re-shuffling documents). Same
+    * two-pass prefix per group: within-(group, shard) running sums,
+    * then per-(group, shard) totals prefixed on the driver — the
+    * bounded collect is groups × shards rows (dozens of domains ×
+    * thousands of shards ⇒ MBs of longs at worst) — broadcast back.
+    * Returns (<idCol>, <groupCol>, shard, start_tok, n_toks, end_tok)
+    * with offsets per group.
+    */
+  def layoutBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      nShards: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val prepared = df
+      .select(
+        col(idCol),
+        col(groupCol),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_toks"),
+        h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
+      )
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy(col(groupCol), col("shard")).orderBy(col("h"), col(idCol))
+    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
+    val totals = withCum
+      .groupBy(col(groupCol), col("shard"))
+      .agg(max(col("cum")).as("tot"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+      .toIndexedSeq
+    val offsets = totals
+      .groupBy(_._1)
+      .toIndexedSeq
+      .flatMap { case (g, rows) =>
+        rows
+          .sortBy(_._2)
+          .scanLeft((g, 0, 0L, 0L)) { case ((_, _, acc, _), (_, s, tot)) => (g, s, acc + tot, acc) }
+          .drop(1)
+          .map { case (_, s, _, off) => (g, s, off) }
+      }
+    import spark.implicits._
+    val offDf = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            df.schema(groupCol).copy(name = groupCol),
+            org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("shard_off", org.apache.spark.sql.types.LongType)
+          )
+        )
+      )
+    )
+    withCum
+      .join(offDf, Seq(groupCol, "shard"))
+      .select(
+        col(idCol),
+        col(groupCol),
+        col("shard"),
+        (col("shard_off") + col("cum") - col("n_toks")).as("start_tok"),
+        col("n_toks"),
+        (col("shard_off") + col("cum")).as("end_tok")
+      )
+  }
+
   /** The packing manifest over a layout: pack range per doc. */
   def manifest(lay: DataFrame, idCol: String, budget: Long): DataFrame =
     lay

@@ -1809,6 +1809,39 @@ object TextQueries {
     rows.toDF("doc_id", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs")
   }
 
+  /** Mixture-STRATIFIED packing ([[graft.operators.Packing.layoutBy]]):
+    * every source/domain is its own token stream starting at offset 0,
+    * chunked into domain-pure packs — the layout mixture control
+    * needs: a training schedule then draws pack COUNTS per domain
+    * (e.g. 30% web, 30% code, 40% books) without re-shuffling
+    * documents, and reweighting the mixture never invalidates emitted
+    * packs. Offsets are per (source) via per-(source, shard) running
+    * sums + a groups × shards driver prefix (bounded collect,
+    * broadcast back); DuckDB replays with one cumsum window per
+    * source partition (oracle may, engine never).
+    */
+  def q113MixturePacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    graft.operators.Packing
+      .layoutBy(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "doc_id",
+        "text",
+        "source",
+        nShards = 8
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("shard"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack")
+      )
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  }
+
   /** Pack MATERIALIZATION (q110's loader-side counterpart): build the
     * first three 2048-token training sequences as (pack_id,
     * pos_in_pack, doc_id, token) rows — the proof that a loader can

@@ -234,6 +234,15 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q113: stratified packing keeps the two-pass shape — no global window, offsets broadcast") {
+    val df = queries.TextQueries.q113MixturePacking(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the stratified packing plan")
+    assert(planOf(df).contains("BroadcastHashJoin"), "group offsets must broadcast-join back")
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row

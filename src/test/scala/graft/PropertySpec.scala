@@ -634,4 +634,22 @@ class PropertySpec extends AnyFunSuite {
       assert(np == lp - fp + 1)
     }
   }
+
+  test("q113 stratified packing tiles each source's stream independently") {
+    val bySource = graft.queries.TextQueries
+      .q113MixturePacking(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks")))
+      .groupBy(_._1)
+    assert(bySource.size > 1, "fixture must have several sources")
+    for ((src, rows) <- bySource) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"source $src must start its own stream at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) =>
+          assert(s2 == s1 + n1, s"gap/overlap inside source $src at $s2")
+        case _ => ()
+      }
+    }
+  }
 }
