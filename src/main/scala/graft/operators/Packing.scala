@@ -204,52 +204,7 @@ object Packing {
     val basesRoot = new HPath(stateDir, "bases")
     val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
-    def batchDirs(): Seq[String] =
-      if (!fs.exists(basesRoot)) Seq.empty
-      else
-        fs.listStatus(basesRoot)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("applied_id="))
-          .map(_.getPath.toString)
-          .toIndexedSeq
-    def compactVersions(): Seq[(Int, HPath)] =
-      if (!fs.exists(basesRoot)) Seq.empty
-      else
-        fs.listStatus(basesRoot)
-          .map(_.getPath)
-          .flatMap { p =>
-            val n = p.getName
-            if (n.startsWith("compact_v") && n.drop("compact_v".length).forall(_.isDigit))
-              Some((n.drop("compact_v".length).toInt, p))
-            else None
-          }
-          .toIndexedSeq
-          .sortBy(_._1)
-    def readRows(): Seq[(Long, Long, Long)] = {
-      val dirs = batchDirs()
-      val fromDirs =
-        if (dirs.isEmpty) Seq.empty
-        else
-          spark.read
-            .option("basePath", basesRoot.toString)
-            .parquet(dirs: _*)
-            .select(col("applied_id").cast("long"), col("base"), col("total_after"))
-            .collect()
-            .toIndexedSeq
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val fromCompact = compactVersions().lastOption match {
-        case None => Seq.empty
-        case Some((_, p)) =>
-          spark.read
-            .parquet(p.toString)
-            .select(col("applied_id"), col("base"), col("total_after"))
-            .collect()
-            .toIndexedSeq
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      }
-      // duplicates across layouts agree (a recorded base is immutable);
-      // keep one row per id
-      (fromCompact ++ fromDirs).groupBy(_._1).map(_._2.head).toIndexedSeq
-    }
+    def readRows(): Seq[(Long, Long, Long)] = baseRows(spark, stateDir)
     val priorBases = readRows()
     val base = priorBases.find(_._1 == appliedId) match {
       case Some((_, b, _)) => b // replay: the recorded base, bit-identical rerun
@@ -274,9 +229,9 @@ object Packing {
     // Self-compaction: new consolidated version FIRST (all rows, own
     // included), then per-batch dirs, then older versions — every
     // crash point keeps the full agreeing row set readable.
-    val dirsNow = batchDirs()
+    val dirsNow = batchDirs(fs, basesRoot)
     if (dirsNow.length > compactEvery) {
-      val versions = compactVersions()
+      val versions = compactVersions(fs, basesRoot)
       val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
       val allRows = readRows()
       allRows
@@ -289,5 +244,138 @@ object Packing {
       versions.foreach { case (_, p) => fs.delete(p, true) }
     }
     manifest(lay, idCol, budget)
+  }
+
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem, basesRoot: HPath): Seq[String] =
+    if (!fs.exists(basesRoot)) Seq.empty
+    else
+      fs.listStatus(basesRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("applied_id="))
+        .map(_.getPath.toString)
+        .toIndexedSeq
+
+  private def compactVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      basesRoot: HPath
+  ): Seq[(Int, HPath)] =
+    if (!fs.exists(basesRoot)) Seq.empty
+    else
+      fs.listStatus(basesRoot)
+        .map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          if (n.startsWith("compact_v") && n.drop("compact_v".length).forall(_.isDigit))
+            Some((n.drop("compact_v".length).toInt, p))
+          else None
+        }
+        .toIndexedSeq
+        .sortBy(_._1)
+
+  /** All (applied_id, base, total_after) rows of an offset state,
+    * consolidated + per-batch layouts merged (duplicates agree — a
+    * recorded base is immutable; one row per id kept).
+    */
+  private[graft] def baseRows(spark: SparkSession, stateDir: String): Seq[(Long, Long, Long)] = {
+    val basesRoot = new HPath(stateDir, "bases")
+    val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = batchDirs(fs, basesRoot)
+    val fromDirs =
+      if (dirs.isEmpty) Seq.empty
+      else
+        spark.read
+          .option("basePath", basesRoot.toString)
+          .parquet(dirs: _*)
+          .select(col("applied_id").cast("long"), col("base"), col("total_after"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fromCompact = compactVersions(fs, basesRoot).lastOption match {
+      case None => Seq.empty
+      case Some((_, p)) =>
+        spark.read
+          .parquet(p.toString)
+          .select(col("applied_id"), col("base"), col("total_after"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    (fromCompact ++ fromDirs).groupBy(_._1).map(_._2.head).toIndexedSeq
+  }
+
+  /** The batch ids whose token ranges overlap `[lo, hi)` — the offset
+    * state IS the partition-pruning index over the batch-keyed
+    * manifest dirs.
+    */
+  private[graft] def overlappingBatches(
+      spark: SparkSession,
+      stateDir: String,
+      lo: Long,
+      hi: Long
+  ): Seq[Long] =
+    baseRows(spark, stateDir)
+      .filter { case (_, b, t) => b < hi && t > lo }
+      .map(_._1)
+      .sorted
+
+  /** Materialize packs `[packFrom, packToExcl)` from an INCREMENTAL
+    * manifest dir (the loader side of [[packIngest]], as
+    * `q111_pack_slices` is of the batch form): packs straddle batch
+    * boundaries (a batch starts mid-pack wherever the prior total
+    * left off), so the loader must read every batch manifest
+    * overlapping the window — and ONLY those: the offset state's
+    * (base, total_after) rows prune the batch-keyed manifest dirs
+    * before any file is opened, then the manifest rows prune the doc
+    * set before any text is exploded. Exploded volume is
+    * O(requested packs × budget) whatever the corpus or crawl age.
+    * `docs` is the document relation the manifests were built over
+    * (id + text columns).
+    */
+  def materializePacks(
+      spark: SparkSession,
+      stateDir: String,
+      manifestDir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      packFrom: Long,
+      packToExcl: Long,
+      budget: Long = 2048L
+  ): DataFrame = {
+    require(packFrom >= 0 && packToExcl > packFrom, "need a non-empty pack window")
+    val lo = packFrom * budget
+    val hi = packToExcl * budget
+    val batches = overlappingBatches(spark, stateDir, lo, hi)
+    val idType = docs.schema(idCol).dataType
+    if (batches.isEmpty) {
+      // window past the stream's end: empty result, correct schema
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("pack_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pos_in_pack", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(idCol, idType),
+          org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType)
+        )
+      )
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val m = spark.read
+        .parquet(batches.map(id => s"$manifestDir/pack_batch=$id"): _*)
+        .filter(col("start_tok") < hi && col("start_tok") + col("n_toks") > lo)
+        .select(col(idCol), col("start_tok"))
+      m.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+        .select(
+          col(idCol),
+          col("start_tok"),
+          posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "token"))
+        )
+        .withColumn("gpos", col("start_tok") + col("pos"))
+        .filter(col("gpos") >= lo && col("gpos") < hi)
+        .select(
+          expr(s"gpos div $budget").as("pack_id"),
+          (col("gpos") % budget).as("pos_in_pack"),
+          col(idCol),
+          col("token")
+        )
+    }
   }
 }

@@ -122,6 +122,65 @@ class PackingSpec extends AnyFunSuite {
     assert(next.head._2 == t11, "duplicate agreeing rows must not move the stream")
   }
 
+  test("materializePacks: state-pruned manifests build packs straddling batch boundaries") {
+    val root = Files.createTempDirectory("graft-pack-mat").toString
+    val st = s"$root/st"
+    val mdir = s"$root/m"
+    val B = 16L
+    // three batches; budget 16 so packs straddle batch boundaries
+    val batches = Seq(0 until 20, 20 until 45, 45 until 70)
+    batches.zipWithIndex.foreach { case (ids, i) =>
+      Packing
+        .packIngest(spark, corpus(ids), "doc_id", "text", st, i.toLong, budget = B)
+        .write
+        .mode("overwrite")
+        .parquet(s"$mdir/pack_batch=$i")
+    }
+    val allDocs = corpus(0 until 70)
+    // brute-force expected: every manifest row sliced in memory
+    val offsets = (0 until 3).flatMap { i =>
+      spark.read
+        .parquet(s"$mdir/pack_batch=$i")
+        .select(col("doc_id"), col("start_tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }.toMap
+    val texts = allDocs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def expected(lo: Long, hi: Long) =
+      (for {
+        (id, s) <- offsets.toSeq
+        (tok, j) <- texts(id).split("\\s+").zipWithIndex
+        g = s + j
+        if g >= lo && g < hi
+      } yield ((g / B, g % B, id, tok))).toSet
+    // a window crossing the batch-0/batch-1 boundary
+    val total0 = Packing
+      .baseRows(spark, st)
+      .find(_._1 == 0L)
+      .get
+      ._3
+    val fromPack = total0 / B // the straddling pack
+    val got = Packing
+      .materializePacks(spark, st, mdir, allDocs, "doc_id", "text", fromPack, fromPack + 2, B)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expected(fromPack * B, (fromPack + 2) * B), "straddling window mismatch")
+    assert(got.map(_._3).size > 1, "window must draw docs from both batches")
+    // state-driven pruning: a window inside batch 2 must name only batch 2
+    val base2 = Packing.baseRows(spark, st).find(_._1 == 2L).get._2
+    val inner = (base2 / B) + 1
+    assert(
+      Packing.overlappingBatches(spark, st, inner * B, (inner + 1) * B) == Seq(2L),
+      "offset state must prune to the single overlapping batch"
+    )
+    // past the stream's end: empty, with the contract schema
+    val past = Packing
+      .materializePacks(spark, st, mdir, allDocs, "doc_id", "text", 10000L, 10001L, B)
+    assert(past.count() == 0)
+    assert(past.columns.toSeq == Seq("pack_id", "pos_in_pack", "doc_id", "token"))
+  }
+
   test("pack_ingest CLI verb writes the batch-keyed manifest") {
     val root = Files.createTempDirectory("graft-pack-cli").toString
     corpus(0 until 15).write.parquet(s"$root/b0")
