@@ -46,15 +46,36 @@ object Packing {
         h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
       )
       .withColumn("shard", (col("h") % nShards).cast("int"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    // ROWS frame, not the default RANGE: RANGE gives window PEERS
+    // (equal (h, id)) one shared cum, so a duplicated id would produce
+    // overlapping start/end offsets — a silently corrupt manifest. With
+    // ROWS every row gets its own running total, and the duplicate-id
+    // precondition is enforced loudly below instead.
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
     // Pass 2: per-shard totals → driver prefix → broadcast offsets.
     // Bounded collect: one row per shard (8 at test sf, thousands at
-    // scale — a few KB of longs).
-    val totals = withCum
+    // scale — a few KB of longs). The same agg carries the unique-id
+    // audit (rows vs distinct ids per shard) so the interlock costs no
+    // extra job.
+    val totRows = withCum
       .groupBy(col("shard"))
-      .agg(max(col("cum")).as("tot"))
+      .agg(
+        max(col("cum")).as("tot"),
+        count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("nd")
+      )
       .collect()
+    val dupShards = totRows.filter(r => r.getLong(2) != r.getLong(3)).map(_.getInt(0))
+    require(
+      dupShards.isEmpty,
+      s"duplicate $idCol values in batch (shards ${dupShards.mkString(",")}): a packing " +
+        "layout requires unique document ids — re-key the batch (e.g. by (url, crawl_ts))"
+    )
+    val totals = totRows
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = totals
@@ -90,7 +111,8 @@ object Packing {
       idCol: String,
       textCol: String,
       groupCol: String,
-      nShards: Int
+      nShards: Int,
+      maxGroups: Int = 10000
   ): DataFrame = {
     val spark = df.sparkSession
     val prepared = df
@@ -101,12 +123,45 @@ object Packing {
         h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
       )
       .withColumn("shard", (col("h") % nShards).cast("int"))
-    val w = Window.partitionBy(col(groupCol), col("shard")).orderBy(col("h"), col(idCol))
+    // ROWS frame + unique-id audit: same contract as [[layout]]. NULL
+    // group keys are a real partition (DuckDB/SQL PARTITION BY keeps
+    // one), carried through the totals agg (groupBy keeps nulls) and
+    // re-matched with a null-safe join below.
+    val w = Window
+      .partitionBy(col(groupCol), col("shard"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
-    val totals = withCum
+    // Cardinality interlock: the driver prefix collects groups × shards
+    // rows. That is MBs of longs for domain-grained group columns
+    // (dozens..thousands of sources), but a caller who passes a
+    // DOC-grained column (url, doc_id) would collect one row per doc ×
+    // shard — an unbounded driver OOM. `take(limit+1)` bounds what ever
+    // reaches the driver, so the misuse fails loudly instead.
+    val totLimit = maxGroups.toLong * nShards
+    require(totLimit <= Int.MaxValue, s"maxGroups × nShards overflows Int: $totLimit")
+    val totRows = withCum
       .groupBy(col(groupCol), col("shard"))
-      .agg(max(col("cum")).as("tot"))
-      .collect()
+      .agg(
+        max(col("cum")).as("tot"),
+        count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("nd")
+      )
+      .take(totLimit.toInt + 1)
+    require(
+      totRows.length <= totLimit,
+      s"layoutBy collected > $maxGroups distinct '$groupCol' groups: the driver prefix is " +
+        s"O(groups × shards) and meant for domain-grained group columns (source, language, " +
+        s"dataset), not doc-grained ones (url, doc_id). Raise maxGroups only if the " +
+        s"cardinality is genuinely bounded."
+    )
+    val dupGroups = totRows.filter(r => r.getLong(3) != r.getLong(4)).map(_.get(0))
+    require(
+      dupGroups.isEmpty,
+      s"duplicate $idCol values in batch (groups ${dupGroups.mkString(",")}): a packing " +
+        "layout requires unique document ids — re-key the batch (e.g. by (url, crawl_ts))"
+    )
+    val totals = totRows
       .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
       .toIndexedSeq
     val offsets = totals
@@ -132,15 +187,21 @@ object Packing {
         )
       )
     )
+    // Null-safe equality (<=>) on the group key: a plain equi-join
+    // never matches NULL = NULL, so null-keyed docs would silently
+    // vanish from the layout while a SQL PARTITION BY keeps them.
     withCum
-      .join(offDf, Seq(groupCol, "shard"))
+      .join(
+        offDf,
+        withCum(groupCol) <=> offDf(groupCol) && withCum("shard") === offDf("shard")
+      )
       .select(
-        col(idCol),
-        col(groupCol),
-        col("shard"),
-        (col("shard_off") + col("cum") - col("n_toks")).as("start_tok"),
-        col("n_toks"),
-        (col("shard_off") + col("cum")).as("end_tok")
+        withCum(idCol),
+        withCum(groupCol),
+        withCum("shard"),
+        (offDf("shard_off") + withCum("cum") - withCum("n_toks")).as("start_tok"),
+        withCum("n_toks"),
+        (offDf("shard_off") + withCum("cum")).as("end_tok")
       )
   }
 

@@ -82,13 +82,21 @@ object Drift {
     * files directly is treated as a single batch.
     *
     * Batch-dir schemas come from the `_schemas` manifest when one
-    * exists ([[writeSchemaManifest]] — the ingest job maintains it, so
-    * plan-time driver work is ONE small file read however many batches
-    * the archive holds); dirs the manifest doesn't list (appended
-    * since) fall back to a footer read each, so a stale manifest is a
-    * slow plan, never a wrong one. (A manifest entry that MISSTATES a
-    * batch's schema fails at scan time — parquet rejects the
-    * mismatched expected schema — it cannot silently mis-conform.)
+    * exists ([[writeSchemaManifest]] / [[appendSchemaEntry]] — the
+    * ingest job maintains it, so plan-time driver work is ONE small
+    * file read however many batches the archive holds); dirs the
+    * manifest doesn't list (appended since) fall back to a footer read
+    * each, so a manifest missing entries is a slow plan, never a wrong
+    * one. Each version group is scanned with its schema passed
+    * EXPLICITLY (`.schema(...)`), so a manifest entry that misstates a
+    * column's TYPE fails deterministically at scan time rather than
+    * depending on which file Spark happens to infer from. The residual
+    * assumption is immutability: a batch dir REWRITTEN in place after
+    * being listed can drop a column, and parquet's standard evolution
+    * null-fills columns absent from individual files rather than
+    * erroring — the manifest (like the `_segs` pattern it mirrors)
+    * assumes batch dirs are immutable once listed; rewrites must
+    * refresh their entry ([[appendSchemaEntry]]) or the full manifest.
     */
   def readConformed(
       spark: SparkSession,
@@ -107,36 +115,64 @@ object Drift {
     // Group by the normalized DDL string: a manifest-sourced schema and
     // a footer-sourced one for the same version must land in ONE group
     // (StructType equality is metadata-sensitive; DDL is not).
-    val byVersion: Seq[Seq[String]] =
-      if (subdirs.isEmpty) Seq(Seq(root))
+    val byVersion: Seq[(String, Seq[String])] =
+      if (subdirs.isEmpty)
+        Seq(spark.read.parquet(root).schema.toDDL -> Seq(root))
       else
         subdirs.toSeq
           .map { name =>
-            val ddl = manifest
-              .get(name)
-              .getOrElse(spark.read.parquet(s"$root/$name").schema)
-              .toDDL
+            val ddl = nullableDdl(
+              manifest
+                .get(name)
+                .getOrElse(spark.read.parquet(s"$root/$name").schema)
+            )
             (ddl, s"$root/$name")
           }
           .groupBy(_._1)
-          .values
-          .map(_.map(_._2))
+          .map { case (ddl, pairs) => ddl -> pairs.map(_._2) }
           .toSeq
-          .sortBy(_.head)
+          .sortBy(_._2.head)
     byVersion
-      .map(dirs => conform(spark.read.parquet(dirs: _*), target, allowLossy))
+      .map { case (ddl, dirs) =>
+        // Explicit expected schema per version group: a type mismatch
+        // between the declared schema and a file fails at scan time
+        // instead of silently following one arbitrary file's footer.
+        conform(
+          spark.read.schema(StructType.fromDDL(ddl)).parquet(dirs: _*),
+          target,
+          allowLossy
+        )
+      }
       .reduce(_.unionByName(_))
   }
 
   private val ManifestFile = "_schemas/manifest.tsv"
 
+  /** Nullable canonical form: file-based reads are always nullable in
+    * Spark, so footer-sourced schemas never carry NOT NULL — but a
+    * writer-recorded one ([[appendSchemaEntry]] from an in-memory
+    * DataFrame) can. Same version, different DDL, split scan groups;
+    * canonicalizing both sides prevents that.
+    */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.map(f => f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = allNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = allNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private[graft] def nullableDdl(s: StructType): String =
+    allNullable(s).asInstanceOf[StructType].toDDL
+
   /** Scans every batch dir's footer ONCE and records `<dirname> TAB
     * <schema DDL>` lines under `_schemas/` — after which
     * [[readConformed]]'s plan-time driver cost is one manifest read,
     * not a footer read per batch. Idempotent full refresh; an ingest
-    * job appends its own line instead (any writer that just wrote the
-    * batch already knows the schema). Batch dir names must not contain
-    * tabs or newlines (enforced).
+    * job calls [[appendSchemaEntry]] instead (any writer that just
+    * wrote the batch already knows the schema). Batch dir names must
+    * not contain tabs or newlines (enforced).
     */
   def writeSchemaManifest(spark: SparkSession, root: String): Int = {
     val rootPath = new HPath(root)
@@ -165,9 +201,50 @@ object Drift {
     entries.length
   }
 
-  private def readSchemaManifest(fs: FileSystem, rootPath: HPath): Map[String, StructType] = {
+  /** The ingest-side manifest maintenance: record (or refresh) ONE
+    * batch dir's schema without re-footer-scanning the archive. The
+    * writer that just produced `dirName` already holds its schema, so
+    * the incremental cost is a read-modify-rename of the small
+    * manifest file — no data or footer I/O. Same atomic
+    * rename-with-OVERWRITE protocol as the full refresh: readers see
+    * the old or new manifest, never a partial one. An existing entry
+    * for `dirName` is replaced (the rewrite-in-place escape hatch the
+    * reader's immutability assumption names). Single-writer
+    * discipline, like every state in the ingest family — one crawl
+    * loop owns an archive's manifest.
+    */
+  def appendSchemaEntry(
+      spark: SparkSession,
+      root: String,
+      dirName: String,
+      schema: StructType
+  ): Unit = {
+    require(
+      !dirName.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"batch dir name '$dirName' contains manifest delimiters"
+    )
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nullableDdl: record what a footer probe would see (file reads
+    // are always nullable), so writer- and footer-sourced entries for
+    // one version share a DDL group key.
+    val entries =
+      readSchemaManifestLines(fs, rootPath).filterNot(_._1 == dirName) :+
+        (dirName -> nullableDdl(schema))
+    val tmp = new HPath(rootPath, s"$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (entries.map { case (n, ddl) => s"$n\t$ddl" }.mkString("\n") + "\n").getBytes("UTF-8")
+    )
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new HPath(rootPath, ManifestFile), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readSchemaManifestLines(fs: FileSystem, rootPath: HPath): Seq[(String, String)] = {
     val p = new HPath(rootPath, ManifestFile)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       val text =
@@ -177,9 +254,14 @@ object Drift {
         .filter(_.nonEmpty)
         .map { line =>
           val i = line.indexOf('\t')
-          line.substring(0, i) -> StructType.fromDDL(line.substring(i + 1))
+          line.substring(0, i) -> line.substring(i + 1)
         }
-        .toMap
+        .toIndexedSeq
     }
   }
+
+  private def readSchemaManifest(fs: FileSystem, rootPath: HPath): Map[String, StructType] =
+    readSchemaManifestLines(fs, rootPath).map { case (n, ddl) =>
+      n -> StructType.fromDDL(ddl)
+    }.toMap
 }

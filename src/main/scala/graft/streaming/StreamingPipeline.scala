@@ -43,7 +43,15 @@ object StreamingPipeline {
       try {
         val s = spark.read.parquet(dir).schema
         if (s.fieldNames.contains("ts")) s else eventsRawSchema
-      } catch { case _: Exception => eventsRawSchema } // empty dir at start
+      } catch {
+        // Only the missing/empty-directory shape falls back to the
+        // default schema (a stream may start before its first file
+        // lands — Spark raises AnalysisException for both "path does
+        // not exist" and "unable to infer schema"). Anything else
+        // (transient FS/permission failures) must SURFACE here, not
+        // silently start the stream with a possibly-wrong ts type.
+        case _: org.apache.spark.sql.AnalysisException => eventsRawSchema
+      }
     graft.queries.CoreQueries.normalizeEventTs(
       spark.readStream.schema(schema).parquet(dir)
     )

@@ -142,6 +142,30 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.writeSchemaManifest(spark, root) == 5)
   }
 
+  test("appendSchemaEntry: ingest-side manifest upkeep keeps one scan per version") {
+    val root = writeBatches()
+    assert(Drift.writeSchemaManifest(spark, root) == 4)
+    // an ingest job lands a new v1-schema batch and appends its OWN
+    // entry (it already knows the schema) — no footer rescan anywhere
+    val b4 = Seq((5, "e")).toDF("id", "name")
+    b4.write.parquet(s"$root/b4")
+    Drift.appendSchemaEntry(spark, root, "b4", b4.schema)
+    val out = Drift.readConformed(spark, root, target)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val scans = "Scan parquet".r.findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(scans == 3, "appended entry must merge into its version's scan group")
+    // rewrite-in-place refresh: the batch is rewritten under a LATER
+    // schema and its entry replaced — it must move to that version's
+    // group, not linger under the stale one
+    val b4v2 = Seq((6L, "f", 6.5f)).toDF("id", "name", "score")
+    b4v2.write.mode("overwrite").parquet(s"$root/b4")
+    Drift.appendSchemaEntry(spark, root, "b4", b4v2.schema)
+    val out2 = Drift.readConformed(spark, root, target)
+    assert(out2.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 6L))
+    val scans2 = "Scan parquet".r.findAllIn(out2.queryExecution.executedPlan.toString).length
+    assert(scans2 == 3, "refreshed entry must re-home the batch to the v2 scan group")
+  }
+
   test("drift_manifest CLI verb writes the manifest") {
     val root = writeBatches()
     graft.pipeline.PipelineRunner.run(

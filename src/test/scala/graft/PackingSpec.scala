@@ -198,4 +198,52 @@ class PackingSpec extends AnyFunSuite {
     assert(m.count() == 15)
     assert(m.columns.toSet.contains("first_pack"))
   }
+
+  test("layout fails loudly on duplicate doc ids (overlapping offsets forbidden)") {
+    val dup = Seq((7L, "a b c"), (7L, "d e"), (8L, "f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Packing.layout(dup, "doc_id", "text", 4)
+    )
+    assert(e.getMessage.contains("duplicate doc_id"))
+    val eBy = intercept[IllegalArgumentException](
+      Packing.layoutBy(
+        dup.withColumn("source", lit("web")), "doc_id", "text", "source", 4
+      )
+    )
+    assert(eBy.getMessage.contains("duplicate doc_id"))
+  }
+
+  test("layoutBy keeps NULL group keys as their own token stream") {
+    val df = Seq(
+      (1L, Option("web"), "a b c"),
+      (2L, Option.empty[String], "d e"),
+      (3L, Option.empty[String], "f")
+    ).toDF("doc_id", "source", "text")
+    val out = Packing.layoutBy(df, "doc_id", "text", "source", 4)
+    assert(out.count() == 3, "null-keyed docs must not vanish from the layout")
+    val nulls = out
+      .filter(col("source").isNull)
+      .select(col("doc_id"), col("start_tok"), col("n_toks"), col("end_tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    // the NULL stream is its own contiguous token space from offset 0
+    assert(nulls.map(_._1).toSet == Set(2L, 3L))
+    assert(nulls.head._2 == 0L)
+    assert(nulls.sliding(2).forall {
+      case Array((_, _, _, e1), (_, s2, _, _)) => s2 == e1
+      case _                                   => true
+    })
+    assert(nulls.map(_._3).sum == 3L)
+    val web = out.filter(col("source") === "web").collect().head
+    assert(web.getAs[Long]("start_tok") == 0L && web.getAs[Long]("n_toks") == 3L)
+  }
+
+  test("layoutBy cardinality interlock fails loudly on a doc-grained group column") {
+    val df = corpus(0 until 30).withColumn("g", concat(lit("u"), col("doc_id")))
+    val e = intercept[IllegalArgumentException](
+      Packing.layoutBy(df, "doc_id", "text", "g", 2, maxGroups = 2)
+    )
+    assert(e.getMessage.contains("distinct 'g' groups"))
+  }
 }
