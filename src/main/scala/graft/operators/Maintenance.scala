@@ -86,17 +86,23 @@ object Maintenance {
     * both probes are hash-keyed joins (a left-anti against the index,
     * then the in-batch keep-min rule).
     *
-    * The index SELF-COMPACTS: each batch appends a bounded number of
-    * size-targeted files (never shuffle-partition-many), and when the
-    * accumulated file count crosses `maxIndexFiles` the whole index is
-    * rewritten through [[compact]]'s crash-safe tmp+swap — without
-    * this, a crawl of 10⁴ batches leaves 10⁴ file sets and every probe
-    * pays 10⁴ footer opens. The trigger is a file-count threshold (one
-    * listing per batch, no data scan); the rewrite is O(index), paid
-    * every ~`maxIndexFiles` appends — at one append file per batch,
-    * amortized O(index/maxIndexFiles) per batch, the classic
-    * compaction trade. Set `maxIndexFiles = 0` to disable (callers
-    * scheduling [[compact]] themselves).
+    * The index SELF-COMPACTS, size-TIERED: each batch appends a
+    * bounded number of size-targeted files (never
+    * shuffle-partition-many), and when the accumulated file count
+    * crosses `maxIndexFiles`, [[tierIndexFiles]] merges every file
+    * EXCEPT those larger than the sum of all smaller peers ("settled"
+    * — the span state's LSM rule). A byte is therefore rewritten only
+    * when the accumulated smaller files rival it: amortized per-batch
+    * write volume is O(batch · log(index/batch)) —
+    * corpus-size-INDEPENDENT, unlike a full rewrite's
+    * O(index/maxIndexFiles), which grows with crawl age (~25 GB/batch
+    * at a 100 TB corpus). Settled-file count is O(log index), so the
+    * probe's footer fan-out stays bounded without the threshold ever
+    * re-triggering on settled files alone. The trigger is a file-count
+    * threshold (one listing per batch, sizes riding the same listing;
+    * no data scan). Set `maxIndexFiles = 0` to disable (callers
+    * scheduling [[compact]] — the full read-optimize pass — or
+    * [[tierIndexFiles]] themselves).
     *
     * Returns the accepted (previously unseen, in-batch-deduped) rows.
     */
@@ -167,13 +173,79 @@ object Maintenance {
       .write
       .mode("append")
       .parquet(indexPath)
-    if (maxIndexFiles > 0) {
-      val p = new HPath(indexPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val nFiles = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-      if (nFiles > maxIndexFiles) compact(spark, indexPath)
-    }
+    if (maxIndexFiles > 0) tierIndexFiles(spark, indexPath, maxIndexFiles)
     accepted.drop("__h")
+  }
+
+  /** Size-tiered self-compaction for a flat hash-index directory (the
+    * [[incrementalDedup]] state): when more than `maxIndexFiles`
+    * parquet files have accumulated, merge every file EXCEPT those
+    * larger than the sum of all smaller peers — the settled files are
+    * the LSM base levels, and merging them before their smaller peers
+    * rival them would be premature rewrite. The merged rows are
+    * written size-targeted (`targetFileBytes`) to a sibling tmp dir,
+    * MOVED IN file-by-file, and only then are the victims deleted.
+    *
+    * Crash-safe with no marker, by the same argument as the span
+    * state's segment compaction: the index's semantic content is a
+    * hash SET probed by an anti-join, so duplicate rows across files
+    * are harmless. Every crash point leaves the set intact — tmp
+    * written but nothing moved (victims untouched; the stale tmp is
+    * pre-commit garbage, dropped on the next trigger's entry), some
+    * merged files moved (duplicates of still-present victims), or
+    * victims half-deleted (merged files already hold their union) —
+    * and the next trigger sweeps leftovers into the tiers.
+    *
+    * Cost shape: one listing per call (file sizes ride the listing —
+    * no per-file metadata fan-out); the merge reads and writes only
+    * the non-settled tail, giving O(log) write amplification over a
+    * crawl (measured flat per batch by CurateStress's dedup mode,
+    * where the old full-rewrite policy grows with crawl age).
+    */
+  def tierIndexFiles(
+      spark: SparkSession,
+      indexPath: String,
+      maxIndexFiles: Int,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Unit = {
+    require(maxIndexFiles > 0, "maxIndexFiles must be positive")
+    val root = new HPath(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tmp = new HPath(s"$indexPath.__tier_tmp")
+    // A stale tmp is pre-move garbage (moves happen only after the
+    // write completes, and victims outlive every unmoved tmp file).
+    deleteOrFail(fs, tmp)
+    val files = fs
+      .listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath -> st.getLen)
+    if (files.length <= maxIndexFiles) return
+    // Peel the settled head: strictly larger than the sum of all
+    // smaller peers ⇒ merging it now buys nothing (its bytes would be
+    // rewritten without shrinking the count below the settled bound).
+    var tail = files.toList.sortBy(-_._2)
+    while (tail.nonEmpty && tail.head._2 > tail.tail.map(_._2).sum) tail = tail.tail
+    if (tail.length < 2) return
+    val victims = tail
+    val bytes = victims.map(_._2).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read
+      .parquet(victims.map(_._1.toString): _*)
+      .select(col("__h"))
+      .distinct()
+      .coalesce(nOut)
+      .write
+      .parquet(tmp.toString)
+    // Move merged files in BEFORE any victim dies: every prefix of
+    // this sequence leaves the hash set complete. Part-file names
+    // carry the write job's UUID, so they cannot collide with
+    // existing appends.
+    fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => renameOrFail(fs, st.getPath, new HPath(root, st.getPath.getName)))
+    victims.foreach { case (p, _) => deleteOrFail(fs, p) }
+    deleteOrFail(fs, tmp)
   }
 
   /** Incremental duplicated-span extents — the persistent-state twin of

@@ -309,23 +309,35 @@ object StreamingPipeline {
     accepted.count()
   }
 
-  /** Self-compaction for the batch-keyed ingest index: when more than
-    * `maxIndexParts` partition dirs have accumulated (one per batch,
-    * forever — after 10⁴ crawl batches every probe pays 10⁴ dir opens),
-    * merge every partition EXCEPT the in-flight batch's into ONE
-    * partition under a fresh NEGATIVE id. The exclusions are exactly
-    * what keeps the exactly-once contract intact:
+  /** Size-TIERED self-compaction for the batch-keyed ingest index:
+    * when more than `maxIndexParts` partition dirs have accumulated
+    * (one per batch, forever — after 10⁴ crawl batches every probe
+    * pays 10⁴ dir opens), merge every partition EXCEPT (a) the
+    * in-flight batch's and (b) the SETTLED ones — partitions larger
+    * than the sum of all smaller candidates (the span state's LSM
+    * peel) — into one partition under a fresh NEGATIVE id. Settled
+    * partitions are prior merge outputs (and any genuinely large
+    * batch): re-merging them every trigger is what made the old
+    * policy's amortized write O(index/maxIndexParts) — GROWING with
+    * crawl age (~25 GB/batch at a 100 TB corpus). With the peel, a
+    * byte is rewritten only when the accumulated smaller partitions
+    * rival it: amortized O(batch · log(index/batch)) per batch,
+    * corpus-size-independent, and the settled count is O(log index),
+    * so the probe's partition fan-out stays bounded.
+    *
+    * The exclusions keep the exactly-once contract intact:
     *
     *  - the in-flight batch keeps its own `ingest_batch=<id>` dir, so a
     *    crash/retry of THAT batch still sees its own partition excluded
     *    from the probe and overwrites it idempotently (only the latest
     *    batch can ever replay — the streaming checkpoint/applied-id
     *    machinery has already sealed older ones);
-    *  - the merged id is more negative than any existing one, so it can
-    *    never collide with a real batch id (≥ 0) nor be excluded by any
+    *  - each merged id is more negative than ANY existing id (settled
+    *    merge outputs included), so it can never collide with a real
+    *    batch id (≥ 0), an earlier merge's id, nor be excluded by any
     *    replay's own-partition filter — merged hashes are permanently
     *    "prior" for every future probe, which is semantically exact:
-    *    the probe is a set-membership anti-join and the merged
+    *    the probe is a set-membership anti-join and a merged
     *    partition holds the distinct union of its inputs.
     *
     * Crash-safe with no marker: the merged partition is renamed IN
@@ -333,8 +345,10 @@ object StreamingPipeline {
     * SET intact (duplicates across partitions are harmless to an
     * anti-join); a half-deleted victim set is swept by the next
     * trigger, and a stale tmp is pre-commit garbage, dropped on entry.
-    * One listing per call; the rewrite is O(index) every
-    * ~`maxIndexParts` batches — amortized O(index/maxIndexParts).
+    * One listing per call, plus one content-summary call per CANDIDATE
+    * partition for the peel — bounded by `maxIndexParts`+1 and paid
+    * only when the threshold trips, a compaction-schedule cost, never
+    * a per-batch one.
     */
   def compactIngestIndex(
       spark: SparkSession,
@@ -350,21 +364,31 @@ object StreamingPipeline {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
       .map(st => st.getPath -> st.getPath.getName.stripPrefix("ingest_batch=").toLong)
     if (parts.length <= maxIndexParts) return
-    val victims = parts.filter(_._2 != keepBatchId)
+    val candidates = parts
+      .filter(_._2 != keepBatchId)
+      .map { case (p, id) => (p, id, fs.getContentSummary(p).getLength) }
+    // Peel the settled head (strictly larger than the sum of all
+    // smaller candidates): rewriting those now buys nothing — their
+    // bytes dominate the merge, and the count they contribute is
+    // already O(log index).
+    var tail = candidates.toList.sortBy(-_._3)
+    while (tail.nonEmpty && tail.head._3 > tail.tail.map(_._3).sum) tail = tail.tail
+    val victims = tail
     if (victims.length < 2) return
-    val mergedId = math.min(victims.map(_._2).min, 0L) - 1L
+    val mergedId = math.min(parts.map(_._2).min, 0L) - 1L
+    val bytes = victims.map(_._3).sum
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/.__index_compact_tmp")
     graft.operators.Maintenance.deleteOrFail(fs, tmp)
     spark.read
       .parquet(victims.map(_._1.toString).toIndexedSeq: _*)
       .select("__h")
       .distinct()
-      .coalesce(math.max(1, (fs.getContentSummary(root).getLength / (128L * 1024 * 1024)).toInt))
+      .coalesce(math.max(1L, (bytes + (128L * 1024 * 1024) - 1) / (128L * 1024 * 1024)).toInt)
       .write
       .parquet(tmp.toString)
     graft.operators.Maintenance
       .renameOrFail(fs, tmp, new org.apache.hadoop.fs.Path(s"$indexPath/ingest_batch=$mergedId"))
-    victims.foreach { case (p, _) => graft.operators.Maintenance.deleteOrFail(fs, p) }
+    victims.foreach { case (p, _, _) => graft.operators.Maintenance.deleteOrFail(fs, p) }
   }
 
   /** Streaming exact-dedup ingest: each arriving documents file is
@@ -732,6 +756,69 @@ object StreamingPipeline {
     spark.readStream
       .schema(docSchema)
       .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Packing
+            .packIngest(
+              spark,
+              batch.select(col("doc_id"), col("text")),
+              "doc_id",
+              "text",
+              statePath,
+              batchId,
+              budget,
+              nShards
+            )
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/pack_batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
+    * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
+    * and lay each newly accepted file out after everything already
+    * packed — raw crawl files in, training-sequence manifests out,
+    * with nothing in between but the two streams' checkpoints. Same
+    * foreachBatch-keyed [[graft.operators.Packing.packIngest]] as
+    * [[packIngestStream]]; only the source differs (parquet file
+    * stream over `curatedDir/ingest_batch=*`, schema-projected to
+    * (doc_id, text)).
+    *
+    * Operator discipline for the chain: the curator's exactly-once
+    * contract allows its LATEST batch partition to be overwritten by a
+    * crash replay (fresh part-file names) — a tailing file source that
+    * already consumed the old names would re-read the batch under its
+    * new ones, and packIngest would lay the docs out twice (it dedups
+    * nothing; layout requires unique ids per ITS batch only, and the
+    * re-read arrives as a new downstream batch). Run the consumer as
+    * AvailableNow drains AFTER the curator's drain completes (the spec
+    * and CurateStress shape), or lag it one sealed batch behind a
+    * continuously-running curator.
+    */
+  def packCuratedStream(
+      spark: SparkSession,
+      curatedDir: String,
+      statePath: String,
+      outDir: String,
+      checkpoint: String,
+      budget: Long = 2048L,
+      nShards: Int = 8
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(
+        StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)
+          )
+        )
+      )
+      .parquet(s"$curatedDir/ingest_batch=*")
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

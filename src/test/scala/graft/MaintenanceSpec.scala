@@ -87,6 +87,85 @@ class MaintenanceSpec extends AnyFunSuite {
     )
   }
 
+  test("tierIndexFiles peels settled files: a dominant file is never rewritten") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-dedup-tier").toString + "/index.parquet"
+    def files: Map[String, Long] =
+      new java.io.File(index)
+        .listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length())
+        .toMap
+    // A genuinely big first batch: its hashes settle into one file
+    // that dominates everything later appends pile up.
+    val big = (1 to 3000).map(i => (i.toLong, s"unique document text number $i")).toDF("doc_id", "text")
+    Maintenance.incrementalDedup(spark, big, "doc_id", "text", index, maxIndexFiles = 64)
+    val Seq((bigName, bigBytes)) = files.toSeq
+    // Trickle small batches past the threshold: tiering must merge the
+    // smalls among themselves and leave the settled file byte-identical.
+    (0 to 5).foreach { i =>
+      val b = Seq((10000L + i, s"tiny $i")).toDF("doc_id", "text")
+      Maintenance.incrementalDedup(spark, b, "doc_id", "text", index, maxIndexFiles = 4)
+    }
+    val after = files
+    assert(after.get(bigName).contains(bigBytes), s"settled file must survive untouched: $after")
+    assert(after.size <= 5, s"small files must have merged: ${after.keys}")
+    // Exactness after tiering: old content rejected, fresh accepted.
+    val probe = Seq((90000L, "tiny 3"), (90001L, "never before")).toDF("doc_id", "text")
+    val acc = Maintenance
+      .incrementalDedup(spark, probe, "doc_id", "text", index, maxIndexFiles = 4)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(acc == Set(90001L), s"tiered index must reject known content: $acc")
+    assert(
+      spark.read.parquet(index).distinct().count() == 3007L,
+      "one hash row per distinct accepted text across tiers"
+    )
+  }
+
+  test("tierIndexFiles crash windows converge: stale tmp dropped, duplicate rows harmless") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dedup-tiercrash").toString
+    val index = s"$root/index.parquet"
+    (0 to 3).foreach { i =>
+      val b = Seq((i.toLong, s"doc $i")).toDF("doc_id", "text")
+      Maintenance.incrementalDedup(spark, b, "doc_id", "text", index, maxIndexFiles = 64)
+    }
+    // Crash window A: merge written to tmp, nothing moved, victims
+    // intact — the stale tmp must be dropped on the next trigger, and
+    // no hash may be lost.
+    spark.read
+      .parquet(index)
+      .select("__h")
+      .distinct()
+      .coalesce(1)
+      .write
+      .parquet(s"$index.__tier_tmp")
+    // Crash window B: one merged file moved in, victims NOT deleted —
+    // duplicate rows across files must stay harmless to the anti-join.
+    val tmpPart = new java.io.File(s"$index.__tier_tmp")
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .head
+    java.nio.file.Files.copy(
+      tmpPart.toPath,
+      new java.io.File(index, "crashdup-" + tmpPart.getName).toPath
+    )
+    val probe = Seq((800L, "doc 2"), (801L, "fresh doc")).toDF("doc_id", "text")
+    val acc = Maintenance
+      .incrementalDedup(spark, probe, "doc_id", "text", index, maxIndexFiles = 4)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(acc == Set(801L), s"duplicate index rows must not double-reject or leak: $acc")
+    assert(!new java.io.File(s"$index.__tier_tmp").exists(), "stale tmp swept on trigger")
+    assert(
+      spark.read.parquet(index).select("__h").distinct().count() == 5L,
+      "hash set intact through both crash windows"
+    )
+  }
+
   test("upsert replaces same-key rows, keeps the rest, and is idempotent") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")

@@ -421,6 +421,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.length <= 4, s"sweep must merge the crash leftovers: $parts")
   }
 
+  test("ingest index tiering: a settled merged partition is not rewritten by later triggers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dedup-tiered").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def partFiles(name: String): Map[String, Long] = {
+      val d = new java.io.File(index, name)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    }
+    // Three BIG batches (400 docs each) trip the threshold on batch 3:
+    // their merge becomes a genuinely large settled partition.
+    (0L to 3L).foreach { i =>
+      val rows =
+        if (i < 3) (0 until 400).map(k => (i * 100000 + k, s"big batch $i doc $k body"))
+        else Seq((300000L, "small 3"))
+      StreamingPipeline.dedupIngestBatch(spark, rows.toDF("doc_id", "text"), corpus, index, i, maxIndexParts = 3)
+    }
+    val settled = partFiles("ingest_batch=-1")
+    assert(settled.nonEmpty, "big batches must have merged into ingest_batch=-1")
+    // Trickle small batches past the threshold again: the new merge
+    // must peel the settled partition (byte-identical files) and fold
+    // only the smalls into a FRESH negative id.
+    (4L to 6L).foreach { i =>
+      val b = Seq((400000L + i, s"small $i")).toDF("doc_id", "text")
+      StreamingPipeline.dedupIngestBatch(spark, b, corpus, index, i, maxIndexParts = 3)
+    }
+    assert(
+      partFiles("ingest_batch=-1") == settled,
+      "settled partition must survive later triggers byte-identical"
+    )
+    val freshMerged = new java.io.File(index)
+      .listFiles()
+      .map(_.getName)
+      .filter(_.startsWith("ingest_batch=-"))
+      .map(_.stripPrefix("ingest_batch=").toLong)
+      .filter(_ < -1L)
+    assert(freshMerged.nonEmpty, "smalls merge under fresh negative ids below the settled -1")
+    // Probe exactness across tiers: known content rejected, fresh kept.
+    val probe = Seq((900000L, "big batch 1 doc 7 body"), (900001L, "small 5"), (900002L, "new")).toDF("doc_id", "text")
+    val n = StreamingPipeline.dedupIngestBatch(spark, probe, corpus, index, 7L, maxIndexParts = 3)
+    assert(n == 1L, "tiered index must reject hashes from every tier")
+    val hashes = spark.read.parquet(index).select("__h").distinct().count()
+    val corpusN = spark.read.parquet(corpus).count()
+    assert(hashes == corpusN, s"index holds one hash per accepted doc: $hashes vs $corpusN")
+  }
+
   test("streaming dedup ingest end-to-end: files stream in, corpus stays dup-free") {
     val root = Files.createTempDirectory("graft-dedup-stream").toString
     val raw = s"$root/raw"
@@ -731,6 +777,73 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/out").count() == 2L,
       "restart on a drained source must not re-curate"
     )
+  }
+
+  test("curation→packing chain end-to-end: raw files → curate → pack consumer → pack window read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-chain").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    // Same fixture as the curation e2e: doc 100 survives intact, 101
+    // is gated (OOV), 200 span-cleans to nothing, 201 keeps its tail.
+    val ref = (1 to 10)
+      .map(i => (i.toLong, "u1 u2 u3 u4 u5 u6 u7 u8 v1 v2 w1 w2"))
+      .toDF("doc_id", "text")
+    graft.operators.QualityModel.build(spark, ref, "doc_id", "text", s"$root/lm")
+    def curate(): Unit =
+      StreamingPipeline
+        .curateIngestStream(
+          spark, raw, s"$root/lm", s"$root/spans", s"$root/index", s"$root/out",
+          s"$root/ckpt", graft.schemas.Schemas.documentIngest
+        )
+        .awaitTermination(60000)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":100,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"}
+         |{"doc_id":101,"text":"z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"}""".stripMargin
+    )
+    curate()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":200,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2"}
+         |{"doc_id":201,"text":"u1 u2 u3 u4 u5 u6 u7 u8 v1 v2 w1 w2 u1 u2"}""".stripMargin
+    )
+    curate()
+    // Chain consumer: AvailableNow drain AFTER the curator's (the
+    // documented discipline), 8-token budget so the survivors tile
+    // two packs.
+    def packRun(): Unit =
+      StreamingPipeline
+        .packCuratedStream(
+          spark, s"$root/out", s"$root/packstate", s"$root/manifests", s"$root/pckpt",
+          budget = 8L, nShards = 4
+        )
+        .awaitTermination(60000)
+    packRun()
+    // Loader: the full pack window over the chain's output. Survivors
+    // are doc 100 (10 tokens, original text) and doc 201 (4 tokens,
+    // span-cleaned tail) → 14 tokens → packs 0 (full) and 1 (6 toks).
+    val curated = spark.read.parquet(s"$root/out").select("doc_id", "text")
+    val slices = graft.operators.Packing
+      .materializePacks(
+        spark, s"$root/packstate", s"$root/manifests", curated,
+        "doc_id", "text", 0L, 2L, 8L
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(slices.length == 14, s"14 curated tokens across the window: ${slices.length}")
+    val perDoc = slices.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(perDoc == Map(100L -> 10, 201L -> 4), s"per-doc token counts: $perDoc")
+    val gpos = slices.map(t => t._1 * 8 + t._2).sorted.toSeq
+    assert(gpos == (0L until 14L), s"packs tile the curated stream contiguously: $gpos")
+    // Doc 201 contributes exactly its span-cleaned tail, in order.
+    val tail201 = slices.filter(_._3 == 201L).sortBy(t => t._1 * 8 + t._2).map(_._4).toSeq
+    assert(tail201 == Seq("w1", "w2", "u1", "u2"), s"cleaned tail packed verbatim: $tail201")
+    // Drained restart packs nothing new: same manifests, same state rows.
+    val manifestsBefore = new java.io.File(s"$root/manifests").listFiles().map(_.getName).toSet
+    packRun()
+    val manifestsAfter = new java.io.File(s"$root/manifests").listFiles().map(_.getName).toSet
+    assert(manifestsAfter == manifestsBefore, "drained chain restart must not re-pack")
   }
 
   test("streaming span dedup ingest end-to-end: cross-file spans detected via the state") {
