@@ -132,7 +132,8 @@ object SparkEntry {
     "q110_sequence_packing" -> (TextQueries.q110SequencePacking _),
     "q111_pack_slices" -> (TextQueries.q111PackSlices _),
     "q112_pack_ingest" -> (TextQueries.q112PackIngest _),
-    "q113_mixture_packing" -> (TextQueries.q113MixturePacking _)
+    "q113_mixture_packing" -> (TextQueries.q113MixturePacking _),
+    "q114_stratified_slices" -> (TextQueries.q114StratifiedPackSlices _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1670,6 +1671,29 @@ object SparkEntry {
         |  (cum - n_toks) // 2048 AS first_pack,
         |  (cum - 1) // 2048 AS last_pack,
         |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q114: the q111 loader replay scoped to ONE source of the q113
+    // mixture layout (domain-pure pack space: per-source offsets start
+    // at 0, so filtering the corpus to the source first is exact).
+    "q114_stratified_slices" ->
+      """WITH s AS (SELECT min(source) AS src FROM documents),
+        |tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+        |  FROM documents WHERE source = (SELECT src FROM s)),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM tk),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |ux AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': ts[i]})) AS u
+        |  FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ux)
+        |SELECT (start_tok + pos) // 2048 AS pack_id,
+        |  (start_tok + pos) % 2048 AS pos_in_pack,
+        |  doc_id, tok AS token
+        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin
   )
 }

@@ -362,6 +362,13 @@ object Pipeline {
   * `--maintenance pack_stream --raw R --state S --out O --checkpoint C
   * [--budget T] [--shards K]` (the same per arriving document JSON
   * file, engine-tracked exactly-once), and
+  * `--maintenance pack_slices --state S --manifests M --docs D --out O
+  * --from K --to L [--budget T]` (loader-side materialization of packs
+  * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
+  * `--maintenance pack_curated_stream --curated C --state S --out O
+  * --checkpoint K [--budget T] [--shards N]` (the curation→packing
+  * chain consumer: tail a curated corpus' batch partitions into pack
+  * manifests), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -637,6 +644,51 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] pack stream drained $raw into $out")
+      case Some("pack_curated_stream") =>
+        // The curation→packing chain consumer: tail a curate_stream /
+        // curate_ingest corpus' batch-keyed parquet partitions and lay
+        // each newly accepted file out after everything already packed
+        // (StreamingPipeline.packCuratedStream). Run AFTER the
+        // curator's drain (or lagged one sealed batch behind it — see
+        // the method's replay note).
+        val curated = opts.getOrElse("curated", sys.error("--curated <corpus dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        graft.streaming.StreamingPipeline
+          .packCuratedStream(spark, curated, state, out, ckpt, budget, shards)
+          .awaitTermination()
+        println(s"[maintenance] pack curated stream drained $curated into $out")
+      case Some("pack_slices") =>
+        // Loader-side pack materialization from an incremental manifest
+        // dir (Packing.materializePacks): the offset state prunes the
+        // batch-keyed manifest dirs to those overlapping the requested
+        // pack window BEFORE any file is opened, so a training job can
+        // read packs [from, to) at O(packs x budget) exploded tokens
+        // whatever the crawl age. Docs parquet shape: (doc_id, text).
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val from = opts.getOrElse("from", sys.error("--from <pack id> required")).toLong
+        val to = opts.getOrElse("to", sys.error("--to <pack id excl> required")).toLong
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val slices = graft.operators.Packing
+          .materializePacks(
+            spark,
+            state,
+            manifests,
+            spark.read.parquet(docsPath),
+            "doc_id",
+            "text",
+            from,
+            to,
+            budget
+          )
+        val n = Pipeline.writeCounted(slices, out)
+        println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
       case Some("span_state_report") =>
         // Sizing snapshot of a span state from its _segs manifests —
         // pure metadata (Maintenance.spanStateReport); prints the

@@ -1876,4 +1876,47 @@ object TextQueries {
         col("token")
       )
   }
+
+  /** STRATIFIED pack materialization (q111's loader scoped to ONE
+    * domain of the q113 mixture layout): the first three packs of a
+    * single source's domain-pure pack space as (pack_id, pos_in_pack,
+    * doc_id, token) rows. Because every source is its OWN token stream
+    * starting at offset 0, a source's layout depends only on its own
+    * documents — so the loader filters the corpus to the domain
+    * BEFORE laying anything out (identical offsets to filtering the
+    * full [[graft.operators.Packing.layoutBy]] output, proved by the
+    * per-(source, shard) prefix construction), which is the 100 TB
+    * path: a mixture schedule drawing "pack k of source s" reads one
+    * domain's manifest slice, never the corpus. The probe domain is
+    * the lexicographic min source (a 1-row bounded collect); the
+    * window prune before the explode keeps the exploded volume
+    * O(packs · budget) as in q111.
+    */
+  def q114StratifiedPackSlices(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val nPacks = 3L
+    val window = budget * nPacks
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val src = d.agg(min(col("source"))).collect().head.getString(0)
+    val domain = d.filter(col("source") === src)
+    val sel = graft.operators.Packing
+      .layoutBy(domain, "doc_id", "text", "source", nShards = 8)
+      .filter(col("start_tok") < window)
+      .select(col("doc_id"), col("start_tok"))
+    sel
+      .join(domain.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("start_tok"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token"))
+      )
+      .withColumn("gpos", col("start_tok") + col("pos"))
+      .filter(col("gpos") < window)
+      .select(
+        expr(s"gpos div $budget").as("pack_id"),
+        (col("gpos") % budget).as("pos_in_pack"),
+        col("doc_id"),
+        col("token")
+      )
+  }
 }

@@ -199,6 +199,75 @@ class PackingSpec extends AnyFunSuite {
     assert(m.columns.toSet.contains("first_pack"))
   }
 
+  test("pack_slices CLI verb materializes a state-pruned pack window") {
+    val root = Files.createTempDirectory("graft-packslices-cli").toString
+    val allDocs = corpus(0 until 40)
+    allDocs.write.parquet(s"$root/docs")
+    Seq(0 until 20, 20 until 40).zipWithIndex.foreach { case (ids, i) =>
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_ingest",
+          "--batch", { corpus(ids).write.parquet(s"$root/b$i"); s"$root/b$i" },
+          "--state", s"$root/st",
+          "--out", s"$root/manifests",
+          "--applied_id", i.toString,
+          "--budget", "16"
+        ),
+        spark
+      )
+    }
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_slices",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--out", s"$root/slices",
+        "--from", "0", "--to", "2",
+        "--budget", "16"
+      ),
+      spark
+    )
+    val got = spark.read.parquet(s"$root/slices")
+    assert(got.columns.toSeq == Seq("pack_id", "pos_in_pack", "doc_id", "token"))
+    assert(got.count() == 32L, "two full 16-token packs")
+    // must agree with the library call it fronts
+    val direct = graft.operators.Packing
+      .materializePacks(spark, s"$root/st", s"$root/manifests", allDocs, "doc_id", "text", 0L, 2L, 16L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val viaCli = got
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(viaCli == direct, "CLI verb must front materializePacks exactly")
+  }
+
+  test("layoutBy domain purity: a source's layout is independent of every other source") {
+    // The q114 loader path: filtering the corpus to one source BEFORE
+    // layoutBy must give exactly that source's rows of the full
+    // mixture layout — per-source offsets start at 0 and never see
+    // other domains, so a mixture reweight or per-domain loader never
+    // recomputes the corpus.
+    val mixed = (0 until 30)
+      .map(i => (i.toLong, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books",
+        s"tok${i} alpha beta g$i"))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "shard", "start_tok", "n_toks", "end_tok")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+    val full = rows(
+      Packing.layoutBy(mixed, "doc_id", "text", "source", 4).filter(col("source") === "code")
+    )
+    val filteredFirst = rows(
+      Packing.layoutBy(mixed.filter(col("source") === "code"), "doc_id", "text", "source", 4)
+    )
+    assert(full == filteredFirst, "filter-first layout must equal the filtered mixture layout")
+  }
+
   test("layout fails loudly on duplicate doc ids (overlapping offsets forbidden)") {
     val dup = Seq((7L, "a b c"), (7L, "d e"), (8L, "f")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](
