@@ -177,19 +177,23 @@ object Maintenance {
     accepted.drop("__h")
   }
 
-  /** Size-tiered self-compaction for a flat hash-index directory (the
-    * [[incrementalDedup]] state): when more than `maxIndexFiles`
-    * parquet files have accumulated, merge every file EXCEPT those
-    * larger than the sum of all smaller peers — the settled files are
-    * the LSM base levels, and merging them before their smaller peers
-    * rival them would be premature rewrite. The merged rows are
-    * written size-targeted (`targetFileBytes`) to a sibling tmp dir,
-    * MOVED IN file-by-file, and only then are the victims deleted.
+  /** Size-tiered self-compaction for a flat set-semantics index
+    * directory — the [[incrementalDedup]] hash index, the
+    * [[NearDupIndex]] signature index, or any parquet dir whose
+    * content is a row SET probed by joins that tolerate duplicates:
+    * when more than `maxIndexFiles` parquet files have accumulated,
+    * merge every file EXCEPT those larger than the sum of all smaller
+    * peers — the settled files are the LSM base levels, and merging
+    * them before their smaller peers rival them would be premature
+    * rewrite. The merged rows are distinct-ed over ALL columns (set
+    * semantics), written size-targeted (`targetFileBytes`) to a
+    * sibling tmp dir, MOVED IN file-by-file, and only then are the
+    * victims deleted.
     *
     * Crash-safe with no marker, by the same argument as the span
-    * state's segment compaction: the index's semantic content is a
-    * hash SET probed by an anti-join, so duplicate rows across files
-    * are harmless. Every crash point leaves the set intact — tmp
+    * state's segment compaction: a set probed by anti-/equi-joins
+    * whose consumers dedup (or don't care) is unchanged by duplicate
+    * rows across files. Every crash point leaves the set intact — tmp
     * written but nothing moved (victims untouched; the stale tmp is
     * pre-commit garbage, dropped on the next trigger's entry), some
     * merged files moved (duplicates of still-present victims), or
@@ -232,7 +236,6 @@ object Maintenance {
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read
       .parquet(victims.map(_._1.toString): _*)
-      .select(col("__h"))
       .distinct()
       .coalesce(nOut)
       .write
@@ -246,6 +249,96 @@ object Maintenance {
       .foreach(st => renameOrFail(fs, st.getPath, new HPath(root, st.getPath.getName)))
     victims.foreach { case (p, _) => deleteOrFail(fs, p) }
     deleteOrFail(fs, tmp)
+  }
+
+  /** Scheduled read-optimize for a single-level hive-partitioned state
+    * dir (the IVF `assignments/cluster=` layout, or any `k=v`
+    * partitioned table whose partitions accumulate one file per ingest
+    * batch): rewrite every partition dir holding more than
+    * `minFilesPerDir` parquet files down to its size-targeted count,
+    * as ONE Spark job (writer tasks ∝ total bytes, never one per dir),
+    * then swap each rewritten dir in with a per-dir two-rename commit.
+    * Returns the number of partition dirs rewritten.
+    *
+    * This is the [[compact]] analog for partitioned layouts — an
+    * operator runs it on a maintenance schedule (`--maintenance
+    * compact_partitions`), not on the ingest path; inline ingest
+    * growth is bounded separately by each index's append sizing
+    * (~one file per touched partition per batch).
+    *
+    * Crash contract mirrors [[compact]]'s: tmp (`.__pcompact_tmp`) and
+    * old (`.__pcompact_old`) live OUTSIDE the table root, so readers
+    * never see half-written partitions; a crash between a dir's two
+    * renames leaves that dir stranded in old, and the next call heals
+    * it on entry (restore if missing from the root, drop if the swap
+    * completed) before deleting pre-commit tmp garbage — the healed
+    * table always holds each partition's full row set exactly once.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFilesPerDir: Int = 2
+  ): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new HPath(s"$path.__pcompact_tmp")
+    val oldRoot = new HPath(s"$path.__pcompact_old")
+    // Heal a prior crash BEFORE reading: restore dirs stranded mid-swap
+    // (missing from the root), drop the rest, then clear tmp garbage
+    // (every tmp dir is either unswapped — its data still lives in the
+    // root — or already swapped in; both are safe to delete).
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { st =>
+        val dst = new HPath(root, st.getPath.getName)
+        if (!fs.exists(dst)) renameOrFail(fs, st.getPath, dst)
+      }
+      deleteOrFail(fs, oldRoot)
+    }
+    deleteOrFail(fs, tmpRoot)
+    if (!fs.exists(root)) return 0
+    val victims = fs
+      .listStatus(root)
+      .filter(st =>
+        st.isDirectory && st.getPath.getName.contains("=") &&
+          !st.getPath.getName.startsWith(".")
+      )
+      .map { st =>
+        val n = fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+        (st.getPath, n, fs.getContentSummary(st.getPath).getLength)
+      }
+      .filter(_._2 > minFilesPerDir)
+      .toIndexedSeq
+    if (victims.isEmpty) return 0
+    val partCol = victims.head._1.getName.split("=", 2)(0)
+    val bytes = victims.map(_._3).sum
+    val nTasks = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // Hash-repartition on the partition column: a task holds whole
+    // dirs (one output file per dir) and a swarm of small dirs shares
+    // few tasks. A single dir larger than the target stays one file —
+    // per-dir sub-splitting is the owning operator's job (e.g. the IVF
+    // rebalance pass splits oversized clusters before size shows up
+    // here).
+    spark.read
+      .option("basePath", root.toString)
+      .parquet(victims.map(_._1.toString): _*)
+      .repartition(nTasks, col(partCol))
+      .write
+      .partitionBy(partCol)
+      .parquet(tmpRoot.toString)
+    fs.mkdirs(oldRoot)
+    forEachBucketParallel(
+      fs.listStatus(tmpRoot).filter(st => st.isDirectory && st.getPath.getName.contains("=")).map(_.getPath).toIndexedSeq
+    ) { tmpDir =>
+      val live = new HPath(root, tmpDir.getName)
+      val old = new HPath(oldRoot, tmpDir.getName)
+      if (fs.exists(live)) renameOrFail(fs, live, old)
+      renameOrFail(fs, tmpDir, live)
+    }
+    deleteOrFail(fs, oldRoot)
+    deleteOrFail(fs, tmpRoot)
+    victims.length
   }
 
   /** Incremental duplicated-span extents — the persistent-state twin of

@@ -90,6 +90,18 @@ object NearDupIndex {
     * re-indexed doc keeps its original signature (ids are assumed to
     * name immutable documents). The anti-join probes one short column
     * of the index — the same cost class as the probe join itself.
+    *
+    * The index SELF-COMPACTS like the exact-dedup one: each batch
+    * appends a bounded number of size-targeted files (never
+    * shuffle-partition-many — a long crawl would otherwise leave one
+    * file SET per batch and every probe would pay the footer fan-out),
+    * and past `maxIndexFiles` files [[Maintenance.tierIndexFiles]]'s
+    * size-tiered merge runs (settled files never rewritten until their
+    * smaller peers rival them — amortized per-batch write independent
+    * of crawl age). Duplicate rows across files during a compaction
+    * crash window are harmless here too: [[pairsBetween]] distincts
+    * the collision pairs before estimating, and the append's anti-join
+    * is membership-only. Set `maxIndexFiles = 0` to disable.
     */
   def update(
       spark: SparkSession,
@@ -97,7 +109,8 @@ object NearDupIndex {
       indexPath: String,
       threshold: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      maxIndexFiles: Int = 64
   ): DataFrame = {
     val sigs = signatures(batch, idCol, textCol).localCheckpoint()
     val indexExists = {
@@ -114,7 +127,16 @@ object NearDupIndex {
       if (indexExists)
         sigs.join(spark.read.parquet(indexPath).select("doc_id"), Seq("doc_id"), "left_anti")
       else sigs
-    toAppend.write.mode("append").parquet(indexPath)
+    // ~136 B per (doc_id, 16-minima sig) row → one file per ~1M rows,
+    // sized from the already-settled signature count (an upper bound
+    // on the appended rows — the anti-join only shrinks it).
+    val nSigs = sigs.count()
+    toAppend
+      .coalesce(math.max(1L, nSigs / 1000000L).toInt)
+      .write
+      .mode("append")
+      .parquet(indexPath)
+    if (maxIndexFiles > 0) Maintenance.tierIndexFiles(spark, indexPath, maxIndexFiles)
     settled
   }
 }

@@ -330,6 +330,9 @@ object Pipeline {
   * `--bucket` (batch) or `--bucket --raw_file_name` (incremental),
   * plus the table-maintenance verbs a scheduled operator of the same
   * pipeline runs: `--maintenance compact --path P [--target_mb N]`,
+  * `--maintenance compact_partitions --path P [--target_mb N]
+  * [--min_files K]` — per-partition-dir read-optimize for batch-append
+  * layouts (IVF assignments, batch-keyed telemetry),
   * `--maintenance expire --path P --before YYYYMM` — retention for
   * `year=` and `year=/month=` layouts (the full-batch writes; a
   * `month=`-only layout carries no year and is refused) — and
@@ -689,6 +692,19 @@ object PipelineRunner {
           )
         val n = Pipeline.writeCounted(slices, out)
         println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
+      case Some("compact_partitions") =>
+        // Scheduled read-optimize for a hive-partitioned state dir
+        // whose partitions accumulate one file per ingest batch (the
+        // IVF assignments layout, batch-keyed telemetry, ...):
+        // Maintenance.compactPartitioned rewrites every dir above the
+        // file-count threshold in one job and swaps dirs in two
+        // renames each (crash-healed on the next run's entry).
+        val path = opts.getOrElse("path", sys.error("--path <dir> required"))
+        val targetMb = opts.getOrElse("target_mb", "128").toLong
+        val minFiles = opts.getOrElse("min_files", "2").toInt
+        val n = graft.operators.Maintenance
+          .compactPartitioned(spark, path, targetMb * 1024 * 1024, minFiles)
+        println(s"[maintenance] compacted $n fragmented partition dir(s) in $path")
       case Some("span_state_report") =>
         // Sizing snapshot of a span state from its _segs manifests —
         // pure metadata (Maintenance.spanStateReport); prints the

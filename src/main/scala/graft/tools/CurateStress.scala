@@ -425,18 +425,21 @@ object CurateStress {
     moveJson(s"$root/j1", raw, "batch1")
     val tc1 = curateDrain()
     val tp1 = packDrain()
-    val nPacks = graft.operators.Packing
+    // Window = the last 3 packs INCLUDING the in-progress partial one
+    // (on a dup-heavy corpus the whole curated stream can be shorter
+    // than one full pack).
+    val packTo = graft.operators.Packing
       .baseRows(spark, pstate)
       .map(_._3)
       .maxOption
-      .getOrElse(0L) / 2048L
+      .getOrElse(0L) / 2048L + 1
     val (nTok, tr) = StressUtil.timed {
       graft.operators.Packing
         .materializePacks(
           spark, pstate, manifests,
           spark.read.parquet(out).select("doc_id", "text"),
           "doc_id", "text",
-          math.max(0L, nPacks - 3), nPacks, 2048L
+          math.max(0L, packTo - 3), packTo, 2048L
         )
         .count()
     }

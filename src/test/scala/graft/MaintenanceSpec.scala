@@ -166,6 +166,66 @@ class MaintenanceSpec extends AnyFunSuite {
     )
   }
 
+  test("compactPartitioned rewrites fragmented partition dirs, preserving rows and layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pcompact").toString + "/assignments"
+    // Simulate a long ingest: 8 batches each appending one file per
+    // touched cluster dir — every dir ends up 8-file fragmented.
+    (0 until 8).foreach { b =>
+      (0 until 4)
+        .map(c => (b * 10L + c, c))
+        .toDF("vec_id", "cluster")
+        .repartition(org.apache.spark.sql.functions.col("cluster"))
+        .write
+        .mode("append")
+        .partitionBy("cluster")
+        .parquet(root)
+    }
+    def filesIn(c: Int): Int =
+      new java.io.File(s"$root/cluster=$c").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn(0) == 8, "fixture must start fragmented")
+    val before = spark.read.parquet(root).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val n = Maintenance.compactPartitioned(spark, root)
+    assert(n == 4, s"all four fragmented dirs rewritten, got $n")
+    (0 until 4).foreach(c => assert(filesIn(c) == 1, s"cluster=$c compacted to one file"))
+    val after = spark.read.parquet(root).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before, "row set preserved across the rewrite")
+    assert(!new java.io.File(s"$root.__pcompact_tmp").exists(), "tmp cleaned up")
+    assert(!new java.io.File(s"$root.__pcompact_old").exists(), "old cleaned up")
+    // Idempotent re-run: nothing above the threshold, zero rewrites.
+    assert(Maintenance.compactPartitioned(spark, root) == 0)
+  }
+
+  test("compactPartitioned heals a crash-stranded partition dir on entry") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pcompact-crash").toString
+    val root = s"$base/assignments"
+    (0 until 3).foreach { b =>
+      (0 until 2)
+        .map(c => (b * 10L + c, c))
+        .toDF("vec_id", "cluster")
+        .repartition(org.apache.spark.sql.functions.col("cluster"))
+        .write
+        .mode("append")
+        .partitionBy("cluster")
+        .parquet(root)
+    }
+    val before = spark.read.parquet(root).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // Fabricate the crash window between a dir's two renames: its live
+    // dir moved to old, the rewritten tmp dir never moved in.
+    new java.io.File(s"$root.__pcompact_old").mkdirs()
+    assert(
+      new java.io.File(s"$root/cluster=1")
+        .renameTo(new java.io.File(s"$root.__pcompact_old/cluster=1")),
+      "fixture rename"
+    )
+    val n = Maintenance.compactPartitioned(spark, root)
+    assert(n >= 1, "heal must precede the rewrite pass")
+    val after = spark.read.parquet(root).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before, "stranded partition restored before compaction")
+    assert(!new java.io.File(s"$root.__pcompact_old").exists(), "old root cleared after heal")
+  }
+
   test("upsert replaces same-key rows, keeps the rest, and is idempotent") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")

@@ -64,4 +64,36 @@ class NearDupIndexSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(r.toSeq == Seq((3L, 1L)), s"exactly one pair expected, got ${r.mkString(",")}")
   }
+
+  test("signature index self-compacts size-tiered; probes stay exact across tiers") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-neardup-tier").toString + "/sigs.parquet"
+    def files: Int =
+      new java.io.File(index).listFiles().count(_.getName.endsWith(".parquet"))
+    // A long trickle of unrelated singleton batches: without tiering
+    // the index keeps one file per batch forever.
+    (0 to 9).foreach { i =>
+      val doc = s"entirely distinct document number $i about topic${i}a topic${i}b " +
+        s"topic${i}c topic${i}d topic${i}e topic${i}f topic${i}g topic${i}h topic${i}i"
+      NearDupIndex.update(
+        spark, Seq((100L + i, doc)).toDF("doc_id", "text"), index, maxIndexFiles = 4
+      )
+    }
+    assert(files <= 5, s"signature files must stay near the threshold, got $files")
+    assert(
+      spark.read.parquet(index).count() == 10L,
+      "one signature row per doc across tiers"
+    )
+    // Probe across the merged tiers: an exact re-send of an early doc
+    // (its signature now lives in a merged file) must still pair with
+    // it — identical shingles make every band collide deterministically.
+    val probeText = "entirely distinct document number 3 about topic3a topic3b " +
+      "topic3c topic3d topic3e topic3f topic3g topic3h topic3i"
+    val pairs = NearDupIndex
+      .update(spark, Seq((900L, probeText)).toDF("doc_id", "text"), index, maxIndexFiles = 4)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(pairs == Set((900L -> 103L)), s"tiered index must still answer probes exactly: $pairs")
+  }
 }
