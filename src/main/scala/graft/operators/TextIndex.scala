@@ -82,6 +82,28 @@ object TextIndex {
       .parquet(s"$indexPath/postings")
   }
 
+  /** Scheduled read-optimize for an appended index: every [[append]]
+    * leaves one file set in `docs/` and one file per touched bucket in
+    * `postings/`, so a long ingest fragments both. `docs/` compacts
+    * through [[Maintenance.compact]]'s atomic tmp+swap (its rows feed
+    * the BM25 length join, where duplicate rows would double-count —
+    * the whole-dir swap has no duplicate window); `postings/` through
+    * [[Maintenance.compactPartitioned]] (per-bucket two-rename swap —
+    * posting rows are per-(doc, token) aggregates, so the brief
+    * missing-partition window degrades a concurrent search's recall,
+    * never its correctness, and single-writer maintenance scheduling
+    * avoids even that). Returns (docs files, postings dirs rewritten).
+    */
+  def compactIndex(
+      spark: SparkSession,
+      indexPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): (Int, Int) = {
+    val nDocs = Maintenance.compact(spark, s"$indexPath/docs", targetFileBytes)
+    val nPost = Maintenance.compactPartitioned(spark, s"$indexPath/postings", targetFileBytes)
+    (nDocs, nPost)
+  }
+
   /** BM25-ranked top-`topK` documents for a bag-of-terms query. Reads
     * only the terms' posting buckets (partition pruning; term buckets
     * are computed driver-side — |terms| md5s, not a data scan). Term

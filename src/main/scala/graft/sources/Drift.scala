@@ -41,6 +41,15 @@ object Drift {
     * included there) plus the session-TZ reinterpretation of
     * TIMESTAMP_NTZ — safe under this engine's pinned-UTC sessions,
     * where naive and tz-adjusted timestamps share one epoch.
+    *
+    * Deliberately NOT here: the events reader's epoch-nanos rule
+    * (`CoreQueries.normalizeEventTs`, BIGINT ts → `timestamp_micros(ts
+    * div 1000)`). That is a REINTERPRETATION — the long's unit is
+    * domain knowledge — while a `cast(long as timestamp)` means
+    * seconds; folding it into this table would make every drifting
+    * long column silently eligible for a unit guess. Columns with
+    * bespoke encodings stay with their owning reader, which shares
+    * this table's NTZ rule for the cases that ARE casts.
     */
   private[graft] def lossless(from: DataType, to: DataType): Boolean =
     (from, to) match {

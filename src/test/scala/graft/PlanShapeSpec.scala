@@ -243,6 +243,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf(df).contains("BroadcastHashJoin"), "group offsets must broadcast-join back")
   }
 
+  test("q114: stratified loader inherits every packing lock — source-filtered scan, pruned explode") {
+    // Pack k of ONE domain: the corpus must be filtered to the source
+    // BEFORE layout (domain purity makes that exact), the offsets
+    // broadcast back, the window pruned before the single explode, and
+    // no unpartitioned window anywhere.
+    val df = queries.TextQueries.q114StratifiedPackSlices(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the stratified-loader plan")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "group offsets must broadcast-join back")
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 explode:\n$plan")
+    // the source equality must reach the parquet scan as a pushed filter
+    assert(
+      plan.contains("PushedFilters: [") && plan.contains("EqualTo(source,"),
+      s"source filter must push into the documents scan:\n$plan"
+    )
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row

@@ -91,4 +91,27 @@ class TextIndexSpec extends AnyFunSuite {
     val hit = TextIndex.search(spark, idx, Seq("zzyzx"), topK = 1).collect()(0)
     assert(hit.getLong(0) == 900001L, s"appended doc must be the top hit, got $hit")
   }
+
+  test("compactIndex defragments an appended index; search results unchanged bit-for-bit") {
+    import spark.implicits._
+    val idx = freshIndex()
+    // A trickle of appends fragments docs/ and the touched posting buckets.
+    (0 until 6).foreach { i =>
+      TextIndex.append(
+        spark,
+        Seq((910000L + i, s"zzyzx shared term plus unique$i filler$i")).toDF("doc_id", "text"),
+        idx
+      )
+    }
+    val before = TextIndex.search(spark, idx, Seq("zzyzx", "shared"), topK = 10).collect().toSeq
+    val docFilesBefore = new java.io.File(s"$idx/docs").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(docFilesBefore >= 7, s"fixture must start fragmented, got $docFilesBefore")
+    val (nd, np) = TextIndex.compactIndex(spark, idx)
+    assert(nd == 1, s"docs table compacts to the size-targeted count, got $nd")
+    assert(np >= 1, s"fragmented posting buckets rewritten, got $np")
+    val docFilesAfter = new java.io.File(s"$idx/docs").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(docFilesAfter == 1, s"docs defragmented, got $docFilesAfter")
+    val after = TextIndex.search(spark, idx, Seq("zzyzx", "shared"), topK = 10).collect().toSeq
+    assert(after == before, "compaction must not change a single score or rank")
+  }
 }
