@@ -556,6 +556,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("flat-index tiering never changes accepted sets on random batch sequences") {
+    // tierIndexFiles at threshold 2 (merging on almost every batch)
+    // must be invisible to incrementalDedup's semantics: per-batch
+    // accepted sets and the final hash set equal an untiered replica's
+    // on any batch sequence, and the file count stays bounded.
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val textGen = for {
+      n <- Gen.choose(1, 4)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val seqGen = for {
+      nb <- Gen.choose(5, 7)
+      batches <- Gen.listOfN(nb, Gen.listOfN(3, textGen))
+    } yield batches
+    forAllSamples(seqGen) { batches =>
+      val root = java.nio.file.Files.createTempDirectory("graft-tierprop").toString
+      batches.zipWithIndex.foreach { case (texts, i) =>
+        val df = texts.zipWithIndex
+          .map { case (t, j) => (i * 100L + j, t) }
+          .toDF("doc_id", "text")
+        val accA = operators.Maintenance
+          .incrementalDedup(spark, df, "doc_id", "text", s"$root/a", maxIndexFiles = 2)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val accB = operators.Maintenance
+          .incrementalDedup(spark, df, "doc_id", "text", s"$root/b", maxIndexFiles = 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(accA == accB, s"accepted-set drift at batch $i on $batches")
+      }
+      def hashes(p: String) =
+        spark.read.parquet(p).distinct().collect().map(_.getString(0)).toSet
+      assert(hashes(s"$root/a") == hashes(s"$root/b"), s"index set drift on $batches")
+      val files = new java.io.File(s"$root/a").listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 3, s"threshold-2 index must stay bounded, got $files")
+    }
+  }
+
   test("curateIngest on a first batch equals curateCorpus on random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
