@@ -311,7 +311,13 @@ object Maintenance {
       .filter(_._2 > minFilesPerDir)
       .toIndexedSeq
     if (victims.isEmpty) return 0
-    val partCol = victims.head._1.getName.split("=", 2)(0)
+    val partCols = victims.map(_._1.getName.split("=", 2)(0)).distinct
+    require(
+      partCols.length == 1,
+      s"mixed partition columns under $path (${partCols.mkString(", ")}): " +
+        "compactPartitioned handles one single-level hive layout per call"
+    )
+    val partCol = partCols.head
     val bytes = victims.map(_._3).sum
     val nTasks = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // Hash-repartition on the partition column: a task holds whole
