@@ -61,11 +61,24 @@ object NearDupIndex {
     * signature-agreement estimate ≥ `threshold`. `a.doc_id < b.doc_id`
     * is NOT imposed (callers pass disjoint sides); exact-id pairs are
     * excluded.
+    *
+    * The `a` side (the probing BATCH — callers pass the small side
+    * first) is pinned to broadcast: the collision join then STREAMS
+    * the `b` side (the corpus index) map-side instead of shuffling
+    * 4×|index| exploded band rows per batch. One full index scan per
+    * batch is the probe's irreducible keyed-join cost (the span-state
+    * posture — embarrassingly parallel, amortized by batching up);
+    * an index SHUFFLE per batch is not, and without the pin AQE's
+    * size estimate after a localCheckpoint is free to pick
+    * sort-merge. Batch band rows are 4/doc at ~144 B — a 1M-doc
+    * batch broadcasts ~0.6 GB, the executor-memory ceiling that sizes
+    * ingest batches.
     */
-  private def pairsBetween(a: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def pairsBetween(a: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
     val ab = bands(a).select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("band_key"))
     val bb = bands(b).select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("band_key"))
-    ab.join(bb, Seq("band", "band_key"))
+    broadcast(ab)
+      .join(bb, Seq("band", "band_key"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")
       .distinct()

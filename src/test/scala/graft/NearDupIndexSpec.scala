@@ -96,4 +96,34 @@ class NearDupIndexSpec extends AnyFunSuite {
       .toSet
     assert(pairs == Set((900L -> 103L)), s"tiered index must still answer probes exactly: $pairs")
   }
+
+  test("probe plan broadcasts the batch side — the index is scanned, never shuffled") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-neardup-plan").toString + "/sigs.parquet"
+    NearDupIndex.update(spark, Seq((1L, base), (2L, other)).toDF("doc_id", "text"), index)
+    val probe = NearDupIndex.signatures(Seq((3L, variant)).toDF("doc_id", "text"))
+    val pairs = NearDupIndex.pairsBetween(probe, spark.read.parquet(index), 0.5)
+    // Unwrap AQE: AdaptiveSparkPlanExec prints its inner plan but does
+    // not expose it to collect() until execution finalizes it.
+    val phys = pairs.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val plan = phys.toString
+    val joins = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"collision join must broadcast the batch side:\n$plan")
+    // The streamed (index) side must reach the join without a shuffle.
+    joins.foreach { j =>
+      val streamed =
+        if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.right else j.left
+      assert(
+        streamed
+          .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+          .isEmpty,
+        s"index side must stream without an Exchange:\n$plan"
+      )
+    }
+  }
 }
