@@ -133,7 +133,9 @@ object SparkEntry {
     "q111_pack_slices" -> (TextQueries.q111PackSlices _),
     "q112_pack_ingest" -> (TextQueries.q112PackIngest _),
     "q113_mixture_packing" -> (TextQueries.q113MixturePacking _),
-    "q114_stratified_slices" -> (TextQueries.q114StratifiedPackSlices _)
+    "q114_stratified_slices" -> (TextQueries.q114StratifiedPackSlices _),
+    "q115_bpe_merges" -> (TextQueries.q115BpeMerges _),
+    "q116_bpe_segments" -> (TextQueries.q116BpeSegments _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1694,6 +1696,60 @@ object SparkEntry {
         |SELECT (start_tok + pos) // 2048 AS pack_id,
         |  (start_tok + pos) % 2048 AS pos_in_pack,
         |  doc_id, tok AS token
-        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin
+        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin,
+    // q115/q116: BPE training is deterministic end to end (exact pair
+    // counts, (cnt DESC, lhs, rhs) argmax, leftmost-non-overlapping
+    // merges = SQL `replace` on the boundary-delimited symbol string),
+    // so the oracle replays all 8 rounds by unrolling
+    // pair-count → argmax → replace per level.
+    "q115_bpe_merges" -> bpeOracle(8, segments = false),
+    "q116_bpe_segments" -> bpeOracle(8, segments = true)
   )
+
+  /** Unrolled DuckDB replay of `n` BPE merge rounds (see
+    * `operators/Bpe.scala` for the representation contract). With
+    * `segments = false`: the merge table (q115). With `segments =
+    * true`: per-document whitespace vs BPE token counts under the
+    * final vocabulary (q116).
+    */
+  private def bpeOracle(n: Int, segments: Boolean): String = {
+    val word = if (segments) "word, " else ""
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT WORDCOL substr(regexp_replace(word, '(.)', '||\1', 'g'), 2) || '|' AS sym,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin.replace("WORDCOL ", word))
+    for (i <- 0 until n) {
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT split_part(pair, chr(9), 1) AS lhs, split_part(pair, chr(9), 2) AS rhs,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j] || chr(9) || syms[j+1])) AS pair, cnt
+        |        FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), '||') AS syms, cnt FROM w$i))
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+        |w${i + 1} AS (SELECT ${word}replace(w.sym, '|' || m.lhs || '||' || m.rhs || '|', '|' || m.lhs || m.rhs || '|') AS sym, w.cnt
+        |  FROM w$i w, m$i m)""".stripMargin)
+    }
+    if (!segments) {
+      sb.append("\n")
+      sb.append(
+        (0 until n)
+          .map(i => s"SELECT ${i + 1} AS merge_rank, lhs, rhs, cnt FROM m$i")
+          .mkString(" UNION ALL "))
+    } else {
+      sb.append(s""",
+        |inst AS (SELECT doc_id, word
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |vocab AS (SELECT word,
+        |    len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS n_sym FROM w$n)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS bpe_ratio
+        |FROM inst JOIN vocab USING (word) GROUP BY doc_id""".stripMargin)
+    }
+    sb.toString
+  }
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training as a Spark operator family —
+  * the missing piece between the token-counting/vocab operators
+  * (q18/q52) and the packing family (q110+): learn the merge table a
+  * training pipeline would tokenize with, from the corpus itself.
+  *
+  * Algorithm (classic BPE, Sennrich et al. 2016 / GPT-2 style, over
+  * whitespace words): start from character sequences, repeatedly merge
+  * the globally most frequent adjacent symbol pair. Determinism
+  * contract shared with the DuckDB oracle: the winning pair is the
+  * total order (count DESC, lhs ASC, rhs ASC), and one merge round
+  * replaces leftmost non-overlapping occurrences left-to-right —
+  * exactly the semantics of SQL `replace` on the boundary-delimited
+  * symbol string (below), so the oracle can replay every round.
+  *
+  * Scale shape — the two-tier structure every real trainer uses:
+  *   1. [[wordHistogram]] is the only corpus-sized stage: one
+  *      map-side-combined groupBy over the token stream (at 100 TB,
+  *      the word histogram is ~10^8 rows — 5-6 orders smaller than the
+  *      token stream, and `minCount` prunes the long tail further, the
+  *      standard trainer knob).
+  *   2. Every merge round runs over that BOUNDED histogram: one
+  *      pair-count aggregation + a LIMIT 1 collect (one row) + one
+  *      codegen'd string `replace` projection. O(V) work per round,
+  *      never O(corpus); lineage is truncated every `checkpointEvery`
+  *      rounds so a 50k-merge vocabulary doesn't stack 50k projections
+  *      into one plan. (The single-node alternative — collect the
+  *      histogram and run the heap-based incremental trainer — is the
+  *      right call when V·avgLen fits on the driver; this loop is the
+  *      exact same result computed without that assumption.)
+  *
+  * Symbol representation: a word is the string `|c1||c2||...||cn|` —
+  * symbols joined by `||` with single `|` boundaries. The merge of
+  * (l, r) is then literal-string `replace("|l||r|", "|lr|")`:
+  * boundary pipes make a symbol match exact (no symbol-suffix false
+  * positives), and the shared middle `||` makes adjacent occurrences
+  * (`|a||b||a||b|`) merge non-overlapping left-to-right, which is the
+  * BPE rule. Precondition (enforced loudly in [[learnMerges]]): no
+  * token contains `|`; a corpus that does must remap it first —
+  * silently mis-parsing symbol boundaries is worse than failing.
+  */
+object Bpe {
+
+  /** `"hello"` → `"|h||e||l||l||o|"` (one codegen'd regexp pass). */
+  private def repOf(word: Column): Column = {
+    val doubled = regexp_replace(word, "(.)", "||$1")
+    concat(doubled.substr(lit(2), length(doubled)), lit("|"))
+  }
+
+  /** Parse the symbol string back to its symbol array. */
+  private def symsOf(sym: Column): Column =
+    filter(
+      split(sym.substr(lit(2), length(sym) - 2), "\\|\\|"),
+      s => s =!= ""
+    )
+
+  /** Adjacent symbol pairs as (lhs, rhs) structs; empty for 1-symbol
+    * words (slice of length 0).
+    */
+  private def pairsOf(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("lhs"), b.as("rhs"))
+    )
+
+  /** The corpus-sized stage: whitespace-token histogram with the
+    * initial character-level symbol string. Empty tokens are dropped
+    * (they carry no symbols and no pairs — count-neutral for every
+    * consumer). Returns (word, cnt, sym).
+    */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", repOf(col("word")))
+
+  /** One learned merge: (lhs, rhs, pair count at selection time). */
+  final case class Merge(lhs: String, rhs: String, cnt: Long)
+
+  /** Learn up to `numMerges` BPE merges. Stops early when no pair is
+    * left (every word fully merged). Bounded driver traffic: one row
+    * per round (the argmax) — the histogram itself never leaves the
+    * executors.
+    */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 1L,
+      checkpointEvery: Int = 12
+  ): Seq[Merge] = {
+    val hist0 = wordHistogram(df, textCol)
+    // Separator interlock: a '|' inside a token would silently corrupt
+    // symbol-boundary parsing (and diverge from any oracle). One
+    // bounded probe over the histogram, loud failure.
+    val bad = hist0.filter(col("word").contains("|")).select(col("word")).take(1)
+    require(
+      bad.isEmpty,
+      s"BPE symbol boundary '|' occurs inside token '${bad.headOption.map(_.getString(0)).getOrElse("")}': " +
+        "remap '|' out of the corpus (e.g. translate to a private-use char) before training"
+    )
+    var h = (if (minCount > 1L) hist0.filter(col("cnt") >= minCount) else hist0)
+      .select(col("sym"), col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var continue = true
+    while (out.length < numMerges && continue) {
+      val top = h
+        .select(explode(pairsOf(symsOf(col("sym")))).as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(l, r, c)
+        h = h.withColumn("sym", applyMerge(col("sym"), l, r))
+        if (out.length % checkpointEvery == 0) h = h.localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** One merge round on a symbol string: literal (non-regex semantics
+    * via quoting), leftmost non-overlapping — the BPE rule and SQL
+    * `replace`'s rule.
+    */
+  private def applyMerge(sym: Column, l: String, r: String): Column =
+    regexp_replace(
+      sym,
+      lit(java.util.regex.Pattern.quote(s"|$l||$r|")),
+      lit(java.util.regex.Matcher.quoteReplacement(s"|$l$r|"))
+    )
+
+  /** Apply an ordered merge table to a symbol column (training-order
+    * fold — the standard "apply merges in learned order" tokenizer
+    * approximation).
+    */
+  def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (l, r)) => applyMerge(c, l, r) }
+
+  /** Learned merge table as a DataFrame: (merge_rank, lhs, rhs, cnt). */
+  def learn(df: DataFrame, textCol: String, numMerges: Int, minCount: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    learnMerges(df, textCol, numMerges, minCount).zipWithIndex
+      .map { case (m, i) => (i + 1, m.lhs, m.rhs, m.cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Per-document segmentation stats under a merge table: tokenize the
+    * DISTINCT-word table once (apply the merge fold V times, not
+    * corpus-size times), then one equi-join back to the token stream.
+    * Returns (<idCol>, n_tokens, n_bpe_tokens, bpe_ratio).
+    */
+  def segmentCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val vocab = wordHistogram(df, textCol)
+      .select(col("word"), size(symsOf(applyMerges(col("sym"), merges))).as("n_sym"))
+    df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_sym")).as("n_bpe_tokens")
+      )
+      .withColumn("bpe_ratio", col("n_bpe_tokens").cast("double") / col("n_tokens"))
+  }
+}

@@ -1919,4 +1919,29 @@ object TextQueries {
         col("token")
       )
   }
+
+  /** BPE tokenizer training: the first 8 learned merges with their
+    * selection-time pair counts. The whole derivation is deterministic
+    * (exact counts, total-order argmax, leftmost-non-overlapping merge
+    * application), so the DuckDB oracle replays every round by
+    * unrolling pair-count → argmax → `replace` per level. Scale notes
+    * on [[graft.operators.Bpe]]: only the word histogram touches the
+    * corpus; each round is O(distinct words).
+    */
+  def q115BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learn(docs(spark, dir), "text", numMerges = 8)
+
+  /** Segmentation under the learned table: per-document whitespace vs
+    * BPE token counts after the q115 merges. The merge fold runs over
+    * the DISTINCT-word table (V rows), then one equi-join back to the
+    * token stream — apply-side cost is independent of how many times a
+    * word repeats, which is the whole point of a word-histogram BPE.
+    */
+  def q116BpeSegments(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    graft.operators.Bpe.segmentCounts(d, "doc_id", "text", merges)
+  }
 }

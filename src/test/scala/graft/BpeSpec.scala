@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge learning: the distributed loop must equal a direct
+  * single-node reference implementation of the classic algorithm
+  * (count pairs over the word histogram, merge the (cnt DESC, lhs,
+  * rhs)-argmax pair leftmost-non-overlapping, repeat) — on fixed
+  * corpora, on random corpora, and through the apply/segment path.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-bpe-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Reference BPE trainer (the published algorithm, executed naively
+    * on the driver). Returns the merge table and the final per-word
+    * symbol sequences.
+    */
+  private def referenceBpe(
+      words: Seq[String],
+      numMerges: Int
+  ): (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    val hist = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    var seqs: Map[String, Vector[String]] =
+      hist.keys.map(w => w -> w.toVector.map(_.toString)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (merges.length < numMerges && continue) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, c) <- hist; Seq(a, b) <- seqs(w).sliding(2) if seqs(w).length > 1)
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      if (pc.isEmpty) continue = false
+      else {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((l, r, c))
+        seqs = seqs.map { case (w, s) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { out += (l + r); j += 2 }
+            else { out += s(j); j += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    (merges.toSeq, seqs)
+  }
+
+  private def learned(df: DataFrame, n: Int): Seq[(String, String, Long)] =
+    Bpe.learnMerges(df, "text", n).map(m => (m.lhs, m.rhs, m.cnt))
+
+  test("learnMerges equals the reference trainer on a fixed corpus") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "new newer newest new wider wide",
+      "low new wide wider lowest"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = texts.flatMap(_.split("\\s+"))
+    val (ref, _) = referenceBpe(words, 10)
+    assert(learned(df, 10) == ref)
+  }
+
+  test("learnMerges equals the reference on random corpora (incl. checkpoint boundary)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 3) {
+      val vocab = Vector.fill(12)((0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val texts = Vector.fill(30)((0 until (1 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val words = texts.flatMap(_.split("\\s+"))
+      // checkpointEvery=3 exercises the mid-loop lineage truncation.
+      val got = Bpe.learnMerges(df, "text", 7, checkpointEvery = 3).map(m => (m.lhs, m.rhs, m.cnt))
+      val (ref, _) = referenceBpe(words, 7)
+      assert(got == ref, s"trial $trial: $got != $ref")
+    }
+  }
+
+  test("early stop: a fully merged corpus yields fewer merges than asked") {
+    val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    // "ab" has one pair; after merging (a,b) no pairs remain.
+    val got = learned(df, 10)
+    assert(got == Seq(("a", "b", 3L)))
+  }
+
+  test("adjacent self-pairs merge leftmost non-overlapping (the aaaa case)") {
+    val df = Seq((0L, "aaaa aaa")).toDF("doc_id", "text")
+    // pairs of "aaaa": (a,a)x3; "aaa": (a,a)x2 → merge (a,a) cnt 5;
+    // leftmost non-overlap: "aaaa"→[aa,aa], "aaa"→[aa,a].
+    val got = learned(df, 2)
+    assert(got.head == (("a", "a", 5L)))
+    // round 2: "aaaa"=[aa,aa] has (aa,aa)x1; "aaa"=[aa,a] has (aa,a)x1
+    // → argmax tie on cnt broken by rhs ASC: (aa,a).
+    assert(got(1) == (("aa", "a", 1L)))
+  }
+
+  test("segmentCounts matches the reference final segmentation") {
+    val texts = Seq("low lower low", "newest lowest new", "wide wider widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = texts.flatMap(_.split("\\s+"))
+    val (ref, seqs) = referenceBpe(words, 6)
+    val merges = ref.map { case (l, r, _) => (l, r) }
+    val got = Bpe
+      .segmentCounts(df, "doc_id", "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split("\\s+").toSeq
+      (i.toLong, (ws.size.toLong, ws.map(w => seqs(w).length.toLong).sum))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("separator interlock: a '|' inside a token fails loudly") {
+    val df = Seq((0L, "ok bad|token ok")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](Bpe.learnMerges(df, "text", 2))
+    assert(e.getMessage.contains("|"))
+  }
+
+  test("minCount prunes tail words before training") {
+    val df = Seq((0L, "zz zz zz zz rare")).toDF("doc_id", "text")
+    // minCount=2 drops "rare": only (z,z) remains, cnt 4.
+    val got = Bpe.learnMerges(df, "text", 3, minCount = 2L).map(m => (m.lhs, m.rhs, m.cnt))
+    assert(got == Seq(("z", "z", 4L)))
+  }
+}
