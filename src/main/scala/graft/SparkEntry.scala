@@ -135,7 +135,8 @@ object SparkEntry {
     "q113_mixture_packing" -> (TextQueries.q113MixturePacking _),
     "q114_stratified_slices" -> (TextQueries.q114StratifiedPackSlices _),
     "q115_bpe_merges" -> (TextQueries.q115BpeMerges _),
-    "q116_bpe_segments" -> (TextQueries.q116BpeSegments _)
+    "q116_bpe_segments" -> (TextQueries.q116BpeSegments _),
+    "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1702,17 +1703,23 @@ object SparkEntry {
     // merges = SQL `replace` on the boundary-delimited symbol string),
     // so the oracle replays all 8 rounds by unrolling
     // pair-count → argmax → replace per level.
-    "q115_bpe_merges" -> bpeOracle(8, segments = false),
-    "q116_bpe_segments" -> bpeOracle(8, segments = true)
+    "q115_bpe_merges" -> bpeOracle(8, "merges"),
+    "q116_bpe_segments" -> bpeOracle(8, "segments"),
+    // q117: the full composition — 8 BPE rounds → per-doc counts →
+    // the q110 packing replay (global cumsum in the shuffle order,
+    // integer pack ranges) with those counts as the weights.
+    "q117_bpe_packing" -> bpeOracle(8, "manifest")
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see
-    * `operators/Bpe.scala` for the representation contract). With
-    * `segments = false`: the merge table (q115). With `segments =
-    * true`: per-document whitespace vs BPE token counts under the
-    * final vocabulary (q116).
+    * `operators/Bpe.scala` for the representation contract). `tail`
+    * selects the surface: "merges" = the merge table (q115);
+    * "segments" = per-document whitespace vs BPE token counts under
+    * the final vocabulary (q116); "manifest" = the q110-shape packing
+    * manifest weighted by those per-doc BPE counts (q117).
     */
-  private def bpeOracle(n: Int, segments: Boolean): String = {
+  private def bpeOracle(n: Int, tail: String): String = {
+    val segments = tail != "merges"
     val word = if (segments) "word, " else ""
     val sb = new StringBuilder
     sb.append(
@@ -1745,10 +1752,29 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
         |  WHERE word <> ''),
         |vocab AS (SELECT word,
-        |    len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS n_sym FROM w$n)
+        |    len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS n_sym FROM w$n)""".stripMargin)
+      if (tail == "segments") {
+        sb.append(s"""
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
         |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS bpe_ratio
         |FROM inst JOIN vocab USING (word) GROUP BY doc_id""".stripMargin)
+      } else {
+        sb.append(s""",
+        |seg AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_toks
+        |  FROM inst JOIN vocab USING (word) GROUP BY doc_id),
+        |b AS (SELECT doc_id, n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM seg),
+        |g AS (SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT doc_id, shard, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin)
+      }
     }
     sb.toString
   }

@@ -37,12 +37,38 @@ object Packing {
       textCol: String,
       nShards: Int,
       base: Long = 0L
+  ): DataFrame =
+    layoutFrom(df, idCol, size(split(col(textCol), "\\s+")).cast("long"), nShards, base)
+
+  /** [[layout]] with an EXPLICIT per-doc token count instead of the
+    * whitespace count of a text column — the bridge from
+    * packing-by-whitespace to packing-by-trained-tokenizer: feed it
+    * `Bpe.segmentCounts`' `n_bpe_tokens` (or any loader-side length)
+    * and the pack budget is measured in the tokens the model will
+    * actually see. Same shuffle order, same two-pass prefix, same
+    * unique-id interlock; the weight expression is the only change.
+    */
+  def layoutWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      nShards: Int,
+      base: Long = 0L
+  ): DataFrame =
+    layoutFrom(df, idCol, col(weightCol).cast("long"), nShards, base)
+
+  private def layoutFrom(
+      df: DataFrame,
+      idCol: String,
+      nToks: Column,
+      nShards: Int,
+      base: Long
   ): DataFrame = {
     val spark = df.sparkSession
     val prepared = df
       .select(
         col(idCol),
-        size(split(col(textCol), "\\s+")).cast("long").as("n_toks"),
+        nToks.as("n_toks"),
         h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
       )
       .withColumn("shard", (col("h") % nShards).cast("int"))

@@ -1944,4 +1944,25 @@ object TextQueries {
       .map(m => (m.lhs, m.rhs))
     graft.operators.Bpe.segmentCounts(d, "doc_id", "text", merges)
   }
+
+  /** The tokenizer→packing bridge: the q110 manifest with the budget
+    * measured in LEARNED-BPE tokens (q116's per-doc counts) instead of
+    * whitespace tokens — pack lengths then match what the trained
+    * model actually consumes. Same shuffle order and two-pass prefix
+    * as q110 via [[graft.operators.Packing.layoutWeighted]]; the
+    * weight column is the only change, and DuckDB replays the whole
+    * composition (8 BPE rounds → per-doc counts → global cumsum →
+    * pack ranges).
+    */
+  def q117BpeWeightedPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    val weights = graft.operators.Bpe
+      .segmentCounts(d, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val lay = graft.operators.Packing.layoutWeighted(weights, "doc_id", "n_bpe_tokens", nShards = 8)
+    graft.operators.Packing.manifest(lay, "doc_id", 2048L)
+  }
 }

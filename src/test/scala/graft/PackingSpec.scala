@@ -315,4 +315,59 @@ class PackingSpec extends AnyFunSuite {
     )
     assert(e.getMessage.contains("distinct 'g' groups"))
   }
+
+  test("layoutWeighted: whitespace weights reproduce layout exactly") {
+    val df = corpus(0 until 50)
+    val viaText = Packing.layout(df, "doc_id", "text", nShards = 4)
+    val weighted = Packing.layoutWeighted(
+      df.select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("w")),
+      "doc_id",
+      "w",
+      nShards = 4
+    )
+    assert(viaText.collect().toSet == weighted.collect().toSet)
+  }
+
+  test("layoutWeighted: offsets scale with the weights, order does not") {
+    // The shuffle order is (h, id) — weight-independent — so doubling
+    // every weight must exactly double every offset. This is the
+    // property the BPE bridge (q117) relies on: swapping whitespace
+    // counts for learned-tokenizer counts re-meters the stream without
+    // re-ordering it.
+    val df = corpus(0 until 50)
+    val base = Packing
+      .layoutWeighted(
+        df.select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("w")),
+        "doc_id",
+        "w",
+        nShards = 4
+      )
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val doubled = Packing
+      .layoutWeighted(
+        df.select(col("doc_id"), (size(split(col("text"), "\\s+")) * 2).cast("long").as("w")),
+        "doc_id",
+        "w",
+        nShards = 4
+      )
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(base.keySet == doubled.keySet)
+    base.foreach { case (id, (s, n, e)) =>
+      assert(doubled(id) == ((2 * s, 2 * n, 2 * e)), s"doc $id")
+    }
+  }
+
+  test("layoutWeighted keeps the duplicate-id interlock") {
+    val df = corpus(0 until 10)
+    val dup = df.union(df.limit(1))
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("w"))
+    val e = intercept[IllegalArgumentException](
+      Packing.layoutWeighted(dup, "doc_id", "w", nShards = 2).collect()
+    )
+    assert(e.getMessage.contains("duplicate doc_id"))
+  }
 }
