@@ -136,7 +136,8 @@ object SparkEntry {
     "q114_stratified_slices" -> (TextQueries.q114StratifiedPackSlices _),
     "q115_bpe_merges" -> (TextQueries.q115BpeMerges _),
     "q116_bpe_segments" -> (TextQueries.q116BpeSegments _),
-    "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _)
+    "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _),
+    "q118_token_budget_mix" -> (TextQueries.q118TokenBudgetMix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1708,7 +1709,25 @@ object SparkEntry {
     // q117: the full composition — 8 BPE rounds → per-doc counts →
     // the q110 packing replay (global cumsum in the shuffle order,
     // integer pack ranges) with those counts as the weights.
-    "q117_bpe_packing" -> bpeOracle(8, "manifest")
+    "q117_bpe_packing" -> bpeOracle(8, "manifest"),
+    // q118: per-source token budgets met exactly by the greedy prefix
+    // of each source's (h, doc_id)-ordered token stream (layoutBy's
+    // per-domain offsets); straddling doc truncated via tok_take.
+    "q118_token_budget_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |q AS (SELECT source,
+        |    256 * (CAST(concat('0x', substr(md5(source), 1, 7)) AS BIGINT) % 4 + 1) AS budget
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT doc_id, source, cum - n_toks AS start_tok, n_toks,
+        |  least(n_toks, budget - (cum - n_toks)) AS tok_take
+        |FROM g JOIN q USING (source) WHERE cum - n_toks < budget""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -232,6 +232,46 @@ object Packing {
   }
 
   /** The packing manifest over a layout: pack range per doc. */
+  /** Token-budget mixture selection — the "data recipe executor":
+    * given per-domain token budgets (a tiny (groupCol, budget) table —
+    * the mixture weights of a training recipe, broadcast), select each
+    * domain's deterministic PREFIX of its token stream up to its
+    * budget. Rides [[layoutBy]]'s per-domain offsets, so selection is
+    * one broadcast join + filter over the layout: a doc is selected
+    * iff it starts before the budget, and `tok_take` is how many of
+    * its tokens fit (`min(n_toks, budget − start_tok)` — the
+    * straddling doc is truncated by the loader, the q111/q114 window
+    * convention). Exactness: because offsets are a prefix sum in the
+    * weight-independent (h, id) order, the selected set is exactly the
+    * greedy prefix — per domain, Σ tok_take = min(budget, domain
+    * total) — and reweighting the recipe only moves the cut point,
+    * never re-orders documents. Unlike q77's rate sampling (keep each
+    * doc with probability ∝ target share), this meters EXACT token
+    * counts per domain — what a curriculum with hard per-domain
+    * quotas needs.
+    */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: DataFrame,
+      nShards: Int,
+      maxGroups: Int = 10000
+  ): DataFrame = {
+    val lay = layoutBy(df, idCol, textCol, groupCol, nShards, maxGroups)
+    lay
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("start_tok") < col("budget"))
+      .select(
+        col(idCol),
+        col(groupCol),
+        col("start_tok"),
+        col("n_toks"),
+        least(col("n_toks"), col("budget") - col("start_tok")).as("tok_take")
+      )
+  }
+
   def manifest(lay: DataFrame, idCol: String, budget: Long): DataFrame =
     lay
       .select(

@@ -1965,4 +1965,23 @@ object TextQueries {
     val lay = graft.operators.Packing.layoutWeighted(weights, "doc_id", "n_bpe_tokens", nShards = 8)
     graft.operators.Packing.manifest(lay, "doc_id", 2048L)
   }
+
+  /** Token-budget mixture selection ("data recipe executor",
+    * [[graft.operators.Packing.selectTokenBudget]]): each source gets
+    * a hard token budget (here a deterministic per-source rule,
+    * 256·(1 + h28(source) mod 4), standing in for a recipe's weights
+    * table) and contributes exactly the greedy prefix of its token
+    * stream — the straddling doc truncated via `tok_take`. Unlike
+    * q77's probabilistic rate sampling, quotas are met EXACTLY in
+    * token space.
+    */
+  def q118TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val budgets = d
+      .select(col("source"))
+      .distinct()
+      .withColumn("budget", lit(256L) * (pmod(h28(col("source")), lit(4)) + 1))
+    graft.operators.Packing
+      .selectTokenBudget(d, "doc_id", "text", "source", budgets, nShards = 8)
+  }
 }

@@ -361,6 +361,53 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("selectTokenBudget: per-group Σ tok_take = min(budget, group total), selection is the order prefix") {
+    import spark.implicits._
+    val df = corpus(0 until 60).withColumn("src", concat(lit("s"), col("doc_id") % 3))
+    // group totals vary; budgets chosen so s0 truncates mid-doc, s1
+    // fits entirely, s2 cuts exactly on a doc boundary (found below).
+    val lay = Packing.layoutBy(df, "doc_id", "text", "src", nShards = 4)
+    val totals = lay
+      .groupBy(col("src"))
+      .agg(max(col("end_tok")).as("tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    val boundary = lay
+      .filter(col("src") === "s2")
+      .orderBy(col("start_tok"))
+      .collect()
+      .map(_.getAs[Long]("end_tok"))
+      .apply(5) // end of the 6th doc of s2: an exact doc-boundary cut
+    val budgets =
+      Seq(("s0", totals("s0") / 2), ("s1", totals("s1") + 100L), ("s2", boundary))
+        .toDF("src", "budget")
+    val sel = Packing
+      .selectTokenBudget(df, "doc_id", "text", "src", budgets, nShards = 4)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = sel.groupBy(_._1)
+    // exact token metering
+    assert(bySrc("s0").map(_._5).sum == totals("s0") / 2)
+    assert(bySrc("s1").map(_._5).sum == totals("s1"))
+    assert(bySrc("s2").map(_._5).sum == boundary)
+    assert(bySrc("s2").length == 6, "doc-boundary budget selects exactly the first 6 docs")
+    // prefix property: the selected docs of each group are exactly
+    // those starting before the cut — no gaps in start_tok order.
+    bySrc.foreach { case (src, rows) =>
+      val starts = rows.map(_._3).sorted
+      val layStarts = lay
+        .filter(col("src") === src)
+        .orderBy(col("start_tok"))
+        .collect()
+        .map(_.getAs[Long]("start_tok"))
+        .take(rows.length)
+      assert(starts.toSeq == layStarts.toSeq, s"$src selection must be the stream prefix")
+    }
+    // only the straddling doc is truncated
+    assert(sel.count(r => r._5 < r._4) <= 3)
+  }
+
   test("layoutWeighted keeps the duplicate-id interlock") {
     val df = corpus(0 until 10)
     val dup = df.union(df.limit(1))
