@@ -243,6 +243,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf(df).contains("BroadcastHashJoin"), "group offsets must broadcast-join back")
   }
 
+  test("q117/q118: BPE-weighted manifest and budget selection keep the packing locks") {
+    // q117 (BPE-weighted packing): the weight swap must not reintroduce
+    // a global window; shard offsets still broadcast back.
+    val m = queries.TextQueries.q117BpeWeightedPacking(spark, sf)
+    val mw = m.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(mw.isEmpty, "unpartitioned window in the BPE-weighted manifest plan")
+    assert(planOf(m).contains("BroadcastHashJoin"), "shard offsets must broadcast-join back")
+    // q118 (token-budget selection): the recipe table must broadcast —
+    // a shuffled budget join over the layout would be a per-row
+    // exchange for a dozens-row table.
+    val s = queries.TextQueries.q118TokenBudgetMix(spark, sf)
+    val sw = s.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(sw.isEmpty, "unpartitioned window in the budget-selection plan")
+    assert(planOf(s).contains("BroadcastHashJoin"), "budgets must broadcast-join")
+  }
+
   test("q114: stratified loader inherits every packing lock — source-filtered scan, pruned explode") {
     // Pack k of ONE domain: the corpus must be filtered to the source
     // BEFORE layout (domain purity makes that exact), the offsets
