@@ -137,7 +137,8 @@ object SparkEntry {
     "q115_bpe_merges" -> (TextQueries.q115BpeMerges _),
     "q116_bpe_segments" -> (TextQueries.q116BpeSegments _),
     "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _),
-    "q118_token_budget_mix" -> (TextQueries.q118TokenBudgetMix _)
+    "q118_token_budget_mix" -> (TextQueries.q118TokenBudgetMix _),
+    "q119_stratified_pack_ingest" -> (TextQueries.q119StratifiedPackIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1727,7 +1728,29 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT source FROM documents))
         |SELECT doc_id, source, cum - n_toks AS start_tok, n_toks,
         |  least(n_toks, budget - (cum - n_toks)) AS tok_take
-        |FROM g JOIN q USING (source) WHERE cum - n_toks < budget""".stripMargin
+        |FROM g JOIN q USING (source) WHERE cum - n_toks < budget""".stripMargin,
+    // q119: incremental stratified packing steady state — each
+    // source's odds laid out after that source's evens total
+    // (domain-pure append-only pack spaces).
+    "q119_stratified_pack_ingest" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |ev AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS tot FROM b WHERE doc_id % 2 = 0 GROUP BY source),
+        |od AS (SELECT doc_id, source, n_toks, CAST(h % 8 AS INTEGER) AS shard,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b WHERE doc_id % 2 = 1),
+        |g AS (SELECT od.doc_id, od.source, od.shard, od.n_toks,
+        |    COALESCE(ev.tot, 0) + od.cum - od.n_toks AS start_tok,
+        |    COALESCE(ev.tot, 0) + od.cum AS end_tok
+        |  FROM od LEFT JOIN ev USING (source))
+        |SELECT doc_id, source, shard, start_tok, n_toks,
+        |  start_tok // 2048 AS first_pack,
+        |  (end_tok - 1) // 2048 AS last_pack,
+        |  (end_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -138,7 +138,8 @@ object Packing {
       textCol: String,
       groupCol: String,
       nShards: Int,
-      maxGroups: Int = 10000
+      maxGroups: Int = 10000,
+      bases: Map[Option[String], Long] = Map.empty
   ): DataFrame = {
     val spark = df.sparkSession
     val prepared = df
@@ -194,9 +195,13 @@ object Packing {
       .groupBy(_._1)
       .toIndexedSeq
       .flatMap { case (g, rows) =>
+        // Per-group base: 0 for the batch form; the group's running
+        // total for the incremental form (packIngestBy). Keys are the
+        // group's string form (None = null group).
+        val base = bases.getOrElse(Option(g).map(_.toString), 0L)
         rows
           .sortBy(_._2)
-          .scanLeft((g, 0, 0L, 0L)) { case ((_, _, acc, _), (_, s, tot)) => (g, s, acc + tot, acc) }
+          .scanLeft((g, 0, base, base)) { case ((_, _, acc, _), (_, s, tot)) => (g, s, acc + tot, acc) }
           .drop(1)
           .map { case (_, s, _, off) => (g, s, off) }
       }
@@ -371,6 +376,158 @@ object Packing {
       versions.foreach { case (_, p) => fs.delete(p, true) }
     }
     manifest(lay, idCol, budget)
+  }
+
+  /** Incremental MIXTURE-STRATIFIED packing — [[packIngest]]'s state
+    * protocol applied per domain: every `groupCol` value keeps its own
+    * append-only token stream (domain-pure pack spaces, as
+    * [[layoutBy]]/q113), and each batch lays its docs out after
+    * everything its domain already packed. Completes the packing
+    * matrix: batch/incremental × global/stratified.
+    *
+    * State = `stateDir/bases_by/applied_id=<id>/` rows
+    * (applied_id, grp, base, total_after) — one row per domain the
+    * batch touched, written as ONE atomic dir per batch. Same replay
+    * contract as [[packIngest]], now per domain: a recorded base never
+    * changes; a replayed appliedId reuses its own rows (and fails
+    * loudly if the replayed batch contains a domain its recording
+    * lacks — that is changed batch content, not a crash); an unseen
+    * domain starts at 0 whenever it first appears. Same
+    * self-compaction (consolidate-then-delete, versioned) — rows here
+    * are O(domains touched) per batch instead of O(1), still
+    * bytes-tiny under the `maxGroups` interlock.
+    *
+    * `groupCol` must be string-typed: state keys are compared by
+    * string form across sessions, and domains (source, language,
+    * dataset) are strings — a loud require beats a silent
+    * representation drift.
+    */
+  def packIngestBy(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      stateDir: String,
+      appliedId: Long,
+      budget: Long = 2048L,
+      nShards: Int = 8,
+      maxGroups: Int = 10000,
+      compactEvery: Int = 64
+  ): DataFrame = {
+    require(appliedId >= 0L, "appliedId must be non-negative")
+    require(
+      batch.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"packIngestBy groups by the string form of '$groupCol'; cast it to string explicitly"
+    )
+    val basesRoot = new HPath(stateDir, "bases_by")
+    val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
+    val prior = baseRowsBy(spark, stateDir)
+    val own = prior.filter(_._1 == appliedId)
+    // Batch group set (bounded by the same interlock as layoutBy's
+    // driver prefix — this collect is what sizes the state write too).
+    val groupRows = batch.select(col(groupCol)).distinct().take(maxGroups + 1)
+    require(
+      groupRows.length <= maxGroups,
+      s"packIngestBy batch has > $maxGroups distinct '$groupCol' domains — domain-grained " +
+        "group columns only (see layoutBy's interlock)"
+    )
+    val groups: Seq[Option[String]] =
+      groupRows.toIndexedSeq.map(r => Option(r.getString(0)))
+    val bases: Map[Option[String], Long] =
+      if (own.nonEmpty) {
+        val recorded = own.map(r => r._2 -> r._3).toMap
+        val missing = groups.filterNot(recorded.contains)
+        require(
+          missing.isEmpty,
+          s"replay of appliedId=$appliedId contains domains ${missing.map(_.getOrElse("NULL")).mkString(",")} " +
+            "absent from its recorded state — changed batch content, not a crash replay"
+        )
+        recorded
+      } else {
+        val latest = prior.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._4).max }
+        groups.map(g => g -> latest.getOrElse(g, 0L)).toMap
+      }
+    val lay = layoutBy(batch, idCol, textCol, groupCol, nShards, maxGroups, bases)
+      .localCheckpoint()
+    // Per-domain totals after this batch: max(end_tok) per group —
+    // bounded (≤ maxGroups rows), and doubling as the state rows.
+    val totals = lay
+      .groupBy(col(groupCol))
+      .agg(max(col("end_tok")).as("total_after"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+    import spark.implicits._
+    totals
+      .map { case (g, tot) => (g.orNull, bases(g), tot) }
+      .toDF("grp", "base", "total_after")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(ownDir.toString)
+    val dirsNow = batchDirs(fs, basesRoot)
+    if (dirsNow.length > compactEvery) {
+      val versions = compactVersions(fs, basesRoot)
+      val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
+      baseRowsBy(spark, stateDir)
+        .map(t => (t._1, t._2.orNull, t._3, t._4))
+        .toDF("applied_id", "grp", "base", "total_after")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(new HPath(basesRoot, s"compact_v$next").toString)
+      dirsNow.foreach(d => fs.delete(new HPath(d), true))
+      versions.foreach { case (_, p) => fs.delete(p, true) }
+    }
+    // The manifest projection with the domain kept (no join — lay
+    // already carries it); pack ids are domain-pure by construction.
+    lay
+      .select(
+        col(idCol),
+        col(groupCol),
+        col("shard"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack")
+      )
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  }
+
+  /** All (applied_id, grp, base, total_after) rows of a stratified
+    * offset state (consolidated + per-batch dirs; duplicates agree,
+    * one row per (id, grp) kept).
+    */
+  private[graft] def baseRowsBy(
+      spark: SparkSession,
+      stateDir: String
+  ): Seq[(Long, Option[String], Long, Long)] = {
+    val basesRoot = new HPath(stateDir, "bases_by")
+    val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = batchDirs(fs, basesRoot)
+    val fromDirs =
+      if (dirs.isEmpty) Seq.empty
+      else
+        spark.read
+          .option("basePath", basesRoot.toString)
+          .parquet(dirs: _*)
+          .select(col("applied_id").cast("long"), col("grp"), col("base"), col("total_after"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val fromCompact = compactVersions(fs, basesRoot).lastOption match {
+      case None => Seq.empty
+      case Some((_, p)) =>
+        spark.read
+          .parquet(p.toString)
+          .select(col("applied_id").cast("long"), col("grp"), col("base"), col("total_after"))
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    }
+    (fromDirs ++ fromCompact).distinctBy(t => (t._1, t._2))
   }
 
   private def batchDirs(fs: org.apache.hadoop.fs.FileSystem, basesRoot: HPath): Seq[String] =

@@ -1984,4 +1984,42 @@ object TextQueries {
     graft.operators.Packing
       .selectTokenBudget(d, "doc_id", "text", "source", budgets, nShards = 8)
   }
+
+  /** Incremental STRATIFIED packing steady state
+    * ([[graft.operators.Packing.packIngestBy]]), the q112 composition
+    * per domain: batch 0 (evens) populates every source's offset
+    * state, batch 1 (odds) lays each source out after its own running
+    * total — domain-pure pack spaces that grow append-only per source.
+    * Output = batch 1's manifest; DuckDB replays it as each source's
+    * within-batch cumsum shifted by that source's evens total.
+    */
+  def q119StratifiedPackIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q119")
+    val rows =
+      try {
+        val state = root.resolve("packstate").toString
+        graft.operators.Packing
+          .packIngestBy(spark, d.filter(col("doc_id") % 2 === 0), "doc_id", "text", "source", state, 0L)
+          .count()
+        graft.operators.Packing
+          .packIngestBy(spark, d.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source", state, 1L)
+          .collect()
+          .toIndexedSeq
+          .map(r =>
+            (
+              r.getLong(0),
+              r.getString(1),
+              r.getInt(2),
+              r.getLong(3),
+              r.getLong(4),
+              r.getLong(5),
+              r.getLong(6),
+              r.getLong(7)
+            )
+          )
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs")
+  }
 }

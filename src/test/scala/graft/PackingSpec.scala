@@ -408,6 +408,114 @@ class PackingSpec extends AnyFunSuite {
     assert(sel.count(r => r._5 < r._4) <= 3)
   }
 
+  private def srcCorpus(ids: Range): DataFrame =
+    corpus(ids).withColumn("src", concat(lit("s"), col("doc_id") % 3))
+
+  private def byRows(df: DataFrame): Map[(String, Long), (Long, Long)] =
+    df.select(col("src"), col("doc_id"), col("start_tok"), col("n_toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("packIngestBy: each domain tiles its own stream; new domains start at 0") {
+    val root = Files.createTempDirectory("graft-packby").toString
+    val st = s"$root/st"
+    val b0 = Packing.packIngestBy(spark, srcCorpus(0 until 40), "doc_id", "text", "src", st, 0L)
+    val m0 = byRows(b0)
+    // per-domain totals after batch 0
+    val tot0 = m0.groupBy(_._1._1).map { case (s, rows) => s -> rows.values.map(_._2).sum }
+    // every domain starts at 0 in its own stream
+    m0.groupBy(_._1._1).foreach { case (s, rows) =>
+      assert(rows.values.map(_._1).min == 0L, s"$s must start at 0")
+    }
+    // batch 1 introduces a brand-new domain alongside the old ones
+    val b1docs = srcCorpus(40 until 80)
+      .withColumn("src", when(col("doc_id") >= 70, lit("fresh")).otherwise(col("src")))
+    val b1 = Packing.packIngestBy(spark, b1docs, "doc_id", "text", "src", st, 1L)
+    val m1 = byRows(b1)
+    m1.groupBy(_._1._1).foreach { case (s, rows) =>
+      val start = rows.values.map(_._1).min
+      if (s == "fresh") assert(start == 0L, "a new domain starts its own stream at 0")
+      else assert(start == tot0(s), s"$s batch 1 must start at its batch-0 total ${tot0(s)}")
+    }
+    // per-domain contiguity across the union
+    (m0 ++ m1).groupBy(_._1._1).foreach { case (s, rows) =>
+      val sorted = rows.values.toSeq.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((s1, n1), (s2, _)) => assert(s2 == s1 + n1, s"$s stream must tile")
+        case _                      =>
+      }
+    }
+  }
+
+  test("packIngestBy replay: recorded bases reused bit-identically, even after later batches") {
+    val root = Files.createTempDirectory("graft-packby-replay").toString
+    val st = s"$root/st"
+    val b0 = srcCorpus(0 until 30)
+    val first = byRows(Packing.packIngestBy(spark, b0, "doc_id", "text", "src", st, 0L))
+    byRows(Packing.packIngestBy(spark, srcCorpus(30 until 60), "doc_id", "text", "src", st, 1L))
+    val replayed = byRows(Packing.packIngestBy(spark, b0, "doc_id", "text", "src", st, 0L))
+    assert(replayed == first, "replay after a later batch must reproduce the original manifest")
+  }
+
+  test("packIngestBy replay with a domain missing from its recording fails loudly") {
+    val root = Files.createTempDirectory("graft-packby-chg").toString
+    val st = s"$root/st"
+    Packing.packIngestBy(spark, srcCorpus(0 until 30), "doc_id", "text", "src", st, 0L).count()
+    val changed = srcCorpus(0 until 30).withColumn("src", lit("other"))
+    val e = intercept[IllegalArgumentException](
+      Packing.packIngestBy(spark, changed, "doc_id", "text", "src", st, 0L).count()
+    )
+    assert(e.getMessage.contains("changed batch content"))
+  }
+
+  test("packIngestBy crash window: a lost base recording replays to the same layout") {
+    val root = Files.createTempDirectory("graft-packby-crash").toString
+    val st = s"$root/st"
+    Packing.packIngestBy(spark, srcCorpus(0 until 30), "doc_id", "text", "src", st, 0L).count()
+    val b1 = srcCorpus(30 until 60)
+    val first = byRows(Packing.packIngestBy(spark, b1, "doc_id", "text", "src", st, 1L))
+    // crash after manifest, before/losing the base recording
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$st/bases_by/applied_id=1"), true)
+    val replayed = byRows(Packing.packIngestBy(spark, b1, "doc_id", "text", "src", st, 1L))
+    assert(replayed == first, "base derivation must converge across the crash window")
+  }
+
+  test("packIngestBy self-compaction: state dirs stay bounded, offsets unaffected") {
+    val root = Files.createTempDirectory("graft-packby-compact").toString
+    val st = s"$root/st"
+    val manifests = (0 until 7).map { k =>
+      byRows(
+        Packing.packIngestBy(
+          spark,
+          srcCorpus(k * 10 until (k + 1) * 10),
+          "doc_id",
+          "text",
+          "src",
+          st,
+          k.toLong,
+          compactEvery = 2
+        )
+      )
+    }
+    val dirs = new java.io.File(s"$st/bases_by").listFiles().map(_.getName)
+    assert(
+      dirs.count(_.startsWith("applied_id=")) <= 3,
+      s"per-batch dirs must consolidate: ${dirs.mkString(",")}"
+    )
+    assert(dirs.count(_.startsWith("compact_v")) == 1, "exactly one consolidated version kept")
+    // the whole crawl still tiles per domain
+    manifests.flatten.groupBy(_._1._1).foreach { case (s, rows) =>
+      val sorted = rows.map(_._2).toSeq.sortBy(_._1)
+      assert(sorted.head._1 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq((s1, n1), (s2, _)) => assert(s2 == s1 + n1, s"$s stream must tile under compaction")
+        case _                      =>
+      }
+    }
+  }
+
   test("layoutWeighted keeps the duplicate-id interlock") {
     val df = corpus(0 until 10)
     val dup = df.union(df.limit(1))
