@@ -362,9 +362,16 @@ object Pipeline {
   * --applied_id N [--budget T] [--shards K]` (incremental sequence
   * packing: the batch's docs laid out after everything already packed;
   * emitted pack ids never move), and
+  * `--maintenance pack_ingest_by --batch B --state S --out O
+  * --applied_id N [--group_col G] [--budget T] [--shards K]`
+  * (incremental STRATIFIED packing: per-domain append-only pack
+  * spaces), and
   * `--maintenance pack_stream --raw R --state S --out O --checkpoint C
   * [--budget T] [--shards K]` (the same per arriving document JSON
   * file, engine-tracked exactly-once), and
+  * `--maintenance pack_stream_by --raw R --state S --out O
+  * --checkpoint C [--group_col G] [--budget T] [--shards K]`
+  * (stratified packing per arriving file), and
   * `--maintenance pack_slices --state S --manifests M --docs D --out O
   * --from K --to L [--budget T]` (loader-side materialization of packs
   * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
@@ -566,6 +573,35 @@ object PipelineRunner {
           .mode("overwrite")
           .parquet(s"$out/pack_batch=$applied")
         println(s"[maintenance] pack ingest: $batchPath appended to $state -> $out/pack_batch=$applied")
+      case Some("pack_ingest_by") =>
+        // Incremental STRATIFIED packing: same contract per domain
+        // (Packing.packIngestBy — per-domain append-only pack spaces).
+        // Batch parquet shape: (doc_id, <group_col>, text).
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
+        val applied = opts.getOrElse("applied_id", sys.error("--applied_id <N> required")).toLong
+        val group = opts.getOrElse("group_col", "source")
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        graft.operators.Packing
+          .packIngestBy(
+            spark,
+            spark.read.parquet(batchPath),
+            "doc_id",
+            "text",
+            group,
+            state,
+            applied,
+            budget,
+            shards
+          )
+          .write
+          .mode("overwrite")
+          .parquet(s"$out/pack_batch=$applied")
+        println(
+          s"[maintenance] stratified pack ingest: $batchPath appended per-$group to $state -> $out/pack_batch=$applied"
+        )
       case Some("build_quality_model") =>
         // Freeze the LM quality model from a reference corpus — the
         // scheduled retrain feeding curate_ingest's gate
@@ -647,6 +683,24 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] pack stream drained $raw into $out")
+      case Some("pack_stream_by") =>
+        // Streaming stratified packing over arriving document JSON
+        // files (StreamingPipeline.packIngestStreamBy). JSON shape:
+        // {"doc_id": long, "source": string, "text": string}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val group = opts.getOrElse("group_col", "source")
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        graft.streaming.StreamingPipeline
+          .packIngestStreamBy(
+            spark, raw, state, out, ckpt,
+            graft.schemas.Schemas.documentIngestBy, group, budget, shards
+          )
+          .awaitTermination()
+        println(s"[maintenance] stratified pack stream drained $raw into $out")
       case Some("pack_curated_stream") =>
         // The curation→packing chain consumer: tail a curate_stream /
         // curate_ingest corpus' batch-keyed parquet partitions and lay

@@ -78,4 +78,15 @@ object Schemas {
       StructField("text", StringType)
     )
   )
+
+  /** [[documentIngest]] plus the domain column the stratified packing
+    * stream keys its per-domain offset state by.
+    */
+  val documentIngestBy: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType)
+    )
+  )
 }

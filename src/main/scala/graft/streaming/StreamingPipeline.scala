@@ -779,6 +779,52 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming MIXTURE-STRATIFIED packing: [[packIngestStream]] with
+    * per-domain offset state ([[graft.operators.Packing.packIngestBy]]
+    * per micro-batch) — every source's pack space grows append-only
+    * independently, so a training schedule can draw pack counts per
+    * domain while the crawl still ingests. Same exactly-once shape:
+    * foreachBatch ids key the state, replay of a batch reuses its
+    * recorded per-domain bases.
+    */
+  def packIngestStreamBy(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      groupCol: String = "source",
+      budget: Long = 2048L,
+      nShards: Int = 8
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Packing
+            .packIngestBy(
+              spark,
+              batch.select(col("doc_id"), col(groupCol), col("text")),
+              "doc_id",
+              "text",
+              groupCol,
+              statePath,
+              batchId,
+              budget,
+              nShards
+            )
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/pack_batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
     * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
     * and lay each newly accepted file out after everything already

@@ -199,6 +199,32 @@ class PackingSpec extends AnyFunSuite {
     assert(m.columns.toSet.contains("first_pack"))
   }
 
+  test("pack_ingest_by CLI verb writes the domain-keyed manifest") {
+    val root = Files.createTempDirectory("graft-packby-cli").toString
+    srcCorpus(0 until 15).write.parquet(s"$root/b0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_ingest_by",
+        "--batch", s"$root/b0",
+        "--state", s"$root/st",
+        "--out", s"$root/manifests",
+        "--applied_id", "0",
+        "--group_col", "src"
+      ),
+      spark
+    )
+    val m = spark.read.parquet(s"$root/manifests/pack_batch=0")
+    assert(m.count() == 15)
+    assert(m.columns.toSet.contains("src"), "manifest must carry the domain")
+    // domain-pure streams: every src starts at 0
+    val starts = m
+      .groupBy(col("src"))
+      .agg(min(col("start_tok")).as("s"))
+      .collect()
+      .map(_.getLong(1))
+    assert(starts.forall(_ == 0L))
+  }
+
   test("pack_slices CLI verb materializes a state-pruned pack window") {
     val root = Files.createTempDirectory("graft-packslices-cli").toString
     val allDocs = corpus(0 until 40)

@@ -1112,4 +1112,60 @@ class StreamingSpec extends AnyFunSuite {
       "restart with a drained source must add nothing"
     )
   }
+
+  test("stratified pack stream: each domain tiles its own stream across arriving files") {
+    val root = Files.createTempDirectory("graft-packby-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_stream_by",
+        "--raw", raw,
+        "--state", s"$root/st",
+        "--out", s"$root/m",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"source":"web","text":"a b"}
+         |{"doc_id":2,"source":"wiki","text":"c d e"}
+         |{"doc_id":3,"source":"web","text":"f g h i"}""".stripMargin
+    )
+    run()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":10,"source":"web","text":"x y z"}
+         |{"doc_id":11,"source":"books","text":"p q"}""".stripMargin
+    )
+    run()
+    val all = spark.read
+      .option("basePath", s"$root/m")
+      .parquet(s"$root/m")
+      .select(
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("start_tok"),
+        org.apache.spark.sql.functions.col("n_toks")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.length == 5)
+    // per-domain streams tile independently from 0: web = 2+4 tokens
+    // in batch 0, so its batch-1 doc starts at 6; wiki stays at 0;
+    // books (new in batch 1) starts its own stream at 0
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"$src must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1, s"$src tiling broken")
+        case _                              => ()
+      }
+    }
+    assert(all.filter(_._1 == "web").map(_._2).max == 6L, "web batch 1 starts at its own total")
+    assert(all.count(_._1 == "books") == 1 && all.filter(_._1 == "books").head._2 == 0L)
+    // drained restart adds nothing
+    run()
+    assert(spark.read.option("basePath", s"$root/m").parquet(s"$root/m").count() == 5)
+  }
 }
