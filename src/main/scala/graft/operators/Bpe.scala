@@ -156,6 +156,93 @@ object Bpe {
       .toDF("merge_rank", "lhs", "rhs", "cnt")
   }
 
+  private type HPath = org.apache.hadoop.fs.Path
+
+  /** Freeze a trained merge table as a versioned model — the
+    * [[QualityModel]] serving protocol applied to the tokenizer: each
+    * build writes an immutable `v<n>/merges` parquet and atomically
+    * advances the `_current` pointer (rename-with-OVERWRITE — no
+    * no-pointer instant), `retain` predecessors are kept for readers
+    * that resolved them mid-batch, and a crashed build leaves only an
+    * orphan version dir the next build overwrites. A frozen tokenizer
+    * is what makes BPE token counts STABLE across a crawl: metering
+    * packs (q117's bridge) with a drifting vocabulary would silently
+    * re-meter history.
+    */
+  def buildModel(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      modelPath: String,
+      numMerges: Int,
+      minCount: Long = 1L,
+      retain: Int = 1
+  ): Unit = {
+    require(retain >= 1, "retain must keep at least the immediate predecessor")
+    val fsPath = new HPath(modelPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fsPath)
+    val cur = Maintenance.readTextFile(fs, new HPath(fsPath, "_current")).map(_.trim.toInt)
+    val next = cur.getOrElse(0) + 1
+    val vDir = new HPath(fsPath, s"v$next")
+    Maintenance.deleteOrFail(fs, vDir)
+    learn(docs, textCol, numMerges, minCount)
+      .coalesce(1)
+      .write
+      .parquet(new HPath(vDir, "merges").toString)
+    val ptr = new HPath(fsPath, "_current")
+    val ptrTmp = new HPath(fsPath, "_current.__tmp")
+    Maintenance.writeTextFile(fs, ptrTmp, next.toString)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fsPath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(fsPath)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        val ver = n.drop(1)
+        n.startsWith("v") && ver.nonEmpty && ver.forall(_.isDigit) && ver.toInt < next - retain
+      }
+      .foreach(p => Maintenance.deleteOrFail(fs, p))
+  }
+
+  /** Resolve and load a frozen merge table in training order. One
+    * pointer retry, as [[QualityModel.gate]]: covers models last
+    * flipped by a pre-overwrite build.
+    */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      modelPath: String
+  ): Seq[(String, String)] = {
+    val fsPath = new HPath(modelPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def resolve(): HPath =
+      Maintenance.readTextFile(fs, new HPath(fsPath, "_current")).map(_.trim.toInt) match {
+        case Some(v) => new HPath(fsPath, s"v$v")
+        case None    => throw new java.io.FileNotFoundException(s"no BPE model at $modelPath")
+      }
+    val serveFrom =
+      try resolve()
+      catch { case _: java.io.FileNotFoundException => resolve() }
+    spark.read
+      .parquet(new HPath(serveFrom, "merges").toString)
+      .orderBy(col("merge_rank"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** [[segmentCounts]] against a frozen model — the serving-side pair
+    * of [[buildModel]] (a batch scorer never retrains).
+    */
+  def segmentCountsFrozen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String
+  ): DataFrame =
+    segmentCounts(df, idCol, textCol, loadMerges(df.sparkSession, modelPath))
+
   /** Per-document segmentation stats under a merge table: tokenize the
     * DISTINCT-word table once (apply the merge fold V times, not
     * corpus-size times), then one equi-join back to the token stream.

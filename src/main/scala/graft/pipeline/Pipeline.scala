@@ -379,6 +379,11 @@ object Pipeline {
   * --checkpoint K [--budget T] [--shards N]` (the curation→packing
   * chain consumer: tail a curated corpus' batch partitions into pack
   * manifests), and
+  * `--maintenance build_bpe_model --data D --model M [--merges N]
+  * [--min_count C] [--retain R]` (freeze a BPE merge table — versioned
+  * pointer, same serving protocol as the quality model), and
+  * `--maintenance bpe_segment --batch B --model M --out O` (per-doc
+  * token counts under the frozen tokenizer), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -619,6 +624,40 @@ object PipelineRunner {
           retain
         )
         println(s"[maintenance] quality model frozen from $data into $model")
+      case Some("build_bpe_model") =>
+        // Freeze a BPE merge table from a reference corpus
+        // (Bpe.buildModel — same versioned-pointer serving protocol as
+        // the quality model). A frozen tokenizer keeps BPE token
+        // counts stable across a crawl.
+        val data = opts.getOrElse("data", sys.error("--data <sf dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        val merges = opts.getOrElse("merges", "256").toInt
+        val minCount = opts.getOrElse("min_count", "1").toLong
+        val retain = opts.getOrElse("retain", "1").toInt
+        graft.operators.Bpe.buildModel(
+          spark,
+          spark.read.parquet(s"$data/documents.parquet"),
+          "text",
+          model,
+          merges,
+          minCount,
+          retain
+        )
+        println(s"[maintenance] BPE model ($merges merges) frozen from $data into $model")
+      case Some("bpe_segment") =>
+        // Score a batch with a frozen tokenizer: per-doc whitespace vs
+        // BPE token counts (Bpe.segmentCountsFrozen) — the counts a
+        // pack-budget loop meters with (pack_ingest on n_bpe_tokens
+        // via Packing.layoutWeighted).
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <dir> required"))
+        graft.operators.Bpe
+          .segmentCountsFrozen(spark.read.parquet(batchPath), "doc_id", "text", model)
+          .write
+          .mode("overwrite")
+          .parquet(out)
+        println(s"[maintenance] BPE segment counts: $batchPath scored against $model -> $out")
       case Some("curate_ingest") =>
         // Incremental curation of one crawl batch against persistent
         // state (Pipeline.curateIngest): frozen-LM gate -> span clean

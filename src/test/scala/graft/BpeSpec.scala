@@ -126,6 +126,88 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("|"))
   }
 
+  test("frozen model: build/load round-trips the merge table; versions flip with retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    val model = s"$root/bpe"
+    val c1 = Seq((0L, "low lower lowest low")).toDF("doc_id", "text")
+    Bpe.buildModel(spark, c1, "text", model, numMerges = 5)
+    val loaded = Bpe.loadMerges(spark, model)
+    assert(loaded == Bpe.learnMerges(c1, "text", 5).map(m => (m.lhs, m.rhs)))
+    // retrain on a different corpus: pointer advances, v1 retained
+    val c2 = Seq((0L, "new newer newest new")).toDF("doc_id", "text")
+    Bpe.buildModel(spark, c2, "text", model, numMerges = 5)
+    assert(Bpe.loadMerges(spark, model) == Bpe.learnMerges(c2, "text", 5).map(m => (m.lhs, m.rhs)))
+    val dirs = new java.io.File(model).listFiles().map(_.getName).toSet
+    assert(dirs.contains("v1") && dirs.contains("v2"), s"retain=1 keeps the predecessor: $dirs")
+    // third build prunes v1 (older than retain=1 predecessors)
+    Bpe.buildModel(spark, c1, "text", model, numMerges = 5)
+    val dirs3 = new java.io.File(model).listFiles().map(_.getName).toSet
+    assert(!dirs3.contains("v1") && dirs3.contains("v2") && dirs3.contains("v3"), s"$dirs3")
+  }
+
+  test("frozen model: a crashed build's orphan version dir is overwritten, not served") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-orphan").toString
+    val model = s"$root/bpe"
+    val c1 = Seq((0L, "aa ab aa")).toDF("doc_id", "text")
+    Bpe.buildModel(spark, c1, "text", model, numMerges = 3)
+    // fabricate a crashed build: half-written v2 with no pointer advance
+    new java.io.File(s"$model/v2/merges").mkdirs()
+    assert(
+      Bpe.loadMerges(spark, model) == Bpe.learnMerges(c1, "text", 3).map(m => (m.lhs, m.rhs)),
+      "an orphan version must not be served"
+    )
+    val c2 = Seq((0L, "zz zy zz zz")).toDF("doc_id", "text")
+    Bpe.buildModel(spark, c2, "text", model, numMerges = 3)
+    assert(Bpe.loadMerges(spark, model) == Bpe.learnMerges(c2, "text", 3).map(m => (m.lhs, m.rhs)))
+  }
+
+  test("segmentCountsFrozen equals segmentCounts under the learned table") {
+    val texts = Seq("low lower low", "newest lowest new")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-frozen").toString
+    val model = s"$root/bpe"
+    Bpe.buildModel(spark, df, "text", model, numMerges = 6)
+    val direct = Bpe
+      .segmentCounts(df, "doc_id", "text", Bpe.learnMerges(df, "text", 6).map(m => (m.lhs, m.rhs)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val frozen = Bpe
+      .segmentCountsFrozen(df, "doc_id", "text", model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(frozen == direct)
+  }
+
+  test("build_bpe_model + bpe_segment CLI verbs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-cli").toString
+    val df = Seq((1L, "low lower"), (2L, "lowest low")).toDF("doc_id", "text")
+    df.write.parquet(s"$root/data/documents.parquet")
+    df.write.parquet(s"$root/batch")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "build_bpe_model",
+        "--data", s"$root/data",
+        "--model", s"$root/model",
+        "--merges", "4"
+      ),
+      spark
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "bpe_segment",
+        "--batch", s"$root/batch",
+        "--model", s"$root/model",
+        "--out", s"$root/seg"
+      ),
+      spark
+    )
+    val seg = spark.read.parquet(s"$root/seg")
+    assert(seg.count() == 2)
+    assert(seg.columns.toSet == Set("doc_id", "n_tokens", "n_bpe_tokens", "bpe_ratio"))
+  }
+
   test("minCount prunes tail words before training") {
     val df = Seq((0L, "zz zz zz zz rare")).toDF("doc_id", "text")
     // minCount=2 drops "rare": only (z,z) remains, cnt 4.
