@@ -139,14 +139,18 @@ object Packing {
       groupCol: String,
       nShards: Int,
       maxGroups: Int = 10000,
-      bases: Map[Option[String], Long] = Map.empty
+      bases: Map[Option[String], Long] = Map.empty,
+      weightCol: Option[String] = None
   ): DataFrame = {
     val spark = df.sparkSession
+    val nToks = weightCol
+      .map(w => col(w).cast("long"))
+      .getOrElse(size(split(col(textCol), "\\s+")).cast("long"))
     val prepared = df
       .select(
         col(idCol),
         col(groupCol),
-        size(split(col(textCol), "\\s+")).cast("long").as("n_toks"),
+        nToks.as("n_toks"),
         h28(concat(lit("gs_"), col(idCol).cast("string"))).as("h")
       )
       .withColumn("shard", (col("h") % nShards).cast("int"))
@@ -330,7 +334,8 @@ object Packing {
       appliedId: Long,
       budget: Long = 2048L,
       nShards: Int = 8,
-      compactEvery: Int = 64
+      compactEvery: Int = 64,
+      weightCol: Option[String] = None
   ): DataFrame = {
     require(appliedId >= 0L, "appliedId must be non-negative")
     val basesRoot = new HPath(stateDir, "bases")
@@ -342,7 +347,16 @@ object Packing {
       case Some((_, b, _)) => b // replay: the recorded base, bit-identical rerun
       case None            => priorBases.map(_._3).maxOption.getOrElse(0L)
     }
-    val lay = layout(batch, idCol, textCol, nShards, base).localCheckpoint()
+    // Optional weight column (e.g. frozen-BPE counts from
+    // Bpe.segmentCountsFrozen): the stream is metered in those tokens
+    // instead of whitespace tokens — layoutWeighted's contract. The
+    // metric must stay FIXED for the life of a state (a frozen model
+    // version, not a retraining one): offsets are cumulative, so a
+    // drifting metric would re-meter history.
+    val lay = (weightCol match {
+      case Some(w) => layoutWeighted(batch, idCol, w, nShards, base)
+      case None    => layout(batch, idCol, textCol, nShards, base)
+    }).localCheckpoint()
     val batchTotal = lay
       .agg(coalesce(max(col("end_tok")), lit(base)))
       .collect()
@@ -413,7 +427,8 @@ object Packing {
       budget: Long = 2048L,
       nShards: Int = 8,
       maxGroups: Int = 10000,
-      compactEvery: Int = 64
+      compactEvery: Int = 64,
+      weightCol: Option[String] = None
   ): DataFrame = {
     require(appliedId >= 0L, "appliedId must be non-negative")
     require(
@@ -449,7 +464,7 @@ object Packing {
         val latest = prior.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._4).max }
         groups.map(g => g -> latest.getOrElse(g, 0L)).toMap
       }
-    val lay = layoutBy(batch, idCol, textCol, groupCol, nShards, maxGroups, bases)
+    val lay = layoutBy(batch, idCol, textCol, groupCol, nShards, maxGroups, bases, weightCol)
       .localCheckpoint()
     // Per-domain totals after this batch: max(end_tok) per group —
     // bounded (≤ maxGroups rows), and doubling as the state rows.

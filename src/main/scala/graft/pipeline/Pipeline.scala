@@ -359,13 +359,14 @@ object Pipeline {
   * archive's `_schemas` manifest so `Drift.readConformed` plans from
   * one file read instead of per-batch footers), and
   * `--maintenance pack_ingest --batch B --state S --out O
-  * --applied_id N [--budget T] [--shards K]` (incremental sequence
-  * packing: the batch's docs laid out after everything already packed;
-  * emitted pack ids never move), and
+  * --applied_id N [--budget T] [--shards K] [--bpe_model M]`
+  * (incremental sequence packing: the batch's docs laid out after
+  * everything already packed; emitted pack ids never move; with a
+  * frozen BPE model the stream is metered in model tokens), and
   * `--maintenance pack_ingest_by --batch B --state S --out O
-  * --applied_id N [--group_col G] [--budget T] [--shards K]`
-  * (incremental STRATIFIED packing: per-domain append-only pack
-  * spaces), and
+  * --applied_id N [--group_col G] [--budget T] [--shards K]
+  * [--bpe_model M]` (incremental STRATIFIED packing: per-domain
+  * append-only pack spaces), and
   * `--maintenance pack_stream --raw R --state S --out O --checkpoint C
   * [--budget T] [--shards K]` (the same per arriving document JSON
   * file, engine-tracked exactly-once), and
@@ -409,6 +410,27 @@ object PipelineRunner {
     val spark = graft.GraftSession.local("graft-pipeline")
     run(args, spark)
     spark.stop()
+  }
+
+  /** Optional frozen-BPE metering for the pack verbs: with a model,
+    * join the batch against its per-doc frozen-tokenizer counts and
+    * name the weight column; without, pass the batch through (layout
+    * meters whitespace tokens).
+    */
+  private def withBpeWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      bpeModel: Option[String]
+  ): (org.apache.spark.sql.DataFrame, Option[String]) = bpeModel match {
+    case None => (batch, None)
+    case Some(m) =>
+      val counts = graft.operators.Bpe
+        .segmentCountsFrozen(batch, "doc_id", "text", m)
+        .select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_bpe_tokens")
+        )
+      (batch.join(counts, Seq("doc_id")), Some("n_bpe_tokens"))
   }
 
   /** The CLI body against a caller-owned session (main wraps it with
@@ -556,23 +578,29 @@ object PipelineRunner {
         // persistent offset state makes emitted pack ids immutable),
         // write the batch's manifest under out/pack_batch=<id>.
         // Batch parquet shape: (doc_id, text). Replay of the same
-        // --applied_id converges (recorded base reused).
+        // --applied_id converges (recorded base reused). With
+        // --bpe_model M, the stream is metered in FROZEN-BPE tokens
+        // (Bpe.segmentCountsFrozen joined as the layout weight) — pin
+        // one model version per state: offsets are cumulative, a
+        // drifting metric would re-meter history.
         val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet dir> required"))
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <manifest dir> required"))
         val applied = opts.getOrElse("applied_id", sys.error("--applied_id <N> required")).toLong
         val budget = opts.getOrElse("budget", "2048").toLong
         val shards = opts.getOrElse("shards", "8").toInt
+        val (batchDf, wcol) = withBpeWeights(spark, spark.read.parquet(batchPath), opts.get("bpe_model"))
         graft.operators.Packing
           .packIngest(
             spark,
-            spark.read.parquet(batchPath),
+            batchDf,
             "doc_id",
             "text",
             state,
             applied,
             budget,
-            shards
+            shards,
+            weightCol = wcol
           )
           .write
           .mode("overwrite")
@@ -589,17 +617,19 @@ object PipelineRunner {
         val group = opts.getOrElse("group_col", "source")
         val budget = opts.getOrElse("budget", "2048").toLong
         val shards = opts.getOrElse("shards", "8").toInt
+        val (batchDf, wcol) = withBpeWeights(spark, spark.read.parquet(batchPath), opts.get("bpe_model"))
         graft.operators.Packing
           .packIngestBy(
             spark,
-            spark.read.parquet(batchPath),
+            batchDf,
             "doc_id",
             "text",
             group,
             state,
             applied,
             budget,
-            shards
+            shards,
+            weightCol = wcol
           )
           .write
           .mode("overwrite")

@@ -225,6 +225,54 @@ class PackingSpec extends AnyFunSuite {
     assert(starts.forall(_ == 0L))
   }
 
+  test("pack_ingest --bpe_model: the crawl is metered in frozen-tokenizer tokens and still tiles") {
+    val root = Files.createTempDirectory("graft-pack-bpe").toString
+    // freeze a tokenizer on the full corpus, then pack two batches
+    // against it — n_toks in the manifests must be the FROZEN counts,
+    // and batch 1 must start at batch 0's total in that metric.
+    corpus(0 until 30).write.parquet(s"$root/data/documents.parquet")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "build_bpe_model", "--data", s"$root/data",
+        "--model", s"$root/model", "--merges", "6"),
+      spark
+    )
+    Seq(0 until 15, 15 until 30).zipWithIndex.foreach { case (ids, i) =>
+      corpus(ids).write.parquet(s"$root/b$i")
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_ingest",
+          "--batch", s"$root/b$i",
+          "--state", s"$root/st",
+          "--out", s"$root/m",
+          "--applied_id", i.toString,
+          "--bpe_model", s"$root/model"
+        ),
+        spark
+      )
+    }
+    val frozen = graft.operators.Bpe
+      .segmentCountsFrozen(corpus(0 until 30), "doc_id", "text", s"$root/model")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    val all = spark.read
+      .option("basePath", s"$root/m")
+      .parquet(s"$root/m")
+      .select(col("doc_id"), col("start_tok"), col("n_toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(all.length == 30)
+    all.foreach { case (id, _, n) =>
+      assert(n == frozen(id), s"doc $id must be metered in frozen-BPE tokens")
+    }
+    assert(all.head._2 == 0L)
+    all.sliding(2).foreach {
+      case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1, "BPE-metered stream must tile")
+      case _                              => ()
+    }
+  }
+
   test("pack_slices CLI verb materializes a state-pruned pack window") {
     val root = Files.createTempDirectory("graft-packslices-cli").toString
     val allDocs = corpus(0 until 40)
