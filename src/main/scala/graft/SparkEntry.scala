@@ -138,7 +138,8 @@ object SparkEntry {
     "q116_bpe_segments" -> (TextQueries.q116BpeSegments _),
     "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _),
     "q118_token_budget_mix" -> (TextQueries.q118TokenBudgetMix _),
-    "q119_stratified_pack_ingest" -> (TextQueries.q119StratifiedPackIngest _)
+    "q119_stratified_pack_ingest" -> (TextQueries.q119StratifiedPackIngest _),
+    "q120_bpe_pack_slices" -> (TextQueries.q120BpePackSlices _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1711,6 +1712,9 @@ object SparkEntry {
     // the q110 packing replay (global cumsum in the shuffle order,
     // integer pack ranges) with those counts as the weights.
     "q117_bpe_packing" -> bpeOracle(8, "manifest"),
+    // q120: the loader side of q117 — the first 3 packs materialized
+    // as model tokens (per-doc word prefix × in-word symbol position).
+    "q120_bpe_pack_slices" -> bpeOracle(8, "slices"),
     // q118: per-source token budgets met exactly by the greedy prefix
     // of each source's (h, doc_id)-ordered token stream (layoutBy's
     // per-domain offsets); straddling doc truncated via tok_take.
@@ -1788,6 +1792,40 @@ object SparkEntry {
         (0 until n)
           .map(i => s"SELECT ${i + 1} AS merge_rank, lhs, rhs, cnt FROM m$i")
           .mkString(" UNION ALL "))
+    } else if (tail == "slices") {
+      // the BPE-metered loader: weighted layout selects the window,
+      // then per-doc word prefix × in-word symbol position grids the
+      // model-token stream into packs.
+      sb.append(s""",
+        |vocab AS (SELECT word, string_split(substr(sym, 2, length(sym) - 2), '||') AS syms,
+        |    CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_sym FROM w$n),
+        |inst AS (SELECT doc_id, u.wpos AS wpos, u.word AS word
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'wpos': CAST(i - 1 AS BIGINT), 'word': ws[i]})) AS u
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents))
+        |  WHERE u.word <> ''),
+        |seg AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_toks
+        |  FROM inst JOIN vocab USING (word) GROUP BY doc_id),
+        |b AS (SELECT doc_id, n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM seg),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |wp AS (SELECT i.doc_id, i.wpos, v.syms, v.n_sym,
+        |    CAST(sum(v.n_sym) OVER (PARTITION BY i.doc_id ORDER BY i.wpos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v.n_sym AS BIGINT) AS wprefix
+        |  FROM inst i JOIN vocab v USING (word) JOIN sel s ON i.doc_id = s.doc_id),
+        |tok AS (SELECT doc_id, wprefix + u.spos AS pos, u.sym AS token
+        |  FROM (SELECT doc_id, wprefix, unnest(list_transform(range(1, len(syms) + 1),
+        |      i -> {'spos': CAST(i - 1 AS BIGINT), 'sym': syms[i]})) AS u
+        |    FROM wp))
+        |SELECT (start_tok + pos) // 2048 AS pack_id,
+        |  (start_tok + pos) % 2048 AS pos_in_pack,
+        |  doc_id, token
+        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin)
     } else {
       sb.append(s""",
         |inst AS (SELECT doc_id, word

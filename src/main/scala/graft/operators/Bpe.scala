@@ -243,6 +243,71 @@ object Bpe {
   ): DataFrame =
     segmentCounts(df, idCol, textCol, loadMerges(df.sparkSession, modelPath))
 
+  /** Materialize the first `nPacks` training sequences of the
+    * BPE-metered stream — the loader side of weighted packing (q117's
+    * manifest): packs are built from MODEL tokens (the symbols the
+    * merge table produces), so what this returns is literally the
+    * sequence a trainer consumes, with per-position doc provenance.
+    *
+    * Shape: the q111/q114 prune-before-explode contract in BPE space.
+    * The weighted layout selects only docs overlapping the requested
+    * window BEFORE any token materializes; the within-doc BPE position
+    * is a two-level prefix — a per-doc running sum of per-WORD symbol
+    * counts (window partitioned by doc, bounded by doc length) plus
+    * the symbol's index inside its word (posexplode) — so the explode
+    * volume is O(selected docs' tokens) = O(nPacks · budget) plus the
+    * straddling doc, never the corpus. The vocab fold runs over
+    * distinct words only, as [[segmentCounts]].
+    */
+  def packSlices(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      nPacks: Long,
+      budget: Long,
+      nShards: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val window = budget * nPacks
+    val vocab = wordHistogram(docs, textCol)
+      .select(col("word"), symsOf(applyMerges(col("sym"), merges)).as("syms"))
+      .withColumn("n_sym", size(col("syms")).cast("long"))
+    val inst = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\s+")).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    val weights = inst
+      .join(vocab.select(col("word"), col("n_sym")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_sym")).as("n_bpe"))
+    val sel = Packing
+      .layoutWeighted(weights, idCol, "n_bpe", nShards)
+      .filter(col("start_tok") < window)
+      .select(col(idCol), col("start_tok"))
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst
+      .join(sel, Seq(idCol))
+      .join(vocab, Seq("word"))
+      .withColumn("wprefix", sum(col("n_sym")).over(w) - col("n_sym"))
+      .select(
+        col(idCol),
+        col("start_tok"),
+        col("wprefix"),
+        posexplode(col("syms")).as(Seq("spos", "token"))
+      )
+      .withColumn("gpos", col("start_tok") + col("wprefix") + col("spos"))
+      .filter(col("gpos") < window)
+      .select(
+        expr(s"gpos div $budget").as("pack_id"),
+        (col("gpos") % budget).as("pos_in_pack"),
+        col(idCol),
+        col("token")
+      )
+  }
+
   /** Per-document segmentation stats under a merge table: tokenize the
     * DISTINCT-word table once (apply the merge fold V times, not
     * corpus-size times), then one equi-join back to the token stream.

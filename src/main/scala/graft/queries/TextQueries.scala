@@ -1985,6 +1985,22 @@ object TextQueries {
       .selectTokenBudget(d, "doc_id", "text", "source", budgets, nShards = 8)
   }
 
+  /** The BPE-metered loader ([[graft.operators.Bpe.packSlices]]): the
+    * first 3 packs of the q117 stream materialized as MODEL tokens —
+    * merged symbols, per-position doc provenance — i.e. the sequences
+    * a trainer actually consumes. q111's prune-before-explode contract
+    * in BPE space; DuckDB replays the full composition (8 rounds →
+    * vocab symbols → weighted layout → per-doc word-prefix × in-word
+    * symbol positions → pack grid).
+    */
+  def q120BpePackSlices(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    graft.operators.Bpe.packSlices(d, "doc_id", "text", merges, nPacks = 3L, budget = 2048L, nShards = 8)
+  }
+
   /** Incremental STRATIFIED packing steady state
     * ([[graft.operators.Packing.packIngestBy]]), the q112 composition
     * per domain: batch 0 (evens) populates every source's offset

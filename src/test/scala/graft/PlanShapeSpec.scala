@@ -263,6 +263,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf(s).contains("BroadcastHashJoin"), "budgets must broadcast-join")
   }
 
+  test("q120: BPE-metered loader keeps the prune-before-explode contract in model-token space") {
+    val df = queries.TextQueries.q120BpePackSlices(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the BPE loader plan")
+    val plan = planOf(df)
+    // exactly one symbol explode (the model-token materialization) fed
+    // by joins that already include the window-pruned selection — the
+    // word-instance posexplode below it is the bounded per-doc grid
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.nonEmpty, s"expected generates in:\n$plan")
+    assert(
+      gen.exists(_.child.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty),
+      "the symbol explode must consume the selection-pruned join, not the raw corpus"
+    )
+  }
+
   test("q114: stratified loader inherits every packing lock — source-filtered scan, pruned explode") {
     // Pack k of ONE domain: the corpus must be filtered to the source
     // BEFORE layout (domain purity makes that exact), the offsets
