@@ -139,7 +139,10 @@ object SparkEntry {
     "q117_bpe_packing" -> (TextQueries.q117BpeWeightedPacking _),
     "q118_token_budget_mix" -> (TextQueries.q118TokenBudgetMix _),
     "q119_stratified_pack_ingest" -> (TextQueries.q119StratifiedPackIngest _),
-    "q120_bpe_pack_slices" -> (TextQueries.q120BpePackSlices _)
+    "q120_bpe_pack_slices" -> (TextQueries.q120BpePackSlices _),
+    "q121_epoch_order" -> (TextQueries.q121EpochOrder _),
+    "q122_pack_boundaries" -> (TextQueries.q122PackBoundaries _),
+    "q123_fertility_drift" -> (TextQueries.q123FertilityDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1754,7 +1757,52 @@ object SparkEntry {
         |  start_tok // 2048 AS first_pack,
         |  (end_tok - 1) // 2048 AS last_pack,
         |  (end_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_packs
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q121: seeded multi-epoch pack permutation — rank of
+    // md5(seed:epoch:pack_id) over the q110 pack space. n_packs =
+    // ceil(total_tokens / budget) (the stream is contiguous from 0).
+    // The oracle may use one global row_number; the ENGINE ranks per
+    // md5-byte bucket + driver prefix (hex order = numeric order).
+    "q121_epoch_order" ->
+      """WITH b AS (SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |np AS (SELECT (CAST(sum(n_toks) AS BIGINT) + 2047) // 2048 AS n FROM b),
+        |packs AS (SELECT unnest(range((SELECT n FROM np))) AS pack_id),
+        |k AS (SELECT e.epoch, p.pack_id,
+        |    md5('ord1:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(p.pack_id AS VARCHAR)) AS key
+        |  FROM (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch) e, packs p)
+        |SELECT epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, pack_id) - 1 AS BIGINT) AS ord,
+        |  pack_id
+        |FROM k""".stripMargin,
+    // q122: per-pack segment boundaries from the q110 manifest — pure
+    // integer arithmetic per (doc, pack) overlap, no text.
+    "q122_pack_boundaries" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |m AS (SELECT doc_id, cum - n_toks AS start_tok, n_toks,
+        |    (cum - n_toks) // 2048 AS first_pack, (cum - 1) // 2048 AS last_pack
+        |  FROM g),
+        |ux AS (SELECT doc_id, start_tok, n_toks,
+        |    unnest(range(first_pack, last_pack + 1)) AS pack_id
+        |  FROM m)
+        |SELECT pack_id,
+        |  CAST(greatest(start_tok, pack_id * 2048) - pack_id * 2048 AS BIGINT) AS pos,
+        |  CAST(least(start_tok + n_toks, (pack_id + 1) * 2048)
+        |    - greatest(start_tok, pack_id * 2048) AS BIGINT) AS seg_len,
+        |  doc_id,
+        |  CAST(start_tok >= pack_id * 2048 AS INTEGER) AS doc_start
+        |FROM ux""".stripMargin,
+    // q123: fertility drift — q115's merge unroll trained on the EVEN
+    // docs only, applied to the odd docs' distinct words, aggregated
+    // per source (frozen-tokenizer monitoring posture).
+    "q123_fertility_drift" -> bpeOracle(8, "drift", " WHERE doc_id % 2 = 0")
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see
@@ -1764,7 +1812,7 @@ object SparkEntry {
     * the final vocabulary (q116); "manifest" = the q110-shape packing
     * manifest weighted by those per-doc BPE counts (q117).
     */
-  private def bpeOracle(n: Int, tail: String): String = {
+  private def bpeOracle(n: Int, tail: String, trainWhere: String = ""): String = {
     val segments = tail != "merges"
     val word = if (segments) "word, " else ""
     val sb = new StringBuilder
@@ -1772,8 +1820,10 @@ object SparkEntry {
       """WITH w0 AS (
         |  SELECT WORDCOL substr(regexp_replace(word, '(.)', '||\1', 'g'), 2) || '|' AS sym,
         |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word)""".stripMargin.replace("WORDCOL ", word))
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documentsTRAINW)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+        .replace("WORDCOL ", word)
+        .replace("TRAINW", trainWhere))
     for (i <- 0 until n) {
       sb.append(s""",
         |p$i AS (
@@ -1792,6 +1842,33 @@ object SparkEntry {
         (0 until n)
           .map(i => s"SELECT ${i + 1} AS merge_rank, lhs, rhs, cnt FROM m$i")
           .mkString(" UNION ALL "))
+    } else if (tail == "drift") {
+      // Fertility drift: the merge table (m0..m{n-1}, learned on the
+      // TRAINW-filtered corpus) applied in learned order to the ODD
+      // docs' distinct words, then per-source whitespace vs model
+      // token totals. The apply-vocab comes from the APPLY batch (a
+      // word the training set never saw still segments), exactly as
+      // Bpe.segmentCounts builds it.
+      sb.append("""
+        |,inst AS (SELECT doc_id, source, word
+        |  FROM (SELECT doc_id, source, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |        FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE word <> ''),
+        |v0 AS (SELECT word, substr(regexp_replace(word, '(.)', '||\1', 'g'), 2) || '|' AS sym
+        |  FROM (SELECT DISTINCT word FROM inst))""".stripMargin)
+      for (i <- 0 until n) {
+        sb.append(s""",
+        |v${i + 1} AS (SELECT word, replace(v.sym, '|' || m.lhs || '||' || m.rhs || '|', '|' || m.lhs || m.rhs || '|') AS sym
+        |  FROM v$i v, m$i m)""".stripMargin)
+      }
+      sb.append(s""",
+        |vocab AS (SELECT word,
+        |    CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_sym FROM v$n)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS sum_ws,
+        |  CAST(sum(n_sym) AS BIGINT) AS sum_bpe,
+        |  (1000 * CAST(sum(n_sym) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fert_milli
+        |FROM inst JOIN vocab USING (word) GROUP BY source""".stripMargin)
     } else if (tail == "slices") {
       // the BPE-metered loader: weighted layout selects the window,
       // then per-doc word prefix × in-word symbol position grids the

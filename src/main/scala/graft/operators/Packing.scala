@@ -293,6 +293,105 @@ object Packing {
       )
       .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
 
+  /** Per-pack segment table — the attention-mask / loss-mask metadata
+    * a trainer needs next to each pack: for every (pack, doc) overlap,
+    * where the doc's segment starts inside the pack (`pos`), how many
+    * of its tokens land there (`seg_len`), and whether the doc BEGINS
+    * in this pack (`doc_start` — the positions where cross-document
+    * attention must reset; a doc continuing from the previous pack has
+    * `pos = 0, doc_start = 0`). Pure manifest arithmetic: no text is
+    * touched, the explode factor per doc is its pack count, so the
+    * table is O(total_tokens / budget + n_docs) rows no matter the
+    * corpus size — the cheap side-file loaders ship alongside packs.
+    */
+  def boundaries(man: DataFrame, idCol: String, budget: Long): DataFrame =
+    man
+      .select(
+        col(idCol),
+        col("start_tok"),
+        col("n_toks"),
+        explode(sequence(col("first_pack"), col("last_pack"))).as("pack_id")
+      )
+      .withColumn("pstart", col("pack_id") * budget)
+      .select(
+        col("pack_id"),
+        (greatest(col("start_tok"), col("pstart")) - col("pstart")).as("pos"),
+        (least(col("start_tok") + col("n_toks"), col("pstart") + budget) -
+          greatest(col("start_tok"), col("pstart"))).as("seg_len"),
+        col(idCol),
+        (col("start_tok") >= col("pstart")).cast("int").as("doc_start")
+      )
+
+  /** Deterministic EPOCH SHUFFLE over the pack space: for each epoch,
+    * a pseudo-random permutation of pack ids keyed by
+    * `md5(seed:epoch:pack_id)` — the training-order schedule a
+    * multi-epoch run reads instead of re-shuffling documents (packs
+    * are immutable; only their visit order changes per epoch, and any
+    * worker can recompute the same order from the seed alone).
+    *
+    * Scale shape: the global rank is the layout's two-pass prefix
+    * applied to the hash order — md5's first byte buckets the keys
+    * into 256 uniform partitions (hex-lexicographic order IS numeric
+    * order, so bucket-major + within-bucket key order equals the
+    * global key order), `row_number` runs per (epoch, bucket), and the
+    * epochs × 256 bucket counts are prefix-summed on the driver and
+    * broadcast back. Never a global `Window.orderBy` over the pack
+    * table (O(total_tokens / budget) rows on one task at corpus
+    * scale). Returns (epoch, ord, pack_id): `ord` is the pack's
+    * position in epoch's visit order.
+    */
+  def epochOrder(man: DataFrame, epochs: Int, seed: String): DataFrame = {
+    val spark = man.sparkSession
+    val last = man.agg(max(col("last_pack"))).head()
+    val nPacks = if (last.isNullAt(0)) 0L else last.getLong(0) + 1L
+    val keyed = spark
+      .range(nPacks)
+      .toDF("pack_id")
+      .crossJoin(broadcast(spark.range(epochs.toLong).toDF("epoch")))
+      .withColumn(
+        "key",
+        md5(
+          concat(
+            lit(seed),
+            lit(":"),
+            col("epoch").cast("string"),
+            lit(":"),
+            col("pack_id").cast("string")
+          )
+        )
+      )
+      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10).cast("int"))
+    val w = Window
+      .partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("key"), col("pack_id"))
+    val ranked = keyed.withColumn("r", row_number().over(w))
+    // Bounded collect: epochs × 256 bucket counts (a few KB of longs).
+    val counts = ranked
+      .groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    import spark.implicits._
+    val offsets = counts.keys.toIndexedSeq
+      .map(_._1)
+      .distinct
+      .flatMap { e =>
+        val bs = counts.keys.filter(_._1 == e).map(_._2).toIndexedSeq.sorted
+        bs.scanLeft((0, 0L, 0L)) { case ((_, acc, _), b) => (b, acc + counts((e, b)), acc) }
+          .drop(1)
+          .map { case (b, _, off) => (e, b, off) }
+      }
+    val offDf = broadcast(offsets.toDF("epoch", "bucket", "bucket_off"))
+    ranked
+      .join(offDf, Seq("epoch", "bucket"))
+      .select(
+        col("epoch"),
+        (col("bucket_off") + col("r") - 1L).as("ord"),
+        col("pack_id")
+      )
+  }
+
   /** Incremental packing: lay out ONE batch after everything already
     * packed, against a persistent offset state. Batch K's tokens start
     * at the state's running total (batch-major stream order: the

@@ -2038,4 +2038,61 @@ object TextQueries {
     import spark.implicits._
     rows.toDF("doc_id", "source", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs")
   }
+
+  /** Deterministic multi-epoch pack shuffle
+    * ([[graft.operators.Packing.epochOrder]]): two seeded permutations
+    * of the q110 pack space — the visit-order schedule a multi-epoch
+    * training run reads instead of re-shuffling documents. Any worker
+    * recomputes the same order from (seed, epoch) alone; the rank is
+    * the two-pass prefix over md5-byte buckets, never a global
+    * `Window.orderBy` (plan-locked).
+    */
+  def q121EpochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val man = graft.operators.Packing
+      .manifest(packingLayout(spark, dir, nShards = 8), "doc_id", 2048L)
+    graft.operators.Packing.epochOrder(man, epochs = 2, seed = "ord1")
+  }
+
+  /** Per-pack segment/boundary table
+    * ([[graft.operators.Packing.boundaries]]): the attention-mask /
+    * loss-mask side-file of the q110 manifest — for every (pack, doc)
+    * overlap, the segment's start position, length, and whether the
+    * doc BEGINS there (the cross-document attention reset points).
+    * Pure manifest arithmetic (no text), O(total_tokens/budget +
+    * n_docs) rows.
+    */
+  def q122PackBoundaries(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.boundaries(
+      graft.operators.Packing.manifest(packingLayout(spark, dir, nShards = 8), "doc_id", 2048L),
+      "doc_id",
+      2048L
+    )
+
+  /** Tokenizer FERTILITY DRIFT monitor: the q115 merges frozen on the
+    * even docs, applied to the odd docs, aggregated per source — the
+    * production observable that tells a crawl operator which domain's
+    * text has drifted away from the tokenizer's training distribution
+    * (fertility = model tokens per whitespace word rises as merges
+    * stop firing). Frozen-model posture as q107/q117: the merge fold
+    * runs over the APPLY batch's distinct words (unseen words still
+    * segment — mostly to characters), never retrains. `fert_milli` is
+    * integer-exact (1000·Σbpe div Σws) so the oracle hash is stable.
+    */
+  def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val merges = graft.operators.Bpe
+      .learnMerges(d.filter(col("doc_id") % 2 === 0), "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    val odds = d.filter(col("doc_id") % 2 === 1)
+    graft.operators.Bpe
+      .segmentCounts(odds, "doc_id", "text", merges)
+      .join(odds.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_ws"),
+        sum(col("n_bpe_tokens")).as("sum_bpe")
+      )
+      .withColumn("fert_milli", expr("(1000 * sum_bpe) div sum_ws"))
+  }
 }

@@ -214,4 +214,43 @@ class BpeSpec extends AnyFunSuite {
     val got = Bpe.learnMerges(df, "text", 3, minCount = 2L).map(m => (m.lhs, m.rhs, m.cnt))
     assert(got == Seq(("z", "z", 4L)))
   }
+
+  /** Apply a frozen merge table to one word: start from characters,
+    * fold merges in learned order, leftmost non-overlapping per pass —
+    * the serving-side reference for drift scoring.
+    */
+  private def applyRef(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.toVector.map(_.toString)) { case (s, (l, r)) =>
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { out += (l + r); j += 2 }
+        else { out += s(j); j += 1 }
+      }
+      out.result()
+    }
+
+  test("frozen merges on a drifted corpus: unseen words still segment; counts match the reference") {
+    // train on one distribution, apply to another that shares some
+    // words and adds unseen ones (the q123 monitoring posture).
+    val train = Seq("low lower lowest low low", "low wide wider lowest wide")
+    val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(trainDf, "text", 6).map(m => (m.lhs, m.rhs))
+    val apply = Seq((0L, "src_a", "low lower zebra"), (1L, "src_b", "qqq wide unseen low"))
+    val applyDf = apply.toDF("doc_id", "source", "text")
+    val got = Bpe
+      .segmentCounts(applyDf.select(col("doc_id"), col("text")), "doc_id", "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = apply.map { case (id, _, t) =>
+      val ws = t.split("\\s+").toSeq
+      (id, (ws.size.toLong, ws.map(w => applyRef(w, merges).length.toLong).sum))
+    }.toMap
+    assert(got == want, "frozen-fold counts must equal the reference apply on unseen words")
+    // a word the training set never saw segments near character-grained
+    // (fertility rises) — the drift signal q123 aggregates.
+    val zebra = applyRef("zebra", merges)
+    assert(zebra.length >= 4, s"unseen 'zebra' should stay nearly characters, got $zebra")
+  }
 }

@@ -599,4 +599,97 @@ class PackingSpec extends AnyFunSuite {
     )
     assert(e.getMessage.contains("duplicate doc_id"))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x")
+      .mkString
+
+  test("epochOrder: each epoch is a permutation; order equals the brute-force md5 rank") {
+    val man = Packing.manifest(
+      Packing.layout(corpus(0 until 80), "doc_id", "text", nShards = 4),
+      "doc_id",
+      budget = 16L
+    )
+    val nPacks = man.agg(max(col("last_pack"))).head.getLong(0) + 1
+    assert(nPacks > 2, "fixture must produce several packs")
+    val got = Packing
+      .epochOrder(man, epochs = 3, seed = "s1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    (0 until 3).foreach { e =>
+      val rows = got.filter(_._1 == e.toLong).sortBy(_._2)
+      assert(rows.map(_._2) == (0L until nPacks), s"epoch $e ords must be 0..n-1")
+      assert(rows.map(_._3).sorted == (0L until nPacks), s"epoch $e must be a permutation")
+      // brute force: global sort by (md5 key, pack_id)
+      val expected = (0L until nPacks)
+        .sortBy(p => (md5Hex(s"s1:$e:$p"), p))
+      assert(rows.map(_._3) == expected, s"epoch $e order must equal the md5 rank")
+    }
+    // distinct epochs permute differently (md5 keys differ)
+    val e0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val e1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(e0 != e1, "epochs must not share a permutation")
+    // deterministic: a re-run reproduces the schedule bit for bit
+    val again = Packing
+      .epochOrder(man, epochs = 3, seed = "s1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    assert(again.sorted == got.sorted)
+  }
+
+  test("epochOrder: empty manifest yields an empty schedule") {
+    val man = Packing.manifest(
+      Packing.layout(corpus(0 until 0), "doc_id", "text", nShards = 2),
+      "doc_id",
+      budget = 16L
+    )
+    assert(Packing.epochOrder(man, epochs = 2, seed = "s").count() == 0L)
+  }
+
+  test("boundaries: segments tile every pack; doc_start marks exactly the attention resets") {
+    val B = 16L
+    val lay = Packing.layout(corpus(0 until 80), "doc_id", "text", nShards = 4)
+    val man = Packing.manifest(lay, "doc_id", B)
+    val rows = man
+      .select(col("doc_id"), col("start_tok"), col("n_toks"), col("first_pack"), col("last_pack"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = (for {
+      (id, s, n, fp, lp) <- rows
+      p <- fp to lp
+      ps = p * B
+      pos = math.max(s, ps) - ps
+      segLen = math.min(s + n, ps + B) - math.max(s, ps)
+      ds = if (s >= ps) 1 else 0
+    } yield (p, pos, segLen, id, ds)).toSet
+    val got = Packing
+      .boundaries(man, "doc_id", B)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(got == expected, "boundary table must equal the per-overlap arithmetic")
+    // tiling: per pack, segments cover [0, B) without gap or overlap
+    val total = rows.map(_._3).sum
+    got.groupBy(_._1).foreach { case (p, segs) =>
+      val sorted = segs.toSeq.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"pack $p must start at 0")
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, n1, _, _), (_, s2, _, _, _)) =>
+          assert(s2 == s1 + n1, s"pack $p segments must tile")
+        case _ => ()
+      }
+      val covered = sorted.last._2 + sorted.last._3
+      val want = if (p == total / B) total % B else B
+      assert(covered == want, s"pack $p must cover $want positions, got $covered")
+    }
+    // doc_start = 1 exactly once per doc (its first pack)
+    val starts = got.filter(_._5 == 1).groupBy(_._4).map { case (id, s) => (id, s.size) }
+    assert(starts.values.forall(_ == 1), "each doc begins in exactly one pack")
+    assert(starts.size == rows.length, "every doc must begin somewhere")
+  }
 }

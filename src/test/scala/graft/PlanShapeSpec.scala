@@ -306,6 +306,39 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q121: epoch shuffle ranks per md5 bucket — no global window, bucket offsets broadcast") {
+    // The per-epoch permutation rank must come from the two-pass
+    // prefix over 256 md5-byte buckets; a corpus-wide
+    // Window.orderBy(key) (the O(n_packs)-rows-on-one-task shape) is
+    // exactly what this operator exists to avoid.
+    val df = queries.TextQueries.q121EpochOrder(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the epoch-order plan")
+    assert(planOf(df).contains("BroadcastHashJoin"), "bucket offsets must broadcast-join back")
+  }
+
+  test("q122: boundary table is manifest arithmetic — one sequence explode, no text column") {
+    val df = queries.TextQueries.q122PackBoundaries(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the boundary plan")
+    val plan = planOf(df)
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected exactly 1 explode (the pack-range sequence):\n$plan")
+    // the explode consumes manifest rows (integers), never token text:
+    // its generator must be over the pack-range sequence
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(
+      gen.forall(_.generator.toString.contains("sequence")),
+      "the only explode must be the pack-range sequence, not a token split"
+    )
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row
