@@ -142,7 +142,8 @@ object SparkEntry {
     "q120_bpe_pack_slices" -> (TextQueries.q120BpePackSlices _),
     "q121_epoch_order" -> (TextQueries.q121EpochOrder _),
     "q122_pack_boundaries" -> (TextQueries.q122PackBoundaries _),
-    "q123_fertility_drift" -> (TextQueries.q123FertilityDrift _)
+    "q123_fertility_drift" -> (TextQueries.q123FertilityDrift _),
+    "q124_curriculum_packing" -> (TextQueries.q124CurriculumPacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1802,7 +1803,38 @@ object SparkEntry {
     // q123: fertility drift — q115's merge unroll trained on the EVEN
     // docs only, applied to the odd docs' distinct words, aggregated
     // per source (frozen-tokenizer monitoring posture).
-    "q123_fertility_drift" -> bpeOracle(8, "drift", " WHERE doc_id % 2 = 0")
+    "q123_fertility_drift" -> bpeOracle(8, "drift", " WHERE doc_id % 2 = 0"),
+    // q124: quality-curriculum packing — q78's integer quality gates
+    // derive the bin, each bin is its own q113-style pack space, and
+    // the curriculum position renumbers packs highest bin first.
+    "q124_curriculum_packing" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS INTEGER) AS n,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INTEGER) AS n_alpha,
+        |    CAST(len(list_filter(t, w -> w IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS n_stop
+        |  FROM tk),
+        |b AS (SELECT doc_id,
+        |    CAST(CASE WHEN n_stop >= 2 AND n_alpha * 10 >= n * 8 THEN 2
+        |         WHEN n_alpha * 10 >= n * 8 THEN 1 ELSE 0 END AS INTEGER) AS qbin,
+        |    CAST(n AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM m),
+        |g AS (SELECT doc_id, qbin, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY qbin ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |t AS (SELECT qbin, (max(cum) + 2047) // 2048 AS np FROM g GROUP BY qbin),
+        |base AS (SELECT qbin,
+        |    CAST(COALESCE(sum(np) OVER (ORDER BY qbin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_base
+        |  FROM t)
+        |SELECT doc_id, qbin, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  pack_base + (cum - n_toks) // 2048 AS cur_first,
+        |  pack_base + (cum - 1) // 2048 AS cur_last
+        |FROM g JOIN base USING (qbin)""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -376,6 +376,12 @@ object Pipeline {
   * `--maintenance pack_slices --state S --manifests M --docs D --out O
   * --from K --to L [--budget T]` (loader-side materialization of packs
   * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
+  * `--maintenance pack_epochs --manifests M --out O [--epochs N]
+  * [--seed S]` (seeded per-epoch pack permutations — the multi-epoch
+  * visit-order schedule, recomputable by any worker from the seed), and
+  * `--maintenance pack_boundaries --manifests M --out O [--budget T]`
+  * (the per-pack segment/boundary side-file — attention-reset
+  * metadata from pure manifest arithmetic), and
   * `--maintenance pack_curated_stream --curated C --state S --out O
   * --checkpoint K [--budget T] [--shards N]` (the curation→packing
   * chain consumer: tail a curated corpus' batch partitions into pack
@@ -815,6 +821,31 @@ object PipelineRunner {
           )
         val n = Pipeline.writeCounted(slices, out)
         println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
+      case Some("pack_epochs") =>
+        // Multi-epoch visit-order schedule over an emitted pack space
+        // (Packing.epochOrder): seeded per-epoch permutations of pack
+        // ids. Reads any manifest parquet (the batch form or an
+        // incremental manifest root's batch-keyed partitions — offsets
+        // are global, so the union's max last_pack is the pack count).
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val epochs = opts.getOrElse("epochs", "1").toInt
+        val seed = opts.getOrElse("seed", "graft")
+        val sched = graft.operators.Packing
+          .epochOrder(spark.read.parquet(manifests), epochs, seed)
+        val n = Pipeline.writeCounted(sched, out)
+        println(s"[maintenance] epoch schedule: $n (epoch, ord, pack) rows from $manifests into $out")
+      case Some("pack_boundaries") =>
+        // Per-pack segment/boundary side-file (Packing.boundaries):
+        // attention-reset metadata per (pack, doc) overlap — manifest
+        // arithmetic only, no document text read.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val b = graft.operators.Packing
+          .boundaries(spark.read.parquet(manifests), "doc_id", budget)
+        val n = Pipeline.writeCounted(b, out)
+        println(s"[maintenance] pack boundaries: $n segment rows from $manifests into $out")
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir
         // whose partitions accumulate one file per ingest batch (the

@@ -2078,6 +2078,58 @@ object TextQueries {
     * segment — mostly to characters), never retrains. `fert_milli` is
     * integer-exact (1000·Σbpe div Σws) so the oracle hash is stable.
     */
+  /** Quality-CURRICULUM packing: documents binned by deterministic
+    * quality rules (q78's integer-exact alpha/stopword gates), each
+    * bin laid out as its own domain-pure pack space
+    * ([[graft.operators.Packing.layoutBy]] with the COMPUTED bin as
+    * the group), plus the curriculum position — packs renumbered
+    * highest-quality-bin first (`cur_first`/`cur_last`), which is the
+    * anneal-from-clean-to-noisy schedule curriculum training reads.
+    * Any derived label can stratify the pack space this way (q113
+    * stratifies by a stored column; this derives one); bin-purity
+    * means re-weighting the curriculum never moves emitted packs, only
+    * the visit order. The bin→base prefix is a ≤3-row collect.
+    */
+  def q124CurriculumPacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+    val qbin = when(nStop >= 2 && nAlpha * 10 >= n * 8, lit(2))
+      .when(nAlpha * 10 >= n * 8, lit(1))
+      .otherwise(lit(0))
+    val d = docs(spark, dir).select(col("doc_id"), col("text"), qbin.as("qbin"))
+    val lay = graft.operators.Packing
+      .layoutBy(d, "doc_id", "text", "qbin", nShards = 8)
+    // curriculum bases: per-bin pack counts (≤3 rows), highest bin
+    // first — the bounded-collect prefix the packing family uses.
+    val counts = lay
+      .groupBy(col("qbin"))
+      .agg(expr(s"(max(end_tok) + ${budget - 1}) div $budget").as("np"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val bases = counts
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (b, np)) => (b, acc + np, acc) }
+      .drop(1)
+      .map { case (b, _, base) => (b, base) }
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("qbin", "pack_base"))
+    lay
+      .join(baseDf, Seq("qbin"))
+      .select(
+        col("doc_id"),
+        col("qbin"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack"),
+        (col("pack_base") + expr(s"start_tok div $budget")).as("cur_first"),
+        (col("pack_base") + expr(s"(end_tok - 1) div $budget")).as("cur_last")
+      )
+  }
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

@@ -65,6 +65,11 @@ object CurateStress {
         args.lift(2).map(_.toInt).getOrElse(120),
         args.lift(3).map(_.toInt).getOrElse(200)
       )
+    else if (args.headOption.contains("epochs"))
+      epochsStress(
+        args.lift(1).map(_.toLong).getOrElse(24000000L),
+        args.lift(2).map(_.toInt).getOrElse(2)
+      )
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -160,6 +165,51 @@ object CurateStress {
     * O(batch) and the offset-state read is a scan of tiny
     * one-row-per-batch files, never the manifests.
     */
+  /** `epochs [nPacks] [epochs]` — the epoch-shuffle schedule at a
+    * 100 TB-shaped pack count: the default 24M packs ≈ a ~50B-token
+    * corpus at budget 2048. `Packing.epochOrder` reads only
+    * `max(last_pack)` from its manifest, so a 1-row synthetic manifest
+    * drives the real ranking path: nPacks × epochs md5 keys through
+    * the two-pass bucket prefix (256 partitions/epoch, never a global
+    * sort), schedule written to parquet. A second pass verifies each
+    * epoch IS a permutation (count, bounds, exact distinct ords) — the
+    * verification shuffle is timed separately so the production number
+    * stands alone.
+    */
+  private def epochsStress(nPacks: Long, nEpochs: Int): Unit = {
+    val spark = StressUtil.session()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("epoch-stress").toString
+    val man = Seq((0L, nPacks - 1)).toDF("doc_id", "last_pack")
+    val (_, tProduce) = StressUtil.timed {
+      graft.operators.Packing
+        .epochOrder(man, nEpochs, "stress")
+        .write
+        .mode("overwrite")
+        .parquet(s"$root/sched")
+    }
+    println(f"epochs: schedule ${nPacks}x$nEpochs produced+written in $tProduce%.1f s")
+    val (ok, tVerify) = StressUtil.timed {
+      spark.read
+        .parquet(s"$root/sched")
+        .groupBy(col("epoch"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ord")).as("lo"),
+          max(col("ord")).as("hi"),
+          countDistinct(col("ord")).as("nd")
+        )
+        .collect()
+        .forall(r =>
+          r.getLong(1) == nPacks && r.getLong(2) == 0L &&
+            r.getLong(3) == nPacks - 1 && r.getLong(4) == nPacks
+        )
+    }
+    require(ok, "an epoch failed the permutation check")
+    println(f"epochs: permutation verified (count/bounds/distinct) in $tVerify%.1f s")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = StressUtil.session()

@@ -318,6 +318,72 @@ class PackingSpec extends AnyFunSuite {
     assert(viaCli == direct, "CLI verb must front materializePacks exactly")
   }
 
+  test("pack_epochs + pack_boundaries CLI verbs read an incremental manifest root") {
+    val root = Files.createTempDirectory("graft-packsched-cli").toString
+    Seq(0 until 20, 20 until 40).zipWithIndex.foreach { case (ids, i) =>
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_ingest",
+          "--batch", { corpus(ids).write.parquet(s"$root/b$i"); s"$root/b$i" },
+          "--state", s"$root/st",
+          "--out", s"$root/manifests",
+          "--applied_id", i.toString,
+          "--budget", "16"
+        ),
+        spark
+      )
+    }
+    val man = spark.read.parquet(s"$root/manifests")
+    val total = man.agg(sum(col("n_toks"))).head.getLong(0)
+    val nPacks = man.agg(max(col("last_pack"))).head.getLong(0) + 1
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_epochs",
+        "--manifests", s"$root/manifests",
+        "--out", s"$root/sched",
+        "--epochs", "2", "--seed", "cli"
+      ),
+      spark
+    )
+    val sched = spark.read.parquet(s"$root/sched")
+    assert(sched.count() == 2 * nPacks)
+    (0 until 2).foreach { e =>
+      val ids = sched
+        .filter(col("epoch") === e)
+        .collect()
+        .map(r => r.getAs[Long]("pack_id"))
+        .sorted
+      assert(ids.toSeq == (0L until nPacks), s"epoch $e must cover the pack space")
+    }
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_boundaries",
+        "--manifests", s"$root/manifests",
+        "--out", s"$root/bnd",
+        "--budget", "16"
+      ),
+      spark
+    )
+    val bnd = spark.read
+      .parquet(s"$root/bnd")
+      .collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("pos"), r.getAs[Long]("seg_len")))
+    // segments tile every pack ACROSS the two batches' manifests: the
+    // union carries global offsets, so the incremental boundary table
+    // equals the batch-form one.
+    bnd.groupBy(_._1).foreach { case (p, segs) =>
+      val sorted = segs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"pack $p must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1, s"pack $p must tile")
+        case _                              => ()
+      }
+      val covered = sorted.last._2 + sorted.last._3
+      val want = if (p == total / 16L) total % 16L else 16L
+      assert(covered == want, s"pack $p must cover $want, got $covered")
+    }
+  }
+
   test("layoutBy domain purity: a source's layout is independent of every other source") {
     // The q114 loader path: filtering the corpus to one source BEFORE
     // layoutBy must give exactly that source's rows of the full

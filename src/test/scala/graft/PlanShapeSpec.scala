@@ -339,6 +339,18 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q124: curriculum packing derives the bin inline — no global window, bases broadcast") {
+    // The quality bin is a projection over the same scan the layout
+    // reads; per-bin offsets and curriculum bases both come back by
+    // broadcast join. Same no-unpartitioned-window contract as q113.
+    val df = queries.TextQueries.q124CurriculumPacking(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in the curriculum packing plan")
+    assert(planOf(df).contains("BroadcastHashJoin"), "bin offsets/bases must broadcast-join back")
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row

@@ -689,4 +689,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("boundaries + epochOrder invariants hold on random corpora and budgets") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 3) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val budget = Seq(8L, 16L, 64L)(trial % 3)
+      val docs = (0 until nDocs)
+        .map(i => (i.toLong, (0 to rnd.nextInt(12)).map(j => s"t${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val man = Packing.manifest(
+        Packing.layout(docs, "doc_id", "text", nShards = 4),
+        "doc_id",
+        budget
+      )
+      val total = man.agg(sum(col("n_toks"))).head.getLong(0)
+      val nPacks = (total + budget - 1) / budget
+      // boundaries: Σ seg_len per pack = budget (except the ragged
+      // last), Σ over the table = total tokens, every doc starts once.
+      val b = Packing
+        .boundaries(man, "doc_id", budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      assert(b.map(_._3).sum == total, s"trial $trial: boundary table must cover every token")
+      b.groupBy(_._1).foreach { case (p, segs) =>
+        val want = if (p == nPacks - 1 && total % budget != 0) total % budget else budget
+        assert(segs.map(_._3).sum == want, s"trial $trial pack $p coverage")
+      }
+      assert(b.count(_._5 == 1) == nDocs, s"trial $trial: one doc_start per doc")
+      // epochOrder: a permutation per epoch for any budget/seed.
+      val sched = Packing
+        .epochOrder(man, epochs = 2, seed = s"t$trial")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (0 until 2).foreach { e =>
+        val rows = sched.filter(_._1 == e.toLong)
+        assert(rows.map(_._2).sorted.toSeq == (0L until nPacks), s"trial $trial epoch $e ords")
+        assert(rows.map(_._3).sorted.toSeq == (0L until nPacks), s"trial $trial epoch $e packs")
+      }
+    }
+  }
 }

@@ -344,4 +344,38 @@ class TextOpsSpec extends AnyFunSuite {
       .toSet
     assert(got == (1 to n).map(i => (i.toLong, 2)).toSet, s"got ${got.size} rows")
   }
+
+  test("q124: curriculum numbering is contiguous, highest quality bin first") {
+    val rows = queries.TextQueries
+      .q124CurriculumPacking(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      )
+    assert(rows.nonEmpty)
+    val bins = rows.map(_._1).distinct.sorted.reverse
+    assert(bins.length > 1, "fixture must populate several quality bins")
+    // within a bin: curriculum ids are the bin-local pack ids shifted
+    // by one constant base; across bins (descending): bases tile — bin
+    // b's packs all precede bin b-1's, with no gap.
+    var expectedBase = 0L
+    bins.foreach { b =>
+      val br = rows.filter(_._1 == b)
+      val base = br.map(r => r._6 - r._4).distinct
+      assert(base.length == 1, s"bin $b must shift by one constant base")
+      assert(base.head == expectedBase, s"bin $b base must tile the curriculum")
+      assert(br.forall(r => r._7 - r._5 == base.head), "cur_last must use the same base")
+      val binTotal = br.map(_._3).sum
+      expectedBase += (binTotal + 2047) / 2048
+    }
+    // the curriculum orders whole bins: every bin-2 pack id < every
+    // bin-1 pack id, etc.
+    bins.sliding(2).foreach {
+      case Array(hi, lo) =>
+        val hiMax = rows.filter(_._1 == hi).map(_._7).max
+        val loMin = rows.filter(_._1 == lo).map(_._6).min
+        assert(hiMax < loMin, s"bin $hi packs must precede bin $lo packs")
+      case _ => ()
+    }
+  }
 }
