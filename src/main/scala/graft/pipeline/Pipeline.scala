@@ -391,6 +391,9 @@ object Pipeline {
   * pointer, same serving protocol as the quality model), and
   * `--maintenance bpe_segment --batch B --model M --out O` (per-doc
   * token counts under the frozen tokenizer), and
+  * `--maintenance fertility_stream --raw R --model M --out O
+  * --checkpoint C` (per-source fertility telemetry per arriving file
+  * under the frozen tokenizer — the drift dashboard feed), and
   * `--maintenance build_quality_model --data D --model M [--retain N]`
   * (freeze the LM quality model from a reference corpus; keep N
   * predecessor versions for gate batches that outlive retrains), and
@@ -776,6 +779,19 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] stratified pack stream drained $raw into $out")
+      case Some("fertility_stream") =>
+        // Streaming fertility-drift telemetry under a frozen BPE model
+        // (StreamingPipeline.fertilityStream): per arriving document
+        // JSON file, per-source whitespace vs model token totals as
+        // batch-keyed rows. JSON shape: {"doc_id","source","text"}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val model = opts.getOrElse("model", sys.error("--model <bpe model dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <telemetry dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        graft.streaming.StreamingPipeline
+          .fertilityStream(spark, raw, model, out, ckpt, graft.schemas.Schemas.documentIngestBy)
+          .awaitTermination()
+        println(s"[maintenance] fertility stream drained $raw into $out")
       case Some("pack_curated_stream") =>
         // The curation→packing chain consumer: tail a curate_stream /
         // curate_ingest corpus' batch-keyed parquet partitions and lay

@@ -825,6 +825,57 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming fertility-drift telemetry — the production form of the
+    * q123 monitor: per arriving document file, per-source whitespace vs
+    * frozen-model token totals appended as batch-keyed telemetry rows
+    * (the feed a crawl operator dashboards to see WHICH domain's text
+    * is drifting away from the tokenizer's training distribution). The
+    * merge table is resolved ONCE at stream start from the versioned
+    * `build_bpe_model` pointer — serving posture: a monitor never
+    * retrains mid-stream, so fertility is comparable across the whole
+    * run (a retrain shows up as the next run's pointer version).
+    * Batch-keyed overwrite partitions make a crash replay converge
+    * (same exactly-once shape as every telemetry writer here); an idle
+    * trigger firing writes nothing. Per-batch cost is
+    * [[graft.operators.Bpe.segmentCounts]]'s: the merge fold over the
+    * batch's DISTINCT words + one join back + a per-source agg —
+    * O(batch), no state beyond the checkpoint.
+    */
+  def fertilityStream(
+      spark: SparkSession,
+      rawDir: String,
+      modelPath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val merges = graft.operators.Bpe.loadMerges(spark, modelPath)
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Bpe
+            .segmentCounts(batch.select(col("doc_id"), col("text")), "doc_id", "text", merges)
+            .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("sum_ws"),
+              sum(col("n_bpe_tokens")).as("sum_bpe")
+            )
+            .withColumn("fert_milli", expr("(1000 * sum_bpe) div sum_ws"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
     * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
     * and lay each newly accepted file out after everything already

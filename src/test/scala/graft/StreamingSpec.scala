@@ -1168,4 +1168,88 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.option("basePath", s"$root/m").parquet(s"$root/m").count() == 5)
   }
+
+  test("fertility stream: per-file per-source drift telemetry under the frozen model") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fert-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    // freeze a model on a training slice: merges will fire on "low",
+    // "lower" shapes but not on drifted gibberish
+    graft.operators.Bpe.buildModel(
+      spark,
+      Seq((0L, "low lower lowest low low wide wider")).toDF("doc_id", "text"),
+      "text",
+      s"$root/model",
+      numMerges = 6
+    )
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "fertility_stream",
+        "--raw", raw,
+        "--model", s"$root/model",
+        "--out", s"$root/telemetry",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"source":"web","text":"low lower"}
+         |{"doc_id":2,"source":"web","text":"low wide"}
+         |{"doc_id":3,"source":"spamnet","text":"zzqk xvjw qqpz"}""".stripMargin
+    )
+    run()
+    val merges = graft.operators.Bpe.loadMerges(spark, s"$root/model")
+    val b0 = spark.read
+      .option("basePath", s"$root/telemetry")
+      .parquet(s"$root/telemetry")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[String]("source"),
+          r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_ws"),
+          r.getAs[Long]("sum_bpe"),
+          r.getAs[Long]("fert_milli")
+        )
+      )
+      .toSeq
+      .sortBy(_._1)
+    assert(b0.map(t => (t._1, t._2, t._3)) == Seq(("spamnet", 1L, 3L), ("web", 2L, 4L)))
+    // the drifted domain's fertility must exceed the in-distribution
+    // one — the signal the dashboard exists for
+    val fert = b0.map(t => t._1 -> t._5).toMap
+    assert(fert("spamnet") > fert("web"), s"drifted domain must show higher fertility: $fert")
+    // telemetry equals the batch-verb computation under the same table
+    val direct = graft.operators.Bpe
+      .segmentCounts(
+        Seq((1L, "low lower"), (2L, "low wide"), (3L, "zzqk xvjw qqpz")).toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        merges
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    assert(b0.map(_._4).sum == direct.values.sum, "stream totals must equal the batch scorer")
+    // a second file lands as its own batch partition; drained restart
+    // then adds nothing
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":10,"source":"web","text":"lowest wider"}""".stripMargin
+    )
+    run()
+    val batches = new java.io.File(s"$root/telemetry")
+      .listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    assert(batches == 2, "each file's telemetry lands batch-keyed")
+    run()
+    assert(
+      new java.io.File(s"$root/telemetry")
+        .listFiles()
+        .count(_.getName.startsWith("ingest_batch=")) == 2,
+      "drained restart must write no telemetry"
+    )
+  }
 }
