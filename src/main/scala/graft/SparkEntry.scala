@@ -143,7 +143,9 @@ object SparkEntry {
     "q121_epoch_order" -> (TextQueries.q121EpochOrder _),
     "q122_pack_boundaries" -> (TextQueries.q122PackBoundaries _),
     "q123_fertility_drift" -> (TextQueries.q123FertilityDrift _),
-    "q124_curriculum_packing" -> (TextQueries.q124CurriculumPacking _)
+    "q124_curriculum_packing" -> (TextQueries.q124CurriculumPacking _),
+    "q125_vocab_ids" -> (TextQueries.q125VocabIds _),
+    "q126_packed_ids" -> (TextQueries.q126PackedIds _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1834,7 +1836,44 @@ object SparkEntry {
         |  (cum - 1) // 2048 AS last_pack,
         |  pack_base + (cum - n_toks) // 2048 AS cur_first,
         |  pack_base + (cum - 1) // 2048 AS cur_last
-        |FROM g JOIN base USING (qbin)""".stripMargin
+        |FROM g JOIN base USING (qbin)""".stripMargin,
+    // q125: dense lexicographic token ids. The oracle may use one
+    // global row_number; the ENGINE range-partitions + prefix-sums
+    // partition counts (plan-locked).
+    "q125_vocab_ids" ->
+      """WITH h AS (SELECT word AS token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)
+        |SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+        |FROM h""".stripMargin,
+    // q126: the q111 slices integer-encoded through the q125 ids —
+    // the trainer-ready (pack, pos, doc, token_id) sequence.
+    "q126_packed_ids" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM tk),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |ux AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': ts[i]})) AS u
+        |  FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ux),
+        |vh AS (SELECT word AS token
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+        |  FROM vh)
+        |SELECT (start_tok + pos) // 2048 AS pack_id,
+        |  (start_tok + pos) % 2048 AS pos_in_pack,
+        |  doc_id, token_id
+        |FROM tok JOIN sel USING (doc_id) JOIN v ON tok.tok = v.token
+        |WHERE start_tok + pos < 6144""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

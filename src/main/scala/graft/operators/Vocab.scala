@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dictionary encoding for token streams: assign every distinct token
+  * a DENSE id (0..V−1, lexicographic order) so pack materialization
+  * can emit integer sequences — what a trainer actually memory-maps —
+  * instead of strings. The id rule is pure (rank in sorted order), so
+  * the table is reproducible from the corpus alone and two workers
+  * never disagree.
+  *
+  * Scale shape: distributed dense-rank without a global sort-on-one-
+  * task. The distinct-token table range-partitions on the token
+  * (Spark's sampled range bounds — partition SIZES depend on the
+  * sample, the final ids never do), ranks within each ordered
+  * partition, and prefix-sums the O(partitions) counts on the driver —
+  * the same two-pass-prefix discipline as the packing layouts. A
+  * `Window.orderBy(token)` over the vocabulary (10⁸ rows on one task
+  * at web scale) is the shape this avoids, plan-locked.
+  */
+object Vocab {
+
+  /** (token, token_id, cnt) over a corpus' whitespace tokens:
+    * `token_id` = dense lexicographic rank (0-based), `cnt` = corpus
+    * frequency. `nParts` bounds the per-partition rank window
+    * (vocab/nParts rows each); size it like any shard count.
+    */
+  def build(docs: DataFrame, textCol: String, nParts: Int = 32): DataFrame = {
+    val hist = docs
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    withIds(hist, "token", nParts)
+  }
+
+  /** Dense-rank `ordCol` over any distinct-keyed table: adds `<ordCol>_id`
+    * = the row's 0-based rank in the column's ascending order.
+    */
+  private[graft] def withIds(distinctRows: DataFrame, ordCol: String, nParts: Int): DataFrame = {
+    val spark = distinctRows.sparkSession
+    // RangePartitioning assigns ordered partition ids (pid 0 holds the
+    // smallest keys), so global rank = prefix(pid) + within-pid rank.
+    val parted = distinctRows
+      .repartitionByRange(nParts, col(ordCol))
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid")).orderBy(col(ordCol))
+    val ranked = parted.withColumn("r", row_number().over(w))
+    // Bounded collect: one count per range partition.
+    val counts = ranked
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (p, n)) => (p, acc + n, acc) }
+      .drop(1)
+      .map { case (p, _, off) => (p, off) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_off"))
+    ranked
+      .join(offDf, Seq("pid"))
+      .withColumn(s"${ordCol}_id", col("pid_off") + col("r") - 1L)
+      .drop("pid", "r", "pid_off")
+  }
+
+  /** Encode materialized pack slices (the q111 shape: one row per pack
+    * position carrying a string token) into the integer id space: one
+    * equi-join against the vocabulary — the final hop from text to the
+    * (pack_id, pos_in_pack, token_id) sequences a training job
+    * memory-maps. Slices are already O(requested packs × budget) rows
+    * (the loaders prune before exploding), so the join cost follows
+    * the request, not the corpus.
+    */
+  def encodeSlices(slices: DataFrame, vocab: DataFrame): DataFrame =
+    slices
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"))
+      .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
+}

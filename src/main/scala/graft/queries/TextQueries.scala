@@ -2130,6 +2130,30 @@ object TextQueries {
       )
   }
 
+  /** Vocabulary table with DENSE ids
+    * ([[graft.operators.Vocab.build]]): every distinct corpus token,
+    * its frequency, and its 0-based lexicographic rank — the id space
+    * integer-encoded training sequences use. The rank is a distributed
+    * dense-rank (range partitions + per-partition window + O(parts)
+    * driver prefix), never a vocabulary-wide `Window.orderBy`
+    * (plan-locked).
+    */
+  def q125VocabIds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
+
+  /** Integer-encoded pack slices
+    * ([[graft.operators.Vocab.encodeSlices]]): the q111 loader output
+    * joined to the q125 vocabulary — (pack_id, pos_in_pack, doc_id,
+    * token_id) rows, the trainer-ready integer sequence with
+    * provenance. Slices are pruned to O(packs × budget) before the
+    * join, so the encode hop follows the request, not the corpus.
+    */
+  def q126PackedIds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.encodeSlices(
+      q111PackSlices(spark, dir),
+      graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
+    )
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

@@ -351,6 +351,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf(df).contains("BroadcastHashJoin"), "bin offsets/bases must broadcast-join back")
   }
 
+  test("q125/q126: vocab dense-rank windows only range partitions; encode is an equi join") {
+    // q125: the vocabulary-wide rank must come from per-range-partition
+    // row_numbers + a driver prefix — a Window.orderBy(token) over the
+    // vocab (10^8 rows on one task at web scale) is the trap.
+    val v = queries.TextQueries.q125VocabIds(spark, sf)
+    val vw = v.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(vw.isEmpty, "unpartitioned window in the vocab plan")
+    assert(planOf(v).contains("BroadcastHashJoin"), "partition offsets must broadcast-join back")
+    // q126: the encode hop inherits q111's locks and joins on the
+    // token key — never a cartesian or a corpus-wide window.
+    val e = queries.TextQueries.q126PackedIds(spark, sf)
+    val ew = e.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(ew.isEmpty, "unpartitioned window in the packed-ids plan")
+    assert(!planOf(e).contains("CartesianProduct"))
+  }
+
   test("global: no query ever plans a CartesianProduct") {
     // Bounded-side cross joins plan as BroadcastNestedLoopJoin over a
     // broadcast() of provably small relations (centroids, 1-row

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Vocab
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dictionary encoding: dense lexicographic token ids must equal the
+  * single-node sorted-distinct rank on any input, and the slice encode
+  * hop must round-trip.
+  */
+class VocabSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession
+    .builder("graft-vocab-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("build: ids are the dense lexicographic rank; counts exact (incl. unicode, many partitions)") {
+    val texts = Seq(
+      "pear apple apple zebra",
+      "Ångström apple ねこ zebra zebra",
+      "apple 123 !bang pear"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // nParts far above the vocab size: empty range partitions must not
+    // perturb the prefix
+    val got = Vocab
+      .build(df, "text", nParts = 16)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"), r.getAs[Long]("token_id")))
+      .sortBy(_._3)
+    val words = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val expected = words
+      .groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }
+      .toSeq
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((w, c), i) => (w, c, i.toLong) }
+    // Spark string order is binary UTF-8, as Scala's String ordering is
+    // UTF-16 code-unit order — identical for these (no surrogates).
+    assert(got.toSeq == expected, s"ids must be the sorted-distinct rank:\n$got\nvs\n$expected")
+  }
+
+  test("build: empty corpus yields an empty vocabulary") {
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Vocab.build(df, "text").count() == 0L)
+  }
+
+  test("encodeSlices round-trips: decoding by id join restores every non-empty token") {
+    val df = (0 until 40)
+      .map(i => (i.toLong, (0 to i % 5).map(j => s"w${(i + j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Vocab.build(df, "text").localCheckpoint()
+    val slices = graft.operators.Packing
+      .manifest(graft.operators.Packing.layout(df, "doc_id", "text", 4), "doc_id", 16L)
+      .filter(col("first_pack") === 0)
+      .select(col("doc_id"), col("start_tok"))
+      .join(df, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+      .withColumn("gpos", col("start_tok") + col("pos"))
+      .filter(col("gpos") < 16)
+      .select(
+        expr("gpos div 16").as("pack_id"),
+        (col("gpos") % 16).as("pos_in_pack"),
+        col("doc_id"),
+        col("token")
+      )
+    val encoded = Vocab.encodeSlices(slices, vocab)
+    val decoded = encoded
+      .join(vocab.select(col("token"), col("token_id")), Seq("token_id"))
+      .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val original = slices
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(decoded == original, "encode → decode must restore the token stream")
+    assert(encoded.count() == original.size.toLong, "one id row per slice position")
+  }
+}
