@@ -145,7 +145,8 @@ object SparkEntry {
     "q123_fertility_drift" -> (TextQueries.q123FertilityDrift _),
     "q124_curriculum_packing" -> (TextQueries.q124CurriculumPacking _),
     "q125_vocab_ids" -> (TextQueries.q125VocabIds _),
-    "q126_packed_ids" -> (TextQueries.q126PackedIds _)
+    "q126_packed_ids" -> (TextQueries.q126PackedIds _),
+    "q127_bpe_packed_ids" -> (TextQueries.q127BpePackedIds _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1721,6 +1722,9 @@ object SparkEntry {
     // q120: the loader side of q117 — the first 3 packs materialized
     // as model tokens (per-doc word prefix × in-word symbol position).
     "q120_bpe_pack_slices" -> bpeOracle(8, "slices"),
+    // q127: q120's slices mapped through the merge table's symbol id
+    // space — the text→tokenizer→packing→ids chain end to end.
+    "q127_bpe_packed_ids" -> bpeOracle(8, "packed_ids"),
     // q118: per-source token budgets met exactly by the greedy prefix
     // of each source's (h, doc_id)-ordered token stream (layoutBy's
     // per-domain offsets); straddling doc truncated via tok_take.
@@ -1940,10 +1944,12 @@ object SparkEntry {
         |  CAST(sum(n_sym) AS BIGINT) AS sum_bpe,
         |  (1000 * CAST(sum(n_sym) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fert_milli
         |FROM inst JOIN vocab USING (word) GROUP BY source""".stripMargin)
-    } else if (tail == "slices") {
+    } else if (tail == "slices" || tail == "packed_ids") {
       // the BPE-metered loader: weighted layout selects the window,
       // then per-doc word prefix × in-word symbol position grids the
-      // model-token stream into packs.
+      // model-token stream into packs. "packed_ids" additionally maps
+      // each model token through the merge table's symbol id space
+      // (distinct symbols, lexicographic dense rank).
       sb.append(s""",
         |vocab AS (SELECT word, string_split(substr(sym, 2, length(sym) - 2), '||') AS syms,
         |    CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_sym FROM w$n),
@@ -1969,11 +1975,25 @@ object SparkEntry {
         |tok AS (SELECT doc_id, wprefix + u.spos AS pos, u.sym AS token
         |  FROM (SELECT doc_id, wprefix, unnest(list_transform(range(1, len(syms) + 1),
         |      i -> {'spos': CAST(i - 1 AS BIGINT), 'sym': syms[i]})) AS u
-        |    FROM wp))
-        |SELECT (start_tok + pos) // 2048 AS pack_id,
-        |  (start_tok + pos) % 2048 AS pos_in_pack,
-        |  doc_id, token
-        |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin)
+        |    FROM wp))""".stripMargin)
+      if (tail == "slices")
+        sb.append("""
+          |SELECT (start_tok + pos) // 2048 AS pack_id,
+          |  (start_tok + pos) % 2048 AS pos_in_pack,
+          |  doc_id, token
+          |FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144""".stripMargin)
+      else
+        sb.append("""
+          |,sl AS (SELECT (start_tok + pos) // 2048 AS pack_id,
+          |    (start_tok + pos) % 2048 AS pos_in_pack,
+          |    doc_id, token
+          |  FROM tok JOIN sel USING (doc_id) WHERE start_tok + pos < 6144),
+          |symv AS (SELECT DISTINCT unnest(syms) AS token FROM vocab),
+          |sv AS (SELECT token,
+          |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+          |  FROM symv)
+          |SELECT pack_id, pos_in_pack, doc_id, token_id
+          |FROM sl JOIN sv USING (token)""".stripMargin)
     } else {
       sb.append(s""",
         |inst AS (SELECT doc_id, word

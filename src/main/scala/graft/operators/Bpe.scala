@@ -308,6 +308,17 @@ object Bpe {
       )
   }
 
+  /** The distinct model symbols a merge table produces over a corpus —
+    * the BPE id space's string side. Derived from the DISTINCT-word
+    * histogram (the merge fold runs V times, not corpus-size times);
+    * feed it to `Vocab.withIds` for the dense-rank integer ids that
+    * make [[packSlices]] output a trainer-ready integer sequence.
+    */
+  def symbols(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+    wordHistogram(docs, textCol)
+      .select(explode(symsOf(applyMerges(col("sym"), merges))).as("token"))
+      .distinct()
+
   /** Per-document segmentation stats under a merge table: tokenize the
     * DISTINCT-word table once (apply the merge fold V times, not
     * corpus-size times), then one equi-join back to the token stream.

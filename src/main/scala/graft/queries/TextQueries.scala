@@ -2154,6 +2154,29 @@ object TextQueries {
       graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
     )
 
+  /** BPE pack slices INTEGER-encoded ([[graft.operators.Bpe.symbols]]
+    * + [[graft.operators.Vocab]]'s dense rank): the q120 model-token
+    * loader output mapped through the merge table's symbol id space —
+    * the full text→tokenizer→packing→ids chain landing on the
+    * (pack_id, pos_in_pack, doc_id, token_id) rows a trainer consumes.
+    * The id space is the DISTINCT symbols the merges produce over the
+    * corpus (stable under the frozen model), ranked lexicographically
+    * by the same range-partitioned two-pass dense rank as q125.
+    */
+  def q127BpePackedIds(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    val slices =
+      graft.operators.Bpe.packSlices(d, "doc_id", "text", merges, nPacks = 3L, budget = 2048L, nShards = 8)
+    val vocab = graft.operators.Vocab
+      .withIds(graft.operators.Bpe.symbols(d, "text", merges), "token", nParts = 32)
+    slices
+      .join(vocab, Seq("token"))
+      .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
+  }
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

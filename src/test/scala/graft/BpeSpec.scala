@@ -230,6 +230,20 @@ class BpeSpec extends AnyFunSuite {
       out.result()
     }
 
+  test("symbols: the model's symbol set equals the reference segmentation's") {
+    val texts = Seq("low lower low", "newest lowest new", "wide wider widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = texts.flatMap(_.split("\\s+"))
+    val (ref, seqs) = referenceBpe(words, 6)
+    val merges = ref.map { case (l, r, _) => (l, r) }
+    val got = Bpe
+      .symbols(df, "text", merges)
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(got == seqs.values.flatten.toSet, "symbol id space must be the reference's")
+  }
+
   test("frozen merges on a drifted corpus: unseen words still segment; counts match the reference") {
     // train on one distribution, apply to another that shares some
     // words and adds unseen ones (the q123 monitoring posture).
