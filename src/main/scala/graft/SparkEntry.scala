@@ -146,7 +146,8 @@ object SparkEntry {
     "q124_curriculum_packing" -> (TextQueries.q124CurriculumPacking _),
     "q125_vocab_ids" -> (TextQueries.q125VocabIds _),
     "q126_packed_ids" -> (TextQueries.q126PackedIds _),
-    "q127_bpe_packed_ids" -> (TextQueries.q127BpePackedIds _)
+    "q127_bpe_packed_ids" -> (TextQueries.q127BpePackedIds _),
+    "q128_pack_arrays" -> (TextQueries.q128PackArrays _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1877,7 +1878,37 @@ object SparkEntry {
         |  (start_tok + pos) % 2048 AS pos_in_pack,
         |  doc_id, token_id
         |FROM tok JOIN sel USING (doc_id) JOIN v ON tok.tok = v.token
-        |WHERE start_tok + pos < 6144""".stripMargin
+        |WHERE start_tok + pos < 6144""".stripMargin,
+    // q128: the q126 rows rolled into one position-sorted id array per
+    // pack — the memory-map shape.
+    "q128_pack_arrays" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM tk),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |ux AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': ts[i]})) AS u
+        |  FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ux),
+        |vh AS (SELECT word AS token
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+        |  FROM vh),
+        |q AS (SELECT (start_tok + pos) // 2048 AS pack_id,
+        |    (start_tok + pos) % 2048 AS pos_in_pack, token_id
+        |  FROM tok JOIN sel USING (doc_id) JOIN v ON tok.tok = v.token
+        |  WHERE start_tok + pos < 6144)
+        |SELECT pack_id,
+        |  list(pos_in_pack ORDER BY pos_in_pack) AS positions,
+        |  list(token_id ORDER BY pos_in_pack) AS token_ids
+        |FROM q GROUP BY pack_id""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -38,6 +38,18 @@ object Vocab {
 
   /** Dense-rank `ordCol` over any distinct-keyed table: adds `<ordCol>_id`
     * = the row's 0-based rank in the column's ascending order.
+    *
+    * The range shuffle is PINNED (`localCheckpoint`) before either
+    * pass reads it: Spark samples range bounds per query EXECUTION,
+    * not per plan, so the counts job and the output job would
+    * otherwise each draw their own bounds and disagree on which
+    * partition a key landed in — the prefix offsets then misalign and
+    * the "dense" ids collide/skip. Invisible at test scale (tiny
+    * partitions make the sample exhaustive, bounds deterministic);
+    * reproduced at 3M tokens (`CurateStress vocab`: 2.90M distinct
+    * ids for 3M tokens, max id 3003891 before the pin). The pin also
+    * makes the second pass read the shuffle output instead of
+    * recomputing the upstream distinct.
     */
   private[graft] def withIds(distinctRows: DataFrame, ordCol: String, nParts: Int): DataFrame = {
     val spark = distinctRows.sparkSession
@@ -46,10 +58,12 @@ object Vocab {
     val parted = distinctRows
       .repartitionByRange(nParts, col(ordCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("pid")).orderBy(col(ordCol))
     val ranked = parted.withColumn("r", row_number().over(w))
-    // Bounded collect: one count per range partition.
-    val counts = ranked
+    // Bounded collect: one count per range partition (from the pinned
+    // shuffle — no window needed to count).
+    val counts = parted
       .groupBy(col("pid"))
       .agg(count(lit(1)).as("n"))
       .collect()

@@ -2177,6 +2177,25 @@ object TextQueries {
       .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
   }
 
+  /** Packs as ordered id ARRAYS — the literal memory-map shape: one
+    * row per pack, its token ids position-sorted into a single
+    * `array<bigint>` (plus the position list for hole accounting:
+    * empty-token positions drop at the q126 encode join). One keyed
+    * aggregation over the already-pruned q126 rows; a trainer (or an
+    * export job writing the binary shards) reads pack k as one row.
+    */
+  def q128PackArrays(spark: SparkSession, dir: String): DataFrame =
+    q126PackedIds(spark, dir)
+      .groupBy(col("pack_id"))
+      .agg(
+        sort_array(collect_list(struct(col("pos_in_pack"), col("token_id")))).as("ps")
+      )
+      .select(
+        col("pack_id"),
+        expr("transform(ps, x -> x.pos_in_pack)").as("positions"),
+        expr("transform(ps, x -> x.token_id)").as("token_ids")
+      )
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

@@ -70,6 +70,8 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(24000000L),
         args.lift(2).map(_.toInt).getOrElse(2)
       )
+    else if (args.headOption.contains("vocab"))
+      vocabStress(args.lift(1).map(_.toLong).getOrElse(10000000L))
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -208,6 +210,42 @@ object CurateStress {
     require(ok, "an epoch failed the permutation check")
     println(f"epochs: permutation verified (count/bounds/distinct) in $tVerify%.1f s")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  /** `vocab [nTokens]` — the dictionary dense-rank at a web-scale
+    * vocabulary: nTokens synthetic distinct strings (md5-prefixed so
+    * the lexicographic order is nothing like the generation order)
+    * ranked through `Vocab.withIds`' range-partition + driver-prefix
+    * path, then verified to be exactly the permutation 0..V−1 with
+    * ids matching a sampled direct rank computation.
+    */
+  private def vocabStress(nTokens: Long): Unit = {
+    val spark = StressUtil.session()
+    val distinct = spark
+      .range(nTokens)
+      .select(concat(md5(col("id").cast("string")), lit("_"), col("id").cast("string")).as("token"))
+    val nParts = math.max(32, (nTokens / 2000000L).toInt)
+    val (ids, t) = StressUtil.timed {
+      graft.operators.Vocab.withIds(distinct, "token", nParts).localCheckpoint()
+    }
+    println(f"vocab: $nTokens tokens ranked ($nParts range partitions) in $t%.1f s")
+    val (ok, tv) = StressUtil.timed {
+      val r = ids
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("token_id")).as("lo"),
+          max(col("token_id")).as("hi"),
+          countDistinct(col("token_id")).as("nd")
+        )
+        .head()
+      r.getLong(0) == nTokens && r.getLong(1) == 0L &&
+      r.getLong(2) == nTokens - 1 && r.getLong(3) == nTokens
+    }
+    require(ok, "ids are not the dense permutation")
+    // order check on a sample: id order must equal token order
+    val sample = ids.orderBy(col("token")).limit(1000).collect().map(_.getAs[Long]("token_id"))
+    require(sample.toSeq == (0L until sample.length.toLong), "sampled prefix must rank 0..k")
+    println(f"vocab: permutation + prefix-order verified in $tv%.1f s")
   }
 
   private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
