@@ -147,7 +147,8 @@ object SparkEntry {
     "q125_vocab_ids" -> (TextQueries.q125VocabIds _),
     "q126_packed_ids" -> (TextQueries.q126PackedIds _),
     "q127_bpe_packed_ids" -> (TextQueries.q127BpePackedIds _),
-    "q128_pack_arrays" -> (TextQueries.q128PackArrays _)
+    "q128_pack_arrays" -> (TextQueries.q128PackArrays _),
+    "q129_decontam_purge" -> (TextQueries.q129DecontamPurge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1908,7 +1909,27 @@ object SparkEntry {
         |SELECT pack_id,
         |  list(pos_in_pack ORDER BY pos_in_pack) AS positions,
         |  list(token_id ORDER BY pos_in_pack) AS token_ids
-        |FROM q GROUP BY pack_id""".stripMargin
+        |FROM q GROUP BY pack_id""".stripMargin,
+    // q129: set-membership decontamination purge — eval = doc_id % 10
+    // == 0; per-TRAIN-doc distinct-shingle overlap vs the eval SET
+    // (q54 is the pair-attributed view; this is the purge decision).
+    "q129_decontam_purge" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |ev AS (SELECT DISTINCT unnest(sh_ints) AS shingle FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle
+        |  FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id, CAST(tr.n_sh AS INTEGER) AS n_sh,
+        |  CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(count(*) AS DOUBLE) / tr.n_sh AS overlap_frac,
+        |  CAST(count(*) AS DOUBLE) / tr.n_sh >= 0.5 AS contaminated
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY tr.doc_id, tr.n_sh""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -2196,6 +2196,42 @@ object TextQueries {
         expr("transform(ps, x -> x.token_id)").as("token_ids")
       )
 
+  /** Decontamination PURGE decision — the set-membership form of the
+    * train-vs-eval audit. [[q54Decontaminate]] attributes each train
+    * doc to the eval docs it overlaps (pair-level containment — the
+    * forensic view); this query answers the question the pipeline
+    * actually acts on: "does this train doc share ANY n-gram with the
+    * eval SET, and how much of it" — doc_id % 10 == 0 stands in for
+    * the benchmark, every other doc is train, output is per-TRAIN-doc
+    * (overlap count, fraction, `contaminated` at the 0.5 default).
+    *
+    * Scale shape: set semantics make this strictly cheaper than q54
+    * at 100 TB. The eval side is tiny (thousands of benchmark docs vs
+    * the corpus), so its distinct shingle set broadcasts and the train
+    * explode streams map-side through a LEFT SEMI — one output row per
+    * matching (doc, shingle) regardless of how many eval docs share
+    * the shingle (q54's pair join multiplies by that fan-out; a
+    * boilerplate shingle present in 1000 eval docs costs q54 1000
+    * rows, this query 1). The only shuffle is the per-doc count over
+    * O(overlap) rows. Never a train-vs-train join.
+    */
+  def q129DecontamPurge(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val isEval = col("doc_id") % 10 === 0
+    val evalSet = sh
+      .filter(isEval)
+      .select(explode(col("sh_ints")).as("shingle"))
+      .distinct()
+    sh.filter(!isEval)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_ints")).as("shingle"))
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.5)
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"), col("overlap_frac"), col("contaminated"))
+  }
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

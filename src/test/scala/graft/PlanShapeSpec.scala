@@ -559,4 +559,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus stats must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
+
+  test("q129: eval shingle set broadcasts into a left-semi probe") {
+    // The purge decision streams the train explode map-side against the
+    // (tiny) eval set: a broadcast LEFT SEMI, so the only shuffle is the
+    // per-doc overlap count. A shuffled join here would re-shuffle the
+    // entire corpus' shingle explode at 100 TB.
+    val plan = planOf(queries.TextQueries.q129DecontamPurge(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval set must broadcast into a semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train side must not shuffle for the probe:\n$plan")
+  }
 }
