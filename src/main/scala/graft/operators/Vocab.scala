@@ -93,4 +93,22 @@ object Vocab {
     slices
       .join(vocab.select(col("token"), col("token_id")), Seq("token"))
       .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
+
+  /** Encoded slices rolled into ONE row per pack — the memory-map
+    * shape a binary-shard export writes: `positions`/`token_ids` as
+    * parallel position-sorted arrays (the positions array keeps hole
+    * accounting — an empty token dropped at the encode join stays
+    * visible as a missing position). One keyed aggregation over the
+    * already-pruned O(packs × budget) slice rows; `sort_array` on the
+    * (pos, id) struct gives both arrays one deterministic order.
+    */
+  def packArrays(slices: DataFrame, vocab: DataFrame): DataFrame =
+    encodeSlices(slices, vocab)
+      .groupBy(col("pack_id"))
+      .agg(sort_array(collect_list(struct(col("pos_in_pack"), col("token_id")))).as("ps"))
+      .select(
+        col("pack_id"),
+        expr("transform(ps, x -> x.pos_in_pack)").as("positions"),
+        expr("transform(ps, x -> x.token_id)").as("token_ids")
+      )
 }

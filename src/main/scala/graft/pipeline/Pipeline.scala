@@ -376,6 +376,14 @@ object Pipeline {
   * `--maintenance pack_slices --state S --manifests M --docs D --out O
   * --from K --to L [--budget T]` (loader-side materialization of packs
   * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
+  * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
+  * the dense-id token dictionary from a corpus — the id space
+  * integer exports encode under), and
+  * `--maintenance pack_export --state S --manifests M --docs D
+  * --vocab V --out O --from K --to L [--budget T] [--shards N]`
+  * (the trainer hand-off: materialize packs [K, L), encode under the
+  * frozen vocab, roll to one id-array row per pack, and export
+  * hash-sharded with a landed-data manifest), and
   * `--maintenance pack_epochs --manifests M --out O [--epochs N]
   * [--seed S]` (seeded per-epoch pack permutations — the multi-epoch
   * visit-order schedule, recomputable by any worker from the seed), and
@@ -837,6 +845,55 @@ object PipelineRunner {
           )
         val n = Pipeline.writeCounted(slices, out)
         println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
+      case Some("build_vocab") =>
+        // Freeze the dense-id dictionary (Vocab.build) from a corpus
+        // parquet (needs a `text` column): the id space every integer
+        // export encodes under. Train once, serve frozen — the same
+        // posture as build_bpe_model, minus versioning (the table is a
+        // pure function of the corpus; re-running on the same corpus
+        // rewrites identical rows).
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val parts = opts.getOrElse("parts", "32").toInt
+        val vocab = graft.operators.Vocab
+          .build(spark.read.parquet(docsPath).select(org.apache.spark.sql.functions.col("text")), "text", parts)
+        val n = Pipeline.writeCounted(vocab, out)
+        println(s"[maintenance] vocab: $n tokens from $docsPath into $out")
+      case Some("pack_export") =>
+        // The trainer hand-off: materialize packs [from, to) from the
+        // incremental manifests (state-pruned, like pack_slices),
+        // encode under the FROZEN vocab written by build_vocab, roll
+        // to one (pack_id, positions, token_ids) row per pack, and
+        // export hash-sharded (Scale.exportShards: shard =
+        // hash(pack_id) % n — stable shard contents under any input
+        // partitioning, manifest computed from landed data). A
+        // training job reads `shard=k/` and memory-maps its rows.
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val vocabPath = opts.getOrElse("vocab", sys.error("--vocab <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val from = opts.getOrElse("from", sys.error("--from <pack id> required")).toLong
+        val to = opts.getOrElse("to", sys.error("--to <pack id excl> required")).toLong
+        val budget = opts.getOrElse("budget", "2048").toLong
+        val shards = opts.getOrElse("shards", "8").toInt
+        val slices = graft.operators.Packing
+          .materializePacks(
+            spark,
+            state,
+            manifests,
+            spark.read.parquet(docsPath),
+            "doc_id",
+            "text",
+            from,
+            to,
+            budget
+          )
+        val arrays = graft.operators.Vocab
+          .packArrays(slices, spark.read.parquet(vocabPath))
+        val manifest = graft.operators.Scale.exportShards(arrays, "pack_id", shards, out)
+        val landed = manifest.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+        println(s"[maintenance] pack export [$from, $to): $landed packs in $shards shards at $out")
       case Some("pack_epochs") =>
         // Multi-epoch visit-order schedule over an emitted pack space
         // (Packing.epochOrder): seeded per-epoch permutations of pack

@@ -2177,24 +2177,18 @@ object TextQueries {
       .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
   }
 
-  /** Packs as ordered id ARRAYS — the literal memory-map shape: one
-    * row per pack, its token ids position-sorted into a single
-    * `array<bigint>` (plus the position list for hole accounting:
-    * empty-token positions drop at the q126 encode join). One keyed
-    * aggregation over the already-pruned q126 rows; a trainer (or an
-    * export job writing the binary shards) reads pack k as one row.
+  /** Packs as ordered id ARRAYS ([[graft.operators.Vocab.packArrays]])
+    * — the literal memory-map shape: one row per pack, its token ids
+    * position-sorted into a single `array<bigint>` (plus the position
+    * list for hole accounting: empty-token positions drop at the q126
+    * encode join). A trainer (or the `pack_export` verb writing the
+    * sharded export) reads pack k as one row.
     */
   def q128PackArrays(spark: SparkSession, dir: String): DataFrame =
-    q126PackedIds(spark, dir)
-      .groupBy(col("pack_id"))
-      .agg(
-        sort_array(collect_list(struct(col("pos_in_pack"), col("token_id")))).as("ps")
-      )
-      .select(
-        col("pack_id"),
-        expr("transform(ps, x -> x.pos_in_pack)").as("positions"),
-        expr("transform(ps, x -> x.token_id)").as("token_ids")
-      )
+    graft.operators.Vocab.packArrays(
+      q111PackSlices(spark, dir),
+      graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
+    )
 
   /** Decontamination PURGE decision — the set-membership form of the
     * train-vs-eval audit. [[q54Decontaminate]] attributes each train

@@ -758,4 +758,80 @@ class PackingSpec extends AnyFunSuite {
     assert(starts.values.forall(_ == 1), "each doc begins in exactly one pack")
     assert(starts.size == rows.length, "every doc must begin somewhere")
   }
+
+  test("build_vocab + pack_export CLI verbs hand off trainer-ready id-array shards") {
+    val root = Files.createTempDirectory("graft-packexport-cli").toString
+    val allDocs = corpus(0 until 40)
+    allDocs.write.parquet(s"$root/docs")
+    Seq(0 until 20, 20 until 40).zipWithIndex.foreach { case (ids, i) =>
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_ingest",
+          "--batch", { corpus(ids).write.parquet(s"$root/b$i"); s"$root/b$i" },
+          "--state", s"$root/st",
+          "--out", s"$root/manifests",
+          "--applied_id", i.toString,
+          "--budget", "16"
+        ),
+        spark
+      )
+    }
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "build_vocab", "--docs", s"$root/docs", "--out", s"$root/vocab"),
+      spark
+    )
+    val vocab = spark.read.parquet(s"$root/vocab")
+    // the frozen dictionary is the corpus' distinct tokens, densely ranked
+    val distinctTokens = allDocs
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+      .count()
+    assert(vocab.count() == distinctTokens)
+    assert(
+      vocab.agg(min(col("token_id")), max(col("token_id"))).head.toSeq ==
+        Seq(0L, distinctTokens - 1)
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_export",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--vocab", s"$root/vocab",
+        "--out", s"$root/export",
+        "--from", "0", "--to", "2",
+        "--budget", "16", "--shards", "2"
+      ),
+      spark
+    )
+    val got = spark.read.parquet(s"$root/export")
+    assert(got.count() == 2L, "two full packs exported as one row each")
+    // every exported pack is gapless: positions 0..15, ids in-vocab
+    got.collect().foreach { r =>
+      val pos = r.getAs[scala.collection.Seq[Long]]("positions")
+      assert(pos.toSeq == (0L until 16L), s"pack ${r.getAs[Long]("pack_id")} must tile 0..15")
+      val ids = r.getAs[scala.collection.Seq[Long]]("token_ids")
+      assert(ids.forall(id => id >= 0 && id < distinctTokens))
+    }
+    // the export must equal the library chain it fronts
+    val direct = graft.operators.Vocab
+      .packArrays(
+        graft.operators.Packing
+          .materializePacks(spark, s"$root/st", s"$root/manifests", allDocs, "doc_id", "text", 0L, 2L, 16L),
+        vocab
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[scala.collection.Seq[Long]]("token_ids").toSeq))
+      .toMap
+    val viaCli = got
+      .collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[scala.collection.Seq[Long]]("token_ids").toSeq))
+      .toMap
+    assert(viaCli == direct, "CLI export must front the packArrays chain exactly")
+    // landed-data manifest enumerates both shards
+    val manifest = spark.read.parquet(s"$root/export.__manifest")
+    assert(manifest.count() == 2L)
+    assert(manifest.agg(sum(col("n_rows"))).head.getLong(0) == 2L)
+  }
 }
