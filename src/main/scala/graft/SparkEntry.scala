@@ -148,7 +148,8 @@ object SparkEntry {
     "q126_packed_ids" -> (TextQueries.q126PackedIds _),
     "q127_bpe_packed_ids" -> (TextQueries.q127BpePackedIds _),
     "q128_pack_arrays" -> (TextQueries.q128PackArrays _),
-    "q129_decontam_purge" -> (TextQueries.q129DecontamPurge _)
+    "q129_decontam_purge" -> (TextQueries.q129DecontamPurge _),
+    "q130_oov_drift" -> (TextQueries.q130OovDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1929,7 +1930,25 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) / tr.n_sh AS overlap_frac,
         |  CAST(count(*) AS DOUBLE) / tr.n_sh >= 0.5 AS contaminated
         |FROM tr JOIN ev USING (shingle)
-        |GROUP BY tr.doc_id, tr.n_sh""".stripMargin
+        |GROUP BY tr.doc_id, tr.n_sh""".stripMargin,
+    // q130: frozen-dictionary OOV drift — vocab frozen on evens, odds
+    // scored per source over the (source, token) histogram.
+    "q130_oov_drift" ->
+      """WITH ev AS (SELECT word AS token
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |        FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE word <> '' GROUP BY word),
+        |od AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hist AS (SELECT source, token, count(*) AS cnt FROM od
+        |  WHERE token <> '' GROUP BY source, token)
+        |SELECT hist.source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN ev.token IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN ev.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+        |  CAST(sum(CASE WHEN ev.token IS NULL THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS oov_frac
+        |FROM hist LEFT JOIN ev USING (token)
+        |GROUP BY hist.source""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -2226,6 +2226,45 @@ object TextQueries {
       .select(col("doc_id"), col("n_sh"), col("n_overlap"), col("overlap_frac"), col("contaminated"))
   }
 
+  /** Frozen-dictionary OOV monitor — the vocabulary analogue of q123's
+    * fertility drift: the q125 dictionary is frozen on the EVEN docs
+    * (the training snapshot) and the ODD docs (arriving data) are
+    * scored against it per source: token volume, OOV instance count
+    * and fraction, and distinct OOV types. Rising OOV is the signal
+    * that a domain's text has drifted past the frozen id space (its
+    * tokens would all collapse to `<unk>` at encode time) — the
+    * dashboard that tells you when to retrain the dictionary, before
+    * the trainer sees the damage.
+    *
+    * Scale shape: the membership join runs over the (source, token)
+    * HISTOGRAM, never the token stream — map-side combine collapses
+    * repetition first (the Bpe.segmentCounts discipline), so the join
+    * side is O(distinct words per source), ~10⁸ rows at 100 TB vs
+    * ~10¹³ instances.
+    */
+  def q130OovDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val frozen = graft.operators.Vocab
+      .build(d.filter(col("doc_id") % 2 === 0).select(col("text")), "text")
+      .select(col("token"))
+    val hist = d
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .join(frozen.withColumn("in_vocab", lit(1)), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(lit(0L))).as("n_oov"),
+        sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov_types")
+      )
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("n_oov_types"), col("oov_frac"))
+  }
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe
