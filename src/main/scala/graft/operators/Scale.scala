@@ -480,4 +480,43 @@ object Dedup {
       Seq(idCol),
       "left_anti"
     )
+
+  /** Benchmark decontamination over TWO corpora — the operational form
+    * of `q129_decontam_purge` (which demos the rule on an in-corpus
+    * parity split): per-train-doc count/fraction of its distinct
+    * 3-gram shingles present anywhere in the eval corpus, with the
+    * purge verdict at `threshold`. Returns
+    * `(idCol, n_sh, n_overlap, overlap_frac, contaminated)` for every
+    * train doc with ≥1 overlapping shingle; the caller left-antis the
+    * contaminated ids away (or audits the sub-threshold tail).
+    *
+    * Scale shape: the eval corpus is a benchmark — thousands of docs
+    * against a 100 TB train side — so its distinct shingle set is
+    * broadcast into a LEFT SEMI probe: the train explode streams
+    * map-side, one surviving row per matching (doc, shingle)
+    * regardless of eval-side fan-out, and the only shuffle is the
+    * O(overlap) per-doc count. Same plan as the q129 lock.
+    */
+  def decontamPurge(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def shingled(d: DataFrame): DataFrame = {
+      val toks = split(col(textCol), "\\s+")
+      d.filter(size(toks) >= 3)
+        .withColumn("__sh", graft.functions.GraftFunctions.graft_shingles(toks))
+    }
+    val evalSet = shingled(evalDocs).select(explode(col("__sh")).as("shingle")).distinct()
+    shingled(train)
+      .select(col(idCol), size(col("__sh")).as("n_sh"), explode(col("__sh")).as("shingle"))
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
 }

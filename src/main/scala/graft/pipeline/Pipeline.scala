@@ -376,6 +376,10 @@ object Pipeline {
   * `--maintenance pack_slices --state S --manifests M --docs D --out O
   * --from K --to L [--budget T]` (loader-side materialization of packs
   * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
+  * `--maintenance decontaminate --train T --eval E --out O
+  * [--threshold X] [--purged P]` (benchmark decontamination: per-train-
+  * doc eval-set shingle overlap report to O; with `--purged`, also the
+  * train corpus left-anti the contaminated ids), and
   * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
@@ -845,6 +849,31 @@ object PipelineRunner {
           )
         val n = Pipeline.writeCounted(slices, out)
         println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
+      case Some("decontaminate") =>
+        // Benchmark decontamination (Dedup.decontamPurge): report every
+        // train doc overlapping the eval corpus' shingle set; with
+        // --purged, also write the train corpus minus the contaminated
+        // ids. Both parquets need (doc_id, text).
+        val trainPath = opts.getOrElse("train", sys.error("--train <parquet dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val train = spark.read.parquet(trainPath)
+        val report = graft.operators.Dedup
+          .decontamPurge(train, spark.read.parquet(evalPath), "doc_id", "text", threshold)
+          .localCheckpoint() // one computation serves the report write AND the purge anti-join
+        val n = Pipeline.writeCounted(report, out)
+        opts.get("purged").foreach { p =>
+          val kept = train.join(
+            report.filter(org.apache.spark.sql.functions.col("contaminated"))
+              .select(org.apache.spark.sql.functions.col("doc_id")),
+            Seq("doc_id"),
+            "left_anti"
+          )
+          val k = Pipeline.writeCounted(kept, p)
+          println(s"[maintenance] decontaminate: kept $k train docs into $p")
+        }
+        println(s"[maintenance] decontaminate: $n overlapping train docs reported at $out")
       case Some("build_vocab") =>
         // Freeze the dense-id dictionary (Vocab.build) from a corpus
         // parquet (needs a `text` column): the id space every integer

@@ -77,4 +77,71 @@ class DedupSpec extends AnyFunSuite {
       assert(star == prop, "star and propagation labels must agree")
     }
   }
+
+  test("decontamPurge: verdicts on a handcrafted train/eval fixture") {
+    import spark.implicits._
+    // eval benchmark holds "a b c d" -> shingles {abc, bcd}
+    val evalDocs = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e"),   // shingles {abc, bcd, cde}: 2/3 overlap -> contaminated
+      (2L, "x y a b c"),   // shingles {xya, yab, abc}: 1/3 overlap -> reported, not contaminated
+      (3L, "p q r s t"),   // disjoint -> absent from the report
+      (4L, "p q")          // <3 tokens -> no shingles, absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .decontamPurge(train, evalDocs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("n_sh"), r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3, 2L, true)))
+    assert(got(2L) == ((3, 1L, false)))
+  }
+
+  test("decontamPurge on the parity split equals the q129 oracle query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaOp = graft.operators.Dedup
+      .decontamPurge(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text"
+      )
+      .select("doc_id", "n_sh", "n_overlap", "overlap_frac", "contaminated")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val viaQuery = queries.TextQueries
+      .q129DecontamPurge(spark, sf)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(viaOp == viaQuery, "the operational two-corpus form must equal the in-corpus demo")
+    assert(viaOp.nonEmpty, "fixture should produce overlaps")
+  }
+
+  test("decontaminate CLI verb writes the report and the purged corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-decontam-cli").toString
+    Seq((1L, "a b c d e"), (2L, "x y a b c"), (3L, "p q r s t"))
+      .toDF("doc_id", "text").write.parquet(s"$root/train")
+    Seq((100L, "a b c d")).toDF("doc_id", "text").write.parquet(s"$root/eval")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontaminate",
+        "--train", s"$root/train",
+        "--eval", s"$root/eval",
+        "--out", s"$root/report",
+        "--purged", s"$root/purged"
+      ),
+      spark
+    )
+    val report = spark.read.parquet(s"$root/report")
+    assert(report.count() == 2L)
+    assert(report.filter(col("contaminated")).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // purge drops ONLY the contaminated doc; the sub-threshold and clean docs survive
+    val kept = spark.read.parquet(s"$root/purged").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
 }
