@@ -535,6 +535,36 @@ object CurateStress {
       f"[chain] steady state ($batchRows docs vs $n-doc states): curate drain $tc1%.1f s + pack drain $tp1%.1f s; " +
         f"loader window read (last 3 packs, $nTok token rows): $tr%.1f s"
     )
+    // Export tail: freeze the dictionary over the curated corpus, then
+    // hand the same window off as id-array shards (the pack_export
+    // path) — closing the raw → curate → pack → export loop in one run.
+    val (vocabN, tv) = StressUtil.timed {
+      val v = graft.operators.Vocab
+        .build(spark.read.parquet(out).select("text"), "text")
+        .localCheckpoint()
+      v.write.mode("overwrite").parquet(s"$root/vocab")
+      v.count()
+    }
+    val (nPacks, te) = StressUtil.timed {
+      val slices = graft.operators.Packing
+        .materializePacks(
+          spark, pstate, manifests,
+          spark.read.parquet(out).select("doc_id", "text"),
+          "doc_id", "text",
+          math.max(0L, packTo - 3), packTo, 2048L
+        )
+      val arrays = graft.operators.Vocab
+        .packArrays(slices, spark.read.parquet(s"$root/vocab"))
+      graft.operators.Scale
+        .exportShards(arrays, "pack_id", 2, s"$root/export")
+        .agg(sum(col("n_rows")))
+        .head()
+        .getLong(0)
+    }
+    println(
+      f"[chain] export tail: $vocabN-token vocab frozen in $tv%.1f s; " +
+        f"window re-materialized + encoded + sharded ($nPacks packs) in $te%.1f s"
+    )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }
