@@ -503,15 +503,43 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5
+  ): DataFrame =
+    decontamPurgeAgainst(
+      train,
+      evalShingles(evalDocs, textCol),
+      idCol,
+      textCol,
+      threshold
+    )
+
+  /** The eval corpus' distinct shingle set — the probe artifact. Split
+    * out so a long-running consumer (the `decontam_stream` verb) can
+    * compute it ONCE, pin it, and probe every arriving batch against
+    * the pinned copy instead of re-deriving it per micro-batch.
+    */
+  def evalShingles(evalDocs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    val toks = split(col(textCol), "\\s+")
+    evalDocs
+      .filter(size(toks) >= 3)
+      .withColumn("__sh", graft.functions.GraftFunctions.graft_shingles(toks))
+      .select(explode(col("__sh")).as("shingle"))
+      .distinct()
+  }
+
+  /** [[decontamPurge]] against a precomputed [[evalShingles]] table. */
+  def decontamPurgeAgainst(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
   ): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
-    def shingled(d: DataFrame): DataFrame = {
-      val toks = split(col(textCol), "\\s+")
-      d.filter(size(toks) >= 3)
-        .withColumn("__sh", graft.functions.GraftFunctions.graft_shingles(toks))
-    }
-    val evalSet = shingled(evalDocs).select(explode(col("__sh")).as("shingle")).distinct()
-    shingled(train)
+    val toks = split(col(textCol), "\\s+")
+    train
+      .filter(size(toks) >= 3)
+      .withColumn("__sh", graft.functions.GraftFunctions.graft_shingles(toks))
       .select(col(idCol), size(col("__sh")).as("n_sh"), explode(col("__sh")).as("shingle"))
       .join(broadcast(evalSet), Seq("shingle"), "left_semi")
       .groupBy(col(idCol), col("n_sh"))

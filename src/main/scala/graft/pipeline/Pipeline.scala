@@ -380,6 +380,10 @@ object Pipeline {
   * [--threshold X] [--purged P]` (benchmark decontamination: per-train-
   * doc eval-set shingle overlap report to O; with `--purged`, also the
   * train corpus left-anti the contaminated ids), and
+  * `--maintenance decontam_stream --raw R --eval E --out O
+  * --checkpoint C [--threshold X]` (the same per arriving document
+  * JSON file against a stream-start-pinned eval shingle set —
+  * batch-keyed telemetry, the ingest family's exactly-once shape), and
   * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
@@ -804,6 +808,22 @@ object PipelineRunner {
           .fertilityStream(spark, raw, model, out, ckpt, graft.schemas.Schemas.documentIngestBy)
           .awaitTermination()
         println(s"[maintenance] fertility stream drained $raw into $out")
+      case Some("decontam_stream") =>
+        // Streaming decontamination against a frozen eval benchmark
+        // (StreamingPipeline.decontamStream): per arriving document
+        // JSON file, the per-doc eval-overlap report as batch-keyed
+        // telemetry. JSON shape: {"doc_id","text"}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <telemetry dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        graft.streaming.StreamingPipeline
+          .decontamStream(
+            spark, raw, evalPath, out, ckpt, graft.schemas.Schemas.documentIngest, threshold
+          )
+          .awaitTermination()
+        println(s"[maintenance] decontam stream drained $raw into $out")
       case Some("pack_curated_stream") =>
         // The curation→packing chain consumer: tail a curate_stream /
         // curate_ingest corpus' batch-keyed parquet partitions and lay

@@ -876,6 +876,55 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming decontamination — the eval-set member of the ingest
+    * gate family (exact / LSH / semantic / span dedup guard the corpus
+    * against ITSELF; this guards it against a held-out benchmark): per
+    * arriving document file, the
+    * [[graft.operators.Dedup.decontamPurgeAgainst]] overlap report as
+    * a batch-keyed telemetry partition (`ingest_batch=N` overwrite —
+    * the family's exactly-once shape: a replayed batch rewrites its
+    * own partition). The eval shingle set is resolved ONCE at stream
+    * start and PINNED (`localCheckpoint`) — a benchmark doesn't change
+    * mid-run, and pinning means each micro-batch pays only its own
+    * explode + broadcast probe, never a re-derivation of the eval
+    * side. Idle firings write nothing.
+    */
+  def decontamStream(
+      spark: SparkSession,
+      rawDir: String,
+      evalPath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val evalSet = graft.operators.Dedup
+      .evalShingles(spark.read.parquet(evalPath), "text")
+      .localCheckpoint()
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .decontamPurgeAgainst(
+              batch.select(col("doc_id"), col("text")),
+              evalSet,
+              "doc_id",
+              "text",
+              threshold
+            )
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
     * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
     * and lay each newly accepted file out after everything already

@@ -1252,4 +1252,67 @@ class StreamingSpec extends AnyFunSuite {
       "drained restart must write no telemetry"
     )
   }
+
+  test("decontam stream: per-file eval-overlap telemetry against the pinned benchmark") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-decontam-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    Seq((100L, "a b c d")).toDF("doc_id", "text").write.parquet(s"$root/eval")
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontam_stream",
+        "--raw", raw,
+        "--eval", s"$root/eval",
+        "--out", s"$root/telemetry",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"a b c d e"}
+         |{"doc_id":2,"text":"p q r s t"}""".stripMargin
+    )
+    run()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":3,"text":"x y a b c"}""".stripMargin
+    )
+    run()
+    val tel = spark.read
+      .option("basePath", s"$root/telemetry")
+      .parquet(s"$root/telemetry")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"),
+            r.getAs[Number]("ingest_batch").longValue)
+        )
+      )
+      .toMap
+    // file 1: doc 1 contaminated (2/3), doc 2 disjoint -> absent;
+    // file 2: doc 3 reported sub-threshold (1/3). Each in ITS batch.
+    assert(tel.keySet == Set(1L, 3L))
+    assert(tel(1L)._1 == 2L && tel(1L)._2)
+    assert(tel(3L)._1 == 1L && !tel(3L)._2)
+    assert(tel(1L)._3 != tel(3L)._3, "each file reports under its own batch id")
+    // the streamed reports equal the batch op over the same docs
+    val direct = graft.operators.Dedup
+      .decontamPurge(
+        Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "x y a b c")).toDF("doc_id", "text"),
+        spark.read.parquet(s"$root/eval"),
+        "doc_id",
+        "text"
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(tel.view.mapValues(v => (v._1, v._2)).toMap == direct)
+    // drained restart: no new files, no new partitions
+    val before = spark.read.parquet(s"$root/telemetry").count()
+    run()
+    assert(spark.read.parquet(s"$root/telemetry").count() == before)
+  }
 }
