@@ -2265,6 +2265,38 @@ object TextQueries {
       .select(col("source"), col("n_tokens"), col("n_oov"), col("n_oov_types"), col("oov_frac"))
   }
 
+  /** Pack contamination audit — provenance paying off: when
+    * decontamination (q129) runs AFTER packing, the trainer needs to
+    * know which EMITTED packs carry contaminated documents (retire the
+    * pack, or mask its positions) without re-packing anything. Joins
+    * the contaminated ids against the q110 layout manifest and expands
+    * each doc's pack range arithmetically — per pack: how many
+    * contaminated docs overlap it and how many of its positions they
+    * occupy. No text is read: like q122, this is pure manifest
+    * arithmetic (the only explode is the doc's `sequence(first_pack,
+    * last_pack)`, and it runs AFTER the contaminated-ids join prunes —
+    * O(contam docs × packs-per-doc) rows at any corpus size).
+    */
+  def q131PackContamAudit(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(2048L)
+    val contam = q129DecontamPurge(spark, dir)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    q110SequencePacking(spark, dir)
+      .join(broadcast(contam), Seq("doc_id"))
+      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
+      .withColumn(
+        "tok_in_pack",
+        least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
+          greatest(col("start_tok"), col("pack_id") * budget)
+      )
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_contam_docs"),
+        sum(col("tok_in_pack")).as("n_contam_tokens")
+      )
+  }
+
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

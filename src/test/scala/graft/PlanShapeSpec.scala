@@ -560,6 +560,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("q130: vocab membership joins the histogram, never the token stream") {
+    // The (source, token) aggregate must sit BELOW the dictionary join:
+    // map-side combine collapses instance repetition first, so the join
+    // probes O(distinct words), not O(token instances).
+    val df = queries.TextQueries.q130OovDrift(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val joinHasAggBelow = joins.exists(_.left.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined)
+    assert(joinHasAggBelow, s"histogram aggregate must precede the membership join:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q131: contaminated-ids join prunes the manifest BEFORE the pack-range explode") {
+    val df = queries.TextQueries.q131PackContamAudit(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"contam ids must broadcast:\n$plan")
+    // the pack-range explode (sequence generator; q129's shingle explode
+    // also appears, inside the broadcast subtree) must be fed by the
+    // contaminated-ids join, not the raw manifest
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.toString.contains("sequence") =>
+        g
+    }
+    assert(gen.size == 1, s"exactly one pack-range explode:\n${df.queryExecution.optimizedPlan}")
+    val joinBelowGenerate = gen.head.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinBelowGenerate.isDefined,
+      s"the contaminated-ids join must sit below the explode:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q129: eval shingle set broadcasts into a left-semi probe") {
     // The purge decision streams the train explode map-side against the
     // (tiny) eval set: a broadcast LEFT SEMI, so the only shuffle is the
