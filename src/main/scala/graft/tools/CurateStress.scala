@@ -72,6 +72,11 @@ object CurateStress {
       )
     else if (args.headOption.contains("vocab"))
       vocabStress(args.lift(1).map(_.toLong).getOrElse(10000000L))
+    else if (args.headOption.contains("decontam"))
+      decontamStress(
+        args.lift(1).map(_.toLong).getOrElse(5000000L),
+        args.lift(2).map(_.toLong).getOrElse(5000L)
+      )
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -246,6 +251,65 @@ object CurateStress {
     val sample = ids.orderBy(col("token")).limit(1000).collect().map(_.getAs[Long]("token_id"))
     require(sample.toSeq == (0L until sample.length.toLong), "sampled prefix must rank 0..k")
     println(f"vocab: permutation + prefix-order verified in $tv%.1f s")
+  }
+
+  /** `decontam [nTrain] [nEval]` — the broadcast eval-probe at corpus
+    * scale: nTrain synthetic 10-token train docs (every 100th carries a
+    * planted 8-token eval phrase → 6/8 shingle overlap, contaminated;
+    * the rest are globally unique → absent from the report), nEval
+    * benchmark docs over a 997-text closed vocabulary (so the
+    * broadcast side stays benchmark-sized however large nEval grows).
+    * Measures the end-to-end purge-report wall and asserts the flagged
+    * count is EXACTLY the planted count — the correctness tripwire at
+    * a scale the oracle never sees.
+    */
+  private def decontamStress(nTrain: Long, nEval: Long): Unit = {
+    val spark = StressUtil.session()
+    def evTok(j: Int, v: org.apache.spark.sql.Column) =
+      concat(lit(s"ev${j}_"), v.cast("string"))
+    val evalDocs = spark
+      .range(nEval)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(j => evTok(j, col("id") % 997)): _*).as("text")
+      )
+    def uTok(j: Int) = concat(lit("u"), col("id").cast("string"), lit(s"_$j"))
+    val clean = concat_ws(" ", (0 until 10).map(uTok): _*)
+    val planted = concat_ws(
+      " ",
+      (0 until 8).map(j => evTok(j, col("id") % 997)) ++ Seq(uTok(8), uTok(9)): _*
+    )
+    val train = spark
+      .range(nTrain)
+      .select(
+        col("id").as("doc_id"),
+        when(col("id") % 100 === 0, planted).otherwise(clean).as("text")
+      )
+    val (report, t) = StressUtil.timed {
+      graft.operators.Dedup
+        .decontamPurge(train, evalDocs, "doc_id", "text")
+        .localCheckpoint()
+    }
+    val flagged = report.filter(col("contaminated")).count()
+    val expect = (nTrain + 99) / 100
+    // Sub-threshold extras are 28-bit shingle-hash chance collisions
+    // with the eval set (~ nShingles × evalSet / 2³¹ ≈ 100 at the
+    // defaults) — they carry 1-2 overlapping shingles and never cross
+    // the 0.5 gate, which is precisely why the gate is a FRACTION and
+    // not any-overlap at corpus scale.
+    val extras = report.filter(!col("contaminated"))
+    val nExtras = extras.count()
+    val maxExtraOverlap =
+      if (nExtras == 0) 0L
+      else extras.agg(max(col("n_overlap"))).head().getLong(0)
+    println(
+      f"decontam: $nTrain%d train vs $nEval%d eval docs probed in $t%.1f s; " +
+        f"$flagged%d flagged (planted $expect%d); $nExtras%d sub-threshold " +
+        f"hash-collision rows (max overlap $maxExtraOverlap%d)"
+    )
+    require(flagged == expect, s"flagged $flagged != planted $expect")
+    require(nExtras < nTrain / 10000 + 10, s"collision rows $nExtras out of expected range")
+    require(maxExtraOverlap <= 3, s"a chance collision should overlap 1-2 shingles, saw $maxExtraOverlap")
   }
 
   private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
