@@ -82,4 +82,43 @@ class VocabSpec extends AnyFunSuite {
     assert(decoded == original, "encode → decode must restore the token stream")
     assert(encoded.count() == original.size.toLong, "one id row per slice position")
   }
+
+  test("withIds is a dense permutation when range-bound SAMPLING is active") {
+    // Above ~100 rows per range partition Spark samples the bounds per
+    // EXECUTION instead of reading them exhaustively; the counts pass
+    // and the output pass each evaluate the exchange, so without the
+    // localCheckpoint pin they can draw DIFFERENT bounds and the
+    // prefix offsets misalign (ids collide/skip — reproduced at 3M
+    // tokens by `CurateStress vocab` before the fix). This case keeps
+    // the suite at a scale where the sampler is live so removing the
+    // pin fails here, not only in the stress tool.
+    import spark.implicits._
+    val n = 50000L
+    val distinct = spark
+      .range(n)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("id").cast("string")),
+        org.apache.spark.sql.functions.lit("_"),
+        org.apache.spark.sql.functions.col("id").cast("string")
+      ).as("token"))
+    val ids = graft.operators.Vocab.withIds(distinct, "token", 8)
+    val stats = ids
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("token_id")),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("token_id")),
+        org.apache.spark.sql.functions.countDistinct(org.apache.spark.sql.functions.col("token_id"))
+      )
+      .head()
+    assert(stats.getLong(0) == n && stats.getLong(1) == 0L &&
+      stats.getLong(2) == n - 1 && stats.getLong(3) == n,
+      s"ids must be the dense permutation 0..${n - 1}: $stats")
+    // and id order equals token order on an ordered prefix
+    val prefix = ids
+      .orderBy(org.apache.spark.sql.functions.col("token"))
+      .limit(500)
+      .collect()
+      .map(_.getAs[Long]("token_id"))
+    assert(prefix.toSeq == (0L until 500L), "prefix must rank 0..499")
+  }
 }
