@@ -1909,8 +1909,8 @@ object SparkEntry {
         |  FROM tok JOIN sel USING (doc_id) JOIN v ON tok.tok = v.token
         |  WHERE start_tok + pos < 6144)
         |SELECT pack_id,
-        |  list(pos_in_pack ORDER BY pos_in_pack) AS positions,
-        |  list(token_id ORDER BY pos_in_pack) AS token_ids
+        |  array_to_string(list(pos_in_pack ORDER BY pos_in_pack), ' ') AS positions,
+        |  array_to_string(list(token_id ORDER BY pos_in_pack), ' ') AS token_ids
         |FROM q GROUP BY pack_id""".stripMargin,
     // q129: set-membership decontamination purge — eval = doc_id % 10
     // == 0; per-TRAIN-doc distinct-shingle overlap vs the eval SET

@@ -2183,12 +2183,26 @@ object TextQueries {
     * list for hole accounting: empty-token positions drop at the q126
     * encode join). A trainer (or the `pack_export` verb writing the
     * sharded export) reads pack k as one row.
+    *
+    * The DECLARED query projects the two arrays as space-joined
+    * strings: the oracle harness canonicalizes rows by sorting every
+    * column, and raw `array<bigint>` cells are unhashable there (the
+    * round-9 red row). `array_join` is order-preserving and lossless
+    * over bigints, so the hash still covers every element in position
+    * order; `packArrays` itself stays array-shaped — that is the
+    * library/`pack_export` API, spec-verified in VocabSpec.
     */
   def q128PackArrays(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Vocab.packArrays(
-      q111PackSlices(spark, dir),
-      graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
-    )
+    graft.operators.Vocab
+      .packArrays(
+        q111PackSlices(spark, dir),
+        graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
+      )
+      .select(
+        col("pack_id"),
+        array_join(col("positions"), " ").as("positions"),
+        array_join(col("token_ids"), " ").as("token_ids")
+      )
 
   /** Decontamination PURGE decision — the set-membership form of the
     * train-vs-eval audit. [[q54Decontaminate]] attributes each train
