@@ -145,6 +145,11 @@ object GraftFunctions {
       ArgmaxCosine.build,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_apply",
+      BpeApplyMerges.build,
+      "built-in"
+    )
   }
 
   /** `graft_tdigest(value, compression, p1, p2, …)` builder shared by
@@ -235,6 +240,18 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedLit(centNrms)
     )
 
+  /** Full BPE merge-table application (see [[BpeApplyMerges]]); the
+    * table is evaluated once at plan build into constructor state —
+    * one expression node at any vocabulary size.
+    */
+  def graft_bpe_apply(sym: Column, merges: Seq[(String, String)]): Column =
+    call_function(
+      "graft_bpe_apply",
+      sym,
+      org.apache.spark.sql.functions.typedLit(merges.map(_._1)),
+      org.apache.spark.sql.functions.typedLit(merges.map(_._2))
+    )
+
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.
     */
@@ -321,6 +338,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_argmax_cos"),
         new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
         ArgmaxCosine.build
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_apply"),
+        new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
+        BpeApplyMerges.build
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

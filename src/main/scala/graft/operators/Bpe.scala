@@ -84,16 +84,35 @@ object Bpe {
   final case class Merge(lhs: String, rhs: String, cnt: Long)
 
   /** Learn up to `numMerges` BPE merges. Stops early when no pair is
-    * left (every word fully merged). Bounded driver traffic: one row
-    * per round (the argmax) — the histogram itself never leaves the
-    * executors.
+    * left (every word fully merged). Two execution paths, identical
+    * output (spec-proved on random corpora):
+    *
+    *  - **driver path** (the common case): when the pruned histogram's
+    *    total character volume fits under `driverMaxChars`, collect it
+    *    ONCE and run the incremental in-memory trainer
+    *    ([[learnMergesLocal]]) — pair counts maintained under an
+    *    ordered set, each round updating only the words the winning
+    *    pair touches. A production 50k-merge vocabulary is 50k
+    *    O(affected·log P) map updates instead of 50k sequential Spark
+    *    jobs — the scheduler overhead, not the arithmetic, is what
+    *    made the distributed loop days-long at real vocabulary sizes.
+    *    Even a web-corpus histogram is a few GB after `minCount`
+    *    pruning (the standard trainer posture).
+    *  - **distributed path**: when the histogram genuinely doesn't
+    *    fit, the original loop — one pair-count aggregation + a
+    *    LIMIT 1 collect (one row) per round over the bounded
+    *    histogram, lineage truncated every `checkpointEvery` rounds.
+    *
+    * Bounded driver traffic either way: the whole pruned histogram
+    * once (driver path, size-gated), or one row per round.
     */
   def learnMerges(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
       minCount: Long = 1L,
-      checkpointEvery: Int = 12
+      checkpointEvery: Int = 12,
+      driverMaxChars: Long = 16L << 20
   ): Seq[Merge] = {
     val hist0 = wordHistogram(df, textCol)
     // Separator interlock: a '|' inside a token would silently corrupt
@@ -105,25 +124,158 @@ object Bpe {
       s"BPE symbol boundary '|' occurs inside token '${bad.headOption.map(_.getString(0)).getOrElse("")}': " +
         "remap '|' out of the corpus (e.g. translate to a private-use char) before training"
     )
-    var h = (if (minCount > 1L) hist0.filter(col("cnt") >= minCount) else hist0)
-      .select(col("sym"), col("cnt"))
+    val pruned = (if (minCount > 1L) hist0.filter(col("cnt") >= minCount) else hist0)
+      .select(col("word"), col("cnt"))
       .localCheckpoint()
+    // One bounded probe over the pinned histogram decides the path.
+    val probe = pruned
+      .agg(coalesce(sum(length(col("word"))), lit(0L)).as("chars"))
+      .collect()(0)
+      .getLong(0)
+    if (probe <= driverMaxChars) {
+      System.err.println(
+        s"[graft.Bpe] histogram fits on the driver ($probe chars <= $driverMaxChars): " +
+          "running the incremental in-memory trainer (identical merges, no per-round jobs)"
+      )
+      val hist = pruned.collect().map(r => (r.getString(0), r.getLong(1)))
+      learnMergesLocal(hist, numMerges)
+    } else {
+      System.err.println(
+        s"[graft.Bpe] histogram exceeds driverMaxChars ($probe > $driverMaxChars): " +
+          "running the distributed per-round loop"
+      )
+      var h = pruned.withColumn("sym", repOf(col("word"))).select(col("sym"), col("cnt"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var continue = true
+      while (out.length < numMerges && continue) {
+        val top = h
+          .select(explode(pairsOf(symsOf(col("sym")))).as("p"), col("cnt"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) continue = false
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          out += Merge(l, r, c)
+          h = h.withColumn("sym", applyMerge(col("sym"), l, r))
+          if (out.length % checkpointEvery == 0) h = h.localCheckpoint()
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** UTF-8 byte order (= code-point order) — what Spark's string sort
+    * and the DuckDB oracle use; Java `compareTo` is UTF-16 code-unit
+    * order, which disagrees above the BMP. The trainer's tie-break
+    * must match the distributed loop's `orderBy` exactly.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Incremental in-memory BPE trainer over a collected (word, cnt)
+    * histogram — output-identical to the distributed loop (count DESC,
+    * lhs ASC, rhs ASC argmax; leftmost non-overlapping replacement per
+    * round). Pair counts live under an ordered set so each round's
+    * argmax is O(log P), and a merge re-counts only the words that
+    * actually contain the winning pair (tracked per pair).
+    */
+  private[graft] def learnMergesLocal(hist: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    val nW = hist.length
+    val cnts = new Array[Long](nW)
+    val seqs = new Array[Array[String]](nW)
+    var w = 0
+    while (w < nW) {
+      cnts(w) = hist(w)._2
+      val word = hist(w)._1
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf += word.substring(i, i + n)
+        i += n
+      }
+      seqs(w) = buf.toArray
+      w += 1
+    }
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1) // cnt DESC
+        if (c != 0) c
+        else {
+          val l = utf8Compare(a._2, b._2)
+          if (l != 0) l else utf8Compare(a._3, b._3)
+        }
+      }
+    }
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val tree = scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCnt.getOrElse(p, 0L)
+      if (old > 0L) tree.remove((old, p._1, p._2))
+      val nv = old + delta
+      if (nv > 0L) {
+        pairCnt(p) = nv
+        tree.add((nv, p._1, p._2))
+      } else pairCnt.remove(p)
+    }
+    def addWord(w: Int): Unit = {
+      val s = seqs(w)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        bump(p, cnts(w))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+        i += 1
+      }
+    }
+    def dropWord(w: Int): Unit = {
+      val s = seqs(w)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        bump(p, -cnts(w))
+        pairWords.get(p).foreach(_ -= w)
+        i += 1
+      }
+    }
+    w = 0
+    while (w < nW) { addWord(w); w += 1 }
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var continue = true
-    while (out.length < numMerges && continue) {
-      val top = h
-        .select(explode(pairsOf(symsOf(col("sym")))).as("p"), col("cnt"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("cnt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1)
-        .collect()
-      if (top.isEmpty) continue = false
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Merge(l, r, c)
-        h = h.withColumn("sym", applyMerge(col("sym"), l, r))
-        if (out.length % checkpointEvery == 0) h = h.localCheckpoint()
+    while (out.length < numMerges && tree.nonEmpty) {
+      val (c, l, r) = tree.head
+      out += Merge(l, r, c)
+      val affected = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+      val merged = l + r
+      var a = 0
+      while (a < affected.length) {
+        val wi = affected(a)
+        dropWord(wi)
+        val s = seqs(wi)
+        val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { nb += merged; j += 2 }
+          else { nb += s(j); j += 1 }
+        }
+        seqs(wi) = nb.toArray
+        addWord(wi)
+        a += 1
       }
     }
     out.toSeq
@@ -143,8 +295,28 @@ object Bpe {
   /** Apply an ordered merge table to a symbol column (training-order
     * fold — the standard "apply merges in learned order" tokenizer
     * approximation).
+    *
+    * Executes as ONE native expression
+    * ([[graft.functions.BpeApplyMerges]]) holding the table as
+    * constructor state: the per-merge `regexp_replace` fold builds a
+    * merge-count-deep expression tree (Catalyst analysis cost, codegen
+    * collapse past the JVM method limit, O(merges × length) regex
+    * scans per word at a production 32k-64k vocabulary); the native
+    * loop touches only pairs present in the word — O(len · log len)
+    * per word, merge-count-flat — and is spec-proved bit-identical to
+    * the fold (BpeSpec, fixed + random corpora at 8 and ~1k merges).
+    * Requires [[graft.functions.GraftFunctions.register]] on the
+    * session (every DataFrame-level entry point here does it).
     */
   def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) sym
+    else graft.functions.GraftFunctions.graft_bpe_apply(sym, merges)
+
+  /** The reference fold ([[applyMerge]] per merge in training order) —
+    * the semantics [[applyMerges]]' native expression must match;
+    * kept for the spec A/B and as the registry-free fallback.
+    */
+  private[graft] def applyMergesFold(sym: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(sym) { case (c, (l, r)) => applyMerge(c, l, r) }
 
   /** Learned merge table as a DataFrame: (merge_rank, lhs, rhs, cnt). */
@@ -269,6 +441,7 @@ object Bpe {
       nShards: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val window = budget * nPacks
     val vocab = wordHistogram(docs, textCol)
       .select(col("word"), symsOf(applyMerges(col("sym"), merges)).as("syms"))
@@ -314,10 +487,12 @@ object Bpe {
     * feed it to `Vocab.withIds` for the dense-rank integer ids that
     * make [[packSlices]] output a trainer-ready integer sequence.
     */
-  def symbols(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+  def symbols(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     wordHistogram(docs, textCol)
       .select(explode(symsOf(applyMerges(col("sym"), merges))).as("token"))
       .distinct()
+  }
 
   /** Per-document segmentation stats under a merge table: tokenize the
     * DISTINCT-word table once (apply the merge fold V times, not
@@ -330,6 +505,7 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val vocab = wordHistogram(df, textCol)
       .select(col("word"), size(symsOf(applyMerges(col("sym"), merges))).as("n_sym"))
     df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))

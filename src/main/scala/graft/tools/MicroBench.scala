@@ -153,6 +153,69 @@ object MicroBench {
         .collect()
     )
     println(f"[micro] quantile speedup vs sort: approx=${s1 / s2}%.1fx tdigest=${s1 / s3}%.1fx")
+
+    // BPE apply: the regexp_replace-per-merge fold vs the one-node
+    // native expression, at a small and a production-shaped merge
+    // count. The fold's cost is per-PLAN (merge-count-deep tree:
+    // analysis + codegen) and per-ROW (O(merges × len) regex scans);
+    // the native loop is merge-count-flat on both axes. At ~1k merges
+    // the fold typically cannot even plan (StackOverflowError in the
+    // recursive ColumnNode→Expression conversion) — recorded as such.
+    // The sf documents table's vocabulary is too small to sustain a
+    // production-shaped table (fully merges in <100 rounds), so the
+    // micro trains on a synthetic 5k-word corpus that holds ~1k merges.
+    val rndBpe = new scala.util.Random(20260814L)
+    val bpeWords = Vector.fill(5000)(
+      (0 until (8 + rndBpe.nextInt(24))).map(_ => ('a' + rndBpe.nextInt(6)).toChar).mkString
+    )
+    import spark.implicits._
+    val docsBpe = bpeWords.grouped(10).map(_.mkString(" ")).toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mergesAll = graft.operators.Bpe
+      .learnMerges(docsBpe, "text", 1000)
+      .map(m => (m.lhs, m.rhs))
+    println(s"[micro] bpe: trained ${mergesAll.length} merges")
+    val words = graft.operators.Bpe
+      .wordHistogram(docsBpe, "text")
+      .select(col("sym"))
+      .crossJoin(spark.range(0, 200).toDF("rep"))
+      .persist()
+    words.count()
+    val f256 = time("bpe apply: fold @256")(
+      words
+        .select(sum(length(graft.operators.Bpe.applyMergesFold(col("sym"), mergesAll.take(256)))))
+        .collect()
+    )
+    val n256 = time("bpe apply: native @256")(
+      words
+        .select(sum(length(graft.operators.Bpe.applyMerges(col("sym"), mergesAll.take(256)))))
+        .collect()
+    )
+    val f1k: Option[Double] =
+      try
+        Some(
+          time(s"bpe apply: fold @${mergesAll.length}")(
+            words
+              .select(sum(length(graft.operators.Bpe.applyMergesFold(col("sym"), mergesAll))))
+              .collect()
+          )
+        )
+      catch {
+        case _: StackOverflowError =>
+          println(s"[micro] bpe apply: fold @${mergesAll.length}   StackOverflowError (cannot plan)")
+          None
+      }
+    val n1k = time(s"bpe apply: native @${mergesAll.length}")(
+      words
+        .select(sum(length(graft.operators.Bpe.applyMerges(col("sym"), mergesAll))))
+        .collect()
+    )
+    println(
+      f"[micro] bpe apply speedup: @256=${f256 / n256}%.1fx " +
+        f"@${mergesAll.length}=${f1k.map(v => f"${v / n1k}%.1fx").getOrElse("fold unplannable")} " +
+        f"(native @256→@${mergesAll.length} ratio ${n1k / n256}%.2f — merge-count-flat)"
+    )
     spark.stop()
   }
 }

@@ -244,6 +244,108 @@ class BpeSpec extends AnyFunSuite {
     assert(got == seqs.values.flatten.toSet, "symbol id space must be the reference's")
   }
 
+  /** Native-apply equivalence harness: the one-expression
+    * [[graft.functions.BpeApplyMerges]] loop vs the regexp_replace
+    * fold it replaces, over a corpus' char-level symbol strings.
+    */
+  private def assertApplyEquiv(words: Seq[String], merges: Seq[(String, String)]): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val df = words
+      .map(w => (w, w.toVector.map(_.toString).mkString("|", "||", "|")))
+      .toDF("word", "sym")
+    val got = df
+      .select(col("word"), Bpe.applyMerges(col("sym"), merges).as("out"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toMap
+    val want = df
+      .select(col("word"), Bpe.applyMergesFold(col("sym"), merges).as("out"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toMap
+    assert(got == want, s"native apply diverges from the fold under $merges")
+    // and both equal the driver reference fold from characters
+    for (w <- words)
+      assert(
+        got(w) == applyRef(w, merges).mkString("|", "||", "|"),
+        s"native apply diverges from applyRef on '$w'"
+      )
+  }
+
+  test("native apply equals the fold: trained tables at 8 merges, fixed + random corpora") {
+    val texts = Seq("low lower lowest low low", "new newer newest new wider wide")
+    val words = texts.flatMap(_.split("\\s+"))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 8).map(m => (m.lhs, m.rhs))
+    assertApplyEquiv(words.distinct, merges)
+    val rnd = new scala.util.Random(101L)
+    for (_ <- 0 until 3) {
+      val ws = Vector.fill(40)((0 until (2 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      val rdf = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val ms = Bpe.learnMerges(rdf, "text", 8).map(m => (m.lhs, m.rhs))
+      assertApplyEquiv(ws.distinct, ms)
+    }
+  }
+
+  test("native apply equals the fold at ~1k merges (merge-count-flat path, production shape)") {
+    val rnd = new scala.util.Random(424242L)
+    val ws = Vector.fill(300)((0 until (8 + rnd.nextInt(24))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 1000).map(m => (m.lhs, m.rhs))
+    assert(merges.length >= 900, s"corpus must sustain ~1k merges, got ${merges.length}")
+    // The fold CANNOT run at this depth: a 1000-deep regexp_replace
+    // Column overflows the driver stack inside Spark's recursive
+    // ColumnNode→Expression conversion (StackOverflowError, measured
+    // here before this test was split) — the concrete failure mode
+    // the native expression removes. So: fold A/B at 256 merges (its
+    // survivable depth), and the full 1k table against the driver
+    // reference fold, which carries the same per-pass semantics.
+    assertApplyEquiv(ws.distinct.take(40), merges.take(256))
+    graft.functions.GraftFunctions.register(spark)
+    val sample = ws.distinct.take(80)
+    val sdf = sample
+      .map(w => (w, w.toVector.map(_.toString).mkString("|", "||", "|")))
+      .toDF("word", "sym")
+    val got = sdf
+      .select(col("word"), Bpe.applyMerges(col("sym"), merges).as("out"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toMap
+    for (w <- sample)
+      assert(
+        got(w) == applyRef(w, merges).mkString("|", "||", "|"),
+        s"native apply diverges from the reference fold at 1k merges on '$w'"
+      )
+  }
+
+  test("native apply keeps FOLD semantics on adversarial tables (where min-rank-first apply diverges)") {
+    // rank1 (ab, c) precedes rank2 (a, b): the fold's pass 1 sees no
+    // "ab" symbol (chars only) and pass 2 creates it — "abc" must end
+    // [ab, c], NOT [abc] (a GPT-2-style lowest-rank-present loop would
+    // re-visit rank 1 after rank 2 creates "ab" and collapse it).
+    assertApplyEquiv(Seq("abc", "ababc", "cabc"), Seq(("ab", "c"), ("a", "b")))
+    // duplicate pair at two ranks: second pass re-merges occurrences
+    // the interleaved rank-2 merge creates.
+    assertApplyEquiv(Seq("abab", "ababab"), Seq(("a", "b"), ("ab", "ab"), ("a", "b")))
+    // merge whose output re-creates its own pair to the right
+    assertApplyEquiv(Seq("aaaa", "aaa", "aaaaa"), Seq(("a", "a"), ("aa", "aa"), ("aa", "a")))
+  }
+
+  test("driver and distributed trainer paths produce identical merge tables") {
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 0 until 2) {
+      val vocab = Vector.fill(10)((0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val texts = Vector.fill(25)((0 until (1 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val local = Bpe.learnMerges(df, "text", 9).map(m => (m.lhs, m.rhs, m.cnt))
+      // driverMaxChars=0 forces the distributed per-round loop
+      val dist = Bpe
+        .learnMerges(df, "text", 9, checkpointEvery = 4, driverMaxChars = 0L)
+        .map(m => (m.lhs, m.rhs, m.cnt))
+      assert(local == dist, s"trial $trial: driver path $local != distributed $dist")
+    }
+  }
+
   test("frozen merges on a drifted corpus: unseen words still segment; counts match the reference") {
     // train on one distribution, apply to another that shares some
     // words and adds unseen ones (the q123 monitoring posture).
