@@ -330,17 +330,29 @@ object Packing {
     * worker can recompute the same order from the seed alone).
     *
     * Scale shape: the global rank is the layout's two-pass prefix
-    * applied to the hash order — md5's first byte buckets the keys
-    * into 256 uniform partitions (hex-lexicographic order IS numeric
-    * order, so bucket-major + within-bucket key order equals the
-    * global key order), `row_number` runs per (epoch, bucket), and the
-    * epochs × 256 bucket counts are prefix-summed on the driver and
-    * broadcast back. Never a global `Window.orderBy` over the pack
-    * table (O(total_tokens / budget) rows on one task at corpus
-    * scale). Returns (epoch, ord, pack_id): `ord` is the pack's
+    * applied to the hash order — the key's first `hexWidth` hex chars
+    * bucket it into 16^hexWidth uniform partitions (hex-lexicographic
+    * order IS numeric order, so bucket-major + within-bucket key order
+    * equals the global key order), `row_number` runs per (epoch,
+    * bucket), and the epochs × 16^hexWidth bucket counts are
+    * prefix-summed on the driver and broadcast back. Never a global
+    * `Window.orderBy` over the pack table (O(total_tokens / budget)
+    * rows on one task at corpus scale). The OUTPUT is hexWidth-
+    * invariant (prefix-bucketing at any width preserves the same
+    * global (key, pack_id) order — spec-proved at widths 1/2/3);
+    * only the rows-per-window-task bound moves: nPacks / 16^hexWidth,
+    * so the default 2 (256 buckets) handles ~10⁸ packs at ~400k rows
+    * per task, and a 100 TB corpus (~10¹⁰ packs at budget 2048)
+    * should run width 3-4 (4k-64k buckets → ≤2.4M rows/task). The
+    * driver collect stays epochs × 16^hexWidth longs — size it like a
+    * shard count. Returns (epoch, ord, pack_id): `ord` is the pack's
     * position in epoch's visit order.
     */
-  def epochOrder(man: DataFrame, epochs: Int, seed: String): DataFrame = {
+  def epochOrder(man: DataFrame, epochs: Int, seed: String, hexWidth: Int = 2): DataFrame = {
+    require(
+      hexWidth >= 1 && hexWidth <= 7,
+      s"hexWidth must be in [1, 7] (16^w buckets must stay a bounded driver collect), got $hexWidth"
+    )
     val spark = man.sparkSession
     val last = man.agg(max(col("last_pack"))).head()
     val nPacks = if (last.isNullAt(0)) 0L else last.getLong(0) + 1L
@@ -360,17 +372,17 @@ object Packing {
           )
         )
       )
-      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("bucket", conv(substring(col("key"), 1, hexWidth), 16, 10).cast("long"))
     val w = Window
       .partitionBy(col("epoch"), col("bucket"))
       .orderBy(col("key"), col("pack_id"))
     val ranked = keyed.withColumn("r", row_number().over(w))
-    // Bounded collect: epochs × 256 bucket counts (a few KB of longs).
+    // Bounded collect: epochs × 16^hexWidth bucket counts.
     val counts = ranked
       .groupBy(col("epoch"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     import spark.implicits._
     val offsets = counts.keys.toIndexedSeq
@@ -378,7 +390,7 @@ object Packing {
       .distinct
       .flatMap { e =>
         val bs = counts.keys.filter(_._1 == e).map(_._2).toIndexedSeq.sorted
-        bs.scanLeft((0, 0L, 0L)) { case ((_, acc, _), b) => (b, acc + counts((e, b)), acc) }
+        bs.scanLeft((0L, 0L, 0L)) { case ((_, acc, _), b) => (b, acc + counts((e, b)), acc) }
           .drop(1)
           .map { case (b, _, off) => (e, b, off) }
       }

@@ -708,6 +708,26 @@ class PackingSpec extends AnyFunSuite {
     assert(again.sorted == got.sorted)
   }
 
+  test("epochOrder: the schedule is hexWidth-invariant (widths 1 and 3 equal the default)") {
+    val man = Packing.manifest(
+      Packing.layout(corpus(0 until 80), "doc_id", "text", nShards = 4),
+      "doc_id",
+      budget = 16L
+    )
+    def run(w: Int) = Packing
+      .epochOrder(man, epochs = 2, seed = "wid", hexWidth = w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+      .sorted
+    val w2 = run(2)
+    assert(run(1) == w2, "width 1 (16 buckets) must produce the identical schedule")
+    assert(run(3) == w2, "width 3 (4096 buckets) must produce the identical schedule")
+    // the knob interlocks: widths outside [1, 7] fail loudly
+    val e = intercept[IllegalArgumentException](Packing.epochOrder(man, 1, "s", hexWidth = 0))
+    assert(e.getMessage.contains("hexWidth"))
+  }
+
   test("epochOrder: empty manifest yields an empty schedule") {
     val man = Packing.manifest(
       Packing.layout(corpus(0 until 0), "doc_id", "text", nShards = 2),
