@@ -28,6 +28,18 @@ object Bench {
     // honestly re-reads the durable copy, which is the 100 TB shape).
     def evictMemo(): Unit = {
       graft.queries.TextQueries.clearFeatureMemo()
+      // Drop every cached/localCheckpoint'd RDD the previous rep left
+      // behind. Operators pin intermediate state with localCheckpoint
+      // (Vocab.withIds, Bpe.learnMerges, packIngest, decontaminate, the
+      // memo itself) and rely on GC-driven ContextCleaner reclamation —
+      // correct for a job that exits, but across a 131-query suite the
+      // pins accumulate until GC happens to run, so mid-suite queries
+      // can execute under storage-memory pressure on a tight-memory box
+      // (the BENCH_r09 q65-q70 cluster signature: 2.7-5.3x on files
+      // untouched that round, not reproducible in isolation). Explicit
+      // eviction makes rep isolation deterministic instead of
+      // GC-timing-dependent.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       featuresDir.foreach(fdir => graft.queries.TextQueries.pointFeaturesAt(spark, sfDir, fdir))
     }
     // Warmup at the smallest SF: the first execution of each plan shape

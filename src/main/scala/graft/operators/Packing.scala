@@ -322,6 +322,55 @@ object Packing {
         (col("start_tok") >= col("pstart")).cast("int").as("doc_start")
       )
 
+  /** Pack contamination audit (q131's library form): map contaminated
+    * DOCUMENT ids onto the EMITTED pack space — per pack, how many
+    * contaminated docs overlap it and how many of its positions they
+    * occupy. Pure manifest arithmetic: the contaminated-ids join
+    * (broadcast — the decontamination report is eval-set-sized) prunes
+    * BEFORE the only explode (the doc's `sequence(first_pack,
+    * last_pack)`), so the row volume is O(contam docs ×
+    * packs-per-doc) at any corpus size; no text is read. Output:
+    * (pack_id, n_contam_docs, n_contam_tokens) — only CONTAMINATED
+    * packs appear (absence = clean).
+    */
+  def contamAudit(man: DataFrame, contamIds: DataFrame, idCol: String, budget: Long): DataFrame =
+    man
+      .join(broadcast(contamIds.select(col(idCol))), Seq(idCol))
+      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
+      .withColumn(
+        "tok_in_pack",
+        least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
+          greatest(col("start_tok"), col("pack_id") * budget)
+      )
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_contam_docs"),
+        sum(col("tok_in_pack")).as("n_contam_tokens")
+      )
+
+  /** The retirement DECISION the audit feeds — the step that APPLIES
+    * decontamination to an already-emitted pack space: a pack whose
+    * contaminated-position fraction exceeds `maxContamFrac` is
+    * `retired` (default 0.0: one contaminated token retires the
+    * pack — the conservative benchmark-hygiene posture; raise it to
+    * tolerate incidental overlap). The output is the pack MASK
+    * side-file `materializePacks`/`pack_export` honor: pack ids are
+    * immutable by the ingest contract, so contamination handling must
+    * be an exclusion layer, never a re-pack (re-packing would renumber
+    * history under a live trainer). O(contaminated packs) rows.
+    */
+  def retirePacks(audit: DataFrame, budget: Long, maxContamFrac: Double = 0.0): DataFrame = {
+    require(maxContamFrac >= 0.0 && maxContamFrac < 1.0, s"maxContamFrac in [0,1), got $maxContamFrac")
+    audit
+      .select(
+        col("pack_id"),
+        col("n_contam_docs"),
+        col("n_contam_tokens"),
+        (col("n_contam_tokens").cast("double") / budget).as("contam_frac")
+      )
+      .withColumn("retired", col("contam_frac") > maxContamFrac)
+  }
+
   /** Deterministic EPOCH SHUFFLE over the pack space: for each epoch,
     * a pseudo-random permutation of pack ids keyed by
     * `md5(seed:epoch:pack_id)` — the training-order schedule a
@@ -436,6 +485,36 @@ object Packing {
     * Returns the batch's manifest (caller sinks it; the ingest CLI
     * writes `out/pack_batch=<id>`).
     */
+  /** Pin the packing budget to a state/manifest dir as a `_budget`
+    * sidecar: first writer records it, every later writer (and any
+    * consumer passing an explicit budget) must agree — a mismatched
+    * budget silently produces garbage offsets/boundaries otherwise
+    * (negative seg_len, misaligned pack windows), so it fails loudly
+    * instead. Idempotent re-record of the same value is a no-op.
+    */
+  def recordBudget(spark: SparkSession, dir: String, budget: Long): Unit = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storedBudget(spark, dir) match {
+      case Some(b) =>
+        require(
+          b == budget,
+          s"budget $budget disagrees with the budget this state was built with ($b, recorded in $dir/_budget): " +
+            "offsets are cumulative in budget units — pass the recorded budget or rebuild the state"
+        )
+      case None =>
+        fs.mkdirs(root)
+        Maintenance.writeTextFile(fs, new HPath(root, "_budget"), budget.toString)
+    }
+  }
+
+  /** The budget a state/manifest dir was built with, if recorded. */
+  def storedBudget(spark: SparkSession, dir: String): Option[Long] = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.readTextFile(fs, new HPath(root, "_budget")).map(_.trim.toLong)
+  }
+
   def packIngest(
       spark: SparkSession,
       batch: DataFrame,
@@ -449,6 +528,7 @@ object Packing {
       weightCol: Option[String] = None
   ): DataFrame = {
     require(appliedId >= 0L, "appliedId must be non-negative")
+    recordBudget(spark, stateDir, budget)
     val basesRoot = new HPath(stateDir, "bases")
     val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
@@ -546,6 +626,7 @@ object Packing {
       batch.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
       s"packIngestBy groups by the string form of '$groupCol'; cast it to string explicitly"
     )
+    recordBudget(spark, stateDir, budget)
     val basesRoot = new HPath(stateDir, "bases_by")
     val fs = basesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ownDir = new HPath(basesRoot, s"applied_id=$appliedId")
@@ -739,6 +820,14 @@ object Packing {
     * O(requested packs × budget) whatever the corpus or crawl age.
     * `docs` is the document relation the manifests were built over
     * (id + text columns).
+    *
+    * `mask`: an optional [[retirePacks]] table — positions of packs
+    * whose `retired` flag is set never materialize (broadcast
+    * anti-join on pack_id over the already-window-bounded slice rows;
+    * the mask is O(contaminated packs), always broadcastable). The
+    * exclusion happens here, at the loader, so every consumer
+    * (pack_slices, pack_export, a training read) honors one decision
+    * file instead of each re-deriving it.
     */
   def materializePacks(
       spark: SparkSession,
@@ -749,7 +838,8 @@ object Packing {
       textCol: String,
       packFrom: Long,
       packToExcl: Long,
-      budget: Long = 2048L
+      budget: Long = 2048L,
+      mask: Option[DataFrame] = None
   ): DataFrame = {
     require(packFrom >= 0 && packToExcl > packFrom, "need a non-empty pack window")
     val lo = packFrom * budget
@@ -772,7 +862,8 @@ object Packing {
         .parquet(batches.map(id => s"$manifestDir/pack_batch=$id"): _*)
         .filter(col("start_tok") < hi && col("start_tok") + col("n_toks") > lo)
         .select(col(idCol), col("start_tok"))
-      m.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      val slices = m
+        .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
         .select(
           col(idCol),
           col("start_tok"),
@@ -786,6 +877,15 @@ object Packing {
           col(idCol),
           col("token")
         )
+      mask match {
+        case Some(mk) =>
+          slices.join(
+            broadcast(mk.filter(col("retired")).select(col("pack_id"))),
+            Seq("pack_id"),
+            "left_anti"
+          )
+        case None => slices
+      }
     }
   }
 }

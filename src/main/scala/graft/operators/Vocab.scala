@@ -88,11 +88,32 @@ object Vocab {
     * memory-maps. Slices are already O(requested packs × budget) rows
     * (the loaders prune before exploding), so the join cost follows
     * the request, not the corpus.
+    *
+    * OOV contract: a token absent from the frozen vocab (a vocab built
+    * on an older corpus snapshot) either maps to the explicit reserved
+    * `unkId` (left join + coalesce — positions stay gapless) or, with
+    * `unkId = None`, DROPS its position (inner join — the hole stays
+    * visible in [[packArrays]]' positions array). The `pack_export`
+    * verb refuses the silent-drop path when OOV exists: it counts the
+    * anti-join misses first and fails loudly unless `--unk_id` is
+    * given.
     */
-  def encodeSlices(slices: DataFrame, vocab: DataFrame): DataFrame =
-    slices
-      .join(vocab.select(col("token"), col("token_id")), Seq("token"))
-      .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
+  def encodeSlices(slices: DataFrame, vocab: DataFrame, unkId: Option[Long] = None): DataFrame =
+    unkId match {
+      case None =>
+        slices
+          .join(vocab.select(col("token"), col("token_id")), Seq("token"))
+          .select(col("pack_id"), col("pos_in_pack"), col("doc_id"), col("token_id"))
+      case Some(u) =>
+        slices
+          .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+          .select(
+            col("pack_id"),
+            col("pos_in_pack"),
+            col("doc_id"),
+            coalesce(col("token_id"), lit(u)).as("token_id")
+          )
+    }
 
   /** Encoded slices rolled into ONE row per pack — the memory-map
     * shape a binary-shard export writes: `positions`/`token_ids` as
@@ -102,8 +123,8 @@ object Vocab {
     * already-pruned O(packs × budget) slice rows; `sort_array` on the
     * (pos, id) struct gives both arrays one deterministic order.
     */
-  def packArrays(slices: DataFrame, vocab: DataFrame): DataFrame =
-    encodeSlices(slices, vocab)
+  def packArrays(slices: DataFrame, vocab: DataFrame, unkId: Option[Long] = None): DataFrame =
+    encodeSlices(slices, vocab, unkId)
       .groupBy(col("pack_id"))
       .agg(sort_array(collect_list(struct(col("pos_in_pack"), col("token_id")))).as("ps"))
       .select(

@@ -458,6 +458,35 @@ object PipelineRunner {
       (batch.join(counts, Seq("doc_id")), Some("n_bpe_tokens"))
   }
 
+  /** Budget resolution for pack consumer verbs: the `_budget` sidecar
+    * recorded at ingest is authoritative — an explicit `--budget` must
+    * agree with it (a mismatch silently yields garbage offsets
+    * otherwise), and when omitted the stored value is the default.
+    * Dirs without a sidecar (pre-sidecar states, hand-built
+    * manifests) fall back to the explicit flag or 2048.
+    */
+  private def resolveBudget(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      opts: Map[String, String]
+  ): Long = {
+    val explicit = opts.get("budget").map(_.toLong)
+    val stored = graft.operators.Packing.storedBudget(spark, dir)
+    (explicit, stored) match {
+      case (Some(e), Some(s)) =>
+        require(
+          e == s,
+          s"--budget $e disagrees with the budget this state was built with ($s, recorded in $dir/_budget)"
+        )
+        e
+      case (Some(e), None) => e
+      case (None, Some(s)) =>
+        println(s"[maintenance] using recorded budget $s from $dir/_budget")
+        s
+      case (None, None) => 2048L
+    }
+  }
+
   /** The CLI body against a caller-owned session (main wraps it with
     * session lifecycle; tests drive verbs without losing the shared
     * session to the final stop()).
@@ -630,6 +659,9 @@ object PipelineRunner {
           .write
           .mode("overwrite")
           .parquet(s"$out/pack_batch=$applied")
+        // manifest root carries the same budget sidecar as the state,
+        // so manifest-only consumers (pack_boundaries) can validate too
+        graft.operators.Packing.recordBudget(spark, out, budget)
         println(s"[maintenance] pack ingest: $batchPath appended to $state -> $out/pack_batch=$applied")
       case Some("pack_ingest_by") =>
         // Incremental STRATIFIED packing: same contract per domain
@@ -659,6 +691,7 @@ object PipelineRunner {
           .write
           .mode("overwrite")
           .parquet(s"$out/pack_batch=$applied")
+        graft.operators.Packing.recordBudget(spark, out, budget)
         println(
           s"[maintenance] stratified pack ingest: $batchPath appended per-$group to $state -> $out/pack_batch=$applied"
         )
@@ -848,13 +881,16 @@ object PipelineRunner {
         // pack window BEFORE any file is opened, so a training job can
         // read packs [from, to) at O(packs x budget) exploded tokens
         // whatever the crawl age. Docs parquet shape: (doc_id, text).
+        // --budget defaults to (and must agree with) the state's
+        // recorded sidecar; --mask excludes retired packs
+        // (retire_packs' decision file).
         val state = opts.getOrElse("state", sys.error("--state <dir> required"))
         val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
         val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
         val from = opts.getOrElse("from", sys.error("--from <pack id> required")).toLong
         val to = opts.getOrElse("to", sys.error("--to <pack id excl> required")).toLong
-        val budget = opts.getOrElse("budget", "2048").toLong
+        val budget = resolveBudget(spark, state, opts)
         val slices = graft.operators.Packing
           .materializePacks(
             spark,
@@ -865,7 +901,8 @@ object PipelineRunner {
             "text",
             from,
             to,
-            budget
+            budget,
+            mask = opts.get("mask").map(spark.read.parquet)
           )
         val n = Pipeline.writeCounted(slices, out)
         println(s"[maintenance] pack slices [$from, $to): $n token rows from $manifests into $out")
@@ -894,6 +931,42 @@ object PipelineRunner {
           println(s"[maintenance] decontaminate: kept $k train docs into $p")
         }
         println(s"[maintenance] decontaminate: $n overlapping train docs reported at $out")
+      case Some("retire_packs") =>
+        // APPLY decontamination to an already-emitted pack space:
+        // map the contaminated doc ids (--contam: a decontaminate
+        // report — rows with a `contaminated` column are filtered —
+        // or any bare doc_id parquet) onto the pack manifests
+        // (Packing.contamAudit: pure manifest arithmetic, no text
+        // read), decide retirement per pack (Packing.retirePacks;
+        // --threshold = max tolerated contaminated-position fraction,
+        // default 0 — any contamination retires), and write the mask
+        // side-file pack_slices/pack_export honor via --mask. Packs
+        // are never re-packed: emitted ids are immutable under a live
+        // trainer, so contamination handling is an exclusion layer.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val contamPath = opts.getOrElse("contam", sys.error("--contam <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <mask parquet dir> required"))
+        val budget = resolveBudget(spark, manifests, opts)
+        val threshold = opts.getOrElse("threshold", "0.0").toDouble
+        val contamDf = spark.read.parquet(contamPath)
+        val ids =
+          if (contamDf.columns.contains("contaminated"))
+            contamDf
+              .filter(org.apache.spark.sql.functions.col("contaminated"))
+              .select(org.apache.spark.sql.functions.col("doc_id"))
+          else contamDf.select(org.apache.spark.sql.functions.col("doc_id"))
+        val audit = graft.operators.Packing
+          .contamAudit(spark.read.parquet(manifests), ids, "doc_id", budget)
+        val mask = graft.operators.Packing.retirePacks(audit, budget, threshold)
+        val n = Pipeline.writeCounted(mask, out)
+        val retired = spark.read
+          .parquet(out)
+          .filter(org.apache.spark.sql.functions.col("retired"))
+          .count()
+        println(
+          s"[maintenance] retire packs: $n contaminated pack(s) audited, $retired retired " +
+            s"(threshold $threshold) -> mask at $out"
+        )
       case Some("build_vocab") =>
         // Freeze the dense-id dictionary (Vocab.build) from a corpus
         // parquet (needs a `text` column): the id space every integer
@@ -924,8 +997,10 @@ object PipelineRunner {
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
         val from = opts.getOrElse("from", sys.error("--from <pack id> required")).toLong
         val to = opts.getOrElse("to", sys.error("--to <pack id excl> required")).toLong
-        val budget = opts.getOrElse("budget", "2048").toLong
+        val budget = resolveBudget(spark, state, opts)
         val shards = opts.getOrElse("shards", "8").toInt
+        val maskDf = opts.get("mask").map(spark.read.parquet)
+        val unkId = opts.get("unk_id").map(_.toLong)
         val slices = graft.operators.Packing
           .materializePacks(
             spark,
@@ -936,12 +1011,47 @@ object PipelineRunner {
             "text",
             from,
             to,
-            budget
+            budget,
+            mask = maskDf
           )
+          .localCheckpoint() // one computation serves the OOV probe AND the export
+        val vocabDf = spark.read.parquet(vocabPath)
+        // OOV interlock: a token the frozen vocab doesn't know would
+        // otherwise VANISH from the export (inner-join drop), leaving
+        // only a silent hole in the positions array — with a vocab
+        // frozen on an older corpus snapshot that is invisible data
+        // loss. Count the misses; refuse unless the caller names the
+        // reserved unk id the gaps should map to.
+        val nOov = slices
+          .join(
+            vocabDf.select(org.apache.spark.sql.functions.col("token")),
+            Seq("token"),
+            "left_anti"
+          )
+          .count()
+        require(
+          nOov == 0L || unkId.isDefined,
+          s"pack export: $nOov token position(s) in [$from, $to) are OOV under $vocabPath - " +
+            "pass --unk_id <reserved id> to map them explicitly, or rebuild the vocab on the current corpus"
+        )
+        if (nOov > 0L)
+          println(s"[maintenance] pack export: $nOov OOV position(s) mapped to unk id ${unkId.get}")
         val arrays = graft.operators.Vocab
-          .packArrays(slices, spark.read.parquet(vocabPath))
+          .packArrays(slices, vocabDf, unkId)
         val manifest = graft.operators.Scale.exportShards(arrays, "pack_id", shards, out)
         val landed = manifest.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+        // holes accounted: a masked export states exactly which pack
+        // ids of the window were withheld, so the trainer side can
+        // reconcile landed == (to - from) - retired instead of
+        // guessing at a silent shortfall.
+        maskDf.foreach { mk =>
+          val retired = mk
+            .filter(org.apache.spark.sql.functions.col("retired"))
+            .filter(org.apache.spark.sql.functions.col("pack_id") >= from &&
+              org.apache.spark.sql.functions.col("pack_id") < to)
+            .count()
+          println(s"[maintenance] pack export: $retired retired pack(s) withheld from [$from, $to)")
+        }
         println(s"[maintenance] pack export [$from, $to): $landed packs in $shards shards at $out")
       case Some("pack_epochs") =>
         // Multi-epoch visit-order schedule over an emitted pack space
@@ -963,7 +1073,9 @@ object PipelineRunner {
         // arithmetic only, no document text read.
         val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
-        val budget = opts.getOrElse("budget", "2048").toLong
+        // _budget sidecar: underscore-prefixed, so the parquet read
+        // below ignores it as metadata while resolveBudget honors it.
+        val budget = resolveBudget(spark, manifests, opts)
         val b = graft.operators.Packing
           .boundaries(spark.read.parquet(manifests), "doc_id", budget)
         val n = Pipeline.writeCounted(b, out)

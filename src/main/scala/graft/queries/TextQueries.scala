@@ -2068,16 +2068,6 @@ object TextQueries {
       2048L
     )
 
-  /** Tokenizer FERTILITY DRIFT monitor: the q115 merges frozen on the
-    * even docs, applied to the odd docs, aggregated per source — the
-    * production observable that tells a crawl operator which domain's
-    * text has drifted away from the tokenizer's training distribution
-    * (fertility = model tokens per whitespace word rises as merges
-    * stop firing). Frozen-model posture as q107/q117: the merge fold
-    * runs over the APPLY batch's distinct words (unseen words still
-    * segment — mostly to characters), never retrains. `fert_milli` is
-    * integer-exact (1000·Σbpe div Σws) so the oracle hash is stable.
-    */
   /** Quality-CURRICULUM packing: documents binned by deterministic
     * quality rules (q78's integer-exact alpha/stopword gates), each
     * bin laid out as its own domain-pure pack space
@@ -2292,25 +2282,38 @@ object TextQueries {
     * O(contam docs × packs-per-doc) rows at any corpus size).
     */
   def q131PackContamAudit(spark: SparkSession, dir: String): DataFrame = {
-    val budget = lit(2048L)
     val contam = q129DecontamPurge(spark, dir)
       .filter(col("contaminated"))
       .select(col("doc_id"))
-    q110SequencePacking(spark, dir)
-      .join(broadcast(contam), Seq("doc_id"))
-      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
-      .withColumn(
-        "tok_in_pack",
-        least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
-          greatest(col("start_tok"), col("pack_id") * budget)
-      )
-      .groupBy(col("pack_id"))
-      .agg(
-        count(lit(1)).as("n_contam_docs"),
-        sum(col("tok_in_pack")).as("n_contam_tokens")
-      )
+    graft.operators.Packing
+      .contamAudit(q110SequencePacking(spark, dir), contam, "doc_id", budget = 2048L)
   }
 
+  /** The retirement DECISION over q131's audit
+    * ([[graft.operators.Packing.retirePacks]]) — the step that applies
+    * decontamination to an emitted pack space without re-packing:
+    * per contaminated pack, its contaminated-position fraction and
+    * the `retired` verdict at the conservative 0 threshold (any
+    * contaminated token retires). This table is the mask side-file
+    * `materializePacks`/`pack_export` honor (spec: a retired pack
+    * never materializes; the export prints the withheld count).
+    * Same manifest-arithmetic scale shape as q131 — the decision
+    * itself is a projection over O(contaminated packs) rows.
+    */
+  def q132RetirePacks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing
+      .retirePacks(q131PackContamAudit(spark, dir), budget = 2048L)
+
+  /** Tokenizer FERTILITY DRIFT monitor: the q115 merges frozen on the
+    * even docs, applied to the odd docs, aggregated per source — the
+    * production observable that tells a crawl operator which domain's
+    * text has drifted away from the tokenizer's training distribution
+    * (fertility = model tokens per whitespace word rises as merges
+    * stop firing). Frozen-model posture as q107/q117: the merge fold
+    * runs over the APPLY batch's distinct words (unseen words still
+    * segment — mostly to characters), never retrains. `fert_milli` is
+    * integer-exact (1000·Σbpe div Σws) so the oracle hash is stable.
+    */
   def q123FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val merges = graft.operators.Bpe

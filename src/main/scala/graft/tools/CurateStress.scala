@@ -264,6 +264,11 @@ object CurateStress {
     * a scale the oracle never sees.
     */
   private def decontamStress(nTrain: Long, nEval: Long): Unit = {
+    // Planted phrases are keyed by id % 997 but only eval docs
+    // 0..nEval-1 exist: with nEval < 997 some planted train docs have
+    // no eval counterpart and the flagged==planted tripwire would fail
+    // SPURIOUSLY — an unsatisfiable configuration, refused loudly.
+    require(nEval >= 997, s"decontam stress needs nEval >= 997 (phrase key space), got $nEval")
     val spark = StressUtil.session()
     def evTok(j: Int, v: org.apache.spark.sql.Column) =
       concat(lit(s"ev${j}_"), v.cast("string"))

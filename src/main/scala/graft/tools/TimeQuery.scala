@@ -25,6 +25,9 @@ object TimeQuery {
       catch { case e: Throwable => System.err.println(s"[warmup] $name: ${e.getMessage}") }
       val times = (1 to reps).map { _ =>
         graft.queries.TextQueries.clearFeatureMemo()
+        // same rep-isolation discipline as Bench: drop pins the
+        // previous rep's operators localCheckpoint'd
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -854,4 +854,158 @@ class PackingSpec extends AnyFunSuite {
     assert(manifest.count() == 2L)
     assert(manifest.agg(sum(col("n_rows"))).head.getLong(0) == 2L)
   }
+
+  test("retirePacks + mask: a retired pack never materializes; the export accounts the holes") {
+    val root = Files.createTempDirectory("graft-retire").toString
+    val allDocs = corpus(0 until 40)
+    allDocs.write.parquet(s"$root/docs")
+    Seq(0 until 20, 20 until 40).zipWithIndex.foreach { case (ids, i) =>
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_ingest",
+          "--batch", { corpus(ids).write.parquet(s"$root/b$i"); s"$root/b$i" },
+          "--state", s"$root/st",
+          "--out", s"$root/manifests",
+          "--applied_id", i.toString,
+          "--budget", "16"
+        ),
+        spark
+      )
+    }
+    val man = spark.read.parquet(s"$root/manifests")
+    // contaminate the docs overlapping pack 1 — retirement must hit
+    // exactly the packs those docs' token ranges touch
+    val contamIds = man
+      .filter(col("first_pack") <= 1L && col("last_pack") >= 1L)
+      .select(col("doc_id"))
+    val contamSet = contamIds.collect().map(_.getLong(0)).toSet
+    assert(contamSet.nonEmpty)
+    val audit = Packing.contamAudit(man, contamIds, "doc_id", budget = 16L)
+    val mask = Packing.retirePacks(audit, budget = 16L)
+    val retiredPacks = mask.filter(col("retired")).select(col("pack_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(retiredPacks.contains(1L), s"pack 1 must retire, got $retiredPacks")
+    // unmasked load of [0, 4) sees every pack; masked load never
+    // materializes a retired pack and leaves clean packs bit-identical
+    def load(mk: Option[org.apache.spark.sql.DataFrame]) = Packing
+      .materializePacks(spark, s"$root/st", s"$root/manifests", allDocs,
+        "doc_id", "text", 0L, 4L, 16L, mask = mk)
+    val plain = load(None).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val masked = load(Some(mask)).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(plain.map(_._1).toSet.intersect(retiredPacks) == retiredPacks.filter(_ < 4L))
+    assert(masked.map(_._1).toSet.intersect(retiredPacks).isEmpty, "a retired pack must never materialize")
+    assert(
+      masked.toSet == plain.filterNot(r => retiredPacks.contains(r._1)).toSet,
+      "masking must not disturb clean packs"
+    )
+    // CLI: retire_packs writes the same mask; a masked export lands
+    // exactly window-minus-retired packs (holes accounted)
+    contamIds.write.parquet(s"$root/contam")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "retire_packs",
+        "--manifests", s"$root/manifests",
+        "--contam", s"$root/contam",
+        "--out", s"$root/mask"
+      ),
+      spark
+    )
+    val cliMask = spark.read.parquet(s"$root/mask")
+    assert(
+      cliMask.filter(col("retired")).select(col("pack_id")).collect().map(_.getLong(0)).toSet
+        == retiredPacks,
+      "CLI mask must equal the library decision (budget from the sidecar)"
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "build_vocab", "--docs", s"$root/docs", "--out", s"$root/vocab"),
+      spark
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_export",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--vocab", s"$root/vocab",
+        "--out", s"$root/export",
+        "--from", "0", "--to", "4",
+        "--shards", "2",
+        "--mask", s"$root/mask"
+      ),
+      spark
+    )
+    val exported = spark.read.parquet(s"$root/export")
+    val exportedIds = exported.select(col("pack_id")).collect().map(_.getLong(0)).toSet
+    assert(exportedIds.intersect(retiredPacks).isEmpty, "a retired pack must never export")
+    assert(exportedIds == plain.map(_._1).toSet.diff(retiredPacks),
+      "export must land exactly window-minus-retired packs")
+  }
+
+  test("budget sidecar: a mismatched budget fails loudly everywhere; omitted budget resolves to the recorded one") {
+    val root = Files.createTempDirectory("graft-budget").toString
+    corpus(0 until 20).write.parquet(s"$root/b0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_ingest",
+        "--batch", s"$root/b0",
+        "--state", s"$root/st",
+        "--out", s"$root/manifests",
+        "--applied_id", "0",
+        "--budget", "16"
+      ),
+      spark
+    )
+    // library: a second ingest at a different budget corrupts the
+    // cumulative offsets — interlocked
+    val e1 = intercept[IllegalArgumentException](
+      Packing.packIngest(spark, corpus(20 until 30), "doc_id", "text", s"$root/st", 1L, budget = 32L)
+    )
+    assert(e1.getMessage.contains("budget"))
+    // consumer verb: explicit mismatch fails loudly
+    corpus(0 until 20).write.parquet(s"$root/docs")
+    val e2 = intercept[IllegalArgumentException](
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "pack_slices",
+          "--state", s"$root/st",
+          "--manifests", s"$root/manifests",
+          "--docs", s"$root/docs",
+          "--out", s"$root/slices_bad",
+          "--from", "0", "--to", "1",
+          "--budget", "32"
+        ),
+        spark
+      )
+    )
+    assert(e2.getMessage.contains("budget"))
+    // omitted budget resolves to the recorded 16 — identical output
+    // to passing it explicitly
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_slices",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--out", s"$root/slices_def",
+        "--from", "0", "--to", "1"
+      ),
+      spark
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_slices",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--out", s"$root/slices_exp",
+        "--from", "0", "--to", "1",
+        "--budget", "16"
+      ),
+      spark
+    )
+    val a = spark.read.parquet(s"$root/slices_def").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$root/slices_exp").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

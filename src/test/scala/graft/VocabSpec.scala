@@ -83,6 +83,71 @@ class VocabSpec extends AnyFunSuite {
     assert(encoded.count() == original.size.toLong, "one id row per slice position")
   }
 
+  test("OOV contract: unkId keeps positions gapless; None drops them; pack_export interlocks") {
+    val slices = Seq(
+      (0L, 0L, 1L, "known"),
+      (0L, 1L, 1L, "missing"),
+      (0L, 2L, 2L, "known")
+    ).toDF("pack_id", "pos_in_pack", "doc_id", "token")
+    val vocab = Seq(("known", 7L)).toDF("token", "token_id")
+    // silent-drop path: the OOV position vanishes, the hole stays
+    // visible in packArrays' positions array
+    val dropped = Vocab.packArrays(slices, vocab).collect()
+    assert(dropped.length == 1)
+    assert(dropped(0).getAs[scala.collection.Seq[Long]]("positions").toSeq == Seq(0L, 2L))
+    // unk path: positions gapless, the gap carries the reserved id
+    val unk = Vocab.packArrays(slices, vocab, unkId = Some(99L)).collect()
+    assert(unk(0).getAs[scala.collection.Seq[Long]]("positions").toSeq == Seq(0L, 1L, 2L))
+    assert(unk(0).getAs[scala.collection.Seq[Long]]("token_ids").toSeq == Seq(7L, 99L, 7L))
+    // pack_export refuses the silent drop: vocab frozen on a PARTIAL
+    // corpus, export of the full stream must fail loudly without
+    // --unk_id and land unk ids with it
+    val root = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    val docs = (0 until 10)
+      .map(i => (i.toLong, s"a$i b${i % 3}"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$root/docs")
+    docs.filter(col("doc_id") < 5).write.parquet(s"$root/half")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "pack_ingest", "--batch", s"$root/docs",
+        "--state", s"$root/st", "--out", s"$root/man", "--applied_id", "0", "--budget", "8"),
+      spark
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "build_vocab", "--docs", s"$root/half", "--out", s"$root/vocab"),
+      spark
+    )
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.PipelineRunner.run(
+        Array("--maintenance", "pack_export", "--state", s"$root/st",
+          "--manifests", s"$root/man", "--docs", s"$root/docs", "--vocab", s"$root/vocab",
+          "--out", s"$root/exp_bad", "--from", "0", "--to", "2", "--shards", "1"),
+        spark
+      )
+    )
+    assert(e.getMessage.contains("OOV"))
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "pack_export", "--state", s"$root/st",
+        "--manifests", s"$root/man", "--docs", s"$root/docs", "--vocab", s"$root/vocab",
+        "--out", s"$root/exp", "--from", "0", "--to", "2", "--shards", "1",
+        "--unk_id", "-1"),
+      spark
+    )
+    val exp = spark.read.parquet(s"$root/exp")
+    val vSize = spark.read.parquet(s"$root/vocab").count()
+    exp.collect().foreach { r =>
+      val pos = r.getAs[scala.collection.Seq[Long]]("positions")
+      assert(pos.toSeq == (0L until pos.length.toLong), "unk export must stay gapless")
+      assert(
+        r.getAs[scala.collection.Seq[Long]]("token_ids").forall(id => id == -1L || (id >= 0 && id < vSize))
+      )
+    }
+    assert(
+      exp.selectExpr("sum(size(filter(token_ids, x -> x = -1)))").head.getLong(0) > 0L,
+      "the OOV positions must land as unk ids"
+    )
+  }
+
   test("withIds is a dense permutation when range-bound SAMPLING is active") {
     // Above ~100 rows per range partition Spark samples the bounds per
     // EXECUTION instead of reading them exhaustively; the counts pass
