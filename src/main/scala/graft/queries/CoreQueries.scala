@@ -43,9 +43,15 @@ object CoreQueries {
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // REINTERPRETATION, not a cast: the long's unit (epoch nanos)
+        // is domain knowledge — deliberately outside Drift's lossless
+        // table (see Drift.lossless), which would read a bare long
+        // cast as seconds.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+        // plain cast: the shared lossless lattice owns this rule
+        graft.sources.Drift
+          .conformColumn(df, "ts", org.apache.spark.sql.types.TimestampType)
       case org.apache.spark.sql.types.TimestampType => df
       case other =>
         throw new IllegalArgumentException(

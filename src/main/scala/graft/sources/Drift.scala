@@ -85,6 +85,30 @@ object Drift {
     df.select(cols: _*)
   }
 
+  /** Conform ONE column to a target type under the [[lossless]] cast
+    * table — the single-column form of [[conform]], shared by bespoke
+    * readers (the events reader's NTZ→session-TZ case) so the cast
+    * lattice lives in exactly one place. Reinterpretations (epoch-long
+    * units) stay with their owning reader, per the [[lossless]] note.
+    */
+  def conformColumn(
+      df: DataFrame,
+      name: String,
+      to: DataType,
+      allowLossy: Boolean = false
+  ): DataFrame = {
+    val from = df.schema(name).dataType
+    if (from == to) df
+    else {
+      require(
+        allowLossy || lossless(from, to),
+        s"lossy conform for column '$name': ${from.catalogString} → ${to.catalogString} " +
+          "(pass allowLossy=true to permit)"
+      )
+      df.withColumn(name, col(name).cast(to))
+    }
+  }
+
   /** Reads a root directory whose immediate subdirectories are parquet
     * batches with (possibly) drifting schemas, conformed to `target`.
     * One scan per distinct footer schema; a root containing parquet

@@ -49,6 +49,26 @@ class DriftSpec extends AnyFunSuite {
     assert(out.select(unix_micros(col("ts"))).collect().head.getLong(0) == us)
   }
 
+  test("conformColumn: the single-column form shares the lossless lattice (events reader's NTZ case)") {
+    val us = 1541121934796000L
+    val ntz = Seq(1).toDF("i").select(timestamp_micros(lit(us)).cast(TimestampNTZType).as("ts"))
+    val out = Drift.conformColumn(ntz, "ts", TimestampType)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(unix_micros(col("ts"))).collect().head.getLong(0) == us)
+    // same-type is a no-op; lossy throws with the column named
+    assert(Drift.conformColumn(out, "ts", TimestampType).schema == out.schema)
+    val e = intercept[IllegalArgumentException](
+      Drift.conformColumn(Seq(Long.MaxValue).toDF("id"), "id", IntegerType)
+    )
+    assert(e.getMessage.contains("'id'"))
+    assert(
+      Drift
+        .conformColumn(Seq(Long.MaxValue).toDF("id"), "id", IntegerType, allowLossy = true)
+        .schema("id")
+        .dataType == IntegerType
+    )
+  }
+
   test("conform: lossy mapping throws unless allowLossy") {
     val wide = Seq((Long.MaxValue, "x", 1.0)).toDF("id", "name", "score")
     val narrow = StructType(
