@@ -172,9 +172,32 @@ object MicroBench {
     val docsBpe = bpeWords.grouped(10).map(_.mkString(" ")).toSeq.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val mergesAll = graft.operators.Bpe
-      .learnMerges(docsBpe, "text", 1000)
-      .map(m => (m.lhs, m.rhs))
+    // Trainer-path A/B: the auto-selected driver path vs the forced
+    // distributed loop, identical merge tables (spec-proved; spot
+    // re-asserted here). The distributed loop pays one Spark job per
+    // round — its cost is scheduler overhead times merges — so it is
+    // A/B'd at 200 rounds and read per-round; the driver path is also
+    // timed at the full 1k.
+    var mergesAll: Seq[(String, String)] = Seq.empty
+    val tDrv1k = time("bpe train: driver @1000") {
+      mergesAll = graft.operators.Bpe.learnMerges(docsBpe, "text", 1000).map(m => (m.lhs, m.rhs))
+    }
+    var drv200: Seq[(String, String)] = Seq.empty
+    val tDrv200 = time("bpe train: driver @200") {
+      drv200 = graft.operators.Bpe.learnMerges(docsBpe, "text", 200).map(m => (m.lhs, m.rhs))
+    }
+    var dist200: Seq[(String, String)] = Seq.empty
+    val tDist200 = time("bpe train: distributed @200") {
+      dist200 = graft.operators.Bpe
+        .learnMerges(docsBpe, "text", 200, driverMaxChars = 0L)
+        .map(m => (m.lhs, m.rhs))
+    }
+    require(drv200 == dist200, "trainer paths must produce identical merge tables")
+    println(
+      f"[micro] bpe train speedup @200: ${tDist200 / tDrv200}%.1fx " +
+        f"(distributed ${tDist200 / 200 * 1000}%.0f ms/round - a 50k-merge vocab extrapolates to " +
+        f"${tDist200 / 200 * 50000 / 60}%.0f min of scheduler overhead; driver @1000: $tDrv1k%.3f s)"
+    )
     println(s"[micro] bpe: trained ${mergesAll.length} merges")
     val words = graft.operators.Bpe
       .wordHistogram(docsBpe, "text")
