@@ -72,6 +72,11 @@ object CurateStress {
       )
     else if (args.headOption.contains("vocab"))
       vocabStress(args.lift(1).map(_.toLong).getOrElse(10000000L))
+    else if (args.headOption.contains("bpe"))
+      bpeStress(
+        args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toInt).getOrElse(2000)
+      )
     else if (args.headOption.contains("decontam"))
       decontamStress(
         args.lift(1).map(_.toLong).getOrElse(5000000L),
@@ -251,6 +256,80 @@ object CurateStress {
     val sample = ids.orderBy(col("token")).limit(1000).collect().map(_.getAs[Long]("token_id"))
     require(sample.toSeq == (0L until sample.length.toLong), "sampled prefix must rank 0..k")
     println(f"vocab: permutation + prefix-order verified in $tv%.1f s")
+  }
+
+  /** `bpe [nDocs] [nMerges]` — the tokenizer chain at production
+    * shape: nDocs 20-word synthetic docs over a ~200k-word hex
+    * vocabulary (20M token instances at the default), trained to
+    * nMerges (the auto-selected DRIVER trainer path — the histogram
+    * is ~2M chars), then scored end to end with `segmentCounts`
+    * (ONE native `graft_bpe_apply` expression over the distinct-word
+    * table + a join back over every instance). Correctness tripwire
+    * at a scale the oracle never sees: 200 sampled words' native
+    * per-word symbol counts must equal a driver-side reference fold
+    * of the same merge table.
+    */
+  private def bpeStress(nDocs: Long, nMerges: Int): Unit = {
+    val spark = StressUtil.session()
+    import spark.implicits._
+    val vocabSize = 200000L
+    val docs = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          " ",
+          (0 until 20).map(j =>
+            substring(md5(((col("id") * 20 + j) % vocabSize).cast("string")), 1, 10)
+          ): _*
+        ).as("text")
+      )
+      .localCheckpoint()
+    val (merges, tTrain) = StressUtil.timed {
+      graft.operators.Bpe.learnMerges(docs, "text", nMerges).map(m => (m.lhs, m.rhs))
+    }
+    println(f"bpe: trained ${merges.length} merges over ~$vocabSize distinct words in $tTrain%.1f s (driver path)")
+    val (totals, tScore) = StressUtil.timed {
+      graft.operators.Bpe
+        .segmentCounts(docs, "doc_id", "text", merges)
+        .agg(sum(col("n_tokens")).as("ws"), sum(col("n_bpe_tokens")).as("bpe"))
+        .head()
+    }
+    val (ws, bpe) = (totals.getLong(0), totals.getLong(1))
+    println(f"bpe: scored ${nDocs * 20} token instances in $tScore%.1f s (ws=$ws bpe=$bpe fert=${bpe.toDouble / ws}%.3f)")
+    require(ws == nDocs * 20, "whitespace totals must count every instance")
+    require(bpe >= ws, "symbols per word are >= 1")
+    // native-vs-reference fold on a word sample
+    def refFold(word: String): Int =
+      merges.foldLeft(word.toVector.map(_.toString)) { case (s, (l, r)) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { out += (l + r); j += 2 }
+          else { out += s(j); j += 1 }
+        }
+        out.result()
+      }.length
+    val sampleWords = graft.operators.Bpe
+      .wordHistogram(docs, "text")
+      .select(col("word"))
+      .orderBy(col("word"))
+      .limit(200)
+      .collect()
+      .map(_.getString(0))
+    val sdf = sampleWords.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq.toDF("doc_id", "text")
+    val got = graft.operators.Bpe
+      .segmentCounts(sdf, "doc_id", "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    sampleWords.zipWithIndex.foreach { case (w, i) =>
+      require(
+        got(i.toLong) == refFold(w).toLong,
+        s"native apply diverges from the reference fold on '$w' at ${merges.length} merges"
+      )
+    }
+    println("bpe: 200-word native-vs-reference-fold segmentation check passed")
   }
 
   /** `decontam [nTrain] [nEval]` — the broadcast eval-probe at corpus
