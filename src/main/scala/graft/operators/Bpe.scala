@@ -51,12 +51,17 @@ object Bpe {
     concat(doubled.substr(lit(2), length(doubled)), lit("|"))
   }
 
-  /** Parse the symbol string back to its symbol array. */
+  /** Parse the symbol string back to its symbol array. Splits on RUNS
+    * of pipes (symbols never contain '|'), which references `sym`
+    * exactly ONCE: the previous substr(…, length(…)) form referenced
+    * it twice, and since each Column use converts to its own
+    * expression node (constructor-state expressions never unify in
+    * canonicalization), `symsOf(applyMerges(…))` was paying the whole
+    * BPE apply TWICE per row — visible in the q116 plan and halved by
+    * this form.
+    */
   private def symsOf(sym: Column): Column =
-    filter(
-      split(sym.substr(lit(2), length(sym) - 2), "\\|\\|"),
-      s => s =!= ""
-    )
+    filter(split(sym, "\\|+"), s => s =!= "")
 
   /** Adjacent symbol pairs as (lhs, rhs) structs; empty for 1-symbol
     * words (slice of length 0).
@@ -443,9 +448,13 @@ object Bpe {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val window = budget * nPacks
+    // Pinned: the segmented vocabulary feeds BOTH the weights agg and
+    // the final join — unpinned, each use recomputes the corpus-sized
+    // word histogram (and the merge apply) from scratch. V rows.
     val vocab = wordHistogram(docs, textCol)
       .select(col("word"), symsOf(applyMerges(col("sym"), merges)).as("syms"))
       .withColumn("n_sym", size(col("syms")).cast("long"))
+      .localCheckpoint()
     val inst = docs
       .select(col(idCol), posexplode(split(col(textCol), "\\s+")).as(Seq("wpos", "word")))
       .filter(col("word") =!= "")
