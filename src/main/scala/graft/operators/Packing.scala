@@ -397,7 +397,13 @@ object Packing {
     * shard count. Returns (epoch, ord, pack_id): `ord` is the pack's
     * position in epoch's visit order.
     */
-  def epochOrder(man: DataFrame, epochs: Int, seed: String, hexWidth: Int = 2): DataFrame = {
+  def epochOrder(
+      man: DataFrame,
+      epochs: Int,
+      seed: String,
+      hexWidth: Int = 2,
+      mask: Option[DataFrame] = None
+  ): DataFrame = {
     require(
       hexWidth >= 1 && hexWidth <= 7,
       s"hexWidth must be in [1, 7] (16^w buckets must stay a bounded driver collect), got $hexWidth"
@@ -405,9 +411,21 @@ object Packing {
     val spark = man.sparkSession
     val last = man.agg(max(col("last_pack"))).head()
     val nPacks = if (last.isNullAt(0)) 0L else last.getLong(0) + 1L
-    val keyed = spark
-      .range(nPacks)
-      .toDF("pack_id")
+    // Optional retirement mask ([[retirePacks]]): retired packs are
+    // excluded BEFORE ranking, so each epoch's ords are dense over the
+    // SURVIVING set — a trainer walking ord 0..k-1 never visits a
+    // retired pack and never sees a hole. Survivor relative order is
+    // unchanged (the md5 key doesn't depend on the mask); broadcast
+    // anti-join, mask is contamination-sized.
+    val packIds = mask match {
+      case Some(mk) =>
+        spark
+          .range(nPacks)
+          .toDF("pack_id")
+          .join(broadcast(mk.filter(col("retired")).select(col("pack_id"))), Seq("pack_id"), "left_anti")
+      case None => spark.range(nPacks).toDF("pack_id")
+    }
+    val keyed = packIds
       .crossJoin(broadcast(spark.range(epochs.toLong).toDF("epoch")))
       .withColumn(
         "key",

@@ -1063,8 +1063,15 @@ object PipelineRunner {
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
         val epochs = opts.getOrElse("epochs", "1").toInt
         val seed = opts.getOrElse("seed", "graft")
+        val width = opts.getOrElse("hex_width", "2").toInt
         val sched = graft.operators.Packing
-          .epochOrder(spark.read.parquet(manifests), epochs, seed)
+          .epochOrder(
+            spark.read.parquet(manifests),
+            epochs,
+            seed,
+            width,
+            mask = opts.get("mask").map(spark.read.parquet)
+          )
         val n = Pipeline.writeCounted(sched, out)
         println(s"[maintenance] epoch schedule: $n (epoch, ord, pack) rows from $manifests into $out")
       case Some("pack_boundaries") =>

@@ -728,6 +728,35 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hexWidth"))
   }
 
+  test("epochOrder + mask: retired packs never scheduled; survivor ords dense, relative order kept") {
+    val man = Packing.manifest(
+      Packing.layout(corpus(0 until 80), "doc_id", "text", nShards = 4),
+      "doc_id",
+      budget = 16L
+    )
+    val nPacks = man.agg(max(col("last_pack"))).head.getLong(0) + 1
+    assert(nPacks >= 4)
+    val retired = Set(0L, 2L)
+    val mask = retired.toSeq
+      .map(p => (p, 1L, 16L, 1.0, true))
+      .toDF("pack_id", "n_contam_docs", "n_contam_tokens", "contam_frac", "retired")
+    def rows(mk: Option[org.apache.spark.sql.DataFrame]) = Packing
+      .epochOrder(man, epochs = 2, seed = "mk", mask = mk)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    val plain = rows(None)
+    val masked = rows(Some(mask))
+    (0 until 2).foreach { e =>
+      val m = masked.filter(_._1 == e.toLong).sortBy(_._2)
+      assert(m.map(_._3).toSet.intersect(retired).isEmpty, "a retired pack must never be scheduled")
+      assert(m.map(_._2) == (0L until (nPacks - retired.size)), "survivor ords must be dense 0..k-1")
+      // survivor relative order = unmasked order with retirees deleted
+      val p = plain.filter(_._1 == e.toLong).sortBy(_._2).map(_._3).filterNot(retired)
+      assert(m.map(_._3) == p, "masking must not reorder survivors")
+    }
+  }
+
   test("epochOrder: empty manifest yields an empty schedule") {
     val man = Packing.manifest(
       Packing.layout(corpus(0 until 0), "doc_id", "text", nShards = 2),
