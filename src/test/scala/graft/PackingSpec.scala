@@ -920,7 +920,16 @@ class PackingSpec extends AnyFunSuite {
       .materializePacks(spark, s"$root/st", s"$root/manifests", allDocs,
         "doc_id", "text", 0L, 4L, 16L, mask = mk)
     val plain = load(None).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
-    val masked = load(Some(mask)).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // plan lock: the mask applies as a broadcast LeftAnti — the mask is
+    // contamination-sized, never a sort-merge side
+    val maskedDf = load(Some(mask))
+    val mplan = maskedDf.queryExecution.executedPlan.toString
+    assert(
+      mplan.contains("BroadcastHashJoin") && mplan.contains("LeftAnti"),
+      s"mask must be a broadcast anti-join:\n$mplan"
+    )
+    assert(!mplan.contains("SortMergeJoin LeftAnti"), "mask must never sort-merge")
+    val masked = maskedDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
     assert(plain.map(_._1).toSet.intersect(retiredPacks) == retiredPacks.filter(_ < 4L))
     assert(masked.map(_._1).toSet.intersect(retiredPacks).isEmpty, "a retired pack must never materialize")
     assert(
