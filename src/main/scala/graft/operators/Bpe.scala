@@ -325,10 +325,16 @@ object Bpe {
     merges.foldLeft(sym) { case (c, (l, r)) => applyMerge(c, l, r) }
 
   /** Learned merge table as a DataFrame: (merge_rank, lhs, rhs, cnt). */
-  def learn(df: DataFrame, textCol: String, numMerges: Int, minCount: Long = 1L): DataFrame = {
+  def learn(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 1L,
+      driverMaxChars: Long = 16L << 20
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    learnMerges(df, textCol, numMerges, minCount).zipWithIndex
+    learnMerges(df, textCol, numMerges, minCount, driverMaxChars = driverMaxChars).zipWithIndex
       .map { case (m, i) => (i + 1, m.lhs, m.rhs, m.cnt) }
       .toDF("merge_rank", "lhs", "rhs", "cnt")
   }
@@ -353,7 +359,8 @@ object Bpe {
       modelPath: String,
       numMerges: Int,
       minCount: Long = 1L,
-      retain: Int = 1
+      retain: Int = 1,
+      driverMaxChars: Long = 16L << 20
   ): Unit = {
     require(retain >= 1, "retain must keep at least the immediate predecessor")
     val fsPath = new HPath(modelPath)
@@ -363,7 +370,7 @@ object Bpe {
     val next = cur.getOrElse(0) + 1
     val vDir = new HPath(fsPath, s"v$next")
     Maintenance.deleteOrFail(fs, vDir)
-    learn(docs, textCol, numMerges, minCount)
+    learn(docs, textCol, numMerges, minCount, driverMaxChars)
       .coalesce(1)
       .write
       .parquet(new HPath(vDir, "merges").toString)

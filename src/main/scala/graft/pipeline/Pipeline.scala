@@ -722,6 +722,10 @@ object PipelineRunner {
         val merges = opts.getOrElse("merges", "256").toInt
         val minCount = opts.getOrElse("min_count", "1").toLong
         val retain = opts.getOrElse("retain", "1").toInt
+        // --driver_max_chars: the trainer-path threshold (chars of
+        // pruned histogram the driver will hold); 0 forces the
+        // distributed per-round loop.
+        val dmc = opts.getOrElse("driver_max_chars", (16L << 20).toString).toLong
         graft.operators.Bpe.buildModel(
           spark,
           spark.read.parquet(s"$data/documents.parquet"),
@@ -729,7 +733,8 @@ object PipelineRunner {
           model,
           merges,
           minCount,
-          retain
+          retain,
+          dmc
         )
         println(s"[maintenance] BPE model ($merges merges) frozen from $data into $model")
       case Some("bpe_segment") =>
