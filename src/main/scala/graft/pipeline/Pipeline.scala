@@ -374,8 +374,11 @@ object Pipeline {
   * --checkpoint C [--group_col G] [--budget T] [--shards K]`
   * (stratified packing per arriving file), and
   * `--maintenance pack_slices --state S --manifests M --docs D --out O
-  * --from K --to L [--budget T]` (loader-side materialization of packs
-  * [K, L) — state-pruned manifest reads, O(packs × budget) explode), and
+  * --from K --to L [--budget T] [--mask P]` (loader-side
+  * materialization of packs [K, L) — state-pruned manifest reads,
+  * O(packs × budget) explode; `--mask` excludes retired packs;
+  * `--budget` defaults to and must agree with the state's recorded
+  * `_budget` sidecar, as in every pack consumer below), and
   * `--maintenance decontaminate --train T --eval E --out O
   * [--threshold X] [--purged P]` (benchmark decontamination: per-train-
   * doc eval-set shingle overlap report to O; with `--purged`, also the
@@ -388,13 +391,23 @@ object Pipeline {
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
   * `--maintenance pack_export --state S --manifests M --docs D
-  * --vocab V --out O --from K --to L [--budget T] [--shards N]`
-  * (the trainer hand-off: materialize packs [K, L), encode under the
-  * frozen vocab, roll to one id-array row per pack, and export
-  * hash-sharded with a landed-data manifest), and
+  * --vocab V --out O --from K --to L [--budget T] [--shards N]
+  * [--mask P] [--unk_id U]` (the trainer hand-off: materialize packs
+  * [K, L), encode under the frozen vocab, roll to one id-array row
+  * per pack, and export hash-sharded with a landed-data manifest;
+  * `--mask` withholds retired packs with the count printed; OOV
+  * positions under the frozen vocab fail loudly unless `--unk_id`
+  * names the reserved id they map to), and
+  * `--maintenance retire_packs --manifests M --contam C --out P
+  * [--budget T] [--threshold X]` (APPLY decontamination to an emitted
+  * pack space: audit contaminated doc ids against the manifests and
+  * write the retirement mask side-file the other verbs honor —
+  * never a re-pack), and
   * `--maintenance pack_epochs --manifests M --out O [--epochs N]
-  * [--seed S]` (seeded per-epoch pack permutations — the multi-epoch
-  * visit-order schedule, recomputable by any worker from the seed), and
+  * [--seed S] [--hex_width W] [--mask P]` (seeded per-epoch pack
+  * permutations — the multi-epoch visit-order schedule, recomputable
+  * by any worker from the seed; `--mask` drops retired packs with
+  * survivor ords dense; `--hex_width` sizes the rank buckets), and
   * `--maintenance pack_boundaries --manifests M --out O [--budget T]`
   * (the per-pack segment/boundary side-file — attention-reset
   * metadata from pure manifest arithmetic), and
@@ -403,8 +416,11 @@ object Pipeline {
   * chain consumer: tail a curated corpus' batch partitions into pack
   * manifests), and
   * `--maintenance build_bpe_model --data D --model M [--merges N]
-  * [--min_count C] [--retain R]` (freeze a BPE merge table — versioned
-  * pointer, same serving protocol as the quality model), and
+  * [--min_count C] [--retain R] [--driver_max_chars B]` (freeze a BPE
+  * merge table — versioned pointer, same serving protocol as the
+  * quality model; the trainer auto-selects the in-memory driver path
+  * when the pruned histogram fits B chars, 0 forces the distributed
+  * loop), and
   * `--maintenance bpe_segment --batch B --model M --out O` (per-doc
   * token counts under the frozen tokenizer), and
   * `--maintenance fertility_stream --raw R --model M --out O
