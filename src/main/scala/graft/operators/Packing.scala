@@ -332,8 +332,24 @@ object Packing {
     * packs-per-doc) at any corpus size; no text is read. Output:
     * (pack_id, n_contam_docs, n_contam_tokens) — only CONTAMINATED
     * packs appear (absence = clean).
+    *
+    * STRATIFIED manifests ([[packIngestBy]]) number packs PER DOMAIN:
+    * pack 5 of one source and pack 5 of another are different packs,
+    * so auditing them by `pack_id` alone conflates domains (and a
+    * pack_id-keyed mask would retire every domain's pack 5). Pass the
+    * manifest's group column(s) as `groupCols` — the audit (and the
+    * [[retirePacks]] mask built from it) is then keyed by
+    * (group…, pack_id). The `retire_packs` verb interlocks this:
+    * a manifest carrying columns beyond the global-stream shape is
+    * refused unless `--group_col` names them.
     */
-  def contamAudit(man: DataFrame, contamIds: DataFrame, idCol: String, budget: Long): DataFrame =
+  def contamAudit(
+      man: DataFrame,
+      contamIds: DataFrame,
+      idCol: String,
+      budget: Long,
+      groupCols: Seq[String] = Nil
+  ): DataFrame =
     man
       .join(broadcast(contamIds.select(col(idCol))), Seq(idCol))
       .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
@@ -342,7 +358,7 @@ object Packing {
         least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
           greatest(col("start_tok"), col("pack_id") * budget)
       )
-      .groupBy(col("pack_id"))
+      .groupBy(groupCols.map(col) :+ col("pack_id"): _*)
       .agg(
         count(lit(1)).as("n_contam_docs"),
         sum(col("tok_in_pack")).as("n_contam_tokens")
@@ -359,14 +375,21 @@ object Packing {
     * be an exclusion layer, never a re-pack (re-packing would renumber
     * history under a live trainer). O(contaminated packs) rows.
     */
-  def retirePacks(audit: DataFrame, budget: Long, maxContamFrac: Double = 0.0): DataFrame = {
+  def retirePacks(
+      audit: DataFrame,
+      budget: Long,
+      maxContamFrac: Double = 0.0,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
     require(maxContamFrac >= 0.0 && maxContamFrac < 1.0, s"maxContamFrac in [0,1), got $maxContamFrac")
     audit
       .select(
-        col("pack_id"),
-        col("n_contam_docs"),
-        col("n_contam_tokens"),
-        (col("n_contam_tokens").cast("double") / budget).as("contam_frac")
+        groupCols.map(col) ++ Seq(
+          col("pack_id"),
+          col("n_contam_docs"),
+          col("n_contam_tokens"),
+          (col("n_contam_tokens").cast("double") / budget).as("contam_frac")
+        ): _*
       )
       .withColumn("retired", col("contam_frac") > maxContamFrac)
   }

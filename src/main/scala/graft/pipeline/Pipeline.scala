@@ -399,10 +399,12 @@ object Pipeline {
   * positions under the frozen vocab fail loudly unless `--unk_id`
   * names the reserved id they map to), and
   * `--maintenance retire_packs --manifests M --contam C --out P
-  * [--budget T] [--threshold X]` (APPLY decontamination to an emitted
-  * pack space: audit contaminated doc ids against the manifests and
-  * write the retirement mask side-file the other verbs honor —
-  * never a re-pack), and
+  * [--budget T] [--threshold X] [--group_col G]` (APPLY
+  * decontamination to an emitted pack space: audit contaminated doc
+  * ids against the manifests and write the retirement mask side-file
+  * the other verbs honor — never a re-pack; stratified manifests
+  * number packs per domain and must name the group column, masking by
+  * (group, pack_id)), and
   * `--maintenance pack_epochs --manifests M --out O [--epochs N]
   * [--seed S] [--hex_width W] [--mask P]` (seeded per-epoch pack
   * permutations — the multi-epoch visit-order schedule, recomputable
@@ -976,9 +978,26 @@ object PipelineRunner {
               .filter(org.apache.spark.sql.functions.col("contaminated"))
               .select(org.apache.spark.sql.functions.col("doc_id"))
           else contamDf.select(org.apache.spark.sql.functions.col("doc_id"))
+        val man = spark.read.parquet(manifests)
+        // Stratified interlock: packIngestBy manifests number packs PER
+        // DOMAIN — auditing by pack_id alone would conflate domains and
+        // a pack_id-keyed mask would retire every domain's pack k. Any
+        // column beyond the global-stream manifest shape must be named
+        // as the grouping via --group_col (the mask is then keyed
+        // (group, pack_id)).
+        val groupCols = opts.get("group_col").map(_.split(",").toSeq).getOrElse(Nil)
+        val globalShape =
+          Set("doc_id", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs", "pack_batch")
+        val extra = man.columns.filterNot(c => globalShape.contains(c) || groupCols.contains(c))
+        require(
+          extra.isEmpty,
+          s"retire_packs: manifest carries non-global columns ${extra.mkString(",")} — a stratified " +
+            "(per-domain) pack space numbers packs per domain; pass --group_col <col> so the mask is " +
+            "keyed (group, pack_id) instead of silently conflating domains"
+        )
         val audit = graft.operators.Packing
-          .contamAudit(spark.read.parquet(manifests), ids, "doc_id", budget)
-        val mask = graft.operators.Packing.retirePacks(audit, budget, threshold)
+          .contamAudit(man, ids, "doc_id", budget, groupCols)
+        val mask = graft.operators.Packing.retirePacks(audit, budget, threshold, groupCols)
         val n = Pipeline.writeCounted(mask, out)
         val retired = spark.read
           .parquet(out)

@@ -980,6 +980,80 @@ class PackingSpec extends AnyFunSuite {
       "export must land exactly window-minus-retired packs")
   }
 
+  test("stratified retirement: mask keyed (group, pack_id); pack_id-only audit interlocked") {
+    val root = Files.createTempDirectory("graft-retire-by").toString
+    // two domains, identical doc shapes → identical per-domain pack
+    // spaces; contaminate docs of ONE domain only
+    val batch = (0 until 40)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", (0 to i % 7).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    batch.write.parquet(s"$root/b0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_ingest_by",
+        "--batch", s"$root/b0",
+        "--state", s"$root/st",
+        "--out", s"$root/manifests",
+        "--applied_id", "0",
+        "--budget", "16"
+      ),
+      spark
+    )
+    val man = spark.read.parquet(s"$root/manifests")
+    // contaminated: every source-a doc overlapping source-a's pack 0
+    val contam = man
+      .filter(col("source") === "a" && col("first_pack") === 0L)
+      .select(col("doc_id"))
+    contam.write.parquet(s"$root/contam")
+    // pack_id-only audit on a stratified manifest is refused loudly
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "retire_packs",
+          "--manifests", s"$root/manifests",
+          "--contam", s"$root/contam",
+          "--out", s"$root/mask_bad"
+        ),
+        spark
+      )
+    )
+    assert(e.getMessage.contains("group_col"))
+    // group-aware mask retires source-a packs only
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "retire_packs",
+        "--manifests", s"$root/manifests",
+        "--contam", s"$root/contam",
+        "--out", s"$root/mask",
+        "--group_col", "source"
+      ),
+      spark
+    )
+    val mask = spark.read.parquet(s"$root/mask")
+    assert(mask.columns.contains("source"), "stratified mask must carry the group column")
+    val retired = mask
+      .filter(col("retired"))
+      .select(col("source"), col("pack_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(retired.nonEmpty && retired.forall(_._1 == "a"), s"only domain a retires: $retired")
+    assert(retired.exists(_._2 == 0L), "domain a's pack 0 must retire")
+    // library form agrees
+    val direct = Packing
+      .retirePacks(
+        Packing.contamAudit(man, contam, "doc_id", 16L, Seq("source")),
+        16L,
+        groupCols = Seq("source")
+      )
+      .filter(col("retired"))
+      .select(col("source"), col("pack_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(direct == retired)
+  }
+
   test("budget sidecar: a mismatched budget fails loudly everywhere; omitted budget resolves to the recorded one") {
     val root = Files.createTempDirectory("graft-budget").toString
     corpus(0 until 20).write.parquet(s"$root/b0")
