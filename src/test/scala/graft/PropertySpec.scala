@@ -732,4 +732,53 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native BPE apply equals the reference fold under ARBITRARY merge tables (randomized)") {
+    // The native expression must reproduce the training-order fold for
+    // ANY table, not just trained ones: random tables here mix
+    // realizable merges, never-firing merges, duplicates, and
+    // deliberately out-of-order entries whose later merges re-create
+    // earlier pairs' strings (the case where GPT-2-style
+    // lowest-rank-present application diverges from the fold).
+    def refFold(word: String, merges: Seq[(String, String)]): String =
+      merges
+        .foldLeft(word.toVector.map(_.toString)) { case (seq, (l, r)) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < seq.length) {
+            if (j + 1 < seq.length && seq(j) == l && seq(j + 1) == r) { out += (l + r); j += 2 }
+            else { out += seq(j); j += 1 }
+          }
+          out.result()
+        }
+        .mkString("|", "||", "|")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 8) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      def randSym(maxLen: Int): String =
+        (0 until (1 + rnd.nextInt(maxLen))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val merges = Vector.fill(30 + rnd.nextInt(40))((randSym(3), randSym(3)))
+      val words = Vector
+        .fill(60)((0 until (1 + rnd.nextInt(14))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct
+      val df = words
+        .map(w => (w, w.toVector.map(_.toString).mkString("|", "||", "|")))
+        .toDF("word", "sym")
+      val got = df
+        .select(
+          org.apache.spark.sql.functions.col("word"),
+          graft.operators.Bpe
+            .applyMerges(org.apache.spark.sql.functions.col("sym"), merges)
+            .as("out")
+        )
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .toMap
+      words.foreach { w =>
+        assert(got(w) == refFold(w, merges), s"trial $trial word '$w' table $merges")
+      }
+    }
+  }
 }
