@@ -75,7 +75,8 @@ object CurateStress {
     else if (args.headOption.contains("bpe"))
       bpeStress(
         args.lift(1).map(_.toLong).getOrElse(1000000L),
-        args.lift(2).map(_.toInt).getOrElse(2000)
+        args.lift(2).map(_.toInt).getOrElse(2000),
+        args.lift(3).map(_.toLong).getOrElse(200000L)
       )
     else if (args.headOption.contains("decontam"))
       decontamStress(
@@ -258,9 +259,11 @@ object CurateStress {
     println(f"vocab: permutation + prefix-order verified in $tv%.1f s")
   }
 
-  /** `bpe [nDocs] [nMerges]` — the tokenizer chain at production
-    * shape: nDocs 20-word synthetic docs over a ~200k-word hex
-    * vocabulary (20M token instances at the default), trained to
+  /** `bpe [nDocs] [nMerges] [vocabSize]` — the tokenizer chain at
+    * production shape: nDocs 20-word synthetic docs over a
+    * vocabSize-word hex vocabulary (20M instances / 200k words at the
+    * defaults; raise vocabSize to probe driver-trainer headroom),
+    * trained to
     * nMerges (the auto-selected DRIVER trainer path — the histogram
     * is ~2M chars), then scored end to end with `segmentCounts`
     * (ONE native `graft_bpe_apply` expression over the distinct-word
@@ -269,10 +272,9 @@ object CurateStress {
     * per-word symbol counts must equal a driver-side reference fold
     * of the same merge table.
     */
-  private def bpeStress(nDocs: Long, nMerges: Int): Unit = {
+  private def bpeStress(nDocs: Long, nMerges: Int, vocabSize: Long = 200000L): Unit = {
     val spark = StressUtil.session()
     import spark.implicits._
-    val vocabSize = 200000L
     val docs = spark
       .range(nDocs)
       .select(
