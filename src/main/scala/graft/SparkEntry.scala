@@ -151,7 +151,8 @@ object SparkEntry {
     "q129_decontam_purge" -> (TextQueries.q129DecontamPurge _),
     "q130_oov_drift" -> (TextQueries.q130OovDrift _),
     "q131_pack_contam_audit" -> (TextQueries.q131PackContamAudit _),
-    "q132_retire_packs" -> (TextQueries.q132RetirePacks _)
+    "q132_retire_packs" -> (TextQueries.q132RetirePacks _),
+    "q133_fuzzy_decontam" -> (TextQueries.q133FuzzyDecontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2026,7 +2027,35 @@ object SparkEntry {
         |SELECT pack_id, n_contam_docs, n_contam_tokens,
         |  CAST(n_contam_tokens AS DOUBLE) / 2048 AS contam_frac,
         |  CAST(n_contam_tokens AS DOUBLE) / 2048 > 0.0 AS retired
-        |FROM a""").stripMargin
+        |FROM a""").stripMargin,
+    // q133: fuzzy (MinHash-LSH) decontamination — q22's signature/band
+    // replay with candidacy restricted to train (doc_id % 10 <> 0) ×
+    // eval (doc_id % 10 = 0), verified whole-set Jaccard, per-train-doc
+    // verdict at 0.5.
+    "q133_fuzzy_decontam" ->
+      """WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id, sh_ints FROM (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk) WHERE len(sh_ints) > 0),
+        |sig AS (SELECT doc_id,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(sh_ints, x -> ((i*2+3)*x + i*97 + 11) % 2147483647))) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, bb.band AS band,
+        |    array_to_string(list_transform(sig[bb.band*4+1 : bb.band*4+4], x -> CAST(x AS VARCHAR)), '_') AS band_key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+        |ver AS (SELECT tid, eid,
+        |  CAST(len(list_intersect(sa.sh_ints, sb.sh_ints)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh_ints, sb.sh_ints))) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = tid JOIN sh sb ON sb.doc_id = eid)
+        |SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  max(jaccard) AS max_jaccard, max(jaccard) >= 0.5 AS contaminated
+        |FROM ver GROUP BY tid""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

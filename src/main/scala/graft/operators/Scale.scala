@@ -547,4 +547,145 @@ object Dedup {
       .withColumn("overlap_frac", col("n_overlap").cast("double") / col("n_sh"))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
+
+  /** Per-doc distinct 3-gram shingle sets `(idCol, sh_ints)` — the
+    * input shape [[decontamFuzzyAgainst]] consumes on both sides.
+    * Split out so a caller holding a precomputed/memoized shingle
+    * table skips the re-derivation (the q133 query path).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = split(col(textCol), "\\s+")
+    docs
+      .filter(size(toks) >= 3)
+      .select(col(idCol), graft.functions.GraftFunctions.graft_shingles(toks).as("sh_ints"))
+      .filter(size(col("sh_ints")) > 0)
+  }
+
+  /** FUZZY decontamination: flag train docs that are MinHash-LSH
+    * near-duplicates (verified whole-set shingle-Jaccard ≥ `threshold`)
+    * of a SINGLE eval document — the high-precision, pair-ATTRIBUTED
+    * complement to [[Scale.decontamPurge]]. The pooled-overlap purge is
+    * the high-recall side and mathematically dominates this one
+    * (overlap_frac measures against the train doc's shingles alone, so
+    * it is ≥ any single-item Jaccard at the same threshold), but it
+    * cannot say WHICH eval item leaked and it over-fires on docs that
+    * assemble common shingles from MANY different eval items without
+    * resembling any one of them. This is the verified benchmark-overlap
+    * report the purge's audit tail gets triaged with: per train doc,
+    * how many eval items it collided with, how many it genuinely
+    * near-duplicates, and the worst verified similarity.
+    *
+    * Returns one row per train doc with ≥ 1 band collision against the
+    * eval side: `(idCol, n_cand, n_matched, max_jaccard, contaminated)`
+    * — `n_cand` distinct eval candidates, `n_matched` those verified at
+    * ≥ `threshold`, `contaminated` = max_jaccard ≥ threshold.
+    * Sub-threshold rows stay visible as the audit tail (q129's
+    * convention); the caller left-antis the contaminated ids away.
+    */
+  def decontamFuzzy(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      nHashes: Int = 16,
+      bandRows: Int = 4
+  ): DataFrame =
+    decontamFuzzyAgainst(
+      shingleSets(train, idCol, textCol),
+      shingleSets(evalDocs, idCol, textCol),
+      idCol,
+      threshold,
+      nHashes,
+      bandRows
+    )
+
+  /** [[decontamFuzzy]] against precomputed `(idCol, sh_ints)` shingle
+    * tables (see [[shingleSets]]).
+    *
+    * Scale shape: the eval corpus is benchmark-sized (thousands of
+    * docs vs a 100 TB train side), so BOTH its band table and its
+    * shingle sets ride broadcasts and every corpus-sized stage is
+    * map-side: the train side derives minhash bands and probes the
+    * broadcast eval bands (broadcast hash join — never an all-pairs or
+    * sort-merge shape), the surviving collision rows carry the train
+    * shingle array with them (no second corpus scan or join to fetch
+    * it), and verification Jaccard runs against the broadcast eval
+    * sets. The only shuffles are the two O(collision) aggregates:
+    * band-multiplicity dedup per (train, eval) pair, then the per-train
+    * -doc verdict. Candidacy is band-key equality over `nHashes /
+    * bandRows` bands of `bandRows` rows (q22's discipline) — collision
+    * count is bounded by true near-dup density plus the banding false-
+    * positive rate, not |train| × |eval|.
+    */
+  def decontamFuzzyAgainst(
+      trainSh: DataFrame,
+      evalSh: DataFrame,
+      idCol: String,
+      threshold: Double = 0.5,
+      nHashes: Int = 16,
+      bandRows: Int = 4
+  ): DataFrame = {
+    require(
+      nHashes > 0 && bandRows > 0 && nHashes % bandRows == 0,
+      s"nHashes ($nHashes) must be a positive multiple of bandRows ($bandRows)"
+    )
+    graft.functions.GraftFunctions.register(trainSh.sparkSession)
+    def banded(sh: DataFrame, outId: String, keepSets: Boolean): DataFrame = {
+      val base = sh
+        .select(col(idCol).as(outId), col("sh_ints"))
+        .withColumn("sig", graft.functions.GraftFunctions.graft_minhash(col("sh_ints"), nHashes))
+        .select(
+          col(outId),
+          col("sh_ints"),
+          explode(
+            transform(
+              sequence(lit(0), lit(nHashes / bandRows - 1)),
+              b =>
+                struct(
+                  b.as("band"),
+                  array_join(
+                    transform(slice(col("sig"), b * bandRows + 1, lit(bandRows)), _.cast("string")),
+                    "_"
+                  ).as("band_key")
+                )
+            )
+          ).as("bk")
+        )
+      val cols = Seq(col(outId), col("bk.band"), col("bk.band_key")) ++
+        (if (keepSets) Seq(col("sh_ints")) else Nil)
+      base.select(cols: _*)
+    }
+    // Eval side is bounded: one eager pin, reused by the band broadcast
+    // and the verification broadcast.
+    val ev = evalSh.select(col(idCol).as("__eval_id"), col("sh_ints")).localCheckpoint()
+    val collisions = banded(trainSh, "__train_id", keepSets = true)
+      .join(broadcast(banded(ev.withColumnRenamed("__eval_id", idCol), "__eval_id", keepSets = false)), Seq("band", "band_key"))
+      .select(col("__train_id"), col("__eval_id"), col("sh_ints").as("sh_a"))
+    val pairs = collisions
+      .groupBy(col("__train_id"), col("__eval_id"))
+      .agg(first(col("sh_a")).as("sh_a")) // band multiplicity collapsed; sh_a identical per pair
+      .join(broadcast(ev.select(col("__eval_id"), col("sh_ints").as("sh_b"))), Seq("__eval_id"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+    pairs
+      .groupBy(col("__train_id"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_matched"),
+        max(col("jaccard")).as("max_jaccard")
+      )
+      .withColumn("contaminated", col("max_jaccard") >= threshold)
+      .select(
+        col("__train_id").as(idCol),
+        col("n_cand"),
+        col("n_matched"),
+        col("max_jaccard"),
+        col("contaminated")
+      )
+  }
 }

@@ -383,6 +383,11 @@ object Pipeline {
   * [--threshold X] [--purged P]` (benchmark decontamination: per-train-
   * doc eval-set shingle overlap report to O; with `--purged`, also the
   * train corpus left-anti the contaminated ids), and
+  * `--maintenance decontam_fuzzy --train T --eval E --out O
+  * [--threshold X] [--purged P]` (the pair-attributed near-dup form:
+  * per train doc, LSH-candidate eval items and the worst verified
+  * whole-set Jaccard — the precision triage for `decontaminate`'s
+  * pooled report; same `--purged` contract), and
   * `--maintenance decontam_stream --raw R --eval E --out O
   * --checkpoint C [--threshold X]` (the same per arriving document
   * JSON file against a stream-start-pinned eval shingle set —
@@ -954,6 +959,32 @@ object PipelineRunner {
           println(s"[maintenance] decontaminate: kept $k train docs into $p")
         }
         println(s"[maintenance] decontaminate: $n overlapping train docs reported at $out")
+      case Some("decontam_fuzzy") =>
+        // Pair-attributed near-dup decontamination (Dedup.decontamFuzzy):
+        // per train doc, the eval items it MinHash-LSH-collides with and
+        // the worst verified whole-set Jaccard. The high-precision triage
+        // for `decontaminate`'s pooled-overlap report (which dominates on
+        // recall but cannot attribute); same --purged anti-join contract.
+        val trainPath = opts.getOrElse("train", sys.error("--train <parquet dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val train = spark.read.parquet(trainPath)
+        val report = graft.operators.Dedup
+          .decontamFuzzy(train, spark.read.parquet(evalPath), "doc_id", "text", threshold)
+          .localCheckpoint() // one computation serves the report write AND the purge anti-join
+        val n = Pipeline.writeCounted(report, out)
+        opts.get("purged").foreach { p =>
+          val kept = train.join(
+            report.filter(org.apache.spark.sql.functions.col("contaminated"))
+              .select(org.apache.spark.sql.functions.col("doc_id")),
+            Seq("doc_id"),
+            "left_anti"
+          )
+          val k = Pipeline.writeCounted(kept, p)
+          println(s"[maintenance] decontam_fuzzy: kept $k train docs into $p")
+        }
+        println(s"[maintenance] decontam_fuzzy: $n band-colliding train docs reported at $out")
       case Some("retire_packs") =>
         // APPLY decontamination to an already-emitted pack space:
         // map the contaminated doc ids (--contam: a decontaminate

@@ -2331,4 +2331,28 @@ object TextQueries {
       )
       .withColumn("fert_milli", expr("(1000 * sum_bpe) div sum_ws"))
   }
+
+  /** FUZZY decontamination: train docs (doc_id % 10 ≠ 0) that are
+    * MinHash-LSH near-duplicates of a single eval doc (doc_id % 10 =
+    * 0) — [[graft.operators.Dedup.decontamFuzzyAgainst]] over the
+    * shared shingle table, q22's banding (16 hashes, 4 bands × 4 rows)
+    * with candidacy restricted to train×eval instead of the self-join.
+    * The pair-attributed, single-item-verified refinement of q129's
+    * pooled-overlap purge (which dominates it on recall but cannot
+    * attribute, and over-fires on shingles assembled from many
+    * different eval items). Verdict at Jaccard ≥ 0.5; sub-threshold
+    * band collisions stay visible as the audit tail.
+    */
+  def q133FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+      .select(col("doc_id"), col("sh_ints"))
+      .filter(size(col("sh_ints")) > 0) // the [[Dedup.shingleSets]] contract
+    val isEval = col("doc_id") % 10 === 0
+    graft.operators.Dedup.decontamFuzzyAgainst(
+      sh.filter(!isEval),
+      sh.filter(isEval),
+      "doc_id",
+      threshold = 0.5
+    )
+  }
 }

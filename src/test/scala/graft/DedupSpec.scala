@@ -144,4 +144,85 @@ class DedupSpec extends AnyFunSuite {
     val kept = spark.read.parquet(s"$root/purged").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
   }
+
+  test("decontamFuzzy: attribution on a handcrafted train/eval fixture") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "a b c d e f g h i j"),
+      (200L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h i j"), // identical: sig identical -> every band collides, J = 1.0
+      (3L, "m n o k l z m n o k")  // disjoint from both eval docs -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .decontamFuzzy(train, evalDocs, "doc_id", "text")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_cand"), r.getAs[Long]("n_matched"),
+            r.getAs[Double]("max_jaccard"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got.keySet == Set(1L), s"only the near-dup doc may collide: $got")
+    assert(got(1L) == ((1L, 1L, 1.0, true)), "one attributed eval item, verified at J=1")
+  }
+
+  test("decontamFuzzy is dominated by decontamPurge at the same threshold") {
+    // overlap_frac measures the train doc's shingles against the pooled
+    // eval set, so it is >= any single-item whole-set Jaccard: every
+    // fuzzy-contaminated doc must also be purge-contaminated. (The
+    // converse is false — the purge cannot attribute and over-fires on
+    // pool-assembled shingles — which is why both operators exist.)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    def flagged(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val fuzzy = flagged(graft.operators.Dedup.decontamFuzzy(tr, ev, "doc_id", "text"))
+    val exact = flagged(graft.operators.Dedup.decontamPurge(tr, ev, "doc_id", "text"))
+    assert(fuzzy.subsetOf(exact), s"fuzzy-only ids should be impossible: ${fuzzy diff exact}")
+  }
+
+  test("q133 query over the shared shingle table equals the raw-docs operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaOp = graft.operators.Dedup
+      .decontamFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text"
+      )
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val viaQuery = queries.TextQueries
+      .q133FuzzyDecontam(spark, sf)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(viaOp == viaQuery, "memoized shingle-table path must equal the self-contained operator")
+  }
+
+  test("decontam_fuzzy CLI verb writes the attributed report and the purged corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-decontam-fuzzy-cli").toString
+    Seq((1L, "a b c d e f g h i j"), (3L, "m n o k l z m n o k"))
+      .toDF("doc_id", "text").write.parquet(s"$root/train")
+    Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text").write.parquet(s"$root/eval")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontam_fuzzy",
+        "--train", s"$root/train",
+        "--eval", s"$root/eval",
+        "--out", s"$root/report",
+        "--purged", s"$root/purged"
+      ),
+      spark
+    )
+    val report = spark.read.parquet(s"$root/report")
+    assert(report.count() == 1L)
+    assert(report.filter(col("contaminated")).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val kept = spark.read.parquet(s"$root/purged").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
 }

@@ -605,4 +605,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"eval set must broadcast into a semi join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"train side must not shuffle for the probe:\n$plan")
   }
+
+  test("q133: both fuzzy-decontam joins broadcast the eval side") {
+    // Band candidacy and Jaccard verification each join the corpus-sized
+    // train stream against a bounded eval-derived table: both must plan
+    // as broadcast hash joins — a sort-merge shape would shuffle the
+    // train band explode (4× the corpus' doc count) at 100 TB, and the
+    // only shuffles the query is allowed are the two O(collision)
+    // aggregates.
+    val plan = planOf(queries.TextQueries.q133FuzzyDecontam(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"eval bands/sets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train side must never shuffle for a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"candidacy is band-key equality, never all-pairs:\n$plan")
+  }
 }
