@@ -626,6 +626,32 @@ object Dedup {
       threshold: Double = 0.5,
       nHashes: Int = 16,
       bandRows: Int = 4
+  ): DataFrame =
+    decontamFuzzyPinned(
+      trainSh,
+      // Eval side is bounded: one eager pin, reused by the band
+      // broadcast and the verification broadcast.
+      evalSh.select(col(idCol), col("sh_ints")).localCheckpoint(),
+      idCol,
+      threshold,
+      nHashes,
+      bandRows
+    )
+
+  /** [[decontamFuzzyAgainst]] with the eval shingle table ALREADY
+    * pinned — the long-running-consumer form: a stream gate pins the
+    * benchmark once at stream start and probes every arriving batch
+    * against the same blocks instead of re-materializing the eval side
+    * per micro-batch (the `evalShingles`/`decontamPurgeAgainst` split,
+    * for the fuzzy side).
+    */
+  def decontamFuzzyPinned(
+      trainSh: DataFrame,
+      evalShPinned: DataFrame,
+      idCol: String,
+      threshold: Double = 0.5,
+      nHashes: Int = 16,
+      bandRows: Int = 4
   ): DataFrame = {
     require(
       nHashes > 0 && bandRows > 0 && nHashes % bandRows == 0,
@@ -657,9 +683,7 @@ object Dedup {
         (if (keepSets) Seq(col("sh_ints")) else Nil)
       base.select(cols: _*)
     }
-    // Eval side is bounded: one eager pin, reused by the band broadcast
-    // and the verification broadcast.
-    val ev = evalSh.select(col(idCol).as("__eval_id"), col("sh_ints")).localCheckpoint()
+    val ev = evalShPinned.select(col(idCol).as("__eval_id"), col("sh_ints"))
     val collisions = banded(trainSh, "__train_id", keepSets = true)
       .join(broadcast(banded(ev.withColumnRenamed("__eval_id", idCol), "__eval_id", keepSets = false)), Seq("band", "band_key"))
       .select(col("__train_id"), col("__eval_id"), col("sh_ints").as("sh_a"))

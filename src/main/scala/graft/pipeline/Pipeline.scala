@@ -392,6 +392,10 @@ object Pipeline {
   * --checkpoint C [--threshold X]` (the same per arriving document
   * JSON file against a stream-start-pinned eval shingle set —
   * batch-keyed telemetry, the ingest family's exactly-once shape), and
+  * `--maintenance decontam_fuzzy_stream --raw R --eval E --out O
+  * --checkpoint C [--threshold X]` (the pair-attributed near-dup gate:
+  * the same stream shape, reporting LSH-candidate eval items and
+  * verified whole-set Jaccard per arriving doc), and
   * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
@@ -885,6 +889,22 @@ object PipelineRunner {
           )
           .awaitTermination()
         println(s"[maintenance] decontam stream drained $raw into $out")
+      case Some("decontam_fuzzy_stream") =>
+        // The pair-attributed near-dup ingest gate
+        // (StreamingPipeline.decontamFuzzyStream): per arriving document
+        // JSON file, the per-doc LSH eval-overlap report as batch-keyed
+        // telemetry. JSON shape: {"doc_id","text"}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <telemetry dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        graft.streaming.StreamingPipeline
+          .decontamFuzzyStream(
+            spark, raw, evalPath, out, ckpt, graft.schemas.Schemas.documentIngest, threshold
+          )
+          .awaitTermination()
+        println(s"[maintenance] decontam fuzzy stream drained $raw into $out")
       case Some("pack_curated_stream") =>
         // The curation→packing chain consumer: tail a curate_stream /
         // curate_ingest corpus' batch-keyed parquet partitions and lay

@@ -925,6 +925,52 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming FUZZY decontamination — the pair-attributed member of
+    * the ingest-gate family: per arriving document file, the
+    * [[graft.operators.Dedup.decontamFuzzyPinned]] near-dup report
+    * (LSH-candidate eval items, verified whole-set Jaccard, verdict)
+    * as a batch-keyed telemetry partition, same exactly-once shape as
+    * [[decontamStream]]. The eval SHINGLE TABLE is resolved once at
+    * stream start and pinned; each micro-batch derives its own bands
+    * map-side and probes the pinned benchmark — the eval side is
+    * never re-read or re-shingled per batch.
+    */
+  def decontamFuzzyStream(
+      spark: SparkSession,
+      rawDir: String,
+      evalPath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val evalSets = graft.operators.Dedup
+      .shingleSets(spark.read.parquet(evalPath), "doc_id", "text")
+      .localCheckpoint()
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .decontamFuzzyPinned(
+              graft.operators.Dedup
+                .shingleSets(batch.select(col("doc_id"), col("text")), "doc_id", "text"),
+              evalSets,
+              "doc_id",
+              threshold
+            )
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
     * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
     * and lay each newly accepted file out after everything already

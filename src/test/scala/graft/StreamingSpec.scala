@@ -1315,4 +1315,73 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(s"$root/telemetry").count() == before)
   }
+
+  test("decontam fuzzy stream: per-file attributed near-dup telemetry") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-decontam-fuzzy-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    Seq((100L, "a b c d e f g h i j"), (200L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+      .write
+      .parquet(s"$root/eval")
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontam_fuzzy_stream",
+        "--raw", raw,
+        "--eval", s"$root/eval",
+        "--out", s"$root/telemetry",
+        "--checkpoint", s"$root/ckpt"
+      ),
+      spark
+    )
+    // file 1: doc 1 is an exact copy of eval 100 (identical minhash
+    // signature -> every band collides, J = 1.0); doc 2 is disjoint.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"doc_id":1,"text":"a b c d e f g h i j"}
+         |{"doc_id":2,"text":"m n o k l z m n o k"}""".stripMargin
+    )
+    run()
+    // file 2: doc 3 copies the OTHER eval item.
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"doc_id":3,"text":"p q r s t u v w x y"}""".stripMargin
+    )
+    run()
+    val tel = spark.read
+      .option("basePath", s"$root/telemetry")
+      .parquet(s"$root/telemetry")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_cand"), r.getAs[Long]("n_matched"),
+            r.getAs[Double]("max_jaccard"), r.getAs[Boolean]("contaminated"),
+            r.getAs[Number]("ingest_batch").longValue)))
+      .toMap
+    assert(tel.keySet == Set(1L, 3L), s"only the two copies collide: $tel")
+    assert(tel(1L)._1 == 1L && tel(1L)._2 == 1L && tel(1L)._3 == 1.0 && tel(1L)._4)
+    assert(tel(3L)._1 == 1L && tel(3L)._2 == 1L && tel(3L)._3 == 1.0 && tel(3L)._4)
+    assert(tel(1L)._5 != tel(3L)._5, "each file reports under its own batch id")
+    // the streamed reports equal the batch operator over the same docs
+    val direct = graft.operators.Dedup
+      .decontamFuzzy(
+        Seq((1L, "a b c d e f g h i j"), (2L, "m n o k l z m n o k"), (3L, "p q r s t u v w x y"))
+          .toDF("doc_id", "text"),
+        spark.read.parquet(s"$root/eval"),
+        "doc_id",
+        "text"
+      )
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_cand"), r.getAs[Long]("n_matched"),
+            r.getAs[Double]("max_jaccard"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(tel.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap == direct)
+    // drained restart: no new files, no new partitions
+    val before = spark.read.parquet(s"$root/telemetry").count()
+    run()
+    assert(spark.read.parquet(s"$root/telemetry").count() == before)
+  }
 }
