@@ -83,6 +83,11 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(5000000L),
         args.lift(2).map(_.toLong).getOrElse(5000L)
       )
+    else if (args.headOption.contains("fuzzy"))
+      fuzzyStress(
+        args.lift(1).map(_.toLong).getOrElse(5000000L),
+        args.lift(2).map(_.toLong).getOrElse(5000L)
+      )
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -396,6 +401,76 @@ object CurateStress {
     require(flagged == expect, s"flagged $flagged != planted $expect")
     require(nExtras < nTrain / 10000 + 10, s"collision rows $nExtras out of expected range")
     require(maxExtraOverlap <= 3, s"a chance collision should overlap 1-2 shingles, saw $maxExtraOverlap")
+  }
+
+  /** `fuzzy [nTrain] [nEval]` — the attributed near-dup probe
+    * ([[graft.operators.Dedup.decontamFuzzy]]) at corpus scale. Three
+    * planted classes: every 100th train doc is an EXACT copy of an
+    * eval item (identical minhash signature → every band collides —
+    * these MUST all flag at J = 1.0, the exact tripwire), every
+    * (100k+50)th is a NEAR copy (last 2 of 12 tokens replaced →
+    * whole-set J = 8/12 — banding recall at J≈0.67 is probabilistic
+    * in design but DETERMINISTIC for fixed hashes, reported as the
+    * recall observable), and the rest are globally unique (shingle-
+    * disjoint from the benchmark — the Jaccard verification gives a
+    * chance band collision J = 0, so a flagged clean doc is
+    * impossible, the false-positive guard). Eval texts cycle a
+    * 997-key closed vocabulary, so the broadcast side stays
+    * benchmark-shaped however large nEval grows (duplicate eval items
+    * simply widen each copy's attribution list).
+    */
+  private def fuzzyStress(nTrain: Long, nEval: Long): Unit = {
+    require(nEval >= 997, s"fuzzy stress needs nEval >= 997 (phrase key space), got $nEval")
+    val spark = StressUtil.session()
+    def evTok(j: Int, v: org.apache.spark.sql.Column) =
+      concat(lit(s"fv${j}_"), v.cast("string"))
+    val evalDocs = spark
+      .range(nEval)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j => evTok(j, col("id") % 997)): _*).as("text")
+      )
+    def uTok(j: Int) = concat(lit("w"), col("id").cast("string"), lit(s"_$j"))
+    val clean = concat_ws(" ", (0 until 12).map(uTok): _*)
+    val exactCopy = concat_ws(" ", (0 until 12).map(j => evTok(j, col("id") % 997)): _*)
+    val nearCopy = concat_ws(
+      " ",
+      (0 until 10).map(j => evTok(j, col("id") % 997)) ++ Seq(uTok(10), uTok(11)): _*
+    )
+    val train = spark
+      .range(nTrain)
+      .select(
+        col("id").as("doc_id"),
+        when(col("id") % 100 === 0, exactCopy)
+          .when(col("id") % 100 === 50, nearCopy)
+          .otherwise(clean)
+          .as("text")
+      )
+    val (report, t) = StressUtil.timed {
+      graft.operators.Dedup
+        .decontamFuzzy(train, evalDocs, "doc_id", "text")
+        .localCheckpoint()
+    }
+    val flagged = report.filter(col("contaminated")).localCheckpoint()
+    val nExactFlagged = flagged.filter(col("doc_id") % 100 === 0).count()
+    val nNearFlagged = flagged.filter(col("doc_id") % 100 === 50).count()
+    val nCleanFlagged = flagged.count() - nExactFlagged - nNearFlagged
+    val expectExact = (nTrain + 99) / 100
+    val expectNear = if (nTrain > 50) (nTrain - 50 + 99) / 100 else 0L
+    val exactStats = flagged
+      .filter(col("doc_id") % 100 === 0)
+      .agg(min(col("max_jaccard")), min(col("n_matched")))
+      .head()
+    println(
+      f"fuzzy: $nTrain%d train vs $nEval%d eval docs probed in $t%.1f s; " +
+        f"exact copies $nExactFlagged%d/$expectExact%d flagged, near copies (J=0.667) " +
+        f"$nNearFlagged%d/$expectNear%d (banding recall ${nNearFlagged.toDouble / expectNear}%.2f), " +
+        f"clean flagged $nCleanFlagged%d"
+    )
+    require(nExactFlagged == expectExact, s"exact copies must ALL flag: $nExactFlagged/$expectExact")
+    require(exactStats.getDouble(0) == 1.0, "an exact copy verifies at J = 1.0")
+    require(exactStats.getLong(1) >= 1L, "an exact copy attributes >= 1 eval item")
+    require(nCleanFlagged == 0L, s"verification must kill chance collisions, flagged $nCleanFlagged clean docs")
   }
 
   private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
