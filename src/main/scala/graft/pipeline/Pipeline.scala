@@ -384,18 +384,21 @@ object Pipeline {
   * doc eval-set shingle overlap report to O; with `--purged`, also the
   * train corpus left-anti the contaminated ids), and
   * `--maintenance decontam_fuzzy --train T --eval E --out O
-  * [--threshold X] [--purged P]` (the pair-attributed near-dup form:
-  * per train doc, LSH-candidate eval items and the worst verified
-  * whole-set Jaccard — the precision triage for `decontaminate`'s
-  * pooled report; same `--purged` contract), and
+  * [--threshold X] [--purged P] [--nhashes N] [--bandrows R]` (the
+  * pair-attributed near-dup form: per train doc, LSH-candidate eval
+  * items and the worst verified whole-set Jaccard — the precision
+  * triage for `decontaminate`'s pooled report; same `--purged`
+  * contract; N/R dial banding recall — more bands of fewer rows
+  * catch lower-J dups at more verification pairs), and
   * `--maintenance decontam_stream --raw R --eval E --out O
   * --checkpoint C [--threshold X]` (the same per arriving document
   * JSON file against a stream-start-pinned eval shingle set —
   * batch-keyed telemetry, the ingest family's exactly-once shape), and
   * `--maintenance decontam_fuzzy_stream --raw R --eval E --out O
-  * --checkpoint C [--threshold X]` (the pair-attributed near-dup gate:
-  * the same stream shape, reporting LSH-candidate eval items and
-  * verified whole-set Jaccard per arriving doc), and
+  * --checkpoint C [--threshold X] [--nhashes N] [--bandrows R]` (the
+  * pair-attributed near-dup gate: the same stream shape, reporting
+  * LSH-candidate eval items and verified whole-set Jaccard per
+  * arriving doc), and
   * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
@@ -899,9 +902,12 @@ object PipelineRunner {
         val out = opts.getOrElse("out", sys.error("--out <telemetry dir> required"))
         val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
         val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val nHashes = opts.getOrElse("nhashes", "16").toInt
+        val bandRows = opts.getOrElse("bandrows", "4").toInt
         graft.streaming.StreamingPipeline
           .decontamFuzzyStream(
-            spark, raw, evalPath, out, ckpt, graft.schemas.Schemas.documentIngest, threshold
+            spark, raw, evalPath, out, ckpt, graft.schemas.Schemas.documentIngest, threshold,
+            nHashes, bandRows
           )
           .awaitTermination()
         println(s"[maintenance] decontam fuzzy stream drained $raw into $out")
@@ -989,9 +995,11 @@ object PipelineRunner {
         val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
         val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val nHashes = opts.getOrElse("nhashes", "16").toInt
+        val bandRows = opts.getOrElse("bandrows", "4").toInt
         val train = spark.read.parquet(trainPath)
         val report = graft.operators.Dedup
-          .decontamFuzzy(train, spark.read.parquet(evalPath), "doc_id", "text", threshold)
+          .decontamFuzzy(train, spark.read.parquet(evalPath), "doc_id", "text", threshold, nHashes, bandRows)
           .localCheckpoint() // one computation serves the report write AND the purge anti-join
         val n = Pipeline.writeCounted(report, out)
         opts.get("purged").foreach { p =>

@@ -942,7 +942,9 @@ object StreamingPipeline {
       outDir: String,
       checkpoint: String,
       docSchema: StructType,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      nHashes: Int = 16,
+      bandRows: Int = 4
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val evalSets = graft.operators.Dedup
       .shingleSets(spark.read.parquet(evalPath), "doc_id", "text")
@@ -961,7 +963,9 @@ object StreamingPipeline {
                 .shingleSets(batch.select(col("doc_id"), col("text")), "doc_id", "text"),
               evalSets,
               "doc_id",
-              threshold
+              threshold,
+              nHashes,
+              bandRows
             )
             .write
             .mode("overwrite")

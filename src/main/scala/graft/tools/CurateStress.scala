@@ -86,7 +86,9 @@ object CurateStress {
     else if (args.headOption.contains("fuzzy"))
       fuzzyStress(
         args.lift(1).map(_.toLong).getOrElse(5000000L),
-        args.lift(2).map(_.toLong).getOrElse(5000L)
+        args.lift(2).map(_.toLong).getOrElse(5000L),
+        args.lift(3).map(_.toInt).getOrElse(16),
+        args.lift(4).map(_.toInt).getOrElse(4)
       )
     else if (args.headOption.contains("dedup"))
       dedup(
@@ -403,7 +405,7 @@ object CurateStress {
     require(maxExtraOverlap <= 3, s"a chance collision should overlap 1-2 shingles, saw $maxExtraOverlap")
   }
 
-  /** `fuzzy [nTrain] [nEval]` — the attributed near-dup probe
+  /** `fuzzy [nTrain] [nEval] [nHashes] [bandRows]` — the attributed near-dup probe
     * ([[graft.operators.Dedup.decontamFuzzy]]) at corpus scale. Three
     * planted classes: every 100th train doc is an EXACT copy of an
     * eval item (identical minhash signature → every band collides —
@@ -419,7 +421,7 @@ object CurateStress {
     * benchmark-shaped however large nEval grows (duplicate eval items
     * simply widen each copy's attribution list).
     */
-  private def fuzzyStress(nTrain: Long, nEval: Long): Unit = {
+  private def fuzzyStress(nTrain: Long, nEval: Long, nHashes: Int = 16, bandRows: Int = 4): Unit = {
     require(nEval >= 997, s"fuzzy stress needs nEval >= 997 (phrase key space), got $nEval")
     val spark = StressUtil.session()
     def evTok(j: Int, v: org.apache.spark.sql.Column) =
@@ -448,7 +450,7 @@ object CurateStress {
       )
     val (report, t) = StressUtil.timed {
       graft.operators.Dedup
-        .decontamFuzzy(train, evalDocs, "doc_id", "text")
+        .decontamFuzzy(train, evalDocs, "doc_id", "text", nHashes = nHashes, bandRows = bandRows)
         .localCheckpoint()
     }
     val flagged = report.filter(col("contaminated")).localCheckpoint()
@@ -462,7 +464,8 @@ object CurateStress {
       .agg(min(col("max_jaccard")), min(col("n_matched")))
       .head()
     println(
-      f"fuzzy: $nTrain%d train vs $nEval%d eval docs probed in $t%.1f s; " +
+      f"fuzzy: $nTrain%d train vs $nEval%d eval docs probed in $t%.1f s " +
+        f"(${nHashes / bandRows}%d bands x $bandRows%d rows); " +
         f"exact copies $nExactFlagged%d/$expectExact%d flagged, near copies (J=0.667) " +
         f"$nNearFlagged%d/$expectNear%d (banding recall ${nNearFlagged.toDouble / expectNear}%.2f), " +
         f"clean flagged $nCleanFlagged%d"
