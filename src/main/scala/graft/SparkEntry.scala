@@ -152,7 +152,8 @@ object SparkEntry {
     "q130_oov_drift" -> (TextQueries.q130OovDrift _),
     "q131_pack_contam_audit" -> (TextQueries.q131PackContamAudit _),
     "q132_retire_packs" -> (TextQueries.q132RetirePacks _),
-    "q133_fuzzy_decontam" -> (TextQueries.q133FuzzyDecontam _)
+    "q133_fuzzy_decontam" -> (TextQueries.q133FuzzyDecontam _),
+    "q134_mask_intervals" -> (TextQueries.q134MaskIntervals _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2055,7 +2056,44 @@ object SparkEntry {
         |SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_cand,
         |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
         |  max(jaccard) AS max_jaccard, max(jaccard) >= 0.5 AS contaminated
-        |FROM ver GROUP BY tid""".stripMargin
+        |FROM ver GROUP BY tid""".stripMargin,
+    // q134: q131's interval arithmetic WITHOUT the per-pack roll-up —
+    // per (contaminated doc, overlapped pack), the pack-local half-open
+    // loss-mask interval.
+    "q134_mask_intervals" ->
+      ("""WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |ev AS (SELECT DISTINCT unnest(sh_ints) AS shingle FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle
+        |  FROM sh WHERE doc_id % 10 <> 0),
+        |c AS (SELECT tr.doc_id FROM tr JOIN ev USING (shingle)
+        |  GROUP BY tr.doc_id, tr.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / tr.n_sh >= 0.5),
+        |b AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |m AS (SELECT doc_id, cum - n_toks AS start_tok, n_toks,
+        |    (cum - n_toks) // 2048 AS first_pack, (cum - 1) // 2048 AS last_pack
+        |  FROM g),
+        |x AS (SELECT m.doc_id, m.start_tok, m.n_toks,
+        |    unnest(range(m.first_pack, m.last_pack + 1)) AS pack_id
+        |  FROM m JOIN c USING (doc_id))
+        |SELECT pack_id, doc_id,
+        |  CAST(greatest(start_tok, pack_id * 2048) - pack_id * 2048 AS BIGINT) AS mask_start,
+        |  CAST(least(start_tok + n_toks, (pack_id + 1) * 2048) - pack_id * 2048 AS BIGINT) AS mask_end,
+        |  CAST(least(start_tok + n_toks, (pack_id + 1) * 2048)
+        |       - greatest(start_tok, pack_id * 2048) AS BIGINT) AS n_mask_tokens
+        |FROM x""").stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

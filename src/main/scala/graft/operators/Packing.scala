@@ -364,6 +364,52 @@ object Packing {
         sum(col("tok_in_pack")).as("n_contam_tokens")
       )
 
+  /** Position-level LOSS-MASK intervals — the surgical alternative to
+    * [[retirePacks]]: instead of withholding a whole pack because one
+    * document in it overlaps the benchmark, emit the contaminated
+    * token intervals themselves so the trainer keeps the pack and
+    * zeroes LOSS on exactly the leaked positions. One row per
+    * (contaminated doc × pack it overlaps):
+    * `(groupCols…, pack_id, idCol, mask_start, mask_end,
+    * n_mask_tokens)` with `[mask_start, mask_end)` half-open in
+    * PACK-LOCAL token coordinates (`[0, budget)`) — the frame a
+    * memory-mapped pack row is addressed in. Intervals within a pack
+    * are disjoint by construction (the layout assigns documents
+    * disjoint global token ranges), so the trainer applies them
+    * without a merge pass; `idCol` rides along as the attribution.
+    *
+    * Same scale shape as [[contamAudit]] (it is the audit WITHOUT the
+    * final per-pack roll-up): contaminated ids broadcast-join the
+    * manifest before the pack-range explode, no text read, output is
+    * O(contaminated docs × packs each spans) rows. The mask is a
+    * contamination-sized SIDE-FILE, like retirement — never a re-pack
+    * (pack ids are immutable under a live trainer) and never a
+    * rewrite of corpus-sized pack data for a benchmark-sized fix.
+    * Retirement and masking compose: retire packs past a tolerated
+    * fraction, mask the rest.
+    */
+  def maskIntervals(
+      man: DataFrame,
+      contamIds: DataFrame,
+      idCol: String,
+      budget: Long,
+      groupCols: Seq[String] = Nil
+  ): DataFrame =
+    man
+      .join(broadcast(contamIds.select(col(idCol))), Seq(idCol))
+      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("pack_id"),
+          col(idCol),
+          (greatest(col("start_tok"), col("pack_id") * budget) - col("pack_id") * budget)
+            .as("mask_start"),
+          (least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
+            col("pack_id") * budget).as("mask_end")
+        ): _*
+      )
+      .withColumn("n_mask_tokens", col("mask_end") - col("mask_start"))
+
   /** The retirement DECISION the audit feeds — the step that APPLIES
     * decontamination to an already-emitted pack space: a pack whose
     * contaminated-position fraction exceeds `maxContamFrac` is

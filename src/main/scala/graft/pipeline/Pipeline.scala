@@ -417,6 +417,12 @@ object Pipeline {
   * the other verbs honor — never a re-pack; stratified manifests
   * number packs per domain and must name the group column, masking by
   * (group, pack_id)), and
+  * `--maintenance mask_intervals --manifests M --contam C --out P
+  * [--budget T] [--group_col G]` (the surgical composition partner:
+  * per (contaminated doc, pack), the pack-local half-open loss-mask
+  * interval the trainer zeroes loss on — keep the pack, mask the
+  * leaked positions; same --contam flexibility and stratified
+  * interlock as retire_packs), and
   * `--maintenance pack_epochs --manifests M --out O [--epochs N]
   * [--seed S] [--hex_width W] [--mask P]` (seeded per-epoch pack
   * permutations — the multi-epoch visit-order schedule, recomputable
@@ -1066,6 +1072,40 @@ object PipelineRunner {
           s"[maintenance] retire packs: $n contaminated pack(s) audited, $retired retired " +
             s"(threshold $threshold) -> mask at $out"
         )
+      case Some("mask_intervals") =>
+        // Position-level loss masks (Packing.maskIntervals): the
+        // surgical alternative retire_packs composes with — per
+        // (contaminated doc, pack it overlaps), the pack-local
+        // half-open token interval the trainer zeroes loss on.
+        // Same --contam flexibility and stratified --group_col
+        // interlock as retire_packs; the output is a
+        // contamination-sized side-file, never a re-pack.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val contamPath = opts.getOrElse("contam", sys.error("--contam <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <mask parquet dir> required"))
+        val budget = resolveBudget(spark, manifests, opts)
+        val contamDf = spark.read.parquet(contamPath)
+        val ids =
+          if (contamDf.columns.contains("contaminated"))
+            contamDf
+              .filter(org.apache.spark.sql.functions.col("contaminated"))
+              .select(org.apache.spark.sql.functions.col("doc_id"))
+          else contamDf.select(org.apache.spark.sql.functions.col("doc_id"))
+        val man = spark.read.parquet(manifests)
+        val groupCols = opts.get("group_col").map(_.split(",").toSeq).getOrElse(Nil)
+        val globalShape =
+          Set("doc_id", "shard", "start_tok", "n_toks", "first_pack", "last_pack", "n_packs", "pack_batch")
+        val extra = man.columns.filterNot(c => globalShape.contains(c) || groupCols.contains(c))
+        require(
+          extra.isEmpty,
+          s"mask_intervals: manifest carries non-global columns ${extra.mkString(",")} — a stratified " +
+            "(per-domain) pack space numbers packs per domain; pass --group_col <col> so masks are " +
+            "keyed (group, pack_id) instead of silently conflating domains"
+        )
+        val masks = graft.operators.Packing
+          .maskIntervals(man, ids, "doc_id", budget, groupCols)
+        val n = Pipeline.writeCounted(masks, out)
+        println(s"[maintenance] mask intervals: $n pack-local loss-mask interval(s) -> $out")
       case Some("build_vocab") =>
         // Freeze the dense-id dictionary (Vocab.build) from a corpus
         // parquet (needs a `text` column): the id space every integer

@@ -2304,6 +2304,24 @@ object TextQueries {
     graft.operators.Packing
       .retirePacks(q131PackContamAudit(spark, dir), budget = 2048L)
 
+  /** Position-level loss-mask intervals over the q110 pack space —
+    * [[graft.operators.Packing.maskIntervals]], the surgical
+    * alternative q132's whole-pack retirement composes with: per
+    * (contaminated doc, pack it overlaps), the half-open PACK-LOCAL
+    * token interval the trainer zeroes loss on, with the doc id as
+    * attribution. q131's audit is exactly this table rolled up per
+    * pack (spec-locked); same manifest-arithmetic scale shape — ids
+    * broadcast-join the manifest before the pack-range explode, no
+    * text read.
+    */
+  def q134MaskIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val contam = q129DecontamPurge(spark, dir)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    graft.operators.Packing
+      .maskIntervals(q110SequencePacking(spark, dir), contam, "doc_id", budget = 2048L)
+  }
+
   /** Tokenizer FERTILITY DRIFT monitor: the q115 merges frozen on the
     * even docs, applied to the odd docs, aggregated per source — the
     * production observable that tells a crawl operator which domain's

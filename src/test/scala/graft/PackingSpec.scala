@@ -1054,6 +1054,103 @@ class PackingSpec extends AnyFunSuite {
     assert(direct == retired)
   }
 
+  test("maskIntervals: pack-local masks roll up to the audit; boundary docs split per pack") {
+    val root = Files.createTempDirectory("graft-maskint").toString
+    corpus(0 until 40).write.parquet(s"$root/b0")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_ingest",
+        "--batch", s"$root/b0",
+        "--state", s"$root/st",
+        "--out", s"$root/manifests",
+        "--applied_id", "0",
+        "--budget", "16"
+      ),
+      spark
+    )
+    val man = spark.read.parquet(s"$root/manifests")
+    val contamIds = man
+      .filter(col("first_pack") <= 1L && col("last_pack") >= 1L)
+      .select(col("doc_id"))
+    val rows = Packing
+      .maskIntervals(man, contamIds, "doc_id", 16L)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("mask_start"),
+          r.getAs[Long]("mask_end"), r.getAs[Long]("n_mask_tokens")))
+    assert(rows.nonEmpty)
+    // every interval is half-open, non-empty, pack-local
+    rows.foreach { case (p, d, s, e, n) =>
+      assert(0L <= s && s < e && e <= 16L && n == e - s, s"bad interval ($p,$d,$s,$e,$n)")
+    }
+    // intervals within a pack are disjoint (the layout gives docs
+    // disjoint global ranges) — the trainer needs no merge pass
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      rs.sortBy(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 <= b._3, s"pack $p intervals overlap: $a / $b")
+        case _         => ()
+      }
+    }
+    // a doc spanning pack boundaries contributes one interval per pack:
+    // runs to the pack end in every non-final slice, restarts at 0 after
+    val spanning = man
+      .join(contamIds, Seq("doc_id"))
+      .filter(col("first_pack") < col("last_pack"))
+      .select(col("doc_id"), col("first_pack"), col("last_pack"))
+      .collect()
+    assert(spanning.nonEmpty, "fixture should contain a pack-boundary doc")
+    spanning.foreach { r =>
+      val parts = rows.filter(_._2 == r.getAs[Long]("doc_id")).sortBy(_._1)
+      assert(parts.length.toLong == r.getAs[Long]("last_pack") - r.getAs[Long]("first_pack") + 1)
+      parts.init.foreach(p => assert(p._4 == 16L, s"non-final slice must run to the pack end: $p"))
+      parts.tail.foreach(p => assert(p._3 == 0L, s"non-first slice must start at the pack start: $p"))
+    }
+    // roll-up lock: grouping the masks per pack reproduces contamAudit exactly
+    val audit = Packing
+      .contamAudit(man, contamIds, "doc_id", 16L)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("pack_id"),
+          (r.getAs[Long]("n_contam_docs"), r.getAs[Long]("n_contam_tokens"))))
+      .toMap
+    val rolled = rows.groupBy(_._1).view.mapValues(rs => (rs.length.toLong, rs.map(_._5).sum)).toMap
+    assert(rolled == audit, "masks must roll up to the audit exactly")
+    // CLI verb: same rows, budget resolved from the sidecar
+    contamIds.write.parquet(s"$root/contam")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "mask_intervals",
+        "--manifests", s"$root/manifests",
+        "--contam", s"$root/contam",
+        "--out", s"$root/masks"
+      ),
+      spark
+    )
+    val viaCli = spark.read
+      .parquet(s"$root/masks")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("mask_start"),
+          r.getAs[Long]("mask_end"), r.getAs[Long]("n_mask_tokens")))
+      .toSet
+    assert(viaCli == rows.toSet, "CLI masks must equal the library rows")
+    // stratified interlock: a manifest carrying a domain column is
+    // refused without --group_col (per-domain pack ids would conflate)
+    man.withColumn("source", lit("web")).write.parquet(s"$root/strat_man")
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "mask_intervals",
+          "--manifests", s"$root/strat_man",
+          "--contam", s"$root/contam",
+          "--out", s"$root/m2"
+        ),
+        spark
+      )
+    )
+    assert(e.getMessage.contains("group_col"))
+  }
+
   test("budget sidecar: a mismatched budget fails loudly everywhere; omitted budget resolves to the recorded one") {
     val root = Files.createTempDirectory("graft-budget").toString
     corpus(0 until 20).write.parquet(s"$root/b0")
