@@ -404,12 +404,14 @@ object Pipeline {
   * integer exports encode under), and
   * `--maintenance pack_export --state S --manifests M --docs D
   * --vocab V --out O --from K --to L [--budget T] [--shards N]
-  * [--mask P] [--unk_id U]` (the trainer hand-off: materialize packs
-  * [K, L), encode under the frozen vocab, roll to one id-array row
-  * per pack, and export hash-sharded with a landed-data manifest;
-  * `--mask` withholds retired packs with the count printed; OOV
-  * positions under the frozen vocab fail loudly unless `--unk_id`
-  * names the reserved id they map to), and
+  * [--mask P] [--unk_id U] [--loss_masks L]` (the trainer hand-off:
+  * materialize packs [K, L), encode under the frozen vocab, roll to
+  * one id-array row per pack, and export hash-sharded with a
+  * landed-data manifest; `--mask` withholds retired packs with the
+  * count printed; `--loss_masks` ships the window's mask_intervals
+  * rows as an `_loss_masks` sidecar in the landing dir, minus
+  * retired packs; OOV positions under the frozen vocab fail loudly
+  * unless `--unk_id` names the reserved id they map to), and
   * `--maintenance retire_packs --manifests M --contam C --out P
   * [--budget T] [--threshold X] [--group_col G]` (APPLY
   * decontamination to an emitted pack space: audit contaminated doc
@@ -1190,6 +1192,41 @@ object PipelineRunner {
               org.apache.spark.sql.functions.col("pack_id") < to)
             .count()
           println(s"[maintenance] pack export: $retired retired pack(s) withheld from [$from, $to)")
+        }
+        // Ship the window's loss-mask intervals (a mask_intervals
+        // side-file) WITH the export, under an underscore dir root
+        // readers ignore — the trainer finds packs and masks in one
+        // landing. Intervals for retired (withheld) packs are dropped:
+        // they have no exported row to mask.
+        opts.get("loss_masks").foreach { lm =>
+          val windowed = spark.read
+            .parquet(lm)
+            .filter(org.apache.spark.sql.functions.col("pack_id") >= from &&
+              org.apache.spark.sql.functions.col("pack_id") < to)
+          val shipped = maskDf match {
+            case Some(mk) =>
+              windowed.join(
+                mk.filter(org.apache.spark.sql.functions.col("retired"))
+                  .select(org.apache.spark.sql.functions.col("pack_id")),
+                Seq("pack_id"),
+                "left_anti"
+              )
+            case None => windowed
+          }
+          val nm = Pipeline.writeCounted(shipped, s"$out/_loss_masks")
+          val tot = spark.read
+            .parquet(s"$out/_loss_masks")
+            .agg(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_mask_tokens"),
+                org.apache.spark.sql.functions.lit(0L)
+              )
+            )
+            .head()
+            .getLong(0)
+          println(
+            s"[maintenance] pack export: $nm loss-mask interval(s) ($tot tokens) shipped at $out/_loss_masks"
+          )
         }
         println(s"[maintenance] pack export [$from, $to): $landed packs in $shards shards at $out")
       case Some("pack_epochs") =>

@@ -1149,6 +1149,37 @@ class PackingSpec extends AnyFunSuite {
       )
     )
     assert(e.getMessage.contains("group_col"))
+    // trainer hand-off: --loss_masks ships the window's intervals as an
+    // _loss_masks sidecar next to the exported shards
+    corpus(0 until 40).write.parquet(s"$root/docs")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "build_vocab", "--docs", s"$root/docs", "--out", s"$root/vocab"),
+      spark
+    )
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_export",
+        "--state", s"$root/st",
+        "--manifests", s"$root/manifests",
+        "--docs", s"$root/docs",
+        "--vocab", s"$root/vocab",
+        "--out", s"$root/export",
+        "--from", "0", "--to", "4",
+        "--shards", "2",
+        "--loss_masks", s"$root/masks"
+      ),
+      spark
+    )
+    val sidecar = spark.read
+      .parquet(s"$root/export/_loss_masks")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("mask_start"),
+          r.getAs[Long]("mask_end"), r.getAs[Long]("n_mask_tokens")))
+      .toSet
+    assert(sidecar == rows.filter(r => r._1 >= 0L && r._1 < 4L).toSet,
+      "the sidecar must be exactly the window's mask rows")
+    assert(sidecar.nonEmpty, "the fixture window should carry masks")
   }
 
   test("budget sidecar: a mismatched budget fails loudly everywhere; omitted budget resolves to the recorded one") {
