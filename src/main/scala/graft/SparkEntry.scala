@@ -153,7 +153,8 @@ object SparkEntry {
     "q131_pack_contam_audit" -> (TextQueries.q131PackContamAudit _),
     "q132_retire_packs" -> (TextQueries.q132RetirePacks _),
     "q133_fuzzy_decontam" -> (TextQueries.q133FuzzyDecontam _),
-    "q134_mask_intervals" -> (TextQueries.q134MaskIntervals _)
+    "q134_mask_intervals" -> (TextQueries.q134MaskIntervals _),
+    "q135_semantic_decontam" -> (VectorQueries.q135SemanticDecontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2093,7 +2094,25 @@ object SparkEntry {
         |  CAST(least(start_tok + n_toks, (pack_id + 1) * 2048) - pack_id * 2048 AS BIGINT) AS mask_end,
         |  CAST(least(start_tok + n_toks, (pack_id + 1) * 2048)
         |       - greatest(start_tok, pack_id * 2048) AS BIGINT) AS n_mask_tokens
-        |FROM x""").stripMargin
+        |FROM x""").stripMargin,
+    // q135: semantic decontamination — per train vector, the best-cosine
+    // eval match (ties to the smaller eval id, the q26 argmax rule) and
+    // the verdict at 0.4.
+    "q135_semantic_decontam" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), p -> p[1]*p[2])), (a,v) -> a+v)) AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, emb AS ev_emb, nrm AS ev_nrm FROM n WHERE vec_id % 10 = 0),
+        |tr AS (SELECT * FROM n WHERE vec_id % 10 <> 0)
+        |SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine, cosine >= 0.4 AS contaminated
+        |FROM (
+        |  SELECT tr.vec_id, ev.eval_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(tr.emb, ev.ev_emb), p -> p[1]*p[2])), (x,y) -> x+y) / (tr.nrm * ev.ev_nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(tr.emb, ev.ev_emb), p -> p[1]*p[2])), (x,y) -> x+y) / (tr.nrm * ev.ev_nrm) DESC,
+        |      ev.eval_id ASC) AS rk
+        |  FROM tr, ev)
+        |WHERE rk = 1""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

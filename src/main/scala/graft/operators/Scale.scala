@@ -712,4 +712,76 @@ object Dedup {
         col("contaminated")
       )
   }
+
+  /** SEMANTIC decontamination — the third tier of the family (exact
+    * shingle overlap → lexical near-dup → embedding similarity): per
+    * TRAIN vector, its best-cosine eval match and the verdict at
+    * `threshold`. Catches what both lexical tiers miss — an eval item
+    * translated, aggressively paraphrased, or templated into the crawl
+    * shares almost no 3-gram shingles yet sits next to its source in
+    * embedding space (the SemDeDup observation, pointed at a held-out
+    * benchmark instead of the corpus itself).
+    *
+    * Unlike the lexical tiers this emits one row per train vector
+    * (dense similarity always has a best match): `(idCol,
+    * best_eval_id, best_cosine, contaminated)` — the full similarity
+    * audit; the caller filters at the verdict to purge.
+    *
+    * Scale shape: the eval matrix is benchmark-sized, so it rides as
+    * [[graft.functions.ArgmaxCosine]] CONSTRUCTOR state — one compiled
+    * K×dim loop per train row inside whole-stage codegen, zero N×K row
+    * materialization (the q26/assignTo discipline; a broadcast cross
+    * join carrying both embedding arrays per candidate row was
+    * measured 7-10× slower at the 100k×316 stress point) — and the
+    * single winning cosine is computed by joining the broadcast eval
+    * table ONCE on the argmax id: exactly two dot products per train
+    * row at any eval size. Ties break toward the smaller eval id
+    * (strict `>` over ascending ids). Zero-norm embeddings on either
+    * side fail loudly — a NaN cosine would silently never win.
+    */
+  def decontamSemantic(
+      train: DataFrame,
+      evalVecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def normed(df: DataFrame, outId: String): DataFrame = {
+      val emb = col(embCol).cast("array<double>")
+      df.select(col(idCol).as(outId), emb.as("emb"))
+        .withColumn("nrm", sqrt(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb"))))
+    }
+    val evRows = normed(evalVecs, "best_eval_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(evRows.nonEmpty, "decontamSemantic needs a non-empty eval set")
+    evRows.foreach { case (id, _, n) =>
+      require(n > 0.0, s"zero-norm eval embedding $idCol=$id — its cosine is NaN and never wins")
+    }
+    val evDf = normed(evalVecs, "best_eval_id")
+      .select(col("best_eval_id"), col("emb").as("ev_emb"), col("nrm").as("ev_nrm"))
+    normed(train, idCol)
+      .withColumn(
+        "best_eval_id",
+        when(
+          col("nrm") > 0,
+          graft.functions.GraftFunctions.graft_argmax_cos(
+            col("emb"),
+            col("nrm"),
+            evRows.map(_._1).toSeq,
+            evRows.map(_._2).toSeq,
+            evRows.map(_._3).toSeq
+          )
+        ).otherwise(raise_error(concat(lit(s"zero-norm embedding $idCol="), col(idCol).cast("string"))))
+      )
+      .join(broadcast(evDf), Seq("best_eval_id"))
+      .withColumn(
+        "best_cosine",
+        graft.functions.GraftFunctions.graft_dot(col("emb"), col("ev_emb")) / (col("nrm") * col("ev_nrm"))
+      )
+      .withColumn("contaminated", col("best_cosine") >= threshold)
+      .select(col(idCol), col("best_eval_id"), col("best_cosine"), col("contaminated"))
+  }
 }

@@ -764,4 +764,24 @@ object VectorQueries {
       .filter(col("rank") <= topK)
       .select("query_id", "cluster", "vec_id", "rank", "cosine")
   }
+
+  /** SEMANTIC decontamination — the third tier of the decontamination
+    * family (q129 exact shingle overlap → q133 lexical near-dup →
+    * embedding similarity, [[graft.operators.Dedup.decontamSemantic]]):
+    * per train vector (vec_id % 10 ≠ 0), its best-cosine match in the
+    * eval set (% 10 = 0) and the verdict. The eval matrix rides as
+    * ArgmaxCosine constructor state (the q26 discipline) and the
+    * winning cosine is one broadcast join on the argmax id — two dot
+    * products per train row at any eval size. Threshold 0.4: the
+    * synthetic embeddings plant no cross-split replicas (best
+    * best-cosine ≈ 0.49 at sf0.01), so 0.4 exercises both verdict
+    * branches; production uses the operator's 0.5+ default against
+    * real replicas.
+    */
+  def q135SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isEval = col("vec_id") % 10 === 0
+    graft.operators.Dedup
+      .decontamSemantic(e.filter(!isEval), e.filter(isEval), "vec_id", "embedding", threshold = 0.4)
+  }
 }

@@ -203,6 +203,85 @@ class DedupSpec extends AnyFunSuite {
     assert(viaOp == viaQuery, "memoized shingle-table path must equal the self-contained operator")
   }
 
+  test("decontamSemantic: best-match attribution, tie-break, and verdict on a handcrafted fixture") {
+    import spark.implicits._
+    val evalVecs = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (200L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),  // identical to eval 100 -> cos 1.0, contaminated
+      (2L, Seq(0.6, 0.8, 0.0)),  // best is eval 200 at cos 0.8 -> reported, not contaminated at 0.9
+      (3L, Seq(0.0, 0.0, 1.0))   // orthogonal to both -> cos 0.0, ties to the smaller eval id
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup
+      .decontamSemantic(train, evalVecs, "vec_id", "embedding", threshold = 0.9)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("vec_id"),
+          (r.getAs[Long]("best_eval_id"), r.getAs[Double]("best_cosine"),
+            r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "dense similarity reports every train vector")
+    assert(got(1L) == ((100L, 1.0, true)))
+    assert(got(2L)._1 == 200L && math.abs(got(2L)._2 - 0.8) < 1e-12 && !got(2L)._3)
+    assert(got(3L) == ((100L, 0.0, false)), "all-equal cosines tie to the smallest eval id")
+    // duplicate eval items: the argmax's strict > over ascending ids
+    // keeps the smaller of two identical vectors
+    val dupEval = Seq((100L, Seq(1.0, 0.0, 0.0)), (200L, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val tied = graft.operators.Dedup
+      .decontamSemantic(train.filter(col("vec_id") === 1L), dupEval, "vec_id", "embedding")
+      .head()
+    assert(tied.getAs[Long]("best_eval_id") == 100L)
+    // zero-norm eval vectors are refused loudly (their cosine is NaN and never wins)
+    val zero = Seq((100L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.decontamSemantic(train, zero, "vec_id", "embedding")
+    )
+    assert(e.getMessage.contains("zero-norm"))
+  }
+
+  test("decontamSemantic equals the broadcast-cross-join + max_by reference shape") {
+    import org.apache.spark.sql.functions.{broadcast, max_by, sqrt, struct}
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb"))))
+    val isEval = col("vec_id") % 10 === 0
+    val viaOp = graft.operators.Dedup
+      .decontamSemantic(
+        e.filter(!isEval).select(col("vec_id"), col("emb").as("embedding")),
+        e.filter(isEval).select(col("vec_id"), col("emb").as("embedding")),
+        "vec_id",
+        "embedding",
+        threshold = 0.4
+      )
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val ref = e
+      .filter(!isEval)
+      .crossJoin(broadcast(
+        e.filter(isEval)
+          .select(col("vec_id").as("eval_id"), col("emb").as("ev_emb"), col("nrm").as("ev_nrm"))))
+      .withColumn(
+        "cosine",
+        graft.functions.GraftFunctions.graft_dot(col("emb"), col("ev_emb")) / (col("nrm") * col("ev_nrm"))
+      )
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("eval_id"), col("cosine")), struct(col("cosine"), -col("eval_id"))).as("m"))
+      .collect()
+      .map(r => {
+        val m = r.getStruct(1)
+        (r.getLong(0), (m.getLong(0), m.getDouble(1), m.getDouble(1) >= 0.4))
+      })
+      .toMap
+    assert(viaOp == ref, "native argmax expression must equal the max_by reference decision-for-decision")
+    assert(viaOp.nonEmpty)
+  }
+
   test("decontam_fuzzy CLI verb writes the attributed report and the purged corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-decontam-fuzzy-cli").toString

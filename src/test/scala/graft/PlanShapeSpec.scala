@@ -618,4 +618,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"train side must never shuffle for a join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"candidacy is band-key equality, never all-pairs:\n$plan")
   }
+
+  test("q135: semantic decontam is an argmax expression + one broadcast join — no pair rows") {
+    // The eval matrix rides as ArgmaxCosine constructor state, so the
+    // only join in the plan is the single broadcast equi-join fetching
+    // the winning eval row — never a cross join materializing
+    // (train × eval) embedding-pair rows, never a sort-merge.
+    val plan = planOf(queries.VectorQueries.q135SemanticDecontam(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"the winning-row fetch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the train side must never shuffle for a join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no (train × eval) pair rows:\n$plan")
+  }
 }
