@@ -745,14 +745,30 @@ object Dedup {
       idCol: String,
       embCol: String,
       threshold: Double = 0.5
-  ): DataFrame = {
-    graft.functions.GraftFunctions.register(train.sparkSession)
+  ): DataFrame =
+    semanticProbe(evalVecs, idCol, embCol, threshold)(train)
+
+  /** [[decontamSemantic]] with the eval matrix resolved ONCE — returns
+    * the probe as a closure a long-running consumer applies per batch:
+    * the collected matrix (the argmax constructor state) and the pinned
+    * winning-row table are built here and reused across every
+    * application, so a stream gate pays the eval collect exactly once
+    * at stream start (the family's pinned-benchmark discipline).
+    */
+  def semanticProbe(
+      evalVecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double = 0.5
+  ): DataFrame => DataFrame = {
+    graft.functions.GraftFunctions.register(evalVecs.sparkSession)
     def normed(df: DataFrame, outId: String): DataFrame = {
       val emb = col(embCol).cast("array<double>")
       df.select(col(idCol).as(outId), emb.as("emb"))
         .withColumn("nrm", sqrt(graft.functions.GraftFunctions.graft_dot(col("emb"), col("emb"))))
     }
-    val evRows = normed(evalVecs, "best_eval_id")
+    val evPinned = normed(evalVecs, "best_eval_id").localCheckpoint()
+    val evRows = evPinned
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
@@ -760,28 +776,29 @@ object Dedup {
     evRows.foreach { case (id, _, n) =>
       require(n > 0.0, s"zero-norm eval embedding $idCol=$id — its cosine is NaN and never wins")
     }
-    val evDf = normed(evalVecs, "best_eval_id")
+    val evDf = evPinned
       .select(col("best_eval_id"), col("emb").as("ev_emb"), col("nrm").as("ev_nrm"))
-    normed(train, idCol)
-      .withColumn(
-        "best_eval_id",
-        when(
-          col("nrm") > 0,
-          graft.functions.GraftFunctions.graft_argmax_cos(
-            col("emb"),
-            col("nrm"),
-            evRows.map(_._1).toSeq,
-            evRows.map(_._2).toSeq,
-            evRows.map(_._3).toSeq
-          )
-        ).otherwise(raise_error(concat(lit(s"zero-norm embedding $idCol="), col(idCol).cast("string"))))
-      )
-      .join(broadcast(evDf), Seq("best_eval_id"))
-      .withColumn(
-        "best_cosine",
-        graft.functions.GraftFunctions.graft_dot(col("emb"), col("ev_emb")) / (col("nrm") * col("ev_nrm"))
-      )
-      .withColumn("contaminated", col("best_cosine") >= threshold)
-      .select(col(idCol), col("best_eval_id"), col("best_cosine"), col("contaminated"))
+    (train: DataFrame) =>
+      normed(train, idCol)
+        .withColumn(
+          "best_eval_id",
+          when(
+            col("nrm") > 0,
+            graft.functions.GraftFunctions.graft_argmax_cos(
+              col("emb"),
+              col("nrm"),
+              evRows.map(_._1).toSeq,
+              evRows.map(_._2).toSeq,
+              evRows.map(_._3).toSeq
+            )
+          ).otherwise(raise_error(concat(lit(s"zero-norm embedding $idCol="), col(idCol).cast("string"))))
+        )
+        .join(broadcast(evDf), Seq("best_eval_id"))
+        .withColumn(
+          "best_cosine",
+          graft.functions.GraftFunctions.graft_dot(col("emb"), col("ev_emb")) / (col("nrm") * col("ev_nrm"))
+        )
+        .withColumn("contaminated", col("best_cosine") >= threshold)
+        .select(col(idCol), col("best_eval_id"), col("best_cosine"), col("contaminated"))
   }
 }

@@ -399,6 +399,14 @@ object Pipeline {
   * pair-attributed near-dup gate: the same stream shape, reporting
   * LSH-candidate eval items and verified whole-set Jaccard per
   * arriving doc), and
+  * `--maintenance decontam_semantic --train T --eval E --out O
+  * [--threshold X] [--purged P]` (the embedding tier: per train
+  * vector, its best-cosine eval match and verdict — both parquets
+  * need (vec_id, embedding); same --purged contract), and
+  * `--maintenance decontam_semantic_stream --raw R --eval E --out O
+  * --checkpoint C [--threshold X]` (the embedding tier's ingest gate
+  * over {"vec_id","embedding"} JSON files, eval matrix collected once
+  * at stream start), and
   * `--maintenance build_vocab --docs D --out O [--parts N]` (freeze
   * the dense-id token dictionary from a corpus — the id space
   * integer exports encode under), and
@@ -1021,6 +1029,45 @@ object PipelineRunner {
           println(s"[maintenance] decontam_fuzzy: kept $k train docs into $p")
         }
         println(s"[maintenance] decontam_fuzzy: $n band-colliding train docs reported at $out")
+      case Some("decontam_semantic") =>
+        // The embedding tier (Dedup.decontamSemantic): per train
+        // vector, its best-cosine eval match and verdict. Both
+        // parquets need (vec_id, embedding); same --purged anti-join
+        // contract as the lexical tiers.
+        val trainPath = opts.getOrElse("train", sys.error("--train <parquet dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        val train = spark.read.parquet(trainPath)
+        val report = graft.operators.Dedup
+          .decontamSemantic(train, spark.read.parquet(evalPath), "vec_id", "embedding", threshold)
+          .localCheckpoint() // one computation serves the report write AND the purge anti-join
+        val n = Pipeline.writeCounted(report, out)
+        opts.get("purged").foreach { p =>
+          val kept = train.join(
+            report.filter(org.apache.spark.sql.functions.col("contaminated"))
+              .select(org.apache.spark.sql.functions.col("vec_id")),
+            Seq("vec_id"),
+            "left_anti"
+          )
+          val k = Pipeline.writeCounted(kept, p)
+          println(s"[maintenance] decontam_semantic: kept $k train vectors into $p")
+        }
+        println(s"[maintenance] decontam_semantic: $n train vectors audited at $out")
+      case Some("decontam_semantic_stream") =>
+        // The embedding tier's ingest gate
+        // (StreamingPipeline.decontamSemanticStream): per arriving
+        // embedding JSON file, each vector's best-cosine eval match as
+        // batch-keyed telemetry. JSON shape: {"vec_id","embedding"}.
+        val raw = opts.getOrElse("raw", sys.error("--raw <json dir> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <telemetry dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val threshold = opts.getOrElse("threshold", "0.5").toDouble
+        graft.streaming.StreamingPipeline
+          .decontamSemanticStream(spark, raw, evalPath, out, ckpt, threshold)
+          .awaitTermination()
+        println(s"[maintenance] decontam semantic stream drained $raw into $out")
       case Some("retire_packs") =>
         // APPLY decontamination to an already-emitted pack space:
         // map the contaminated doc ids (--contam: a decontaminate

@@ -975,6 +975,42 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding tier's ingest
+    * gate: per arriving embedding file (`{"vec_id","embedding"}`
+    * JSON), each vector's best-cosine eval match and verdict as
+    * batch-keyed telemetry, same exactly-once shape as the other
+    * gates. The eval matrix is collected ONCE at stream start into
+    * the probe closure ([[graft.operators.Dedup.semanticProbe]]) —
+    * micro-batches rerun only their own compiled argmax loop, never
+    * the eval collect.
+    */
+  def decontamSemanticStream(
+      spark: SparkSession,
+      rawDir: String,
+      evalPath: String,
+      outDir: String,
+      checkpoint: String,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val probe = graft.operators.Dedup
+      .semanticProbe(spark.read.parquet(evalPath), "vec_id", "embedding", threshold)
+    spark.readStream
+      .schema(graft.schemas.Schemas.embeddingIngest)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          probe(batch.select(col("vec_id"), col("embedding")))
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The curation→packing CHAIN consumer: tail a [[curateIngestStream]]
     * (or `curate_ingest` CLI) corpus' batch-keyed parquet partitions
     * and lay each newly accepted file out after everything already

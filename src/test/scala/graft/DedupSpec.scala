@@ -282,6 +282,30 @@ class DedupSpec extends AnyFunSuite {
     assert(viaOp.nonEmpty)
   }
 
+  test("decontam_semantic CLI verb writes the audit and the purged vectors") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-decontam-sem-cli").toString
+    Seq((1L, Seq(1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding").write.parquet(s"$root/train")
+    Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding").write.parquet(s"$root/eval")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontam_semantic",
+        "--train", s"$root/train",
+        "--eval", s"$root/eval",
+        "--out", s"$root/report",
+        "--threshold", "0.9",
+        "--purged", s"$root/purged"
+      ),
+      spark
+    )
+    val report = spark.read.parquet(s"$root/report")
+    assert(report.count() == 2L, "the audit reports every train vector")
+    assert(report.filter(col("contaminated")).select("vec_id").as[Long].collect().toSeq == Seq(1L))
+    val kept = spark.read.parquet(s"$root/purged").select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("decontam_fuzzy CLI verb writes the attributed report and the purged corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-decontam-fuzzy-cli").toString

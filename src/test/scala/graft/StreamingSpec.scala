@@ -1384,4 +1384,57 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(s"$root/telemetry").count() == before)
   }
+
+  test("decontam semantic stream: per-file best-cosine telemetry against the pinned eval matrix") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-decontam-sem-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    Seq((100L, Seq(1.0, 0.0, 0.0)), (200L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .write
+      .parquet(s"$root/eval")
+    def run(): Unit = graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decontam_semantic_stream",
+        "--raw", raw,
+        "--eval", s"$root/eval",
+        "--out", s"$root/telemetry",
+        "--checkpoint", s"$root/ckpt",
+        "--threshold", "0.9"
+      ),
+      spark
+    )
+    // file 1: vec 1 copies eval 100 (cos 1.0), vec 2 is orthogonal to both
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      s"""{"vec_id":1,"embedding":[1.0,0.0,0.0]}
+         |{"vec_id":2,"embedding":[0.0,0.0,1.0]}""".stripMargin
+    )
+    run()
+    // file 2: vec 3 copies eval 200
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      s"""{"vec_id":3,"embedding":[0.0,1.0,0.0]}""".stripMargin
+    )
+    run()
+    val tel = spark.read
+      .option("basePath", s"$root/telemetry")
+      .parquet(s"$root/telemetry")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("vec_id"),
+          (r.getAs[Long]("best_eval_id"), r.getAs[Double]("best_cosine"),
+            r.getAs[Boolean]("contaminated"), r.getAs[Number]("ingest_batch").longValue)))
+      .toMap
+    assert(tel.keySet == Set(1L, 2L, 3L), "the audit reports every arriving vector")
+    assert(tel(1L)._1 == 100L && tel(1L)._2 == 1.0 && tel(1L)._3)
+    assert(tel(2L)._1 == 100L && tel(2L)._2 == 0.0 && !tel(2L)._3, "orthogonal ties to smaller id, clean")
+    assert(tel(3L)._1 == 200L && tel(3L)._2 == 1.0 && tel(3L)._3)
+    assert(tel(1L)._4 == tel(2L)._4 && tel(1L)._4 != tel(3L)._4, "each file under its own batch id")
+    // drained restart: no new files, no new partitions
+    val before = spark.read.parquet(s"$root/telemetry").count()
+    run()
+    assert(spark.read.parquet(s"$root/telemetry").count() == before)
+  }
 }
