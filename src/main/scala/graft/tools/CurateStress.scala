@@ -90,6 +90,11 @@ object CurateStress {
         args.lift(3).map(_.toInt).getOrElse(16),
         args.lift(4).map(_.toInt).getOrElse(4)
       )
+    else if (args.headOption.contains("semantic"))
+      semanticStress(
+        args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toLong).getOrElse(1000L)
+      )
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -474,6 +479,75 @@ object CurateStress {
     require(exactStats.getDouble(0) == 1.0, "an exact copy verifies at J = 1.0")
     require(exactStats.getLong(1) >= 1L, "an exact copy attributes >= 1 eval item")
     require(nCleanFlagged == 0L, s"verification must kill chance collisions, flagged $nCleanFlagged clean docs")
+  }
+
+  /** `semantic [nTrain] [nEval]` — the embedding tier
+    * ([[graft.operators.Dedup.decontamSemantic]]) at corpus scale,
+    * dim 64. Planted classes against deterministic hash-derived eval
+    * vectors: every 100th train vector is an EXACT copy of eval
+    * id%nEval (cos = 1), every (100k+50)th is a NOISED copy
+    * (ev + 0.4·g → cos ≈ 0.93 — the paraphrase stand-in), the rest
+    * are independent hash vectors whose best cosine concentrates near
+    * 0 with a ~(1−t²)^((d−2)/2) tail — vanishing at the 0.85 gate
+    * even over 10¹⁰ pairs, so the clean-flagged tripwire is exact.
+    * Generator trap, documented so nobody reintroduces it: Spark's
+    * `hash` chains its arguments, so components built as
+    * hash(salt, id, d) share the 32-bit chain state after (salt, id)
+    * — ONE prefix collision between a clean id and an eval id makes
+    * all 64 components IDENTICAL (expected ≈2 over 10⁶×10⁴ id
+    * pairs; two cos=1.0 "chance" hits were measured before the fix).
+    * Folding the component index in BEFORE the id — hash(salt, d,
+    * id) — keeps collisions per-component (2⁻³² each, never all
+    * 64). Both planted classes must flag AND attribute their true
+    * eval id (nothing else can beat cos 0.93 when every cross pair
+    * sits under the gate).
+    */
+  private def semanticStress(nTrain: Long, nEval: Long): Unit = {
+    val spark = StressUtil.session()
+    val dim = 64
+    def vec(seed: org.apache.spark.sql.Column, salt: Int) =
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        d => hash(lit(salt), d, seed).cast("double") / 2147483647.0
+      )
+    val evalVecs = spark
+      .range(nEval)
+      .select(col("id").as("vec_id"), vec(col("id"), 1).as("embedding"))
+    val train = spark
+      .range(nTrain)
+      .select(
+        col("id").as("vec_id"),
+        when(col("id") % 100 === 0, vec(col("id") % nEval, 1))
+          .when(
+            col("id") % 100 === 50,
+            zip_with(vec(col("id") % nEval, 1), vec(col("id"), 2), (a, b) => a + lit(0.4) * b)
+          )
+          .otherwise(vec(col("id"), 3))
+          .as("embedding")
+      )
+    val (report, t) = StressUtil.timed {
+      graft.operators.Dedup
+        .decontamSemantic(train, evalVecs, "vec_id", "embedding", threshold = 0.85)
+        .localCheckpoint()
+    }
+    val flagged = report.filter(col("contaminated")).localCheckpoint()
+    val nExact = flagged.filter(col("vec_id") % 100 === 0).count()
+    val nNoised = flagged.filter(col("vec_id") % 100 === 50).count()
+    val nClean = flagged.count() - nExact - nNoised
+    val expectExact = (nTrain + 99) / 100
+    val expectNoised = if (nTrain > 50) (nTrain - 50 + 99) / 100 else 0L
+    val misattributed = flagged
+      .filter(col("best_eval_id") =!= col("vec_id") % nEval)
+      .count()
+    println(
+      f"semantic: $nTrain%d train vs $nEval%d eval vectors (dim $dim%d) audited in $t%.1f s; " +
+        f"exact $nExact%d/$expectExact%d, noised (cos~0.93) $nNoised%d/$expectNoised%d, " +
+        f"clean flagged $nClean%d, misattributed $misattributed%d"
+    )
+    require(nExact == expectExact, s"exact copies must all flag: $nExact/$expectExact")
+    require(nNoised == expectNoised, s"noised copies must all flag: $nNoised/$expectNoised")
+    require(nClean == 0L, s"chance cosine must stay under the gate, flagged $nClean clean vectors")
+    require(misattributed == 0L, s"every flagged vector must attribute its true eval id, $misattributed wrong")
   }
 
   private def pack(corpusDir: String, nBatches: Int, rows: Int): Unit = {
