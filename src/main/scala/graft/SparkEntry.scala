@@ -154,7 +154,10 @@ object SparkEntry {
     "q132_retire_packs" -> (TextQueries.q132RetirePacks _),
     "q133_fuzzy_decontam" -> (TextQueries.q133FuzzyDecontam _),
     "q134_mask_intervals" -> (TextQueries.q134MaskIntervals _),
-    "q135_semantic_decontam" -> (VectorQueries.q135SemanticDecontam _)
+    "q135_semantic_decontam" -> (VectorQueries.q135SemanticDecontam _),
+    "q136_resume_slice" -> (TextQueries.q136ResumeSlice _),
+    "q137_temperature_mix" -> (TextQueries.q137TemperatureMix _),
+    "q138_pack_efficiency" -> (TextQueries.q138PackEfficiency _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2112,7 +2115,61 @@ object SparkEntry {
         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(tr.emb, ev.ev_emb), p -> p[1]*p[2])), (x,y) -> x+y) / (tr.nrm * ev.ev_nrm) DESC,
         |      ev.eval_id ASC) AS rk
         |  FROM tr, ev)
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+    // q136: loader resume — the q121 schedule flattened epoch-major
+    // (global_ord = epoch·ppe + ord) and filtered to the not-yet-
+    // consumed tail; consumed = (ppe // 8) · 4 (steps of 4 packs,
+    // interrupted halfway through epoch 0 — derived from the pack
+    // space so the cut is mid-epoch at every SF).
+    "q136_resume_slice" ->
+      """WITH b AS (SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |np AS (SELECT (CAST(sum(n_toks) AS BIGINT) + 2047) // 2048 AS n FROM b),
+        |packs AS (SELECT unnest(range((SELECT n FROM np))) AS pack_id),
+        |k AS (SELECT e.epoch, p.pack_id,
+        |    md5('ord1:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(p.pack_id AS VARCHAR)) AS key
+        |  FROM (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch) e, packs p),
+        |s AS (SELECT epoch,
+        |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, pack_id) - 1 AS BIGINT) AS ord,
+        |    pack_id
+        |  FROM k),
+        |g AS (SELECT epoch, ord, pack_id, epoch * (SELECT n FROM np) + ord AS global_ord FROM s)
+        |SELECT epoch, ord, pack_id, global_ord FROM g
+        |WHERE global_ord >= ((SELECT n FROM np) // 8) * 4""".stripMargin,
+    // q137: temperature mixture (alpha = 0.5) — per-source token totals
+    // and the p^alpha weight / repeat factor vs the largest source as
+    // micro-ints; sqrt and division are IEEE-exact-rounded, so the
+    // floor(1e6·…) values are bit-identical across engines.
+    "q137_temperature_mix" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(n) AS BIGINT) AS tok_total
+        |  FROM t GROUP BY source),
+        |m AS (SELECT max(tok_total) AS mx FROM g)
+        |SELECT source, n_items, tok_total,
+        |  CAST(floor(1000000.0 * (sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)))) AS BIGINT) AS w_micro,
+        |  CAST(floor(1000000.0 * (sqrt(CAST(mx AS DOUBLE)) / sqrt(CAST(tok_total AS DOUBLE)))) AS BIGINT) AS repeat_micro
+        |FROM g, m""".stripMargin,
+    // q138: pack-space efficiency — per source, the q113 stratified
+    // stream's tail-pack waste and the integer-exact wasted-compute
+    // fraction (interior packs are full by construction, so waste =
+    // n_packs·budget − total, all in the tail).
+    "q138_pack_efficiency" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_toks
+        |  FROM t GROUP BY source),
+        |p AS (SELECT source, n_docs, total_toks,
+        |    (total_toks + 2047) // 2048 AS n_packs
+        |  FROM g)
+        |SELECT source, n_docs, total_toks, n_packs,
+        |  n_packs * 2048 - total_toks AS tail_waste,
+        |  (1000000 * (n_packs * 2048 - total_toks)) // (n_packs * 2048) AS waste_micro
+        |FROM p""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -975,4 +975,146 @@ object Packing {
       }
     }
   }
+
+  /** Loader RESUME arithmetic over an [[epochOrder]] schedule: a
+    * trainer that consumed `globalStep` optimizer steps of `batchSize`
+    * packs each (epoch-major order — epoch 0's ords first, then epoch
+    * 1's, ...) restarts from the REMAINING slice of the schedule,
+    * without re-deriving or re-shuffling anything. Output = the
+    * not-yet-consumed schedule rows annotated with `global_ord`
+    * (position in the flattened multi-epoch walk); the minimum
+    * `global_ord` row is the resume point, and `(global_ord -
+    * consumed) div batchSize` is each row's step index relative to the
+    * restart.
+    *
+    * Scale shape: one bounded agg (per-epoch max ord — O(epochs) rows
+    * collected, with a uniformity `require`: every epoch must rank the
+    * same survivor set, which [[epochOrder]] guarantees because the
+    * retirement mask is epoch-independent) and then a FILTER + integer
+    * projection over the schedule — no shuffle, no window, no text.
+    * The schedule itself is O(epochs × nPacks) rows; the slice is a
+    * pruned scan of it, so a restart at step k costs the same whether
+    * the run crashed at 1% or 99%.
+    */
+  def resumeSlice(schedule: DataFrame, globalStep: Long, batchSize: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(globalStep >= 0, s"globalStep must be non-negative, got $globalStep")
+    // Bounded collect: one (epoch, max ord) row per epoch.
+    val perEpoch = schedule
+      .groupBy(col("epoch"))
+      .agg(max(col("ord")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(perEpoch.nonEmpty, "resumeSlice: empty schedule")
+    val ppes = perEpoch.map(_._2).distinct
+    require(
+      ppes.length == 1,
+      s"resumeSlice: epochs rank different pack counts (max ords ${ppes.sorted.mkString(",")}) — " +
+        "a valid epochOrder schedule ranks the same survivor set in every epoch"
+    )
+    val ppe = ppes.head + 1L
+    val epochs = perEpoch.length.toLong
+    val consumed = globalStep * batchSize
+    require(
+      consumed <= epochs * ppe,
+      s"resumeSlice: globalStep × batchSize = $consumed exceeds the schedule's " +
+        s"${epochs * ppe} packs (${epochs} epochs × $ppe)"
+    )
+    schedule
+      .withColumn("global_ord", col("epoch") * ppe + col("ord"))
+      .filter(col("global_ord") >= consumed)
+      .select(col("epoch"), col("ord"), col("pack_id"), col("global_ord"))
+  }
+
+  /** TEMPERATURE-scaled mixture weights (the multilingual/multi-domain
+    * sampling-rate control, Conneau & Lample 2019 style): given
+    * per-item token counts and a group column, compute each group's
+    * sampling weight under p_i^α relative to the LARGEST group. With
+    * the default α = 0.5 every arithmetic step is IEEE-exact-rounded
+    * (`sqrt`, one division, one multiply, `floor`), so the micro-int
+    * outputs are bit-stable across engines — the declared-query /
+    * oracle discipline. For any other α the `pow` path is used and the
+    * result is correct to double precision but NOT guaranteed
+    * bit-identical across math libraries (analysis use, not
+    * oracle-hash use).
+    *
+    * Output per group: `n_items`, `tok_total`,
+    * `w_micro   = floor(1e6 · (tok/tok_max)^α)` — relative sampling
+    * weight, 1e6 for the largest group — and
+    * `repeat_micro = floor(1e6 · (tok_max/tok)^α)` — the upsampling
+    * (epoch-repeat) factor that equalizes the mixture toward the
+    * temperature target, 1e6 for the largest group and growing as a
+    * group shrinks (α < 1 upsamples small groups sub-linearly: the
+    * standard fix for low-resource domains being crowded out without
+    * letting them dominate).
+    *
+    * Scale shape: ONE hash agg over the input (O(rows) → O(groups)),
+    * a bounded 1-row max, and per-group scalar math. The input can be
+    * a raw corpus (tokCol = computed length) or a pack/layout manifest
+    * (tokCol = n_toks) — at 100 TB feed it the manifest, never re-read
+    * text.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      tokCol: Column,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val totals = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(tokCol.cast("long")).as("tok_total"))
+    val mx = totals.agg(max(col("tok_total"))).head().getLong(0)
+    val (wNum, rNum): (Column, Column) =
+      if (alpha == 0.5)
+        (
+          sqrt(col("tok_total").cast("double")) / sqrt(lit(mx.toDouble)),
+          sqrt(lit(mx.toDouble)) / sqrt(col("tok_total").cast("double"))
+        )
+      else
+        (
+          pow(col("tok_total").cast("double") / lit(mx.toDouble), lit(alpha)),
+          pow(lit(mx.toDouble) / col("tok_total").cast("double"), lit(alpha))
+        )
+    totals.select(
+      col(groupCol),
+      col("n_items"),
+      col("tok_total"),
+      floor(lit(1000000.0d) * wNum).cast("long").as("w_micro"),
+      floor(lit(1000000.0d) * rNum).cast("long").as("repeat_micro")
+    )
+  }
+
+  /** Pack-space EFFICIENCY audit — the padding/waste accounting a
+    * trainer's telemetry reads per mixture group: under concat-then-
+    * chunk packing each group's stream fills every pack completely
+    * except its LAST (domain-pure pack spaces never pad interior
+    * packs — that is the point of packing), so the whole group wastes
+    * exactly `n_packs·budget − total_toks` positions, all in the tail
+    * pack. `waste_micro = floor(1e6 · waste / (n_packs·budget))` is
+    * the integer-exact wasted-compute fraction (waste < budget, so the
+    * 1e6 product never overflows no matter the corpus size — the
+    * fraction is computed from the REMAINDER, not from 1e6·total).
+    *
+    * Input: a [[layoutBy]] layout (per-group streams from offset 0) or
+    * a [[layout]] one (pass `groupCols = Nil` → one global row). Scale
+    * shape: one hash agg over the manifest (O(docs) rows, no text),
+    * output O(groups). A mixture schedule uses this to pick budget /
+    * stratification granularity: many tiny groups → tail waste
+    * dominates; one global stream → zero waste but no domain purity.
+    */
+  def packEfficiency(lay: DataFrame, budget: Long, groupCols: Seq[String]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val grouped =
+      if (groupCols.isEmpty) lay.groupBy()
+      else lay.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+      .withColumn("n_packs", expr(s"(total_toks + ${budget - 1}) div $budget"))
+      .withColumn("tail_waste", col("n_packs") * budget - col("total_toks"))
+      .withColumn(
+        "waste_micro",
+        expr(s"(1000000 * tail_waste) div (n_packs * $budget)")
+      )
+  }
 }

@@ -441,6 +441,18 @@ object Pipeline {
   * `--maintenance pack_boundaries --manifests M --out O [--budget T]`
   * (the per-pack segment/boundary side-file — attention-reset
   * metadata from pure manifest arithmetic), and
+  * `--maintenance pack_resume --schedule S --out O --step N --batch B`
+  * (loader restart: the not-yet-consumed epoch-major tail of a
+  * pack_epochs schedule after N optimizer steps of B packs — a filter
+  * over the schedule, manifest-sized at any corpus scale), and
+  * `--maintenance mixture_weights --manifests M --group_col G --out O
+  * [--alpha A]` (temperature-scaled sampling weights per group from
+  * the manifest's n_toks — p^alpha vs the largest group as
+  * micro-ints; alpha 0.5 is the IEEE-exact oracle-stable path), and
+  * `--maintenance pack_efficiency --manifests M --out O [--budget T]
+  * [--group_col G]` (per-group tail-pack waste + integer-exact
+  * wasted-compute fraction — the padding telemetry a mixture schedule
+  * reads when sizing budget/stratification), and
   * `--maintenance pack_curated_stream --curated C --state S --out O
   * --checkpoint K [--budget T] [--shards N]` (the curation→packing
   * chain consumer: tail a curated corpus' batch partitions into pack
@@ -1310,6 +1322,54 @@ object PipelineRunner {
           .boundaries(spark.read.parquet(manifests), "doc_id", budget)
         val n = Pipeline.writeCounted(b, out)
         println(s"[maintenance] pack boundaries: $n segment rows from $manifests into $out")
+      case Some("pack_resume") =>
+        // Loader restart arithmetic (Packing.resumeSlice): the
+        // not-yet-consumed tail of a pack_epochs schedule after
+        // --step optimizer steps of --batch packs each — a filter over
+        // the schedule, so restart cost is manifest-sized at any
+        // corpus scale.
+        val schedDir = opts.getOrElse("schedule", sys.error("--schedule <pack_epochs dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val step = opts.getOrElse("step", sys.error("--step <global step> required")).toLong
+        val batch = opts.getOrElse("batch", sys.error("--batch <packs per step> required")).toLong
+        val slice = graft.operators.Packing
+          .resumeSlice(spark.read.parquet(schedDir), step, batch)
+        val n = Pipeline.writeCounted(slice, out)
+        println(
+          s"[maintenance] resume slice: $n remaining schedule rows after step $step " +
+            s"(x$batch packs) from $schedDir into $out"
+        )
+      case Some("mixture_weights") =>
+        // Temperature-scaled mixture weights (Packing.temperatureWeights)
+        // over a stratified manifest's n_toks — per group, the p^alpha
+        // sampling weight / repeat factor vs the largest group as
+        // micro-ints. Manifest-fed: never re-reads text.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val groupCol = opts.getOrElse("group_col", sys.error("--group_col <column> required"))
+        val alpha = opts.getOrElse("alpha", "0.5").toDouble
+        val w = graft.operators.Packing.temperatureWeights(
+          spark.read.parquet(manifests),
+          groupCol,
+          org.apache.spark.sql.functions.col("n_toks"),
+          alpha
+        )
+        val n = Pipeline.writeCounted(w, out)
+        println(s"[maintenance] mixture weights: $n $groupCol rows (alpha=$alpha) from $manifests into $out")
+      case Some("pack_efficiency") =>
+        // Pack-space waste accounting (Packing.packEfficiency): per
+        // group (or globally), the tail-pack waste and integer-exact
+        // wasted-compute fraction — one agg over the manifest.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val budget = resolveBudget(spark, manifests, opts)
+        val eff = graft.operators.Packing.packEfficiency(
+          spark.read.parquet(manifests),
+          budget,
+          opts.get("group_col").toSeq
+        )
+        val n = Pipeline.writeCounted(eff, out)
+        println(s"[maintenance] pack efficiency: $n group rows (budget=$budget) from $manifests into $out")
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir
         // whose partitions accumulate one file per ingest batch (the

@@ -2373,4 +2373,68 @@ object TextQueries {
       threshold = 0.5
     )
   }
+
+  /** Loader RESUME slice ([[graft.operators.Packing.resumeSlice]]):
+    * the q121 two-epoch schedule consumed epoch-major in steps of 4
+    * packs, interrupted halfway through epoch 0 — the output is the
+    * remaining schedule with each row's flattened `global_ord`. The
+    * interruption point is derived from the pack space itself
+    * (`steps = ppe div (2·batch)`, so the query exercises a genuine
+    * mid-epoch restart at every SF); the head row of the slice is the
+    * resume point. Restart cost is a filter over the schedule — no
+    * shuffle, no window, no text — so resuming a 100 TB run at step k
+    * reads manifests only.
+    */
+  def q136ResumeSlice(spark: SparkSession, dir: String): DataFrame = {
+    val man = graft.operators.Packing
+      .manifest(packingLayout(spark, dir, nShards = 8), "doc_id", 2048L)
+    val sched = graft.operators.Packing.epochOrder(man, epochs = 2, seed = "ord1")
+    val ppe = sched.agg(max(col("ord"))).head().getLong(0) + 1L
+    val batch = 4L
+    graft.operators.Packing.resumeSlice(sched, globalStep = ppe / (2L * batch), batchSize = batch)
+  }
+
+  /** Temperature-scaled mixture weights
+    * ([[graft.operators.Packing.temperatureWeights]], α = 0.5): per
+    * source, its whitespace-token total and the p^α sampling weight /
+    * upsampling repeat factor relative to the largest source, as
+    * IEEE-exact micro-ints (`sqrt` and division are correctly rounded,
+    * so `floor(1e6·…)` is bit-stable across engines — the property
+    * that makes this α oracle-hashable). The mixture-control
+    * counterpart of q118's hard quotas: q118 meters exact token counts
+    * per domain, this sets the RATES a sampler draws domains at so
+    * low-resource sources are upsampled sub-linearly (α < 1) instead
+    * of crowded out. One hash agg over the corpus (manifest-ready at
+    * 100 TB: feed it n_toks from the layout instead of text).
+    */
+  def q137TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.temperatureWeights(
+      docs(spark, dir).select(col("source"), col("text")),
+      "source",
+      size(split(col("text"), "\\s+")).cast("long"),
+      alpha = 0.5
+    )
+
+  /** Pack-space efficiency audit
+    * ([[graft.operators.Packing.packEfficiency]]) over the q113
+    * stratified layout: per source, how many positions its domain-pure
+    * pack space wastes (all in the tail pack — interior packs are full
+    * by construction) and the integer-exact wasted-compute fraction.
+    * The telemetry a mixture schedule reads when choosing budget /
+    * stratification granularity: finer strata buy domain purity at
+    * O(groups·budget) total tail waste. One hash agg over the layout
+    * manifest — no text, output O(sources).
+    */
+  def q138PackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packEfficiency(
+      graft.operators.Packing.layoutBy(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "doc_id",
+        "text",
+        "source",
+        nShards = 8
+      ),
+      budget = 2048L,
+      groupCols = Seq("source")
+    )
 }

@@ -1248,4 +1248,155 @@ class PackingSpec extends AnyFunSuite {
     val b = spark.read.parquet(s"$root/slices_exp").collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  // ---- resumeSlice ----
+
+  private def schedule3(): (DataFrame, Seq[(Long, Long, Long)]) = {
+    val lay = Packing.layout(corpus(0 until 60), "doc_id", "text", nShards = 4)
+    val man = Packing.manifest(lay, "doc_id", 16L)
+    val sched = Packing.epochOrder(man, epochs = 3, seed = "rs")
+    val flat = sched
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+      .sortBy(t => (t._1, t._2))
+    (sched, flat)
+  }
+
+  test("resumeSlice: the slice is exactly the epoch-major tail; head is the resume point") {
+    val (sched, flat) = schedule3()
+    val ppe = flat.count(_._1 == 0L).toLong
+    assert(ppe >= 8, s"fixture too small: ppe=$ppe")
+    val batch = 3L
+    val step = (ppe + 2L) / batch // lands mid-epoch-0 or early epoch 1
+    val got = Packing
+      .resumeSlice(sched, globalStep = step, batchSize = batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toIndexedSeq
+      .sortBy(_._4)
+    val consumed = step * batch
+    val want = flat.zipWithIndex
+      .drop(consumed.toInt)
+      .map { case ((e, o, p), i) => (e, o, p, i.toLong) }
+    assert(got == want, "resume slice must be the not-yet-consumed epoch-major tail")
+    assert(got.head._4 == consumed, "head of the slice is the resume point")
+  }
+
+  test("resumeSlice: step 0 returns the whole schedule; consuming everything returns empty") {
+    val (sched, flat) = schedule3()
+    val total = flat.length.toLong
+    assert(Packing.resumeSlice(sched, 0L, 7L).count() == total)
+    // total is 3·ppe; pick batch dividing it exactly
+    assert(Packing.resumeSlice(sched, total, 1L).count() == 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Packing.resumeSlice(sched, total + 1L, 1L)
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
+  test("resumeSlice: a schedule whose epochs rank different pack counts fails loudly") {
+    val bad = Seq((0L, 0L, 0L), (0L, 1L, 1L), (1L, 0L, 1L)).toDF("epoch", "ord", "pack_id")
+    val ex = intercept[IllegalArgumentException] {
+      Packing.resumeSlice(bad, 0L, 1L)
+    }
+    assert(ex.getMessage.contains("different pack counts"))
+  }
+
+  test("resumeSlice composes with the retirement mask: resumed walk never visits a retired pack") {
+    val lay = Packing.layout(corpus(0 until 60), "doc_id", "text", nShards = 4)
+    val man = Packing.manifest(lay, "doc_id", 16L)
+    val mask = Seq((1L, true), (3L, true), (2L, false)).toDF("pack_id", "retired")
+    val sched = Packing.epochOrder(man, epochs = 2, seed = "rsm", mask = Some(mask))
+    val slice = Packing.resumeSlice(sched, globalStep = 1L, batchSize = 2L)
+    val packs = slice.select("pack_id").collect().map(_.getLong(0)).toSet
+    assert(!packs.contains(1L) && !packs.contains(3L))
+  }
+
+  // ---- temperatureWeights ----
+
+  test("temperatureWeights alpha=0.5: micro-ints equal the IEEE-exact mirror; largest group is 1e6/1e6") {
+    val df = Seq(
+      ("web", 100L), ("web", 300L), // 400
+      ("code", 100L), // 100
+      ("books", 25L) // 25
+    ).toDF("source", "n_toks")
+    val got = Packing
+      .temperatureWeights(df, "source", col("n_toks"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def wMicro(t: Long, mx: Long): Long =
+      math.floor(1000000.0 * (math.sqrt(t.toDouble) / math.sqrt(mx.toDouble))).toLong
+    def rMicro(t: Long, mx: Long): Long =
+      math.floor(1000000.0 * (math.sqrt(mx.toDouble) / math.sqrt(t.toDouble))).toLong
+    assert(got("web") == ((2L, 400L, 1000000L, 1000000L)))
+    assert(got("code") == ((1L, 100L, wMicro(100, 400), rMicro(100, 400))))
+    assert(got("books") == ((1L, 25L, wMicro(25, 400), rMicro(25, 400))))
+    // sqrt scaling: a 4x smaller source is upsampled exactly 2x
+    assert(got("code")._4 == 2000000L)
+    assert(got("books")._4 == 4000000L)
+  }
+
+  test("temperatureWeights: general-alpha path matches a Math.pow mirror; alpha=1 is the natural mixture") {
+    val df = Seq(("a", 800L), ("b", 200L), ("c", 50L)).toDF("g", "t")
+    val got = Packing
+      .temperatureWeights(df, "g", col("t"), alpha = 1.0)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(3), r.getLong(4))))
+      .toMap
+    def mirror(t: Long): (Long, Long) = (
+      math.floor(1000000.0 * math.pow(t / 800.0, 1.0)).toLong,
+      math.floor(1000000.0 * math.pow(800.0 / t, 1.0)).toLong
+    )
+    assert(got("a") == mirror(800) && got("b") == mirror(200) && got("c") == mirror(50))
+    // alpha = 1: weight proportional to size (no re-tempering)
+    assert(got("b")._1 == 250000L && got("b")._2 == 4000000L)
+    val ex = intercept[IllegalArgumentException] {
+      Packing.temperatureWeights(df, "g", col("t"), alpha = 0.0)
+    }
+    assert(ex.getMessage.contains("alpha"))
+  }
+
+  // ---- packEfficiency ----
+
+  test("packEfficiency: per-group tail waste matches the manifest's pack count; interior packs are full") {
+    val df = corpus(0 until 50).withColumn(
+      "source",
+      when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b").otherwise("c")
+    )
+    val budget = 16L
+    val lay = Packing.layoutBy(df, "doc_id", "text", "source", nShards = 4)
+    val eff = Packing
+      .packEfficiency(lay, budget, Seq("source"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val totals = lay
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_toks").as("t"), max("end_tok").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(eff.keySet == totals.keySet)
+    for ((g, (nDocs, tot, mxEnd)) <- totals) {
+      val (gn, gt, gp, gw, gwm) = eff(g)
+      assert(gn == nDocs && gt == tot)
+      assert(tot == mxEnd, "layoutBy group stream must be gapless from 0")
+      val nPacks = (tot + budget - 1) / budget
+      assert(gp == nPacks)
+      assert(gw == nPacks * budget - tot && gw >= 0 && gw < budget, "all waste fits in the tail pack")
+      assert(gwm == (1000000L * gw) / (nPacks * budget))
+    }
+  }
+
+  test("packEfficiency: groupCols=Nil gives the single global row over a layout") {
+    val lay = Packing.layout(corpus(0 until 30), "doc_id", "text", nShards = 4)
+    val rows = Packing.packEfficiency(lay, 16L, Nil).collect()
+    assert(rows.length == 1)
+    val tot = lay.agg(sum("n_toks")).head().getLong(0)
+    val nPacks = (tot + 15L) / 16L
+    assert(rows(0).getLong(0) == 30L && rows(0).getLong(1) == tot && rows(0).getLong(2) == nPacks)
+    assert(rows(0).getLong(3) == nPacks * 16L - tot)
+  }
 }

@@ -630,4 +630,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"no (train × eval) pair rows:\n$plan")
   }
+
+  test("q136-q138: schedule/mixture arithmetic never plans a global window or sort-merge join") {
+    // q136 is a FILTER over the epoch schedule (epochOrder's windows
+    // are bucket-partitioned — q121's lock); q137 is two hash aggs;
+    // q138 is layoutBy (per-(group, shard) windows) + one hash agg.
+    // None of them may acquire an unpartitioned window (a corpus-sized
+    // single-task sort) or a sort-merge join (the offset/weight sides
+    // are broadcast-sized by construction).
+    for (
+      (name, df) <- Seq(
+        "q136" -> queries.TextQueries.q136ResumeSlice(spark, sf),
+        "q137" -> queries.TextQueries.q137TemperatureMix(spark, sf),
+        "q138" -> queries.TextQueries.q138PackEfficiency(spark, sf)
+      )
+    ) {
+      val gw = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(gw.isEmpty, s"$name: unpartitioned window")
+      val plan = planOf(df)
+      assert(!plan.contains("SortMergeJoin"), s"$name: sort-merge join in a broadcast-sized plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian:\n$plan")
+    }
+  }
 }
