@@ -157,7 +157,8 @@ object SparkEntry {
     "q135_semantic_decontam" -> (VectorQueries.q135SemanticDecontam _),
     "q136_resume_slice" -> (TextQueries.q136ResumeSlice _),
     "q137_temperature_mix" -> (TextQueries.q137TemperatureMix _),
-    "q138_pack_efficiency" -> (TextQueries.q138PackEfficiency _)
+    "q138_pack_efficiency" -> (TextQueries.q138PackEfficiency _),
+    "q139_apportion_budget" -> (TextQueries.q139ApportionBudget _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2169,7 +2170,31 @@ object SparkEntry {
         |SELECT source, n_docs, total_toks, n_packs,
         |  n_packs * 2048 - total_toks AS tail_waste,
         |  (1000000 * (n_packs * 2048 - total_toks)) // (n_packs * 2048) AS waste_micro
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // q139: Hamilton largest-remainder apportionment of a 1M-token
+    // budget over the q137 weights — floor shares via HUGEINT div/mod
+    // (exact at any magnitude), the leftover +1s to the largest
+    // remainders, ties to the smaller source key.
+    "q139_apportion_budget" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS tok_total FROM t GROUP BY source),
+        |m AS (SELECT max(tok_total) AS mx FROM g),
+        |w AS (SELECT source,
+        |    CAST(floor(1000000.0 * (sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)))) AS BIGINT) AS w_micro
+        |  FROM g, m),
+        |s AS (SELECT CAST(sum(w_micro) AS HUGEINT) AS tw FROM w),
+        |b AS (SELECT source, w_micro,
+        |    CAST((CAST(1000000 AS HUGEINT) * w_micro) // tw AS BIGINT) AS base,
+        |    (CAST(1000000 AS HUGEINT) * w_micro) % tw AS rem
+        |  FROM w, s),
+        |r AS (SELECT source, w_micro, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b),
+        |d AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM b)
+        |SELECT source, w_micro, base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+        |FROM r, d""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -1085,6 +1085,63 @@ object Packing {
     )
   }
 
+  /** EXACT integer apportionment of a token budget across mixture
+    * groups (Hamilton / largest-remainder): given per-group weights
+    * (e.g. [[temperatureWeights]]' `w_micro`), split `totalBudget`
+    * tokens so that Σ quota == totalBudget EXACTLY and each quota is
+    * within 1 of its real-valued share `totalBudget·w/Σw` — the bridge
+    * from sampling RATES to the hard per-domain token quotas
+    * [[selectTokenBudget]] meters. Floor shares first, then the
+    * leftover `R = B − Σfloor` (< nGroups) goes +1 each to the R
+    * largest fractional remainders, ties to the smaller group key —
+    * fully deterministic, no floating point anywhere (BigInt
+    * arithmetic, so `B·w` never overflows at any budget).
+    *
+    * Scale shape: the weights table is domain-grained and BOUNDED (the
+    * [[layoutBy]] `maxGroups` discipline) — apportionment collects the
+    * O(groups) rows and runs exact integer math on the driver, the
+    * same bounded-collect pattern as the layout prefix; `maxGroups`
+    * interlocks a doc-grained misuse. Output (group, weight, quota).
+    */
+  def apportionBudget(
+      weights: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      totalBudget: Long,
+      maxGroups: Int = 10000
+  ): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    val spark = weights.sparkSession
+    val rows = weights.select(col(groupCol).cast("string"), col(weightCol).cast("long")).take(maxGroups + 1)
+    require(
+      rows.length <= maxGroups,
+      s"apportionBudget collected > $maxGroups '$groupCol' groups: apportionment is for " +
+        "domain-grained weight tables (source, language, dataset), not doc-grained ones"
+    )
+    val gw = rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    require(gw.map(_._1).distinct.length == gw.length, s"duplicate $groupCol keys in the weight table")
+    require(gw.forall(_._2 >= 0), "negative weights")
+    val totW = gw.map(w => BigInt(w._2)).sum
+    require(totW > 0, "apportionBudget: all weights are zero")
+    val b = BigInt(totalBudget)
+    val based = gw.map { case (g, w) =>
+      val prod = b * w
+      (g, w, (prod / totW).toLong, prod % totW)
+    }
+    val leftover = totalBudget - based.map(_._3).sum
+    val bump = based
+      .sortBy { case (g, _, _, rem) => (-rem, g) }(
+        Ordering.Tuple2(Ordering.BigInt, Ordering.String)
+      )
+      .take(leftover.toInt)
+      .map(_._1)
+      .toSet
+    import spark.implicits._
+    based
+      .map { case (g, w, base, _) => (g, w, base + (if (bump(g)) 1L else 0L)) }
+      .toDF(groupCol, weightCol, "quota")
+  }
+
   /** Pack-space EFFICIENCY audit — the padding/waste accounting a
     * trainer's telemetry reads per mixture group: under concat-then-
     * chunk packing each group's stream fills every pack completely

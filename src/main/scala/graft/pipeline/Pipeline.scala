@@ -453,6 +453,10 @@ object Pipeline {
   * [--group_col G]` (per-group tail-pack waste + integer-exact
   * wasted-compute fraction — the padding telemetry a mixture schedule
   * reads when sizing budget/stratification), and
+  * `--maintenance apportion_budget --weights W --group_col G
+  * --budget B --out O [--weight_col C]` (mixture_weights rates ->
+  * hard per-group token quotas summing to B exactly — Hamilton
+  * largest-remainder over BigInt, the selectTokenBudget feed), and
   * `--maintenance pack_curated_stream --curated C --state S --out O
   * --checkpoint K [--budget T] [--shards N]` (the curation→packing
   * chain consumer: tail a curated corpus' batch partitions into pack
@@ -1356,6 +1360,24 @@ object PipelineRunner {
         )
         val n = Pipeline.writeCounted(w, out)
         println(s"[maintenance] mixture weights: $n $groupCol rows (alpha=$alpha) from $manifests into $out")
+      case Some("apportion_budget") =>
+        // Exact integer apportionment (Packing.apportionBudget):
+        // mixture_weights output -> hard per-group token quotas
+        // summing to --budget exactly (Hamilton largest-remainder,
+        // BigInt, deterministic ties).
+        val weightsPath = opts.getOrElse("weights", sys.error("--weights <mixture_weights dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val groupCol = opts.getOrElse("group_col", sys.error("--group_col <column> required"))
+        val weightCol = opts.getOrElse("weight_col", "w_micro")
+        val budget = opts.getOrElse("budget", sys.error("--budget <total tokens> required")).toLong
+        val q = graft.operators.Packing.apportionBudget(
+          spark.read.parquet(weightsPath),
+          groupCol,
+          weightCol,
+          budget
+        )
+        val n = Pipeline.writeCounted(q, out)
+        println(s"[maintenance] apportioned $budget tokens over $n $groupCol quotas into $out")
       case Some("pack_efficiency") =>
         // Pack-space waste accounting (Packing.packEfficiency): per
         // group (or globally), the tail-pack waste and integer-exact

@@ -2437,4 +2437,24 @@ object TextQueries {
       budget = 2048L,
       groupCols = Seq("source")
     )
+
+  /** Exact token-budget apportionment
+    * ([[graft.operators.Packing.apportionBudget]]): the q137
+    * temperature weights turned into HARD per-source token quotas that
+    * sum to EXACTLY 1M tokens — Hamilton largest-remainder over BigInt
+    * arithmetic, no floating point, ties to the smaller source key.
+    * The bridge in the mixture chain: q137 sets sampling RATES, this
+    * converts them to the integer quotas q118's `selectTokenBudget`
+    * meters out as clean document-prefix cuts. Bounded-collect
+    * apportionment over the domain-grained weight table (the layout
+    * prefix discipline); DuckDB replays with HUGEINT div/mod and a
+    * remainder-rank window.
+    */
+  def q139ApportionBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.apportionBudget(
+      q137TemperatureMix(spark, dir).select(col("source"), col("w_micro")),
+      "source",
+      "w_micro",
+      totalBudget = 1000000L
+    )
 }

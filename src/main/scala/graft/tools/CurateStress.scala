@@ -70,6 +70,11 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(24000000L),
         args.lift(2).map(_.toInt).getOrElse(2)
       )
+    else if (args.headOption.contains("resume"))
+      resumeStress(
+        args.lift(1).map(_.toLong).getOrElse(24000000L),
+        args.lift(2).map(_.toInt).getOrElse(2)
+      )
     else if (args.headOption.contains("vocab"))
       vocabStress(args.lift(1).map(_.toLong).getOrElse(10000000L))
     else if (args.headOption.contains("bpe"))
@@ -232,6 +237,50 @@ object CurateStress {
     }
     require(ok, "an epoch failed the permutation check")
     println(f"epochs: permutation verified (count/bounds/distinct) in $tVerify%.1f s")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  /** `resume [nPacks] [nEpochs]` — loader restart at corpus scale:
+    * produce the nPacks × nEpochs schedule once (the epochs-mode
+    * path), then time `Packing.resumeSlice` resuming at ~60% consumed
+    * against the written schedule. The claim under test: restart cost
+    * is one bounded per-epoch agg plus a filter scan of the schedule
+    * parquet — no shuffle, no window — so it tracks the SCHEDULE's
+    * size (epochs × nPacks rows of three longs), never the corpus,
+    * and is the same at 1% or 99% consumed. Verified: slice row count
+    * == total − consumed and min(global_ord) == consumed.
+    */
+  private def resumeStress(nPacks: Long, nEpochs: Int): Unit = {
+    val spark = StressUtil.session()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("resume-stress").toString
+    val man = Seq((0L, nPacks - 1)).toDF("doc_id", "last_pack")
+    val (_, tProduce) = StressUtil.timed {
+      graft.operators.Packing
+        .epochOrder(man, nEpochs, "stress")
+        .write
+        .mode("overwrite")
+        .parquet(s"$root/sched")
+    }
+    println(f"resume: schedule ${nPacks}x$nEpochs produced+written in $tProduce%.1f s")
+    val total = nPacks * nEpochs
+    val batch = 512L
+    val step = (total * 6L / 10L) / batch // ~60% consumed
+    val consumed = step * batch
+    val (stats, tSlice) = StressUtil.timed {
+      graft.operators.Packing
+        .resumeSlice(spark.read.parquet(s"$root/sched"), step, batch)
+        .agg(count(lit(1)).as("n"), min(col("global_ord")).as("lo"))
+        .head()
+    }
+    require(
+      stats.getLong(0) == total - consumed && stats.getLong(1) == consumed,
+      s"slice mismatch: n=${stats.getLong(0)} lo=${stats.getLong(1)} consumed=$consumed"
+    )
+    println(
+      f"resume: slice at step $step%d (x$batch packs, ${100 * consumed / total}%d%% consumed) " +
+        f"scanned+verified in $tSlice%.1f s — ${total - consumed}%d remaining rows"
+    )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 

@@ -1390,6 +1390,53 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- apportionBudget ----
+
+  test("apportionBudget: quotas sum to the budget exactly and stay within 1 of real shares") {
+    val w = Seq(("web", 707106L), ("code", 331662L), ("books", 111803L), ("wiki", 57735L))
+      .toDF("source", "w_micro")
+    val b = 1000003L // prime: floor shares cannot all be exact
+    val got = Packing
+      .apportionBudget(w, "source", "w_micro", b)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    assert(got.map(_._3).sum == b, "quotas must sum to the budget EXACTLY")
+    val totW = got.map(_._2).sum
+    for ((g, wi, q) <- got) {
+      val real = BigInt(b) * wi
+      val lo = (real / totW).toLong
+      assert(q == lo || q == lo + 1, s"$g: quota $q not within 1 of share ${real.toDouble / totW}")
+    }
+  }
+
+  test("apportionBudget: equal weights split evenly, leftover +1s go to the smaller keys") {
+    val w = Seq(("d", 100L), ("b", 100L), ("c", 100L), ("a", 100L)).toDF("g", "wt")
+    val got = Packing
+      .apportionBudget(w, "g", "wt", 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .toMap
+    // 10 over 4 equal groups: base 2 each, remainder 2 → ties on rem,
+    // bumped in ascending key order: a and b get 3.
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
+  }
+
+  test("apportionBudget interlocks: duplicate keys, all-zero weights, doc-grained cardinality") {
+    val dup = Seq(("a", 1L), ("a", 2L)).toDF("g", "wt")
+    assert(intercept[IllegalArgumentException] {
+      Packing.apportionBudget(dup, "g", "wt", 10L)
+    }.getMessage.contains("duplicate"))
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("g", "wt")
+    assert(intercept[IllegalArgumentException] {
+      Packing.apportionBudget(zero, "g", "wt", 10L)
+    }.getMessage.contains("zero"))
+    val wide = (0 until 50).map(i => (s"g$i", 1L)).toDF("g", "wt")
+    assert(intercept[IllegalArgumentException] {
+      Packing.apportionBudget(wide, "g", "wt", 10L, maxGroups = 10)
+    }.getMessage.contains("domain-grained"))
+  }
+
   test("packEfficiency: groupCols=Nil gives the single global row over a layout") {
     val lay = Packing.layout(corpus(0 until 30), "doc_id", "text", nShards = 4)
     val rows = Packing.packEfficiency(lay, 16L, Nil).collect()
