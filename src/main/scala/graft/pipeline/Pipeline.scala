@@ -457,6 +457,13 @@ object Pipeline {
   * --budget B --out O [--weight_col C]` (mixture_weights rates ->
   * hard per-group token quotas summing to B exactly — Hamilton
   * largest-remainder over BigInt, the selectTokenBudget feed), and
+  * `--maintenance release --data D --eval E --out ROOT [--budget T]
+  * [--shards N] [--export_shards N] [--min_keep_tokens K]
+  * [--threshold F] [--epochs N] [--seed S] [--unk_id U]` (the
+  * one-command pretraining data release: curate -> decontaminate ->
+  * pack -> freeze vocab -> export shards [-> epoch schedule], each
+  * step the existing verb called recursively so every interlock
+  * fires; `_release.json` audits the landed per-stage counts), and
   * `--maintenance pack_curated_stream --curated C --state S --out O
   * --checkpoint K [--budget T] [--shards N]` (the curation→packing
   * chain consumer: tail a curated corpus' batch partitions into pack
@@ -1292,6 +1299,98 @@ object PipelineRunner {
           )
         }
         println(s"[maintenance] pack export [$from, $to): $landed packs in $shards shards at $out")
+      case Some("release") =>
+        // The one-command PRETRAINING DATA RELEASE: raw corpus dir ->
+        // trainer-ready shards, by composing the verbs a release
+        // pipeline runs stepwise — curate (quality gate -> span clean
+        // -> floor -> exact dedup), decontaminate against the eval
+        // corpus (report + purge), pack the survivors (batch 0 of an
+        // incremental pack space, so later crawls APPEND with the same
+        // state), freeze the vocab, export every emitted pack
+        // hash-sharded, and (optionally) write the multi-epoch visit
+        // schedule. Each step is the EXISTING verb called recursively
+        // — its interlocks (budget sidecar, OOV refusal, cardinality
+        // guards) all fire here too, and the layout under --out is
+        // exactly what the stepwise verbs would produce:
+        //   curated/ decontam_report/ clean/ pack_state/ manifests/
+        //   vocab/ shards/ [schedule/] _release.json
+        // _release.json carries the per-stage counts a release audit
+        // reads (docs in -> curated -> clean, packs, vocab size,
+        // landed rows) — all derived from landed data, not from
+        // in-flight counters.
+        val data = opts.getOrElse("data", sys.error("--data <sf dir with documents.parquet> required"))
+        val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
+        val root = opts.getOrElse("out", sys.error("--out <release root> required"))
+        val budget = opts.getOrElse("budget", "2048")
+        val shards = opts.getOrElse("shards", "8")
+        val exportShards = opts.getOrElse("export_shards", "8")
+        val minKeep = opts.getOrElse("min_keep_tokens", "1")
+        val threshold = opts.getOrElse("threshold", "0.5")
+        val unkArgs = opts.get("unk_id").toSeq.flatMap(u => Seq("--unk_id", u))
+        run(
+          Array("--maintenance", "curate", "--data", data, "--out", s"$root/curated",
+            "--shards", shards, "--min_keep_tokens", minKeep),
+          spark
+        )
+        run(
+          Array("--maintenance", "decontaminate", "--train", s"$root/curated", "--eval", evalPath,
+            "--out", s"$root/decontam_report", "--purged", s"$root/clean", "--threshold", threshold),
+          spark
+        )
+        run(
+          Array("--maintenance", "pack_ingest", "--batch", s"$root/clean", "--state", s"$root/pack_state",
+            "--out", s"$root/manifests", "--applied_id", "0", "--budget", budget, "--shards", shards),
+          spark
+        )
+        run(
+          Array("--maintenance", "build_vocab", "--docs", s"$root/clean", "--out", s"$root/vocab"),
+          spark
+        )
+        import org.apache.spark.sql.functions.{col => c, max => mx, count => cnt, lit, sum => sm}
+        val man = spark.read.parquet(s"$root/manifests")
+        val lastRow = man.agg(mx(c("last_pack"))).head()
+        val nPacks = if (lastRow.isNullAt(0)) 0L else lastRow.getLong(0) + 1L
+        run(
+          Array("--maintenance", "pack_export", "--state", s"$root/pack_state",
+            "--manifests", s"$root/manifests", "--docs", s"$root/clean", "--vocab", s"$root/vocab",
+            "--out", s"$root/shards", "--from", "0", "--to", nPacks.toString,
+            "--shards", exportShards) ++ unkArgs,
+          spark
+        )
+        opts.get("epochs").foreach { e =>
+          run(
+            Array("--maintenance", "pack_epochs", "--manifests", s"$root/manifests",
+              "--out", s"$root/schedule", "--epochs", e,
+              "--seed", opts.getOrElse("seed", "release")),
+            spark
+          )
+        }
+        // Release audit manifest — every number re-derived from what
+        // actually LANDED on disk.
+        val nIn = spark.read.parquet(s"$data/documents.parquet").count()
+        val nCurated = spark.read.parquet(s"$root/curated").count()
+        val nContam = spark.read
+          .parquet(s"$root/decontam_report")
+          .filter(c("contaminated"))
+          .count()
+        val nClean = spark.read.parquet(s"$root/clean").count()
+        val nVocab = spark.read.parquet(s"$root/vocab").count()
+        val totToks = man.agg(sm(c("n_toks"))).head().getLong(0)
+        val landedPacks = spark.read.parquet(s"$root/shards").agg(cnt(lit(1))).head().getLong(0)
+        val manifestJson =
+          s"""{"docs_in": $nIn, "curated": $nCurated, "contaminated": $nContam, "clean": $nClean,
+             | "total_tokens": $totToks, "budget": $budget, "n_packs": $nPacks,
+             | "vocab_size": $nVocab, "landed_packs": $landedPacks,
+             | "export_shards": $exportShards}""".stripMargin.replace("\n", "")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/_release.json"),
+          manifestJson
+        )
+        println(
+          s"[maintenance] release at $root: $nIn docs -> $nCurated curated -> $nClean clean " +
+            s"($nContam contaminated purged) -> $nPacks packs ($totToks tokens) -> " +
+            s"$landedPacks exported in $exportShards shards, vocab $nVocab"
+        )
       case Some("pack_epochs") =>
         // Multi-epoch visit-order schedule over an emitted pack space
         // (Packing.epochOrder): seeded per-epoch permutations of pack

@@ -319,4 +319,71 @@ class PipelineSpec extends AnyFunSuite {
     val (n1, a1) = Pipeline.curateIngest(spark, b1, model, spans, index, out, batchId = 1L)
     assert(n1 == nIn && a1 == 0L, s"identical re-crawl must fully dedup cross-batch: $a1")
   }
+
+  test("release verb: raw corpus -> trainer shards, each stage the stepwise verb's output") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-release").toString
+    // Eval corpus: the full text of three curated-survivor docs ->
+    // guaranteed contamination hits after curation.
+    val evalDir = s"$root/eval"
+    spark.read
+      .parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 3 && size(split(col("text"), "\\s+")) >= 10)
+      .limit(3)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .write
+      .parquet(evalDir)
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "release",
+        "--data", sf,
+        "--eval", evalDir,
+        "--out", s"$root/rel",
+        "--budget", "64",
+        "--shards", "4",
+        "--export_shards", "2",
+        "--epochs", "2"
+      ),
+      spark
+    )
+    // Layout: every stage landed.
+    for (d <- Seq("curated", "decontam_report", "clean", "pack_state", "manifests", "vocab", "shards", "schedule"))
+      assert(new java.io.File(s"$root/rel/$d").exists(), s"missing stage dir $d")
+    // clean == curated minus the report's contaminated ids (the purge rule).
+    val curated = spark.read.parquet(s"$root/rel/curated")
+    val contam = spark.read
+      .parquet(s"$root/rel/decontam_report")
+      .filter(col("contaminated"))
+      .select("doc_id")
+    val wantClean = curated
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val gotClean =
+      spark.read.parquet(s"$root/rel/clean").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotClean == wantClean && contam.count() > 0, "purge must drop exactly the contaminated ids")
+    // The pack space tiles the clean corpus: every exported pack is
+    // budget-full except the last, and landed == nPacks.
+    val man = spark.read.parquet(s"$root/rel/manifests")
+    val nPacks = man.agg(max(col("last_pack"))).head().getLong(0) + 1L
+    val packs = spark.read.parquet(s"$root/rel/shards")
+    assert(packs.count() == nPacks, "every pack landed in the shard export")
+    val sizes = packs
+      .select(col("pack_id"), size(col("token_ids")).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toMap
+    for ((pid, n) <- sizes if pid < nPacks - 1) assert(n == 64, s"interior pack $pid underfull: $n")
+    // Schedule covers the emitted pack space per epoch.
+    val sched = spark.read.parquet(s"$root/rel/schedule")
+    assert(sched.count() == 2 * nPacks)
+    // _release.json counts agree with the landed data.
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/rel/_release.json")))
+    assert(json.contains(s""""clean": ${gotClean.size}"""), json)
+    assert(json.contains(s""""n_packs": $nPacks"""), json)
+    assert(json.contains(s""""landed_packs": $nPacks"""), json)
+  }
 }
