@@ -733,6 +733,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resume/efficiency/apportion invariants hold on random corpora, budgets, and weights") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 3) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val budget = Seq(8L, 16L, 64L)(trial % 3)
+      val docs = (0 until nDocs)
+        .map(i =>
+          (i.toLong, s"s${i % 4}", (0 to rnd.nextInt(12)).map(j => s"t${i}_$j").mkString(" "))
+        )
+        .toDF("doc_id", "source", "text")
+      // resumeSlice: for a random (step, batch), the slice is EXACTLY
+      // the epoch-major suffix of the flattened schedule.
+      val man = Packing.manifest(
+        Packing.layout(docs, "doc_id", "text", nShards = 4),
+        "doc_id",
+        budget
+      )
+      val epochs = 2
+      val sched = Packing.epochOrder(man, epochs, seed = s"r$trial")
+      val flat = sched
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val total = flat.length.toLong
+      val batch = 1L + rnd.nextInt(7)
+      val step = rnd.nextLong(total / batch + 1)
+      val got = Packing
+        .resumeSlice(sched, step, batch)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4)
+      val want = flat.zipWithIndex
+        .drop((step * batch).toInt)
+        .map { case ((e, o, p), i) => (e, o, p, i.toLong) }
+      assert(got.toSeq == want.toSeq, s"trial $trial step=$step batch=$batch")
+      // packEfficiency: per group, waste in [0, budget) and totals
+      // reconcile with the layout.
+      val lay = Packing.layoutBy(docs, "doc_id", "text", "source", nShards = 4)
+      val eff = Packing
+        .packEfficiency(lay, budget, Seq("source"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val totByGroup = lay
+        .groupBy("source")
+        .agg(sum("n_toks"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      eff.foreach { case (g, tot, nPacks, waste) =>
+        assert(tot == totByGroup(g) && waste >= 0 && waste < budget, s"trial $trial group $g")
+        assert(nPacks * budget - tot == waste, s"trial $trial group $g arithmetic")
+      }
+      // apportionBudget: random weights -> exact sum, every quota
+      // within 1 of its real share.
+      val nG = 3 + rnd.nextInt(8)
+      val weights =
+        (0 until nG).map(i => (s"g$i", 1L + rnd.nextLong(1000000L))).toDF("g", "w")
+      val bud = 1L + rnd.nextLong(10000000L)
+      val q = Packing
+        .apportionBudget(weights, "g", "w", bud)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(q.map(_._2).sum == bud, s"trial $trial: sum != budget")
+      val tw = q.map(w => BigInt(w._1)).sum
+      q.foreach { case (w, quota) =>
+        val lo = (BigInt(bud) * w / tw).toLong
+        assert(quota == lo || quota == lo + 1, s"trial $trial: quota $quota off share $lo")
+      }
+    }
+  }
+
   test("native BPE apply equals the reference fold under ARBITRARY merge tables (randomized)") {
     // The native expression must reproduce the training-order fold for
     // ANY table, not just trained ones: random tables here mix
