@@ -158,7 +158,9 @@ object SparkEntry {
     "q136_resume_slice" -> (TextQueries.q136ResumeSlice _),
     "q137_temperature_mix" -> (TextQueries.q137TemperatureMix _),
     "q138_pack_efficiency" -> (TextQueries.q138PackEfficiency _),
-    "q139_apportion_budget" -> (TextQueries.q139ApportionBudget _)
+    "q139_apportion_budget" -> (TextQueries.q139ApportionBudget _),
+    "q140_pack_provenance" -> (TextQueries.q140PackProvenance _),
+    "q141_leakage_split" -> (TextQueries.q141LeakageSplit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2194,7 +2196,62 @@ object SparkEntry {
         |  FROM b),
         |d AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM b)
         |SELECT source, w_micro, base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
-        |FROM r, d""".stripMargin
+        |FROM r, d""".stripMargin,
+    // q140: pack provenance — the q122 layout replay joined to the
+    // doc→source map, interval overlap per (doc, pack), rolled up per
+    // (pack, source). Σ n_toks over a pack's rows == its fill.
+    "q140_pack_provenance" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |m AS (SELECT doc_id, cum - n_toks AS start_tok, n_toks,
+        |    (cum - n_toks) // 2048 AS first_pack, (cum - 1) // 2048 AS last_pack
+        |  FROM g),
+        |ux AS (SELECT doc_id, start_tok, n_toks,
+        |    unnest(range(first_pack, last_pack + 1)) AS pack_id
+        |  FROM m)
+        |SELECT pack_id, d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(start_tok + ux.n_toks, (pack_id + 1) * 2048)
+        |    - greatest(start_tok, pack_id * 2048)) AS BIGINT) AS n_toks
+        |FROM ux JOIN documents d USING (doc_id)
+        |GROUP BY pack_id, d.source""".stripMargin,
+    // q141: leakage-free split — the q36 recursive component closure,
+    // singletons coalesced to their own id, split by the md5-prefix
+    // hash of the COMPONENT at 100 per mille heldout.
+    "q141_leakage_split" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS component,
+        |  CASE WHEN CAST(concat('0x', substr(md5(concat('split_',
+        |         CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 < 100
+        |       THEN 'heldout' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -343,6 +343,50 @@ object Packing {
     * a manifest carrying columns beyond the global-stream shape is
     * refused unless `--group_col` names them.
     */
+  /** Pack PROVENANCE — per-pack attribution of document attributes
+    * (source, license, language, …): for every (pack, attr values)
+    * combination, how many documents with those attributes contribute
+    * tokens to the pack and how many of the pack's positions they
+    * occupy. The governance side-file a data release ships next to
+    * its packs: "which sources (under which licenses) are in pack X,
+    * and at what token weight" is answerable without touching pack
+    * data — and a takedown request resolves to packs by one scan of
+    * this table instead of a corpus scan.
+    *
+    * Scale shape: the manifest (O(docs) rows, no text) joins the
+    * attribute table on the document id — both sides keyed on the
+    * same column, co-partitionable, never text-sized — then the
+    * per-doc pack-range explode (factor = packs spanned, ~n_toks /
+    * budget + 1) and one keyed agg with map-side partials. Output is
+    * O(n_packs × attrs-per-pack) — for domain-coherent shuffle orders
+    * most packs carry a handful of attribute rows. Token accounting
+    * is exact and total: summing `n_toks` over a pack's rows gives
+    * exactly the pack's fill (budget for interior packs, the tail
+    * remainder for the last), so the table doubles as a fill audit.
+    */
+  def provenance(
+      man: DataFrame,
+      attrs: DataFrame,
+      idCol: String,
+      budget: Long,
+      attrCols: Seq[String]
+  ): DataFrame = {
+    require(attrCols.nonEmpty, "provenance needs at least one attribute column")
+    man
+      .join(attrs.select((idCol +: attrCols).map(col): _*), Seq(idCol))
+      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
+      .withColumn(
+        "tok_in_pack",
+        least(col("start_tok") + col("n_toks"), (col("pack_id") + 1) * budget) -
+          greatest(col("start_tok"), col("pack_id") * budget)
+      )
+      .groupBy(col("pack_id") +: attrCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_in_pack")).as("n_toks")
+      )
+  }
+
   def contamAudit(
       man: DataFrame,
       contamIds: DataFrame,

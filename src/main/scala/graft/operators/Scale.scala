@@ -481,6 +481,67 @@ object Dedup {
       "left_anti"
     )
 
+  /** LEAKAGE-FREE train/heldout split: assign documents to splits at
+    * near-dup CLUSTER granularity, so no near-duplicate pair ever
+    * straddles the boundary. Splitting uniformly at the document level
+    * leaks: a heldout doc's near-duplicate lands in train with
+    * probability ≈ train fraction, and the heldout set then measures
+    * memorization, not generalization — the published cure is dedup
+    * BEFORE split or, equivalently, split by cluster (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * `pairs` is a near-dup pair table (`doc_a`, `doc_b`); every doc in
+    * `docs` gets `component` = its connected-component label under
+    * those pairs (its own id when unpaired — singletons are their own
+    * cluster) and `split` = "heldout" when
+    * `hash(seed, component) % 1000 < heldoutPerMille`, else "train".
+    * Hashing the COMPONENT (not the doc) is the leakage-free
+    * guarantee: a cluster's docs share the label, so they share the
+    * side. The hash is the engine's portable md5-prefix (the layout's
+    * shuffle-order hash), so the split is deterministic across runs,
+    * partitionings, and engines — re-running on a grown corpus moves
+    * no existing SINGLETON doc across sides (its component is its own
+    * id), and clusters move only if dedup re-links them, which is
+    * exactly when a re-split is semantically required.
+    *
+    * Scale shape: connected components runs over the PAIR table
+    * (bounded by near-dup density — LSH-bucketed upstream, never
+    * all-pairs); the docs side joins the label table keyed on the id
+    * (left join, O(docs) rows each side, no text); the hash and
+    * threshold are per-row projections. No collects, no global sort.
+    */
+  def leakageFreeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      heldoutPerMille: Int,
+      seed: String
+  ): DataFrame = {
+    require(
+      heldoutPerMille >= 0 && heldoutPerMille <= 1000,
+      s"heldoutPerMille must be in [0, 1000], got $heldoutPerMille"
+    )
+    val comp = Dedup
+      .connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    docs
+      .select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn(
+        "split",
+        when(
+          conv(
+            substring(md5(concat(lit(s"${seed}_"), col("component").cast("string"))), 1, 7),
+            16,
+            10
+          ).cast("long") % 1000 < heldoutPerMille,
+          lit("heldout")
+        ).otherwise(lit("train"))
+      )
+  }
+
   /** Benchmark decontamination over TWO corpora — the operational form
     * of `q129_decontam_purge` (which demos the rule on an in-corpus
     * parity split): per-train-doc count/fraction of its distinct

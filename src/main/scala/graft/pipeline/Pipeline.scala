@@ -457,6 +457,16 @@ object Pipeline {
   * --budget B --out O [--weight_col C]` (mixture_weights rates ->
   * hard per-group token quotas summing to B exactly — Hamilton
   * largest-remainder over BigInt, the selectTokenBudget feed), and
+  * `--maintenance pack_provenance --manifests M --attrs A
+  * --attr_cols C1[,C2…] --out O [--budget T]` (the governance
+  * side-file: per (pack, attribute values), contributing docs and
+  * token weight — manifest × doc-attribute join, license audits and
+  * takedown-to-pack resolution without reading pack data), and
+  * `--maintenance leakage_split --docs D --pairs P --out O
+  * [--heldout_per_mille N] [--seed S]` (cluster-atomic train/heldout
+  * split: near-dup components from the pair table, singletons their
+  * own cluster, the side chosen by hashing the COMPONENT so no
+  * near-dup pair straddles the boundary), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]` (the
@@ -1491,6 +1501,59 @@ object PipelineRunner {
         )
         val n = Pipeline.writeCounted(eff, out)
         println(s"[maintenance] pack efficiency: $n group rows (budget=$budget) from $manifests into $out")
+      case Some("pack_provenance") =>
+        // Governance side-file (Packing.provenance): per (pack,
+        // attribute values), contributing docs + token weight —
+        // manifest × doc-attribute join, no pack data read. License
+        // audits and takedown-to-pack resolution read THIS table.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val attrsPath =
+          opts.getOrElse("attrs", sys.error("--attrs <parquet with doc_id + attribute cols> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val attrCols = opts
+          .getOrElse("attr_cols", sys.error("--attr_cols <comma-separated columns> required"))
+          .split(",")
+          .map(_.trim)
+          .filter(_.nonEmpty)
+          .toSeq
+        val budget = resolveBudget(spark, manifests, opts)
+        val prov = graft.operators.Packing.provenance(
+          spark.read.parquet(manifests),
+          spark.read.parquet(attrsPath),
+          "doc_id",
+          budget,
+          attrCols
+        )
+        val n = Pipeline.writeCounted(prov, out)
+        println(
+          s"[maintenance] pack provenance: $n (pack, ${attrCols.mkString(",")}) rows " +
+            s"(budget=$budget) from $manifests into $out"
+        )
+      case Some("leakage_split") =>
+        // Cluster-atomic train/heldout split (Dedup.leakageFreeSplit):
+        // docs + near-dup pair table -> per-doc component + side, no
+        // near-dup pair ever straddling the boundary.
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val pairsPath = opts.getOrElse("pairs", sys.error("--pairs <parquet with doc_a, doc_b> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val perMille = opts.getOrElse("heldout_per_mille", "100").toInt
+        val seed = opts.getOrElse("seed", "split")
+        val sp = graft.operators.Dedup.leakageFreeSplit(
+          spark.read.parquet(docsPath),
+          spark.read.parquet(pairsPath),
+          "doc_id",
+          perMille,
+          seed
+        )
+        val n = Pipeline.writeCounted(sp, out)
+        val nHeld = spark.read
+          .parquet(out)
+          .filter(org.apache.spark.sql.functions.col("split") === "heldout")
+          .count()
+        println(
+          s"[maintenance] leakage-free split: $n docs, $nHeld heldout " +
+            s"($perMille per-mille target, seed=$seed) into $out"
+        )
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir
         // whose partitions accumulate one file per ingest batch (the

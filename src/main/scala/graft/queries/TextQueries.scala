@@ -2457,4 +2457,48 @@ object TextQueries {
       "w_micro",
       totalBudget = 1000000L
     )
+
+  /** Pack PROVENANCE ([[graft.operators.Packing.provenance]]): the
+    * governance side-file over the q110 pack space — per (pack,
+    * source), how many documents of that source contribute and how
+    * many of the pack's token positions they occupy. Answers "which
+    * sources are in pack X, at what weight" (license audits) and
+    * resolves a takedown to the affected packs by one scan of this
+    * table instead of a corpus scan. Pure manifest arithmetic: the
+    * manifest joins the doc→source map on the id (both O(docs), no
+    * text), explodes each doc's spanned pack range, and one keyed agg
+    * rolls up; token accounting is exact — a pack's rows sum to its
+    * fill. DuckDB replays the layout cumsum + the same interval
+    * arithmetic.
+    */
+  def q140PackProvenance(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.provenance(
+      graft.operators.Packing
+        .manifest(packingLayout(spark, dir, nShards = 8), "doc_id", 2048L),
+      docs(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id",
+      budget = 2048L,
+      attrCols = Seq("source")
+    )
+
+  /** Leakage-free train/heldout split
+    * ([[graft.operators.Dedup.leakageFreeSplit]]): every document
+    * labeled with its near-dup cluster (connected component of the
+    * q21 Jaccard pairs; its own id when unpaired) and assigned
+    * train/heldout by hashing the CLUSTER at 10% heldout — so no
+    * near-dup pair straddles the boundary and the heldout set
+    * measures generalization, not memorization (the dedup-before-
+    * split discipline of Lee et al. 2021). Components over the
+    * bounded pair table, one left join keyed on the id, per-row hash
+    * — no text, no collects. DuckDB replays the q36 recursive
+    * closure, the singleton coalesce, and the md5-prefix threshold.
+    */
+  def q141LeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.leakageFreeSplit(
+      docs(spark, dir).select(col("doc_id")),
+      q21NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      "doc_id",
+      heldoutPerMille = 100,
+      seed = "split"
+    )
 }

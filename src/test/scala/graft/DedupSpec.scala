@@ -328,4 +328,69 @@ class DedupSpec extends AnyFunSuite {
     val kept = spark.read.parquet(s"$root/purged").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(3L))
   }
+
+  test("leakageFreeSplit: cluster-atomic, total, deterministic, threshold-exact") {
+    import spark.implicits._
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L), (51L, 52L), (52L, 53L))
+      .toDF("doc_a", "doc_b")
+    val out = operators.Dedup
+      .leakageFreeSplit(docs, pairs, "doc_id", heldoutPerMille = 300, seed = "s")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // Total: every doc exactly once.
+    assert(out.size == 100)
+    // Components: min id per cluster, own id for singletons.
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(out(_)._1).distinct == Seq(10L))
+    assert(Seq(50L, 51L, 52L, 53L).map(out(_)._1).distinct == Seq(50L))
+    assert(out(42L)._1 == 42L && out(0L)._1 == 0L)
+    // The leakage-free guarantee: no pair straddles the boundary.
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L), (51L, 52L), (52L, 53L)).foreach {
+      case (a, b) => assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // Deterministic under re-run.
+    val again = operators.Dedup
+      .leakageFreeSplit(docs, pairs, "doc_id", heldoutPerMille = 300, seed = "s")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(again == out)
+    // Threshold extremes.
+    val all0 = operators.Dedup
+      .leakageFreeSplit(docs, pairs, "doc_id", heldoutPerMille = 0, seed = "s")
+    assert(all0.filter(col("split") === "heldout").count() == 0L)
+    val all1000 = operators.Dedup
+      .leakageFreeSplit(docs, pairs, "doc_id", heldoutPerMille = 1000, seed = "s")
+    assert(all1000.filter(col("split") === "train").count() == 0L)
+  }
+
+  test("leakage_split CLI verb writes the split table from docs + pairs parquet") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-split-cli").toString
+    (0L until 50L).toDF("doc_id").write.parquet(s"$root/docs")
+    Seq((5L, 6L), (6L, 7L), (20L, 21L)).toDF("doc_a", "doc_b").write.parquet(s"$root/pairs")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "leakage_split",
+        "--docs", s"$root/docs",
+        "--pairs", s"$root/pairs",
+        "--heldout_per_mille", "200",
+        "--seed", "cli",
+        "--out", s"$root/split"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/split")
+    assert(out.count() == 50L)
+    val viaLib = operators.Dedup.leakageFreeSplit(
+      (0L until 50L).toDF("doc_id"),
+      Seq((5L, 6L), (6L, 7L), (20L, 21L)).toDF("doc_a", "doc_b"),
+      "doc_id",
+      heldoutPerMille = 200,
+      seed = "cli"
+    )
+    assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
+  }
 }

@@ -1446,4 +1446,73 @@ class PackingSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == 30L && rows(0).getLong(1) == tot && rows(0).getLong(2) == nPacks)
     assert(rows(0).getLong(3) == nPacks * 16L - tot)
   }
+
+  test("provenance: token accounting is exact and total; attributes reconcile both ways") {
+    val budget = 16L
+    val docs = corpus(0 until 40)
+    val attrs = docs.select(col("doc_id"), (col("doc_id") % 3).cast("string").as("source"))
+    val lay = Packing.layout(docs, "doc_id", "text", nShards = 4)
+    val man = Packing.manifest(lay, "doc_id", budget)
+    val prov = Packing
+      .provenance(man, attrs, "doc_id", budget, Seq("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val totToks = lay.agg(sum("n_toks")).head().getLong(0)
+    val lastPack = (totToks - 1) / budget
+    // Per pack: the rows sum to the pack's exact fill — budget for
+    // interior packs, the tail remainder for the last.
+    val byPack = prov.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._4).sum }
+    (0L to lastPack).foreach { p =>
+      val want = if (p < lastPack) budget else totToks - lastPack * budget
+      assert(byPack(p) == want, s"pack $p fill ${byPack(p)} != $want")
+    }
+    // Per source: summing a source's tokens across packs gives its
+    // layout total; n_docs sums match the boundaries table.
+    val bySource = prov.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._4).sum }
+    val layBySource = lay
+      .join(attrs, Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(bySource == layBySource)
+    val nDocRows = prov.map(_._3).sum
+    val boundaryRows = Packing.boundaries(man, "doc_id", budget).count()
+    assert(nDocRows == boundaryRows, "every (pack, doc) overlap attributed exactly once")
+  }
+
+  test("pack_provenance CLI verb writes the governance table from manifests + attrs") {
+    val root = Files.createTempDirectory("graft-prov-cli").toString
+    val docs = corpus(0 until 25)
+    val attrs = docs.select(col("doc_id"), (col("doc_id") % 2).cast("string").as("source"))
+    Packing
+      .manifest(Packing.layout(docs, "doc_id", "text", nShards = 4), "doc_id", 16L)
+      .write
+      .parquet(s"$root/manifests")
+    attrs.write.parquet(s"$root/attrs")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pack_provenance",
+        "--manifests", s"$root/manifests",
+        "--attrs", s"$root/attrs",
+        "--attr_cols", "source",
+        "--budget", "16",
+        "--out", s"$root/prov"
+      ),
+      spark
+    )
+    val prov = spark.read.parquet(s"$root/prov")
+    val viaLib = Packing.provenance(
+      spark.read.parquet(s"$root/manifests"),
+      attrs,
+      "doc_id",
+      16L,
+      Seq("source")
+    )
+    assert(
+      prov.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet,
+      "verb output == library output"
+    )
+  }
 }
