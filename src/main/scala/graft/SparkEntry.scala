@@ -160,7 +160,8 @@ object SparkEntry {
     "q138_pack_efficiency" -> (TextQueries.q138PackEfficiency _),
     "q139_apportion_budget" -> (TextQueries.q139ApportionBudget _),
     "q140_pack_provenance" -> (TextQueries.q140PackProvenance _),
-    "q141_leakage_split" -> (TextQueries.q141LeakageSplit _)
+    "q141_leakage_split" -> (TextQueries.q141LeakageSplit _),
+    "q142_nested_sample" -> (TextQueries.q142NestedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2251,7 +2252,19 @@ object SparkEntry {
         |  CASE WHEN CAST(concat('0x', substr(md5(concat('split_',
         |         CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 < 100
         |       THEN 'heldout' ELSE 'train' END AS split
-        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // q142: nested subsample grid — deepest 1/10^k tier by the
+    // divisibility chain over the md5-prefix hash (10^k | h implies
+    // 10^(k-1) | h, so tier >= k samples strictly nest).
+    "q142_nested_sample" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('grid_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hv % 1000 = 0 THEN 3
+        |       WHEN hv % 100 = 0 THEN 2
+        |       WHEN hv % 10 = 0 THEN 1 ELSE 0 END AS INTEGER) AS sample_tier
+        |FROM h""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

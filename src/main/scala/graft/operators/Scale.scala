@@ -154,6 +154,45 @@ object Scale {
       .orderBy(col("cnt").desc, col(key).asc)
   }
 
+  /** NESTED deterministic subsample grid — the scaling-law suite's
+    * sampling primitive: label every row with the deepest grid tier
+    * containing it, where tier k is an expected 1/10^k sample and the
+    * tiers are STRICT SUBSETS by construction (`tier >= k` gives the
+    * k-tier sample; 10^k | h implies 10^(k-1) | h, so each sample is
+    * contained in the previous — the property a scaling-law sweep
+    * needs so the 0.1% run's data is literally inside the 1% run's,
+    * isolating the scale axis from sampling noise). Uniform random
+    * per-tier draws would not nest; drawing tier k FROM tier k-1 would
+    * nest but couples the draws sequentially — the divisibility chain
+    * gives both nesting and one-pass independence.
+    *
+    * The hash is the engine's portable md5-prefix keyed by (seed, id):
+    * deterministic across runs, partitionings, and engines, and
+    * membership never changes as the corpus grows (a doc's tier is a
+    * pure function of its id). One per-row projection — no shuffle, no
+    * state, trivially 100 TB-safe.
+    */
+  def nestedSampleTiers(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      maxTier: Int = 3
+  ): DataFrame = {
+    require(maxTier >= 1 && maxTier <= 8, s"maxTier must be in [1, 8], got $maxTier")
+    val h = conv(
+      substring(md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 7),
+      16,
+      10
+    ).cast("long")
+    // Ascending fold: the outermost `when` tests the deepest tier, so
+    // the first matching (largest) k wins.
+    val tier = (1 to maxTier).foldLeft(lit(0)) { (acc, k) =>
+      val m = math.pow(10, k).toLong
+      when(h % m === 0, lit(k)).otherwise(acc)
+    }
+    df.withColumn("sample_tier", tier.cast("int"))
+  }
+
   /** Salted inner equi-join for skewed keys. The left (large, skewed)
     * side gets a deterministic salt from its non-key columns; the right
     * side is replicated `salts` times. Result equals the plain join, but

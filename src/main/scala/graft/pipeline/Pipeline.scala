@@ -469,7 +469,8 @@ object Pipeline {
   * near-dup pair straddles the boundary), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
-  * [--threshold F] [--epochs N] [--seed S] [--unk_id U]` (the
+  * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
+  * [--provenance true]` (the
   * one-command pretraining data release: curate -> decontaminate ->
   * pack -> freeze vocab -> export shards [-> epoch schedule], each
   * step the existing verb called recursively so every interlock
@@ -1323,7 +1324,7 @@ object PipelineRunner {
         // guards) all fire here too, and the layout under --out is
         // exactly what the stepwise verbs would produce:
         //   curated/ decontam_report/ clean/ pack_state/ manifests/
-        //   vocab/ shards/ [schedule/] _release.json
+        //   vocab/ shards/ [schedule/] [provenance/] _release.json
         // _release.json carries the per-stage counts a release audit
         // reads (docs in -> curated -> clean, packs, vocab size,
         // landed rows) — all derived from landed data, not from
@@ -1372,6 +1373,18 @@ object PipelineRunner {
             Array("--maintenance", "pack_epochs", "--manifests", s"$root/manifests",
               "--out", s"$root/schedule", "--epochs", e,
               "--seed", opts.getOrElse("seed", "release")),
+            spark
+          )
+        }
+        // Optional governance side-file: per-(pack, source) doc counts
+        // and exact token weights over the emitted pack space — the
+        // curated corpus keeps `source`, so the attribute table is the
+        // clean dir itself (provenance projects id + attrs only).
+        if (opts.get("provenance").contains("true")) {
+          run(
+            Array("--maintenance", "pack_provenance", "--manifests", s"$root/manifests",
+              "--attrs", s"$root/clean", "--attr_cols", "source",
+              "--out", s"$root/provenance"),
             spark
           )
         }

@@ -2501,4 +2501,23 @@ object TextQueries {
       heldoutPerMille = 100,
       seed = "split"
     )
+
+  /** Nested deterministic subsample grid
+    * ([[graft.operators.Scale.nestedSampleTiers]]): every doc labeled
+    * with the deepest 1/10^k grid tier containing it (k = 0..3),
+    * tiers strict subsets by the divisibility chain — the sampling
+    * primitive of a scaling-law sweep, where the 0.1% run's corpus
+    * must be literally inside the 1% run's so the scale axis is
+    * isolated from sampling noise. Pure per-row projection of the
+    * portable md5-prefix hash; membership is a function of the id
+    * alone, so tiers never churn as the corpus grows. DuckDB replays
+    * the hash and the CASE chain.
+    */
+  def q142NestedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.nestedSampleTiers(
+      docs(spark, dir).select(col("doc_id")),
+      "doc_id",
+      seed = "grid",
+      maxTier = 3
+    )
 }

