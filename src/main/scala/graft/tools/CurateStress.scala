@@ -83,6 +83,11 @@ object CurateStress {
         args.lift(2).map(_.toInt).getOrElse(2000),
         args.lift(3).map(_.toLong).getOrElse(200000L)
       )
+    else if (args.headOption.contains("provenance"))
+      provenanceStress(
+        args.lift(1).map(_.toLong).getOrElse(20000000L),
+        args.lift(2).map(_.toInt).getOrElse(64)
+      )
     else if (args.headOption.contains("decontam"))
       decontamStress(
         args.lift(1).map(_.toLong).getOrElse(5000000L),
@@ -282,6 +287,51 @@ object CurateStress {
         f"scanned+verified in $tSlice%.1f s — ${total - consumed}%d remaining rows"
     )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  /** `provenance [nDocs] [nSources]` — the governance side-file at
+    * corpus scale: a synthetic manifest with CLOSED-FORM offsets (per
+    * doc, n_toks = 150 + id%100, so start_tok is pure arithmetic —
+    * 150·id + (id/100)·4950 + (id%100)(id%100−1)/2 — and the stress
+    * needs no window to lay the corpus out), budget 2048, sources
+    * id%nSources. The claim under test: provenance cost is one
+    * id-keyed join + one keyed agg over manifest-sized rows — it
+    * tracks O(docs), never corpus text, and its token accounting is
+    * exact and total at any size. Verified: Σ n_toks over the output
+    * == the closed-form corpus total.
+    */
+  private def provenanceStress(nDocs: Long, nSources: Int): Unit = {
+    val spark = StressUtil.session()
+    val budget = 2048L
+    // start(id) = 150·id + (id div 100)·4950 + (id%100)(id%100−1)/2
+    val start = expr(
+      "150 * id + (id div 100) * 4950 + ((id % 100) * ((id % 100) - 1)) div 2"
+    )
+    val man = spark
+      .range(nDocs)
+      .withColumn("n_toks", expr("150 + id % 100"))
+      .withColumn("start_tok", start)
+      .withColumn("first_pack", expr(s"start_tok div $budget"))
+      .withColumn("last_pack", expr(s"(start_tok + n_toks - 1) div $budget"))
+      .withColumnRenamed("id", "doc_id")
+    val attrs = spark
+      .range(nDocs)
+      .select(col("id").as("doc_id"), concat(lit("s"), col("id") % nSources).as("source"))
+    val ((rows, toks), t) = StressUtil.timed {
+      val r = graft.operators.Packing
+        .provenance(man, attrs, "doc_id", budget, Seq("source"))
+        .agg(count(lit(1)), sum(col("n_toks")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val r = nDocs % 100
+    val wantToks = 150L * nDocs + (nDocs / 100) * 4950L +
+      r * (r - 1) / 2 // Σ n_toks = start(nDocs) in closed form
+    require(toks == wantToks, s"token accounting broke: $toks != $wantToks")
+    println(
+      f"provenance: $nDocs%d docs ($toks%d tokens, ${toks / budget}%d packs) x $nSources%d sources " +
+        f"attributed in $t%.1f s — $rows%d (pack, source) rows, totals exact"
+    )
   }
 
   /** `vocab [nTokens]` — the dictionary dense-rank at a web-scale

@@ -855,4 +855,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("leakageFreeSplit equals a union-find reference on random pair graphs") {
+    // Connected components is load-bearing for q36 and q141: prove the
+    // distributed min-label propagation against a driver-side
+    // union-find on arbitrary random graphs (chains, stars, cliques
+    // arise by chance across trials), then prove the split is
+    // cluster-atomic under those labels.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 3) {
+      val n = 60 + rnd.nextInt(140)
+      val nEdges = rnd.nextInt(n)
+      val edges = Vector.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // Driver-side union-find with min-id representatives.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val wantComp = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup
+        .leakageFreeSplit(docs, pairs, "doc_id", heldoutPerMille = 250, seed = s"uf$trial")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      assert(got.size == n, s"trial $trial: not total")
+      (0L until n.toLong).foreach { id =>
+        assert(got(id)._1 == wantComp(id), s"trial $trial doc $id comp ${got(id)._1} != ${wantComp(id)}")
+      }
+      // Cluster atomicity under the verified labels.
+      edges.foreach { case (a, b) =>
+        assert(got(a)._2 == got(b)._2, s"trial $trial pair ($a,$b) straddles")
+      }
+    }
+  }
 }
