@@ -161,7 +161,10 @@ object SparkEntry {
     "q139_apportion_budget" -> (TextQueries.q139ApportionBudget _),
     "q140_pack_provenance" -> (TextQueries.q140PackProvenance _),
     "q141_leakage_split" -> (TextQueries.q141LeakageSplit _),
-    "q142_nested_sample" -> (TextQueries.q142NestedSample _)
+    "q142_nested_sample" -> (TextQueries.q142NestedSample _),
+    "q143_snapshot_diff" -> (TextQueries.q143SnapshotDiff _),
+    "q144_efficiency_sweep" -> (TextQueries.q144EfficiencySweep _),
+    "q145_cluster_best" -> (TextQueries.q145ClusterBest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2264,7 +2267,68 @@ object SparkEntry {
         |  CAST(CASE WHEN hv % 1000 = 0 THEN 3
         |       WHEN hv % 100 = 0 THEN 2
         |       WHEN hv % 10 = 0 THEN 1 ELSE 0 END AS INTEGER) AS sample_tier
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    // q143: release diff — old drops ids ≡3 (mod 10), new drops ids
+    // ≡7 (mod 10) and revises text of ids ≡5 (mod 13); status from
+    // the md5-fingerprint full-outer join.
+    "q143_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 3),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // q144: the q138 tail-waste arithmetic swept over four budgets —
+    // one group agg cross-joined with the budget VALUES.
+    "q144_efficiency_sweep" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_toks
+        |  FROM t GROUP BY source),
+        |p AS (SELECT source, n_docs, total_toks, CAST(b.budget AS BIGINT) AS budget,
+        |    (total_toks + b.budget - 1) // b.budget AS n_packs
+        |  FROM g CROSS JOIN (VALUES (512), (1024), (2048), (4096)) AS b(budget))
+        |SELECT source, n_docs, total_toks, budget, n_packs,
+        |  n_packs * budget - total_toks AS tail_waste,
+        |  (1000000 * (n_packs * budget - total_toks)) // (n_packs * budget) AS waste_micro
+        |FROM p""".stripMargin,
+    // q145: quality-aware dedup survivor — the q36 recursive closure,
+    // then per-component argmax token count (ties to the smaller id)
+    // via a row_number window.
+    "q145_cluster_best" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id,
+        |    COALESCE(c.component, d.doc_id) AS component,
+        |    CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, component, n_toks,
+        |  (row_number() OVER (PARTITION BY component ORDER BY n_toks DESC, doc_id ASC)) = 1 AS keep
+        |FROM lab""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

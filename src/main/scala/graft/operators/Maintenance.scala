@@ -1839,6 +1839,46 @@ object Maintenance {
           .filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
     (df, keep.length, allFiles.length)
   }
+
+  /** Corpus RELEASE DIFF — what changed between two snapshots of an
+    * id-keyed table: per id, `status` ∈ `added` (new side only),
+    * `removed` (old side only), `changed` (both sides, content
+    * fingerprint differs), `unchanged`. The governance primitive
+    * behind release notes, takedown verification ("is the doc gone
+    * from v2?"), and incremental re-processing (downstream jobs —
+    * re-embed, re-tokenize — consume only the `added`/`changed`
+    * slice instead of the full corpus).
+    *
+    * The fingerprint is md5 over the `contentCols` concatenated with
+    * a `\u0001` separator (cast to string, so any comparable column
+    * participates) — content compare without moving content: each
+    * side reduces to (id, 32-hex) rows AT THE SCAN, and the full-outer
+    * join is id-keyed and co-partitionable. At 100 TB the diff is two
+    * projected scans + one equi join of fingerprint-width rows; text
+    * bytes never shuffle.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]
+  ): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
+    def fp(df: DataFrame, out: String) =
+      df.select(
+        col(idCol),
+        md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*)).as(out)
+      )
+    fp(oldSnap, "old_fp")
+      .join(fp(newSnap, "new_fp"), Seq(idCol), "full_outer")
+      .withColumn(
+        "status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed"))
+      )
+  }
 }
 
 /** Driver-side filesystem-metadata call counter for the span-state

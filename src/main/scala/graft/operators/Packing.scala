@@ -1218,4 +1218,42 @@ object Packing {
         expr(s"(1000000 * tail_waste) div (n_packs * $budget)")
       )
   }
+
+  /** [[packEfficiency]] across a BUDGET SWEEP — the telemetry behind a
+    * sequence-length decision: per (group, budget) the same exact
+    * tail-waste arithmetic, for every candidate budget in one pass.
+    * Choosing the training sequence length trades tail waste (shorter
+    * budgets pad less per group) against attention-window utility, and
+    * the sweep is how that trade is read off a real mixture before
+    * committing a (budget, stratification) pair to `pack_ingest`.
+    *
+    * Scale shape: the manifest is aggregated ONCE (one hash agg,
+    * O(docs) rows → O(groups)); budgets then explode from a literal
+    * array — O(groups × budgets) rows of pure integer arithmetic, so a
+    * 10-budget sweep costs the same corpus-side work as a single
+    * [[packEfficiency]] call. Same overflow posture: waste < budget,
+    * so the 1e6 product is computed from the remainder and never
+    * overflows at any corpus size.
+    */
+  def efficiencySweep(
+      lay: DataFrame,
+      budgets: Seq[Long],
+      groupCols: Seq[String]
+  ): DataFrame = {
+    require(budgets.nonEmpty, "efficiencySweep needs at least one budget")
+    budgets.foreach(b => require(b > 0, s"budget must be positive, got $b"))
+    require(
+      budgets.distinct.size == budgets.size,
+      s"duplicate budgets in sweep: ${budgets.mkString(", ")}"
+    )
+    val grouped =
+      if (groupCols.isEmpty) lay.groupBy()
+      else lay.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+      .withColumn("budget", explode(typedLit(budgets.sorted)))
+      .withColumn("n_packs", expr("(total_toks + budget - 1) div budget"))
+      .withColumn("tail_waste", col("n_packs") * col("budget") - col("total_toks"))
+      .withColumn("waste_micro", expr("(1000000 * tail_waste) div (n_packs * budget)"))
+  }
 }

@@ -520,6 +520,51 @@ object Dedup {
       "left_anti"
     )
 
+  /** Quality-aware near-dup survivor selection: keep the BEST doc of
+    * every near-dup cluster instead of [[dropNearDups]]' greedy
+    * smaller-id rule. Production pipelines keep the longest / cleanest
+    * / highest-quality copy of a duplicated page, not an arbitrary
+    * one — the survivor here is the cluster's argmax of `scoreCol`,
+    * ties broken to the smaller id (so the choice is total and
+    * deterministic). Returns every input doc labeled
+    * `(idCol, component, scoreCol, keep)` — the caller filters
+    * `keep` for the survivors or audits the dropped copies.
+    *
+    * `scoreCol` must be non-null (a null score would sort below every
+    * real one inside the argmax struct and silently never win —
+    * coalesce upstream if the quality signal is sparse).
+    *
+    * Scale shape: components over the LSH-bounded PAIR table (as
+    * [[leakageFreeSplit]]); then ONE per-component agg of a
+    * `max(struct(score, -id))` argmax (map-side partial, O(docs) →
+    * O(clusters)) joined back on the component key — the agg and the
+    * join share the component partitioning, no text columns move, no
+    * window over an unbounded partition.
+    */
+  def keepBestOfCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val labeled = docs
+      .select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val best = labeled
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id"))).as("b")
+      )
+      .select(col("component"), (-col("b")("neg_id")).as("__best_id"))
+    labeled
+      .join(best, Seq("component"), "inner")
+      .withColumn("keep", col(idCol) === col("__best_id"))
+      .select(col(idCol), col("component"), col(scoreCol), col("keep"))
+  }
+
   /** LEAKAGE-FREE train/heldout split: assign documents to splits at
     * near-dup CLUSTER granularity, so no near-duplicate pair ever
     * straddles the boundary. Splitting uniformly at the document level

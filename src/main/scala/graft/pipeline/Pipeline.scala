@@ -467,6 +467,19 @@ object Pipeline {
   * split: near-dup components from the pair table, singletons their
   * own cluster, the side chosen by hashing the COMPONENT so no
   * near-dup pair straddles the boundary), and
+  * `--maintenance snapshot_diff --old A --new B --content_cols
+  * C1[,C2…] --out O [--id_col I]` (release diff: per-id added/
+  * removed/changed/unchanged via scan-side md5 fingerprints — text
+  * never shuffles; incremental re-processing consumes the
+  * added/changed slice), and
+  * `--maintenance efficiency_sweep --manifests M --budgets
+  * B1[,B2…] --out O [--group_col G]` (pack_efficiency at every
+  * candidate budget in one manifest pass — the sequence-length
+  * selection table), and
+  * `--maintenance cluster_best --docs D --pairs P --score_col S
+  * --out O` (quality-aware survivor selection: keep each near-dup
+  * cluster's argmax-score copy, ties to the smaller id, every doc
+  * labeled so drops stay auditable), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
@@ -1566,6 +1579,82 @@ object PipelineRunner {
         println(
           s"[maintenance] leakage-free split: $n docs, $nHeld heldout " +
             s"($perMille per-mille target, seed=$seed) into $out"
+        )
+      case Some("snapshot_diff") =>
+        // Release diff (Maintenance.snapshotDiff): per-id added/
+        // removed/changed/unchanged between two snapshots — content
+        // compared by scan-side md5 fingerprints, so text never
+        // shuffles; downstream incremental jobs consume the
+        // added/changed slice instead of the full corpus.
+        val oldPath = opts.getOrElse("old", sys.error("--old <parquet dir> required"))
+        val newPath = opts.getOrElse("new", sys.error("--new <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val idCol = opts.getOrElse("id_col", "doc_id")
+        val cols = opts
+          .getOrElse("content_cols", sys.error("--content_cols <comma-separated columns> required"))
+          .split(",")
+          .map(_.trim)
+          .filter(_.nonEmpty)
+          .toSeq
+        val diff = graft.operators.Maintenance.snapshotDiff(
+          spark.read.parquet(oldPath),
+          spark.read.parquet(newPath),
+          idCol,
+          cols
+        )
+        val n = Pipeline.writeCounted(diff, out)
+        val byStatus = spark.read
+          .parquet(out)
+          .groupBy("status")
+          .count()
+          .collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted
+          .mkString(" ")
+        println(s"[maintenance] snapshot diff: $n ids ($byStatus) into $out")
+      case Some("efficiency_sweep") =>
+        // Budget sweep (Packing.efficiencySweep): the pack_efficiency
+        // arithmetic at every candidate budget in one manifest pass —
+        // the table a training run reads to pick its sequence length.
+        val manifests = opts.getOrElse("manifests", sys.error("--manifests <dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val budgets = opts
+          .getOrElse("budgets", sys.error("--budgets <comma-separated token budgets> required"))
+          .split(",")
+          .map(_.trim.toLong)
+          .toSeq
+        val sweep = graft.operators.Packing.efficiencySweep(
+          spark.read.parquet(manifests),
+          budgets,
+          opts.get("group_col").toSeq
+        )
+        val n = Pipeline.writeCounted(sweep, out)
+        println(
+          s"[maintenance] efficiency sweep: $n (group, budget) rows over " +
+            s"budgets ${budgets.sorted.mkString(",")} from $manifests into $out"
+        )
+      case Some("cluster_best") =>
+        // Quality-aware survivor selection (Dedup.keepBestOfCluster):
+        // keep each near-dup cluster's argmax-score copy (ties to the
+        // smaller id), labeling every doc so drops stay auditable.
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet with doc_id + score> required"))
+        val pairsPath = opts.getOrElse("pairs", sys.error("--pairs <parquet with doc_a, doc_b> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val scoreCol = opts.getOrElse("score_col", sys.error("--score_col <column> required"))
+        val best = graft.operators.Dedup.keepBestOfCluster(
+          spark.read.parquet(docsPath),
+          spark.read.parquet(pairsPath),
+          "doc_id",
+          scoreCol
+        )
+        val n = Pipeline.writeCounted(best, out)
+        val nKeep = spark.read
+          .parquet(out)
+          .filter(org.apache.spark.sql.functions.col("keep"))
+          .count()
+        println(
+          s"[maintenance] cluster best: $n docs labeled, $nKeep survivors " +
+            s"(score=$scoreCol) into $out"
         )
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir

@@ -2520,4 +2520,68 @@ object TextQueries {
       seed = "grid",
       maxTier = 3
     )
+
+  /** Corpus release diff ([[graft.operators.Maintenance.snapshotDiff]]):
+    * per-doc added/removed/changed/unchanged between two simulated
+    * releases of the documents table — the old snapshot drops ids
+    * ≡3 (mod 10), the new drops ids ≡7 (mod 10) and revises the text
+    * of ids ≡5 (mod 13). The diff is two fingerprint projections
+    * (md5 at the scan — text never shuffles) and one id-keyed
+    * full-outer join; DuckDB replays the same md5 compare.
+    */
+  def q143SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+    val newSnap = d
+      .filter(col("doc_id") % 10 =!= 7)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))
+      )
+    graft.operators.Maintenance
+      .snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** Pack-efficiency budget sweep
+    * ([[graft.operators.Packing.efficiencySweep]]): the q138 tail-waste
+    * audit at four candidate sequence lengths (512/1024/2048/4096) in
+    * one pass — the table a training run reads to pick its budget. One
+    * manifest agg then a 4-way literal explode of integer arithmetic;
+    * DuckDB replays with a CROSS JOIN over VALUES.
+    */
+  def q144EfficiencySweep(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.efficiencySweep(
+      graft.operators.Packing.layoutBy(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "doc_id",
+        "text",
+        "source",
+        nShards = 8
+      ),
+      budgets = Seq(512L, 1024L, 2048L, 4096L),
+      groupCols = Seq("source")
+    )
+
+  /** Quality-aware dedup survivor selection
+    * ([[graft.operators.Dedup.keepBestOfCluster]]): every doc labeled
+    * with its q21-pair near-dup component and whether it is the
+    * cluster's KEEP — the argmax-token-count copy, ties to the smaller
+    * id — upgrading q32's greedy smaller-id drop to the
+    * keep-the-longest-copy rule production pipelines use. Components
+    * over the bounded pair table, one per-component argmax agg, one
+    * component-keyed join back; no text moves. DuckDB replays the q36
+    * recursive closure plus a row_number window.
+    */
+  def q145ClusterBest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.keepBestOfCluster(
+      docs(spark, dir).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks")
+      ),
+      q21NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      "doc_id",
+      "n_toks"
+    )
 }

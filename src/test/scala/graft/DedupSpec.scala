@@ -393,4 +393,91 @@ class DedupSpec extends AnyFunSuite {
     )
     assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
   }
+
+  test("cluster_best CLI verb equals the library call") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-best-cli").toString
+    val docs = Seq((0L, 10L), (1L, 30L), (2L, 20L), (5L, 7L), (6L, 7L), (9L, 1L))
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+    docs.toDF("doc_id", "score").write.parquet(s"$root/docs")
+    pairs.toDF("doc_a", "doc_b").write.parquet(s"$root/pairs")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "cluster_best",
+        "--docs", s"$root/docs",
+        "--pairs", s"$root/pairs",
+        "--score_col", "score",
+        "--out", s"$root/best"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/best")
+    val viaLib = operators.Dedup.keepBestOfCluster(
+      docs.toDF("doc_id", "score"),
+      pairs.toDF("doc_a", "doc_b"),
+      "doc_id",
+      "score"
+    )
+    assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
+  }
+
+  test("keepBestOfCluster: exactly one keep per component — the argmax score, ties to the smaller id") {
+    import spark.implicits._
+    // Components under the pairs: {0,1,2} (chain), {5,6} (tie on
+    // score), {9} singleton. Scores: 1 wins cluster 0 (highest), 5
+    // wins the {5,6} tie (equal scores, smaller id), 9 trivially.
+    val docs = Seq(
+      (0L, 10L), (1L, 30L), (2L, 20L),
+      (5L, 7L), (6L, 7L),
+      (9L, 1L)
+    ).toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup
+      .keepBestOfCluster(docs, pairs, "doc_id", "score")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 5L, 6L, 9L), "labeling is total")
+    assert(got(0L)._1 == 0L && got(1L)._1 == 0L && got(2L)._1 == 0L)
+    assert(got(5L)._1 == 5L && got(6L)._1 == 5L && got(9L)._1 == 9L)
+    assert(got.filter(_._2._3).keySet == Set(1L, 5L, 9L), "survivors: argmax, tie->min id, singleton")
+    // Contrast with the greedy rule: dropNearDups keeps 0 (the
+    // smallest id of the chain), keepBestOfCluster keeps 1 (the best).
+    val greedy = operators.Dedup
+      .dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(0L, 5L, 9L))
+  }
+
+  test("keepBestOfCluster: randomized — one survivor per component, each the brute-force argmax") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val n = 80
+    val edges = Vector.fill(50) {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val scores = (0 until n).map(i => i.toLong -> rnd.nextInt(5).toLong).toMap
+    val docs = scores.toSeq.toDF("doc_id", "score")
+    val got = operators.Dedup
+      .keepBestOfCluster(docs, edges.toDF("doc_a", "doc_b"), "doc_id", "score")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    // Reference components via union-find.
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val byComp = (0 until n).groupBy(i => find(i))
+    assert(got.size == n)
+    for ((_, members) <- byComp) {
+      val want = members.maxBy(i => (scores(i.toLong), -i)).toLong
+      val keeps = members.filter(i => got(i.toLong)._2)
+      assert(keeps.map(_.toLong) == Seq(want), s"component $members: keeps $keeps, want $want")
+      assert(members.map(i => got(i.toLong)._1).distinct.size == 1, "members share the label")
+    }
+  }
 }

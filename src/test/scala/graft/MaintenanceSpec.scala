@@ -1354,4 +1354,70 @@ class MaintenanceSpec extends AnyFunSuite {
     Maintenance.incrementalDupSpans(spark, b1, "doc_id", "text", replica, Some(1L))
     assert(stateRows(state) == stateRows(replica), "migrated state must equal the replica")
   }
+
+  test("snapshot_diff CLI verb equals the library call") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-diff-cli").toString
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val n = Seq((2L, "b2"), (3L, "c"), (4L, "d"))
+    o.toDF("doc_id", "text").write.parquet(s"$root/old")
+    n.toDF("doc_id", "text").write.parquet(s"$root/new")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "snapshot_diff",
+        "--old", s"$root/old",
+        "--new", s"$root/new",
+        "--content_cols", "text",
+        "--out", s"$root/diff"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/diff")
+    val viaLib = Maintenance.snapshotDiff(
+      o.toDF("doc_id", "text"),
+      n.toDF("doc_id", "text"),
+      "doc_id",
+      Seq("text")
+    )
+    assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
+  }
+
+  test("snapshotDiff: all four statuses; multi-column fingerprints see any changed column") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha", "web"), (2L, "beta", "web"), (3L, "gamma", "code"), (4L, "delta", "web")
+    ).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (1L, "alpha", "web"),      // unchanged
+      (2L, "beta v2", "web"),    // text changed
+      (3L, "gamma", "books"),    // only the second content col changed
+      (5L, "epsilon", "web")     // added; 4 removed
+    ).toDF("doc_id", "text", "source")
+    val got = Maintenance
+      .snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "source"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    assert(
+      got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added")
+    )
+    // Single-column fingerprint ignores the source-only change.
+    val textOnly = Maintenance
+      .snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    assert(textOnly(3L) == "unchanged" && textOnly(2L) == "changed")
+    // The separator keeps adjacent columns from aliasing: ("ab", "c")
+    // vs ("a", "bc") must register as changed.
+    val aliasedOld = Seq((1L, "ab", "c")).toDF("doc_id", "x", "y")
+    val aliasedNew = Seq((1L, "a", "bc")).toDF("doc_id", "x", "y")
+    val aliased = Maintenance
+      .snapshotDiff(aliasedOld, aliasedNew, "doc_id", Seq("x", "y"))
+      .head()
+    assert(aliased.getString(3) == "changed")
+    assert(intercept[IllegalArgumentException] {
+      Maintenance.snapshotDiff(oldSnap, newSnap, "doc_id", Nil)
+    }.getMessage.contains("content column"))
+  }
 }

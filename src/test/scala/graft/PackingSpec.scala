@@ -1447,6 +1447,73 @@ class PackingSpec extends AnyFunSuite {
     assert(rows(0).getLong(3) == nPacks * 16L - tot)
   }
 
+  test("efficiency_sweep CLI verb equals the library call over a written manifest") {
+    val root = Files.createTempDirectory("graft-sweep-cli").toString
+    val lay = Packing.layoutBy(
+      corpus(0 until 40).withColumn("source", (col("doc_id") % 2).cast("string")),
+      "doc_id",
+      "text",
+      "source",
+      nShards = 4
+    )
+    lay.write.parquet(s"$root/man")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "efficiency_sweep",
+        "--manifests", s"$root/man",
+        "--budgets", "16,64",
+        "--group_col", "source",
+        "--out", s"$root/sweep"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/sweep")
+    val viaLib = Packing.efficiencySweep(lay, Seq(16L, 64L), Seq("source"))
+    assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
+  }
+
+  test("efficiencySweep: each budget row equals packEfficiency at that budget; interlocks fire") {
+    val df = corpus(0 until 60).withColumn(
+      "source",
+      when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b").otherwise("c")
+    )
+    val lay = Packing.layoutBy(df, "doc_id", "text", "source", nShards = 4)
+    val budgets = Seq(8L, 16L, 64L)
+    val sweep = Packing
+      .efficiencySweep(lay, budgets, Seq("source"))
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(3)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      )
+      .toMap
+    assert(sweep.size == 3 * budgets.size, "one row per (group, budget)")
+    for (b <- budgets) {
+      val single = Packing
+        .packEfficiency(lay, b, Seq("source"))
+        .collect()
+        .map(r =>
+          (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        )
+        .toMap
+      for ((g, (nd, tt, np, tw, wm)) <- single)
+        assert(sweep((g, b)) == ((nd, tt, np, tw, wm)), s"sweep row ($g, $b) diverges")
+    }
+    // The sweep is monotone where it must be: pack count never grows
+    // with the budget; per-group doc/token totals are budget-invariant.
+    for (g <- Seq("a", "b", "c")) {
+      val byB = budgets.map(b => sweep((g, b)))
+      assert(byB.map(_._3).zip(byB.tail.map(_._3)).forall { case (p8, p16) => p16 <= p8 })
+      assert(byB.map(t => (t._1, t._2)).distinct.size == 1)
+    }
+    assert(intercept[IllegalArgumentException] {
+      Packing.efficiencySweep(lay, Nil, Seq("source"))
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Packing.efficiencySweep(lay, Seq(16L, 16L), Seq("source"))
+    }.getMessage.contains("duplicate"))
+  }
+
   test("provenance: token accounting is exact and total; attributes reconcile both ways") {
     val budget = 16L
     val docs = corpus(0 until 40)
