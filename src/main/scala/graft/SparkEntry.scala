@@ -164,7 +164,8 @@ object SparkEntry {
     "q142_nested_sample" -> (TextQueries.q142NestedSample _),
     "q143_snapshot_diff" -> (TextQueries.q143SnapshotDiff _),
     "q144_efficiency_sweep" -> (TextQueries.q144EfficiencySweep _),
-    "q145_cluster_best" -> (TextQueries.q145ClusterBest _)
+    "q145_cluster_best" -> (TextQueries.q145ClusterBest _),
+    "q146_phase_quotas" -> (TextQueries.q146PhaseQuotas _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2328,7 +2329,37 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN comp c USING (doc_id))
         |SELECT doc_id, component, n_toks,
         |  (row_number() OVER (PARTITION BY component ORDER BY n_toks DESC, doc_id ASC)) = 1 AS keep
-        |FROM lab""".stripMargin
+        |FROM lab""".stripMargin,
+    // q146: per-phase Hamilton apportionment — warm phase weights by
+    // raw corpus share over 2M tokens, anneal phase by the q137 α=0.5
+    // temperature micro-weights over 1M; HUGEINT floor shares, the
+    // leftover +1s to the largest remainders per phase, ties to the
+    // smaller source.
+    "q146_phase_quotas" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS tok_total FROM t GROUP BY source),
+        |m AS (SELECT max(tok_total) AS mx FROM g),
+        |wa AS (
+        |  SELECT 'warm' AS phase, source, tok_total AS w, 2000000 AS pb FROM g
+        |  UNION ALL
+        |  SELECT 'anneal', source,
+        |    CAST(floor(1000000.0 * (sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)))) AS BIGINT),
+        |    1000000
+        |  FROM g, m),
+        |s AS (SELECT phase, CAST(sum(w) AS HUGEINT) AS tw FROM wa GROUP BY phase),
+        |b AS (SELECT wa.phase, source, w, pb,
+        |    CAST((CAST(pb AS HUGEINT) * w) // tw AS BIGINT) AS base,
+        |    (CAST(pb AS HUGEINT) * w) % tw AS rem
+        |  FROM wa JOIN s ON wa.phase = s.phase),
+        |r AS (SELECT phase, source, w, base,
+        |    row_number() OVER (PARTITION BY phase ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b),
+        |d AS (SELECT phase, CAST(max(pb) - sum(base) AS BIGINT) AS leftover
+        |  FROM b GROUP BY phase)
+        |SELECT r.phase, source, w, base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+        |FROM r JOIN d ON r.phase = d.phase""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -1164,6 +1164,18 @@ object Packing {
     )
     val gw = rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     require(gw.map(_._1).distinct.length == gw.length, s"duplicate $groupCol keys in the weight table")
+    import spark.implicits._
+    hamilton(gw, totalBudget).toDF(groupCol, weightCol, "quota")
+  }
+
+  /** The exact largest-remainder core shared by [[apportionBudget]]
+    * and [[apportionBudgetBy]]: floor shares in BigInt, leftover +1s
+    * to the largest remainders, ties to the smaller key.
+    */
+  private def hamilton(
+      gw: IndexedSeq[(String, Long)],
+      totalBudget: Long
+  ): IndexedSeq[(String, Long, Long)] = {
     require(gw.forall(_._2 >= 0), "negative weights")
     val totW = gw.map(w => BigInt(w._2)).sum
     require(totW > 0, "apportionBudget: all weights are zero")
@@ -1180,10 +1192,72 @@ object Packing {
       .take(leftover.toInt)
       .map(_._1)
       .toSet
+    based.map { case (g, w, base, _) => (g, w, base + (if (bump(g)) 1L else 0L)) }
+  }
+
+  /** [[apportionBudget]] per PHASE — the quota table of a multi-phase
+    * training curriculum, where each phase runs its own mixture (a
+    * warmup phase samples proportionally, an anneal phase flattens
+    * with temperature, a final phase upweights a target domain) and
+    * its own token budget. Input rows are
+    * `(phaseCol, groupCol, weightCol, budgetCol)` — one row per
+    * (phase, group), every row of a phase carrying that phase's
+    * budget (conflicting budgets within a phase fail loudly; so do
+    * duplicate group keys). Output `(phase, group, weight, quota)`
+    * with Σ quota == the phase's budget EXACTLY for every phase —
+    * Hamilton largest-remainder independently per phase, same BigInt
+    * arithmetic and smaller-key tie rule as [[apportionBudget]].
+    *
+    * Scale shape: the weight table is (phases × groups) — domain-
+    * grained and bounded by the same `maxGroups` interlock (applied
+    * to the TOTAL row count), collected once; everything after is
+    * exact driver arithmetic. The schedule consumer joins quotas back
+    * per phase to meter [[selectTokenBudget]] cuts.
+    */
+  def apportionBudgetBy(
+      weights: DataFrame,
+      phaseCol: String,
+      groupCol: String,
+      weightCol: String,
+      budgetCol: String,
+      maxGroups: Int = 10000
+  ): DataFrame = {
+    val spark = weights.sparkSession
+    val rows = weights
+      .select(
+        col(phaseCol).cast("string"),
+        col(groupCol).cast("string"),
+        col(weightCol).cast("long"),
+        col(budgetCol).cast("long")
+      )
+      .take(maxGroups + 1)
+    require(
+      rows.length <= maxGroups,
+      s"apportionBudgetBy collected > $maxGroups ($phaseCol, $groupCol) rows: apportionment " +
+        "is for domain-grained weight tables (source, language, dataset), not doc-grained ones"
+    )
+    val parsed = rows.toIndexedSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out = parsed
+      .groupBy(_._1)
+      .toIndexedSeq
+      .sortBy(_._1)
+      .flatMap { case (ph, rs) =>
+        val budgets = rs.map(_._4).distinct
+        require(
+          budgets.length == 1,
+          s"phase '$ph' carries conflicting budgets: ${budgets.sorted.mkString(", ")}"
+        )
+        require(budgets.head >= 0, s"phase '$ph': budget must be non-negative, got ${budgets.head}")
+        val gw = rs.map(r => (r._2, r._3))
+        require(
+          gw.map(_._1).distinct.length == gw.length,
+          s"duplicate $groupCol keys in phase '$ph'"
+        )
+        hamilton(gw, budgets.head).map { case (g, w, q) => (ph, g, w, q) }
+      }
     import spark.implicits._
-    based
-      .map { case (g, w, base, _) => (g, w, base + (if (bump(g)) 1L else 0L)) }
-      .toDF(groupCol, weightCol, "quota")
+    out.toDF(phaseCol, groupCol, weightCol, "quota")
   }
 
   /** Pack-space EFFICIENCY audit — the padding/waste accounting a

@@ -457,6 +457,10 @@ object Pipeline {
   * --budget B --out O [--weight_col C]` (mixture_weights rates ->
   * hard per-group token quotas summing to B exactly — Hamilton
   * largest-remainder over BigInt, the selectTokenBudget feed), and
+  * `--maintenance apportion_phases --weights W --group_col G --out O
+  * [--phase_col P] [--weight_col C] [--budget_col B]` (per-phase
+  * curriculum quotas from a (phase, group, weight, budget) table —
+  * each phase's quotas sum to its budget exactly), and
   * `--maintenance pack_provenance --manifests M --attrs A
   * --attr_cols C1[,C2…] --out O [--budget T]` (the governance
   * side-file: per (pack, attribute values), contributing docs and
@@ -1513,6 +1517,29 @@ object PipelineRunner {
         )
         val n = Pipeline.writeCounted(q, out)
         println(s"[maintenance] apportioned $budget tokens over $n $groupCol quotas into $out")
+      case Some("apportion_phases") =>
+        // Multi-phase curriculum quotas (Packing.apportionBudgetBy):
+        // per-phase Hamilton apportionment from a (phase, group,
+        // weight, budget) table — each phase's quotas sum to its
+        // budget exactly.
+        val weightsPath = opts.getOrElse("weights", sys.error("--weights <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val phaseCol = opts.getOrElse("phase_col", "phase")
+        val groupCol = opts.getOrElse("group_col", sys.error("--group_col <column> required"))
+        val weightCol = opts.getOrElse("weight_col", "w_micro")
+        val budgetCol = opts.getOrElse("budget_col", "phase_budget")
+        val q = graft.operators.Packing.apportionBudgetBy(
+          spark.read.parquet(weightsPath),
+          phaseCol,
+          groupCol,
+          weightCol,
+          budgetCol
+        )
+        val n = Pipeline.writeCounted(q, out)
+        val phases = spark.read.parquet(out).select(phaseCol).distinct().count()
+        println(
+          s"[maintenance] apportioned $phases phase budget(s) over $n ($phaseCol, $groupCol) quotas into $out"
+        )
       case Some("pack_efficiency") =>
         // Pack-space waste accounting (Packing.packEfficiency): per
         // group (or globally), the tail-pack waste and integer-exact

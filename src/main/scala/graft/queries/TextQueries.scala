@@ -2521,6 +2521,42 @@ object TextQueries {
       maxTier = 3
     )
 
+  /** Multi-phase curriculum quotas
+    * ([[graft.operators.Packing.apportionBudgetBy]]): a two-phase
+    * training schedule's exact token quotas in one table — the
+    * 'warm' phase apportions 2M tokens proportionally to corpus
+    * share (weight = raw tok_total), the 'anneal' phase apportions
+    * 1M by the q137 α=0.5 temperature weights (flattened toward the
+    * small domains). Per phase Σ quota == the phase budget EXACTLY
+    * (Hamilton largest-remainder, BigInt, ties to the smaller
+    * source). DuckDB replays both weight derivations and the
+    * per-phase remainder rank with HUGEINT div/mod.
+    */
+  def q146PhaseQuotas(spark: SparkSession, dir: String): DataFrame = {
+    val totals = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("tok_total"))
+    val warm = totals.select(
+      lit("warm").as("phase"),
+      col("source"),
+      col("tok_total").as("w"),
+      lit(2000000L).as("phase_budget")
+    )
+    val anneal = q137TemperatureMix(spark, dir).select(
+      lit("anneal").as("phase"),
+      col("source"),
+      col("w_micro").as("w"),
+      lit(1000000L).as("phase_budget")
+    )
+    graft.operators.Packing.apportionBudgetBy(
+      warm.unionByName(anneal),
+      "phase",
+      "source",
+      "w",
+      "phase_budget"
+    )
+  }
+
   /** Corpus release diff ([[graft.operators.Maintenance.snapshotDiff]]):
     * per-doc added/removed/changed/unchanged between two simulated
     * releases of the documents table — the old snapshot drops ids

@@ -1422,6 +1422,70 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
   }
 
+  test("apportion_phases CLI verb equals the library call") {
+    val root = Files.createTempDirectory("graft-phases-cli").toString
+    val w = Seq(
+      ("warm", "web", 3L, 100L),
+      ("warm", "code", 1L, 100L),
+      ("anneal", "web", 1L, 50L),
+      ("anneal", "code", 1L, 50L)
+    ).toDF("phase", "source", "w", "phase_budget")
+    w.write.parquet(s"$root/w")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "apportion_phases",
+        "--weights", s"$root/w",
+        "--group_col", "source",
+        "--weight_col", "w",
+        "--out", s"$root/q"
+      ),
+      spark
+    )
+    val out = spark.read.parquet(s"$root/q")
+    val viaLib = Packing.apportionBudgetBy(w, "phase", "source", "w", "phase_budget")
+    assert(out.collect().map(_.toSeq).toSet == viaLib.collect().map(_.toSeq).toSet)
+  }
+
+  test("apportionBudgetBy: per-phase sums exact, each phase equals the single-phase call; interlocks") {
+    val w = Seq(
+      ("warm", "web", 707106L, 2000003L),
+      ("warm", "code", 331662L, 2000003L),
+      ("warm", "wiki", 57735L, 2000003L),
+      ("anneal", "web", 100L, 999983L),
+      ("anneal", "code", 100L, 999983L)
+    ).toDF("phase", "source", "w", "pb")
+    val got = Packing
+      .apportionBudgetBy(w, "phase", "source", "w", "pb")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toIndexedSeq
+    assert(got.filter(_._1 == "warm").map(_._4).sum == 2000003L)
+    assert(got.filter(_._1 == "anneal").map(_._4).sum == 999983L)
+    // Each phase independently equals apportionBudget on its slice.
+    for (ph <- Seq("warm", "anneal")) {
+      val slice = w.filter(col("phase") === ph)
+      val single = Packing
+        .apportionBudget(slice.select(col("source"), col("w")), "source", "w", slice.head().getLong(3))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)))
+        .toMap
+      got.filter(_._1 == ph).foreach { case (_, g, _, q) =>
+        assert(single(g) == q, s"phase $ph group $g: $q != single-phase ${single(g)}")
+      }
+    }
+    // Conflicting budgets within one phase fail loudly.
+    val conflict = Seq(("p", "a", 1L, 10L), ("p", "b", 1L, 20L)).toDF("phase", "g", "w", "pb")
+    assert(intercept[IllegalArgumentException] {
+      Packing.apportionBudgetBy(conflict, "phase", "g", "w", "pb")
+    }.getMessage.contains("conflicting"))
+    // Duplicate group keys within one phase fail loudly (the same key
+    // in DIFFERENT phases is the point of the operator and fine).
+    val dup = Seq(("p", "a", 1L, 10L), ("p", "a", 2L, 10L)).toDF("phase", "g", "w", "pb")
+    assert(intercept[IllegalArgumentException] {
+      Packing.apportionBudgetBy(dup, "phase", "g", "w", "pb")
+    }.getMessage.contains("duplicate"))
+  }
+
   test("apportionBudget interlocks: duplicate keys, all-zero weights, doc-grained cardinality") {
     val dup = Seq(("a", 1L), ("a", 2L)).toDF("g", "wt")
     assert(intercept[IllegalArgumentException] {
