@@ -88,6 +88,8 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(20000000L),
         args.lift(2).map(_.toInt).getOrElse(64)
       )
+    else if (args.headOption.contains("diff"))
+      diffStress(args.lift(1).map(_.toLong).getOrElse(50000000L))
     else if (args.headOption.contains("decontam"))
       decontamStress(
         args.lift(1).map(_.toLong).getOrElse(5000000L),
@@ -331,6 +333,59 @@ object CurateStress {
     println(
       f"provenance: $nDocs%d docs ($toks%d tokens, ${toks / budget}%d packs) x $nSources%d sources " +
         f"attributed in $t%.1f s — $rows%d (pack, source) rows, totals exact"
+    )
+  }
+
+  /** `diff [nDocs]` — the release diff at corpus scale: two synthetic
+    * snapshots over an id space (old drops ids ≡3 mod 10, new drops
+    * ≡7 mod 10 and revises content of ids ≡5 mod 13), content a
+    * per-id md5 string so the fingerprints do real hashing work. The
+    * claim under test: snapshotDiff is two projected scans + one
+    * id-keyed join of fingerprint-width rows — content never
+    * shuffles — and the status partition is exact. Verified: every
+    * status count equals its closed-form residue count (driver
+    * arithmetic over the lcm(10,13)=130 residue classes, an
+    * independent formula from the operator's join logic).
+    */
+  private def diffStress(nDocs: Long): Unit = {
+    val spark = StressUtil.session()
+    def snap(dropMod10: Int, revise: Boolean) = {
+      val base = spark
+        .range(nDocs)
+        .filter(col("id") % 10 =!= dropMod10)
+        .withColumnRenamed("id", "doc_id")
+      val content =
+        if (revise)
+          when(col("doc_id") % 13 === 5, concat(md5(col("doc_id").cast("string")), lit(" rev2")))
+            .otherwise(md5(col("doc_id").cast("string")))
+        else md5(col("doc_id").cast("string"))
+      base.withColumn("text", content)
+    }
+    val (got, t) = StressUtil.timed {
+      graft.operators.Maintenance
+        .snapshotDiff(snap(3, revise = false), snap(7, revise = true), "doc_id", Seq("text"))
+        .groupBy("status")
+        .count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    }
+    // Closed-form expected counts over the 130-residue classes.
+    def countRes(pred: Long => Boolean): Long = {
+      val perBlock = (0L until 130L).count(pred).toLong
+      val blocks = nDocs / 130
+      blocks * perBlock + (0L until nDocs % 130).count(pred).toLong
+    }
+    val want = Map(
+      "added" -> countRes(r => r % 10 == 3),
+      "removed" -> countRes(r => r % 10 == 7),
+      "changed" -> countRes(r => r % 10 != 3 && r % 10 != 7 && r % 13 == 5),
+      "unchanged" -> countRes(r => r % 10 != 3 && r % 10 != 7 && r % 13 != 5)
+    )
+    require(got == want, s"status partition broke: $got != $want")
+    println(
+      f"diff: $nDocs%d-id release diffed in $t%.1f s — " +
+        want.toSeq.sorted.map { case (s, c) => s"$s=$c" }.mkString(" ") + ", counts exact"
     )
   }
 
