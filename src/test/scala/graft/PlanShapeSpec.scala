@@ -654,4 +654,35 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian:\n$plan")
     }
   }
+
+  test("q143: fingerprints are computed BELOW the join — text never reaches the exchange") {
+    // snapshotDiff's scale claim is that the full-outer join ships
+    // (id, 32-hex) rows, never content: the md5 projection must sit on
+    // the scan side of the join (in tree printing, children render
+    // AFTER parents, so a plan that fingerprinted after joining would
+    // print md5 before the join node). The scan itself must read only
+    // the id + content columns.
+    val plan = planOf(queries.TextQueries.q143SnapshotDiff(spark, sf))
+    val join = plan.indexOf("SortMergeJoin")
+    val fp = plan.indexOf("md5(")
+    assert(join >= 0, s"full-outer diff should sort-merge join:\n$plan")
+    assert(fp > join, s"md5 fingerprint must be below the join (scan side):\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"over-read:\n$plan")
+  }
+
+  test("q145: survivor argmax is a partial-aggregated agg + equi joins — never a window over text") {
+    // keepBestOfCluster's per-component argmax must plan as an
+    // aggregate with a map-side partial (O(docs) -> O(clusters) before
+    // the shuffle), joined back on the component key; no unpartitioned
+    // window, no cartesian, and the score projection (split on text)
+    // stays below the first exchange.
+    val df = queries.TextQueries.q145ClusterBest(spark, sf)
+    val gw = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(gw.isEmpty, "unpartitioned window")
+    val plan = planOf(df)
+    assert(plan.contains("partial_max"), s"argmax must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
 }
