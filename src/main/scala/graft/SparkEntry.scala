@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, MultimodalQueries, TextQueries, TypedQueries, VectorQueries}
+import graft.queries.{CoreQueries, MultimodalQueries, PreferenceQueries, TextQueries, TypedQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -165,7 +165,13 @@ object SparkEntry {
     "q143_snapshot_diff" -> (TextQueries.q143SnapshotDiff _),
     "q144_efficiency_sweep" -> (TextQueries.q144EfficiencySweep _),
     "q145_cluster_best" -> (TextQueries.q145ClusterBest _),
-    "q146_phase_quotas" -> (TextQueries.q146PhaseQuotas _)
+    "q146_phase_quotas" -> (TextQueries.q146PhaseQuotas _),
+    "q147_preference_pairs" -> (PreferenceQueries.q147PreferencePairs _),
+    "q148_best_of_n" -> (PreferenceQueries.q148BestOfN _),
+    "q149_length_debias" -> (PreferenceQueries.q149LengthDebias _),
+    "q150_turn_flatten" -> (PreferenceQueries.q150TurnFlatten _),
+    "q151_rater_agreement" -> (PreferenceQueries.q151RaterAgreement _),
+    "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2359,7 +2365,95 @@ object SparkEntry {
         |d AS (SELECT phase, CAST(max(pb) - sum(base) AS BIGINT) AS leftover
         |  FROM b GROUP BY phase)
         |SELECT r.phase, source, w, base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
-        |FROM r JOIN d ON r.phase = d.phase""".stripMargin
+        |FROM r JOIN d ON r.phase = d.phase""".stripMargin,
+    // q147: DPO preference pairs — per prompt the argmax/argmin-reward
+    // responses (ties to the smaller id) with strict positive margin;
+    // the pseudo reward is the portable md5-prefix hash % 1000 plus a
+    // capped token-count length bias.
+    "q147_preference_pairs" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |c AS (SELECT prompt_id, doc_id, reward,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward ASC, doc_id ASC) AS rr
+        |  FROM r)
+        |SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+        |  ch.reward AS chosen_score, rj.reward AS rejected_score,
+        |  ch.reward - rj.reward AS margin
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+        |WHERE ch.reward > rj.reward""".stripMargin,
+    // q148: best-of-n — top-3 responses per prompt by (reward DESC,
+    // id ASC) with 1-based INTEGER ranks.
+    "q148_best_of_n" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |k AS (SELECT prompt_id, doc_id, reward,
+        |    CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM r)
+        |SELECT prompt_id, doc_id, reward, rank FROM k WHERE rank <= 3""".stripMargin,
+    // q149: length-debiased reward — reward centered against the
+    // 50-token length cohort in exact integer micro-units (BIGINT
+    // floor division on both engines).
+    "q149_length_debias" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, reward, n_toks // 50 AS bucket FROM r),
+        |m AS (SELECT bucket,
+        |    CAST((1000000 * sum(reward)) // count(*) AS BIGINT) AS mean_micro
+        |  FROM b GROUP BY bucket)
+        |SELECT doc_id, b.bucket, reward,
+        |  CAST(1000000 * reward - mean_micro AS BIGINT) AS adj_micro
+        |FROM b JOIN m USING (bucket)""".stripMargin,
+    // q150: conversation-turn flattening — one conversation per user,
+    // turns ordered by (ts, event_id), roles alternating from 'user'.
+    "q150_turn_flatten" ->
+      """SELECT user_id AS conv_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) % 2 = 1
+        |       THEN 'user' ELSE 'assistant' END AS role,
+        |  event_type AS content
+        |FROM events""".stripMargin,
+    // q151: multi-rater reconciliation — 3 pseudo-raters per response
+    // (portable hash of (rater, id) mod 100), integer-micro mean,
+    // range, disputed at range >= 40.
+    "q151_rater_agreement" ->
+      """WITH rt AS (SELECT doc_id, unnest([0, 1, 2]) AS rater FROM documents),
+        |sc AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rate_', CAST(rater AS VARCHAR), '_',
+        |      CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 100 AS score
+        |  FROM rt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_raters,
+        |  CAST((1000000 * sum(score)) // count(*) AS BIGINT) AS mean_micro,
+        |  CAST(max(score) - min(score) AS BIGINT) AS score_range,
+        |  (max(score) - min(score)) >= 40 AS disputed
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // q152: pair-level decontamination — the q147 pairs minus every
+    // pair touching a contaminated response (ids ≡ 0 mod 17) on
+    // EITHER side.
+    "q152_pair_decontam" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |c AS (SELECT prompt_id, doc_id, reward,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward ASC, doc_id ASC) AS rr
+        |  FROM r)
+        |SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+        |  ch.reward AS chosen_score, rj.reward AS rejected_score,
+        |  ch.reward - rj.reward AS margin
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+        |WHERE ch.reward > rj.reward
+        |  AND ch.doc_id % 17 <> 0 AND rj.doc_id % 17 <> 0""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Post-training (SFT / RLHF) data operators: the preference-data
+  * construction steps that sit between a scored response corpus and a
+  * DPO/RLHF trainer — pair construction, best-of-n selection,
+  * length-bias removal, multi-rater reconciliation, conversation-turn
+  * flattening, and pair-level decontamination.
+  *
+  * The scale posture mirrors the pretraining families: every operator
+  * is one keyed aggregation or one bounded-partition window over the
+  * PROMPT key (response groups are small by construction — a prompt
+  * has n responses, not a corpus), content columns never enter a
+  * shuffle unless they are the output, and nothing collects to the
+  * driver. All arithmetic that feeds an equality-checked output is
+  * integer (micro-units under floor division), never floating point,
+  * so results are deterministic across partitionings and engines.
+  */
+object Preference {
+
+  /** DPO-style preference pairs from a scored response table: for each
+    * prompt, `chosen` = the argmax-score response and `rejected` = the
+    * argmin-score response, both with ties broken to the smaller
+    * response id so the pair is a total, deterministic function of the
+    * table. Prompts whose responses all share one score (including
+    * single-response prompts) yield no pair — a zero-margin "pair"
+    * carries no preference signal, and DPO's loss is undefined on it.
+    *
+    * Returns `(promptCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin)` with `margin = chosen_score -
+    * rejected_score > 0` guaranteed.
+    *
+    * Scale shape: ONE groupBy on the prompt key with two
+    * `max/min(struct(...))` argmax aggregates — map-side partials
+    * reduce O(responses) to O(prompts) before the only shuffle; no
+    * window, no self-join, no response text in the plan.
+    */
+  def preferencePairs(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame =
+    responses
+      .groupBy(col(promptCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id")))
+          .as("c"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("id"))).as("r")
+      )
+      .select(
+        col(promptCol),
+        (-col("c")("neg_id")).as("chosen_id"),
+        col("r")("id").as("rejected_id"),
+        col("c")("s").as("chosen_score"),
+        col("r")("s").as("rejected_score"),
+        (col("c")("s") - col("r")("s")).as("margin")
+      )
+      .filter(col("margin") > 0)
+
+  /** Best-of-n selection: the top `n` responses of every prompt by
+    * score (ties to the smaller id), each labeled with its 1-based
+    * rank — the rejection-sampling primitive (keep the best k of n
+    * sampled completions) and the candidate-list builder for listwise
+    * preference losses.
+    *
+    * Scale shape: one `row_number` window PARTITIONED BY the prompt
+    * key — safe because a partition is one prompt's response set
+    * (bounded by the sampling fan-out, typically 4-64), never the
+    * corpus; the filter to rank <= n prunes before anything else
+    * reads the output.
+    */
+  def bestOfN(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, s"bestOfN needs n >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    responses
+      .select(col(promptCol), col(idCol), col(scoreCol))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= n)
+  }
+
+  /** Length-debiased reward: reward models systematically prefer
+    * longer responses, and training on raw scores bakes that bias in
+    * (the "length hack"). The published mitigation is to center each
+    * response's score against its LENGTH COHORT — here, subtract the
+    * mean score of the response's length bucket
+    * (`bucket = lenCol div bucketWidth`), leaving only the
+    * within-cohort signal.
+    *
+    * All arithmetic is integer micro-units: the bucket mean is
+    * `(1e6 * sum(score)) div count` (BIGINT floor division) and the
+    * adjusted score is `1e6 * score - mean_micro`, so the output is
+    * exact and engine-portable — no floating-point averages. Returns
+    * `(idCol, bucket, scoreCol, adj_micro)`.
+    *
+    * Scale shape: one groupBy on the bucket (map-side partial,
+    * O(responses) -> O(buckets)) and one join back keyed on the
+    * bucket; the bucket table is tiny (max len / width rows) so the
+    * join side broadcasts.
+    */
+  def lengthDebias(
+      responses: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      lenCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val bucketed = responses
+      .select(col(idCol), col(scoreCol), col(lenCol))
+      .withColumn("bucket", expr(s"$lenCol div ${bucketWidth}L"))
+    val means = bucketed
+      .groupBy(col("bucket"))
+      .agg(
+        expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro")
+      )
+    bucketed
+      .join(broadcast(means), Seq("bucket"), "inner")
+      .select(
+        col(idCol),
+        col("bucket"),
+        col(scoreCol),
+        (lit(1000000L) * col(scoreCol) - col("mean_micro")).as("adj_micro")
+      )
+  }
+
+  /** Multi-rater reconciliation: collapse a ratings table (several
+    * raters scoring the same response) to one row per response with
+    * the integer-micro mean, the score range, and a `disputed` flag
+    * when the range reaches `disputeRange` — the triage table a
+    * labeling pipeline reads to route high-disagreement responses to
+    * re-annotation instead of training.
+    *
+    * Returns `(idCol, n_raters, mean_micro, score_range, disputed)`;
+    * `mean_micro = (1e6 * sum(score)) div count` (BIGINT floor
+    * division — exact, engine-portable).
+    *
+    * Scale shape: ONE groupBy on the response id with map-side
+    * partials; the ratings table is k x responses rows (k raters),
+    * so the agg is the only pass and nothing else moves.
+    */
+  def raterAgreement(
+      ratings: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      disputeRange: Long
+  ): DataFrame =
+    ratings
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_raters"),
+        expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro"),
+        (max(col(scoreCol)) - min(col(scoreCol))).as("score_range")
+      )
+      .withColumn("disputed", col("score_range") >= disputeRange)
+
+  /** Conversation-turn flattening: an event-log conversation (one row
+    * per message, ordered by timestamp) re-shaped to the
+    * `(conversation, turn_idx, role, content)` rows an SFT formatter
+    * consumes, with roles alternating user/assistant from the first
+    * turn. `tieCol` breaks timestamp ties so the turn order is total
+    * (log replays and same-ms batches stay deterministic).
+    *
+    * Scale shape: one `row_number` window PARTITIONED BY the
+    * conversation key — a partition is one conversation's messages
+    * (bounded by dialogue length), never the corpus; the content
+    * column rides the window's shuffle once, which is the minimum for
+    * this reshape.
+    */
+  def flattenTurns(
+      events: DataFrame,
+      convCol: String,
+      tsCol: String,
+      tieCol: String,
+      contentCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(convCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .select(col(convCol), col(tsCol), col(tieCol), col(contentCol))
+      .withColumn("turn_idx", row_number().over(w).cast("int"))
+      .withColumn(
+        "role",
+        when(col("turn_idx") % 2 === 1, lit("user")).otherwise(lit("assistant"))
+      )
+      .select(
+        col(convCol).as("conv_id"),
+        col("turn_idx"),
+        col("role"),
+        col(contentCol).as("content")
+      )
+  }
+
+  /** Pair-level decontamination: drop every preference pair that
+    * TOUCHES a contaminated response — a pair whose chosen OR
+    * rejected member leaked from an eval set is poisoned on either
+    * side (training on the chosen memorizes the benchmark; training
+    * against the rejected anti-memorizes it), so the gate is
+    * any-member, not chosen-only.
+    *
+    * `bad` is the contaminated-id table (from the decontamination
+    * family — exact q129, fuzzy q133, or semantic q135 verdicts);
+    * each column in `memberCols` is anti-joined against it.
+    *
+    * Scale shape: the contaminated set is eval-sized (small against
+    * a pair corpus), so each gate is a BROADCAST left-anti join —
+    * the pair table streams, nothing shuffles.
+    */
+  def purgePairs(
+      pairs: DataFrame,
+      memberCols: Seq[String],
+      bad: DataFrame,
+      badIdCol: String
+  ): DataFrame = {
+    require(memberCols.nonEmpty, "purgePairs needs at least one member column")
+    val badIds = broadcast(bad.select(col(badIdCol)).distinct())
+    memberCols.foldLeft(pairs) { (acc, m) =>
+      acc.join(badIds, acc(m) === badIds(badIdCol), "left_anti")
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Preference
+
+/** Post-training (SFT / RLHF) preference-data queries over the
+  * synthetic tables: the documents table stands in for a scored
+  * response corpus (each doc a candidate completion, its prompt the
+  * id-derived group, its reward a deterministic pseudo reward-model
+  * score with a built-in length bias), and the events table for a
+  * message log to flatten into SFT turns. Every query is
+  * DuckDB-replayable: the pseudo-scores use the engine's portable
+  * md5-prefix hash and all derived arithmetic is integer.
+  */
+object PreferenceQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val want = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions < want) raw.repartition(want) else raw
+  }
+
+  /** 28-bit integer hash of a string via md5 (deterministic everywhere). */
+  private def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** The simulated scored-response corpus: `prompt_id = doc_id % 50`
+    * groups the docs into 50-response prompts, `reward` is the
+    * portable hash of the id (the pseudo reward-model head) PLUS a
+    * capped token-count term — a deliberate length bias for
+    * [[q149LengthDebias]] to remove. Integer throughout.
+    */
+  private[graft] def responses(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      (col("doc_id") % 50).as("prompt_id"),
+      col("doc_id"),
+      (h28(concat(lit("rm_"), col("doc_id").cast("string"))) % 1000 +
+        least(size(split(col("text"), "\\s+")).cast("long"), lit(200L)))
+        .as("reward"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_toks")
+    )
+
+  /** DPO preference pairs ([[graft.operators.Preference.preferencePairs]]):
+    * per prompt, the argmax-reward response as `chosen` and the
+    * argmin as `rejected` (ties to the smaller id), with the strict
+    * positive margin guaranteed — the table a DPO trainer consumes.
+    * One prompt-keyed agg of two struct argmaxes, map-side partials;
+    * DuckDB replays with two row_number windows and a self-join.
+    */
+  def q147PreferencePairs(spark: SparkSession, dir: String): DataFrame =
+    Preference.preferencePairs(
+      responses(spark, dir),
+      "prompt_id",
+      "doc_id",
+      "reward"
+    )
+
+  /** Best-of-n selection ([[graft.operators.Preference.bestOfN]]): the
+    * top-3 responses of every prompt by reward (ties to the smaller
+    * id) with 1-based ranks — the rejection-sampling keep set. The
+    * row_number window partitions by the prompt (10 responses per
+    * partition here, never the corpus).
+    */
+  def q148BestOfN(spark: SparkSession, dir: String): DataFrame =
+    Preference.bestOfN(responses(spark, dir), "prompt_id", "doc_id", "reward", n = 3)
+
+  /** Length-debiased rewards ([[graft.operators.Preference.lengthDebias]]):
+    * each response's reward centered against its 50-token length
+    * cohort in exact integer micro-units — the published mitigation
+    * for reward models' longer-is-better bias. The q147 reward's
+    * `least(n_toks, 200)` term is exactly the bias this removes
+    * within each bucket. One bucket agg + one broadcast join back.
+    */
+  def q149LengthDebias(spark: SparkSession, dir: String): DataFrame =
+    Preference.lengthDebias(
+      responses(spark, dir),
+      "doc_id",
+      "reward",
+      "n_toks",
+      bucketWidth = 50L
+    )
+
+  /** Conversation-turn flattening ([[graft.operators.Preference.flattenTurns]]):
+    * the events log reshaped to SFT `(conv_id, turn_idx, role,
+    * content)` rows — each user's events one conversation, turns
+    * ordered by (ts, event_id), roles alternating from 'user'. The
+    * window partitions by conversation (≤ a dialogue's length).
+    */
+  def q150TurnFlatten(spark: SparkSession, dir: String): DataFrame =
+    Preference.flattenTurns(
+      spark.read.parquet(s"$dir/events.parquet"),
+      convCol = "user_id",
+      tsCol = "ts",
+      tieCol = "event_id",
+      contentCol = "event_type"
+    )
+
+  /** Multi-rater reconciliation ([[graft.operators.Preference.raterAgreement]]):
+    * three deterministic pseudo-raters score every response
+    * (portable hash of (rater, id) mod 100); the operator collapses
+    * to per-response n_raters / integer-micro mean / range and flags
+    * `disputed` at range >= 40 — the re-annotation triage table. One
+    * id-keyed agg over the 3x ratings rows.
+    */
+  def q151RaterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = responses(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("rater", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn(
+        "score",
+        h28(
+          concat(
+            lit("rate_"),
+            col("rater").cast("string"),
+            lit("_"),
+            col("doc_id").cast("string")
+          )
+        ) % 100
+      )
+    Preference.raterAgreement(ratings, "doc_id", "score", disputeRange = 40L)
+  }
+
+  /** Pair-level decontamination ([[graft.operators.Preference.purgePairs]]):
+    * the q147 pairs with every pair touching an eval-contaminated
+    * response (ids ≡ 0 mod 17 here; the decontam family's verdict
+    * table in production) dropped on EITHER side — chosen or
+    * rejected, both poison the pair. Two broadcast left-anti gates;
+    * the pair table streams.
+    */
+  def q152PairDecontam(spark: SparkSession, dir: String): DataFrame =
+    Preference.purgePairs(
+      q147PreferencePairs(spark, dir),
+      Seq("chosen_id", "rejected_id"),
+      docs(spark, dir).filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+      "doc_id"
+    )
+}

@@ -685,4 +685,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), s"argmax must partial-aggregate map-side:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
+
+  test("q147: preference pairs plan as ONE partial-aggregated agg — no window, no self-join") {
+    // The pair builder's scale claim: chosen and rejected come out of a
+    // single groupBy(prompt) with struct argmax/argmin aggregates —
+    // map-side partials cut O(responses) to O(prompts) before the only
+    // shuffle. A window- or self-join-shaped plan would ship every
+    // response row to the prompt partition twice.
+    val df = queries.PreferenceQueries.q147PreferencePairs(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_max") && plan.contains("partial_min"),
+      s"argmax/argmin must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join in the pair build:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"exactly one shuffle (the prompt agg), got $exchanges:\n$plan")
+  }
+
+  test("q152: pair decontamination gates are BROADCAST anti joins — the pair table streams") {
+    val plan = planOf(queries.PreferenceQueries.q152PairDecontam(spark, sf))
+    val bcAnti = "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).length
+    assert(bcAnti == 2, s"both member gates must broadcast-anti, got $bcAnti:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"contaminated set must never shuffle the pairs:\n$plan")
+  }
+
+  test("q149: the length-cohort mean joins back as a broadcast — responses never reshuffle") {
+    val plan = planOf(queries.PreferenceQueries.q149LengthDebias(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"bucket means must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Preference
+
+/** The post-training preference-data family: pair construction's
+  * argmax/argmin tie totality and strict-margin contract (brute-forced
+  * on random corpora), best-of-n's rank discipline and its agreement
+  * with the pair chosen, length-debias's exact integer-micro
+  * arithmetic, turn flattening's dense alternating structure, rater
+  * reconciliation on a hand fixture, and the pair purge's
+  * either-member gate.
+  */
+class PreferenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-preference-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def resp(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("prompt_id", "doc_id", "reward")
+
+  // ------------------------------------------------------------------
+  // preferencePairs
+  // ------------------------------------------------------------------
+
+  test("preferencePairs: argmax chosen / argmin rejected, ties to the smaller id") {
+    // p1: top score 9 tied between ids 2 and 3 -> chosen 2; bottom 5 -> rejected 1.
+    // p2: bottom score 1 tied between ids 4 and 5 -> rejected 4; chosen 6.
+    val pairs = Preference
+      .preferencePairs(
+        resp((1L, 1L, 5L), (1L, 2L, 9L), (1L, 3L, 9L),
+             (2L, 4L, 1L), (2L, 5L, 1L), (2L, 6L, 3L)),
+        "prompt_id", "doc_id", "reward")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 1L, 4L), (2L, 6L, 4L, 2L)))
+  }
+
+  test("preferencePairs: constant-score and single-response prompts yield no pair") {
+    val out = Preference.preferencePairs(
+      resp((1L, 1L, 7L), (1L, 2L, 7L), (1L, 3L, 7L), (2L, 9L, 3L)),
+      "prompt_id", "doc_id", "reward")
+    assert(out.count() == 0)
+  }
+
+  test("preferencePairs: brute-force equivalence on a random corpus") {
+    val rnd = new scala.util.Random(4711)
+    val rows = (0L until 400L).map { id =>
+      (id % 23, id, rnd.nextInt(40).toLong)
+    }
+    val got = Preference
+      .preferencePairs(rows.toDF("prompt_id", "doc_id", "reward"),
+        "prompt_id", "doc_id", "reward")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val want = rows.groupBy(_._1).flatMap { case (p, g) =>
+      val chosen = g.minBy(t => (-t._3, t._2))
+      val rejected = g.minBy(t => (t._3, t._2))
+      val margin = chosen._3 - rejected._3
+      if (margin > 0)
+        Some(p -> (chosen._2, rejected._2, chosen._3, rejected._3, margin))
+      else None
+    }
+    assert(got == want)
+  }
+
+  test("preferencePairs: every margin is strictly positive and members share the prompt") {
+    val out = Preference
+      .preferencePairs(
+        queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001"),
+        "prompt_id", "doc_id", "reward")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(5) > 0, s"non-positive margin: $r")
+      assert(r.getLong(1) % 50 == r.getLong(0) && r.getLong(2) % 50 == r.getLong(0),
+        s"member outside prompt: $r")
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // bestOfN
+  // ------------------------------------------------------------------
+
+  test("bestOfN: ranks are dense from 1, capped at n, ordered by (score desc, id asc)") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 300L).map(id => (id % 17, id, rnd.nextInt(25).toLong))
+    val got = Preference
+      .bestOfN(rows.toDF("prompt_id", "doc_id", "reward"),
+        "prompt_id", "doc_id", "reward", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    got.groupBy(_._1).foreach { case (p, g) =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to g.length).toSeq, s"ranks not dense for $p")
+      assert(g.length <= 4)
+      val want = rows.filter(_._1 == p).sortBy(t => (-t._3, t._2)).take(4).map(t => (t._2, t._3))
+      assert(byRank.map(t => (t._2, t._3)).toSeq == want.toSeq, s"order wrong for $p")
+    }
+  }
+
+  test("bestOfN at n=1 agrees with preferencePairs' chosen on every paired prompt") {
+    val r = queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001")
+    val top1 = Preference.bestOfN(r, "prompt_id", "doc_id", "reward", n = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val pairs = Preference.preferencePairs(r, "prompt_id", "doc_id", "reward")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (p, chosen) => assert(top1(p) == chosen) }
+  }
+
+  test("bestOfN rejects n < 1") {
+    intercept[IllegalArgumentException] {
+      Preference.bestOfN(resp((1L, 1L, 1L)), "prompt_id", "doc_id", "reward", n = 0)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // lengthDebias
+  // ------------------------------------------------------------------
+
+  test("lengthDebias: exact integer-micro centering per bucket") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(id => (id, rnd.nextInt(1000).toLong, rnd.nextInt(400).toLong))
+    val df = rows.toDF("doc_id", "reward", "n_toks")
+    val out = Preference.lengthDebias(df, "doc_id", "reward", "n_toks", bucketWidth = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == rows.length)
+    val byId = rows.map(t => t._1 -> t).toMap
+    out.groupBy(_._2).foreach { case (bucket, g) =>
+      g.foreach { case (id, b, score, _) =>
+        assert(b == byId(id)._3 / 50L, "bucket must be len div width")
+        assert(score == byId(id)._2)
+      }
+      // mean_micro = (1e6 * sum) div cnt, so sum(adj) = 1e6*sum - cnt*mean in [0, cnt)
+      val sumScores = g.map(_._3).sum
+      val sumAdj = g.map(_._4).sum
+      val cnt = g.length.toLong
+      val meanMicro = (1000000L * sumScores) / cnt
+      assert(sumAdj == 1000000L * sumScores - cnt * meanMicro)
+      assert(sumAdj >= 0 && sumAdj < cnt, s"bucket $bucket centering off: $sumAdj")
+    }
+  }
+
+  test("lengthDebias: a constant-score bucket centers to exactly zero") {
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 10L, 9L))
+      .toDF("doc_id", "reward", "n_toks")
+    val out = Preference.lengthDebias(df, "doc_id", "reward", "n_toks", 50L).collect()
+    out.foreach(r => assert(r.getLong(3) == 0L))
+  }
+
+  // ------------------------------------------------------------------
+  // flattenTurns
+  // ------------------------------------------------------------------
+
+  test("flattenTurns: dense alternating turns per conversation, count preserved") {
+    val out = Preference
+      .flattenTurns(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val nEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(out.length.toLong == nEvents)
+    out.groupBy(_._1).foreach { case (conv, g) =>
+      val idx = g.map(_._2).sorted
+      assert(idx.toSeq == (1 to g.length).toSeq, s"turns not dense for $conv")
+      g.foreach { case (_, t, role, _) =>
+        assert(role == (if (t % 2 == 1) "user" else "assistant"))
+      }
+    }
+  }
+
+  test("flattenTurns: tie column makes same-timestamp ordering total") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((7L, ts, 30L, "c"), (7L, ts, 10L, "a"), (7L, ts, 20L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Preference.flattenTurns(df, "user_id", "ts", "event_id", "event_type")
+      .orderBy("turn_idx").collect().map(_.getString(3)).toSeq
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  // ------------------------------------------------------------------
+  // raterAgreement
+  // ------------------------------------------------------------------
+
+  test("raterAgreement: hand fixture with the dispute threshold inclusive") {
+    val ratings = Seq(
+      (1L, 10L), (1L, 20L), (1L, 50L), // range 40 -> disputed at >= 40
+      (2L, 30L), (2L, 31L), (2L, 32L), // range 2 -> calm
+      (3L, 5L)                          // single rater, range 0
+    ).toDF("doc_id", "score")
+    val out = Preference.raterAgreement(ratings, "doc_id", "score", disputeRange = 40L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((3L, (1000000L * 80L) / 3L, 40L, true)))
+    assert(out(2L) == ((3L, 31000000L, 2L, false)))
+    assert(out(3L) == ((1L, 5000000L, 0L, false)))
+  }
+
+  // ------------------------------------------------------------------
+  // purgePairs
+  // ------------------------------------------------------------------
+
+  test("purgePairs: drops a pair when EITHER member is contaminated, keeps the rest") {
+    val pairs = Seq(
+      (1L, 10L, 11L), (2L, 20L, 21L), (3L, 30L, 31L), (4L, 40L, 41L)
+    ).toDF("prompt_id", "chosen_id", "rejected_id")
+    val bad = Seq(10L, 31L).toDF("doc_id") // hits chosen of p1, rejected of p3
+    val out = Preference
+      .purgePairs(pairs, Seq("chosen_id", "rejected_id"), bad, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L))
+  }
+
+  test("purgePairs: empty contaminated set is the identity") {
+    val pairs = Preference.preferencePairs(
+      queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001"),
+      "prompt_id", "doc_id", "reward")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType))
+    val out = Preference.purgePairs(pairs, Seq("chosen_id", "rejected_id"), empty, "doc_id")
+    assert(out.count() == pairs.count())
+  }
+}
