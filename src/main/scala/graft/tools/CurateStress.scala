@@ -107,6 +107,11 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("pref"))
+      prefStress(
+        args.lift(1).map(_.toLong).getOrElse(50000000L),
+        args.lift(2).map(_.toInt).getOrElse(50)
+      )
     else if (args.headOption.contains("dedup"))
       dedup(
         args.lift(1).getOrElse("/tmp/sf_stress"),
@@ -302,6 +307,78 @@ object CurateStress {
     * exact and total at any size. Verified: Σ n_toks over the output
     * == the closed-form corpus total.
     */
+  /** `pref [nResponses] [fanout]` — the preference-pair build and
+    * best-of-n selection at RLHF-campaign scale: nResponses synthetic
+    * scored responses in prompts of `fanout` (50M × 50 = 1M prompts
+    * by default), scores a multiplicative-hash permutation so every
+    * prompt's scores are distinct (consecutive ids are injective mod
+    * the 1000003 prime when fanout < p) and exactly one strict-margin
+    * pair exists per prompt. The claims under test: the pair build is
+    * ONE map-side-combined agg whose cost tracks responses (not
+    * prompts × responses), and the q148 window never sees a partition
+    * larger than the fanout. Verified: pair count == nPrompts, min
+    * margin > 0, best-of-4 count == 4 × nPrompts, and 1,000 sampled
+    * prompts brute-forced on the driver from the score formula match
+    * the operator's chosen/rejected/margin exactly.
+    */
+  private def prefStress(nResponses: Long, fanout: Int): Unit = {
+    val spark = StressUtil.session()
+    require(fanout >= 2 && fanout < 1000003, s"fanout in [2, 1000003), got $fanout")
+    require(nResponses % fanout == 0, "nResponses must be a multiple of fanout")
+    val nPrompts = nResponses / fanout
+    def resp = spark
+      .range(nResponses)
+      .select(
+        expr(s"id div $fanout").as("prompt_id"),
+        col("id").as("doc_id"),
+        expr("(id * 2654435761) % 1000003").as("score")
+      )
+    val (pairStats, tPairs) = StressUtil.timed {
+      graft.operators.Preference
+        .preferencePairs(resp, "prompt_id", "doc_id", "score")
+        .agg(count(lit(1)), min(col("margin")))
+        .head()
+    }
+    require(
+      pairStats.getLong(0) == nPrompts && pairStats.getLong(1) > 0,
+      s"pair contract broke: ${pairStats.getLong(0)} pairs (want $nPrompts), " +
+        s"min margin ${pairStats.getLong(1)}"
+    )
+    val (bonCount, tBon) = StressUtil.timed {
+      graft.operators.Preference
+        .bestOfN(resp, "prompt_id", "doc_id", "score", n = 4)
+        .count()
+    }
+    require(
+      bonCount == 4L * nPrompts,
+      s"best-of-4 count broke: $bonCount != ${4L * nPrompts}"
+    )
+    // 1,000 sampled prompts brute-forced on the driver from the formula.
+    def score(id: Long): Long = (id * 2654435761L) % 1000003L
+    val sample = (0L until 1000L).map(i => (i * 104729L) % nPrompts).distinct
+    val got = graft.operators.Preference
+      .preferencePairs(
+        resp.filter(col("prompt_id").isin(sample: _*)),
+        "prompt_id",
+        "doc_id",
+        "score"
+      )
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    sample.foreach { p =>
+      val ids = (p * fanout) until (p * fanout + fanout)
+      val chosen = ids.minBy(id => (-score(id), id))
+      val rejected = ids.minBy(id => (score(id), id))
+      val want = (chosen, rejected, score(chosen) - score(rejected))
+      require(got(p) == want, s"prompt $p: ${got(p)} != $want")
+    }
+    println(
+      f"pref: $nResponses%d responses x $nPrompts%d prompts — pairs in $tPairs%.1f s, " +
+        f"best-of-4 in $tBon%.1f s; counts/margins exact, 1000 sampled pairs brute-force-matched"
+    )
+  }
+
   private def provenanceStress(nDocs: Long, nSources: Int): Unit = {
     val spark = StressUtil.session()
     val budget = 2048L
