@@ -171,7 +171,8 @@ object SparkEntry {
     "q149_length_debias" -> (PreferenceQueries.q149LengthDebias _),
     "q150_turn_flatten" -> (PreferenceQueries.q150TurnFlatten _),
     "q151_rater_agreement" -> (PreferenceQueries.q151RaterAgreement _),
-    "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _)
+    "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _),
+    "q153_sft_mask" -> (PreferenceQueries.q153SftMask _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2453,7 +2454,21 @@ object SparkEntry {
         |FROM (SELECT * FROM c WHERE rc = 1) ch
         |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
         |WHERE ch.reward > rj.reward
-        |  AND ch.doc_id % 17 <> 0 AND rj.doc_id % 17 <> 0""".stripMargin
+        |  AND ch.doc_id % 17 <> 0 AND rj.doc_id % 17 <> 0""".stripMargin,
+    // q153: SFT role-mask intervals — assistant turns' token intervals
+    // in the rendered conversation's token space; user turns still
+    // advance the offsets (the loss masks them, the render keeps them).
+    "q153_sft_mask" ->
+      """WITH t AS (SELECT doc_id % 20 AS conv_id, doc_id AS turn_key,
+        |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT conv_id, turn_key, role, n_toks,
+        |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT conv_id, turn_key, tok_start, tok_start + n_toks AS tok_end
+        |FROM c WHERE role = 'assistant'""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

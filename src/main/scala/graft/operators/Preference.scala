@@ -204,6 +204,57 @@ object Preference {
       )
   }
 
+  /** SFT loss-mask intervals by ROLE: given a conversation's turns,
+    * the token intervals (in the RENDERED conversation's token space —
+    * turns concatenated in order, whitespace-tokenized) covered by
+    * `trainRole` turns. An SFT trainer masks the loss to assistant
+    * tokens only — training on user turns teaches the model to
+    * hallucinate user messages — and this emits the side-file its
+    * loader reads: `(conv_id, turn key, tok_start, tok_end)` per
+    * trainable turn, half-open intervals that never overlap and
+    * always tile exactly the turn's own token count.
+    *
+    * Scale shape: one per-turn token-count projection (content never
+    * leaves its row), then ONE running-sum window PARTITIONED BY the
+    * conversation with an explicit ROWS frame — a partition is one
+    * dialogue's turns, bounded by conversation length, never the
+    * corpus; the role filter prunes the output after offsets are
+    * fixed (a masked-out turn still advances the offsets, which is
+    * the point).
+    */
+  def roleMaskIntervals(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String,
+      trainRole: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(convCol))
+      .orderBy(col(turnCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .select(
+        col(convCol).as("conv_id"),
+        col(turnCol),
+        col(roleCol),
+        size(split(col(contentCol), "\\s+")).cast("long").as("__n_toks")
+      )
+      .withColumn(
+        "tok_start",
+        coalesce(sum(col("__n_toks")).over(w), lit(0L))
+      )
+      .filter(col(roleCol) === trainRole)
+      .select(
+        col("conv_id"),
+        col(turnCol),
+        col("tok_start"),
+        (col("tok_start") + col("__n_toks")).as("tok_end")
+      )
+  }
+
   /** Pair-level decontamination: drop every preference pair that
     * TOUCHES a contaminated response — a pair whose chosen OR
     * rejected member leaked from an eval set is poisoned on either

@@ -122,6 +122,36 @@ object PreferenceQueries {
     Preference.raterAgreement(ratings, "doc_id", "score", disputeRange = 40L)
   }
 
+  /** SFT role-mask intervals ([[graft.operators.Preference.roleMaskIntervals]]):
+    * documents simulate conversation turns (`conv_id = doc_id % 20`,
+    * turn order by id, roles alternating user/assistant via
+    * `(doc_id div 20) % 2` — within a conversation consecutive turns
+    * flip parity), and the operator emits the assistant turns' token
+    * intervals in each rendered conversation's token space — the
+    * loss-mask side-file an SFT loader reads. One conversation-
+    * partitioned running-sum window under an explicit ROWS frame;
+    * masked-out user turns still advance the offsets. DuckDB replays
+    * the same window.
+    */
+  def q153SftMask(spark: SparkSession, dir: String): DataFrame = {
+    val turns = docs(spark, dir).select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant"))
+        .as("role"),
+      col("text").as("content")
+    )
+    Preference.roleMaskIntervals(
+      turns,
+      "conv_id",
+      "turn_key",
+      "role",
+      "content",
+      trainRole = "assistant"
+    )
+  }
+
   /** Pair-level decontamination ([[graft.operators.Preference.purgePairs]]):
     * the q147 pairs with every pair touching an eval-contaminated
     * response (ids ≡ 0 mod 17 here; the decontam family's verdict

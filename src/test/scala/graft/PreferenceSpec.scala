@@ -211,6 +211,57 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // roleMaskIntervals
+  // ------------------------------------------------------------------
+
+  test("roleMaskIntervals: hand fixture — user turns advance offsets but emit nothing") {
+    val turns = Seq(
+      (1L, 1L, "user", "a b c"),        // 3 toks, masked out, offsets advance
+      (1L, 2L, "assistant", "d e"),     // [3, 5)
+      (1L, 3L, "user", "f g h i"),      // 4 toks, masked out
+      (1L, 4L, "assistant", "j")        // [9, 10)
+    ).toDF("conv_id", "turn_key", "role", "content")
+    val out = Preference
+      .roleMaskIntervals(turns, "conv_id", "turn_key", "role", "content", "assistant")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((2L, 3L, 5L), (4L, 9L, 10L)))
+  }
+
+  test("roleMaskIntervals: the two roles' interval sets tile every conversation exactly") {
+    val turnsDf = queries.PreferenceQueries
+      .q153SftMask(spark, "/root/testdata/sf0.001") // assistant side
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        (col("doc_id") % 20).as("conv_id"),
+        col("doc_id").as("turn_key"),
+        when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("content"))
+    val userSide = Preference
+      .roleMaskIntervals(base, "conv_id", "turn_key", "role", "content", "user")
+    val all = turnsDf.unionByName(userSide)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val totals = base
+      .groupBy("conv_id")
+      .agg(sum(size(split(col("content"), "\\s+")).cast("long")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.nonEmpty)
+    all.foreach { case (conv, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(_._1)
+      assert(sorted.head._1 == 0L, s"conv $conv must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 == s2, s"conv $conv gap/overlap at $e1 vs $s2")
+        case _ =>
+      }
+      assert(sorted.last._2 == totals(conv), s"conv $conv must end at its token total")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // purgePairs
   // ------------------------------------------------------------------
 
