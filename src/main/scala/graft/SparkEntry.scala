@@ -172,7 +172,8 @@ object SparkEntry {
     "q150_turn_flatten" -> (PreferenceQueries.q150TurnFlatten _),
     "q151_rater_agreement" -> (PreferenceQueries.q151RaterAgreement _),
     "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _),
-    "q153_sft_mask" -> (PreferenceQueries.q153SftMask _)
+    "q153_sft_mask" -> (PreferenceQueries.q153SftMask _),
+    "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2468,7 +2469,38 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         |  FROM t)
         |SELECT conv_id, turn_key, tok_start, tok_start + n_toks AS tok_end
-        |FROM c WHERE role = 'assistant'""".stripMargin
+        |FROM c WHERE role = 'assistant'""".stripMargin,
+    // q154: SFT pack masks — the q153 assistant intervals projected
+    // through a conversation-atomic layoutWeighted layout (budget 512)
+    // into pack-local coordinates, split at pack boundaries.
+    "q154_sft_pack_masks" ->
+      """WITH t AS (SELECT doc_id % 20 AS conv_id, doc_id AS turn_key,
+        |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |iv AS (SELECT conv_id, turn_key, role, n_toks,
+        |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t),
+        |asst AS (SELECT conv_id, turn_key, tok_start, tok_start + n_toks AS tok_end
+        |  FROM iv WHERE role = 'assistant'),
+        |ct AS (SELECT conv_id, CAST(sum(n_toks) AS BIGINT) AS c_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(conv_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM t GROUP BY conv_id),
+        |lay AS (SELECT conv_id,
+        |    CAST(sum(c_toks) OVER (ORDER BY h % 8, h, conv_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_toks AS BIGINT) AS start_tok
+        |  FROM ct),
+        |gi AS (SELECT a.conv_id, a.turn_key,
+        |    l.start_tok + a.tok_start AS gs, l.start_tok + a.tok_end AS ge
+        |  FROM asst a JOIN lay l USING (conv_id)),
+        |ux AS (SELECT conv_id, turn_key, gs, ge,
+        |    unnest(range(gs // 512, (ge - 1) // 512 + 1)) AS pack_id FROM gi)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id, conv_id, turn_key,
+        |  CAST(greatest(gs, pack_id * 512) - pack_id * 512 AS BIGINT) AS mask_start,
+        |  CAST(least(ge, (pack_id + 1) * 512) - pack_id * 512 AS BIGINT) AS mask_end,
+        |  CAST(least(ge, (pack_id + 1) * 512) - greatest(gs, pack_id * 512) AS BIGINT) AS n_mask_tokens
+        |FROM ux""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

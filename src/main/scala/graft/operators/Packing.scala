@@ -454,6 +454,74 @@ object Packing {
       )
       .withColumn("n_mask_tokens", col("mask_end") - col("mask_start"))
 
+  /** Project DOC-LOCAL token intervals into PACK-LOCAL coordinates
+    * through the layout — the bridge from interval side-files computed
+    * in a document's own token space (SFT role masks from
+    * `Preference.roleMaskIntervals`, span-extent cut lists, PII
+    * redaction spans) to the `[0, budget)` frame a memory-mapped pack
+    * row is addressed in. Each input interval `[startCol, endCol)` on
+    * doc `idCol` becomes one output row per pack it overlaps:
+    * `(pack_id, idCol, carryCols…, mask_start, mask_end,
+    * n_mask_tokens)`, split at pack boundaries, half-open, and — when
+    * the input intervals are disjoint per doc, as every producer in
+    * this repo guarantees — disjoint per pack (the layout gives docs
+    * disjoint global ranges).
+    *
+    * An interval escaping its document's token range
+    * (`endCol > n_toks` or `startCol < 0`) fails PER ROW with a named
+    * error instead of silently bleeding the mask into the NEIGHBORING
+    * document's tokens; empty intervals are dropped.
+    *
+    * Scale shape: one id-keyed equi join (manifest side O(docs),
+    * interval side O(intervals) — co-partitionable, no broadcast
+    * assumption since SFT masks are corpus-sized), then the same
+    * bounded pack-range explode as [[maskIntervals]]: output rows =
+    * intervals × packs-each-spans (≤ len/budget + 1), never a text
+    * read, never a re-pack.
+    */
+  def projectIntervals(
+      man: DataFrame,
+      intervals: DataFrame,
+      idCol: String,
+      budget: Long,
+      startCol: String = "tok_start",
+      endCol: String = "tok_end",
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val checkedEnd = when(
+      col(startCol) >= 0 && col(endCol) <= col("n_toks"),
+      col("start_tok") + col(endCol)
+    ).otherwise(
+      raise_error(
+        concat(
+          lit(s"projectIntervals: interval [$startCol, $endCol) escapes its document's "),
+          lit("token range on "),
+          lit(s"$idCol="),
+          col(idCol).cast("string")
+        )
+      )
+    )
+    intervals
+      .filter(col(endCol) > col(startCol))
+      .join(man.select(col(idCol), col("start_tok"), col("n_toks")), Seq(idCol))
+      .withColumn("__gs", col("start_tok") + col(startCol))
+      .withColumn("__ge", checkedEnd)
+      .withColumn(
+        "pack_id",
+        explode(sequence(expr(s"__gs div $budget"), expr(s"(__ge - 1) div $budget")))
+      )
+      .select(
+        Seq(col("pack_id"), col(idCol)) ++ carryCols.map(col) ++ Seq(
+          (greatest(col("__gs"), col("pack_id") * budget) - col("pack_id") * budget)
+            .as("mask_start"),
+          (least(col("__ge"), (col("pack_id") + 1) * budget) - col("pack_id") * budget)
+            .as("mask_end")
+        ): _*
+      )
+      .withColumn("n_mask_tokens", col("mask_end") - col("mask_start"))
+  }
+
   /** The retirement DECISION the audit feeds — the step that APPLIES
     * decontamination to an already-emitted pack space: a pack whose
     * contaminated-position fraction exceeds `maxContamFrac` is

@@ -152,6 +152,44 @@ object PreferenceQueries {
     )
   }
 
+  /** SFT packing with role masks, end to end
+    * ([[graft.operators.Packing.projectIntervals]]): conversations
+    * (the q153 simulation) packed as atomic units at budget 512 via a
+    * token-total [[graft.operators.Packing.layoutWeighted]] layout,
+    * and each assistant turn's q153 interval projected into
+    * PACK-LOCAL `[0, 512)` coordinates, split at pack boundaries —
+    * the complete mask side-file an SFT trainer's loader applies to
+    * memory-mapped pack rows. One conv-keyed equi join + the bounded
+    * pack-range explode; DuckDB replays the layout cumsum, the turn
+    * window, and the interval arithmetic.
+    */
+  def q154SftPackMasks(spark: SparkSession, dir: String): DataFrame = {
+    val turns = docs(spark, dir).select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant"))
+        .as("role"),
+      col("text").as("content")
+    )
+    val convTotals = turns
+      .groupBy(col("conv_id"))
+      .agg(sum(size(split(col("content"), "\\s+")).cast("long")).as("c_toks"))
+    val man = graft.operators.Packing.manifest(
+      graft.operators.Packing
+        .layoutWeighted(convTotals, "conv_id", "c_toks", nShards = 8),
+      "conv_id",
+      budget = 512L
+    )
+    graft.operators.Packing.projectIntervals(
+      man,
+      q153SftMask(spark, dir),
+      "conv_id",
+      budget = 512L,
+      carryCols = Seq("turn_key")
+    )
+  }
+
   /** Pair-level decontamination ([[graft.operators.Preference.purgePairs]]):
     * the q147 pairs with every pair touching an eval-contaminated
     * response (ids ≡ 0 mod 17 here; the decontam family's verdict

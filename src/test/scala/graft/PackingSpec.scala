@@ -1646,4 +1646,69 @@ class PackingSpec extends AnyFunSuite {
       "verb output == library output"
     )
   }
+
+  // ------------------------------------------------------------------
+  // projectIntervals: doc-local intervals -> pack-local masks
+  // ------------------------------------------------------------------
+
+  test("projectIntervals: hand fixture — a boundary-straddling interval splits exactly") {
+    // One doc of 20 tokens at a known offset: layout of a single doc
+    // starts at 0. budget 8 -> packs [0,8) [8,16) [16,24).
+    val d = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val man = Packing.manifest(Packing.layout(d, "doc_id", "text", nShards = 1), "doc_id", 8L)
+    // interval [5, 13) crosses the 8-boundary -> [5,8) in pack 0, [0,5) in pack 1
+    val iv = Seq((1L, 5L, 13L)).toDF("doc_id", "tok_start", "tok_end")
+    val got = Packing.projectIntervals(man, iv, "doc_id", 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set((0L, 5L, 8L, 3L), (1L, 0L, 5L, 5L)))
+  }
+
+  test("projectIntervals: token conservation, pack-range containment, per-pack disjointness") {
+    val d = corpus(1 to 120)
+    val budget = 16L
+    val man = Packing.manifest(Packing.layout(d, "doc_id", "text", nShards = 4), "doc_id", budget)
+    // per-doc intervals: [0,1) and [2, n_toks) when n_toks > 2 (disjoint by construction)
+    val lens = d.select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n"))
+    val iv = lens.select(col("doc_id"), lit(0L).as("tok_start"), lit(1L).as("tok_end"))
+      .unionByName(
+        lens.filter(col("n") > 2).select(col("doc_id"), lit(2L).as("tok_start"), col("n").as("tok_end")))
+    val out = Packing.projectIntervals(man, iv, "doc_id", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wantTokens = iv.select(sum(col("tok_end") - col("tok_start"))).head().getLong(0)
+    assert(out.map(_._5).sum == wantTokens, "projected mask tokens must equal interval tokens")
+    out.foreach { case (_, _, s, e, n) =>
+      assert(s >= 0 && e <= budget && s < e && n == e - s)
+    }
+    out.groupBy(_._1).foreach { case (pack, rows) =>
+      val sorted = rows.map(r => (r._3, r._4)).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2, s"pack $pack masks overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("projectIntervals: an interval escaping its doc fails loudly; empty intervals drop") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val man = Packing.manifest(Packing.layout(d, "doc_id", "text", nShards = 1), "doc_id", 8L)
+    val escaped = Seq((1L, 0L, 4L)).toDF("doc_id", "tok_start", "tok_end") // doc has 3 toks
+    val e = intercept[Exception] {
+      Packing.projectIntervals(man, escaped, "doc_id", 8L).collect()
+    }
+    assert(e.getMessage.contains("projectIntervals") || e.getCause != null)
+    val empty = Seq((1L, 2L, 2L)).toDF("doc_id", "tok_start", "tok_end")
+    assert(Packing.projectIntervals(man, empty, "doc_id", 8L).count() == 0)
+  }
+
+  test("q154 chain: projected SFT masks conserve the assistant token total") {
+    val masked = queries.PreferenceQueries.q154SftPackMasks(spark, "/root/testdata/sf0.001")
+    val gotToks = masked.agg(sum("n_mask_tokens")).head().getLong(0)
+    val wantToks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(expr("(doc_id div 20) % 2") =!= 0)
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long"))).head().getLong(0)
+    assert(gotToks == wantToks, s"mask token total $gotToks != assistant total $wantToks")
+    assert(masked.filter(col("mask_start") < 0 || col("mask_end") > 512).count() == 0)
+  }
 }
