@@ -484,6 +484,20 @@ object Pipeline {
   * --out O` (quality-aware survivor selection: keep each near-dup
   * cluster's argmax-score copy, ties to the smaller id, every doc
   * labeled so drops stay auditable), and
+  * `--maintenance pref_pairs --responses R --out O [--prompt_col P]
+  * [--id_col I] [--score_col S] [--ratings T [--dispute_range N]
+  * [--rating_score_col C]] [--len_col L [--bucket_width W]]
+  * [--contaminated X [--contam_id_col I]]` (post-training pair build:
+  * rater triage -> length debias -> DPO pairs -> pair decontamination,
+  * each stage optional, `_pref.json` auditing the per-stage counts),
+  * and
+  * `--maintenance sft_masks --turns T --out O [--conv_col C]
+  * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
+  * [--manifests M [--budget B]]` (the SFT loss-mask side-file:
+  * conversation-local trainable-turn intervals, projected to
+  * pack-local [0, budget) coordinates when --manifests points at the
+  * conversation-atomic pack layout — budget validated against the
+  * `_budget` sidecar, as in every pack consumer), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
@@ -1683,6 +1697,108 @@ object PipelineRunner {
           s"[maintenance] cluster best: $n docs labeled, $nKeep survivors " +
             s"(score=$scoreCol) into $out"
         )
+      case Some("pref_pairs") =>
+        // Post-training pair build (the q147-q152 family composed):
+        // optional rater triage (drop disputed responses), optional
+        // length debias (pair on the debiased micro score), pair
+        // construction, optional pair-level decontamination — each
+        // stage the library operator, with _pref.json auditing the
+        // landed per-stage counts.
+        import org.apache.spark.sql.functions.col
+        val respPath = opts.getOrElse("responses", sys.error("--responses <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val promptCol = opts.getOrElse("prompt_col", "prompt_id")
+        val idCol = opts.getOrElse("id_col", "doc_id")
+        val scoreCol = opts.getOrElse("score_col", "score")
+        val resp0 = spark.read.parquet(respPath)
+        val nResp = resp0.count()
+        val (resp1, nDisputed) = opts.get("ratings") match {
+          case Some(rp) =>
+            val range = opts.getOrElse("dispute_range", "40").toLong
+            val ratingScoreCol = opts.getOrElse("rating_score_col", "score")
+            val triage = graft.operators.Preference
+              .raterAgreement(spark.read.parquet(rp), idCol, ratingScoreCol, range)
+            val disputed = triage.filter(col("disputed")).select(col(idCol))
+            val nD = disputed.count()
+            (resp0.join(disputed, Seq(idCol), "left_anti"), nD)
+          case None => (resp0, 0L)
+        }
+        val (resp2, pairScoreCol) = opts.get("len_col") match {
+          case Some(lc) =>
+            val bw = opts.getOrElse("bucket_width", "50").toLong
+            val deb = graft.operators.Preference
+              .lengthDebias(resp1, idCol, scoreCol, lc, bw)
+              .select(col(idCol), col("adj_micro"))
+            (resp1.join(deb, Seq(idCol)), "adj_micro")
+          case None => (resp1, scoreCol)
+        }
+        val pairs0 = graft.operators.Preference
+          .preferencePairs(resp2, promptCol, idCol, pairScoreCol)
+        val nPairs0 = pairs0.count()
+        val pairs = opts.get("contaminated") match {
+          case Some(cp) =>
+            graft.operators.Preference.purgePairs(
+              pairs0,
+              Seq("chosen_id", "rejected_id"),
+              spark.read.parquet(cp),
+              opts.getOrElse("contam_id_col", idCol)
+            )
+          case None => pairs0
+        }
+        val n = Pipeline.writeCounted(pairs, out)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/_pref.json"),
+          (s"""{"responses": $nResp, "disputed_dropped": $nDisputed, """ +
+            s""""pairs_built": $nPairs0, "pairs_kept": $n, """ +
+            s""""score_col": "$pairScoreCol"}""").getBytes("UTF-8")
+        )
+        println(
+          s"[maintenance] pref pairs: $nResp responses ($nDisputed disputed dropped) -> " +
+            s"$nPairs0 pairs built, $n kept after decontamination, into $out"
+        )
+      case Some("sft_masks") =>
+        // SFT loss-mask side-file (Preference.roleMaskIntervals, then
+        // optionally Packing.projectIntervals through a pack layout):
+        // per trainable turn its token interval — conversation-local
+        // without --manifests, pack-local [0, budget) with.
+        import org.apache.spark.sql.functions.col
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_key")
+        val roleCol = opts.getOrElse("role_col", "role")
+        val contentCol = opts.getOrElse("content_col", "content")
+        val trainRole = opts.getOrElse("train_role", "assistant")
+        val iv = graft.operators.Preference.roleMaskIntervals(
+          spark.read.parquet(turnsPath),
+          convCol,
+          turnCol,
+          roleCol,
+          contentCol,
+          trainRole
+        )
+        opts.get("manifests") match {
+          case Some(mp) =>
+            val budget = resolveBudget(spark, mp, opts)
+            val masks = graft.operators.Packing.projectIntervals(
+              spark.read.parquet(mp),
+              iv,
+              "conv_id",
+              budget,
+              carryCols = Seq(turnCol)
+            )
+            val n = Pipeline.writeCounted(masks, out)
+            println(
+              s"[maintenance] sft masks: $n pack-local [0, $budget) interval(s) " +
+                s"for role=$trainRole -> $out"
+            )
+          case None =>
+            val n = Pipeline.writeCounted(iv, out)
+            println(
+              s"[maintenance] sft masks: $n conversation-local interval(s) " +
+                s"for role=$trainRole -> $out"
+            )
+        }
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir
         // whose partitions accumulate one file per ingest batch (the

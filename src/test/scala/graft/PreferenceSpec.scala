@@ -276,6 +276,90 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out == Set(2L, 4L))
   }
 
+  // ------------------------------------------------------------------
+  // CLI verbs
+  // ------------------------------------------------------------------
+
+  test("pref_pairs CLI verb composes triage + debias + pairs + decontam, == library") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pref-cli").toString
+    val resp = queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001")
+    resp.write.parquet(s"$root/responses")
+    // 3 pseudo-raters; same construction as q151
+    val ratings = resp.select(col("doc_id"))
+      .withColumn("rater", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("score",
+        conv(substring(md5(concat(lit("rate_"), col("rater").cast("string"),
+          lit("_"), col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long") % 100)
+    ratings.write.parquet(s"$root/ratings")
+    val bad = resp.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    bad.write.parquet(s"$root/bad")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "pref_pairs",
+        "--responses", s"$root/responses",
+        "--ratings", s"$root/ratings",
+        "--dispute_range", "40",
+        "--len_col", "n_toks",
+        "--bucket_width", "50",
+        "--contaminated", s"$root/bad",
+        "--score_col", "reward",
+        "--out", s"$root/pairs"
+      ),
+      spark
+    )
+    val got = spark.read.parquet(s"$root/pairs")
+    // library replay of the same composition
+    val disputed = Preference
+      .raterAgreement(ratings, "doc_id", "score", 40L)
+      .filter(col("disputed")).select(col("doc_id"))
+    val kept = resp.join(disputed, Seq("doc_id"), "left_anti")
+    val deb = Preference.lengthDebias(kept, "doc_id", "reward", "n_toks", 50L)
+      .select(col("doc_id"), col("adj_micro"))
+    val want = Preference.purgePairs(
+      Preference.preferencePairs(kept.join(deb, Seq("doc_id")), "prompt_id", "doc_id", "adj_micro"),
+      Seq("chosen_id", "rejected_id"), bad, "doc_id")
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    assert(got.count() > 0)
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/pairs/_pref.json")), "UTF-8")
+    assert(audit.contains("\"pairs_kept\"") && audit.contains("\"adj_micro\""))
+  }
+
+  test("sft_masks CLI verb: conversation-local without manifests, pack-local with") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-cli").toString
+    val turns = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text").as("content"))
+    turns.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "sft_masks",
+        "--turns", s"$root/turns", "--out", s"$root/iv"),
+      spark)
+    val iv = spark.read.parquet(s"$root/iv")
+    val wantIv = Preference.roleMaskIntervals(turns, "conv_id", "turn_key", "role", "content", "assistant")
+    assert(iv.collect().map(_.toSeq).toSet == wantIv.collect().map(_.toSeq).toSet)
+    // pack-local: conversation-atomic layout + _budget sidecar honored
+    val convTotals = turns.groupBy(col("conv_id"))
+      .agg(sum(size(split(col("content"), "\\s+")).cast("long")).as("c_toks"))
+    graft.operators.Packing
+      .manifest(graft.operators.Packing.layoutWeighted(convTotals, "conv_id", "c_toks", 4), "conv_id", 512L)
+      .write.parquet(s"$root/manifests")
+    graft.operators.Packing.recordBudget(spark, s"$root/manifests", 512L)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "sft_masks",
+        "--turns", s"$root/turns", "--manifests", s"$root/manifests",
+        "--out", s"$root/masks"),
+      spark)
+    val masks = spark.read.parquet(s"$root/masks")
+    val wantMasks = graft.operators.Packing.projectIntervals(
+      spark.read.parquet(s"$root/manifests"), wantIv, "conv_id", 512L, carryCols = Seq("turn_key"))
+    assert(masks.collect().map(_.toSeq).toSet == wantMasks.collect().map(_.toSeq).toSet)
+    assert(masks.agg(max(col("mask_end"))).head().getLong(0) <= 512L)
+  }
+
   test("purgePairs: empty contaminated set is the identity") {
     val pairs = Preference.preferencePairs(
       queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001"),
