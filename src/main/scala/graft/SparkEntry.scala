@@ -173,7 +173,8 @@ object SparkEntry {
     "q151_rater_agreement" -> (PreferenceQueries.q151RaterAgreement _),
     "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _),
     "q153_sft_mask" -> (PreferenceQueries.q153SftMask _),
-    "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _)
+    "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _),
+    "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2500,7 +2501,26 @@ object SparkEntry {
         |  CAST(greatest(gs, pack_id * 512) - pack_id * 512 AS BIGINT) AS mask_start,
         |  CAST(least(ge, (pack_id + 1) * 512) - pack_id * 512 AS BIGINT) AS mask_end,
         |  CAST(least(ge, (pack_id + 1) * 512) - greatest(gs, pack_id * 512) AS BIGINT) AS n_mask_tokens
-        |FROM ux""".stripMargin
+        |FROM ux""".stripMargin,
+    // q155: incremental preference pairs — a parity-split two-batch
+    // ingest (with an exactly-once replay) whose state read-back must
+    // equal the ONE-SHOT q147 over the full corpus; the oracle is
+    // therefore exactly q147's SQL.
+    "q155_pref_ingest" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |c AS (SELECT prompt_id, doc_id, reward,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward ASC, doc_id ASC) AS rr
+        |  FROM r)
+        |SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+        |  ch.reward AS chosen_score, rj.reward AS rejected_score,
+        |  ch.reward - rj.reward AS margin
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+        |WHERE ch.reward > rj.reward""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

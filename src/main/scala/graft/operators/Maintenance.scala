@@ -775,9 +775,12 @@ object Maintenance {
   /** Shared exactly-once state fold: entry-time crash recovery, the
     * applied-id no-op check, `fold(old, partial)` when state exists,
     * and the atomic marker+swap. See [[refreshAggregate]] for the full
-    * semantics contract.
+    * semantics contract. `private[operators]` so sibling operator
+    * families (e.g. `Preference.pairIngest`) fold their own
+    * algebraically-mergeable state through the one audited protocol
+    * instead of reimplementing the marker/swap dance.
     */
-  private def foldState(
+  private[operators] def foldState(
       spark: SparkSession,
       statePath: String,
       appliedId: Option[Long],

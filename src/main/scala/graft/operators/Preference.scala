@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Post-training (SFT / RLHF) data operators: the preference-data
@@ -202,6 +202,87 @@ object Preference {
         col("role"),
         col(contentCol).as("content")
       )
+  }
+
+  /** INCREMENTAL preference-pair state: fold one batch of scored
+    * responses into a persistent per-prompt extremes table — the
+    * RLHF-campaign shape, where responses for a prompt arrive over
+    * days of sampling runs and the pair table must stay current
+    * without re-aggregating the accumulated corpus. State is one row
+    * per prompt seen: `(promptCol, chosen_id, chosen_score,
+    * rejected_id, rejected_score)`; a batch folds in as
+    * `max/min(struct(...))` against the old extremes, which is
+    * associative, commutative, AND idempotent — so batch order
+    * doesn't matter and a replayed batch is a no-op by algebra on
+    * top of the `appliedId` exactly-once marker (entry-time crash
+    * recovery, atomic marker+swap — [[Maintenance.refreshAggregate]]'s
+    * audited protocol via the shared fold).
+    *
+    * Read the current pair table back with [[pairsFromState]]; the
+    * result is IDENTICAL to [[preferencePairs]] over every response
+    * ever folded (spec-proved on random corpora under arbitrary
+    * batch splits), at per-batch cost O(batch) + O(prompts-touched)
+    * instead of O(accumulated responses).
+    */
+  def pairIngest(
+      spark: SparkSession,
+      batch: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      statePath: String,
+      appliedId: Option[Long] = None
+  ): DataFrame = {
+    val partial = batch
+      .groupBy(col(promptCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id"))).as("c"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("id"))).as("r")
+      )
+      .select(
+        col(promptCol),
+        (-col("c")("neg_id")).as("chosen_id"),
+        col("c")("s").as("chosen_score"),
+        col("r")("id").as("rejected_id"),
+        col("r")("s").as("rejected_score")
+      )
+    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(col(promptCol))
+        .agg(
+          max(struct(col("chosen_score").as("s"), (-col("chosen_id")).as("neg_id")))
+            .as("c"),
+          min(struct(col("rejected_score").as("s"), col("rejected_id").as("id")))
+            .as("r")
+        )
+        .select(
+          col(promptCol),
+          (-col("c")("neg_id")).as("chosen_id"),
+          col("c")("s").as("chosen_score"),
+          col("r")("id").as("rejected_id"),
+          col("r")("s").as("rejected_score")
+        )
+    }
+  }
+
+  /** The current preference pairs from a [[pairIngest]] state table —
+    * the same output contract as [[preferencePairs]] (strict positive
+    * margin; zero-margin prompts carry state but emit no pair).
+    */
+  def pairsFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val st = spark.read.parquet(statePath)
+    val promptCol = st.columns
+      .filterNot(Set("chosen_id", "chosen_score", "rejected_id", "rejected_score"))
+      .head
+    st.select(
+      col(promptCol),
+      col("chosen_id"),
+      col("rejected_id"),
+      col("chosen_score"),
+      col("rejected_score"),
+      (col("chosen_score") - col("rejected_score")).as("margin")
+    ).filter(col("margin") > 0)
   }
 
   /** SFT loss-mask intervals by ROLE: given a conversation's turns,

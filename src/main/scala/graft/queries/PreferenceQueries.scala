@@ -190,6 +190,48 @@ object PreferenceQueries {
     )
   }
 
+  /** Incremental preference pairs
+    * ([[graft.operators.Preference.pairIngest]]): the q147 pair table
+    * maintained as a persistent per-prompt extremes state — the
+    * responses arrive in a parity-split two-batch ingest (evens then
+    * odds), batch 2 is REPLAYED (exactly-once means the replay is a
+    * no-op by both the applied-id marker and the max/min algebra),
+    * and the state's pair read-back must equal the one-shot q147 over
+    * the full corpus — which is exactly the SQL DuckDB replays. NB
+    * the bench number times TWO durable state folds plus the replay
+    * per rep, by design.
+    */
+  def q155PrefIngest(spark: SparkSession, dir: String): DataFrame = {
+    val r = responses(spark, dir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-pref-ingest")
+      .resolve("state")
+      .toString
+    Preference.pairIngest(
+      spark, r.filter(col("doc_id") % 2 === 0),
+      "prompt_id", "doc_id", "reward", statePath, Some(1L))
+    Preference.pairIngest(
+      spark, r.filter(col("doc_id") % 2 === 1),
+      "prompt_id", "doc_id", "reward", statePath, Some(2L))
+    // replay of an applied batch — exactly-once means this is a no-op
+    Preference.pairIngest(
+      spark, r.filter(col("doc_id") % 2 === 1),
+      "prompt_id", "doc_id", "reward", statePath, Some(2L))
+    // O(prompts) rows — materialize and drop the scratch state dir
+    // (the demo query pins state to a driver-local tmp path; the API
+    // takes any Hadoop-FS path).
+    val rows = Preference
+      .pairsFromState(spark, statePath)
+      .collect()
+      .toIndexedSeq
+      .map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(java.nio.file.Paths.get(statePath).getParent.toFile)
+    import spark.implicits._
+    rows.toDF("prompt_id", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin")
+  }
+
   /** Pair-level decontamination ([[graft.operators.Preference.purgePairs]]):
     * the q147 pairs with every pair touching an eval-contaminated
     * response (ids ≡ 0 mod 17 here; the decontam family's verdict

@@ -277,6 +277,52 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pairIngest: incremental per-prompt extremes state
+  // ------------------------------------------------------------------
+
+  test("pairIngest: any batch split and order folds to the one-shot pair table; replay no-op") {
+    val rnd = new scala.util.Random(2026)
+    val rows = (0L until 600L).map(id => (id % 37, id, rnd.nextInt(50).toLong))
+    val full = rows.toDF("prompt_id", "doc_id", "reward")
+    val want = Preference.preferencePairs(full, "prompt_id", "doc_id", "reward")
+      .collect().map(_.toSeq).toSet
+
+    def ingestAll(order: Seq[Int]): Set[Seq[Any]] = {
+      val root = java.nio.file.Files.createTempDirectory("graft-pair-ingest").toString
+      val state = s"$root/state"
+      order.zipWithIndex.foreach { case (b, i) =>
+        val batch = rows.filter(_._2 % 3 == b).toDF("prompt_id", "doc_id", "reward")
+        Preference.pairIngest(spark, batch, "prompt_id", "doc_id", "reward", state, Some(i.toLong))
+      }
+      // replay the LAST applied batch — must be a no-op
+      val last = rows.filter(_._2 % 3 == order.last).toDF("prompt_id", "doc_id", "reward")
+      Preference.pairIngest(spark, last, "prompt_id", "doc_id", "reward", state,
+        Some(order.length.toLong - 1))
+      val got = Preference.pairsFromState(spark, state).collect().map(_.toSeq).toSet
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      got
+    }
+    assert(ingestAll(Seq(0, 1, 2)) == want, "parity split must fold to the one-shot table")
+    assert(ingestAll(Seq(2, 0, 1)) == want, "batch order must not matter")
+  }
+
+  test("pairIngest: a single-response prompt carries state but emits no pair until beaten") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pair-single").toString
+    val state = s"$root/state"
+    Preference.pairIngest(spark,
+      Seq((5L, 100L, 7L)).toDF("prompt_id", "doc_id", "reward"),
+      "prompt_id", "doc_id", "reward", state, Some(1L))
+    assert(Preference.pairsFromState(spark, state).count() == 0)
+    Preference.pairIngest(spark,
+      Seq((5L, 101L, 9L)).toDF("prompt_id", "doc_id", "reward"),
+      "prompt_id", "doc_id", "reward", state, Some(2L))
+    val p = Preference.pairsFromState(spark, state).collect()
+    assert(p.length == 1 && p(0).getLong(1) == 101L && p(0).getLong(2) == 100L
+      && p(0).getLong(5) == 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  // ------------------------------------------------------------------
   // CLI verbs
   // ------------------------------------------------------------------
 
