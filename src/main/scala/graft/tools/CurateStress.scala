@@ -107,6 +107,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("pref_ingest"))
+      prefIngestStress(
+        args.lift(1).map(_.toInt).getOrElse(12),
+        args.lift(2).map(_.toLong).getOrElse(2000000L),
+        args.lift(3).map(_.toInt).getOrElse(50)
+      )
     else if (args.headOption.contains("pref"))
       prefStress(
         args.lift(1).map(_.toLong).getOrElse(50000000L),
@@ -376,6 +382,61 @@ object CurateStress {
     println(
       f"pref: $nResponses%d responses x $nPrompts%d prompts — pairs in $tPairs%.1f s, " +
         f"best-of-4 in $tBon%.1f s; counts/margins exact, 1000 sampled pairs brute-force-matched"
+    )
+  }
+
+  /** `pref_ingest [nBatches] [batchRows] [fanout]` — the incremental
+    * pair state over a long RLHF campaign: every batch delivers
+    * `batchRows` fresh responses spread over the SAME
+    * `batchRows / fanout` prompts (the steady-state shape — new
+    * samples for existing prompts), folded via
+    * `Preference.pairIngest`. The claim under test: per-batch wall
+    * windows stay FLAT as responses accumulate (the fold touches the
+    * batch and the O(prompts) state, never history). Verified: the
+    * final state's pair table equals the ONE-SHOT `preferencePairs`
+    * over all nBatches × batchRows responses, exactly (both-ways
+    * except), and per-batch thirds are printed for the flatness read.
+    */
+  private def prefIngestStress(nBatches: Int, batchRows: Long, fanout: Int): Unit = {
+    val spark = StressUtil.session()
+    require(batchRows % fanout == 0, "batchRows must be a multiple of fanout")
+    val nPrompts = batchRows / fanout
+    val root = java.nio.file.Files.createTempDirectory("graft-pref-ingest-stress").toString
+    val state = s"$root/state"
+    def batch(b: Int) = spark
+      .range(b * batchRows, (b + 1) * batchRows)
+      .select(
+        (col("id") % nPrompts).as("prompt_id"),
+        col("id").as("doc_id"),
+        expr("(id * 2654435761) % 1000003").as("score")
+      )
+    val times = (0 until nBatches).map { b =>
+      val (_, t) = StressUtil.timed {
+        graft.operators.Preference
+          .pairIngest(spark, batch(b), "prompt_id", "doc_id", "score", state, Some(b.toLong))
+      }
+      t
+    }
+    val thirds = times.grouped(math.max(1, nBatches / 3)).map(_.sum).toSeq
+    val all = spark
+      .range(nBatches * batchRows)
+      .select(
+        (col("id") % nPrompts).as("prompt_id"),
+        col("id").as("doc_id"),
+        expr("(id * 2654435761) % 1000003").as("score")
+      )
+    val oneShot = graft.operators.Preference
+      .preferencePairs(all, "prompt_id", "doc_id", "score")
+    val fromState = graft.operators.Preference.pairsFromState(spark, state)
+    require(
+      fromState.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromState).isEmpty,
+      "incremental state diverged from the one-shot pair table"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"pref_ingest: $nBatches%d batches x $batchRows%d responses over $nPrompts%d prompts — " +
+        f"per-batch thirds ${thirds.map(t => f"$t%.1f").mkString("/")} s " +
+        f"(total ${times.sum}%.1f s), final state == one-shot pair table exactly"
     )
   }
 
