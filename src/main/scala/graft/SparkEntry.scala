@@ -174,7 +174,9 @@ object SparkEntry {
     "q152_pair_decontam" -> (PreferenceQueries.q152PairDecontam _),
     "q153_sft_mask" -> (PreferenceQueries.q153SftMask _),
     "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _),
-    "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _)
+    "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _),
+    "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
+    "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2520,7 +2522,39 @@ object SparkEntry {
         |  ch.reward - rj.reward AS margin
         |FROM (SELECT * FROM c WHERE rc = 1) ch
         |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
-        |WHERE ch.reward > rj.reward""".stripMargin
+        |WHERE ch.reward > rj.reward""".stripMargin,
+    // q156: KTO unroll — the q147 pairs flattened to pointwise
+    // (prompt, response, score, ±1) rows.
+    "q156_kto_labels" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |c AS (SELECT prompt_id, doc_id, reward,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward ASC, doc_id ASC) AS rr
+        |  FROM r),
+        |p AS (SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+        |    ch.reward AS chosen_score, rj.reward AS rejected_score
+        |  FROM (SELECT * FROM c WHERE rc = 1) ch
+        |  JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+        |  WHERE ch.reward > rj.reward)
+        |SELECT prompt_id, chosen_id AS doc_id, chosen_score AS score, CAST(1 AS INTEGER) AS label FROM p
+        |UNION ALL
+        |SELECT prompt_id, rejected_id, rejected_score, CAST(-1 AS INTEGER) FROM p""".stripMargin,
+    // q157: group-relative advantage — reward centered against the
+    // prompt mean under BIGINT floor division (the GRPO baseline).
+    "q157_grpo_advantage" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |m AS (SELECT prompt_id,
+        |    CAST((1000000 * sum(reward)) // count(*) AS BIGINT) AS mean_micro
+        |  FROM r GROUP BY prompt_id)
+        |SELECT prompt_id, doc_id, reward,
+        |  CAST(1000000 * reward - mean_micro AS BIGINT) AS adv_micro
+        |FROM r JOIN m USING (prompt_id)""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

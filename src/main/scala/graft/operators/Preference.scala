@@ -204,6 +204,65 @@ object Preference {
       )
   }
 
+  /** Unroll preference pairs to POINTWISE binary-feedback rows — the
+    * KTO-style format (each response its own example with a
+    * desirable/undesirable label) trained when preferences arrive
+    * unpaired or the loss is pointwise: the chosen member emits
+    * `label = 1`, the rejected `label = -1`, each keeping its score.
+    * Two projections of the pair table and a union — no shuffle, no
+    * join; row count is exactly 2 × pairs.
+    */
+  def unrollPairs(pairs: DataFrame, promptCol: String): DataFrame =
+    pairs
+      .select(
+        col(promptCol),
+        col("chosen_id").as("doc_id"),
+        col("chosen_score").as("score"),
+        lit(1).as("label")
+      )
+      .unionByName(
+        pairs.select(
+          col(promptCol),
+          col("rejected_id").as("doc_id"),
+          col("rejected_score").as("score"),
+          lit(-1).as("label")
+        )
+      )
+
+  /** Group-relative advantage (the GRPO baseline): each response's
+    * score centered against ITS PROMPT's mean in exact integer
+    * micro-units — `adv_micro = 1e6·score − (1e6·Σscore div n)` over
+    * the prompt group. Group-relative centering is the
+    * reward-baseline trick of critic-free RL (the group mean IS the
+    * baseline), and the integer floor-division discipline makes the
+    * output deterministic across partitionings and engines.
+    *
+    * Scale shape: one groupBy on the prompt key (map-side partial,
+    * O(responses) → O(prompts)) and one equi join back on the same
+    * key — co-partitioned with the agg's shuffle, NO broadcast
+    * assumption (the prompt space is corpus-sized, unlike
+    * [[lengthDebias]]'s bounded bucket table).
+    */
+  def groupAdvantage(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val means = responses
+      .groupBy(col(promptCol))
+      .agg(expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro"))
+    responses
+      .select(col(promptCol), col(idCol), col(scoreCol))
+      .join(means, Seq(promptCol))
+      .select(
+        col(promptCol),
+        col(idCol),
+        col(scoreCol),
+        (lit(1000000L) * col(scoreCol) - col("mean_micro")).as("adv_micro")
+      )
+  }
+
   /** INCREMENTAL preference-pair state: fold one batch of scored
     * responses into a persistent per-prompt extremes table — the
     * RLHF-campaign shape, where responses for a prompt arrive over

@@ -232,6 +232,25 @@ object PreferenceQueries {
     rows.toDF("prompt_id", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin")
   }
 
+  /** KTO binary-feedback unroll
+    * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
+    * flattened to pointwise (prompt, response, score, ±1 label)
+    * rows — the format a KTO-style pointwise loss trains on. Two
+    * projections + a union, no shuffle; 2 × pairs rows.
+    */
+  def q156KtoLabels(spark: SparkSession, dir: String): DataFrame =
+    Preference.unrollPairs(q147PreferencePairs(spark, dir), "prompt_id")
+
+  /** Group-relative advantage
+    * ([[graft.operators.Preference.groupAdvantage]]): every
+    * response's reward centered against its prompt's mean in exact
+    * integer micro-units — the critic-free RL baseline (GRPO). One
+    * prompt-keyed agg + the co-partitioned join back; DuckDB replays
+    * the floor-division arithmetic.
+    */
+  def q157GroupAdvantage(spark: SparkSession, dir: String): DataFrame =
+    Preference.groupAdvantage(responses(spark, dir), "prompt_id", "doc_id", "reward")
+
   /** Pair-level decontamination ([[graft.operators.Preference.purgePairs]]):
     * the q147 pairs with every pair touching an eval-contaminated
     * response (ids ≡ 0 mod 17 here; the decontam family's verdict

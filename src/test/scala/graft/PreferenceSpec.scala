@@ -277,6 +277,43 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // unrollPairs / groupAdvantage
+  // ------------------------------------------------------------------
+
+  test("unrollPairs: 2x pairs rows, labels partition chosen/rejected, scores ride along") {
+    val r = queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001")
+    val pairs = Preference.preferencePairs(r, "prompt_id", "doc_id", "reward")
+    val out = Preference.unrollPairs(pairs, "prompt_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    val p = pairs.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(out.length == 2 * p.length)
+    val pos = out.filter(_._4 == 1).map(t => (t._1, t._2, t._3)).toSet
+    val neg = out.filter(_._4 == -1).map(t => (t._1, t._2, t._3)).toSet
+    assert(pos == p.map(t => (t._1, t._2, t._4)).toSet)
+    assert(neg == p.map(t => (t._1, t._3, t._5)).toSet)
+  }
+
+  test("groupAdvantage: exact integer-micro centering per prompt, row count preserved") {
+    val rnd = new scala.util.Random(31337)
+    val rows = (0L until 400L).map(id => (id % 19, id, rnd.nextInt(500).toLong))
+    val out = Preference.groupAdvantage(
+      rows.toDF("prompt_id", "doc_id", "reward"), "prompt_id", "doc_id", "reward")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == rows.length)
+    out.groupBy(_._1).foreach { case (p, g) =>
+      val cnt = g.length.toLong
+      val sumScores = g.map(_._3).sum
+      val meanMicro = (1000000L * sumScores) / cnt
+      g.foreach { case (_, id, score, adv) =>
+        assert(adv == 1000000L * score - meanMicro, s"prompt $p doc $id")
+      }
+      val sumAdv = g.map(_._4).sum
+      assert(sumAdv >= 0 && sumAdv < cnt, s"prompt $p baseline off: $sumAdv")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // pairIngest: incremental per-prompt extremes state
   // ------------------------------------------------------------------
 
