@@ -175,6 +175,7 @@ object SparkEntry {
     "q153_sft_mask" -> (PreferenceQueries.q153SftMask _),
     "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _),
     "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _),
+    "q158_sft_bpe_mask" -> (PreferenceQueries.q158SftBpeMask _),
     "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
     "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
   )
@@ -1745,6 +1746,7 @@ object SparkEntry {
     // pair-count → argmax → replace per level.
     "q115_bpe_merges" -> bpeOracle(8, "merges"),
     "q116_bpe_segments" -> bpeOracle(8, "segments"),
+    "q158_sft_bpe_mask" -> bpeOracle(8, "sft_mask"),
     // q117: the full composition — 8 BPE rounds → per-doc counts →
     // the q110 packing replay (global cumsum in the shuffle order,
     // integer pack ranges) with those counts as the weights.
@@ -2683,6 +2685,21 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
         |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS bpe_ratio
         |FROM inst JOIN vocab USING (word) GROUP BY doc_id""".stripMargin)
+      } else if (tail == "sft_mask") {
+        // per-doc BPE counts feed the q153 conversation window: the
+        // assistant turns' intervals in LEARNED-BPE token space.
+        sb.append(s""",
+        |seg AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_toks
+        |  FROM inst JOIN vocab USING (word) GROUP BY doc_id),
+        |t AS (SELECT doc_id % 20 AS conv_id, doc_id AS turn_key,
+        |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, n_toks
+        |  FROM seg),
+        |c AS (SELECT conv_id, turn_key, role, n_toks,
+        |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT conv_id, turn_key, tok_start, tok_start + n_toks AS tok_end
+        |FROM c WHERE role = 'assistant'""".stripMargin)
       } else {
         sb.append(s""",
         |seg AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_toks

@@ -369,6 +369,35 @@ object Preference {
       roleCol: String,
       contentCol: String,
       trainRole: String
+  ): DataFrame =
+    roleMaskIntervalsWeighted(
+      turns.withColumn(
+        "__rm_toks",
+        size(split(col(contentCol), "\\s+")).cast("long")
+      ),
+      convCol,
+      turnCol,
+      roleCol,
+      "__rm_toks",
+      trainRole
+    )
+
+  /** [[roleMaskIntervals]] with an EXPLICIT per-turn token count
+    * instead of the whitespace count of a content column — the same
+    * bridge as `Packing.layoutWeighted`: feed it per-turn
+    * `Bpe.segmentCounts` counts and the mask intervals are in the
+    * tokens the model will actually see (a loss mask in whitespace
+    * coordinates is useless to a BPE-trained model's loader). Same
+    * conversation-partitioned ROWS-frame running sum; the weight
+    * expression is the only change.
+    */
+  def roleMaskIntervalsWeighted(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      nToksCol: String,
+      trainRole: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window
@@ -380,7 +409,7 @@ object Preference {
         col(convCol).as("conv_id"),
         col(turnCol),
         col(roleCol),
-        size(split(col(contentCol), "\\s+")).cast("long").as("__n_toks")
+        col(nToksCol).cast("long").as("__n_toks")
       )
       .withColumn(
         "tok_start",

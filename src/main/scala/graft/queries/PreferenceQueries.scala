@@ -232,6 +232,44 @@ object PreferenceQueries {
     rows.toDF("prompt_id", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin")
   }
 
+  /** SFT role masks in the TRAINED tokenizer's token space
+    * ([[graft.operators.Preference.roleMaskIntervalsWeighted]]): the
+    * q153 conversation simulation with per-turn lengths measured in
+    * LEARNED-BPE tokens (the q115 8-merge table applied via
+    * `Bpe.segmentCounts`) instead of whitespace — a loss mask in
+    * whitespace coordinates is useless to a BPE-trained model's
+    * loader, so the production side-file must be emitted in the
+    * tokens the model actually sees. The merge fold runs over the
+    * distinct-word table, one join back for per-doc counts, then the
+    * same conversation-partitioned running sum; DuckDB replays the 8
+    * unrolled merge rounds, the per-doc counts, and the window.
+    */
+  def q158SftBpeMask(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    val counts = graft.operators.Bpe
+      .segmentCounts(d, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val turns = counts.select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant"))
+        .as("role"),
+      col("n_bpe_tokens")
+    )
+    Preference.roleMaskIntervalsWeighted(
+      turns,
+      "conv_id",
+      "turn_key",
+      "role",
+      "n_bpe_tokens",
+      trainRole = "assistant"
+    )
+  }
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -276,6 +276,47 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out == Set(2L, 4L))
   }
 
+  test("roleMaskIntervalsWeighted with whitespace counts == roleMaskIntervals") {
+    val turns = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text").as("content"))
+    val viaContent = Preference
+      .roleMaskIntervals(turns, "conv_id", "turn_key", "role", "content", "assistant")
+    val viaWeights = Preference.roleMaskIntervalsWeighted(
+      turns.withColumn("n", size(split(col("content"), "\\s+")).cast("long")),
+      "conv_id", "turn_key", "role", "n", "assistant")
+    assert(viaContent.collect().map(_.toSeq).toSet == viaWeights.collect().map(_.toSeq).toSet)
+  }
+
+  test("q158: BPE-space intervals tile each conversation's BPE token total") {
+    val sf001 = "/root/testdata/sf0.001"
+    val masks = queries.PreferenceQueries.q158SftBpeMask(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val merges = graft.operators.Bpe.learnMerges(d, "text", numMerges = 8).map(m => (m.lhs, m.rhs))
+    val totals = graft.operators.Bpe.segmentCounts(d, "doc_id", "text", merges)
+      .groupBy((col("doc_id") % 20).as("conv_id"))
+      .agg(sum(col("n_bpe_tokens")).as("t"), sum(col("n_tokens")).as("ws"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(masks.nonEmpty)
+    // assistant turns are the odd (doc_id div 20) parities — their BPE
+    // interval lengths must sum to the assistant share of each conv's
+    // BPE total, and every interval must sit inside [0, conv total).
+    masks.groupBy(_._1).foreach { case (conv, ivs) =>
+      val (bpeTotal, wsTotal) = totals(conv)
+      assert(bpeTotal >= wsTotal, "BPE never splits below one token per word here")
+      ivs.foreach { case (_, s, e) => assert(s >= 0 && e <= bpeTotal && s < e) }
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2, s"conv $conv overlap")
+        case _ =>
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // unrollPairs / groupAdvantage
   // ------------------------------------------------------------------
