@@ -453,6 +453,38 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming preference-pair maintenance: each arriving scored-
+    * response file (`prompt_id`, `doc_id`, `score` rows — an RLHF
+    * campaign's sampling runs landing as they finish) folds its
+    * per-prompt extremes into the persistent
+    * [[graft.operators.Preference.pairIngest]] state, the streaming
+    * batchId as the applied-id — so the foreachBatch at-least-once
+    * contract composes with the fold's marker into exactly-once (and
+    * the max/min fold is idempotent by algebra besides). The state
+    * answers "current DPO pair table" at any moment
+    * ([[graft.operators.Preference.pairsFromState]]) without
+    * re-aggregating the campaign's accumulated responses.
+    */
+  def prefIngest(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      respSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(respSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Preference
+          .pairIngest(spark, batch, "prompt_id", "doc_id", "score", statePath, Some(batchId))
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
     * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])
     * and appends detected near-dup pairs to a telemetry sink before the

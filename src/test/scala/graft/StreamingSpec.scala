@@ -542,6 +542,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("en" -> (4L, 6L), "de" -> (2L, 2L)), s"got $got")
   }
 
+  test("streaming preference ingest maintains the pair state across files; drained restart no-ops") {
+    val root = Files.createTempDirectory("graft-pref-stream").toString
+    val raw = s"$root/raw"
+    new java.io.File(raw).mkdirs()
+    val respSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("prompt_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType)
+      )
+    )
+    def run(): Unit =
+      StreamingPipeline
+        .prefIngest(spark, raw, s"$root/state", s"$root/ckpt", respSchema)
+        .awaitTermination(60000)
+    // file 1: prompt 1 gets (10, s5) and (11, s9); prompt 2 a single response
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f1.json"),
+      """{"prompt_id":1,"doc_id":10,"score":5}
+        |{"prompt_id":1,"doc_id":11,"score":9}
+        |{"prompt_id":2,"doc_id":20,"score":4}""".stripMargin
+    )
+    run()
+    val after1 = graft.operators.Preference
+      .pairsFromState(spark, s"$root/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after1 == Set((1L, 11L, 10L)), s"got $after1")
+    // file 2: a later sampling run beats prompt 1's chosen and gives
+    // prompt 2 its rejected
+    Files.writeString(
+      java.nio.file.Paths.get(s"$raw/f2.json"),
+      """{"prompt_id":1,"doc_id":12,"score":14}
+        |{"prompt_id":2,"doc_id":21,"score":1}""".stripMargin
+    )
+    run()
+    val after2 = graft.operators.Preference
+      .pairsFromState(spark, s"$root/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after2 == Set((1L, 12L, 10L), (2L, 20L, 21L)), s"got $after2")
+    // drained restart: replay window must not change the state
+    run()
+    val after3 = graft.operators.Preference
+      .pairsFromState(spark, s"$root/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after3 == after2)
+  }
+
   test("streaming near-dup ingest flags cross-file near-dups via the persistent index") {
     val root = Files.createTempDirectory("graft-neardup-stream").toString
     val raw = s"$root/raw"
