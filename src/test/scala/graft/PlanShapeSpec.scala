@@ -715,4 +715,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"bucket means must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("q157: the prompt-mean join is keyed on the agg's own key — no window, no cartesian") {
+    // groupAdvantage must NOT assume the prompt table broadcasts (the
+    // prompt space is corpus-sized): the mean comes from one
+    // partial-aggregated groupBy and joins back on the same key the
+    // agg shuffled on, so the join is co-partitionable at any scale.
+    val df = queries.PreferenceQueries.q157GroupAdvantage(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"), s"prompt mean must partial-aggregate map-side:\n$plan")
+    val gw = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(gw.isEmpty, "unpartitioned window")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pairIngest: the batch reduction partial-aggregates before its only shuffle") {
+    // The incremental pair state's per-batch cost claim: the batch
+    // reduces map-side to per-prompt extremes — partial_max AND
+    // partial_min must appear below one exchange.
+    val rows = (0L until 200L).map(id => (id % 7, id, id * 13 % 101))
+    import spark.implicits._
+    val batch = rows.toDF("prompt_id", "doc_id", "score")
+    val partial = batch
+      .groupBy(org.apache.spark.sql.functions.col("prompt_id"))
+      .agg(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("score"),
+          (-org.apache.spark.sql.functions.col("doc_id")).as("neg_id"))).as("c"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("score"),
+          org.apache.spark.sql.functions.col("doc_id").as("id"))).as("r"))
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") && plan.contains("partial_min"),
+      s"batch reduction must partial-aggregate:\n$plan")
+  }
 }
