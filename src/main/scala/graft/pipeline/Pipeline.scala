@@ -491,6 +491,9 @@ object Pipeline {
   * rater triage -> length debias -> DPO pairs -> pair decontamination,
   * each stage optional, `_pref.json` auditing the per-stage counts),
   * and
+  * `--maintenance pref_stream --raw R --state S --checkpoint C`
+  * (the pair build's streaming arm: tail scored-response JSON files
+  * into the persistent pairIngest state, exactly-once per file), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B]]` (the SFT loss-mask side-file:
@@ -1756,6 +1759,30 @@ object PipelineRunner {
           s"[maintenance] pref pairs: $nResp responses ($nDisputed disputed dropped) -> " +
             s"$nPairs0 pairs built, $n kept after decontamination, into $out"
         )
+      case Some("pref_stream") =>
+        // Streaming preference-pair maintenance
+        // (StreamingPipeline.prefIngest): tail a directory of scored-
+        // response JSON files into the persistent pairIngest state —
+        // the pref_pairs family's streaming arm. AvailableNow trigger:
+        // drains what exists, then returns (cron-friendly).
+        val raw = opts.getOrElse("raw", sys.error("--raw <response json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val respSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("prompt_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("score", org.apache.spark.sql.types.LongType)
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .prefIngest(spark, raw, state, ckpt, respSchema)
+          .awaitTermination()
+        val nPairs = graft.operators.Preference.pairsFromState(spark, state).count()
+        println(s"[maintenance] pref stream drained: state at $state now holds $nPairs pair(s)")
       case Some("sft_masks") =>
         // SFT loss-mask side-file (Preference.roleMaskIntervals, then
         // optionally Packing.projectIntervals through a pack layout):

@@ -484,6 +484,23 @@ class PreferenceSpec extends AnyFunSuite {
     assert(masks.agg(max(col("mask_end"))).head().getLong(0) <= 512L)
   }
 
+  test("pref_stream CLI verb drains response files into the pair state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pref-stream-cli").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"prompt_id":1,"doc_id":10,"score":5}
+        |{"prompt_id":1,"doc_id":11,"score":9}""".stripMargin)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "pref_stream",
+        "--raw", s"$root/raw", "--state", s"$root/state",
+        "--checkpoint", s"$root/ckpt"),
+      spark)
+    val got = Preference.pairsFromState(spark, s"$root/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 11L, 10L)))
+  }
+
   test("purgePairs: empty contaminated set is the identity") {
     val pairs = Preference.preferencePairs(
       queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001"),
