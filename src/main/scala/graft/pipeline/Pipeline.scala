@@ -496,11 +496,18 @@ object Pipeline {
   * into the persistent pairIngest state, exactly-once per file), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
-  * [--manifests M [--budget B]]` (the SFT loss-mask side-file:
-  * conversation-local trainable-turn intervals, projected to
-  * pack-local [0, budget) coordinates when --manifests points at the
-  * conversation-atomic pack layout — budget validated against the
+  * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
+  * side-file: conversation-local trainable-turn intervals, projected
+  * to pack-local [0, budget) coordinates when --manifests points at
+  * the conversation-atomic pack layout — budget validated against the
   * `_budget` sidecar, as in every pack consumer), and
+  * `--maintenance sft_release --turns T --out ROOT [--budget B]
+  * [--shards N] [--export_shards N] [--train_role R] [--unk_id U]`
+  * (the one-command SFT data release: render conversations ->
+  * pack_ingest -> sft_masks -> build_vocab -> pack_export, each the
+  * existing verb; shards/_role_masks ships KEEP-loss intervals that
+  * select exactly the train-role tokens, `_sft_release.json` audits
+  * the landed counts), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
@@ -1448,6 +1455,122 @@ object PipelineRunner {
             s"($nContam contaminated purged) -> $nPacks packs ($totToks tokens) -> " +
             s"$landedPacks exported in $exportShards shards, vocab $nVocab"
         )
+      case Some("sft_release") =>
+        // The one-command SFT DATA RELEASE: a conversation-turns table
+        // -> trainer-ready packed shards whose `_role_masks` sidecar
+        // selects EXACTLY the train-role tokens. Composition, each
+        // step the existing verb (every interlock fires here too):
+        // render conversations to conv-atomic documents (turns joined
+        // by single spaces, ordered by the turn key) -> pack_ingest
+        // them as batch 0 of an incremental pack space -> sft_masks
+        // projected through those manifests -> build_vocab ->
+        // pack_export over every emitted pack. Layout under --out:
+        //   rendered/ pack_state/ manifests/ role_masks/ vocab/
+        //   shards/ (with shards/_role_masks) _sft_release.json
+        //
+        // `_role_masks` carries KEEP-loss intervals (positions the
+        // trainer computes loss ON — the train_role's tokens), the
+        // POLARITY OPPOSITE of pack_export's decontamination
+        // `_loss_masks` (positions zeroed). The rendering contract
+        // that makes the coordinates line up: tokens are whitespace
+        // tokens, turns contribute their own split counts, so content
+        // must not be empty or carry leading/trailing whitespace —
+        // enforced loudly up front (a violating turn would shift
+        // every later offset in its conversation).
+        import org.apache.spark.sql.functions.{
+          array_join, array_sort, col, collect_list, lit, struct, sum, transform
+        }
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val root = opts.getOrElse("out", sys.error("--out <release root> required"))
+        val budget = opts.getOrElse("budget", "2048")
+        val shards = opts.getOrElse("shards", "8")
+        val exportShards = opts.getOrElse("export_shards", "8")
+        val trainRole = opts.getOrElse("train_role", "assistant")
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_key")
+        val roleCol = opts.getOrElse("role_col", "role")
+        val contentCol = opts.getOrElse("content_col", "content")
+        val unkArgs = opts.get("unk_id").toSeq.flatMap(u => Seq("--unk_id", u))
+        val turns = spark.read.parquet(turnsPath)
+        val nBadWs = turns
+          .filter(col(contentCol).rlike("(^\\s)|(\\s$)") || col(contentCol) === "")
+          .count()
+        require(
+          nBadWs == 0L,
+          s"sft_release: $nBadWs turn(s) have empty content or leading/trailing whitespace — " +
+            "the render joins turns with single spaces, so such a turn would shift every later " +
+            "mask offset in its conversation; trim or drop them upstream"
+        )
+        val rendered = turns
+          .groupBy(col(convCol).as("doc_id"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col(turnCol), col(contentCol)))),
+                x => x.getField(contentCol)
+              ),
+              " "
+            ).as("text")
+          )
+        rendered.write.mode("overwrite").parquet(s"$root/rendered")
+        run(
+          Array("--maintenance", "pack_ingest", "--batch", s"$root/rendered",
+            "--state", s"$root/pack_state", "--out", s"$root/manifests",
+            "--applied_id", "0", "--budget", budget, "--shards", shards),
+          spark
+        )
+        run(
+          Array("--maintenance", "sft_masks", "--turns", turnsPath,
+            "--manifests", s"$root/manifests", "--out", s"$root/role_masks",
+            "--man_id_col", "doc_id", "--conv_col", convCol, "--turn_col", turnCol,
+            "--role_col", roleCol, "--content_col", contentCol,
+            "--train_role", trainRole),
+          spark
+        )
+        run(
+          Array("--maintenance", "build_vocab", "--docs", s"$root/rendered",
+            "--out", s"$root/vocab"),
+          spark
+        )
+        val man = spark.read.parquet(s"$root/manifests")
+        val lastRow = man.agg(org.apache.spark.sql.functions.max(col("last_pack"))).head()
+        val nPacks = if (lastRow.isNullAt(0)) 0L else lastRow.getLong(0) + 1L
+        run(
+          Array("--maintenance", "pack_export", "--state", s"$root/pack_state",
+            "--manifests", s"$root/manifests", "--docs", s"$root/rendered",
+            "--vocab", s"$root/vocab", "--out", s"$root/shards",
+            "--from", "0", "--to", nPacks.toString, "--shards", exportShards) ++ unkArgs,
+          spark
+        )
+        // Ship the role masks WITH the landing (underscore dir —
+        // parquet readers of shards/ ignore it).
+        val masks = spark.read.parquet(s"$root/role_masks")
+        Pipeline.writeCounted(masks, s"$root/shards/_role_masks")
+        // Audit manifest — every number from landed data.
+        val nTurns = turns.count()
+        val nConvs = spark.read.parquet(s"$root/rendered").count()
+        val nTrainTurns = turns.filter(col(roleCol) === trainRole).count()
+        val totToks = man.agg(sum(col("n_toks"))).head().getLong(0)
+        val maskedToks = spark.read
+          .parquet(s"$root/shards/_role_masks")
+          .agg(org.apache.spark.sql.functions
+            .coalesce(sum(col("n_mask_tokens")), lit(0L)))
+          .head()
+          .getLong(0)
+        val nVocab = spark.read.parquet(s"$root/vocab").count()
+        val landedPacks = spark.read.parquet(s"$root/shards").count()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/_sft_release.json"),
+          s"""{"turns_in": $nTurns, "conversations": $nConvs, "train_turns": $nTrainTurns,""" +
+            s""" "train_role": "$trainRole", "total_tokens": $totToks,""" +
+            s""" "masked_tokens": $maskedToks, "budget": $budget, "n_packs": $nPacks,""" +
+            s""" "vocab_size": $nVocab, "landed_packs": $landedPacks}"""
+        )
+        println(
+          s"[maintenance] sft release at $root: $nTurns turns / $nConvs conversations -> " +
+            s"$nPacks packs ($totToks tokens, $maskedToks loss-on under role=$trainRole) -> " +
+            s"$landedPacks exported in $exportShards shards, vocab $nVocab"
+        )
       case Some("pack_epochs") =>
         // Multi-epoch visit-order schedule over an emitted pack space
         // (Packing.epochOrder): seeded per-epoch permutations of pack
@@ -1807,8 +1930,16 @@ object PipelineRunner {
         opts.get("manifests") match {
           case Some(mp) =>
             val budget = resolveBudget(spark, mp, opts)
+            // --man_id_col: the manifest's document-id column when the
+            // conversations were packed under a different key name
+            // (pack_ingest emits doc_id-keyed manifests).
+            val manIdCol = opts.getOrElse("man_id_col", "conv_id")
+            val manDf0 = spark.read.parquet(mp)
+            val manDf =
+              if (manIdCol == "conv_id") manDf0
+              else manDf0.withColumnRenamed(manIdCol, "conv_id")
             val masks = graft.operators.Packing.projectIntervals(
-              spark.read.parquet(mp),
+              manDf,
               iv,
               "conv_id",
               budget,

@@ -501,6 +501,69 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L, 10L)))
   }
 
+  test("sft_release: the shipped mask selects EXACTLY the assistant tokens, every conversation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-release").toString
+    val turns = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+      (col("doc_id") % 20).as("conv_id"),
+      col("doc_id").as("turn_key"),
+      when(expr("(doc_id div 20) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text").as("content"))
+    turns.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "sft_release",
+        "--turns", s"$root/turns", "--out", s"$root/rel",
+        "--budget", "512", "--shards", "4", "--export_shards", "4"),
+      spark)
+    // decode the landing: (pack, pos, token) from the id arrays + vocab
+    val arrays = spark.read.parquet(s"$root/rel/shards")
+    val decoded = arrays
+      .select(col("pack_id"), explode(arrays_zip(col("positions"), col("token_ids"))).as("z"))
+      .select(col("pack_id"), col("z.positions").as("pos"), col("z.token_ids").as("tid"))
+    val vocab = spark.read.parquet(s"$root/rel/vocab")
+    val toks = decoded
+      .join(vocab, decoded("tid") === vocab("token_id"))
+      .select(col("pack_id"), col("pos"), col("token"))
+    // masked (loss-ON) positions -> tokens, per conversation in global order
+    val masks = spark.read.parquet(s"$root/rel/shards/_role_masks")
+    val got = masks.alias("m")
+      .join(toks.alias("t"),
+        col("m.pack_id") === col("t.pack_id") &&
+          col("t.pos") >= col("m.mask_start") && col("t.pos") < col("m.mask_end"))
+      .select(col("m.conv_id"), (col("m.pack_id") * 512 + col("t.pos")).as("gpos"), col("token"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (c, g) => c -> g.sortBy(_._2).map(_._3).toSeq }
+    val want = turns.filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_key"), col("content"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (c, g) => c -> g.sortBy(_._2).flatMap(_._3.split("\\s+")).toSeq }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (c, w) => assert(got(c) == w, s"conv $c mask-decoded tokens diverge") }
+    // audit: masked_tokens in _sft_release.json == the assistant total
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_sft_release.json")), "UTF-8")
+    val wantToks = want.values.map(_.length.toLong).sum
+    assert(audit.contains(s""""masked_tokens": $wantToks"""), audit)
+  }
+
+  test("sft_release refuses turns with empty or edge-whitespace content") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-release-bad").toString
+    Seq((1L, 1L, "user", "ok"), (1L, 2L, "assistant", " leading"))
+      .toDF("conv_id", "turn_key", "role", "content")
+      .write.parquet(s"$root/turns")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(
+        Array("--maintenance", "sft_release",
+          "--turns", s"$root/turns", "--out", s"$root/rel"),
+        spark)
+    }
+    assert(e.getMessage.contains("leading/trailing whitespace"))
+  }
+
   test("purgePairs: empty contaminated set is the identity") {
     val pairs = Preference.preferencePairs(
       queries.PreferenceQueries.responses(spark, "/root/testdata/sf0.001"),
