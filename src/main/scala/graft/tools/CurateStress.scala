@@ -107,6 +107,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("sft"))
+      sftStress(
+        args.lift(1).map(_.toLong).getOrElse(200000L),
+        args.lift(2).map(_.toInt).getOrElse(10),
+        args.lift(3).map(_.toInt).getOrElse(30)
+      )
     else if (args.headOption.contains("pref_ingest"))
       prefIngestStress(
         args.lift(1).map(_.toInt).getOrElse(12),
@@ -382,6 +388,67 @@ object CurateStress {
     println(
       f"pref: $nResponses%d responses x $nPrompts%d prompts — pairs in $tPairs%.1f s, " +
         f"best-of-4 in $tBon%.1f s; counts/margins exact, 1000 sampled pairs brute-force-matched"
+    )
+  }
+
+  /** `sft [nTurns] [turnsPerConv] [toksPerTurn]` — the one-command
+    * SFT release at campaign scale: nTurns synthetic turns (roles
+    * alternating, content from a bounded shared token space so the
+    * vocab stays realistic) driven through `sft_release` end to end
+    * (render → pack_ingest → sft_masks → build_vocab → pack_export →
+    * mask sidecar). Verified from the LANDED artifacts: the audit's
+    * masked-token count equals the closed-form assistant total
+    * (toksPerTurn × assistant turns), and landed packs equal the
+    * manifest's pack count.
+    */
+  private def sftStress(nTurns: Long, turnsPerConv: Int, toksPerTurn: Int): Unit = {
+    val spark = StressUtil.session()
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of turnsPerConv")
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-stress").toString
+    val toks = (0 until toksPerTurn)
+      .map(j => s"concat('t', (id * 31 + $j) % 50000)")
+      .mkString(", ' ', ")
+    spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        col("id").as("turn_key"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        expr(s"concat($toks)").as("content")
+      )
+      .write
+      .parquet(s"$root/turns")
+    val (_, t) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "sft_release",
+          "--turns", s"$root/turns", "--out", s"$root/rel",
+          "--budget", "2048", "--shards", "16", "--export_shards", "16"
+        ),
+        spark
+      )
+    }
+    val audit = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/rel/_sft_release.json")),
+      "UTF-8"
+    )
+    // roles alternate on the GLOBAL turn id; with an even turnsPerConv
+    // every conversation holds exactly half assistant turns.
+    require(turnsPerConv % 2 == 0, "use an even turnsPerConv for the closed-form check")
+    val wantMasked = toksPerTurn.toLong * (nTurns / 2)
+    require(
+      audit.contains(s""""masked_tokens": $wantMasked"""),
+      s"masked-token audit diverged from closed form $wantMasked: $audit"
+    )
+    val landed = spark.read.parquet(s"$root/rel/shards").count()
+    val man = spark.read.parquet(s"$root/rel/manifests")
+    val nPacks = man.agg(max(col("last_pack"))).head().getLong(0) + 1
+    require(landed == nPacks, s"landed $landed != manifest packs $nPacks")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"sft: $nTurns%d turns (${nTurns / turnsPerConv}%d convs, ${toksPerTurn * nTurns}%d tokens) " +
+        f"released end-to-end in $t%.1f s — $nPacks%d packs landed, " +
+        f"masked tokens == closed form ($wantMasked%d)"
     )
   }
 
