@@ -403,6 +403,12 @@ object CurateStress {
     */
   private def sftStress(nTurns: Long, turnsPerConv: Int, toksPerTurn: Int): Unit = {
     val spark = StressUtil.session()
+    // The 2M-turn point exhausts this sandbox's shared 4 GiB JVM in
+    // the export's pack-array aggregation (32 threads split ~2.4 GiB
+    // of execution memory); finer scan splits were tried and slow the
+    // passing points ~60% without saving it — an executor-memory
+    // ceiling of the harness, documented in SCALE.md, not worked
+    // around here.
     require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of turnsPerConv")
     val root = java.nio.file.Files.createTempDirectory("graft-sft-stress").toString
     val toks = (0 until toksPerTurn)
