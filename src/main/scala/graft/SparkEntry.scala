@@ -176,6 +176,7 @@ object SparkEntry {
     "q154_sft_pack_masks" -> (PreferenceQueries.q154SftPackMasks _),
     "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _),
     "q158_sft_bpe_mask" -> (PreferenceQueries.q158SftBpeMask _),
+    "q159_response_dedup" -> (PreferenceQueries.q159ResponseDedup _),
     "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
     "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
   )
@@ -2556,7 +2557,22 @@ object SparkEntry {
         |  FROM r GROUP BY prompt_id)
         |SELECT prompt_id, doc_id, reward,
         |  CAST(1000000 * reward - mean_micro AS BIGINT) AS adv_micro
-        |FROM r JOIN m USING (prompt_id)""".stripMargin
+        |FROM r JOIN m USING (prompt_id)""".stripMargin,
+    // q159: within-prompt response dedup — even/odd id pairs share the
+    // even id's text, prompts are blocks of 10, the keep is the
+    // group's argmax-reward copy (ties to the smaller id).
+    "q159_response_dedup" ->
+      """WITH r AS (SELECT doc_id // 10 AS prompt_id, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 AS reward,
+        |    doc_id // 2 * 2 AS src_id
+        |  FROM documents),
+        |c AS (SELECT r.prompt_id, r.doc_id, r.reward, md5(d.text) AS content_hash
+        |  FROM r JOIN documents d ON d.doc_id = r.src_id),
+        |k AS (SELECT prompt_id, doc_id, reward, content_hash,
+        |    (row_number() OVER (PARTITION BY prompt_id, content_hash
+        |      ORDER BY reward DESC, doc_id ASC)) = 1 AS keep
+        |  FROM c)
+        |SELECT prompt_id, doc_id, reward, content_hash, keep FROM k""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -204,6 +204,54 @@ object Preference {
       )
   }
 
+  /** Within-prompt response DEDUP: sampling at temperature returns
+    * near- and exact-identical completions, and a pair built from two
+    * copies of the same response carries zero preference signal (or
+    * worse, a noise-margin one) — so production pipelines collapse
+    * each prompt's identical responses to one survivor BEFORE
+    * pairing. Every response is labeled with its within-prompt
+    * content group (`md5(content)`) and whether it is the group's
+    * KEEP — the argmax-score copy, ties to the smaller id (total and
+    * deterministic, [[Dedup]]-survivor discipline). The caller
+    * filters `keep` before [[preferencePairs]] or audits the dropped
+    * copies.
+    *
+    * Scale shape: ONE groupBy on (prompt, content hash) with a struct
+    * argmax (map-side partial) joined back on the same composite key —
+    * co-partitioned, no window, and the content column reduces to its
+    * 32-hex hash AT THE PROJECTION, so response text never enters the
+    * exchange.
+    */
+  def dedupResponses(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      contentCol: String
+  ): DataFrame = {
+    val hashed = responses
+      .select(
+        col(promptCol),
+        col(idCol),
+        col(scoreCol),
+        md5(col(contentCol)).as("content_hash")
+      )
+    val best = hashed
+      .groupBy(col(promptCol), col("content_hash"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id"))).as("b")
+      )
+      .select(
+        col(promptCol),
+        col("content_hash"),
+        (-col("b")("neg_id")).as("__best_id")
+      )
+    hashed
+      .join(best, Seq(promptCol, "content_hash"))
+      .withColumn("keep", col(idCol) === col("__best_id"))
+      .select(col(promptCol), col(idCol), col(scoreCol), col("content_hash"), col("keep"))
+  }
+
   /** Unroll preference pairs to POINTWISE binary-feedback rows — the
     * KTO-style format (each response its own example with a
     * desirable/undesirable label) trained when preferences arrive

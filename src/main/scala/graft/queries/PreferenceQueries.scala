@@ -270,6 +270,36 @@ object PreferenceQueries {
     )
   }
 
+  /** Within-prompt response dedup
+    * ([[graft.operators.Preference.dedupResponses]]): duplicated
+    * completions simulated by giving each even/odd id pair the EVEN
+    * id's text (one canonical-text self-join), prompts as consecutive
+    * blocks of 10 ids so the duplicates land in the SAME prompt —
+    * each prompt then holds 5 content groups of 2, and the operator
+    * must keep exactly the higher-rewarded copy of each (ties to the
+    * smaller id). One (prompt, content-hash) argmax agg + the
+    * co-partitioned join back; text reduces to its md5 at the
+    * projection. DuckDB replays the canonical-text join and a
+    * row_number window.
+    */
+  def q159ResponseDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val resp = d.select(
+      expr("doc_id div 10").as("prompt_id"),
+      col("doc_id"),
+      (h28(concat(lit("rm_"), col("doc_id").cast("string"))) % 1000).as("reward"),
+      expr("doc_id div 2 * 2").as("src_id")
+    )
+    val canon = d.select(col("doc_id").as("src_id"), col("text"))
+    Preference.dedupResponses(
+      resp.join(canon, Seq("src_id")),
+      "prompt_id",
+      "doc_id",
+      "reward",
+      "text"
+    )
+  }
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

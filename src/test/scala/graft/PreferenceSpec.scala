@@ -318,6 +318,39 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // dedupResponses
+  // ------------------------------------------------------------------
+
+  test("dedupResponses: exactly one keep per within-prompt content group, argmax survivor") {
+    val rows = Seq(
+      (1L, 10L, 5L, "same text"), (1L, 11L, 9L, "same text"),   // keep 11 (higher)
+      (1L, 12L, 9L, "other"),
+      (2L, 20L, 7L, "same text"),                                 // other prompt: own group
+      (2L, 21L, 7L, "twin"), (2L, 22L, 7L, "twin")                // tie -> keep 21 (smaller id)
+    ).toDF("prompt_id", "doc_id", "reward", "content")
+    val out = Preference
+      .dedupResponses(rows, "prompt_id", "doc_id", "reward", "content")
+      .collect()
+      .map(r => r.getLong(1) -> r.getBoolean(4))
+      .toMap
+    assert(out == Map(10L -> false, 11L -> true, 12L -> true,
+      20L -> true, 21L -> true, 22L -> false))
+  }
+
+  test("dedupResponses then preferencePairs never pairs a response against its own copy") {
+    val rows = Seq(
+      (1L, 10L, 3L, "dup"), (1L, 11L, 9L, "dup"), (1L, 12L, 5L, "uniq")
+    ).toDF("prompt_id", "doc_id", "reward", "content")
+    val kept = Preference
+      .dedupResponses(rows, "prompt_id", "doc_id", "reward", "content")
+      .filter(col("keep"))
+    val pairs = Preference.preferencePairs(kept, "prompt_id", "doc_id", "reward").collect()
+    // without dedup the pair would be (11 chosen, 10 rejected) — two
+    // copies of the same completion; with it, 11 vs 12.
+    assert(pairs.length == 1 && pairs(0).getLong(1) == 11L && pairs(0).getLong(2) == 12L)
+  }
+
+  // ------------------------------------------------------------------
   // unrollPairs / groupAdvantage
   // ------------------------------------------------------------------
 
