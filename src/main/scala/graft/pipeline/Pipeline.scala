@@ -487,10 +487,11 @@ object Pipeline {
   * `--maintenance pref_pairs --responses R --out O [--prompt_col P]
   * [--id_col I] [--score_col S] [--ratings T [--dispute_range N]
   * [--rating_score_col C]] [--len_col L [--bucket_width W]]
-  * [--contaminated X [--contam_id_col I]]` (post-training pair build:
-  * rater triage -> length debias -> DPO pairs -> pair decontamination,
-  * each stage optional, `_pref.json` auditing the per-stage counts),
-  * and
+  * [--contaminated X [--contam_id_col I]] [--content_col C]`
+  * (post-training pair build: within-prompt response dedup (with
+  * --content_col) -> rater triage -> length debias -> DPO pairs ->
+  * pair decontamination, each stage optional, `_pref.json` auditing
+  * the per-stage counts), and
   * `--maintenance pref_stream --raw R --state S --checkpoint C`
   * (the pair build's streaming arm: tail scored-response JSON files
   * into the persistent pairIngest state, exactly-once per file), and
@@ -1838,6 +1839,19 @@ object PipelineRunner {
         val scoreCol = opts.getOrElse("score_col", "score")
         val resp0 = spark.read.parquet(respPath)
         val nResp = resp0.count()
+        // optional stage 0: within-prompt response dedup (identical
+        // sampled completions collapse to the argmax-score survivor
+        // before anything else sees them)
+        val (respD, nDupDropped) = opts.get("content_col") match {
+          case Some(cc) =>
+            val keepIds = graft.operators.Preference
+              .dedupResponses(resp0, promptCol, idCol, scoreCol, cc)
+              .filter(col("keep"))
+              .select(col(idCol))
+            val kept = resp0.join(keepIds, Seq(idCol))
+            (kept, nResp - kept.count())
+          case None => (resp0, 0L)
+        }
         val (resp1, nDisputed) = opts.get("ratings") match {
           case Some(rp) =>
             val range = opts.getOrElse("dispute_range", "40").toLong
@@ -1846,8 +1860,8 @@ object PipelineRunner {
               .raterAgreement(spark.read.parquet(rp), idCol, ratingScoreCol, range)
             val disputed = triage.filter(col("disputed")).select(col(idCol))
             val nD = disputed.count()
-            (resp0.join(disputed, Seq(idCol), "left_anti"), nD)
-          case None => (resp0, 0L)
+            (respD.join(disputed, Seq(idCol), "left_anti"), nD)
+          case None => (respD, 0L)
         }
         val (resp2, pairScoreCol) = opts.get("len_col") match {
           case Some(lc) =>
@@ -1874,12 +1888,14 @@ object PipelineRunner {
         val n = Pipeline.writeCounted(pairs, out)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$out/_pref.json"),
-          (s"""{"responses": $nResp, "disputed_dropped": $nDisputed, """ +
+          (s"""{"responses": $nResp, "dup_dropped": $nDupDropped, """ +
+            s""""disputed_dropped": $nDisputed, """ +
             s""""pairs_built": $nPairs0, "pairs_kept": $n, """ +
             s""""score_col": "$pairScoreCol"}""").getBytes("UTF-8")
         )
         println(
-          s"[maintenance] pref pairs: $nResp responses ($nDisputed disputed dropped) -> " +
+          s"[maintenance] pref pairs: $nResp responses ($nDupDropped duplicate, " +
+            s"$nDisputed disputed dropped) -> " +
             s"$nPairs0 pairs built, $n kept after decontamination, into $out"
         )
       case Some("pref_stream") =>

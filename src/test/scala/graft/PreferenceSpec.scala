@@ -482,6 +482,25 @@ class PreferenceSpec extends AnyFunSuite {
     assert(audit.contains("\"pairs_kept\"") && audit.contains("\"adj_micro\""))
   }
 
+  test("pref_pairs CLI verb --content_col dedups within-prompt copies first") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pref-dedup-cli").toString
+    Seq(
+      (1L, 10L, 3L, "dup"), (1L, 11L, 9L, "dup"), (1L, 12L, 5L, "uniq")
+    ).toDF("prompt_id", "doc_id", "score", "content")
+      .write.parquet(s"$root/responses")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "pref_pairs",
+        "--responses", s"$root/responses", "--content_col", "content",
+        "--out", s"$root/pairs"),
+      spark)
+    val got = spark.read.parquet(s"$root/pairs")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((11L, 12L)), s"got ${got.toSeq}")
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/pairs/_pref.json")), "UTF-8")
+    assert(audit.contains("\"dup_dropped\": 1"), audit)
+  }
+
   test("sft_masks CLI verb: conversation-local without manifests, pack-local with") {
     val root = java.nio.file.Files.createTempDirectory("graft-sft-cli").toString
     val turns = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
