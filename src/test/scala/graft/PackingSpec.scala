@@ -1690,6 +1690,40 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("projectIntervals: random budgets + random disjoint intervals conserve tokens exactly") {
+    val rnd = new scala.util.Random(777)
+    val d = corpus(1 to 80)
+    val lens = d.select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // random disjoint intervals per doc: random cut points, keep
+    // alternating segments
+    val ivRows = lens.toSeq.flatMap { case (id, n) =>
+      val cuts = (0L +: Seq.fill(rnd.nextInt(3))(rnd.nextLong().abs % (n + 1)) :+ n).distinct.sorted
+      cuts.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if i % 2 == 0 && b > a => (id, a, b)
+      }
+    }
+    for (budget <- Seq(4L, 16L, 64L)) {
+      val man = Packing.manifest(Packing.layout(d, "doc_id", "text", nShards = 4), "doc_id", budget)
+      val iv = ivRows.toDF("doc_id", "tok_start", "tok_end")
+      val out = Packing.projectIntervals(man, iv, "doc_id", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val want = ivRows.map(t => t._3 - t._2).sum
+      assert(out.map(_._4).sum == want, s"budget $budget: token conservation broke")
+      out.foreach { case (_, s, e, n) =>
+        assert(s >= 0 && e <= budget && s < e && n == e - s, s"budget $budget range")
+      }
+      out.groupBy(_._1).foreach { case (pack, rows) =>
+        val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        sorted.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) =>
+            assert(e1 <= s2, s"budget $budget pack $pack masks overlap")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("projectIntervals: an interval escaping its doc fails loudly; empty intervals drop") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     val man = Packing.manifest(Packing.layout(d, "doc_id", "text", nShards = 1), "doc_id", 8L)

@@ -731,6 +731,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q159: response text reduces to its md5 below the dedup exchange") {
+    // dedupResponses' scale claim: the (prompt, content-hash) agg
+    // ships 32-hex hashes, never response content — the md5 must be
+    // computed on the scan side of the aggregation exchange (children
+    // print after parents, so the hash projection appears after the
+    // exchange in the plan string), with the argmax partial-aggregated.
+    val plan = planOf(queries.PreferenceQueries.q159ResponseDedup(spark, sf))
+    val ex = plan.indexOf("Exchange hashpartitioning")
+    val h = plan.indexOf("md5(")
+    assert(ex >= 0 && h > ex, s"md5 must sit below the exchange:\n$plan")
+    assert(plan.contains("partial_max"), s"survivor argmax must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pairIngest: the batch reduction partial-aggregates before its only shuffle") {
     // The incremental pair state's per-batch cost claim: the batch
     // reduces map-side to per-prompt extremes — partial_max AND
