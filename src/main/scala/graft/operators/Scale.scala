@@ -105,20 +105,27 @@ object Scale {
       .partitionBy("shard")
       .parquet(path)
     // manifest from what actually landed — not from the plan — with
-    // every shard id present (empty shards as explicit zero rows)
-    val landed = spark.read
-      .parquet(path)
+    // every shard id present (empty shards as explicit zero rows) and
+    // an order-independent CONTENT digest per shard (bit_xor of the
+    // per-row xxhash64 over every data column): bitrot or a partial
+    // copy that preserves counts and key ranges still flips the xor,
+    // and [[verifyExport]] checks all three from the landed files.
+    val landedRaw = spark.read.parquet(path)
+    val dataCols = landedRaw.columns.filterNot(_ == "shard").sorted.map(col)
+    val landed = landedRaw
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_rows"),
         min(col(orderCol)).as("min_key"),
-        max(col(orderCol)).as("max_key")
+        max(col(orderCol)).as("max_key"),
+        bit_xor(xxhash64(dataCols: _*)).as("content_xor")
       )
     val manifest = spark
       .range(0, nShards)
       .select(col("id").cast("int").as("shard"))
       .join(landed, Seq("shard"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("content_xor", coalesce(col("content_xor"), lit(0L)))
     val tmp = s"$path.__manifest_tmp"
     val fin = s"$path.__manifest"
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -128,6 +135,58 @@ object Scale {
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(fin)))
       throw new java.io.IOException(s"manifest rename failed: $tmp -> $fin")
     spark.read.parquet(fin)
+  }
+
+  /** Verify a landed [[exportShards]] export against its own
+    * `__manifest`: re-read the shard files and recompute each shard's
+    * row count, key range, and order-independent content digest, then
+    * compare all three — the integrity check a release pipeline runs
+    * after a cross-system copy (and a scheduled bitrot scan runs on
+    * cold shards). The three checks escalate: a lost part-file fails
+    * `n_rows`; a truncation that resects whole key ranges fails
+    * `min/max`; silent corruption that preserves counts and ranges
+    * still flips the xor of per-row hashes. Returns one row per
+    * manifest shard with the stored and recomputed values and an `ok`
+    * flag; the caller alerts on `!ok` rows.
+    *
+    * Scale shape: one pass over the export (per-shard agg with
+    * map-side partials) + a broadcast-sized join against the O(shards)
+    * manifest — same cost as writing the manifest was.
+    */
+  def verifyExport(spark: SparkSession, path: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$path.__manifest")
+    require(
+      Set("shard", "n_rows", "content_xor").subsetOf(manifest.columns.toSet),
+      s"$path.__manifest is not a digest-bearing exportShards manifest " +
+        "(re-export with the current exportShards to add content_xor)"
+    )
+    val landedRaw = spark.read.parquet(path)
+    val dataCols = landedRaw.columns.filterNot(_ == "shard").sorted.map(col)
+    // counts + digest are column-order-free and the digest covers
+    // every data column (key ranges included), so the comparison
+    // needs no knowledge of which column the export was ordered by.
+    val got = landedRaw
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("got_rows"),
+        bit_xor(xxhash64(dataCols: _*)).as("got_xor")
+      )
+    manifest
+      .join(got, Seq("shard"), "left")
+      .withColumn("got_rows", coalesce(col("got_rows"), lit(0L)))
+      .withColumn("got_xor", coalesce(col("got_xor"), lit(0L)))
+      .withColumn(
+        "ok",
+        col("got_rows") === col("n_rows") && col("got_xor") === col("content_xor")
+      )
+      .select(
+        col("shard"),
+        col("n_rows"),
+        col("got_rows"),
+        col("content_xor"),
+        col("got_xor"),
+        col("ok")
+      )
   }
 
   /** Skew report for a join/aggregation key: per-key counts for the

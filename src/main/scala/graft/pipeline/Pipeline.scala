@@ -509,6 +509,11 @@ object Pipeline {
   * existing verb; shards/_role_masks ships KEEP-loss intervals that
   * select exactly the train-role tokens, `_sft_release.json` audits
   * the landed counts), and
+  * `--maintenance verify_export --path P [--out O]` (landing
+  * integrity: recompute per-shard counts + order-independent content
+  * digests from the landed files and compare against the export's
+  * `__manifest`; fails loudly naming any corrupt shard — the
+  * post-copy check and scheduled bitrot scan), and
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
@@ -1973,6 +1978,26 @@ object PipelineRunner {
                 s"for role=$trainRole -> $out"
             )
         }
+      case Some("verify_export") =>
+        // Landing integrity check (Scale.verifyExport): recompute each
+        // shard's row count and order-independent content digest from
+        // the landed files and compare against the export's own
+        // __manifest — the post-copy check a release pipeline runs,
+        // and a scheduled bitrot scan for cold shards. Exits nonzero
+        // (require) on any corrupt shard, naming it.
+        import org.apache.spark.sql.functions.col
+        val path = opts.getOrElse("path", sys.error("--path <export dir> required"))
+        val report = graft.operators.Scale.verifyExport(spark, path)
+        opts.get("out").foreach(o => Pipeline.writeCounted(report, o))
+        val bad = report.filter(!col("ok")).collect()
+        require(
+          bad.isEmpty,
+          s"verify_export: ${bad.length} corrupt shard(s) in $path: " +
+            bad.map(r => s"shard=${r.getInt(0)} rows ${r.getLong(2)}/${r.getLong(1)} " +
+              s"xor ${r.getLong(4)}/${r.getLong(3)}").mkString("; ")
+        )
+        val n = report.count()
+        println(s"[maintenance] verify_export: $n shard(s) in $path verified, all ok")
       case Some("compact_partitions") =>
         // Scheduled read-optimize for a hive-partitioned state dir
         // whose partitions accumulate one file per ingest batch (the

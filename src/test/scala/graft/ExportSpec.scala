@@ -84,6 +84,51 @@ class ExportSpec extends AnyFunSuite {
     assert(s0.sameElements(s0.sorted), "range mode within-shard order")
   }
 
+  test("verifyExport: pristine landing verifies; a lost part-file and silent corruption are caught") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-verify-export").toString
+    val out = s"$root/corpus"
+    Scale.exportShards(freshRows().toDF("doc_key", "payload"), "doc_key", 8, out)
+    val clean = Scale.verifyExport(spark, out).collect()
+    assert(clean.length == 8 && clean.forall(_.getBoolean(5)), "pristine export must verify")
+    // silent corruption: rewrite shard 3 with the SAME row count and
+    // key set but one payload changed — counts and key ranges hold,
+    // only the content digest can catch it
+    val s3 = spark.read.parquet(s"$out/shard=3").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s3.nonEmpty)
+    val tampered = s3.updated(0, (s3(0)._1, s3(0)._2 + "!"))
+    val tmp = s"$root/tampered"
+    tampered.toSeq.toDF("doc_key", "payload").coalesce(1).write.parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/shard=3"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(s"$out/shard=3"))
+    val afterTamper = Scale.verifyExport(spark, out).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+    assert(!afterTamper(3), "digest must catch count-preserving corruption")
+    assert((0 to 7).filter(_ != 3).forall(afterTamper(_)), "other shards unaffected")
+    // lost shard dir: row count catches it
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/shard=5"))
+    val afterLoss = Scale.verifyExport(spark, out).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getBoolean(5)))).toMap
+    assert(afterLoss(5) == ((0L, false)), "lost shard must report zero rows, not ok")
+  }
+
+  test("verify_export CLI verb passes on a clean landing and names the corrupt shard") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-verify-cli").toString
+    val out = s"$root/corpus"
+    Scale.exportShards(freshRows().toDF("doc_key", "payload"), "doc_key", 4, out)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "verify_export", "--path", out), spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/shard=2"))
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(
+        Array("--maintenance", "verify_export", "--path", out), spark)
+    }
+    assert(e.getMessage.contains("shard=2"), e.getMessage)
+  }
+
   test("empty shards appear in the manifest as explicit zeros") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-export-e").toString + "/corpus"
