@@ -503,7 +503,8 @@ object Pipeline {
   * the conversation-atomic pack layout — budget validated against the
   * `_budget` sidecar, as in every pack consumer), and
   * `--maintenance sft_release --turns T --out ROOT [--budget B]
-  * [--shards N] [--export_shards N] [--train_role R] [--unk_id U]`
+  * [--shards N] [--export_shards N] [--train_role R] [--unk_id U]
+  * [--verify false]`
   * (the one-command SFT data release: render conversations ->
   * pack_ingest -> sft_masks -> build_vocab -> pack_export, each the
   * existing verb; shards/_role_masks ships KEEP-loss intervals that
@@ -517,7 +518,7 @@ object Pipeline {
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
-  * [--provenance true]` (the
+  * [--provenance true] [--verify false]` (the
   * one-command pretraining data release: curate -> decontaminate ->
   * pack -> freeze vocab -> export shards [-> epoch schedule], each
   * step the existing verb called recursively so every interlock
@@ -1415,6 +1416,11 @@ object PipelineRunner {
             "--shards", exportShards) ++ unkArgs,
           spark
         )
+        // post-landing integrity: the release's own shards re-read and
+        // digest-compared against the landed manifest before anything
+        // downstream trusts them (default on; --verify false skips)
+        if (!opts.get("verify").contains("false"))
+          run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
         opts.get("epochs").foreach { e =>
           run(
             Array("--maintenance", "pack_epochs", "--manifests", s"$root/manifests",
@@ -1548,6 +1554,8 @@ object PipelineRunner {
             "--from", "0", "--to", nPacks.toString, "--shards", exportShards) ++ unkArgs,
           spark
         )
+        if (!opts.get("verify").contains("false"))
+          run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
         // Ship the role masks WITH the landing (underscore dir —
         // parquet readers of shards/ ignore it).
         val masks = spark.read.parquet(s"$root/role_masks")
