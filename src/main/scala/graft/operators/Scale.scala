@@ -111,7 +111,7 @@ object Scale {
     // copy that preserves counts and key ranges still flips the xor,
     // and [[verifyExport]] checks all three from the landed files.
     val landedRaw = spark.read.parquet(path)
-    val dataCols = landedRaw.columns.filterNot(_ == "shard").sorted.map(col)
+    val dataCols = digestCols(landedRaw)
     val landed = landedRaw
       .groupBy(col("shard"))
       .agg(
@@ -135,6 +135,30 @@ object Scale {
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(fin)))
       throw new java.io.IOException(s"manifest rename failed: $tmp -> $fin")
     spark.read.parquet(fin)
+  }
+
+  /** The digest's column set: every data column whose type xxhash64
+    * accepts (maps are unhashable in Spark — a map-typed column is
+    * excluded from the digest rather than failing the export; counts
+    * and key ranges still cover it). Sorted so writer and verifier
+    * agree regardless of projection order. At least the order/key
+    * columns are always hashable, so the set is never empty for an
+    * exportShards layout.
+    */
+  private def digestCols(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case a: ArrayType => hashable(a.elementType)
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields
+      .filter(f => f.name != "shard" && hashable(f.dataType))
+      .map(_.name)
+      .sorted
+    require(cols.nonEmpty, "export digest needs at least one hashable column")
+    cols.toSeq.map(col)
   }
 
   /** Verify a landed [[exportShards]] export against its own
@@ -161,10 +185,11 @@ object Scale {
         "(re-export with the current exportShards to add content_xor)"
     )
     val landedRaw = spark.read.parquet(path)
-    val dataCols = landedRaw.columns.filterNot(_ == "shard").sorted.map(col)
+    val dataCols = digestCols(landedRaw)
     // counts + digest are column-order-free and the digest covers
-    // every data column (key ranges included), so the comparison
-    // needs no knowledge of which column the export was ordered by.
+    // every hashable data column (key ranges included), so the
+    // comparison needs no knowledge of which column the export was
+    // ordered by.
     val got = landedRaw
       .groupBy(col("shard"))
       .agg(

@@ -129,6 +129,18 @@ class ExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shard=2"), e.getMessage)
   }
 
+  test("verifyExport: map-typed payload columns are excluded from the digest, not fatal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-verify-map").toString
+    val out = s"$root/corpus"
+    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("doc_key", "props")
+    val manifest = Scale.exportShards(df, "doc_key", 2, out).collect()
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 2L)
+    val report = Scale.verifyExport(spark, out).collect()
+    assert(report.forall(_.getBoolean(5)), "map-typed export must still verify on the key digest")
+  }
+
   test("empty shards appear in the manifest as explicit zeros") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-export-e").toString + "/corpus"
