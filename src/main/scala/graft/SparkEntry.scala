@@ -177,6 +177,7 @@ object SparkEntry {
     "q155_pref_ingest" -> (PreferenceQueries.q155PrefIngest _),
     "q158_sft_bpe_mask" -> (PreferenceQueries.q158SftBpeMask _),
     "q159_response_dedup" -> (PreferenceQueries.q159ResponseDedup _),
+    "q160_win_matrix" -> (PreferenceQueries.q160WinMatrix _),
     "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
     "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
   )
@@ -2572,7 +2573,24 @@ object SparkEntry {
         |    (row_number() OVER (PARTITION BY prompt_id, content_hash
         |      ORDER BY reward DESC, doc_id ASC)) = 1 AS keep
         |  FROM c)
-        |SELECT prompt_id, doc_id, reward, content_hash, keep FROM k""".stripMargin
+        |SELECT prompt_id, doc_id, reward, content_hash, keep FROM k""".stripMargin,
+    // q160: policy win matrix — per unordered policy pair, prompts
+    // where each policy's best reward beats the other's (ties
+    // separate); wins_a + wins_b + ties == n_prompts.
+    "q160_win_matrix" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id,
+        |    concat('p', CAST(doc_id % 3 AS VARCHAR)) AS policy,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |b AS (SELECT prompt_id, policy, max(reward) AS best FROM r GROUP BY 1, 2)
+        |SELECT a.policy AS policy_a, c.policy AS policy_b,
+        |  CAST(sum(CASE WHEN a.best > c.best THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+        |  CAST(sum(CASE WHEN c.best > a.best THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+        |  CAST(sum(CASE WHEN a.best = c.best THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |  CAST(count(*) AS BIGINT) AS n_prompts
+        |FROM b a JOIN b c ON a.prompt_id = c.prompt_id AND a.policy < c.policy
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -311,6 +311,55 @@ object Preference {
       )
   }
 
+  /** Arena-style WIN MATRIX between sampling policies: for every
+    * unordered policy pair, on how many prompts does each policy's
+    * best response out-score the other's (ties counted separately) —
+    * the head-to-head table an RLHF campaign reads to rank checkpoint
+    * candidates from the same scored-response corpus the pair build
+    * consumes, no extra annotation pass. Returns
+    * `(policy_a, policy_b, wins_a, wins_b, ties, n_prompts)` with
+    * `policy_a < policy_b` (each pair once) and
+    * `wins_a + wins_b + ties == n_prompts` by construction — prompts
+    * where either policy has NO response are excluded (the inner
+    * join), so the comparison is always like-for-like.
+    *
+    * Scale shape: one groupBy on (prompt, policy) reduces
+    * O(responses) to O(prompts × policies) with map-side partials;
+    * the pairing self-join is keyed on the PROMPT (co-partitioned
+    * with the agg, each prompt contributing policies² comparison
+    * rows — policies are checkpoint counts, single digits); the
+    * final agg is O(policies²) output rows.
+    */
+  def winMatrix(
+      responses: DataFrame,
+      promptCol: String,
+      policyCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val best = responses
+      .groupBy(col(promptCol), col(policyCol))
+      .agg(max(col(scoreCol)).as("best"))
+    val a = best.select(
+      col(promptCol),
+      col(policyCol).as("policy_a"),
+      col("best").as("best_a")
+    )
+    val b = best.select(
+      col(promptCol),
+      col(policyCol).as("policy_b"),
+      col("best").as("best_b")
+    )
+    a.join(b, Seq(promptCol))
+      .filter(col("policy_a") < col("policy_b"))
+      .groupBy(col("policy_a"), col("policy_b"))
+      .agg(
+        sum(when(col("best_a") > col("best_b"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("best_b") > col("best_a"), 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("best_a") === col("best_b"), 1L).otherwise(0L)).as("ties"),
+        count(lit(1)).as("n_prompts")
+      )
+  }
+
   /** INCREMENTAL preference-pair state: fold one batch of scored
     * responses into a persistent per-prompt extremes table — the
     * RLHF-campaign shape, where responses for a prompt arrive over

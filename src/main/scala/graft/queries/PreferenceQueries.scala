@@ -300,6 +300,24 @@ object PreferenceQueries {
     )
   }
 
+  /** Policy win matrix ([[graft.operators.Preference.winMatrix]]):
+    * three simulated sampling policies (`'p' || doc_id % 3`) compete
+    * on the shared prompt space — per unordered policy pair, on how
+    * many prompts each policy's best reward beats the other's, with
+    * ties separate and wins_a + wins_b + ties == n_prompts. One
+    * (prompt, policy) agg, a prompt-keyed pairing join, an
+    * O(policies²) roll-up; DuckDB replays the same two-level
+    * aggregation.
+    */
+  def q160WinMatrix(spark: SparkSession, dir: String): DataFrame =
+    Preference.winMatrix(
+      responses(spark, dir)
+        .withColumn("policy", concat(lit("p"), (col("doc_id") % 3).cast("string"))),
+      "prompt_id",
+      "policy",
+      "reward"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

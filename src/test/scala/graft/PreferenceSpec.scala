@@ -318,6 +318,44 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // winMatrix
+  // ------------------------------------------------------------------
+
+  test("winMatrix: hand fixture — wins/ties partition the shared prompts, missing policies excluded") {
+    val rows = Seq(
+      // prompt 1: A best 9, B best 7 -> A wins
+      (1L, "A", 9L), (1L, "A", 2L), (1L, "B", 7L),
+      // prompt 2: tie at 5
+      (2L, "A", 5L), (2L, "B", 5L),
+      // prompt 3: only A responded -> excluded from the (A, B) cell
+      (3L, "A", 8L),
+      // prompt 4: B wins
+      (4L, "A", 1L), (4L, "B", 6L)
+    ).toDF("prompt_id", "policy", "score")
+    val out = Preference.winMatrix(rows, "prompt_id", "policy", "score").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((1L, 1L, 1L, 3L)))
+  }
+
+  test("winMatrix: wins_a + wins_b + ties == n_prompts on random data, each pair once") {
+    val rnd = new scala.util.Random(555)
+    val rows = (0 until 900).map { i =>
+      (rnd.nextInt(40).toLong, s"p${rnd.nextInt(4)}", rnd.nextInt(30).toLong)
+    }
+    val out = Preference
+      .winMatrix(rows.toDF("prompt_id", "policy", "score"), "prompt_id", "policy", "score")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(out.map(_._1).distinct.length == out.length, "each pair exactly once")
+    out.foreach { case ((a, b), (wa, wb, t, n)) =>
+      assert(a < b)
+      assert(wa + wb + t == n, s"($a, $b) partition broke")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // dedupResponses
   // ------------------------------------------------------------------
 
