@@ -1852,11 +1852,22 @@ object Maintenance {
     * re-embed, re-tokenize — consume only the `added`/`changed`
     * slice instead of the full corpus).
     *
-    * The fingerprint is md5 over the `contentCols` concatenated with
-    * a `\u0001` separator (cast to string, so any comparable column
-    * participates) — content compare without moving content: each
-    * side reduces to (id, 32-hex) rows AT THE SCAN, and the full-outer
-    * join is id-keyed and co-partitionable. At 100 TB the diff is two
+    * The fingerprint is NULL-SAFE and boundary-unambiguous: each
+    * content column is hashed separately (md5 of its string cast,
+    * with NULL encoded as the literal `N` — not a hex character, so
+    * it can never collide with a real digest) and the fixed-width
+    * per-column digests are concatenated and hashed again. An earlier
+    * revision fed the raw values to `concat_ws`, which SKIPS nulls:
+    * (`"x"`, NULL) and (NULL, `"x"`) fingerprinted identically, and a
+    * column flipping NULL ↔ empty-string was invisible — a changed
+    * doc could report `unchanged` in a tool pitched for takedown
+    * verification. Per-column hashing also removes separator
+    * ambiguity (every column contributes exactly 32 chars or `N`, so
+    * a value containing a separator can't shift a column boundary).
+    *
+    * Content compare without moving content: each side reduces to
+    * (id, 32-hex) rows AT THE SCAN, and the full-outer join is
+    * id-keyed and co-partitionable. At 100 TB the diff is two
     * projected scans + one equi join of fingerprint-width rows; text
     * bytes never shuffle.
     */
@@ -1870,7 +1881,8 @@ object Maintenance {
     def fp(df: DataFrame, out: String) =
       df.select(
         col(idCol),
-        md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*)).as(out)
+        md5(concat(contentCols.map(c =>
+          coalesce(md5(col(c).cast("string")), lit("N"))): _*)).as(out)
       )
     fp(oldSnap, "old_fp")
       .join(fp(newSnap, "new_fp"), Seq(idCol), "full_outer")

@@ -20,6 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Exact BIGINT FLOOR division `a / b` (requires `b > 0`) as a SQL
+    * fragment: `(a - pmod(a, b)) div b`. Spark's bare `div` truncates
+    * toward zero while DuckDB's `//` floors, so a raw `div` silently
+    * diverges between the engine and the oracle whenever the dividend
+    * is negative (real RLHF rewards go negative; the micro-unit means
+    * built on this must stay engine-portable there too). `pmod` is
+    * nonnegative for positive divisors, so subtracting it lands the
+    * dividend exactly on a multiple of `b` and the `div` is then
+    * exact floor — all BIGINT, no doubles.
+    */
+  private def floorDivSql(a: String, b: String): String =
+    s"((($a) - pmod(($a), ($b))) div ($b))"
+
+  /** Entry guard for every operator that tie-breaks with the
+    * `max(struct(score, -id))` trick: unary minus over a STRING id
+    * (UUID response ids are common) silently casts to NULL, turning
+    * the documented total deterministic ordering into an arbitrary
+    * one with no error anywhere — so misuse must fail loudly here
+    * instead. Non-null scores are likewise a documented precondition
+    * (a NULL score silently drops its prompt's pair from the agg).
+    */
+  private[operators] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op tie-breaks on -$idCol, which requires a NUMERIC id column: " +
+        s"'$idCol' is ${dt.simpleString}. A string/UUID id would silently " +
+        "cast to NULL under unary minus and break the deterministic " +
+        "ordering — map ids to BIGINT (e.g. xxhash64) before calling."
+    )
+  }
+
   /** DPO-style preference pairs from a scored response table: for each
     * prompt, `chosen` = the argmax-score response and `rejected` = the
     * argmin-score response, both with ties broken to the smaller
@@ -42,7 +74,8 @@ object Preference {
       promptCol: String,
       idCol: String,
       scoreCol: String
-  ): DataFrame =
+  ): DataFrame = {
+    requireNumericId(responses, idCol, "preferencePairs")
     responses
       .groupBy(col(promptCol))
       .agg(
@@ -59,6 +92,7 @@ object Preference {
         (col("c")("s") - col("r")("s")).as("margin")
       )
       .filter(col("margin") > 0)
+  }
 
   /** Best-of-n selection: the top `n` responses of every prompt by
     * score (ties to the smaller id), each labeled with its 1-based
@@ -123,7 +157,7 @@ object Preference {
     val means = bucketed
       .groupBy(col("bucket"))
       .agg(
-        expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro")
+        expr(floorDivSql(s"1000000L * sum($scoreCol)", "count(*)")).as("mean_micro")
       )
     bucketed
       .join(broadcast(means), Seq("bucket"), "inner")
@@ -160,7 +194,7 @@ object Preference {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_raters"),
-        expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro"),
+        expr(floorDivSql(s"1000000L * sum($scoreCol)", "count(*)")).as("mean_micro"),
         (max(col(scoreCol)) - min(col(scoreCol))).as("score_range")
       )
       .withColumn("disputed", col("score_range") >= disputeRange)
@@ -229,6 +263,7 @@ object Preference {
       scoreCol: String,
       contentCol: String
   ): DataFrame = {
+    requireNumericId(responses, idCol, "dedupResponses")
     val hashed = responses
       .select(
         col(promptCol),
@@ -299,7 +334,7 @@ object Preference {
   ): DataFrame = {
     val means = responses
       .groupBy(col(promptCol))
-      .agg(expr(s"(1000000L * sum($scoreCol)) div count(*)").as("mean_micro"))
+      .agg(expr(floorDivSql(s"1000000L * sum($scoreCol)", "count(*)")).as("mean_micro"))
     responses
       .select(col(promptCol), col(idCol), col(scoreCol))
       .join(means, Seq(promptCol))
@@ -377,8 +412,12 @@ object Preference {
     * Read the current pair table back with [[pairsFromState]]; the
     * result is IDENTICAL to [[preferencePairs]] over every response
     * ever folded (spec-proved on random corpora under arbitrary
-    * batch splits), at per-batch cost O(batch) + O(prompts-touched)
-    * instead of O(accumulated responses).
+    * batch splits), at per-batch cost O(batch) + O(state prompts):
+    * the fold unions the batch partial with the FULL per-prompt state
+    * and rewrites it ([[Maintenance.refreshAggregate]]'s documented
+    * full-state-rewrite semantics) — far below O(accumulated
+    * responses), but NOT O(prompts-touched); the state rewrite scales
+    * with every prompt ever seen, not just this batch's.
     */
   def pairIngest(
       spark: SparkSession,
@@ -389,6 +428,7 @@ object Preference {
       statePath: String,
       appliedId: Option[Long] = None
   ): DataFrame = {
+    requireNumericId(batch, idCol, "pairIngest")
     val partial = batch
       .groupBy(col(promptCol))
       .agg(

@@ -106,9 +106,10 @@ object Scale {
       .parquet(path)
     // manifest from what actually landed — not from the plan — with
     // every shard id present (empty shards as explicit zero rows) and
-    // an order-independent CONTENT digest per shard (bit_xor of the
-    // per-row xxhash64 over every data column): bitrot or a partial
-    // copy that preserves counts and key ranges still flips the xor,
+    // an order-independent CONTENT digest per shard (wrapping 64-bit
+    // SUM of the per-row xxhash64 over every data column — see
+    // [[contentDigest]] for why sum, not xor): bitrot or a partial
+    // copy that preserves counts and key ranges still moves the sum,
     // and [[verifyExport]] checks all three from the landed files.
     val landedRaw = spark.read.parquet(path)
     val dataCols = digestCols(landedRaw)
@@ -118,14 +119,14 @@ object Scale {
         count(lit(1)).as("n_rows"),
         min(col(orderCol)).as("min_key"),
         max(col(orderCol)).as("max_key"),
-        bit_xor(xxhash64(dataCols: _*)).as("content_xor")
+        contentDigest(dataCols).as("content_digest")
       )
     val manifest = spark
       .range(0, nShards)
       .select(col("id").cast("int").as("shard"))
       .join(landed, Seq("shard"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-      .withColumn("content_xor", coalesce(col("content_xor"), lit(0L)))
+      .withColumn("content_digest", coalesce(col("content_digest"), lit(0L)))
     val tmp = s"$path.__manifest_tmp"
     val fin = s"$path.__manifest"
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -161,6 +162,31 @@ object Scale {
     cols.toSeq.map(col)
   }
 
+  /** Order-independent, MULTIPLICITY-SENSITIVE per-shard content
+    * digest: the wrapping 64-bit sum of the per-row xxhash64 over the
+    * digest columns. An earlier revision xor'd the row hashes, which
+    * is blind to even-multiplicity corruption — any row appearing an
+    * even number of times xors to zero, so swapping a duplicated row
+    * pair for a different duplicated pair (or injecting 2k junk copies
+    * while dropping an even group) preserved both count and digest. A
+    * sum is linear in multiplicity: every extra or missing copy moves
+    * it.
+    *
+    * Wrapping arithmetic is computed exactly and ANSI-safely: the row
+    * hashes sum in Decimal(38,0) (|h| < 2^63, so the decimal overflows
+    * only past ~10^19 rows per shard — no real shard), then reduce mod
+    * 2^64 back into signed-long range. Still one map-side-combining
+    * agg per shard — identical plan shape to the xor it replaces.
+    */
+  private def contentDigest(dataCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val two64 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+    val two63 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63)))
+    val s = sum(xxhash64(dataCols: _*).cast(DecimalType(38, 0)))
+    val m = pmod(s, two64)
+    when(m >= two63, m - two64).otherwise(m).cast(LongType)
+  }
+
   /** Verify a landed [[exportShards]] export against its own
     * `__manifest`: re-read the shard files and recompute each shard's
     * row count, key range, and order-independent content digest, then
@@ -169,20 +195,34 @@ object Scale {
     * cold shards). The three checks escalate: a lost part-file fails
     * `n_rows`; a truncation that resects whole key ranges fails
     * `min/max`; silent corruption that preserves counts and ranges
-    * still flips the xor of per-row hashes. Returns one row per
+    * still moves the multiplicity-sensitive sum of per-row hashes
+    * ([[contentDigest]]). Returns one row per
     * manifest shard with the stored and recomputed values and an `ok`
     * flag; the caller alerts on `!ok` rows.
     *
     * Scale shape: one pass over the export (per-shard agg with
     * map-side partials) + a broadcast-sized join against the O(shards)
     * manifest — same cost as writing the manifest was.
+    *
+    * Manifests from the retired xor-digest revision (column
+    * `content_xor`) are REFUSED loudly rather than silently verified
+    * against the wrong algorithm: the xor digest passes on
+    * even-multiplicity corruption, so "verified" under it would be a
+    * false promise — re-export (or re-manifest) with the current
+    * [[exportShards]] to upgrade.
     */
   def verifyExport(spark: SparkSession, path: String): DataFrame = {
     val manifest = spark.read.parquet(s"$path.__manifest")
     require(
-      Set("shard", "n_rows", "content_xor").subsetOf(manifest.columns.toSet),
+      !manifest.columns.contains("content_xor"),
+      s"$path.__manifest carries the retired xor content digest, which is " +
+        "blind to even-multiplicity corruption — re-export with the current " +
+        "exportShards to record the multiplicity-sensitive sum digest"
+    )
+    require(
+      Set("shard", "n_rows", "content_digest").subsetOf(manifest.columns.toSet),
       s"$path.__manifest is not a digest-bearing exportShards manifest " +
-        "(re-export with the current exportShards to add content_xor)"
+        "(re-export with the current exportShards to add content_digest)"
     )
     val landedRaw = spark.read.parquet(path)
     val dataCols = digestCols(landedRaw)
@@ -194,22 +234,22 @@ object Scale {
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("got_rows"),
-        bit_xor(xxhash64(dataCols: _*)).as("got_xor")
+        contentDigest(dataCols).as("got_digest")
       )
     manifest
       .join(got, Seq("shard"), "left")
       .withColumn("got_rows", coalesce(col("got_rows"), lit(0L)))
-      .withColumn("got_xor", coalesce(col("got_xor"), lit(0L)))
+      .withColumn("got_digest", coalesce(col("got_digest"), lit(0L)))
       .withColumn(
         "ok",
-        col("got_rows") === col("n_rows") && col("got_xor") === col("content_xor")
+        col("got_rows") === col("n_rows") && col("got_digest") === col("content_digest")
       )
       .select(
         col("shard"),
         col("n_rows"),
         col("got_rows"),
-        col("content_xor"),
-        col("got_xor"),
+        col("content_digest"),
+        col("got_digest"),
         col("ok")
       )
   }
@@ -631,6 +671,7 @@ object Dedup {
       idCol: String,
       scoreCol: String
   ): DataFrame = {
+    Preference.requireNumericId(docs, idCol, "keepBestOfCluster")
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
     val labeled = docs
       .select(col(idCol), col(scoreCol))

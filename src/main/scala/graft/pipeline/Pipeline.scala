@@ -615,6 +615,32 @@ object PipelineRunner {
     }
   }
 
+  /** The release capstones pin `pack_ingest --applied_id 0`, so
+    * re-running one into a root that ALREADY holds a pack state would
+    * rebuild curated/clean but no-op the state fold on the applied-id
+    * marker — the shards then re-export from STALE manifests against
+    * the new clean/ docs with no interlock firing (verify_export only
+    * compares shards to their own freshly written manifest). Refuse
+    * up front: a release root must be fresh; true incremental appends
+    * drive `pack_ingest` stepwise with advancing applied ids.
+    */
+  private def requireFreshReleaseRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      verb: String
+  ): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/pack_state")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      !fs.exists(p),
+      s"$verb refuses to run into $root: it already holds a pack_state, and the " +
+        "capstone's pinned --applied_id 0 would no-op the state fold and re-export " +
+        "shards from stale manifests against the re-derived clean docs. Use an " +
+        "empty --out root, or append incrementally via the stepwise pack_ingest " +
+        "verb with a fresh --applied_id per batch."
+    )
+  }
+
   /** The CLI body against a caller-owned session (main wraps it with
     * session lifecycle; tests drive verbs without losing the shared
     * session to the final stop()).
@@ -1380,6 +1406,7 @@ object PipelineRunner {
         val data = opts.getOrElse("data", sys.error("--data <sf dir with documents.parquet> required"))
         val evalPath = opts.getOrElse("eval", sys.error("--eval <parquet dir> required"))
         val root = opts.getOrElse("out", sys.error("--out <release root> required"))
+        requireFreshReleaseRoot(spark, root, "release")
         val budget = opts.getOrElse("budget", "2048")
         val shards = opts.getOrElse("shards", "8")
         val exportShards = opts.getOrElse("export_shards", "8")
@@ -1494,6 +1521,7 @@ object PipelineRunner {
         }
         val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
         val root = opts.getOrElse("out", sys.error("--out <release root> required"))
+        requireFreshReleaseRoot(spark, root, "sft_release")
         val budget = opts.getOrElse("budget", "2048")
         val shards = opts.getOrElse("shards", "8")
         val exportShards = opts.getOrElse("export_shards", "8")
@@ -2002,7 +2030,7 @@ object PipelineRunner {
           bad.isEmpty,
           s"verify_export: ${bad.length} corrupt shard(s) in $path: " +
             bad.map(r => s"shard=${r.getInt(0)} rows ${r.getLong(2)}/${r.getLong(1)} " +
-              s"xor ${r.getLong(4)}/${r.getLong(3)}").mkString("; ")
+              s"digest ${r.getLong(4)}/${r.getLong(3)}").mkString("; ")
         )
         val n = report.count()
         println(s"[maintenance] verify_export: $n shard(s) in $path verified, all ok")

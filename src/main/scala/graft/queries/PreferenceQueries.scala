@@ -217,19 +217,21 @@ object PreferenceQueries {
     Preference.pairIngest(
       spark, r.filter(col("doc_id") % 2 === 1),
       "prompt_id", "doc_id", "reward", statePath, Some(2L))
-    // O(prompts) rows — materialize and drop the scratch state dir
-    // (the demo query pins state to a driver-local tmp path; the API
-    // takes any Hadoop-FS path).
-    val rows = Preference
+    // Land the pair read-back as parquet NEXT TO the state, drop the
+    // state dir, and return a scan of the landing — a distributed
+    // write + read, never a driver-side collect (the pair table is
+    // O(prompts), but a declared query should not MODEL a driver
+    // materialization even at fixture scale). The tmp landing is
+    // JVM-run-scoped scratch, same lifecycle as the state it replaces.
+    val landing = java.nio.file.Paths.get(statePath).getParent.resolve("pairs").toString
+    Preference
       .pairsFromState(spark, statePath)
-      .collect()
-      .toIndexedSeq
-      .map(x =>
-        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .write
+      .mode("overwrite")
+      .parquet(landing)
     org.apache.commons.io.FileUtils
-      .deleteDirectory(java.nio.file.Paths.get(statePath).getParent.toFile)
-    import spark.implicits._
-    rows.toDF("prompt_id", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin")
+      .deleteDirectory(java.nio.file.Paths.get(statePath).toFile)
+    spark.read.parquet(landing)
   }
 
   /** SFT role masks in the TRAINED tokenizer's token space

@@ -114,6 +114,67 @@ class ExportSpec extends AnyFunSuite {
     assert(afterLoss(5) == ((0L, false)), "lost shard must report zero rows, not ok")
   }
 
+  test("verifyExport: even-multiplicity corruption (xor-blind) is caught by the sum digest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-verify-even").toString
+    val out = s"$root/corpus"
+    // a corpus where one row is duplicated (multiplicity 2) — the
+    // adversarial surface: an xor of row hashes cancels even
+    // multiplicities to zero, so swapping the duplicated pair for a
+    // DIFFERENT duplicated pair preserves count, key range, and xor.
+    val base = (1 to 500).map(i => (i.toLong, s"doc$i"))
+    val dupKey = base.head._1
+    val rows = base ++ Seq((dupKey, "twin"), (dupKey, "twin"))
+    Scale.exportShards(rows.toDF("doc_key", "payload"), "doc_key", 4, out)
+    assert(Scale.verifyExport(spark, out).collect().forall(_.getBoolean(5)))
+    // duplicates of one key land in one shard (hash mode) — find it
+    val dupShard = spark.read.parquet(out)
+      .filter(col("payload") === "twin").select("shard").head().getInt(0)
+    val shardRows = spark.read.parquet(s"$out/shard=$dupShard").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // swap the duplicated pair for a different duplicated pair: same
+    // row count, same key multiset, even multiplicity on both sides
+    val tampered = shardRows.map {
+      case (k, "twin") => (k, "evil")
+      case other       => other
+    }
+    assert(tampered.count(_._2 == "evil") == 2, "fixture needs the pair in-shard")
+    // prove the tamper is in the xor digest's blind spot: the per-shard
+    // xor of row hashes is IDENTICAL before and after the swap
+    def shardXor(rs: Seq[(Long, String)]): Long = rs.toDF("doc_key", "payload")
+      .agg(bit_xor(xxhash64(col("doc_key"), col("payload")))).head().getLong(0)
+    assert(shardXor(shardRows.toSeq) == shardXor(tampered.toSeq),
+      "fixture must sit in the xor blind spot, else the test proves nothing")
+    val tmp = s"$root/tampered"
+    tampered.toSeq.toDF("doc_key", "payload").coalesce(1).write.parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/shard=$dupShard"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(s"$out/shard=$dupShard"))
+    val after = Scale.verifyExport(spark, out).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+    assert(!after(dupShard), "sum digest must catch even-multiplicity corruption")
+    assert((0 to 3).filter(_ != dupShard).forall(after(_)), "other shards unaffected")
+  }
+
+  test("verifyExport: a legacy xor-digest manifest is refused loudly, not silently passed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-verify-legacy").toString
+    val out = s"$root/corpus"
+    Scale.exportShards(freshRows().toDF("doc_key", "payload"), "doc_key", 2, out)
+    // forge what a pre-upgrade export left behind: same manifest with
+    // the digest recorded under the retired xor column name
+    val legacy = spark.read.parquet(s"$out.__manifest")
+      .withColumnRenamed("content_digest", "content_xor")
+    val mTmp = s"$root/legacy_manifest"
+    legacy.coalesce(1).write.parquet(mTmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out.__manifest"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(mTmp), new java.io.File(s"$out.__manifest"))
+    val e = intercept[IllegalArgumentException](Scale.verifyExport(spark, out))
+    assert(e.getMessage.contains("retired xor"), e.getMessage)
+    assert(e.getMessage.contains("re-export"), e.getMessage)
+  }
+
   test("verify_export CLI verb passes on a clean landing and names the corrupt shard") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-verify-cli").toString

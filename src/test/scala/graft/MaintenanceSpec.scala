@@ -1420,4 +1420,34 @@ class MaintenanceSpec extends AnyFunSuite {
       Maintenance.snapshotDiff(oldSnap, newSnap, "doc_id", Nil)
     }.getMessage.contains("content column"))
   }
+
+  test("snapshotDiff fingerprints are NULL-safe: null swaps and null<->empty both register") {
+    import spark.implicits._
+    // The concat_ws fingerprint this replaces SKIPPED nulls: ("x", null)
+    // and (null, "x") hashed identically, and null vs "" was invisible —
+    // a changed doc reporting `unchanged` in a takedown-verification
+    // tool. Three adversarial transitions, all must be `changed`:
+    val oldSnap = Seq(
+      (1L, Some("x"), None: Option[String]),  // -> (null, "x"): column swap across a null
+      (2L, None: Option[String], Some("y")),  // -> ("", "y"): null -> empty string
+      (3L, Some(""), Some("y"))               // -> (null, "y"): empty string -> null
+    ).toDF("doc_id", "a", "b")
+    val newSnap = Seq(
+      (1L, None: Option[String], Some("x")),
+      (2L, Some(""), Some("y")),
+      (3L, None: Option[String], Some("y"))
+    ).toDF("doc_id", "a", "b")
+    val got = Maintenance
+      .snapshotDiff(oldSnap, newSnap, "doc_id", Seq("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "changed"), got.toString)
+    // identical rows WITH nulls still fingerprint as unchanged
+    val same = Maintenance
+      .snapshotDiff(oldSnap, oldSnap, "doc_id", Seq("a", "b"))
+      .collect()
+      .map(_.getString(3))
+    assert(same.forall(_ == "unchanged"))
+  }
 }

@@ -398,5 +398,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(json.contains(s""""clean": ${gotClean.size}"""), json)
     assert(json.contains(s""""n_packs": $nPacks"""), json)
     assert(json.contains(s""""landed_packs": $nPacks"""), json)
+    // Re-running the capstone into the SAME root must refuse up front:
+    // its pinned --applied_id 0 would no-op the pack-state fold and
+    // re-export shards from stale manifests against re-derived clean
+    // docs with no interlock firing.
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "release",
+          "--data", sf,
+          "--eval", evalDir,
+          "--out", s"$root/rel"
+        ),
+        spark
+      )
+    }
+    assert(e.getMessage.contains("pack_state"), e.getMessage)
+    assert(e.getMessage.contains("stale"), e.getMessage)
   }
 }

@@ -665,4 +665,77 @@ class PreferenceSpec extends AnyFunSuite {
     val out = Preference.purgePairs(pairs, Seq("chosen_id", "rejected_id"), empty, "doc_id")
     assert(out.count() == pairs.count())
   }
+
+  // ------------------------------------------------------------------
+  // negative-operand floor semantics + numeric-id entry guards
+  // ------------------------------------------------------------------
+
+  test("micro-unit means FLOOR on negative score sums (engine-portable, == Math.floorDiv)") {
+    // Spark's bare `div` truncates toward zero; DuckDB's `//` floors.
+    // The micro means must floor so both engines agree on NEGATIVE
+    // rewards too — property-checked against Math.floorDiv on sums
+    // drawn from both signs (and exercising sums that don't divide
+    // evenly, where truncate and floor actually differ).
+    val rnd = new scala.util.Random(2024)
+    val rows = (0L until 300L).map(id => (id % 7, id, rnd.nextInt(201) - 100L))
+    val df = rows.toDF("prompt_id", "doc_id", "reward")
+
+    // groupAdvantage
+    val adv = Preference.groupAdvantage(df, "prompt_id", "doc_id", "reward")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      val mean = Math.floorDiv(1000000L * g.map(_._3).sum, g.length.toLong)
+      adv.filter(_._1 == p).foreach { case (_, id, score, a) =>
+        assert(a == 1000000L * score - mean, s"prompt $p doc $id must use FLOOR mean")
+      }
+    }
+
+    // lengthDebias (negative scores, buckets from a length column)
+    val lenRows = (0L until 300L).map(id => (id, rnd.nextInt(201) - 100L, rnd.nextInt(300).toLong))
+    val deb = Preference.lengthDebias(
+      lenRows.toDF("doc_id", "reward", "n_toks"), "doc_id", "reward", "n_toks", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    lenRows.groupBy(_._3 / 50L).foreach { case (b, g) =>
+      val mean = Math.floorDiv(1000000L * g.map(_._2).sum, g.length.toLong)
+      deb.filter(_._2 == b).foreach { case (id, _, score, a) =>
+        assert(a == 1000000L * score - mean, s"bucket $b doc $id must use FLOOR mean")
+      }
+    }
+
+    // raterAgreement
+    val ratings = (0L until 300L).map(id => (id % 11, rnd.nextInt(21) - 10L))
+    val rec = Preference.raterAgreement(
+      ratings.toDF("doc_id", "score"), "doc_id", "score", disputeRange = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ratings.groupBy(_._1).foreach { case (id, g) =>
+      assert(rec(id) == Math.floorDiv(1000000L * g.map(_._2).sum, g.length.toLong),
+        s"response $id mean_micro must floor")
+    }
+  }
+
+  test("string response ids fail LOUDLY at entry instead of silently breaking the tie-break") {
+    val strIds = Seq((1L, "u-a", 5L), (1L, "u-b", 5L)).toDF("prompt_id", "doc_id", "reward")
+    Seq(
+      ("preferencePairs",
+        () => Preference.preferencePairs(strIds, "prompt_id", "doc_id", "reward")),
+      ("dedupResponses",
+        () => Preference.dedupResponses(
+          strIds.withColumn("content", lit("x")), "prompt_id", "doc_id", "reward", "content")),
+      ("pairIngest",
+        () => Preference.pairIngest(
+          spark, strIds, "prompt_id", "doc_id", "reward",
+          java.nio.file.Files.createTempDirectory("graft-strid").resolve("s").toString))
+    ).foreach { case (op, call) =>
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("NUMERIC"), s"$op: ${e.getMessage}")
+      assert(e.getMessage.contains(op), s"$op must be named: ${e.getMessage}")
+    }
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.keepBestOfCluster(
+        strIds.select(col("doc_id"), col("reward").as("q")),
+        spark.emptyDataFrame
+          .withColumn("doc_a", lit("x")).withColumn("doc_b", lit("y")),
+        "doc_id", "q"))
+    assert(e.getMessage.contains("keepBestOfCluster"), e.getMessage)
+  }
 }
