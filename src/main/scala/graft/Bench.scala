@@ -42,11 +42,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       featuresDir.foreach(fdir => graft.queries.TextQueries.pointFeaturesAt(spark, sfDir, fdir))
     }
+    // Optional subset run (SPARK_GRAFT_BENCH_FILTER, comma-separated
+    // query names): the A/B-worktree discipline needs to re-measure a
+    // handful of queries at two commits on the same box without paying
+    // a full-suite run; unknown names fail loudly so a typo can't
+    // silently bench nothing.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(",").map(_.trim).toSet)
+    val suite: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      filter match {
+        case None => SparkEntry.queries
+        case Some(names) =>
+          val unknown = names -- SparkEntry.queries.keySet
+          require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_FILTER names unknown queries: ${unknown.mkString(",")}")
+          SparkEntry.queries.view.filterKeys(names).toMap
+      }
     // Warmup at the smallest SF: the first execution of each plan shape
     // pays JIT + codegen compilation (measured ~4s on the first window
     // query, 0.6s steady-state) — irrelevant on a long-lived cluster,
     // so keep it out of the timed numbers.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    suite.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
     }
@@ -64,7 +78,7 @@ object Bench {
         3
       }
     val perRep: Seq[(String, Seq[Option[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      suite.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           evictMemo()
           val t0 = System.nanoTime()
@@ -87,6 +101,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Plain vs composition split (SparkEntry.compositionQueries): the
+    // composition rows time durable multi-batch state folds / in-query
+    // training by design and track scratch-fs throughput — publishing
+    // the two sums separately keeps the perf gate readable as "plain
+    // operators X s, durable compositions Y s" without re-deriving the
+    // taxonomy from COVERAGE.md.
+    val (compRows, plainRows) = results.partition { case (k, _) =>
+      SparkEntry.compositionQueries.contains(k)
+    }
+    val familiesJson =
+      s"""{"plain":{"n":${plainRows.size},"sec":${r3(plainRows.values.sum)}},""" +
+        s""""composition":{"n":${compRows.size},"sec":${r3(compRows.values.sum)}}}"""
     // Cold/warm split: rep 1 pays OS page-cache and block-manager
     // population on top of the query; later reps are the long-lived-
     // cluster steady state. Both sums are published so either envelope
@@ -123,13 +149,13 @@ object Bench {
       "\"" + k + "\":[" + ts.map(_.map(r3).getOrElse("null")).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"policy":"evict_memo_between_reps","total_cold":${r3(totalCold)},"max_spread":${r3(maxSpread)},"max_spread_warm":${r3(maxSpreadWarm)},"failed":$failedJson,"queries":$qs,"spread":$spreadJson,"per_rep":$repsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"policy":"evict_memo_between_reps","total_cold":${r3(totalCold)},"max_spread":${r3(maxSpread)},"max_spread_warm":${r3(maxSpreadWarm)},"families":$familiesJson,"failed":$failedJson,"queries":$qs,"spread":$spreadJson,"per_rep":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; with 73 queries the
     // single full line is ~2KB and its head gets truncated (BENCH_r01/r02
     // recorded parsed:null). Print the full line first for humans /
     // bench_out.json, then a SHORT summary line LAST so a complete JSON
     // object always survives tail truncation.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"max_spread":${r3(maxSpread)},"max_spread_warm":${r3(maxSpreadWarm)},"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"max_spread":${r3(maxSpread)},"max_spread_warm":${r3(maxSpreadWarm)},"families":$familiesJson,"sf":"$sfDir"}"""
     println(full)
     // sbt prefixes every stdout line with "[info] ", which breaks the
     // driver's JSON parse. Write the full line to a file the driver (or a

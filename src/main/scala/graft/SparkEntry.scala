@@ -182,6 +182,39 @@ object SparkEntry {
     "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
   )
 
+  /** Declared queries whose bench number times a DURABLE-STATE
+    * COMPOSITION or an in-query model training by design — scratch
+    * state dirs, multi-batch ingest folds, or a full BPE training run
+    * inside the query (the oracle replays the whole composition, so
+    * the query must carry it). Their timings track scratch-fs
+    * throughput and composition cost, not single-operator latency;
+    * Bench publishes the plain/composition split so the perf gate can
+    * be read without re-deriving this taxonomy from COVERAGE.md's NB
+    * notes. Mechanical membership rule: the query's implementation
+    * materializes scratch durable state (`createTempDirectory`) or
+    * invokes `Bpe.learn`/`learnMerges` (directly or via its q11x
+    * helper).
+    */
+  val compositionQueries: Set[String] = Set(
+    "q89_incremental_distinct",
+    "q96_ivf_index_probe",
+    "q97_semantic_dedup_ingest",
+    "q105_incremental_spans",
+    "q107_frozen_lm_gate",
+    "q108_curate_steady",
+    "q109_schema_drift",
+    "q112_pack_ingest",
+    "q115_bpe_merges",
+    "q116_bpe_segments",
+    "q117_bpe_packing",
+    "q119_stratified_pack_ingest",
+    "q120_bpe_pack_slices",
+    "q123_fertility_drift",
+    "q127_bpe_packed_ids",
+    "q155_pref_ingest",
+    "q158_sft_bpe_mask"
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
