@@ -179,7 +179,9 @@ object SparkEntry {
     "q159_response_dedup" -> (PreferenceQueries.q159ResponseDedup _),
     "q160_win_matrix" -> (PreferenceQueries.q160WinMatrix _),
     "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
-    "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _)
+    "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _),
+    "q161_win_ingest" -> (PreferenceQueries.q161WinIngest _),
+    "q162_decode_packs" -> (TextQueries.q162DecodePacks _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -212,7 +214,8 @@ object SparkEntry {
     "q123_fertility_drift",
     "q127_bpe_packed_ids",
     "q155_pref_ingest",
-    "q158_sft_bpe_mask"
+    "q158_sft_bpe_mask",
+    "q161_win_ingest"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2623,7 +2626,48 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a.best = c.best THEN 1 ELSE 0 END) AS BIGINT) AS ties,
         |  CAST(count(*) AS BIGINT) AS n_prompts
         |FROM b a JOIN b c ON a.prompt_id = c.prompt_id AND a.policy < c.policy
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q161: incremental win matrix — the parity-split two-batch fold
+    // plus a replayed batch reads back to exactly the one-shot q160
+    // (max is a semilattice; the replay no-ops), so the oracle IS the
+    // q160 replay over the full corpus.
+    "q161_win_ingest" ->
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id,
+        |    concat('p', CAST(doc_id % 3 AS VARCHAR)) AS policy,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |b AS (SELECT prompt_id, policy, max(reward) AS best FROM r GROUP BY 1, 2)
+        |SELECT a.policy AS policy_a, c.policy AS policy_b,
+        |  CAST(sum(CASE WHEN a.best > c.best THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+        |  CAST(sum(CASE WHEN c.best > a.best THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+        |  CAST(sum(CASE WHEN a.best = c.best THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |  CAST(count(*) AS BIGINT) AS n_prompts
+        |FROM b a JOIN b c ON a.prompt_id = c.prompt_id AND a.policy < c.policy
+        |GROUP BY 1, 2""".stripMargin,
+    // q162: pack decode — decode(encode(x)) == x, so the replay never
+    // touches ids: the q111 slice tokens string-aggregated per pack in
+    // position order.
+    "q162_decode_packs" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM tk),
+        |g AS (SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |sel AS (SELECT doc_id, cum - n_toks AS start_tok FROM g WHERE cum - n_toks < 6144),
+        |ux AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': ts[i]})) AS u
+        |  FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ux)
+        |SELECT (start_tok + pos) // 2048 AS pack_id,
+        |  string_agg(tok, ' ' ORDER BY start_tok + pos) AS text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM tok JOIN sel USING (doc_id)
+        |WHERE start_tok + pos < 6144 AND tok <> ''
+        |GROUP BY 1""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see

@@ -370,10 +370,26 @@ object Preference {
       promptCol: String,
       policyCol: String,
       scoreCol: String
+  ): DataFrame =
+    matrixFromBest(
+      responses
+        .groupBy(col(promptCol), col(policyCol))
+        .agg(max(col(scoreCol)).as("best")),
+      promptCol,
+      policyCol
+    )
+
+  /** The pairing half of [[winMatrix]], shared with
+    * [[winMatrixFromState]]: per-(prompt, policy) bests → the
+    * head-to-head matrix. Prompt-keyed self-join (co-partitioned with
+    * the agg that produced `best`), O(policies²) comparison rows per
+    * prompt, policies being checkpoint counts (single digits).
+    */
+  private def matrixFromBest(
+      best: DataFrame,
+      promptCol: String,
+      policyCol: String
   ): DataFrame = {
-    val best = responses
-      .groupBy(col(promptCol), col(policyCol))
-      .agg(max(col(scoreCol)).as("best"))
     val a = best.select(
       col(promptCol),
       col(policyCol).as("policy_a"),
@@ -393,6 +409,64 @@ object Preference {
         sum(when(col("best_a") === col("best_b"), 1L).otherwise(0L)).as("ties"),
         count(lit(1)).as("n_prompts")
       )
+  }
+
+  /** INCREMENTAL win-matrix state: fold one batch of scored responses
+    * into a persistent per-(prompt, policy) best-score table — the
+    * arena-campaign shape, where checkpoint responses arrive over
+    * sampling runs and the head-to-head board must stay current
+    * without re-aggregating the accumulated corpus. Completes the
+    * arena family's batch/incremental triad the way [[pairIngest]]
+    * completed pairs ([[winMatrix]] is the batch form; the streaming
+    * path drives this per micro-batch via `foreachBatch`, exactly as
+    * `pref_stream` drives [[pairIngest]]).
+    *
+    * State is one row per (prompt, policy) ever seen: `(promptCol,
+    * policyCol, best)`. A batch folds in as `max` against the old
+    * best — associative, commutative, AND idempotent, so batch order
+    * doesn't matter and a replayed batch is a no-op by algebra on top
+    * of the `appliedId` exactly-once marker (the shared
+    * [[Maintenance.refreshAggregate]] fold protocol: entry-time crash
+    * recovery, atomic marker+swap).
+    *
+    * Read the current matrix back with [[winMatrixFromState]]; the
+    * result is IDENTICAL to [[winMatrix]] over every response ever
+    * folded (max is a semilattice — any batch split folds to the same
+    * per-cell best), at per-batch cost O(batch) + O(state rows)
+    * (full-state rewrite per fold, the documented
+    * `refreshAggregate` semantics), never O(accumulated responses).
+    */
+  def winIngest(
+      spark: SparkSession,
+      batch: DataFrame,
+      promptCol: String,
+      policyCol: String,
+      scoreCol: String,
+      statePath: String,
+      appliedId: Option[Long] = None
+  ): DataFrame = {
+    val partial = batch
+      .groupBy(col(promptCol), col(policyCol))
+      .agg(max(col(scoreCol)).as("best"))
+    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
+      old
+        .unionByName(p)
+        .groupBy(col(promptCol), col(policyCol))
+        .agg(max(col("best")).as("best"))
+    }
+  }
+
+  /** The current head-to-head matrix from a [[winIngest]] state table —
+    * the same output contract as [[winMatrix]] (each unordered policy
+    * pair once, `policy_a < policy_b`, wins/ties partitioning the
+    * shared prompts; prompts where either policy has no response yet
+    * are excluded by the inner pairing join).
+    */
+  def winMatrixFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val st = spark.read.parquet(statePath)
+    val promptCol = st.columns.filterNot(Set("best")).head
+    val policyCol = st.columns.filterNot(Set(promptCol, "best")).head
+    matrixFromBest(st, promptCol, policyCol)
   }
 
   /** INCREMENTAL preference-pair state: fold one batch of scored

@@ -132,4 +132,39 @@ object Vocab {
         expr("transform(ps, x -> x.pos_in_pack)").as("positions"),
         expr("transform(ps, x -> x.token_id)").as("token_ids")
       )
+
+  /** Inverse of [[packArrays]]: id-arrays back to text through the
+    * frozen vocab — the debugging tool a training-data incident needs
+    * ("what is IN pack 48113?") and the decode path the sft_release
+    * gold-proof exercises, exposed as a first-class operator (and the
+    * `decode_packs` CLI verb) instead of living only inside a spec.
+    * Returns one row per pack: `(pack_id, text, n_tokens)`, tokens
+    * space-joined in position order.
+    *
+    * An id absent from the vocab (an export encoded with `--unk_id`,
+    * or a vocab/export version mismatch) decodes as the literal
+    * `<unk>` rather than silently vanishing — a dropped token would
+    * shift every later position and make the decode lie about
+    * alignment.
+    *
+    * Scale shape: posexplode to O(tokens) rows, one broadcast-eligible
+    * join against the vocab (dictionary ≪ corpus), one keyed re-agg
+    * per pack — decode cost is linear in the decoded slice, and a
+    * caller decoding a single pack prunes to one row before the
+    * explode.
+    */
+  def decodePacks(packs: DataFrame, vocab: DataFrame): DataFrame =
+    packs
+      .select(col("pack_id"), posexplode(col("token_ids")).as(Seq("idx", "token_id")))
+      .join(vocab.select(col("token_id"), col("token")), Seq("token_id"), "left")
+      .groupBy(col("pack_id"))
+      .agg(
+        sort_array(collect_list(struct(col("idx"), coalesce(col("token"), lit("<unk>")).as("token"))))
+          .as("ts")
+      )
+      .select(
+        col("pack_id"),
+        expr("array_join(transform(ts, x -> x.token), ' ')").as("text"),
+        size(col("ts")).cast("long").as("n_tokens")
+      )
 }

@@ -207,19 +207,37 @@ object Pipeline {
       dataDir: String,
       outDir: String,
       shards: Int = 8,
-      minKeepTokens: Int = 1
+      minKeepTokens: Int = 1,
+      gateMilliBits: Long = 4400L,
+      spanClean: Boolean = true
   ): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(shards > 0, "shards must be positive")
     require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
+    require(gateMilliBits >= 0, "gateMilliBits must be nonnegative")
     val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+    // Surprisal gate with a CONFIGURABLE threshold (milli-bits of
+    // average bigram surprisal; integer compare, engine-portable).
+    // The 4400 default is exactly q106's published keep rule
+    // (s*5 <= n*22 ⇔ s*1000 <= n*4400) — a real pipeline tunes this
+    // per corpus, since selectivity is a property of the corpus's
+    // conditional entropy, not of the operator.
     val gate = graft.queries.TextQueries
       .q106LmSurprisal(spark, dataDir)
-      .filter(col("keep_doc"))
+      .filter(col("surprisal_bits") * 1000 <= col("n_bigrams") * gateMilliBits)
       .select("doc_id")
-    val cleaned = graft.queries.TextQueries
-      .q104SpanClean(spark, dataDir)
-      .select(col("doc_id"), col("clean_text"))
+    // Substring (span-level) dedup is OPTIONAL, like every production
+    // curation stack makes it: on a corpus whose text is mostly shared
+    // boilerplate by construction (this repo's synthetic fixtures, or
+    // a crawl of templated pages) the span rule dominates selectivity,
+    // and a pipeline that wants exact-dedup-only semantics must be
+    // able to say so rather than re-implement the chain.
+    val cleaned =
+      if (spanClean)
+        graft.queries.TextQueries
+          .q104SpanClean(spark, dataDir)
+          .select(col("doc_id"), col("clean_text"))
+      else docs.select(col("doc_id"), col("text").as("clean_text"))
     val kept = docs
       .select(col("doc_id"), col("lang"), col("source"))
       .join(gate, Seq("doc_id"), "left_semi")
@@ -615,6 +633,22 @@ object PipelineRunner {
     }
   }
 
+  /** Per-stage observability for the release capstones: wall-clock and
+    * driver-heap-in-use after each composed verb, printed as
+    * `[release] stage <name>: <sec> s (driver heap <MiB> MiB)`. The
+    * numbers a scale soak records stage by stage — and what an
+    * operator tails in production to see WHERE a release run is
+    * spending its time without a Spark UI.
+    */
+  private def timedStage[T](verb: String, stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val out = f
+    val rt = Runtime.getRuntime
+    val usedMiB = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    println(f"[$verb] stage $stage: ${(System.nanoTime() - t0) / 1e9}%.1f s (driver heap $usedMiB MiB)")
+    out
+  }
+
   /** The release capstones pin `pack_ingest --applied_id 0`, so
     * re-running one into a root that ALREADY holds a pack state would
     * rebuild curated/clean but no-op the state fold on the applied-id
@@ -725,7 +759,10 @@ object PipelineRunner {
         val out = opts.getOrElse("out", sys.error("--out <dir> required"))
         val shards = opts.getOrElse("shards", "8").toInt
         val minKeep = opts.getOrElse("min_keep_tokens", "1").toInt
-        val (nIn, nOut) = Pipeline.curateCorpus(spark, data, out, shards, minKeep)
+        val gateMilliBits = opts.getOrElse("gate_millibits", "4400").toLong
+        val spanClean = !opts.get("span_clean").contains("false")
+        val (nIn, nOut) =
+          Pipeline.curateCorpus(spark, data, out, shards, minKeep, gateMilliBits, spanClean)
         println(s"[maintenance] curated $data: $nIn -> $nOut docs in $out")
       case Some("span_dedup_ingest") =>
         // Streaming span-level dedup over arriving document JSON files:
@@ -1412,42 +1449,47 @@ object PipelineRunner {
         val exportShards = opts.getOrElse("export_shards", "8")
         val minKeep = opts.getOrElse("min_keep_tokens", "1")
         val threshold = opts.getOrElse("threshold", "0.5")
+        val gateMilliBits = opts.getOrElse("gate_millibits", "4400")
+        val spanClean = opts.getOrElse("span_clean", "true")
         val unkArgs = opts.get("unk_id").toSeq.flatMap(u => Seq("--unk_id", u))
-        run(
+        timedStage("release", "curate") { run(
           Array("--maintenance", "curate", "--data", data, "--out", s"$root/curated",
-            "--shards", shards, "--min_keep_tokens", minKeep),
+            "--shards", shards, "--min_keep_tokens", minKeep,
+            "--gate_millibits", gateMilliBits, "--span_clean", spanClean),
           spark
-        )
-        run(
+        ) }
+        timedStage("release", "decontaminate") { run(
           Array("--maintenance", "decontaminate", "--train", s"$root/curated", "--eval", evalPath,
             "--out", s"$root/decontam_report", "--purged", s"$root/clean", "--threshold", threshold),
           spark
-        )
-        run(
+        ) }
+        timedStage("release", "pack_ingest") { run(
           Array("--maintenance", "pack_ingest", "--batch", s"$root/clean", "--state", s"$root/pack_state",
             "--out", s"$root/manifests", "--applied_id", "0", "--budget", budget, "--shards", shards),
           spark
-        )
-        run(
+        ) }
+        timedStage("release", "build_vocab") { run(
           Array("--maintenance", "build_vocab", "--docs", s"$root/clean", "--out", s"$root/vocab"),
           spark
-        )
+        ) }
         import org.apache.spark.sql.functions.{col => c, max => mx, count => cnt, lit, sum => sm}
         val man = spark.read.parquet(s"$root/manifests")
         val lastRow = man.agg(mx(c("last_pack"))).head()
         val nPacks = if (lastRow.isNullAt(0)) 0L else lastRow.getLong(0) + 1L
-        run(
+        timedStage("release", "pack_export") { run(
           Array("--maintenance", "pack_export", "--state", s"$root/pack_state",
             "--manifests", s"$root/manifests", "--docs", s"$root/clean", "--vocab", s"$root/vocab",
             "--out", s"$root/shards", "--from", "0", "--to", nPacks.toString,
             "--shards", exportShards) ++ unkArgs,
           spark
-        )
+        ) }
         // post-landing integrity: the release's own shards re-read and
         // digest-compared against the landed manifest before anything
         // downstream trusts them (default on; --verify false skips)
         if (!opts.get("verify").contains("false"))
-          run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
+          timedStage("release", "verify_export") {
+            run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
+          }
         opts.get("epochs").foreach { e =>
           run(
             Array("--maintenance", "pack_epochs", "--manifests", s"$root/manifests",
@@ -1552,38 +1594,42 @@ object PipelineRunner {
               " "
             ).as("text")
           )
-        rendered.write.mode("overwrite").parquet(s"$root/rendered")
-        run(
+        timedStage("sft_release", "render") {
+          rendered.write.mode("overwrite").parquet(s"$root/rendered")
+        }
+        timedStage("sft_release", "pack_ingest") { run(
           Array("--maintenance", "pack_ingest", "--batch", s"$root/rendered",
             "--state", s"$root/pack_state", "--out", s"$root/manifests",
             "--applied_id", "0", "--budget", budget, "--shards", shards),
           spark
-        )
-        run(
+        ) }
+        timedStage("sft_release", "sft_masks") { run(
           Array("--maintenance", "sft_masks", "--turns", turnsPath,
             "--manifests", s"$root/manifests", "--out", s"$root/role_masks",
             "--man_id_col", "doc_id", "--conv_col", convCol, "--turn_col", turnCol,
             "--role_col", roleCol, "--content_col", contentCol,
             "--train_role", trainRole),
           spark
-        )
-        run(
+        ) }
+        timedStage("sft_release", "build_vocab") { run(
           Array("--maintenance", "build_vocab", "--docs", s"$root/rendered",
             "--out", s"$root/vocab"),
           spark
-        )
+        ) }
         val man = spark.read.parquet(s"$root/manifests")
         val lastRow = man.agg(org.apache.spark.sql.functions.max(col("last_pack"))).head()
         val nPacks = if (lastRow.isNullAt(0)) 0L else lastRow.getLong(0) + 1L
-        run(
+        timedStage("sft_release", "pack_export") { run(
           Array("--maintenance", "pack_export", "--state", s"$root/pack_state",
             "--manifests", s"$root/manifests", "--docs", s"$root/rendered",
             "--vocab", s"$root/vocab", "--out", s"$root/shards",
             "--from", "0", "--to", nPacks.toString, "--shards", exportShards) ++ unkArgs,
           spark
-        )
+        ) }
         if (!opts.get("verify").contains("false"))
-          run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
+          timedStage("sft_release", "verify_export") {
+            run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
+          }
         // Ship the role masks WITH the landing (underscore dir —
         // parquet readers of shards/ ignore it).
         val masks = spark.read.parquet(s"$root/role_masks")
@@ -1963,6 +2009,58 @@ object PipelineRunner {
           .awaitTermination()
         val nPairs = graft.operators.Preference.pairsFromState(spark, state).count()
         println(s"[maintenance] pref stream drained: state at $state now holds $nPairs pair(s)")
+      case Some("win_ingest") =>
+        // Incremental arena board (Preference.winIngest): fold one
+        // batch of scored responses into the persistent per-(prompt,
+        // policy) best-score state, then (optionally) land the current
+        // head-to-head matrix. Exactly-once under --applied_id via the
+        // shared fold protocol; a replayed batch is a no-op by both
+        // the marker and the max semilattice.
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <responses parquet> required"))
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        val promptCol = opts.getOrElse("prompt_col", "prompt_id")
+        val policyCol = opts.getOrElse("policy_col", "policy")
+        val scoreCol = opts.getOrElse("score_col", "score")
+        val appliedId = opts.get("applied_id").map(_.toLong)
+        graft.operators.Preference
+          .winIngest(
+            spark,
+            spark.read.parquet(batchPath),
+            promptCol,
+            policyCol,
+            scoreCol,
+            state,
+            appliedId
+          )
+          .count()
+        val matrix = graft.operators.Preference.winMatrixFromState(spark, state)
+        val landed = opts.get("out") match {
+          case Some(o) => Pipeline.writeCounted(matrix, o)
+          case None    => matrix.count()
+        }
+        println(
+          s"[maintenance] win ingest: state at $state; current matrix has $landed policy pair(s)"
+        )
+      case Some("decode_packs") =>
+        // Pack DECODE (Vocab.decodePacks): a landed integer export (or
+        // any packArrays-shaped parquet) back to text through the
+        // frozen vocab — the incident-response debugging verb ("what
+        // is IN pack k?"). --from/--to prune to a pack-id range BEFORE
+        // the decode explode, so inspecting one pack costs one pack.
+        import org.apache.spark.sql.functions.col
+        val packsPath = opts.getOrElse("packs", sys.error("--packs <parquet dir> required"))
+        val vocabPath = opts.getOrElse("vocab", sys.error("--vocab <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val packsAll = spark.read.parquet(packsPath)
+        val packs = (opts.get("from").map(_.toLong), opts.get("to").map(_.toLong)) match {
+          case (Some(f), Some(t)) => packsAll.filter(col("pack_id") >= f && col("pack_id") < t)
+          case (None, None)       => packsAll
+          case _ => sys.error("--from and --to must be passed together")
+        }
+        val decoded = graft.operators.Vocab
+          .decodePacks(packs, spark.read.parquet(vocabPath))
+        val n = Pipeline.writeCounted(decoded, out)
+        println(s"[maintenance] decode_packs: $n pack(s) decoded to $out")
       case Some("sft_masks") =>
         // SFT loss-mask side-file (Preference.roleMaskIntervals, then
         // optionally Packing.projectIntervals through a pack layout):

@@ -320,6 +320,48 @@ object PreferenceQueries {
       "reward"
     )
 
+  /** Incremental win matrix ([[graft.operators.Preference.winIngest]]):
+    * the q160 arena board maintained as a persistent per-(prompt,
+    * policy) best-score state — completing the arena family's
+    * batch/incremental triad the way q155 completed pairs. The
+    * responses arrive in a parity-split two-batch ingest (evens then
+    * odds), batch 2 is REPLAYED (exactly-once: no-op by both the
+    * applied-id marker and the max semilattice), and the state's
+    * matrix read-back must equal the one-shot q160 over the full
+    * corpus — which is exactly the SQL DuckDB replays. Same
+    * scratch-state + parquet-landing materialization discipline as
+    * q155 (distributed write + scan, no driver collect); NB the bench
+    * number times TWO durable state folds plus the replay per rep, by
+    * design.
+    */
+  def q161WinIngest(spark: SparkSession, dir: String): DataFrame = {
+    val r = responses(spark, dir)
+      .withColumn("policy", concat(lit("p"), (col("doc_id") % 3).cast("string")))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-win-ingest")
+      .resolve("state")
+      .toString
+    Preference.winIngest(
+      spark, r.filter(col("doc_id") % 2 === 0),
+      "prompt_id", "policy", "reward", statePath, Some(1L))
+    Preference.winIngest(
+      spark, r.filter(col("doc_id") % 2 === 1),
+      "prompt_id", "policy", "reward", statePath, Some(2L))
+    // replay of an applied batch — exactly-once means this is a no-op
+    Preference.winIngest(
+      spark, r.filter(col("doc_id") % 2 === 1),
+      "prompt_id", "policy", "reward", statePath, Some(2L))
+    val landing = java.nio.file.Paths.get(statePath).getParent.resolve("matrix").toString
+    Preference
+      .winMatrixFromState(spark, statePath)
+      .write
+      .mode("overwrite")
+      .parquet(landing)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(java.nio.file.Paths.get(statePath).toFile)
+    spark.read.parquet(landing)
+  }
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -2194,6 +2194,23 @@ object TextQueries {
         array_join(col("token_ids"), " ").as("token_ids")
       )
 
+  /** Pack DECODE ([[graft.operators.Vocab.decodePacks]]): the q128
+    * id-arrays mapped back to text through the same frozen vocab —
+    * the round-trip that makes an integer export debuggable ("what is
+    * IN pack k?") and the user-facing form of the decode path the
+    * sft_release gold-proof exercises. decode(encode(x)) == x, so
+    * DuckDB replays it WITHOUT touching ids at all: the q111 slice
+    * tokens string-aggregated per pack in position order — the oracle
+    * checks the whole encode→decode chain collapses to identity.
+    */
+  def q162DecodePacks(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.Vocab.build(docs(spark, dir).select(col("text")), "text")
+    graft.operators.Vocab.decodePacks(
+      graft.operators.Vocab.packArrays(q111PackSlices(spark, dir), vocab),
+      vocab
+    )
+  }
+
   /** Decontamination PURGE decision — the set-membership form of the
     * train-vs-eval audit. [[q54Decontaminate]] attributes each train
     * doc to the eval docs it overlaps (pair-level containment — the

@@ -288,6 +288,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head.getString(1) == uniq, "survivor keeps its text")
   }
 
+  test("curateCorpus knobs: span_clean=false keeps span-shared text; gate_millibits tightens the gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-curate-knobs").toString
+    val boiler = (1 to 12).map(i => s"x$i").mkString(" ")
+    val uniq = (1 to 12).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, boiler, "en", "s"),
+      (2L, boiler, "en", "s"),
+      (3L, uniq, "en", "s"),
+      // branching head: c1("a") = 2 but c12 = 1 each, so both docs
+      // carry avg surprisal of exactly 1 bit (1000 milli-bits) — the
+      // corpus's only nonzero-surprisal rows, the threshold's lever.
+      (4L, "a b", "en", "s"),
+      (5L, "a c", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write
+      .parquet(s"$dir/documents.parquet")
+    // span_clean=false: the boilerplate pair is NOT span-cut — exact
+    // dedup keeps the smaller id, so 4 docs survive (boiler min-id,
+    // uniq, and both branching docs; vs the default chain where the
+    // span rule cuts the boiler pair to empty — the fully-cut test).
+    val out = Files.createTempDirectory("graft-curate-nospan").toString + "/curated"
+    val (nIn, nOut) =
+      Pipeline.curateCorpus(spark, dir, out, shards = 2, minKeepTokens = 1,
+        gateMilliBits = 4400L, spanClean = false)
+    assert(nIn == 5L && nOut == 4L, s"exact-dedup-only semantics: $nIn -> $nOut")
+    val rows = spark.read.parquet(out).select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L), "min-id per text, spans kept")
+    val textById = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(textById(1L) == boiler, "text ships uncut")
+    // gate_millibits=999: the two 1000-milli-bit branching docs fall
+    // below the line; the zero-surprisal docs stay.
+    val out0 = Files.createTempDirectory("graft-curate-gate999").toString + "/curated"
+    val (_, nTight) =
+      Pipeline.curateCorpus(spark, dir, out0, shards = 2, minKeepTokens = 1,
+        gateMilliBits = 999L, spanClean = false)
+    assert(nTight == 2L, s"tightened gate must drop exactly the branching docs: $nTight")
+    assert(spark.read.parquet(out0).select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L), "survivors under the tight gate")
+    // default gateMilliBits reproduces the published keep rule exactly
+    // (the composes-as-declared test above locks it against q106).
+    // CLI: both knobs reachable from the runner surface.
+    val outCli = Files.createTempDirectory("graft-curate-knobs-cli").toString + "/curated"
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "curate", "--data", dir, "--out", outCli,
+        "--shards", "2", "--span_clean", "false", "--gate_millibits", "4400"),
+      spark
+    )
+    assert(spark.read.parquet(outCli).count() == 4L, "CLI knobs must match the library call")
+  }
+
   test("curateIngest first batch equals curateCorpus; replay converges; dups drop cross-batch") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

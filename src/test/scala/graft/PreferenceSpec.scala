@@ -667,6 +667,89 @@ class PreferenceSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // winIngest: incremental per-(prompt, policy) best-score state
+  // ------------------------------------------------------------------
+
+  test("winIngest: any batch split and order folds to the one-shot win matrix; replay no-op") {
+    val rnd = new scala.util.Random(404)
+    val rows = (0L until 600L).map { id =>
+      (id % 37, s"p${rnd.nextInt(4)}", rnd.nextInt(500).toLong, id)
+    }
+    val df = rows.toDF("prompt_id", "policy", "score", "rid")
+    def matrixOf(d: org.apache.spark.sql.DataFrame) =
+      Preference
+        .winMatrix(d, "prompt_id", "policy", "score")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val oneShot = matrixOf(df)
+    // three arbitrary batch splits, including out-of-order arrival
+    for ((splitKey, seed) <- Seq(3L -> 11, 5L -> 22, 2L -> 33)) {
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-win-fold-$seed")
+        .resolve("state")
+        .toString
+      val order = new scala.util.Random(seed).shuffle((0L until splitKey).toList)
+      order.zipWithIndex.foreach { case (k, i) =>
+        Preference.winIngest(
+          spark, df.filter(col("rid") % splitKey === k),
+          "prompt_id", "policy", "score", state, Some(i.toLong))
+      }
+      // replay the last applied batch — marker makes it a no-op
+      Preference.winIngest(
+        spark, df.filter(col("rid") % splitKey === order.last),
+        "prompt_id", "policy", "score", state, Some((order.length - 1).toLong))
+      val fromState = Preference
+        .winMatrixFromState(spark, state)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(fromState == oneShot, s"split $splitKey must fold to the one-shot matrix")
+    }
+  }
+
+  test("winIngest: a replayed batch WITHOUT a marker is still a no-op by the max semilattice") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 7L), (2L, "a", 3L), (2L, "b", 3L))
+      .toDF("prompt_id", "policy", "score")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-win-algebra")
+      .resolve("state")
+      .toString
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", state)
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", state)
+    val m = Preference.winMatrixFromState(spark, state).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((1L, 0L, 1L, 2L)),
+      "double-folding max state must not change wins/ties")
+  }
+
+  test("win_ingest CLI verb folds batches and lands the current matrix") {
+    val root = java.nio.file.Files.createTempDirectory("graft-win-cli").toString
+    Seq((1L, "p0", 5L), (1L, "p1", 9L), (2L, "p0", 4L))
+      .toDF("prompt_id", "policy", "score")
+      .write.parquet(s"$root/b0")
+    Seq((2L, "p1", 4L), (3L, "p0", 1L))
+      .toDF("prompt_id", "policy", "score")
+      .write.parquet(s"$root/b1")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "win_ingest", "--batch", s"$root/b0",
+        "--state", s"$root/state", "--applied_id", "0"),
+      spark)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "win_ingest", "--batch", s"$root/b1",
+        "--state", s"$root/state", "--applied_id", "1",
+        "--out", s"$root/matrix"),
+      spark)
+    val got = spark.read.parquet(s"$root/matrix").collect()
+    assert(got.length == 1)
+    val r = got.head
+    // shared prompts 1 (p1 wins 9>5) and 2 (tie 4=4); prompt 3 excluded
+    assert((r.getString(0), r.getString(1)) == (("p0", "p1")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((0L, 1L, 1L, 2L)))
+  }
+
+  // ------------------------------------------------------------------
   // negative-operand floor semantics + numeric-id entry guards
   // ------------------------------------------------------------------
 

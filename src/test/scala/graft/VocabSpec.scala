@@ -186,4 +186,84 @@ class VocabSpec extends AnyFunSuite {
       .map(_.getAs[Long]("token_id"))
     assert(prefix.toSeq == (0L until 500L), "prefix must rank 0..499")
   }
+
+  test("decodePacks inverts packArrays: text round-trips per pack in position order") {
+    val df = (0 until 60)
+      .map(i => (i.toLong, (0 to i % 7).map(j => s"tok${(i * 3 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Vocab.build(df, "text").localCheckpoint()
+    val slices = graft.operators.Packing
+      .manifest(graft.operators.Packing.layout(df, "doc_id", "text", 4), "doc_id", 32L)
+      .filter(col("first_pack") <= 2)
+      .select(col("doc_id"), col("start_tok"))
+      .join(df, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+      .withColumn("gpos", col("start_tok") + col("pos"))
+      .filter(col("gpos") < 96)
+      .select(
+        expr("gpos div 32").as("pack_id"),
+        (col("gpos") % 32).as("pos_in_pack"),
+        col("doc_id"),
+        col("token")
+      )
+    val decoded = Vocab
+      .decodePacks(Vocab.packArrays(slices, vocab), vocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = slices
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (p, g) => (p, g.sortBy(_._2).map(_._3).mkString(" "), g.length.toLong) }
+      .toSeq
+      .sortBy(_._1)
+    assert(decoded.toSeq == want, "decode(encode(x)) must be x, per pack, in order")
+  }
+
+  test("decodePacks: an id missing from the vocab decodes as <unk>, never silently drops") {
+    val vocab = Seq(("alpha", 1L, 0L), ("beta", 1L, 1L)).toDF("token", "cnt", "token_id")
+    val packs = Seq((0L, Seq(0L, 1L, 2L), Seq(0L, 99L, 1L)))
+      .toDF("pack_id", "positions", "token_ids")
+    val out = Vocab.decodePacks(packs, vocab).head()
+    assert(out.getString(1) == "alpha <unk> beta", out.getString(1))
+    assert(out.getLong(2) == 3L, "the unknown id must still count — dropping it would shift alignment")
+  }
+
+  test("decode_packs CLI verb decodes a landed export; --from/--to prunes to the range") {
+    val root = java.nio.file.Files.createTempDirectory("graft-decode-cli").toString
+    val df = (0 until 40)
+      .map(i => (i.toLong, (0 to 3).map(j => s"w${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    df.write.parquet(s"$root/docs")
+    val vocab = Vocab.build(df, "text")
+    vocab.write.parquet(s"$root/vocab")
+    val slices = graft.operators.Packing
+      .manifest(graft.operators.Packing.layout(df, "doc_id", "text", 4), "doc_id", 16L)
+      .select(col("doc_id"), col("start_tok"))
+      .join(df, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+      .withColumn("gpos", col("start_tok") + col("pos"))
+      .select(
+        expr("gpos div 16").as("pack_id"),
+        (col("gpos") % 16).as("pos_in_pack"),
+        col("doc_id"),
+        col("token")
+      )
+    Vocab.packArrays(slices, vocab).write.parquet(s"$root/packs")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "decode_packs",
+        "--packs", s"$root/packs",
+        "--vocab", s"$root/vocab",
+        "--out", s"$root/decoded",
+        "--from", "0", "--to", "1"
+      ),
+      spark
+    )
+    val got = spark.read.parquet(s"$root/decoded").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L, "range prune must keep exactly pack 0")
+    assert(got.head.getLong(2) == 16L, "pack 0 is budget-full: 16 decoded tokens")
+    assert(got.head.getString(1).split(" ").length == 16)
+  }
 }
