@@ -2009,6 +2009,29 @@ object PipelineRunner {
           .awaitTermination()
         val nPairs = graft.operators.Preference.pairsFromState(spark, state).count()
         println(s"[maintenance] pref stream drained: state at $state now holds $nPairs pair(s)")
+      case Some("win_stream") =>
+        // Streaming arena board (StreamingPipeline.winIngest): tail a
+        // directory of scored-response JSON files into the persistent
+        // winIngest state — the win_ingest verb's streaming arm.
+        // AvailableNow trigger: drains what exists, then returns.
+        val raw = opts.getOrElse("raw", sys.error("--raw <response json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val respSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("prompt_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("policy", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types
+              .StructField("score", org.apache.spark.sql.types.LongType)
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .winIngest(spark, raw, state, ckpt, respSchema)
+          .awaitTermination()
+        val nPairs = graft.operators.Preference.winMatrixFromState(spark, state).count()
+        println(s"[maintenance] win stream drained: state at $state now boards $nPairs policy pair(s)")
       case Some("win_ingest") =>
         // Incremental arena board (Preference.winIngest): fold one
         // batch of scored responses into the persistent per-(prompt,

@@ -485,6 +485,39 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming arena-board maintenance: each arriving scored-response
+    * file (`prompt_id`, `policy`, `score` rows — checkpoint sampling
+    * runs landing as they finish) folds its per-(prompt, policy) best
+    * scores into the persistent [[graft.operators.Preference.winIngest]]
+    * state, the streaming batchId as the applied-id — foreachBatch's
+    * at-least-once composes with the fold's marker into exactly-once
+    * (and the max fold is idempotent by algebra besides). The state
+    * answers "current head-to-head win matrix" at any moment
+    * ([[graft.operators.Preference.winMatrixFromState]]) without
+    * re-aggregating the campaign's accumulated responses — completing
+    * the arena family's batch (q160) / incremental (q161) / STREAMING
+    * triad, exactly as [[prefIngest]] completed pairs.
+    */
+  def winIngest(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      respSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(respSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Preference
+          .winIngest(spark, batch, "prompt_id", "policy", "score", statePath, Some(batchId))
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
     * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])
     * and appends detected near-dup pairs to a telemetry sink before the

@@ -591,6 +591,45 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L, 10L)))
   }
 
+  test("win_stream CLI verb drains response files into the arena state; later run can beat earlier") {
+    val root = java.nio.file.Files.createTempDirectory("graft-win-stream-cli").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"prompt_id":1,"policy":"p0","score":5}
+        |{"prompt_id":1,"policy":"p1","score":3}""".stripMargin)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "win_stream",
+        "--raw", s"$root/raw", "--state", s"$root/state",
+        "--checkpoint", s"$root/ckpt"),
+      spark)
+    def board() = Preference.winMatrixFromState(spark, s"$root/state")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(board() == Map(("p0", "p1") -> ((1L, 0L, 0L))), "p0 leads after file 1")
+    // a later sampling run lands: p1's new best beats p0 on prompt 1,
+    // and prompt 2 arrives for both policies as a tie
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f2.json"),
+      """{"prompt_id":1,"policy":"p1","score":8}
+        |{"prompt_id":2,"policy":"p0","score":4}
+        |{"prompt_id":2,"policy":"p1","score":4}""".stripMargin)
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "win_stream",
+        "--raw", s"$root/raw", "--state", s"$root/state",
+        "--checkpoint", s"$root/ckpt"),
+      spark)
+    assert(board() == Map(("p0", "p1") -> ((0L, 1L, 1L))), "p1 flips prompt 1; prompt 2 ties")
+    // a drained re-run (no new files) must change nothing
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "win_stream",
+        "--raw", s"$root/raw", "--state", s"$root/state",
+        "--checkpoint", s"$root/ckpt"),
+      spark)
+    assert(board() == Map(("p0", "p1") -> ((0L, 1L, 1L))), "drained restart adds nothing")
+  }
+
   test("sft_release: the shipped mask selects EXACTLY the assistant tokens, every conversation") {
     val root = java.nio.file.Files.createTempDirectory("graft-sft-release").toString
     val turns = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
