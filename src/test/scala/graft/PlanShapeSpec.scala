@@ -765,4 +765,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") && plan.contains("partial_min"),
       s"batch reduction must partial-aggregate:\n$plan")
   }
+
+  test("q160/q161: the win-matrix pairing join is prompt-keyed — no cartesian, partial agg first") {
+    // winMatrix's scale claim: O(responses) reduces map-side to
+    // O(prompts x policies) before the only corpus-sized shuffle; the
+    // policy-pair comparison is a PROMPT-keyed self-join (policies^2
+    // rows per prompt, single-digit policies), never a cartesian, and
+    // no window anywhere.
+    val df = queries.PreferenceQueries.q160WinMatrix(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_max"), s"best-per-(prompt,policy) must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+  }
+
+  test("q162: pack decode joins the vocab BROADCAST — pack token rows never sort-merge") {
+    // decodePacks' scale claim: the dictionary is tiny next to the
+    // decoded slice, so the id->token join must broadcast the vocab
+    // side; the re-agg back to one row per pack partial-aggregates.
+    val df = queries.TextQueries.q162DecodePacks(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_sort_array") || plan.contains("partial_collect_list") ||
+      plan.contains("ObjectHashAggregate"),
+      s"per-pack re-agg must partial-aggregate:\n$plan")
+  }
 }
