@@ -21,6 +21,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Volume-adaptive shuffle width: AQE can only coalesce DOWN from
+      // the initial partition count, so a fixed 32 starves corpus-sized
+      // shuffles (measured: the release soak's 270M-token pack_export
+      // spilled through ~8.4M-token partitions and went 10.7x for 5x
+      // the data — SCALE.md round-11 table). Start shuffles wide; AQE
+      // coalesces small queries back to a handful of partitions, so
+      // fixture-scale plans keep their task counts while corpus-scale
+      // stages get the width the volume needs. 8x cores locally mirrors
+      // the 2-5x-cores guidance a real cluster runs with.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
