@@ -677,6 +677,16 @@ class PreferenceSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$root/rel/_sft_release.json")), "UTF-8")
     val wantToks = want.values.map(_.length.toLong).sum
     assert(audit.contains(s""""masked_tokens": $wantToks"""), audit)
+    // Re-running the capstone into the SAME root must refuse up front
+    // (pinned --applied_id 0 would no-op the pack-state fold and
+    // re-export stale manifests) — same interlock as `release`.
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(
+        Array("--maintenance", "sft_release",
+          "--turns", s"$root/turns", "--out", s"$root/rel"),
+        spark)
+    }
+    assert(e.getMessage.contains("pack_state") && e.getMessage.contains("stale"), e.getMessage)
   }
 
   test("sft_release refuses turns with empty or edge-whitespace content") {
