@@ -181,7 +181,10 @@ object SparkEntry {
     "q156_kto_labels" -> (PreferenceQueries.q156KtoLabels _),
     "q157_grpo_advantage" -> (PreferenceQueries.q157GroupAdvantage _),
     "q161_win_ingest" -> (PreferenceQueries.q161WinIngest _),
-    "q162_decode_packs" -> (TextQueries.q162DecodePacks _)
+    "q162_decode_packs" -> (TextQueries.q162DecodePacks _),
+    "q163_bt_ratings" -> (PreferenceQueries.q163BtRatings _),
+    "q164_dsir_select" -> (TextQueries.q164DsirSelect _),
+    "q165_budget_exhaustion" -> (TextQueries.q165BudgetExhaustion _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2667,8 +2670,123 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_tokens
         |FROM tok JOIN sel USING (doc_id)
         |WHERE start_tok + pos < 6144 AND tok <> ''
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q163: Bradley-Terry arena ratings — the q160 matrix fit by 10
+    // unrolled MM iterations in exact HUGEINT micro-unit arithmetic
+    // (ties as half-wins; see btOracle's scaladoc for the contract).
+    "q163_bt_ratings" -> btOracle(10),
+    // q164: DSIR importance selection — hashed-bigram bucket
+    // histogram with add-one smoothed target/raw micro-ratios
+    // (doc_id % 10 == 0 is the target seed), per-doc occurrence sums,
+    // deterministic top-500 by length-normalized score.
+    "q164_dsir_select" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(gram), 1, 7)) AS BIGINT) % 1024 AS bucket,
+        |    doc_id % 10 = 0 AS is_t
+        |  FROM g),
+        |wt AS (SELECT bucket,
+        |    ((CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000)
+        |      // (CAST(count(*) AS BIGINT) + 1) AS w_micro
+        |  FROM h GROUP BY 1),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(w_micro) AS BIGINT) AS score_micro
+        |  FROM h JOIN wt USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, score_micro,
+        |  CAST(score_micro // n_bigrams AS BIGINT) AS avg_micro
+        |FROM s ORDER BY avg_micro DESC, doc_id ASC LIMIT 500""".stripMargin,
+    // q165: epochs-to-exhaustion — the q139 Hamilton apportionment at
+    // a 10M-token budget, each source's quota floor-divided by its
+    // available tokens into milli-epochs, over-cap at 4000 (4 epochs).
+    "q165_budget_exhaustion" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS tok_total FROM t GROUP BY source),
+        |m AS (SELECT max(tok_total) AS mx FROM g),
+        |w AS (SELECT source,
+        |    CAST(floor(1000000.0 * (sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)))) AS BIGINT) AS w_micro
+        |  FROM g, m),
+        |s AS (SELECT CAST(sum(w_micro) AS HUGEINT) AS tw FROM w),
+        |b AS (SELECT source, w_micro,
+        |    CAST((CAST(10000000 AS HUGEINT) * w_micro) // tw AS BIGINT) AS base,
+        |    (CAST(10000000 AS HUGEINT) * w_micro) % tw AS rem
+        |  FROM w, s),
+        |r AS (SELECT source, w_micro, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b),
+        |d AS (SELECT CAST(10000000 - sum(base) AS BIGINT) AS leftover FROM b),
+        |q AS (SELECT source, w_micro,
+        |    base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+        |  FROM r, d)
+        |SELECT q.source, q.w_micro, g.tok_total AS avail_toks,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  CAST((1000 * q.quota) // g.tok_total AS BIGINT) AS epochs_milli,
+        |  (1000 * q.quota) // g.tok_total > 4000 AS over_cap
+        |FROM q JOIN g USING (source)""".stripMargin
   )
+
+  /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over
+    * the q160 win matrix (see `operators/Preference.btRatings` for
+    * the arithmetic contract): each iteration is one chained CTE
+    * computing `denom_i = Σ_j (2·n_ij·10¹²) // (π_i + π_j)` and
+    * `π_i' = clamp((w2_i·10¹²) // denom_i, 1, 10¹⁵)` in HUGEINTs —
+    * exact integer floors on positive operands, so the unrolled SQL
+    * reproduces the engine's BigInt fit bit-for-bit at every
+    * iteration, converged or not. Every chained CTE is
+    * `AS MATERIALIZED`: each `f_{k+1}` references `f_k` three times
+    * (the rating row plus both sides of the pairwise denominator),
+    * so DuckDB's default CTE INLINING would re-expand the chain
+    * 3^n times — at n=10 that is ~59k scans of the base table (it
+    * exhausts the fd limit before it exhausts patience); one
+    * materialization per iteration keeps the replay linear.
+    */
+  private def btOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH r AS (SELECT doc_id % 50 AS prompt_id,
+        |    concat('p', CAST(doc_id % 3 AS VARCHAR)) AS policy,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward
+        |  FROM documents),
+        |b AS MATERIALIZED (SELECT prompt_id, policy, max(reward) AS best FROM r GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT a.policy AS pa, c.policy AS pb,
+        |    sum(CASE WHEN a.best > c.best THEN 1 ELSE 0 END) AS wa,
+        |    sum(CASE WHEN c.best > a.best THEN 1 ELSE 0 END) AS wb,
+        |    sum(CASE WHEN a.best = c.best THEN 1 ELSE 0 END) AS tt
+        |  FROM b a JOIN b c ON a.prompt_id = c.prompt_id AND a.policy < c.policy
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT pa AS i, pb AS j, CAST(2 * (wa + wb + tt) AS HUGEINT) AS n2,
+        |    CAST(2 * wa + tt AS HUGEINT) AS w2c FROM m
+        |  UNION ALL
+        |  SELECT pb, pa, CAST(2 * (wa + wb + tt) AS HUGEINT), CAST(2 * wb + tt AS HUGEINT) FROM m),
+        |tot AS MATERIALIZED (SELECT i AS policy, CAST(sum(w2c) AS HUGEINT) AS w2,
+        |    CAST(sum(n2) AS HUGEINT) // 2 AS games FROM e GROUP BY 1),
+        |f0 AS MATERIALIZED (SELECT policy, CAST(1000000 AS HUGEINT) AS pi FROM tot)""".stripMargin)
+    for (i <- 0 until n) {
+      sb.append(s""",
+        |f${i + 1} AS MATERIALIZED (SELECT t.policy,
+        |    CASE WHEN coalesce(d.denom, 0) = 0 THEN p.pi
+        |         ELSE greatest(CAST(1 AS HUGEINT), least(CAST(1000000000000000 AS HUGEINT),
+        |              (t.w2 * CAST(1000000000000 AS HUGEINT)) // d.denom)) END AS pi
+        |  FROM tot t
+        |  JOIN f$i p USING (policy)
+        |  LEFT JOIN (SELECT e.i AS policy,
+        |        CAST(sum((e.n2 * CAST(1000000000000 AS HUGEINT)) // (pi_i.pi + pi_j.pi)) AS HUGEINT) AS denom
+        |      FROM e JOIN f$i pi_i ON pi_i.policy = e.i JOIN f$i pi_j ON pi_j.policy = e.j
+        |      GROUP BY 1) d USING (policy))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT t.policy, CAST(f.pi AS BIGINT) AS rating_micro,
+      |  CAST(t.w2 AS BIGINT) AS w2, CAST(t.games AS BIGINT) AS games
+      |FROM f$n f JOIN tot t USING (policy)""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled DuckDB replay of `n` BPE merge rounds (see
     * `operators/Bpe.scala` for the representation contract). `tail`

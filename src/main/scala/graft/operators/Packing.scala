@@ -1263,6 +1263,73 @@ object Packing {
     based.map { case (g, w, base, _) => (g, w, base + (if (bump(g)) 1L else 0L)) }
   }
 
+  /** Epochs-to-exhaustion audit of a mixture plan — the
+    * data-constrained-scaling check (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": returns decay
+    * rapidly past ~4 epochs of repetition) run BEFORE training
+    * commits to a budget: apportion `totalBudget` tokens across the
+    * mixture groups exactly (the [[apportionBudget]] Hamilton core),
+    * then divide each group's quota by the tokens it actually HAS —
+    * `epochs_milli = floor(1000·quota / avail)` — and flag every
+    * group whose implied repetition exceeds `maxEpochsMilli`. A
+    * flagged row means the mixture, at this budget, will re-read that
+    * group's data more often than the repetition ceiling allows: fix
+    * the weights, the budget, or the corpus before the trainer pays
+    * for degraded epochs.
+    *
+    * All arithmetic is exact (BigInt shares, integer milli-epochs
+    * under floor), so the audit is deterministic across engines.
+    * Same bounded-collect scale shape as [[apportionBudget]]: the
+    * weight table is domain-grained (`maxGroups` interlock), the
+    * corpus-sized token counting happens UPSTREAM in whatever
+    * produced `availCol`.
+    *
+    * Output: `(group, weight, avail_toks, quota, epochs_milli,
+    * over_cap)` with Σ quota == totalBudget exactly.
+    */
+  def budgetExhaustion(
+      weights: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      availCol: String,
+      totalBudget: Long,
+      maxEpochsMilli: Long = 4000L,
+      maxGroups: Int = 10000
+  ): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    require(
+      totalBudget <= 9000000000000000L, // 9e15: 1000·quota must stay a BIGINT
+      s"totalBudget $totalBudget overflows the milli-epoch arithmetic (max 9e15 tokens)"
+    )
+    require(maxEpochsMilli > 0, s"maxEpochsMilli must be positive, got $maxEpochsMilli")
+    val spark = weights.sparkSession
+    val rows = weights
+      .select(
+        col(groupCol).cast("string"),
+        col(weightCol).cast("long"),
+        col(availCol).cast("long")
+      )
+      .take(maxGroups + 1)
+    require(
+      rows.length <= maxGroups,
+      s"budgetExhaustion collected > $maxGroups '$groupCol' groups: the audit is for " +
+        "domain-grained mixture tables (source, language, dataset), not doc-grained ones"
+    )
+    val parsed = rows.toIndexedSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    parsed.foreach { case (g, _, a) =>
+      require(a > 0, s"budgetExhaustion: group '$g' has non-positive available tokens ($a)")
+    }
+    val availBy = parsed.map(p => p._1 -> p._3).toMap
+    val quotas = hamilton(parsed.map(p => (p._1, p._2)), totalBudget)
+    import spark.implicits._
+    quotas
+      .map { case (g, w, q) =>
+        val epochsMilli = (BigInt(1000) * q / availBy(g)).toLong
+        (g, w, availBy(g), q, epochsMilli, epochsMilli > maxEpochsMilli)
+      }
+      .toDF(groupCol, weightCol, "avail_toks", "quota", "epochs_milli", "over_cap")
+  }
+
   /** [[apportionBudget]] per PHASE — the quota table of a multi-phase
     * training curriculum, where each phase runs its own mixture (a
     * warmup phase samples proportionally, an anneal phase flattens

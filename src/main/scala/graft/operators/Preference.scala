@@ -469,6 +469,180 @@ object Preference {
     matrixFromBest(st, promptCol, policyCol)
   }
 
+  /** Bradley-Terry strength ratings from a head-to-head win matrix
+    * ([[winMatrix]] / [[winMatrixFromState]] output): the arena
+    * family's ranking capstone — pairwise wins in, ONE comparable
+    * strength per policy out, the number an arena leaderboard sorts
+    * by. This is the same paired-comparison model behind public
+    * chatbot-arena leaderboards, fit by its closed-form MM iteration
+    * (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    * models") rather than online Elo, so the result is a function of
+    * the MATRIX alone — replay-order-free, exactly like the rest of
+    * the arena triad.
+    *
+    * Ties count as half a win to each side (Davidson-style
+    * accounting, kept integer by working in DOUBLED win units:
+    * `w2_i = Σ_j 2·wins_ij + ties_ij`, never fractional). Per
+    * iteration, the MM update
+    *
+    *   π_i' = W_i / Σ_j n_ij / (π_i + π_j)
+    *
+    * is evaluated EXACTLY in integer micro-units under floor
+    * division: `term_ij = (2·n_ij · 10¹²) / (π_i + π_j)`,
+    * `denom_i = Σ_j term_ij` (integer sum — exact, so row order,
+    * partitioning, and engine cannot change it), then
+    * `π_i' = clamp((w2_i · 10¹²) / denom_i, 1, 10¹⁵)`. The upper
+    * clamp bounds the undefeated-policy divergence (the true MLE is
+    * +∞ for a policy that never loses); the lower clamp keeps a
+    * winless policy's rating positive so later denominators stay
+    * well-defined; a policy whose every term floors to zero
+    * (denom 0 — no usable information this iteration) keeps its
+    * rating. BigInt here, HUGEINT `//` in the DuckDB oracle —
+    * identical floors on positive operands, so the fit is
+    * bit-portable at every iteration, converged or not.
+    *
+    * Scale shape: the matrix is O(policies²) and policies are
+    * CHECKPOINT counts (single digits to low tens), so the fit is a
+    * driver-side loop over a deliberately bounded collect — the
+    * [[Packing.apportionBudget]] / BPE-driver-trainer tier's
+    * contract, with the same loud `maxPairs` interlock against
+    * doc-grained misuse. All corpus-sized work (response scoring,
+    * per-(prompt, policy) bests, the matrix agg) is distributed
+    * UPSTREAM of this call.
+    *
+    * Output: `(policy, rating_micro, w2, games)` — rating in
+    * micro-units (every policy starts at 1 000 000), `w2` the doubled
+    * win count (2·wins + ties over all opponents), `games` the
+    * decided-plus-tied game count.
+    */
+  def btRatings(
+      matrix: DataFrame,
+      iters: Int = 10,
+      maxPairs: Int = 100000
+  ): DataFrame = {
+    require(iters >= 1, s"btRatings needs at least one MM iteration, got $iters")
+    val spark = matrix.sparkSession
+    val rows = matrix
+      .select(
+        col("policy_a").cast("string"),
+        col("policy_b").cast("string"),
+        col("wins_a").cast("long"),
+        col("wins_b").cast("long"),
+        col("ties").cast("long")
+      )
+      .take(maxPairs + 1)
+    require(
+      rows.length <= maxPairs,
+      s"btRatings collected > $maxPairs policy pairs: the fit is for checkpoint-grained " +
+        "win matrices (policies², policies in the tens), not prompt- or doc-grained tables"
+    )
+    val pairs = rows.toIndexedSeq.map { r =>
+      require(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4), "btRatings: null counts in matrix")
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    require(
+      pairs.forall(p => p._3 >= 0 && p._4 >= 0 && p._5 >= 0),
+      "btRatings: negative win/tie counts in matrix"
+    )
+    require(
+      pairs.forall(p => p._1 != p._2),
+      "btRatings: a policy cannot play itself (policy_a == policy_b row in matrix)"
+    )
+    require(
+      pairs
+        .map(p => if (p._1 < p._2) (p._1, p._2) else (p._2, p._1))
+        .distinct
+        .length == pairs.length,
+      "btRatings: duplicate policy pair in matrix (same pair in either orientation) — " +
+        "games between two policies must arrive as ONE row or the fit double-counts them"
+    )
+    // Directed edges: (i, j, n2 = 2·games_ij, w2c = 2·wins_i + ties).
+    val edges = pairs.flatMap { case (a, b, wa, wb, t) =>
+      val n2 = BigInt(2) * (wa + wb + t)
+      Seq((a, b, n2, BigInt(2) * wa + t), (b, a, n2, BigInt(2) * wb + t))
+    }
+    val policies = edges.map(_._1).distinct.sorted
+    val w2 = edges.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val games = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum / 2).toMap
+    val Scale = BigInt("1000000000000") // 10^12
+    val Cap = BigInt("1000000000000000") // 10^15 micro = 10^9 strength
+    var pi: Map[String, BigInt] = policies.map(_ -> BigInt(1000000)).toMap
+    val byI = edges.groupBy(_._1)
+    (1 to iters).foreach { _ =>
+      val next = policies.map { i =>
+        val denom = byI(i).map { case (_, j, n2, _) => (n2 * Scale) / (pi(i) + pi(j)) }.sum
+        val r =
+          if (denom == 0) pi(i)
+          else (w2(i) * Scale / denom).max(BigInt(1)).min(Cap)
+        i -> r
+      }.toMap
+      pi = next
+    }
+    import spark.implicits._
+    policies
+      .map(p => (p, pi(p).toLong, w2(p).toLong, games(p).toLong))
+      .toDF("policy", "rating_micro", "w2", "games")
+  }
+
+  /** Calibration audit of a Bradley-Terry fit: per policy pair, the
+    * win rate the RATINGS predict vs the win rate the matrix actually
+    * OBSERVED — the table that tells you whether the arena board can
+    * be trusted for pairs it has seen (a large `gap_micro` on a
+    * well-played pair means intransitive preferences or a drifting
+    * rater, not a noisy fit). Predicted P(a beats b) under the BT
+    * model is `π_a / (π_a + π_b)`; observed is `wins_a / decided`
+    * (ties excluded — BT's tie-as-half convention lives in the FIT;
+    * calibration compares decided outcomes). Pairs with no decided
+    * game are excluded (no observation to compare).
+    *
+    * Both rates are exact integer micro-units. `π` is capped at 10¹⁵
+    * (the [[btRatings]] clamp), so `π·10⁶` would overflow BIGINT —
+    * the predicted rate is computed by exact long division in two
+    * 10³ steps: with `s = π_a + π_b`,
+    * `pred = (π_a·10³ div s)·10³ + ((π_a·10³ mod s)·10³ div s)`,
+    * which equals `floor(π_a·10⁶ / s)` identically (expand the
+    * division: `π_a·10⁶ = (q·s + r)·10³`). All operands nonnegative,
+    * so `div` IS floor and DuckDB replays with HUGEINTs bit-for-bit.
+    *
+    * Scale shape: the ratings table is O(policies) and joins
+    * BROADCAST twice into the O(policies²) matrix — nothing here
+    * ever sees the corpus.
+    */
+  def btCalibration(matrix: DataFrame, ratings: DataFrame): DataFrame = {
+    val ra = ratings.select(col("policy").as("policy_a"), col("rating_micro").as("pi_a"))
+    val rb = ratings.select(col("policy").as("policy_b"), col("rating_micro").as("pi_b"))
+    matrix
+      .join(broadcast(ra), Seq("policy_a"))
+      .join(broadcast(rb), Seq("policy_b"))
+      .filter(col("wins_a") + col("wins_b") > 0)
+      .select(
+        col("policy_a"),
+        col("policy_b"),
+        col("wins_a"),
+        col("wins_b"),
+        col("ties"),
+        expr(
+          "((pi_a * 1000L) div (pi_a + pi_b)) * 1000L + " +
+            "(((pi_a * 1000L) % (pi_a + pi_b)) * 1000L) div (pi_a + pi_b)"
+        ).as("pred_micro"),
+        expr("(wins_a * 1000000L) div (wins_a + wins_b)").as("obs_micro")
+      )
+      .withColumn("gap_micro", col("pred_micro") - col("obs_micro"))
+  }
+
+  /** [[btRatings]] over a [[winIngest]] state table — the arena
+    * leaderboard read of the incremental arm: identical to fitting
+    * the batch [[winMatrix]] over every response ever folded (the
+    * state IS the per-(prompt, policy) best semilattice, so the
+    * matrix — and therefore the fit — cannot tell the arms apart).
+    */
+  def btRatingsFromState(
+      spark: SparkSession,
+      statePath: String,
+      iters: Int = 10
+  ): DataFrame =
+    btRatings(winMatrixFromState(spark, statePath), iters)
+
   /** INCREMENTAL preference-pair state: fold one batch of scored
     * responses into a persistent per-prompt extremes table — the
     * RLHF-campaign shape, where responses for a prompt arrive over

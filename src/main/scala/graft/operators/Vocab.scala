@@ -167,4 +167,94 @@ object Vocab {
         expr("array_join(transform(ts, x -> x.token), ' ')").as("text"),
         size(col("ts")).cast("long").as("n_tokens")
       )
+
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing audit: for each
+    * coverage target (in milli, e.g. 950 = 95%), the smallest number
+    * of token TYPES (taken in descending frequency, ties to the
+    * lexicographically smaller token) whose occurrences cover that
+    * fraction of the token stream. "How big must the vocab be before
+    * `<unk>` is rare" is the question every dictionary/BPE sizing
+    * decision starts from, and the Zipf tail makes the answer
+    * non-obvious per corpus.
+    *
+    * Output: `(coverage_milli, n_types, total_types, total_tokens)` —
+    * one row per target. All arithmetic integer and exact: the
+    * coverage test is `cum·1000 ≥ target·total` (no division at all).
+    *
+    * Scale shape: the corpus-sized stage is the token histogram (one
+    * explode + one map-side-combined agg, O(types) out). The ranking
+    * is the [[withIds]] two-pass discipline generalized to carry a
+    * RUNNING SUM: range-partition by (cnt desc, token), pin the
+    * shuffle (`localCheckpoint` — range bounds are sampled per
+    * execution, so unpinned passes could disagree), take per-partition
+    * windows (each a range slice, never the whole table in one task),
+    * then one bounded O(nParts) collect for the cross-partition rank
+    * and cumulative offsets. The target probe is a 4-row broadcast
+    * against the ranked types.
+    */
+  def coverageCurve(
+      docs: DataFrame,
+      textCol: String,
+      targetsMilli: Seq[Long] = Seq(500L, 900L, 950L, 990L),
+      nParts: Int = 32
+  ): DataFrame = {
+    require(targetsMilli.nonEmpty, "coverageCurve needs at least one target")
+    require(
+      targetsMilli.forall(t => t >= 1 && t <= 1000),
+      s"coverage targets are milli-fractions in [1, 1000], got $targetsMilli"
+    )
+    val spark = docs.sparkSession
+    val hist = docs
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val parted = hist
+      .repartitionByRange(nParts, col("cnt").desc, col("token").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOrd = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = parted
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("cum_in", sum(col("cnt")).over(wSum))
+    // Bounded collect: one (row count, token sum) per range partition.
+    val perPid = parted
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(perPid.nonEmpty, "coverageCurve: empty corpus (no tokens)")
+    val rankOff = perPid.scanLeft(0L)(_ + _._2).init
+    val cumOff = perPid.scanLeft(0L)(_ + _._3).init
+    val totalTypes = perPid.map(_._2).sum
+    val totalTokens = perPid.map(_._3).sum
+    import spark.implicits._
+    val offDf = broadcast(
+      perPid.toIndexedSeq
+        .zip(rankOff)
+        .zip(cumOff)
+        .map { case (((p, _, _), ro), co) => (p, ro, co) }
+        .toDF("pid", "rank_off", "cum_off")
+    )
+    val targets = broadcast(targetsMilli.toDF("coverage_milli"))
+    ranked
+      .join(offDf, Seq("pid"))
+      .select(
+        (col("rank_off") + col("r")).as("rnk"),
+        (col("cum_off") + col("cum_in")).as("cum")
+      )
+      .join(targets, col("cum") * 1000L >= col("coverage_milli") * totalTokens)
+      .groupBy(col("coverage_milli"))
+      .agg(min(col("rnk")).as("n_types"))
+      .select(
+        col("coverage_milli"),
+        col("n_types"),
+        lit(totalTypes).as("total_types"),
+        lit(totalTokens).as("total_tokens")
+      )
+  }
 }

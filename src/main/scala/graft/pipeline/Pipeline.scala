@@ -513,6 +513,22 @@ object Pipeline {
   * `--maintenance pref_stream --raw R --state S --checkpoint C`
   * (the pair build's streaming arm: tail scored-response JSON files
   * into the persistent pairIngest state, exactly-once per file), and
+  * `--maintenance win_ingest --batch B --state S [--out O]
+  * [--prompt_col P] [--policy_col C] [--score_col X] [--applied_id N]`
+  * (incremental arena board: fold a batch of scored responses into
+  * the per-(prompt, policy) best state, optionally landing the
+  * current head-to-head matrix), and
+  * `--maintenance win_stream --raw R --state S --checkpoint C`
+  * (the arena board's streaming arm: tail scored-response JSON files
+  * into the winIngest state, exactly-once per file), and
+  * `--maintenance bt_ratings (--state S | --matrix M) [--iters N]
+  * [--out O]` (the arena LEADERBOARD: Bradley-Terry strengths fit
+  * from the incremental state or a landed matrix — exact integer MM
+  * iterations, ties as half-wins, rating-sorted), and
+  * `--maintenance decode_packs --packs P --vocab V --out O
+  * [--from K --to L]` (ids → text through the frozen vocab: the
+  * "what is IN pack k?" debugging verb; the range prunes before the
+  * decode explode), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -2063,6 +2079,30 @@ object PipelineRunner {
         }
         println(
           s"[maintenance] win ingest: state at $state; current matrix has $landed policy pair(s)"
+        )
+      case Some("bt_ratings") =>
+        // Arena LEADERBOARD (Preference.btRatings): Bradley-Terry
+        // strengths fit from either a win_ingest state (--state, the
+        // incremental arm's read) or a landed matrix parquet
+        // (--matrix, winMatrix's output shape). Exact integer MM
+        // iterations — same board from either arm, by the semilattice.
+        val iters = opts.getOrElse("iters", "10").toInt
+        val matrix = (opts.get("state"), opts.get("matrix")) match {
+          case (Some(s), None) =>
+            graft.operators.Preference.winMatrixFromState(spark, s)
+          case (None, Some(m)) => spark.read.parquet(m)
+          case _ => sys.error("exactly one of --state <dir> or --matrix <parquet> required")
+        }
+        val ratings = graft.operators.Preference
+          .btRatings(matrix, iters)
+          .orderBy(org.apache.spark.sql.functions.col("rating_micro").desc)
+        val landed = opts.get("out") match {
+          case Some(o) => Pipeline.writeCounted(ratings, o)
+          case None    => ratings.count()
+        }
+        println(
+          s"[maintenance] bt_ratings: $iters MM iteration(s) over the matrix; " +
+            s"$landed polic(ies) on the board"
         )
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or

@@ -362,6 +362,19 @@ object PreferenceQueries {
     spark.read.parquet(landing)
   }
 
+  /** Bradley-Terry arena ratings
+    * ([[graft.operators.Preference.btRatings]]): the q160 win matrix
+    * fit to one strength per policy — 10 MM iterations of the
+    * paired-comparison model behind public arena leaderboards, ties
+    * as half-wins, every step exact integer micro-unit arithmetic
+    * under floor division so DuckDB replays the fit bit-for-bit by
+    * unrolling the same 10 updates over HUGEINTs. The corpus-sized
+    * work (scoring + the matrix agg) is distributed; the fit itself
+    * is the documented bounded O(policies²) driver loop.
+    */
+  def q163BtRatings(spark: SparkSession, dir: String): DataFrame =
+    Preference.btRatings(q160WinMatrix(spark, dir), iters = 10)
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -2637,4 +2637,50 @@ object TextQueries {
       "doc_id",
       "n_toks"
     )
+
+  /** Epochs-to-exhaustion budget audit
+    * ([[graft.operators.Packing.budgetExhaustion]]): the q137
+    * temperature mixture pointed at a 10M-token training budget —
+    * per source, the exact Hamilton quota, the milli-epochs of
+    * repetition that quota implies over the tokens the source
+    * actually has, and the over-cap flag at 4 epochs (the
+    * data-constrained-scaling ceiling). The pre-flight check that a
+    * mixture plan survives its budget without degraded repetition.
+    * Same bounded-collect arithmetic as q139; DuckDB replays the
+    * Hamilton window plus one floor division.
+    */
+  def q165BudgetExhaustion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.budgetExhaustion(
+      q137TemperatureMix(spark, dir).select(col("source"), col("w_micro"), col("tok_total")),
+      "source",
+      "w_micro",
+      "tok_total",
+      totalBudget = 10000000L
+    )
+
+  /** DSIR-style importance selection
+    * ([[graft.operators.Importance]]): docs with `doc_id % 10 == 0`
+    * stand in for the curated TARGET seed set; every document's
+    * bigrams hash into 1024 buckets, each bucket gets the add-one
+    * smoothed target/raw count ratio in exact integer micro-units
+    * (the engine's libm-free surrogate for the paper's log ratio),
+    * each document scores as the sum over its bigram occurrences,
+    * and the top 500 by length-normalized score (ties to the
+    * smaller id) are kept — the data-selection pass that upsamples
+    * target-like raw data. Two bigram explodes (histogram + score),
+    * a BROADCAST O(buckets) join, one per-doc agg, and a
+    * TakeOrderedAndProject top-k; text never shuffles. DuckDB
+    * replays the hash, the smoothed ratio, and the top-k verbatim.
+    */
+  def q164DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val raw = docs(spark, dir)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 10 === 0).as("is_target"))
+    val weights =
+      graft.operators.Importance.ngramImportanceWeights(raw, "text", "is_target", buckets = 1024)
+    graft.operators.Importance.selectByImportance(
+      graft.operators.Importance.importanceScores(raw, "doc_id", "text", weights, buckets = 1024),
+      "doc_id",
+      k = 500
+    )
+  }
 }

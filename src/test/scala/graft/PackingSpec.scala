@@ -1501,6 +1501,45 @@ class PackingSpec extends AnyFunSuite {
     }.getMessage.contains("domain-grained"))
   }
 
+  test("budgetExhaustion: quotas exact, milli-epochs floor, over-cap flags the starved group") {
+    // Budget 1000 over weights 3:1 -> quotas 750/250; avail 1000 vs 50
+    // -> 0.75 epochs vs 5 epochs: only the starved group trips the cap.
+    val w = Seq(("big", 3L, 1000L), ("small", 1L, 50L)).toDF("g", "wt", "avail")
+    val out = graft.operators.Packing
+      .budgetExhaustion(w, "g", "wt", "avail", totalBudget = 1000L, maxEpochsMilli = 4000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out("big") == ((1000L, 750L, 750L, false)))
+    assert(out("small") == ((50L, 250L, 5000L, true)))
+    // quotas always sum to the budget exactly
+    assert(out.values.map(_._2).sum == 1000L)
+  }
+
+  test("budgetExhaustion: the boundary is strict (exactly maxEpochsMilli does NOT flag)") {
+    // quota 400 over avail 100 = exactly 4000 milli-epochs.
+    val w = Seq(("a", 1L, 100L)).toDF("g", "wt", "avail")
+    val out = graft.operators.Packing
+      .budgetExhaustion(w, "g", "wt", "avail", totalBudget = 400L)
+      .head()
+    assert(out.getLong(4) == 4000L && !out.getBoolean(5))
+  }
+
+  test("budgetExhaustion interlocks: non-positive avail, cardinality, budget overflow") {
+    val bad = Seq(("a", 1L, 0L)).toDF("g", "wt", "avail")
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Packing.budgetExhaustion(bad, "g", "wt", "avail", 10L)
+    }.getMessage.contains("non-positive"))
+    val wide = (0 until 50).map(i => (s"g$i", 1L, 10L)).toDF("g", "wt", "avail")
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Packing.budgetExhaustion(wide, "g", "wt", "avail", 10L, maxGroups = 10)
+    }.getMessage.contains("domain-grained"))
+    val ok = Seq(("a", 1L, 10L)).toDF("g", "wt", "avail")
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Packing.budgetExhaustion(ok, "g", "wt", "avail", Long.MaxValue / 10)
+    }.getMessage.contains("overflow"))
+  }
+
   test("packEfficiency: groupCols=Nil gives the single global row over a layout") {
     val lay = Packing.layout(corpus(0 until 30), "doc_id", "text", nShards = 4)
     val rows = Packing.packEfficiency(lay, 16L, Nil).collect()

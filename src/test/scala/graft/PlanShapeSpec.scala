@@ -791,4 +791,20 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ObjectHashAggregate"),
       s"per-pack re-agg must partial-aggregate:\n$plan")
   }
+
+  test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
+    // DSIR's scale claims: the scoring pass joins the bucket table
+    // BROADCAST (it is O(buckets) by construction — the corpus side
+    // must never reshuffle for it), the bucket histogram and the
+    // per-doc roll-up both partial-aggregate, and the final top-500
+    // plans as TakeOrderedAndProject — per-partition heads, never a
+    // global sort. No cartesian, no window anywhere.
+    val df = queries.TextQueries.q164DsirSelect(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("partial_count"), s"aggs must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+  }
 }

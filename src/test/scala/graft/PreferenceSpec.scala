@@ -870,4 +870,126 @@ class PreferenceSpec extends AnyFunSuite {
         "doc_id", "q"))
     assert(e.getMessage.contains("keepBestOfCluster"), e.getMessage)
   }
+
+  // ------------------------------------------------------------------
+  // btRatings — the arena ranking capstone
+  // ------------------------------------------------------------------
+
+  private def matrixDf(rows: (String, String, Long, Long, Long)*): DataFrame =
+    rows.toSeq
+      .map { case (a, b, wa, wb, t) => (a, b, wa, wb, t, wa + wb + t) }
+      .toDF("policy_a", "policy_b", "wins_a", "wins_b", "ties", "n_prompts")
+
+  test("btRatings: an all-ties matrix is an EXACT fixed point at 1e6 micro") {
+    // w2_i = Σ ties; denom_i = Σ (2n·1e12)//(2e6) = Σ n·1e6 = games·1e6;
+    // π' = (games·1e12)//(games·1e6) = 1e6 — exactly, every iteration.
+    val out = Preference
+      .btRatings(matrixDf(("a", "b", 0L, 0L, 7L), ("a", "c", 0L, 0L, 3L), ("b", "c", 0L, 0L, 5L)),
+        iters = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((1000000L, 10L, 10L)))
+    assert(out("b") == ((1000000L, 12L, 12L)))
+    assert(out("c") == ((1000000L, 8L, 8L)))
+  }
+
+  test("btRatings: a strict dominance chain orders ratings, winless floors at 1") {
+    // a beats b 10-0, b beats c 10-0, a beats c 10-0: rating a > b > c;
+    // c never wins or ties, so its w2 is 0 and its rating floors to 1.
+    val out = Preference
+      .btRatings(matrixDf(("a", "b", 10L, 0L, 0L), ("b", "c", 10L, 0L, 0L), ("a", "c", 10L, 0L, 0L)),
+        iters = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a")._1 > out("b")._1 && out("b")._1 > out("c")._1, out.toString)
+    assert(out("c")._1 == 1L)
+    assert(out("a")._2 == 40L && out("a")._3 == 20L) // 2·20 wins, 20 games
+    assert(out("b")._2 == 20L && out("b")._3 == 20L)
+  }
+
+  test("btRatings: a zero-game matrix row keeps both policies at the 1e6 prior") {
+    val out = Preference
+      .btRatings(matrixDf(("a", "b", 0L, 0L, 0L)), iters = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("btRatings: iteration count is load-bearing (the oracle must unroll the same n)") {
+    val m = matrixDf(("a", "b", 7L, 2L, 1L), ("b", "c", 5L, 5L, 0L), ("a", "c", 3L, 6L, 1L))
+    val one = Preference.btRatings(m, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ten = Preference.btRatings(m, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one != ten, "1 and 10 MM iterations should differ on an asymmetric matrix")
+  }
+
+  test("btRatings over the winIngest state == btRatings over the one-shot batch matrix") {
+    val rnd = new scala.util.Random(90210)
+    val rows = (0L until 600L).map { id =>
+      (id % 40, s"p${id % 4}", rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("prompt_id", "policy", "reward")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-bt-state").resolve("s").toString
+    Preference.winIngest(spark, df.filter($"prompt_id" % 2 === 0),
+      "prompt_id", "policy", "reward", statePath, Some(1L))
+    Preference.winIngest(spark, df.filter($"prompt_id" % 2 === 1),
+      "prompt_id", "policy", "reward", statePath, Some(2L))
+    val fromState = Preference.btRatingsFromState(spark, statePath, iters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = Preference.btRatings(
+      Preference.winMatrix(df, "prompt_id", "policy", "reward"), iters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromState == oneShot)
+  }
+
+  test("btRatings: rating is a function of the matrix, not of row order or pair orientation") {
+    // Flipping a pair's orientation (a,b,wa,wb) -> (b,a,wb,wa) and
+    // permuting rows must not change any rating.
+    val m1 = matrixDf(("a", "b", 7L, 2L, 1L), ("b", "c", 5L, 4L, 1L), ("a", "c", 3L, 6L, 1L))
+    val m2 = matrixDf(("a", "c", 3L, 6L, 1L), ("b", "a", 2L, 7L, 1L), ("c", "b", 4L, 5L, 1L))
+    val r1 = Preference.btRatings(m1, iters = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val r2 = Preference.btRatings(m2, iters = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r1 == r2)
+  }
+
+  test("bt_ratings CLI verb: --state and --matrix arms land the same board as the library") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bt-cli").toString
+    val df = (0L until 300L)
+      .map(id => (id % 30, s"p${id % 3}", (id * 7919 % 100)))
+      .toDF("prompt_id", "policy", "score")
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", s"$root/state", Some(1L))
+    Preference.winMatrixFromState(spark, s"$root/state")
+      .write.parquet(s"$root/matrix")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "bt_ratings", "--state", s"$root/state",
+      "--iters", "7", "--out", s"$root/board_state"), spark)
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "bt_ratings", "--matrix", s"$root/matrix",
+      "--iters", "7", "--out", s"$root/board_matrix"), spark)
+    val lib = Preference
+      .btRatings(spark.read.parquet(s"$root/matrix"), iters = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Seq("board_state", "board_matrix").foreach { arm =>
+      val got = spark.read.parquet(s"$root/$arm")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == lib, s"$arm diverges from the library fit")
+    }
+  }
+
+  test("btRatings: the maxPairs interlock fails loudly on a doc-grained matrix") {
+    val big = (0L until 50L)
+      .map(i => (s"a$i", s"b$i", 1L, 0L, 0L, 1L))
+      .toDF("policy_a", "policy_b", "wins_a", "wins_b", "ties", "n_prompts")
+    val e = intercept[IllegalArgumentException](
+      Preference.btRatings(big, iters = 3, maxPairs = 10))
+    assert(e.getMessage.contains("btRatings"), e.getMessage)
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
 }
