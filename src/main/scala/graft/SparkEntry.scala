@@ -184,7 +184,9 @@ object SparkEntry {
     "q162_decode_packs" -> (TextQueries.q162DecodePacks _),
     "q163_bt_ratings" -> (PreferenceQueries.q163BtRatings _),
     "q164_dsir_select" -> (TextQueries.q164DsirSelect _),
-    "q165_budget_exhaustion" -> (TextQueries.q165BudgetExhaustion _)
+    "q165_budget_exhaustion" -> (TextQueries.q165BudgetExhaustion _),
+    "q166_bt_calibration" -> (PreferenceQueries.q166BtCalibration _),
+    "q167_vocab_coverage" -> (TextQueries.q167VocabCoverage _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2728,7 +2730,28 @@ object SparkEntry {
         |  CAST(q.quota AS BIGINT) AS quota,
         |  CAST((1000 * q.quota) // g.tok_total AS BIGINT) AS epochs_milli,
         |  (1000 * q.quota) // g.tok_total > 4000 AS over_cap
-        |FROM q JOIN g USING (source)""".stripMargin
+        |FROM q JOIN g USING (source)""".stripMargin,
+    // q166: BT calibration — predicted-vs-observed win rate per pair
+    // from the same unrolled 10-iteration fit (see btOracle).
+    "q166_bt_calibration" -> btOracle(10, tail = "calibration"),
+    // q167: vocabulary coverage curve — min number of token types
+    // (most-frequent-first, lexicographic ties) covering each target
+    // share of the token stream; the test is multiplication-only.
+    "q167_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |h AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok WHERE token <> '' GROUP BY 1),
+        |r AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS ntypes FROM h),
+        |g AS (SELECT CAST(unnest([500, 900, 950, 990]) AS BIGINT) AS coverage_milli)
+        |SELECT g.coverage_milli, CAST(min(r.rnk) AS BIGINT) AS n_types,
+        |  t.ntypes AS total_types, t.tot AS total_tokens
+        |FROM g, t, r
+        |WHERE r.cum * 1000 >= g.coverage_milli * t.tot
+        |GROUP BY 1, 3, 4""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over
@@ -2746,7 +2769,7 @@ object SparkEntry {
     * exhausts the fd limit before it exhausts patience); one
     * materialization per iteration keeps the replay linear.
     */
-  private def btOracle(n: Int): String = {
+  private def btOracle(n: Int, tail: String = "ratings"): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH r AS (SELECT doc_id % 50 AS prompt_id,
@@ -2781,10 +2804,25 @@ object SparkEntry {
         |      FROM e JOIN f$i pi_i ON pi_i.policy = e.i JOIN f$i pi_j ON pi_j.policy = e.j
         |      GROUP BY 1) d USING (policy))""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT t.policy, CAST(f.pi AS BIGINT) AS rating_micro,
-      |  CAST(t.w2 AS BIGINT) AS w2, CAST(t.games AS BIGINT) AS games
-      |FROM f$n f JOIN tot t USING (policy)""".stripMargin)
+    if (tail == "ratings") {
+      sb.append(s"""
+        |SELECT t.policy, CAST(f.pi AS BIGINT) AS rating_micro,
+        |  CAST(t.w2 AS BIGINT) AS w2, CAST(t.games AS BIGINT) AS games
+        |FROM f$n f JOIN tot t USING (policy)""".stripMargin)
+    } else {
+      // calibration: predicted P(a beats b) from the fitted ratings vs
+      // the observed decided-game win rate, per pair with >= 1 decided.
+      sb.append(s"""
+        |SELECT m.pa AS policy_a, m.pb AS policy_b,
+        |  CAST(m.wa AS BIGINT) AS wins_a, CAST(m.wb AS BIGINT) AS wins_b,
+        |  CAST(m.tt AS BIGINT) AS ties,
+        |  CAST((fa.pi * 1000000) // (fa.pi + fb.pi) AS BIGINT) AS pred_micro,
+        |  CAST((CAST(m.wa AS HUGEINT) * 1000000) // (m.wa + m.wb) AS BIGINT) AS obs_micro,
+        |  CAST((fa.pi * 1000000) // (fa.pi + fb.pi) AS BIGINT)
+        |    - CAST((CAST(m.wa AS HUGEINT) * 1000000) // (m.wa + m.wb) AS BIGINT) AS gap_micro
+        |FROM m JOIN f$n fa ON fa.policy = m.pa JOIN f$n fb ON fb.policy = m.pb
+        |WHERE m.wa + m.wb > 0""".stripMargin)
+    }
     sb.toString
   }
 

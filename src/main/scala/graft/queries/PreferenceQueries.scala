@@ -375,6 +375,18 @@ object PreferenceQueries {
   def q163BtRatings(spark: SparkSession, dir: String): DataFrame =
     Preference.btRatings(q160WinMatrix(spark, dir), iters = 10)
 
+  /** Bradley-Terry calibration audit
+    * ([[graft.operators.Preference.btCalibration]]): per policy
+    * pair, the win rate the q163 ratings PREDICT (π_a/(π_a+π_b),
+    * exact micro-units via the two-step long division) against the
+    * rate the q160 matrix OBSERVED among decided games — the
+    * trust-check on the arena board. Two broadcast joins of the
+    * O(policies) ratings into the O(policies²) matrix; DuckDB
+    * replays the fit and the division chain in HUGEINTs.
+    */
+  def q166BtCalibration(spark: SparkSession, dir: String): DataFrame =
+    Preference.btCalibration(q160WinMatrix(spark, dir), q163BtRatings(spark, dir))
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

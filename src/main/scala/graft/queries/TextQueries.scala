@@ -2658,6 +2658,20 @@ object TextQueries {
       totalBudget = 10000000L
     )
 
+  /** Vocabulary coverage curve
+    * ([[graft.operators.Vocab.coverageCurve]]): for each coverage
+    * target (50%/90%/95%/99%), the smallest number of token types —
+    * taken most-frequent-first, ties lexicographic — whose
+    * occurrences cover that share of the corpus token stream: the
+    * Zipf audit every dictionary/BPE sizing decision starts from.
+    * One histogram agg, the pinned two-pass range-partitioned
+    * rank+prefix-sum (never a corpus-wide single-task window), a
+    * 4-row broadcast probe; the coverage test is multiplication
+    * only. DuckDB replays with one ordered window.
+    */
+  def q167VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.coverageCurve(docs(spark, dir).select(col("text")), "text")
+
   /** DSIR-style importance selection
     * ([[graft.operators.Importance]]): docs with `doc_id % 10 == 0`
     * stand in for the curated TARGET seed set; every document's

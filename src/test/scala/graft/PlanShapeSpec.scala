@@ -792,6 +792,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-pack re-agg must partial-aggregate:\n$plan")
   }
 
+  test("q167: the coverage rank/prefix windows partition by range slice — never the whole table") {
+    // coverageCurve's scale claim: the rank + running sum ride the
+    // pinned two-pass range exchange (windows PARTITIONED BY pid, a
+    // range slice), never an unpartitioned corpus-sized single-task
+    // window; the 4-row target probe may nested-loop (it is a 4-row
+    // broadcast by construction) but nothing may cartesian corpus
+    // sides together.
+    val df = queries.TextQueries.q167VocabCoverage(spark, sf)
+    val gw = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(gw.isEmpty, "unpartitioned window in the coverage rank")
+    assert(!planOf(df).contains("SortMergeJoin"), "broadcast-sized probes must not SMJ")
+  }
+
   test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
     // DSIR's scale claims: the scoring pass joins the bucket table
     // BROADCAST (it is O(buckets) by construction — the corpus side

@@ -983,6 +983,55 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("btCalibration: exact predicted/observed micro rates; undecided pairs excluded") {
+    val ratings = Seq(
+      ("a", 2000000L, 0L, 0L),
+      ("b", 1000000L, 0L, 0L),
+      ("c", 1000000L, 0L, 0L)
+    ).toDF("policy", "rating_micro", "w2", "games")
+    val matrix = matrixDf(
+      ("a", "b", 5L, 4L, 1L), // decided: pred 2/3, obs 5/9
+      ("a", "c", 0L, 0L, 7L) // all ties: no decided game -> excluded
+    )
+    val out = Preference
+      .btCalibration(matrix, ratings)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(out.keySet == Set(("a", "b")), s"undecided pair must be excluded: $out")
+    val (pred, obs, gap) = out(("a", "b"))
+    assert(pred == 666666L) // floor(2e6·1e6 / 3e6)
+    assert(obs == 555555L) // floor(5·1e6 / 9)
+    assert(gap == 111111L)
+  }
+
+  test("btCalibration: the two-step long division equals BigInt floor over the full clamp range") {
+    val rnd = new scala.util.Random(20260815L)
+    val cases = (0 until 300).map { i =>
+      // span the whole btRatings clamp range [1, 1e15], incl. extremes
+      val pa = if (i == 0) 1L else if (i == 1) 1000000000000000L
+        else 1L + (rnd.nextDouble() * 999999999999999L).toLong
+      val pb = if (i == 2) 1000000000000000L else 1L + (rnd.nextDouble() * 999999999999999L).toLong
+      (s"x$i", s"y$i", pa, pb)
+    }
+    val matrix = cases
+      .map { case (a, b, _, _) => (a, b, 1L, 0L, 0L, 1L) }
+      .toDF("policy_a", "policy_b", "wins_a", "wins_b", "ties", "n_prompts")
+    val ratings = cases
+      .flatMap { case (a, b, pa, pb) => Seq((a, pa), (b, pb)) }
+      .toDF("policy", "rating_micro")
+    val got = Preference
+      .btCalibration(matrix, ratings)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(5)) // policy_a -> pred_micro
+      .toMap
+    cases.foreach { case (a, _, pa, pb) =>
+      val exp = (BigInt(pa) * 1000000 / (BigInt(pa) + BigInt(pb))).toLong
+      assert(got(a) == exp, s"pi_a=$pa pi_b=$pb: got ${got(a)}, want $exp")
+    }
+  }
+
   test("btRatings: the maxPairs interlock fails loudly on a doc-grained matrix") {
     val big = (0L until 50L)
       .map(i => (s"a$i", s"b$i", 1L, 0L, 0L, 1L))

@@ -266,4 +266,77 @@ class VocabSpec extends AnyFunSuite {
     assert(got.head.getLong(2) == 16L, "pack 0 is budget-full: 16 decoded tokens")
     assert(got.head.getString(1).split(" ").length == 16)
   }
+
+  // ------------------------------------------------------------------
+  // coverageCurve
+  // ------------------------------------------------------------------
+
+  private def coverageMap(df: org.apache.spark.sql.DataFrame, targets: Seq[Long], nParts: Int) =
+    Vocab
+      .coverageCurve(df, "text", targets, nParts)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("coverageCurve: hand fixture — exact type counts at every target") {
+    // counts: a:4 b:3 c:1, total 8.
+    // 50% needs cum >= 4  -> a alone (cum 4·1000 >= 500·8=4000): 1 type
+    // 90% needs cum·1000 >= 7200 -> a+b cum 7000 < 7200: 3 types
+    val df = Seq((1L, "a a a b b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = coverageMap(df, Seq(500L, 900L, 950L, 990L), nParts = 4)
+    assert(got(500L) == ((1L, 3L, 8L)))
+    assert(got(900L) == ((3L, 3L, 8L)))
+    assert(got(950L) == ((3L, 3L, 8L)))
+    assert(got(990L) == ((3L, 3L, 8L)))
+  }
+
+  test("coverageCurve: partition count never changes the answer (two-pass prefix correctness)") {
+    val rnd = new scala.util.Random(1723)
+    // Zipf-ish random corpus: token ids drawn quadratically skewed.
+    val docs = (0L until 200L).map { i =>
+      val toks = (0 until 40).map { _ =>
+        val r = rnd.nextDouble(); s"t${(r * r * 300).toInt}"
+      }
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val targets = Seq(100L, 500L, 900L, 990L, 1000L)
+    val one = coverageMap(df, targets, nParts = 1)
+    val many = coverageMap(df, targets, nParts = 13)
+    assert(one == many, s"nParts must be invisible: $one vs $many")
+    // Driver replay: exact expected counts from the raw corpus.
+    val counts = docs
+      .flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val cums = counts.scanLeft(0L)(_ + _._2).tail
+    targets.foreach { m =>
+      val exp = cums.indexWhere(c => c * 1000 >= m * total) + 1
+      assert(one(m)._1 == exp.toLong, s"target $m: got ${one(m)._1}, want $exp")
+      assert(one(m)._2 == counts.length.toLong && one(m)._3 == total)
+    }
+  }
+
+  test("coverageCurve: 1000-milli target needs the whole vocabulary") {
+    val df = Seq((1L, "x y z z")).toDF("doc_id", "text")
+    assert(coverageMap(df, Seq(1000L), 4)(1000L)._1 == 3L)
+  }
+
+  test("coverageCurve interlocks: empty corpus and out-of-range targets fail loudly") {
+    val empty = Seq((1L, " ")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(empty, "text")
+    }.getMessage.contains("empty corpus"))
+    val ok = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(ok, "text", Seq(0L))
+    }.getMessage.contains("milli"))
+    assert(intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(ok, "text", Seq(1001L))
+    }.getMessage.contains("milli"))
+    assert(intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(ok, "text", Seq.empty)
+    }.getMessage.contains("at least one"))
+  }
 }
