@@ -186,7 +186,8 @@ object SparkEntry {
     "q164_dsir_select" -> (TextQueries.q164DsirSelect _),
     "q165_budget_exhaustion" -> (TextQueries.q165BudgetExhaustion _),
     "q166_bt_calibration" -> (PreferenceQueries.q166BtCalibration _),
-    "q167_vocab_coverage" -> (TextQueries.q167VocabCoverage _)
+    "q167_vocab_coverage" -> (TextQueries.q167VocabCoverage _),
+    "q168_semantic_packing" -> (TextQueries.q168SemanticPacking _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2751,7 +2752,41 @@ object SparkEntry {
         |  t.ntypes AS total_types, t.tot AS total_tokens
         |FROM g, t, r
         |WHERE r.cum * 1000 >= g.coverage_milli * t.tot
-        |GROUP BY 1, 3, 4""".stripMargin
+        |GROUP BY 1, 3, 4""".stripMargin,
+    // q168: semantic (in-context) packing — the q58 two-iteration
+    // k-means assignment becomes the stratification key of the q113
+    // per-group layout; docs without an embedding are excluded by the
+    // inner join on both sides.
+    "q168_semantic_packing" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT vec_id, cid, v,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,x) -> a+x) AS dist
+        |  FROM e, c0),
+        |a1 AS (SELECT vec_id, cid AS cluster, v FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+        |x1 AS (SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x FROM a1),
+        |m1 AS (SELECT cluster, pos, CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS DOUBLE) / (count(*) * 1048576.0) AS cv
+        |  FROM x1 GROUP BY cluster, pos),
+        |c1 AS (SELECT cluster AS cid, list(cv ORDER BY pos) AS cv FROM m1 GROUP BY cluster),
+        |d2 AS (SELECT a1.vec_id, c1.cid,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a1.v, c1.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,x) -> a+x) AS dist
+        |  FROM a1, c1),
+        |cl AS (SELECT vec_id AS doc_id, cid AS cluster FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+        |b AS (SELECT d.doc_id, cl.cluster,
+        |    CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('gs_', CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+        |  FROM documents d JOIN cl USING (doc_id)),
+        |g AS (SELECT doc_id, cluster, CAST(h % 8 AS INTEGER) AS shard, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY cluster ORDER BY h % 8, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT doc_id, cluster, shard, cum - n_toks AS start_tok, n_toks,
+        |  (cum - n_toks) // 2048 AS first_pack,
+        |  (cum - 1) // 2048 AS last_pack,
+        |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
+        |FROM g""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over

@@ -384,8 +384,12 @@ object PreferenceQueries {
     * O(policies) ratings into the O(policies²) matrix; DuckDB
     * replays the fit and the division chain in HUGEINTs.
     */
-  def q166BtCalibration(spark: SparkSession, dir: String): DataFrame =
-    Preference.btCalibration(q160WinMatrix(spark, dir), q163BtRatings(spark, dir))
+  def q166BtCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // one matrix, both consumers — the fit's bounded collect already
+    // materializes it, so the calibration join reuses the same plan
+    val m = q160WinMatrix(spark, dir)
+    Preference.btCalibration(m, Preference.btRatings(m, iters = 10))
+  }
 
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs

@@ -2658,6 +2658,48 @@ object TextQueries {
       totalBudget = 10000000L
     )
 
+  /** Semantic (in-context) packing — the composition published as
+    * in-context pretraining (Shi et al. 2023, arXiv:2310.10638):
+    * training sequences read better when a context window holds
+    * RELATED documents, so the pack layout stratifies by semantic
+    * cluster instead of by source — each cluster gets its own pure
+    * pack space and a pack never mixes clusters. This engine's form
+    * is the cluster-blocked one (the paper's greedy
+    * nearest-neighbor traversal is a within-cluster refinement on
+    * top; cluster blocking is the part that changes the pack
+    * spaces): the deterministic q58 k-means assignment
+    * (`cluster_iter2`) becomes [[graft.operators.Packing.layoutBy]]'s
+    * stratification key. Pure composition of two oracle-verified
+    * operators — the same per-group two-pass prefix layout as q113,
+    * keyed by cluster; docs without an embedding (no cluster
+    * evidence) are excluded by the inner join, documented. DuckDB
+    * replays the k-means chain + the per-cluster layout window.
+    */
+  def q168SemanticPacking(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = VectorQueries
+      .q58KMeans(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_iter2").as("cluster"))
+    val budget = 2048L
+    graft.operators.Packing
+      .layoutBy(
+        docs(spark, dir).join(clusters, Seq("doc_id")).select(col("doc_id"), col("cluster"), col("text")),
+        "doc_id",
+        "text",
+        "cluster",
+        nShards = 8
+      )
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("shard"),
+        col("start_tok"),
+        col("n_toks"),
+        expr(s"start_tok div $budget").as("first_pack"),
+        expr(s"(end_tok - 1) div $budget").as("last_pack")
+      )
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  }
+
   /** Vocabulary coverage curve
     * ([[graft.operators.Vocab.coverageCurve]]): for each coverage
     * target (50%/90%/95%/99%), the smallest number of token types —

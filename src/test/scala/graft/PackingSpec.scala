@@ -1540,6 +1540,32 @@ class PackingSpec extends AnyFunSuite {
     }.getMessage.contains("overflow"))
   }
 
+  test("q168 semantic packing: cluster-pure pack spaces that tile; embedding-less docs excluded") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.q168SemanticPacking(spark, sf)
+    val rows = out
+      .select(col("doc_id"), col("cluster"), col("start_tok"), col("n_toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the layout covers exactly the docs that HAVE an embedding
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val vecIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == (docIds intersect vecIds))
+    // per-cluster pack spaces are independent and gapless: offsets
+    // start at 0 and the intervals tile the cluster's token total
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"cluster $cl space must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 == b._3, s"cluster $cl: gap between ${a._1} and ${b._1}")
+        case _ =>
+      }
+    }
+  }
+
   test("packEfficiency: groupCols=Nil gives the single global row over a layout") {
     val lay = Packing.layout(corpus(0 until 30), "doc_id", "text", nShards = 4)
     val rows = Packing.packEfficiency(lay, 16L, Nil).collect()
