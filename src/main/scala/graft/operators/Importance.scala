@@ -96,6 +96,40 @@ object Importance {
       )
   }
 
+  /** [[ngramImportanceWeights]] for a target corpus that lives in its
+    * OWN table (the common campaign shape: the curated seed set is a
+    * separate dataset, not a flag on the raw corpus): bucket
+    * histograms per side, one O(buckets) full-outer join, the same
+    * smoothed micro-ratio. When `target`'s rows are also present in
+    * `raw` (the subset setting), this equals the flag form
+    * bit-for-bit (spec'd). Buckets absent from BOTH sides carry no
+    * evidence and emit no row — a scored document's unseen-bucket
+    * bigram simply finds no weight (the inner scoring join), exactly
+    * like the flag form.
+    */
+  def ngramImportanceWeightsFrom(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val nRaw = bigramBuckets(raw, textCol, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"))
+    val nTgt = bigramBuckets(target, textCol, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_target"))
+    nRaw
+      .join(nTgt, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_target"), lit(0L)).as("n_target")
+      )
+      .withColumn("w_micro", expr("((n_target + 1) * 1000000L) div (n_raw + 1)"))
+  }
+
   /** Per-document importance scores against a weight table:
     * `(idCol, n_bigrams, score_micro, avg_micro)` — the summed
     * bucket weight over the document's bigram occurrences and its
@@ -120,6 +154,38 @@ object Importance {
         sum(col("w_micro")).as("score_micro")
       )
       .withColumn("avg_micro", expr("score_micro div n_bigrams"))
+
+  /** Pin the bucket count to a frozen weight table as a `_buckets`
+    * sidecar — the [[Packing.recordBudget]] discipline: scoring hashes
+    * bigrams `mod buckets`, so a consumer scoring with a DIFFERENT
+    * bucket count joins every bigram to the WRONG bucket's weight and
+    * produces silently garbage scores. First writer records; any later
+    * explicit value must agree (loud failure); same-value re-record is
+    * a no-op.
+    */
+  def recordBuckets(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storedBuckets(spark, dir) match {
+      case Some(b) =>
+        require(
+          b == buckets,
+          s"buckets $buckets disagrees with the bucket count these weights were frozen with " +
+            s"($b, recorded in $dir/_buckets): scoring would hash bigrams into the wrong " +
+            "buckets — pass the recorded count or re-freeze the weights"
+        )
+      case None =>
+        fs.mkdirs(root)
+        Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets"), buckets.toString)
+    }
+  }
+
+  /** The bucket count a weight table was frozen with, if recorded. */
+  def storedBuckets(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets")).map(_.trim.toInt)
+  }
 
   /** Deterministic top-k selection by length-normalized importance —
     * ties broken by the id so the kept SET is a total function of

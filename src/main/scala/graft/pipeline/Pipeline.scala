@@ -529,6 +529,15 @@ object Pipeline {
   * [--from K --to L]` (ids → text through the frozen vocab: the
   * "what is IN pack k?" debugging verb; the range prunes before the
   * decode explode), and
+  * `--maintenance dsir_weights --data D --target T --out W
+  * [--text_col C] [--buckets N]` (freeze a DSIR hashed-bigram weight
+  * table from a raw corpus + a curated seed corpus; the bucket count
+  * pins to a `_buckets` sidecar), and
+  * `--maintenance dsir_score --data D --weights W --out O [--k K]
+  * [--text_col C] [--id_col I] [--buckets N]` (score arriving
+  * documents against FROZEN weights — bucket count resolved from the
+  * sidecar, explicit disagreement refused — keeping the top-k with
+  * --k), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -2104,6 +2113,70 @@ object PipelineRunner {
           s"[maintenance] bt_ratings: $iters MM iteration(s) over the matrix; " +
             s"$landed polic(ies) on the board"
         )
+      case Some("dsir_weights") =>
+        // Freeze a DSIR hashed-bigram weight table (Importance
+        // .ngramImportanceWeightsFrom): raw corpus + separate curated
+        // target corpus -> O(buckets) parquet of smoothed target/raw
+        // micro-ratios. Freezing the weights is what makes later
+        // scoring stable across corpus snapshots (the frozen-model
+        // discipline, as with bigram-LM gates and BPE vocabs).
+        import org.apache.spark.sql.functions.col
+        val dataPath = opts.getOrElse("data", sys.error("--data <raw docs parquet> required"))
+        val targetPath = opts.getOrElse("target", sys.error("--target <seed docs parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <weights parquet> required"))
+        val textCol = opts.getOrElse("text_col", "text")
+        val buckets = opts.getOrElse("buckets", "1024").toInt
+        val w = graft.operators.Importance.ngramImportanceWeightsFrom(
+          spark.read.parquet(dataPath),
+          spark.read.parquet(targetPath),
+          textCol,
+          buckets
+        )
+        val n = Pipeline.writeCounted(w, out)
+        graft.operators.Importance.recordBuckets(spark, out, buckets)
+        println(s"[maintenance] dsir_weights: $n bucket weight(s) frozen to $out")
+      case Some("dsir_score") =>
+        // Score (and optionally select) documents against a FROZEN
+        // DSIR weight table: per doc the bigram-occurrence weight sum
+        // + length-normalized mean; with --k, keep the deterministic
+        // top-k. New data scores against old weights without
+        // re-histogramming — the campaign's arriving-data gate.
+        import org.apache.spark.sql.functions.col
+        val dataPath = opts.getOrElse("data", sys.error("--data <docs parquet> required"))
+        val weightsPath = opts.getOrElse("weights", sys.error("--weights <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val textCol = opts.getOrElse("text_col", "text")
+        val idCol = opts.getOrElse("id_col", "doc_id")
+        // Bucket count resolves from the weights' _buckets sidecar —
+        // an explicit --buckets must AGREE (a mismatch hashes bigrams
+        // into the wrong buckets: silent garbage, so it fails loudly).
+        val stored = graft.operators.Importance.storedBuckets(spark, weightsPath)
+        val buckets = (opts.get("buckets").map(_.toInt), stored) match {
+          case (Some(b), Some(s)) =>
+            require(
+              b == s,
+              s"--buckets $b disagrees with the weights' recorded bucket count $s " +
+                s"($weightsPath/_buckets) — scoring would mis-bucket every bigram"
+            )
+            b
+          case (Some(b), None) => b
+          case (None, Some(s)) => s
+          case (None, None)    => 1024
+        }
+        val scored = graft.operators.Importance.importanceScores(
+          spark.read.parquet(dataPath),
+          idCol,
+          textCol,
+          spark.read.parquet(weightsPath),
+          buckets
+        )
+        val result = opts.get("k") match {
+          case Some(k) => graft.operators.Importance.selectByImportance(scored, idCol, k.toInt)
+          case None    => scored
+        }
+        val n = Pipeline.writeCounted(result, out)
+        println(s"[maintenance] dsir_score: $n doc(s) scored to $out" +
+          opts.get("k").map(k => s" (top-$k kept)").getOrElse(""))
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or
         // any packArrays-shaped parquet) back to text through the

@@ -123,6 +123,59 @@ class ImportanceSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(3L, 1L, 2L), s"got ${kept.toSeq}")
   }
 
+  test("two-corpus weights equal the flag form bit-for-bit when target ⊆ raw") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "the quick brown fox sat still", false),
+      (3L, "pack my box with five dozen liquor jugs", true),
+      (4L, "over the lazy dog the quick fox", false)
+    )
+    val raw = corpus(rows: _*)
+    val target = corpus(rows.filter(_._3): _*)
+    val flag = Importance
+      .ngramImportanceWeights(raw, "text", "is_target", Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val two = Importance
+      .ngramImportanceWeightsFrom(raw, target, "text", Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(flag == two)
+  }
+
+  test("dsir_weights/dsir_score CLI verbs: frozen sidecar resolves buckets; mismatch refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-cli").toString
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" "), i % 5 == 0)
+    }
+    corpus(rows: _*).write.parquet(s"$root/raw")
+    corpus(rows.filter(_._3): _*).write.parquet(s"$root/target")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dsir_weights", "--data", s"$root/raw",
+      "--target", s"$root/target", "--out", s"$root/w", "--buckets", "128"), spark)
+    // score WITHOUT --buckets: must resolve 128 from the sidecar
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dsir_score", "--data", s"$root/raw",
+      "--weights", s"$root/w", "--out", s"$root/scored", "--k", "10"), spark)
+    val lib = Importance.selectByImportance(
+      Importance.importanceScores(
+        spark.read.parquet(s"$root/raw"), "doc_id", "text",
+        spark.read.parquet(s"$root/w"), 128),
+      "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val got = spark.read.parquet(s"$root/scored")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"), r.getAs[Long]("avg_micro"))).toSet
+    assert(got == lib, "CLI score must equal the library against the frozen weights")
+    // a disagreeing explicit bucket count must fail LOUDLY
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "dsir_score", "--data", s"$root/raw",
+        "--weights", s"$root/w", "--out", s"$root/never", "--buckets", "64"), spark))
+    assert(e.getMessage.contains("mis-bucket"), e.getMessage)
+    // and re-freezing into the same dir with a different count too
+    val e2 = intercept[IllegalArgumentException](
+      Importance.recordBuckets(spark, s"$root/w", 64))
+    assert(e2.getMessage.contains("frozen"), e2.getMessage)
+  }
+
   test("buckets must be positive") {
     val e = intercept[IllegalArgumentException](
       Importance.ngramImportanceWeights(corpus((1L, "a b", true)), "text", "is_target", 0))
