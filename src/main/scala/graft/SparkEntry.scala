@@ -187,7 +187,9 @@ object SparkEntry {
     "q165_budget_exhaustion" -> (TextQueries.q165BudgetExhaustion _),
     "q166_bt_calibration" -> (PreferenceQueries.q166BtCalibration _),
     "q167_vocab_coverage" -> (TextQueries.q167VocabCoverage _),
-    "q168_semantic_packing" -> (TextQueries.q168SemanticPacking _)
+    "q168_semantic_packing" -> (TextQueries.q168SemanticPacking _),
+    "q169_length_bias_slope" -> (PreferenceQueries.q169LengthBiasSlope _),
+    "q170_dup_profile" -> (TextQueries.q170DupProfile _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2786,7 +2788,61 @@ object SparkEntry {
         |  (cum - n_toks) // 2048 AS first_pack,
         |  (cum - 1) // 2048 AS last_pack,
         |  (cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS n_packs
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q169: reward-on-length least-squares slope per policy — exact
+    // HUGEINT sums, closed form, both divisions FLOOR (numerators can
+    // go negative on shorter-is-better biases).
+    "q169_length_bias_slope" ->
+      """WITH r AS (SELECT concat('p', CAST(doc_id % 3 AS VARCHAR)) AS policy,
+        |    CAST(concat('0x', substr(md5(concat('rm_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000
+        |      + least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 200) AS reward,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |a AS (SELECT policy, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_toks) AS HUGEINT) AS sx, CAST(sum(reward) AS HUGEINT) AS sy,
+        |    CAST(sum(n_toks * reward) AS HUGEINT) AS sxy,
+        |    CAST(sum(n_toks * n_toks) AS HUGEINT) AS sxx
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT policy, n, sy, sx,
+        |    n * sxy - sx * sy AS vxy, n * sxx - sx * sx AS vxx
+        |  FROM a WHERE n * sxx - sx * sx > 0)
+        |SELECT policy, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * vxy) // vxx AS BIGINT) AS slope_micro,
+        |  CAST((1000000 * sy - ((1000000 * vxy) // vxx) * sx) // n AS BIGINT) AS intercept_micro
+        |FROM c""".stripMargin,
+    // q170: duplication profile — cluster-size histogram over the q141
+    // recursive near-dup closure, singletons as size-1 clusters; the
+    // rows partition the corpus (sum(n_docs) == |documents|).
+    "q170_dup_profile" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(th) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+        |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+        |       ELSE [] END AS sh_ints FROM tk),
+        |inv AS (SELECT doc_id, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM allc GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((1000000 * cluster_size * count(*)) // t.total AS BIGINT) AS share_micro
+        |FROM sizes, tot t GROUP BY cluster_size, t.total""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over

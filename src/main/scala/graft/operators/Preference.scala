@@ -584,6 +584,79 @@ object Preference {
       .toDF("policy", "rating_micro", "w2", "games")
   }
 
+  /** Reward-model LENGTH-BIAS magnitude — the exact least-squares
+    * slope of reward on response length, per policy: the number that
+    * tells you HOW MUCH longer-is-better bias each checkpoint's
+    * reward signal carries (the bias [[lengthDebias]] removes;
+    * published RM audits report exactly this regression). Slope and
+    * intercept in integer micro-units under the closed form
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)
+    *
+    * evaluated EXACTLY: the four sums are computed distributed as
+    * DECIMAL(38,0) (a BIGINT Σxy overflows at ~10⁹ responses × long
+    * documents — wraparound would be silent), the final arithmetic is
+    * BigInt on the O(policies) collected rows, and both divisions are
+    * true FLOOR (numerators go negative on shorter-is-better biases;
+    * DuckDB's `//` floors, so truncation would diverge cross-engine).
+    * `intercept_micro = floor((10⁶·Σy − slope_micro·Σx) / n)` — the
+    * micro-unit intercept under the already-floored slope, defined
+    * that way on both engines. A policy whose responses all share one
+    * length has no slope (zero variance) and emits no row,
+    * documented like [[Importance.importanceScores]]' no-bigram rule.
+    *
+    * Scale shape: one policy-keyed agg with map-side partials over
+    * the response corpus; the closed-form arithmetic runs on the
+    * bounded O(policies) collect (`maxPolicies` interlock).
+    */
+  def lengthBiasSlope(
+      responses: DataFrame,
+      policyCol: String,
+      xCol: String,
+      yCol: String,
+      maxPolicies: Int = 10000
+  ): DataFrame = {
+    val spark = responses.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val rows = responses
+      .groupBy(col(policyCol).cast("string").as("policy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sxx")
+      )
+      .take(maxPolicies + 1)
+    require(
+      rows.length <= maxPolicies,
+      s"lengthBiasSlope collected > $maxPolicies '$policyCol' groups: the audit is " +
+        "checkpoint-grained (policies), not prompt- or doc-grained"
+    )
+    def big(r: org.apache.spark.sql.Row, i: Int): BigInt =
+      r.getDecimal(i).toBigInteger
+    // exact floor division for a possibly-negative numerator, b > 0
+    def floorDiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+    val m = BigInt(1000000)
+    import spark.implicits._
+    rows.toIndexedSeq
+      .flatMap { r =>
+        val (p, n) = (r.getString(0), BigInt(r.getLong(1)))
+        val (sx, sy, sxy, sxx) = (big(r, 2), big(r, 3), big(r, 4), big(r, 5))
+        val vxy = n * sxy - sx * sy
+        val vxx = n * sxx - sx * sx
+        if (vxx <= 0) None // zero length variance: no slope to report
+        else {
+          val slope = floorDiv(m * vxy, vxx)
+          val intercept = floorDiv(m * sy - slope * sx, n)
+          Some((p, n.toLong, slope.toLong, intercept.toLong))
+        }
+      }
+      .toDF("policy", "n", "slope_micro", "intercept_micro")
+  }
+
   /** Calibration audit of a Bradley-Terry fit: per policy pair, the
     * win rate the RATINGS predict vs the win rate the matrix actually
     * OBSERVED — the table that tells you whether the arena board can

@@ -751,6 +751,42 @@ object Dedup {
       )
   }
 
+  /** Duplication PROFILE — the governance histogram of near-dup
+    * cluster sizes: per cluster size k, how many clusters, how many
+    * documents that is, and the micro-share of the corpus — "how much
+    * of my data sits in duplicate clusters, and how big are they".
+    * The number a dedup policy decision starts from (keep-one drops
+    * `n_docs − n_components` documents at each k), and the trend a
+    * crawl-health dashboard watches across snapshots.
+    *
+    * Clusters are connected components of the pair table (the
+    * transitive near-dup closure); unpaired docs are their own
+    * size-1 cluster, so the histogram partitions the corpus exactly:
+    * `Σ n_docs == |docs|` by construction.
+    *
+    * Scale shape: components over the BOUNDED pair table (never the
+    * corpus), one left join keyed on the id, two keyed aggs
+    * (component → size, size → histogram), and the share divides by
+    * a 1-row broadcast total. No text moves anywhere.
+    */
+  def dupProfile(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val sizes = docs
+      .select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("cluster_size") * col("n_components"))
+    hist
+      .crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("__total"))))
+      .withColumn("share_micro", expr("(1000000L * n_docs) div __total"))
+      .drop("__total")
+  }
+
   /** Benchmark decontamination over TWO corpora — the operational form
     * of `q129_decontam_purge` (which demos the rule on an in-corpus
     * parity split): per-train-doc count/fraction of its distinct

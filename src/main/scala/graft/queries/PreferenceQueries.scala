@@ -391,6 +391,25 @@ object PreferenceQueries {
     Preference.btCalibration(m, Preference.btRatings(m, iters = 10))
   }
 
+  /** Reward-model length-bias slope
+    * ([[graft.operators.Preference.lengthBiasSlope]]): per policy,
+    * the exact least-squares regression of reward on token count in
+    * integer micro-units — the magnitude of the longer-is-better
+    * bias the fixture plants by construction (`least(n_toks, 200)`
+    * inside the reward), and the audit row an RM dashboard tracks
+    * per checkpoint. One policy-keyed DECIMAL(38,0) agg, closed-form
+    * BigInt floor arithmetic on the O(policies) collect; DuckDB
+    * replays the sums and both floor divisions in HUGEINTs.
+    */
+  def q169LengthBiasSlope(spark: SparkSession, dir: String): DataFrame =
+    Preference.lengthBiasSlope(
+      responses(spark, dir)
+        .withColumn("policy", concat(lit("p"), (col("doc_id") % 3).cast("string"))),
+      "policy",
+      "n_toks",
+      "reward"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -2658,6 +2658,22 @@ object TextQueries {
       totalBudget = 10000000L
     )
 
+  /** Duplication profile ([[graft.operators.Dedup.dupProfile]]): the
+    * histogram of near-dup cluster sizes over the q21 Jaccard pair
+    * closure — per size k: clusters, documents, micro-share of the
+    * corpus; singletons are size-1 clusters so the rows partition
+    * the corpus exactly. The governance number a dedup policy starts
+    * from and a crawl-health dashboard trends. Components over the
+    * bounded pair table + two keyed aggs; DuckDB replays the q141
+    * recursive closure and the histogram.
+    */
+  def q170DupProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupProfile(
+      docs(spark, dir).select(col("doc_id")),
+      q21NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      "doc_id"
+    )
+
   /** Semantic (in-context) packing — the composition published as
     * in-context pretraining (Shi et al. 2023, arXiv:2310.10638):
     * training sequences read better when a context window holds

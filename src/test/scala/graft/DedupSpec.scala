@@ -480,4 +480,41 @@ class DedupSpec extends AnyFunSuite {
       assert(members.map(i => got(i.toLong)._1).distinct.size == 1, "members share the label")
     }
   }
+
+  test("dupProfile: hand fixture histogram; singletons are size-1 clusters") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup
+      .dupProfile(docs, pairs, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // clusters: {1,2,3} size 3; {10,11} size 2; 20, 21 singletons
+    assert(got(3L) == ((1L, 3L, 1000000L * 3 / 7)))
+    assert(got(2L) == ((1L, 2L, 1000000L * 2 / 7)))
+    assert(got(1L) == ((2L, 2L, 1000000L * 2 / 7)))
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("dupProfile: the histogram PARTITIONS the corpus on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8181)
+    val n = 300L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0 until 150)
+      .map { _ =>
+        val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+        (math.min(a, b), math.max(a, b))
+      }
+      .filter(p => p._1 != p._2)
+      .distinct
+      .toDF("doc_a", "doc_b")
+    val rows = graft.operators.Dedup
+      .dupProfile(docs, pairs, "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == n, "sum(n_docs) must equal |docs|")
+    rows.foreach { case (k, nc, nd) => assert(nd == k * nc) }
+  }
 }

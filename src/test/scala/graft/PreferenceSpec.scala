@@ -1032,6 +1032,48 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBiasSlope: exact closed form incl. negative slopes; zero variance emits no row") {
+    val rows = Seq(
+      // policy a: y = 2x exactly -> slope 2e6, intercept 0
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      // policy b: shorter-is-better -> negative slope (floor matters)
+      ("b", 1L, 5L), ("b", 2L, 3L),
+      // policy c: constant length -> zero variance, no row
+      ("c", 4L, 1L), ("c", 4L, 9L)
+    ).toDF("policy", "n_toks", "reward")
+    val got = Preference
+      .lengthBiasSlope(rows, "policy", "n_toks", "reward")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == ((3L, 2000000L, 0L)))
+    // b: n=2 sx=3 sy=8 sxy=11 sxx=5 -> vxy=-2 vxx=1 -> slope -2e6;
+    // intercept = (8e6 - (-2e6)*3)/2 = 7e6
+    assert(got("b") == ((2L, -2000000L, 7000000L)))
+  }
+
+  test("lengthBiasSlope: random corpora match an independent Math.floorDiv replay") {
+    val rnd = new scala.util.Random(55911)
+    val rows = (0 until 600).map { i =>
+      (s"p${i % 4}", (rnd.nextInt(50) + 1).toLong, (rnd.nextInt(200) - 100).toLong)
+    }
+    val got = Preference
+      .lengthBiasSlope(rows.toDF("policy", "x", "y"), "policy", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      val n = g.size.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum; val sxx = g.map(t => t._2 * t._2).sum
+      val vxy = n * sxy - sx * sy; val vxx = n * sxx - sx * sx
+      val slope = Math.floorDiv(1000000L * vxy, vxx)
+      val intercept = Math.floorDiv(1000000L * sy - slope * sx, n)
+      assert(got(p) == ((slope, intercept)), s"policy $p")
+    }
+  }
+
   test("btRatings: the maxPairs interlock fails loudly on a doc-grained matrix") {
     val big = (0L until 50L)
       .map(i => (s"a$i", s"b$i", 1L, 0L, 0L, 1L))
