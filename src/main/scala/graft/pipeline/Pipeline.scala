@@ -538,6 +538,10 @@ object Pipeline {
   * documents against FROZEN weights — bucket count resolved from the
   * sidecar, explicit disagreement refused — keeping the top-k with
   * --k), and
+  * `--maintenance dsir_stream --raw R --weights W --out O
+  * --checkpoint C` (the scorer's streaming arm: tail document JSON
+  * files, score each against the frozen weights, land per-batch
+  * score dirs — exactly-once by overwrite-convergence), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -2177,6 +2181,31 @@ object PipelineRunner {
         val n = Pipeline.writeCounted(result, out)
         println(s"[maintenance] dsir_score: $n doc(s) scored to $out" +
           opts.get("k").map(k => s" (top-$k kept)").getOrElse(""))
+      case Some("dsir_stream") =>
+        // Streaming DSIR scoring (StreamingPipeline.dsirScore): tail a
+        // directory of document JSON files, score each against the
+        // FROZEN weight table, land per-batch score dirs. AvailableNow:
+        // drains what exists, then returns (cron-friendly).
+        val raw = opts.getOrElse("raw", sys.error("--raw <doc json dir> required"))
+        val weights = opts.getOrElse("weights", sys.error("--weights <frozen weights> required"))
+        val out = opts.getOrElse("out", sys.error("--out <score dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val docSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("text", org.apache.spark.sql.types.StringType)
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .dsirScore(spark, raw, weights, out, ckpt, docSchema)
+          .awaitTermination()
+        val nScored = spark.read
+          .option("basePath", out)
+          .parquet(out)
+          .count()
+        println(s"[maintenance] dsir stream drained: $nScored scored doc row(s) under $out")
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or
         // any packArrays-shaped parquet) back to text through the

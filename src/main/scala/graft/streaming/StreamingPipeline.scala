@@ -1202,4 +1202,53 @@ object StreamingPipeline {
       }
       .start()
   }
+
+  /** Streaming DSIR scoring: each arriving document JSON file scores
+    * against a FROZEN [[graft.operators.Importance]] weight table and
+    * lands its per-doc scores as `out/score_batch=<batchId>` —
+    * arriving crawl data gated by target-likeness the moment it
+    * lands, without re-histogramming anything (the frozen-model
+    * discipline, as with the frozen bigram-LM gate). The bucket
+    * count comes from the weights' `_buckets` sidecar — REQUIRED
+    * here: there is no interactive caller to catch a silent
+    * mis-bucketing.
+    *
+    * Exactly-once by overwrite-convergence: scoring is a pure
+    * function of (batch, frozen weights), so a replayed foreachBatch
+    * rewrites `score_batch=<id>` with identical bytes — the exact
+    * dedup family's established contract.
+    */
+  def dsirScore(
+      spark: SparkSession,
+      rawDir: String,
+      weightsPath: String,
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val buckets = graft.operators.Importance
+      .storedBuckets(spark, weightsPath)
+      .getOrElse(
+        sys.error(
+          s"$weightsPath carries no _buckets sidecar: streaming scoring cannot " +
+            "guess the hash modulus — freeze the weights with dsir_weights"
+        )
+      )
+    val weights = spark.read.parquet(weightsPath)
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Importance
+          .importanceScores(batch, "doc_id", "text", weights, buckets)
+          .write
+          .mode("overwrite")
+          .parquet(s"$outDir/score_batch=$batchId")
+        ()
+      }
+      .start()
+  }
 }

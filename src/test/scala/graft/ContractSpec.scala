@@ -38,8 +38,10 @@ class ContractSpec extends AnyFunSuite {
     // \b blocks backtracking from shortening the identifier to dodge
     // the lookahead
     val fromPat = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\b(?!\\s*[,)])".r
-    // with or without a column list: `name AS (` / `name(a, b) AS (`
-    val ctePat = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+    // with or without a column list: `name AS (` / `name(a, b) AS (`,
+    // and with DuckDB's inlining hint: `name AS [NOT] MATERIALIZED (`
+    val ctePat =
+      "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:(?:NOT\\s+)?MATERIALIZED\\s*)?\\(".r
     for ((name, sql) <- SparkEntry.oracleSql) {
       val ctes = ctePat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

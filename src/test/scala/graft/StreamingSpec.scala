@@ -1484,4 +1484,48 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(s"$root/telemetry").count() == before)
   }
+
+  test("dsir stream: arriving files score against the frozen weights; drained restart adds nothing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dsir-stream").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    // freeze weights on a snapshot corpus (raw + curated target)
+    val snap = (0L until 30L)
+      .map(i => (i, (0 until 10).map(j => s"w${(i * 3 + j) % 12}").mkString(" ")))
+      .toDF("doc_id", "text")
+    snap.write.parquet(s"$root/snapraw")
+    snap.filter(col("doc_id") % 5 === 0).write.parquet(s"$root/snaptgt")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dsir_weights", "--data", s"$root/snapraw",
+      "--target", s"$root/snaptgt", "--out", s"$root/w", "--buckets", "64"), spark)
+    def drain(): Unit = graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dsir_stream", "--raw", s"$root/raw",
+      "--weights", s"$root/w", "--out", s"$root/scores",
+      "--checkpoint", s"$root/ckpt"), spark)
+    // file 1 arrives and scores; must equal the BATCH scorer on the same rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"doc_id":100,"text":"w0 w1 w2 w3"}
+        |{"doc_id":101,"text":"w9 w10 w11 w9"}""".stripMargin)
+    drain()
+    def landed() = spark.read.parquet(s"$root/scores")
+      .select(col("doc_id"), col("n_bigrams"), col("score_micro"), col("avg_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val lib = graft.operators.Importance.importanceScores(
+      Seq((100L, "w0 w1 w2 w3"), (101L, "w9 w10 w11 w9")).toDF("doc_id", "text"),
+      "doc_id", "text", spark.read.parquet(s"$root/w"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(landed() == lib, "streamed scores must equal the batch scorer's")
+    // file 2 arrives: new docs land, old scores untouched
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f2.json"),
+      """{"doc_id":200,"text":"w4 w5 w6"}""".stripMargin)
+    drain()
+    assert(landed().map(_._1) == Set(100L, 101L, 200L))
+    // drained restart: nothing new
+    val before = landed()
+    drain()
+    assert(landed() == before)
+  }
 }
