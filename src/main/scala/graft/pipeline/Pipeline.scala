@@ -565,9 +565,11 @@ object Pipeline {
   * `--maintenance release --data D --eval E --out ROOT [--budget T]
   * [--shards N] [--export_shards N] [--min_keep_tokens K]
   * [--threshold F] [--epochs N] [--seed S] [--unk_id U]
-  * [--provenance true] [--verify false]` (the
+  * [--provenance true] [--verify false]
+  * [--dsir_target T --dsir_keep K [--dsir_buckets N]]` (the
   * one-command pretraining data release: curate -> decontaminate ->
-  * pack -> freeze vocab -> export shards [-> epoch schedule], each
+  * [DSIR-select the K most target-like docs ->] pack -> freeze vocab
+  * -> export shards [-> epoch schedule], each
   * step the existing verb called recursively so every interlock
   * fires; `_release.json` audits the landed per-stage counts), and
   * `--maintenance pack_curated_stream --curated C --state S --out O
@@ -1492,13 +1494,50 @@ object PipelineRunner {
             "--out", s"$root/decontam_report", "--purged", s"$root/clean", "--threshold", threshold),
           spark
         ) }
+        // Optional DSIR stage: with --dsir_target (a curated seed
+        // corpus) + --dsir_keep K, the release packs only the K most
+        // target-like clean documents — quality-targeted releases via
+        // the existing dsir_weights/dsir_score verbs (the _buckets
+        // sidecar interlock fires here too). NB the selection can only
+        // keep docs that HAVE a bigram (dsir_score's documented rule);
+        // the audit manifest records the selected count, so a
+        // surprising cut is visible, never silent.
+        val packInput = opts.get("dsir_target") match {
+          case Some(tgt) =>
+            val keep = opts.getOrElse(
+              "dsir_keep",
+              sys.error("--dsir_keep <k> required with --dsir_target")
+            )
+            timedStage("release", "dsir_select") {
+              run(
+                Array("--maintenance", "dsir_weights", "--data", s"$root/clean",
+                  "--target", tgt, "--out", s"$root/dsir_weights") ++
+                  opts.get("dsir_buckets").toSeq.flatMap(b => Seq("--buckets", b)),
+                spark
+              )
+              run(
+                Array("--maintenance", "dsir_score", "--data", s"$root/clean",
+                  "--weights", s"$root/dsir_weights", "--out", s"$root/dsir_scores",
+                  "--k", keep),
+                spark
+              )
+              import org.apache.spark.sql.functions.{col => cc}
+              val kept = spark.read.parquet(s"$root/dsir_scores").select(cc("doc_id"))
+              Pipeline.writeCounted(
+                spark.read.parquet(s"$root/clean").join(kept, Seq("doc_id"), "left_semi"),
+                s"$root/selected"
+              )
+            }
+            s"$root/selected"
+          case None => s"$root/clean"
+        }
         timedStage("release", "pack_ingest") { run(
-          Array("--maintenance", "pack_ingest", "--batch", s"$root/clean", "--state", s"$root/pack_state",
+          Array("--maintenance", "pack_ingest", "--batch", packInput, "--state", s"$root/pack_state",
             "--out", s"$root/manifests", "--applied_id", "0", "--budget", budget, "--shards", shards),
           spark
         ) }
         timedStage("release", "build_vocab") { run(
-          Array("--maintenance", "build_vocab", "--docs", s"$root/clean", "--out", s"$root/vocab"),
+          Array("--maintenance", "build_vocab", "--docs", packInput, "--out", s"$root/vocab"),
           spark
         ) }
         import org.apache.spark.sql.functions.{col => c, max => mx, count => cnt, lit, sum => sm}
@@ -1507,7 +1546,7 @@ object PipelineRunner {
         val nPacks = if (lastRow.isNullAt(0)) 0L else lastRow.getLong(0) + 1L
         timedStage("release", "pack_export") { run(
           Array("--maintenance", "pack_export", "--state", s"$root/pack_state",
-            "--manifests", s"$root/manifests", "--docs", s"$root/clean", "--vocab", s"$root/vocab",
+            "--manifests", s"$root/manifests", "--docs", packInput, "--vocab", s"$root/vocab",
             "--out", s"$root/shards", "--from", "0", "--to", nPacks.toString,
             "--shards", exportShards) ++ unkArgs,
           spark
@@ -1534,7 +1573,7 @@ object PipelineRunner {
         if (opts.get("provenance").contains("true")) {
           run(
             Array("--maintenance", "pack_provenance", "--manifests", s"$root/manifests",
-              "--attrs", s"$root/clean", "--attr_cols", "source",
+              "--attrs", packInput, "--attr_cols", "source",
               "--out", s"$root/provenance"),
             spark
           )
@@ -1551,8 +1590,14 @@ object PipelineRunner {
         val nVocab = spark.read.parquet(s"$root/vocab").count()
         val totToks = man.agg(sm(c("n_toks"))).head().getLong(0)
         val landedPacks = spark.read.parquet(s"$root/shards").agg(cnt(lit(1))).head().getLong(0)
+        // with the DSIR stage, the packed-corpus count rides along so a
+        // surprising selection cut is visible in the audit
+        val selectedField = opts.get("dsir_target") match {
+          case Some(_) => s""" "dsir_selected": ${spark.read.parquet(s"$root/selected").count()},"""
+          case None    => ""
+        }
         val manifestJson =
-          s"""{"docs_in": $nIn, "curated": $nCurated, "contaminated": $nContam, "clean": $nClean,
+          s"""{"docs_in": $nIn, "curated": $nCurated, "contaminated": $nContam, "clean": $nClean,$selectedField
              | "total_tokens": $totToks, "budget": $budget, "n_packs": $nPacks,
              | "vocab_size": $nVocab, "landed_packs": $landedPacks,
              | "export_shards": $exportShards}""".stripMargin.replace("\n", "")

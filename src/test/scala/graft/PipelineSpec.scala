@@ -469,4 +469,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pack_state"), e.getMessage)
     assert(e.getMessage.contains("stale"), e.getMessage)
   }
+
+  test("release verb --dsir_target: packs exactly the K most target-like clean docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-release-dsir").toString
+    // eval: content that cannot hit (no purge noise in this test)
+    Seq((900001L, "zzqq wwrr vvtt uuss zzqq wwrr vvtt uuss zzqq wwrr"))
+      .toDF("doc_id", "text").write.parquet(s"$root/eval")
+    // target seed: a slice of the corpus itself (curated-quality docs)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$root/target")
+    graft.pipeline.PipelineRunner.run(
+      Array(
+        "--maintenance", "release",
+        "--data", sf,
+        "--eval", s"$root/eval",
+        "--out", s"$root/rel",
+        "--budget", "64",
+        "--shards", "4",
+        "--export_shards", "2",
+        "--dsir_target", s"$root/target",
+        "--dsir_keep", "40",
+        "--dsir_buckets", "256"
+      ),
+      spark
+    )
+    // the DSIR stage landed its artifacts
+    for (d <- Seq("dsir_weights", "dsir_scores", "selected", "shards"))
+      assert(new java.io.File(s"$root/rel/$d").exists(), s"missing stage dir $d")
+    // selected == the library's top-40 over clean against the frozen weights
+    val clean = spark.read.parquet(s"$root/rel/clean")
+    val expect = graft.operators.Importance
+      .selectByImportance(
+        graft.operators.Importance.importanceScores(
+          clean, "doc_id", "text", spark.read.parquet(s"$root/rel/dsir_weights"), 256),
+        "doc_id", 40)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val selected = spark.read.parquet(s"$root/rel/selected")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(selected == expect, "release must pack the library's selection exactly")
+    assert(selected.size == 40)
+    // the pack space tiles the SELECTED corpus, not clean
+    val manToks = spark.read.parquet(s"$root/rel/manifests")
+      .agg(sum(col("n_toks"))).head().getLong(0)
+    val selToks = spark.read.parquet(s"$root/rel/selected")
+      .select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(manToks == selToks, "manifests must cover exactly the selected docs")
+    // audit carries the selection count
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_release.json")))
+    assert(json.contains(""""dsir_selected": 40"""), json)
+  }
 }
