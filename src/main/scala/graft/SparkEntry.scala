@@ -189,7 +189,8 @@ object SparkEntry {
     "q167_vocab_coverage" -> (TextQueries.q167VocabCoverage _),
     "q168_semantic_packing" -> (TextQueries.q168SemanticPacking _),
     "q169_length_bias_slope" -> (PreferenceQueries.q169LengthBiasSlope _),
-    "q170_dup_profile" -> (TextQueries.q170DupProfile _)
+    "q170_dup_profile" -> (TextQueries.q170DupProfile _),
+    "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2842,7 +2843,21 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_components,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((1000000 * cluster_size * count(*)) // t.total AS BIGINT) AS share_micro
-        |FROM sizes, tot t GROUP BY cluster_size, t.total""".stripMargin
+        |FROM sizes, tot t GROUP BY cluster_size, t.total""".stripMargin,
+    // q171: sliding-window chunking — 32-token windows at stride 24,
+    // a chunk emitted only when it ADDS tokens (chunk 0 always; a
+    // later one only if its predecessor did not already reach the
+    // document's end); empty docs emit nothing.
+    "q171_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |nn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+        |s AS (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS start_tok FROM nn)
+        |SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
+        |  least(CAST(32 AS BIGINT), n - start_tok) AS n_chunk_toks,
+        |  array_to_string(w[start_tok + 1 : start_tok + least(CAST(32 AS BIGINT), n - start_tok)], ' ') AS chunk
+        |FROM s WHERE start_tok = 0 OR start_tok - 24 + 32 < n""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over

@@ -2658,6 +2658,25 @@ object TextQueries {
       totalBudget = 10000000L
     )
 
+  /** Sliding-window chunking ([[graft.operators.Chunking.slidingChunks]]):
+    * every document split into 32-token windows at stride 24 — the
+    * long-document primitive of embedding/retrieval pipelines (encoder
+    * context windows with overlap so boundary-spanning text survives
+    * in SOME chunk). Chunks are purely positional and emitted only
+    * when they ADD tokens (the tail is covered exactly once); empty
+    * docs emit nothing. One per-row explode of built-in array
+    * expressions — no shuffle, no UDF; DuckDB replays with range +
+    * list slicing.
+    */
+  def q171SlidingChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingChunks(
+      docs(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id",
+      "text",
+      window = 32L,
+      stride = 24L
+    )
+
   /** Duplication profile ([[graft.operators.Dedup.dupProfile]]): the
     * histogram of near-dup cluster sizes over the q21 Jaccard pair
     * closure — per size k: clusters, documents, micro-share of the

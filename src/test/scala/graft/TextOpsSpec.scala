@@ -378,4 +378,72 @@ class TextOpsSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("slidingChunks: hand fixture — exact windows, tail covered once, redundant tail dropped") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3: starts 0, 3, 6 emit; start 9 is
+    // fully inside chunk 2 (which already reached token 10) and drops.
+    val doc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = graft.operators.Chunking
+      .slidingChunks(doc, "doc_id", "text", window = 4L, stride = 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (0L, 0L, 4L, "a b c d"),
+      (1L, 3L, 4L, "d e f g"),
+      (2L, 6L, 4L, "g h i j")
+    ))
+  }
+
+  test("slidingChunks: every token covered, overlap == window - stride, empty docs emit nothing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(40412)
+    val docs = (0L until 50L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(j => s"t$j").mkString(" "))
+    } :+ (99L, "   ")
+    val w = 8L; val s = 5L
+    val got = graft.operators.Chunking
+      .slidingChunks(docs.toDF("doc_id", "text"), "doc_id", "text", w, s)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!got.contains(99L), "whitespace-only doc must emit nothing")
+    docs.foreach { case (id, text) =>
+      val n = text.split("\\s+").count(_.nonEmpty).toLong
+      if (n == 0) assert(!got.contains(id))
+      else {
+        val chunks = got(id).sortBy(_._2)
+        // coverage: chunk 0 starts at 0, the last chunk reaches n,
+        // and consecutive chunks leave no gap (stride <= window)
+        assert(chunks.head._2 == 0L)
+        assert(chunks.last._2 + chunks.last._3 == n, s"doc $id tail uncovered")
+        chunks.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._2 == a._2 + s, s"doc $id: stride broken")
+            assert(b._2 <= a._2 + a._3, s"doc $id: gap between chunks")
+          case _ =>
+        }
+        // no chunk is fully contained in its predecessor
+        chunks.sliding(2).foreach {
+          case Array(a, b) => assert(b._2 + b._3 > a._2 + a._3, s"doc $id: redundant chunk")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("slidingChunks guards: nonpositive window/stride and stride > window refused") {
+    import spark.implicits._
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Chunking.slidingChunks(d, "doc_id", "text", 0L, 1L)
+    ).getMessage.contains("window"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Chunking.slidingChunks(d, "doc_id", "text", 4L, 0L)
+    ).getMessage.contains("stride"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Chunking.slidingChunks(d, "doc_id", "text", 4L, 5L)
+    ).getMessage.contains("DROP"))
+  }
 }
