@@ -542,6 +542,14 @@ object Pipeline {
   * --checkpoint C` (the scorer's streaming arm: tail document JSON
   * files, score each against the frozen weights, land per-batch
   * score dirs — exactly-once by overwrite-convergence), and
+  * `--maintenance vocab_coverage --docs D [--out O] [--targets
+  * 500,900,950,990] [--text_col C]` (tokenizer-sizing audit: per
+  * coverage target, the smallest number of token types covering that
+  * share of the token stream), and
+  * `--maintenance chunk --docs D --out O [--window W] [--stride S]
+  * [--id_col I] [--text_col C]` (sliding-window chunking: the
+  * embedding/retrieval prep pass — overlapping token windows per
+  * document), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -2251,6 +2259,45 @@ object PipelineRunner {
           .parquet(out)
           .count()
         println(s"[maintenance] dsir stream drained: $nScored scored doc row(s) under $out")
+      case Some("vocab_coverage") =>
+        // Tokenizer-sizing audit (Vocab.coverageCurve): per coverage
+        // target, the smallest number of token types covering that
+        // share of the token stream.
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val textCol = opts.getOrElse("text_col", "text")
+        val targets = opts
+          .getOrElse("targets", "500,900,950,990")
+          .split(",")
+          .map(_.trim.toLong)
+          .toSeq
+        val curve = graft.operators.Vocab
+          .coverageCurve(spark.read.parquet(docsPath), textCol, targets)
+        val landed = opts.get("out") match {
+          case Some(o) => Pipeline.writeCounted(curve, o)
+          case None =>
+            curve.collect().sortBy(_.getLong(0)).foreach { r =>
+              println(
+                s"[maintenance]   ${r.getLong(0)} per-mille coverage: ${r.getLong(1)} " +
+                  s"of ${r.getLong(2)} types (stream ${r.getLong(3)} tokens)"
+              )
+            }
+            targets.length.toLong
+        }
+        println(s"[maintenance] vocab_coverage: $landed target row(s)")
+      case Some("chunk") =>
+        // Sliding-window chunking (Chunking.slidingChunks): the
+        // embedding/retrieval prep pass — overlapping token windows
+        // per document, landed as the chunk table an encoder consumes.
+        val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val idCol = opts.getOrElse("id_col", "doc_id")
+        val textCol = opts.getOrElse("text_col", "text")
+        val window = opts.getOrElse("window", "512").toLong
+        val stride = opts.getOrElse("stride", "384").toLong
+        val chunks = graft.operators.Chunking
+          .slidingChunks(spark.read.parquet(docsPath), idCol, textCol, window, stride)
+        val n = Pipeline.writeCounted(chunks, out)
+        println(s"[maintenance] chunk: $n chunk(s) (window $window, stride $stride) to $out")
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or
         // any packArrays-shaped parquet) back to text through the

@@ -433,6 +433,21 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk CLI verb lands the library's chunks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-chunk-cli").toString
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    df.write.parquet(s"$root/docs")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "chunk", "--docs", s"$root/docs",
+      "--out", s"$root/chunks", "--window", "4", "--stride", "3"), spark)
+    val got = spark.read.parquet(s"$root/chunks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val lib = graft.operators.Chunking.slidingChunks(df, "doc_id", "text", 4L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == lib)
+  }
+
   test("slidingChunks guards: nonpositive window/stride and stride > window refused") {
     import spark.implicits._
     val d = Seq((1L, "a b")).toDF("doc_id", "text")

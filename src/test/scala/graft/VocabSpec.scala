@@ -323,6 +323,20 @@ class VocabSpec extends AnyFunSuite {
     assert(coverageMap(df, Seq(1000L), 4)(1000L)._1 == 3L)
   }
 
+  test("vocab_coverage CLI verb lands the library's curve") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cov-cli").toString
+    val df = Seq((1L, "a a a b b c"), (2L, "a b")).toDF("doc_id", "text")
+    df.write.parquet(s"$root/docs")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "vocab_coverage", "--docs", s"$root/docs",
+      "--targets", "500,900", "--out", s"$root/curve"), spark)
+    val got = spark.read.parquet(s"$root/curve")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val lib = Vocab.coverageCurve(df, "text", Seq(500L, 900L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == lib)
+  }
+
   test("coverageCurve interlocks: empty corpus and out-of-range targets fail loudly") {
     val empty = Seq((1L, " ")).toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException] {
