@@ -190,7 +190,8 @@ object SparkEntry {
     "q168_semantic_packing" -> (TextQueries.q168SemanticPacking _),
     "q169_length_bias_slope" -> (PreferenceQueries.q169LengthBiasSlope _),
     "q170_dup_profile" -> (TextQueries.q170DupProfile _),
-    "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _)
+    "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _),
+    "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2857,7 +2858,32 @@ object SparkEntry {
         |SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
         |  least(CAST(32 AS BIGINT), n - start_tok) AS n_chunk_toks,
         |  array_to_string(w[start_tok + 1 : start_tok + least(CAST(32 AS BIGINT), n - start_tok)], ' ') AS chunk
-        |FROM s WHERE start_tok = 0 OR start_tok - 24 + 32 < n""".stripMargin
+        |FROM s WHERE start_tok = 0 OR start_tok - 24 + 32 < n""".stripMargin,
+    // q172: branched-conversation training paths — 20-turn blocks,
+    // every 5th turn regenerating from three turns back; recursive
+    // ancestor walk from the leaves, first-visit train flag at the
+    // smallest leaf.
+    "q172_tree_paths" ->
+      """WITH RECURSIVE turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+        |         ELSE doc_id - 1 END AS parent
+        |  FROM documents),
+        |leaves AS (SELECT t.turn AS leaf FROM turns t
+        |  WHERE NOT EXISTS (SELECT 1 FROM turns c WHERE c.parent = t.turn)),
+        |walk(leaf, turn, d) AS (
+        |  SELECT leaf, leaf, 0 FROM leaves
+        |  UNION ALL
+        |  SELECT w.leaf, t.parent, w.d + 1
+        |  FROM walk w JOIN turns t ON t.turn = w.turn
+        |  WHERE t.parent IS NOT NULL),
+        |plen AS (SELECT leaf, max(d) AS len FROM walk GROUP BY 1),
+        |fv AS (SELECT turn, min(leaf) AS first_leaf FROM walk GROUP BY 1)
+        |SELECT t.conv AS conv_id, w.leaf AS path_id,
+        |  CAST(p.len - w.d AS BIGINT) AS pos, w.turn AS turn_id,
+        |  (w.leaf = f.first_leaf) AS train
+        |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
+        |JOIN turns t ON t.turn = w.turn""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over

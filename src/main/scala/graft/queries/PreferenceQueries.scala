@@ -410,6 +410,33 @@ object PreferenceQueries {
       "reward"
     )
 
+  /** Branched-conversation training paths
+    * ([[graft.operators.ConvTree.treePaths]]): the docs table stands
+    * in for a turn store with PARENT pointers — 20-turn conversation
+    * blocks where every 5th turn regenerates from three turns back
+    * (`t%5==4 → parent t−3`), giving each conversation 5 leaves / 5
+    * root→leaf paths with shared prefixes. The operator flattens the
+    * tree to per-path memberships with the first-visit rule: every
+    * turn TRAINS on exactly one path (its smallest leaf) and rides
+    * along mask-off elsewhere, so early turns are not over-weighted
+    * by their fan-out. Anti-join leaves + height-bounded frontier
+    * walk + one turn-keyed min; DuckDB replays with a recursive CTE.
+    */
+  def q172TreePaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ConvTree.treePaths(
+      docs(spark, dir).select(
+        expr("doc_id div 20").as("conv_id"),
+        col("doc_id").as("turn_id"),
+        expr(
+          "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+            "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+        ).as("parent_id")
+      ),
+      "conv_id",
+      "turn_id",
+      "parent_id"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

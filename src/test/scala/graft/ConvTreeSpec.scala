@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConvTree
+
+/** Branched-conversation tree flattening: hand fixture, a full
+  * driver-side replay on random recursive trees (paths, positions,
+  * first-visit flags), the per-turn trains-exactly-once invariant,
+  * and the loud orphan/cycle integrity gates.
+  */
+class ConvTreeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-convtree-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def turnsDf(rows: (Long, Long, Option[Long])*) =
+    rows.toSeq
+      .map { case (c, t, p) => (c, t, p.map(java.lang.Long.valueOf).orNull) }
+      .toDF("conv_id", "turn_id", "parent_id")
+
+  test("hand fixture: two paths share a prefix; the prefix trains on the smaller leaf only") {
+    // 0 -> 1 -> 2 and 1 -> 3 (a regeneration): leaves {2, 3}.
+    val out = ConvTree
+      .treePaths(
+        turnsDf((7L, 0L, None), (7L, 1L, Some(0L)), (7L, 2L, Some(1L)), (7L, 3L, Some(1L))),
+        "conv_id",
+        "turn_id",
+        "parent_id"
+      )
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (2L, 0L, 0L, true), (2L, 1L, 1L, true), (2L, 2L, 2L, true),
+      (3L, 0L, 0L, false), (3L, 1L, 1L, false), (3L, 2L, 3L, true)
+    ))
+  }
+
+  test("random recursive trees: full driver replay; every turn trains exactly once") {
+    val rnd = new scala.util.Random(31137)
+    // 5 conversations, each a random recursive tree of 20 turns
+    val rows = (0 until 5).flatMap { c =>
+      (0 until 20).map { t =>
+        val id = c * 100L + t
+        val parent = if (t == 0) None else Some(c * 100L + rnd.nextInt(t))
+        (c.toLong, id, parent)
+      }
+    }
+    val got = ConvTree
+      .treePaths(turnsDf(rows: _*), "conv_id", "turn_id", "parent_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // driver replay
+    val parent = rows.map(r => r._2 -> r._3).toMap
+    val conv = rows.map(r => r._2 -> r._1).toMap
+    val hasChild = rows.flatMap(_._3).toSet
+    val leaves = rows.map(_._2).filterNot(hasChild)
+    val paths = leaves.map { leaf =>
+      var p = List(leaf)
+      while (parent(p.head).isDefined) p = parent(p.head).get :: p
+      leaf -> p
+    }.toMap
+    val firstLeaf = paths.toSeq
+      .flatMap { case (leaf, p) => p.map(_ -> leaf) }
+      .groupBy(_._1)
+      .map { case (t, ls) => t -> ls.map(_._2).min }
+    val expect = paths.toSeq.flatMap { case (leaf, p) =>
+      p.zipWithIndex.map { case (t, i) =>
+        (conv(t), leaf, i.toLong, t, firstLeaf(t) == leaf)
+      }
+    }.toSet
+    assert(got.toSet == expect)
+    // per-turn exactly-once
+    got.groupBy(_._4).foreach { case (t, g) =>
+      assert(g.count(_._5) == 1, s"turn $t must train exactly once")
+    }
+  }
+
+  test("a pure chain is one path, every turn training") {
+    val out = ConvTree
+      .treePaths(
+        turnsDf((1L, 10L, None), (1L, 11L, Some(10L)), (1L, 12L, Some(11L))),
+        "conv_id", "turn_id", "parent_id")
+      .collect()
+    assert(out.length == 3 && out.forall(_.getBoolean(4)))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSet ==
+      Set((0L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
+  test("integrity gates: orphaned parent and cycles fail loudly") {
+    val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
+    val e1 = intercept[IllegalArgumentException](
+      ConvTree.treePaths(orphan, "conv_id", "turn_id", "parent_id"))
+    assert(e1.getMessage.contains("orphan"), e1.getMessage)
+    // a cycle REACHABLE from a leaf loops the walk: the maxDepth guard fires
+    val cyc = turnsDf((1L, 1L, Some(2L)), (1L, 2L, Some(1L)), (1L, 3L, Some(2L)))
+    val e2 = intercept[IllegalArgumentException](
+      ConvTree.treePaths(cyc, "conv_id", "turn_id", "parent_id", maxDepth = 20))
+    assert(e2.getMessage.contains("cycle"), e2.getMessage)
+    // a cyclic ISLAND (no leaf beneath it) is unreachable from every
+    // leaf: the completeness gate must refuse rather than silently
+    // omit its turns
+    val island = turnsDf((1L, 0L, None), (1L, 1L, Some(2L)), (1L, 2L, Some(1L)))
+    val e3 = intercept[IllegalArgumentException](
+      ConvTree.treePaths(island, "conv_id", "turn_id", "parent_id", maxDepth = 20))
+    assert(e3.getMessage.contains("NO root"), e3.getMessage)
+  }
+}
