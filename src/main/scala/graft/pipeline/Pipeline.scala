@@ -550,6 +550,11 @@ object Pipeline {
   * [--id_col I] [--text_col C]` (sliding-window chunking: the
   * embedding/retrieval prep pass — overlapping token windows per
   * document), and
+  * `--maintenance tree_paths --turns T --out O [--conv_col C]
+  * [--turn_col K] [--parent_col P] [--max_depth N]`
+  * (branched-conversation flattening: parent-pointer turns ->
+  * per-(path, turn) memberships with first-visit train flags;
+  * orphans, cycles, and cyclic islands refused loudly), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -2298,6 +2303,21 @@ object PipelineRunner {
           .slidingChunks(spark.read.parquet(docsPath), idCol, textCol, window, stride)
         val n = Pipeline.writeCounted(chunks, out)
         println(s"[maintenance] chunk: $n chunk(s) (window $window, stride $stride) to $out")
+      case Some("tree_paths") =>
+        // Branched-conversation flattening (ConvTree.treePaths): a
+        // parent-pointer turn store -> per-(path, turn) memberships
+        // with first-visit train flags. The SFT prep step ahead of
+        // rendering/masking when conversations branch.
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_id")
+        val parentCol = opts.getOrElse("parent_col", "parent_id")
+        val maxDepth = opts.getOrElse("max_depth", "10000").toInt
+        val paths = graft.operators.ConvTree
+          .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
+        val n = Pipeline.writeCounted(paths, out)
+        println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or
         // any packArrays-shaped parquet) back to text through the

@@ -93,6 +93,20 @@ class ConvTreeSpec extends AnyFunSuite {
       Set((0L, 10L), (1L, 11L), (2L, 12L)))
   }
 
+  test("tree_paths CLI verb lands the library's memberships") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tree-cli").toString
+    val df = turnsDf((7L, 0L, None), (7L, 1L, Some(0L)), (7L, 2L, Some(1L)), (7L, 3L, Some(1L)))
+    df.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "tree_paths", "--turns", s"$root/turns",
+      "--out", s"$root/paths"), spark)
+    val got = spark.read.parquet(s"$root/paths")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    val lib = ConvTree.treePaths(df, "conv_id", "turn_id", "parent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == lib)
+  }
+
   test("integrity gates: orphaned parent and cycles fail loudly") {
     val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
     val e1 = intercept[IllegalArgumentException](
