@@ -24,18 +24,27 @@ import org.apache.spark.sql.functions._
   * token-space loss masks.
   *
   * Scale shape: leaves are an anti-join on the parent pointer; the
-  * ancestor walk is an iterative frontier join (one keyed join +
-  * `localCheckpoint` lineage cut per round, rounds = tree HEIGHT —
-  * dialogue length, never corpus size), materializing the inherent
-  * O(paths × depth) membership rows; the first-visit rule is one
-  * turn-keyed min. No windows over anything corpus-sized; content
-  * never enters this operator at all (structure only).
+  * ancestor closure is built by POINTER DOUBLING — round k holds
+  * every (descendant, ancestor, distance) pair with distance ≤ 2^k,
+  * and one self-join on the middle node doubles the horizon — so the
+  * round count is log₂(tree height), not height (a 1000-turn
+  * dialogue closes in 10 rounds instead of 1000; each round is a
+  * cluster synchronization barrier, which is exactly what log-depth
+  * buys down). Each round is one keyed self-join + distinct +
+  * `localCheckpoint` lineage cut over rows the OUTPUT already owns
+  * (the closure is O(Σ per-node depth) — the same order as the
+  * O(paths × depth) membership table being materialized); the
+  * first-visit rule is one turn-keyed min. No windows over anything
+  * corpus-sized; content never enters this operator at all
+  * (structure only).
   *
   * Integrity: a non-null parent pointing at a missing turn fails
   * LOUDLY up front (the walk would silently treat the orphan as a
-  * root and emit a truncated path); a parent cycle fails loudly via
-  * the `maxDepth` round guard (the walk would otherwise never
-  * terminate).
+  * root and emit a truncated path); ANY parent cycle — leaf-reachable
+  * or an isolated island — fails loudly via the doubling round guard
+  * (a cycle makes distances unbounded, so the closure grows past the
+  * `maxDepth` horizon); a belt-and-braces completeness gate refuses
+  * any turn that lands on no path.
   */
 object ConvTree {
 
@@ -77,33 +86,69 @@ object ConvTree {
         "left_anti"
       )
       .select(col("__turn").as("__leaf"))
-    val parentOf = t.select(col("__turn"), col("__parent"))
-    // Ancestor walk: frontier = (leaf, current turn, distance-from-leaf).
-    var frontier = leaves
-      .select(col("__leaf"), col("__leaf").as("__at"), lit(0).as("__d"))
+    // Ancestor closure by pointer doubling: after round k, `cl` holds
+    // every proper (descendant, ancestor, distance) pair with
+    // distance ≤ 2^k — in a tree each (desc, anc) pair has exactly
+    // one distance, so the distinct is exact. A CYCLE makes distances
+    // unbounded, so the closure would grow past every horizon: the
+    // round guard (log₂ maxDepth + slack) converts that into a loud
+    // failure instead of a runaway job.
+    var cl = t
+      .filter(col("__parent").isNotNull)
+      .select(col("__turn").as("__desc"), col("__parent").as("__anc"), lit(1L).as("__dist"))
       .localCheckpoint()
-    var acc = frontier
+    val maxRounds =
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxDepth.toLong - 1L, 1L))) + 1
     var rounds = 0
-    var more = frontier.limit(1).count() > 0
-    while (more) {
+    var n = cl.count()
+    var growing = n > 0
+    while (growing) {
       rounds += 1
       require(
-        rounds <= maxDepth,
-        s"treePaths: ancestor walk exceeded maxDepth=$maxDepth rounds — the parent " +
-          "pointers contain a cycle (or raise maxDepth for genuinely deeper trees)"
+        rounds <= maxRounds,
+        s"treePaths: ancestor closure still growing after $rounds doubling rounds " +
+          s"(horizon 2^$rounds > maxDepth=$maxDepth) — the parent pointers contain a " +
+          "cycle (or raise maxDepth for genuinely deeper trees)"
       )
-      frontier = frontier
-        .join(parentOf, frontier("__at") === parentOf("__turn"))
-        .filter(col("__parent").isNotNull)
-        .select(col("__leaf"), col("__parent").as("__at"), (col("__d") + 1).as("__d"))
-        .localCheckpoint()
-      more = frontier.limit(1).count() > 0
-      if (more) acc = acc.unionByName(frontier)
+      val a = cl.select(
+        col("__desc"),
+        col("__anc").as("__mid"),
+        col("__dist").as("__d1")
+      )
+      val b = cl.select(
+        col("__desc").as("__mid"),
+        col("__anc"),
+        col("__dist").as("__d2")
+      )
+      val doubled = a
+        .join(b, Seq("__mid"))
+        .select(col("__desc"), col("__anc"), (col("__d1") + col("__d2")).as("__dist"))
+      val next = cl.unionByName(doubled).distinct().localCheckpoint()
+      val n2 = next.count()
+      growing = n2 > n
+      cl = next
+      n = n2
     }
-    // Completeness gate: every turn must sit on at least one path. A
-    // parent CYCLE with no leaf beneath it is unreachable from every
-    // leaf, so the walk would otherwise just silently omit its turns
-    // (and anything chained above them) from the flattened output.
+    // Memberships: each leaf's own row at distance 0 plus its closure
+    // ancestors — (__leaf, __at, __d) exactly as the linear walk
+    // would emit them.
+    var acc = leaves
+      .select(col("__leaf"), col("__leaf").as("__at"), lit(0L).as("__d"))
+      .unionByName(
+        cl.join(leaves.select(col("__leaf").as("__desc")), Seq("__desc"))
+          .select(
+            col("__desc").as("__leaf"),
+            col("__anc").as("__at"),
+            col("__dist").as("__d")
+          )
+      )
+    // Completeness gate: every turn must sit on at least one path. In
+    // an acyclic forest every node has a descendant leaf, and the
+    // doubling closure's round guard already refuses every cycle
+    // (islands included — the closure covers ALL nodes, not just
+    // leaf-reachable ones), so this is defense-in-depth: if a future
+    // change ever lets a turn fall off every path, it fails HERE,
+    // loudly, instead of silently shrinking the training corpus.
     val unreached = t
       .join(acc.select(col("__at").as("__turn")).distinct(), Seq("__turn"), "left_anti")
       .select(col("__turn"))

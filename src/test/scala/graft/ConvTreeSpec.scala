@@ -117,12 +117,12 @@ class ConvTreeSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       ConvTree.treePaths(cyc, "conv_id", "turn_id", "parent_id", maxDepth = 20))
     assert(e2.getMessage.contains("cycle"), e2.getMessage)
-    // a cyclic ISLAND (no leaf beneath it) is unreachable from every
-    // leaf: the completeness gate must refuse rather than silently
-    // omit its turns
+    // a cyclic ISLAND (no leaf beneath it) would be silently omitted
+    // by a leaf-rooted walk; the doubling closure covers ALL nodes,
+    // so the same cycle guard refuses it uniformly
     val island = turnsDf((1L, 0L, None), (1L, 1L, Some(2L)), (1L, 2L, Some(1L)))
     val e3 = intercept[IllegalArgumentException](
       ConvTree.treePaths(island, "conv_id", "turn_id", "parent_id", maxDepth = 20))
-    assert(e3.getMessage.contains("NO root"), e3.getMessage)
+    assert(e3.getMessage.contains("cycle"), e3.getMessage)
   }
 }
