@@ -191,7 +191,8 @@ object SparkEntry {
     "q169_length_bias_slope" -> (PreferenceQueries.q169LengthBiasSlope _),
     "q170_dup_profile" -> (TextQueries.q170DupProfile _),
     "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _),
-    "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _)
+    "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _),
+    "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2883,7 +2884,26 @@ object SparkEntry {
         |  CAST(p.len - w.d AS BIGINT) AS pos, w.turn AS turn_id,
         |  (w.leaf = f.first_leaf) AS train
         |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
-        |JOIN turns t ON t.turn = w.turn""".stripMargin
+        |JOIN turns t ON t.turn = w.turn""".stripMargin,
+    // q173: few-shot prompt assembly — 3 seeded-hash shots per eval
+    // item from the train pool's dense doc-id rank, rendered
+    // shot1 shot2 shot3 query; shot ids as a joined string.
+    "q173_fewshot_prompts" ->
+      """WITH tr AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tr),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |sl AS (SELECT e.doc_id, e.text AS q, s.slot,
+        |    CAST(concat('0x', substr(md5(concat('fs_', CAST(e.doc_id AS VARCHAR), '_',
+        |      CAST(s.slot AS VARCHAR))), 1, 7)) AS BIGINT) % n.nt AS rnk
+        |  FROM ev e, (SELECT unnest(range(0, 3)) AS slot) s, n),
+        |j AS (SELECT sl.doc_id, sl.q, sl.slot, tr.doc_id AS shot_id, tr.text AS stext
+        |  FROM sl JOIN tr USING (rnk))
+        |SELECT doc_id,
+        |  string_agg(CAST(shot_id AS VARCHAR), ',' ORDER BY slot) AS shot_ids,
+        |  string_agg(stext, ' ' ORDER BY slot) || ' ' || min(q) AS prompt
+        |FROM j GROUP BY doc_id""".stripMargin
   )
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over

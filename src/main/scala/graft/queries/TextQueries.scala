@@ -2677,6 +2677,35 @@ object TextQueries {
       stride = 24L
     )
 
+  /** Few-shot prompt assembly ([[graft.operators.FewShot.assemble]]):
+    * docs with `doc_id % 10 == 0` stand in for the eval set, the rest
+    * are the demonstration pool — every eval item gets 3 seeded-hash
+    * shots from the TRAIN pool only (leakage-safe by construction:
+    * the eval table never enters the shot join) and the rendered
+    * `shot₁ shot₂ shot₃ query` prompt. Shot ids project as a joined
+    * STRING (the q128 lesson: raw arrays break the checker's hash).
+    * Dense-rank the pool once (two-pass), k-row explode, one
+    * rank-keyed join, one eval-keyed render agg; DuckDB replays the
+    * hash, the rank, and the ordered string_aggs.
+    */
+  def q173FewshotPrompts(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    graft.operators.FewShot
+      .assemble(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text",
+        k = 3,
+        seed = "fs"
+      )
+      .select(
+        col("doc_id"),
+        expr("array_join(transform(shot_ids, x -> cast(x as string)), ',')").as("shot_ids"),
+        col("prompt")
+      )
+  }
+
   /** Duplication profile ([[graft.operators.Dedup.dupProfile]]): the
     * histogram of near-dup cluster sizes over the q21 Jaccard pair
     * closure — per size k: clusters, documents, micro-share of the
