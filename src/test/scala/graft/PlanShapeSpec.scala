@@ -807,6 +807,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!planOf(df).contains("SortMergeJoin"), "broadcast-sized probes must not SMJ")
   }
 
+  test("q168/q173: composition windows stay partition-bounded — never a corpus single task") {
+    // q168 (semantic packing): the per-cluster layout's running sums
+    // ride (group, shard)-partitioned windows; q173 (few-shot): the
+    // only windows are the pool rank's pid-partitioned two-pass. An
+    // unpartitioned window in either would be a corpus-sized single
+    // task — the exact failure mode the two-pass discipline exists to
+    // prevent.
+    for (
+      (name, df) <- Seq(
+        "q168" -> queries.TextQueries.q168SemanticPacking(spark, sf),
+        "q173" -> queries.TextQueries.q173FewshotPrompts(spark, sf)
+      )
+    ) {
+      val gw = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(gw.isEmpty, s"$name: unpartitioned window")
+      assert(!planOf(df).contains("CartesianProduct"), s"$name: cartesian")
+    }
+  }
+
   test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
     // DSIR's scale claims: the scoring pass joins the bucket table
     // BROADCAST (it is O(buckets) by construction — the corpus side
