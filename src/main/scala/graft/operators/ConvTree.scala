@@ -17,11 +17,23 @@ import org.apache.spark.sql.functions._
   * path stays structurally intact for context.
   *
   * Output: `(conv_id, path_id, pos, turn_id, train)` — one row per
-  * (path, turn) membership, `path_id` = the path's leaf turn id,
-  * `pos` the turn's 0-based position from the root, `train` the
-  * first-visit flag. Compose with [[Preference.roleMaskIntervals]]
-  * (rendered per path, the `train` flag AND the role filter) to get
-  * token-space loss masks.
+  * (path, turn) membership, `path_id` = the path's leaf turn id
+  * (unique WITHIN a conversation; `(conv_id, path_id)` is the global
+  * path key), `pos` the turn's 0-based position from the root,
+  * `train` the first-visit flag. Compose with
+  * [[Preference.roleMaskIntervals]] (rendered per path, the `train`
+  * flag AND the role filter) to get token-space loss masks.
+  *
+  * KEYING: every join — leaf anti-join, ancestor closure, first-visit
+  * min — is keyed by `(conv, turn)`, so turn ids only need to be
+  * unique WITHIN their conversation. The most common turn-store shape
+  * numbers turns 0..n per conversation; a bare-turn-id closure would
+  * silently splice every conversation's turn 1 onto every
+  * conversation's turn 0 while all integrity gates pass. Parent
+  * pointers must resolve within the SAME conversation (a cross-
+  * conversation parent is refused as an orphan), and a duplicated
+  * `(conv, turn)` row is refused up front — it would silently fan
+  * out every closure join.
   *
   * Scale shape: leaves are an anti-join on the parent pointer; the
   * ancestor closure is built by POINTER DOUBLING — round k holds
@@ -38,11 +50,13 @@ import org.apache.spark.sql.functions._
   * corpus-sized; content never enters this operator at all
   * (structure only).
   *
-  * Integrity: a non-null parent pointing at a missing turn fails
-  * LOUDLY up front (the walk would silently treat the orphan as a
-  * root and emit a truncated path); ANY parent cycle — leaf-reachable
-  * or an isolated island — fails loudly via the doubling round guard
-  * (a cycle makes distances unbounded, so the closure grows past the
+  * Integrity: a duplicated `(conv, turn)` key fails LOUDLY up front
+  * (one O(turns) agg, the `requireNumericId` discipline); a non-null
+  * parent pointing at a missing turn in its conversation fails
+  * LOUDLY (the walk would silently treat the orphan as a root and
+  * emit a truncated path); ANY parent cycle — leaf-reachable or an
+  * isolated island — fails loudly via the doubling round guard (a
+  * cycle makes distances unbounded, so the closure grows past the
   * `maxDepth` horizon); a belt-and-braces completeness gate refuses
   * any turn that lands on no path.
   */
@@ -61,33 +75,55 @@ object ConvTree {
       col(turnCol).as("__turn"),
       col(parentCol).as("__parent")
     )
-    // Loud integrity gate: every non-null parent must be a turn.
+    // Loud uniqueness gate: (conv, turn) must be a key. A duplicate
+    // would silently fan out every closure join below (duplicated
+    // memberships, wrong train flags) — refuse it up front with one
+    // O(turns) aggregate.
+    val u = t
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("__conv"), col("__turn")).as("nd")
+      )
+      .collect()(0)
+    require(
+      u.getLong(0) == u.getLong(1),
+      s"treePaths: ($convCol, $turnCol) is not unique — ${u.getLong(0)} rows but only " +
+        s"${u.getLong(1)} distinct keys; a duplicated turn row would silently fan out " +
+        "every path join. Deduplicate the turn store first."
+    )
+    // Loud integrity gate: every non-null parent must be a turn IN
+    // THE SAME CONVERSATION (the closure never crosses conversations,
+    // so a cross-conversation pointer is an orphan here by design).
     val orphans = t
       .filter(col("__parent").isNotNull)
       .join(
-        t.select(col("__turn").as("__parent")),
-        Seq("__parent"),
+        t.select(col("__conv"), col("__turn").as("__parent")),
+        Seq("__conv", "__parent"),
         "left_anti"
       )
-      .select(col("__turn"), col("__parent"))
+      .select(col("__conv"), col("__turn"), col("__parent"))
       .limit(1)
       .collect()
     require(
       orphans.isEmpty,
-      s"treePaths: turn ${orphans.headOption.map(_.get(0)).orNull} has parent " +
-        s"${orphans.headOption.map(_.get(1)).orNull} which is not a turn — an orphaned " +
-        "pointer would silently truncate its path at the orphan instead of the root"
+      s"treePaths: turn ${orphans.headOption.map(_.get(1)).orNull} in conversation " +
+        s"${orphans.headOption.map(_.get(0)).orNull} has parent " +
+        s"${orphans.headOption.map(_.get(2)).orNull} which is not a turn of that " +
+        "conversation — an orphaned pointer would silently truncate its path at the " +
+        "orphan instead of the root"
     )
-    // Leaves: turns no other turn points at.
+    // Leaves: turns no other turn (in the same conversation) points at.
     val leaves = t
       .join(
-        t.filter(col("__parent").isNotNull).select(col("__parent").as("__turn")).distinct(),
-        Seq("__turn"),
+        t.filter(col("__parent").isNotNull)
+          .select(col("__conv"), col("__parent").as("__turn"))
+          .distinct(),
+        Seq("__conv", "__turn"),
         "left_anti"
       )
-      .select(col("__turn").as("__leaf"))
+      .select(col("__conv"), col("__turn").as("__leaf"))
     // Ancestor closure by pointer doubling: after round k, `cl` holds
-    // every proper (descendant, ancestor, distance) pair with
+    // every proper (conv, descendant, ancestor, distance) pair with
     // distance ≤ 2^k — in a tree each (desc, anc) pair has exactly
     // one distance, so the distinct is exact. A CYCLE makes distances
     // unbounded, so the closure would grow past every horizon: the
@@ -95,7 +131,12 @@ object ConvTree {
     // failure instead of a runaway job.
     var cl = t
       .filter(col("__parent").isNotNull)
-      .select(col("__turn").as("__desc"), col("__parent").as("__anc"), lit(1L).as("__dist"))
+      .select(
+        col("__conv"),
+        col("__turn").as("__desc"),
+        col("__parent").as("__anc"),
+        lit(1L).as("__dist")
+      )
       .localCheckpoint()
     val maxRounds =
       (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxDepth.toLong - 1L, 1L))) + 1
@@ -111,18 +152,25 @@ object ConvTree {
           "cycle (or raise maxDepth for genuinely deeper trees)"
       )
       val a = cl.select(
+        col("__conv"),
         col("__desc"),
         col("__anc").as("__mid"),
         col("__dist").as("__d1")
       )
       val b = cl.select(
+        col("__conv"),
         col("__desc").as("__mid"),
         col("__anc"),
         col("__dist").as("__d2")
       )
       val doubled = a
-        .join(b, Seq("__mid"))
-        .select(col("__desc"), col("__anc"), (col("__d1") + col("__d2")).as("__dist"))
+        .join(b, Seq("__conv", "__mid"))
+        .select(
+          col("__conv"),
+          col("__desc"),
+          col("__anc"),
+          (col("__d1") + col("__d2")).as("__dist")
+        )
       val next = cl.unionByName(doubled).distinct().localCheckpoint()
       val n2 = next.count()
       growing = n2 > n
@@ -130,17 +178,20 @@ object ConvTree {
       n = n2
     }
     // Memberships: each leaf's own row at distance 0 plus its closure
-    // ancestors — (__leaf, __at, __d) exactly as the linear walk
-    // would emit them.
-    var acc = leaves
-      .select(col("__leaf"), col("__leaf").as("__at"), lit(0L).as("__d"))
+    // ancestors — (__conv, __leaf, __at, __d) exactly as the linear
+    // walk would emit them.
+    val acc = leaves
+      .select(col("__conv"), col("__leaf"), col("__leaf").as("__at"), lit(0L).as("__d"))
       .unionByName(
-        cl.join(leaves.select(col("__leaf").as("__desc")), Seq("__desc"))
-          .select(
-            col("__desc").as("__leaf"),
-            col("__anc").as("__at"),
-            col("__dist").as("__d")
-          )
+        cl.join(
+          leaves.select(col("__conv"), col("__leaf").as("__desc")),
+          Seq("__conv", "__desc")
+        ).select(
+          col("__conv"),
+          col("__desc").as("__leaf"),
+          col("__anc").as("__at"),
+          col("__dist").as("__d")
+        )
       )
     // Completeness gate: every turn must sit on at least one path. In
     // an acyclic forest every node has a descendant leaf, and the
@@ -150,22 +201,28 @@ object ConvTree {
     // change ever lets a turn fall off every path, it fails HERE,
     // loudly, instead of silently shrinking the training corpus.
     val unreached = t
-      .join(acc.select(col("__at").as("__turn")).distinct(), Seq("__turn"), "left_anti")
-      .select(col("__turn"))
+      .join(
+        acc.select(col("__conv"), col("__at").as("__turn")).distinct(),
+        Seq("__conv", "__turn"),
+        "left_anti"
+      )
+      .select(col("__conv"), col("__turn"))
       .limit(1)
       .collect()
     require(
       unreached.isEmpty,
-      s"treePaths: turn ${unreached.headOption.map(_.get(0)).orNull} is on NO root→leaf " +
-        "path — a parent cycle with no leaf beneath it (the walk starts at leaves, so a " +
-        "cyclic island is unreachable); fix the parent pointers"
+      s"treePaths: turn ${unreached.headOption.map(_.get(1)).orNull} in conversation " +
+        s"${unreached.headOption.map(_.get(0)).orNull} is on NO root→leaf path — a " +
+        "parent cycle with no leaf beneath it (the walk starts at leaves, so a cyclic " +
+        "island is unreachable); fix the parent pointers"
     )
-    val pathLen = acc.groupBy(col("__leaf")).agg(max(col("__d")).as("__len"))
-    val firstVisit = acc.groupBy(col("__at")).agg(min(col("__leaf")).as("__first_leaf"))
+    val pathLen =
+      acc.groupBy(col("__conv"), col("__leaf")).agg(max(col("__d")).as("__len"))
+    val firstVisit =
+      acc.groupBy(col("__conv"), col("__at")).agg(min(col("__leaf")).as("__first_leaf"))
     acc
-      .join(pathLen, Seq("__leaf"))
-      .join(firstVisit, Seq("__at"))
-      .join(t.select(col("__turn").as("__at"), col("__conv")), Seq("__at"))
+      .join(pathLen, Seq("__conv", "__leaf"))
+      .join(firstVisit, Seq("__conv", "__at"))
       .select(
         col("__conv").as("conv_id"),
         col("__leaf").as("path_id"),

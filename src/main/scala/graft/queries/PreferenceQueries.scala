@@ -419,8 +419,10 @@ object PreferenceQueries {
     * tree to per-path memberships with the first-visit rule: every
     * turn TRAINS on exactly one path (its smallest leaf) and rides
     * along mask-off elsewhere, so early turns are not over-weighted
-    * by their fan-out. Anti-join leaves + height-bounded frontier
-    * walk + one turn-keyed min; DuckDB replays with a recursive CTE.
+    * by their fan-out. Anti-join leaves + pointer-doubling ancestor
+    * closure (log₂(depth) keyed self-joins, everything keyed by
+    * (conv, turn)) + one turn-keyed min; DuckDB replays with a
+    * recursive CTE.
     */
   def q172TreePaths(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ConvTree.treePaths(

@@ -82,6 +82,55 @@ class ConvTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("per-conversation-restarting turn ids: the closure never crosses conversations") {
+    // The most common turn-store shape: ids number 0..n PER
+    // conversation. A bare-turn-id closure would splice every
+    // conversation's turn 1 onto every conversation's turn 0 (and the
+    // orphan/cycle gates would all pass); conv-keyed joins must
+    // instead produce each conversation's own paths, independently.
+    //   conv 1: 0 -> 1 -> 2 and 1 -> 3   (two paths, shared prefix)
+    //   conv 2: 0 -> 1                   (one chain)
+    val out = ConvTree
+      .treePaths(
+        turnsDf(
+          (1L, 0L, None), (1L, 1L, Some(0L)), (1L, 2L, Some(1L)), (1L, 3L, Some(1L)),
+          (2L, 0L, None), (2L, 1L, Some(0L))
+        ),
+        "conv_id",
+        "turn_id",
+        "parent_id"
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, 2L, 0L, 0L, true), (1L, 2L, 1L, 1L, true), (1L, 2L, 2L, 2L, true),
+      (1L, 3L, 0L, 0L, false), (1L, 3L, 1L, 1L, false), (1L, 3L, 2L, 3L, true),
+      (2L, 1L, 0L, 0L, true), (2L, 1L, 1L, 1L, true)
+    ))
+    // per-(conv, turn) exactly-once, across BOTH conversations
+    out.groupBy(r => (r._1, r._4)).foreach { case (k, g) =>
+      assert(g.count(_._5) == 1, s"(conv, turn) $k must train exactly once")
+    }
+  }
+
+  test("duplicated (conv, turn) keys are refused loudly") {
+    val dup = turnsDf((1L, 0L, None), (1L, 1L, Some(0L)), (1L, 1L, Some(0L)))
+    val e = intercept[IllegalArgumentException](
+      ConvTree.treePaths(dup, "conv_id", "turn_id", "parent_id"))
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
+
+  test("a cross-conversation parent pointer is refused as an orphan") {
+    // conv 2's turn 1 points at an id that only exists in conv 1 —
+    // the closure never crosses conversations, so this must fail
+    // loudly instead of silently truncating conv 2's path.
+    val cross = turnsDf((1L, 7L, None), (2L, 0L, None), (2L, 1L, Some(7L)))
+    val e = intercept[IllegalArgumentException](
+      ConvTree.treePaths(cross, "conv_id", "turn_id", "parent_id"))
+    assert(e.getMessage.contains("orphan"), e.getMessage)
+  }
+
   test("a pure chain is one path, every turn training") {
     val out = ConvTree
       .treePaths(

@@ -65,6 +65,65 @@ class FewShotSpec extends AnyFunSuite {
     assert(run("a") != run("b"))
   }
 
+  test("an empty train pool is refused loudly (both variants)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ev = eval.toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      FewShot.assemble(empty, ev, "doc_id", "text", 3, "s"))
+    assert(e1.getMessage.contains("EMPTY"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      FewShot.assembleDistinct(empty, ev, "doc_id", "text", 3, "s"))
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
+  test("assembleDistinct: k > |train| is refused by pigeonhole") {
+    val tr = (0L until 2L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      FewShot.assembleDistinct(tr, eval.toDF("doc_id", "text"), "doc_id", "text", 3, "s"))
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+  }
+
+  test("assembleDistinct: k distinct shots whenever k <= |train|, even at pool exhaustion") {
+    // pool of exactly k: every eval item must receive ALL k shots
+    // (the independent-slots form collides with probability
+    // 1 - k!/k^k — certain to repeat somewhere over 20 items)
+    val tr = (0L until 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val ev = (100L until 120L).map(i => (i, s"e$i")).toDF("doc_id", "text")
+    val rows = FewShot.assembleDistinct(tr, ev, "doc_id", "text", 4, "zz")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(rows.length == 20)
+    rows.foreach { case (eid, shots) =>
+      assert(shots.toSet == Set(0L, 1L, 2L, 3L), s"eval $eid must draw the whole pool, got $shots")
+    }
+    // and the independent-slots form demonstrably collides on this fixture
+    val indep = FewShot.assemble(tr, ev, "doc_id", "text", 4, "zz")
+      .collect().map(_.getSeq[Long](1))
+    assert(indep.exists(s => s.distinct.length < s.length),
+      "fixture must make independent slots collide, or this test proves nothing")
+  }
+
+  test("assembleDistinct: driver replay of the linear probe; non-colliding slots match assemble") {
+    val trSeq = (0L until 7L).map(i => (i * 3, s"t$i")) // ids 0,3,..,18
+    val tr = trSeq.toDF("doc_id", "text")
+    val ev = (100L until 110L).map(i => (i, s"e$i")).toDF("doc_id", "text")
+    val k = 5
+    val got = FewShot.assembleDistinct(tr, ev, "doc_id", "text", k, "pr")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getString(2)))).toMap
+    val pool = trSeq.sortBy(_._1)
+    val n = pool.length
+    (100L until 110L).foreach { eid =>
+      var taken = List.empty[Long]
+      val shots = (0 until k).map { slot =>
+        val base = h28(s"pr_${eid}_$slot") % n
+        val rank = (0 until k).map(p => (base + p) % n).find(c => !taken.contains(c)).get
+        taken = taken :+ rank
+        pool(rank.toInt)
+      }
+      assert(got(eid)._1 == shots.map(_._1), s"eval $eid shot ids")
+      assert(got(eid)._2 == shots.map(_._2).mkString(" ") + s" e$eid", s"eval $eid prompt")
+    }
+  }
+
   test("k must be positive") {
     val e = intercept[IllegalArgumentException](
       FewShot.assemble(train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
