@@ -445,27 +445,119 @@ object Preference {
       statePath: String,
       appliedId: Option[Long] = None
   ): DataFrame = {
+    requireKeysNotReserved(Seq(promptCol, policyCol), Set("best"), "winIngest")
+    requireStateKeysAgree(spark, statePath, Seq(promptCol, policyCol), "winIngest")
     val partial = batch
       .groupBy(col(promptCol), col(policyCol))
       .agg(max(col(scoreCol)).as("best"))
-    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
+    val out = Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
       old
         .unionByName(p)
         .groupBy(col(promptCol), col(policyCol))
         .agg(max(col("best")).as("best"))
     }
+    recordStateKeys(spark, statePath, Seq(promptCol, policyCol))
+    out
+  }
+
+  // ─────────────── state key-column sidecar ───────────────
+  //
+  // The fold states carry their KEY COLUMN NAMES in a `_state_keys`
+  // sidecar (one name per line — the `_buckets` discipline): the
+  // `FromState` readers used to infer the prompt/policy columns by
+  // ELIMINATING the known value-column names from the schema, which
+  // silently misreads a prompt column literally named `best` (or
+  // `chosen_id` etc.). The sidecar is re-recorded after EVERY fold
+  // (the atomic swap replaces the whole state dir), including the
+  // applied-retry no-op path — so a legacy state migrates by
+  // replaying any batch. A fold whose key names disagree with the
+  // recorded ones is refused LOUDLY before touching the state.
+
+  private def requireKeysNotReserved(
+      keys: Seq[String],
+      reserved: Set[String],
+      caller: String
+  ): Unit =
+    keys.filter(reserved).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$caller: key column '$k' collides with the state's reserved value column " +
+          s"names [${reserved.toSeq.sorted.mkString(", ")}] — the state schema could " +
+          "not distinguish them; rename the column before ingesting"
+      )
+    }
+
+  private def stateKeysOf(spark: SparkSession, statePath: String): Option[Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance
+      .readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_state_keys"))
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  private def requireStateKeysAgree(
+      spark: SparkSession,
+      statePath: String,
+      keys: Seq[String],
+      caller: String
+  ): Unit =
+    stateKeysOf(spark, statePath).foreach { stored =>
+      require(
+        stored == keys,
+        s"$caller: state at $statePath was built with key column(s) " +
+          s"[${stored.mkString(", ")}] but this fold uses [${keys.mkString(", ")}] — a " +
+          "mis-keyed fold would silently corrupt the accumulated state; point at a " +
+          "fresh state dir or pass the recorded key columns"
+      )
+    }
+
+  private def recordStateKeys(spark: SparkSession, statePath: String, keys: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      Maintenance.writeTextFile(
+        fs,
+        new org.apache.hadoop.fs.Path(root, "_state_keys"),
+        keys.mkString("\n")
+      )
+  }
+
+  private def requireStateKeys(
+      spark: SparkSession,
+      statePath: String,
+      n: Int,
+      caller: String,
+      ingest: String
+  ): Seq[String] = {
+    val keys = stateKeysOf(spark, statePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$caller: no _state_keys sidecar at $statePath — the state predates key " +
+          "recording, and inferring the key columns from the schema silently misreads " +
+          s"a key column named like a value column; replay any $ingest batch (an " +
+          "applied-id retry is a no-op that still records the keys) or write " +
+          "_state_keys by hand (one column name per line)"
+      )
+    )
+    require(
+      keys.length == n,
+      s"$caller: _state_keys at $statePath records ${keys.length} key column(s) " +
+        s"[${keys.mkString(", ")}], expected $n — the sidecar does not match this " +
+        "state family"
+    )
+    keys
   }
 
   /** The current head-to-head matrix from a [[winIngest]] state table —
     * the same output contract as [[winMatrix]] (each unordered policy
     * pair once, `policy_a < policy_b`, wins/ties partitioning the
     * shared prompts; prompts where either policy has no response yet
-    * are excluded by the inner pairing join).
+    * are excluded by the inner pairing join). The prompt/policy
+    * column names come from the state's `_state_keys` sidecar — never
+    * inferred from the schema.
     */
   def winMatrixFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val Seq(promptCol, policyCol) =
+      requireStateKeys(spark, statePath, 2, "winMatrixFromState", "winIngest")
     val st = spark.read.parquet(statePath)
-    val promptCol = st.columns.filterNot(Set("best")).head
-    val policyCol = st.columns.filterNot(Set(promptCol, "best")).head
     matrixFromBest(st, promptCol, policyCol)
   }
 
@@ -750,6 +842,12 @@ object Preference {
       appliedId: Option[Long] = None
   ): DataFrame = {
     requireNumericId(batch, idCol, "pairIngest")
+    requireKeysNotReserved(
+      Seq(promptCol),
+      Set("chosen_id", "chosen_score", "rejected_id", "rejected_score"),
+      "pairIngest"
+    )
+    requireStateKeysAgree(spark, statePath, Seq(promptCol), "pairIngest")
     val partial = batch
       .groupBy(col(promptCol))
       .agg(
@@ -763,7 +861,7 @@ object Preference {
         col("r")("id").as("rejected_id"),
         col("r")("s").as("rejected_score")
       )
-    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
+    val out = Maintenance.foldState(spark, statePath, appliedId, partial) { (old, p) =>
       old
         .unionByName(p)
         .groupBy(col(promptCol))
@@ -781,17 +879,20 @@ object Preference {
           col("r")("s").as("rejected_score")
         )
     }
+    recordStateKeys(spark, statePath, Seq(promptCol))
+    out
   }
 
   /** The current preference pairs from a [[pairIngest]] state table —
     * the same output contract as [[preferencePairs]] (strict positive
-    * margin; zero-margin prompts carry state but emit no pair).
+    * margin; zero-margin prompts carry state but emit no pair). The
+    * prompt column name comes from the state's `_state_keys` sidecar —
+    * never inferred from the schema.
     */
   def pairsFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val Seq(promptCol) =
+      requireStateKeys(spark, statePath, 1, "pairsFromState", "pairIngest")
     val st = spark.read.parquet(statePath)
-    val promptCol = st.columns
-      .filterNot(Set("chosen_id", "chosen_score", "rejected_id", "rejected_score"))
-      .head
     st.select(
       col(promptCol),
       col("chosen_id"),

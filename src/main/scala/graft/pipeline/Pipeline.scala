@@ -2259,10 +2259,15 @@ object PipelineRunner {
         graft.streaming.StreamingPipeline
           .dsirScore(spark, raw, weights, out, ckpt, docSchema)
           .awaitTermination()
-        val nScored = spark.read
-          .option("basePath", out)
-          .parquet(out)
-          .count()
+        // A drain that landed ZERO batches (empty --raw dir) leaves no
+        // score_batch= children — reading the bare out dir would throw
+        // and turn a successful no-op drain into a CLI failure.
+        val outHPath = new org.apache.hadoop.fs.Path(out)
+        val outFs = outHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasBatches = outFs.exists(outHPath) &&
+          outFs.listStatus(outHPath).exists(_.getPath.getName.startsWith("score_batch="))
+        val nScored =
+          if (hasBatches) spark.read.option("basePath", out).parquet(out).count() else 0L
         println(s"[maintenance] dsir stream drained: $nScored scored doc row(s) under $out")
       case Some("vocab_coverage") =>
         // Tokenizer-sizing audit (Vocab.coverageCurve): per coverage

@@ -757,6 +757,70 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("a key column named like a state value column is refused loudly, not misread") {
+    // the old schema-elimination inference misread this shape
+    // silently (and the state write would collide); both ingests now
+    // refuse reserved names up front
+    val df = Seq(("q1", "a", 10L), ("q1", "b", 7L)).toDF("best", "policy", "score")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-win-keys")
+      .resolve("state")
+      .toString
+    val e = intercept[IllegalArgumentException](
+      Preference.winIngest(spark, df, "best", "policy", "score", state))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val resp = Seq((1L, 10L, 5L)).toDF("chosen_id", "doc_id", "reward")
+    val e2 = intercept[IllegalArgumentException](
+      Preference.pairIngest(spark, resp, "chosen_id", "doc_id", "reward", state))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("a legacy state without _state_keys is refused loudly; replaying any batch migrates it") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 7L)).toDF("prompt_id", "policy", "score")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-win-legacy")
+      .resolve("state")
+      .toString
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", state, Some(0L))
+    // simulate a pre-sidecar state
+    val p = new org.apache.hadoop.fs.Path(state, "_state_keys")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    val e = intercept[IllegalArgumentException](Preference.winMatrixFromState(spark, state))
+    assert(e.getMessage.contains("_state_keys"), e.getMessage)
+    // the applied-id retry is a no-op fold that still records the keys
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", state, Some(0L))
+    assert(Preference.winMatrixFromState(spark, state).count() == 1)
+  }
+
+  test("a mis-keyed fold into an existing state is refused before touching it") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 7L)).toDF("prompt_id", "policy", "score")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-win-miskey")
+      .resolve("state")
+      .toString
+    Preference.winIngest(spark, df, "prompt_id", "policy", "score", state)
+    val e = intercept[IllegalArgumentException](
+      Preference.winIngest(
+        spark,
+        df.withColumnRenamed("prompt_id", "qid"),
+        "qid", "policy", "score", state))
+    assert(e.getMessage.contains("mis-keyed"), e.getMessage)
+    // pairIngest guards the same way
+    val pstate = java.nio.file.Files
+      .createTempDirectory("graft-pair-miskey")
+      .resolve("state")
+      .toString
+    val resp = Seq((1L, 10L, 5L), (1L, 11L, 3L)).toDF("prompt_id", "doc_id", "reward")
+    Preference.pairIngest(spark, resp, "prompt_id", "doc_id", "reward", pstate)
+    val e2 = intercept[IllegalArgumentException](
+      Preference.pairIngest(
+        spark,
+        resp.withColumnRenamed("prompt_id", "qid"),
+        "qid", "doc_id", "reward", pstate))
+    assert(e2.getMessage.contains("mis-keyed"), e2.getMessage)
+  }
+
   test("winIngest: a replayed batch WITHOUT a marker is still a no-op by the max semilattice") {
     val df = Seq((1L, "a", 10L), (1L, "b", 7L), (2L, "a", 3L), (2L, "b", 3L))
       .toDF("prompt_id", "policy", "score")

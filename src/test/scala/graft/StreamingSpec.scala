@@ -1503,6 +1503,11 @@ class StreamingSpec extends AnyFunSuite {
       "--maintenance", "dsir_stream", "--raw", s"$root/raw",
       "--weights", s"$root/w", "--out", s"$root/scores",
       "--checkpoint", s"$root/ckpt"), spark)
+    // an EMPTY raw dir drains zero batches — the verb must report 0,
+    // not die reading a score dir that was never created
+    drain()
+    assert(!new java.io.File(s"$root/scores").exists()
+      || new java.io.File(s"$root/scores").listFiles().forall(!_.getName.startsWith("score_batch=")))
     // file 1 arrives and scores; must equal the BATCH scorer on the same rows
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/raw/f1.json"),
