@@ -192,7 +192,8 @@ object SparkEntry {
     "q170_dup_profile" -> (TextQueries.q170DupProfile _),
     "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _),
     "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _),
-    "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _)
+    "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _),
+    "q174_tree_render" -> (PreferenceQueries.q174TreeRender _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2883,6 +2884,35 @@ object SparkEntry {
         |SELECT t.conv AS conv_id, w.leaf AS path_id,
         |  CAST(p.len - w.d AS BIGINT) AS pos, w.turn AS turn_id,
         |  (w.leaf = f.first_leaf) AS train
+        |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
+        |JOIN turns t ON t.turn = w.turn""".stripMargin,
+    // q174: tree-rendered path memberships — the q172 walk joined to
+    // roles (turn parity) and content, with the effective role:
+    // 'assistant' exactly on first-visit assistant memberships,
+    // 'context' everywhere else.
+    "q174_tree_render" ->
+      """WITH RECURSIVE turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+        |         ELSE doc_id - 1 END AS parent,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents),
+        |leaves AS (SELECT t.turn AS leaf FROM turns t
+        |  WHERE NOT EXISTS (SELECT 1 FROM turns c WHERE c.parent = t.turn)),
+        |walk(leaf, turn, d) AS (
+        |  SELECT leaf, leaf, 0 FROM leaves
+        |  UNION ALL
+        |  SELECT w.leaf, t.parent, w.d + 1
+        |  FROM walk w JOIN turns t ON t.turn = w.turn
+        |  WHERE t.parent IS NOT NULL),
+        |plen AS (SELECT leaf, max(d) AS len FROM walk GROUP BY 1),
+        |fv AS (SELECT turn, min(leaf) AS first_leaf FROM walk GROUP BY 1)
+        |SELECT t.conv AS conv_id, w.leaf AS path_id,
+        |  CAST(p.len - w.d AS BIGINT) AS pos, w.turn AS turn_id,
+        |  t.role, t.content, (w.leaf = f.first_leaf) AS train,
+        |  CASE WHEN (w.leaf = f.first_leaf) AND t.role = 'assistant'
+        |       THEN 'assistant' ELSE 'context' END AS eff_role
         |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
         |JOIN turns t ON t.turn = w.turn""".stripMargin,
     // q173: few-shot prompt assembly — 3 seeded-hash shots per eval

@@ -231,4 +231,64 @@ object ConvTree {
         (col("__leaf") === col("__first_leaf")).as("train")
       )
   }
+
+  /** [[treePaths]] joined back to the turns' content — the RENDER
+    * input for a tree-aware SFT release: one row per (path, turn)
+    * membership carrying the turn's role and content plus the
+    * EFFECTIVE role `eff_role`, which is `trainRole` exactly when the
+    * membership is BOTH first-visit (`train`) AND the turn's own role
+    * is `trainRole`, and the sentinel `"context"` otherwise. Feeding
+    * `(path, pos, eff_role, content)` into the flat SFT chain
+    * (render → pack → [[Preference.roleMaskIntervals]] with
+    * `eff_role`) therefore puts every train-role turn's tokens under
+    * a KEEP-loss mask on EXACTLY ONE path — shared prefixes ride
+    * along as context everywhere else — which is the whole point of
+    * the first-visit rule.
+    *
+    * Output: `(conv_id, path_id, pos, turn_id, role, content, train,
+    * eff_role)`. Content IS duplicated across the paths that share a
+    * prefix (deliberately — the trainer needs it in-context); the
+    * single-loss guarantee lives in `eff_role`, never in dropping
+    * context. Scale shape: [[treePaths]] (structure only) plus ONE
+    * (conv, turn)-keyed join that moves each turn's content once per
+    * path membership — the same order as the table being produced.
+    */
+  def renderPaths(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      roleCol: String,
+      contentCol: String,
+      trainRole: String,
+      maxDepth: Int = 10000
+  ): DataFrame = {
+    require(
+      trainRole != "context",
+      "renderPaths: trainRole must not be the reserved sentinel 'context' — eff_role " +
+        "could not distinguish first-visit train turns from ride-along context"
+    )
+    treePaths(turns, convCol, turnCol, parentCol, maxDepth)
+      .join(
+        turns.select(
+          col(convCol).as("conv_id"),
+          col(turnCol).as("turn_id"),
+          col(roleCol).as("role"),
+          col(contentCol).as("content")
+        ),
+        Seq("conv_id", "turn_id")
+      )
+      .select(
+        col("conv_id"),
+        col("path_id"),
+        col("pos"),
+        col("turn_id"),
+        col("role"),
+        col("content"),
+        col("train"),
+        when(col("train") && col("role") === trainRole, lit(trainRole))
+          .otherwise(lit("context"))
+          .as("eff_role")
+      )
+  }
 }

@@ -959,8 +959,11 @@ object Preference {
       trainRole: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the window runs over the RENAMED conv key — partitioning on the
+    // caller's convCol would be unresolvable once it is aliased away
+    // (any convCol other than the literal name "conv_id")
     val w = Window
-      .partitionBy(col(convCol))
+      .partitionBy(col("conv_id"))
       .orderBy(col(turnCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     turns

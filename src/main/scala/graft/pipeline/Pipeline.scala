@@ -555,6 +555,13 @@ object Pipeline {
   * (branched-conversation flattening: parent-pointer turns ->
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
+  * `--maintenance tree_render --turns T --out O [--conv_col C]
+  * [--turn_col K] [--parent_col P] [--role_col R] [--content_col X]
+  * [--train_role A] [--max_depth N]` (tree-aware SFT render prep:
+  * each root→leaf path becomes one synthetic conversation keyed by a
+  * dense path `doc_id`, with the EFFECTIVE role — train role on
+  * first-visit train-role memberships, 'context' elsewhere — so the
+  * flat SFT chain trains every turn exactly once), and
   * `--maintenance sft_masks --turns T --out O [--conv_col C]
   * [--turn_col K] [--role_col R] [--content_col X] [--train_role A]
   * [--manifests M [--budget B] [--man_id_col I]]` (the SFT loss-mask
@@ -564,12 +571,16 @@ object Pipeline {
   * `_budget` sidecar, as in every pack consumer), and
   * `--maintenance sft_release --turns T --out ROOT [--budget B]
   * [--shards N] [--export_shards N] [--train_role R] [--unk_id U]
-  * [--verify false]`
+  * [--parent_col P [--max_depth N]] [--verify false]`
   * (the one-command SFT data release: render conversations ->
   * pack_ingest -> sft_masks -> build_vocab -> pack_export, each the
   * existing verb; shards/_role_masks ships KEEP-loss intervals that
   * select exactly the train-role tokens, `_sft_release.json` audits
-  * the landed counts), and
+  * the landed counts. With --parent_col the turn store is a branched
+  * TREE: a tree_render stage flattens it to first-visit-masked path
+  * conversations first, so every turn's tokens are loss-on exactly
+  * once across the release while shared prefixes ride along as
+  * context), and
   * `--maintenance verify_export --path P [--out O]` (landing
   * integrity: recompute per-shard counts + order-independent content
   * digests from the landed files and compare against the export's
@@ -1670,12 +1681,40 @@ object PipelineRunner {
             "the render joins turns with single spaces, so such a turn would shift every later " +
             "mask offset in its conversation; trim or drop them upstream"
         )
-        val rendered = turns
-          .groupBy(col(convCol).as("doc_id"))
+        // TREE MODE (--parent_col): the turn store is a branched tree —
+        // flatten it first with the tree_render verb (each root→leaf
+        // path becomes one synthetic conversation whose role column is
+        // the EFFECTIVE role: train-role on first-visit memberships
+        // only), then run the IDENTICAL chain over the path-turns
+        // table. The flat chain over a branched store would train
+        // nothing structurally wrong but couldn't exist (turns don't
+        // order linearly); the naive per-path flatten without
+        // first-visit masks would train every shared prefix once per
+        // leaf — the over-weighting tree_render exists to remove.
+        // Invariant the audit then shows: masked_tokens equals the
+        // train-role turns' token total COUNTED ONCE EACH, exactly as
+        // in flat mode, regardless of fan-out.
+        val treeMode = opts.contains("parent_col")
+        val (chainTurnsPath, chainConv, chainTurn, chainRole, chainTurns) =
+          if (treeMode) {
+            timedStage("sft_release", "tree_render") { run(
+              Array("--maintenance", "tree_render", "--turns", turnsPath,
+                "--out", s"$root/path_turns", "--conv_col", convCol,
+                "--turn_col", turnCol, "--parent_col", opts("parent_col"),
+                "--role_col", roleCol, "--content_col", contentCol,
+                "--train_role", trainRole) ++
+                opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)),
+              spark
+            ) }
+            (s"$root/path_turns", "doc_id", "turn_key", "role",
+              spark.read.parquet(s"$root/path_turns"))
+          } else (turnsPath, convCol, turnCol, roleCol, turns)
+        val rendered = chainTurns
+          .groupBy(col(chainConv).as("doc_id"))
           .agg(
             array_join(
               transform(
-                array_sort(collect_list(struct(col(turnCol), col(contentCol)))),
+                array_sort(collect_list(struct(col(chainTurn), col(contentCol)))),
                 x => x.getField(contentCol)
               ),
               " "
@@ -1691,10 +1730,10 @@ object PipelineRunner {
           spark
         ) }
         timedStage("sft_release", "sft_masks") { run(
-          Array("--maintenance", "sft_masks", "--turns", turnsPath,
+          Array("--maintenance", "sft_masks", "--turns", chainTurnsPath,
             "--manifests", s"$root/manifests", "--out", s"$root/role_masks",
-            "--man_id_col", "doc_id", "--conv_col", convCol, "--turn_col", turnCol,
-            "--role_col", roleCol, "--content_col", contentCol,
+            "--man_id_col", "doc_id", "--conv_col", chainConv, "--turn_col", chainTurn,
+            "--role_col", chainRole, "--content_col", contentCol,
             "--train_role", trainRole),
           spark
         ) }
@@ -1721,9 +1760,14 @@ object PipelineRunner {
         // parquet readers of shards/ ignore it).
         val masks = spark.read.parquet(s"$root/role_masks")
         Pipeline.writeCounted(masks, s"$root/shards/_role_masks")
-        // Audit manifest — every number from landed data.
+        // Audit manifest — every number from landed data. Turn counts
+        // are over the ORIGINAL turn store (in tree mode the path
+        // memberships multiply rows, but masked_tokens must still
+        // equal the original train-role turns' token total — the
+        // single-loss invariant the e2e spec checks).
         val nTurns = turns.count()
-        val nConvs = spark.read.parquet(s"$root/rendered").count()
+        val nDocs = spark.read.parquet(s"$root/rendered").count()
+        val nConvs = if (treeMode) turns.select(col(convCol)).distinct().count() else nDocs
         val nTrainTurns = turns.filter(col(roleCol) === trainRole).count()
         val totToks = man.agg(sum(col("n_toks"))).head().getLong(0)
         val maskedToks = spark.read
@@ -1736,15 +1780,17 @@ object PipelineRunner {
         val landedPacks = spark.read.parquet(s"$root/shards").count()
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$root/_sft_release.json"),
-          s"""{"turns_in": $nTurns, "conversations": $nConvs, "train_turns": $nTrainTurns,""" +
+          s"""{"mode": "${if (treeMode) "tree" else "flat"}", "turns_in": $nTurns,""" +
+            s""" "conversations": $nConvs, "paths": $nDocs, "train_turns": $nTrainTurns,""" +
             s""" "train_role": "$trainRole", "total_tokens": $totToks,""" +
             s""" "masked_tokens": $maskedToks, "budget": $budget, "n_packs": $nPacks,""" +
             s""" "vocab_size": $nVocab, "landed_packs": $landedPacks}"""
         )
         println(
-          s"[maintenance] sft release at $root: $nTurns turns / $nConvs conversations -> " +
-            s"$nPacks packs ($totToks tokens, $maskedToks loss-on under role=$trainRole) -> " +
-            s"$landedPacks exported in $exportShards shards, vocab $nVocab"
+          s"[maintenance] sft release at $root: $nTurns turns / $nConvs conversations" +
+            (if (treeMode) s" / $nDocs paths" else "") +
+            s" -> $nPacks packs ($totToks tokens, $maskedToks loss-on under " +
+            s"role=$trainRole) -> $landedPacks exported in $exportShards shards, vocab $nVocab"
         )
       case Some("pack_epochs") =>
         // Multi-epoch visit-order schedule over an emitted pack space
@@ -2323,6 +2369,63 @@ object PipelineRunner {
           .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
         val n = Pipeline.writeCounted(paths, out)
         println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
+      case Some("tree_render") =>
+        // Tree-aware SFT render prep (ConvTree.renderPaths): a
+        // parent-pointer turn store -> a FLAT path-turns table the
+        // existing SFT chain consumes as-is — each root→leaf path
+        // becomes one synthetic conversation (`doc_id` = the path's
+        // dense rank over (conv, leaf), two-pass, no global sort;
+        // `turn_key` = the turn's position on the path; `role` = the
+        // EFFECTIVE role: the train role exactly on first-visit
+        // train-role memberships, 'context' everywhere else), so
+        // downstream role masking trains every turn's tokens exactly
+        // once while shared prefixes ride along in-context. Original
+        // (conv_id, path_id, turn_id, orig_role, train) ride along as
+        // provenance columns.
+        import org.apache.spark.sql.functions.{col, struct}
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_id")
+        val parentCol = opts.getOrElse("parent_col", "parent_id")
+        val roleCol = opts.getOrElse("role_col", "role")
+        val contentCol = opts.getOrElse("content_col", "content")
+        val trainRole = opts.getOrElse("train_role", "assistant")
+        val maxDepth = opts.getOrElse("max_depth", "10000").toInt
+        val rendered = graft.operators.ConvTree.renderPaths(
+          spark.read.parquet(turnsPath),
+          convCol, turnCol, parentCol, roleCol, contentCol, trainRole, maxDepth
+        )
+        val pathIds = graft.operators.Vocab
+          .withIds(
+            rendered.select(struct(col("conv_id"), col("path_id")).as("__path")).distinct(),
+            "__path",
+            nParts = 32
+          )
+          .select(
+            col("__path").getField("conv_id").as("conv_id"),
+            col("__path").getField("path_id").as("path_id"),
+            col("__path_id").as("doc_id")
+          )
+        val pathTurns = rendered
+          .join(pathIds, Seq("conv_id", "path_id"))
+          .select(
+            col("doc_id"),
+            col("pos").as("turn_key"),
+            col("eff_role").as("role"),
+            col("content"),
+            col("conv_id"),
+            col("path_id"),
+            col("turn_id"),
+            col("role").as("orig_role"),
+            col("train")
+          )
+        val n = Pipeline.writeCounted(pathTurns, out)
+        val nPaths = pathIds.count()
+        println(
+          s"[maintenance] tree_render: $n path-turn row(s) across $nPaths path(s) to $out " +
+            s"(train role $trainRole, first-visit-only)"
+        )
       case Some("decode_packs") =>
         // Pack DECODE (Vocab.decodePacks): a landed integer export (or
         // any packArrays-shaped parquet) back to text through the

@@ -439,6 +439,39 @@ object PreferenceQueries {
       "parent_id"
     )
 
+  /** Tree-rendered path memberships
+    * ([[graft.operators.ConvTree.renderPaths]]): the q172 branched
+    * turn store with alternating user/assistant roles (turn parity)
+    * and the doc text as content, flattened to per-(path, turn)
+    * render rows with the EFFECTIVE role — 'assistant' exactly on
+    * first-visit assistant memberships, 'context' everywhere else —
+    * the table the tree-aware `sft_release --parent_col` chain packs
+    * and masks, so every turn's tokens go loss-on exactly once while
+    * shared prefixes ride along in-context. treePaths' conv-keyed
+    * pointer-doubling closure plus ONE (conv, turn)-keyed content
+    * join; DuckDB replays with the q172 recursive CTE + the same
+    * CASE.
+    */
+  def q174TreeRender(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ConvTree.renderPaths(
+      docs(spark, dir).select(
+        expr("doc_id div 20").as("conv_id"),
+        col("doc_id").as("turn_id"),
+        expr(
+          "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+            "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+        ).as("parent_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"),
+        col("text").as("content")
+      ),
+      "conv_id",
+      "turn_id",
+      "parent_id",
+      "role",
+      "content",
+      "assistant"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -689,6 +689,89 @@ class PreferenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pack_state") && e.getMessage.contains("stale"), e.getMessage)
   }
 
+  test("tree sft_release: every turn's tokens are loss-on EXACTLY once across the whole release") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-tree").toString
+    // three conversations, PER-CONVERSATION-RESTARTING turn ids, each
+    // the same branched shape: 0→{1,5}, 1→{2,3}, 3→4, 2→6 — leaves
+    // {4,5,6}, so paths (0,1,3,4), (0,5), (0,1,2,6): turns 0 and 1
+    // sit on multiple paths (the over-weighting hazard), and roles
+    // alternate user/assistant by turn parity.
+    val parentOf: Map[Long, Option[Long]] = Map(
+      0L -> None, 1L -> Some(0L), 2L -> Some(1L), 3L -> Some(1L),
+      4L -> Some(3L), 5L -> Some(0L), 6L -> Some(2L))
+    val turns = (0L until 3L).flatMap { c =>
+      (0L until 7L).map { t =>
+        (c, t, parentOf(t).map(java.lang.Long.valueOf).orNull,
+          if (t % 2 == 0) "user" else "assistant",
+          s"c$c t$t w${(t * 7 + c) % 5} z${t % 3}")
+      }
+    }
+    val turnsDf = turns.toDF("conv_id", "turn_id", "parent_id", "role", "content")
+    turnsDf.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "sft_release",
+        "--turns", s"$root/turns", "--out", s"$root/rel",
+        "--parent_col", "parent_id", "--turn_col", "turn_id",
+        "--budget", "64", "--shards", "2", "--export_shards", "2"),
+      spark)
+    // decode the landing: (pack, pos, token)
+    val arrays = spark.read.parquet(s"$root/rel/shards")
+    val decoded = arrays
+      .select(col("pack_id"), explode(arrays_zip(col("positions"), col("token_ids"))).as("z"))
+      .select(col("pack_id"), col("z.positions").as("pos"), col("z.token_ids").as("tid"))
+    val vocab = spark.read.parquet(s"$root/rel/vocab")
+    val toks = decoded
+      .join(vocab, decoded("tid") === vocab("token_id"))
+      .select(col("pack_id"), col("pos"), col("token"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    // provenance: mask rows key (path doc_id, turn_key=pos) -> the
+    // ORIGINAL (conv, turn) through the path_turns table
+    val pathTurns = spark.read.parquet(s"$root/rel/path_turns")
+      .select(col("doc_id"), col("turn_key"), col("conv_id"), col("turn_id"),
+        col("orig_role"), col("train"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)), r.getString(4), r.getBoolean(5)))
+      .toMap
+    val masks = spark.read.parquet(s"$root/rel/shards/_role_masks")
+      .select(col("conv_id"), col("turn_key"), col("pack_id"),
+        col("mask_start"), col("mask_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every masked (path, pos)'s decoded tokens == its ORIGINAL
+    // turn's content tokens, and each original turn is masked AT
+    // MOST once across the whole release
+    val maskedTurns = masks.groupBy(m => (m._1, m._2)).toSeq.map { case ((docId, turnKey), rows) =>
+      val ((conv, turn), origRole, train) = pathTurns((docId, turnKey))
+      assert(origRole == "assistant" && train,
+        s"mask on path $docId pos $turnKey must be a first-visit assistant turn")
+      val got = rows.sortBy(r => (r._3, r._4)).toSeq
+        .flatMap { case (_, _, packId, s, e) => (s until e).map(p => toks((packId, p))) }
+      val want = turns.find(t => t._1 == conv && t._2 == turn).get._5.split("\\s+").toSeq
+      assert(got == want, s"conv $conv turn $turn decoded mask tokens diverge: $got vs $want")
+      (conv, turn)
+    }
+    assert(maskedTurns.length == maskedTurns.distinct.length,
+      "an original turn is loss-on more than once — the first-visit rule is broken")
+    // ...and every assistant turn is masked EXACTLY once (none missing)
+    val wantMasked = turns.filter(_._4 == "assistant").map(t => (t._1, t._2)).toSet
+    assert(maskedTurns.toSet == wantMasked,
+      s"masked turn set diverges: ${maskedTurns.toSet} vs $wantMasked")
+    // shared prefixes DO ride along: conv 0's turn 0 content appears
+    // in all three of its paths' rendered docs (3 memberships), but
+    // (being user-role) in zero masks
+    val t0Memberships = spark.read.parquet(s"$root/rel/path_turns")
+      .filter(col("conv_id") === 0L && col("turn_id") === 0L).count()
+    assert(t0Memberships == 3L, s"turn 0 must ride along on all 3 paths, got $t0Memberships")
+    // audit invariant: masked_tokens == train-role turns' token total
+    // counted ONCE each, fan-out notwithstanding
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_sft_release.json")), "UTF-8")
+    val wantToks = turns.filter(_._4 == "assistant").map(_._5.split("\\s+").length.toLong).sum
+    assert(audit.contains(s""""masked_tokens": $wantToks"""), audit)
+    assert(audit.contains(""""mode": "tree""""), audit)
+    assert(audit.contains(""""paths": 9"""), audit)
+  }
+
   test("sft_release refuses turns with empty or edge-whitespace content") {
     val root = java.nio.file.Files.createTempDirectory("graft-sft-release-bad").toString
     Seq((1L, 1L, "user", "ok"), (1L, 2L, "assistant", " leading"))
