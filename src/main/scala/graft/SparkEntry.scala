@@ -193,7 +193,8 @@ object SparkEntry {
     "q171_sliding_chunks" -> (TextQueries.q171SlidingChunks _),
     "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _),
     "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _),
-    "q174_tree_render" -> (PreferenceQueries.q174TreeRender _)
+    "q174_tree_render" -> (PreferenceQueries.q174TreeRender _),
+    "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -227,7 +228,8 @@ object SparkEntry {
     "q127_bpe_packed_ids",
     "q155_pref_ingest",
     "q158_sft_bpe_mask",
-    "q161_win_ingest"
+    "q161_win_ingest",
+    "q175_bpe_chunks"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1807,6 +1809,7 @@ object SparkEntry {
     // q127: q120's slices mapped through the merge table's symbol id
     // space — the text→tokenizer→packing→ids chain end to end.
     "q127_bpe_packed_ids" -> bpeOracle(8, "packed_ids"),
+    "q175_bpe_chunks" -> bpeOracle(8, "chunks"),
     // q118: per-source token budgets met exactly by the greedy prefix
     // of each source's (h, doc_id)-ordered token stream (layoutBy's
     // per-domain offsets); straddling doc truncated via tok_take.
@@ -3072,6 +3075,34 @@ object SparkEntry {
         |  CAST(sum(n_sym) AS BIGINT) AS sum_bpe,
         |  (1000 * CAST(sum(n_sym) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fert_milli
         |FROM inst JOIN vocab USING (word) GROUP BY source""".stripMargin)
+    } else if (tail == "chunks") {
+      // MODEL-token sliding chunks: the per-doc model-token stream
+      // (distinct-word apply + word-prefix × in-word-position grid,
+      // as "slices") collected per doc in order, then the q171 window
+      // arithmetic over MODEL tokens (window 32, stride 24).
+      sb.append(s""",
+        |vocab AS (SELECT word, string_split(substr(sym, 2, length(sym) - 2), '||') AS syms,
+        |    CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_sym FROM w$n),
+        |inst AS (SELECT doc_id, u.wpos AS wpos, u.word AS word
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'wpos': CAST(i - 1 AS BIGINT), 'word': ws[i]})) AS u
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents))
+        |  WHERE u.word <> ''),
+        |wp AS (SELECT i.doc_id, i.wpos, v.syms, v.n_sym,
+        |    CAST(sum(v.n_sym) OVER (PARTITION BY i.doc_id ORDER BY i.wpos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v.n_sym AS BIGINT) AS wprefix
+        |  FROM inst i JOIN vocab v USING (word)),
+        |tok AS (SELECT doc_id, wprefix + u.spos AS pos, u.sym AS token
+        |  FROM (SELECT doc_id, wprefix, unnest(list_transform(range(1, len(syms) + 1),
+        |      i -> {'spos': CAST(i - 1 AS BIGINT), 'sym': syms[i]})) AS u
+        |    FROM wp)),
+        |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    list(token ORDER BY pos) AS toks FROM tok GROUP BY doc_id),
+        |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start_tok FROM nn)
+        |SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
+        |  least(CAST(32 AS BIGINT), n - start_tok) AS n_chunk_toks,
+        |  array_to_string(toks[start_tok + 1 : start_tok + least(CAST(32 AS BIGINT), n - start_tok)], ' ') AS chunk
+        |FROM s WHERE start_tok = 0 OR start_tok - 24 + 32 < n""".stripMargin)
     } else if (tail == "slices" || tail == "packed_ids") {
       // the BPE-metered loader: weighted layout selects the window,
       // then per-doc word prefix × in-word symbol position grids the

@@ -438,6 +438,20 @@ object Bpe {
       .map(r => (r.getString(1), r.getString(2)))
   }
 
+  /** The frozen model's current version number, if a `_current`
+    * pointer exists — consumers that pin outputs to a tokenizer
+    * version (chunk spaces, pack meters) read it without loading the
+    * merges.
+    */
+  def currentVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      modelPath: String
+  ): Option[Int] = {
+    val fsPath = new HPath(modelPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.readTextFile(fs, new HPath(fsPath, "_current")).map(_.trim.toInt)
+  }
+
   /** [[segmentCounts]] against a frozen model — the serving-side pair
     * of [[buildModel]] (a batch scorer never retrains).
     */
@@ -518,6 +532,34 @@ object Bpe {
         col("token")
       )
   }
+
+  /** Per-document MODEL-token array: each whitespace word run through
+    * the merge table (the native [[applyMerges]] expression), the
+    * per-word symbol arrays flattened in word order — the ordered
+    * sequence a trained tokenizer produces for the document.
+    *
+    * Scale shape: ONE pure per-row array expression — no shuffle, no
+    * UDF, text never leaves its row. This deliberately applies the
+    * merge fold per word OCCURRENCE rather than per distinct word:
+    * the distinct-word-vocab alternative ([[segmentCounts]]'s shape)
+    * would explode the corpus token stream, shuffle it to join the
+    * vocab, and shuffle AGAIN to regroup tokens into per-doc order —
+    * two corpus-sized shuffles to save CPU the native per-word apply
+    * (O(len·log len), merge-count-flat) spends locally. For consumers
+    * that need the tokens IN ORDER per document (chunking, rendering)
+    * the zero-shuffle map wins at any corpus size; counters that
+    * don't need order should keep using [[segmentCounts]].
+    *
+    * Requires [[graft.functions.GraftFunctions.register]] on the
+    * session (DataFrame-level callers do it).
+    */
+  def modelTokens(textCol: Column, merges: Seq[(String, String)]): Column =
+    flatten(
+      transform(
+        filter(split(textCol, "\\s+"), w => w =!= lit("")),
+        w => symsOf(applyMerges(repOf(w), merges))
+      )
+    )
 
   /** The distinct model symbols a merge table produces over a corpus —
     * the BPE id space's string side. Derived from the DISTINCT-word

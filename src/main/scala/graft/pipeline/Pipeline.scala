@@ -547,9 +547,11 @@ object Pipeline {
   * coverage target, the smallest number of token types covering that
   * share of the token stream), and
   * `--maintenance chunk --docs D --out O [--window W] [--stride S]
-  * [--id_col I] [--text_col C]` (sliding-window chunking: the
-  * embedding/retrieval prep pass — overlapping token windows per
-  * document), and
+  * [--id_col I] [--text_col C] [--model M]` (sliding-window chunking:
+  * the embedding/retrieval prep pass — overlapping token windows per
+  * document; with --model the windows are measured in frozen-BPE
+  * MODEL tokens and the out dir's `_space` sidecar pins the space +
+  * model version, refusing mismatched reruns loudly), and
   * `--maintenance tree_paths --turns T --out O [--conv_col C]
   * [--turn_col K] [--parent_col P] [--max_depth N]`
   * (branched-conversation flattening: parent-pointer turns ->
@@ -2341,19 +2343,43 @@ object PipelineRunner {
         }
         println(s"[maintenance] vocab_coverage: $landed target row(s)")
       case Some("chunk") =>
-        // Sliding-window chunking (Chunking.slidingChunks): the
-        // embedding/retrieval prep pass — overlapping token windows
-        // per document, landed as the chunk table an encoder consumes.
+        // Sliding-window chunking (Chunking.slidingChunks /
+        // bpeChunksFrozen): the embedding/retrieval and long-context
+        // prep pass — overlapping token windows per document, landed
+        // as the chunk table an encoder consumes. With --model the
+        // windows are measured in FROZEN-BPE model tokens (what the
+        // trained model actually consumes); the out dir's `_space`
+        // sidecar pins the token space + model version, and a rerun
+        // into the same dir under a different space is refused loudly
+        // BEFORE anything is overwritten.
         val docsPath = opts.getOrElse("docs", sys.error("--docs <parquet dir> required"))
         val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
         val idCol = opts.getOrElse("id_col", "doc_id")
         val textCol = opts.getOrElse("text_col", "text")
         val window = opts.getOrElse("window", "512").toLong
         val stride = opts.getOrElse("stride", "384").toLong
-        val chunks = graft.operators.Chunking
-          .slidingChunks(spark.read.parquet(docsPath), idCol, textCol, window, stride)
+        val modelOpt = opts.get("model")
+        val space = modelOpt match {
+          case Some(m) =>
+            val v = graft.operators.Bpe
+              .currentVersion(spark, m)
+              .getOrElse(sys.error(s"no frozen BPE model at $m (missing _current pointer)"))
+            s"bpe:v$v"
+          case None => "ws"
+        }
+        graft.operators.Chunking.recordSpace(spark, out, space)
+        val docsDf = spark.read.parquet(docsPath)
+        val chunks = modelOpt match {
+          case Some(m) =>
+            graft.operators.Chunking.bpeChunksFrozen(docsDf, idCol, textCol, m, window, stride)
+          case None =>
+            graft.operators.Chunking.slidingChunks(docsDf, idCol, textCol, window, stride)
+        }
         val n = Pipeline.writeCounted(chunks, out)
-        println(s"[maintenance] chunk: $n chunk(s) (window $window, stride $stride) to $out")
+        graft.operators.Chunking.recordSpace(spark, out, space)
+        println(
+          s"[maintenance] chunk: $n chunk(s) (window $window, stride $stride, space $space) to $out"
+        )
       case Some("tree_paths") =>
         // Branched-conversation flattening (ConvTree.treePaths): a
         // parent-pointer turn store -> per-(path, turn) memberships

@@ -2677,6 +2677,34 @@ object TextQueries {
       stride = 24L
     )
 
+  /** MODEL-token sliding chunks
+    * ([[graft.operators.Chunking.bpeChunks]]): q171's windows measured
+    * in the tokens the q115/q116 learned BPE table produces instead of
+    * whitespace words — long-context prep for a trained tokenizer,
+    * where the window must be what the model actually consumes. Same
+    * emission rule and zero-shuffle per-row shape; the BPE apply is
+    * the native per-word expression ([[graft.operators.Bpe.modelTokens]]
+    * documents why the per-occurrence apply beats the distinct-word
+    * join when tokens must stay in per-doc order). DuckDB replays the
+    * 8 merge rounds, the per-word apply over the distinct-word vocab,
+    * the per-doc word-prefix × in-word-position grid, and the window
+    * arithmetic.
+    */
+  def q175BpeChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe
+      .learnMerges(d, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    graft.operators.Chunking.bpeChunks(
+      d.select(col("doc_id"), col("text")),
+      "doc_id",
+      "text",
+      merges,
+      window = 32L,
+      stride = 24L
+    )
+  }
+
   /** Few-shot prompt assembly ([[graft.operators.FewShot.assemble]]):
     * docs with `doc_id % 10 == 0` stand in for the eval set, the rest
     * are the demonstration pool — every eval item gets 3 seeded-hash

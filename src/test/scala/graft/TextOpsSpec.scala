@@ -448,6 +448,68 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == lib)
   }
 
+  test("bpeChunks: windows are MODEL tokens — matches chunking the pre-tokenized stream") {
+    import spark.implicits._
+    // merges: (a,b)->ab then (ab,c)->abc. "ab abc d" word-tokenizes to
+    // 3 words whose model tokens are [ab] [abc] [d] — but "abcd abcd"
+    // becomes [abc d abc d]: 4 model tokens from 2 words, so a
+    // whitespace window of 2 and a model window of 2 chunk DIFFERENTLY.
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val doc = Seq((1L, "abcd abcd abcd")).toDF("doc_id", "text")
+    val got = graft.operators.Chunking
+      .bpeChunks(doc, "doc_id", "text", merges, window = 4L, stride = 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._2)
+    // model stream: abc d abc d abc d (6 tokens); window 4 stride 3
+    assert(got.toSeq == Seq(
+      (0L, 0L, 4L, "abc d abc d"),
+      (1L, 3L, 3L, "d abc d")
+    ))
+    // equivalently: chunking the already-BPE-tokenized text in
+    // whitespace space gives the same grid (the composition law)
+    val pre = Seq((1L, "abc d abc d abc d")).toDF("doc_id", "text")
+    val ws = graft.operators.Chunking
+      .slidingChunks(pre, "doc_id", "text", 4L, 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._2)
+    assert(ws.toSeq == got.toSeq)
+  }
+
+  test("chunk CLI --model: frozen-BPE space, and a mismatched-space rerun is refused loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-chunk-bpe-cli").toString
+    val df = Seq((1L, "abab abab cd"), (2L, "ab cd ab")).toDF("doc_id", "text")
+    df.write.parquet(s"$root/docs")
+    df.write.parquet(s"$root/data/documents.parquet")
+    // freeze a model on the same corpus
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "build_bpe_model", "--data", s"$root/data",
+      "--model", s"$root/model", "--merges", "4"), spark)
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "chunk", "--docs", s"$root/docs",
+      "--out", s"$root/chunks", "--window", "3", "--stride", "2",
+      "--model", s"$root/model"), spark)
+    val got = spark.read.parquet(s"$root/chunks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val lib = graft.operators.Chunking
+      .bpeChunksFrozen(df, "doc_id", "text", s"$root/model", 3L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == lib)
+    assert(graft.operators.Chunking.storedSpace(spark, s"$root/chunks").contains("bpe:v1"))
+    // re-chunking the same dir WITHOUT the model (whitespace space)
+    // must refuse loudly before touching anything
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "chunk", "--docs", s"$root/docs",
+        "--out", s"$root/chunks", "--window", "3", "--stride", "2"), spark)
+    }
+    assert(e.getMessage.contains("_space"), e.getMessage)
+    // ...and the landed chunks are untouched
+    assert(spark.read.parquet(s"$root/chunks").count() == got.size.toLong)
+  }
+
   test("slidingChunks guards: nonpositive window/stride and stride > window refused") {
     import spark.implicits._
     val d = Seq((1L, "a b")).toDF("doc_id", "text")
