@@ -194,7 +194,8 @@ object SparkEntry {
     "q172_tree_paths" -> (PreferenceQueries.q172TreePaths _),
     "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _),
     "q174_tree_render" -> (PreferenceQueries.q174TreeRender _),
-    "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _)
+    "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _),
+    "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -1810,6 +1811,7 @@ object SparkEntry {
     // space — the text→tokenizer→packing→ids chain end to end.
     "q127_bpe_packed_ids" -> bpeOracle(8, "packed_ids"),
     "q175_bpe_chunks" -> bpeOracle(8, "chunks"),
+    "q176_fewshot_distinct" -> fewshotDistinctOracle(5),
     // q118: per-source token budgets met exactly by the greedy prefix
     // of each source's (h, doc_id)-ordered token stream (layoutBy's
     // per-domain offsets); straddling doc truncated via tok_take.
@@ -2938,6 +2940,50 @@ object SparkEntry {
         |  string_agg(stext, ' ' ORDER BY slot) || ' ' || min(q) AS prompt
         |FROM j GROUP BY doc_id""".stripMargin
   )
+
+  /** Unrolled DuckDB replay of the without-replacement few-shot draw
+    * (q176, `FewShot.assembleDistinct`): slot i's chosen rank is the
+    * FIRST candidate on its forward probe walk `(base_i + p) mod n`,
+    * p = 0..k−1, not taken by an earlier slot — unrolled as chained
+    * CTEs c0..c{k−1} (slot 0 never collides; slot i filters its
+    * candidate list against the i earlier chosen columns), exactly
+    * the engine's per-row array fold.
+    */
+  private def fewshotDistinctOracle(k: Int): String = {
+    val bases = (0 until k)
+      .map(i =>
+        s"CAST(concat('0x', substr(md5(concat('fsd_', CAST(e.doc_id AS VARCHAR), " +
+          s"'_', '$i')), 1, 7)) AS BIGINT) % n.nt AS b$i")
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tr AS (SELECT doc_id, text,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tr),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |c0 AS (SELECT e.doc_id, e.text AS q, n.nt,
+         |    $bases
+         |  FROM ev e, n)""".stripMargin)
+    sb.append(",\nd0 AS (SELECT *, b0 AS ch0 FROM c0)")
+    for (i <- 1 until k) {
+      val nots = (0 until i).map(j => s"c <> ch$j").mkString(" AND ")
+      sb.append(s""",
+        |d$i AS (SELECT *, list_filter(list_transform(range(0, $k),
+        |    p -> (b$i + p) % nt), c -> $nots)[1] AS ch$i FROM d${i - 1})""".stripMargin)
+    }
+    val chList = (0 until k).map(i => s"ch$i").mkString(", ")
+    sb.append(s""",
+      |sl AS (SELECT doc_id, q, u.slot, [$chList][u.slot + 1] AS rnk
+      |  FROM d${k - 1}, (SELECT unnest(range(0, $k)) AS slot) u),
+      |j AS (SELECT sl.doc_id, sl.q, sl.slot, tr.doc_id AS shot_id, tr.text AS stext
+      |  FROM sl JOIN tr USING (rnk))
+      |SELECT doc_id,
+      |  string_agg(CAST(shot_id AS VARCHAR), ',' ORDER BY slot) AS shot_ids,
+      |  string_agg(stext, ' ' ORDER BY slot) || ' ' || min(q) AS prompt
+      |FROM j GROUP BY doc_id""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled DuckDB replay of `n` Bradley-Terry MM iterations over
     * the q160 win matrix (see `operators/Preference.btRatings` for

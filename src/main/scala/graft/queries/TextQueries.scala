@@ -2734,6 +2734,36 @@ object TextQueries {
       )
   }
 
+  /** Without-replacement few-shot assembly
+    * ([[graft.operators.FewShot.assembleDistinct]]): q173's seeded
+    * draw with k DISTINCT shots guaranteed — collisions resolved by a
+    * deterministic forward linear probe in rank space, still a pure
+    * function of (seed, ids). The fixture makes collisions REAL: the
+    * train pool is docs with `doc_id % 97 == 0` (tens of rows at
+    * sf0.01), k = 5, so the independent-slots form demonstrably
+    * repeats shots while this one never does. DuckDB replays the
+    * probe by unrolling the five slots as chained CTEs (slot i's
+    * chosen rank = the first untaken candidate on its probe walk
+    * given slots < i).
+    */
+  def q176FewshotDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    graft.operators.FewShot
+      .assembleDistinct(
+        d.filter(col("doc_id") % 97 === 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text",
+        k = 5,
+        seed = "fsd"
+      )
+      .select(
+        col("doc_id"),
+        expr("array_join(transform(shot_ids, x -> cast(x as string)), ',')").as("shot_ids"),
+        col("prompt")
+      )
+  }
+
   /** Duplication profile ([[graft.operators.Dedup.dupProfile]]): the
     * histogram of near-dup cluster sizes over the q21 Jaccard pair
     * closure — per size k: clusters, documents, micro-share of the

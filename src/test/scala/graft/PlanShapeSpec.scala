@@ -817,7 +817,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (
       (name, df) <- Seq(
         "q168" -> queries.TextQueries.q168SemanticPacking(spark, sf),
-        "q173" -> queries.TextQueries.q173FewshotPrompts(spark, sf)
+        "q173" -> queries.TextQueries.q173FewshotPrompts(spark, sf),
+        "q176" -> queries.TextQueries.q176FewshotDistinct(spark, sf)
       )
     ) {
       val gw = df.queryExecution.optimizedPlan.collect {
