@@ -75,6 +75,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(24000000L),
         args.lift(2).map(_.toInt).getOrElse(2)
       )
+    else if (args.headOption.contains("vocab_build"))
+      vocabBuildStress(
+        args.lift(1).map(_.toLong).getOrElse(15000000L),
+        args.lift(2).map(_.toLong).getOrElse(2000000L),
+        args.lift(3).map(_.toInt).getOrElse(64)
+      )
     else if (args.headOption.contains("vocab"))
       vocabStress(args.lift(1).map(_.toLong).getOrElse(10000000L))
     else if (args.headOption.contains("bpe"))
@@ -607,6 +613,68 @@ object CurateStress {
     * path, then verified to be exactly the permutation 0..V−1 with
     * ids matching a sampled direct rank computation.
     */
+  /** `vocab_build [nDocs] [vocabSize] [nParts]` — `build_vocab` ALONE
+    * at the decade past the r11 release soak (271M tokens): nDocs
+    * 20-token synthetic docs (default 15M docs = 300M tokens; 60M =
+    * 1.2B) over a vocabSize-type dictionary whose md5-prefixed tokens
+    * decorrelate lexicographic order from generation order. The two
+    * stages are timed SEPARATELY — exactly the attribution the r11
+    * 1000× table couldn't give: (1) the corpus-sized token histogram
+    * (explode + map-side-combined groupBy — the only stage that scans
+    * tokens), (2) the pinned two-pass dense rank over the DISTINCT
+    * types (`Vocab.withIds` at `nParts` range partitions — bounded by
+    * the dictionary, not the corpus). The permutation + ordered-prefix
+    * asserts from `vocab` stay in as the regression tripwire.
+    */
+  private def vocabBuildStress(nDocs: Long, vocabSize: Long, nParts: Int): Unit = {
+    val spark = StressUtil.session()
+    val nTokens = nDocs * 20L
+    val docs = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          " ",
+          (0 until 20).map(j =>
+            substring(md5(((col("id") * 20L + j.toLong) % vocabSize).cast("string")), 1, 10)
+          ): _*
+        ).as("text")
+      )
+    val (hist, tH) = StressUtil.timed {
+      docs
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    }
+    val nTypes = hist.count()
+    println(
+      f"vocab_build: histogram over $nTokens tokens -> $nTypes types in $tH%.1f s " +
+        f"(${nTokens / math.max(tH, 1e-9) / 1e6}%.0f M tok/s)"
+    )
+    val (ids, tR) = StressUtil.timed {
+      graft.operators.Vocab.withIds(hist, "token", nParts).localCheckpoint()
+    }
+    println(f"vocab_build: two-pass dense rank ($nParts range partitions) in $tR%.1f s")
+    val r = ids
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("token_id")).as("lo"),
+        max(col("token_id")).as("hi"),
+        countDistinct(col("token_id")).as("nd")
+      )
+      .head()
+    require(
+      r.getLong(0) == nTypes && r.getLong(1) == 0L &&
+        r.getLong(2) == nTypes - 1 && r.getLong(3) == nTypes,
+      "ids are not the dense permutation"
+    )
+    val sample = ids.orderBy(col("token")).limit(1000).collect().map(_.getAs[Long]("token_id"))
+    require(sample.toSeq == (0L until sample.length.toLong), "sampled prefix must rank 0..k")
+    println("vocab_build: permutation + prefix-order verified")
+  }
+
   private def vocabStress(nTokens: Long): Unit = {
     val spark = StressUtil.session()
     val distinct = spark
