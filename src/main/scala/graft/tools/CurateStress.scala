@@ -113,6 +113,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("sft_tree"))
+      sftTreeStress(
+        args.lift(1).map(_.toLong).getOrElse(400000L),
+        args.lift(2).map(_.toInt).getOrElse(20),
+        args.lift(3).map(_.toInt).getOrElse(30)
+      )
     else if (args.headOption.contains("sft"))
       sftStress(
         args.lift(1).map(_.toLong).getOrElse(200000L),
@@ -461,6 +467,86 @@ object CurateStress {
       f"sft: $nTurns%d turns (${nTurns / turnsPerConv}%d convs, ${toksPerTurn * nTurns}%d tokens) " +
         f"released end-to-end in $t%.1f s — $nPacks%d packs landed, " +
         f"masked tokens == closed form ($wantMasked%d)"
+    )
+  }
+
+  /** `sft_tree [nTurns] [turnsPerConv] [toksPerTurn]` — the TREE-mode
+    * SFT release at campaign scale: branched conversations in the
+    * q172 shape (every 5th turn regenerates from three turns back →
+    * multiple leaves per conversation, shared prefixes) with
+    * PER-CONVERSATION-RESTARTING turn ids — the storage shape the
+    * conv-keyed closure exists for — driven through
+    * `sft_release --parent_col` end to end. The verification IS the
+    * single-loss invariant: the audit's masked-token count must equal
+    * the closed-form assistant total `toksPerTurn × nTurns/2` — the
+    * SAME number as flat mode, fan-out notwithstanding (every turn
+    * trains exactly once; the membership table grows with paths, the
+    * loss-on set does not) — and the path count must equal the
+    * closed-form leaves-per-conversation × conversations.
+    */
+  private def sftTreeStress(nTurns: Long, turnsPerConv: Int, toksPerTurn: Int): Unit = {
+    val spark = StressUtil.session()
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of turnsPerConv")
+    require(turnsPerConv % 2 == 0, "use an even turnsPerConv for the closed-form check")
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-tree-stress").toString
+    val toks = (0 until toksPerTurn)
+      .map(j => s"concat('t', (id * 31 + $j) % 50000)")
+      .mkString(", ' ', ")
+    val t = s"(id % $turnsPerConv)"
+    spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        expr(s"concat($toks)").as("content")
+      )
+      .write
+      .parquet(s"$root/turns")
+    val (_, tRel) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "sft_release",
+          "--turns", s"$root/turns", "--out", s"$root/rel",
+          "--parent_col", "parent_id", "--turn_col", "turn_id",
+          "--budget", "2048", "--shards", "16", "--export_shards", "16"
+        ),
+        spark
+      )
+    }
+    val audit = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/rel/_sft_release.json")),
+      "UTF-8"
+    )
+    // single-loss invariant: masked == the FLAT closed form
+    val wantMasked = toksPerTurn.toLong * (nTurns / 2)
+    require(
+      audit.contains(s""""masked_tokens": $wantMasked"""),
+      s"tree release masked-token audit diverged from the single-loss closed form $wantMasked: $audit"
+    )
+    // closed-form path count: leaves per conversation × conversations
+    val parents = (1 until turnsPerConv).map(x => if (x % 5 == 4) x - 3 else x - 1).toSet
+    val leavesPerConv = turnsPerConv - parents.size
+    val wantPaths = leavesPerConv.toLong * (nTurns / turnsPerConv)
+    require(
+      audit.contains(s""""paths": $wantPaths"""),
+      s"path count diverged from closed form $wantPaths ($leavesPerConv leaves/conv): $audit"
+    )
+    val landed = spark.read.parquet(s"$root/rel/shards").count()
+    val man = spark.read.parquet(s"$root/rel/manifests")
+    val nPacks = man.agg(max(col("last_pack"))).head().getLong(0) + 1
+    require(landed == nPacks, s"landed $landed != manifest packs $nPacks")
+    val memberships = spark.read.parquet(s"$root/rel/path_turns").count()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"sft_tree: $nTurns%d turns (${nTurns / turnsPerConv}%d convs, $wantPaths%d paths, " +
+        f"$memberships%d path-turn memberships) released end-to-end in $tRel%.1f s — " +
+        f"$nPacks%d packs, masked tokens == the FLAT closed form ($wantMasked%d): " +
+        "fan-out did not move the loss-on set"
     )
   }
 
