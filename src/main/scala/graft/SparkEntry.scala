@@ -195,7 +195,8 @@ object SparkEntry {
     "q173_fewshot_prompts" -> (TextQueries.q173FewshotPrompts _),
     "q174_tree_render" -> (PreferenceQueries.q174TreeRender _),
     "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _),
-    "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _)
+    "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _),
+    "q177_branch_pairs" -> (PreferenceQueries.q177BranchPairs _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2920,6 +2921,28 @@ object SparkEntry {
         |       THEN 'assistant' ELSE 'context' END AS eff_role
         |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
         |JOIN turns t ON t.turn = w.turn""".stripMargin,
+    // q177: branch preference pairs — sibling assistant turns under
+    // the same parent (regenerations) paired chosen/rejected by the
+    // rw_ hash reward; preferencePairs' tie + zero-margin contract.
+    "q177_branch_pairs" ->
+      """WITH turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+        |         ELSE doc_id - 1 END AS parent,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(concat('0x', substr(md5(concat('rw_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 AS score
+        |  FROM documents),
+        |g AS (SELECT conv AS conv_id, parent AS parent_id,
+        |    (array_agg(turn ORDER BY score DESC, turn ASC))[1] AS chosen_id,
+        |    (array_agg(turn ORDER BY score ASC, turn ASC))[1] AS rejected_id,
+        |    max(score) AS chosen_score, min(score) AS rejected_score,
+        |    count(*) AS n
+        |  FROM turns WHERE role = 'assistant' AND parent IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT conv_id, parent_id, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM g WHERE n >= 2 AND chosen_score > rejected_score""".stripMargin,
     // q173: few-shot prompt assembly — 3 seeded-hash shots per eval
     // item from the train pool's dense doc-id rank, rendered
     // shot1 shot2 shot3 query; shot ids as a joined string.

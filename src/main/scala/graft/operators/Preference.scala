@@ -903,6 +903,61 @@ object Preference {
     ).filter(col("margin") > 0)
   }
 
+  /** Preference pairs FROM A BRANCHED TURN STORE: sibling turns of the
+    * response role under the SAME parent are regenerations of the same
+    * context — a user hit "regenerate" (or the sampler fanned out N
+    * continuations) and the turns that share a parent are competing
+    * answers to one prompt. With per-turn scores (RM rewards, rater
+    * votes, accept/edit signals) every such sibling group is a DPO
+    * pair for free: chosen = argmax score, rejected = argmin, exactly
+    * [[preferencePairs]]' contract (ties to the smaller turn id so the
+    * pair is a total deterministic function of the table; groups whose
+    * scores all tie — including single-child groups — emit no pair,
+    * zero-margin pairs carry no signal). This is the tree store's
+    * NATIVE preference signal — the pairs a flat response table never
+    * sees because the branching structure is what encodes "same
+    * prompt".
+    *
+    * Output: `(conv_id, parent_id, chosen_id, rejected_id,
+    * chosen_score, rejected_score, margin)` — `parent_id` is the
+    * shared prompt turn; render its root→parent path with
+    * [[ConvTree.treePaths]] when the trainer wants the textual prompt.
+    *
+    * Scale shape: one filter + ONE (conv, parent)-keyed agg over the
+    * response-role turns (map-side combined max/min structs), nothing
+    * else — no self-join, no window, content never enters.
+    */
+  def branchPairs(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      roleCol: String,
+      scoreCol: String,
+      respRole: String
+  ): DataFrame = {
+    requireNumericId(turns, turnCol, "branchPairs")
+    turns
+      .filter(col(roleCol) === respRole && col(parentCol).isNotNull)
+      .groupBy(col(convCol).as("conv_id"), col(parentCol).as("parent_id"))
+      .agg(
+        count(lit(1)).as("__n"),
+        max(struct(col(scoreCol).as("s"), (-col(turnCol)).as("neg_id"))).as("c"),
+        min(struct(col(scoreCol).as("s"), col(turnCol).as("id"))).as("r")
+      )
+      .filter(col("__n") >= 2)
+      .select(
+        col("conv_id"),
+        col("parent_id"),
+        (-col("c")("neg_id")).as("chosen_id"),
+        col("r")("id").as("rejected_id"),
+        col("c")("s").as("chosen_score"),
+        col("r")("s").as("rejected_score"),
+        (col("c")("s") - col("r")("s")).as("margin")
+      )
+      .filter(col("margin") > 0)
+  }
+
   /** SFT loss-mask intervals by ROLE: given a conversation's turns,
     * the token intervals (in the RENDERED conversation's token space —
     * turns concatenated in order, whitespace-tokenized) covered by

@@ -472,6 +472,37 @@ object PreferenceQueries {
       "assistant"
     )
 
+  /** Branch preference pairs ([[graft.operators.Preference.branchPairs]]):
+    * the q172 branched turn store's NATIVE preference signal — sibling
+    * assistant turns under the same parent are regenerations of one
+    * context, and with per-turn rewards (the `rw_` hash here; RM
+    * scores in production) each sibling group yields a DPO pair:
+    * chosen = argmax, rejected = argmin, preferencePairs' exact
+    * tie/zero-margin contract. In the fixture every even turn ≡ 1 mod
+    * 5 (away from the block edge) has two assistant children (t+1 via
+    * the chain pointer, t+3 via the regeneration pointer). One
+    * (conv, parent)-keyed agg; DuckDB replays with ordered array_aggs.
+    */
+  def q177BranchPairs(spark: SparkSession, dir: String): DataFrame =
+    Preference.branchPairs(
+      docs(spark, dir).select(
+        expr("doc_id div 20").as("conv_id"),
+        col("doc_id").as("turn_id"),
+        expr(
+          "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+            "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+        ).as("parent_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"),
+        (h28(concat(lit("rw_"), col("doc_id").cast("string"))) % 1000).as("score")
+      ),
+      "conv_id",
+      "turn_id",
+      "parent_id",
+      "role",
+      "score",
+      "assistant"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

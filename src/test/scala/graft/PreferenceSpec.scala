@@ -802,6 +802,42 @@ class PreferenceSpec extends AnyFunSuite {
   // winIngest: incremental per-(prompt, policy) best-score state
   // ------------------------------------------------------------------
 
+  test("branchPairs: sibling regenerations pair chosen/rejected; singles and ties emit nothing") {
+    // conv 1: parent 10 has three assistant children (regenerations)
+    //   11 (score 5), 12 (score 9), 13 (score 5) — chosen 12, rejected
+    //   11 (tie with 13 broken to the SMALLER id, preferencePairs'
+    //   contract); parent 20 has one child (no pair); parent 30's two
+    //   children tie (zero margin — no pair); user siblings never pair.
+    val turns = Seq(
+      (1L, 10L, Option.empty[Long], "user", 0L),
+      (1L, 11L, Some(10L), "assistant", 5L),
+      (1L, 12L, Some(10L), "assistant", 9L),
+      (1L, 13L, Some(10L), "assistant", 5L),
+      (1L, 20L, Option.empty[Long], "user", 0L),
+      (1L, 21L, Some(20L), "assistant", 7L),
+      (1L, 30L, Option.empty[Long], "user", 0L),
+      (1L, 31L, Some(30L), "assistant", 4L),
+      (1L, 32L, Some(30L), "assistant", 4L),
+      (2L, 40L, Option.empty[Long], "assistant", 0L),
+      (2L, 41L, Some(40L), "user", 3L),
+      (2L, 42L, Some(40L), "user", 8L)
+    ).map { case (c, t, p, r, s) => (c, t, p.map(java.lang.Long.valueOf).orNull, r, s) }
+      .toDF("conv_id", "turn_id", "parent_id", "role", "score")
+    val got = Preference
+      .branchPairs(turns, "conv_id", "turn_id", "parent_id", "role", "score", "assistant")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq((1L, 10L, 12L, 11L, 9L, 5L, 4L)))
+  }
+
+  test("branchPairs: string turn ids fail loudly at entry") {
+    val turns = Seq((1L, "a", null.asInstanceOf[String], "assistant", 1L))
+      .toDF("conv_id", "turn_id", "parent_id", "role", "score")
+    val e = intercept[IllegalArgumentException](
+      Preference.branchPairs(turns, "conv_id", "turn_id", "parent_id", "role", "score", "assistant"))
+    assert(e.getMessage.contains("NUMERIC"), e.getMessage)
+  }
+
   test("winIngest: any batch split and order folds to the one-shot win matrix; replay no-op") {
     val rnd = new scala.util.Random(404)
     val rows = (0L until 600L).map { id =>
