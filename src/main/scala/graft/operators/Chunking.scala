@@ -139,10 +139,19 @@ object Chunking {
     )
     withToks
       .withColumn("__n", size(col("__toks")).cast("long"))
-      .filter(col("__n") > 0)
+      // Empty docs are dropped by exploding an EMPTY starts array, not
+      // by a `__n > 0` filter: predicate pushdown would substitute the
+      // token expression into the pushed filter, computing the (BPE
+      // case: expensive) tokenization TWICE per row — once below the
+      // scan, once in the projection. The `when` references only the
+      // cheap `__n` attribute, so the token array stays computed once
+      // (plan-locked: zero exchanges, one Generate).
       .withColumn(
         "start_tok",
-        explode(sequence(lit(0L), col("__n") - 1L, lit(stride)))
+        explode(
+          when(col("__n") > 0, sequence(lit(0L), col("__n") - 1L, lit(stride)))
+            .otherwise(expr("cast(array() as array<bigint>)"))
+        )
       )
       // chunk 0 always; a later chunk only if the previous one did not
       // already cover the document's tail

@@ -829,6 +829,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q175: model-token chunking is a pure per-row map — ZERO exchanges after the merges freeze") {
+    // the merge table is driver state by the time the chunk plan
+    // exists (learnMerges runs eagerly), so the returned plan must be
+    // scan -> project (native BPE apply + flatten) -> generate
+    // (explode) -> project: no shuffle, no join, no window — the
+    // zero-shuffle claim Bpe.modelTokens' docs make, locked. (The
+    // fixture's parallelism repartition is the one allowed exchange —
+    // round-robin, operator-external.)
+    val plan = planOf(queries.TextQueries.q175BpeChunks(spark, sf))
+    val foreign = plan.replace("Exchange RoundRobinPartitioning", "")
+    assert(!foreign.contains("Exchange"), s"model-token chunking must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(plan.contains("Generate"), s"the chunk explode must be a Generate:\n$plan")
+    // ...and the tokenization is computed ONCE: the empty-doc guard
+    // must not push a duplicated BPE apply below the scan
+    assert("graft_bpe_apply".r.findAllIn(plan).length == 1,
+      s"the BPE apply must appear exactly once in the plan:\n$plan")
+  }
+
+  test("q177: branch pairs are ONE keyed partial agg — no join, no window") {
+    val df = queries.PreferenceQueries.q177BranchPairs(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"no join of any kind:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_min"),
+      s"the sibling agg must partial-aggregate map-side:\n$plan")
+    val nEx = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(nEx <= 2, s"one keyed shuffle expected (AQE reads allowed), got $nEx:\n$plan")
+  }
+
   test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
     // DSIR's scale claims: the scoring pass joins the bucket table
     // BROADCAST (it is O(buckets) by construction — the corpus side
