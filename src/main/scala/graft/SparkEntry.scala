@@ -196,7 +196,8 @@ object SparkEntry {
     "q174_tree_render" -> (PreferenceQueries.q174TreeRender _),
     "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _),
     "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _),
-    "q177_branch_pairs" -> (PreferenceQueries.q177BranchPairs _)
+    "q177_branch_pairs" -> (PreferenceQueries.q177BranchPairs _),
+    "q178_branch_pairs_rendered" -> (PreferenceQueries.q178BranchPairsRendered _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -2943,6 +2944,42 @@ object SparkEntry {
         |  chosen_score, rejected_score,
         |  chosen_score - rejected_score AS margin
         |FROM g WHERE n >= 2 AND chosen_score > rejected_score""".stripMargin,
+    // q178: rendered branch pairs — the q177 pairs as DPO triples,
+    // the prompt a recursive ancestor walk from each pair's parent
+    // string_agg'd root-first.
+    "q178_branch_pairs_rendered" ->
+      """WITH RECURSIVE turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+        |         ELSE doc_id - 1 END AS parent,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text AS content,
+        |    CAST(concat('0x', substr(md5(concat('rw_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 AS score
+        |  FROM documents),
+        |g AS (SELECT conv AS conv_id, parent AS parent_id,
+        |    (array_agg(turn ORDER BY score DESC, turn ASC))[1] AS chosen_id,
+        |    (array_agg(turn ORDER BY score ASC, turn ASC))[1] AS rejected_id,
+        |    max(score) AS chosen_score, min(score) AS rejected_score,
+        |    count(*) AS n
+        |  FROM turns WHERE role = 'assistant' AND parent IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT conv_id, parent_id, chosen_id, rejected_id,
+        |    chosen_score, rejected_score,
+        |    chosen_score - rejected_score AS margin
+        |  FROM g WHERE n >= 2 AND chosen_score > rejected_score),
+        |anc(parent_id, node, d) AS (
+        |  SELECT DISTINCT parent_id, parent_id, 0 FROM p
+        |  UNION ALL
+        |  SELECT a.parent_id, t.parent, a.d + 1
+        |  FROM anc a JOIN turns t ON t.turn = a.node WHERE t.parent IS NOT NULL),
+        |pr AS (SELECT a.parent_id, string_agg(t.content, ' ' ORDER BY a.d DESC) AS prompt
+        |  FROM anc a JOIN turns t ON t.turn = a.node GROUP BY a.parent_id)
+        |SELECT p.conv_id, p.parent_id, pr.prompt, p.chosen_id, p.rejected_id,
+        |  tc.content AS chosen, tj.content AS rejected,
+        |  p.chosen_score, p.rejected_score, p.margin
+        |FROM p JOIN pr USING (parent_id)
+        |JOIN turns tc ON tc.turn = p.chosen_id
+        |JOIN turns tj ON tj.turn = p.rejected_id""".stripMargin,
     // q173: few-shot prompt assembly — 3 seeded-hash shots per eval
     // item from the train pool's dense doc-id rank, rendered
     // shot1 shot2 shot3 query; shot ids as a joined string.

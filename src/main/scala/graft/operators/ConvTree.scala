@@ -232,6 +232,98 @@ object ConvTree {
       )
   }
 
+  /** [[Preference.branchPairs]] RENDERED to trainer-ready text: each
+    * sibling-regeneration pair with its textual PROMPT — the root→
+    * parent path's contents in order (unique in a tree: a node's
+    * ancestor chain does not depend on which leaf-path carries it) —
+    * plus the chosen and rejected turns' contents. This is the DPO
+    * export shape: `(prompt, chosen, rejected)` triples straight from
+    * a branched turn store, where the branching itself encodes "same
+    * prompt" and the path render encodes the full conversational
+    * context the competing answers were sampled under.
+    *
+    * Output: `(conv_id, parent_id, prompt, chosen_id, rejected_id,
+    * chosen, rejected, chosen_score, rejected_score, margin)`.
+    *
+    * Scale shape: [[Preference.branchPairs]]' one keyed agg, plus the
+    * prompt render as a path-PREFIX read of [[treePaths]]: the
+    * parent's FIRST-VISIT membership (unique per turn) anchors one
+    * path, the prefix rows `pos ≤ parent pos` on that path ARE the
+    * ancestor chain, and one (conv, parent)-keyed ordered agg joins
+    * their contents — everything keyed, bounded by pairs × depth,
+    * no self-join beyond the closure treePaths already builds.
+    */
+  def branchPairsRendered(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      roleCol: String,
+      contentCol: String,
+      scoreCol: String,
+      respRole: String,
+      maxDepth: Int = 10000
+  ): DataFrame = {
+    val pairs = Preference.branchPairs(
+      turns, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
+    val memb = treePaths(turns, convCol, turnCol, parentCol, maxDepth)
+    val content = turns.select(
+      col(convCol).as("conv_id"),
+      col(turnCol).as("turn_id"),
+      col(contentCol).as("__content")
+    )
+    // the parent's unique first-visit membership anchors one path...
+    val anchor = memb
+      .filter(col("train"))
+      .select(
+        col("conv_id"),
+        col("turn_id").as("parent_id"),
+        col("path_id").as("__ppath"),
+        col("pos").as("__ppos")
+      )
+      .join(pairs.select(col("conv_id"), col("parent_id")), Seq("conv_id", "parent_id"))
+    // ...whose prefix rows are exactly the root→parent chain
+    val prompt = memb
+      .select(col("conv_id"), col("path_id").as("__ppath"), col("pos"), col("turn_id"))
+      .join(anchor, Seq("conv_id", "__ppath"))
+      .filter(col("pos") <= col("__ppos"))
+      .join(content, Seq("conv_id", "turn_id"))
+      .groupBy(col("conv_id"), col("parent_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("__content")))),
+            x => x.getField("__content")
+          ),
+          " "
+        ).as("prompt")
+      )
+    pairs
+      .join(prompt, Seq("conv_id", "parent_id"))
+      .join(
+        content
+          .select(col("conv_id"), col("turn_id").as("chosen_id"), col("__content").as("chosen")),
+        Seq("conv_id", "chosen_id")
+      )
+      .join(
+        content
+          .select(col("conv_id"), col("turn_id").as("rejected_id"), col("__content").as("rejected")),
+        Seq("conv_id", "rejected_id")
+      )
+      .select(
+        col("conv_id"),
+        col("parent_id"),
+        col("prompt"),
+        col("chosen_id"),
+        col("rejected_id"),
+        col("chosen"),
+        col("rejected"),
+        col("chosen_score"),
+        col("rejected_score"),
+        col("margin")
+      )
+  }
+
   /** [[treePaths]] joined back to the turns' content — the RENDER
     * input for a tree-aware SFT release: one row per (path, turn)
     * membership carrying the turn's role and content plus the

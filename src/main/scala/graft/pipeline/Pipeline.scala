@@ -557,6 +557,12 @@ object Pipeline {
   * (branched-conversation flattening: parent-pointer turns ->
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
+  * `--maintenance branch_pairs --turns T --out O [--render true]
+  * [--conv_col C] [--turn_col K] [--parent_col P] [--role_col R]
+  * [--content_col X] [--score_col S] [--resp_role A] [--max_depth N]`
+  * (tree-native DPO pairs: sibling response-role regenerations under
+  * one parent paired chosen/rejected by score; --render ships the
+  * root→parent prompt text and both contents — the triple export), and
   * `--maintenance tree_render --turns T --out O [--conv_col C]
   * [--turn_col K] [--parent_col P] [--role_col R] [--content_col X]
   * [--train_role A] [--max_depth N]` (tree-aware SFT render prep:
@@ -2395,6 +2401,38 @@ object PipelineRunner {
           .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
         val n = Pipeline.writeCounted(paths, out)
         println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
+      case Some("branch_pairs") =>
+        // Tree-native DPO pairs (Preference.branchPairs /
+        // ConvTree.branchPairsRendered): sibling response-role turns
+        // under the same parent are regenerations of one context;
+        // with per-turn scores each sibling group yields a pair.
+        // --render true additionally ships the textual prompt (the
+        // root→parent path) and the chosen/rejected contents — the
+        // trainer-ready triple export.
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val out = opts.getOrElse("out", sys.error("--out <parquet dir> required"))
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_id")
+        val parentCol = opts.getOrElse("parent_col", "parent_id")
+        val roleCol = opts.getOrElse("role_col", "role")
+        val contentCol = opts.getOrElse("content_col", "content")
+        val scoreCol = opts.getOrElse("score_col", "score")
+        val respRole = opts.getOrElse("resp_role", "assistant")
+        val turnsDf = spark.read.parquet(turnsPath)
+        val result =
+          if (opts.get("render").contains("true"))
+            graft.operators.ConvTree.branchPairsRendered(
+              turnsDf, convCol, turnCol, parentCol, roleCol, contentCol, scoreCol, respRole,
+              opts.getOrElse("max_depth", "10000").toInt)
+          else
+            graft.operators.Preference.branchPairs(
+              turnsDf, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
+        val n = Pipeline.writeCounted(result, out)
+        println(
+          s"[maintenance] branch_pairs: $n sibling-regeneration pair(s)" +
+            (if (opts.get("render").contains("true")) " (rendered triples)" else "") +
+            s" to $out"
+        )
       case Some("tree_render") =>
         // Tree-aware SFT render prep (ConvTree.renderPaths): a
         // parent-pointer turn store -> a FLAT path-turns table the

@@ -503,6 +503,38 @@ object PreferenceQueries {
       "assistant"
     )
 
+  /** Rendered branch pairs
+    * ([[graft.operators.ConvTree.branchPairsRendered]]): q177's
+    * sibling-regeneration pairs as trainer-ready DPO triples — the
+    * PROMPT is the root→parent path's contents in order (unique in a
+    * tree), chosen/rejected are the competing turns' texts. The
+    * prompt renders as a path-prefix read of the conv-keyed treePaths
+    * closure anchored at the parent's first-visit membership; DuckDB
+    * replays with a recursive ancestor walk from each pair's parent +
+    * ordered string_aggs.
+    */
+  def q178BranchPairsRendered(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ConvTree.branchPairsRendered(
+      docs(spark, dir).select(
+        expr("doc_id div 20").as("conv_id"),
+        col("doc_id").as("turn_id"),
+        expr(
+          "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+            "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+        ).as("parent_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"),
+        col("text").as("content"),
+        (h28(concat(lit("rw_"), col("doc_id").cast("string"))) % 1000).as("score")
+      ),
+      "conv_id",
+      "turn_id",
+      "parent_id",
+      "role",
+      "content",
+      "score",
+      "assistant"
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

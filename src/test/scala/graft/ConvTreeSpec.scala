@@ -156,6 +156,67 @@ class ConvTreeSpec extends AnyFunSuite {
     assert(got == lib)
   }
 
+  test("branchPairsRendered: the prompt is the root→parent path text, per conversation") {
+    // conv 1:  0(u:"hi") -> 1(a:"ok", s=3)
+    //                    -> 2(a:"meh", s=1)        pair at parent 0
+    //          1 -> 3(u:"more") -> 4(a:"yes", s=9)
+    //                           -> 5(a:"no", s=2)  pair at parent 3,
+    //                              prompt = "hi ok more"
+    // conv 2: same turn ids RESTART (conv-keying), one pair at its 0
+    val turns = Seq(
+      (1L, 0L, None, "user", "hi", 0L),
+      (1L, 1L, Some(0L), "assistant", "ok", 3L),
+      (1L, 2L, Some(0L), "assistant", "meh", 1L),
+      (1L, 3L, Some(1L), "user", "more", 0L),
+      (1L, 4L, Some(3L), "assistant", "yes", 9L),
+      (1L, 5L, Some(3L), "assistant", "no", 2L),
+      (2L, 0L, None, "user", "alt", 0L),
+      (2L, 1L, Some(0L), "assistant", "a1", 7L),
+      (2L, 2L, Some(0L), "assistant", "a2", 8L)
+    ).map { case (c, t, p, r, x, s) => (c, t, p.map(java.lang.Long.valueOf).orNull, r, x, s) }
+      .toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+    val got = graft.operators.ConvTree
+      .branchPairsRendered(
+        turns, "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6), r.getLong(9))))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> (("hi", 1L, 2L, "ok", "meh", 2L)),
+      (1L, 3L) -> (("hi ok more", 4L, 5L, "yes", "no", 7L)),
+      (2L, 0L) -> (("alt", 2L, 1L, "a2", "a1", 1L))
+    ))
+  }
+
+  test("branch_pairs CLI verb: both arms land the library's tables") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-bp-cli").toString
+    val turns = Seq(
+      (1L, 0L, null.asInstanceOf[java.lang.Long], "user", "hi", 0L),
+      (1L, 1L, java.lang.Long.valueOf(0L), "assistant", "ok", 3L),
+      (1L, 2L, java.lang.Long.valueOf(0L), "assistant", "meh", 1L)
+    ).toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+    turns.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "branch_pairs", "--turns", s"$root/turns",
+      "--out", s"$root/pairs"), spark)
+    val p = spark.read.parquet(s"$root/pairs").collect()
+    assert(p.length == 1 && p.head.getAs[Long]("chosen_id") == 1L
+      && p.head.getAs[Long]("rejected_id") == 2L)
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "branch_pairs", "--turns", s"$root/turns",
+      "--out", s"$root/triples", "--render", "true"), spark)
+    val t = spark.read.parquet(s"$root/triples").collect()
+    assert(t.length == 1 && t.head.getAs[String]("prompt") == "hi"
+      && t.head.getAs[String]("chosen") == "ok" && t.head.getAs[String]("rejected") == "meh")
+    val lib = graft.operators.ConvTree.branchPairsRendered(
+      turns, "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant")
+    assert(spark.read.parquet(s"$root/triples")
+      .select(lib.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet == lib.collect().map(_.toSeq).toSet)
+  }
+
   test("integrity gates: orphaned parent and cycles fail loudly") {
     val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
     val e1 = intercept[IllegalArgumentException](
