@@ -43,10 +43,16 @@ import org.apache.spark.sql.functions._
   * dialogue closes in 10 rounds instead of 1000; each round is a
   * cluster synchronization barrier, which is exactly what log-depth
   * buys down). Each round is one keyed self-join + distinct +
-  * `localCheckpoint` lineage cut over rows the OUTPUT already owns
-  * (the closure is O(Σ per-node depth) — the same order as the
-  * O(paths × depth) membership table being materialized); the
-  * first-visit rule is one turn-keyed min. No windows over anything
+  * `localCheckpoint` lineage cut. Closure SIZE is O(Σ per-node
+  * depth): for bushy trees (many leaves) this is the same order as
+  * the O(Σ path length) membership table being materialized, but on
+  * a deep sparse CHAIN it is depth²/2 pairs per conversation while
+  * the membership table is only depth rows — the price of log-depth
+  * rounds, bounded by `maxDepth`² per conversation and partitioned by
+  * the conv key (real dialogues are depth ≤ hundreds, so ≤ ~10⁵
+  * closure rows per conversation; a corpus of million-turn chains
+  * should lower maxDepth or walk linearly instead). The first-visit
+  * rule is one turn-keyed min. No windows over anything
   * corpus-sized; content never enters this operator at all
   * (structure only).
   *
