@@ -552,6 +552,12 @@ object Pipeline {
   * document; with --model the windows are measured in frozen-BPE
   * MODEL tokens and the out dir's `_space` sidecar pins the space +
   * model version, refusing mismatched reruns loudly), and
+  * `--maintenance chunk_stream --raw R --out O --checkpoint C
+  * [--model M] [--window W] [--stride S]` (the chunker's streaming
+  * arm: arriving document JSON files chunk the moment they land,
+  * per-batch `chunk_batch=` dirs, exactly-once by
+  * overwrite-convergence; the `_space` sidecar refuses a drain under
+  * a mid-campaign tokenizer retrain), and
   * `--maintenance tree_paths --turns T --out O [--conv_col C]
   * [--turn_col K] [--parent_col P] [--max_depth N]`
   * (branched-conversation flattening: parent-pointer turns ->
@@ -2323,6 +2329,37 @@ object PipelineRunner {
         val nScored =
           if (hasBatches) spark.read.option("basePath", out).parquet(out).count() else 0L
         println(s"[maintenance] dsir stream drained: $nScored scored doc row(s) under $out")
+      case Some("chunk_stream") =>
+        // Streaming chunking (StreamingPipeline.chunkStream): tail a
+        // directory of document JSON files, chunk each the moment it
+        // lands — frozen-BPE model tokens with --model, whitespace
+        // words without — into per-batch chunk dirs. AvailableNow:
+        // drains what exists, then returns (cron-friendly). The out
+        // dir's _space sidecar refuses a drain under a retrained
+        // tokenizer loudly.
+        val raw = opts.getOrElse("raw", sys.error("--raw <doc json dir> required"))
+        val out = opts.getOrElse("out", sys.error("--out <chunk dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val window = opts.getOrElse("window", "512").toLong
+        val stride = opts.getOrElse("stride", "384").toLong
+        val docSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("text", org.apache.spark.sql.types.StringType)
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .chunkStream(spark, raw, opts.get("model"), out, ckpt, docSchema, window, stride)
+          .awaitTermination()
+        val outHPath2 = new org.apache.hadoop.fs.Path(out)
+        val outFs2 = outHPath2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasChunkBatches = outFs2.exists(outHPath2) &&
+          outFs2.listStatus(outHPath2).exists(_.getPath.getName.startsWith("chunk_batch="))
+        val nChunks =
+          if (hasChunkBatches) spark.read.option("basePath", out).parquet(out).count() else 0L
+        println(s"[maintenance] chunk stream drained: $nChunks chunk row(s) under $out")
       case Some("vocab_coverage") =>
         // Tokenizer-sizing audit (Vocab.coverageCurve): per coverage
         // target, the smallest number of token types covering that

@@ -1203,6 +1203,68 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming chunking: each arriving document JSON file is split
+    * into sliding token windows the moment it lands — whitespace
+    * words, or FROZEN-BPE model tokens when `modelPath` is given (the
+    * frozen-model serving discipline: the merge table is resolved
+    * ONCE at stream start, so every batch of a drain chunks under one
+    * tokenizer version) — landing as `out/chunk_batch=<batchId>`.
+    * The out dir's `_space` sidecar ([[graft.operators.Chunking
+    * .recordSpace]]) pins the token space + model version BEFORE the
+    * stream starts: a later drain after a mid-campaign tokenizer
+    * RETRAIN resolves a different version and is refused loudly
+    * instead of silently mixing two coordinate systems in one chunk
+    * table.
+    *
+    * Exactly-once by overwrite-convergence: chunking is a pure
+    * per-row function of (batch, window, stride, frozen merges), so a
+    * replayed foreachBatch rewrites `chunk_batch=<id>` with identical
+    * bytes — the exact dedup family's established contract.
+    */
+  def chunkStream(
+      spark: SparkSession,
+      rawDir: String,
+      modelPath: Option[String],
+      outDir: String,
+      checkpoint: String,
+      docSchema: StructType,
+      window: Long,
+      stride: Long
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val space = modelPath match {
+      case Some(m) =>
+        val v = graft.operators.Bpe
+          .currentVersion(spark, m)
+          .getOrElse(
+            sys.error(s"no frozen BPE model at $m (missing _current pointer) — " +
+              "streaming chunking cannot guess a tokenizer")
+          )
+        s"bpe:v$v"
+      case None => "ws"
+    }
+    graft.operators.Chunking.recordSpace(spark, outDir, space)
+    // resolve the merges ONCE — every batch of this drain chunks
+    // under the same frozen table
+    val merges = modelPath.map(m => graft.operators.Bpe.loadMerges(spark, m))
+    spark.readStream
+      .schema(docSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val chunks = merges match {
+          case Some(ms) =>
+            graft.operators.Chunking.bpeChunks(batch, "doc_id", "text", ms, window, stride)
+          case None =>
+            graft.operators.Chunking.slidingChunks(batch, "doc_id", "text", window, stride)
+        }
+        chunks.write.mode("overwrite").parquet(s"$outDir/chunk_batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming DSIR scoring: each arriving document JSON file scores
     * against a FROZEN [[graft.operators.Importance]] weight table and
     * lands its per-doc scores as `out/score_batch=<batchId>` —

@@ -1485,6 +1485,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/telemetry").count() == before)
   }
 
+  test("chunk stream: arriving files chunk under the frozen model; a retrain is refused loudly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-chunk-stream").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    // freeze a model
+    Seq((0L, "abab abab cd"), (1L, "ab cd ab")).toDF("doc_id", "text")
+      .write.parquet(s"$root/data/documents.parquet")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "build_bpe_model", "--data", s"$root/data",
+      "--model", s"$root/model", "--merges", "4"), spark)
+    def drain(): Unit = graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "chunk_stream", "--raw", s"$root/raw",
+      "--out", s"$root/chunks", "--checkpoint", s"$root/ckpt",
+      "--model", s"$root/model", "--window", "3", "--stride", "2"), spark)
+    // empty drain: no batches, no failure, space pinned
+    drain()
+    assert(graft.operators.Chunking.storedSpace(spark, s"$root/chunks").contains("bpe:v1"))
+    // file 1 arrives; streamed chunks must equal the batch chunker's
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"doc_id":100,"text":"abab cd abab"}
+        |{"doc_id":101,"text":"cd cd"}""".stripMargin)
+    drain()
+    def landed() = spark.read.option("basePath", s"$root/chunks").parquet(s"$root/chunks")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_chunk_toks"), col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val lib = graft.operators.Chunking.bpeChunksFrozen(
+      Seq((100L, "abab cd abab"), (101L, "cd cd")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/model", 3L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(landed() == lib, "streamed chunks must equal the batch chunker's")
+    // file 2 arrives: new chunks land, old ones untouched
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f2.json"),
+      """{"doc_id":200,"text":"ab ab ab ab"}""".stripMargin)
+    drain()
+    assert(landed().map(_._1) == Set(100L, 101L, 200L))
+    // drained restart: nothing new
+    val before = landed()
+    drain()
+    assert(landed() == before)
+    // mid-campaign RETRAIN: the model advances to v2 — a further drain
+    // must refuse loudly instead of mixing token spaces
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "build_bpe_model", "--data", s"$root/data",
+      "--model", s"$root/model", "--merges", "2"), spark)
+    val e = intercept[IllegalArgumentException](drain())
+    assert(e.getMessage.contains("_space"), e.getMessage)
+    assert(landed() == before, "a refused drain must not touch the landed chunks")
+  }
+
   test("dsir stream: arriving files score against the frozen weights; drained restart adds nothing") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
