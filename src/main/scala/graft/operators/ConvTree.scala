@@ -50,8 +50,9 @@ import org.apache.spark.sql.functions._
   * the membership table is only depth rows — the price of log-depth
   * rounds, bounded by `maxDepth`² per conversation and partitioned by
   * the conv key (real dialogues are depth ≤ hundreds, so ≤ ~10⁵
-  * closure rows per conversation; a corpus of million-turn chains
-  * should lower maxDepth or walk linearly instead). The first-visit
+  * closure rows per conversation; `maxDepth` is the loud guard
+  * against a store that is secretly a million-turn chain). The
+  * first-visit
   * rule is one turn-keyed min. No windows over anything
   * corpus-sized; content never enters this operator at all
   * (structure only).
