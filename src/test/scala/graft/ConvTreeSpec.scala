@@ -131,6 +131,14 @@ class ConvTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("orphan"), e.getMessage)
   }
 
+  test("a single-turn conversation is its own one-row path") {
+    val out = ConvTree
+      .treePaths(turnsDf((9L, 5L, None)), "conv_id", "turn_id", "parent_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((9L, 5L, 0L, 5L, true)))
+  }
+
   test("a pure chain is one path, every turn training") {
     val out = ConvTree
       .treePaths(

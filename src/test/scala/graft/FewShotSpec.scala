@@ -124,6 +124,14 @@ class FewShotSpec extends AnyFunSuite {
     }
   }
 
+  test("assembleDistinct at k=1 equals assemble (no collision possible)") {
+    val tr = train.toDF("doc_id", "text"); val ev = eval.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2))).toSet
+    assert(rows(FewShot.assembleDistinct(tr, ev, "doc_id", "text", 1, "k1"))
+      == rows(FewShot.assemble(tr, ev, "doc_id", "text", 1, "k1")))
+  }
+
   test("k must be positive") {
     val e = intercept[IllegalArgumentException](
       FewShot.assemble(train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
