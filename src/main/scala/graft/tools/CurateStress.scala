@@ -113,6 +113,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("branch_render"))
+      branchRenderStress(
+        args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(20),
+        args.lift(3).map(_.toInt).getOrElse(10)
+      )
     else if (args.headOption.contains("sft_tree"))
       sftTreeStress(
         args.lift(1).map(_.toLong).getOrElse(400000L),
@@ -467,6 +473,80 @@ object CurateStress {
       f"sft: $nTurns%d turns (${nTurns / turnsPerConv}%d convs, ${toksPerTurn * nTurns}%d tokens) " +
         f"released end-to-end in $t%.1f s — $nPacks%d packs landed, " +
         f"masked tokens == closed form ($wantMasked%d)"
+    )
+  }
+
+  /** `branch_render [nTurns] [turnsPerConv] [toksPerTurn]` — the
+    * rendered-DPO-triples export (q178's operator, `branch_pairs
+    * --render`) at tree-corpus scale: the q172 branched shape with
+    * PER-CONVERSATION turn ids and collision-free scores
+    * (`global_id mod 1000003` — sibling ids differ by 2, so sibling
+    * scores can never tie and the pair count is EXACT). Verified from
+    * the landed triples: exactly 2 pairs per conversation (parents
+    * t=6 and t=16 are the only ones with two assistant children in
+    * the 20-turn shape), every margin positive, and the prompt
+    * lengths take exactly the two closed-form values — 5·toksPerTurn
+    * words for the t=6 parent (path 0,1,4,5,6) and 11·toksPerTurn for
+    * t=16 (path 0,1,4,5,6,9,10,11,14,15,16) — which proves the
+    * root→parent renders follow the regeneration pointers, not the
+    * id order.
+    */
+  private def branchRenderStress(nTurns: Long, turnsPerConv: Int, toksPerTurn: Int): Unit = {
+    val spark = StressUtil.session()
+    require(turnsPerConv == 20, "the closed-form path lengths assume the 20-turn q172 shape")
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of turnsPerConv")
+    val root = java.nio.file.Files.createTempDirectory("graft-branch-render").toString
+    val toks = (0 until toksPerTurn)
+      .map(j => s"concat('t', (id * 31 + $j) % 50000)")
+      .mkString(", ' ', ")
+    val t = s"(id % $turnsPerConv)"
+    spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        expr(s"concat($toks)").as("content"),
+        expr("id % 1000003").as("score")
+      )
+      .write
+      .parquet(s"$root/turns")
+    val (_, tR) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "branch_pairs", "--turns", s"$root/turns",
+          "--out", s"$root/triples", "--render", "true"
+        ),
+        spark
+      )
+    }
+    val nConvs = nTurns / turnsPerConv
+    val triples = spark.read.parquet(s"$root/triples")
+    val audit = triples
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("margin")).as("min_margin"),
+        countDistinct(expr("size(split(prompt, ' '))")).as("n_plens"),
+        min(expr("size(split(prompt, ' '))")).as("plen_lo"),
+        max(expr("size(split(prompt, ' '))")).as("plen_hi")
+      )
+      .head()
+    require(audit.getLong(0) == 2 * nConvs, s"expected ${2 * nConvs} pairs, got ${audit.getLong(0)}")
+    require(audit.getLong(1) > 0, "a non-positive margin escaped the filter")
+    require(
+      audit.getLong(2) == 2 && audit.getInt(3) == 5 * toksPerTurn && audit.getInt(4) == 11 * toksPerTurn,
+      s"prompt lengths diverge from the closed-form {${5 * toksPerTurn}, ${11 * toksPerTurn}}: " +
+        s"${audit.getInt(3)}..${audit.getInt(4)} over ${audit.getLong(2)} classes"
+    )
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"branch_render: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d rendered DPO " +
+        f"triples in $tR%.1f s; margins positive, prompt lengths exactly " +
+        f"{${5 * toksPerTurn}%d, ${11 * toksPerTurn}%d} words"
     )
   }
 
