@@ -859,6 +859,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nEx <= 2, s"one keyed shuffle expected (AQE reads allowed), got $nEx:\n$plan")
   }
 
+  test("q174/q178: the tree-family composition plans stay keyed — no cartesian, no corpus window") {
+    // both ride the conv-keyed pointer-doubling closure (iterative,
+    // collects interlocked at the operator layer); the COMPOSED final
+    // plan must add only keyed joins and keyed aggs on top — a
+    // cartesian or an unpartitioned window here would be a silent
+    // corpus-sized single task.
+    for (
+      (name, df) <- Seq(
+        "q174" -> queries.PreferenceQueries.q174TreeRender(spark, sf),
+        "q178" -> queries.PreferenceQueries.q178BranchPairsRendered(spark, sf)
+      )
+    ) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian:\n$plan")
+      val gw = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(gw.isEmpty, s"$name: unpartitioned window")
+    }
+  }
+
   test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
     // DSIR's scale claims: the scoring pass joins the bucket table
     // BROADCAST (it is O(buckets) by construction — the corpus side
