@@ -563,6 +563,14 @@ object Pipeline {
   * (branched-conversation flattening: parent-pointer turns ->
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
+  * `--maintenance dpo_release --turns T --out ROOT [--shards N]
+  * [--bad B [--bad_conv_col C] [--bad_turn_col K]] [--verify false]
+  * [+ branch_pairs column opts]` (the one-command DPO data release,
+  * the trilogy's third capstone: branched turns -> rendered
+  * sibling-regeneration triples -> optional conv-keyed any-member
+  * pair decontamination -> hash-sharded byte-stable export with
+  * content digests -> verify_export; `_dpo_release.json` audits
+  * landed counts; a root already holding triples/ is refused), and
   * `--maintenance branch_pairs --turns T --out O [--render true]
   * [--conv_col C] [--turn_col K] [--parent_col P] [--role_col R]
   * [--content_col X] [--score_col S] [--resp_role A] [--max_depth N]`
@@ -2438,6 +2446,96 @@ object PipelineRunner {
           .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
         val n = Pipeline.writeCounted(paths, out)
         println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
+      case Some("dpo_release") =>
+        // The one-command DPO DATA RELEASE — the trilogy's third
+        // capstone (pretraining `release`, SFT `sft_release`,
+        // preference `dpo_release`): branched turn store -> rendered
+        // sibling-regeneration triples (the branch_pairs --render
+        // verb, every interlock firing) -> optional PAIR-LEVEL
+        // DECONTAMINATION (--bad B: a (conv, turn)-keyed verdict
+        // table — the decontam family's output shape for turn
+        // stores; a pair is dropped when EITHER member is listed,
+        // q152's any-member contract, conv-keyed because turn ids
+        // are only per-conversation unique) -> hash-sharded export
+        // keyed by the unique 'conv#parent' pair key (byte-stable
+        // re-exports, multiplicity-sensitive content digests) ->
+        // verify_export. `_dpo_release.json` audits landed counts.
+        // Layout under --out: triples/ [clean/] shards/
+        // _dpo_release.json
+        import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+        val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
+        val root = opts.getOrElse("out", sys.error("--out <release root> required"))
+        val rootTriples = new org.apache.hadoop.fs.Path(s"$root/triples")
+        val rootFs = rootTriples.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(
+          !rootFs.exists(rootTriples),
+          s"dpo_release refuses to run into $root: it already holds a triples/ landing — " +
+            "a rerun would re-export shards over a landed release; use an empty --out root"
+        )
+        val shards = opts.getOrElse("shards", "8")
+        val passThrough = Seq(
+          "conv_col", "turn_col", "parent_col", "role_col",
+          "content_col", "score_col", "resp_role", "max_depth"
+        ).flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
+        timedStage("dpo_release", "branch_pairs") { run(
+          Array("--maintenance", "branch_pairs", "--turns", turnsPath,
+            "--out", s"$root/triples", "--render", "true") ++ passThrough,
+          spark
+        ) }
+        val triples = spark.read.parquet(s"$root/triples")
+        val nPairs = triples.count()
+        val (exportFrom, nClean) = opts.get("bad") match {
+          case Some(b) =>
+            // conv-keyed any-member purge: the verdict table names
+            // (conv, turn); either member listed poisons the pair
+            val badConv = opts.getOrElse("bad_conv_col", "conv_id")
+            val badTurn = opts.getOrElse("bad_turn_col", "turn_id")
+            val bad = broadcast(
+              spark.read.parquet(b)
+                .select(col(badConv).as("conv_id"), col(badTurn).as("__bad_id"))
+                .distinct()
+            )
+            val clean = Seq("chosen_id", "rejected_id").foldLeft(triples) { (acc, m) =>
+              acc.join(
+                bad,
+                acc("conv_id") === bad("conv_id") && acc(m) === bad("__bad_id"),
+                "left_anti"
+              )
+            }
+            val n = timedStage("dpo_release", "pair_decontam") {
+              Pipeline.writeCounted(clean, s"$root/clean")
+            }
+            (s"$root/clean", n)
+          case None => (s"$root/triples", nPairs)
+        }
+        timedStage("dpo_release", "export") {
+          graft.operators.Scale.exportShards(
+            spark.read.parquet(exportFrom)
+              .withColumn(
+                "pair_key",
+                concat(col("conv_id").cast("string"), lit("#"), col("parent_id").cast("string"))
+              ),
+            "pair_key",
+            shards.toInt,
+            s"$root/shards"
+          )
+        }
+        if (!opts.get("verify").contains("false"))
+          timedStage("dpo_release", "verify_export") {
+            run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
+          }
+        val nTurns = spark.read.parquet(turnsPath).count()
+        val landed = spark.read.parquet(s"$root/shards").count()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/_dpo_release.json"),
+          s"""{"turns_in": $nTurns, "pairs": $nPairs, "purged": ${nPairs - nClean},""" +
+            s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards}"""
+        )
+        println(
+          s"[maintenance] dpo release at $root: $nTurns turns -> $nPairs triple(s)" +
+            (if (opts.contains("bad")) s" (${nPairs - nClean} purged)" else "") +
+            s" -> $landed landed in $shards verified shards"
+        )
       case Some("branch_pairs") =>
         // Tree-native DPO pairs (Preference.branchPairs /
         // ConvTree.branchPairsRendered): sibling response-role turns

@@ -225,6 +225,49 @@ class ConvTreeSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == lib.collect().map(_.toSeq).toSet)
   }
 
+  test("dpo_release: triples -> conv-keyed purge -> verified shards, audited end to end") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-dpo-rel").toString
+    // two convs with RESTARTING ids, each one sibling pair at parent 0;
+    // conv 2's chosen turn (id 2) is planted as contaminated — note
+    // conv 1 ALSO has a turn id 2 that must NOT be purged (conv-keyed)
+    val turns = Seq(
+      (1L, 0L, null.asInstanceOf[java.lang.Long], "user", "hi", 0L),
+      (1L, 1L, java.lang.Long.valueOf(0L), "assistant", "ok", 3L),
+      (1L, 2L, java.lang.Long.valueOf(0L), "assistant", "meh", 1L),
+      (2L, 0L, null.asInstanceOf[java.lang.Long], "user", "yo", 0L),
+      (2L, 1L, java.lang.Long.valueOf(0L), "assistant", "b1", 2L),
+      (2L, 2L, java.lang.Long.valueOf(0L), "assistant", "b2", 6L)
+    ).toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+    turns.write.parquet(s"$root/turns")
+    Seq((2L, 2L)).toDF("conv_id", "turn_id").write.parquet(s"$root/bad")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dpo_release", "--turns", s"$root/turns",
+      "--out", s"$root/rel", "--bad", s"$root/bad", "--shards", "2"), spark)
+    // landed shards: conv 1's pair survives (its turn 2 is a DIFFERENT
+    // conversation's id), conv 2's pair is purged via its chosen member
+    val landed = spark.read.parquet(s"$root/rel/shards")
+      .select(col("conv_id"), col("prompt"), col("chosen"), col("rejected"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(landed.toSeq == Seq((1L, "hi", "ok", "meh")))
+    // the landing verified (verify_export ran by default); the audit
+    // carries the landed counts
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_dpo_release.json")), "UTF-8")
+    assert(audit.contains(""""pairs": 2""") && audit.contains(""""purged": 1""")
+      && audit.contains(""""clean_pairs": 1""") && audit.contains(""""landed_rows": 1"""), audit)
+    // a second release into the same root is refused up front
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "dpo_release", "--turns", s"$root/turns",
+        "--out", s"$root/rel"), spark)
+    }
+    assert(e.getMessage.contains("triples"), e.getMessage)
+    // and verify_export still passes on the landed shards standalone
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "verify_export", "--path", s"$root/rel/shards"), spark)
+  }
+
   test("integrity gates: orphaned parent and cycles fail loudly") {
     val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
     val e1 = intercept[IllegalArgumentException](
