@@ -113,6 +113,11 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("dpo"))
+      dpoReleaseStress(
+        args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(10)
+      )
     else if (args.headOption.contains("branch_render"))
       branchRenderStress(
         args.lift(1).map(_.toLong).getOrElse(2000000L),
@@ -473,6 +478,76 @@ object CurateStress {
       f"sft: $nTurns%d turns (${nTurns / turnsPerConv}%d convs, ${toksPerTurn * nTurns}%d tokens) " +
         f"released end-to-end in $t%.1f s — $nPacks%d packs landed, " +
         f"masked tokens == closed form ($wantMasked%d)"
+    )
+  }
+
+  /** `dpo [nTurns] [toksPerTurn]` — the `dpo_release` capstone
+    * composed end to end at tree-corpus scale: the branch_render
+    * corpus (q172 shape, per-conversation ids, collision-free
+    * scores) plus a planted verdict table flagging BOTH assistant
+    * children of parent t=6 in every 1000th conversation — listing
+    * both members makes the purge count EXACT regardless of which
+    * sibling won (any-member contract): exactly one of the
+    * conversation's two pairs purges. Verified from the landing:
+    * landed rows == 2·convs − flagged, the audit's purged count
+    * exact, and verify_export green (it runs inside the capstone by
+    * default).
+    */
+  private def dpoReleaseStress(nTurns: Long, toksPerTurn: Int): Unit = {
+    val spark = StressUtil.session()
+    val turnsPerConv = 20
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of 20")
+    val nConvs = nTurns / turnsPerConv
+    val root = java.nio.file.Files.createTempDirectory("graft-dpo-stress").toString
+    val toks = (0 until toksPerTurn)
+      .map(j => s"concat('t', (id * 31 + $j) % 50000)")
+      .mkString(", ' ', ")
+    val t = s"(id % $turnsPerConv)"
+    spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        expr(s"concat($toks)").as("content"),
+        expr("id % 1000003").as("score")
+      )
+      .write
+      .parquet(s"$root/turns")
+    val nFlagged = (nConvs + 999) / 1000
+    spark
+      .range(nConvs)
+      .filter(col("id") % 1000 === 0)
+      .selectExpr("id AS conv_id", "explode(array(7L, 9L)) AS turn_id")
+      .write
+      .parquet(s"$root/bad")
+    val (_, tRel) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "dpo_release", "--turns", s"$root/turns",
+          "--out", s"$root/rel", "--bad", s"$root/bad", "--shards", "16"
+        ),
+        spark
+      )
+    }
+    val landed = spark.read.parquet(s"$root/rel/shards").count()
+    require(
+      landed == 2 * nConvs - nFlagged,
+      s"landed $landed != ${2 * nConvs - nFlagged} (2·convs − flagged)"
+    )
+    val audit = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/rel/_dpo_release.json")),
+      "UTF-8"
+    )
+    require(audit.contains(s""""purged": $nFlagged"""), s"audit purge count diverged: $audit")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"dpo: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, $nFlagged%d purged, " +
+        f"$landed%d landed + verified in $tRel%.1f s end-to-end"
     )
   }
 
