@@ -160,25 +160,44 @@ object FewShot {
     )
     // Per eval item: k base ranks, then a fold over slots in order —
     // each slot takes the first untaken rank on its forward probe
-    // walk. Everything is array arithmetic on k elements per row.
+    // walk. Everything is array arithmetic on k elements per row,
+    // built with the Column API (never string-interpolated SQL: a
+    // seed containing a quote or backslash must hash EXACTLY as
+    // [[assemble]]'s `lit(seed)` does — the documented parity — and
+    // must never reach a SQL parser).
     val bases = eval
       .select(col(idCol), col(textCol).as("__qtext"))
       .withColumn(
         "__bases",
-        expr(
-          s"""transform(sequence(0, ${k - 1}), s ->
-             |  cast(conv(substring(md5(concat('${seed}_', cast(`$idCol` as string), '_',
-             |    cast(s as string))), 1, 7), 16, 10) as bigint) % ${nTrain}L)""".stripMargin
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          s =>
+            h28(
+              concat(
+                lit(s"${seed}_"),
+                col(idCol).cast("string"),
+                lit("_"),
+                s.cast("string")
+              )
+            ) % lit(nTrain)
         )
       )
       .withColumn(
         "__ranks",
-        expr(
-          s"""aggregate(__bases, cast(array() as array<bigint>), (taken, base) ->
-             |  array_append(taken,
-             |    filter(transform(sequence(0, ${k - 1}),
-             |                     p -> pmod(base + p, ${nTrain}L)),
-             |           c -> NOT array_contains(taken, c))[0]))""".stripMargin
+        aggregate(
+          col("__bases"),
+          typedLit(Seq.empty[Long]),
+          (taken, base) =>
+            array_append(
+              taken,
+              element_at(
+                filter(
+                  transform(sequence(lit(0), lit(k - 1)), p => pmod(base + p, lit(nTrain))),
+                  c => !array_contains(taken, c)
+                ),
+                1
+              )
+            )
         )
       )
     val slots = bases

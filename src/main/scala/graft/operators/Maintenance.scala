@@ -881,7 +881,7 @@ object Maintenance {
         .map(_.getPath)
         .toSeq
 
-  private[operators] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
+  private[graft] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8"))
     finally out.close()

@@ -913,7 +913,13 @@ object Preference {
     * [[preferencePairs]]' contract (ties to the smaller turn id so the
     * pair is a total deterministic function of the table; groups whose
     * scores all tie — including single-child groups — emit no pair,
-    * zero-margin pairs carry no signal). This is the tree store's
+    * zero-margin pairs carry no signal). TIE-DROP CONTRACT: a sibling
+    * group of n ≥ 2 regenerations whose max score EQUALS its min score
+    * is silently absent from the output — under a coarse-grained rater
+    * (binary thumbs, small integer scales) that can be a large share
+    * of the groups, so audit the shrinkage with
+    * [[branchTiesDropped]] (the `branch_pairs` verb prints it).
+    * This is the tree store's
     * NATIVE preference signal — the pairs a flat response table never
     * sees because the branching structure is what encodes "same
     * prompt".
@@ -956,6 +962,36 @@ object Preference {
         (col("c")("s") - col("r")("s")).as("margin")
       )
       .filter(col("margin") > 0)
+  }
+
+  /** The number of sibling-regeneration groups [[branchPairs]] SILENTLY
+    * drops under its tie contract: groups of n ≥ 2 response-role turns
+    * under one parent whose scores all tie (max = min ⇒ the emitted
+    * pair would carry zero margin). A coarse-score rater pipeline
+    * (binary thumbs, 3-point scales) loses a real share of its groups
+    * here — this makes the shrinkage visible instead of inferred. Same
+    * one keyed partial agg as the pair build; no join, no window.
+    */
+  def branchTiesDropped(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      roleCol: String,
+      scoreCol: String,
+      respRole: String
+  ): Long = {
+    requireNumericId(turns, turnCol, "branchTiesDropped")
+    turns
+      .filter(col(roleCol) === respRole && col(parentCol).isNotNull)
+      .groupBy(col(convCol), col(parentCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        max(col(scoreCol)).as("__mx"),
+        min(col(scoreCol)).as("__mn")
+      )
+      .filter(col("__n") >= 2 && col("__mx") === col("__mn"))
+      .count()
   }
 
   /** SFT loss-mask intervals by ROLE: given a conversation's turns,

@@ -717,6 +717,25 @@ object PipelineRunner {
     * operator tails in production to see WHERE a release run is
     * spending its time without a Spark UI.
     */
+  /** Capstone audit manifests go through the ROOT's Hadoop FileSystem,
+    * like every data path — a release rooted at `hdfs://`/`s3a://`
+    * must land its `_*.json` next to its shards, not on the driver's
+    * local disk (or throw after the release already exported).
+    */
+  private def writeManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      name: String,
+      json: String
+  ): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    graft.operators.Maintenance.writeTextFile(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p,
+      json
+    )
+  }
+
   private def timedStage[T](verb: String, stage: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val out = f
@@ -1647,10 +1666,7 @@ object PipelineRunner {
              | "total_tokens": $totToks, "budget": $budget, "n_packs": $nPacks,
              | "vocab_size": $nVocab, "landed_packs": $landedPacks,
              | "export_shards": $exportShards}""".stripMargin.replace("\n", "")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/_release.json"),
-          manifestJson
-        )
+        writeManifest(spark, root, "_release.json", manifestJson)
         println(
           s"[maintenance] release at $root: $nIn docs -> $nCurated curated -> $nClean clean " +
             s"($nContam contaminated purged) -> $nPacks packs ($totToks tokens) -> " +
@@ -1716,8 +1732,13 @@ object PipelineRunner {
         // Invariant the audit then shows: masked_tokens equals the
         // train-role turns' token total COUNTED ONCE EACH, exactly as
         // in flat mode, regardless of fan-out.
+        // The chain tuple carries the CONTENT column too: tree_render
+        // writes path_turns with canonical column names (content is
+        // literally 'content'), so a non-default --content_col must
+        // stop at the tree_render boundary — reusing the user's name
+        // downstream would throw on the canonical table.
         val treeMode = opts.contains("parent_col")
-        val (chainTurnsPath, chainConv, chainTurn, chainRole, chainTurns) =
+        val (chainTurnsPath, chainConv, chainTurn, chainRole, chainContent, chainTurns) =
           if (treeMode) {
             timedStage("sft_release", "tree_render") { run(
               Array("--maintenance", "tree_render", "--turns", turnsPath,
@@ -1728,16 +1749,16 @@ object PipelineRunner {
                 opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)),
               spark
             ) }
-            (s"$root/path_turns", "doc_id", "turn_key", "role",
+            (s"$root/path_turns", "doc_id", "turn_key", "role", "content",
               spark.read.parquet(s"$root/path_turns"))
-          } else (turnsPath, convCol, turnCol, roleCol, turns)
+          } else (turnsPath, convCol, turnCol, roleCol, contentCol, turns)
         val rendered = chainTurns
           .groupBy(col(chainConv).as("doc_id"))
           .agg(
             array_join(
               transform(
-                array_sort(collect_list(struct(col(chainTurn), col(contentCol)))),
-                x => x.getField(contentCol)
+                array_sort(collect_list(struct(col(chainTurn), col(chainContent)))),
+                x => x.getField(chainContent)
               ),
               " "
             ).as("text")
@@ -1755,7 +1776,7 @@ object PipelineRunner {
           Array("--maintenance", "sft_masks", "--turns", chainTurnsPath,
             "--manifests", s"$root/manifests", "--out", s"$root/role_masks",
             "--man_id_col", "doc_id", "--conv_col", chainConv, "--turn_col", chainTurn,
-            "--role_col", chainRole, "--content_col", contentCol,
+            "--role_col", chainRole, "--content_col", chainContent,
             "--train_role", trainRole),
           spark
         ) }
@@ -1800,8 +1821,10 @@ object PipelineRunner {
           .getLong(0)
         val nVocab = spark.read.parquet(s"$root/vocab").count()
         val landedPacks = spark.read.parquet(s"$root/shards").count()
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/_sft_release.json"),
+        writeManifest(
+          spark,
+          root,
+          "_sft_release.json",
           s"""{"mode": "${if (treeMode) "tree" else "flat"}", "turns_in": $nTurns,""" +
             s""" "conversations": $nConvs, "paths": $nDocs, "train_turns": $nTrainTurns,""" +
             s""" "train_role": "$trainRole", "total_tokens": $totToks,""" +
@@ -2426,8 +2449,14 @@ object PipelineRunner {
           case None =>
             graft.operators.Chunking.slidingChunks(docsDf, idCol, textCol, window, stride)
         }
-        val n = Pipeline.writeCounted(chunks, out)
-        graft.operators.Chunking.recordSpace(spark, out, space)
+        // writeCounted's overwrite deletes the sidecar recorded above;
+        // re-record in a finally so a crash mid-write can't leave a
+        // chunk dir with data files but no space pin (a later rerun
+        // under a retrained tokenizer would be silently accepted as
+        // first-writer instead of refused).
+        val n =
+          try Pipeline.writeCounted(chunks, out)
+          finally graft.operators.Chunking.recordSpace(spark, out, space)
         println(
           s"[maintenance] chunk: $n chunk(s) (window $window, stride $stride, space $space) to $out"
         )
@@ -2526,8 +2555,10 @@ object PipelineRunner {
           }
         val nTurns = spark.read.parquet(turnsPath).count()
         val landed = spark.read.parquet(s"$root/shards").count()
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/_dpo_release.json"),
+        writeManifest(
+          spark,
+          root,
+          "_dpo_release.json",
           s"""{"turns_in": $nTurns, "pairs": $nPairs, "purged": ${nPairs - nClean},""" +
             s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards}"""
         )
@@ -2563,10 +2594,15 @@ object PipelineRunner {
             graft.operators.Preference.branchPairs(
               turnsDf, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
         val n = Pipeline.writeCounted(result, out)
+        // The tie-drop contract made visible: a coarse-score rater
+        // pipeline (binary thumbs) silently loses every all-tied
+        // sibling group — print the shrinkage next to the pair count.
+        val tiesDropped = graft.operators.Preference.branchTiesDropped(
+          turnsDf, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
         println(
           s"[maintenance] branch_pairs: $n sibling-regeneration pair(s)" +
             (if (opts.get("render").contains("true")) " (rendered triples)" else "") +
-            s" to $out"
+            s" to $out ($tiesDropped all-tied group(s) dropped by the tie contract)"
         )
       case Some("tree_render") =>
         // Tree-aware SFT render prep (ConvTree.renderPaths): a

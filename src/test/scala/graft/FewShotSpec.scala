@@ -124,6 +124,29 @@ class FewShotSpec extends AnyFunSuite {
     }
   }
 
+  test("assembleDistinct: a seed carrying quotes/backslashes hashes exactly as assemble's") {
+    // The probe expressions are built with the Column API, never
+    // string-interpolated SQL — a seed that would break (or silently
+    // re-parse under) a SQL parser must still match [[assemble]]'s
+    // lit(seed) hash on non-colliding slots, and match the driver
+    // replay. Large pool + k=2 ⇒ collisions are absent here, so the
+    // two variants must agree row for row.
+    val seed = """o'br\ie"n--;"""
+    val tr = (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val evSeq = (1000L until 1010L).map(i => (i, s"e$i"))
+    val ev = evSeq.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2))).toSet
+    val dis = rows(FewShot.assembleDistinct(tr, ev, "doc_id", "text", 2, seed))
+    assert(dis == rows(FewShot.assemble(tr, ev, "doc_id", "text", 2, seed)))
+    // and the driver md5 replay agrees on the raw-bytes seed
+    val byId = dis.map(t => t._1 -> t._2).toMap
+    evSeq.foreach { case (eid, _) =>
+      val want = (0 until 2).map(slot => h28(s"${seed}_${eid}_$slot") % 400)
+      assert(byId(eid) == want, s"eval $eid")
+    }
+  }
+
   test("assembleDistinct at k=1 equals assemble (no collision possible)") {
     val tr = train.toDF("doc_id", "text"); val ev = eval.toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =

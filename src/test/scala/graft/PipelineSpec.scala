@@ -525,4 +525,48 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$root/rel/_release.json")))
     assert(json.contains(""""dsir_selected": 40"""), json)
   }
+
+  test("capstone audit manifests land through the root's Hadoop FileSystem (file: URI roots)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // All three release capstones run into `file:`-SCHEMED roots — a
+    // java.nio write would mangle the scheme into a path component (or
+    // land on the driver's local disk under an hdfs:// root); going
+    // through the root's FileSystem, each `_*.json` must land exactly
+    // next to its shards.
+    val base = Files.createTempDirectory("graft-manifest-fs").toString
+    def manifest(localPath: String): String = {
+      val f = new java.io.File(localPath)
+      assert(f.exists(), s"manifest missing at $localPath")
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    }
+    // dpo_release
+    Seq(
+      (1L, 0L, null.asInstanceOf[java.lang.Long], "user", "hi", 0L),
+      (1L, 1L, java.lang.Long.valueOf(0L), "assistant", "ok", 3L),
+      (1L, 2L, java.lang.Long.valueOf(0L), "assistant", "meh", 1L)
+    ).toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+      .write.parquet(s"$base/turns")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dpo_release", "--turns", s"$base/turns",
+      "--out", s"file:$base/dpo", "--shards", "2"), spark)
+    assert(manifest(s"$base/dpo/_dpo_release.json").contains(""""pairs": 1"""))
+    // sft_release (flat mode)
+    Seq((1L, 1L, "user", "hi"), (1L, 2L, "assistant", "ok good"))
+      .toDF("conv_id", "turn_key", "role", "content")
+      .write.parquet(s"$base/sft_turns")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "sft_release", "--turns", s"$base/sft_turns",
+      "--out", s"file:$base/sft", "--budget", "16",
+      "--shards", "2", "--export_shards", "2"), spark)
+    assert(manifest(s"$base/sft/_sft_release.json").contains(""""masked_tokens": 2"""))
+    // release (pretraining)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(1).select(col("doc_id"), col("text")).write.parquet(s"$base/eval")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "release", "--data", "/root/testdata/sf0.001",
+      "--eval", s"$base/eval", "--out", s"file:$base/rel",
+      "--budget", "64", "--shards", "2", "--export_shards", "2"), spark)
+    assert(manifest(s"$base/rel/_release.json").contains(""""landed_packs""""))
+  }
 }

@@ -772,6 +772,36 @@ class PreferenceSpec extends AnyFunSuite {
     assert(audit.contains(""""paths": 9"""), audit)
   }
 
+  test("tree sft_release with a NON-DEFAULT content column: the rename stops at tree_render") {
+    // tree_render writes path_turns with canonical names (content is
+    // literally 'content'), so the user's --content_col must apply to
+    // the INPUT read only — reusing it downstream threw
+    // AnalysisException and broke the advertised tree mode.
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-tree-cc").toString
+    val turns = Seq(
+      (1L, 0L, Option.empty[Long], "user", "hi there"),
+      (1L, 1L, Some(0L), "assistant", "ok good"),
+      (1L, 2L, Some(0L), "assistant", "meh fine"),
+      (1L, 3L, Some(1L), "user", "more"),
+      (1L, 4L, Some(3L), "assistant", "yes")
+    ).map { case (c, t, p, r, b) => (c, t, p.map(java.lang.Long.valueOf).orNull, r, b) }
+      .toDF("conv_id", "turn_id", "parent_id", "who", "body")
+    turns.write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(
+      Array("--maintenance", "sft_release",
+        "--turns", s"$root/turns", "--out", s"$root/rel",
+        "--parent_col", "parent_id", "--turn_col", "turn_id",
+        "--role_col", "who", "--content_col", "body",
+        "--budget", "32", "--shards", "2", "--export_shards", "2"),
+      spark)
+    // assistant turns 1, 2, 4: 5 tokens total, loss-on exactly once each
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_sft_release.json")), "UTF-8")
+    assert(audit.contains(""""masked_tokens": 5"""), audit)
+    assert(audit.contains(""""mode": "tree""""), audit)
+    assert(spark.read.parquet(s"$root/rel/shards").count() > 0)
+  }
+
   test("sft_release refuses turns with empty or edge-whitespace content") {
     val root = java.nio.file.Files.createTempDirectory("graft-sft-release-bad").toString
     Seq((1L, 1L, "user", "ok"), (1L, 2L, "assistant", " leading"))
@@ -828,6 +858,35 @@ class PreferenceSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(got.toSeq == Seq((1L, 10L, 12L, 11L, 9L, 5L, 4L)))
+  }
+
+  test("branchTiesDropped counts exactly the all-tied n>=2 groups the tie contract drops") {
+    // Same fixture shape as above: parent 30's group (two children,
+    // both score 4) is the ONE group the tie contract silently drops —
+    // the single-child group (parent 20) and the signal-bearing group
+    // (parent 10) must NOT count, and the verb prints this number so a
+    // coarse-score rater pipeline sees its shrinkage.
+    val turns = Seq(
+      (1L, 10L, Option.empty[Long], "user", 0L),
+      (1L, 11L, Some(10L), "assistant", 5L),
+      (1L, 12L, Some(10L), "assistant", 9L),
+      (1L, 20L, Option.empty[Long], "user", 0L),
+      (1L, 21L, Some(20L), "assistant", 7L),
+      (1L, 30L, Option.empty[Long], "user", 0L),
+      (1L, 31L, Some(30L), "assistant", 4L),
+      (1L, 32L, Some(30L), "assistant", 4L),
+      (2L, 30L, Option.empty[Long], "user", 0L),
+      (2L, 31L, Some(30L), "assistant", 2L),
+      (2L, 32L, Some(30L), "assistant", 2L)
+    ).map { case (c, t, p, r, s) => (c, t, p.map(java.lang.Long.valueOf).orNull, r, s) }
+      .toDF("conv_id", "turn_id", "parent_id", "role", "score")
+    assert(Preference.branchTiesDropped(
+      turns, "conv_id", "turn_id", "parent_id", "role", "score", "assistant") == 2L)
+    // cross-check: pairs emitted + all-tied dropped + single-child = groups
+    val pairs = Preference
+      .branchPairs(turns, "conv_id", "turn_id", "parent_id", "role", "score", "assistant")
+      .count()
+    assert(pairs == 1L)
   }
 
   test("branchPairs: string turn ids fail loudly at entry") {
