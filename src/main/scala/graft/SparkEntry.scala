@@ -197,7 +197,8 @@ object SparkEntry {
     "q175_bpe_chunks" -> (TextQueries.q175BpeChunks _),
     "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _),
     "q177_branch_pairs" -> (PreferenceQueries.q177BranchPairs _),
-    "q178_branch_pairs_rendered" -> (PreferenceQueries.q178BranchPairsRendered _)
+    "q178_branch_pairs_rendered" -> (PreferenceQueries.q178BranchPairsRendered _),
+    "q179_tree_state" -> (PreferenceQueries.q179TreeState _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -232,7 +233,8 @@ object SparkEntry {
     "q155_pref_ingest",
     "q158_sft_bpe_mask",
     "q161_win_ingest",
-    "q175_bpe_chunks"
+    "q175_bpe_chunks",
+    "q179_tree_state"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2980,6 +2982,30 @@ object SparkEntry {
         |FROM p JOIN pr USING (parent_id)
         |JOIN turns tc ON tc.turn = p.chosen_id
         |JOIN turns tj ON tj.turn = p.rejected_id""".stripMargin,
+    // q179: durable tree-membership state — three incremental folds
+    // must equal the from-scratch walk over the full store, so the
+    // oracle IS q172's recursive CTE (the state's whole contract).
+    "q179_tree_state" ->
+      """WITH RECURSIVE turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+        |         ELSE doc_id - 1 END AS parent
+        |  FROM documents),
+        |leaves AS (SELECT t.turn AS leaf FROM turns t
+        |  WHERE NOT EXISTS (SELECT 1 FROM turns c WHERE c.parent = t.turn)),
+        |walk(leaf, turn, d) AS (
+        |  SELECT leaf, leaf, 0 FROM leaves
+        |  UNION ALL
+        |  SELECT w.leaf, t.parent, w.d + 1
+        |  FROM walk w JOIN turns t ON t.turn = w.turn
+        |  WHERE t.parent IS NOT NULL),
+        |plen AS (SELECT leaf, max(d) AS len FROM walk GROUP BY 1),
+        |fv AS (SELECT turn, min(leaf) AS first_leaf FROM walk GROUP BY 1)
+        |SELECT t.conv AS conv_id, w.leaf AS path_id,
+        |  CAST(p.len - w.d AS BIGINT) AS pos, w.turn AS turn_id,
+        |  (w.leaf = f.first_leaf) AS train
+        |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
+        |JOIN turns t ON t.turn = w.turn""".stripMargin,
     // q173: few-shot prompt assembly — 3 seeded-hash shots per eval
     // item from the train pool's dense doc-id rank, rendered
     // shot1 shot2 shot3 query; shot ids as a joined string.

@@ -270,10 +270,33 @@ object ConvTree {
       scoreCol: String,
       respRole: String,
       maxDepth: Int = 10000
+  ): DataFrame =
+    branchPairsRenderedFrom(
+      treePaths(turns, convCol, turnCol, parentCol, maxDepth),
+      turns, convCol, turnCol, parentCol, roleCol, contentCol, scoreCol, respRole)
+
+  /** [[branchPairsRendered]] against PRECOMPUTED memberships (`memb` in
+    * [[treePaths]]' output shape) — the serving arm for a durable
+    * [[TreeState]]: a campaign-scale turn store folds batches into the
+    * membership state once and renders DPO triples per drain WITHOUT
+    * re-running the pointer-doubling closure over the full store.
+    * `memb` must cover `turns` (same store, state folded up to date) —
+    * a parent missing its first-visit anchor drops its pairs, exactly
+    * as a stale state should be caught by the state's own gates.
+    */
+  def branchPairsRenderedFrom(
+      memb: DataFrame,
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      roleCol: String,
+      contentCol: String,
+      scoreCol: String,
+      respRole: String
   ): DataFrame = {
     val pairs = Preference.branchPairs(
       turns, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
-    val memb = treePaths(turns, convCol, turnCol, parentCol, maxDepth)
     val content = turns.select(
       col(convCol).as("conv_id"),
       col(turnCol).as("turn_id"),
@@ -361,13 +384,32 @@ object ConvTree {
       contentCol: String,
       trainRole: String,
       maxDepth: Int = 10000
+  ): DataFrame =
+    renderPathsFrom(
+      treePaths(turns, convCol, turnCol, parentCol, maxDepth),
+      turns, convCol, turnCol, roleCol, contentCol, trainRole)
+
+  /** [[renderPaths]] against PRECOMPUTED memberships (`memb` in
+    * [[treePaths]]' output shape) — the serving arm for a durable
+    * [[TreeState]], same contract as [[branchPairsRenderedFrom]]: the
+    * state folds once per appended batch, and every render reads the
+    * membership table instead of re-running the closure.
+    */
+  def renderPathsFrom(
+      memb: DataFrame,
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String,
+      trainRole: String
   ): DataFrame = {
     require(
       trainRole != "context",
       "renderPaths: trainRole must not be the reserved sentinel 'context' — eff_role " +
         "could not distinguish first-visit train turns from ride-along context"
     )
-    treePaths(turns, convCol, turnCol, parentCol, maxDepth)
+    memb
       .join(
         turns.select(
           col(convCol).as("conv_id"),

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DURABLE tree-membership state — the build-once/fold-batches arm of
+  * [[ConvTree]], completing the incremental discipline every other
+  * family here has (exact/near/span/semantic dedup, IVF, DSIR, arena
+  * wins, packing): a turn store at campaign scale appends turn batches
+  * continuously, and recomputing [[ConvTree.treePaths]]' pointer-
+  * doubling closure per invocation pays log-depth cluster barrier
+  * rounds plus full-store integrity gates on EVERY drain. This state
+  * persists the membership table `(conv_id, path_id, pos, turn_id,
+  * train)` under a state root and folds each appended batch
+  * incrementally:
+  *
+  *   - a new leaf under an existing node ADDS one path — its prefix
+  *     rows are READ from the existing memberships (the attachment
+  *     parent's unique first-visit row anchors one path; the rows with
+  *     `pos ≤` the parent's position on that path ARE the root→parent
+  *     chain — ancestor chains in a tree don't depend on which path
+  *     carries them);
+  *   - a turn appended to a CURRENT LEAF extends that leaf's path: the
+  *     path key is the leaf id, so the old path's rows are REPLACED by
+  *     the extended path under the new leaf's id;
+  *   - batches may carry whole subtrees (turns chaining within the
+  *     batch) and brand-new roots: the batch-LOCAL structure runs
+  *     through [[ConvTree.treePaths]] itself (its uniqueness/orphan/
+  *     cycle gates fire on the batch), and each batch-subtree's paths
+  *     are stitched onto their attachment prefixes.
+  *
+  * FIRST-VISIT MAINTENANCE. A turn's `train` flag is `path_id ==
+  * min(path_id over its memberships)`. Under monotonically growing
+  * turn ids (the common store shape) an untouched turn's flag is
+  * STABLE: new leaves carry larger ids, so they can never undercut an
+  * existing minimum — proven by the spec suite. The fold does NOT rely
+  * on that: it recomputes the minimum for exactly the turns whose
+  * membership set changed — every turn on a new path, plus the turns
+  * whose train-carrying path was deleted by a leaf extension (the one
+  * way an existing minimum can DISAPPEAR: extend leaf L under a turn
+  * that also has leaf M > L, and the turn's flag must MOVE to M, not
+  * to L's big-id extension) — so even a non-monotone store (a late
+  * regeneration forking an old node with a small id) folds to exactly
+  * the from-scratch [[ConvTree.treePaths]] result. Turns outside that
+  * set keep their flags: their membership sets only ever GROW by
+  * larger... no — only ever stay identical (a turn on no new and no
+  * deleted path has exactly the same path set), so their minima are
+  * untouched by construction, monotone ids or not.
+  *
+  * Integrity (all LOUD, all before any write): batch `(conv, turn)`
+  * keys unique; no batch key collides with a state key (a re-sent turn
+  * row must be deduplicated upstream — `_applied_id` handles exact
+  * batch replays); every batch parent resolves within its conversation
+  * to a state turn or a batch turn; batch-internal cycles refused by
+  * the doubling-round guard; every attachment parent must hold a
+  * first-visit membership in the state (always true for a valid state
+  * — checked anyway so a hand-edited state fails here instead of
+  * silently dropping paths).
+  *
+  * Exactly-once: [[Maintenance.foldState]]'s `_applied_id` marker +
+  * atomic tmp/old swap — a replayed batch is a no-op, a crash between
+  * the swap's renames is healed at entry.
+  *
+  * Scale shape: per fold, the batch-local closure is O(batch) with
+  * log₂(batch depth) rounds (never the store); prefix/extension/flag
+  * work is keyed joins of the O(state) membership table against
+  * BATCH-SIZED key sets (attachment anchors, extended leaves, affected
+  * turns — all broadcastable), so the read side is map-side once AQE
+  * sees the sizes; the write rewrites the state file (the
+  * [[Maintenance.refreshAggregate]] posture — fine while membership
+  * state is orders below the span-hash state; segment it like the span
+  * family if a store ever outgrows that).
+  */
+object TreeState {
+
+  private val COLS = Seq("conv_id", "path_id", "pos", "turn_id", "train")
+
+  /** The state's membership table, exactly [[ConvTree.treePaths]]'
+    * output over every folded turn ever appended.
+    */
+  def memberships(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).select(COLS.map(col): _*)
+
+  /** Fold one appended turn batch into the membership state at
+    * `statePath` (created on first fold). Returns the post-fold
+    * memberships. `appliedId` is the exactly-once batch marker.
+    */
+  def fold(
+      spark: SparkSession,
+      batch: DataFrame,
+      convCol: String,
+      turnCol: String,
+      parentCol: String,
+      statePath: String,
+      appliedId: Option[Long],
+      maxDepth: Int = 10000
+  ): DataFrame = {
+    val b = batch.select(
+      col(convCol).as("conv_id"),
+      col(turnCol).as("turn_id"),
+      col(parentCol).as("parent_id")
+    )
+    val fsPath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Heal a crash stranded between the swap's two renames BEFORE the
+    // existence probe — otherwise this fold would see "no state" and
+    // rebuild from the batch alone, discarding the accumulated store.
+    Maintenance.recoverSwap(fs, fsPath, new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old"))
+    val partial =
+      if (fs.exists(fsPath)) b
+      else ConvTree.treePaths(b, "conv_id", "turn_id", "parent_id", maxDepth)
+    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, bb) =>
+      foldInto(old.select(COLS.map(col): _*), bb, maxDepth)
+    }
+  }
+
+  /** The incremental fold proper: `m` the current memberships, `b` the
+    * canonicalized batch turns. Pure DataFrame → DataFrame (no I/O) so
+    * the spec suite can drive it directly against from-scratch replays.
+    */
+  private[graft] def foldInto(m: DataFrame, b: DataFrame, maxDepth: Int): DataFrame = {
+    // ── gates ─────────────────────────────────────────────────────
+    // (batch-internal uniqueness + cycles fire inside treePaths below;
+    // here: state collision and parent resolution.)
+    val mTurns = m.select(col("conv_id"), col("turn_id")).distinct()
+    val collided = b
+      .join(mTurns, Seq("conv_id", "turn_id"), "left_semi")
+      .limit(1)
+      .collect()
+    require(
+      collided.isEmpty,
+      s"TreeState.fold: batch turn ${collided.headOption.map(_.get(1)).orNull} in " +
+        s"conversation ${collided.headOption.map(_.get(0)).orNull} already exists in the " +
+        "state — appended batches must carry NEW turns only (an exact batch replay is " +
+        "handled by the _applied_id marker; a re-edited turn needs a state rebuild)"
+    )
+    val known = mTurns.unionByName(b.select(col("conv_id"), col("turn_id")))
+    val orphans = b
+      .filter(col("parent_id").isNotNull)
+      .join(
+        known.select(col("conv_id"), col("turn_id").as("parent_id")),
+        Seq("conv_id", "parent_id"),
+        "left_anti"
+      )
+      .limit(1)
+      .collect()
+    require(
+      orphans.isEmpty,
+      s"TreeState.fold: batch turn ${orphans.headOption.map(_.get(1)).orNull} in " +
+        s"conversation ${orphans.headOption.map(_.get(0)).orNull} has parent " +
+        s"${orphans.headOption.map(_.get(2)).orNull} which is neither a state turn nor a " +
+        "batch turn of that conversation — an orphaned pointer would silently truncate " +
+        "its path"
+    )
+    // ── batch-local structure ─────────────────────────────────────
+    // Parents pointing OUTSIDE the batch attach to the state: null
+    // them for the batch-local walk (treePaths' own gates fire on the
+    // batch), and remember the attachment per batch turn.
+    val bKeys = b.select(col("conv_id"), col("turn_id").as("parent_id"))
+    val bLocal = b
+      .join(bKeys.withColumn("__in_batch", lit(true)), Seq("conv_id", "parent_id"), "left")
+      .select(
+        col("conv_id"),
+        col("turn_id"),
+        when(col("__in_batch"), col("parent_id")).otherwise(lit(null)).as("local_parent"),
+        when(col("__in_batch").isNull && col("parent_id").isNotNull, col("parent_id"))
+          .as("attach")
+      )
+      .localCheckpoint()
+    val localMemb = ConvTree
+      .treePaths(bLocal, "conv_id", "turn_id", "local_parent", maxDepth)
+      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
+      .localCheckpoint()
+    // Per batch path: its subtree root's attachment parent (null for a
+    // brand-new conversation root).
+    val roots = localMemb
+      .filter(col("pos") === 0L)
+      .select(col("conv_id"), col("path_id"), col("turn_id"))
+      .join(bLocal.select(col("conv_id"), col("turn_id"), col("attach")), Seq("conv_id", "turn_id"))
+      .select(col("conv_id"), col("path_id"), col("attach"))
+      .localCheckpoint()
+    // ── attachment anchors + prefixes ─────────────────────────────
+    val attachParents = roots
+      .filter(col("attach").isNotNull)
+      .select(col("conv_id"), col("attach").as("turn_id"))
+      .distinct()
+      .localCheckpoint()
+    val anchor = m
+      .filter(col("train"))
+      .join(attachParents, Seq("conv_id", "turn_id"))
+      .select(
+        col("conv_id"),
+        col("turn_id").as("__p"),
+        col("path_id").as("__apath"),
+        col("pos").as("__apos")
+      )
+      .localCheckpoint()
+    val nAttach = attachParents.count()
+    val nAnchor = anchor.count()
+    require(
+      nAnchor == nAttach,
+      s"TreeState.fold: $nAttach attachment parent(s) but only $nAnchor first-visit " +
+        "anchor(s) in the state — the membership table is corrupt (every state turn " +
+        "must carry exactly one train membership); rebuild the state from the turn store"
+    )
+    // Root→parent chains, read off the anchor paths: keyed by the
+    // attachment parent, one row per ancestor (the parent included).
+    val prefix = m
+      .join(
+        broadcast(anchor.select(col("conv_id"), col("__apath").as("path_id"), col("__p"), col("__apos"))),
+        Seq("conv_id", "path_id")
+      )
+      .filter(col("pos") <= col("__apos"))
+      .select(col("conv_id"), col("__p"), col("pos"), col("turn_id"), col("__apos"))
+    // ── new membership rows ───────────────────────────────────────
+    val attachedRoots = roots
+      .filter(col("attach").isNotNull)
+      .join(
+        broadcast(anchor.withColumnRenamed("conv_id", "__aconv")),
+        col("conv_id") === col("__aconv") && col("attach") === col("__p")
+      )
+      .select(col("conv_id"), col("path_id"), col("__p"), col("__apos"))
+      .localCheckpoint()
+    val newPrefix = attachedRoots
+      .select(col("conv_id"), col("path_id"), col("__p"))
+      .join(prefix.drop("__apos"), Seq("conv_id", "__p"))
+      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
+    val newSuffix = localMemb
+      .join(
+        broadcast(attachedRoots.select(col("conv_id"), col("path_id"), col("__apos"))),
+        Seq("conv_id", "path_id")
+      )
+      .select(
+        col("conv_id"),
+        col("path_id"),
+        (col("__apos") + lit(1L) + col("pos")).as("pos"),
+        col("turn_id")
+      )
+    val newRootPaths = localMemb
+      .join(
+        broadcast(roots.filter(col("attach").isNull).select(col("conv_id"), col("path_id"))),
+        Seq("conv_id", "path_id")
+      )
+      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
+    val newRows = newPrefix
+      .unionByName(newSuffix)
+      .unionByName(newRootPaths)
+      .localCheckpoint()
+    // ── leaf extensions: replace the extended paths ───────────────
+    // An attachment parent that IS a state leaf (⟺ its id is a state
+    // path_id) stops being a leaf: its path's rows are superseded by
+    // the extension's path under the new leaf id.
+    val extended = attachParents
+      .select(col("conv_id"), col("turn_id").as("path_id"))
+      .join(m.select(col("conv_id"), col("path_id")).distinct(), Seq("conv_id", "path_id"), "left_semi")
+      .localCheckpoint()
+    val kept = m.join(broadcast(extended), Seq("conv_id", "path_id"), "left_anti")
+    val deletedTrainTurns = m
+      .join(broadcast(extended), Seq("conv_id", "path_id"), "left_semi")
+      .filter(col("train"))
+      .select(col("conv_id"), col("turn_id"))
+    // ── first-visit flags ─────────────────────────────────────────
+    // Recompute min(path_id) for exactly the turns whose membership
+    // set changed; everyone else's set — hence minimum — is untouched.
+    val affected = newRows
+      .select(col("conv_id"), col("turn_id"))
+      .unionByName(deletedTrainTurns)
+      .distinct()
+      .localCheckpoint()
+    val all = kept
+      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"), col("train"))
+      .unionByName(newRows.withColumn("train", lit(false)))
+    val mins = all
+      .join(broadcast(affected), Seq("conv_id", "turn_id"), "left_semi")
+      .groupBy(col("conv_id"), col("turn_id"))
+      .agg(min(col("path_id")).as("__first"))
+    all
+      .join(broadcast(mins), Seq("conv_id", "turn_id"), "left")
+      .select(
+        col("conv_id"),
+        col("path_id"),
+        col("pos"),
+        col("turn_id"),
+        when(col("__first").isNotNull, col("path_id") === col("__first"))
+          .otherwise(col("train"))
+          .as("train")
+      )
+  }
+}

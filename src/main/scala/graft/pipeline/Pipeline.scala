@@ -563,6 +563,19 @@ object Pipeline {
   * (branched-conversation flattening: parent-pointer turns ->
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
+  * `--maintenance tree_state --batch B --state S [--applied_id N]
+  * [--conv_col C] [--turn_col K] [--parent_col P] [--max_depth N]`
+  * (DURABLE tree memberships: fold an appended turn batch into the
+  * persistent membership state — new leaves add paths with prefixes
+  * read from the state, leaf extensions replace their paths,
+  * first-visit flags recomputed for exactly the affected turns;
+  * exactly-once by --applied_id; `tree_render --paths_state S` and
+  * `branch_pairs --paths_state S` then serve from the state instead
+  * of re-running the closure), and
+  * `--maintenance turns_stream --raw R --state S --checkpoint C
+  * [--max_depth N]` (the tree family's streaming arm: tail turn-batch
+  * JSON files into the TreeState, exactly-once per file; files must
+  * land in causal order — the orphan gate refuses violations), and
   * `--maintenance dpo_release --turns T --out ROOT [--shards N]
   * [--bad B [--bad_conv_col C] [--bad_turn_col K]] [--verify false]
   * [+ branch_pairs column opts]` (the one-command DPO data release,
@@ -571,15 +584,17 @@ object Pipeline {
   * pair decontamination -> hash-sharded byte-stable export with
   * content digests -> verify_export; `_dpo_release.json` audits
   * landed counts; a root already holding triples/ is refused), and
-  * `--maintenance branch_pairs --turns T --out O [--render true]
-  * [--conv_col C] [--turn_col K] [--parent_col P] [--role_col R]
-  * [--content_col X] [--score_col S] [--resp_role A] [--max_depth N]`
+  * `--maintenance branch_pairs --turns T --out O [--render true
+  * [--paths_state S]] [--conv_col C] [--turn_col K] [--parent_col P]
+  * [--role_col R] [--content_col X] [--score_col S] [--resp_role A]
+  * [--max_depth N]`
   * (tree-native DPO pairs: sibling response-role regenerations under
   * one parent paired chosen/rejected by score; --render ships the
   * root→parent prompt text and both contents — the triple export), and
-  * `--maintenance tree_render --turns T --out O [--conv_col C]
-  * [--turn_col K] [--parent_col P] [--role_col R] [--content_col X]
-  * [--train_role A] [--max_depth N]` (tree-aware SFT render prep:
+  * `--maintenance tree_render --turns T --out O [--paths_state S]
+  * [--conv_col C] [--turn_col K] [--parent_col P] [--role_col R]
+  * [--content_col X] [--train_role A] [--max_depth N]`
+  * (tree-aware SFT render prep:
   * each root→leaf path becomes one synthetic conversation keyed by a
   * dense path `doc_id`, with the EFFECTIVE role — train role on
   * first-visit train-role memberships, 'context' elsewhere — so the
@@ -2187,6 +2202,44 @@ object PipelineRunner {
           .awaitTermination()
         val nPairs = graft.operators.Preference.pairsFromState(spark, state).count()
         println(s"[maintenance] pref stream drained: state at $state now holds $nPairs pair(s)")
+      case Some("turns_stream") =>
+        // Streaming tree-membership maintenance
+        // (StreamingPipeline.turnsIngest): tail a directory of
+        // turn-batch JSON files into the persistent TreeState — the
+        // tree family's streaming arm (batch tree_paths / incremental
+        // tree_state / STREAMING triad). AvailableNow: drains what
+        // exists, then returns (cron-friendly). Files must land in
+        // causal order (parents before children); the fold's orphan
+        // gate refuses violations loudly.
+        val raw = opts.getOrElse("raw", sys.error("--raw <turn json dir> required"))
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
+        val turnSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("conv_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("turn_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types
+              .StructField("parent_id", org.apache.spark.sql.types.LongType)
+          )
+        )
+        graft.streaming.StreamingPipeline
+          .turnsIngest(spark, raw, state, ckpt, turnSchema,
+            opts.getOrElse("max_depth", "10000").toInt)
+          .awaitTermination()
+        // Empty-drain guard (the dsir_stream lesson): a drain that saw
+        // no files never created the state — report 0 instead of
+        // throwing on a missing parquet dir.
+        val stateHPath = new org.apache.hadoop.fs.Path(state)
+        val stateFs = stateHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val nMemb =
+          if (stateFs.exists(stateHPath))
+            graft.operators.TreeState.memberships(spark, state).count()
+          else 0L
+        println(
+          s"[maintenance] turns stream drained: state at $state now holds $nMemb membership row(s)"
+        )
       case Some("win_stream") =>
         // Streaming arena board (StreamingPipeline.winIngest): tail a
         // directory of scored-response JSON files into the persistent
@@ -2475,6 +2528,34 @@ object PipelineRunner {
           .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
         val n = Pipeline.writeCounted(paths, out)
         println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
+      case Some("tree_state") =>
+        // Durable tree-membership fold (TreeState.fold): an APPENDED
+        // turn batch folds into the persistent membership state — new
+        // leaves add paths (prefixes read from the state), extensions
+        // of current leaves replace their paths, first-visit flags
+        // recomputed for exactly the affected turns. Exactly-once by
+        // --applied_id (a replayed batch is a no-op). Every tree
+        // consumer (tree_render --paths_state, branch_pairs
+        // --paths_state) can then serve from the state instead of
+        // re-running the pointer-doubling closure over the full store.
+        val batchPath = opts.getOrElse("batch", sys.error("--batch <parquet> required"))
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val convCol = opts.getOrElse("conv_col", "conv_id")
+        val turnCol = opts.getOrElse("turn_col", "turn_id")
+        val parentCol = opts.getOrElse("parent_col", "parent_id")
+        val maxDepth = opts.getOrElse("max_depth", "10000").toInt
+        val folded = graft.operators.TreeState.fold(
+          spark,
+          spark.read.parquet(batchPath),
+          convCol, turnCol, parentCol,
+          state,
+          opts.get("applied_id").map(_.toLong),
+          maxDepth
+        )
+        println(
+          s"[maintenance] tree_state: folded $batchPath; state at $state now holds " +
+            s"${folded.count()} membership row(s)"
+        )
       case Some("dpo_release") =>
         // The one-command DPO DATA RELEASE — the trilogy's third
         // capstone (pretraining `release`, SFT `sft_release`,
@@ -2585,11 +2666,20 @@ object PipelineRunner {
         val scoreCol = opts.getOrElse("score_col", "score")
         val respRole = opts.getOrElse("resp_role", "assistant")
         val turnsDf = spark.read.parquet(turnsPath)
+        // --paths_state serves the prompt render from the durable
+        // TreeState memberships instead of re-running the closure.
         val result =
           if (opts.get("render").contains("true"))
-            graft.operators.ConvTree.branchPairsRendered(
-              turnsDf, convCol, turnCol, parentCol, roleCol, contentCol, scoreCol, respRole,
-              opts.getOrElse("max_depth", "10000").toInt)
+            opts.get("paths_state") match {
+              case Some(st) =>
+                graft.operators.ConvTree.branchPairsRenderedFrom(
+                  graft.operators.TreeState.memberships(spark, st),
+                  turnsDf, convCol, turnCol, parentCol, roleCol, contentCol, scoreCol, respRole)
+              case None =>
+                graft.operators.ConvTree.branchPairsRendered(
+                  turnsDf, convCol, turnCol, parentCol, roleCol, contentCol, scoreCol, respRole,
+                  opts.getOrElse("max_depth", "10000").toInt)
+            }
           else
             graft.operators.Preference.branchPairs(
               turnsDf, convCol, turnCol, parentCol, roleCol, scoreCol, respRole)
@@ -2627,10 +2717,19 @@ object PipelineRunner {
         val contentCol = opts.getOrElse("content_col", "content")
         val trainRole = opts.getOrElse("train_role", "assistant")
         val maxDepth = opts.getOrElse("max_depth", "10000").toInt
-        val rendered = graft.operators.ConvTree.renderPaths(
-          spark.read.parquet(turnsPath),
-          convCol, turnCol, parentCol, roleCol, contentCol, trainRole, maxDepth
-        )
+        // --paths_state serves the memberships from the durable
+        // TreeState instead of re-running the closure per render.
+        val rendered = opts.get("paths_state") match {
+          case Some(st) =>
+            graft.operators.ConvTree.renderPathsFrom(
+              graft.operators.TreeState.memberships(spark, st),
+              spark.read.parquet(turnsPath),
+              convCol, turnCol, roleCol, contentCol, trainRole)
+          case None =>
+            graft.operators.ConvTree.renderPaths(
+              spark.read.parquet(turnsPath),
+              convCol, turnCol, parentCol, roleCol, contentCol, trainRole, maxDepth)
+        }
         val pathIds = graft.operators.Vocab
           .withIds(
             rendered.select(struct(col("conv_id"), col("path_id")).as("__path")).distinct(),

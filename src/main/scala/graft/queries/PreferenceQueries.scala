@@ -535,6 +535,58 @@ object PreferenceQueries {
       "assistant"
     )
 
+  /** Durable tree-membership state ([[graft.operators.TreeState]]):
+    * the q172 branched turn store folded through the INCREMENTAL state
+    * arm in three per-conversation-monotone appends (turn offsets
+    * 0–9, 10–14, 15–19 of each 20-turn block — every batch carries
+    * leaf extensions, in-batch chains, AND regeneration forks onto
+    * earlier batches' nodes), then served straight from the state.
+    * The state must equal a from-scratch [[ConvTree.treePaths]] replay
+    * — so the oracle is EXACTLY q172's recursive-CTE walk over the
+    * full store. Per fold: batch-local closure only (log₂ batch
+    * depth, never the store), prefixes read from the state, extended
+    * paths replaced under their new leaf keys, first-visit minima
+    * recomputed for exactly the affected turns. Like q105/q96, the
+    * query exercises the DURABLE path: scratch state dir, 3 folds,
+    * memberships read back from parquet.
+    */
+  def q179TreeState(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(
+      expr("doc_id div 20").as("conv_id"),
+      col("doc_id").as("turn_id"),
+      expr(
+        "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+      ).as("parent_id")
+    )
+    val root = java.nio.file.Files.createTempDirectory("graft-q179")
+    val rows =
+      try {
+        val state = root.resolve("tree").toString
+        Seq((0, 10), (10, 15), (15, 20)).zipWithIndex.foreach { case ((lo, hi), i) =>
+          graft.operators.TreeState.fold(
+            spark,
+            t.filter(col("turn_id") % 20 >= lo && col("turn_id") % 20 < hi),
+            "conv_id",
+            "turn_id",
+            "parent_id",
+            state,
+            Some(i.toLong)
+          )
+        }
+        // Demo-query materialization (bounded: O(Σ path length) small
+        // rows) — results must outlive the scratch state's cleanup;
+        // the OPERATOR returns DataFrames and never collects.
+        graft.operators.TreeState
+          .memberships(spark, state)
+          .collect()
+          .toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    import spark.implicits._
+    rows.toDF("conv_id", "path_id", "pos", "turn_id", "train")
+  }
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -518,6 +518,43 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming tree-membership maintenance: each arriving turn-batch
+    * file (`conv_id`, `turn_id`, `parent_id` rows — a live turn store
+    * landing appends as conversations grow) folds into the persistent
+    * [[graft.operators.TreeState]] membership state, the streaming
+    * batchId as the applied-id — foreachBatch's at-least-once composes
+    * with the fold's marker into exactly-once (a replayed batch is a
+    * no-op under its own id; the same rows under a NEW id are refused
+    * by the state's key-collision gate, so mis-delivery fails loudly
+    * instead of double-pathing). Files must land in CAUSAL order: a
+    * turn's parent must be in the state or its own batch, the fold's
+    * orphan gate enforces it. The state answers "current root→leaf
+    * path memberships" at any moment
+    * ([[graft.operators.TreeState.memberships]], served by
+    * `tree_render --paths_state` / `branch_pairs --paths_state`)
+    * without re-running the pointer-doubling closure over the store.
+    */
+  def turnsIngest(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      turnSchema: StructType,
+      maxDepth: Int = 10000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(turnSchema)
+      .json(rawDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TreeState.fold(
+          spark, batch, "conv_id", "turn_id", "parent_id", statePath, Some(batchId), maxDepth)
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
     * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])
     * and appends detected near-dup pairs to a telemetry sink before the

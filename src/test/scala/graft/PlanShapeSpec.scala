@@ -895,4 +895,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     assert(!plan.contains("Window"), s"no window:\n$plan")
   }
+
+  test("tree_state fold: state-side probes broadcast the batch-derived key sets; no cartesian, no window") {
+    // The incremental fold's scale contract: the O(state) membership
+    // table is only ever JOINED against batch-sized key sets (anchors,
+    // extended leaves, affected turns) — those sides are broadcast so
+    // the state reads stay map-side — and the batch-local closure runs
+    // over the batch alone (the operator layer interlocks that; here
+    // the composed fold plan must show broadcasts, no cartesian, no
+    // window of any kind).
+    import spark.implicits._
+    val m = graft.operators.ConvTree.treePaths(
+      Seq((1L, 0L, Option.empty[Long]), (1L, 1L, Some(0L)), (1L, 2L, Some(1L)))
+        .map { case (c, t, p) => (c, t, p.map(java.lang.Long.valueOf).orNull) }
+        .toDF("conv_id", "turn_id", "parent_id"),
+      "conv_id", "turn_id", "parent_id")
+    val b = Seq((1L, java.lang.Long.valueOf(3L), java.lang.Long.valueOf(1L)))
+      .toDF("conv_id", "turn_id", "parent_id")
+    val df = graft.operators.TreeState.foldInto(m, b, 100)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"batch-derived key sets must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("Window ["), s"no window:\n$plan")
+  }
 }

@@ -1585,4 +1585,63 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(landed() == before)
   }
+
+  test("turns stream: arriving turn files fold into the tree state; equals batch folds; drained restart adds nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-turns-stream").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    def drain(): Unit = graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_stream", "--raw", s"$root/raw",
+      "--state", s"$root/tree", "--checkpoint", s"$root/ckpt"), spark)
+    // EMPTY raw dir: zero batches drained — the verb must report 0,
+    // not die reading a state dir that was never created (the
+    // dsir_stream lesson, built in from day one)
+    drain()
+    assert(!new java.io.File(s"$root/tree").exists())
+    // file 1: a root chain 0 -> 1 plus a sibling fork 2 under 0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"conv_id":1,"turn_id":0,"parent_id":null}
+        |{"conv_id":1,"turn_id":1,"parent_id":0}
+        |{"conv_id":1,"turn_id":2,"parent_id":0}""".stripMargin)
+    drain()
+    def state() = spark.read.parquet(s"$root/tree")
+      .select("conv_id", "path_id", "pos", "turn_id", "train")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    def replay(rows: Seq[(Long, Long, Option[Long])]) =
+      graft.operators.ConvTree.treePaths(
+        rows.map { case (c, t, p) => (c, t, p.map(java.lang.Long.valueOf).orNull) }
+          .toDF("conv_id", "turn_id", "parent_id"),
+        "conv_id", "turn_id", "parent_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+    val f1 = Seq((1L, 0L, None), (1L, 1L, Some(0L)), (1L, 2L, Some(0L)))
+      .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    assert(state() == replay(f1), "streamed state must equal the from-scratch walk")
+    // file 2: extend leaf 1 (its path key changes) + a NEW conversation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f2.json"),
+      """{"conv_id":1,"turn_id":3,"parent_id":1}
+        |{"conv_id":2,"turn_id":0,"parent_id":null}""".stripMargin)
+    drain()
+    val all = f1 ++ Seq((1L, 3L, Option(1L)), (2L, 0L, Option.empty[Long]))
+    assert(state() == replay(all), "fold after extension + new conv must equal the walk")
+    // drained restart: nothing new
+    val before = state()
+    drain()
+    assert(state() == before, "drained restart adds nothing")
+    // the state SERVES the render verbs without re-running the closure
+    all.map { case (c, t, p) =>
+      (c, t, p.map(java.lang.Long.valueOf).orNull,
+        if (t % 2 == 0) "user" else "assistant", s"x$c$t")
+    }.toDF("conv_id", "turn_id", "parent_id", "role", "content")
+      .write.parquet(s"$root/turns")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "tree_render", "--turns", s"$root/turns",
+      "--out", s"$root/rendered", "--paths_state", s"$root/tree"), spark)
+    assert(spark.read.parquet(s"$root/rendered").count() > 0)
+  }
 }

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ConvTree, TreeState}
+
+/** Durable tree-membership state: incremental folds must equal a
+  * from-scratch treePaths replay after every append — random trees in
+  * 3+ monotone batches, the leaf-extension case where the first-visit
+  * flag MOVES to a sibling, the adversarial late-regeneration fork of
+  * an old node (monotone and NON-monotone ids), new conversations
+  * arriving mid-stream, the loud collision/orphan gates, exactly-once
+  * replay, and the state-served render/pair verbs.
+  */
+class TreeStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("graft-treestate-test", "local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def turnsDf(rows: Seq[(Long, Long, Option[Long])]) =
+    rows
+      .map { case (c, t, p) => (c, t, p.map(java.lang.Long.valueOf).orNull) }
+      .toDF("conv_id", "turn_id", "parent_id")
+
+  private def rowsOf(df: DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+
+  /** Fold `batches` one by one into a scratch state; after EACH fold
+    * assert the state equals treePaths over everything folded so far.
+    */
+  private def foldAndCheck(batches: Seq[Seq[(Long, Long, Option[Long])]]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate").toString
+    try {
+      val state = s"$root/tree"
+      batches.zipWithIndex.foldLeft(Seq.empty[(Long, Long, Option[Long])]) {
+        case (sofar, (batch, i)) =>
+          TreeState.fold(
+            spark, turnsDf(batch), "conv_id", "turn_id", "parent_id", state, Some(i.toLong))
+          val all = sofar ++ batch
+          val want = rowsOf(ConvTree.treePaths(turnsDf(all), "conv_id", "turn_id", "parent_id"))
+          val got = rowsOf(TreeState.memberships(spark, state))
+          assert(got == want, s"after fold $i: state diverges from from-scratch replay")
+          all
+      }
+      ()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("random recursive trees in 3 monotone appends equal the from-scratch replay each time") {
+    val rnd = new scala.util.Random(4711)
+    // 4 conversations × 24 turns, parents random earlier turns (so
+    // batches carry multi-level subtrees, extensions, and forks);
+    // conv 3 only APPEARS in batch 2 (a new conversation mid-stream).
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 24).map { t =>
+        val id = c * 1000L + t
+        val parent = if (t == 0) None else Some(c * 1000L + rnd.nextInt(t))
+        (c.toLong, id, parent)
+      }
+    }
+    def slice(c: Long, lo: Int, hi: Int) =
+      rows.filter(r => r._1 == c && (r._2 % 1000) >= lo && (r._2 % 1000) < hi)
+    val batch0 = (0L until 3L).flatMap(c => slice(c, 0, 10))
+    val batch1 = (0L until 3L).flatMap(c => slice(c, 10, 17))
+    val batch2 = (0L until 4L).flatMap(c => slice(c, if (c == 3L) 0 else 17, 24))
+    foldAndCheck(Seq(batch0, batch1, batch2))
+  }
+
+  test("leaf extension MOVES the first-visit flag to the surviving smaller sibling leaf") {
+    // 0 -> 1 -> {5, 7}: turns 0 and 1 first-visit on path 5. Extending
+    // leaf 5 with 100 deletes path 5; their minimum must move to 7
+    // (the surviving old leaf), while 5 itself moves to its extension.
+    val b0 = Seq((1L, 0L, None), (1L, 1L, Some(0L)), (1L, 5L, Some(1L)), (1L, 7L, Some(1L)))
+      .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    val b1 = Seq((1L, 100L, Option(5L)))
+    foldAndCheck(Seq(b0, b1))
+    // and pin the exact semantics once, independent of the replay
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-ext").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state, Some(0L))
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      val got = rowsOf(TreeState.memberships(spark, state))
+      assert(got == Set(
+        (1L, 7L, 0L, 0L, true), (1L, 7L, 1L, 1L, true), (1L, 7L, 2L, 7L, true),
+        (1L, 100L, 0L, 0L, false), (1L, 100L, 1L, 1L, false),
+        (1L, 100L, 2L, 5L, true), (1L, 100L, 3L, 100L, true)
+      ))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("late regeneration forks an OLD interior node: one path added, old flags untouched") {
+    // chain 0 -> 1 -> 2; a much later batch regenerates under the
+    // interior node 1 (the adversarial shape: the fork lands on a node
+    // whose subtree was long settled) — one new path through the old
+    // 0 -> 1 prefix, every old flag stable (new leaf id is larger).
+    val b0 = Seq((9L, 0L, None), (9L, 1L, Some(0L)), (9L, 2L, Some(1L)))
+      .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    val b1 = Seq((9L, 50L, Option(1L)), (9L, 51L, Option(50L)))
+    foldAndCheck(Seq(b0, b1))
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-fork").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state, Some(0L))
+      val before = rowsOf(TreeState.memberships(spark, state))
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      val after = rowsOf(TreeState.memberships(spark, state))
+      assert(before.subsetOf(after), "the settled path-2 rows must survive byte-identical")
+      assert(after -- before == Set(
+        (9L, 51L, 0L, 0L, false), (9L, 51L, 1L, 1L, false),
+        (9L, 51L, 2L, 50L, true), (9L, 51L, 3L, 51L, true)
+      ))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("NON-monotone fork: a new leaf with a SMALLER id steals the first-visit minimum") {
+    // ids need not grow: a fork under old node 10 arrives with leaf id
+    // 3 < the settled leaf 12 — the fold must move 10's (and the
+    // root's) first-visit to the new smaller path key, exactly as the
+    // from-scratch replay does.
+    val b0 = Seq((2L, 10L, None), (2L, 11L, Some(10L)), (2L, 12L, Some(11L)))
+      .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    val b1 = Seq((2L, 3L, Option(10L)))
+    foldAndCheck(Seq(b0, b1))
+  }
+
+  test("a batch extending a leaf with a multi-turn subtree (chain + fork inside the batch)") {
+    val b0 = Seq((5L, 0L, None), (5L, 1L, Some(0L)))
+      .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    // batch: 1 -> 2 -> {3, 4} — extends leaf 1, two new paths
+    val b1 = Seq((5L, 2L, Option(1L)), (5L, 3L, Option(2L)), (5L, 4L, Option(2L)))
+    foldAndCheck(Seq(b0, b1))
+  }
+
+  test("exactly-once: replaying an applied batch is a no-op; a new applied_id is refused as a collision") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-once").toString
+    try {
+      val state = s"$root/tree"
+      val b0 = Seq((1L, 0L, None), (1L, 1L, Some(0L)))
+        .asInstanceOf[Seq[(Long, Long, Option[Long])]]
+      val b1 = Seq((1L, 2L, Option(1L)))
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state, Some(0L))
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      val after = rowsOf(TreeState.memberships(spark, state))
+      // replay of batch 1 under its applied id: no-op
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      assert(rowsOf(TreeState.memberships(spark, state)) == after)
+      // the same rows under a NEW id are a key collision — loud
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(2L))
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("orphan gates: a batch parent resolving to neither state nor batch is refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-orphan").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(
+        spark,
+        turnsDf(Seq((1L, 0L, None), (1L, 1L, Some(0L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(
+          spark, turnsDf(Seq((1L, 9L, Some(99L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(1L))
+      }
+      assert(e.getMessage.contains("orphan"), e.getMessage)
+      // cross-conversation pointer: turn 1 exists in conv 1, not conv 2
+      val e2 = intercept[IllegalArgumentException] {
+        TreeState.fold(
+          spark, turnsDf(Seq((2L, 9L, Some(1L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(1L))
+      }
+      assert(e2.getMessage.contains("orphan"), e2.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("tree_state CLI verb + state-served tree_render and branch_pairs equal the closure path") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-cli").toString
+    try {
+      val allRows = Seq(
+        (1L, 0L, Option.empty[Long], "user", "hi", 0L),
+        (1L, 1L, Some(0L), "assistant", "ok", 3L),
+        (1L, 2L, Some(0L), "assistant", "meh", 1L),
+        (1L, 3L, Some(1L), "user", "more", 0L),
+        (1L, 4L, Some(3L), "assistant", "yes", 9L),
+        (1L, 5L, Some(3L), "assistant", "no", 2L)
+      )
+      def df(rows: Seq[(Long, Long, Option[Long], String, String, Long)]) =
+        rows
+          .map { case (c, t, p, r, x, s) => (c, t, p.map(java.lang.Long.valueOf).orNull, r, x, s) }
+          .toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+      val turns = df(allRows)
+      turns.write.parquet(s"$root/turns")
+      // fold in two batches through the verb
+      df(allRows.take(3)).write.parquet(s"$root/b0")
+      df(allRows.drop(3)).write.parquet(s"$root/b1")
+      for ((b, i) <- Seq("b0", "b1").zipWithIndex)
+        graft.pipeline.PipelineRunner.run(Array(
+          "--maintenance", "tree_state", "--batch", s"$root/$b",
+          "--state", s"$root/tree", "--applied_id", i.toString), spark)
+      assert(rowsOf(TreeState.memberships(spark, s"$root/tree")) ==
+        rowsOf(ConvTree.treePaths(turns, "conv_id", "turn_id", "parent_id")))
+      // tree_render --paths_state ≡ tree_render (closure)
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "tree_render", "--turns", s"$root/turns",
+        "--out", s"$root/r_state", "--paths_state", s"$root/tree"), spark)
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "tree_render", "--turns", s"$root/turns",
+        "--out", s"$root/r_closure"), spark)
+      def rset(p: String) = spark.read.parquet(p)
+        .drop("doc_id") // the dense path rank is order-assigned; compare content
+        .collect().map(_.toSeq).toSet
+      assert(rset(s"$root/r_state") == rset(s"$root/r_closure"))
+      // branch_pairs --render --paths_state ≡ the closure render
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "branch_pairs", "--turns", s"$root/turns",
+        "--out", s"$root/p_state", "--render", "true",
+        "--paths_state", s"$root/tree"), spark)
+      val wantPairs = ConvTree.branchPairsRendered(
+        turns, "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant")
+      assert(spark.read.parquet(s"$root/p_state")
+        .select(wantPairs.columns.map(col): _*).collect().map(_.toSeq).toSet ==
+        wantPairs.collect().map(_.toSeq).toSet)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
