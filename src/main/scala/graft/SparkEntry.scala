@@ -198,7 +198,11 @@ object SparkEntry {
     "q176_fewshot_distinct" -> (TextQueries.q176FewshotDistinct _),
     "q177_branch_pairs" -> (PreferenceQueries.q177BranchPairs _),
     "q178_branch_pairs_rendered" -> (PreferenceQueries.q178BranchPairsRendered _),
-    "q179_tree_state" -> (PreferenceQueries.q179TreeState _)
+    "q179_tree_state" -> (PreferenceQueries.q179TreeState _),
+    "q180_dpo_token_coords" -> (PreferenceQueries.q180DpoTokenCoords _),
+    "q181_dpo_length_bias" -> (PreferenceQueries.q181DpoLengthBias _),
+    "q182_dpo_eval_decontam" -> (PreferenceQueries.q182DpoEvalDecontam _),
+    "q183_dpo_length_batches" -> (PreferenceQueries.q183DpoLengthBatches _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -234,7 +238,10 @@ object SparkEntry {
     "q158_sft_bpe_mask",
     "q161_win_ingest",
     "q175_bpe_chunks",
-    "q179_tree_state"
+    "q179_tree_state",
+    "q180_dpo_token_coords",
+    "q181_dpo_length_bias",
+    "q183_dpo_length_batches"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2816,13 +2823,14 @@ object SparkEntry {
         |    CAST(sum(n_toks * reward) AS HUGEINT) AS sxy,
         |    CAST(sum(n_toks * n_toks) AS HUGEINT) AS sxx
         |  FROM r GROUP BY 1),
-        |c AS (SELECT policy, n, sy, sx,
-        |    n * sxy - sx * sy AS vxy, n * sxx - sx * sx AS vxx
-        |  FROM a WHERE n * sxx - sx * sx > 0)
-        |SELECT policy, CAST(n AS BIGINT) AS n,
-        |  CAST((1000000 * vxy) // vxx AS BIGINT) AS slope_micro,
-        |  CAST((1000000 * sy - ((1000000 * vxy) // vxx) * sx) // n AS BIGINT) AS intercept_micro
-        |FROM c""".stripMargin,
+        |c AS (SELECT policy, n, sy, sx, 1000000 * (n * sxy - sx * sy) AS num, n * sxx - sx * sx AS vxx
+        |  FROM a WHERE n * sxx - sx * sx > 0),
+        |s AS (SELECT policy, n, sy, sx,
+        |    (num - (((num % vxx) + vxx) % vxx)) // vxx AS slope FROM c),
+        |i AS (SELECT policy, n, slope, 1000000 * sy - slope * sx AS inum FROM s)
+        |SELECT policy, CAST(n AS BIGINT) AS n, CAST(slope AS BIGINT) AS slope_micro,
+        |  CAST((inum - (((inum % n) + n) % n)) // n AS BIGINT) AS intercept_micro
+        |FROM i""".stripMargin,
     // q170: duplication profile — cluster-size histogram over the q141
     // recursive near-dup closure, singletons as size-1 clusters; the
     // rows partition the corpus (sum(n_docs) == |documents|).
@@ -3006,6 +3014,89 @@ object SparkEntry {
         |  (w.leaf = f.first_leaf) AS train
         |FROM walk w JOIN plen p USING (leaf) JOIN fv f ON f.turn = w.turn
         |JOIN turns t ON t.turn = w.turn""".stripMargin,
+    // q180: the q178 triples + model-token counts — the q178 walk +
+    // the q115 merge chain + a distinct-word vocab under it + one
+    // word-unnest count sum per triple member.
+    "q180_dpo_token_coords" ->
+      (s"WITH RECURSIVE $dpoTriplesCtes,\n${bpeWordChain(8)}${dpoCntsCtes(8)}\n" +
+        """SELECT t.conv_id, t.parent_id, t.prompt, t.chosen_id, t.rejected_id,
+          |  t.chosen, t.rejected, t.chosen_score, t.rejected_score, t.margin,
+          |  CAST(coalesce(cp.toks, 0) AS BIGINT) AS prompt_toks,
+          |  CAST(coalesce(cc.toks, 0) AS BIGINT) AS chosen_toks,
+          |  CAST(coalesce(cr.toks, 0) AS BIGINT) AS rejected_toks
+          |FROM tri t
+          |LEFT JOIN cnts cp ON cp.conv_id = t.conv_id AND cp.parent_id = t.parent_id AND cp.member = 'prompt'
+          |LEFT JOIN cnts cc ON cc.conv_id = t.conv_id AND cc.parent_id = t.parent_id AND cc.member = 'chosen'
+          |LEFT JOIN cnts cr ON cr.conv_id = t.conv_id AND cr.parent_id = t.parent_id AND cr.member = 'rejected'""".stripMargin),
+    // q181: q169's exact micro-unit regression over the q180
+    // coordinates, keyed by triple side — HUGEINT sums, floor
+    // divisions, zero-variance groups dropped.
+    "q181_dpo_length_bias" ->
+      (s"WITH RECURSIVE $dpoTriplesCtes,\n${bpeWordChain(8)}${dpoCntsCtes(8)},\n" +
+        """pw AS (
+          |  SELECT 'chosen' AS side, CAST(coalesce(c1.toks, 0) AS BIGINT) AS toks, t.chosen_score AS score
+          |  FROM tri t LEFT JOIN cnts c1 ON c1.conv_id = t.conv_id AND c1.parent_id = t.parent_id AND c1.member = 'chosen'
+          |  UNION ALL
+          |  SELECT 'rejected', CAST(coalesce(c2.toks, 0) AS BIGINT), t.rejected_score
+          |  FROM tri t LEFT JOIN cnts c2 ON c2.conv_id = t.conv_id AND c2.parent_id = t.parent_id AND c2.member = 'rejected'),
+          |a AS (SELECT side AS policy, CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(toks) AS HUGEINT) AS sx, CAST(sum(score) AS HUGEINT) AS sy,
+          |    CAST(sum(toks * score) AS HUGEINT) AS sxy, CAST(sum(toks * toks) AS HUGEINT) AS sxx
+          |  FROM pw GROUP BY 1),
+          |c AS (SELECT policy, n, sy, sx, 1000000 * (n * sxy - sx * sy) AS num, n * sxx - sx * sx AS vxx
+          |  FROM a WHERE n * sxx - sx * sx > 0),
+          |s AS (SELECT policy, n, sy, sx,
+          |    (num - (((num % vxx) + vxx) % vxx)) // vxx AS slope FROM c),
+          |i AS (SELECT policy, n, slope, 1000000 * sy - slope * sx AS inum FROM s)
+          |SELECT policy, CAST(n AS BIGINT) AS n, CAST(slope AS BIGINT) AS slope_micro,
+          |  CAST((inum - (((inum % n) + n) % n)) // n AS BIGINT) AS intercept_micro
+          |FROM i""".stripMargin),
+    // q183: the q180 totals -> one global ascending-length rank ->
+    // fixed 8-pair atomic batches (the padding-minimizing layout).
+    "q183_dpo_length_batches" ->
+      (s"WITH RECURSIVE $dpoTriplesCtes,\n${bpeWordChain(8)}${dpoCntsCtes(8)},\n" +
+        """tot AS (SELECT t.conv_id, t.parent_id,
+          |    CAST(coalesce(cp.toks, 0) + coalesce(cc.toks, 0) + coalesce(cr.toks, 0) AS BIGINT) AS total_toks
+          |  FROM tri t
+          |  LEFT JOIN cnts cp ON cp.conv_id = t.conv_id AND cp.parent_id = t.parent_id AND cp.member = 'prompt'
+          |  LEFT JOIN cnts cc ON cc.conv_id = t.conv_id AND cc.parent_id = t.parent_id AND cc.member = 'chosen'
+          |  LEFT JOIN cnts cr ON cr.conv_id = t.conv_id AND cr.parent_id = t.parent_id AND cr.member = 'rejected'),
+          |rk AS (SELECT conv_id, parent_id, total_toks,
+          |    row_number() OVER (ORDER BY total_toks, conv_id, parent_id) - 1 AS r FROM tot)
+          |SELECT conv_id, parent_id, total_toks,
+          |  r // 8 AS batch_id, r % 8 AS pos_in_batch FROM rk""".stripMargin),
+    // q182: the q178 triples anti-joined against the q54 shingle
+    // chain over each rendered member — any-member containment >= 0.5
+    // vs the doc_id % 10 = 0 eval split purges the pair.
+    "q182_dpo_eval_decontam" ->
+      (s"WITH RECURSIVE $dpoTriplesCtes,\n" +
+        """mem AS (SELECT conv_id, parent_id, 'prompt' AS member, prompt AS txt FROM tri
+          |  UNION ALL SELECT conv_id, parent_id, 'chosen', chosen FROM tri
+          |  UNION ALL SELECT conv_id, parent_id, 'rejected', rejected FROM tri),
+          |mtk AS (SELECT conv_id, parent_id, member, list_transform(regexp_split_to_array(txt, '\s+'),
+          |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th FROM mem),
+          |msh AS (SELECT conv_id, parent_id, member,
+          |  CASE WHEN len(th) >= 3
+          |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+          |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+          |       ELSE [] END AS sh_ints FROM mtk),
+          |etk AS (SELECT list_transform(regexp_split_to_array(text, '\s+'),
+          |    t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |ev AS (SELECT DISTINCT unnest(sh_ints) AS shingle FROM (
+          |  SELECT CASE WHEN len(th) >= 3
+          |       THEN list_distinct(list_transform(range(1, len(th) - 1),
+          |              i -> (((th[i] * 8191 + th[i+1]) % 2147483647) * 8191 + th[i+2]) % 2147483647))
+          |       ELSE [] END AS sh_ints FROM etk)),
+          |inv AS (SELECT conv_id, parent_id, member, len(sh_ints) AS n_sh, unnest(sh_ints) AS shingle FROM msh),
+          |bad AS (SELECT DISTINCT conv_id, parent_id FROM (
+          |  SELECT i.conv_id, i.parent_id FROM inv i JOIN ev USING (shingle)
+          |  GROUP BY i.conv_id, i.parent_id, i.member, i.n_sh
+          |  HAVING CAST(count(*) AS DOUBLE) / i.n_sh >= 0.5))
+          |SELECT t.conv_id, t.parent_id, t.prompt, t.chosen_id, t.rejected_id,
+          |  t.chosen, t.rejected, t.chosen_score, t.rejected_score, t.margin
+          |FROM tri t WHERE NOT EXISTS (
+          |  SELECT 1 FROM bad b WHERE b.conv_id = t.conv_id AND b.parent_id = t.parent_id)""".stripMargin),
     // q173: few-shot prompt assembly — 3 seeded-hash shots per eval
     // item from the train pool's dense doc-id rank, rendered
     // shot1 shot2 shot3 query; shot ids as a joined string.
@@ -3150,6 +3241,95 @@ object SparkEntry {
     * the final vocabulary (q116); "manifest" = the q110-shape packing
     * manifest weighted by those per-doc BPE counts (q117).
     */
+  /** Shared DuckDB CTE body for the q178-derived DPO-triple oracles
+    * (q180/q181/q182): the q178 fixture walk verbatim — branched turn
+    * store, sibling pair agg, ancestor-walk prompt render — ending in
+    * `tri`, the rendered-triple table those oracles post-process.
+    * Callers prepend `WITH RECURSIVE` (the `anc` walk needs it).
+    */
+  private val dpoTriplesCtes: String =
+    """turns AS (SELECT doc_id // 20 AS conv, doc_id AS turn,
+      |    CASE WHEN doc_id % 20 = 0 THEN NULL
+      |         WHEN doc_id % 5 = 4 THEN doc_id - 3
+      |         ELSE doc_id - 1 END AS parent,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content,
+      |    CAST(concat('0x', substr(md5(concat('rw_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 1000 AS score
+      |  FROM documents),
+      |g AS (SELECT conv AS conv_id, parent AS parent_id,
+      |    (array_agg(turn ORDER BY score DESC, turn ASC))[1] AS chosen_id,
+      |    (array_agg(turn ORDER BY score ASC, turn ASC))[1] AS rejected_id,
+      |    max(score) AS chosen_score, min(score) AS rejected_score,
+      |    count(*) AS n
+      |  FROM turns WHERE role = 'assistant' AND parent IS NOT NULL
+      |  GROUP BY 1, 2),
+      |p AS (SELECT conv_id, parent_id, chosen_id, rejected_id,
+      |    chosen_score, rejected_score,
+      |    chosen_score - rejected_score AS margin
+      |  FROM g WHERE n >= 2 AND chosen_score > rejected_score),
+      |anc(parent_id, node, d) AS (
+      |  SELECT DISTINCT parent_id, parent_id, 0 FROM p
+      |  UNION ALL
+      |  SELECT a.parent_id, t.parent, a.d + 1
+      |  FROM anc a JOIN turns t ON t.turn = a.node WHERE t.parent IS NOT NULL),
+      |pr AS (SELECT a.parent_id, string_agg(t.content, ' ' ORDER BY a.d DESC) AS prompt
+      |  FROM anc a JOIN turns t ON t.turn = a.node GROUP BY a.parent_id),
+      |tri AS (SELECT p.conv_id, p.parent_id, pr.prompt, p.chosen_id, p.rejected_id,
+      |  tc.content AS chosen, tj.content AS rejected,
+      |  p.chosen_score, p.rejected_score, p.margin
+      |  FROM p JOIN pr USING (parent_id)
+      |  JOIN turns tc ON tc.turn = p.chosen_id
+      |  JOIN turns tj ON tj.turn = p.rejected_id)""".stripMargin
+
+  /** The q115 merge-learning chain with the word column KEPT —
+    * `w0 … w{n}` after n replayed merge rounds, so `w{n}` is the
+    * distinct-word vocabulary under the learned table. Emitted
+    * WITHOUT a leading `WITH` (callers splice it into a larger CTE
+    * list). Same round semantics as [[bpeOracle]]'s chain.
+    */
+  private def bpeWordChain(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS (
+        |  SELECT word, substr(regexp_replace(word, '(.)', '||\1', 'g'), 2) || '|' AS sym,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (i <- 0 until n) {
+      sb.append(s""",
+        |bp$i AS (
+        |  SELECT split_part(pair, chr(9), 1) AS lhs, split_part(pair, chr(9), 2) AS rhs,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j] || chr(9) || syms[j+1])) AS pair, cnt
+        |        FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), '||') AS syms, cnt FROM w$i))
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT lhs, rhs, cnt FROM bp$i ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+        |w${i + 1} AS (SELECT word, replace(w.sym, '|' || m.lhs || '||' || m.rhs || '|', '|' || m.lhs || m.rhs || '|') AS sym, w.cnt
+        |  FROM w$i w, m$i m)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Per-member model-token counts over [[dpoTriplesCtes]]' `tri`
+    * under [[bpeWordChain]]'s final vocabulary `w{n}`: `cnts` maps
+    * each (conv, parent, member ∈ {prompt, chosen, rejected}) to the
+    * summed per-word symbol count of its rendered text — exactly
+    * `Bpe.modelTokenCount`, replayed through the distinct-word vocab
+    * (legal because whitespace-joined renders preserve the word
+    * multiset). Emitted with a leading comma.
+    */
+  private def dpoCntsCtes(n: Int): String =
+    (""",
+      |vocab AS (SELECT word, CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_sym FROM WFINAL),
+      |mem AS (SELECT conv_id, parent_id, 'prompt' AS member, prompt AS txt FROM tri
+      |  UNION ALL SELECT conv_id, parent_id, 'chosen', chosen FROM tri
+      |  UNION ALL SELECT conv_id, parent_id, 'rejected', rejected FROM tri),
+      |cnts AS (SELECT conv_id, parent_id, member, CAST(sum(n_sym) AS BIGINT) AS toks
+      |  FROM (SELECT conv_id, parent_id, member, unnest(regexp_split_to_array(txt, '\s+')) AS word FROM mem) u
+      |  JOIN vocab USING (word)
+      |  WHERE word <> '' GROUP BY 1, 2, 3)""".stripMargin)
+      .replace("WFINAL", s"w$n")
+
   private def bpeOracle(n: Int, tail: String, trainWhere: String = ""): String = {
     val segments = tail != "merges"
     val word = if (segments) "word, " else ""

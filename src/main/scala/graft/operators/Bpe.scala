@@ -561,6 +561,56 @@ object Bpe {
       )
     )
 
+  /** MODEL-token count of a text column — `size([[modelTokens]])`
+    * without materializing the flattened token array: a per-row fold
+    * summing each word's post-merge symbol count. Zero shuffle, no
+    * UDF; the text never leaves its row.
+    *
+    * This deliberately re-tokenizes each ROW rather than joining a
+    * distinct-word vocab ([[segmentCounts]]'s shape): for already-
+    * RENDERED text (DPO prompts, few-shot assemblies) the vocab
+    * route would explode the rendered corpus to its token stream and
+    * shuffle it twice to regroup — two rendered-corpus-sized shuffles
+    * to save CPU the per-word native apply (O(len·log len),
+    * merge-count-flat) spends locally. Requires
+    * [[graft.functions.GraftFunctions.register]] on the session
+    * (DataFrame-level callers do it).
+    */
+  def modelTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      filter(split(textCol, "\\s+"), w => w =!= lit("")),
+      lit(0L),
+      (acc, w) => acc + size(symsOf(applyMerges(repOf(w), merges))).cast("long")
+    )
+
+  /** Add a `<col>_toks` MODEL-token count for each named text column —
+    * the coordinates a trainer meters by (loss masks, length debias,
+    * curriculum buckets) in the FROZEN tokenizer's own space rather
+    * than whitespace words. One pure projection ([[modelTokenCount]]
+    * per column): no shuffle, no join, plan shape unchanged.
+    */
+  def withModelTokenCounts(
+      df: DataFrame,
+      textCols: Seq[String],
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    textCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(s"${c}_toks", modelTokenCount(col(c), merges)))
+  }
+
+  /** [[withModelTokenCounts]] against a frozen model dir
+    * ([[buildModel]]'s layout, [[loadMerges]]' serving discipline):
+    * the release-time arm — a DPO/SFT export must count in the
+    * tokenizer the TRAINER will run, not one relearned per drain.
+    */
+  def withModelTokenCountsFrozen(
+      df: DataFrame,
+      textCols: Seq[String],
+      modelPath: String
+  ): DataFrame =
+    withModelTokenCounts(df, textCols, loadMerges(df.sparkSession, modelPath))
+
   /** The distinct model symbols a merge table produces over a corpus —
     * the BPE id space's string side. Derived from the DISTINCT-word
     * histogram (the merge fold runs V times, not corpus-size times);

@@ -281,6 +281,65 @@ object Packing {
       )
   }
 
+  /** Length-grouped ATOMIC batching — the PAIRED-example loader shape
+    * (DPO triples, contrastive pairs, reranker examples): unlike the
+    * pretraining concat-then-chunk manifest (a doc may straddle a
+    * pack), a preference example is atomic — the loader PADS each
+    * batch to its longest member instead of splitting. Padding waste
+    * is minimized by sorting: rows are laid out in ascending `lenCol`
+    * order (ties broken by `keyCols`, so the layout is a pure function
+    * of the data) and cut into fixed `batchSize` batches — neighbors
+    * in sorted order have near-equal lengths, so `max·n − Σ` per batch
+    * is small. Returns the ASSIGNMENT manifest `(keyCols…, lenCol,
+    * batch_id, pos_in_batch)`; per-batch stats (max/sum/waste) are one
+    * groupBy away.
+    *
+    * Scale shape: only `keyCols` + `lenCol` enter the rank — the
+    * caller's text/payload columns never shuffle (join the manifest
+    * back by key to materialize a batch). The global sorted rank is
+    * [[Vocab.withIds]]' TWO-PASS prefix (range shuffle + per-partition
+    * window + O(nParts) driver offsets), never a corpus-wide
+    * `Window.orderBy`. `keyCols` must uniquely key the rows — refused
+    * loudly otherwise, because duplicate sort keys would make the
+    * assignment nondeterministic across runs (the ConvTree dup-key
+    * discipline).
+    */
+  def lengthGroupedBatches(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      lenCol: String,
+      batchSize: Int,
+      nParts: Int = 32
+  ): DataFrame = {
+    require(batchSize > 0, s"lengthGroupedBatches: batchSize must be positive, got $batchSize")
+    require(keyCols.nonEmpty, "lengthGroupedBatches: at least one key column required")
+    // pin the (key, length) metadata ONCE: the dup gate and both rank
+    // passes read the pinned copy — the caller's upstream (renders,
+    // token metering) executes exactly once, and the payload columns
+    // never enter any of it
+    val slim = rows.select((keyCols :+ lenCol).map(col): _*).localCheckpoint()
+    val dup = slim
+      .agg(count(lit(1)).as("n"), countDistinct(struct(keyCols.map(col): _*)).as("d"))
+      .head()
+    require(
+      dup.getLong(0) == dup.getLong(1),
+      s"lengthGroupedBatches: keyCols ${keyCols.mkString("(", ", ", ")")} do not uniquely " +
+        s"key the rows (${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys) — duplicate " +
+        "sort keys would make the batch assignment nondeterministic"
+    )
+    Vocab
+      .withIds(
+        slim.withColumn("__ord", struct((lenCol +: keyCols).map(col): _*)),
+        "__ord",
+        nParts
+      )
+      .select(
+        keyCols.map(col) :+ col(lenCol) :+
+          expr(s"__ord_id div $batchSize").as("batch_id") :+
+          (col("__ord_id") % batchSize).as("pos_in_batch"): _*
+      )
+  }
+
   def manifest(lay: DataFrame, idCol: String, budget: Long): DataFrame =
     lay
       .select(

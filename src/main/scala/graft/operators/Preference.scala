@@ -690,7 +690,9 @@ object Preference {
     * documents — wraparound would be silent), the final arithmetic is
     * BigInt on the O(policies) collected rows, and both divisions are
     * true FLOOR (numerators go negative on shorter-is-better biases;
-    * DuckDB's `//` floors, so truncation would diverge cross-engine).
+    * DuckDB's integer `//` TRUNCATES toward zero — the q181 fixture
+    * caught the divergence — so the oracles replay floor explicitly
+    * via the non-negative-mod identity `(a - ((a % b) + b) % b) // b`).
     * `intercept_micro = floor((10⁶·Σy − slope_micro·Σx) / n)` — the
     * micro-unit intercept under the already-floored slope, defined
     * that way on both engines. A policy whose responses all share one

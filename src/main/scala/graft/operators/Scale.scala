@@ -854,6 +854,75 @@ object Dedup {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  /** Multi-column decontamination verdict: the distinct `keyCols`
+    * rows of `df` where ANY of the named `textCols` has shingle
+    * containment ≥ `threshold` against the eval set — the PAIR-level
+    * contract a rendered-triple export needs ([[decontamPurge]]'s
+    * per-member metric, q152's any-member drop rule): a DPO pair is
+    * poisoned when the eval text leaked into its prompt, its chosen
+    * response, OR its rejected response; the member whose own shingle
+    * set is substantially contained denominates its own containment
+    * (so a short eval prompt pasted into one member still fires, and
+    * a long clean prompt does not dilute a contaminated response).
+    *
+    * Scale shape: the member columns stack as a UNION of projections
+    * (|textCols| × rows, no shuffle — each leg is a scan-side
+    * projection of the same table), shingles explode per member, and
+    * the eval side is the [[evalShingles]] broadcast — one broadcast
+    * semi-join plus one (key, member)-keyed count, never an all-pairs
+    * or eval-sized shuffle. At 100 TB of triples the eval set is
+    * benchmark-sized and pinned; the verdict is one map-side pass.
+    */
+  def contaminatedAnyOf(
+      df: DataFrame,
+      evalSet: DataFrame,
+      keyCols: Seq[String],
+      textCols: Seq[String],
+      threshold: Double = 0.5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // __member keys the verdict agg: two members of one pair with
+    // equal shingle-set sizes must NOT pool their overlaps (a merged
+    // group would inflate containment past what either member earns)
+    val stacked = textCols
+      .map(c =>
+        df.select(
+          keyCols.map(col) :+ lit(c).as("__member") :+ col(c).cast("string").as("__txt"): _*))
+      .reduce(_ unionByName _)
+    val toks = split(col("__txt"), "\\s+")
+    stacked
+      .filter(size(toks) >= 3)
+      .withColumn("__sh", graft.functions.GraftFunctions.graft_shingles(toks))
+      .select(
+        keyCols.map(col) :+ col("__member") :+
+          size(col("__sh")).as("n_sh") :+ explode(col("__sh")).as("shingle"): _*)
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .groupBy(keyCols.map(col) :+ col("__member") :+ col("n_sh"): _*)
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap").cast("double") / col("n_sh") >= threshold)
+      .select(keyCols.map(col): _*)
+      .distinct()
+  }
+
+  /** [[contaminatedAnyOf]] applied: `df` minus the rows whose key is
+    * contaminated in any text column — one broadcast-verdict pass +
+    * one key-level anti-join. `evalDocs` is raw `(…, textColEval)`
+    * text; the shingle probe set derives once via [[evalShingles]].
+    */
+  def purgeAnyOf(
+      df: DataFrame,
+      evalDocs: DataFrame,
+      keyCols: Seq[String],
+      textCols: Seq[String],
+      textColEval: String,
+      threshold: Double = 0.5
+  ): DataFrame =
+    df.join(
+      contaminatedAnyOf(df, evalShingles(evalDocs, textColEval), keyCols, textCols, threshold),
+      keyCols,
+      "left_anti"
+    )
+
   /** Per-doc distinct 3-gram shingle sets `(idCol, sh_ints)` — the
     * input shape [[decontamFuzzyAgainst]] consumes on both sides.
     * Split out so a caller holding a precomputed/memoized shingle

@@ -577,13 +577,21 @@ object Pipeline {
   * JSON files into the TreeState, exactly-once per file; files must
   * land in causal order — the orphan gate refuses violations), and
   * `--maintenance dpo_release --turns T --out ROOT [--shards N]
+  * [--bpe_model M] [--eval E [--eval_text_col X] [--threshold F]]
   * [--bad B [--bad_conv_col C] [--bad_turn_col K]] [--verify false]
   * [+ branch_pairs column opts]` (the one-command DPO data release,
   * the trilogy's third capstone: branched turns -> rendered
-  * sibling-regeneration triples -> optional conv-keyed any-member
-  * pair decontamination -> hash-sharded byte-stable export with
-  * content digests -> verify_export; `_dpo_release.json` audits
-  * landed counts; a root already holding triples/ is refused), and
+  * sibling-regeneration triples -> optional MODEL-token coordinates
+  * (`--bpe_model`: frozen merge table adds prompt_toks/chosen_toks/
+  * rejected_toks, version pinned in the manifest, plus a per-side
+  * length-bias audit in token space) -> optional conv-keyed
+  * any-member pair decontamination (`--bad`, a pre-keyed verdict
+  * table) -> optional CONTENT decontamination (`--eval`: raw eval
+  * text, shingle containment >= threshold in the prompt, chosen, OR
+  * rejected member purges the pair) -> hash-sharded byte-stable
+  * export with content digests -> verify_export; `_dpo_release.json`
+  * audits landed counts; a root already holding triples/ is
+  * refused), and
   * `--maintenance branch_pairs --turns T --out O [--render true
   * [--paths_state S]] [--conv_col C] [--turn_col K] [--parent_col P]
   * [--role_col R] [--content_col X] [--score_col S] [--resp_role A]
@@ -2585,7 +2593,7 @@ object PipelineRunner {
         val shards = opts.getOrElse("shards", "8")
         val passThrough = Seq(
           "conv_col", "turn_col", "parent_col", "role_col",
-          "content_col", "score_col", "resp_role", "max_depth"
+          "content_col", "score_col", "resp_role", "max_depth", "paths_state"
         ).flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
         timedStage("dpo_release", "branch_pairs") { run(
           Array("--maintenance", "branch_pairs", "--turns", turnsPath,
@@ -2594,33 +2602,71 @@ object PipelineRunner {
         ) }
         val triples = spark.read.parquet(s"$root/triples")
         val nPairs = triples.count()
-        val (exportFrom, nClean) = opts.get("bad") match {
-          case Some(b) =>
-            // conv-keyed any-member purge: the verdict table names
-            // (conv, turn); either member listed poisons the pair
-            val badConv = opts.getOrElse("bad_conv_col", "conv_id")
-            val badTurn = opts.getOrElse("bad_turn_col", "turn_id")
-            val bad = broadcast(
-              spark.read.parquet(b)
-                .select(col(badConv).as("conv_id"), col(badTurn).as("__bad_id"))
-                .distinct()
-            )
-            val clean = Seq("chosen_id", "rejected_id").foldLeft(triples) { (acc, m) =>
-              acc.join(
-                bad,
-                acc("conv_id") === bad("conv_id") && acc(m) === bad("__bad_id"),
-                "left_anti"
-              )
-            }
-            val n = timedStage("dpo_release", "pair_decontam") {
-              Pipeline.writeCounted(clean, s"$root/clean")
-            }
-            (s"$root/clean", n)
-          case None => (s"$root/triples", nPairs)
+        // MODEL-token coordinates (--bpe_model): the frozen merge
+        // table meters prompt/chosen/rejected in the tokenizer space
+        // the trainer optimizes — a pure per-row projection riding
+        // the already-materialized triples scan (zero added shuffle),
+        // version-pinned in the manifest (the chunk verb's _space
+        // discipline: a release must say which tokenizer it counted
+        // in, or a retrained table silently re-meters a re-export).
+        val tripleTextCols = Seq("prompt", "chosen", "rejected")
+        val bpeVersion = opts.get("bpe_model").flatMap(m =>
+          graft.operators.Bpe.currentVersion(spark, m))
+        val metered = opts.get("bpe_model") match {
+          case Some(m) =>
+            graft.operators.Bpe.withModelTokenCountsFrozen(triples, tripleTextCols, m)
+          case None => triples
         }
+        val hasBad = opts.contains("bad")
+        val hasEval = opts.contains("eval")
+        // conv-keyed any-member purge: the verdict table names
+        // (conv, turn); either member listed poisons the pair
+        val afterBad = opts.get("bad").fold(metered) { b =>
+          val badConv = opts.getOrElse("bad_conv_col", "conv_id")
+          val badTurn = opts.getOrElse("bad_turn_col", "turn_id")
+          val bad = broadcast(
+            spark.read.parquet(b)
+              .select(col(badConv).as("conv_id"), col(badTurn).as("__bad_id"))
+              .distinct()
+          )
+          Seq("chosen_id", "rejected_id").foldLeft(metered) { (acc, m) =>
+            acc.join(
+              bad,
+              acc("conv_id") === bad("conv_id") && acc(m) === bad("__bad_id"),
+              "left_anti"
+            )
+          }
+        }
+        // content decontamination (--eval): raw eval TEXT, not a
+        // pre-keyed verdict — shingle containment >= threshold in ANY
+        // rendered member (prompt, chosen, rejected) purges the pair.
+        // Eval shingles broadcast; one member-stacked semi-join.
+        val cleaned = opts.get("eval").fold(afterBad) { e =>
+          graft.operators.Dedup.purgeAnyOf(
+            afterBad,
+            spark.read.parquet(e),
+            Seq("conv_id", "parent_id"),
+            tripleTextCols,
+            opts.getOrElse("eval_text_col", "text"),
+            opts.getOrElse("threshold", "0.5").toDouble
+          )
+        }
+        val (exportDf, nClean) =
+          if (hasBad || hasEval) {
+            val n = timedStage("dpo_release", "pair_decontam") {
+              Pipeline.writeCounted(cleaned, s"$root/clean")
+            }
+            (spark.read.parquet(s"$root/clean"), n)
+          } else (metered, nPairs)
+        // stage split for the audit: only needed when BOTH purges ran
+        // (one extra broadcast-anti count; otherwise derived free)
+        val nAfterBad =
+          if (!hasBad) nPairs
+          else if (!hasEval) nClean
+          else timedStage("dpo_release", "bad_purge_count") { afterBad.count() }
         timedStage("dpo_release", "export") {
           graft.operators.Scale.exportShards(
-            spark.read.parquet(exportFrom)
+            exportDf
               .withColumn(
                 "pair_key",
                 concat(col("conv_id").cast("string"), lit("#"), col("parent_id").cast("string"))
@@ -2634,6 +2680,34 @@ object PipelineRunner {
           timedStage("dpo_release", "verify_export") {
             run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
           }
+        // per-side length-bias audit in MODEL-token space (q181's
+        // composition over the landed export): does the rater pay for
+        // length in the space the trainer optimizes? Bounded: one
+        // 2-group agg over the export, O(1) collect.
+        val lengthAudit = if (opts.get("bpe_model").isEmpty) "" else {
+          val slopes = graft.operators.Preference
+            .lengthBiasSlope(
+              exportDf.select(
+                lit("chosen").as("side"),
+                col("chosen_toks").as("toks"),
+                col("chosen_score").as("score")
+              ).unionByName(exportDf.select(
+                lit("rejected").as("side"),
+                col("rejected_toks").as("toks"),
+                col("rejected_score").as("score")
+              )),
+              "side",
+              "toks",
+              "score"
+            )
+            .collect()
+            .map(r => s""""${r.getString(0)}": ${r.getLong(2)}""")
+            .mkString(", ")
+          s""", "bpe_model_version": ${bpeVersion.getOrElse(-1)},""" +
+            s""" "length_bias_slope_micro": {$slopes}"""
+        }
+        // turns_in is a parquet-footer count of the input store —
+        // metadata-cheap (no data pages read), documented as such.
         val nTurns = spark.read.parquet(turnsPath).count()
         val landed = spark.read.parquet(s"$root/shards").count()
         writeManifest(
@@ -2641,11 +2715,14 @@ object PipelineRunner {
           root,
           "_dpo_release.json",
           s"""{"turns_in": $nTurns, "pairs": $nPairs, "purged": ${nPairs - nClean},""" +
-            s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards}"""
+            s""" "purged_bad": ${nPairs - nAfterBad}, "purged_eval": ${nAfterBad - nClean},""" +
+            s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards$lengthAudit}"""
         )
         println(
           s"[maintenance] dpo release at $root: $nTurns turns -> $nPairs triple(s)" +
-            (if (opts.contains("bad")) s" (${nPairs - nClean} purged)" else "") +
+            (if (hasBad || hasEval)
+               s" (${nPairs - nAfterBad} bad-purged, ${nAfterBad - nClean} eval-purged)"
+             else "") +
             s" -> $landed landed in $shards verified shards"
         )
       case Some("branch_pairs") =>

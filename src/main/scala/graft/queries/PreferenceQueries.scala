@@ -587,6 +587,105 @@ object PreferenceQueries {
     rows.toDF("conv_id", "path_id", "pos", "turn_id", "train")
   }
 
+  /** DPO triples in MODEL-token coordinates
+    * ([[graft.operators.Bpe.withModelTokenCounts]]): the q178
+    * rendered triples with `prompt_toks`/`chosen_toks`/
+    * `rejected_toks` counted under an 8-merge BPE table learned on
+    * the same corpus (the q175 fixture pattern) — the lengths a DPO
+    * trainer actually meters by (loss normalization, batch packing,
+    * length debias), in the tokenizer's own space rather than
+    * whitespace words. The counts ride as a pure per-row projection
+    * on q178's plan: zero added shuffle, no join — the rendered text
+    * is tokenized where it already sits. DuckDB replays the merge
+    * chain (the q115 oracle), the distinct-word vocabulary under it,
+    * and per-member word-unnest count sums.
+    */
+  def q180DpoTokenCoords(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.operators.Bpe
+      .learnMerges(docs(spark, dir), "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs))
+    graft.operators.Bpe.withModelTokenCounts(
+      q178BranchPairsRendered(spark, dir),
+      Seq("prompt", "chosen", "rejected"),
+      merges
+    )
+  }
+
+  /** Rater length bias of the DPO export, measured in MODEL tokens
+    * ([[graft.operators.Preference.lengthBiasSlope]] over the q180
+    * coordinates): the triples unroll pointwise to (side, toks,
+    * score) — side ∈ {chosen, rejected} as the policy key — and the
+    * exact micro-unit regression of score on model-token count per
+    * side answers the release-gate question "does the rater pay for
+    * length in the space the trainer optimizes?" (q169's audit, now
+    * runnable over a rendered preference export instead of a raw
+    * response corpus). Two projections + a union + one 2-group agg;
+    * DuckDB replays the sums and floor divisions in HUGEINTs.
+    */
+  def q181DpoLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    val t = q180DpoTokenCoords(spark, dir)
+    Preference.lengthBiasSlope(
+      t.select(
+        lit("chosen").as("side"),
+        col("chosen_toks").as("toks"),
+        col("chosen_score").as("score")
+      ).unionByName(
+        t.select(
+          lit("rejected").as("side"),
+          col("rejected_toks").as("toks"),
+          col("rejected_score").as("score")
+        )
+      ),
+      "side",
+      "toks",
+      "score"
+    )
+  }
+
+  /** Content-based PAIR decontamination of the DPO export
+    * ([[graft.operators.Dedup.purgeAnyOf]]): the q178 triples minus
+    * every pair where the eval set (docs with `doc_id % 10 == 0`,
+    * the q54/q129 split) leaks into the PROMPT, the CHOSEN response,
+    * OR the REJECTED one — shingle containment ≥ 0.5 against the
+    * member's OWN shingle set (q54's asymmetric metric), any-member
+    * drop (q152's contract), so a planted eval n-gram in a single
+    * chosen response purges exactly that pair. Eval shingles
+    * broadcast; one member-stacked semi-join + one keyed verdict agg
+    * + one key-level anti-join. DuckDB replays the q178 walk, the
+    * member stack, and the q54 shingle chain.
+    */
+  def q182DpoEvalDecontam(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.purgeAnyOf(
+      q178BranchPairsRendered(spark, dir),
+      docs(spark, dir).filter(col("doc_id") % 10 === 0),
+      Seq("conv_id", "parent_id"),
+      Seq("prompt", "chosen", "rejected"),
+      "text",
+      0.5
+    )
+
+  /** Length-grouped DPO batch layout
+    * ([[graft.operators.Packing.lengthGroupedBatches]]): the q180
+    * triples (total length = prompt + chosen + rejected in MODEL
+    * tokens) laid out in ascending-length order and cut into atomic
+    * 8-pair batches — the padding-minimizing batch manifest a DPO
+    * loader actually ships (a pair is never split; each batch pads to
+    * its longest member, so sorting by length is what keeps `max·n −
+    * Σ` small). Only (key, length) metadata enters the two-pass rank;
+    * the rendered text never shuffles. DuckDB replays the q180 counts
+    * + one global row_number + the batch arithmetic.
+    */
+  def q183DpoLengthBatches(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.lengthGroupedBatches(
+      q180DpoTokenCoords(spark, dir).withColumn(
+        "total_toks",
+        col("prompt_toks") + col("chosen_toks") + col("rejected_toks")
+      ),
+      Seq("conv_id", "parent_id"),
+      "total_toks",
+      batchSize = 8
+    )
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

@@ -113,6 +113,11 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("dpo_full"))
+      dpoFullStress(
+        args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(10)
+      )
     else if (args.headOption.contains("dpo"))
       dpoReleaseStress(
         args.lift(1).map(_.toLong).getOrElse(2000000L),
@@ -548,6 +553,149 @@ object CurateStress {
     println(
       f"dpo: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, $nFlagged%d purged, " +
         f"$landed%d landed + verified in $tRel%.1f s end-to-end"
+    )
+  }
+
+  /** `dpo_full [nTurns] [toksPerTurn]` — the ROUND-13 capstone shape:
+    * `dpo_release` with ALL the arms on at tree-corpus scale —
+    * `--bpe_model` (frozen 8-merge table built from a bounded sample
+    * of the store; every landed triple carries prompt/chosen/rejected
+    * model-token coordinates and the manifest pins the version +
+    * per-side length-bias slopes), `--bad` (the keyed verdict plant
+    * from the `dpo` arm: both assistant children of parent 6 in every
+    * conv ≡ 0 mod 1000), and `--eval` (content decontam: turn 7 of
+    * every conv ≡ 500 mod 1000 carries a conv-unique sentinel text
+    * that the eval table holds verbatim — containment 1.0 in exactly
+    * that pair's chosen-or-rejected member, and the two plants are
+    * DISJOINT so purged_bad and purged_eval are both exact).
+    * Verified from the landing: landed == 2·convs − bad − eval, both
+    * audit counts exact, the version pin present, and a 5-row sample
+    * of landed token coordinates recomputed through the library under
+    * the same frozen model.
+    */
+  private def dpoFullStress(nTurns: Long, toksPerTurn: Int): Unit = {
+    val spark = StressUtil.session()
+    val turnsPerConv = 20
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of 20")
+    require(toksPerTurn >= 3, "members need >= 3 tokens to shingle")
+    val nConvs = nTurns / turnsPerConv
+    require(nConvs % 1000 == 0, "nConvs must be a multiple of 1000 for exact plant counts")
+    val root = java.nio.file.Files.createTempDirectory("graft-dpo-full").toString
+    val toks = (0 until toksPerTurn)
+      .map(j => s"concat('t', (id * 31 + $j) % 50000)")
+      .mkString(", ' ', ")
+    val t = s"(id % $turnsPerConv)"
+    val sentinel =
+      "concat('ev', conv_id, 'a ev', conv_id, 'b ev', conv_id, 'c ev', conv_id, 'd')"
+    spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        expr(s"concat($toks)").as("content"),
+        expr("id % 1000003").as("score")
+      )
+      .withColumn(
+        "content",
+        expr(
+          s"CASE WHEN conv_id % 1000 = 500 AND turn_id = 7 THEN $sentinel ELSE content END"
+        )
+      )
+      .write
+      .parquet(s"$root/turns")
+    val nBad = nConvs / 1000
+    val nEval = nConvs / 1000 // convs ≡ 500 mod 1000
+    spark
+      .range(nConvs)
+      .filter(col("id") % 1000 === 0)
+      .selectExpr("id AS conv_id", "explode(array(7L, 9L)) AS turn_id")
+      .write
+      .parquet(s"$root/bad")
+    spark
+      .range(nConvs)
+      .filter(col("id") % 1000 === 500)
+      .selectExpr("id AS conv_id", sentinel.replace("conv_id", "id") + " AS text")
+      .write
+      .parquet(s"$root/eval")
+    // frozen tokenizer from a bounded sample — the serving posture
+    // (the release must not retrain; the sample bound keeps the model
+    // build O(sample), never O(store))
+    graft.operators.Bpe.buildModel(
+      spark,
+      spark.read.parquet(s"$root/turns").limit(20000).select(col("content")),
+      "content",
+      s"$root/model",
+      numMerges = 8
+    )
+    val (_, tRel) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "dpo_release", "--turns", s"$root/turns",
+          "--out", s"$root/rel", "--shards", "16",
+          "--bpe_model", s"$root/model",
+          "--bad", s"$root/bad", "--eval", s"$root/eval"
+        ),
+        spark
+      )
+    }
+    val landed = spark.read.parquet(s"$root/rel/shards")
+    val nLanded = landed.count()
+    require(
+      nLanded == 2 * nConvs - nBad - nEval,
+      s"landed $nLanded != ${2 * nConvs - nBad - nEval} (2·convs − bad − eval)"
+    )
+    val audit = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/rel/_dpo_release.json")),
+      "UTF-8"
+    )
+    require(
+      audit.contains(s""""purged_bad": $nBad""") &&
+        audit.contains(s""""purged_eval": $nEval""") &&
+        audit.contains(""""bpe_model_version": 1""") &&
+        audit.contains(""""length_bias_slope_micro""""),
+      s"audit diverged: $audit"
+    )
+    // landed coordinates == the library computation under the same
+    // frozen model, on a bounded sample
+    val merges = graft.operators.Bpe.loadMerges(spark, s"$root/model")
+    val sample = landed
+      .select("prompt", "chosen", "rejected", "prompt_toks", "chosen_toks", "rejected_toks")
+      .limit(5)
+      .collect()
+    val redo = graft.operators.Bpe
+      .withModelTokenCounts(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(sample.toSeq.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getString(1), r.getString(2)))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("prompt", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("chosen", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rejected", org.apache.spark.sql.types.StringType)
+          ))
+        ),
+        Seq("prompt", "chosen", "rejected"),
+        merges
+      )
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    sample.foreach { r =>
+      val want = (r.getLong(3), r.getLong(4), r.getLong(5))
+      require(
+        redo(r.getString(0)) == want,
+        s"landed token coordinates diverge from the library under the frozen model: $want vs ${redo(r.getString(0))}"
+      )
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"dpo_full: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, " +
+        f"$nBad%d bad-purged + $nEval%d eval-purged, $nLanded%d landed with model-token " +
+        f"coordinates + verified in $tRel%.1f s end-to-end"
     )
   }
 

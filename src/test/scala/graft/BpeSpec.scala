@@ -120,6 +120,53 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("modelTokenCount / withModelTokenCounts equal the reference segmentation per column") {
+    val texts = Seq("low lower low", "newest lowest new", "wide wider widest")
+    val words = texts.flatMap(_.split("\\s+"))
+    val (ref, seqs) = referenceBpe(words, 6)
+    val merges = ref.map { case (l, r, _) => (l, r) }
+    // two text columns, whitespace-joined renders of the same corpus —
+    // the DPO-triple shape (prompt is a multi-doc concat)
+    val df = Seq(
+      (0L, texts(0), s"${texts(1)} ${texts(2)}"),
+      (1L, texts(2), ""),
+      (2L, "  low   lower ", texts(1)) // ragged whitespace: empty words dropped
+    ).toDF("id", "a", "b")
+    val got = Bpe
+      .withModelTokenCounts(df, Seq("a", "b"), merges)
+      .select("id", "a_toks", "b_toks")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    def count(t: String): Long =
+      t.split("\\s+").filter(_.nonEmpty).map(w => seqs(w).length.toLong).sum
+    val want = Map(
+      0L -> ((count(texts(0)), count(s"${texts(1)} ${texts(2)}"))),
+      1L -> ((count(texts(2)), 0L)),
+      2L -> ((count("low lower"), count(texts(1))))
+    )
+    assert(got == want)
+    // and the count agrees with segmentCounts' n_bpe_tokens on a corpus
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaSeg = Bpe.segmentCounts(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_bpe_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaCnt = Bpe.withModelTokenCounts(docs, Seq("text"), merges)
+      .select("doc_id", "text_toks").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaCnt == viaSeg, "per-row count must equal the vocab-join segmentation count")
+  }
+
+  test("withModelTokenCountsFrozen serves the pinned model version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-toks").toString
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    Bpe.buildModel(spark, docs, "text", s"$root/m", numMerges = 4)
+    val merges = Bpe.loadMerges(spark, s"$root/m")
+    val direct = Bpe.withModelTokenCounts(docs, Seq("text"), merges)
+      .select("text_toks").collect().map(_.getLong(0)).toSeq
+    val frozen = Bpe.withModelTokenCountsFrozen(docs, Seq("text"), s"$root/m")
+      .select("text_toks").collect().map(_.getLong(0)).toSeq
+    assert(frozen == direct && direct.head > 0)
+  }
+
   test("separator interlock: a '|' inside a token fails loudly") {
     val df = Seq((0L, "ok bad|token ok")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](Bpe.learnMerges(df, "text", 2))

@@ -268,6 +268,60 @@ class ConvTreeSpec extends AnyFunSuite {
       "--maintenance", "verify_export", "--path", s"$root/rel/shards"), spark)
   }
 
+  test("dpo_release --bpe_model + --eval: token coordinates, content purge, pinned audit") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-dpo-rel2").toString
+    // conv 1 survives; conv 2's CHOSEN response verbatim-matches the
+    // eval set (content purge, no pre-keyed verdict anywhere); conv 3
+    // is purged via the pre-keyed --bad table — both purge arms in one
+    // release, counted separately in the audit.
+    val turns = Seq(
+      (1L, 0L, null.asInstanceOf[java.lang.Long], "user", "hi there friend", 0L),
+      (1L, 1L, java.lang.Long.valueOf(0L), "assistant", "ok good answer here", 3L),
+      (1L, 2L, java.lang.Long.valueOf(0L), "assistant", "meh bad answer here", 1L),
+      (2L, 0L, null.asInstanceOf[java.lang.Long], "user", "yo pal buddy", 0L),
+      (2L, 1L, java.lang.Long.valueOf(0L), "assistant", "b one response text", 2L),
+      (2L, 2L, java.lang.Long.valueOf(0L), "assistant", "secret eval answer leaked here", 6L),
+      (3L, 0L, null.asInstanceOf[java.lang.Long], "user", "zz yy xx", 0L),
+      (3L, 1L, java.lang.Long.valueOf(0L), "assistant", "c one text resp", 5L),
+      (3L, 2L, java.lang.Long.valueOf(0L), "assistant", "c two text resp", 2L)
+    ).toDF("conv_id", "turn_id", "parent_id", "role", "content", "score")
+    turns.write.parquet(s"$root/turns")
+    Seq((100L, "secret eval answer leaked here")).toDF("doc_id", "text")
+      .write.parquet(s"$root/eval")
+    Seq((3L, 1L)).toDF("conv_id", "turn_id").write.parquet(s"$root/bad")
+    graft.operators.Bpe.buildModel(
+      spark, turns.select(col("content")), "content", s"$root/model", numMerges = 4)
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "dpo_release", "--turns", s"$root/turns",
+      "--out", s"$root/rel", "--shards", "2",
+      "--bpe_model", s"$root/model",
+      "--eval", s"$root/eval", "--bad", s"$root/bad"), spark)
+    val landed = spark.read.parquet(s"$root/rel/shards")
+    assert(landed.count() == 1L)
+    val row = landed.collect().head
+    assert(row.getAs[Long]("conv_id") == 1L && row.getAs[String]("chosen") == "ok good answer here")
+    // token coordinates equal the library computation under the SAME
+    // frozen model — the export counts in the tokenizer the trainer runs
+    val merges = graft.operators.Bpe.loadMerges(spark, s"$root/model")
+    val lib = graft.operators.Bpe
+      .withModelTokenCounts(
+        graft.operators.ConvTree.branchPairsRendered(
+          turns.filter(col("conv_id") === 1L),
+          "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant"),
+        Seq("prompt", "chosen", "rejected"), merges)
+      .collect().head
+    Seq("prompt_toks", "chosen_toks", "rejected_toks").foreach { c =>
+      assert(row.getAs[Long](c) == lib.getAs[Long](c) && row.getAs[Long](c) > 0L, c)
+    }
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/rel/_dpo_release.json")), "UTF-8")
+    assert(audit.contains(""""pairs": 3""") && audit.contains(""""purged_bad": 1""")
+      && audit.contains(""""purged_eval": 1""") && audit.contains(""""clean_pairs": 1""")
+      && audit.contains(""""bpe_model_version": 1""")
+      && audit.contains(""""length_bias_slope_micro""""), audit)
+  }
+
   test("integrity gates: orphaned parent and cycles fail loudly") {
     val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
     val e1 = intercept[IllegalArgumentException](

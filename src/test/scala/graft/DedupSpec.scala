@@ -99,6 +99,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == ((3, 1L, false)))
   }
 
+  test("purgeAnyOf: any-member drop, member-keyed containment, planted n-gram purges exactly its pair") {
+    import spark.implicits._
+    // eval benchmark holds "a b c d" -> shingles {abc, bcd}
+    val evalDocs = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val triples = Seq(
+      // pair 1: CHOSEN contains the eval n-gram (2/3 containment) -> purged
+      (1L, 0L, "p q r s t", "a b c d e", "u v w x y"),
+      // pair 2: all members disjoint from eval -> survives
+      (2L, 0L, "p q r s t", "m n o p q", "u v w x y"),
+      // pair 3: PROMPT contaminated (the context leaked) -> purged
+      (3L, 0L, "z a b c d", "m n o p q", "u v w x y"),
+      // pair 4: members too short for shingles -> survives
+      (4L, 0L, "a b", "c d", "e f")
+    ).toDF("conv_id", "parent_id", "prompt", "chosen", "rejected")
+    val clean = graft.operators.Dedup
+      .purgeAnyOf(triples, evalDocs, Seq("conv_id", "parent_id"),
+        Seq("prompt", "chosen", "rejected"), "text")
+      .select("conv_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L), s"planted eval n-grams must purge pairs 1 and 3 only: $clean")
+  }
+
+  test("purgeAnyOf: two sub-threshold members must not pool their overlaps") {
+    import spark.implicits._
+    // eval shingles {abc, bcd, cde, def}; each member below shares ONE
+    // eval shingle out of its own three (1/3 < 0.5). A verdict that
+    // pooled the two members' overlaps under one (key, n_sh) group
+    // would see 2/3 and wrongly purge.
+    val evalDocs = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val triples = Seq(
+      (1L, 0L, "s t", "a b c x y", "z w c d e")
+    ).toDF("conv_id", "parent_id", "prompt", "chosen", "rejected")
+    val clean = graft.operators.Dedup
+      .purgeAnyOf(triples, evalDocs, Seq("conv_id", "parent_id"),
+        Seq("prompt", "chosen", "rejected"), "text")
+      .count()
+    assert(clean == 1L, "sub-threshold members pooled into a false purge")
+  }
+
   test("decontamPurge on the parity split equals the q129 oracle query") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val viaOp = graft.operators.Dedup

@@ -28,6 +28,47 @@ class PackingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._2)
 
+  test("lengthGroupedBatches: ascending-length layout, atomic batches, deterministic ties") {
+    // 7 pairs, batchSize 3: sorted by (len, conv, parent) ->
+    // batches [1,2,2], [3,5,8], [9] — ties at len 2 break by key
+    val rows = Seq(
+      (1L, 0L, 5L), (1L, 3L, 2L), (2L, 0L, 9L), (2L, 3L, 1L),
+      (3L, 0L, 2L), (3L, 3L, 8L), (4L, 0L, 3L)
+    ).toDF("conv_id", "parent_id", "total_toks")
+    val got = graft.operators.Packing
+      .lengthGroupedBatches(rows, Seq("conv_id", "parent_id"), "total_toks", batchSize = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      (2L, 3L) -> ((0L, 0L)), // len 1
+      (1L, 3L) -> ((0L, 1L)), // len 2, conv 1 before conv 3
+      (3L, 0L) -> ((0L, 2L)),
+      (4L, 0L) -> ((1L, 0L)), // len 3
+      (1L, 0L) -> ((1L, 1L)), // len 5
+      (3L, 3L) -> ((1L, 2L)), // len 8
+      (2L, 0L) -> ((2L, 0L))  // len 9, partial final batch
+    ), got.toString)
+    // sorted contiguity = minimal padding for fixed batch cuts: each
+    // batch's members are consecutive in global length order
+    val byBatch = got.values.groupBy(_._1)
+    assert(byBatch(0L).size == 3 && byBatch(1L).size == 3 && byBatch(2L).size == 1)
+  }
+
+  test("lengthGroupedBatches: duplicate keys refused loudly; payload columns pass through untouched") {
+    val dup = Seq((1L, 0L, 5L), (1L, 0L, 7L)).toDF("conv_id", "parent_id", "total_toks")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Packing
+        .lengthGroupedBatches(dup, Seq("conv_id", "parent_id"), "total_toks", 2))
+    assert(e.getMessage.contains("uniquely"), e.getMessage)
+    // extra payload columns (rendered text) must not enter the manifest
+    val wide = Seq((1L, 0L, 5L, "payload text")).toDF("conv_id", "parent_id", "total_toks", "prompt")
+    val cols = graft.operators.Packing
+      .lengthGroupedBatches(wide, Seq("conv_id", "parent_id"), "total_toks", 2)
+      .columns.toSet
+    assert(cols == Set("conv_id", "parent_id", "total_toks", "batch_id", "pos_in_batch"))
+  }
+
   test("batches append: batch 1 starts at batch 0's total; the union tiles the stream") {
     val root = Files.createTempDirectory("graft-pack").toString
     val b0 = Packing.packIngest(spark, corpus(0 until 40), "doc_id", "text", s"$root/st", 0L)

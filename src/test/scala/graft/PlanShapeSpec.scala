@@ -880,6 +880,55 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q180: token coordinates ride q178's plan — no added exchange, apply once per text column") {
+    // withModelTokenCounts is a pure projection: the q180 plan must
+    // have exactly q178's exchanges (the counts never shuffle the
+    // rendered text), and each of the 3 text columns pays the native
+    // BPE apply exactly once (the q116 double-apply lesson).
+    def exchanges(p: String): Int = p.sliding("Exchange".length).count(_ == "Exchange")
+    val base = planOf(queries.PreferenceQueries.q178BranchPairsRendered(spark, sf))
+    val plan = planOf(queries.PreferenceQueries.q180DpoTokenCoords(spark, sf))
+    assert(exchanges(plan) == exchanges(base),
+      s"token metering added a shuffle: q178=${exchanges(base)} q180=${exchanges(plan)}:\n$plan")
+    assert("graft_bpe_apply".r.findAllIn(plan).length == 3,
+      s"one native BPE apply per text column expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("q182: eval-side decontam broadcasts; the purge is a broadcast semi/anti pair") {
+    // the eval corpus is benchmark-sized: its shingle set must ride a
+    // broadcast into the member semi-join, and the final pair purge
+    // must be a broadcast anti-join on the pair key — the train-sized
+    // triple side never reshuffles for either.
+    val plan = planOf(queries.PreferenceQueries.q182DpoEvalDecontam(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") &&
+      (plan.contains("LeftSemi") || plan.contains("LeftAnti")),
+      s"eval decontam must be broadcast semi/anti:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val gw = queries.PreferenceQueries.q182DpoEvalDecontam(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+    assert(gw.isEmpty, "unpartitioned window")
+  }
+
+  test("q183: the batch layout ranks metadata only — no corpus window, no cartesian, text-free rank") {
+    // the layout's heavy lifting sits behind lengthGroupedBatches'
+    // metadata pin, so the returned plan reads the pinned (key, len)
+    // rows: any window must be pid-partitioned (the two-pass rank),
+    // never global, and no rendered text column may survive into the
+    // layout plan at all.
+    val df = queries.PreferenceQueries.q183DpoLengthBatches(spark, sf)
+    val gw = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(gw.isEmpty, "unpartitioned window in the batch layout")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("prompt") && !plan.contains("chosen") && !plan.contains("rejected"),
+      s"rendered text entered the batch-layout plan:\n$plan")
+  }
+
   test("q164: the O(buckets) weight table broadcasts; top-k is TakeOrderedAndProject") {
     // DSIR's scale claims: the scoring pass joins the bucket table
     // BROADCAST (it is O(buckets) by construction — the corpus side
