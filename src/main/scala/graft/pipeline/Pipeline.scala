@@ -577,7 +577,8 @@ object Pipeline {
   * JSON files into the TreeState, exactly-once per file; files must
   * land in causal order — the orphan gate refuses violations), and
   * `--maintenance dpo_release --turns T --out ROOT [--shards N]
-  * [--bpe_model M] [--eval E [--eval_text_col X] [--threshold F]]
+  * [--bpe_model M [--length_batches B]]
+  * [--eval E [--eval_text_col X] [--threshold F]]
   * [--bad B [--bad_conv_col C] [--bad_turn_col K]] [--verify false]
   * [+ branch_pairs column opts]` (the one-command DPO data release,
   * the trilogy's third capstone: branched turns -> rendered
@@ -616,7 +617,7 @@ object Pipeline {
   * `_budget` sidecar, as in every pack consumer), and
   * `--maintenance sft_release --turns T --out ROOT [--budget B]
   * [--shards N] [--export_shards N] [--train_role R] [--unk_id U]
-  * [--parent_col P [--max_depth N]] [--verify false]`
+  * [--parent_col P [--max_depth N] [--paths_state S]] [--verify false]`
   * (the one-command SFT data release: render conversations ->
   * pack_ingest -> sft_masks -> build_vocab -> pack_export, each the
   * existing verb; shards/_role_masks ships KEEP-loss intervals that
@@ -625,7 +626,8 @@ object Pipeline {
   * TREE: a tree_render stage flattens it to first-visit-masked path
   * conversations first, so every turn's tokens are loss-on exactly
   * once across the release while shared prefixes ride along as
-  * context), and
+  * context; --paths_state serves the memberships from a durable
+  * TreeState instead of re-running the closure), and
   * `--maintenance verify_export --path P [--out O]` (landing
   * integrity: recompute per-shard counts + order-independent content
   * digests from the landed files and compare against the export's
@@ -1769,7 +1771,10 @@ object PipelineRunner {
                 "--turn_col", turnCol, "--parent_col", opts("parent_col"),
                 "--role_col", roleCol, "--content_col", contentCol,
                 "--train_role", trainRole) ++
-                opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)),
+                opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)) ++
+                // serve memberships from a durable TreeState instead of
+                // re-running the closure (the campaign-scale posture)
+                opts.get("paths_state").toSeq.flatMap(s => Seq("--paths_state", s)),
               spark
             ) }
             (s"$root/path_turns", "doc_id", "turn_key", "role", "content",
@@ -2578,7 +2583,7 @@ object PipelineRunner {
         // keyed by the unique 'conv#parent' pair key (byte-stable
         // re-exports, multiplicity-sensitive content digests) ->
         // verify_export. `_dpo_release.json` audits landed counts.
-        // Layout under --out: triples/ [clean/] shards/
+        // Layout under --out: triples/ [clean/] shards/ [batches/]
         // _dpo_release.json
         import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
         val turnsPath = opts.getOrElse("turns", sys.error("--turns <parquet> required"))
@@ -2680,6 +2685,31 @@ object PipelineRunner {
           timedStage("dpo_release", "verify_export") {
             run(Array("--maintenance", "verify_export", "--path", s"$root/shards"), spark)
           }
+        // atomic length-grouped batch manifest (q183's layout): the
+        // loader-side artifact next to the shards — pairs sorted by
+        // total model-token length and cut into fixed-size padded
+        // batches; only (key, length) metadata enters the rank.
+        val batchesAudit = opts.get("length_batches").fold("") { n =>
+          require(
+            opts.contains("bpe_model"),
+            "dpo_release: --length_batches requires --bpe_model — the layout sorts by " +
+              "MODEL-token length, which only the frozen merge table defines"
+          )
+          val man = graft.operators.Packing.lengthGroupedBatches(
+            exportDf.withColumn(
+              "total_toks",
+              col("prompt_toks") + col("chosen_toks") + col("rejected_toks")
+            ),
+            Seq("conv_id", "parent_id"),
+            "total_toks",
+            n.toInt
+          )
+          val rows = timedStage("dpo_release", "length_batches") {
+            Pipeline.writeCounted(man, s"$root/batches")
+          }
+          val nBatches = (rows + n.toInt - 1) / n.toInt
+          s""", "batch_size": $n, "batches": $nBatches"""
+        }
         // per-side length-bias audit in MODEL-token space (q181's
         // composition over the landed export): does the rater pay for
         // length in the space the trainer optimizes? Bounded: one
@@ -2716,7 +2746,8 @@ object PipelineRunner {
           "_dpo_release.json",
           s"""{"turns_in": $nTurns, "pairs": $nPairs, "purged": ${nPairs - nClean},""" +
             s""" "purged_bad": ${nPairs - nAfterBad}, "purged_eval": ${nAfterBad - nClean},""" +
-            s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards$lengthAudit}"""
+            s""" "clean_pairs": $nClean, "landed_rows": $landed, "shards": $shards""" +
+            s"""$batchesAudit$lengthAudit}"""
         )
         println(
           s"[maintenance] dpo release at $root: $nTurns turns -> $nPairs triple(s)" +

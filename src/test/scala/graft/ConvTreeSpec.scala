@@ -295,7 +295,7 @@ class ConvTreeSpec extends AnyFunSuite {
     graft.pipeline.PipelineRunner.run(Array(
       "--maintenance", "dpo_release", "--turns", s"$root/turns",
       "--out", s"$root/rel", "--shards", "2",
-      "--bpe_model", s"$root/model",
+      "--bpe_model", s"$root/model", "--length_batches", "2",
       "--eval", s"$root/eval", "--bad", s"$root/bad"), spark)
     val landed = spark.read.parquet(s"$root/rel/shards")
     assert(landed.count() == 1L)
@@ -314,11 +314,21 @@ class ConvTreeSpec extends AnyFunSuite {
     Seq("prompt_toks", "chosen_toks", "rejected_toks").foreach { c =>
       assert(row.getAs[Long](c) == lib.getAs[Long](c) && row.getAs[Long](c) > 0L, c)
     }
+    // the batch manifest ships next to the shards: the one clean pair
+    // lands as batch 0 position 0 with its total model-token length
+    val batches = spark.read.parquet(s"$root/rel/batches").collect()
+    assert(batches.length == 1)
+    val b = batches.head
+    assert(b.getAs[Long]("conv_id") == 1L && b.getAs[Long]("batch_id") == 0L
+      && b.getAs[Long]("pos_in_batch") == 0L
+      && b.getAs[Long]("total_toks") ==
+        lib.getAs[Long]("prompt_toks") + lib.getAs[Long]("chosen_toks") + lib.getAs[Long]("rejected_toks"))
     val audit = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/rel/_dpo_release.json")), "UTF-8")
     assert(audit.contains(""""pairs": 3""") && audit.contains(""""purged_bad": 1""")
       && audit.contains(""""purged_eval": 1""") && audit.contains(""""clean_pairs": 1""")
       && audit.contains(""""bpe_model_version": 1""")
+      && audit.contains(""""batch_size": 2""") && audit.contains(""""batches": 1""")
       && audit.contains(""""length_bias_slope_micro""""), audit)
   }
 

@@ -772,6 +772,56 @@ class PreferenceSpec extends AnyFunSuite {
     assert(audit.contains(""""paths": 9"""), audit)
   }
 
+  test("tree sft_release --paths_state: the state-served release equals the closure-run release") {
+    // fold the branched store into a durable TreeState in two causal
+    // appends, then release once from the state and once from the
+    // closure — the landed artifacts must be identical (the state's
+    // whole contract, now proven at the CAPSTONE level, not just the
+    // membership level)
+    val root = java.nio.file.Files.createTempDirectory("graft-sft-tree-state").toString
+    val parentOf: Map[Long, Option[Long]] = Map(
+      0L -> None, 1L -> Some(0L), 2L -> Some(1L), 3L -> Some(1L),
+      4L -> Some(3L), 5L -> Some(0L), 6L -> Some(2L))
+    val turns = (0L until 2L).flatMap { c =>
+      (0L until 7L).map { t =>
+        (c, t, parentOf(t).map(java.lang.Long.valueOf).orNull,
+          if (t % 2 == 0) "user" else "assistant",
+          s"c$c t$t w${(t * 7 + c) % 5}")
+      }
+    }
+    val turnsDf = turns.toDF("conv_id", "turn_id", "parent_id", "role", "content")
+    turnsDf.write.parquet(s"$root/turns")
+    val state = s"$root/tree_state"
+    graft.operators.TreeState.fold(
+      spark, turnsDf.filter(col("turn_id") <= 3L),
+      "conv_id", "turn_id", "parent_id", state, Some(0L))
+    graft.operators.TreeState.fold(
+      spark, turnsDf.filter(col("turn_id") >= 4L),
+      "conv_id", "turn_id", "parent_id", state, Some(1L))
+    def release(out: String, extra: Array[String]): Unit =
+      graft.pipeline.PipelineRunner.run(
+        Array("--maintenance", "sft_release",
+          "--turns", s"$root/turns", "--out", out,
+          "--parent_col", "parent_id", "--turn_col", "turn_id",
+          "--budget", "64", "--shards", "2", "--export_shards", "2") ++ extra,
+        spark)
+    release(s"$root/rel_a", Array.empty)
+    release(s"$root/rel_b", Array("--paths_state", state))
+    def landed(out: String): (Set[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
+      spark.read.parquet(s"$out/path_turns").collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$out/shards")
+        .select(col("pack_id"), col("positions"), col("token_ids"))
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$out/shards/_role_masks").collect().map(_.toSeq).toSet
+    )
+    val (ptA, shA, mkA) = landed(s"$root/rel_a")
+    val (ptB, shB, mkB) = landed(s"$root/rel_b")
+    assert(ptA == ptB, "path_turns diverge between state-served and closure-run releases")
+    assert(shA == shB, "landed shards diverge")
+    assert(mkA == mkB, "role masks diverge")
+    assert(shA.nonEmpty && mkA.nonEmpty)
+  }
+
   test("tree sft_release with a NON-DEFAULT content column: the rename stops at tree_render") {
     // tree_render writes path_turns with canonical names (content is
     // literally 'content'), so the user's --content_col must apply to
