@@ -121,10 +121,16 @@ object TreeState {
   private[graft] def foldInto(m: DataFrame, b: DataFrame, maxDepth: Int): DataFrame = {
     // ── gates ─────────────────────────────────────────────────────
     // (batch-internal uniqueness + cycles fire inside treePaths below;
-    // here: state collision and parent resolution.)
-    val mTurns = m.select(col("conv_id"), col("turn_id")).distinct()
-    val collided = b
-      .join(mTurns, Seq("conv_id", "turn_id"), "left_semi")
+    // here: state collision and parent resolution.) Both gates probe
+    // the O(state) membership table with BROADCAST batch-derived key
+    // sets — map-side scans, never a state-wide shuffle (the original
+    // form ran a distinct over the whole state per fold, which at
+    // campaign scale is the single most expensive exchange the fold
+    // could possibly issue, spent on a gate).
+    val bTurnKeys = b.select(col("conv_id"), col("turn_id"))
+    val collided = m
+      .join(broadcast(bTurnKeys), Seq("conv_id", "turn_id"), "left_semi")
+      .select(col("conv_id"), col("turn_id"))
       .limit(1)
       .collect()
     require(
@@ -134,21 +140,30 @@ object TreeState {
         "state — appended batches must carry NEW turns only (an exact batch replay is " +
         "handled by the _applied_id marker; a re-edited turn needs a state rebuild)"
     )
-    val known = mTurns.unionByName(b.select(col("conv_id"), col("turn_id")))
-    val orphans = b
+    // parents unresolved WITHIN the batch (small × small anti-join),
+    // then a map-side probe of the state for just those keys; whatever
+    // the state doesn't know either is an orphan — named through a
+    // join back to a referencing batch turn.
+    val unresolvedInBatch = b
       .filter(col("parent_id").isNotNull)
-      .join(
-        known.select(col("conv_id"), col("turn_id").as("parent_id")),
-        Seq("conv_id", "parent_id"),
-        "left_anti"
-      )
+      .select(col("conv_id"), col("parent_id").as("turn_id"))
+      .distinct()
+      .join(bTurnKeys, Seq("conv_id", "turn_id"), "left_anti")
+    val resolvedByState = m
+      .join(broadcast(unresolvedInBatch), Seq("conv_id", "turn_id"), "left_semi")
+      .select(col("conv_id"), col("turn_id"))
+      .distinct()
+    val orphans = unresolvedInBatch
+      .join(broadcast(resolvedByState), Seq("conv_id", "turn_id"), "left_anti")
+      .withColumnRenamed("turn_id", "parent_id")
+      .join(b.select(col("conv_id"), col("turn_id"), col("parent_id")), Seq("conv_id", "parent_id"))
       .limit(1)
       .collect()
     require(
       orphans.isEmpty,
-      s"TreeState.fold: batch turn ${orphans.headOption.map(_.get(1)).orNull} in " +
+      s"TreeState.fold: batch turn ${orphans.headOption.map(_.get(2)).orNull} in " +
         s"conversation ${orphans.headOption.map(_.get(0)).orNull} has parent " +
-        s"${orphans.headOption.map(_.get(2)).orNull} which is neither a state turn nor a " +
+        s"${orphans.headOption.map(_.get(1)).orNull} which is neither a state turn nor a " +
         "batch turn of that conversation — an orphaned pointer would silently truncate " +
         "its path"
     )
@@ -187,7 +202,7 @@ object TreeState {
       .localCheckpoint()
     val anchor = m
       .filter(col("train"))
-      .join(attachParents, Seq("conv_id", "turn_id"))
+      .join(broadcast(attachParents), Seq("conv_id", "turn_id"))
       .select(
         col("conv_id"),
         col("turn_id").as("__p"),
