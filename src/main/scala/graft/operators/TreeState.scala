@@ -63,13 +63,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per fold, the batch-local closure is O(batch) with
   * log₂(batch depth) rounds (never the store); prefix/extension/flag
-  * work is keyed joins of the O(state) membership table against
-  * BATCH-SIZED key sets (attachment anchors, extended leaves, affected
-  * turns — all broadcastable), so the read side is map-side once AQE
-  * sees the sizes; the write rewrites the state file (the
-  * [[Maintenance.refreshAggregate]] posture — fine while membership
-  * state is orders below the span-hash state; segment it like the span
-  * family if a store ever outgrows that).
+  * work is keyed joins of the membership table against BATCH-SIZED
+  * key sets (attachment anchors, extended leaves, affected turns —
+  * all broadcast), so the read side is map-side; and the state is
+  * conv-hash BUCKETED (`cv=` hive partitions, see [[fold]]) so both
+  * the read AND the rewrite touch only the buckets the batch's
+  * conversations hash into — fold cost follows the batch, not the
+  * store (partition pruning serves the reads; the spec asserts
+  * untouched buckets keep their files byte-untouched).
   */
 object TreeState {
 
@@ -84,6 +85,42 @@ object TreeState {
   /** Fold one appended turn batch into the membership state at
     * `statePath` (created on first fold). Returns the post-fold
     * memberships. `appliedId` is the exactly-once batch marker.
+    *
+    * LAYOUT: the state is hive-partitioned by a conversation-hash
+    * bucket (`cv = pmod(hash(conv_id), buckets)`, `buckets` pinned in
+    * `_buckets` at creation — later calls ignore their parameter). A
+    * conversation's rows live wholly in one bucket and every fold
+    * effect is conv-local, so a fold REWRITES ONLY THE BUCKETS ITS
+    * BATCH TOUCHES — read and write cost follow the batch's
+    * conversation set, not the store (the full-state
+    * refreshAggregate rewrite this replaces was O(store) per fold).
+    * Unlike the span family's append-only segments (sound there
+    * because min/max merge-on-read is idempotent), membership rows
+    * are REPLACED by leaf extensions and flag moves, so the unit of
+    * convergence is the bucket rewrite:
+    *
+    *   - each rewritten bucket lands with a `_seg_applied` marker
+    *     INSIDE it (written into the staging dir before the swap, so
+    *     marker and content move atomically);
+    *   - a retry of a crashed fold skips buckets whose marker already
+    *     carries this `appliedId` — and EXCLUDES their batch rows
+    *     from the re-fold (they are already in the state; re-folding
+    *     them would fire the collision gate) — and recomputes the
+    *     rest from their unchanged old content, which is
+    *     deterministic, so retries converge from any crash point;
+    *   - per-bucket swaps go through the rename-pair protocol with
+    *     entry healing ([[Maintenance.recoverSwap]] per stranded
+    *     bucket), so a crash between a bucket's two renames never
+    *     loses its old content;
+    *   - the root `_applied_id` advances only after every touched
+    *     bucket landed — the global short-circuit for exact replays.
+    *
+    * Contract: with `appliedId` set, a failed fold must be RETRIED
+    * with the same id until it applies (foreachBatch's at-least-once,
+    * the `turns_stream` arm) — an abandoned half-applied batch leaves
+    * the store mid-fold, exactly like abandoning a failed span-state
+    * batch. Ids must be unique per batch. `appliedId = None` skips
+    * all convergence machinery (single-shot callers only).
     */
   def fold(
       spark: SparkSession,
@@ -93,25 +130,125 @@ object TreeState {
       parentCol: String,
       statePath: String,
       appliedId: Option[Long],
-      maxDepth: Int = 10000
+      maxDepth: Int = 10000,
+      buckets: Int = 64
   ): DataFrame = {
+    require(buckets > 0 && buckets <= 4096, s"buckets must be in [1, 4096], got $buckets")
     val b = batch.select(
       col(convCol).as("conv_id"),
       col(turnCol).as("turn_id"),
       col(parentCol).as("parent_id")
     )
-    val fsPath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Heal a crash stranded between the swap's two renames BEFORE the
-    // existence probe — otherwise this fold would see "no state" and
-    // rebuild from the batch alone, discarding the accumulated store.
-    Maintenance.recoverSwap(fs, fsPath, new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old"))
-    val partial =
-      if (fs.exists(fsPath)) b
-      else ConvTree.treePaths(b, "conv_id", "turn_id", "parent_id", maxDepth)
-    Maintenance.foldState(spark, statePath, appliedId, partial) { (old, bb) =>
-      foldInto(old.select(COLS.map(col): _*), bb, maxDepth)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__fold_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__fold_old")
+    // ── entry healing ─────────────────────────────────────────────
+    // Buckets stranded between a crashed swap's two renames: restore
+    // from the old dir when the target vanished, clear the old dir
+    // when the target landed. Must run before anything reads the state.
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+        .foreach { st =>
+          Maintenance.recoverSwap(fs, new org.apache.hadoop.fs.Path(root, st.getPath.getName), st.getPath)
+        }
+      Maintenance.deleteOrFail(fs, oldRoot)
     }
+    val bucketsPin = new org.apache.hadoop.fs.Path(root, "_buckets")
+    val exists = fs.exists(root)
+    val k: Int =
+      if (!exists) buckets
+      else
+        Maintenance.readTextFile(fs, bucketsPin) match {
+          case Some(s) => s.trim.toInt
+          case None =>
+            throw new IllegalArgumentException(
+              s"TreeState at $statePath has no _buckets pin — a pre-segmentation (or foreign) " +
+                "state layout cannot be folded into; rebuild by re-folding the turn store " +
+                "into a fresh --state dir"
+            )
+        }
+    def marker(p: org.apache.hadoop.fs.Path): Option[Long] =
+      Maintenance.readTextFile(fs, p).map(_.trim.toLong)
+    if (exists && appliedId.isDefined &&
+      marker(new org.apache.hadoop.fs.Path(root, "_applied_id")) == appliedId)
+      return memberships(spark, statePath) // retry of an applied batch: no-op
+    Maintenance.deleteOrFail(fs, tmp) // stale staging from a crashed attempt
+    if (!exists) {
+      fs.mkdirs(root)
+      Maintenance.writeTextFile(fs, bucketsPin, k.toString)
+    }
+    val segOf = pmod(hash(col("conv_id")), lit(k))
+    val touched: Seq[Int] = b
+      .select(segOf.as("__cv"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+      .toIndexedSeq
+    val alreadyApplied: Set[Int] = appliedId match {
+      case Some(id) =>
+        touched.filter(s =>
+          marker(new org.apache.hadoop.fs.Path(root, s"cv=$s/_seg_applied")).contains(id)).toSet
+      case None => Set.empty
+    }
+    val pending = touched.filterNot(alreadyApplied)
+    if (pending.nonEmpty) {
+      val bPending =
+        if (alreadyApplied.isEmpty) b
+        else b.filter(segOf.isin(pending.map(Int.box): _*))
+      val hasData = fs.exists(root) && fs
+        .listStatus(root)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+      val mTouched =
+        if (hasData)
+          spark.read
+            .parquet(statePath)
+            .filter(col("cv").isin(pending.map(Int.box): _*))
+            .select(COLS.map(col): _*)
+        else
+          // typed empty membership table (first fold / first-fold retry)
+          b.select(
+            col("conv_id"),
+            col("turn_id").as("path_id"),
+            lit(0L).as("pos"),
+            col("turn_id"),
+            lit(true).as("train")
+          ).limit(0)
+      val folded = foldInto(mTouched, bPending, maxDepth)
+      folded
+        .withColumn("cv", segOf)
+        // one cv-keyed shuffle so each bucket lands as ONE file —
+        // without it every task writes a file into every bucket it
+        // holds rows for (tasks × buckets small files), and the next
+        // fold pays the footer fan-out reading them back
+        .repartition(col("cv"))
+        .write
+        .partitionBy("cv")
+        .mode("overwrite")
+        .parquet(tmp.toString)
+      fs.mkdirs(oldRoot)
+      pending.foreach { s =>
+        val staged = new org.apache.hadoop.fs.Path(tmp, s"cv=$s")
+        require(
+          fs.exists(staged),
+          s"TreeState.fold: bucket $s was touched by the batch but produced no staged rows — " +
+            "the fold output is inconsistent; refusing to swap"
+        )
+        appliedId.foreach(id =>
+          Maintenance.writeTextFile(
+            fs, new org.apache.hadoop.fs.Path(staged, "_seg_applied"), id.toString))
+        val target = new org.apache.hadoop.fs.Path(root, s"cv=$s")
+        val old = new org.apache.hadoop.fs.Path(oldRoot, s"cv=$s")
+        Maintenance.swapInto(fs, staged, target, old)
+      }
+      Maintenance.deleteOrFail(fs, tmp)
+      if (fs.exists(oldRoot)) Maintenance.deleteOrFail(fs, oldRoot)
+    }
+    appliedId.foreach(id =>
+      Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"), id.toString))
+    memberships(spark, statePath)
   }
 
   /** The incremental fold proper: `m` the current memberships, `b` the

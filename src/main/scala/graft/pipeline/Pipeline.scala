@@ -564,7 +564,8 @@ object Pipeline {
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
   * `--maintenance tree_state --batch B --state S [--applied_id N]
-  * [--conv_col C] [--turn_col K] [--parent_col P] [--max_depth N]`
+  * [--conv_col C] [--turn_col K] [--parent_col P] [--max_depth N]
+  * [--buckets K]` (conv-hash bucket count, pinned at creation)
   * (DURABLE tree memberships: fold an appended turn batch into the
   * persistent membership state — new leaves add paths with prefixes
   * read from the state, leaf extensions replace their paths,
@@ -2563,7 +2564,8 @@ object PipelineRunner {
           convCol, turnCol, parentCol,
           state,
           opts.get("applied_id").map(_.toLong),
-          maxDepth
+          maxDepth,
+          opts.getOrElse("buckets", "64").toInt
         )
         println(
           s"[maintenance] tree_state: folded $batchPath; state at $state now holds " +

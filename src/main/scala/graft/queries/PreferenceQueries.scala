@@ -571,7 +571,11 @@ object PreferenceQueries {
             "turn_id",
             "parent_id",
             state,
-            Some(i.toLong)
+            Some(i.toLong),
+            // bucket count sized to the fixture's ~25 conversations —
+            // the span family's sizing discipline (pinned at creation;
+            // a campaign store picks hundreds)
+            buckets = 8
           )
         }
         // Demo-query materialization (bounded: O(Σ path length) small

@@ -113,6 +113,12 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("tree_state"))
+      treeStateStress(
+        args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(100),
+        args.lift(3).map(_.toInt).getOrElse(256)
+      )
     else if (args.headOption.contains("dpo_full"))
       dpoFullStress(
         args.lift(1).map(_.toLong).getOrElse(2000000L),
@@ -553,6 +559,86 @@ object CurateStress {
     println(
       f"dpo: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, $nFlagged%d purged, " +
         f"$landed%d landed + verified in $tRel%.1f s end-to-end"
+    )
+  }
+
+  /** `tree_state [nTurns] [batchConvs] [buckets]` — the segmented
+    * tree-membership state's scale claim, measured: fold cost follows
+    * the BATCH's conversation set, not the store. Builds a large
+    * branched store (q172 shape) as fold 0, then appends a SMALL
+    * leaf-extension batch (5 turns onto each of `batchConvs`
+    * conversations) and times it against the identical batch folded
+    * into a SMALL store holding only those conversations — under the
+    * old full-rewrite posture the big-store fold would pay an
+    * O(store) read+write; under conv-hash bucketing both folds read
+    * and rewrite only the touched buckets, so the two times should
+    * sit within metadata noise of each other. Correctness: the
+    * touched conversations' post-fold memberships must equal a
+    * from-scratch treePaths replay over their full turn sets.
+    */
+  private def treeStateStress(nTurns: Long, batchConvs: Int, buckets: Int): Unit = {
+    val spark = StressUtil.session()
+    val turnsPerConv = 20
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of 20")
+    val nConvs = nTurns / turnsPerConv
+    require(batchConvs > 0 && batchConvs < nConvs, "batchConvs must be < nConvs")
+    val root = java.nio.file.Files.createTempDirectory("graft-tree-state-stress").toString
+    val t = s"(id % $turnsPerConv)"
+    val store = spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id")
+      )
+    val (_, tBase) = StressUtil.timed {
+      graft.operators.TreeState.fold(
+        spark, store, "conv_id", "turn_id", "parent_id",
+        s"$root/big", Some(0L), 10000, buckets)
+    }
+    // the small append: 5 chain turns extending each touched conv's
+    // deepest leaf (19) — the path-REPLACE branch, the expensive one
+    def appendBatch = spark
+      .range(batchConvs.toLong * 5L)
+      .select(
+        expr("id div 5").as("conv_id"),
+        expr(s"$turnsPerConv + (id % 5)").as("turn_id"),
+        expr(s"$turnsPerConv + (id % 5) - 1").as("parent_id")
+      )
+    val (_, tBig) = StressUtil.timed {
+      graft.operators.TreeState.fold(
+        spark, appendBatch, "conv_id", "turn_id", "parent_id",
+        s"$root/big", Some(1L), 10000, buckets)
+    }
+    // control: the same batch into a store of ONLY the touched convs
+    graft.operators.TreeState.fold(
+      spark, store.filter(col("conv_id") < batchConvs),
+      "conv_id", "turn_id", "parent_id", s"$root/small", Some(0L), 10000, buckets)
+    val (_, tSmall) = StressUtil.timed {
+      graft.operators.TreeState.fold(
+        spark, appendBatch, "conv_id", "turn_id", "parent_id",
+        s"$root/small", Some(1L), 10000, buckets)
+    }
+    // correctness on the touched conversations: state == replay
+    val gotTouched = graft.operators.TreeState
+      .memberships(spark, s"$root/big")
+      .filter(col("conv_id") < batchConvs)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.ConvTree
+      .treePaths(
+        store.filter(col("conv_id") < batchConvs).unionByName(appendBatch),
+        "conv_id", "turn_id", "parent_id")
+      .collect().map(_.toSeq).toSet
+    require(gotTouched == want, "touched convs' memberships diverge from the replay")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"tree_state: store build $nTurns%d turns ($nConvs%d convs, $buckets%d buckets) " +
+        f"in $tBase%.1f s; append of ${batchConvs * 5}%d turns onto the ${nConvs}%d-conv " +
+        f"store: $tBig%.1f s vs $tSmall%.1f s on a $batchConvs%d-conv store " +
+        f"(ratio ${tBig / tSmall}%.2f — fold cost follows the batch, not the store)"
     )
   }
 

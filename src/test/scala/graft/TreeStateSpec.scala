@@ -160,6 +160,87 @@ class TreeStateSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("segmented layout: untouched buckets are NOT rewritten; _buckets pins the partition count") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-seg").toString
+    try {
+      val state = s"$root/tree"
+      // convs 0..7 across 8 buckets; batch 1 touches conv 0 ONLY
+      val b0 = (0L until 8L).flatMap(c => Seq((c, 0L, Option.empty[Long]), (c, 1L, Option(0L))))
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state,
+        Some(0L), 10000, 8)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(new String(fs.open(new org.apache.hadoop.fs.Path(s"$state/_buckets")).readAllBytes(),
+        "UTF-8").trim == "8")
+      val segs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      assert(segs.size > 1, s"8 convs should spread over >1 of 8 buckets: ${segs.keys}")
+      Thread.sleep(1100) // fs mtime granularity
+      // second fold: one conv — exactly the buckets of conv 0 rewritten
+      TreeState.fold(spark, turnsDf(Seq((0L, 2L, Option(1L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(1L), 10000, 999 /* ignored: pinned */)
+      val after = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      val rewritten = after.filter { case (n, t) => segs.get(n).exists(_ != t) }.keySet
+      assert(rewritten.size == 1, s"exactly conv 0's bucket must be rewritten, got $rewritten")
+      // and the fold is still exactly the replay
+      assert(rowsOf(TreeState.memberships(spark, state)) ==
+        rowsOf(ConvTree.treePaths(turnsDf(b0 :+ ((0L, 2L, Option(1L)))),
+          "conv_id", "turn_id", "parent_id")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("segmented convergence: a half-applied fold (root marker lost) retries to the exact replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-conv").toString
+    try {
+      val state = s"$root/tree"
+      val b0 = (0L until 6L).flatMap(c => Seq((c, 0L, Option.empty[Long]), (c, 1L, Option(0L))))
+      val b1 = (0L until 6L).map(c => (c, 2L, Option(1L)))
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state,
+        Some(0L), 10000, 4)
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      val want = rowsOf(TreeState.memberships(spark, state))
+      // simulate a crash AFTER every bucket swapped but BEFORE the root
+      // marker advanced: delete the root marker and retry the batch —
+      // the per-bucket _seg_applied markers must skip every bucket
+      // (re-folding them would fire the collision gate)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$state/_applied_id"), false)
+      TreeState.fold(spark, turnsDf(b1), "conv_id", "turn_id", "parent_id", state, Some(1L))
+      assert(rowsOf(TreeState.memberships(spark, state)) == want)
+      // simulate a crash stranded BETWEEN a bucket's two renames: move
+      // one bucket to the old dir (target missing) — entry healing must
+      // restore it before the next fold reads the state
+      val seg = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv=")).head.getPath
+      val oldRoot = new org.apache.hadoop.fs.Path(s"$state.__fold_old")
+      fs.mkdirs(oldRoot)
+      fs.rename(seg, new org.apache.hadoop.fs.Path(oldRoot, seg.getName))
+      TreeState.fold(spark, turnsDf(Seq((0L, 3L, Option(2L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(2L))
+      assert(rowsOf(TreeState.memberships(spark, state)) ==
+        rowsOf(ConvTree.treePaths(turnsDf(b0 ++ b1 :+ ((0L, 3L, Option(2L)))),
+          "conv_id", "turn_id", "parent_id")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("legacy unsegmented state layout is refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-legacy").toString
+    try {
+      val state = s"$root/tree"
+      // a pre-segmentation state: bare parquet at the root, no _buckets
+      turnsDf(Seq((1L, 0L, None))).write.parquet(state)
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(Seq((1L, 1L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(1L))
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("orphan gates: a batch parent resolving to neither state nor batch is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-orphan").toString
     try {
