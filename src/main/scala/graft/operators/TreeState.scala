@@ -77,10 +77,72 @@ object TreeState {
   private val COLS = Seq("conv_id", "path_id", "pos", "turn_id", "train")
 
   /** The state's membership table, exactly [[ConvTree.treePaths]]'
-    * output over every folded turn ever appended.
+    * output over every folded turn ever appended. Heals a reshard
+    * stranded between its whole-root renames first, so a reader never
+    * sees a vanished state.
     */
-  def memberships(spark: SparkSession, statePath: String): DataFrame =
+  def memberships(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
     spark.read.parquet(statePath).select(COLS.map(col): _*)
+  }
+
+  /** Re-partition an existing state under a NEW bucket count — the
+    * escape hatch for a `_buckets` pin sized before the store's growth
+    * was known (the span family's `span_state_compact --buckets`
+    * discipline). One full read + one cv-keyed write under the new
+    * hash, swapped in whole via the rename-pair protocol; the root
+    * `_applied_id` survives (exactly-once semantics are unchanged),
+    * per-bucket `_seg_applied` markers do NOT carry over (they are
+    * retry-convergence state for a specific applied id; their absence
+    * just means no bucket short-circuits on the next retry — safe).
+    * Crash between the two renames heals at the next [[fold]] /
+    * [[memberships]] / [[reshard]] entry.
+    */
+  def reshard(spark: SparkSession, statePath: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0 && newBuckets <= 4096, s"buckets must be in [1, 4096], got $newBuckets")
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old")
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_tmp")
+    Maintenance.recoverSwap(fs, root, oldRoot)
+    require(fs.exists(root), s"no TreeState at $statePath")
+    require(
+      Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets")).isDefined,
+      s"TreeState at $statePath has no _buckets pin — not a segmented state; rebuild instead"
+    )
+    val applied = Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"))
+    Maintenance.deleteOrFail(fs, tmpRoot)
+    memberships(spark, statePath)
+      .withColumn("cv", pmod(hash(col("conv_id")), lit(newBuckets)))
+      .repartition(col("cv"))
+      .write
+      .partitionBy("cv")
+      .mode("overwrite")
+      .parquet(tmpRoot.toString)
+    Maintenance.writeTextFile(
+      fs, new org.apache.hadoop.fs.Path(tmpRoot, "_buckets"), newBuckets.toString)
+    applied.foreach(a =>
+      Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(tmpRoot, "_applied_id"), a))
+    Maintenance.swapInto(fs, tmpRoot, root, oldRoot)
+  }
+
+  /** Metadata-only sizing report: (bucket, bytes) per `cv=` dir plus
+    * the `_buckets` pin — the observable a store operator reads before
+    * deciding to [[reshard]] (the `span_state_report` discipline).
+    */
+  def report(spark: SparkSession, statePath: String): Seq[(Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+      .map(st =>
+        (st.getPath.getName.drop(3).toInt, fs.getContentSummary(st.getPath).getLength))
+      .sortBy(_._1)
+      .toIndexedSeq
+  }
 
   /** Fold one appended turn batch into the membership state at
     * `statePath` (created on first fold). Returns the post-fold
@@ -144,9 +206,14 @@ object TreeState {
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__fold_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__fold_old")
     // ── entry healing ─────────────────────────────────────────────
-    // Buckets stranded between a crashed swap's two renames: restore
-    // from the old dir when the target vanished, clear the old dir
-    // when the target landed. Must run before anything reads the state.
+    // A reshard stranded between its whole-root renames first (a
+    // vanished root would otherwise read as "no state" and silently
+    // rebuild from this batch alone)...
+    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
+    // ...then buckets stranded between a crashed fold swap's two
+    // renames: restore from the old dir when the target vanished,
+    // clear the old dir when the target landed. Must run before
+    // anything reads the state.
     if (fs.exists(oldRoot)) {
       fs.listStatus(oldRoot)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))

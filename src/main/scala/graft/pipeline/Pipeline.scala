@@ -565,7 +565,10 @@ object Pipeline {
   * orphans, cycles, and cyclic islands refused loudly), and
   * `--maintenance tree_state --batch B --state S [--applied_id N]
   * [--conv_col C] [--turn_col K] [--parent_col P] [--max_depth N]
-  * [--buckets K]` (conv-hash bucket count, pinned at creation)
+  * [--buckets K]` (conv-hash bucket count, pinned at creation),
+  * `--maintenance tree_state_reshard --state S --buckets N` (re-pin a
+  * mis-sized bucket count; whole-root two-phase swap), and
+  * `--maintenance tree_state_report --state S` (per-bucket bytes)
   * (DURABLE tree memberships: fold an appended turn batch into the
   * persistent membership state — new leaves add paths with prefixes
   * read from the state, leaf extensions replace their paths,
@@ -2570,6 +2573,24 @@ object PipelineRunner {
         println(
           s"[maintenance] tree_state: folded $batchPath; state at $state now holds " +
             s"${folded.count()} membership row(s)"
+        )
+      case Some("tree_state_reshard") =>
+        // Re-partition a tree-membership state under a new conv-hash
+        // bucket count (TreeState.reshard) — the escape hatch for a
+        // _buckets pin sized before the store's growth was known.
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val n = opts.getOrElse("buckets", sys.error("--buckets <n> required")).toInt
+        graft.operators.TreeState.reshard(spark, state, n)
+        println(s"[maintenance] tree_state_reshard: $state now partitioned over $n bucket(s)")
+      case Some("tree_state_report") =>
+        // Metadata-only per-bucket sizing report (TreeState.report).
+        val state = opts.getOrElse("state", sys.error("--state <dir> required"))
+        val rows = graft.operators.TreeState.report(spark, state)
+        val total = rows.map(_._2).sum
+        rows.foreach { case (s, bytes) => println(f"[tree_state_report] cv=$s%-6d $bytes%12d B") }
+        println(
+          f"[tree_state_report] ${rows.size}%d bucket(s), $total%d B total, " +
+            f"max ${rows.map(_._2).maxOption.getOrElse(0L)}%d B"
         )
       case Some("dpo_release") =>
         // The one-command DPO DATA RELEASE — the trilogy's third

@@ -227,6 +227,38 @@ class TreeStateSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("reshard: memberships survive a bucket re-pin; folds continue; crash mid-swap heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-reshard").toString
+    try {
+      val state = s"$root/tree"
+      val b0 = (0L until 6L).flatMap(c => Seq((c, 0L, Option.empty[Long]), (c, 1L, Option(0L))))
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state,
+        Some(0L), 10000, 8)
+      val before = rowsOf(TreeState.memberships(spark, state))
+      TreeState.reshard(spark, state, 3)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(new String(fs.open(new org.apache.hadoop.fs.Path(s"$state/_buckets")).readAllBytes(),
+        "UTF-8").trim == "3")
+      assert(rowsOf(TreeState.memberships(spark, state)) == before)
+      assert(TreeState.report(spark, state).forall { case (s, bytes) => s < 3 && bytes > 0L })
+      // a fold keeps working under the new pin (its buckets param is ignored)
+      TreeState.fold(spark, turnsDf(Seq((0L, 2L, Option(1L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(1L), 10000, 999)
+      assert(rowsOf(TreeState.memberships(spark, state)) ==
+        rowsOf(ConvTree.treePaths(turnsDf(b0 :+ ((0L, 2L, Option(1L)))),
+          "conv_id", "turn_id", "parent_id")))
+      val after = rowsOf(TreeState.memberships(spark, state))
+      // crash stranded between the reshard's two whole-root renames:
+      // root gone, old holds the state — the next fold must heal first
+      fs.rename(new org.apache.hadoop.fs.Path(state),
+        new org.apache.hadoop.fs.Path(s"$state.__reshard_old"))
+      TreeState.fold(spark, turnsDf(Seq((0L, 3L, Option(2L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(2L))
+      assert(rowsOf(TreeState.memberships(spark, state)).size > after.size)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("legacy unsegmented state layout is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-legacy").toString
     try {
@@ -290,6 +322,14 @@ class TreeStateSpec extends AnyFunSuite {
         graft.pipeline.PipelineRunner.run(Array(
           "--maintenance", "tree_state", "--batch", s"$root/$b",
           "--state", s"$root/tree", "--applied_id", i.toString), spark)
+      assert(rowsOf(TreeState.memberships(spark, s"$root/tree")) ==
+        rowsOf(ConvTree.treePaths(turns, "conv_id", "turn_id", "parent_id")))
+      // reshard + report verbs: memberships survive the re-pin
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "tree_state_reshard", "--state", s"$root/tree",
+        "--buckets", "5"), spark)
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "tree_state_report", "--state", s"$root/tree"), spark)
       assert(rowsOf(TreeState.memberships(spark, s"$root/tree")) ==
         rowsOf(ConvTree.treePaths(turns, "conv_id", "turn_id", "parent_id")))
       // tree_render --paths_state ≡ tree_render (closure)
