@@ -202,7 +202,8 @@ object SparkEntry {
     "q180_dpo_token_coords" -> (PreferenceQueries.q180DpoTokenCoords _),
     "q181_dpo_length_bias" -> (PreferenceQueries.q181DpoLengthBias _),
     "q182_dpo_eval_decontam" -> (PreferenceQueries.q182DpoEvalDecontam _),
-    "q183_dpo_length_batches" -> (PreferenceQueries.q183DpoLengthBatches _)
+    "q183_dpo_length_batches" -> (PreferenceQueries.q183DpoLengthBatches _),
+    "q184_dpo_batch_padding" -> (PreferenceQueries.q184DpoBatchPadding _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -241,7 +242,8 @@ object SparkEntry {
     "q179_tree_state",
     "q180_dpo_token_coords",
     "q181_dpo_length_bias",
-    "q183_dpo_length_batches"
+    "q183_dpo_length_batches",
+    "q184_dpo_batch_padding"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3065,6 +3067,26 @@ object SparkEntry {
           |    row_number() OVER (ORDER BY total_toks, conv_id, parent_id) - 1 AS r FROM tot)
           |SELECT conv_id, parent_id, total_toks,
           |  r // 8 AS batch_id, r % 8 AS pos_in_batch FROM rk""".stripMargin),
+    // q184: per-batch padding audit over the q183 layout — member
+    // count, padded length, token sum, waste, and waste per-mille.
+    "q184_dpo_batch_padding" ->
+      (s"WITH RECURSIVE $dpoTriplesCtes,\n${bpeWordChain(8)}${dpoCntsCtes(8)},\n" +
+        """tot AS (SELECT t.conv_id, t.parent_id,
+          |    CAST(coalesce(cp.toks, 0) + coalesce(cc.toks, 0) + coalesce(cr.toks, 0) AS BIGINT) AS total_toks
+          |  FROM tri t
+          |  LEFT JOIN cnts cp ON cp.conv_id = t.conv_id AND cp.parent_id = t.parent_id AND cp.member = 'prompt'
+          |  LEFT JOIN cnts cc ON cc.conv_id = t.conv_id AND cc.parent_id = t.parent_id AND cc.member = 'chosen'
+          |  LEFT JOIN cnts cr ON cr.conv_id = t.conv_id AND cr.parent_id = t.parent_id AND cr.member = 'rejected'),
+          |rk AS (SELECT total_toks,
+          |    row_number() OVER (ORDER BY total_toks, conv_id, parent_id) - 1 AS r FROM tot),
+          |bt AS (SELECT r // 8 AS batch_id, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(max(total_toks) AS BIGINT) AS max_toks, CAST(sum(total_toks) AS BIGINT) AS sum_toks
+          |  FROM rk GROUP BY 1)
+          |SELECT batch_id, n_pairs, max_toks, sum_toks,
+          |  max_toks * n_pairs - sum_toks AS pad_waste,
+          |  CASE WHEN max_toks * n_pairs = 0 THEN 0
+          |       ELSE (1000 * (max_toks * n_pairs - sum_toks)) // (max_toks * n_pairs) END AS pad_millis
+          |FROM bt""".stripMargin),
     // q182: the q178 triples anti-joined against the q54 shingle
     // chain over each rendered member — any-member containment >= 0.5
     // vs the doc_id % 10 = 0 eval split purges the pair.

@@ -340,6 +340,32 @@ object Packing {
       )
   }
 
+  /** Padding-efficiency audit of a [[lengthGroupedBatches]] layout —
+    * the atomic-batch analogue of the q138 pack-efficiency audit: per
+    * batch, the member count, the longest member (what the loader
+    * pads to), the token sum, the padding waste `max·n − Σ`, and the
+    * waste in integer per-mille of the padded volume. One batch-keyed
+    * map-side agg over the assignment manifest; integer arithmetic
+    * throughout (the DuckDB-replay discipline).
+    */
+  def batchPadStats(assignment: DataFrame, lenCol: String): DataFrame =
+    assignment
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max(col(lenCol)).as("max_toks"),
+        sum(col(lenCol)).as("sum_toks")
+      )
+      .withColumn("pad_waste", col("max_toks") * col("n_pairs") - col("sum_toks"))
+      // integer floor division (Spark `/` is always DOUBLE; `div` is
+      // the exact integer form DuckDB's `//` replays for non-negative
+      // operands — waste and volume are non-negative by construction)
+      .withColumn(
+        "pad_millis",
+        expr(
+          "CASE WHEN max_toks * n_pairs = 0 THEN 0L " +
+            "ELSE (1000 * pad_waste) div (max_toks * n_pairs) END"))
+
   def manifest(lay: DataFrame, idCol: String, budget: Long): DataFrame =
     lay
       .select(

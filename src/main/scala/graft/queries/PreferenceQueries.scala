@@ -690,6 +690,19 @@ object PreferenceQueries {
       batchSize = 8
     )
 
+  /** Batch padding-efficiency audit
+    * ([[graft.operators.Packing.batchPadStats]]): per q183 batch, the
+    * member count, the longest member (what the loader pads to), the
+    * token sum, the padding waste `max·n − Σ`, and the waste in
+    * integer per-mille of the padded volume — the q138
+    * pack-efficiency audit re-expressed for ATOMIC padded batches,
+    * i.e. the number the ascending-length layout exists to minimize.
+    * One batch-keyed map-side agg on the assignment manifest; DuckDB
+    * replays the q183 chain + the agg + the floor division.
+    */
+  def q184DpoBatchPadding(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.batchPadStats(q183DpoLengthBatches(spark, dir), "total_toks")
+
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs
     * flattened to pointwise (prompt, response, score, ±1 label)

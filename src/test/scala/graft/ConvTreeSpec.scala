@@ -330,6 +330,14 @@ class ConvTreeSpec extends AnyFunSuite {
       && audit.contains(""""bpe_model_version": 1""")
       && audit.contains(""""batch_size": 2""") && audit.contains(""""batches": 1""")
       && audit.contains(""""length_bias_slope_micro""""), audit)
+    // --length_batches without --bpe_model is refused up front: the
+    // layout sorts by model-token length, which needs the frozen table
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "dpo_release", "--turns", s"$root/turns",
+        "--out", s"$root/rel_nb", "--length_batches", "2"), spark)
+    }
+    assert(e.getMessage.contains("bpe_model"), e.getMessage)
   }
 
   test("integrity gates: orphaned parent and cycles fail loudly") {

@@ -55,6 +55,38 @@ class PackingSpec extends AnyFunSuite {
     assert(byBatch(0L).size == 3 && byBatch(1L).size == 3 && byBatch(2L).size == 1)
   }
 
+  test("batchPadStats: exact waste and per-mille on the sorted layout; zero-length batch guarded") {
+    val rows = Seq(
+      (1L, 0L, 5L), (1L, 3L, 2L), (2L, 0L, 9L), (2L, 3L, 1L),
+      (3L, 0L, 2L), (3L, 3L, 8L), (4L, 0L, 3L)
+    ).toDF("conv_id", "parent_id", "total_toks")
+    val got = graft.operators.Packing
+      .batchPadStats(
+        graft.operators.Packing
+          .lengthGroupedBatches(rows, Seq("conv_id", "parent_id"), "total_toks", 3),
+        "total_toks")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // batch 0 = [1,2,2]: max 2, sum 5, waste 1, 1000*1/6 = 166
+    // batch 1 = [3,5,8]: max 8, sum 16, waste 8, 1000*8/24 = 333
+    // batch 2 = [9]: waste 0
+    assert(got == Map(
+      0L -> ((3L, 2L, 5L, 1L, 166L)),
+      1L -> ((3L, 8L, 16L, 8L, 333L)),
+      2L -> ((1L, 9L, 9L, 0L, 0L))
+    ), got.toString)
+    // all-zero-length batch: per-mille guarded to 0, not a crash
+    val zeros = Seq((1L, 0L, 0L), (2L, 0L, 0L)).toDF("conv_id", "parent_id", "total_toks")
+    val z = graft.operators.Packing
+      .batchPadStats(
+        graft.operators.Packing
+          .lengthGroupedBatches(zeros, Seq("conv_id", "parent_id"), "total_toks", 2),
+        "total_toks")
+      .collect().head
+    assert(z.getLong(4) == 0L && z.getLong(5) == 0L)
+  }
+
   test("lengthGroupedBatches: duplicate keys refused loudly; payload columns pass through untouched") {
     val dup = Seq((1L, 0L, 5L), (1L, 0L, 7L)).toDF("conv_id", "parent_id", "total_toks")
     val e = intercept[IllegalArgumentException](
