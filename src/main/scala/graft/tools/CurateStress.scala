@@ -723,7 +723,7 @@ object CurateStress {
         Array(
           "--maintenance", "dpo_release", "--turns", s"$root/turns",
           "--out", s"$root/rel", "--shards", "16",
-          "--bpe_model", s"$root/model",
+          "--bpe_model", s"$root/model", "--length_batches", "64",
           "--bad", s"$root/bad", "--eval", s"$root/eval"
         ),
         spark
@@ -745,6 +745,13 @@ object CurateStress {
         audit.contains(""""bpe_model_version": 1""") &&
         audit.contains(""""length_bias_slope_micro""""),
       s"audit diverged: $audit"
+    )
+    // the batch manifest covers every landed pair exactly once
+    val batchRows = spark.read.parquet(s"$root/rel/batches")
+    require(
+      batchRows.count() == nLanded &&
+        batchRows.select("conv_id", "parent_id").distinct().count() == nLanded,
+      "batch manifest must assign every landed pair exactly once"
     )
     // landed coordinates == the library computation under the same
     // frozen model, on a bounded sample
