@@ -113,6 +113,8 @@ object CurateStress {
         args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toLong).getOrElse(1000L)
       )
+    else if (args.headOption.contains("turns_stream"))
+      turnsStreamStress(args.lift(1).map(_.toLong).getOrElse(2000000L))
     else if (args.headOption.contains("tree_state"))
       treeStateStress(
         args.lift(1).map(_.toLong).getOrElse(2000000L),
@@ -559,6 +561,84 @@ object CurateStress {
     println(
       f"dpo: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, $nFlagged%d purged, " +
         f"$landed%d landed + verified in $tRel%.1f s end-to-end"
+    )
+  }
+
+  /** `turns_stream [nTurns]` — the tree family's STREAMING arm at
+    * store scale: the q172-shaped 2M-turn corpus lands as three
+    * causal turn-batch JSON waves (per-conv offsets 0-9, 10-14,
+    * 15-19 — every wave carries leaf extensions, in-batch chains,
+    * and regeneration forks onto earlier waves), each drained by the
+    * `turns_stream` verb into the segmented TreeState via its own
+    * AvailableNow run (foreachBatch batchId = the applied id).
+    * Verified from the state: total membership rows equal the
+    * per-conversation closed form × conversations (every conv is
+    * isomorphic), and the first 50 conversations replay exactly
+    * against a from-scratch treePaths walk.
+    */
+  private def turnsStreamStress(nTurns: Long): Unit = {
+    val spark = StressUtil.session()
+    val turnsPerConv = 20
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of 20")
+    val nConvs = nTurns / turnsPerConv
+    val root = java.nio.file.Files.createTempDirectory("graft-turns-stream-stress").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    val t = s"(id % $turnsPerConv)"
+    val store = spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id")
+      )
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0.0
+    Seq((0, 10), (10, 15), (15, 20)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      store
+        .filter(col("turn_id") >= lo && col("turn_id") < hi)
+        .coalesce(1) // one file per wave: the verb's file-=-turn-batch contract
+        .write
+        .json(s"$root/json$i")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/json$i"))
+        .filter(_.getPath.getName.endsWith(".json"))
+        .zipWithIndex
+        .foreach { case (st, j) =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$root/raw/b$i-$j.json"))
+        }
+      val (_, tD) = StressUtil.timed {
+        graft.pipeline.PipelineRunner.run(
+          Array(
+            "--maintenance", "turns_stream", "--raw", s"$root/raw",
+            "--state", s"$root/tree", "--checkpoint", s"$root/ckpt"
+          ),
+          spark
+        )
+      }
+      total += tD
+      println(f"turns_stream: wave $i drained in $tD%.1f s")
+    }
+    val memb = graft.operators.TreeState.memberships(spark, s"$root/tree")
+    val perConv = graft.operators.ConvTree
+      .treePaths(store.filter(col("conv_id") === 0L), "conv_id", "turn_id", "parent_id")
+      .count()
+    val got = memb.count()
+    require(
+      got == perConv * nConvs,
+      s"state holds $got membership rows != $perConv x $nConvs (the per-conv closed form)"
+    )
+    val sample = memb.filter(col("conv_id") < 50L).collect().map(_.toSeq).toSet
+    val want = graft.operators.ConvTree
+      .treePaths(store.filter(col("conv_id") < 50L), "conv_id", "turn_id", "parent_id")
+      .collect().map(_.toSeq).toSet
+    require(sample == want, "sampled conversations diverge from the from-scratch walk")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"turns_stream: $nTurns%d turns ($nConvs%d convs) streamed in 3 causal waves -> " +
+        f"$got%d membership rows in the segmented state, $total%.1f s total drain time"
     )
   }
 

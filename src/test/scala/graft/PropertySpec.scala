@@ -900,4 +900,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lengthGroupedBatches equals the reference sort-and-cut on random keyed rows") {
+    import spark.implicits._
+    val gen: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(
+        n,
+        for {
+          c <- Gen.choose(0L, 9L)
+          t <- Gen.choose(0L, 999L)
+          len <- Gen.choose(0L, 40L) // heavy ties by design
+        } yield (c, t, len)
+      )
+    } yield rows.map(r => (r._1, r._2)).distinct.map { k =>
+      rows.find(r => (r._1, r._2) == k).get
+    }
+    forAllSamples(gen) { rows =>
+      val batchSize = 1 + (rows.size % 7)
+      val got = graft.operators.Packing
+        .lengthGroupedBatches(
+          rows.toDF("conv_id", "parent_id", "total_toks"),
+          Seq("conv_id", "parent_id"),
+          "total_toks",
+          batchSize
+        )
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = rows
+        .sortBy(r => (r._3, r._1, r._2))
+        .zipWithIndex
+        .map { case ((c, p, _), i) =>
+          ((c, p), (i.toLong / batchSize, i.toLong % batchSize))
+        }
+        .toMap
+      assert(got == want, s"batchSize=$batchSize diverges from the reference sort-and-cut")
+    }
+  }
 }
