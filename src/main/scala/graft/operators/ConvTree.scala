@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Branched-conversation trees → training paths. Real SFT corpora are
   * TREES, not chains: a user regenerates an answer, edits a message,
@@ -35,39 +36,158 @@ import org.apache.spark.sql.functions._
   * `(conv, turn)` row is refused up front — it would silently fan
   * out every closure join.
   *
-  * Scale shape: leaves are an anti-join on the parent pointer; the
-  * ancestor closure is built by POINTER DOUBLING — round k holds
-  * every (descendant, ancestor, distance) pair with distance ≤ 2^k,
-  * and one self-join on the middle node doubles the horizon — so the
-  * round count is log₂(tree height), not height (a 1000-turn
-  * dialogue closes in 10 rounds instead of 1000; each round is a
-  * cluster synchronization barrier, which is exactly what log-depth
-  * buys down). Each round is one keyed self-join + distinct +
-  * `localCheckpoint` lineage cut. Closure SIZE is O(Σ per-node
-  * depth): for bushy trees (many leaves) this is the same order as
-  * the O(Σ path length) membership table being materialized, but on
-  * a deep sparse CHAIN it is depth²/2 pairs per conversation while
-  * the membership table is only depth rows — the price of log-depth
-  * rounds, bounded by `maxDepth`² per conversation and partitioned by
-  * the conv key (real dialogues are depth ≤ hundreds, so ≤ ~10⁵
-  * closure rows per conversation; `maxDepth` is the loud guard
-  * against a store that is secretly a million-turn chain). The
-  * first-visit
-  * rule is one turn-keyed min. No windows over anything
-  * corpus-sized; content never enters this operator at all
-  * (structure only).
+  * Scale shape: every fold effect is CONVERSATION-LOCAL (the closure
+  * never crosses conversations), so the whole flatten is ONE hash
+  * exchange on the conv key followed by a linear per-conversation
+  * walk inside the task — no cluster barrier rounds at all. (The
+  * previous form built the ancestor closure by pointer-doubling
+  * self-joins: log₂(depth) rounds, each a shuffle + distinct +
+  * lineage cut + driver sync, and O(Σ per-node depth) closure rows —
+  * depth²/2 per conversation on a deep chain. The walk emits exactly
+  * the O(Σ path length) membership rows being produced, holds only
+  * O(conversation turns) structure in memory — three ids per turn,
+  * so even a million-turn dialogue is ~tens of MB in one task — and
+  * costs zero synchronization. At 1000 executors the doubling form's
+  * per-round barriers were the dominant cost; the walk has none.)
+  * Task skew is bounded by the largest single conversation, and
+  * `maxDepth` stays the loud guard against a store that is secretly
+  * an unbounded chain. No windows over anything corpus-sized;
+  * content never enters this operator at all (structure only).
   *
-  * Integrity: a duplicated `(conv, turn)` key fails LOUDLY up front
-  * (one O(turns) agg, the `requireNumericId` discipline); a non-null
-  * parent pointing at a missing turn in its conversation fails
-  * LOUDLY (the walk would silently treat the orphan as a root and
-  * emit a truncated path); ANY parent cycle — leaf-reachable or an
-  * isolated island — fails loudly via the doubling round guard (a
-  * cycle makes distances unbounded, so the closure grows past the
-  * `maxDepth` horizon); a belt-and-braces completeness gate refuses
-  * any turn that lands on no path.
+  * The result is materialized eagerly (`localCheckpoint`) before
+  * returning: every integrity gate fires AT THE CALL, loudly, before
+  * any caller writes anything — and multi-consumer callers (the
+  * render/pair arms read memberships 2-3×) reuse the pinned rows
+  * instead of re-walking.
+  *
+  * Integrity (all loud, all at call time): a duplicated
+  * `(conv, turn)` key is refused (it would silently fan out every
+  * downstream join); a non-null parent pointing at a missing turn in
+  * its conversation is refused as an orphan (the walk would silently
+  * treat it as a root and emit a truncated path); ANY parent cycle —
+  * leaf-reachable (the leaf walk exceeds its conversation's turn
+  * count / `maxDepth`) or an isolated island (nodes on NO root→leaf
+  * path) — is refused; a genuinely deeper-than-`maxDepth` chain is
+  * refused with the same guard (raise `maxDepth` deliberately).
   */
 object ConvTree {
+
+  /** SQL-order comparison for the first-visit minimum, matching what
+    * the previous `min(path_id)` aggregate computed: numeric order for
+    * numbers, UTF-8 byte (= code-point) order for strings — Java
+    * `String.compareTo` is UTF-16 code-unit order, which disagrees
+    * above the BMP (the [[Bpe]] tie-break lesson), so strings compare
+    * by code point here.
+    */
+  private def sqlLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      var i = 0
+      var j = 0
+      var r = 0
+      while (r == 0 && i < x.length && j < y.length) {
+        val ca = x.codePointAt(i)
+        val cb = y.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      (if (r == 0) Integer.compare(x.length - i, y.length - j) else r) < 0
+    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    case _ =>
+      throw new IllegalArgumentException(
+        s"treePaths: turn-id type ${a.getClass.getName} has no ordering for the " +
+          "first-visit minimum")
+  }
+
+  /** Walk one conversation's turns (turn → nullable parent) into
+    * membership rows. All integrity gates fire here, inside the task,
+    * per conversation — [[treePaths]]' eager materialization surfaces
+    * them at the call site.
+    */
+  private[operators] def walkConversation(
+      conv: Any,
+      rows: scala.collection.Seq[(Any, Any)],
+      maxDepth: Int
+  ): Iterator[Row] = {
+    val n = rows.size
+    val parent = new java.util.HashMap[Any, Any](n * 2)
+    val hasChild = new java.util.HashSet[Any](n * 2)
+    rows.foreach { case (turn, par) =>
+      if (parent.containsKey(turn))
+        throw new IllegalArgumentException(
+          s"treePaths: (conv, turn) is not unique — conversation $conv has turn $turn " +
+            "more than once; a duplicated turn row would silently fan out every path " +
+            "join. Deduplicate the turn store first.")
+      parent.put(turn, par)
+      if (par != null) hasChild.add(par)
+    }
+    rows.foreach { case (turn, par) =>
+      if (par != null && !parent.containsKey(par))
+        throw new IllegalArgumentException(
+          s"treePaths: turn $turn in conversation $conv has parent $par which is not a " +
+            "turn of that conversation — an orphaned pointer would silently truncate " +
+            "its path at the orphan instead of the root")
+    }
+    val leaves = rows.collect { case (turn, _) if !hasChild.contains(turn) => turn }
+    // Chain from a leaf up to its root (root first). In a functional
+    // graph (≤1 parent per node) the walk either terminates at a null
+    // parent or loops; exceeding min(maxDepth, n) edges proves a cycle
+    // (or a deeper-than-contract chain — same loud guard).
+    val limit = math.min(maxDepth.toLong, n.toLong)
+    def chainOf(leaf: Any): java.util.ArrayDeque[Any] = {
+      val chain = new java.util.ArrayDeque[Any](16)
+      var cur = leaf
+      var edges = 0L
+      chain.addFirst(cur)
+      var par = parent.get(cur)
+      while (par != null) {
+        edges += 1
+        if (edges > limit)
+          throw new IllegalArgumentException(
+            s"treePaths: the ancestor walk from leaf $leaf in conversation $conv " +
+              s"exceeded $limit edges (maxDepth=$maxDepth, conversation size $n) — the " +
+              "parent pointers contain a cycle (or raise maxDepth for genuinely deeper " +
+              "trees)")
+        cur = par
+        chain.addFirst(cur)
+        par = parent.get(cur)
+      }
+      chain
+    }
+    // First pass: first-visit minimum (smallest leaf id over each
+    // turn's memberships) + completeness. O(Σ path length) time,
+    // O(turns) memory; the emit pass below re-walks each chain lazily
+    // so a bushy conversation never holds its full output at once.
+    val firstLeaf = new java.util.HashMap[Any, Any](n * 2)
+    leaves.foreach { leaf =>
+      val it = chainOf(leaf).iterator()
+      while (it.hasNext) {
+        val t = it.next()
+        val cur = firstLeaf.get(t)
+        if (cur == null || sqlLess(leaf, cur)) firstLeaf.put(t, leaf)
+      }
+    }
+    if (firstLeaf.size != n) {
+      val island = rows.collectFirst { case (t, _) if !firstLeaf.containsKey(t) => t }
+      throw new IllegalArgumentException(
+        s"treePaths: turn ${island.orNull} in conversation $conv is on NO root→leaf " +
+          "path — a parent cycle with no leaf beneath it (every node of that cycle has " +
+          "a child, so no walk reaches it); fix the parent pointers")
+    }
+    leaves.iterator.flatMap { leaf =>
+      val chain = chainOf(leaf)
+      val len = chain.size
+      val out = new Array[Row](len)
+      val it = chain.iterator()
+      var pos = 0
+      while (it.hasNext) {
+        val t = it.next()
+        out(pos) = Row(conv, leaf, pos.toLong, t, firstLeaf.get(t) == leaf)
+        pos += 1
+      }
+      out.iterator
+    }
+  }
 
   def treePaths(
       turns: DataFrame,
@@ -82,162 +202,60 @@ object ConvTree {
       col(turnCol).as("__turn"),
       col(parentCol).as("__parent")
     )
-    // Loud uniqueness gate: (conv, turn) must be a key. A duplicate
-    // would silently fan out every closure join below (duplicated
-    // memberships, wrong train flags) — refuse it up front with one
-    // O(turns) aggregate.
-    val u = t
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("__conv"), col("__turn")).as("nd")
-      )
-      .collect()(0)
-    require(
-      u.getLong(0) == u.getLong(1),
-      s"treePaths: ($convCol, $turnCol) is not unique — ${u.getLong(0)} rows but only " +
-        s"${u.getLong(1)} distinct keys; a duplicated turn row would silently fan out " +
-        "every path join. Deduplicate the turn store first."
-    )
-    // Loud integrity gate: every non-null parent must be a turn IN
-    // THE SAME CONVERSATION (the closure never crosses conversations,
-    // so a cross-conversation pointer is an orphan here by design).
-    val orphans = t
-      .filter(col("__parent").isNotNull)
-      .join(
-        t.select(col("__conv"), col("__turn").as("__parent")),
-        Seq("__conv", "__parent"),
-        "left_anti"
-      )
-      .select(col("__conv"), col("__turn"), col("__parent"))
-      .limit(1)
-      .collect()
-    require(
-      orphans.isEmpty,
-      s"treePaths: turn ${orphans.headOption.map(_.get(1)).orNull} in conversation " +
-        s"${orphans.headOption.map(_.get(0)).orNull} has parent " +
-        s"${orphans.headOption.map(_.get(2)).orNull} which is not a turn of that " +
-        "conversation — an orphaned pointer would silently truncate its path at the " +
-        "orphan instead of the root"
-    )
-    // Leaves: turns no other turn (in the same conversation) points at.
-    val leaves = t
-      .join(
-        t.filter(col("__parent").isNotNull)
-          .select(col("__conv"), col("__parent").as("__turn"))
-          .distinct(),
-        Seq("__conv", "__turn"),
-        "left_anti"
-      )
-      .select(col("__conv"), col("__turn").as("__leaf"))
-    // Ancestor closure by pointer doubling: after round k, `cl` holds
-    // every proper (conv, descendant, ancestor, distance) pair with
-    // distance ≤ 2^k — in a tree each (desc, anc) pair has exactly
-    // one distance, so the distinct is exact. A CYCLE makes distances
-    // unbounded, so the closure would grow past every horizon: the
-    // round guard (log₂ maxDepth + slack) converts that into a loud
-    // failure instead of a runaway job.
-    var cl = t
-      .filter(col("__parent").isNotNull)
-      .select(
-        col("__conv"),
-        col("__turn").as("__desc"),
-        col("__parent").as("__anc"),
-        lit(1L).as("__dist")
-      )
-      .localCheckpoint()
-    val maxRounds =
-      (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxDepth.toLong - 1L, 1L))) + 1
-    var rounds = 0
-    var n = cl.count()
-    var growing = n > 0
-    while (growing) {
-      rounds += 1
-      require(
-        rounds <= maxRounds,
-        s"treePaths: ancestor closure still growing after $rounds doubling rounds " +
-          s"(horizon 2^$rounds > maxDepth=$maxDepth) — the parent pointers contain a " +
-          "cycle (or raise maxDepth for genuinely deeper trees)"
-      )
-      val a = cl.select(
-        col("__conv"),
-        col("__desc"),
-        col("__anc").as("__mid"),
-        col("__dist").as("__d1")
-      )
-      val b = cl.select(
-        col("__conv"),
-        col("__desc").as("__mid"),
-        col("__anc"),
-        col("__dist").as("__d2")
-      )
-      val doubled = a
-        .join(b, Seq("__conv", "__mid"))
-        .select(
-          col("__conv"),
-          col("__desc"),
-          col("__anc"),
-          (col("__d1") + col("__d2")).as("__dist")
-        )
-      val next = cl.unionByName(doubled).distinct().localCheckpoint()
-      val n2 = next.count()
-      growing = n2 > n
-      cl = next
-      n = n2
-    }
-    // Memberships: each leaf's own row at distance 0 plus its closure
-    // ancestors — (__conv, __leaf, __at, __d) exactly as the linear
-    // walk would emit them.
-    val acc = leaves
-      .select(col("__conv"), col("__leaf"), col("__leaf").as("__at"), lit(0L).as("__d"))
-      .unionByName(
-        cl.join(
-          leaves.select(col("__conv"), col("__leaf").as("__desc")),
-          Seq("__conv", "__desc")
-        ).select(
-          col("__conv"),
-          col("__desc").as("__leaf"),
-          col("__anc").as("__at"),
-          col("__dist").as("__d")
-        )
-      )
-    // Completeness gate: every turn must sit on at least one path. In
-    // an acyclic forest every node has a descendant leaf, and the
-    // doubling closure's round guard already refuses every cycle
-    // (islands included — the closure covers ALL nodes, not just
-    // leaf-reachable ones), so this is defense-in-depth: if a future
-    // change ever lets a turn fall off every path, it fails HERE,
-    // loudly, instead of silently shrinking the training corpus.
-    val unreached = t
-      .join(
-        acc.select(col("__conv"), col("__at").as("__turn")).distinct(),
-        Seq("__conv", "__turn"),
-        "left_anti"
-      )
-      .select(col("__conv"), col("__turn"))
-      .limit(1)
-      .collect()
-    require(
-      unreached.isEmpty,
-      s"treePaths: turn ${unreached.headOption.map(_.get(1)).orNull} in conversation " +
-        s"${unreached.headOption.map(_.get(0)).orNull} is on NO root→leaf path — a " +
-        "parent cycle with no leaf beneath it (the walk starts at leaves, so a cyclic " +
-        "island is unreachable); fix the parent pointers"
-    )
-    val pathLen =
-      acc.groupBy(col("__conv"), col("__leaf")).agg(max(col("__d")).as("__len"))
-    val firstVisit =
-      acc.groupBy(col("__conv"), col("__at")).agg(min(col("__leaf")).as("__first_leaf"))
-    acc
-      .join(pathLen, Seq("__conv", "__leaf"))
-      .join(firstVisit, Seq("__conv", "__at"))
-      .select(
-        col("__conv").as("conv_id"),
-        col("__leaf").as("path_id"),
-        (col("__len") - col("__d")).cast("long").as("pos"),
-        col("__at").as("turn_id"),
-        (col("__leaf") === col("__first_leaf")).as("train")
-      )
+    val inSchema = t.schema
+    val outSchema = StructType(Seq(
+      StructField("conv_id", inSchema("__conv").dataType, inSchema("__conv").nullable),
+      StructField("path_id", inSchema("__turn").dataType, inSchema("__turn").nullable),
+      StructField("pos", LongType, nullable = false),
+      StructField("turn_id", inSchema("__turn").dataType, inSchema("__turn").nullable),
+      StructField("train", BooleanType, nullable = false)
+    ))
+    val md = maxDepth
+    // One hash exchange on the conv key + a local sort co-locates each
+    // conversation; the task then streams conversation groups through
+    // the walk — structure only, one group in memory at a time.
+    val walked = t
+      .repartition(col("__conv"))
+      .sortWithinPartitions(col("__conv"))
+      .mapPartitions { rows =>
+        val buffered = rows.buffered
+        Iterator
+          .continually(())
+          .takeWhile(_ => buffered.hasNext)
+          .flatMap { _ =>
+            val conv = buffered.head.get(0)
+            val group = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+            while (buffered.hasNext && buffered.head.get(0) == conv) {
+              val r = buffered.next()
+              group += ((r.get(1), r.get(2)))
+            }
+            walkConversation(conv, group, md)
+          }
+      }(Encoders.row(outSchema))
+    // Eager pin: gates fire NOW (loud at the call, before any caller
+    // writes), and every downstream consumer reuses the walked rows.
+    unwrapGateFailure(walked.localCheckpoint())
   }
+
+  /** Run `action`; if it fails because a task-side integrity gate
+    * threw (the walk's loud refusals surface wrapped in a
+    * SparkException), rethrow the root IllegalArgumentException so
+    * callers keep the documented loud-gate contract.
+    */
+  private[operators] def unwrapGateFailure[T](action: => T): T =
+    try action
+    catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          c match {
+            case iae: IllegalArgumentException =>
+              throw new IllegalArgumentException(iae.getMessage, e)
+            case _ => c = c.getCause
+          }
+        }
+        throw e
+    }
 
   /** [[Preference.branchPairs]] RENDERED to trainer-ready text: each
     * sibling-regeneration pair with its textual PROMPT — the root→

@@ -7,85 +7,143 @@ import org.apache.spark.sql.functions._
   * [[ConvTree]], completing the incremental discipline every other
   * family here has (exact/near/span/semantic dedup, IVF, DSIR, arena
   * wins, packing): a turn store at campaign scale appends turn batches
-  * continuously, and recomputing [[ConvTree.treePaths]]' pointer-
-  * doubling closure per invocation pays log-depth cluster barrier
-  * rounds plus full-store integrity gates on EVERY drain. This state
-  * persists the membership table `(conv_id, path_id, pos, turn_id,
-  * train)` under a state root and folds each appended batch
-  * incrementally:
+  * continuously, and recomputing [[ConvTree.treePaths]] over the FULL
+  * store per drain pays a store-wide shuffle and store-wide integrity
+  * gates every time. This state persists the membership table
+  * `(conv_id, path_id, pos, turn_id, train)` under a state root and
+  * folds each appended batch by RE-WALKING exactly the conversations
+  * the batch touches:
   *
-  *   - a new leaf under an existing node ADDS one path — its prefix
-  *     rows are READ from the existing memberships (the attachment
-  *     parent's unique first-visit row anchors one path; the rows with
-  *     `pos ≤` the parent's position on that path ARE the root→parent
-  *     chain — ancestor chains in a tree don't depend on which path
-  *     carries them);
-  *   - a turn appended to a CURRENT LEAF extends that leaf's path: the
-  *     path key is the leaf id, so the old path's rows are REPLACED by
-  *     the extended path under the new leaf's id;
-  *   - batches may carry whole subtrees (turns chaining within the
-  *     batch) and brand-new roots: the batch-LOCAL structure runs
-  *     through [[ConvTree.treePaths]] itself (its uniqueness/orphan/
-  *     cycle gates fire on the batch), and each batch-subtree's paths
-  *     are stitched onto their attachment prefixes.
+  *   - the state is conv-hash BUCKETED (`cv=` hive partitions, see
+  *     [[fold]]), and every fold effect is conversation-local, so a
+  *     fold reads and rewrites ONLY the buckets its batch's
+  *     conversations hash into — cost follows the batch, never the
+  *     store (the spec asserts untouched buckets keep their files
+  *     byte-untouched);
+  *   - within a touched bucket, conversations the batch does NOT
+  *     touch pass through row-identical; a touched conversation's
+  *     parent pointers are RECONSTRUCTED from its membership rows
+  *     (each path's `pos p` turn is the child of its `pos p−1` turn —
+  *     unique in a tree), merged with the batch's new turns, and the
+  *     whole conversation re-walks through [[ConvTree]]'s linear
+  *     per-conversation walk. Every subtle incremental case — leaf
+  *     extensions replacing a path under its new leaf key, first-visit
+  *     flags MOVING when an extension deletes a train-carrying path,
+  *     non-monotone late forks stealing a minimum — is from-scratch
+  *     semantics by construction, because the touched conversation IS
+  *     re-derived from scratch. (The previous form stitched new paths
+  *     onto state-read prefixes through ~15 keyed joins and recomputed
+  *     minima for exactly the affected turns; since the bucket rewrite
+  *     already pays the bucket's full I/O, re-walking the touched
+  *     conversations costs the same I/O, strictly less orchestration —
+  *     TWO Spark actions per fold instead of ~15 — and its equality to
+  *     the from-scratch replay is structural rather than argued
+  *     case-by-case.)
   *
-  * FIRST-VISIT MAINTENANCE. A turn's `train` flag is `path_id ==
-  * min(path_id over its memberships)`. Under monotonically growing
-  * turn ids (the common store shape) an untouched turn's flag is
-  * STABLE: new leaves carry larger ids, so they can never undercut an
-  * existing minimum — proven by the spec suite. The fold does NOT rely
-  * on that: it recomputes the minimum for exactly the turns whose
-  * membership set changed — every turn on a new path, plus the turns
-  * whose train-carrying path was deleted by a leaf extension (the one
-  * way an existing minimum can DISAPPEAR: extend leaf L under a turn
-  * that also has leaf M > L, and the turn's flag must MOVE to M, not
-  * to L's big-id extension) — so even a non-monotone store (a late
-  * regeneration forking an old node with a small id) folds to exactly
-  * the from-scratch [[ConvTree.treePaths]] result. Turns outside that
-  * set keep their flags: their membership sets only ever GROW by
-  * larger... no — only ever stay identical (a turn on no new and no
-  * deleted path has exactly the same path set), so their minima are
-  * untouched by construction, monotone ids or not.
-  *
-  * Integrity (all LOUD, all before any write): batch `(conv, turn)`
-  * keys unique; no batch key collides with a state key (a re-sent turn
-  * row must be deduplicated upstream — `_applied_id` handles exact
-  * batch replays); every batch parent resolves within its conversation
-  * to a state turn or a batch turn; batch-internal cycles refused by
-  * the doubling-round guard; every attachment parent must hold a
-  * first-visit membership in the state (always true for a valid state
-  * — checked anyway so a hand-edited state fails here instead of
-  * silently dropping paths).
+  * Integrity (all LOUD, all before any bucket swaps in): batch
+  * `(conv, turn)` keys unique; no batch key collides with a state key
+  * (a re-sent turn row must be deduplicated upstream — `_applied_id`
+  * handles exact batch replays); every batch parent resolves within
+  * its conversation to a state turn or a batch turn; cycles and
+  * deeper-than-`maxDepth` chains refused by the walk's guard; a
+  * malformed state row set (non-contiguous path positions, conflicting
+  * reconstructed parents — a hand-edited state) fails the
+  * reconstruction loudly instead of silently dropping paths. Gates
+  * fire inside the staging write, which lands in a tmp dir: a gate
+  * failure leaves the state untouched.
   *
   * Exactly-once: [[Maintenance.foldState]]'s `_applied_id` marker +
   * atomic tmp/old swap — a replayed batch is a no-op, a crash between
   * the swap's renames is healed at entry.
   *
-  * Scale shape: per fold, the batch-local closure is O(batch) with
-  * log₂(batch depth) rounds (never the store); prefix/extension/flag
-  * work is keyed joins of the membership table against BATCH-SIZED
-  * key sets (attachment anchors, extended leaves, affected turns —
-  * all broadcast), so the read side is map-side; and the state is
-  * conv-hash BUCKETED (`cv=` hive partitions, see [[fold]]) so both
-  * the read AND the rewrite touch only the buckets the batch's
-  * conversations hash into — fold cost follows the batch, not the
-  * store (partition pruning serves the reads; the spec asserts
-  * untouched buckets keep their files byte-untouched).
+  * Scale shape: per fold, ONE conv-hash exchange of the touched
+  * buckets' rows + the batch (the same exchange the bucket-partitioned
+  * write needs anyway — the walk rides it), one linear in-task walk
+  * per touched conversation, zero joins, zero barrier rounds; driver
+  * traffic is the touched-bucket list and the write. Task memory is
+  * bounded by the largest single conversation's membership rows — the
+  * same rows the bucket rewrite must materialize regardless.
   */
 object TreeState {
 
   private val COLS = Seq("conv_id", "path_id", "pos", "turn_id", "train")
 
+  /** Entry healing shared by EVERY state reader and writer: first a
+    * reshard stranded between its whole-root renames (a vanished root
+    * would read as "no state"), then buckets stranded between a
+    * crashed fold swap's two renames — restore a bucket from its old
+    * dir when the target vanished, clear the old dir when the target
+    * landed. Folds always healed this way at entry; readers
+    * ([[memberships]], [[report]]) and [[reshard]] must too, or a
+    * crashed fold's stranded bucket is silently omitted from reads —
+    * and a reshard would PERSIST the loss under the new hash while the
+    * next fold's healing renames the leftover backup into the
+    * re-hashed root, corrupting bucket pruning.
+    */
+  private def healAt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      statePath: String
+  ): Unit = {
+    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
+    val foldOld = new org.apache.hadoop.fs.Path(s"$statePath.__fold_old")
+    if (fs.exists(foldOld)) {
+      fs.listStatus(foldOld)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+        .foreach { st =>
+          Maintenance.recoverSwap(fs, new org.apache.hadoop.fs.Path(root, st.getPath.getName), st.getPath)
+        }
+      Maintenance.deleteOrFail(fs, foldOld)
+    }
+  }
+
+  private def hasCvDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Boolean =
+    fs.exists(root) && fs
+      .listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+
+  /** Typed empty membership table for a data-less state root (created
+    * by an empty first batch): parquet schema inference has no footer
+    * to read, so the canonical `(long, long, long, long, boolean)`
+    * shape is returned instead — the id type every turn-store verb
+    * here folds with.
+    */
+  private def emptyMemberships(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("conv_id", LongType),
+        StructField("path_id", LongType),
+        StructField("pos", LongType),
+        StructField("turn_id", LongType),
+        StructField("train", BooleanType)
+      ))
+    )
+  }
+
   /** The state's membership table, exactly [[ConvTree.treePaths]]'
     * output over every folded turn ever appended. Heals a reshard
-    * stranded between its whole-root renames first, so a reader never
-    * sees a vanished state.
+    * stranded between its whole-root renames AND any bucket stranded
+    * by a crashed fold first, so a reader never sees a vanished state
+    * or a silently missing bucket. A created-but-empty state (an
+    * empty first batch) reads as a typed empty table, not a parquet
+    * schema-inference failure.
     */
   def memberships(spark: SparkSession, statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
-    spark.read.parquet(statePath).select(COLS.map(col): _*)
+    healAt(fs, root, statePath)
+    // markers-only root (empty first batch): nothing for parquet
+    // schema inference to read — serve the typed empty table. A
+    // legacy bare-parquet root still reads as data.
+    val markersOnly = fs.exists(root) && !hasCvDirs(fs, root) &&
+      fs.listStatus(root).forall(st => !st.isDirectory && st.getPath.getName.startsWith("_"))
+    if (markersOnly) emptyMemberships(spark)
+    else spark.read.parquet(statePath).select(COLS.map(col): _*)
   }
 
   /** Re-partition an existing state under a NEW bucket count — the
@@ -106,7 +164,7 @@ object TreeState {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old")
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_tmp")
-    Maintenance.recoverSwap(fs, root, oldRoot)
+    healAt(fs, root, statePath)
     require(fs.exists(root), s"no TreeState at $statePath")
     require(
       Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets")).isDefined,
@@ -114,6 +172,13 @@ object TreeState {
     )
     val applied = Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"))
     Maintenance.deleteOrFail(fs, tmpRoot)
+    if (!hasCvDirs(fs, root)) {
+      // data-less state (empty first batch): re-pinning the bucket
+      // count IS the whole reshard — nothing to rewrite or swap
+      Maintenance.writeTextFile(
+        fs, new org.apache.hadoop.fs.Path(root, "_buckets"), newBuckets.toString)
+      return
+    }
     memberships(spark, statePath)
       .withColumn("cv", pmod(hash(col("conv_id")), lit(newBuckets)))
       .repartition(col("cv"))
@@ -135,7 +200,7 @@ object TreeState {
   def report(spark: SparkSession, statePath: String): Seq[(Int, Long)] = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
+    healAt(fs, root, statePath)
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
       .map(st =>
@@ -206,22 +271,11 @@ object TreeState {
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__fold_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__fold_old")
     // ── entry healing ─────────────────────────────────────────────
-    // A reshard stranded between its whole-root renames first (a
-    // vanished root would otherwise read as "no state" and silently
-    // rebuild from this batch alone)...
-    Maintenance.recoverSwap(fs, root, new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old"))
-    // ...then buckets stranded between a crashed fold swap's two
-    // renames: restore from the old dir when the target vanished,
-    // clear the old dir when the target landed. Must run before
-    // anything reads the state.
-    if (fs.exists(oldRoot)) {
-      fs.listStatus(oldRoot)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
-        .foreach { st =>
-          Maintenance.recoverSwap(fs, new org.apache.hadoop.fs.Path(root, st.getPath.getName), st.getPath)
-        }
-      Maintenance.deleteOrFail(fs, oldRoot)
-    }
+    // A reshard stranded between its whole-root renames (a vanished
+    // root would otherwise read as "no state" and silently rebuild
+    // from this batch alone), then buckets stranded between a crashed
+    // fold swap's two renames — shared with every reader (healAt).
+    healAt(fs, root, statePath)
     val bucketsPin = new org.apache.hadoop.fs.Path(root, "_buckets")
     val exists = fs.exists(root)
     val k: Int =
@@ -229,6 +283,13 @@ object TreeState {
       else
         Maintenance.readTextFile(fs, bucketsPin) match {
           case Some(s) => s.trim.toInt
+          case None if fs.listStatus(root).isEmpty =>
+            // a crash between mkdirs(root) and the pin write leaves a
+            // completely EMPTY root — treat it as fresh (re-pin below)
+            // instead of refusing forever; the refusal is reserved for
+            // roots that actually hold anything under an unknown
+            // layout (legacy bare parquet included)
+            buckets
           case None =>
             throw new IllegalArgumentException(
               s"TreeState at $statePath has no _buckets pin — a pre-segmentation (or foreign) " +
@@ -242,7 +303,7 @@ object TreeState {
       marker(new org.apache.hadoop.fs.Path(root, "_applied_id")) == appliedId)
       return memberships(spark, statePath) // retry of an applied batch: no-op
     Maintenance.deleteOrFail(fs, tmp) // stale staging from a crashed attempt
-    if (!exists) {
+    if (!exists || Maintenance.readTextFile(fs, bucketsPin).isEmpty) {
       fs.mkdirs(root)
       Maintenance.writeTextFile(fs, bucketsPin, k.toString)
     }
@@ -265,9 +326,7 @@ object TreeState {
       val bPending =
         if (alreadyApplied.isEmpty) b
         else b.filter(segOf.isin(pending.map(Int.box): _*))
-      val hasData = fs.exists(root) && fs
-        .listStatus(root)
-        .exists(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
+      val hasData = hasCvDirs(fs, root)
       val mTouched =
         if (hasData)
           spark.read
@@ -283,18 +342,22 @@ object TreeState {
             col("turn_id"),
             lit(true).as("train")
           ).limit(0)
-      val folded = foldInto(mTouched, bPending, maxDepth)
-      folded
-        .withColumn("cv", segOf)
-        // one cv-keyed shuffle so each bucket lands as ONE file —
-        // without it every task writes a file into every bucket it
-        // holds rows for (tasks × buckets small files), and the next
-        // fold pays the footer fan-out reading them back
-        .repartition(col("cv"))
-        .write
-        .partitionBy("cv")
-        .mode("overwrite")
-        .parquet(tmp.toString)
+      // The fold's ONLY exchange doubles as the write layout: foldInto
+      // partitions by the cv expression (a function of conv_id, so
+      // conversations stay co-located for the walk), each bucket's
+      // rows land wholly in one task, and the partitionBy write emits
+      // ONE file per bucket with no second shuffle. Walk-gate failures
+      // surface during this staging write — tmp is discarded at the
+      // next entry, the state untouched.
+      val folded = foldInto(mTouched, bPending, maxDepth, Some(segOf))
+      ConvTree.unwrapGateFailure {
+        folded
+          .withColumn("cv", segOf)
+          .write
+          .partitionBy("cv")
+          .mode("overwrite")
+          .parquet(tmp.toString)
+      }
       fs.mkdirs(oldRoot)
       pending.foreach { s =>
         val staged = new org.apache.hadoop.fs.Path(tmp, s"cv=$s")
@@ -318,191 +381,137 @@ object TreeState {
     memberships(spark, statePath)
   }
 
-  /** The incremental fold proper: `m` the current memberships, `b` the
-    * canonicalized batch turns. Pure DataFrame → DataFrame (no I/O) so
-    * the spec suite can drive it directly against from-scratch replays.
+  /** The incremental fold proper: `m` the current memberships of the
+    * touched buckets, `b` the canonicalized batch turns. Pure
+    * DataFrame → DataFrame (no I/O) so the spec suite can drive it
+    * directly against from-scratch replays. `partitionKey` lets the
+    * caller supply the exchange key (the bucket expression, a function
+    * of `conv_id`) so the walk's one shuffle is also the write layout.
+    *
+    * Shape: tag-union the state rows and the batch rows, ONE hash
+    * exchange on the partition key, then per conversation inside the
+    * task: no batch rows → pass the state rows through row-identical;
+    * batch rows → reconstruct the conversation's parent pointers from
+    * its membership rows (path positions are contiguous 0..len and a
+    * turn's parent is position-1 on any path that carries it — unique
+    * in a tree; contiguity and parent agreement are checked loudly),
+    * refuse state/batch key collisions, merge the batch's turns, and
+    * re-walk the conversation through [[ConvTree]]'s linear walk —
+    * from-scratch semantics for every touched conversation by
+    * construction. Zero joins, zero driver actions.
     */
-  private[graft] def foldInto(m: DataFrame, b: DataFrame, maxDepth: Int): DataFrame = {
-    // ── gates ─────────────────────────────────────────────────────
-    // (batch-internal uniqueness + cycles fire inside treePaths below;
-    // here: state collision and parent resolution.) Both gates probe
-    // the O(state) membership table with BROADCAST batch-derived key
-    // sets — map-side scans, never a state-wide shuffle (the original
-    // form ran a distinct over the whole state per fold, which at
-    // campaign scale is the single most expensive exchange the fold
-    // could possibly issue, spent on a gate).
-    val bTurnKeys = b.select(col("conv_id"), col("turn_id"))
-    val collided = m
-      .join(broadcast(bTurnKeys), Seq("conv_id", "turn_id"), "left_semi")
-      .select(col("conv_id"), col("turn_id"))
-      .limit(1)
-      .collect()
-    require(
-      collided.isEmpty,
-      s"TreeState.fold: batch turn ${collided.headOption.map(_.get(1)).orNull} in " +
-        s"conversation ${collided.headOption.map(_.get(0)).orNull} already exists in the " +
-        "state — appended batches must carry NEW turns only (an exact batch replay is " +
-        "handled by the _applied_id marker; a re-edited turn needs a state rebuild)"
+  private[graft] def foldInto(
+      m: DataFrame,
+      b: DataFrame,
+      maxDepth: Int,
+      partitionKey: Option[org.apache.spark.sql.Column] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val convT = b.schema("conv_id").dataType
+    val turnT = b.schema("turn_id").dataType
+    val outSchema = StructType(Seq(
+      StructField("conv_id", convT),
+      StructField("path_id", turnT),
+      StructField("pos", LongType, nullable = false),
+      StructField("turn_id", turnT),
+      StructField("train", BooleanType, nullable = false)
+    ))
+    // tagged union: state rows carry (path_id, pos, train), batch rows
+    // carry the parent pointer — row layout
+    // (conv, isBatch, path_id, pos, turn_id, parent_id, train)
+    val mT = m.select(
+      col("conv_id"),
+      lit(false).as("__isb"),
+      col("path_id"),
+      col("pos").cast("long").as("pos"),
+      col("turn_id"),
+      lit(null).cast(b.schema("parent_id").dataType).as("parent_id"),
+      col("train")
     )
-    // parents unresolved WITHIN the batch (small × small anti-join),
-    // then a map-side probe of the state for just those keys; whatever
-    // the state doesn't know either is an orphan — named through a
-    // join back to a referencing batch turn.
-    val unresolvedInBatch = b
-      .filter(col("parent_id").isNotNull)
-      .select(col("conv_id"), col("parent_id").as("turn_id"))
-      .distinct()
-      .join(bTurnKeys, Seq("conv_id", "turn_id"), "left_anti")
-    val resolvedByState = m
-      .join(broadcast(unresolvedInBatch), Seq("conv_id", "turn_id"), "left_semi")
-      .select(col("conv_id"), col("turn_id"))
-      .distinct()
-    val orphans = unresolvedInBatch
-      .join(broadcast(resolvedByState), Seq("conv_id", "turn_id"), "left_anti")
-      .withColumnRenamed("turn_id", "parent_id")
-      .join(b.select(col("conv_id"), col("turn_id"), col("parent_id")), Seq("conv_id", "parent_id"))
-      .limit(1)
-      .collect()
-    require(
-      orphans.isEmpty,
-      s"TreeState.fold: batch turn ${orphans.headOption.map(_.get(2)).orNull} in " +
-        s"conversation ${orphans.headOption.map(_.get(0)).orNull} has parent " +
-        s"${orphans.headOption.map(_.get(1)).orNull} which is neither a state turn nor a " +
-        "batch turn of that conversation — an orphaned pointer would silently truncate " +
-        "its path"
+    val bT = b.select(
+      col("conv_id"),
+      lit(true).as("__isb"),
+      lit(null).cast(turnT).as("path_id"),
+      lit(-1L).as("pos"),
+      col("turn_id"),
+      col("parent_id"),
+      lit(false).as("train")
     )
-    // ── batch-local structure ─────────────────────────────────────
-    // Parents pointing OUTSIDE the batch attach to the state: null
-    // them for the batch-local walk (treePaths' own gates fire on the
-    // batch), and remember the attachment per batch turn.
-    val bKeys = b.select(col("conv_id"), col("turn_id").as("parent_id"))
-    val bLocal = b
-      .join(bKeys.withColumn("__in_batch", lit(true)), Seq("conv_id", "parent_id"), "left")
-      .select(
-        col("conv_id"),
-        col("turn_id"),
-        when(col("__in_batch"), col("parent_id")).otherwise(lit(null)).as("local_parent"),
-        when(col("__in_batch").isNull && col("parent_id").isNotNull, col("parent_id"))
-          .as("attach")
-      )
-      .localCheckpoint()
-    val localMemb = ConvTree
-      .treePaths(bLocal, "conv_id", "turn_id", "local_parent", maxDepth)
-      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
-      .localCheckpoint()
-    // Per batch path: its subtree root's attachment parent (null for a
-    // brand-new conversation root).
-    val roots = localMemb
-      .filter(col("pos") === 0L)
-      .select(col("conv_id"), col("path_id"), col("turn_id"))
-      .join(bLocal.select(col("conv_id"), col("turn_id"), col("attach")), Seq("conv_id", "turn_id"))
-      .select(col("conv_id"), col("path_id"), col("attach"))
-      .localCheckpoint()
-    // ── attachment anchors + prefixes ─────────────────────────────
-    val attachParents = roots
-      .filter(col("attach").isNotNull)
-      .select(col("conv_id"), col("attach").as("turn_id"))
-      .distinct()
-      .localCheckpoint()
-    val anchor = m
-      .filter(col("train"))
-      .join(broadcast(attachParents), Seq("conv_id", "turn_id"))
-      .select(
-        col("conv_id"),
-        col("turn_id").as("__p"),
-        col("path_id").as("__apath"),
-        col("pos").as("__apos")
-      )
-      .localCheckpoint()
-    val nAttach = attachParents.count()
-    val nAnchor = anchor.count()
-    require(
-      nAnchor == nAttach,
-      s"TreeState.fold: $nAttach attachment parent(s) but only $nAnchor first-visit " +
-        "anchor(s) in the state — the membership table is corrupt (every state turn " +
-        "must carry exactly one train membership); rebuild the state from the turn store"
-    )
-    // Root→parent chains, read off the anchor paths: keyed by the
-    // attachment parent, one row per ancestor (the parent included).
-    val prefix = m
-      .join(
-        broadcast(anchor.select(col("conv_id"), col("__apath").as("path_id"), col("__p"), col("__apos"))),
-        Seq("conv_id", "path_id")
-      )
-      .filter(col("pos") <= col("__apos"))
-      .select(col("conv_id"), col("__p"), col("pos"), col("turn_id"), col("__apos"))
-    // ── new membership rows ───────────────────────────────────────
-    val attachedRoots = roots
-      .filter(col("attach").isNotNull)
-      .join(
-        broadcast(anchor.withColumnRenamed("conv_id", "__aconv")),
-        col("conv_id") === col("__aconv") && col("attach") === col("__p")
-      )
-      .select(col("conv_id"), col("path_id"), col("__p"), col("__apos"))
-      .localCheckpoint()
-    val newPrefix = attachedRoots
-      .select(col("conv_id"), col("path_id"), col("__p"))
-      .join(prefix.drop("__apos"), Seq("conv_id", "__p"))
-      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
-    val newSuffix = localMemb
-      .join(
-        broadcast(attachedRoots.select(col("conv_id"), col("path_id"), col("__apos"))),
-        Seq("conv_id", "path_id")
-      )
-      .select(
-        col("conv_id"),
-        col("path_id"),
-        (col("__apos") + lit(1L) + col("pos")).as("pos"),
-        col("turn_id")
-      )
-    val newRootPaths = localMemb
-      .join(
-        broadcast(roots.filter(col("attach").isNull).select(col("conv_id"), col("path_id"))),
-        Seq("conv_id", "path_id")
-      )
-      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"))
-    val newRows = newPrefix
-      .unionByName(newSuffix)
-      .unionByName(newRootPaths)
-      .localCheckpoint()
-    // ── leaf extensions: replace the extended paths ───────────────
-    // An attachment parent that IS a state leaf (⟺ its id is a state
-    // path_id) stops being a leaf: its path's rows are superseded by
-    // the extension's path under the new leaf id.
-    val extended = attachParents
-      .select(col("conv_id"), col("turn_id").as("path_id"))
-      .join(m.select(col("conv_id"), col("path_id")).distinct(), Seq("conv_id", "path_id"), "left_semi")
-      .localCheckpoint()
-    val kept = m.join(broadcast(extended), Seq("conv_id", "path_id"), "left_anti")
-    val deletedTrainTurns = m
-      .join(broadcast(extended), Seq("conv_id", "path_id"), "left_semi")
-      .filter(col("train"))
-      .select(col("conv_id"), col("turn_id"))
-    // ── first-visit flags ─────────────────────────────────────────
-    // Recompute min(path_id) for exactly the turns whose membership
-    // set changed; everyone else's set — hence minimum — is untouched.
-    val affected = newRows
-      .select(col("conv_id"), col("turn_id"))
-      .unionByName(deletedTrainTurns)
-      .distinct()
-      .localCheckpoint()
-    val all = kept
-      .select(col("conv_id"), col("path_id"), col("pos"), col("turn_id"), col("train"))
-      .unionByName(newRows.withColumn("train", lit(false)))
-    val mins = all
-      .join(broadcast(affected), Seq("conv_id", "turn_id"), "left_semi")
-      .groupBy(col("conv_id"), col("turn_id"))
-      .agg(min(col("path_id")).as("__first"))
-    all
-      .join(broadcast(mins), Seq("conv_id", "turn_id"), "left")
-      .select(
-        col("conv_id"),
-        col("path_id"),
-        col("pos"),
-        col("turn_id"),
-        when(col("__first").isNotNull, col("path_id") === col("__first"))
-          .otherwise(col("train"))
-          .as("train")
-      )
+    val md = maxDepth
+    mT.unionByName(bT)
+      .repartition(partitionKey.getOrElse(col("conv_id")))
+      .sortWithinPartitions(col("conv_id"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        Iterator
+          .continually(())
+          .takeWhile(_ => it.hasNext)
+          .flatMap { _ =>
+            val conv = it.head.get(0)
+            val state = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            val batch = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+            while (it.hasNext && it.head.get(0) == conv) {
+              val r = it.next()
+              if (r.getBoolean(1)) batch += ((r.get(4), r.get(5))) else state += r
+            }
+            if (batch.isEmpty)
+              // untouched conversation in a touched bucket: row-identical
+              state.iterator.map(r =>
+                org.apache.spark.sql.Row(conv, r.get(2), r.getLong(3), r.get(4), r.getBoolean(6)))
+            else {
+              // reconstruct (turn -> parent) from the membership rows
+              val byPath =
+                new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, Any)]]()
+              state.foreach { r =>
+                var prs = byPath.get(r.get(2))
+                if (prs == null) {
+                  prs = scala.collection.mutable.ArrayBuffer.empty[(Long, Any)]
+                  byPath.put(r.get(2), prs)
+                }
+                prs += ((r.getLong(3), r.get(4)))
+              }
+              val parentOf = new java.util.HashMap[Any, Any]()
+              val hasParent = new java.util.HashSet[Any]()
+              byPath.forEach { (path, prs) =>
+                val sorted = prs.sortBy(_._1)
+                var i = 0
+                while (i < sorted.length) {
+                  if (sorted(i)._1 != i.toLong)
+                    throw new IllegalArgumentException(
+                      s"TreeState.fold: conversation $conv path $path has non-contiguous " +
+                        s"positions (expected $i, found ${sorted(i)._1}) — the membership " +
+                        "state is corrupt; rebuild it from the turn store")
+                  val t = sorted(i)._2
+                  val p = if (i == 0) null else sorted(i - 1)._2
+                  if (hasParent.contains(t)) {
+                    if (parentOf.get(t) != p)
+                      throw new IllegalArgumentException(
+                        s"TreeState.fold: conversation $conv turn $t has conflicting parents " +
+                          s"${parentOf.get(t)} and $p across its membership paths — the " +
+                          "membership state is corrupt; rebuild it from the turn store")
+                  } else {
+                    hasParent.add(t)
+                    parentOf.put(t, p)
+                  }
+                  i += 1
+                }
+              }
+              // state/batch key collisions are refused BEFORE the merge
+              // (a replayed batch is handled by _applied_id upstream)
+              batch.foreach { case (t, _) =>
+                if (hasParent.contains(t))
+                  throw new IllegalArgumentException(
+                    s"TreeState.fold: batch turn $t in conversation $conv already exists in " +
+                      "the state — appended batches must carry NEW turns only (an exact " +
+                      "batch replay is handled by the _applied_id marker; a re-edited turn " +
+                      "needs a state rebuild)")
+              }
+              val allTurns = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+              hasParent.forEach(t => allTurns += ((t, parentOf.get(t))))
+              allTurns ++= batch
+              ConvTree.walkConversation(conv, allTurns, md)
+            }
+          }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

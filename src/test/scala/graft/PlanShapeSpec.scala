@@ -945,14 +945,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window:\n$plan")
   }
 
-  test("tree_state fold: state-side probes broadcast the batch-derived key sets; no cartesian, no window") {
-    // The incremental fold's scale contract: the O(state) membership
-    // table is only ever JOINED against batch-sized key sets (anchors,
-    // extended leaves, affected turns) — those sides are broadcast so
-    // the state reads stay map-side — and the batch-local closure runs
-    // over the batch alone (the operator layer interlocks that; here
-    // the composed fold plan must show broadcasts, no cartesian, no
-    // window of any kind).
+  test("tree_state fold: one conv-keyed exchange, ZERO joins, no cartesian, no window") {
+    // The incremental fold's scale contract after the walk-refold
+    // rewrite: the touched buckets' state rows and the batch rows
+    // tag-union and cross exactly ONE hash exchange on the
+    // conversation key (the same exchange the bucket-partitioned
+    // write needs), then everything happens inside the task — no join
+    // of any kind, no window, no cartesian, and no second exchange.
     import spark.implicits._
     val m = graft.operators.ConvTree.treePaths(
       Seq((1L, 0L, Option.empty[Long]), (1L, 1L, Some(0L)), (1L, 2L, Some(1L)))
@@ -963,8 +962,10 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("conv_id", "turn_id", "parent_id")
     val df = graft.operators.TreeState.foldInto(m, b, 100)
     val plan = planOf(df)
-    assert(plan.contains("BroadcastHashJoin"), s"batch-derived key sets must broadcast:\n$plan")
+    assert(!plan.contains("Join"), s"the walk-refold plans no join of any kind:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     assert(!plan.contains("Window ["), s"no window:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"exactly one conv-keyed exchange, found $exchanges:\n$plan")
   }
 }

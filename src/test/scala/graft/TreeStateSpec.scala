@@ -259,6 +259,82 @@ class TreeStateSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("reshard / report / memberships heal a crashed fold's stranded bucket first") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-heal").toString
+    try {
+      val state = s"$root/tree"
+      val b0 = (0L until 6L).flatMap(c => Seq((c, 0L, Option.empty[Long]), (c, 1L, Option(0L))))
+      TreeState.fold(spark, turnsDf(b0), "conv_id", "turn_id", "parent_id", state,
+        Some(0L), 10000, 4)
+      val want = rowsOf(TreeState.memberships(spark, state))
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val allBuckets = TreeState.report(spark, state).map(_._1).toSet
+      def strandOneBucket(): Unit = {
+        val seg = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv=")).head.getPath
+        val oldRoot = new org.apache.hadoop.fs.Path(s"$state.__fold_old")
+        fs.mkdirs(oldRoot)
+        fs.rename(seg, new org.apache.hadoop.fs.Path(oldRoot, seg.getName))
+      }
+      // memberships() heals: a reader after a crashed fold must not
+      // silently omit the stranded bucket's rows
+      strandOneBucket()
+      assert(rowsOf(TreeState.memberships(spark, state)) == want)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state.__fold_old")))
+      // report() heals: sizing must cover every bucket
+      strandOneBucket()
+      assert(TreeState.report(spark, state).map(_._1).toSet == allBuckets)
+      // reshard() heals BEFORE re-hashing: without it the re-bucketed
+      // state would persist the stranded bucket's loss, and the next
+      // fold's healing would rename the stale backup into the re-hashed
+      // root, corrupting bucket pruning
+      strandOneBucket()
+      TreeState.reshard(spark, state, 2)
+      assert(rowsOf(TreeState.memberships(spark, state)) == want)
+      assert(TreeState.report(spark, state).map(_._1).toSet == Set(0, 1))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("empty first batch: typed empty state, no wedge on retry, later folds proceed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-empty").toString
+    try {
+      val state = s"$root/tree"
+      val empty = turnsDf(Seq.empty)
+      // first drain is empty: the root lands with its markers but no
+      // cv= dirs — memberships must be a TYPED empty table, not a
+      // parquet schema-inference failure
+      val m0 = TreeState.fold(spark, empty, "conv_id", "turn_id", "parent_id", state, Some(0L))
+      assert(m0.collect().isEmpty)
+      assert(m0.columns.toSeq == Seq("conv_id", "path_id", "pos", "turn_id", "train"))
+      // an at-least-once RETRY of the applied empty batch (the wedge
+      // case: the short-circuit used to re-read a data-less root)
+      assert(TreeState.fold(
+        spark, empty, "conv_id", "turn_id", "parent_id", state, Some(0L)).collect().isEmpty)
+      assert(TreeState.memberships(spark, state).collect().isEmpty)
+      assert(TreeState.report(spark, state).isEmpty)
+      // a reshard of the data-less state just re-pins the bucket count
+      TreeState.reshard(spark, state, 2)
+      // and real folds proceed against the (re-pinned) empty state
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None), (1L, 1L, Option(0L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(1L))
+      assert(rowsOf(TreeState.memberships(spark, state)) ==
+        rowsOf(ConvTree.treePaths(turnsDf(Seq((1L, 0L, None), (1L, 1L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a completely empty root dir (crash before the pin write) folds as a fresh state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-bare").toString
+    try {
+      val state = s"$root/tree"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(state))
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      assert(rowsOf(TreeState.memberships(spark, state)) == Set((1L, 0L, 0L, 0L, true)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("legacy unsegmented state layout is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-legacy").toString
     try {
