@@ -203,7 +203,9 @@ object SparkEntry {
     "q181_dpo_length_bias" -> (PreferenceQueries.q181DpoLengthBias _),
     "q182_dpo_eval_decontam" -> (PreferenceQueries.q182DpoEvalDecontam _),
     "q183_dpo_length_batches" -> (PreferenceQueries.q183DpoLengthBatches _),
-    "q184_dpo_batch_padding" -> (PreferenceQueries.q184DpoBatchPadding _)
+    "q184_dpo_batch_padding" -> (PreferenceQueries.q184DpoBatchPadding _),
+    "q185_state_served_pairs" -> (PreferenceQueries.q185StateServedPairs _),
+    "q186_state_served_render" -> (PreferenceQueries.q186StateServedRender _)
   )
 
   /** Declared queries whose bench number times a DURABLE-STATE
@@ -215,9 +217,14 @@ object SparkEntry {
     * Bench publishes the plain/composition split so the perf gate can
     * be read without re-deriving this taxonomy from COVERAGE.md's NB
     * notes. Mechanical membership rule: the query's implementation
-    * materializes scratch durable state (`createTempDirectory`) or
+    * materializes scratch durable state (`createTempDirectory`),
     * invokes `Bpe.learn`/`learnMerges` (directly or via its q11x
-    * helper).
+    * helper), OR re-executes a full multi-operator fixture CHAIN per
+    * rep as its input (chain-recomputation rows: q182 re-runs the
+    * whole q178 walk+render chain before its own purge — it trains
+    * nothing and persists nothing, but its bench row prices the chain,
+    * not a plain operator, so counting it "plain" would overstate
+    * plain-operator cost).
     */
   val compositionQueries: Set[String] = Set(
     "q89_incremental_distinct",
@@ -242,14 +249,29 @@ object SparkEntry {
     "q179_tree_state",
     "q180_dpo_token_coords",
     "q181_dpo_length_bias",
+    "q182_dpo_eval_decontam",
     "q183_dpo_length_batches",
-    "q184_dpo_batch_padding"
+    "q184_dpo_batch_padding",
+    "q185_state_served_pairs",
+    "q186_state_served_render"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ {
+    // Serving from state ≡ serving from scratch: the state-served
+    // rows' oracles ARE the from-scratch walks over the full store —
+    // q185 must hash-equal q178's triples and q186 must hash-equal
+    // q174's render, with the Spark side reading a 3-fold TreeState
+    // instead of re-walking.
+    Map(
+      "q185_state_served_pairs" -> "q178_branch_pairs_rendered",
+      "q186_state_served_render" -> "q174_tree_render"
+    ).map { case (k, src) => k -> oracleSqlBase(src) }
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -2183,12 +2183,14 @@ object PipelineRunner {
           case None => pairs0
         }
         val n = Pipeline.writeCounted(pairs, out)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$out/_pref.json"),
-          (s"""{"responses": $nResp, "dup_dropped": $nDupDropped, """ +
+        writeManifest(
+          spark,
+          out,
+          "_pref.json",
+          s"""{"responses": $nResp, "dup_dropped": $nDupDropped, """ +
             s""""disputed_dropped": $nDisputed, """ +
             s""""pairs_built": $nPairs0, "pairs_kept": $n, """ +
-            s""""score_col": "$pairScoreCol"}""").getBytes("UTF-8")
+            s""""score_col": "$pairScoreCol"}"""
         )
         println(
           s"[maintenance] pref pairs: $nResp responses ($nDupDropped duplicate, " +

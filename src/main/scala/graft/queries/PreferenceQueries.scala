@@ -551,42 +551,18 @@ object PreferenceQueries {
     * memberships read back from parquet.
     */
   def q179TreeState(spark: SparkSession, dir: String): DataFrame = {
-    val t = docs(spark, dir).select(
-      expr("doc_id div 20").as("conv_id"),
-      col("doc_id").as("turn_id"),
-      expr(
-        "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
-          "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
-      ).as("parent_id")
-    )
-    val root = java.nio.file.Files.createTempDirectory("graft-q179")
-    val rows =
-      try {
-        val state = root.resolve("tree").toString
-        Seq((0, 10), (10, 15), (15, 20)).zipWithIndex.foreach { case ((lo, hi), i) =>
-          graft.operators.TreeState.fold(
-            spark,
-            t.filter(col("turn_id") % 20 >= lo && col("turn_id") % 20 < hi),
-            "conv_id",
-            "turn_id",
-            "parent_id",
-            state,
-            Some(i.toLong),
-            // bucket count sized to the fixture's ~25 conversations —
-            // the span family's sizing discipline (pinned at creation;
-            // a campaign store picks hundreds)
-            buckets = 8
-          )
-        }
-        // Demo-query materialization (bounded: O(Σ path length) small
-        // rows) — results must outlive the scratch state's cleanup;
-        // the OPERATOR returns DataFrames and never collects.
-        graft.operators.TreeState
-          .memberships(spark, state)
-          .collect()
-          .toIndexedSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    // Demo-query materialization (bounded: O(Σ path length) small
+    // rows) — results must outlive the scratch state's cleanup; the
+    // OPERATOR returns DataFrames and never collects. Bucket count is
+    // sized to the fixture's ~25 conversations inside withFoldedState
+    // (the span family's sizing discipline; a campaign store picks
+    // hundreds).
+    val rows = withFoldedState(spark, dir) { memb =>
+      memb
+        .collect()
+        .toIndexedSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    }
     import spark.implicits._
     rows.toDF("conv_id", "path_id", "pos", "turn_id", "train")
   }
@@ -702,6 +678,99 @@ object PreferenceQueries {
     */
   def q184DpoBatchPadding(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.batchPadStats(q183DpoLengthBatches(spark, dir), "total_toks")
+
+  /** The q178 fixture's full turn store (structure + role/content/
+    * score) and its 3-append batch split — shared by the state-served
+    * arms (q185/q186): fold the structure into a scratch [[TreeState]]
+    * in three waves, then SERVE the render from the persisted
+    * memberships instead of re-walking the store.
+    */
+  private def turnStore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      expr("doc_id div 20").as("conv_id"),
+      col("doc_id").as("turn_id"),
+      expr(
+        "CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN doc_id % 5 = 4 THEN doc_id - 3 ELSE doc_id - 1 END"
+      ).as("parent_id"),
+      expr("CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"),
+      col("text").as("content"),
+      (h28(concat(lit("rw_"), col("doc_id").cast("string"))) % 1000).as("score")
+    )
+
+  /** Run `f` against a scratch 3-fold [[graft.operators.TreeState]]
+    * over the q178 fixture store (every wave carrying leaf extensions,
+    * in-batch chains, and forks onto earlier waves), handing it the
+    * state-served membership table; the state dir is torn down after
+    * `f` materializes its result.
+    */
+  private def withFoldedState[T](spark: SparkSession, dir: String)(
+      f: DataFrame => T): T = {
+    val t = turnStore(spark, dir).select(col("conv_id"), col("turn_id"), col("parent_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-q")
+    try {
+      val state = root.resolve("tree").toString
+      Seq((0, 10), (10, 15), (15, 20)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        graft.operators.TreeState.fold(
+          spark,
+          t.filter(col("turn_id") % 20 >= lo && col("turn_id") % 20 < hi),
+          "conv_id", "turn_id", "parent_id", state, Some(i.toLong), buckets = 8)
+      }
+      f(graft.operators.TreeState.memberships(spark, state))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  /** STATE-SERVED rendered branch pairs
+    * ([[graft.operators.ConvTree.branchPairsRenderedFrom]] over a
+    * 3-fold [[graft.operators.TreeState]]): the production DPO serving
+    * shape — the turn store folds into the durable membership state
+    * per drain, and every render reads the state instead of re-walking
+    * the store. q179 proves the STATE equals the from-scratch walk;
+    * this row proves a RENDER SERVED FROM IT equals the from-scratch
+    * q178 triples — so the oracle IS q178's recursive ancestor walk
+    * over the full store ("serving from state ≡ serving from scratch"
+    * as a hash-green row). Like q179, the query exercises the durable
+    * path: scratch state dir, 3 folds, memberships read back from
+    * parquet, one anchored prefix read + keyed content joins to
+    * render.
+    */
+  def q185StateServedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val rows = withFoldedState(spark, dir) { memb =>
+      graft.operators.ConvTree
+        .branchPairsRenderedFrom(
+          memb, turnStore(spark, dir),
+          "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant")
+        .collect()
+        .toIndexedSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getString(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    }
+    import spark.implicits._
+    rows.toDF("conv_id", "parent_id", "prompt", "chosen_id", "rejected_id",
+      "chosen", "rejected", "chosen_score", "rejected_score", "margin")
+  }
+
+  /** STATE-SERVED tree render
+    * ([[graft.operators.ConvTree.renderPathsFrom]] over a 3-fold
+    * [[graft.operators.TreeState]]): the SFT serving twin of q185 —
+    * per-(path, turn) render rows with the effective role, read from
+    * the persisted membership state instead of re-walking the store.
+    * The oracle IS q174's recursive walk over the full store.
+    */
+  def q186StateServedRender(spark: SparkSession, dir: String): DataFrame = {
+    val rows = withFoldedState(spark, dir) { memb =>
+      graft.operators.ConvTree
+        .renderPathsFrom(
+          memb, turnStore(spark, dir),
+          "conv_id", "turn_id", "role", "content", "assistant")
+        .collect()
+        .toIndexedSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5), r.getBoolean(6), r.getString(7)))
+    }
+    import spark.implicits._
+    rows.toDF("conv_id", "path_id", "pos", "turn_id", "role", "content", "train", "eff_role")
+  }
 
   /** KTO binary-feedback unroll
     * ([[graft.operators.Preference.unrollPairs]]): the q147 pairs

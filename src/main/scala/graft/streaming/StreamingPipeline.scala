@@ -544,15 +544,22 @@ object StreamingPipeline {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(turnSchema)
+      // ENFORCE the documented file-=-batch contract: one arriving
+      // turn file = one micro-batch = one fold with its own applied
+      // id. Without the cap, AvailableNow packs a multi-file backlog
+      // into however many micro-batches the rate planner picks — the
+      // batch=file mapping (and the per-file causal-order contract)
+      // held only by luck of file sizes.
+      .option("maxFilesPerTrigger", 1)
       .json(rawDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // pin the micro-batch ONCE: the fold issues a dozen actions
-        // (gates, closure rounds, stitches) and each would otherwise
-        // re-plan and re-read the streaming file source — measured
-        // 63 s/wave at a 6.5k-row wave before the pin, 3-4 s after
+        // pin the micro-batch ONCE: the fold issues several actions
+        // (gates, the conv-partitioned walk, stitches) and each would
+        // otherwise re-plan and re-read the streaming file source —
+        // measured 63 s/wave at a 6.5k-row wave before the pin
         graft.operators.TreeState.fold(
           spark, batch.localCheckpoint(), "conv_id", "turn_id", "parent_id",
           statePath, Some(batchId), maxDepth)

@@ -864,11 +864,50 @@ object CurateStress {
         s"landed token coordinates diverge from the library under the frozen model: $want vs ${redo(r.getString(0))}"
       )
     }
+    // STATE-SERVED variant (the full r12→r13 arc, end-to-end at store
+    // scale): fold the store's STRUCTURE into the segmented TreeState
+    // in the 3 causal waves the turns_stream arm drains, then run the
+    // SAME all-arms release with `--paths_state` — the prompt renders
+    // read the persisted memberships instead of re-walking the store.
+    // The landing must be row-identical to the from-scratch release.
+    val (_, tFold) = StressUtil.timed {
+      Seq((0, 10), (10, 15), (15, 20)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        graft.operators.TreeState.fold(
+          spark,
+          spark.read.parquet(s"$root/turns")
+            .filter(col("turn_id") >= lo && col("turn_id") < hi)
+            .select(col("conv_id"), col("turn_id"), col("parent_id")),
+          "conv_id", "turn_id", "parent_id", s"$root/tree", Some(i.toLong), 10000, 256)
+      }
+    }
+    val (_, tRel2) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(
+        Array(
+          "--maintenance", "dpo_release", "--turns", s"$root/turns",
+          "--out", s"$root/rel2", "--shards", "16",
+          "--bpe_model", s"$root/model", "--length_batches", "64",
+          "--bad", s"$root/bad", "--eval", s"$root/eval",
+          "--paths_state", s"$root/tree"
+        ),
+        spark
+      )
+    }
+    val landed2 = spark.read.parquet(s"$root/rel2/shards")
+    val keyCols = Seq("conv_id", "parent_id", "prompt", "chosen", "rejected",
+      "prompt_toks", "chosen_toks", "rejected_toks").map(col)
+    require(
+      landed2.count() == nLanded &&
+        landed.select(keyCols: _*).exceptAll(landed2.select(keyCols: _*)).isEmpty &&
+        landed2.select(keyCols: _*).exceptAll(landed.select(keyCols: _*)).isEmpty,
+      "state-served release diverges from the from-scratch release"
+    )
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     println(
       f"dpo_full: $nTurns%d turns ($nConvs%d convs) -> ${2 * nConvs}%d triples, " +
         f"$nBad%d bad-purged + $nEval%d eval-purged, $nLanded%d landed with model-token " +
-        f"coordinates + verified in $tRel%.1f s end-to-end"
+        f"coordinates + verified in $tRel%.1f s end-to-end from scratch; state-served " +
+        f"arc: 3 structure folds $tFold%.1f s + all-arms release $tRel2%.1f s, " +
+        f"landing row-identical"
     )
   }
 

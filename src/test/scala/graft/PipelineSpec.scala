@@ -568,5 +568,14 @@ class PipelineSpec extends AnyFunSuite {
       "--eval", s"$base/eval", "--out", s"file:$base/rel",
       "--budget", "64", "--shards", "2", "--export_shards", "2"), spark)
     assert(manifest(s"$base/rel/_release.json").contains(""""landed_packs""""))
+    // pref_pairs: the _pref.json audit sidecar goes through the same
+    // Hadoop-FS route as the three capstones (the last java.nio data-
+    // root write in the pipeline)
+    Seq((10L, 1L, 90L), (10L, 2L, 20L)).toDF("prompt_id", "doc_id", "score")
+      .write.parquet(s"$base/resp")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "pref_pairs", "--responses", s"$base/resp",
+      "--out", s"file:$base/pref"), spark)
+    assert(manifest(s"$base/pref/_pref.json").contains(""""pairs_kept": 1"""))
   }
 }

@@ -1633,6 +1633,25 @@ class StreamingSpec extends AnyFunSuite {
     val before = state()
     drain()
     assert(state() == before, "drained restart adds nothing")
+    // TWO files landing in ONE drain: the file-=-batch contract is
+    // ENFORCED (maxFilesPerTrigger=1), so each file folds as its own
+    // micro-batch with its own applied id — the root _applied_id must
+    // advance by TWO, not one, and the state must equal the walk
+    def appliedId() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/tree/_applied_id")), "UTF-8").trim.toLong
+    val idBefore = appliedId()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f3.json"),
+      """{"conv_id":3,"turn_id":0,"parent_id":null}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f4.json"),
+      """{"conv_id":4,"turn_id":0,"parent_id":null}""")
+    drain()
+    assert(appliedId() == idBefore + 2L,
+      s"two files in one drain must fold as two micro-batches (applied id " +
+        s"$idBefore -> ${appliedId()}, expected ${idBefore + 2L})")
+    val all2 = all ++ Seq((3L, 0L, Option.empty[Long]), (4L, 0L, Option.empty[Long]))
+    assert(state() == replay(all2), "per-file folds must equal the walk")
     // the state SERVES the render verbs without re-running the closure
     all.map { case (c, t, p) =>
       (c, t, p.map(java.lang.Long.valueOf).orNull,
