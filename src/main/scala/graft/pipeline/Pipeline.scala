@@ -1769,6 +1769,12 @@ object PipelineRunner {
         val treeMode = opts.contains("parent_col")
         val (chainTurnsPath, chainConv, chainTurn, chainRole, chainContent, chainTurns) =
           if (treeMode) {
+            // release the walk's scratch pins once path_turns is on
+            // parquet — localCheckpoint blocks are not evictable and
+            // would squeeze execution memory for the rest of the chain
+            // (the dpo_release decontam lesson); pre-existing pins (a
+            // caller's memo) survive
+            val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
             timedStage("sft_release", "tree_render") { run(
               Array("--maintenance", "tree_render", "--turns", turnsPath,
                 "--out", s"$root/path_turns", "--conv_col", convCol,
@@ -1781,6 +1787,10 @@ object PipelineRunner {
                 opts.get("paths_state").toSeq.flatMap(s => Seq("--paths_state", s)),
               spark
             ) }
+            spark.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => pinsBefore.contains(id) }
+              .values
+              .foreach(_.unpersist(blocking = false))
             (s"$root/path_turns", "doc_id", "turn_key", "role", "content",
               spark.read.parquet(s"$root/path_turns"))
           } else (turnsPath, convCol, turnCol, roleCol, contentCol, turns)
@@ -2625,12 +2635,42 @@ object PipelineRunner {
           "conv_col", "turn_col", "parent_col", "role_col",
           "content_col", "score_col", "resp_role", "max_depth", "paths_state"
         ).flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
+        // The render stage pins scratch tables (the tree walk's
+        // membership pin, batch pins) that are DEAD once the triples
+        // land on parquet — but localCheckpoint blocks are not
+        // evictable, so left in place they squeeze execution memory
+        // for the rest of the release (measured: the decontam pass ran
+        // 58-134 s under the stranded pins vs ~7 s without, at the
+        // 200k-triple store-scale soak). Release exactly the pins this
+        // stage created; pre-existing pins (a caller's memo) survive.
+        val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
         timedStage("dpo_release", "branch_pairs") { run(
           Array("--maintenance", "branch_pairs", "--turns", turnsPath,
             "--out", s"$root/triples", "--render", "true") ++ passThrough,
           spark
         ) }
-        val triples = spark.read.parquet(s"$root/triples")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => pinsBefore.contains(id) }
+          .values
+          .foreach(_.unpersist(blocking = false))
+        // Downstream stages run CPU-heavy per-row work over the triples
+        // (model-token metering, per-member shingle explodes — and
+        // purgeAnyOf evaluates its input once per member leg), all of
+        // it SCAN-side: when the landed triples collapsed to a couple
+        // of files (AQE coalescing a small landing), the whole
+        // decontam pass runs near-serial. Repartition ONLY when the
+        // scan yields fewer splits than the configured parallelism —
+        // on a real multi-split landing the gate is false and no
+        // shuffle is inserted (the standing small-local-files
+        // discipline; measured 58-134 s -> ~7 s on the 200k-triple
+        // store-scale soak).
+        val tripleScan = spark.read.parquet(s"$root/triples")
+        val tripleSplits = tripleScan.rdd.getNumPartitions
+        println(s"[dpo_release] triples scan: $tripleSplits split(s)")
+        val triples =
+          if (tripleSplits < spark.sparkContext.defaultParallelism)
+            tripleScan.repartition(spark.sparkContext.defaultParallelism)
+          else tripleScan
         val nPairs = triples.count()
         // MODEL-token coordinates (--bpe_model): the frozen merge
         // table meters prompt/chosen/rejected in the tokenizer space
