@@ -306,6 +306,13 @@ object Pipeline {
   ): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
+    // The pins created below (settled, gated, the member operators')
+    // are DEAD once this batch's output lands — but localCheckpoint
+    // blocks are not evictable, so across a multi-batch ingest loop
+    // they strand and squeeze execution memory for every later batch
+    // (the dpo_release decontam lesson). Released at exit; a caller's
+    // pre-existing pins survive.
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
     // Settle the raw batch ONCE: the count, the span probe's shingles,
     // the gate's bigrams, and the survivor join would otherwise each
     // re-evaluate the source — inside a foreachBatch that is four
@@ -340,6 +347,10 @@ object Pipeline {
       .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
     val accepted = graft.streaming.StreamingPipeline
       .dedupIngestBatch(spark, docsOut, outDir, dedupIndexPath, batchId)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => pinsBefore.contains(id) }
+      .values
+      .foreach(_.unpersist(blocking = false))
     (nIn, accepted)
   }
 }
