@@ -340,6 +340,41 @@ class ConvTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bpe_model"), e.getMessage)
   }
 
+  test("string ids: the walk keys and orders generically; first visit is UTF-8-min leaf") {
+    // the operator is type-generic, and the walk compares leaf ids in
+    // SQL order: numeric for numbers, UTF-8 code-point order for
+    // strings — NOT Java's UTF-16 compareTo. The fixture's two leaves
+    // make the orders disagree: U+FF21 FULLWIDTH A (one UTF-16 unit,
+    // 0xFF21) vs U+1F600 (surrogate pair 0xD83D 0xDE00). UTF-16 unit
+    // order puts the surrogate FIRST (0xD83D < 0xFF21); code-point
+    // order puts the fullwidth A first (0xFF21 < 0x1F600). The
+    // first-visit leaf must be the CODE-POINT minimum — what Spark
+    // SQL's own string min computes.
+    val lo = "Ａ" // U+FF21, code point 0xFF21
+    val hi = "😀" // U+1F600, code point 0x1F600
+    assert(lo.compareTo(hi) > 0, "fixture must make UTF-16 and code-point order disagree")
+    val turns = Seq(
+      ("c1", "a", null.asInstanceOf[String]),
+      ("c1", "b", "a"),
+      ("c1", lo, "b"),
+      ("c1", hi, "b")
+    ).toDF("conv_id", "turn_id", "parent_id")
+    val got = ConvTree
+      .treePaths(turns, "conv_id", "turn_id", "parent_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      ("c1", lo, 0L, "a", true), ("c1", lo, 1L, "b", true), ("c1", lo, 2L, lo, true),
+      ("c1", hi, 0L, "a", false), ("c1", hi, 1L, "b", false), ("c1", hi, 2L, hi, true)
+    ))
+    // cross-check the first-visit minimum against Spark SQL's own min
+    import org.apache.spark.sql.functions.min
+    val sqlMin = turns.filter("turn_id IN ('Ａ', '😀')")
+      .agg(min("turn_id")).head().getString(0)
+    assert(sqlMin == lo)
+  }
+
   test("integrity gates: orphaned parent and cycles fail loudly") {
     val orphan = turnsDf((1L, 0L, None), (1L, 1L, Some(99L)))
     val e1 = intercept[IllegalArgumentException](
