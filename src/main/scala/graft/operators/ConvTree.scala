@@ -25,19 +25,18 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   * [[Preference.roleMaskIntervals]] (rendered per path, the `train`
   * flag AND the role filter) to get token-space loss masks.
   *
-  * KEYING: every join — leaf anti-join, ancestor closure, first-visit
-  * min — is keyed by `(conv, turn)`, so turn ids only need to be
-  * unique WITHIN their conversation. The most common turn-store shape
-  * numbers turns 0..n per conversation; a bare-turn-id closure would
-  * silently splice every conversation's turn 1 onto every
-  * conversation's turn 0 while all integrity gates pass. Parent
-  * pointers must resolve within the SAME conversation (a cross-
-  * conversation parent is refused as an orphan), and a duplicated
-  * `(conv, turn)` row is refused up front — it would silently fan
-  * out every closure join.
+  * KEYING: the walk groups by the conv key and resolves parents only
+  * within the group, so turn ids only need to be unique WITHIN their
+  * conversation. The most common turn-store shape numbers turns 0..n
+  * per conversation; a bare-turn-id walk would silently splice every
+  * conversation's turn 1 onto every conversation's turn 0 while all
+  * integrity gates pass. Parent pointers must resolve within the SAME
+  * conversation (a cross-conversation parent is refused as an
+  * orphan), and a duplicated `(conv, turn)` row is refused up front —
+  * it would silently corrupt the parent map.
   *
-  * Scale shape: every fold effect is CONVERSATION-LOCAL (the closure
-  * never crosses conversations), so the whole flatten is ONE hash
+  * Scale shape: every effect is CONVERSATION-LOCAL (paths never cross
+  * conversations), so the whole flatten is ONE hash
   * exchange on the conv key followed by a linear per-conversation
   * walk inside the task — no cluster barrier rounds at all. (The
   * previous form built the ancestor closure by pointer-doubling
@@ -276,7 +275,7 @@ object ConvTree {
     * path, the prefix rows `pos ≤ parent pos` on that path ARE the
     * ancestor chain, and one (conv, parent)-keyed ordered agg joins
     * their contents — everything keyed, bounded by pairs × depth,
-    * no self-join beyond the closure treePaths already builds.
+    * riding the walked membership table treePaths already pins.
     */
   def branchPairsRendered(
       turns: DataFrame,
@@ -297,7 +296,7 @@ object ConvTree {
     * [[treePaths]]' output shape) — the serving arm for a durable
     * [[TreeState]]: a campaign-scale turn store folds batches into the
     * membership state once and renders DPO triples per drain WITHOUT
-    * re-running the pointer-doubling closure over the full store.
+    * re-walking the full store.
     * `memb` must cover `turns` (same store, state folded up to date) —
     * a parent missing its first-visit anchor drops its pairs, exactly
     * as a stale state should be caught by the state's own gates.
@@ -411,7 +410,7 @@ object ConvTree {
     * [[treePaths]]' output shape) — the serving arm for a durable
     * [[TreeState]], same contract as [[branchPairsRenderedFrom]]: the
     * state folds once per appended batch, and every render reads the
-    * membership table instead of re-running the closure.
+    * membership table instead of re-walking the store.
     */
   def renderPathsFrom(
       memb: DataFrame,
