@@ -6,8 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
-    // Optional 3rd arg: comma-separated query-name filter (local iteration).
-    val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
+    // Optional 3rd arg: comma-separated query-name filter (local
+    // iteration). Unknown names fail loudly — a typo would otherwise
+    // silently dump nothing (the Bench filter discipline).
+    val only: Option[Set[String]] = rest.headOption.map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"filter names unknown queries: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,13 +28,22 @@ object Verify {
     // posture. Results must be hash-identical to the default
     // localCheckpoint-memo path (proved per-round by running the driver
     // compare in both modes).
-    sys.env.get("SPARK_GRAFT_FEATURES_DIR").foreach { fdir =>
+    val featuresDir = sys.env.get("SPARK_GRAFT_FEATURES_DIR")
+    featuresDir.foreach { fdir =>
       queries.TextQueries.materializeFeatures(spark, sfDir, fdir)
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Per-query pin eviction (Bench's evictMemo policy): operators
+      // pin intermediates with localCheckpoint, which is not evictable
+      // — across a 186-query dump the pins would otherwise accumulate
+      // until late queries run memory-starved. In durable-feature mode
+      // the memo re-points at the parquet tables afterwards.
+      queries.TextQueries.clearFeatureMemo()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      featuresDir.foreach(fdir => queries.TextQueries.pointFeaturesAt(spark, sfDir, fdir))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

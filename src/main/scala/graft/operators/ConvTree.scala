@@ -239,7 +239,12 @@ object ConvTree {
   /** Run `action`; if it fails because a task-side integrity gate
     * threw (the walk's loud refusals surface wrapped in a
     * SparkException), rethrow the root IllegalArgumentException so
-    * callers keep the documented loud-gate contract.
+    * callers keep the documented loud-gate contract. Only OUR gate
+    * messages unwrap (the `treePaths:` / `TreeState.fold:` prefixes) —
+    * a foreign IllegalArgumentException nested under an infrastructure
+    * failure (codec, commit protocol) must NOT be rebranded as a
+    * data-integrity refusal, or retry-on-infrastructure logic keyed on
+    * exception type would retry nothing.
     */
   private[operators] def unwrapGateFailure[T](action: => T): T =
     try action
@@ -248,7 +253,10 @@ object ConvTree {
         var c: Throwable = e
         while (c != null) {
           c match {
-            case iae: IllegalArgumentException =>
+            case iae: IllegalArgumentException
+                if iae.getMessage != null &&
+                  (iae.getMessage.startsWith("treePaths:") ||
+                    iae.getMessage.startsWith("TreeState.fold:")) =>
               throw new IllegalArgumentException(iae.getMessage, e)
             case _ => c = c.getCause
           }

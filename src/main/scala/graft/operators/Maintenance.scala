@@ -881,6 +881,37 @@ object Maintenance {
         .map(_.getPath)
         .toSeq
 
+  /** Run `body`, then release every RDD pin created on this session
+    * during it — the scratch-pin ownership boundary for single-flight
+    * chains. Operators pin intermediates with `localCheckpoint`
+    * (settled batches, walked memberships, span extents); the pins are
+    * DEAD once the enclosing stage's output is durable, but
+    * localCheckpoint blocks are NOT evictable, so left in place across
+    * a multi-stage verb or a multi-batch ingest loop they accumulate
+    * and squeeze execution memory for everything after (measured:
+    * 58-134 s vs ~7 s on the dpo_release decontam at the 200k-triple
+    * soak). Pins that existed BEFORE the body (a caller's memo, an
+    * outer scope's pins) always survive.
+    *
+    * CONTRACT: the session must not be running OTHER pin-creating
+    * graft jobs concurrently with `body` — a concurrent pinner's
+    * blocks created inside the window would be released with ours,
+    * and a released localCheckpoint cannot be recomputed. Every
+    * caller here is a single-flight boundary by construction (a CLI
+    * verb stage, a foreachBatch body); do not wrap code that races
+    * other queries on the same session.
+    */
+  private[graft] def releasingScratchPins[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values
+        .foreach(_.unpersist(blocking = false))
+  }
+
   private[graft] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8"))

@@ -307,51 +307,46 @@ object Pipeline {
     import org.apache.spark.sql.functions._
     require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
     // The pins created below (settled, gated, the member operators')
-    // are DEAD once this batch's output lands — but localCheckpoint
-    // blocks are not evictable, so across a multi-batch ingest loop
-    // they strand and squeeze execution memory for every later batch
-    // (the dpo_release decontam lesson). Released at exit; a caller's
-    // pre-existing pins survive.
-    val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
-    // Settle the raw batch ONCE: the count, the span probe's shingles,
-    // the gate's bigrams, and the survivor join would otherwise each
-    // re-evaluate the source — inside a foreachBatch that is four
-    // re-reads of the micro-batch's files per batch.
-    val settled = batch.localCheckpoint()
-    val nIn = settled.count()
-    // Span extents come from the RAW batch, before the gate — matching
-    // the batch rule, where q104's extents see the whole corpus: a doc
-    // the quality gate rejects still proves its spans are boilerplate,
-    // both for this batch's cleaning and (via the state fold) for
-    // every future batch.
-    val ext = graft.operators.Maintenance
-      .incrementalDupSpans(
-        spark, settled, "doc_id", "text", spanStatePath, Some(batchId),
-        stateBuckets = spanStateBuckets
-      )
-    val keep = graft.operators.QualityModel
-      .gate(spark, settled, "doc_id", "text", modelPath)
-      .filter(col("keep_doc"))
-      .select(col("doc_id"))
-    // Also settled: the gate's dict joins would otherwise re-run for
-    // each of its two consumers (clean, output join).
-    val gated = settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
-    val cleaned = graft.operators.Dedup
-      .spanClean(gated, "doc_id", "text", ext)
-      .filter(
-        length(trim(col("clean_text"))) > 0 &&
-          size(split(trim(col("clean_text")), "\\s+")) >= minKeepTokens
-      )
-    val docsOut = gated
-      .drop("text")
-      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
-    val accepted = graft.streaming.StreamingPipeline
-      .dedupIngestBatch(spark, docsOut, outDir, dedupIndexPath, batchId)
-    spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => pinsBefore.contains(id) }
-      .values
-      .foreach(_.unpersist(blocking = false))
-    (nIn, accepted)
+    // are DEAD once this batch's output lands — released at exit via
+    // the single-flight scratch-pin boundary
+    // ([[graft.operators.Maintenance.releasingScratchPins]]).
+    graft.operators.Maintenance.releasingScratchPins(spark) {
+      // Settle the raw batch ONCE: the count, the span probe's shingles,
+      // the gate's bigrams, and the survivor join would otherwise each
+      // re-evaluate the source — inside a foreachBatch that is four
+      // re-reads of the micro-batch's files per batch.
+      val settled = batch.localCheckpoint()
+      val nIn = settled.count()
+      // Span extents come from the RAW batch, before the gate — matching
+      // the batch rule, where q104's extents see the whole corpus: a doc
+      // the quality gate rejects still proves its spans are boilerplate,
+      // both for this batch's cleaning and (via the state fold) for
+      // every future batch.
+      val ext = graft.operators.Maintenance
+        .incrementalDupSpans(
+          spark, settled, "doc_id", "text", spanStatePath, Some(batchId),
+          stateBuckets = spanStateBuckets
+        )
+      val keep = graft.operators.QualityModel
+        .gate(spark, settled, "doc_id", "text", modelPath)
+        .filter(col("keep_doc"))
+        .select(col("doc_id"))
+      // Also settled: the gate's dict joins would otherwise re-run for
+      // each of its two consumers (clean, output join).
+      val gated = settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val cleaned = graft.operators.Dedup
+        .spanClean(gated, "doc_id", "text", ext)
+        .filter(
+          length(trim(col("clean_text"))) > 0 &&
+            size(split(trim(col("clean_text")), "\\s+")) >= minKeepTokens
+        )
+      val docsOut = gated
+        .drop("text")
+        .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      val accepted = graft.streaming.StreamingPipeline
+        .dedupIngestBatch(spark, docsOut, outDir, dedupIndexPath, batchId)
+      (nIn, accepted)
+      }
   }
 }
 
@@ -1781,27 +1776,21 @@ object PipelineRunner {
         val (chainTurnsPath, chainConv, chainTurn, chainRole, chainContent, chainTurns) =
           if (treeMode) {
             // release the walk's scratch pins once path_turns is on
-            // parquet — localCheckpoint blocks are not evictable and
-            // would squeeze execution memory for the rest of the chain
-            // (the dpo_release decontam lesson); pre-existing pins (a
-            // caller's memo) survive
-            val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
-            timedStage("sft_release", "tree_render") { run(
-              Array("--maintenance", "tree_render", "--turns", turnsPath,
-                "--out", s"$root/path_turns", "--conv_col", convCol,
-                "--turn_col", turnCol, "--parent_col", opts("parent_col"),
-                "--role_col", roleCol, "--content_col", contentCol,
-                "--train_role", trainRole) ++
-                opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)) ++
-                // serve memberships from a durable TreeState instead of
-                // re-running the closure (the campaign-scale posture)
-                opts.get("paths_state").toSeq.flatMap(s => Seq("--paths_state", s)),
-              spark
-            ) }
-            spark.sparkContext.getPersistentRDDs
-              .filterNot { case (id, _) => pinsBefore.contains(id) }
-              .values
-              .foreach(_.unpersist(blocking = false))
+            // parquet (the dpo_release decontam lesson)
+            graft.operators.Maintenance.releasingScratchPins(spark) {
+              timedStage("sft_release", "tree_render") { run(
+                Array("--maintenance", "tree_render", "--turns", turnsPath,
+                  "--out", s"$root/path_turns", "--conv_col", convCol,
+                  "--turn_col", turnCol, "--parent_col", opts("parent_col"),
+                  "--role_col", roleCol, "--content_col", contentCol,
+                  "--train_role", trainRole) ++
+                  opts.get("max_depth").toSeq.flatMap(d => Seq("--max_depth", d)) ++
+                  // serve memberships from a durable TreeState instead of
+                  // re-running the closure (the campaign-scale posture)
+                  opts.get("paths_state").toSeq.flatMap(s => Seq("--paths_state", s)),
+                spark
+              ) }
+            }
             (s"$root/path_turns", "doc_id", "turn_key", "role", "content",
               spark.read.parquet(s"$root/path_turns"))
           } else (turnsPath, convCol, turnCol, roleCol, contentCol, turns)
@@ -2648,22 +2637,16 @@ object PipelineRunner {
         ).flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
         // The render stage pins scratch tables (the tree walk's
         // membership pin, batch pins) that are DEAD once the triples
-        // land on parquet — but localCheckpoint blocks are not
-        // evictable, so left in place they squeeze execution memory
-        // for the rest of the release (measured: the decontam pass ran
-        // 58-134 s under the stranded pins vs ~7 s without, at the
-        // 200k-triple store-scale soak). Release exactly the pins this
-        // stage created; pre-existing pins (a caller's memo) survive.
-        val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
-        timedStage("dpo_release", "branch_pairs") { run(
-          Array("--maintenance", "branch_pairs", "--turns", turnsPath,
-            "--out", s"$root/triples", "--render", "true") ++ passThrough,
-          spark
-        ) }
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => pinsBefore.contains(id) }
-          .values
-          .foreach(_.unpersist(blocking = false))
+        // land on parquet — released at the stage boundary (measured:
+        // the decontam pass ran 58-134 s under the stranded pins vs
+        // ~7 s without, at the 200k-triple store-scale soak).
+        graft.operators.Maintenance.releasingScratchPins(spark) {
+          timedStage("dpo_release", "branch_pairs") { run(
+            Array("--maintenance", "branch_pairs", "--turns", turnsPath,
+              "--out", s"$root/triples", "--render", "true") ++ passThrough,
+            spark
+          ) }
+        }
         // Downstream stages run CPU-heavy per-row work over the triples
         // (model-token metering, per-member shingle explodes — and
         // purgeAnyOf evaluates its input once per member leg), all of

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   */
 object StreamingPipeline {
 
+  /** foreachBatch body wrapper: every micro-batch is a single-flight
+    * scratch-pin boundary. The operators the ingest arms call pin
+    * intermediates with `localCheckpoint` (the settled batch, walked
+    * memberships, span extents) — dead weight once the batch's outputs
+    * are durable, but NOT evictable, so a long backlog drain would
+    * otherwise accumulate one set of stranded pins per micro-batch
+    * (and `maxFilesPerTrigger = 1` arms make micro-batches numerous by
+    * design) until every later fold runs memory-starved. Pins that
+    * existed before the batch (a caller's memo) survive.
+    */
+  private def perBatch(f: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      graft.operators.Maintenance.releasingScratchPins(batch.sparkSession) {
+        f(batch, batchId)
+      }
+
   /** Default events schema for the streaming source when the directory
     * is still empty at stream start (generators currently write `ts` as
     * µs timestamps without tz metadata → TIMESTAMP_NTZ). A file stream
@@ -247,7 +263,7 @@ object StreamingPipeline {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     readEvents(spark, rawDir).writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Maintenance.refreshAggregate(
           spark,
           batch.select(col("event_type"), floor(col("value") * 100).cast("long").as("cents")),
@@ -257,7 +273,7 @@ object StreamingPipeline {
           appliedId = Some(batchId)
         )
         ()
-      }
+      })
       .start()
 
   /** One micro-batch of the streaming dedup ingest loop, exactly-once
@@ -411,10 +427,10 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         dedupIngestBatch(spark, batch, corpusPath, indexPath, batchId)
         ()
-      }
+      })
       .start()
 
   /** Streaming distinct-cardinality telemetry: each arriving documents
@@ -442,7 +458,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         val inst = batch.select(
           col("lang"),
           explode(split(col("text"), "\\s+")).as("token")
@@ -450,7 +466,7 @@ object StreamingPipeline {
         graft.operators.Maintenance
           .refreshCardinality(spark, inst, Seq("lang"), "token", statePath, Some(batchId))
         ()
-      }
+      })
       .start()
 
   /** Streaming preference-pair maintenance: each arriving scored-
@@ -478,11 +494,11 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Preference
           .pairIngest(spark, batch, "prompt_id", "doc_id", "score", statePath, Some(batchId))
         ()
-      }
+      })
       .start()
 
   /** Streaming arena-board maintenance: each arriving scored-response
@@ -511,11 +527,11 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Preference
           .winIngest(spark, batch, "prompt_id", "policy", "score", statePath, Some(batchId))
         ()
-      }
+      })
       .start()
 
   /** Streaming tree-membership maintenance: each arriving turn-batch
@@ -555,7 +571,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         // pin the micro-batch ONCE: the fold issues several actions
         // (gates, the conv-partitioned walk, stitches) and each would
         // otherwise re-plan and re-read the streaming file source —
@@ -564,7 +580,7 @@ object StreamingPipeline {
           spark, batch.localCheckpoint(), "conv_id", "turn_id", "parent_id",
           statePath, Some(batchId), maxDepth)
         ()
-      }
+      })
       .start()
 
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
@@ -590,14 +606,14 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.NearDupIndex
           .update(spark, batch, indexPath)
           .write
           .mode("overwrite")
           .parquet(s"$pairsPath/ingest_batch=$batchId")
         ()
-      }
+      })
       .start()
 
   /** One batch of streaming SEMANTIC dedup (SemDeDup at ingest): drop
@@ -786,7 +802,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         spanDedupIngestBatch(
           spark,
           batch.select(col("doc_id"), col("text")),
@@ -796,7 +812,7 @@ object StreamingPipeline {
           minTokens
         )
         ()
-      }
+      })
       .start()
 
   /** Streaming CURATION: each arriving documents file runs the full
@@ -828,7 +844,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         // An idle trigger firing curates nothing and must touch
         // nothing — every stage's state stays as-is and no empty
         // output partition is written.
@@ -844,7 +860,7 @@ object StreamingPipeline {
             minKeepTokens
           )
         ()
-      }
+      })
       .start()
 
   /** Streaming incremental packing: each arriving document file is laid
@@ -873,7 +889,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Packing
             .packIngest(
@@ -890,7 +906,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/pack_batch=$batchId")
         ()
-      }
+      })
       .start()
 
   /** Streaming MIXTURE-STRATIFIED packing: [[packIngestStream]] with
@@ -918,7 +934,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Packing
             .packIngestBy(
@@ -936,7 +952,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/pack_batch=$batchId")
         ()
-      }
+      })
       .start()
 
   /** Streaming fertility-drift telemetry — the production form of the
@@ -970,7 +986,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Bpe
             .segmentCounts(batch.select(col("doc_id"), col("text")), "doc_id", "text", merges)
@@ -986,7 +1002,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/ingest_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 
@@ -1021,7 +1037,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Dedup
             .decontamPurgeAgainst(
@@ -1035,7 +1051,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/ingest_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 
@@ -1069,7 +1085,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Dedup
             .decontamFuzzyPinned(
@@ -1085,7 +1101,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/ingest_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 
@@ -1114,14 +1130,14 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           probe(batch.select(col("vec_id"), col("embedding")))
             .write
             .mode("overwrite")
             .parquet(s"$outDir/ingest_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 
@@ -1168,7 +1184,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Packing
             .packIngest(
@@ -1185,7 +1201,7 @@ object StreamingPipeline {
             .mode("overwrite")
             .parquet(s"$outDir/pack_batch=$batchId")
         ()
-      }
+      })
       .start()
 
   /** Streaming semantic-dedup ingest: each arriving embeddings file is
@@ -1210,7 +1226,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         semanticDedupIngestBatch(
           spark,
           batch.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
@@ -1221,7 +1237,7 @@ object StreamingPipeline {
           resolveSurvivors
         )
         ()
-      }
+      })
       .start()
 
   /** Incremental star-schema maintenance: the reference's per-file
@@ -1241,14 +1257,14 @@ object StreamingPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, _: Long) =>
         import graft.transforms.Transforms._
         val ev = nextSongEvents(batch)
         usersTable(ev).write.mode("overwrite").parquet(s"$outDir/users_table.parquet")
         timeTable(withStartTime(ev)).write
           .mode("overwrite")
           .parquet(s"$outDir/time_table.parquet")
-      }
+      })
       .start()
   }
 
@@ -1301,7 +1317,7 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         val chunks = merges match {
           case Some(ms) =>
             graft.operators.Chunking.bpeChunks(batch, "doc_id", "text", ms, window, stride)
@@ -1310,7 +1326,7 @@ object StreamingPipeline {
         }
         chunks.write.mode("overwrite").parquet(s"$outDir/chunk_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 
@@ -1352,14 +1368,14 @@ object StreamingPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Importance
           .importanceScores(batch, "doc_id", "text", weights, buckets)
           .write
           .mode("overwrite")
           .parquet(s"$outDir/score_batch=$batchId")
         ()
-      }
+      })
       .start()
   }
 }
