@@ -106,7 +106,13 @@ object ConvTree {
   private[operators] def walkConversation(
       conv: Any,
       rows: scala.collection.Seq[(Any, Any)],
-      maxDepth: Int
+      maxDepth: Int,
+      // The dup-key remedy depends on the CALLER: from treePaths the
+      // duplicate is in the turn store; from TreeState.fold (state/
+      // batch collisions are refused before the walk) it is within the
+      // appended batch — the default message would misdirect the
+      // operator to dedupe the wrong dataset.
+      dupRemedy: String = "Deduplicate the turn store first."
   ): Iterator[Row] = {
     val n = rows.size
     val parent = new java.util.HashMap[Any, Any](n * 2)
@@ -116,7 +122,7 @@ object ConvTree {
         throw new IllegalArgumentException(
           s"treePaths: (conv, turn) is not unique — conversation $conv has turn $turn " +
             "more than once; a duplicated turn row would silently fan out every path " +
-            "join. Deduplicate the turn store first.")
+            s"join. $dupRemedy")
       parent.put(turn, par)
       if (par != null) hasChild.add(par)
     }
@@ -188,14 +194,38 @@ object ConvTree {
     }
   }
 
+  /** Loud per-conversation row-count guard (the maxDepth discipline
+    * applied to WIDTH): the walk buffers one conversation's rows in a
+    * single task, so a store where one "conversation" is secretly the
+    * whole corpus (a null/default conv key collapsing everything onto
+    * one group) would OOM an executor with no diagnosis. At the
+    * default 2M rows the buffer is ~hundreds of MB — fail with the
+    * conversation named before allocation grows past it. Raise
+    * `maxConvRows` deliberately for genuinely huge conversations.
+    */
+  private[operators] def guardConvRows(
+      prefix: String,
+      conv: Any,
+      soFar: Int,
+      maxConvRows: Int
+  ): Unit =
+    if (soFar > maxConvRows)
+      throw new IllegalArgumentException(
+        s"$prefix conversation $conv exceeds maxConvRows=$maxConvRows rows in one task — " +
+          "a single conversation this large would exhaust executor memory during the " +
+          "walk (is the conv key a constant/null collapsing the store onto one group?); " +
+          "raise maxConvRows deliberately for genuinely huge conversations")
+
   def treePaths(
       turns: DataFrame,
       convCol: String,
       turnCol: String,
       parentCol: String,
-      maxDepth: Int = 10000
+      maxDepth: Int = 10000,
+      maxConvRows: Int = 2000000
   ): DataFrame = {
     require(maxDepth > 0, s"maxDepth must be positive, got $maxDepth")
+    require(maxConvRows > 0, s"maxConvRows must be positive, got $maxConvRows")
     val t = turns.select(
       col(convCol).as("__conv"),
       col(turnCol).as("__turn"),
@@ -210,6 +240,7 @@ object ConvTree {
       StructField("train", BooleanType, nullable = false)
     ))
     val md = maxDepth
+    val mcr = maxConvRows
     // One hash exchange on the conv key + a local sort co-locates each
     // conversation; the task then streams conversation groups through
     // the walk — structure only, one group in memory at a time.
@@ -227,6 +258,7 @@ object ConvTree {
             while (buffered.hasNext && buffered.head.get(0) == conv) {
               val r = buffered.next()
               group += ((r.get(1), r.get(2)))
+              guardConvRows("treePaths:", conv, group.length, mcr)
             }
             walkConversation(conv, group, md)
           }

@@ -900,16 +900,39 @@ object Maintenance {
     * caller here is a single-flight boundary by construction (a CLI
     * verb stage, a foreachBatch body); do not wrap code that races
     * other queries on the same session.
+    *
+    * The contract is ENFORCED, not just documented: a second THREAD
+    * entering on the same SparkContext while one is inside fails
+    * loudly (the realistic misuse — two streams' foreachBatch bodies
+    * on one session draining concurrently, each releasing the other's
+    * live pins). Same-thread nesting stays legal (an outer verb
+    * wrapping inner operators): the inner boundary releases its own
+    * pins, the outer the rest.
     */
+  private val scratchPinHolder =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Thread]()
+
   private[graft] def releasingScratchPins[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sc = spark.sparkContext
+    val me = Thread.currentThread()
+    val prev = scratchPinHolder.putIfAbsent(sc, me)
+    val nested = prev != null && (prev eq me)
+    if (prev != null && !nested)
+      throw new IllegalStateException(
+        s"releasingScratchPins: thread '${prev.getName}' is already inside a scratch-pin " +
+          s"boundary on this SparkContext (this thread: '${me.getName}') — concurrent " +
+          "boundaries on one session would release each other's live localCheckpoint " +
+          "blocks, which are unrecoverable; serialize the verbs/streams on this session")
+    val before = sc.getPersistentRDDs.keySet
     try body
-    finally
-      spark.sparkContext.getPersistentRDDs
+    finally {
+      if (!nested) scratchPinHolder.remove(sc, me)
+      sc.getPersistentRDDs
         .filterNot { case (id, _) => before.contains(id) }
         .values
         .foreach(_.unpersist(blocking = false))
+    }
   }
 
   private[graft] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {

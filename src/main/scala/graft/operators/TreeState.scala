@@ -68,6 +68,86 @@ object TreeState {
 
   private val COLS = Seq("conv_id", "path_id", "pos", "turn_id", "train")
 
+  /** Single-writer fence. Two concurrent folds on one state root (a
+    * `turns_stream` drain racing a manual `tree_state` verb — a
+    * double-fired scheduler at campaign scale) would interleave
+    * per-bucket swaps and `_seg_applied` markers from DIFFERENT
+    * applied ids; convergence is only proven for serial retries of ONE
+    * id. Writers (fold, reshard) therefore take a lease — a sibling
+    * `<state>.__writer` file created with overwrite=false, holding the
+    * writer's token — before any mutation, and release it on exit
+    * (success OR gate failure; only a JVM death leaves it behind). A
+    * SECOND writer with a different token refuses loudly. The
+    * documented crash-retry contract survives: a retry of a crashed
+    * fold carries the SAME applied id, so its token matches the stale
+    * lease and it re-enters (same for a reshard retry). Two truly
+    * concurrent attempts with the SAME token are outside the contract
+    * (foreachBatch retries are serial by construction). The lease
+    * lives OUTSIDE the root so a reshard's whole-root swap cannot
+    * drop it mid-operation, and so the first fold can fence before
+    * the root exists.
+    */
+  private def leasePath(statePath: String) = new org.apache.hadoop.fs.Path(s"$statePath.__writer")
+
+  private def acquireWriter(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String,
+      token: String
+  ): Unit = {
+    val p = leasePath(statePath)
+    Maintenance.readTextFile(fs, p).map(_.trim) match {
+      case Some(t) if t == token => () // crashed attempt's retry (same logical writer): re-enter
+      case Some(t) =>
+        throw new IllegalArgumentException(
+          s"TreeState: writer lease on $statePath is held by '$t' (this attempt: '$token') — " +
+            "either a concurrent fold/reshard is live (wait for it) or a previous one crashed " +
+            "mid-operation (retry it under ITS token until it completes; remove " +
+            s"${leasePath(statePath)} manually only after confirming the holder is dead)")
+      case None =>
+        try {
+          val out = fs.create(p, false) // overwrite=false: the atomic claim — a racing writer loses
+          try out.write(token.getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case e @ (_: java.io.IOException | _: RuntimeException) =>
+            throw new IllegalArgumentException(
+              s"TreeState: lost the writer-lease race on $statePath (attempt '$token') — " +
+                "a concurrent fold/reshard claimed it first; retry after it completes",
+              e)
+        }
+    }
+  }
+
+  private def releaseWriter(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit =
+    Maintenance.deleteOrFail(fs, leasePath(statePath))
+
+  /** READER-side healing policy: healing renames state dirs, which is
+    * only safe with no writer mid-swap. With no lease on the root,
+    * heal exactly as writers do. Under a lease, leftovers are
+    * ambiguous — a LIVE writer mid-swap or a crashed one — so a reader
+    * that finds something to heal refuses loudly instead of racing the
+    * writer's renames; with nothing stranded it reads normally
+    * (concurrent reads during a fold see the pre- or post-swap bucket,
+    * both complete states).
+    */
+  private def healForRead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      statePath: String
+  ): Unit =
+    Maintenance.readTextFile(fs, leasePath(statePath)) match {
+      case None => healAt(fs, root, statePath)
+      case Some(t) =>
+        val stranded =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s"$statePath.__fold_old"))
+        if (stranded)
+          throw new IllegalArgumentException(
+            s"TreeState: state at $statePath has swap leftovers while writer lease " +
+              s"'${t.trim}' is held — a fold/reshard is live mid-swap (wait for it) or " +
+              "crashed (retry it under its token); refusing to heal under a lease")
+    }
+
   /** Entry healing shared by EVERY state reader and writer: first a
     * reshard stranded between its whole-root renames (a vanished root
     * would read as "no state"), then buckets stranded between a
@@ -105,21 +185,55 @@ object TreeState {
       .listStatus(root)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
 
+  /** The id-type contract, made mechanical: `_idtypes` pins the conv
+    * and turn id types (catalogString, one per line) at state
+    * creation, so (a) a fold whose batch drifts to different id types
+    * fails LOUDLY at entry instead of unionByName silently widening
+    * into an opaque encoder ClassCastException, and (b) a data-less
+    * root (empty first batch) serves a typed empty table in the
+    * STATE's types, not a hardcoded Long default — a string-keyed
+    * store round-trips through its empty state correctly.
+    */
+  private def readIdTypes(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Option[(org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType)] =
+    Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_idtypes")).map { s =>
+      val Array(c, t) = s.trim.split("\n").map(_.trim)
+      (org.apache.spark.sql.types.DataType.fromDDL(c),
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    }
+
+  private def writeIdTypes(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      convT: org.apache.spark.sql.types.DataType,
+      turnT: org.apache.spark.sql.types.DataType
+  ): Unit =
+    Maintenance.writeTextFile(
+      fs,
+      new org.apache.hadoop.fs.Path(root, "_idtypes"),
+      s"${convT.catalogString}\n${turnT.catalogString}")
+
   /** Typed empty membership table for a data-less state root (created
     * by an empty first batch): parquet schema inference has no footer
-    * to read, so the canonical `(long, long, long, long, boolean)`
-    * shape is returned instead — the id type every turn-store verb
-    * here folds with.
+    * to read, so the shape comes from the `_idtypes` sidecar — Long
+    * ids only as the legacy fallback for states created before the
+    * sidecar existed.
     */
-  private def emptyMemberships(spark: SparkSession): DataFrame = {
+  private def emptyMemberships(
+      spark: SparkSession,
+      idTypes: Option[(org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType)]
+  ): DataFrame = {
     import org.apache.spark.sql.types._
+    val (convT, turnT) = idTypes.getOrElse((LongType, LongType))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(Seq(
-        StructField("conv_id", LongType),
-        StructField("path_id", LongType),
+        StructField("conv_id", convT),
+        StructField("path_id", turnT),
         StructField("pos", LongType),
-        StructField("turn_id", LongType),
+        StructField("turn_id", turnT),
         StructField("train", BooleanType)
       ))
     )
@@ -136,13 +250,26 @@ object TreeState {
   def memberships(spark: SparkSession, statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healAt(fs, root, statePath)
+    healForRead(fs, root, statePath)
     // markers-only root (empty first batch): nothing for parquet
     // schema inference to read — serve the typed empty table. A
     // legacy bare-parquet root still reads as data.
     val markersOnly = fs.exists(root) && !hasCvDirs(fs, root) &&
       fs.listStatus(root).forall(st => !st.isDirectory && st.getPath.getName.startsWith("_"))
-    if (markersOnly) emptyMemberships(spark)
+    if (markersOnly) emptyMemberships(spark, readIdTypes(fs, root))
+    else spark.read.parquet(statePath).select(COLS.map(col): _*)
+  }
+
+  /** [[memberships]] for a caller already holding the writer lease
+    * (the fold's own return): reader-side lease checks would refuse
+    * OUR own live lease.
+    */
+  private def membershipsLocked(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markersOnly = fs.exists(root) && !hasCvDirs(fs, root) &&
+      fs.listStatus(root).forall(st => !st.isDirectory && st.getPath.getName.startsWith("_"))
+    if (markersOnly) emptyMemberships(spark, readIdTypes(fs, root))
     else spark.read.parquet(statePath).select(COLS.map(col): _*)
   }
 
@@ -164,33 +291,39 @@ object TreeState {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_old")
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$statePath.__reshard_tmp")
-    healAt(fs, root, statePath)
-    require(fs.exists(root), s"no TreeState at $statePath")
-    require(
-      Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets")).isDefined,
-      s"TreeState at $statePath has no _buckets pin — not a segmented state; rebuild instead"
-    )
-    val applied = Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"))
-    Maintenance.deleteOrFail(fs, tmpRoot)
-    if (!hasCvDirs(fs, root)) {
-      // data-less state (empty first batch): re-pinning the bucket
-      // count IS the whole reshard — nothing to rewrite or swap
+    acquireWriter(fs, statePath, s"reshard:$newBuckets")
+    try {
+      healAt(fs, root, statePath)
+      require(fs.exists(root), s"no TreeState at $statePath")
+      require(
+        Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_buckets")).isDefined,
+        s"TreeState at $statePath has no _buckets pin — not a segmented state; rebuild instead"
+      )
+      val applied = Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"))
+      val idTypes = Maintenance.readTextFile(fs, new org.apache.hadoop.fs.Path(root, "_idtypes"))
+      Maintenance.deleteOrFail(fs, tmpRoot)
+      if (!hasCvDirs(fs, root)) {
+        // data-less state (empty first batch): re-pinning the bucket
+        // count IS the whole reshard — nothing to rewrite or swap
+        Maintenance.writeTextFile(
+          fs, new org.apache.hadoop.fs.Path(root, "_buckets"), newBuckets.toString)
+        return
+      }
+      membershipsLocked(spark, statePath)
+        .withColumn("cv", pmod(hash(col("conv_id")), lit(newBuckets)))
+        .repartition(col("cv"))
+        .write
+        .partitionBy("cv")
+        .mode("overwrite")
+        .parquet(tmpRoot.toString)
       Maintenance.writeTextFile(
-        fs, new org.apache.hadoop.fs.Path(root, "_buckets"), newBuckets.toString)
-      return
-    }
-    memberships(spark, statePath)
-      .withColumn("cv", pmod(hash(col("conv_id")), lit(newBuckets)))
-      .repartition(col("cv"))
-      .write
-      .partitionBy("cv")
-      .mode("overwrite")
-      .parquet(tmpRoot.toString)
-    Maintenance.writeTextFile(
-      fs, new org.apache.hadoop.fs.Path(tmpRoot, "_buckets"), newBuckets.toString)
-    applied.foreach(a =>
-      Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(tmpRoot, "_applied_id"), a))
-    Maintenance.swapInto(fs, tmpRoot, root, oldRoot)
+        fs, new org.apache.hadoop.fs.Path(tmpRoot, "_buckets"), newBuckets.toString)
+      applied.foreach(a =>
+        Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(tmpRoot, "_applied_id"), a))
+      idTypes.foreach(t =>
+        Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(tmpRoot, "_idtypes"), t))
+      Maintenance.swapInto(fs, tmpRoot, root, oldRoot)
+    } finally releaseWriter(fs, statePath)
   }
 
   /** Metadata-only sizing report: (bucket, bytes) per `cv=` dir plus
@@ -258,7 +391,8 @@ object TreeState {
       statePath: String,
       appliedId: Option[Long],
       maxDepth: Int = 10000,
-      buckets: Int = 64
+      buckets: Int = 64,
+      maxConvRows: Int = 2000000
   ): DataFrame = {
     require(buckets > 0 && buckets <= 4096, s"buckets must be in [1, 4096], got $buckets")
     val b = batch.select(
@@ -270,43 +404,100 @@ object TreeState {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__fold_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$statePath.__fold_old")
-    // ── entry healing ─────────────────────────────────────────────
-    // A reshard stranded between its whole-root renames (a vanished
-    // root would otherwise read as "no state" and silently rebuild
-    // from this batch alone), then buckets stranded between a crashed
-    // fold swap's two renames — shared with every reader (healAt).
-    healAt(fs, root, statePath)
-    val bucketsPin = new org.apache.hadoop.fs.Path(root, "_buckets")
-    val exists = fs.exists(root)
-    val k: Int =
-      if (!exists) buckets
-      else
-        Maintenance.readTextFile(fs, bucketsPin) match {
-          case Some(s) => s.trim.toInt
-          case None if fs.listStatus(root).isEmpty =>
-            // a crash between mkdirs(root) and the pin write leaves a
-            // completely EMPTY root — treat it as fresh (re-pin below)
-            // instead of refusing forever; the refusal is reserved for
-            // roots that actually hold anything under an unknown
-            // layout (legacy bare parquet included)
-            buckets
-          case None =>
-            throw new IllegalArgumentException(
-              s"TreeState at $statePath has no _buckets pin — a pre-segmentation (or foreign) " +
-                "state layout cannot be folded into; rebuild by re-folding the turn store " +
-                "into a fresh --state dir"
-            )
+    // ── single-writer fence ───────────────────────────────────────
+    // Taken BEFORE healing and BEFORE clearing tmp: a concurrent
+    // writer's staging dir must never be clobbered, and healing's
+    // renames must never race a live swap. A crashed fold's retry
+    // carries the same applied id → same token → re-enters.
+    acquireWriter(fs, statePath, appliedId.map(id => s"fold:$id").getOrElse("fold:adhoc"))
+    try {
+      // ── entry healing ─────────────────────────────────────────────
+      // A reshard stranded between its whole-root renames (a vanished
+      // root would otherwise read as "no state" and silently rebuild
+      // from this batch alone), then buckets stranded between a crashed
+      // fold swap's two renames — shared with every reader (healAt).
+      healAt(fs, root, statePath)
+      val bucketsPin = new org.apache.hadoop.fs.Path(root, "_buckets")
+      val exists = fs.exists(root)
+      val k: Int =
+        if (!exists) buckets
+        else
+          Maintenance.readTextFile(fs, bucketsPin) match {
+            case Some(s) => s.trim.toInt
+            case None if fs.listStatus(root).isEmpty =>
+              // a crash between mkdirs(root) and the pin write leaves a
+              // completely EMPTY root — treat it as fresh (re-pin below)
+              // instead of refusing forever; the refusal is reserved for
+              // roots that actually hold anything under an unknown
+              // layout (legacy bare parquet included)
+              buckets
+            case None =>
+              throw new IllegalArgumentException(
+                s"TreeState at $statePath has no _buckets pin — a pre-segmentation (or foreign) " +
+                  "state layout cannot be folded into; rebuild by re-folding the turn store " +
+                  "into a fresh --state dir"
+              )
+          }
+      def marker(p: org.apache.hadoop.fs.Path): Option[Long] =
+        Maintenance.readTextFile(fs, p).map(_.trim.toLong)
+      val rootApplied = marker(new org.apache.hadoop.fs.Path(root, "_applied_id"))
+      if (exists && appliedId.isDefined && rootApplied == appliedId)
+        return membershipsLocked(spark, statePath) // retry of an applied batch: no-op
+      // Applied-id monotonicity: a replay of the LAST batch is the
+      // no-op above; an id BELOW the state's marker is a misrouted or
+      // out-of-order delivery (a double-fired scheduler re-sending
+      // history) — refused here with the real diagnosis instead of
+      // letting the key-collision gate misdescribe it later.
+      for (id <- appliedId; cur <- rootApplied)
+        require(
+          id > cur,
+          s"TreeState.fold: applied id $id is older than the state's marker $cur at " +
+            s"$statePath — applied ids must strictly increase per state (a retry of the " +
+            "LAST applied batch is a no-op; an older id means an out-of-order or " +
+            "misrouted batch delivery)")
+      // Id-type contract (mechanical): the `_idtypes` sidecar pins the
+      // conv/turn id types at creation; a batch whose id types drift
+      // (int batch onto a long state, string onto long) fails HERE,
+      // loudly, instead of unionByName silently widening into an
+      // encoder ClassCastException inside the walk.
+      readIdTypes(fs, root).foreach { case (convT, turnT) =>
+        val bc = b.schema("conv_id").dataType
+        val bt = b.schema("turn_id").dataType
+        require(
+          bc == convT && bt == turnT,
+          s"TreeState.fold: batch id types (conv: ${bc.catalogString}, turn: " +
+            s"${bt.catalogString}) do not match the state's pinned types (conv: " +
+            s"${convT.catalogString}, turn: ${turnT.catalogString}) at $statePath — a " +
+            "widening union would corrupt the membership encoding; cast the batch to the " +
+            "state's types (or rebuild the state) deliberately")
+      }
+      Maintenance.deleteOrFail(fs, tmp) // stale staging from a crashed attempt
+      if (!exists || Maintenance.readTextFile(fs, bucketsPin).isEmpty) {
+        fs.mkdirs(root)
+        Maintenance.writeTextFile(fs, bucketsPin, k.toString)
+      }
+      if (readIdTypes(fs, root).isEmpty) {
+        // Backfill the sidecar for states created before it existed:
+        // from the state's OWN parquet schema when it holds data (the
+        // authoritative types — and the batch must match them), from
+        // the batch when the root is fresh or markers-only (this batch
+        // IS what defines the state's types).
+        val (convT, turnT) =
+          if (hasCvDirs(fs, root)) {
+            val st = spark.read.parquet(statePath).schema
+            (st("conv_id").dataType, st("turn_id").dataType)
+          } else (b.schema("conv_id").dataType, b.schema("turn_id").dataType)
+        writeIdTypes(fs, root, convT, turnT)
+        readIdTypes(fs, root).foreach { case (c, t) =>
+          val (bc, bt) = (b.schema("conv_id").dataType, b.schema("turn_id").dataType)
+          require(
+            bc == c && bt == t,
+            s"TreeState.fold: batch id types (conv: ${bc.catalogString}, turn: " +
+              s"${bt.catalogString}) do not match the state's types (conv: " +
+              s"${c.catalogString}, turn: ${t.catalogString}) at $statePath — cast the " +
+              "batch to the state's types (or rebuild the state) deliberately")
         }
-    def marker(p: org.apache.hadoop.fs.Path): Option[Long] =
-      Maintenance.readTextFile(fs, p).map(_.trim.toLong)
-    if (exists && appliedId.isDefined &&
-      marker(new org.apache.hadoop.fs.Path(root, "_applied_id")) == appliedId)
-      return memberships(spark, statePath) // retry of an applied batch: no-op
-    Maintenance.deleteOrFail(fs, tmp) // stale staging from a crashed attempt
-    if (!exists || Maintenance.readTextFile(fs, bucketsPin).isEmpty) {
-      fs.mkdirs(root)
-      Maintenance.writeTextFile(fs, bucketsPin, k.toString)
-    }
+      }
     val segOf = pmod(hash(col("conv_id")), lit(k))
     val touched: Seq[Int] = b
       .select(segOf.as("__cv"))
@@ -349,7 +540,7 @@ object TreeState {
       // ONE file per bucket with no second shuffle. Walk-gate failures
       // surface during this staging write — tmp is discarded at the
       // next entry, the state untouched.
-      val folded = foldInto(mTouched, bPending, maxDepth, Some(segOf))
+      val folded = foldInto(mTouched, bPending, maxDepth, Some(segOf), maxConvRows)
       ConvTree.unwrapGateFailure {
         folded
           .withColumn("cv", segOf)
@@ -378,7 +569,8 @@ object TreeState {
     }
     appliedId.foreach(id =>
       Maintenance.writeTextFile(fs, new org.apache.hadoop.fs.Path(root, "_applied_id"), id.toString))
-    memberships(spark, statePath)
+    membershipsLocked(spark, statePath)
+    } finally releaseWriter(fs, statePath)
   }
 
   /** The incremental fold proper: `m` the current memberships of the
@@ -404,7 +596,8 @@ object TreeState {
       m: DataFrame,
       b: DataFrame,
       maxDepth: Int,
-      partitionKey: Option[org.apache.spark.sql.Column] = None
+      partitionKey: Option[org.apache.spark.sql.Column] = None,
+      maxConvRows: Int = 2000000
   ): DataFrame = {
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     val convT = b.schema("conv_id").dataType
@@ -438,6 +631,7 @@ object TreeState {
       lit(false).as("train")
     )
     val md = maxDepth
+    val mcr = maxConvRows
     mT.unionByName(bT)
       .repartition(partitionKey.getOrElse(col("conv_id")))
       .sortWithinPartitions(col("conv_id"))
@@ -453,6 +647,7 @@ object TreeState {
             while (it.hasNext && it.head.get(0) == conv) {
               val r = it.next()
               if (r.getBoolean(1)) batch += ((r.get(4), r.get(5))) else state += r
+              ConvTree.guardConvRows("TreeState.fold:", conv, state.length + batch.length, mcr)
             }
             if (batch.isEmpty)
               // untouched conversation in a touched bucket: row-identical
@@ -509,7 +704,11 @@ object TreeState {
               val allTurns = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
               hasParent.forEach(t => allTurns += ((t, parentOf.get(t))))
               allTurns ++= batch
-              ConvTree.walkConversation(conv, allTurns, md)
+              ConvTree.walkConversation(
+                conv, allTurns, md,
+                dupRemedy = "Deduplicate the appended batch first (an exact batch replay " +
+                  "is handled by the _applied_id marker; a re-edited turn needs a state " +
+                  "rebuild).")
             }
           }
       }(org.apache.spark.sql.Encoders.row(outSchema))

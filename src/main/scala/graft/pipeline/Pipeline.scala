@@ -586,6 +586,12 @@ object Pipeline {
   * [--max_depth N]` (the tree family's streaming arm: tail turn-batch
   * JSON files into the TreeState, exactly-once per file; files must
   * land in causal order — the orphan gate refuses violations), and
+  * `--maintenance turns_backfill --raw R --state S --checkpoint C
+  * [--max_depth N]` (cold-start arm: fold the ENTIRE existing backlog
+  * as ONE batch on the same checkpoint, then run turns_stream
+  * steady-state — N accumulated files cost one fold, not N serial
+  * per-file folds; the shared checkpoint hands off with nothing lost
+  * or double-folded), and
   * `--maintenance dpo_release --turns T --out ROOT [--shards N]
   * [--bpe_model M [--length_batches B]]
   * [--eval E [--eval_text_col X] [--threshold F]]
@@ -2231,7 +2237,7 @@ object PipelineRunner {
           .awaitTermination()
         val nPairs = graft.operators.Preference.pairsFromState(spark, state).count()
         println(s"[maintenance] pref stream drained: state at $state now holds $nPairs pair(s)")
-      case Some("turns_stream") =>
+      case Some(verb @ ("turns_stream" | "turns_backfill")) =>
         // Streaming tree-membership maintenance
         // (StreamingPipeline.turnsIngest): tail a directory of
         // turn-batch JSON files into the persistent TreeState — the
@@ -2240,6 +2246,11 @@ object PipelineRunner {
         // exists, then returns (cron-friendly). Files must land in
         // causal order (parents before children); the fold's orphan
         // gate refuses violations loudly.
+        // turns_backfill: the COLD-START arm — fold the whole existing
+        // backlog as ONE batch on the SAME checkpoint, then run
+        // turns_stream steady-state; a 100-file backlog costs one fold
+        // instead of 100 serial per-file folds (the file-=-batch
+        // contract is a steady-state discipline, not a replay tax).
         val raw = opts.getOrElse("raw", sys.error("--raw <turn json dir> required"))
         val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
         val ckpt = opts.getOrElse("checkpoint", sys.error("--checkpoint <dir> required"))
@@ -2253,9 +2264,13 @@ object PipelineRunner {
               .StructField("parent_id", org.apache.spark.sql.types.LongType)
           )
         )
-        graft.streaming.StreamingPipeline
-          .turnsIngest(spark, raw, state, ckpt, turnSchema,
-            opts.getOrElse("max_depth", "10000").toInt)
+        val maxDepth = opts.getOrElse("max_depth", "10000").toInt
+        (if (verb == "turns_backfill")
+           graft.streaming.StreamingPipeline
+             .turnsBackfill(spark, raw, state, ckpt, turnSchema, maxDepth)
+         else
+           graft.streaming.StreamingPipeline
+             .turnsIngest(spark, raw, state, ckpt, turnSchema, maxDepth))
           .awaitTermination()
         // Empty-drain guard (the dsir_stream lesson): a drain that saw
         // no files never created the state — report 0 instead of
@@ -2267,7 +2282,7 @@ object PipelineRunner {
             graft.operators.TreeState.memberships(spark, state).count()
           else 0L
         println(
-          s"[maintenance] turns stream drained: state at $state now holds $nMemb membership row(s)"
+          s"[maintenance] $verb drained: state at $state now holds $nMemb membership row(s)"
         )
       case Some("win_stream") =>
         // Streaming arena board (StreamingPipeline.winIngest): tail a

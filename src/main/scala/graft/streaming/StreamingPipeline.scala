@@ -558,15 +558,57 @@ object StreamingPipeline {
       turnSchema: StructType,
       maxDepth: Int = 10000
   ): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .schema(turnSchema)
-      // ENFORCE the documented file-=-batch contract: one arriving
-      // turn file = one micro-batch = one fold with its own applied
-      // id. Without the cap, AvailableNow packs a multi-file backlog
-      // into however many micro-batches the rate planner picks — the
-      // batch=file mapping (and the per-file causal-order contract)
-      // held only by luck of file sizes.
-      .option("maxFilesPerTrigger", 1)
+    turnsIngestWith(spark, rawDir, statePath, checkpoint, turnSchema, maxDepth,
+      filesPerTrigger = Some(1))
+
+  /** Cold-start BACKFILL for [[turnsIngest]]: fold the ENTIRE existing
+    * file backlog as ONE batch (one applied id, one fold), sharing the
+    * steady-state stream's checkpoint — a subsequent [[turnsIngest]]
+    * drain on the same checkpoint resumes past the backfilled files
+    * with nothing lost or double-folded (the source's seen-file log
+    * already covers them). The file-=-batch contract is a steady-state
+    * discipline (per-file applied ids, per-file causal order); under
+    * it a cold start over N accumulated files pays N serial folds at
+    * the per-fold floor — linear in files, not data. The backfill is
+    * the deliberate batch-shaped exception: causal order ACROSS the
+    * backlog's files implies the union is itself a valid causal batch
+    * (every parent is in an earlier file or its own ⇒ in the union),
+    * so one fold of the union is the from-scratch semantics at one
+    * fold's cost. Duplicate (conv, turn) keys across backlog files
+    * are refused by the fold's in-batch dup gate — the same rows
+    * would also have been refused file-by-file (as state collisions).
+    */
+  def turnsBackfill(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      turnSchema: StructType,
+      maxDepth: Int = 10000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    turnsIngestWith(spark, rawDir, statePath, checkpoint, turnSchema, maxDepth,
+      filesPerTrigger = None)
+
+  private def turnsIngestWith(
+      spark: SparkSession,
+      rawDir: String,
+      statePath: String,
+      checkpoint: String,
+      turnSchema: StructType,
+      maxDepth: Int,
+      filesPerTrigger: Option[Int]
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(turnSchema)
+    // ENFORCE the documented file-=-batch contract on the steady-state
+    // arm: one arriving turn file = one micro-batch = one fold with
+    // its own applied id. Without the cap, AvailableNow packs a
+    // multi-file backlog into however many micro-batches the rate
+    // planner picks — the batch=file mapping (and the per-file
+    // causal-order contract) held only by luck of file sizes. The
+    // BACKFILL arm drops the cap deliberately: whole backlog, one
+    // batch, one fold (see turnsBackfill).
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .json(rawDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -582,6 +624,7 @@ object StreamingPipeline {
         ()
       })
       .start()
+  }
 
   /** Streaming NEAR-dup monitoring: each arriving documents file probes
     * the corpus-wide MinHash index ([[graft.operators.NearDupIndex]])

@@ -26,8 +26,9 @@ object TimeQuery {
       val times = (1 to reps).map { _ =>
         graft.queries.TextQueries.clearFeatureMemo()
         // same rep-isolation discipline as Bench: drop pins the
-        // previous rep's operators localCheckpoint'd
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // previous rep's operators localCheckpoint'd — BLOCKING, so
+        // the removal work never lands inside the timed window
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -1663,4 +1663,68 @@ class StreamingSpec extends AnyFunSuite {
       "--out", s"$root/rendered", "--paths_state", s"$root/tree"), spark)
     assert(spark.read.parquet(s"$root/rendered").count() > 0)
   }
+
+  test("turns backfill: a multi-file backlog folds as ONE batch; turns_stream hands off losslessly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-turns-backfill").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    // a 6-file causal backlog: conv 1 grows across files, conv 2 and 3
+    // appear mid-backlog — the accumulated cold-start shape
+    val backlog = Seq(
+      """{"conv_id":1,"turn_id":0,"parent_id":null}""",
+      """{"conv_id":1,"turn_id":1,"parent_id":0}
+        |{"conv_id":1,"turn_id":2,"parent_id":0}""".stripMargin,
+      """{"conv_id":2,"turn_id":0,"parent_id":null}""",
+      """{"conv_id":1,"turn_id":3,"parent_id":1}""",
+      """{"conv_id":2,"turn_id":1,"parent_id":0}
+        |{"conv_id":3,"turn_id":0,"parent_id":null}""".stripMargin,
+      """{"conv_id":3,"turn_id":1,"parent_id":0}"""
+    )
+    backlog.zipWithIndex.foreach { case (s, i) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f"$root/raw/f$i%02d.json"), s)
+    }
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_backfill", "--raw", s"$root/raw",
+      "--state", s"$root/tree", "--checkpoint", s"$root/ckpt"), spark)
+    def appliedId() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/tree/_applied_id")), "UTF-8").trim.toLong
+    // the WHOLE backlog folded as one micro-batch: applied id 0, once
+    assert(appliedId() == 0L, s"backfill must fold the backlog as ONE batch, got id ${appliedId()}")
+    def state() = spark.read.parquet(s"$root/tree")
+      .select("conv_id", "path_id", "pos", "turn_id", "train")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    def replay(rows: Seq[(Long, Long, Option[Long])]) =
+      graft.operators.ConvTree.treePaths(
+        rows.map { case (c, t, p) => (c, t, p.map(java.lang.Long.valueOf).orNull) }
+          .toDF("conv_id", "turn_id", "parent_id"),
+        "conv_id", "turn_id", "parent_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+    val backlogRows = Seq(
+      (1L, 0L, None), (1L, 1L, Some(0L)), (1L, 2L, Some(0L)),
+      (2L, 0L, None), (1L, 3L, Some(1L)),
+      (2L, 1L, Some(0L)), (3L, 0L, None), (3L, 1L, Some(0L))
+    ).asInstanceOf[Seq[(Long, Long, Option[Long])]]
+    assert(state() == replay(backlogRows), "backfilled state must equal the from-scratch walk")
+    // HANDOFF: steady-state turns_stream on the SAME checkpoint sees
+    // only files newer than the backfill — nothing double-folds (a
+    // re-fold of an already-applied conv/turn would fire the collision
+    // gate), nothing is lost, and per-file applied ids resume
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/g1.json"),
+      """{"conv_id":3,"turn_id":2,"parent_id":1}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/g2.json"),
+      """{"conv_id":4,"turn_id":0,"parent_id":null}""")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_stream", "--raw", s"$root/raw",
+      "--state", s"$root/tree", "--checkpoint", s"$root/ckpt"), spark)
+    assert(appliedId() == 2L,
+      s"two post-backfill files must fold as two per-file batches (got ${appliedId()})")
+    val all = backlogRows ++ Seq((3L, 2L, Option(1L)), (4L, 0L, Option.empty[Long]))
+    assert(state() == replay(all), "post-handoff state must equal the full walk")
+  }
 }

@@ -431,4 +431,165 @@ class TreeStateSpec extends AnyFunSuite {
         wantPairs.collect().map(_.toSeq).toSet)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("single-writer fence: a concurrent fold under a live lease is refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-lease").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      // simulate a LIVE writer (fold id 1 mid-flight): plant its lease
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$state.__writer"), "fold:1")
+      // a DIFFERENT writer (the double-fired scheduler racing a manual
+      // verb) must refuse loudly, leaving the state untouched
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(Seq((1L, 9L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(2L))
+      }
+      assert(e.getMessage.contains("writer lease"), e.getMessage)
+      assert(rowsOf(TreeState.memberships(spark, state)) == Set((1L, 0L, 0L, 0L, true)))
+      // reshard under the same live lease: refused too
+      val e2 = intercept[IllegalArgumentException] {
+        TreeState.reshard(spark, state, 4)
+      }
+      assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+      // the crashed writer's RETRY (same applied id → same token)
+      // re-enters, completes, and releases the lease
+      TreeState.fold(spark, turnsDf(Seq((1L, 1L, Option(0L)))),
+        "conv_id", "turn_id", "parent_id", state, Some(1L))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$state.__writer")))
+      assert(rowsOf(TreeState.memberships(spark, state)) ==
+        rowsOf(ConvTree.treePaths(
+          turnsDf(Seq((1L, 0L, None), (1L, 1L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id")))
+      // and a gate FAILURE releases the lease (no wedge): an in-batch
+      // duplicate key refuses the fold but frees the next writer
+      intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(Seq((1L, 7L, Option(0L)), (1L, 7L, Option(1L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(2L))
+      }
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$state.__writer")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("applied ids must be monotone: an OLDER id is refused with the delivery diagnosis") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-mono").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(5L))
+      // replay of the LAST id: no-op (the exactly-once contract)
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(5L))
+      // an OLDER id is an out-of-order delivery, not a replay
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(Seq((1L, 1L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(3L))
+      }
+      assert(e.getMessage.contains("strictly increase"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("id-type contract is mechanical: a drifting batch fails loudly at the fold boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-idt").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      // an INT-typed batch onto the long state: refused at entry (the
+      // old behavior was a silent unionByName widening into an opaque
+      // encoder ClassCastException inside the walk)
+      val intBatch = Seq((1, 1, Option(0)))
+        .map { case (c, t, p) => (c, t, p.map(java.lang.Integer.valueOf).orNull) }
+        .toDF("conv_id", "turn_id", "parent_id")
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, intBatch, "conv_id", "turn_id", "parent_id", state, Some(1L))
+      }
+      assert(e.getMessage.contains("id types"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("string-keyed store: the empty-first-batch state serves a STRING-typed empty table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-stridt").toString
+    try {
+      val state = s"$root/tree"
+      val empty = Seq.empty[(String, String, String)]
+        .toDF("conv_id", "turn_id", "parent_id")
+      TreeState.fold(spark, empty, "conv_id", "turn_id", "parent_id", state, Some(0L))
+      // the markers-only root now serves the STATE's pinned types, so a
+      // later string batch folds cleanly through the typed empty path
+      val m = TreeState.memberships(spark, state)
+      assert(m.schema("conv_id").dataType == org.apache.spark.sql.types.StringType)
+      assert(m.schema("turn_id").dataType == org.apache.spark.sql.types.StringType)
+      val b1 = Seq(("c", "r", null: String), ("c", "x", "r"))
+        .toDF("conv_id", "turn_id", "parent_id")
+      TreeState.fold(spark, b1, "conv_id", "turn_id", "parent_id", state, Some(1L))
+      val got = TreeState.memberships(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toSet
+      assert(got == Set(("c", "x", 0L, "r", true), ("c", "x", 1L, "x", true)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("fold-context duplicate keys name the BATCH as the remedy, not the turn store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-dupmsg").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      val e = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(Seq((1L, 7L, Option(0L)), (1L, 7L, Option(0L)))),
+          "conv_id", "turn_id", "parent_id", state, Some(1L))
+      }
+      assert(e.getMessage.contains("appended batch"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("maxConvRows: a secretly-huge conversation fails with a diagnosis, not an OOM") {
+    // all rows share one conv key (the null/default-key collapse the
+    // guard exists to name) — at maxConvRows=10 the walk refuses
+    val rows = (0L until 40L).map(t => (1L, t, if (t == 0) None else Some(t - 1)))
+    val e = intercept[IllegalArgumentException] {
+      ConvTree.treePaths(
+        turnsDf(rows), "conv_id", "turn_id", "parent_id", maxConvRows = 10).count()
+    }
+    assert(e.getMessage.contains("maxConvRows"), e.getMessage)
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-mcr").toString
+    try {
+      val state = s"$root/tree"
+      val e2 = intercept[IllegalArgumentException] {
+        TreeState.fold(spark, turnsDf(rows), "conv_id", "turn_id", "parent_id", state,
+          Some(0L), maxConvRows = 10)
+      }
+      assert(e2.getMessage.contains("maxConvRows"), e2.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("releasingScratchPins: a second concurrent boundary on one session is refused") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val inner = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try graft.operators.Maintenance.releasingScratchPins(spark) {
+        entered.countDown()
+        gate.await()
+      } catch { case e: Throwable => inner.set(e); entered.countDown() })
+    t.start()
+    entered.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.operators.Maintenance.releasingScratchPins(spark)(())
+      }
+      assert(e.getMessage.contains("scratch-pin boundary"), e.getMessage)
+    } finally {
+      gate.countDown()
+      t.join()
+    }
+    assert(inner.get() == null)
+    // same-thread NESTING stays legal (outer verb wrapping inner operators)
+    graft.operators.Maintenance.releasingScratchPins(spark) {
+      graft.operators.Maintenance.releasingScratchPins(spark)(())
+    }
+    // and after release, a fresh boundary enters cleanly
+    graft.operators.Maintenance.releasingScratchPins(spark)(())
+  }
 }
