@@ -444,6 +444,21 @@ object Maintenance {
     dropStaleStaging(fs, fsPath)
     deleteOrFail(fs, new HPath(s"$statePath.__append_tmp"))
     deleteOrFail(fs, new HPath(s"$statePath.__compact_seg_tmp"))
+    // ONE shingle pass and one h-window serve probe + within-batch +
+    // fold: the per-hash doc extremes ride every positional row out of
+    // the window (constant within an h group), so the within-batch dup
+    // test becomes a FILTER on the pin — no h-exchange or window
+    // re-run inside the extents chain — and the fold's per-h partial
+    // is a dropDuplicates over the pinned extremes. The pin loses its
+    // partitioning METADATA (LogicalRDD), so the dedupe still plans
+    // one ENSURE_REQUIREMENTS exchange, but the pin is physically
+    // h-clustered (the window's own exchange), so the map-side partial
+    // agg collapses every h to ONE slim row before it — the exchange
+    // carries one row per distinct hash, not the positional table.
+    // (The previous shape shuffled the FULL shingle table by h twice —
+    // once for a withinDup window, once for a separate groupBy(h)
+    // partial — measured: q105 5.5 -> 4.3 s at sf0.1; at 100 TB a
+    // whole second batch-sized exchange.)
     val pos = batch
       .select(
         col(idCol).as("doc_id"),
@@ -451,7 +466,13 @@ object Maintenance {
           graft.functions.GraftFunctions.graft_shingles_pos(split(col(textCol), "\\s+"))
         ).as(Seq("pos", "h"))
       )
-      .localCheckpoint() // one shingle pass serves probe + within-batch + fold
+      .withColumn(
+        "__mn",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .withColumn(
+        "__mx",
+        max(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .localCheckpoint()
     val stateExists = fs.exists(fsPath)
     // A replay is identified by the root marker OR by the batch's own
     // seg=b<id> dirs surviving a crash that lost the marker (append
@@ -531,11 +552,8 @@ object Maintenance {
             .toSeq
         )
       else None
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val withinDup = pos
-      .withColumn("mn", min(col("doc_id")).over(wh))
-      .withColumn("mx", max(col("doc_id")).over(wh))
-      .filter(col("mn") =!= col("mx"))
+      .filter(col("__mn") =!= col("__mx"))
       .select(col("doc_id"), col("pos"))
     val stateDup = {
       // Partition-prune the probe to the batch's buckets — as EXPLICIT
@@ -593,9 +611,13 @@ object Maintenance {
       .extentsFromDupPositions(dup)
       .filter(col("n_tokens") >= minTokens)
       .localCheckpoint() // settle BEFORE the state fold mutates the index
+    // per-h partial straight off the pinned window extremes — the
+    // map-side partial agg collapses each (physically h-clustered) pin
+    // partition to one row per h before the exchange (see the pin
+    // comment above)
     val partial = pos
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
+      .select(col("h"), col("__mn").as("mn_doc"), col("__mx").as("mx_doc"))
+      .dropDuplicates("h")
     foldStatePartitionedByHash(
       spark,
       statePath,

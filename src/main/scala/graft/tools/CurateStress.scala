@@ -115,6 +115,11 @@ object CurateStress {
       )
     else if (args.headOption.contains("turns_stream"))
       turnsStreamStress(args.lift(1).map(_.toLong).getOrElse(2000000L))
+    else if (args.headOption.contains("turns_backfill"))
+      turnsBackfillStress(
+        args.lift(1).map(_.toLong).getOrElse(200000L),
+        args.lift(2).map(_.toInt).getOrElse(100)
+      )
     else if (args.headOption.contains("tree_state"))
       treeStateStress(
         args.lift(1).map(_.toLong).getOrElse(2000000L),
@@ -639,6 +644,100 @@ object CurateStress {
     println(
       f"turns_stream: $nTurns%d turns ($nConvs%d convs) streamed in 3 causal waves -> " +
         f"$got%d membership rows in the segmented state, $total%.1f s total drain time"
+    )
+  }
+
+  /** `turns_backfill [nTurns] [nFiles]` — the cold-start arm's scale
+    * claim, measured: a backlog of `nFiles` accumulated turn files
+    * costs ONE fold through `turns_backfill` vs `nFiles` serial
+    * per-file folds through steady-state `turns_stream` (the
+    * file-=-batch contract's per-fold floor × N). Files carry disjoint
+    * complete conversations (a backlog of landed conversation shards —
+    * causal by construction). Both arms are verified against the
+    * per-conversation closed form; the backfill arm additionally
+    * proves the handoff: one post-backfill file drains through
+    * turns_stream on the SAME checkpoint (applied id advances by one,
+    * counts stay exact).
+    */
+  private def turnsBackfillStress(nTurns: Long, nFiles: Int): Unit = {
+    val spark = StressUtil.session()
+    val turnsPerConv = 20
+    require(nTurns % turnsPerConv == 0, "nTurns must be a multiple of 20")
+    val nConvs = nTurns / turnsPerConv
+    require(nConvs % nFiles == 0, "nConvs must divide evenly into nFiles")
+    val convsPerFile = nConvs / nFiles
+    val root = java.nio.file.Files.createTempDirectory("graft-turns-backfill-stress").toString
+    val t = s"(id % $turnsPerConv)"
+    val store = spark
+      .range(nTurns)
+      .select(
+        expr(s"id div $turnsPerConv").as("conv_id"),
+        expr(t).as("turn_id"),
+        expr(
+          s"CASE WHEN $t = 0 THEN CAST(NULL AS BIGINT) " +
+            s"WHEN $t % 5 = 4 THEN $t - 3 ELSE $t - 1 END"
+        ).as("parent_id")
+      )
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeBacklog(raw: String): Unit = {
+      new java.io.File(raw).mkdirs()
+      // one json file per conv range — whole conversations per file
+      store
+        .withColumn("__f", expr(s"conv_id div $convsPerFile"))
+        .repartition(nFiles, col("__f"))
+        .sortWithinPartitions(col("__f"))
+        .write
+        .partitionBy("__f")
+        .json(s"$root/json")
+      (0 until nFiles).foreach { f =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/json/__f=$f")
+        fs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".json"))
+          .zipWithIndex
+          .foreach { case (st, j) =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(f"$raw/b$f%04d-$j.json"))
+          }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/json"))
+    }
+    val perConv = graft.operators.ConvTree
+      .treePaths(store.filter(col("conv_id") === 0L), "conv_id", "turn_id", "parent_id")
+      .count()
+    // ── arm A: backfill — whole backlog, ONE fold ──────────────────
+    writeBacklog(s"$root/rawA")
+    val (_, tA) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "turns_backfill", "--raw", s"$root/rawA",
+        "--state", s"$root/treeA", "--checkpoint", s"$root/ckptA"), spark)
+    }
+    val gotA = graft.operators.TreeState.memberships(spark, s"$root/treeA").count()
+    require(gotA == perConv * nConvs, s"backfill state holds $gotA != $perConv x $nConvs")
+    // handoff: one NEW file through steady-state turns_stream on the
+    // same checkpoint — nothing lost, nothing double-folded
+    val extraConv = nConvs // a fresh conversation id past the backlog
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/rawA/z-extra.json"),
+      s"""{"conv_id":$extraConv,"turn_id":0,"parent_id":null}""")
+    graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_stream", "--raw", s"$root/rawA",
+      "--state", s"$root/treeA", "--checkpoint", s"$root/ckptA"), spark)
+    val gotA2 = graft.operators.TreeState.memberships(spark, s"$root/treeA").count()
+    require(gotA2 == perConv * nConvs + 1, s"handoff state holds $gotA2 != ${perConv * nConvs + 1}")
+    // ── arm B: steady-state — nFiles serial per-file folds ─────────
+    writeBacklog(s"$root/rawB")
+    val (_, tB) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "turns_stream", "--raw", s"$root/rawB",
+        "--state", s"$root/treeB", "--checkpoint", s"$root/ckptB"), spark)
+    }
+    val gotB = graft.operators.TreeState.memberships(spark, s"$root/treeB").count()
+    require(gotB == perConv * nConvs, s"per-file state holds $gotB != $perConv x $nConvs")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"turns_backfill: $nTurns%d turns / $nFiles%d-file backlog -> backfill $tA%.1f s " +
+        f"(ONE fold + verified handoff) vs per-file turns_stream $tB%.1f s " +
+        f"(${tB / tA}%.1fx); both states equal the closed form ($gotA%d rows)"
     )
   }
 

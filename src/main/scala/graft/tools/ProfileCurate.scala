@@ -19,6 +19,7 @@ object ProfileCurate {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val verbose = sys.env.contains("PROF_VERBOSE")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -26,7 +27,13 @@ object ProfileCurate {
           val site = js.stageInfos.lastOption.map(_.details.linesIterator.toSeq).getOrElse(Seq.empty)
             .find(l => l.contains("graft.") && !l.contains("ProfileCurate"))
             .getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
-          println(s"  JOB ${js.jobId} ${js.stageInfos.size}st $site")
+          jobStart.put(js.jobId, (System.nanoTime(), site))
+        }
+        ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        if (verbose) Option(jobStart.remove(je.jobId)).foreach { case (t0, site) =>
+          println(f"  JOB ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $site")
         }
         ()
       }
