@@ -425,6 +425,14 @@ object Maintenance {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-writer fence around the WHOLE ingest (heal + probe +
+    // fold): the staging dirs (`.__append_tmp`) are shared per state,
+    // entry healing renames dirs a live writer may be mid-swap on, and
+    // a concurrent compaction could delete segments out from under the
+    // probe — one lease serializes all of it (see withWriterLease).
+    // The returned extents are pinned (localCheckpoint) inside, so the
+    // lease releasing before the caller consumes them is safe.
+    withWriterLease(fs, statePath, leaseToken(appliedId), "incrementalDupSpans") {
     // Heal any crash-stranded state BEFORE any read: the pre-partition
     // protocol's whole-dir strand (`.__refresh_old`, kept for states
     // created before the partitioned fold) and the partitioned
@@ -633,6 +641,7 @@ object Maintenance {
         .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
     }
     extents
+    } // withWriterLease
   }
 
   /** Keyed snapshot upsert (MERGE-into-parquet): rows of `updates`
@@ -812,25 +821,32 @@ object Maintenance {
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$statePath.__refresh_old")
-    // Restore state stranded by a crash between the swap's two renames
-    // BEFORE the marker/existence checks — otherwise a retry would see
-    // no state, skip the marker, and rebuild from this batch alone,
-    // silently discarding the accumulated rollup.
-    recoverSwap(fs, fsPath, old)
-    def markerOf(dir: org.apache.hadoop.fs.Path) = new org.apache.hadoop.fs.Path(dir, "_applied_id")
-    if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId)
-      return spark.read.parquet(statePath) // retry of an applied batch: no-op
-    val merged =
-      if (fs.exists(fsPath)) fold(spark.read.parquet(statePath), partial)
-      else partial
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    appliedId.foreach { id =>
-      val out = fs.create(markerOf(tmp), true)
-      try out.write(id.toString.getBytes("UTF-8"))
-      finally out.close()
+    // Single-writer fence FIRST (see withWriterLease): two concurrent
+    // whole-swap folds both read the old state and the last swap
+    // silently discards the first batch's rows — the worst race in
+    // the repo, refused loudly instead.
+    withWriterLease(fs, statePath, leaseToken(appliedId), "foldState") {
+      // Restore state stranded by a crash between the swap's two renames
+      // BEFORE the marker/existence checks — otherwise a retry would see
+      // no state, skip the marker, and rebuild from this batch alone,
+      // silently discarding the accumulated rollup.
+      recoverSwap(fs, fsPath, old)
+      def markerOf(dir: org.apache.hadoop.fs.Path) =
+        new org.apache.hadoop.fs.Path(dir, "_applied_id")
+      if (appliedId.isDefined && fs.exists(fsPath) && readAppliedId(fs, fsPath) == appliedId)
+        return spark.read.parquet(statePath) // retry of an applied batch: no-op
+      val merged =
+        if (fs.exists(fsPath)) fold(spark.read.parquet(statePath), partial)
+        else partial
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      appliedId.foreach { id =>
+        val out = fs.create(markerOf(tmp), true)
+        try out.write(id.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
+      swapInto(fs, tmp, fsPath, old)
+      spark.read.parquet(statePath)
     }
-    swapInto(fs, tmp, fsPath, old)
-    spark.read.parquet(statePath)
   }
 
   // ──────────── segmented hash-prefix-partitioned state fold ────────────
@@ -956,6 +972,57 @@ object Maintenance {
         .foreach(_.unpersist(blocking = false))
     }
   }
+
+  /** Single-writer fence for durable state roots — the TreeState
+    * `.__writer` lease generalized to every state family here: two
+    * concurrent writers on one root interleave their swap renames,
+    * segment appends, and markers (the whole-swap [[foldState]] is
+    * worst — both read the old state, fold their own batch, and the
+    * LAST swap silently discards the first batch's rows). A writer
+    * takes the lease — a sibling `<state>.__writer` created with
+    * overwrite=false, holding its token — before any read or
+    * mutation, and releases it on exit (success OR failure; only a
+    * JVM death leaves it). A second writer with a DIFFERENT token
+    * refuses loudly; a crashed writer's retry carries the same token
+    * (the applied id) and re-enters. Two truly concurrent attempts
+    * with the SAME token are outside the contract (foreachBatch
+    * retries are serial by construction; adhoc single-shot callers
+    * are single-flight by definition).
+    */
+  private[operators] def withWriterLease[T](
+      fs: HFs,
+      statePath: String,
+      token: String,
+      family: String
+  )(body: => T): T = {
+    val p = new HPath(s"$statePath.__writer")
+    readTextFile(fs, p).map(_.trim) match {
+      case Some(t) if t == token => () // crashed attempt's retry: re-enter
+      case Some(t) =>
+        throw new IllegalArgumentException(
+          s"$family: writer lease on $statePath is held by '$t' (this attempt: '$token') — " +
+            "either a concurrent writer is live (wait for it) or a previous one crashed " +
+            "mid-operation (retry it under ITS token until it completes; remove " +
+            s"$statePath.__writer manually only after confirming the holder is dead)")
+      case None =>
+        try {
+          val out = fs.create(p, false) // overwrite=false: the atomic claim
+          try out.write(token.getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case e @ (_: java.io.IOException | _: RuntimeException) =>
+            throw new IllegalArgumentException(
+              s"$family: lost the writer-lease race on $statePath (attempt '$token') — " +
+                "a concurrent writer claimed it first; retry after it completes",
+              e)
+        }
+    }
+    try body
+    finally deleteOrFail(fs, p)
+  }
+
+  private[operators] def leaseToken(appliedId: Option[Long]): String =
+    appliedId.map(id => s"fold:$id").getOrElse("fold:adhoc")
 
   private[graft] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
@@ -1413,6 +1480,10 @@ object Maintenance {
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(s"$statePath.__pfold_tmp")
     val old = new HPath(s"$statePath.__pfold_old")
+    // compaction is a writer too: it reads every segment and swaps the
+    // whole root — racing a live ingest would read a half-appended
+    // batch and delete its segments on the swap
+    withWriterLease(fs, statePath, s"compact:${newBuckets.getOrElse(0)}", "compactSpanState") {
     recoverPartitionedFold(fs, fsPath, tmp, old)
     ensureSegmented(fs, fsPath)
     dropStaleStaging(fs, fsPath)
@@ -1448,6 +1519,7 @@ object Maintenance {
     rollForwardPartitioned(fs, fsPath, tmp, old)
     val after = listHpDirs(fs, fsPath).length
     (if (nbOut != nb) after else multi, after)
+    } // withWriterLease
   }
 
   /** Sizing snapshot of a segmented span-hash state — the observable

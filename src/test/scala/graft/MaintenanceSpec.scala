@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Maintenance
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -1449,5 +1450,58 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect()
       .map(_.getString(3))
     assert(same.forall(_ == "unchanged"))
+  }
+
+  test("writer lease: concurrent whole-swap folds are refused loudly; same-token retry re-enters") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-lease-fold").toString + "/rollup.parquet"
+    val b = Seq(("a", 10L)).toDF("k", "v")
+    Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(0L)).count()
+    // the lease is released on success
+    assert(!new java.io.File(state + ".__writer").exists())
+    // a LIVE writer (fold id 1 mid-flight, simulated by its lease):
+    // a different-id fold must refuse loudly, state untouched — the
+    // unfenced behavior was last-swap-wins, silently dropping the
+    // first batch's rows
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(state + ".__writer"), "fold:1")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(2L))
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    // the crashed writer's retry (same id -> same token) re-enters,
+    // completes, and releases
+    val after = Maintenance
+      .refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(1L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == Set(("a", 20L, 2L)))
+    assert(!new java.io.File(state + ".__writer").exists())
+  }
+
+  test("writer lease: span-state ingest and compaction are fenced too") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lease-span").toString
+    val state = s"$root/spans"
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, d, "doc_id", "text", state, Some(0L), stateBuckets = 4)
+      .count()
+    assert(!new java.io.File(state + ".__writer").exists(), "lease released after ingest")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(state + ".__writer"), "fold:9")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.incrementalDupSpans(
+        spark, d.withColumn("doc_id", col("doc_id") + 10), "doc_id", "text",
+        state, Some(1L), stateBuckets = 4)
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.compactSpanState(spark, state)
+    }
+    assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(state + ".__writer"))
+    // with the stale lease cleared, both proceed
+    Maintenance.incrementalDupSpans(
+      spark, d.withColumn("doc_id", col("doc_id") + 10), "doc_id", "text",
+      state, Some(1L), stateBuckets = 4).count()
+    Maintenance.compactSpanState(spark, state)
+    assert(!new java.io.File(state + ".__writer").exists())
   }
 }
