@@ -333,7 +333,7 @@ object TreeState {
   def report(spark: SparkSession, statePath: String): Seq[(Int, Long)] = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healAt(fs, root, statePath)
+    healForRead(fs, root, statePath)
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cv="))
       .map(st =>

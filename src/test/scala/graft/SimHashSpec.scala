@@ -134,4 +134,47 @@ class SimHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // all three injectFunction calls
   }
+
+  test("a session BUILT with the installer serves functions and the range-join rule end-to-end") {
+    // The cluster-deploy path proper: a SparkSession constructed with
+    // GraftExtensions (what `spark.sql.extensions=graft.functions.
+    // GraftExtensions` does at cluster startup) must serve the native
+    // functions through plain SQL with ZERO register() calls on it,
+    // and carry the range-join optimizer rule. Built over the shared
+    // local SparkContext; active/default sessions restored after.
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config(graft.plans.RangeJoinRewrite.WidthConf, "16")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne prev, "builder must construct a NEW session for the extension test")
+      // functions resolve in SQL with no explicit registration
+      val row = s2
+        .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "size(graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c'))) AS n")
+        .head()
+      assert(row.getDouble(0) == 11.0 && row.getInt(1) == 3)
+      // the injected optimizer rule rewrites a pure range join
+      import s2.implicits._
+      val intervals = Seq((1L, 10L, 20L), (2L, 50L, 90L)).toDF("lid", "lo", "hi")
+      val values = Seq(9L, 15L, 60L, 91L).toDF("v")
+      val joined = values.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"installed rule should have rewritten the range join:\n$plan")
+      assert(
+        joined.select("lid", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+          Set((1L, 15L), (2L, 60L)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
 }

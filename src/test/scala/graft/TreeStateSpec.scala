@@ -472,6 +472,33 @@ class TreeStateSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("readers refuse to heal swap leftovers under a live lease; read normally otherwise") {
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-readlease").toString
+    try {
+      val state = s"$root/tree"
+      TreeState.fold(spark, turnsDf(Seq((1L, 0L, None))),
+        "conv_id", "turn_id", "parent_id", state, Some(0L))
+      // live lease + NOTHING stranded: reads proceed (concurrent reads
+      // during a fold see a complete pre- or post-swap state)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$state.__writer"), "fold:1")
+      assert(rowsOf(TreeState.memberships(spark, state)) == Set((1L, 0L, 0L, 0L, true)))
+      // live lease + a fabricated mid-swap leftover: ambiguous (live
+      // writer mid-swap vs crashed) — healing's renames must not race
+      // the writer, so the read refuses loudly
+      new java.io.File(s"$state.__fold_old/cv=0").mkdirs()
+      val e = intercept[IllegalArgumentException] {
+        TreeState.memberships(spark, state)
+      }
+      assert(e.getMessage.contains("refusing to heal under a lease"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] { TreeState.report(spark, state) }
+      assert(e2.getMessage.contains("refusing to heal under a lease"), e2.getMessage)
+      // lease gone (writer finished/cleared): the reader heals and reads
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$state.__writer"))
+      assert(rowsOf(TreeState.memberships(spark, state)) == Set((1L, 0L, 0L, 0L, true)))
+      assert(!new java.io.File(s"$state.__fold_old").exists(), "leftover healed away")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("applied ids must be monotone: an OLDER id is refused with the delivery diagnosis") {
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-mono").toString
     try {
