@@ -432,6 +432,46 @@ class TreeStateSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("random STRING-keyed trees in 3 appends equal the from-scratch replay each time") {
+    // the generic-id path end-to-end through the DURABLE state: random
+    // recursive trees keyed by string conv/turn ids (UUID-ish stores),
+    // folded in three appends — after each fold the persisted
+    // memberships must equal the from-scratch walk, exercising the
+    // _idtypes sidecar, the string-typed empty path, and the walk's
+    // code-point first-visit minimum over non-numeric path keys
+    val rnd = new scala.util.Random(1337)
+    def sid(c: Int, t: Int) = f"c$c%02d-t$t%03d"
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 18).map { t =>
+        val parent = if (t == 0) null else sid(c, rnd.nextInt(t))
+        (s"conv-$c", sid(c, t), parent)
+      }
+    }
+    def df(sel: ((String, String, String)) => Boolean) =
+      rows.filter(sel).toDF("conv_id", "turn_id", "parent_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-treestate-strrand").toString
+    try {
+      val state = s"$root/tree"
+      val cuts = Seq(0 to 7, 8 to 12, 13 to 17)
+      cuts.zipWithIndex.foldLeft(Set.empty[(String, String, String)]) {
+        case (sofar, (range, i)) =>
+          val inBatch = rows.filter(r => range.contains(r._2.drop(5).toInt)).toSet
+          TreeState.fold(
+            spark, df(inBatch), "conv_id", "turn_id", "parent_id", state, Some(i.toLong),
+            buckets = 4)
+          val all = sofar ++ inBatch
+          def setOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+            .toSet
+          val want = setOf(ConvTree.treePaths(df(all), "conv_id", "turn_id", "parent_id"))
+          val got = setOf(TreeState.memberships(spark, state))
+          assert(got == want, s"after string-id fold $i: state diverges from the walk")
+          all
+      }
+      ()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("single-writer fence: a concurrent fold under a live lease is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-lease").toString
     try {
