@@ -1727,4 +1727,41 @@ class StreamingSpec extends AnyFunSuite {
     val all = backlogRows ++ Seq((3L, 2L, Option(1L)), (4L, 0L, Option.empty[Long]))
     assert(state() == replay(all), "post-handoff state must equal the full walk")
   }
+
+  test("turns backfill: empty raw dir is a no-op; an OUT-OF-ORDER backlog still folds (union is causal)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-turns-backfill-edge").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    def backfill(): Unit = graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_backfill", "--raw", s"$root/raw",
+      "--state", s"$root/tree", "--checkpoint", s"$root/ckpt"), spark)
+    // empty raw dir: zero batches, no state created, no wedge
+    backfill()
+    assert(!new java.io.File(s"$root/tree").exists())
+    // a backlog whose causal order BREAKS across files — the child's
+    // file sorts BEFORE its parent's (a cold-start landing where file
+    // order no longer reflects arrival order). Per-file turns_stream
+    // would refuse file a (orphan parent); the backfill's union IS a
+    // valid causal batch, so the cold start recovers it in one fold.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/a-child.json"),
+      """{"conv_id":1,"turn_id":1,"parent_id":0}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/b-root.json"),
+      """{"conv_id":1,"turn_id":0,"parent_id":null}""")
+    backfill()
+    val got = spark.read.parquet(s"$root/tree")
+      .select("conv_id", "path_id", "pos", "turn_id", "train")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val want = graft.operators.ConvTree.treePaths(
+      Seq((1L, 0L, null.asInstanceOf[java.lang.Long]), (1L, 1L, java.lang.Long.valueOf(0L)))
+        .toDF("conv_id", "turn_id", "parent_id"),
+      "conv_id", "turn_id", "parent_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == want, "out-of-order backlog must fold to the from-scratch walk")
+  }
 }
