@@ -213,8 +213,12 @@ object ConvTree {
       throw new IllegalArgumentException(
         s"$prefix conversation $conv exceeds maxConvRows=$maxConvRows rows in one task — " +
           "a single conversation this large would exhaust executor memory during the " +
-          "walk (is the conv key a constant/null collapsing the store onto one group?); " +
-          "raise maxConvRows deliberately for genuinely huge conversations")
+          "walk (is the conv key a constant/null collapsing the store onto one group?). " +
+          "NOTE the unit is buffered WALK ROWS, not turns: in a TreeState fold that is " +
+          "the conversation's state MEMBERSHIP rows (≈ paths × depth, which a bushy tree " +
+          "of far fewer turns can exceed) plus its batch turns. Raise max_conv_rows " +
+          "deliberately for genuinely huge conversations (--max_conv_rows on the " +
+          "tree/turns verbs)")
 
   def treePaths(
       turns: DataFrame,

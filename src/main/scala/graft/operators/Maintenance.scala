@@ -67,15 +67,23 @@ object Maintenance {
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$path.__compact_old")
-    // Restore state stranded by a prior crash BEFORE reading the input.
-    recoverSwap(fs, fsPath, old)
-    val bytes = fs.getContentSummary(fsPath).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // Fenced like every other whole-dir rewriter (r16): run against a
+    // rollup/state path concurrently with a leased foldState, an
+    // unfenced compact would race the very renames the leases
+    // serialize. Single-shot adhoc token — a crashed compact leaves no
+    // partial state in place (the swap is last), so the retry runbook
+    // is lease_break + re-run, not token re-entry.
+    withWriterLease(fs, path, adhocToken("compact"), "compact") {
+      // Restore state stranded by a prior crash BEFORE reading the input.
+      recoverSwap(fs, fsPath, old)
+      val bytes = fs.getContentSummary(fsPath).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
-    spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    swapInto(fs, tmp, fsPath, old)
+      spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      swapInto(fs, tmp, fsPath, old)
 
-    fs.listStatus(fsPath).count(_.getPath.getName.endsWith(".parquet"))
+      fs.listStatus(fsPath).count(_.getPath.getName.endsWith(".parquet"))
+    }
   }
 
   /** Incremental (cross-snapshot) exact dedup: drop incoming documents
@@ -995,34 +1003,223 @@ object Maintenance {
       token: String,
       family: String
   )(body: => T): T = {
-    val p = new HPath(s"$statePath.__writer")
-    readTextFile(fs, p).map(_.trim) match {
-      case Some(t) if t == token => () // crashed attempt's retry: re-enter
-      case Some(t) =>
-        throw new IllegalArgumentException(
-          s"$family: writer lease on $statePath is held by '$t' (this attempt: '$token') — " +
-            "either a concurrent writer is live (wait for it) or a previous one crashed " +
-            "mid-operation (retry it under ITS token until it completes; remove " +
-            s"$statePath.__writer manually only after confirming the holder is dead)")
-      case None =>
-        try {
-          val out = fs.create(p, false) // overwrite=false: the atomic claim
-          try out.write(token.getBytes("UTF-8"))
-          finally out.close()
-        } catch {
-          case e @ (_: java.io.IOException | _: RuntimeException) =>
-            throw new IllegalArgumentException(
-              s"$family: lost the writer-lease race on $statePath (attempt '$token') — " +
-                "a concurrent writer claimed it first; retry after it completes",
-              e)
-        }
-    }
+    claimOrReenterLease(fs, statePath, token, family)
     try body
-    finally deleteOrFail(fs, p)
+    finally deleteOrFail(fs, new HPath(s"$statePath.__writer"))
   }
 
+  /** Lease file body (round 16): the token on line 1 — the ONLY line
+    * the fence compares — followed by holder host/pid/created-at audit
+    * metadata, the fields `lease_report` prints and `lease_break` ages
+    * against (a crashed holder's lease used to demand a hand-deleted
+    * file; the verbs make the runbook mechanical). r15-format leases
+    * (bare token, no metadata) stay readable: token parsing takes
+    * line 1, missing fields report as unknown.
+    */
+  private[graft] def leaseBody(token: String): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown" }
+    s"$token\nhost=$host\npid=${ProcessHandle.current().pid()}\ncreated_at=${System.currentTimeMillis()}\n"
+  }
+
+  private[graft] def leaseTokenOf(body: String): String =
+    body.linesIterator.nextOption().map(_.trim).getOrElse("")
+
+  private[graft] def leaseFields(body: String): Map[String, String] =
+    body.linesIterator
+      .drop(1)
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _           => None
+      })
+      .toMap
+
+  /** Take (or re-enter) the single-writer lease on `statePath`.
+    *
+    * The claim is write-temp-then-RENAME (round 16; previously
+    * create(overwrite=false) + a second write): the lease file appears
+    * ATOMICALLY with its full body, so no crash window can leave an
+    * empty-token lease that wedges every later writer and reader with
+    * an unactionable holder ''. On HDFS-semantics stores a rename onto
+    * an existing destination fails, which makes the claim itself
+    * atomic; the fence is documented HDFS-semantics-ONLY — on stores
+    * whose rename overwrites (raw local fs) or is copy+delete (S3A
+    * without conditional writes) two racers can briefly both rename,
+    * so the claim is followed by a VERIFY read that refuses when a
+    * foreign token won. Should an empty/unparseable lease appear
+    * anyway (a pre-r16 crash, a truncated copy), it is stale BY
+    * PROTOCOL — no live r16 writer can own it — and is removed with a
+    * note rather than wedging the pipeline.
+    */
+  private[graft] def claimOrReenterLease(
+      fs: HFs,
+      statePath: String,
+      token: String,
+      family: String
+  ): Unit = {
+    val p = new HPath(s"$statePath.__writer")
+    readTextFile(fs, p) match {
+      case Some(b) if leaseTokenOf(b) == token => () // crashed attempt's retry: re-enter
+      case Some(b) if leaseTokenOf(b).isEmpty =>
+        System.err.println(
+          s"[$family] removing EMPTY writer lease at $p — stale by protocol (r16 leases " +
+            "appear atomically with their token; an empty file is a pre-r16 crash artifact)")
+        deleteOrFail(fs, p)
+        claimLease(fs, p, statePath, token, family)
+      case Some(b) =>
+        val f = leaseFields(b)
+        def fld(k: String) = f.getOrElse(k, "unknown")
+        throw new IllegalArgumentException(
+          s"$family: writer lease on $statePath is held by '${leaseTokenOf(b)}' " +
+            s"(host=${fld("host")}, pid=${fld("pid")}, created_at=${fld("created_at")}; " +
+            s"this attempt: '$token') — either a concurrent writer is live (wait for it) " +
+            "or a previous one crashed mid-operation (retry it under ITS token until it " +
+            "completes). Inspect with `--maintenance lease_report --state " + statePath +
+            "`; if the holder is confirmed dead, `--maintenance lease_break --state " +
+            statePath + "`")
+      case None => claimLease(fs, p, statePath, token, family)
+    }
+  }
+
+  private def claimLease(fs: HFs, p: HPath, statePath: String, token: String, family: String): Unit = {
+    def lostRace(cause: Throwable): Nothing =
+      throw new IllegalArgumentException(
+        s"$family: lost the writer-lease race on $statePath (attempt '$token') — " +
+          "a concurrent writer claimed it first; retry after it completes",
+        cause)
+    val tmp = new HPath(s"$statePath.__writer.claim.${java.util.UUID.randomUUID()}")
+    writeTextFile(fs, tmp, leaseBody(token))
+    val renamed =
+      try fs.rename(tmp, p)
+      catch {
+        case e @ (_: java.io.IOException | _: RuntimeException) =>
+          fs.delete(tmp, false); lostRace(e)
+      }
+    if (!renamed) { fs.delete(tmp, false); lostRace(null) }
+    // verify read: detects the rename-overwrites race on non-HDFS stores
+    if (!readTextFile(fs, p).map(leaseTokenOf).contains(token)) lostRace(null)
+  }
+
+  /** adhoc (id-less) lease tokens are UNIQUE PER ATTEMPT (round 16):
+    * the r15 constant 'fold:adhoc' meant any two concurrent id-less
+    * writers shared a token and both silently re-entered — the exact
+    * last-swap-wins race the fence exists to refuse, wearing a fence.
+    * The trade is deliberate: an id-less caller that CRASHES leaves a
+    * lease no retry can re-enter (there is no id to carry), and the
+    * runbook is `lease_break` — id-carrying callers keep crash-retry
+    * re-entry, which is why every scheduled/streaming path passes an
+    * applied id and adhoc is for single-shot human invocations only.
+    */
   private[operators] def leaseToken(appliedId: Option[Long]): String =
-    appliedId.map(id => s"fold:$id").getOrElse("fold:adhoc")
+    appliedId.map(id => s"fold:$id").getOrElse(adhocToken("fold"))
+
+  private[operators] def adhocToken(kind: String): String =
+    s"adhoc:$kind:${java.util.UUID.randomUUID()}"
+
+  /** READER-side lease discipline, generalized from TreeState (r16,
+    * verdict item 5): healing renames state dirs, which is only safe
+    * with no writer mid-swap. With no lease on the root, a reader
+    * heals exactly as a writer would — a crashed whole-swap fold
+    * strands the TARGET renamed to `.__*_old`, so until r16 every
+    * serving read failed on "path does not exist" until the NEXT
+    * write happened to run entry healing: one crash became a serving
+    * outage. Under a LIVE lease, leftovers are ambiguous (a writer
+    * mid-swap or a crash), so a reader that finds something to heal
+    * refuses loudly instead of racing the writer's renames; with
+    * nothing stranded it reads normally (each swap rename is atomic —
+    * a concurrent read sees the pre- or post-swap state, both
+    * complete).
+    */
+  private[graft] def healWholeSwapForRead(
+      spark: SparkSession,
+      statePath: String,
+      family: String
+  ): Unit = {
+    val target = new HPath(statePath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new HPath(s"$statePath.__refresh_old")
+    readTextFile(fs, new HPath(s"$statePath.__writer")) match {
+      case None => recoverSwap(fs, target, old)
+      case Some(b) =>
+        if (fs.exists(old)) throw refuseHealUnderLease(statePath, family, leaseTokenOf(b))
+    }
+  }
+
+  /** [[healWholeSwapForRead]] for the segmented span-hash state: the
+    * readability strands are the legacy whole-dir swap
+    * (`.__refresh_old`), the partitioned fold's bucket swaps
+    * (`.__pfold_tmp`/`old`), and a crashed seg-layout migration
+    * (mixed bare-files + `seg=` dirs no reader can open). Sibling
+    * append/compaction tmp dirs and `.spark-staging` entries are NOT
+    * touched here — they never block a read (dot-prefixed or outside
+    * the root), and a reader deleting them could race a writer that
+    * claimed the lease after our check.
+    */
+  private def healSpanStateForRead(spark: SparkSession, statePath: String, family: String): Unit = {
+    val root = new HPath(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val refreshOld = new HPath(s"$statePath.__refresh_old")
+    val pfoldTmp = new HPath(s"$statePath.__pfold_tmp")
+    val pfoldOld = new HPath(s"$statePath.__pfold_old")
+    readTextFile(fs, new HPath(s"$statePath.__writer")) match {
+      case None =>
+        recoverSwap(fs, root, refreshOld)
+        recoverPartitionedFold(fs, root, pfoldTmp, pfoldOld)
+        ensureSegmented(fs, root)
+      case Some(b) =>
+        if (fs.exists(refreshOld) || fs.exists(pfoldTmp) || fs.exists(pfoldOld))
+          throw refuseHealUnderLease(statePath, family, leaseTokenOf(b))
+    }
+  }
+
+  private def refuseHealUnderLease(statePath: String, family: String, holder: String) =
+    new IllegalArgumentException(
+      s"$family: state at $statePath has swap leftovers while writer lease '$holder' is " +
+        "held — a writer is live mid-swap (wait for it) or crashed (retry it under its " +
+        "token, or `--maintenance lease_break --state " + statePath + "` after confirming " +
+        "it is dead); refusing to heal under a lease")
+
+  /** Read-only lease inspection for the `lease_report` verb: (token,
+    * metadata fields) of the live lease, or None. */
+  def leaseReport(spark: SparkSession, statePath: String): Option[(String, Map[String, String])] = {
+    val p = new HPath(s"$statePath.__writer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTextFile(fs, p).map(b => (leaseTokenOf(b), leaseFields(b)))
+  }
+
+  /** Break a dead holder's writer lease — the loud, audited runbook
+    * verb for a JVM death (the lease is otherwise released in the
+    * holder's `finally`; only a crash leaves it). REFUSES while the
+    * lease is fresher than `minAgeMs`: a just-created lease is far
+    * more likely a LIVE writer than a crash, and breaking a live
+    * writer's lease re-opens the lost-batch race the fence closes.
+    * Leases without created-at metadata (r15 format, or a truncated
+    * body) are treated as old — they predate the metadata deploy.
+    * Returns the broken (token, fields) for the audit line.
+    */
+  def leaseBreak(
+      spark: SparkSession,
+      statePath: String,
+      minAgeMs: Long = 15 * 60 * 1000L
+  ): (String, Map[String, String]) = {
+    val p = new HPath(s"$statePath.__writer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = readTextFile(fs, p).getOrElse(
+      throw new IllegalArgumentException(s"lease_break: no writer lease at $p"))
+    val fields = leaseFields(body)
+    fields.get("created_at").flatMap(_.toLongOption).foreach { created =>
+      val age = System.currentTimeMillis() - created
+      if (age < minAgeMs)
+        throw new IllegalArgumentException(
+          s"lease_break: lease on $statePath is only ${age / 1000}s old " +
+            s"(threshold ${minAgeMs / 1000}s) — a lease this fresh is far more likely a " +
+            "LIVE writer than a crash; wait for it (or re-run with a lower --min_age_sec " +
+            "only after confirming host/pid from lease_report is dead)")
+    }
+    deleteOrFail(fs, p)
+    (leaseTokenOf(body), fields)
+  }
 
   private[graft] def writeTextFile(fs: HFs, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
@@ -1431,11 +1628,14 @@ object Maintenance {
     * [[incrementalDupSpans]] never need it because the row-level
     * attribution predicate is exact over raw segment rows.
     */
-  def spanStateView(spark: SparkSession, statePath: String): DataFrame =
+  def spanStateView(spark: SparkSession, statePath: String): DataFrame = {
+    // reader-side entry healing, lease-gated (see healWholeSwapForRead)
+    healSpanStateForRead(spark, statePath, "spanStateView")
     spark.read
       .parquet(statePath)
       .groupBy(col("h"))
       .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+  }
 
   /** Default writer-task byte budget for span-state compaction writes. */
   val SpanCompactTargetTaskBytes: Long = 512L * 1024 * 1024
@@ -1483,7 +1683,15 @@ object Maintenance {
     // compaction is a writer too: it reads every segment and swaps the
     // whole root — racing a live ingest would read a half-appended
     // batch and delete its segments on the swap
-    withWriterLease(fs, statePath, s"compact:${newBuckets.getOrElse(0)}", "compactSpanState") {
+    // A resharding compaction keeps a deterministic token (same target
+    // bucket count => same logical operation, crash-retry re-enters);
+    // a keep-buckets compaction is single-shot adhoc — r15's constant
+    // 'compact:0' let two concurrent ones both "re-enter" (see
+    // leaseToken's rationale).
+    withWriterLease(
+      fs, statePath,
+      newBuckets.map(n => s"compact:$n").getOrElse(adhocToken("compact")),
+      "compactSpanState") {
     recoverPartitionedFold(fs, fsPath, tmp, old)
     ensureSegmented(fs, fsPath)
     dropStaleStaging(fs, fsPath)

@@ -93,30 +93,12 @@ object TreeState {
       fs: org.apache.hadoop.fs.FileSystem,
       statePath: String,
       token: String
-  ): Unit = {
-    val p = leasePath(statePath)
-    Maintenance.readTextFile(fs, p).map(_.trim) match {
-      case Some(t) if t == token => () // crashed attempt's retry (same logical writer): re-enter
-      case Some(t) =>
-        throw new IllegalArgumentException(
-          s"TreeState: writer lease on $statePath is held by '$t' (this attempt: '$token') — " +
-            "either a concurrent fold/reshard is live (wait for it) or a previous one crashed " +
-            "mid-operation (retry it under ITS token until it completes; remove " +
-            s"${leasePath(statePath)} manually only after confirming the holder is dead)")
-      case None =>
-        try {
-          val out = fs.create(p, false) // overwrite=false: the atomic claim — a racing writer loses
-          try out.write(token.getBytes("UTF-8"))
-          finally out.close()
-        } catch {
-          case e @ (_: java.io.IOException | _: RuntimeException) =>
-            throw new IllegalArgumentException(
-              s"TreeState: lost the writer-lease race on $statePath (attempt '$token') — " +
-                "a concurrent fold/reshard claimed it first; retry after it completes",
-              e)
-        }
-    }
-  }
+  ): Unit =
+    // Shared claim protocol (round 16, Maintenance.claimOrReenterLease):
+    // temp+rename atomic appearance with host/pid/created-at runbook
+    // metadata, empty-lease-is-stale healing, verify-read race
+    // detection — one implementation for every durable family.
+    Maintenance.claimOrReenterLease(fs, statePath, token, "TreeState")
 
   private def releaseWriter(fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit =
     Maintenance.deleteOrFail(fs, leasePath(statePath))
@@ -144,8 +126,9 @@ object TreeState {
         if (stranded)
           throw new IllegalArgumentException(
             s"TreeState: state at $statePath has swap leftovers while writer lease " +
-              s"'${t.trim}' is held — a fold/reshard is live mid-swap (wait for it) or " +
-              "crashed (retry it under its token); refusing to heal under a lease")
+              s"'${Maintenance.leaseTokenOf(t)}' is held — a fold/reshard is live mid-swap " +
+              "(wait for it) or crashed (retry it under its token); refusing to heal under " +
+              "a lease")
     }
 
   /** Entry healing shared by EVERY state reader and writer: first a
@@ -409,7 +392,10 @@ object TreeState {
     // writer's staging dir must never be clobbered, and healing's
     // renames must never race a live swap. A crashed fold's retry
     // carries the same applied id → same token → re-enters.
-    acquireWriter(fs, statePath, appliedId.map(id => s"fold:$id").getOrElse("fold:adhoc"))
+    // adhoc (id-less) folds take a UNIQUE per-attempt token (r16): the
+    // constant 'fold:adhoc' let two concurrent id-less folds share a
+    // token and both silently re-enter — see Maintenance.leaseToken.
+    acquireWriter(fs, statePath, appliedId.map(id => s"fold:$id").getOrElse(Maintenance.adhocToken("fold")))
     try {
       // ── entry healing ─────────────────────────────────────────────
       // A reshard stranded between its whole-root renames (a vanished

@@ -565,16 +565,23 @@ object Pipeline {
   * overwrite-convergence; the `_space` sidecar refuses a drain under
   * a mid-campaign tokenizer retrain), and
   * `--maintenance tree_paths --turns T --out O [--conv_col C]
-  * [--turn_col K] [--parent_col P] [--max_depth N]`
+  * [--turn_col K] [--parent_col P] [--max_depth N] [--max_conv_rows N]`
   * (branched-conversation flattening: parent-pointer turns ->
   * per-(path, turn) memberships with first-visit train flags;
   * orphans, cycles, and cyclic islands refused loudly), and
   * `--maintenance tree_state --batch B --state S [--applied_id N]
   * [--conv_col C] [--turn_col K] [--parent_col P] [--max_depth N]
-  * [--buckets K]` (conv-hash bucket count, pinned at creation),
+  * [--buckets K] [--max_conv_rows N]` (conv-hash bucket count pinned
+  * at creation; max_conv_rows is the per-conversation walk-row guard
+  * — unit: buffered memberships + batch turns, not turns),
   * `--maintenance tree_state_reshard --state S --buckets N` (re-pin a
   * mis-sized bucket count; whole-root two-phase swap), and
-  * `--maintenance tree_state_report --state S` (per-bucket bytes)
+  * `--maintenance tree_state_report --state S` (per-bucket bytes),
+  * `--maintenance lease_report --state S` (read-only: who holds the
+  * writer lease — token, host, pid, age), and
+  * `--maintenance lease_break --state S [--min_age_sec N]` (loud,
+  * audited removal of a DEAD holder's lease; refuses while fresher
+  * than the threshold — default 900 s)
   * (DURABLE tree memberships: fold an appended turn batch into the
   * persistent membership state — new leaves add paths with prefixes
   * read from the state, leaf extensions replace their paths,
@@ -583,11 +590,12 @@ object Pipeline {
   * `branch_pairs --paths_state S` then serve from the state instead
   * of re-running the closure), and
   * `--maintenance turns_stream --raw R --state S --checkpoint C
-  * [--max_depth N]` (the tree family's streaming arm: tail turn-batch
+  * [--max_depth N] [--max_conv_rows N]` (the tree family's streaming
+  * arm: tail turn-batch
   * JSON files into the TreeState, exactly-once per file; files must
   * land in causal order — the orphan gate refuses violations), and
   * `--maintenance turns_backfill --raw R --state S --checkpoint C
-  * [--max_depth N]` (cold-start arm: fold the ENTIRE existing backlog
+  * [--max_depth N] [--max_conv_rows N]` (cold-start arm: fold the ENTIRE existing backlog
   * as ONE batch on the same checkpoint, then run turns_stream
   * steady-state — N accumulated files cost one fold, not N serial
   * per-file folds; the shared checkpoint hands off with nothing lost
@@ -2265,12 +2273,16 @@ object PipelineRunner {
           )
         )
         val maxDepth = opts.getOrElse("max_depth", "10000").toInt
+        // walk-row guard, raisable from the CLI (r16): the unit is
+        // buffered walk rows (memberships ≈ paths × depth + batch
+        // turns), not turns — see ConvTree.guardConvRows
+        val maxConvRows = opts.getOrElse("max_conv_rows", "2000000").toInt
         (if (verb == "turns_backfill")
            graft.streaming.StreamingPipeline
-             .turnsBackfill(spark, raw, state, ckpt, turnSchema, maxDepth)
+             .turnsBackfill(spark, raw, state, ckpt, turnSchema, maxDepth, maxConvRows)
          else
            graft.streaming.StreamingPipeline
-             .turnsIngest(spark, raw, state, ckpt, turnSchema, maxDepth))
+             .turnsIngest(spark, raw, state, ckpt, turnSchema, maxDepth, maxConvRows))
           .awaitTermination()
         // Empty-drain guard (the dsir_stream lesson): a drain that saw
         // no files never created the state — report 0 instead of
@@ -2569,7 +2581,8 @@ object PipelineRunner {
         val parentCol = opts.getOrElse("parent_col", "parent_id")
         val maxDepth = opts.getOrElse("max_depth", "10000").toInt
         val paths = graft.operators.ConvTree
-          .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth)
+          .treePaths(spark.read.parquet(turnsPath), convCol, turnCol, parentCol, maxDepth,
+            opts.getOrElse("max_conv_rows", "2000000").toInt)
         val n = Pipeline.writeCounted(paths, out)
         println(s"[maintenance] tree_paths: $n path-membership row(s) to $out")
       case Some("tree_state") =>
@@ -2595,7 +2608,8 @@ object PipelineRunner {
           state,
           opts.get("applied_id").map(_.toLong),
           maxDepth,
-          opts.getOrElse("buckets", "64").toInt
+          opts.getOrElse("buckets", "64").toInt,
+          opts.getOrElse("max_conv_rows", "2000000").toInt
         )
         println(
           s"[maintenance] tree_state: folded $batchPath; state at $state now holds " +
@@ -2619,6 +2633,41 @@ object PipelineRunner {
           f"[tree_state_report] ${rows.size}%d bucket(s), $total%d B total, " +
             f"max ${rows.map(_._2).maxOption.getOrElse(0L)}%d B"
         )
+      case Some("lease_report") =>
+        // Read-only writer-lease inspection (Maintenance.leaseReport):
+        // the first half of the mechanical runbook for a crashed
+        // holder. Prints the holder token + host/pid/created-at (with
+        // age) so an operator can check whether the holder process is
+        // actually dead before lease_break.
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        graft.operators.Maintenance.leaseReport(spark, state) match {
+          case None => println(s"[lease_report] no writer lease on $state")
+          case Some((token, fields)) =>
+            val age = fields.get("created_at").flatMap(_.toLongOption)
+              .map(c => s"${(System.currentTimeMillis() - c) / 1000}s ago")
+              .getOrElse("unknown (pre-r16 lease format)")
+            println(
+              s"[lease_report] $state is write-leased by '$token' " +
+                s"(host=${fields.getOrElse("host", "unknown")}, " +
+                s"pid=${fields.getOrElse("pid", "unknown")}, created $age). " +
+                "If the holder is live, wait; if it crashed with an applied id, retry it " +
+                "under ITS id; otherwise `--maintenance lease_break --state " + state + "`")
+        }
+      case Some("lease_break") =>
+        // Loud, audited removal of a DEAD holder's writer lease
+        // (Maintenance.leaseBreak) — refuses while the lease is
+        // fresher than --min_age_sec (default 900: a fresh lease is
+        // far more likely a live writer than a crash, and breaking a
+        // live writer re-opens the lost-batch race the fence closes).
+        val state = opts.getOrElse("state", sys.error("--state <state dir> required"))
+        val minAge = opts.getOrElse("min_age_sec", "900").toLong * 1000L
+        val (token, fields) = graft.operators.Maintenance.leaseBreak(spark, state, minAge)
+        println(
+          s"[lease_break] BROKE writer lease '$token' on $state " +
+            s"(host=${fields.getOrElse("host", "unknown")}, " +
+            s"pid=${fields.getOrElse("pid", "unknown")}, " +
+            s"created_at=${fields.getOrElse("created_at", "unknown")}) — " +
+            "verify the holder was dead; if it was live, its next mutation now races others")
       case Some("dpo_release") =>
         // The one-command DPO DATA RELEASE — the trilogy's third
         // capstone (pretraining `release`, SFT `sft_release`,

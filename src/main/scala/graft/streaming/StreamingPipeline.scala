@@ -556,10 +556,11 @@ object StreamingPipeline {
       statePath: String,
       checkpoint: String,
       turnSchema: StructType,
-      maxDepth: Int = 10000
+      maxDepth: Int = 10000,
+      maxConvRows: Int = 2000000
   ): org.apache.spark.sql.streaming.StreamingQuery =
     turnsIngestWith(spark, rawDir, statePath, checkpoint, turnSchema, maxDepth,
-      filesPerTrigger = Some(1))
+      filesPerTrigger = Some(1), maxConvRows = maxConvRows)
 
   /** Cold-start BACKFILL for [[turnsIngest]]: fold the ENTIRE existing
     * file backlog as ONE batch (one applied id, one fold), sharing the
@@ -584,10 +585,11 @@ object StreamingPipeline {
       statePath: String,
       checkpoint: String,
       turnSchema: StructType,
-      maxDepth: Int = 10000
+      maxDepth: Int = 10000,
+      maxConvRows: Int = 2000000
   ): org.apache.spark.sql.streaming.StreamingQuery =
     turnsIngestWith(spark, rawDir, statePath, checkpoint, turnSchema, maxDepth,
-      filesPerTrigger = None)
+      filesPerTrigger = None, maxConvRows = maxConvRows)
 
   private def turnsIngestWith(
       spark: SparkSession,
@@ -596,7 +598,13 @@ object StreamingPipeline {
       checkpoint: String,
       turnSchema: StructType,
       maxDepth: Int,
-      filesPerTrigger: Option[Int]
+      filesPerTrigger: Option[Int],
+      // threaded into TreeState.fold (r16): the guard's unit is
+      // buffered WALK rows (state memberships ≈ paths × depth + batch
+      // turns), and a legitimately bushy conversation can exceed the
+      // default from far fewer turns — a stream must be raisable
+      // without abandoning its checkpoint
+      maxConvRows: Int = 2000000
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val reader = spark.readStream.schema(turnSchema)
     // ENFORCE the documented file-=-batch contract on the steady-state
@@ -620,7 +628,7 @@ object StreamingPipeline {
         // measured 63 s/wave at a 6.5k-row wave before the pin
         graft.operators.TreeState.fold(
           spark, batch.localCheckpoint(), "conv_id", "turn_id", "parent_id",
-          statePath, Some(batchId), maxDepth)
+          statePath, Some(batchId), maxDepth, maxConvRows = maxConvRows)
         ()
       })
       .start()

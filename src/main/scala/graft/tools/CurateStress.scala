@@ -713,6 +713,33 @@ object CurateStress {
     }
     val gotA = graft.operators.TreeState.memberships(spark, s"$root/treeA").count()
     require(gotA == perConv * nConvs, s"backfill state holds $gotA != $perConv x $nConvs")
+    // ── crash window: fold committed, checkpoint NOT (r16) ─────────
+    // The campaign-scale risk the happy-path spec can't see: a crash
+    // AFTER the backlog fold lands its _applied_id but BEFORE the
+    // stream's commit log records batch 0. On restart AvailableNow
+    // replays the whole backlog as batch 0 from the offsets log —
+    // simulated exactly by deleting commits/0 — and the fold's marker
+    // must make that replay a no-op at full backlog scale: state
+    // row-identical, nothing double-folded. Snapshot the state, delete
+    // the commit record, re-drain, and diff.
+    val preCrash = graft.operators.TreeState
+      .memberships(spark, s"$root/treeA")
+      .localCheckpoint()
+    val commit0 = new org.apache.hadoop.fs.Path(s"$root/ckptA/commits/0")
+    require(fs.exists(commit0), s"expected the backfill's commit record at $commit0")
+    require(fs.delete(commit0, false), s"cannot delete $commit0")
+    val (_, tReplay) = StressUtil.timed {
+      graft.pipeline.PipelineRunner.run(Array(
+        "--maintenance", "turns_backfill", "--raw", s"$root/rawA",
+        "--state", s"$root/treeA", "--checkpoint", s"$root/ckptA"), spark)
+    }
+    val postCrash = graft.operators.TreeState.memberships(spark, s"$root/treeA")
+    require(postCrash.count() == gotA, s"replay changed the row count: ${postCrash.count()} != $gotA")
+    require(
+      postCrash.exceptAll(preCrash).isEmpty && preCrash.exceptAll(postCrash).isEmpty,
+      "replayed backfill batch must be row-identical to the pre-crash state")
+    println(f"turns_backfill crash-window replay (fold committed, checkpoint not): " +
+      f"no-op converged in $tReplay%.1f s, state row-identical ($gotA%d rows)")
     // handoff: one NEW file through steady-state turns_stream on the
     // same checkpoint — nothing lost, nothing double-folded
     val extraConv = nConvs // a fresh conversation id past the backlog

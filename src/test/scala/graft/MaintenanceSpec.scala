@@ -1504,4 +1504,129 @@ class MaintenanceSpec extends AnyFunSuite {
     Maintenance.compactSpanState(spark, state)
     assert(!new java.io.File(state + ".__writer").exists())
   }
+
+  test("lease runbook: body carries host/pid/created-at; report reads r16 and r15 formats") {
+    val body = Maintenance.leaseBody("fold:7")
+    assert(Maintenance.leaseTokenOf(body) == "fold:7")
+    val f = Maintenance.leaseFields(body)
+    assert(f.contains("host") && f.contains("pid") && f.contains("created_at"), f.toString)
+    assert(f("pid").toLongOption.nonEmpty && f("created_at").toLongOption.nonEmpty)
+
+    val state = Files.createTempDirectory("graft-lease-report").toString + "/state"
+    assert(Maintenance.leaseReport(spark, state).isEmpty)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(state + ".__writer"), body)
+    val Some((token, fields)) = Maintenance.leaseReport(spark, state)
+    assert(token == "fold:7" && fields("pid") == f("pid"))
+    // r15 format (bare token): token parses, fields report empty
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(state + ".__writer"), "fold:9")
+    val Some((t15, f15)) = Maintenance.leaseReport(spark, state)
+    assert(t15 == "fold:9" && f15.isEmpty)
+  }
+
+  test("lease_break: refuses while fresh, breaks after the threshold and after a crash") {
+    val state = Files.createTempDirectory("graft-lease-break").toString + "/state"
+    val lease = java.nio.file.Paths.get(state + ".__writer")
+    // fresh lease (just created): refused under the default threshold
+    java.nio.file.Files.writeString(lease, Maintenance.leaseBody("fold:1"))
+    val e = intercept[IllegalArgumentException](Maintenance.leaseBreak(spark, state))
+    assert(e.getMessage.contains("LIVE writer"), e.getMessage)
+    assert(java.nio.file.Files.exists(lease), "a refused break must not touch the lease")
+    // the same lease under a zero threshold (operator confirmed the crash): broken
+    val (token, fields) = Maintenance.leaseBreak(spark, state, minAgeMs = 0L)
+    assert(token == "fold:1" && fields.contains("pid"))
+    assert(!java.nio.file.Files.exists(lease))
+    // r15-format lease (no created-at): treated as old — breakable
+    java.nio.file.Files.writeString(lease, "fold:2")
+    assert(Maintenance.leaseBreak(spark, state)._1 == "fold:2")
+    assert(!java.nio.file.Files.exists(lease))
+    // no lease at all: loud
+    val e2 = intercept[IllegalArgumentException](Maintenance.leaseBreak(spark, state))
+    assert(e2.getMessage.contains("no writer lease"), e2.getMessage)
+  }
+
+  test("lease refusal names the runbook verbs; empty lease is stale and self-heals") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-lease-msg").toString + "/rollup.parquet"
+    val b = Seq(("a", 1L)).toDF("k", "v")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state + ".__writer"), Maintenance.leaseBody("fold:1"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(2L))
+    }
+    // the runbook is mechanical now: the message points at the verbs,
+    // not at hand-deleting the lease file
+    assert(e.getMessage.contains("lease_report"), e.getMessage)
+    assert(e.getMessage.contains("lease_break"), e.getMessage)
+    assert(!e.getMessage.contains("manually"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(state + ".__writer"))
+    // EMPTY lease file (pre-r16 crash between create and token write):
+    // stale by protocol — the writer removes it and proceeds instead of
+    // wedging on holder ''
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(state + ".__writer"), "")
+    Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = Some(0L)).count()
+    assert(!new java.io.File(state + ".__writer").exists())
+  }
+
+  test("id-less writers never share a token: an adhoc lease refuses a second adhoc fold") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-lease-adhoc").toString + "/rollup.parquet"
+    val b = Seq(("a", 1L)).toDF("k", "v")
+    // a successful id-less fold releases its (unique) lease
+    Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = None).count()
+    assert(!new java.io.File(state + ".__writer").exists())
+    // a crashed/concurrent id-less writer's lease: r15's constant
+    // 'fold:adhoc' token made a second id-less fold silently RE-ENTER
+    // (the exact last-swap-wins race, wearing a fence); r16 tokens are
+    // unique per attempt, so it refuses loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state + ".__writer"),
+      Maintenance.leaseBody("adhoc:fold:11111111-2222-3333-4444-555555555555"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.refreshAggregate(spark, b, Seq("k"), Seq("v"), state, appliedId = None)
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+  }
+
+  test("spanStateView heals a crashed swap; refuses to heal under a live lease") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-span-readlease").toString
+    val state = s"$root/spans"
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    Maintenance.incrementalDupSpans(spark, d, "doc_id", "text", state, Some(0L), stateBuckets = 4)
+      .count()
+    val n = Maintenance.spanStateView(spark, state).count()
+    assert(n > 0)
+    def mv(a: String, b: String): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+    // legacy whole-dir swap strand: the reader heals it when no lease
+    mv(state, s"$state.__refresh_old")
+    assert(Maintenance.spanStateView(spark, state).count() == n, "reader must heal the strand")
+    assert(new java.io.File(state).exists())
+    // the same strand under a LIVE lease: refuse (writer may be mid-swap)
+    mv(state, s"$state.__refresh_old")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__writer"), Maintenance.leaseBody("fold:3"))
+    val e = intercept[IllegalArgumentException](Maintenance.spanStateView(spark, state))
+    assert(e.getMessage.contains("refusing to heal under a lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$state.__writer"))
+    assert(Maintenance.spanStateView(spark, state).count() == n)
+    // live lease + nothing stranded: plain reads proceed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__writer"), Maintenance.leaseBody("fold:4"))
+    assert(Maintenance.spanStateView(spark, state).count() == n)
+  }
+
+  test("compact is fenced: refuses under a live lease, proceeds after it clears") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lease-compact").toString + "/data.parquet"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").repartition(4).write.parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir + ".__writer"), Maintenance.leaseBody("fold:3"))
+    val e = intercept[IllegalArgumentException](Maintenance.compact(spark, dir))
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir + ".__writer"))
+    assert(Maintenance.compact(spark, dir) >= 1)
+    assert(!new java.io.File(dir + ".__writer").exists(), "compact releases its lease")
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
 }

@@ -1375,4 +1375,66 @@ class PreferenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("btRatings"), e.getMessage)
     assert(e.getMessage.contains("checkpoint"), e.getMessage)
   }
+
+  // ------------------------------------------------------------------
+  // reader-side lease discipline (r16): serving readers heal crashed
+  // swaps, and refuse to heal under a live lease — TreeState's
+  // protocol, spread to the pair/win families
+  // ------------------------------------------------------------------
+
+  private def mv(a: String, b: String): Unit =
+    java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+
+  test("pairsFromState heals a crashed swap; refuses to heal under a live lease") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pair-readlease").toString
+    val state = s"$root/state"
+    Preference.pairIngest(spark,
+      Seq((1L, 10L, 3L), (1L, 11L, 5L)).toDF("prompt_id", "doc_id", "reward"),
+      "prompt_id", "doc_id", "reward", state, Some(1L))
+    // a writer crash between the swap's two renames strands the target
+    // as .__refresh_old — before r16 every serving read then failed on
+    // "path does not exist" until the next WRITE ran entry healing
+    mv(state, s"$state.__refresh_old")
+    assert(Preference.pairsFromState(spark, state).count() == 1, "reader must heal the strand")
+    assert(new java.io.File(state).exists() && !new java.io.File(s"$state.__refresh_old").exists())
+    // the same strand under a LIVE lease is ambiguous (writer mid-swap
+    // vs crash): the reader refuses instead of racing the renames
+    mv(state, s"$state.__refresh_old")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__writer"),
+      graft.operators.Maintenance.leaseBody("fold:7"))
+    val e = intercept[IllegalArgumentException](Preference.pairsFromState(spark, state))
+    assert(e.getMessage.contains("refusing to heal under a lease"), e.getMessage)
+    // lease cleared (writer finished or lease_break): the reader heals
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$state.__writer"))
+    assert(Preference.pairsFromState(spark, state).count() == 1)
+    // live lease + NOTHING stranded: plain reads proceed (swap renames
+    // are atomic — a concurrent read sees a complete state either way)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__writer"),
+      graft.operators.Maintenance.leaseBody("fold:8"))
+    assert(Preference.pairsFromState(spark, state).count() == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("winMatrixFromState heals a crashed swap; refuses to heal under a live lease") {
+    val root = java.nio.file.Files.createTempDirectory("graft-win-readlease").toString
+    val state = s"$root/state"
+    Preference.winIngest(spark,
+      Seq((1L, "a", 3L), (1L, "b", 5L)).toDF("prompt_id", "policy", "score"),
+      "prompt_id", "policy", "score", state, Some(1L))
+    mv(state, s"$state.__refresh_old")
+    assert(Preference.winMatrixFromState(spark, state).count() == 1, "reader must heal the strand")
+    mv(state, s"$state.__refresh_old")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state.__writer"),
+      graft.operators.Maintenance.leaseBody("fold:7"))
+    val e = intercept[IllegalArgumentException](Preference.winMatrixFromState(spark, state))
+    assert(e.getMessage.contains("refusing to heal under a lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$state.__writer"))
+    // btRatingsFromState rides the same gate (it reads via
+    // winMatrixFromState): after the heal it serves
+    assert(Preference.btRatingsFromState(spark, state).count() == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }

@@ -1586,6 +1586,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed() == before)
   }
 
+  test("turns_stream: --max_conv_rows reaches the fold's walk guard; raised, the stream converges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-turns-mcr").toString
+    new java.io.File(s"$root/raw").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/raw/f1.json"),
+      """{"conv_id":1,"turn_id":0,"parent_id":null}
+        |{"conv_id":1,"turn_id":1,"parent_id":0}
+        |{"conv_id":1,"turn_id":2,"parent_id":1}""".stripMargin)
+    def drain(mcr: String): Unit = graft.pipeline.PipelineRunner.run(Array(
+      "--maintenance", "turns_stream", "--raw", s"$root/raw",
+      "--state", s"$root/tree", "--checkpoint", s"$root/ckpt",
+      "--max_conv_rows", mcr), spark)
+    // an absurdly low guard: the fold refuses with the walk-row
+    // diagnosis (proving the CLI flag reaches ConvTree.guardConvRows —
+    // before r16 the verbs had no knob and a wedged stream's error
+    // told the operator to raise a parameter that didn't exist)
+    val e = intercept[Throwable](drain("2"))
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("maxConvRows"), chain)
+    // the guard fired before any swap, so no membership bucket landed
+    // (at most sidecars) and the lease was released; the SAME stream
+    // re-drained with the guard raised folds the file (exactly-once
+    // under its batch id)
+    val treeDir = new java.io.File(s"$root/tree")
+    assert(!treeDir.exists() || !treeDir.listFiles().exists(_.getName.startsWith("cv=")),
+      "guard must fire before any membership bucket lands")
+    drain("2000000")
+    assert(spark.read.parquet(s"$root/tree").count() == 3L)
+  }
+
   test("turns stream: arriving turn files fold into the tree state; equals batch folds; drained restart adds nothing") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-turns-stream").toString

@@ -523,4 +523,22 @@ class TextOpsSpec extends AnyFunSuite {
       graft.operators.Chunking.slidingChunks(d, "doc_id", "text", 4L, 5L)
     ).getMessage.contains("DROP"))
   }
+
+  test("q108 frozen-model fixture memo: repeat calls land identical steady-state rows") {
+    // The model hoist (r16) must be invisible to results: a second call
+    // in the same session serves the memoized frozen model, and the
+    // accepted-docs output is row-identical to the first call's. The
+    // feature-memo eviction Bench runs between reps must NOT drop the
+    // model memo (the hoist's whole point is surviving reps).
+    def rows() = queries.TextQueries
+      .q108CurateSteadyState(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val first = rows()
+    queries.TextQueries.clearFeatureMemo()
+    val second = rows()
+    assert(first.nonEmpty, "steady state must accept some odd-parity docs")
+    assert(second == first, "memoized frozen model drifted the steady-state output")
+  }
 }

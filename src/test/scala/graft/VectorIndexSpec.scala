@@ -431,4 +431,38 @@ class VectorIndexSpec extends AnyFunSuite {
       .collect()(0)
     assert(hit.getLong(2) == 7L, s"nearest neighbor of the scaled copy must be its donor, got $hit")
   }
+
+  test("IVF writers are fenced; readers run under a live lease (nothing to heal, by design)") {
+    import spark.implicits._
+    val idx = freshIndex()
+    val donor = vectors.filter(col("vec_id") === 7).select("emb").collect()(0).getSeq[Double](0)
+    val batch = Seq((100001L, donor.map(_ * 3.0))).toDF("vec_id", "emb")
+    // a successful append releases its lease
+    VectorIndex.append(spark, batch, idx)
+    assert(!new java.io.File(s"$idx.__writer").exists())
+    // a live foreign lease (concurrent append/rebalance, or a crashed
+    // one): append and rebalance refuse loudly — two appends sharing a
+    // vec_id both pass the anti-join, and an append racing a
+    // rebalance's cluster-dir deletes silently loses rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx.__writer"),
+      graft.operators.Maintenance.leaseBody("adhoc:ivf-append:someone-else"))
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.append(spark, Seq((100002L, donor)).toDF("vec_id", "emb"), idx))
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](VectorIndex.rebalance(spark, idx, 20.0))
+    assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+    // READERS proceed under the same live lease: the index has no swap
+    // protocol to strand (append-only writes; crash-ordered rebalance
+    // keeps every crash point probeable), so there is no healing to
+    // gate — the reader-side discipline holds vacuously
+    assert(VectorIndex.clusterStats(spark, idx).count() > 0)
+    assert(VectorIndex
+      .query(spark, Seq((200L, donor.map(_ * 2.0))).toDF("vec_id", "emb"), idx, topK = 1, nProbe = 1)
+      .count() == 1)
+    // lease cleared: writers proceed again
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx.__writer"))
+    VectorIndex.append(spark, Seq((100002L, donor)).toDF("vec_id", "emb"), idx)
+    assert(!new java.io.File(s"$idx.__writer").exists())
+  }
 }
