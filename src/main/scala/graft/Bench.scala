@@ -45,7 +45,7 @@ object Bench {
     // (per-rep 1.65/0.011/0.011 s). In durable-feature mode the memo is
     // re-pointed at the parquet tables instead (lazy reads — each rep
     // honestly re-reads the durable copy, which is the 100 TB shape).
-    def evictMemo(): Unit = {
+    def evictMemo(drain: Boolean = false): Unit = {
       graft.queries.TextQueries.clearFeatureMemo()
       // Drop every cached/localCheckpoint'd RDD the previous rep left
       // behind. Operators pin intermediate state with localCheckpoint
@@ -68,23 +68,32 @@ object Bench {
       // reads it at 3.8 s ≤ its superset q184). Blocking puts the
       // removal cost outside t0 where rep isolation demands it.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // Broadcast blocks and DEAD shuffle files (the previous rep's —
-      // each rep builds fresh DataFrames, so a finished rep's shuffles
-      // are unreachable and unreusable) are reclaimed by ContextCleaner
-      // only when GC collects their references; across a 186-query
-      // suite they otherwise accumulate until GC happens to run —
-      // cross-query state the r15 blocking unpersist() could not touch
-      // and the remaining suspect for the driver box's
-      // in-suite-vs-isolated residual on the DPO band. One explicit GC
-      // per rep enqueues that reclamation, and the short settle lets
-      // the cleaner thread (shuffle removals blocking, see session
-      // conf) drain it BEFORE t0 instead of inside the next window.
-      // NOTE eager per-execution cleanup is the wrong tool here — it
+      // Broadcast blocks and DEAD shuffle files (earlier queries' —
+      // their DataFrames are unreachable once their reps finish) are
+      // reclaimed by ContextCleaner only when GC collects their
+      // references; across a 186-query suite they otherwise accumulate
+      // until GC happens to run — cross-query state the r15 blocking
+      // unpersist() could not touch and the remaining suspect for the
+      // driver box's in-suite-vs-isolated residual on the DPO band.
+      // One explicit GC before each query's FIRST rep (drain=true)
+      // enqueues that reclamation, and the short settle lets the
+      // cleaner thread (shuffle removals blocking, see session conf)
+      // finish it BEFORE t0. First-rep-only is deliberate, measured:
+      // a full GC leaves ~0.15-0.2 s of post-GC warmup INSIDE the next
+      // timed window (A/B on five sub-second rows: 0.62-0.69 s with a
+      // per-rep GC vs 0.41-0.62 without), so draining before every rep
+      // taxed each query's MINIMUM; before rep 1 the tax rides the
+      // already-cold rep that min-of-3 discards, while reps 2-3 run
+      // GC-free and carry only their own rep's garbage. NOTE eager
+      // per-execution shuffle cleanup is the wrong tool entirely — it
       // breaks cross-ACTION reuse inside a live query (see session
       // conf comment); GC-driven cleanup only ever removes shuffles
       // whose plans are unreachable, which is exactly the dead set.
-      System.gc()
-      Thread.sleep(200)
+      // (SPARK_GRAFT_BENCH_GC=false skips the drain — the A/B knob.)
+      if (drain && !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("false")) {
+        System.gc()
+        Thread.sleep(200)
+      }
       featuresDir.foreach(fdir => graft.queries.TextQueries.pointFeaturesAt(spark, sfDir, fdir))
     }
     // Optional subset run (SPARK_GRAFT_BENCH_FILTER, comma-separated
@@ -124,8 +133,8 @@ object Bench {
       }
     val perRep: Seq[(String, Seq[Option[Double]])] =
       suite.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          evictMemo()
+        val times = (1 to reps).map { r =>
+          evictMemo(drain = r == 1)
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -165,8 +174,8 @@ object Bench {
       if (filter.isDefined) Map.empty
       else
         watchlist.flatMap { name =>
-          val times = (1 to reps).flatMap { _ =>
-            evictMemo()
+          val times = (1 to reps).flatMap { r =>
+            evictMemo(drain = r == 1)
             val t0 = System.nanoTime()
             // NonFatal ONLY (r15 advice): a fatal error here (OOM,
             // NoClassDefFound) must fail the bench run, not degrade it
