@@ -293,18 +293,19 @@ object Maintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpRoot = new HPath(s"$path.__pcompact_tmp")
     val oldRoot = new HPath(s"$path.__pcompact_old")
+    // Fenced like compact (r16): the merge reads victim dirs, swaps the
+    // rewrites in, then DELETES the victims — racing a concurrent
+    // append, a file landed in a victim dir after the read is deleted
+    // with it (silently lost rows); racing a second compaction, the
+    // two interleave per-dir renames. Adhoc token: single-shot
+    // maintenance, crash runbook = lease_break + re-run (entry healing
+    // below makes the re-run idempotent).
+    withWriterLease(fs, path, adhocToken("pcompact"), "compactPartitioned") {
     // Heal a prior crash BEFORE reading: restore dirs stranded mid-swap
     // (missing from the root), drop the rest, then clear tmp garbage
     // (every tmp dir is either unswapped — its data still lives in the
     // root — or already swapped in; both are safe to delete).
-    if (fs.exists(oldRoot)) {
-      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { st =>
-        val dst = new HPath(root, st.getPath.getName)
-        if (!fs.exists(dst)) renameOrFail(fs, st.getPath, dst)
-      }
-      deleteOrFail(fs, oldRoot)
-    }
-    deleteOrFail(fs, tmpRoot)
+    recoverPartitionedCompact(fs, root, tmpRoot, oldRoot)
     if (!fs.exists(root)) return 0
     val victims = fs
       .listStatus(root)
@@ -353,6 +354,60 @@ object Maintenance {
     deleteOrFail(fs, oldRoot)
     deleteOrFail(fs, tmpRoot)
     victims.length
+    } // withWriterLease
+  }
+
+  /** [[compactPartitioned]]'s entry healing, shared with reader-side
+    * gates: restore partition dirs stranded mid-swap (present in the
+    * old root, missing from the live one), drop the rest of the old
+    * root, clear tmp garbage. Without it a crashed partitioned
+    * compaction leaves swapped-out dirs MISSING from the root — a
+    * reader then silently sees fewer partitions (missing rows), the
+    * worst failure mode of the family.
+    */
+  private[operators] def recoverPartitionedCompact(
+      fs: HFs,
+      root: HPath,
+      tmpRoot: HPath,
+      oldRoot: HPath
+  ): Unit = {
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { st =>
+        val dst = new HPath(root, st.getPath.getName)
+        if (!fs.exists(dst)) renameOrFail(fs, st.getPath, dst)
+      }
+      deleteOrFail(fs, oldRoot)
+    }
+    deleteOrFail(fs, tmpRoot)
+  }
+
+  /** Reader-side entry healing for a dataset maintained by [[compact]]
+    * (whole-dir `.__compact_*` swap) and/or [[compactPartitioned]]
+    * (per-dir `.__pcompact_*` swaps) — the TextIndex serving gate:
+    * with no lease on the path, heal both strand shapes (a crashed
+    * whole-dir compact leaves the TARGET renamed away — every read
+    * fails; a crashed partitioned one leaves dirs missing — reads
+    * silently lose rows); under a live lease with leftovers, refuse
+    * (the writer is mid-swap); nothing stranded, read normally.
+    */
+  private[graft] def healCompactForRead(
+      spark: SparkSession,
+      path: String,
+      family: String
+  ): Unit = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cOld = new HPath(s"$path.__compact_old")
+    val pTmp = new HPath(s"$path.__pcompact_tmp")
+    val pOld = new HPath(s"$path.__pcompact_old")
+    readTextFile(fs, new HPath(s"$path.__writer")) match {
+      case None =>
+        recoverSwap(fs, root, cOld)
+        recoverPartitionedCompact(fs, root, pTmp, pOld)
+      case Some(b) =>
+        if (fs.exists(cOld) || fs.exists(pOld))
+          throw refuseHealUnderLease(path, family, leaseTokenOf(b))
+    }
   }
 
   /** Incremental duplicated-span extents — the persistent-state twin of

@@ -3088,7 +3088,14 @@ object PipelineRunner {
         // IVF assignments layout, batch-keyed telemetry, ...):
         // Maintenance.compactPartitioned rewrites every dir above the
         // file-count threshold in one job and swaps dirs in two
-        // renames each (crash-healed on the next run's entry).
+        // renames each (crash-healed on the next run's entry; fenced
+        // by a `<path>.__writer` lease since r16). NOTE the lease is
+        // on the GIVEN path — when the dir belongs to a composite
+        // state whose ingest fences on its own root (the IVF index
+        // leases `<index>`, not `<index>/assignments`), schedule this
+        // verb in the ingest's quiet window or use the owner's
+        // compaction entry point (TextIndex.compactIndex root-fences
+        // for exactly this reason).
         val path = opts.getOrElse("path", sys.error("--path <dir> required"))
         val targetMb = opts.getOrElse("target_mb", "128").toLong
         val minFiles = opts.getOrElse("min_files", "2").toInt

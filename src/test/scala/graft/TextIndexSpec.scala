@@ -114,4 +114,58 @@ class TextIndexSpec extends AnyFunSuite {
     val after = TextIndex.search(spark, idx, Seq("zzyzx", "shared"), topK = 10).collect().toSeq
     assert(after == before, "compaction must not change a single score or rank")
   }
+
+  test("search heals crashed compaction strands; refuses to heal under a live lease") {
+    val idx = freshIndex()
+    def mv(a: String, b: String): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+    val baseline = TextIndex.search(spark, idx, Seq("the"), topK = 5).collect().toSeq
+    // docs compact crash between the swap's renames: docs/ renamed
+    // away — until r16 every search then failed on a missing path
+    // until the NEXT compaction happened to run entry healing
+    mv(s"$idx/docs", s"$idx/docs.__compact_old")
+    assert(TextIndex.search(spark, idx, Seq("the"), topK = 5).collect().toSeq == baseline,
+      "search must heal the whole-dir strand and serve")
+    assert(new java.io.File(s"$idx/docs").exists())
+    // postings compaction crash: a bucket dir stranded in the old
+    // root is MISSING from the live root — the silent-missing-rows
+    // failure mode; the reader must restore it
+    val bucket = new java.io.File(s"$idx/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head.getName
+    new java.io.File(s"$idx/postings.__pcompact_old").mkdirs()
+    mv(s"$idx/postings/$bucket", s"$idx/postings.__pcompact_old/$bucket")
+    assert(TextIndex.search(spark, idx, Seq("the"), topK = 5).collect().toSeq == baseline,
+      "search must restore the stranded bucket and serve identical results")
+    assert(new java.io.File(s"$idx/postings/$bucket").exists())
+    assert(!new java.io.File(s"$idx/postings.__pcompact_old").exists())
+    // the same strands under a LIVE index-root lease: ambiguous (a
+    // compaction mid-swap or a crash) — refuse rather than race
+    mv(s"$idx/docs", s"$idx/docs.__compact_old")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx.__writer"),
+      graft.operators.Maintenance.leaseBody("adhoc:tidx-compact:x"))
+    val e = intercept[IllegalArgumentException](TextIndex.search(spark, idx, Seq("the")))
+    assert(e.getMessage.contains("refusing to heal under a lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx.__writer"))
+    assert(TextIndex.search(spark, idx, Seq("the"), topK = 5).collect().toSeq == baseline)
+  }
+
+  test("index writers are fenced: append and compactIndex refuse under a live lease") {
+    import spark.implicits._
+    val idx = freshIndex()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx.__writer"),
+      graft.operators.Maintenance.leaseBody("adhoc:tidx-append:someone-else"))
+    val e = intercept[IllegalArgumentException](
+      TextIndex.append(spark, Seq((920000L, "hello world")).toDF("doc_id", "text"), idx))
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](TextIndex.compactIndex(spark, idx))
+    assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx.__writer"))
+    TextIndex.append(spark, Seq((920000L, "hello world")).toDF("doc_id", "text"), idx)
+    assert(!new java.io.File(s"$idx.__writer").exists(), "append releases its lease")
+    TextIndex.compactIndex(spark, idx)
+    assert(!new java.io.File(s"$idx.__writer").exists(), "compactIndex releases its lease")
+    assert(TextIndex.search(spark, idx, Seq("hello"), topK = 3).collect().nonEmpty)
+  }
 }
