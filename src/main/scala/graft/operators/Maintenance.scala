@@ -124,11 +124,19 @@ object Maintenance {
       indexSizeHint: Option[Long] = None,
       maxIndexFiles: Int = 64
   ): DataFrame = {
+    val leaseFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-writer fence (r16): two concurrent batches sharing a
+    // content hash both pass the index probe and both get ACCEPTED —
+    // the duplicate lands in the output corpus silently, the very
+    // thing the operator exists to prevent; and two concurrent tier
+    // compactions can delete victim files out from under each other's
+    // reads. Adhoc token: the operator has no applied id (callers
+    // wanting replay convergence use the batch-keyed streaming arm),
+    // so the crash runbook is lease_break + re-run.
+    withWriterLease(leaseFs, indexPath, adhocToken("dedup"), "incrementalDedup") {
     val hashed = batch.withColumn("__h", md5(col(textCol)))
-    val indexExists = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val indexExists = leaseFs.exists(new org.apache.hadoop.fs.Path(indexPath))
     val fresh =
       if (indexExists) {
         val index = spark.read.parquet(indexPath)
@@ -183,6 +191,7 @@ object Maintenance {
       .parquet(indexPath)
     if (maxIndexFiles > 0) tierIndexFiles(spark, indexPath, maxIndexFiles)
     accepted.drop("__h")
+    } // withWriterLease
   }
 
   /** Size-tiered self-compaction for a flat set-semantics index
@@ -1168,6 +1177,18 @@ object Maintenance {
     */
   private[operators] def leaseToken(appliedId: Option[Long]): String =
     appliedId.map(id => s"fold:$id").getOrElse(adhocToken("fold"))
+
+  /** [[withWriterLease]] for callers outside the operators package
+    * fencing on a streaming batch id — deterministic token, so a
+    * crashed batch's automatic replay re-enters its own stale lease.
+    */
+  private[graft] def withBatchWriterLease[T](
+      fs: HFs,
+      statePath: String,
+      batchId: Long,
+      family: String
+  )(body: => T): T =
+    withWriterLease(fs, statePath, leaseToken(Some(batchId)), family)(body)
 
   private[operators] def adhocToken(kind: String): String =
     s"adhoc:$kind:${java.util.UUID.randomUUID()}"

@@ -123,13 +123,24 @@ object NearDupIndex {
       threshold: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxIndexFiles: Int = 64
+      maxIndexFiles: Int = 64,
+      appliedId: Option[Long] = None
   ): DataFrame = {
+    val leaseFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-writer fence (r16), same contract as incrementalDedup:
+    // two concurrent updates sharing a doc_id both pass the
+    // idempotence anti-join and double-index the signature, and two
+    // concurrent tier compactions delete victims under each other's
+    // reads. appliedId (the streaming arm passes its batch id) keys a
+    // deterministic token so a crashed batch's automatic replay
+    // re-enters its own stale lease; id-less single shots get a
+    // unique adhoc token (crash runbook: lease_break + re-run — the
+    // anti-join makes the re-run idempotent).
+    Maintenance.withWriterLease(
+      leaseFs, indexPath, Maintenance.leaseToken(appliedId), "NearDupIndex.update") {
     val sigs = signatures(batch, idCol, textCol).localCheckpoint()
-    val indexExists = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val indexExists = leaseFs.exists(new org.apache.hadoop.fs.Path(indexPath))
     val inBatch = pairsBetween(sigs, sigs, threshold).filter(col("doc_a") < col("doc_b"))
     val out =
       if (indexExists)
@@ -151,5 +162,6 @@ object NearDupIndex {
       .parquet(indexPath)
     if (maxIndexFiles > 0) Maintenance.tierIndexFiles(spark, indexPath, maxIndexFiles)
     settled
+    } // withWriterLease
   }
 }

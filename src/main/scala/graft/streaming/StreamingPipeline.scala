@@ -298,11 +298,18 @@ object StreamingPipeline {
       batchId: Long,
       maxIndexParts: Int = 64
   ): Long = {
+    val leaseFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-writer fence (r16): two concurrent drains on one index
+    // both probe pre-batch state and both accept a shared duplicate —
+    // the silent double-accept the operator exists to prevent. Token
+    // keyed by the batch id: foreachBatch's crash replay carries the
+    // same id and re-enters its own stale lease (the batch-keyed
+    // writes below are overwrite-convergent under it).
+    graft.operators.Maintenance.withBatchWriterLease(
+      leaseFs, indexPath, batchId, "dedupIngestBatch") {
     val hashed = batch.withColumn("__h", md5(col("text")))
-    val indexExists = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val indexExists = leaseFs.exists(new org.apache.hadoop.fs.Path(indexPath))
     val fresh =
       if (indexExists) {
         val prior = spark.read
@@ -323,6 +330,7 @@ object StreamingPipeline {
       .parquet(s"$indexPath/ingest_batch=$batchId")
     if (maxIndexParts > 0) compactIngestIndex(spark, indexPath, batchId, maxIndexParts)
     accepted.count()
+    } // withBatchWriterLease
   }
 
   /** Size-TIERED self-compaction for the batch-keyed ingest index:
@@ -658,8 +666,10 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch(perBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId as the lease's applied id: a crashed batch's replay
+        // carries the same id and re-enters its stale writer lease
         graft.operators.NearDupIndex
-          .update(spark, batch, indexPath)
+          .update(spark, batch, indexPath, appliedId = Some(batchId))
           .write
           .mode("overwrite")
           .parquet(s"$pairsPath/ingest_batch=$batchId")

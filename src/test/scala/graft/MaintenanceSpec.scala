@@ -1616,6 +1616,42 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.spanStateView(spark, state).count() == n)
   }
 
+  test("dedup index writers are fenced: adhoc refusal, batch-id re-entry on replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lease-dedup").toString
+    val index = s"$root/index"
+    val b = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    // a successful incrementalDedup releases its (unique adhoc) lease
+    assert(Maintenance.incrementalDedup(spark, b, "doc_id", "text", index).count() == 1)
+    assert(!new java.io.File(index + ".__writer").exists())
+    // a live foreign lease (concurrent batch or crashed one): refused —
+    // two concurrent batches sharing a content hash would BOTH pass the
+    // index probe and both land in the corpus
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(index + ".__writer"), Maintenance.leaseBody("adhoc:dedup:x"))
+    val e = intercept[IllegalArgumentException](
+      Maintenance.incrementalDedup(spark, b, "doc_id", "text", index))
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(index + ".__writer"))
+    // streaming arm: batch-id-keyed token — a crashed batch's replay
+    // carries the same id and RE-ENTERS its stale lease, converging
+    val corpus = s"$root/corpus"
+    val sIndex = s"$root/singest"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sIndex + ".__writer"), Maintenance.leaseBody("fold:0"))
+    val n = graft.streaming.StreamingPipeline
+      .dedupIngestBatch(spark, b, corpus, sIndex, batchId = 0L)
+    assert(n == 1L, "same-id replay must re-enter and complete")
+    assert(!new java.io.File(sIndex + ".__writer").exists(), "lease released")
+    // a DIFFERENT batch id against a live lease refuses
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sIndex + ".__writer"), Maintenance.leaseBody("fold:7"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.StreamingPipeline
+        .dedupIngestBatch(spark, b, corpus, sIndex, batchId = 1L))
+    assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+  }
+
   test("compact is fenced: refuses under a live lease, proceeds after it clears") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lease-compact").toString + "/data.parquet"

@@ -65,6 +65,30 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((3L, 1L)), s"exactly one pair expected, got ${r.mkString(",")}")
   }
 
+  test("update is fenced: foreign lease refuses; a batch-id replay re-enters its own lease") {
+    import spark.implicits._
+    val index = Files.createTempDirectory("graft-neardup-lease").toString + "/sigs.parquet"
+    val batch = Seq((1L, base)).toDF("doc_id", "text")
+    NearDupIndex.update(spark, batch, index).collect()
+    assert(!new java.io.File(index + ".__writer").exists(), "lease released after update")
+    // live foreign lease: refused (two concurrent updates sharing a
+    // doc_id would both pass the anti-join and double-index it)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(index + ".__writer"),
+      graft.operators.Maintenance.leaseBody("adhoc:neardup:someone"))
+    val e = intercept[IllegalArgumentException](NearDupIndex.update(spark, batch, index))
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(index + ".__writer"))
+    // streaming-arm contract: appliedId keys the token, so a crashed
+    // batch's replay re-enters the stale lease it left behind
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(index + ".__writer"),
+      graft.operators.Maintenance.leaseBody("fold:4"))
+    NearDupIndex.update(spark, batch, index, appliedId = Some(4L)).collect()
+    assert(!new java.io.File(index + ".__writer").exists())
+    assert(spark.read.parquet(index).count() == 1L, "replay stays idempotent under the lease")
+  }
+
   test("signature index self-compacts size-tiered; probes stay exact across tiers") {
     import spark.implicits._
     val index = Files.createTempDirectory("graft-neardup-tier").toString + "/sigs.parquet"
