@@ -1178,6 +1178,13 @@ object Maintenance {
   private[operators] def leaseToken(appliedId: Option[Long]): String =
     appliedId.map(id => s"fold:$id").getOrElse(adhocToken("fold"))
 
+  /** Stress-harness entry (tools.CurateStress `lease` arm): one
+    * claim/release cycle under a fresh adhoc token — measures the
+    * claim's mutual exclusion on the local fs where the specs run.
+    */
+  private[graft] def leaseStressProbe[T](fs: HFs, statePath: String)(body: => T): T =
+    withWriterLease(fs, statePath, adhocToken("stress"), "leaseStress")(body)
+
   /** [[withWriterLease]] for callers outside the operators package
     * fencing on a streaming batch id — deterministic token, so a
     * crashed batch's automatic replay re-enters its own stale lease.
@@ -1305,11 +1312,30 @@ object Maintenance {
 
   private[operators] def readTextFile(fs: HFs, p: HPath): Option[String] =
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8"))
-      finally in.close()
-    }
+    else
+      try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      } catch {
+        // The exists -> open pair races a concurrent delete: a writer
+        // RELEASING its lease while another writer (or a reader's heal
+        // gate) checks it made the open throw and killed the checker —
+        // found by the CurateStress `lease` arm at 8 racing threads. A
+        // file that vanished between the two calls IS "absent"; the
+        // caller then proceeds down the no-lease path (and a claim
+        // race after that is caught by the claim's own verify read).
+        case _: java.io.FileNotFoundException => None
+        // Local ChecksumFileSystem only (same stress arm): two racing
+        // claim RENAMES interleave the data file and its .crc sidecar,
+        // so a read mid-race sees one claim's bytes against the
+        // other's checksum. The file is torn BY an in-flight claim —
+        // report absent and let the claim path's verify read (or the
+        // next settled read) arbitrate. HDFS cannot produce this
+        // (rename-onto-existing fails atomically there), which is the
+        // documented semantics the fence targets.
+        case _: org.apache.hadoop.fs.ChecksumException => None
+      }
 
   private[graft] def deleteOrFail(fs: HFs, p: HPath): Unit =
     if (fs.exists(p) && !fs.delete(p, true))

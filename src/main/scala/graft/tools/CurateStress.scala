@@ -171,7 +171,93 @@ object CurateStress {
         args.lift(2).map(_.toInt).getOrElse(120),
         args.lift(3).map(_.toInt).getOrElse(200)
       )
+    else if (args.headOption.contains("lease"))
+      leaseStress(
+        args.lift(1).map(_.toInt).getOrElse(8),
+        args.lift(2).map(_.toInt).getOrElse(200)
+      )
     else batch(args)
+
+  /** `lease [threads] [rounds]` — measured mutual exclusion of the
+    * writer-lease claim on THIS filesystem: `threads` threads race
+    * `rounds` claim/release cycles each on ONE state path (unique
+    * adhoc tokens, so every pairwise overlap must refuse), and an
+    * atomic in-body occupancy counter records any instant two holders
+    * were inside simultaneously. The claim protocol is documented
+    * HDFS-semantics-only (rename-onto-existing fails there; raw local
+    * fs rename OVERWRITES, leaving a window the post-claim verify
+    * read narrows but cannot fully close) — this arm turns that
+    * caveat into a measured local number instead of a theoretical
+    * note. Violations are REPORTED, not asserted: the claim is about
+    * HDFS; the local number documents how narrow the window is where
+    * the specs actually run.
+    */
+  private def leaseStress(nThreads: Int, rounds: Int): Unit = {
+    leaseStressMode(nThreads, rounds, backoffMs = 0)
+    leaseStressMode(nThreads, rounds, backoffMs = 5)
+  }
+
+  private def leaseStressMode(nThreads: Int, rounds: Int, backoffMs: Int): Unit = {
+    val spark = StressUtil.session()
+    val root = java.nio.file.Files.createTempDirectory("graft-lease-stress").toString
+    val state = s"$root/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CyclicBarrier(nThreads)
+    val t0 = System.nanoTime()
+    val threads = (0 until nThreads).map { _ =>
+      new Thread(() => {
+        start.await()
+        var r = 0
+        while (r < rounds) {
+          try {
+            graft.operators.Maintenance.leaseStressProbe(fs, state) {
+              val now = inside.incrementAndGet()
+              if (now > 1) violations.incrementAndGet()
+              // a short dwell widens the overlap window the fence must refuse
+              Thread.sleep(0, 200000)
+              inside.decrementAndGet()
+            }
+            successes.incrementAndGet()
+          } catch {
+            case _: IllegalArgumentException =>
+              refusals.incrementAndGet()
+              // backoffMs > 0 models a real retrying scheduler; the
+              // zero-backoff mode is the adversarial continuous storm
+              // (see the printed caveat)
+              if (backoffMs > 0)
+                Thread.sleep(1L + scala.util.Random.nextInt(backoffMs))
+            case e: Throwable =>
+              // anything else is a protocol bug, not a refusal — count
+              // it loudly instead of letting the thread die silently
+              // (the first run of this arm found exactly such a bug:
+              // readTextFile's exists->open racing a release's delete)
+              errors.incrementAndGet()
+              System.err.println(s"[lease-stress] unexpected: $e")
+          }
+          r += 1
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    println(
+      f"lease[backoff=${backoffMs}%dms]: $nThreads%d threads x $rounds%d rounds on one path " +
+        f"in $secs%.1f s -> ${successes.get()}%d holds, ${refusals.get()}%d refusals, " +
+        f"${errors.get()}%d errors, ${violations.get()}%d mutual-exclusion violations " +
+        f"(raw local fs; the fence is documented HDFS-semantics-only — zero-backoff " +
+        "continuous storms can livelock into all-refusals HERE because racing local " +
+        "renames tear the lease's data/.crc pair; torn leases read as absent and " +
+        "self-heal on the next settled claim, and HDFS renames cannot interleave)"
+    )
+    spark.stop()
+  }
 
   /** Recursive relative-path → bytes snapshot of a directory tree:
     * the per-batch "bytes written" metric is the size sum of paths
