@@ -119,24 +119,36 @@ object Bpe {
       checkpointEvery: Int = 12,
       driverMaxChars: Long = 16L << 20
   ): Seq[Merge] = {
-    val hist0 = wordHistogram(df, textCol)
-    // Separator interlock: a '|' inside a token would silently corrupt
-    // symbol-boundary parsing (and diverge from any oracle). One
-    // bounded probe over the histogram, loud failure.
-    val bad = hist0.filter(col("word").contains("|")).select(col("word")).take(1)
+    // Pin the histogram FIRST, then run every probe over the pin: the
+    // previous shape ran the separator interlock as a take(1) over the
+    // un-pinned histogram (a full map stage of the corpus groupBy) and
+    // then localCheckpoint'd it AGAIN for the path probe — two
+    // corpus-sized histogram computations and four driver actions per
+    // learnMerges call, where one compute and three actions suffice
+    // (guide §1.2: remove passes before tuning anything else). The
+    // interlock and the sizing probe now share ONE bounded agg over the
+    // pinned (word, cnt) table; `sym` stays out of the pin (the driver
+    // path never needs it, the distributed path re-derives it).
+    val hist = wordHistogram(df, textCol).select(col("word"), col("cnt")).localCheckpoint()
+    // Separator interlock (over the FULL histogram, as before — a
+    // pruned-away token still fails loudly) + driver-path sizing (over
+    // the PRUNED set) in one job, loud failure.
+    val probeRow = hist
+      .agg(
+        coalesce(
+          sum(when(col("cnt") >= minCount, length(col("word"))).otherwise(lit(0L))),
+          lit(0L)
+        ).as("chars"),
+        first(when(col("word").contains("|"), col("word")), ignoreNulls = true).as("bad")
+      )
+      .collect()(0)
     require(
-      bad.isEmpty,
-      s"BPE symbol boundary '|' occurs inside token '${bad.headOption.map(_.getString(0)).getOrElse("")}': " +
+      probeRow.isNullAt(1),
+      s"BPE symbol boundary '|' occurs inside token '${probeRow.getString(1)}': " +
         "remap '|' out of the corpus (e.g. translate to a private-use char) before training"
     )
-    val pruned = (if (minCount > 1L) hist0.filter(col("cnt") >= minCount) else hist0)
-      .select(col("word"), col("cnt"))
-      .localCheckpoint()
-    // One bounded probe over the pinned histogram decides the path.
-    val probe = pruned
-      .agg(coalesce(sum(length(col("word"))), lit(0L)).as("chars"))
-      .collect()(0)
-      .getLong(0)
+    val pruned = if (minCount > 1L) hist.filter(col("cnt") >= minCount) else hist
+    val probe = probeRow.getLong(0)
     if (probe <= driverMaxChars) {
       System.err.println(
         s"[graft.Bpe] histogram fits on the driver ($probe chars <= $driverMaxChars): " +

@@ -81,7 +81,14 @@ object Packing {
       .partitionBy(col("shard"))
       .orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
+    // Pinned (Vocab.withIds' rule): the totals collect below and the
+    // caller's final action otherwise EACH execute the upstream —
+    // token counting / BPE metering / render chains for the weighted
+    // callers — plus the shard exchange and the running-sum window,
+    // twice per layout. The pin is slim metadata only (id, n_toks, h,
+    // shard, cum — the text never enters a layout), so one block-
+    // manager write buys the second full pass back at any scale.
+    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w)).localCheckpoint()
     // Pass 2: per-shard totals → driver prefix → broadcast offsets.
     // Bounded collect: one row per shard (8 at test sf, thousands at
     // scale — a few KB of longs). The same agg carries the unique-id
@@ -162,7 +169,10 @@ object Packing {
       .partitionBy(col(groupCol), col("shard"))
       .orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w))
+    // Pinned for the same reason as [[layoutFrom]]: the totals take()
+    // and the final join otherwise each run the upstream + the
+    // (group, shard) window; the pinned rows are slim metadata.
+    val withCum = prepared.withColumn("cum", sum(col("n_toks")).over(w)).localCheckpoint()
     // Cardinality interlock: the driver prefix collects groups × shards
     // rows. That is MBs of longs for domain-grained group columns
     // (dozens..thousands of sources), but a caller who passes a

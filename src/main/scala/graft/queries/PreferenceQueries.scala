@@ -603,7 +603,15 @@ object PreferenceQueries {
     * DuckDB replays the sums and floor divisions in HUGEINTs.
     */
   def q181DpoLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    // Pinned: the pointwise unroll reads `t` in BOTH union branches,
+    // and Catalyst does not share the common subtree across them — the
+    // full q180 chain (walk, render joins, BPE token metering) would
+    // execute twice per action. Project to the four consumed columns
+    // FIRST (guide §2.3: project before materializing) so the pin holds
+    // slim rows, never the rendered text.
     val t = q180DpoTokenCoords(spark, dir)
+      .select(col("chosen_toks"), col("rejected_toks"), col("chosen_score"), col("rejected_score"))
+      .localCheckpoint()
     Preference.lengthBiasSlope(
       t.select(
         lit("chosen").as("side"),
