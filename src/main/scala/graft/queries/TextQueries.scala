@@ -1382,8 +1382,8 @@ object TextQueries {
     *
     * Plan shape: a per-doc COUNT over the shared duplicated-position
     * table ([[dupPositions]] — one corpus-wide positional pass serving
-    * q87/q101/q102/q104 through the session memo, hot spans routed
-    * around the window by the df-cap pre-flag) joined back to a
+    * q87/q101/q102/q104 through the session memo, duplicated hashes
+    * decided by the skew-safe agg + semi probe) joined back to a
     * token-count projection of the corpus. A duplicated POSITION is
     * exactly what q87's numerator counts, so the fraction is a rollup
     * of the feature table — q87 pays two short keyed aggs, never its
@@ -1411,11 +1411,11 @@ object TextQueries {
       )
   }
 
-  /** Instance-df cap for the span-hash window in [[dupPositionsOf]]:
-    * spans with more occurrences than this are the Zipf head
-    * (boilerplate shared by many pages) and are routed around the
-    * window through the broadcast pre-flag. 1024 instance rows ≈ a few
-    * hundred KB of window buffer — comfortably one task. */
+  /** Retained for API stability: the round-16 [[dupPositionsOf]] shape
+    * (skew-safe agg + semi probe) needs no instance-df cap — the
+    * aggregate's map-side partial combine bounds every reducer row
+    * count by distinct hashes, and residual probe-join skew is AQE's
+    * to split. */
   private[graft] val SpanDfCap = 1024
 
   /** Positions whose 3-gram shingle also occurs in at least one OTHER
@@ -1423,28 +1423,24 @@ object TextQueries {
     * q87/q101/q102/q104. POSITION-PRESERVING: `posexplode` keeps the
     * token index so downstream can reason about spans, not counts.
     *
-    * Hot-key posture (the q21 df-cap pattern wired in): a bare window
-    * over the span hash puts EVERY instance of an ultra-hot span — a
-    * boilerplate 3-gram shared by millions of pages — into ONE window
-    * partition, and AQE cannot split a window partition (its skew rule
-    * applies to joins only). So the pass splits on instance df:
-    *   1. a per-hash stats aggregate (map-side partial combine — a
-    *      task's hot-key instances collapse to one row BEFORE the
-    *      shuffle, so this pass is skew-safe by construction) keeps the
-    *      high-df slice with its EXACT min/max doc attribution;
-    *   2. instances of a high-df span never reach the window: their
-    *      cross-doc verdict is already decided by the broadcast row
-    *      (`mn_doc != mx_doc`), making the split EXACT for every input,
-    *      not an approximation above the cap;
-    *   3. everything else flows through the window as before, whose
-    *      partitions are now ≤ dfCap rows by construction.
-    * The broadcast side is the Zipf head: ≤ instances/dfCap rows in the
-    * adversarial bound, MBs in practice; raise dfCap if it ever
-    * outgrows the driver. Cost: the corpus positional pass runs for
-    * the stats aggregate and once per consumer branch (the broadcast
-    * exchange is reused across both, plan-locked) — the price of
-    * bounding the window buffer; the memo/durable-feature layer still
-    * means ONE materialization serves all downstream consumers.
+    * Shape (round 16 — replaces the hot/cold window split): ONE
+    * skew-safe per-hash stats aggregate (map-side partial combine —
+    * every task collapses its instances of a hash to one row BEFORE
+    * the exchange, so a Zipf-head boilerplate 3-gram can never
+    * overload a reducer) computes min/max doc attribution for EVERY
+    * hash; the cross-doc-duplicated hash set (`mn != mx`) then
+    * LEFT-SEMI probes the positional pass. The previous shape routed
+    * high-df hashes around a min/max WINDOW via a broadcast pre-flag
+    * because AQE cannot split a window partition — the semi join
+    * removes the window entirely, so residual join skew lands where
+    * AQE's skew rule CAN split it, and the positional explode runs
+    * twice (stats + probe) instead of three times (stats + two
+    * consumer branches). At bench scale the dup-hash set broadcasts
+    * and the positional table is never exchanged at all; at 100 TB it
+    * degrades to a shuffled semi join with AQE skew handling — both
+    * strictly better postures than the window. (`dfCap` kept for API
+    * stability; the aggregate needs no cap.) The memo/durable-feature
+    * layer still means ONE materialization serves all consumers.
     */
   private[graft] def dupPositionsOf(d: DataFrame, dfCap: Int = SpanDfCap): DataFrame = {
     val exploded = d
@@ -1454,27 +1450,12 @@ object TextQueries {
           graft.functions.GraftFunctions.graft_shingles_pos(tokens(col("text")))
         ).as(Seq("pos", "h"))
       )
-    val hot = exploded
+    val dupH = exploded
       .groupBy(col("h"))
-      .agg(
-        count(lit(1)).as("df"),
-        min(col("doc_id")).as("mn_doc"),
-        max(col("doc_id")).as("mx_doc")
-      )
-      .filter(col("df") > dfCap)
-      .select(col("h"), (col("mn_doc") =!= col("mx_doc")).as("hot_dup"))
-    val flagged = exploded.join(broadcast(hot), Seq("h"), "left")
-    val wh = Window.partitionBy(col("h"))
-    val cold = flagged
-      .filter(col("hot_dup").isNull)
-      .withColumn("mn", min(col("doc_id")).over(wh))
-      .withColumn("mx", max(col("doc_id")).over(wh))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("doc_id"), col("pos"))
-    val hotPos = flagged
-      .filter(col("hot_dup") === true)
-      .select(col("doc_id"), col("pos"))
-    cold.unionByName(hotPos)
+      .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
+      .filter(col("mn_doc") =!= col("mx_doc"))
+      .select(col("h"))
+    exploded.join(dupH, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
   private[graft] def dupPositionsDf(spark: SparkSession, dir: String): DataFrame = {

@@ -105,31 +105,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"no Expand (countDistinct) allowed:\n$plan")
   }
 
-  test("q101: feature pass bounds the span-hash window by the df cap; consumers never re-explode") {
-    // The shared dup-position pass splits on instance df: a per-hash
-    // stats aggregate (skew-safe: map-side partial combine) decides
-    // ultra-hot spans from the broadcast high-df slice, so no window
-    // partition ever exceeds the cap — and AQE cannot split a window
-    // partition, so this bound must come from the plan itself. Three
-    // positional passes are expected (stats + the two consumer
-    // branches); the broadcast of the high-df slice must be REUSED
-    // across branches so the stats aggregate runs once (AQE applies
-    // the reuse at runtime; disabled here to make the static rule
-    // visible). The >=2-docs test stays window min!=max on the cold
-    // side — never a countDistinct Expand.
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val feature = planOf(queries.TextQueries.dupPositionsDf(spark, sf))
-      val explodes = "Generate posexplode".r.findAllIn(feature).length
-      assert(explodes == 3, s"expected stats + 2 consumer posexplodes, got $explodes:\n$feature")
-      assert(
-        feature.contains("ReusedExchange"),
-        s"high-df broadcast must be computed once and reused:\n$feature"
-      )
-      assert(feature.contains("Window"), s"cold side keeps the min/max window over h:\n$feature")
-      assert(!feature.contains("Expand"), s"no Expand (countDistinct) allowed:\n$feature")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  test("q101: feature pass is a skew-safe agg + semi probe; consumers never re-explode") {
+    // The shared dup-position pass (round-16 shape): ONE per-hash
+    // min/max aggregate (skew-safe: map-side partial combine collapses
+    // a task's instances of any Zipf-head hash to one row before the
+    // exchange) computes the cross-doc-duplicated hash set, which
+    // LEFT-SEMI probes the positional pass. No window at all — the
+    // previous hot/cold split existed because AQE cannot split a
+    // window partition; a semi join puts residual skew where AQE's
+    // skew rule CAN split it. Exactly two positional passes (stats +
+    // probe), never a countDistinct Expand.
+    val feature = planOf(queries.TextQueries.dupPositionsDf(spark, sf))
+    val explodes = "Generate posexplode".r.findAllIn(feature).length
+    assert(explodes == 2, s"expected stats + probe posexplodes, got $explodes:\n$feature")
+    assert(!feature.contains("Window"), s"no window over the span hash (skew):\n$feature")
+    assert(feature.contains("LeftSemi"), s"dup verdict must be a semi probe:\n$feature")
+    assert(!feature.contains("Expand"), s"no Expand (countDistinct) allowed:\n$feature")
     val q101 = planOf(queries.TextQueries.q101DupExtents(spark, sf))
     assert(
       !q101.contains("Generate posexplode"),
