@@ -643,8 +643,14 @@ object PreferenceQueries {
     * member stack, and the q54 shingle chain.
     */
   def q182DpoEvalDecontam(spark: SparkSession, dir: String): DataFrame =
+    // Pinned: purgeAnyOf reads its input FOUR times in one plan (the
+    // anti-join left side + one stacked projection per member column),
+    // and the input here is the full q178 walk+render chain — unpinned,
+    // the render joins executed 4x per action. The pin is the triples
+    // export itself (the thing being decontaminated), the sane
+    // materialization point at any scale.
     graft.operators.Dedup.purgeAnyOf(
-      q178BranchPairsRendered(spark, dir),
+      q178BranchPairsRendered(spark, dir).localCheckpoint(),
       docs(spark, dir).filter(col("doc_id") % 10 === 0),
       Seq("conv_id", "parent_id"),
       Seq("prompt", "chosen", "rejected"),
