@@ -150,6 +150,11 @@ object GraftFunctions {
       BpeApplyMerges.build,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_count",
+      BpeCountTokens.build,
+      "built-in"
+    )
   }
 
   /** `graft_tdigest(value, compression, p1, p2, …)` builder shared by
@@ -252,6 +257,18 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedLit(merges.map(_._2))
     )
 
+  /** Whitespace-tokenized model-token count under a merge table (see
+    * [[BpeCountTokens]]); the table is constructor state, the count is
+    * one codegen'd single-pass call per row.
+    */
+  def graft_bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    call_function(
+      "graft_bpe_count",
+      text,
+      org.apache.spark.sql.functions.typedLit(merges.map(_._1)),
+      org.apache.spark.sql.functions.typedLit(merges.map(_._2))
+    )
+
   /** Membership probe against a pre-built bloom filter (see
     * [[BloomContains]]); the serialized bits travel as a binary literal.
     */
@@ -345,6 +362,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_bpe_apply"),
         new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
         BpeApplyMerges.build
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_count"),
+        new ExpressionInfo(classOf[BpeCountTokens].getName, "graft_bpe_count"),
+        BpeCountTokens.build
       )
     )
     // Gated on spark.graft.rangeJoin.bucketWidth — a no-op until set.

@@ -589,6 +589,27 @@ object Bpe {
     * (DataFrame-level callers do it).
     */
   def modelTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty)
+      // Zero merges: token count = whitespace-word symbol count; the
+      // native expression requires a non-empty table (apply() skips
+      // empty tables too), so keep the reference chain for this
+      // degenerate case.
+      modelTokenCountFold(textCol, merges)
+    else
+      // ONE codegen'd single-pass call per row (graft_bpe_count) —
+      // the reference HOF chain below evaluates its lambdas outside
+      // whole-stage codegen, one interpreted tree walk per WORD, and
+      // builds three intermediate strings per word to produce one
+      // integer (measured: q180's metering projection was a 1.06 s
+      // job at sf0.1, the row's dominant cost). Bit-identical
+      // (BpeSpec A/B, incl. '|' words and whitespace edge cases).
+      graft.functions.GraftFunctions.graft_bpe_count(textCol, merges)
+
+  /** The reference HOF chain — the semantics [[modelTokenCount]]'s
+    * native expression must match; kept for the spec A/B and the
+    * empty-table degenerate case.
+    */
+  private[graft] def modelTokenCountFold(textCol: Column, merges: Seq[(String, String)]): Column =
     aggregate(
       filter(split(textCol, "\\s+"), w => w =!= lit("")),
       lit(0L),
@@ -636,12 +657,49 @@ object Bpe {
       .distinct()
   }
 
-  /** Per-document segmentation stats under a merge table: tokenize the
-    * DISTINCT-word table once (apply the merge fold V times, not
-    * corpus-size times), then one equi-join back to the token stream.
-    * Returns (<idCol>, n_tokens, n_bpe_tokens, bpe_ratio).
+  /** Per-document segmentation stats under a merge table: one native
+    * per-row count per document, then one doc-keyed agg over the
+    * per-row partials. Returns (<idCol>, n_tokens, n_bpe_tokens,
+    * bpe_ratio); documents with zero whitespace tokens emit nothing
+    * (the historical explode-join semantics, kept).
+    *
+    * Shape history (round 16): the previous form tokenized the
+    * DISTINCT-word vocab and equi-joined it back to the exploded
+    * token stream — TWO corpus-token-sized exchanges (explode + join
+    * by word, then the doc regroup) to amortize the merge fold across
+    * repeated words. The native count ([[modelTokenCount]]'s
+    * expression) amortizes repeats locally through its bounded
+    * word→count memo instead, so the same cross-word sharing now
+    * costs ZERO shuffles of the token stream: the one remaining
+    * exchange carries one slim partial row per input row (duplicate
+    * `idCol` rows pool, as before). Spec-proved output-identical to
+    * the vocab-join form (BpeSpec).
     */
   def segmentCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(
+        col(idCol),
+        size(filter(split(col(textCol), "\\s+"), w => w =!= lit(""))).cast("long").as("__nt"),
+        modelTokenCount(col(textCol), merges).as("__nb")
+      )
+      .filter(col("__nt") > 0)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nb")).as("n_bpe_tokens")
+      )
+      .withColumn("bpe_ratio", col("n_bpe_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** The vocab-join reference form of [[segmentCounts]] — kept for the
+    * spec A/B that proves the per-row native shape output-identical.
+    */
+  private[graft] def segmentCountsVocabJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,

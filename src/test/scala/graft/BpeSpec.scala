@@ -416,4 +416,97 @@ class BpeSpec extends AnyFunSuite {
     val zebra = applyRef("zebra", merges)
     assert(zebra.length >= 4, s"unseen 'zebra' should stay nearly characters, got $zebra")
   }
+
+  /** A/B the native single-pass count (graft_bpe_count — what
+    * [[Bpe.modelTokenCount]] plans since round 16) against the
+    * reference HOF chain on the same texts under the same table.
+    */
+  private def assertCountEquiv(texts: Seq[String], merges: Seq[(String, String)]): Unit = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df
+      .select(col("id"), Bpe.modelTokenCount(col("t"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df
+      .select(col("id"), Bpe.modelTokenCountFold(col("t"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"native count diverges from the HOF fold under $merges")
+  }
+
+  test("native count equals the HOF fold: whitespace edges, '|' words, trained + adversarial tables") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "  low \t lower\nnewest ",  // ragged ASCII whitespace: split+filter semantics
+      "",                          // empty text counts 0
+      "x",                         // single 1-symbol word
+      "a|b |c| ||| x||y",          // '|' words: the boundary-string mis-parse path, bit-for-bit
+      "aaaa aaa abab ababab"
+    )
+    val words = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val trainDf = Seq((0L, "low lower lowest low low new newer newest wide wider"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.learnMerges(trainDf, "text", 8).map(m => (m.lhs, m.rhs))
+    assertCountEquiv(texts, trained)
+    // adversarial tables (the apply-equivalence suite's cases)
+    assertCountEquiv(texts, Seq(("ab", "c"), ("a", "b")))
+    assertCountEquiv(texts, Seq(("a", "b"), ("ab", "ab"), ("a", "b")))
+    assertCountEquiv(texts, Seq(("a", "a"), ("aa", "aa"), ("aa", "a")))
+    // random corpora under their own trained tables
+    val rnd = new scala.util.Random(3131L)
+    for (_ <- 0 until 3) {
+      val ws = Vector.fill(60)((0 until (2 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      val docs = Vector.fill(20)((0 until (1 + rnd.nextInt(8))).map(_ => ws(rnd.nextInt(ws.size))).mkString(" "))
+      val rdf = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val ms = Bpe.learnMerges(rdf, "text", 8).map(m => (m.lhs, m.rhs))
+      assertCountEquiv(docs, ms)
+    }
+    // null text → null count on both paths
+    val nd = Seq((0L, Option.empty[String]), (1L, Some("low low"))).toDF("id", "t")
+    val gn = nd.select(col("id"), Bpe.modelTokenCount(col("t"), trained).as("n"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val wn = nd.select(col("id"), Bpe.modelTokenCountFold(col("t"), trained).as("n"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(gn == wn && gn(0L) == null, "null text must stay null through the native count")
+  }
+
+  test("native count equals the HOF fold at ~1k merges (production table size)") {
+    val rnd = new scala.util.Random(515151L)
+    val ws = Vector.fill(300)((0 until (8 + rnd.nextInt(24))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 1000).map(m => (m.lhs, m.rhs))
+    assert(merges.length >= 900, s"corpus must sustain ~1k merges, got ${merges.length}")
+    // the HOF fold survives 256 merges (its stack-depth ceiling, see
+    // the apply A/B); the full table checks against the driver
+    // reference segmentation instead.
+    val docs = Vector.fill(30)((0 until (1 + rnd.nextInt(6))).map(_ => ws(rnd.nextInt(ws.size))).mkString(" "))
+    assertCountEquiv(docs, merges.take(256))
+    val ddf = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = ddf.select(col("id"), Bpe.modelTokenCount(col("t"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.split("\\s+").filter(_.nonEmpty).map(w => applyRef(w, merges).length.toLong).sum)
+    }.toMap
+    assert(got == want, "native count diverges from the reference segmentation at 1k merges")
+  }
+
+  test("segmentCounts (per-row native) equals the vocab-join reference form") {
+    val rnd = new scala.util.Random(909090L)
+    val ws = Vector.fill(50)((0 until (2 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    // duplicate doc ids (pooled by the groupBy), an empty-text doc
+    // (absent from output), ragged whitespace
+    val rows = (0 until 30).map { i =>
+      val t =
+        if (i == 7) "" else (0 until (1 + rnd.nextInt(6))).map(_ => ws(rnd.nextInt(ws.size))).mkString("  ")
+      ((i % 12).toLong, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 8).map(m => (m.lhs, m.rhs))
+    def collectMap(d: DataFrame) = d
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "bpe_ratio")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val got = collectMap(Bpe.segmentCounts(df, "doc_id", "text", merges))
+    val want = collectMap(Bpe.segmentCountsVocabJoin(df, "doc_id", "text", merges))
+    assert(got == want, "per-row segmentCounts must equal the vocab-join form row-for-row")
+  }
 }

@@ -871,18 +871,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q180: token coordinates ride q178's plan — no added exchange, apply once per text column") {
+  test("q180: token coordinates ride q178's plan — no added exchange, one count per text column") {
     // withModelTokenCounts is a pure projection: the q180 plan must
     // have exactly q178's exchanges (the counts never shuffle the
     // rendered text), and each of the 3 text columns pays the native
-    // BPE apply exactly once (the q116 double-apply lesson).
+    // single-pass BPE COUNT exactly once (the q116 double-apply
+    // lesson; round 16 replaced the per-word apply+re-split HOF chain
+    // with graft_bpe_count).
     def exchanges(p: String): Int = p.sliding("Exchange".length).count(_ == "Exchange")
     val base = planOf(queries.PreferenceQueries.q178BranchPairsRendered(spark, sf))
     val plan = planOf(queries.PreferenceQueries.q180DpoTokenCoords(spark, sf))
     assert(exchanges(plan) == exchanges(base),
       s"token metering added a shuffle: q178=${exchanges(base)} q180=${exchanges(plan)}:\n$plan")
-    assert("graft_bpe_apply".r.findAllIn(plan).length == 3,
-      s"one native BPE apply per text column expected:\n$plan")
+    assert("graft_bpe_count".r.findAllIn(plan).length == 3,
+      s"one native BPE count per text column expected:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
