@@ -1119,26 +1119,40 @@ object TextQueries {
   def q82Bm25(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "table")
     val d = docs(spark, dir)
-    val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
-    val inst = d
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token").isin(terms: _*))
-    val tf = inst.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val wide = tf
-      .groupBy(col("doc_id"))
+    // ONE corpus scan: per-doc term frequencies are per-row array
+    // counts over the token split — the previous shape exploded the
+    // token stream, shuffled the instances into a (doc, term) count,
+    // re-shuffled that into per-doc wide columns, and joined them back
+    // to a SECOND corpus scan carrying doc length (4 exchanges + 2
+    // scans; plans/r16). tf is null when the term is absent, exactly
+    // the explode+groupBy row-absence the old inner join encoded —
+    // the null-vs-0 distinction feeds both the score's otherwise(0.0)
+    // arm and the doc filter below.
+    def tfOf(term: String): Column = {
+      val cnt = size(filter(tokens(col("text")), t => t === lit(term)))
+      when(cnt > 0, cnt.cast("long"))
+    }
+    val base = d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("dl"),
+      tfOf(terms(0)).as("tf_a"),
+      tfOf(terms(1)).as("tf_b")
+    )
+    // Corpus stats in ONE 1-row aggregate (n_docs, Σdl, per-term doc
+    // frequencies); empty-term guard replicates the old empty-crossJoin
+    // semantics — if either term matches no document, the output is
+    // empty, never a df=0 score.
+    val stats = base
       .agg(
-        max(when(col("token") === terms(0), col("tf"))).as("tf_a"),
-        max(when(col("token") === terms(1), col("tf"))).as("tf_b")
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"),
+        count(col("tf_a")).as("df_a"),
+        count(col("tf_b")).as("df_b")
       )
-    val dfreq = tf
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val stats = dl
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .crossJoin(broadcast(dfreq.filter(col("token") === terms(0)).select(col("df").as("df_a"))))
-      .crossJoin(broadcast(dfreq.filter(col("token") === terms(1)).select(col("df").as("df_b"))))
+      .filter(col("df_a") > 0 && col("df_b") > 0)
     val score = bm25Score _
-    dl.join(wide, Seq("doc_id"))
+    base
+      .filter(col("tf_a").isNotNull || col("tf_b").isNotNull)
       .crossJoin(broadcast(stats))
       .select(
         col("doc_id"),

@@ -542,13 +542,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"map tasks must keep <=k rows per stratum before the shuffle:\n$plan")
   }
 
-  test("q82: BM25 term filter prunes the exploded instances; stats arrive by broadcast") {
-    val plan = planOf(queries.TextQueries.q82Bm25(spark, sf))
-    assert(plan.contains("token#") && plan.contains("IN (spark,table)") || plan.contains("token"),
-      s"term filter expected in plan:\n$plan")
+  test("q82: BM25 term counts are per-row array counts — no token explode; stats arrive by broadcast") {
+    // Round 16 shape: per-doc tf for the two fixed query terms is a
+    // per-row filtered-array count (one corpus scan), and the corpus
+    // stats (n_docs, Σdl, per-term df) are ONE 1-row aggregate crossed
+    // back by broadcast — the previous explode → (doc, term) count →
+    // per-doc regroup → join-back chain shuffled the term-instance
+    // stream three times to produce the same columns.
+    val df = queries.TextQueries.q82Bm25(spark, sf)
+    val plan = planOf(df)
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.isEmpty, s"no token explode — tf is a per-row array count:\n$plan")
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       s"corpus stats must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the only shuffle left is the 1-row stats aggregate
+    val nEx = "Exchange hashpartitioning|Exchange SinglePartition".r.findAllIn(plan).length
+    assert(nEx <= 1, s"expected at most the 1-row stats exchange, got $nEx:\n$plan")
   }
 
   test("q130: vocab membership joins the histogram, never the token stream") {
