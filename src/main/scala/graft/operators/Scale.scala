@@ -526,9 +526,21 @@ object Dedup {
     * re-executing the round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // Pin the PAIR table once before fanning out: `edges` reads it in
+    // BOTH union branches and Catalyst does not share the common
+    // subtree across them, so an unpinned pair chain (q21's
+    // shingle/LSH/verify cascade behind q36/q145/q170/q141) executed
+    // twice inside the first materialization. The pin holds two id
+    // columns — never text. `edges` STAYS persist()-cached on top of
+    // the pin: an InMemoryRelation carries real size statistics, which
+    // is what lets the planner broadcast the edge side of every
+    // round's join — a bare localCheckpoint reports the default
+    // (huge) sizeInBytes and the rounds regressed to shuffled joins
+    // (measured: q141 2.0 -> 4.0 s with the pin alone).
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges
       .select(col("src").as("id"))
@@ -557,6 +569,9 @@ object Dedup {
       labels = next.drop("changed")
     }
     edges.unpersist()
+    // Superseded round pins (and `p`) are reclaimed by the
+    // ContextCleaner once unreferenced — Dataset.unpersist cannot
+    // release a localCheckpoint (it only talks to the CacheManager).
     labels
   }
 
@@ -673,11 +688,17 @@ object Dedup {
   ): DataFrame = {
     Preference.requireNumericId(docs, idCol, "keepBestOfCluster")
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    // Pinned: `labeled` feeds BOTH the per-component argmax and the
+    // join back, and Catalyst does not share the common subtree — an
+    // unpinned `docs` side (q145 derives its score with a full-text
+    // tokenize) executed twice per action. Slim rows only (id, score,
+    // component).
     val labeled = docs
       .select(col(idCol), col(scoreCol))
       .join(comp, Seq(idCol), "left")
       .withColumn("component", coalesce(col("comp"), col(idCol)))
       .drop("comp")
+      .localCheckpoint()
     val best = labeled
       .groupBy(col("component"))
       .agg(
@@ -777,10 +798,15 @@ object Dedup {
       .withColumn("component", coalesce(col("comp"), col(idCol)))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
+    // Pinned: `hist` is read twice in one plan (the output rows AND the
+    // broadcast total it is crossed with) — unpinned, the docs-side join
+    // and both aggs executed twice per action. A few rows (one per
+    // distinct cluster size).
     val hist = sizes
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_components"))
       .withColumn("n_docs", col("cluster_size") * col("n_components"))
+      .localCheckpoint()
     hist
       .crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("__total"))))
       .withColumn("share_micro", expr("(1000000L * n_docs) div __total"))

@@ -720,7 +720,14 @@ object PreferenceQueries {
     */
   private def withFoldedState[T](spark: SparkSession, dir: String)(
       f: DataFrame => T): T = {
-    val t = turnStore(spark, dir).select(col("conv_id"), col("turn_id"), col("parent_id"))
+    // Pinned: each of the 3 folds runs TWO actions over its batch (the
+    // touched-bucket distinct and the staging write), so an unpinned
+    // turn table re-scanned the docs parquet + recomputed the derived
+    // columns six times per query. The pin holds the three id columns
+    // only — never content.
+    val t = turnStore(spark, dir)
+      .select(col("conv_id"), col("turn_id"), col("parent_id"))
+      .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft-treestate-q")
     try {
       val state = root.resolve("tree").toString
@@ -752,6 +759,12 @@ object PreferenceQueries {
     val rows = withFoldedState(spark, dir) { memb =>
       graft.operators.ConvTree
         .branchPairsRenderedFrom(
+          // NOT pinned: the render reads the turn store four times in
+          // one plan, but each read is a parquet scan whose real
+          // statistics let the planner broadcast the content sides — a
+          // localCheckpoint pin (default huge sizeInBytes) demoted
+          // those joins to shuffles and measured SLOWER (3.2 -> 3.6 s)
+          // than the repeated cheap scans.
           memb, turnStore(spark, dir),
           "conv_id", "turn_id", "parent_id", "role", "content", "score", "assistant")
         .collect()

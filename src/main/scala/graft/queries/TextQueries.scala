@@ -551,9 +551,14 @@ object TextQueries {
     * global sort.
     */
   def q41Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    // Pinned: `tf` feeds BOTH the df rollup and the tf⋈df join's left
+    // side, and Catalyst does not share the common subtree across
+    // them — unpinned, the token-instance agg executed twice per
+    // action. Slim (doc_id, token, tf) rows.
     val tf = tokenInstances(spark, dir)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)

@@ -439,7 +439,14 @@ class BpeSpec extends AnyFunSuite {
       "",                          // empty text counts 0
       "x",                         // single 1-symbol word
       "a|b |c| ||| x||y",          // '|' words: the boundary-string mis-parse path, bit-for-bit
-      "aaaa aaa abab ababab"
+      "aaaa aaa abab ababab",
+      // Java-regex line terminators that survive \s+ tokenization
+      // (U+0085/U+2028/U+2029 are not in Java \s): repOf's `(.)` skips
+      // them, gluing them into the adjacent symbol (or deleting a
+      // leading one via the substr) — the native count must route
+      // these words through the reference-exact boundary path.
+      "a\u2028b low\u0085er \u2029 \u2028\u2028 x\u2028",
+      "\u2028lead a\u2028\u2029b mix|\u2028pipe low"
     )
     val words = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
     val trainDf = Seq((0L, "low lower lowest low low new newer newest wide wider"))
