@@ -317,23 +317,43 @@ object Pipeline {
       // re-reads of the micro-batch's files per batch.
       val settled = batch.localCheckpoint()
       val nIn = settled.count()
+      // The quality gate and the span ingest are INDEPENDENT until
+      // spanClean consumes both (each reads only the settled pin and
+      // its own frozen state), and each issues several sequential
+      // driver actions — run the gate on a second driver thread so its
+      // jobs back-fill executors idled by the span ingest's small
+      // sequential jobs (the scheduler runs concurrent jobs FIFO; the
+      // span path keeps priority, the gate fills the tail). Measured:
+      // the two batches' gate cost disappears from q108's critical
+      // path.
+      val gatedF = scala.concurrent.Future {
+        val keep = graft.operators.QualityModel
+          .gate(spark, settled, "doc_id", "text", modelPath)
+          .filter(col("keep_doc"))
+          .select(col("doc_id"))
+        // Also settled: the gate's dict joins would otherwise re-run
+        // for each of its two consumers (clean, output join).
+        settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       // Span extents come from the RAW batch, before the gate — matching
       // the batch rule, where q104's extents see the whole corpus: a doc
       // the quality gate rejects still proves its spans are boilerplate,
       // both for this batch's cleaning and (via the state fold) for
       // every future batch.
-      val ext = graft.operators.Maintenance
-        .incrementalDupSpans(
-          spark, settled, "doc_id", "text", spanStatePath, Some(batchId),
-          stateBuckets = spanStateBuckets
-        )
-      val keep = graft.operators.QualityModel
-        .gate(spark, settled, "doc_id", "text", modelPath)
-        .filter(col("keep_doc"))
-        .select(col("doc_id"))
-      // Also settled: the gate's dict joins would otherwise re-run for
-      // each of its two consumers (clean, output join).
-      val gated = settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val ext =
+        try
+          graft.operators.Maintenance.incrementalDupSpans(
+            spark, settled, "doc_id", "text", spanStatePath, Some(batchId),
+            stateBuckets = spanStateBuckets
+          )
+        catch {
+          case e: Throwable =>
+            // don't leave the gate's jobs running against a torn batch
+            scala.concurrent.Await.ready(gatedF, scala.concurrent.duration.Duration.Inf)
+            throw e
+        }
+      val gated =
+        scala.concurrent.Await.result(gatedF, scala.concurrent.duration.Duration.Inf)
       val cleaned = graft.operators.Dedup
         .spanClean(gated, "doc_id", "text", ext)
         .filter(

@@ -321,13 +321,21 @@ object StreamingPipeline {
     // Settle the accepted set BEFORE any effect so the two writes see
     // the same rows even though the index is mutating underneath.
     val accepted = graft.operators.Dedup.dedupExact(fresh, "doc_id", "text").localCheckpoint()
-    accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+    // The corpus partition and the index partition are independent
+    // batch-keyed overwrites off the same pin — write them on two
+    // driver threads so the second's tasks back-fill the first's tail
+    // (still crash-convergent: a replay re-overwrites both partitions
+    // whatever subset a crash left behind).
+    val corpusW = scala.concurrent.Future {
+      accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+    }(scala.concurrent.ExecutionContext.global)
     accepted
       .select(col("__h"))
       .distinct()
       .write
       .mode("overwrite")
       .parquet(s"$indexPath/ingest_batch=$batchId")
+    scala.concurrent.Await.result(corpusW, scala.concurrent.duration.Duration.Inf)
     if (maxIndexParts > 0) compactIngestIndex(spark, indexPath, batchId, maxIndexParts)
     accepted.count()
     } // withBatchWriterLease
@@ -759,7 +767,14 @@ object StreamingPipeline {
       .select(col("id_b").as("vec_id"), col("dup_of"), col("cosine"))
       .localCheckpoint()
     val accepted = fresh.join(batchDrops.select("vec_id"), Seq("vec_id"), "left_anti")
-    graft.operators.VectorIndex.appendAssigned(spark, accepted, indexPath)
+    // The index append reads only the three pins above; the telemetry
+    // write below reads only indexDrops/batchDrops (pinned — it cannot
+    // re-probe the mutated index). Independent effects: run the append
+    // on a second driver thread so the telemetry write (and the
+    // resolve chase, when enabled) back-fills its tail.
+    val appendW = scala.concurrent.Future {
+      graft.operators.VectorIndex.appendAssigned(spark, accepted, indexPath)
+    }(scala.concurrent.ExecutionContext.global)
     val telemetry0 = indexDrops
       .select(col("vec_id"), col("dup_of"), col("cosine"))
       .unionByName(batchDrops)
@@ -795,6 +810,7 @@ object StreamingPipeline {
     telemetry.write
       .mode("overwrite")
       .parquet(s"$dropsPath/ingest_batch=$batchId")
+    scala.concurrent.Await.result(appendW, scala.concurrent.duration.Duration.Inf)
     accepted.count()
   }
 
