@@ -11,6 +11,19 @@ object Maintenance {
   private type HPath = org.apache.hadoop.fs.Path
   private type HFs = org.apache.hadoop.fs.FileSystem
 
+  /** Label the driver actions `body` issues (guide §1.5) so the UI /
+    * ProfileQuery attribute each job to its operator stage instead of
+    * an anonymous AQE-stage frame. Thread-local: concurrent overlapped
+    * actions on other threads are unaffected.
+    */
+  private[graft] def labeledJobs[T](
+      spark: org.apache.spark.sql.SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobDescription(desc)
+    try body
+    finally sc.setJobDescription(null)
+  }
+
   /** Hadoop `FileSystem.rename` signals failure by returning false, not
     * throwing — an unchecked call can silently strand or delete data.
     */
@@ -539,20 +552,22 @@ object Maintenance {
     // once for a withinDup window, once for a separate groupBy(h)
     // partial — measured: q105 5.5 -> 4.3 s at sf0.1; at 100 TB a
     // whole second batch-sized exchange.)
-    val pos = batch
-      .select(
-        col(idCol).as("doc_id"),
-        posexplode(
-          graft.functions.GraftFunctions.graft_shingles_pos(split(col(textCol), "\\s+"))
-        ).as(Seq("pos", "h"))
-      )
-      .withColumn(
-        "__mn",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .withColumn(
-        "__mx",
-        max(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .localCheckpoint()
+    val pos = labeledJobs(spark, "dup_spans: shingle pass (pos pin)") {
+      batch
+        .select(
+          col(idCol).as("doc_id"),
+          posexplode(
+            graft.functions.GraftFunctions.graft_shingles_pos(split(col(textCol), "\\s+"))
+          ).as(Seq("pos", "h"))
+        )
+        .withColumn(
+          "__mn",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .withColumn(
+          "__mx",
+          max(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .localCheckpoint()
+    }
     val stateExists = fs.exists(fsPath)
     // A replay is identified by the root marker OR by the batch's own
     // seg=b<id> dirs surviving a crash that lost the marker (append
@@ -624,12 +639,14 @@ object Maintenance {
     val batchHps: Option[Seq[Int]] =
       if (partitioned)
         Some(
-          pos
-            .select(pmod(col("h"), lit(nb.toLong)).cast("int").as("hp"))
-            .distinct()
-            .collect()
-            .map(_.getInt(0))
-            .toSeq
+          labeledJobs(spark, "dup_spans: batch bucket set") {
+            pos
+              .select(pmod(col("h"), lit(nb.toLong)).cast("int").as("hp"))
+              .distinct()
+              .collect()
+              .map(_.getInt(0))
+              .toSeq
+          }
         )
       else None
     val withinDup = pos
@@ -687,10 +704,12 @@ object Maintenance {
     }
     // A position can be dup BOTH ways — distinct before the island merge.
     val dup = withinDup.unionByName(stateDup).distinct()
-    val extents = Dedup
-      .extentsFromDupPositions(dup)
-      .filter(col("n_tokens") >= minTokens)
-      .localCheckpoint() // settle BEFORE the state fold mutates the index
+    val extents = labeledJobs(spark, "dup_spans: extents (probe + islands)") {
+      Dedup
+        .extentsFromDupPositions(dup)
+        .filter(col("n_tokens") >= minTokens)
+        .localCheckpoint() // settle BEFORE the state fold mutates the index
+    }
     // per-h partial straight off the pinned window extremes — the
     // map-side partial agg collapses each (physically h-clustered) pin
     // partition to one row per h before the exchange (see the pin
@@ -698,19 +717,21 @@ object Maintenance {
     val partial = pos
       .select(col("h"), col("__mn").as("mn_doc"), col("__mx").as("mx_doc"))
       .dropDuplicates("h")
-    foldStatePartitionedByHash(
-      spark,
-      statePath,
-      appliedId,
-      partial,
-      stateBuckets,
-      batchHps,
-      maxStateSegments
-    ) { (old, p) =>
-      old
-        .unionByName(p)
-        .groupBy(col("h"))
-        .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+    labeledJobs(spark, "dup_spans: state fold") {
+      foldStatePartitionedByHash(
+        spark,
+        statePath,
+        appliedId,
+        partial,
+        stateBuckets,
+        batchHps,
+        maxStateSegments
+      ) { (old, p) =>
+        old
+          .unionByName(p)
+          .groupBy(col("h"))
+          .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
+      }
     }
     extents
     } // withWriterLease

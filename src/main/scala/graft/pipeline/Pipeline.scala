@@ -315,8 +315,12 @@ object Pipeline {
       // the gate's bigrams, and the survivor join would otherwise each
       // re-evaluate the source — inside a foreachBatch that is four
       // re-reads of the micro-batch's files per batch.
-      val settled = batch.localCheckpoint()
-      val nIn = settled.count()
+      val settled = graft.operators.Maintenance.labeledJobs(spark, "curate: settle batch") {
+        batch.localCheckpoint()
+      }
+      val nIn = graft.operators.Maintenance.labeledJobs(spark, "curate: batch count") {
+        settled.count()
+      }
       // The quality gate and the span ingest are INDEPENDENT until
       // spanClean consumes both (each reads only the settled pin and
       // its own frozen state), and each issues several sequential
@@ -327,13 +331,15 @@ object Pipeline {
       // the two batches' gate cost disappears from q108's critical
       // path.
       val gatedF = scala.concurrent.Future {
-        val keep = graft.operators.QualityModel
-          .gate(spark, settled, "doc_id", "text", modelPath)
-          .filter(col("keep_doc"))
-          .select(col("doc_id"))
-        // Also settled: the gate's dict joins would otherwise re-run
-        // for each of its two consumers (clean, output join).
-        settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+        graft.operators.Maintenance.labeledJobs(spark, "curate: quality gate (overlapped)") {
+          val keep = graft.operators.QualityModel
+            .gate(spark, settled, "doc_id", "text", modelPath)
+            .filter(col("keep_doc"))
+            .select(col("doc_id"))
+          // Also settled: the gate's dict joins would otherwise re-run
+          // for each of its two consumers (clean, output join).
+          settled.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+        }
       }(scala.concurrent.ExecutionContext.global)
       // Span extents come from the RAW batch, before the gate — matching
       // the batch rule, where q104's extents see the whole corpus: a doc

@@ -320,21 +320,27 @@ object StreamingPipeline {
       } else hashed
     // Settle the accepted set BEFORE any effect so the two writes see
     // the same rows even though the index is mutating underneath.
-    val accepted = graft.operators.Dedup.dedupExact(fresh, "doc_id", "text").localCheckpoint()
+    val accepted = graft.operators.Maintenance.labeledJobs(spark, "dedup_ingest: settle accepted") {
+      graft.operators.Dedup.dedupExact(fresh, "doc_id", "text").localCheckpoint()
+    }
     // The corpus partition and the index partition are independent
     // batch-keyed overwrites off the same pin — write them on two
     // driver threads so the second's tasks back-fill the first's tail
     // (still crash-convergent: a replay re-overwrites both partitions
     // whatever subset a crash left behind).
     val corpusW = scala.concurrent.Future {
-      accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+      graft.operators.Maintenance.labeledJobs(spark, "dedup_ingest: corpus write (overlapped)") {
+        accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+      }
     }(scala.concurrent.ExecutionContext.global)
-    accepted
-      .select(col("__h"))
-      .distinct()
-      .write
-      .mode("overwrite")
-      .parquet(s"$indexPath/ingest_batch=$batchId")
+    graft.operators.Maintenance.labeledJobs(spark, "dedup_ingest: index write") {
+      accepted
+        .select(col("__h"))
+        .distinct()
+        .write
+        .mode("overwrite")
+        .parquet(s"$indexPath/ingest_batch=$batchId")
+    }
     scala.concurrent.Await.result(corpusW, scala.concurrent.duration.Duration.Inf)
     if (maxIndexParts > 0) compactIngestIndex(spark, indexPath, batchId, maxIndexParts)
     accepted.count()

@@ -29,7 +29,12 @@ object ProfileQuery {
             .getOrElse(Seq.empty)
             .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
             .getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
-          jobStart.put(js.jobId, (System.nanoTime(), site))
+          // setJobDescription labels (guide §1.5) beat the call-site
+          // frame — AQE stage jobs all surface as an anonymous
+          // CompletableFuture frame otherwise.
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          jobStart.put(js.jobId, (System.nanoTime(), desc.map(d => s"[$d] $site").getOrElse(site)))
           ()
         }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
