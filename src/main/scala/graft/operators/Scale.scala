@@ -496,13 +496,25 @@ object Dedup {
       )
   }
 
-  /** Exact dedup: keep the smallest id per identical content. */
+  /** Exact dedup: keep the smallest id per identical content.
+    *
+    * ONE pass: a row_number over the content-hash groups (bounded —
+    * a group is the copy count of one text). The previous
+    * agg-plus-semi-join form read `docs` TWICE in one plan (Catalyst
+    * does not share the subtree between the agg side and the join
+    * side), which doubled every expensive upstream — q108's
+    * dedup-ingest probe ran its prior-index anti-join twice per
+    * batch, q86 its quality gate. Same kept rows (ids are unique in
+    * every caller — enforced upstream by the batch/corpus contracts).
+    */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = docs
-      .groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    docs.join(keep, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol))
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
   }
 
   /** Connected components over a near-dup pair table (doc_a < doc_b):
