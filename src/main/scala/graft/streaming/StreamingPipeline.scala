@@ -328,9 +328,18 @@ object StreamingPipeline {
     // driver threads so the second's tasks back-fill the first's tail
     // (still crash-convergent: a replay re-overwrites both partitions
     // whatever subset a crash left behind).
+    // The accepted count rides the corpus write as an Observation —
+    // every accepted row already flows through that action, so the
+    // old trailing `accepted.count()` job is pure duplication.
+    val obs = org.apache.spark.sql.Observation()
     val corpusW = scala.concurrent.Future {
       graft.operators.Maintenance.labeledJobs(spark, "dedup_ingest: corpus write (overlapped)") {
-        accepted.drop("__h").write.mode("overwrite").parquet(s"$corpusPath/ingest_batch=$batchId")
+        accepted
+          .drop("__h")
+          .observe(obs, count(lit(1)).as("n"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$corpusPath/ingest_batch=$batchId")
       }
     }(scala.concurrent.ExecutionContext.global)
     graft.operators.Maintenance.labeledJobs(spark, "dedup_ingest: index write") {
@@ -343,7 +352,7 @@ object StreamingPipeline {
     }
     scala.concurrent.Await.result(corpusW, scala.concurrent.duration.Duration.Inf)
     if (maxIndexParts > 0) compactIngestIndex(spark, indexPath, batchId, maxIndexParts)
-    accepted.count()
+    obs.get("n").asInstanceOf[Long]
     } // withBatchWriterLease
   }
 
