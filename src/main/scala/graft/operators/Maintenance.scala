@@ -704,12 +704,24 @@ object Maintenance {
     }
     // A position can be dup BOTH ways — distinct before the island merge.
     val dup = withinDup.unionByName(stateDup).distinct()
-    val extents = labeledJobs(spark, "dup_spans: extents (probe + islands)") {
-      Dedup
-        .extentsFromDupPositions(dup)
-        .filter(col("n_tokens") >= minTokens)
-        .localCheckpoint() // settle BEFORE the state fold mutates the index
-    }
+    // The extents pin and the fold's STAGING write are independent —
+    // both read only the pos pin and the PRE-batch state (staging
+    // lands in a tmp dir no probe ever reads) — so they run
+    // concurrently (guide §2.6); the fold's VISIBLE mutation (the
+    // per-bucket move-in / root swap) waits for the extents pin via
+    // `beforeCommit`, which keeps the settle-before-effect rule
+    // structural. A crash in the overlapped window leaves only
+    // pre-commit tmp garbage (swept on entry, as before); a crash
+    // AFTER the commit replays to identical extents — the probe
+    // excludes self-attributed hashes, the documented replay contract.
+    val extentsF = scala.concurrent.Future {
+      labeledJobs(spark, "dup_spans: extents (probe + islands, overlapped)") {
+        Dedup
+          .extentsFromDupPositions(dup)
+          .filter(col("n_tokens") >= minTokens)
+          .localCheckpoint() // settled BEFORE the fold's commit (beforeCommit)
+      }
+    }(scala.concurrent.ExecutionContext.global)
     // per-h partial straight off the pinned window extremes — the
     // map-side partial agg collapses each (physically h-clustered) pin
     // partition to one row per h before the exchange (see the pin
@@ -725,7 +737,13 @@ object Maintenance {
         partial,
         stateBuckets,
         batchHps,
-        maxStateSegments
+        maxStateSegments,
+        // ready, not result: if the extents computation failed, the
+        // commit still converges (replay recomputes identical extents
+        // against the post-fold state) and the real failure is
+        // rethrown by the Await.result below.
+        beforeCommit =
+          () => { scala.concurrent.Await.ready(extentsF, scala.concurrent.duration.Duration.Inf); () }
       ) { (old, p) =>
         old
           .unionByName(p)
@@ -733,7 +751,7 @@ object Maintenance {
           .agg(min(col("mn_doc")).as("mn_doc"), max(col("mx_doc")).as("mx_doc"))
       }
     }
-    extents
+    scala.concurrent.Await.result(extentsF, scala.concurrent.duration.Duration.Inf)
     } // withWriterLease
   }
 
@@ -1916,7 +1934,13 @@ object Maintenance {
       partial: DataFrame,
       buckets: Int,
       dirtyHint: Option[Seq[Int]],
-      maxSegments: Int = 8
+      maxSegments: Int = 8,
+      // Invoked after the staging write completes and BEFORE the first
+      // visible mutation (root swap / segment move-in) — the hook a
+      // caller uses to overlap independent work with the staging pass
+      // while keeping its settle-before-effect ordering against the
+      // committed state.
+      beforeCommit: () => Unit = () => ()
   )(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
     val fsPath = new HPath(statePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1981,6 +2005,7 @@ object Maintenance {
         new HPath(tmp, "_commit"),
         "full" + (if (appliedId.isDefined) " id" else " noid")
       )
+      beforeCommit()
       rollForwardPartitioned(fs, fsPath, tmp, old)
     } else {
       // Segment APPEND — the steady-state path: one new `seg=b<id>`
@@ -2025,6 +2050,7 @@ object Maintenance {
       // metadata calls per batch, however many segments the state holds.
       val sizesByHp =
         new java.util.concurrent.ConcurrentHashMap[Int, Map[String, Long]]()
+      beforeCommit()
       forEachBucketParallel(listHpDirs(fs, tmpA)) { hpDir =>
         val srcSeg = new HPath(hpDir, s"seg=$segName")
         metaInc()
