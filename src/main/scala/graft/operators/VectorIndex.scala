@@ -124,20 +124,29 @@ object VectorIndex {
     val cent = v
       .filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"), col("nrm").as("cent_nrm"))
-    cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val centR = spark.read.parquet(s"$indexPath/centroids")
+    // The centroids write and the assignment pass both derive from the
+    // same scan and are independent effects (nothing reads the index
+    // until build returns) — run the centroids write on a second
+    // driver thread while assignTo collects the SAME centroid frame
+    // directly (guide §2.6). Value parity with the old
+    // write-then-read-back shape is exact: parquet stores the IEEE
+    // bits, so the round-trip never changed a double.
+    val centW = scala.concurrent.Future {
+      cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    }(scala.concurrent.ExecutionContext.global)
     // Co-locate each cluster's rows before the partitioned write: one
     // N-row shuffle buys ~one file per cluster dir instead of
     // shuffle-partitions × clusters tiny files (measured 10k files for
     // 316 clusters without it — at warehouse scale that is millions of
     // files per build). Cluster-size skew is bounded by the
     // maxOverMedian/rebalance guard, so no writer task degenerates.
-    assignTo(v, centR)
+    assignTo(v, cent.select(col("cent_id"), col("cent_emb"), col("cent_nrm")))
       .repartition(col("cluster"))
       .write
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexPath/assignments")
+    scala.concurrent.Await.result(centW, scala.concurrent.duration.Duration.Inf)
     maxOverMedian.foreach(bound => rebalance(spark, indexPath, bound))
   }
 
