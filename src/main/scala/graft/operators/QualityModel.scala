@@ -77,19 +77,27 @@ object QualityModel {
     // An orphan v<next> is a crashed build's half-written output — the
     // pointer never advanced, no reader can hold it.
     Maintenance.deleteOrFail(fs, vDir)
+    // The pair table is pinned (ONE corpus pass — the pin replaces the
+    // old written-table read-back barrier) and its parquet write then
+    // OVERLAPS the uni rollup+write on a second driver thread: both
+    // land under the un-pointered v<next> dir, so a crash in the
+    // window leaves the same orphan the pointer-flip protocol already
+    // heals (guide §2.6).
     val pair = bigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c12"))
-    pair.write.parquet(new HPath(vDir, "pair").toString)
-    // Derive uni from the written pair table (a read-back barrier, not
-    // a second corpus pass): c1 = total occurrences of w1 as a bigram
-    // head — exactly q106's rollup.
-    spark.read
-      .parquet(new HPath(vDir, "pair").toString)
+      .localCheckpoint()
+    val pairW = scala.concurrent.Future {
+      pair.write.parquet(new HPath(vDir, "pair").toString)
+    }(scala.concurrent.ExecutionContext.global)
+    // c1 = total occurrences of w1 as a bigram head — exactly q106's
+    // rollup, off the pin.
+    pair
       .groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"))
       .write
       .parquet(new HPath(vDir, "uni").toString)
+    scala.concurrent.Await.result(pairW, scala.concurrent.duration.Duration.Inf)
     // Atomic pointer flip: tmp + rename WITH OVERWRITE — a
     // delete-then-rename pair would leave a window with no pointer on
     // disk, and a gate() resolving in it (over a model with no legacy
